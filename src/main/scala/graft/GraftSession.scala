@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Session bootstrap for the engine: the analogue of the reference's
+ * `TableEnvironment.create(EnvironmentSettings)` entry point
+ * (flink-table/flink-table-api-java/.../TableEnvironmentImpl.java:626 via
+ * SURVEY §3.1). Creating a session here installs:
+ *
+ *  - engine configuration tuned for the deployment (shuffle parallelism,
+ *    AQE with skew-join handling, broadcast threshold),
+ *  - the function-parity registry (graft.functions — the scalar/agg
+ *    functions Flink has and Spark lacks).
+ *
+ * Scale notes: AQE is the Spark-native replacement for the reference's
+ * cost-based exchange selection (BatchExecExchange + broadcast threshold,
+ * SURVEY §4.2): it re-plans shuffles at runtime, coalesces small
+ * partitions and splits skewed ones — exactly what you want on a
+ * 1000-executor cluster where static planning guesses wrong.
+ */
+object GraftSession {
+
+  /** Apply engine defaults onto an existing builder. */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", shufflePartitions)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests/benchmarks. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = tune(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
+    init(spark)
+    spark
+  }
+
+  /** Install engine pieces on any already-built session. Idempotent. */
+  def init(spark: SparkSession): SparkSession = {
+    spark.sparkContext.setLogLevel("WARN")
+    functions.GraftFunctions.registerAll(spark)
+    spark
+  }
+}

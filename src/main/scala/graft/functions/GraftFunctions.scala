@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Function-parity layer: the scalar/aggregate functions in the reference's
+ * SQL surface (FlinkSqlOperatorTable.java, SURVEY §2.8) that Spark does not
+ * ship. Everything here composes built-in codegen'd functions — no Scala
+ * UDFs in the hot path — so Catalyst folds constants, pushes predicates and
+ * keeps whole-stage codegen intact.
+ *
+ * Column API for Scala users; `registerAll` installs SQL names so
+ * `spark.sql("SELECT split_index(...)")` works like the reference's SQL.
+ */
+object GraftFunctions {
+
+  // ---- string ------------------------------------------------------------
+
+  /**
+   * SPLIT_INDEX(str, sep, index): index'th (0-based) field after splitting
+   * on *literal* separator; NULL when out of range.
+   * Ref: SqlFunctionUtils.splitIndex (flink-table-runtime-blink).
+   */
+  def splitIndex(str: Column, sep: String, index: Int): Column =
+    get(split(str, java.util.regex.Pattern.quote(sep)), lit(index))
+
+  /** Dynamic-separator variant: quotes via regex \Q..\E. */
+  def splitIndex(str: Column, sep: Column, index: Column): Column =
+    get(split(str, concat(lit("\\Q"), sep, lit("\\E")).toString), index) // overridden below
+
+  /** IS_DECIMAL(str): parseable as a decimal number. Ref: SqlFunctionUtils.isDecimal. */
+  def isDecimal(str: Column): Column =
+    str.rlike("^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)$")
+
+  /** IS_DIGIT(str): non-empty, all chars in [0-9]. Ref: SqlFunctionUtils.isDigit. */
+  def isDigit(str: Column): Column = str.rlike("^[0-9]+$")
+
+  /** IS_ALPHA(str): non-empty, all chars letters. Ref: SqlFunctionUtils.isAlpha. */
+  def isAlpha(str: Column): Column = str.rlike("^[A-Za-z]+$")
+
+  /** HASH_CODE(str): JVM String.hashCode (≠ Spark murmur3 `hash`). */
+  def hashCode(str: Column): Column =
+    Column(graft.plans.JavaHashCode(expression(str)))
+
+  // ---- collection ----------------------------------------------------------
+
+  /**
+   * ELEMENT(array): sole element of a 1-element array; NULL for empty,
+   * error for >1 (Calcite ELEMENT semantics used by the reference).
+   */
+  def element(arr: Column): Column =
+    when(size(arr) <= 1, get(arr, lit(0)))
+      .otherwise(raise_error(lit("ELEMENT(): array has more than one element")))
+
+  // ---- numeric -------------------------------------------------------------
+
+  /** RAND_INTEGER(n): uniform int in [0, n). Ref: FlinkSqlOperatorTable RAND_INTEGER. */
+  def randInteger(n: Column): Column = floor(rand() * n).cast("int")
+
+  /** RAND_INTEGER(seed, n). */
+  def randInteger(seed: Long, n: Column): Column = floor(rand(seed) * n).cast("int")
+
+  /** DIVIDE_INTEGER(a, b): integer division. */
+  def divideInteger(a: Column, b: Column): Column = a.cast("long") / b.cast("long") cast "long"
+
+  // ---- temporal ------------------------------------------------------------
+
+  /**
+   * CONVERT_TZ(ts_str, from, to) — reference semantics: interpret a
+   * 'yyyy-MM-dd HH:mm:ss' string in zone `from`, render it in zone `to`.
+   * Ref: SqlDateTimeUtils.convertTz.
+   */
+  def convertTz(ts: Column, from: Column, to: Column): Column =
+    date_format(from_utc_timestamp(to_utc_timestamp(ts, from), to), "yyyy-MM-dd HH:mm:ss")
+
+  // ---- JSON predicates -------------------------------------------------------
+
+  /** IS JSON VALUE / OBJECT / ARRAY / SCALAR (reference JSON predicate family). */
+  def isJsonValue(c: Column): Column = try_parse_json_ok(c)
+  def isJsonObject(c: Column): Column = try_parse_json_ok(c) && trimmed(c).startsWith("{")
+  def isJsonArray(c: Column): Column = try_parse_json_ok(c) && trimmed(c).startsWith("[")
+  def isJsonScalar(c: Column): Column =
+    try_parse_json_ok(c) && !trimmed(c).startsWith("{") && !trimmed(c).startsWith("[")
+
+  private def trimmed(c: Column): Column = trim(c)
+  private def try_parse_json_ok(c: Column): Column = try_parse_json(c).isNotNull
+
+  // ---- internals -------------------------------------------------------------
+
+  private def expression(c: Column) =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Install SQL-facing names on a session (idempotent). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    import org.apache.spark.sql.catalyst.expressions.{Expression => E}
+    def col(e: E): Column = Column(e)
+    def register(name: String)(builder: Seq[E] => Column): Unit =
+      reg.createOrReplaceTempFunction(name, es => expression(builder(es)), "graft")
+
+    register("split_index") { case Seq(s, d, i) =>
+      get(split(col(s), concat(lit("\\Q"), col(d), lit("\\E"))), col(i)) }
+    register("is_decimal") { case Seq(s) => isDecimal(col(s)) }
+    register("is_digit") { case Seq(s) => isDigit(col(s)) }
+    register("is_alpha") { case Seq(s) => isAlpha(col(s)) }
+    register("hash_code") { case Seq(s) => Column(graft.plans.JavaHashCode(s)) }
+    register("graft_element") { case Seq(a) => element(col(a)) }
+    register("rand_integer") {
+      case Seq(n) => randInteger(col(n))
+      case Seq(seed, n) => floor(rand(col(seed).cast("long").toString.toLong) * col(n)).cast("int")
+    }
+    register("divide_integer") { case Seq(a, b) => divideInteger(col(a), col(b)) }
+    register("convert_tz") { case Seq(t, f, z) => convertTz(col(t), col(f), col(z)) }
+    register("is_json_value") { case Seq(s) => isJsonValue(col(s)) }
+    register("is_json_object") { case Seq(s) => isJsonObject(col(s)) }
+    register("is_json_array") { case Seq(s) => isJsonArray(col(s)) }
+    register("is_json_scalar") { case Seq(s) => isJsonScalar(col(s)) }
+  }
+}
