@@ -31,6 +31,10 @@ object GraftSession {
     .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
+    // events.ts is parquet TIMESTAMP(NANOS): read as LongType (ns since
+    // epoch) and normalize to µs in Tables (SURVEY §7.4.7).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests/benchmarks. */

@@ -34,7 +34,9 @@ object Tables {
   private def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // Integer division (IntegralDivide): `/` on longs is double division
+        // and ns epochs (~1.7e18) exceed 2^53, which would corrupt the µs.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df // already a timestamp type
     }
 

@@ -1,7 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal, Rand}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /**
  * Function-parity layer: the scalar/aggregate functions in the reference's
@@ -25,9 +27,9 @@ object GraftFunctions {
   def splitIndex(str: Column, sep: String, index: Int): Column =
     get(split(str, java.util.regex.Pattern.quote(sep)), lit(index))
 
-  /** Dynamic-separator variant: quotes via regex \Q..\E. */
+  /** Dynamic-separator variant: quotes the separator via regex \Q..\E. */
   def splitIndex(str: Column, sep: Column, index: Column): Column =
-    get(split(str, concat(lit("\\Q"), sep, lit("\\E")).toString), index) // overridden below
+    get(split(str, concat(lit("\\Q"), sep, lit("\\E"))), index)
 
   /** IS_DECIMAL(str): parseable as a decimal number. Ref: SqlFunctionUtils.isDecimal. */
   def isDecimal(str: Column): Column =
@@ -41,7 +43,7 @@ object GraftFunctions {
 
   /** HASH_CODE(str): JVM String.hashCode (≠ Spark murmur3 `hash`). */
   def hashCode(str: Column): Column =
-    Column(graft.plans.JavaHashCode(expression(str)))
+    Bridge.column(graft.plans.JavaHashCode(Bridge.expression(str)))
 
   // ---- collection ----------------------------------------------------------
 
@@ -61,8 +63,14 @@ object GraftFunctions {
   /** RAND_INTEGER(seed, n). */
   def randInteger(seed: Long, n: Column): Column = floor(rand(seed) * n).cast("int")
 
-  /** DIVIDE_INTEGER(a, b): integer division. */
-  def divideInteger(a: Column, b: Column): Column = a.cast("long") / b.cast("long") cast "long"
+  /**
+   * DIVIDE_INTEGER(a, b): exact integer division. Uses Catalyst
+   * IntegralDivide (`div`), not `/` (which is double division on longs and
+   * loses precision above 2^53).
+   */
+  def divideInteger(a: Column, b: Column): Column =
+    Bridge.column(IntegralDivide(
+      Bridge.expression(a.cast("long")), Bridge.expression(b.cast("long"))))
 
   // ---- temporal ------------------------------------------------------------
 
@@ -78,43 +86,39 @@ object GraftFunctions {
 
   /** IS JSON VALUE / OBJECT / ARRAY / SCALAR (reference JSON predicate family). */
   def isJsonValue(c: Column): Column = try_parse_json_ok(c)
-  def isJsonObject(c: Column): Column = try_parse_json_ok(c) && trimmed(c).startsWith("{")
-  def isJsonArray(c: Column): Column = try_parse_json_ok(c) && trimmed(c).startsWith("[")
+  def isJsonObject(c: Column): Column = try_parse_json_ok(c) && trim(c).startsWith("{")
+  def isJsonArray(c: Column): Column = try_parse_json_ok(c) && trim(c).startsWith("[")
   def isJsonScalar(c: Column): Column =
-    try_parse_json_ok(c) && !trimmed(c).startsWith("{") && !trimmed(c).startsWith("[")
+    try_parse_json_ok(c) && !trim(c).startsWith("{") && !trim(c).startsWith("[")
 
-  private def trimmed(c: Column): Column = trim(c)
   private def try_parse_json_ok(c: Column): Column = try_parse_json(c).isNotNull
 
-  // ---- internals -------------------------------------------------------------
-
-  private def expression(c: Column) =
-    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+  // ---- registration ----------------------------------------------------------
 
   /** Install SQL-facing names on a session (idempotent). */
   def registerAll(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    import org.apache.spark.sql.catalyst.expressions.{Expression => E}
-    def col(e: E): Column = Column(e)
-    def register(name: String)(builder: Seq[E] => Column): Unit =
-      reg.createOrReplaceTempFunction(name, es => expression(builder(es)), "graft")
+    def cols(name: String)(builder: PartialFunction[Seq[Column], Column]): Unit =
+      Bridge.registerCols(spark, name)(builder)
 
-    register("split_index") { case Seq(s, d, i) =>
-      get(split(col(s), concat(lit("\\Q"), col(d), lit("\\E"))), col(i)) }
-    register("is_decimal") { case Seq(s) => isDecimal(col(s)) }
-    register("is_digit") { case Seq(s) => isDigit(col(s)) }
-    register("is_alpha") { case Seq(s) => isAlpha(col(s)) }
-    register("hash_code") { case Seq(s) => Column(graft.plans.JavaHashCode(s)) }
-    register("graft_element") { case Seq(a) => element(col(a)) }
-    register("rand_integer") {
-      case Seq(n) => randInteger(col(n))
-      case Seq(seed, n) => floor(rand(col(seed).cast("long").toString.toLong) * col(n)).cast("int")
+    cols("split_index") { case Seq(s, d, i) => splitIndex(s, d, i) }
+    cols("is_decimal") { case Seq(s) => isDecimal(s) }
+    cols("is_digit") { case Seq(s) => isDigit(s) }
+    cols("is_alpha") { case Seq(s) => isAlpha(s) }
+    Bridge.register(spark, "hash_code") { case Seq(s) => graft.plans.JavaHashCode(s) }
+    cols("graft_element") { case Seq(a) => element(a) }
+    // Seeded variant must pull the seed out of the *Literal* — stringifying
+    // the Column yields SQL text, not the value (round-1 bug).
+    Bridge.register(spark, "rand_integer") {
+      case Seq(n) =>
+        Bridge.expression(floor(Bridge.column(Rand(Literal(util.Random.nextLong()))) * Bridge.column(n)).cast("int"))
+      case Seq(seed, n) =>
+        Bridge.expression(floor(Bridge.column(Rand(seed)) * Bridge.column(n)).cast("int"))
     }
-    register("divide_integer") { case Seq(a, b) => divideInteger(col(a), col(b)) }
-    register("convert_tz") { case Seq(t, f, z) => convertTz(col(t), col(f), col(z)) }
-    register("is_json_value") { case Seq(s) => isJsonValue(col(s)) }
-    register("is_json_object") { case Seq(s) => isJsonObject(col(s)) }
-    register("is_json_array") { case Seq(s) => isJsonArray(col(s)) }
-    register("is_json_scalar") { case Seq(s) => isJsonScalar(col(s)) }
+    cols("divide_integer") { case Seq(a, b) => divideInteger(a, b) }
+    cols("convert_tz") { case Seq(t, f, z) => convertTz(t, f, z) }
+    cols("is_json_value") { case Seq(s) => isJsonValue(s) }
+    cols("is_json_object") { case Seq(s) => isJsonObject(s) }
+    cols("is_json_array") { case Seq(s) => isJsonArray(s) }
+    cols("is_json_scalar") { case Seq(s) => isJsonScalar(s) }
   }
 }

@@ -1,9 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, NullIntolerant}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType, AbstractDataType}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -19,10 +19,19 @@ import org.apache.spark.unsafe.types.UTF8String
  * flink-table/flink-table-runtime-blink/.../functions/SqlFunctionUtils.java
  * `hashCode(String)`), which differs from Spark's Murmur3 `hash()`.
  */
-case class JavaHashCode(child: Expression)
-    extends UnaryExpression with NullIntolerant {
+case class JavaHashCode(child: Expression) extends UnaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  // Spark 4.x: the NullIntolerant marker trait was replaced by this flag
+  // (null input => null output, enables null-check short-circuiting).
+  override def nullIntolerant: Boolean = true
+
+  // AbstractDataType is private[sql] in Spark 4, so input typing is
+  // enforced here instead of via ExpectsInputTypes.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hash_code requires a string argument, got ${child.dataType.catalogString}")
+
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hash_code"
 
