@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/**
+ * Event-time operators over the `events` table (SURVEY §2.5, §2.6, §2.3):
+ * tumbling / hopping / session windows, interval (time-bounded) join,
+ * as-of join, keep-first deduplication, JSON access. These are the batch
+ * duals of the reference's streaming window machinery
+ * (flink-table-runtime-blink/.../operators/window/WindowOperator.java:98,
+ * assigners/Tumbling-, Sliding-, SessionWindowAssigner) — same bucketing
+ * semantics expressed as groupBy over computed window columns, which is
+ * also exactly how the streaming versions run under Structured Streaming
+ * (`groupBy(window(...))` + watermark).
+ *
+ * Timestamps in outputs are epoch-µs BIGINTs (unix_micros) so the DuckDB
+ * compare is representation-free.
+ *
+ * Scale notes: every query here is a single hash exchange on its grouping
+ * key (window bucket, user_id); the hop-window expansion is a 2× row
+ * inflation BEFORE the shuffle (explode of 2 window starts), which is how
+ * Flink's PanedWindowAssigner amortizes sliding windows too.
+ */
+object EventOps {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "events")
+
+  private val dec = DecimalType(18, 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of join: each purchase sees the latest view at-or-before it.
+    "q14_asof_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+                col("ts").as("v_ts"))
+      AsOfJoin.leftAsOf(
+          purchases, views,
+          leftKey = "user_id", rightKey = "v_user",
+          leftTs = "ts", rightTs = "v_ts",
+          rightCols = Seq("v_id"), rightOrd = "v_id")
+        .filter(col("v_id").isNotNull)
+        .select(col("p_id"), col("v_id"))
+    }),
+
+    // Tumbling window (TUMBLE): 1-day buckets per event_type.
+    "q25_tumble" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sum_v"))
+        .select(col("event_type"), unix_micros(col("w.start")).as("w_start"),
+                col("n"), col("sum_v"))
+    }),
+
+    // Hopping window (HOP): 1h size, 30m slide — explode the 2 covering
+    // window starts before the shuffle, then plain hash agg.
+    "q26_hop" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("w.start")).as("w_start"), col("n"))
+    }),
+
+    // Session window (SESSION gap 30 min) per user: session count and size.
+    "q27_session" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+             sum(col("n_events")).as("n_events"),
+             max(col("n_events")).as("max_session"))
+    }),
+
+    // Interval (time-bounded) join: clicks within 10 min before a purchase
+    // by the same user (TimeBoundedStreamJoin analogue).
+    "q28_interval_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                col("ts").as("p_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      p.join(c, col("p_user") === col("c_user") &&
+               col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+               col("c_ts") < col("p_ts"), "left")
+        .groupBy("p_id")
+        .agg(count(col("c_ts")).as("n_clicks"))
+    }),
+
+    // Deduplicate keep-first (DeduplicateKeepFirstRowFunction):
+    // earliest event per (user_id, event_type), ROW_NUMBER()=1 pattern.
+    "q29_dedup_first" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+    }),
+
+    // JSON field access + aggregation over extracted values.
+    "q30_json_props" -> ((s, dir) => {
+      ev(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"),
+             min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    })
+  )
+
+  // DuckDB reads events.ts as TIMESTAMP_NS; CAST to TIMESTAMP truncates to
+  // µs — the same normalization Tables.scala applies on the Spark side.
+  val oracle: Map[String, String] = Map(
+    "q14_asof_join" -> """
+      SELECT p.event_id AS p_id, v.event_id AS v_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)""",
+
+    "q25_tumble" -> """
+      SELECT event_type,
+             epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS w_start,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS sum_v
+      FROM events GROUP BY 1, 2""",
+
+    "q26_hop" -> """
+      WITH b AS (SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS b30
+                 FROM events)
+      SELECT epoch_us(s) AS w_start, count(*) AS n FROM (
+        SELECT b30 AS s FROM b
+        UNION ALL
+        SELECT b30 - INTERVAL 30 MINUTE AS s FROM b) x
+      GROUP BY s""",
+
+    "q27_session" -> """
+      WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - lag(CAST(ts AS TIMESTAMP))
+                             OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      sess AS (
+        SELECT user_id,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged),
+      per_sess AS (
+        SELECT user_id, sid, count(*) AS n_events
+        FROM sess GROUP BY user_id, sid)
+      SELECT user_id, count(*) AS n_sessions,
+             sum(n_events) AS n_events, max(n_events) AS max_session
+      FROM per_sess GROUP BY user_id""",
+
+    "q28_interval_join" -> """
+      SELECT p.event_id AS p_id, count(c.c_ts) AS n_clicks
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+            FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts
+                 FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.c_user
+       AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE
+       AND c.c_ts < p.p_ts
+      GROUP BY p.event_id""",
+
+    "q29_dedup_first" -> """
+      SELECT user_id, event_type, event_id FROM (
+        SELECT user_id, event_type, event_id,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) x
+      WHERE rn = 1""",
+
+    "q30_json_props" -> """
+      SELECT event_type,
+             sum(k) AS sum_k, count(k) AS n_k, min(k) AS min_k, max(k) AS max_k
+      FROM (SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events) x
+      GROUP BY event_type"""
+  )
+}

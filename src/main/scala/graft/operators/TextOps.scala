@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Text-analysis / training-data-pipeline operators over `documents`
+ * (builder north star: dedup, quality scoring, language ID at 100 TB).
+ * All operators are expression-only (no UDFs): tokenization via split,
+ * set ops via higher-order array functions — fully codegen'd, partition-
+ * parallel, no driver participation.
+ *
+ * Scale notes: exact dedup is one hash exchange on the content hash;
+ * n-gram Jaccard is the exact (verification) path — explode distinct
+ * shingles, self-join on shingle, count — which at 100 TB is what you run
+ * AFTER MinHash-LSH banding has cut candidates (the LSH path is
+ * TextDedup.minhash*, verified rows-only); language ID / quality scores
+ * are embarrassingly parallel scans.
+ */
+object TextOps {
+
+  private val stop: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "las", "de", "y", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("de", "shi", "zai", "le", "wo"))
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Quality-scoring statistics per document.
+    "q34_text_stats" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          length(regexp_replace(col("text"), "\\s+", "")).as("n_nonspace"),
+          round(length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+            / size(col("toks")), 6).as("avg_tok_len"),
+          length(regexp_replace(col("text"), "[^.,;:!?]", "")).as("n_punct"),
+          round(expr(s"size(filter(toks, t -> t IN ${sqlList(stop("en"))}))")
+            .cast("double") / size(col("toks")), 6).as("stop_ratio"),
+          size(array_distinct(col("toks"))).as("n_uniq"))
+    }),
+
+    // Exact deduplication: content-hash groups, keep lowest doc_id.
+    "q35_exact_dedup" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"),
+             count(lit(1)).as("n"),
+             sum(col("n_chars")).as("total_chars"))
+    }),
+
+    // Heuristic language ID: stopword-hit argmax (tie-break by the fixed
+    // CASE order en,de,es,fr,zh — identical in the oracle).
+    "q36_langid" -> ((s, dir) => {
+      val scored = Tables.table(s, dir, "documents")
+        .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      val withScores = stop.keys.toSeq.sorted.foldLeft(scored) { (df, l) =>
+        df.withColumn(s"s_$l",
+          expr(s"size(filter(toks, t -> t IN ${sqlList(stop(l))}))"))
+      }
+      withScores.select(
+        col("doc_id"), col("lang").as("actual"),
+        expr("""CASE
+          WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+          WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+          WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+          WHEN s_fr >= s_zh THEN 'fr'
+          ELSE 'zh' END""").as("predicted"))
+    }),
+
+    // Exact n-gram (word-trigram) Jaccard near-duplicate pairs.
+    "q37_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .filter(size(col("toks")) >= 3)
+      val shingles = docs.select(col("doc_id"),
+          explode(array_distinct(expr(
+            "transform(sequence(0, size(toks) - 3), i -> " +
+            "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("sh"))
+      val counts = shingles.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"))
+      val pairs = shingles.as("a")
+        .join(shingles.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(counts.as("ca"), col("da") === col("ca.doc_id"))
+        .join(counts.as("cb"), col("db") === col("cb.doc_id"))
+        .withColumn("jac", col("inter").cast("double")
+          / (col("ca.n_sh") + col("cb.n_sh") - col("inter")))
+        .filter(col("jac") >= 0.2)
+        .select(col("da"), col("db"), col("inter"),
+                col("ca.n_sh").as("n_a"), col("cb.n_sh").as("n_b"),
+                round(col("jac"), 6).as("jac"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q34_text_stats" -> s"""
+      WITH t AS (SELECT doc_id, text,
+                        regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents)
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INT) AS n_nonspace,
+             round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                   / len(toks), 6) AS avg_tok_len,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INT) AS n_punct,
+             round(CAST(len(list_filter(toks, t -> t IN ${sqlList(stop("en"))})) AS DOUBLE)
+                   / len(toks), 6) AS stop_ratio,
+             CAST(len(list_distinct(toks)) AS INT) AS n_uniq
+      FROM t""",
+
+    "q35_exact_dedup" -> """
+      SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY md5(text)""",
+
+    "q36_langid" -> {
+      val scores = stop.keys.toSeq.sorted.map { l =>
+        s"len(list_filter(toks, t -> t IN ${sqlList(stop(l))})) AS s_$l"
+      }.mkString(",\n               ")
+      s"""
+      WITH t AS (SELECT doc_id, lang,
+                        regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                 FROM documents),
+      sc AS (SELECT doc_id, lang,
+               $scores
+             FROM t)
+      SELECT doc_id, lang AS actual,
+             CASE
+               WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+               WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+               WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+               WHEN s_fr >= s_zh THEN 'fr'
+               ELSE 'zh' END AS predicted
+      FROM sc"""
+    },
+
+    "q37_ngram_jaccard" -> """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+        WHERE len(t) >= 3),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT da, db, inter, ca.n AS n_a, cb.n AS n_b,
+             round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jac
+      FROM pairs
+      JOIN cnt ca ON da = ca.doc_id
+      JOIN cnt cb ON db = cb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.2"""
+  )
+}
