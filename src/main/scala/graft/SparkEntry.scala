@@ -20,7 +20,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val all =
       RelationalOps.queries ++ EventOps.queries ++
-      ScalarBattery.queries ++ TextOps.queries ++ VectorOps.queries
+      ScalarBattery.queries ++ TextOps.queries ++ VectorOps.queries ++
+      DedupOps.queries ++ AnnOps.queries ++ MultimodalOps.queries ++
+      AggOps.queries
     // Ensure the function registry is installed whichever query runs first.
     all.map { case (k, f) =>
       k -> ((s: SparkSession, dir: String) => { GraftSession.init(s); f(s, dir) })
@@ -31,5 +33,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalOps.oracle ++ EventOps.oracle ++
-    ScalarBattery.oracle ++ TextOps.oracle ++ VectorOps.oracle
+    ScalarBattery.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
+    DedupOps.oracle ++ AnnOps.oracle ++ MultimodalOps.oracle ++
+    AggOps.oracle
 }

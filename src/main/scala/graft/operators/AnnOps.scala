@@ -1,0 +1,139 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Approximate nearest neighbor via random-hyperplane LSH (SURVEY north
+ * star: the scale path beside VectorOps' brute-force baseline).
+ *
+ * 100 TB design: each vector is mapped to a 16-bit bucket by the sign
+ * pattern of 16 fixed hyperplanes — a pure projection (no shuffle); the
+ * candidate join is an equi-join on the bucket key, so the corpus never
+ * materializes the O(queries × corpus) pair space. Exact cosine runs only
+ * inside buckets. Recall is tuned by bits/tables; this module uses one
+ * table × 16 bits, enough to demonstrate the operator shape.
+ *
+ * Determinism/portability: plane components derive from md5 ("p:d" →
+ * 60-bit int → [-1000,1000]/1000), computed identically in Scala (plan
+ * constants) and in the DuckDB oracle (SQL md5), so bucket assignments
+ * match bit-for-bit.
+ */
+object AnnOps {
+
+  // 6 planes → 64 buckets: sized so the 500-vector fixtures land ~8 per
+  // bucket and the operator's recall is actually observable. At corpus
+  // scale you'd raise bits (and add multi-probe / more tables) so bucket
+  // cardinality stays near the target candidate-list length.
+  val Planes = 6
+  val Dims = 64
+
+  /** 60-bit md5 hash of a string — must equal the SQL h60 in DedupOps. */
+  private def h60(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Plane component p,d in [-1, 1] with 3 decimals (portable). */
+  def planeComponent(p: Int, d: Int): Double = (h60(s"$p:$d") % 2001 - 1000) / 1000.0
+
+  /** Sequential-fold dot product of the embedding with a literal plane. */
+  private def dotPlane(embCol: String, p: Int): Column = {
+    expr(s"aggregate(zip_with($embCol, " +
+      s"array(${(0 until Dims).map(d => planeComponent(p, d)).mkString(",")}), " +
+      "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+  }
+
+  /** Bucket id: 16 sign bits of the plane projections. */
+  def bucketCol(embCol: String): Column =
+    (0 until Planes)
+      .map(p => when(dotPlane(embCol, p) > 0, lit(1L << p)).otherwise(0L))
+      .reduce(_ + _)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LSH-bucketed ANN: same-bucket candidates, exact cosine, top-3.
+    "q42_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+        .withColumn("bucket", bucketCol("embedding"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+                col("bucket"))
+      val c = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+                col("bucket"))
+      def dot(a: String, b: String) = expr(
+        s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+      q.join(c, "bucket")
+        .withColumn("cos", dot("qe", "ce") /
+          (sqrt(dot("qe", "qe")) * sqrt(dot("ce", "ce"))))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("cand_id"), col("rnk"),
+                round(col("cos"), 6).as("sim"), col("bucket"))
+    }),
+
+    // Bucket histogram: distribution diagnostics for the LSH table.
+    "q43_ann_buckets" -> ((s, dir) => {
+      Tables.table(s, dir, "embeddings")
+        .withColumn("bucket", bucketCol("embedding"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = {
+    // plane table as an inline VALUES list: (p, d, v)
+    val planeRows = (for (p <- 0 until Planes; d <- 0 until Dims)
+      yield s"($p,$d,${planeComponent(p, d)})").mkString(",")
+    val bucketCte = s"""
+      planes(p, d, v) AS (SELECT * FROM (VALUES $planeRows) t(p, d, v)),
+      vecs AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      proj AS (
+        SELECT vec_id, p,
+               sum(e[d + 1] * v) AS dp
+        FROM vecs JOIN planes ON TRUE
+        GROUP BY vec_id, p),
+      bucketed AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dp > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT)
+                 AS bucket
+        FROM proj GROUP BY vec_id)"""
+
+    Map(
+      "q42_ann_lsh" -> s"""
+      WITH $bucketCte,
+      q AS (SELECT b.vec_id AS q_id, v.e AS qe, b.bucket
+            FROM bucketed b JOIN vecs v USING (vec_id) WHERE vec_id < 10),
+      c AS (SELECT b.vec_id AS cand_id, v.e AS ce, b.bucket
+            FROM bucketed b JOIN vecs v USING (vec_id) WHERE vec_id >= 10),
+      scored AS (
+        SELECT q_id, cand_id, q.bucket,
+               list_dot_product(qe, ce)
+                 / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))
+                 AS cos
+        FROM q JOIN c ON q.bucket = c.bucket),
+      ranked AS (
+        SELECT q_id, cand_id, bucket,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rnk,
+               cos
+        FROM scored)
+      SELECT q_id, cand_id, CAST(rnk AS INT) AS rnk, round(cos, 6) AS sim, bucket
+      FROM ranked WHERE rnk <= 3""",
+
+      "q43_ann_buckets" -> s"""
+      WITH $bucketCte
+      SELECT bucket, count(*) AS n, min(vec_id) AS min_id
+      FROM bucketed GROUP BY bucket"""
+    )
+  }
+}

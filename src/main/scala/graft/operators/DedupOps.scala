@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Near-duplicate detection at scale (builder north star): MinHash+LSH and
+ * SimHash over `documents`. The 100 TB design: signatures are computed in
+ * one explode + one hash-exchange per doc; candidate generation is an
+ * equi-join on band/chunk keys (shuffle keyed on small buckets, never the
+ * O(n²) pair space); only candidates pay the verification cost.
+ *
+ * Portability: every hash is derived from md5 (`h(seed,s) = first 15 hex
+ * digits of md5("seed:"+s) as a 60-bit BIGINT`), so the DuckDB oracles
+ * replicate signatures bit-for-bit — the whole pipeline is verified
+ * value-exactly, not just "rows > 0".
+ */
+object DedupOps {
+
+  /** 60-bit portable hash as a Column expression (md5-derived). */
+  private def h60(seed: Int, s: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 15), 16, 10).cast("long")
+
+  /** Same hash in DuckDB SQL. */
+  private def h60Sql(seed: Int, s: String): String =
+    s"CAST(('0x' || substr(md5('$seed:' || $s), 1, 15)) AS BIGINT)"
+
+  val NumPerm = 16 // minhash permutations
+  val Bands = 4    // LSH bands (4 rows per band)
+  val SimBits = 60 // simhash width
+  val SimChunks = 4 // banding chunks for hamming candidates (15 bits each)
+
+  /** doc_id + distinct word-trigram shingles (shared with TextOps.q37). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), i -> " +
+        "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("sh"))
+
+  /** MinHash signature per doc: one groupBy, NumPerm min-aggregates. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir)
+      .groupBy("doc_id")
+      .agg(min(h60(0, col("sh"))).as("m0"),
+           (1 until NumPerm).map(i => min(h60(i, col("sh"))).as(s"m$i")): _*)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Candidate pairs from LSH banding + signature-agreement estimate.
+    "q39_minhash_dedup" -> ((s, dir) => {
+      val sig = minhashSignatures(s, dir).cache()
+      val rowsPerBand = NumPerm / Bands
+      // band key = md5 of the band's signature slice
+      val banded = sig.select(col("doc_id") +: (0 until Bands).map { b =>
+        val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"m$i").cast("string"))
+        md5(concat_ws("_", slice: _*)).as(s"b$b")
+      }: _*)
+      val bandKv = banded.select(col("doc_id"), explode(array(
+        (0 until Bands).map(b => struct(lit(b).as("band"), col(s"b$b").as("key"))): _*
+      )).as("bk")).select(col("doc_id"), col("bk.band"), col("bk.key"))
+      val cand = bandKv.as("x").join(bandKv.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+      val agree = (0 until NumPerm)
+        .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(sig.as("a"), col("da") === col("a.doc_id"))
+        .join(sig.as("b"), col("db") === col("b.doc_id"))
+        .select(col("da"), col("db"), agree.as("n_agree"),
+                round(agree.cast("double") / NumPerm, 6).as("est_jac"))
+        .filter(col("n_agree") >= 4)
+    }),
+
+    // 60-bit SimHash per document over distinct tokens.
+    "q40_simhash" -> ((s, dir) => {
+      val toks = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+        .withColumn("h", h60(99, col("tok")))
+      val bitSums = (0 until SimBits).map { b =>
+        sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
+          .as(s"s$b")
+      }
+      toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until SimBits).map(b =>
+            when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
+    }),
+
+    // SimHash near-dup pairs: chunk-banding candidates, hamming <= 8.
+    "q41_simhash_pairs" -> ((s, dir) => {
+      val sh = queries("q40_simhash")(s, dir).cache()
+      val chunkBits = SimBits / SimChunks
+      val mask = (1L << chunkBits) - 1
+      val kv = sh.select(col("doc_id"), col("simhash"), explode(array(
+        (0 until SimChunks).map(cI => struct(lit(cI).as("c"),
+          shiftright(col("simhash"), cI * chunkBits).bitwiseAND(lit(mask))
+            .as("key"))): _*)).as("ck"))
+        .select(col("doc_id"), col("simhash"), col("ck.c"), col("ck.key"))
+      kv.as("x").join(kv.as("y"),
+          col("x.c") === col("y.c") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+                bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+                  .as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 8)
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private def shinglesSql = """
+      toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+        WHERE len(t) >= 3)"""
+
+  private val simhashSql: String = {
+    val sums = (0 until SimBits).map(b =>
+      s"sum(CASE WHEN (h & ${1L << b}) != 0 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n               ")
+    val assemble = (0 until SimBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""
+      WITH toks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM documents) u),
+      hashed AS (
+        SELECT doc_id, ${h60Sql(99, "tok")} AS h FROM toks),
+      sums AS (
+        SELECT doc_id, $sums
+        FROM hashed GROUP BY doc_id)
+      SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM sums"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q39_minhash_dedup" -> {
+      val minCols = (0 until NumPerm)
+        .map(i => s"min(${h60Sql(i, "s")}) AS m$i").mkString(",\n               ")
+      val rowsPerBand = NumPerm / Bands
+      val bandCols = (0 until Bands).map { b =>
+        val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '_' || ")
+        s"md5($slice) AS b$b"
+      }.mkString(",\n               ")
+      val bandUnion = (0 until Bands)
+        .map(b => s"SELECT doc_id, $b AS band, b$b AS key FROM banded")
+        .mkString("\n        UNION ALL\n        ")
+      val agreeExpr = (0 until NumPerm)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH $shinglesSql,
+      sig AS (
+        SELECT doc_id, $minCols
+        FROM sh GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, $bandCols
+        FROM sig),
+      bandkv AS (
+        $bandUnion),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        FROM bandkv x JOIN bandkv y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+      SELECT da, db,
+             ($agreeExpr) AS n_agree,
+             round(CAST(($agreeExpr) AS DOUBLE) / $NumPerm, 6) AS est_jac
+      FROM cand
+      JOIN sig a ON da = a.doc_id
+      JOIN sig b ON db = b.doc_id
+      WHERE ($agreeExpr) >= 4"""
+    },
+
+    "q40_simhash" -> simhashSql,
+
+    "q41_simhash_pairs" -> {
+      val chunkBits = SimBits / SimChunks
+      val mask = (1L << chunkBits) - 1
+      val chunkUnion = (0 until SimChunks).map(cI =>
+        s"SELECT doc_id, simhash, $cI AS c, (simhash >> ${cI * chunkBits}) & $mask AS key FROM sh")
+        .mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH sh0 AS ($simhashSql),
+      sh AS (SELECT * FROM sh0),
+      kv AS (
+        $chunkUnion)
+      SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+             CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+      FROM kv x JOIN kv y
+        ON x.c = y.c AND x.key = y.key AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 8"""
+    }
+  )
+}
