@@ -44,9 +44,15 @@ object GraftSession {
     spark
   }
 
-  /** Install engine pieces on any already-built session. Idempotent. */
+  /** Install engine pieces on any already-built session. Idempotent.
+    * Also applies the runtime-settable SQL confs so a consumer attaching
+    * to a pre-existing session (spark-shell, notebook) still reads the
+    * ns-precision fixtures and gets UTC semantics. */
   def init(spark: SparkSession): SparkSession = {
     spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     functions.GraftFunctions.registerAll(spark)
     spark
   }

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * CEP / MATCH_RECOGNIZE (SURVEY §2.10): a pattern API and NFA matcher
+ * re-expressing the reference's capability set — `Pattern.begin/next/
+ * followedBy` contiguity, `times` quantifiers, `within` windows, and
+ * after-match skip strategies (CEP/pattern/Pattern.java, CEP/nfa/NFA.java,
+ * nfa/aftermatch/AfterMatchSkipStrategy.java) — on Spark.
+ *
+ * Execution is NOT a port of the reference's SharedBuffer runtime:
+ *  - batch: repartition by key + sortWithinPartitions(key, ts), then one
+ *    linear scan per partition holding only ACTIVE partial matches
+ *    (bounded by the `within` horizon) — no per-key collect, scales to
+ *    arbitrarily many keys per partition;
+ *  - streaming: flatMapGroupsWithState buffers events per key, sorts the
+ *    new batch into the buffer, and finalizes matches whose window has
+ *    fully passed the watermark, pruning state as it goes.
+ *
+ * Match semantics implemented: relaxed contiguity (`followedBy`) and
+ * strict (`next`); quantifier via repeated steps; `skipPastLast = false`
+ * enumerates ALL matches (AfterMatchSkipStrategy.noSkip), `true` resumes
+ * after each match's last event (skipPastLastEvent).
+ */
+object Cep {
+
+  /** One pattern step: named predicate; strict = must match the
+    * immediately following event (Pattern.next vs followedBy). */
+  final case class Step[V](name: String, pred: V => Boolean,
+                           strict: Boolean = false)
+
+  /** A sequential pattern with an optional within-window (ms). */
+  final case class Pattern[V](steps: Seq[Step[V]], withinMs: Option[Long],
+                              skipPastLast: Boolean = false) {
+    require(steps.nonEmpty && !steps.head.strict,
+      "first step cannot be strict")
+  }
+
+  /** A completed match: the matched events in step order. */
+  final case class Match[K, V](key: K, events: Seq[V])
+
+  /**
+   * Core matcher: enumerate matches over one key's time-ordered events.
+   * Keeps only partial matches younger than the within-horizon; for
+   * skipPastLast, matched events are consumed greedily in scan order.
+   */
+  private[streaming] def matchSeq[V](
+      pattern: Pattern[V], events: IndexedSeq[V], ts: V => Long): Seq[Seq[V]] = {
+    val out = mutable.ArrayBuffer.empty[Seq[V]]
+    // partial match: (nextStepIdx, startTs, lastMatchedIdx, eventsReversed)
+    var partials = mutable.ArrayBuffer.empty[(Int, Long, Int, List[V])]
+    var i = 0
+    while (i < events.length) {
+      val e = events(i)
+      val t = ts(e)
+      val next = mutable.ArrayBuffer.empty[(Int, Long, Int, List[V])]
+      var consumed = false
+      partials.foreach { case p @ (stepIdx, startTs, lastIdx, acc) =>
+        val withinOk = pattern.withinMs.forall(w => t - startTs <= w)
+        if (withinOk && !consumed) {
+          val step = pattern.steps(stepIdx)
+          val contiguityOk = !step.strict || lastIdx == i - 1
+          if (contiguityOk && step.pred(e)) {
+            if (stepIdx == pattern.steps.length - 1) {
+              out += (e :: acc).reverse
+              consumed = pattern.skipPastLast
+            } else {
+              next += ((stepIdx + 1, startTs, i, e :: acc))
+            }
+          }
+          // Survival: relaxed steps may match a later event (followedByAny
+          // branching — every combination is enumerated, the semantics the
+          // SQL oracle's join reproduces); a strict step's only chance was
+          // i == lastIdx + 1, so it never survives past its slot.
+          if (!step.strict && !consumed) next += p
+        }
+      }
+      if (consumed) next.clear() // skip-past-last: drop overlapping partials
+      if (!consumed && pattern.steps.head.pred(e)) {
+        if (pattern.steps.length == 1) out += Seq(e)
+        else next += ((1, t, i, List(e)))
+      }
+      partials = next
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /**
+   * Batch CEP over a Dataset: one shuffle on the key, sort within
+   * partitions, linear scan with bounded partial-match state.
+   */
+  def matchBatch[K, V](ds: Dataset[V], pattern: Pattern[V],
+                       key: V => K, ts: V => Long,
+                       tiebreak: V => Long = (_: V) => 0L)(
+      implicit ke: Encoder[K], ve: Encoder[V],
+      me: Encoder[Match[K, V]]): Dataset[Match[K, V]] = {
+    import org.apache.spark.sql.functions.col
+    val lng = org.apache.spark.sql.Encoders.scalaLong
+    val tup = org.apache.spark.sql.Encoders.tuple(ke, lng, lng, ve)
+    val keyed = ds.map(v => (key(v), ts(v), tiebreak(v), v))(tup)
+    keyed.toDF("k", "t", "tb", "v")
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("t"), col("tb"))
+      .as[(K, Long, Long, V)](tup)
+      .mapPartitions { (it: Iterator[(K, Long, Long, V)]) =>
+        // consecutive-key grouping over the sorted partition: only one
+        // key's active window is in memory at a time.
+        new Iterator[Match[K, V]] {
+          // (named `src`, not `buffered`: Iterator already defines that)
+          private val src = it.buffered
+          private var queue: Iterator[Match[K, V]] = Iterator.empty
+          private def refill(): Unit = {
+            while (!queue.hasNext && src.hasNext) {
+              val k = src.head._1
+              val evs = mutable.ArrayBuffer.empty[V]
+              while (src.hasNext && src.head._1 == k)
+                evs += src.next()._4
+              queue = matchSeq(pattern, evs.toIndexedSeq, ts)
+                .map(m => Match(k, m)).iterator
+            }
+          }
+          def hasNext: Boolean = { refill(); queue.hasNext }
+          def next(): Match[K, V] = { refill(); queue.next() }
+        }
+      }(me)
+  }
+
+  /**
+   * Streaming CEP (CepOperator.java:83 analogue): buffer per key, emit
+   * matches once their within-window is fully behind the watermark
+   * (so late events cannot change them), prune emitted prefix.
+   */
+  def matchStream[K, V](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V],
+      pattern: Pattern[V], ts: V => Long)(
+      implicit ve: Encoder[V], se: Encoder[Seq[V]],
+      me: Encoder[Match[K, V]]): Dataset[Match[K, V]] = {
+    val horizon = pattern.withinMs.getOrElse(0L)
+    grouped.flatMapGroupsWithState[Seq[V], Match[K, V]](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: K, values: Iterator[V], state: GroupState[Seq[V]]) =>
+        val buf = (state.getOption.getOrElse(Seq.empty) ++ values)
+          .sortBy(ts)
+        val wm = state.getCurrentWatermarkMs()
+        // a match starting at event e can only involve events up to
+        // ts(e)+horizon; safe to finalize starts below wm - horizon.
+        val safeTs = wm - horizon
+        val (ready, pending) = buf.partition(v => ts(v) <= safeTs)
+        // matches must see ready ∪ pending (a ready start may match into
+        // pending events ≤ its horizon — those are all ≤ wm, also final);
+        // emit only matches whose FIRST event is in the ready prefix.
+        val all = matchSeq(pattern, buf.toIndexedSeq, ts)
+        val out = all.filter(m => ts(m.head) <= safeTs)
+          .map(m => Match(key, m))
+        state.update(pending)
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp(ts(pending.head) + horizon + 1)
+        out.iterator
+    }
+  }
+}

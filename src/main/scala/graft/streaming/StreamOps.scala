@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/**
+ * Streaming relational operators on Structured Streaming (SURVEY §7.2
+ * phase C): windowed aggregations with watermarks, stream-stream interval
+ * join, streaming deduplication, and the output-mode inference the
+ * reference performs in FlinkChangelogModeInferenceProgram.scala
+ * (SURVEY §2.9: each operator's changelog mode — here: which SS output
+ * mode a query shape supports).
+ *
+ * These produce the SAME results as their batch duals in graft.operators
+ * (EventOps) — the specs replay `events` through a stream and compare
+ * against the batch computation, which is the Flink "unified batch/stream"
+ * guarantee restated on Spark.
+ */
+object StreamOps {
+
+  /** TUMBLE window aggregation with bounded-disorder watermark. */
+  def tumbleAgg(df: DataFrame, tsCol: String, size: String, disorder: String,
+                keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, disorder)
+      .groupBy(keys :+ window(col(tsCol), size).as("w"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** HOP (sliding) window aggregation. */
+  def hopAgg(df: DataFrame, tsCol: String, size: String, slide: String,
+             disorder: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, disorder)
+      .groupBy(keys :+ window(col(tsCol), size, slide).as("w"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** SESSION window aggregation (gap-merged). */
+  def sessionAgg(df: DataFrame, tsCol: String, gap: String, disorder: String,
+                 keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, disorder)
+      .groupBy(keys :+ session_window(col(tsCol), gap).as("w"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /**
+   * Stream-stream interval join (TimeBoundedStreamJoin analogue): rows
+   * join when `right.ts ∈ [left.ts + lower, left.ts + upper]` on the key.
+   * Both sides need watermarks so state is pruned.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   lower: String, upper: String,
+                   disorder: String): DataFrame = {
+    val l = left.withWatermark(leftTs, disorder)
+    val r = right.withWatermark(rightTs, disorder)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) + expr(s"INTERVAL $lower") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upper"))
+  }
+
+  /** Streaming dedup keep-first (DeduplicateKeepFirstRowFunction
+    * analogue): global per-key state, exactly like Flink's deduplicate —
+    * the first row per key ever seen wins. State grows with key
+    * cardinality (Flink bounds it with state TTL; SS with
+    * dropDuplicatesWithinWatermark — see the horizon variant below). */
+  def dedupKeepFirst(df: DataFrame, tsCol: String, disorder: String,
+                     keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, disorder)
+      .dropDuplicates(keys)
+
+  /** Horizon-bounded dedup: duplicates are only suppressed within the
+    * watermark window; state is pruned (for unbounded key spaces). */
+  def dedupKeepFirstWithinWatermark(df: DataFrame, tsCol: String,
+                                    disorder: String,
+                                    keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, disorder)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /**
+   * Output-mode inference (the reference's changelog-mode inference,
+   * FlinkChangelogModeInferenceProgram.scala): decide which SS OutputMode
+   * a query shape supports. Append iff every aggregation is windowed on a
+   * watermarked event-time column (results finalize); Update for
+   * unbounded keyed aggregation; Complete only as an explicit opt-in for
+   * small result sets.
+   */
+  def inferOutputMode(df: DataFrame): OutputMode = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, EventTimeWatermark}
+    val plan = df.queryExecution.analyzed
+    val aggs = plan.collect { case a: Aggregate => a }
+    if (aggs.isEmpty) OutputMode.Append
+    else {
+      val hasWatermark = plan.collectFirst {
+        case _: EventTimeWatermark => true }.getOrElse(false)
+      val windowed = aggs.forall(_.groupingExpressions.exists(e =>
+        e.references.exists(a => a.name == "w" || a.name == "window") ||
+        e.toString.contains("window")))
+      if (hasWatermark && windowed) OutputMode.Append else OutputMode.Update
+    }
+  }
+}

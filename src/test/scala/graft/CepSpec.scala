@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Cep
+import graft.streaming.Cep.{Match, Pattern, Step}
+
+case class CEv(id: Long, t: Long, kind: String)
+case class WEv(id: Long, t: Long, kind: String, ets: Timestamp)
+
+class CepSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSession.spark
+  import spark.implicits._
+
+  private val abc = Pattern[CEv](Seq(
+    Step[CEv]("a", _.kind == "a"),
+    Step[CEv]("b", _.kind == "b"),
+    Step[CEv]("c", _.kind == "c")), withinMs = Some(100L))
+
+  private def ids(m: Seq[CEv]) = m.map(_.id)
+
+  test("matchSeq enumerates all relaxed matches within window") {
+    val evs = IndexedSeq(
+      CEv(1, 0, "a"), CEv(2, 10, "b"), CEv(3, 20, "b"),
+      CEv(4, 30, "c"), CEv(5, 200, "c"))
+    val ms = Cep.matchSeq(abc, evs, (_: CEv).t).map(ids)
+    // both b's combine with the single a and the in-window c
+    assert(ms.toSet == Set(Seq(1L, 2L, 4L), Seq(1L, 3L, 4L)))
+  }
+
+  test("matchSeq within-window excludes expired completions") {
+    val evs = IndexedSeq(CEv(1, 0, "a"), CEv(2, 50, "b"), CEv(3, 150, "c"))
+    assert(Cep.matchSeq(abc, evs, (_: CEv).t).isEmpty)
+  }
+
+  test("strict contiguity (next) requires adjacency") {
+    val strict = Pattern[CEv](Seq(
+      Step[CEv]("a", _.kind == "a"),
+      Step[CEv]("b", _.kind == "b", strict = true)), withinMs = None)
+    val hit = Cep.matchSeq(strict,
+      IndexedSeq(CEv(1, 0, "a"), CEv(2, 1, "b")), (_: CEv).t)
+    val miss = Cep.matchSeq(strict,
+      IndexedSeq(CEv(1, 0, "a"), CEv(9, 1, "x"), CEv(2, 2, "b")), (_: CEv).t)
+    assert(hit.map(ids) == Seq(Seq(1L, 2L)) && miss.isEmpty)
+  }
+
+  test("skip-past-last consumes matched events greedily") {
+    val p = abc.copy(skipPastLast = true)
+    val evs = IndexedSeq(
+      CEv(1, 0, "a"), CEv(2, 10, "b"), CEv(3, 20, "c"),
+      CEv(4, 30, "a"), CEv(5, 40, "b"), CEv(6, 50, "c"))
+    assert(Cep.matchSeq(p, evs, (_: CEv).t).map(ids)
+      == Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)))
+  }
+
+  test("batch CEP over Dataset matches per-key sequential matcher") {
+    val evs = (0 until 50).map { i =>
+      CEv(i, i * 7L, Seq("a", "b", "x", "c")(i % 4))
+    } ++ (100 until 140).map { i => CEv(i, (i - 100) * 11L, Seq("a", "c", "b")(i % 3)) }
+    val ds = evs.toDS()
+    val got = Cep.matchBatch[Long, CEv](ds, abc, _.id % 3, _.t, _.id)
+      .collect().map(m => (m.key, ids(m.events))).toSet
+    // note .toSeq before flatMap: flatMapping a Map over pair results
+    // would collapse to one match per key
+    val exp = evs.groupBy(_.id % 3).toSeq.flatMap { case (k, xs) =>
+      val sorted = xs.sortBy(e => (e.t, e.id)).toIndexedSeq
+      Cep.matchSeq(abc, sorted, (_: CEv).t).map(m => (k, ids(m)))
+    }.toSet
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("streaming CEP emits finalized matches and matches batch result") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CEv]
+    // keep the watermarked event-time column INSIDE the element type —
+    // a typed map that drops it would detach the watermark from the plan
+    val pattern = Pattern[WEv](Seq(
+      Step[WEv]("a", _.kind == "a"),
+      Step[WEv]("b", _.kind == "b"),
+      Step[WEv]("c", _.kind == "c")), withinMs = Some(60000L))
+    val base = 1700000000000L
+    val evs = Seq(
+      CEv(1, base, "a"), CEv(2, base + 1000, "b"), CEv(3, base + 2000, "c"),
+      CEv(4, base + 100000, "a"), CEv(5, base + 101000, "b"),
+      CEv(6, base + 102000, "c"))
+    val ds = mem.toDS()
+      .withColumn("ets", ($"t" / 1000).cast("timestamp"))
+      .withWatermark("ets", "1 second")
+      .as[WEv]
+    val out = Cep.matchStream[Long, WEv](
+      ds.groupByKey(_ => 0L), pattern, _.t)
+    val q = out.map(m => m.events.map(_.id).mkString("-"))
+      .writeStream.format("memory").queryName("s_cep")
+      .outputMode(OutputMode.Append).start()
+    try {
+      evs.grouped(3).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      // sentinel advances the watermark past everything
+      mem.addData(CEv(99, base + 10000000, "x")); q.processAllAvailable()
+      mem.addData(CEv(98, base + 20000000, "x")); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s_cep").as[String].collect().toSet
+    assert(got == Set("1-2-3", "4-5-6"))
+  }
+}

@@ -1,0 +1,174 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{StatefulOps, StreamOps}
+
+case class SEv(event_id: Long, ts: Timestamp, user_id: Long,
+               event_type: String, value: Double)
+
+/** Streaming semantics: replay `events` through MemoryStream and check
+  * the streaming result equals the batch dual (the unified batch/stream
+  * guarantee the reference makes). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private lazy val eventRows: Seq[SEv] =
+    Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"))
+      .as[SEv].collect().toSeq.sortBy(_.ts.getTime).take(600)
+
+  /** Run a streaming query over events fed in 3 chunks + flush sentinel;
+    * returns the named memory sink table. */
+  private def runStream(name: String, sentinel: Boolean = true)(
+      build: org.apache.spark.sql.Dataset[SEv] => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SEv]
+    val q = build(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append).start()
+    try {
+      eventRows.grouped(200).foreach { chunk =>
+        mem.addData(chunk: _*); q.processAllAvailable()
+      }
+      if (sentinel) {
+        // push the watermark far past the data so all windows finalize
+        val last = eventRows.last
+        mem.addData(SEv(-1L, new Timestamp(last.ts.getTime + 86400000L),
+          -1L, "sentinel", 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumble agg equals batch tumble agg") {
+    val got = runStream("s_tumble") { ds =>
+      StreamOps.tumbleAgg(ds.toDF(), "ts", "1 hour", "10 minutes",
+        Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+        .select(col("event_type"), col("w.start").as("ws"), col("n"))
+    }.filter(col("event_type") =!= "sentinel")
+    val exp = eventRows.toDF()
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("w.start").as("ws"), col("n"))
+    assert(got.count() > 0)
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+  }
+
+  test("streaming session agg equals batch session agg") {
+    val got = runStream("s_sess") { ds =>
+      StreamOps.sessionAgg(ds.toDF(), "ts", "30 minutes", "10 minutes",
+        Seq(col("user_id")), Seq(count(lit(1)).as("n")))
+        .select(col("user_id"), col("w.start").as("ws"), col("n"))
+    }.filter(col("user_id") =!= -1L)
+    val exp = eventRows.toDF()
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("ws"), col("n"))
+    assert(got.count() > 0)
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+  }
+
+  test("streaming dedup keep-first equals batch distinct-on-first") {
+    val got = runStream("s_dedup") { ds =>
+      StreamOps.dedupKeepFirst(ds.toDF(), "ts", "10 minutes",
+        Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+    }.filter(col("user_id") =!= -1L)
+    // keep-first emits exactly one row per (user, type) — which physical
+    // row wins is order-dependent, so compare the key sets
+    val exp = eventRows.toDF().select("user_id", "event_type").distinct()
+    assert(got.count() == exp.count())
+    assert(got.distinct().count() == got.count())
+  }
+
+  test("streaming interval join matches batch interval join") {
+    val got = runStream("s_ij", sentinel = false) { ds =>
+      val p = ds.toDF().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                col("ts").as("p_ts"))
+      val c = ds.toDF().filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+                col("event_id").as("c_id"))
+      StreamOps.intervalJoin(p, c, "p_user", "c_user", "p_ts", "c_ts",
+        "-10 MINUTES", "-0 SECONDS", "10 minutes")
+        .filter(col("c_ts") < col("p_ts"))
+        .select(col("p_id"), col("c_id"))
+    }
+    val pb = eventRows.toDF().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+    val cb = eventRows.toDF().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("c_id"))
+    val exp = pb.join(cb, col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("p_id"), col("c_id"))
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+    assert(got.count() == exp.count())
+  }
+
+  test("streaming top-n per key emits refreshed top lists") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SEv]
+    val ds = StatefulOps.topNPerKey[Long, SEv](
+      mem.toDS().groupByKey(_.user_id), 3, _.value, _.event_id)
+    val q = ds.toDF("user_id", "top").writeStream
+      .format("memory").queryName("s_topn").outputMode(OutputMode.Update).start()
+    try {
+      eventRows.grouped(300).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val emissions = spark.table("s_topn")
+    assert(emissions.count() > 0)
+    // every change emits a refreshed list, so the batch-final top-3 must
+    // appear among the emissions for every key
+    val k = eventRows.groupBy(_.user_id).maxBy(_._2.size)._1
+    val expTop = eventRows.filter(_.user_id == k)
+      .sortBy(e => (-e.value, e.event_id)).take(3).map(_.event_id)
+    val gotTops = emissions.filter(col("user_id") === k).collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](1)
+        .map(_.getAs[Long]("event_id")).toList)
+    assert(gotTops.contains(expTop.toList))
+  }
+
+  test("streaming dedup keep-last converges to batch last-row-per-key") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SEv]
+    val ds = StatefulOps.dedupKeepLast[Long, SEv](
+      mem.toDS().groupByKey(_.user_id), _.ts.getTime, _.event_id)
+    val q = ds.toDF("user_id", "ev").writeStream
+      .format("memory").queryName("s_last").outputMode(OutputMode.Update).start()
+    try {
+      eventRows.grouped(300).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val rows = spark.table("s_last").select("user_id", "ev.event_id").collect()
+    val emitted = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the final winner per key must have been emitted (each change emits)
+    val exp = eventRows.groupBy(_.user_id).map { case (k, es) =>
+      (k, es.maxBy(e => (e.ts.getTime, e.event_id)).event_id) }.toSet
+    assert(exp.subsetOf(emitted))
+    // and every key's emissions monotonically improve to exactly one winner
+    assert(emitted.map(_._1) == exp.map(_._1))
+  }
+
+  test("output-mode inference: windowed+watermarked → Append, unbounded → Update") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SEv]
+    val df = mem.toDF() // streaming frame: watermark survives analysis
+    val windowed = StreamOps.tumbleAgg(df, "ts", "1 hour", "10 minutes",
+      Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+    assert(StreamOps.inferOutputMode(windowed) == OutputMode.Append())
+    val unbounded = df.groupBy("user_id").agg(count(lit(1)))
+    assert(StreamOps.inferOutputMode(unbounded) == OutputMode.Update())
+    assert(StreamOps.inferOutputMode(df.filter(col("value") > 0)) == OutputMode.Append())
+  }
+}
