@@ -22,7 +22,7 @@ object SparkEntry {
       RelationalOps.queries ++ EventOps.queries ++
       ScalarBattery.queries ++ TextOps.queries ++ VectorOps.queries ++
       DedupOps.queries ++ AnnOps.queries ++ MultimodalOps.queries ++
-      AggOps.queries ++ CepOps.queries
+      AggOps.queries ++ CepOps.queries ++ GraphQueries.queries
     // Ensure the function registry is installed whichever query runs first.
     all.map { case (k, f) =>
       k -> ((s: SparkSession, dir: String) => { GraftSession.init(s); f(s, dir) })
@@ -35,5 +35,5 @@ object SparkEntry {
     RelationalOps.oracle ++ EventOps.oracle ++
     ScalarBattery.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
     DedupOps.oracle ++ AnnOps.oracle ++ MultimodalOps.oracle ++
-    AggOps.oracle ++ CepOps.oracle
+    AggOps.oracle ++ CepOps.oracle ++ GraphQueries.oracle
 }

@@ -1,0 +1,113 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph algorithms (SURVEY §2.10 — Gelly library parity:
+ * flink-libraries/flink-gelly/.../library/ConnectedComponents.java,
+ * PageRank.java, LabelPropagation.java) re-expressed as iterative
+ * DataFrame programs: one shuffle join + aggregate per superstep, driver
+ * loop for iteration control — the Pregel pattern without an RDD in
+ * sight.
+ *
+ * Scale notes: each superstep is `messages = edges ⋈ state → groupBy(dst)`
+ * — a hash exchange on node id; state is localCheckpointed every few
+ * iterations so the lineage (and its re-execution cost on failure) stays
+ * bounded. Convergence detection is a count() of changed rows, which AQE
+ * executes as a cheap partial aggregate.
+ */
+object GraphOps {
+
+  /** Symmetrize a directed edge list (undirected neighborhood). */
+  private def symmetrize(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /**
+   * Connected components by min-label propagation: component(n) starts as
+   * n, each superstep takes the min over the neighborhood, stops when no
+   * label changes (or maxIter). Returns (node, component = min node id
+   * reachable).
+   */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = symmetrize(edges).cache()
+    var state = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val msgs = sym
+        .join(state, sym("src") === state("node"))
+        .groupBy(col("dst").as("node2"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = state.join(msgs, col("node") === col("node2"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      val changed = next.as("a")
+        .join(state.as("b"), col("a.node") === col("b.node"))
+        .filter(col("a.component") =!= col("b.component")).count()
+      state = next
+      converged = changed == 0
+      iter += 1
+    }
+    state
+  }
+
+  /**
+   * PageRank, fixed iteration count, damping d: rank = (1-d)/N + d·Σ
+   * rank(in-neighbor)/outdeg. Dangling mass is NOT redistributed (same
+   * simplification as Gelly's basic PageRank) — documented, and mirrored
+   * exactly by the SQL oracle.
+   */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val n = nodes.count()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var rank = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(rank, e("src") === rank("node"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node2"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("node2").agg(sum(col("c")).as("in_sum"))
+      rank = nodes.join(contribs, col("node") === col("node2"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
+  /**
+   * Label propagation: labels start as node ids; each superstep every
+   * node adopts the most frequent label among neighbors (tie → smallest
+   * label). Fixed iteration count (sync variant, like Gelly's).
+   */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val sym = symmetrize(edges).cache()
+    var state = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val counted = sym
+        .join(state, sym("src") === state("node"))
+        .groupBy(col("dst").as("node2"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      // most frequent label, ties to smallest: min_by over (-cnt, label)
+      val best = counted.groupBy(col("node2"))
+        .agg(min_by(col("label"), struct((-col("cnt")).as("neg"), col("label")))
+          .as("new_label"))
+      state = state.join(best, col("node") === col("node2"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    state
+  }
+}
