@@ -37,9 +37,13 @@ object GraftSession {
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.ui.enabled", "false")
 
-  /** Local session for tests/benchmarks. */
+  /** Local session for tests/benchmarks. Warehouse (for saveAsTable /
+    * bucketed tables) under java.io.tmpdir — static conf, builder-only. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
-    val spark = tune(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft-warehouse"
+    val spark = tune(SparkSession.builder().master(s"local[$cores]"), cores)
+      .config("spark.sql.warehouse.dir", wh)
+      .getOrCreate()
     init(spark)
     spark
   }

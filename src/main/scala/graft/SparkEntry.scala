@@ -22,7 +22,8 @@ object SparkEntry {
       RelationalOps.queries ++ EventOps.queries ++
       ScalarBattery.queries ++ TextOps.queries ++ VectorOps.queries ++
       DedupOps.queries ++ AnnOps.queries ++ MultimodalOps.queries ++
-      AggOps.queries ++ CepOps.queries ++ GraphQueries.queries
+      AggOps.queries ++ CepOps.queries ++ GraphQueries.queries ++
+      FormatOps.queries ++ MoreOps.queries
     // Ensure the function registry is installed whichever query runs first.
     all.map { case (k, f) =>
       k -> ((s: SparkSession, dir: String) => { GraftSession.init(s); f(s, dir) })
@@ -35,5 +36,6 @@ object SparkEntry {
     RelationalOps.oracle ++ EventOps.oracle ++
     ScalarBattery.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
     DedupOps.oracle ++ AnnOps.oracle ++ MultimodalOps.oracle ++
-    AggOps.oracle ++ CepOps.oracle ++ GraphQueries.oracle
+    AggOps.oracle ++ CepOps.oracle ++ GraphQueries.oracle ++
+    FormatOps.oracle ++ MoreOps.oracle
 }

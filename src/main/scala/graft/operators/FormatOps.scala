@@ -1,0 +1,65 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/**
+ * Format coverage (SURVEY §2.1 — flink-formats: csv, json, orc, parquet;
+ * avro's Spark connector jar is not in this offline image, noted):
+ * write a deterministic slice of `orders` to each format, read it back,
+ * aggregate — proving the (de)serialization round-trip preserves values.
+ * The oracle computes the same aggregate straight from the source table,
+ * so any format-level corruption (quoting, type coercion, null handling)
+ * would hash-mismatch.
+ */
+object FormatOps {
+
+  private val csvSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderpriority", StringType),
+    StructField("o_date", StringType)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_formats" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_fmt").toString
+      val sample = Tables.table(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+                col("o_orderpriority"),
+                date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      sample.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      sample.write.mode("overwrite").json(s"$tmp/json")
+      sample.write.mode("overwrite").orc(s"$tmp/orc")
+      val back = Seq(
+        "csv" -> s.read.schema(csvSchema).option("header", "true").csv(s"$tmp/csv"),
+        "json" -> s.read.schema(csvSchema).json(s"$tmp/json"),
+        "orc" -> s.read.orc(s"$tmp/orc"))
+      back.map { case (fmt, df) =>
+        df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+               sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"),
+               min(col("o_date")).as("first_date"))
+          .withColumn("fmt", lit(fmt))
+      }.reduce(_ unionByName _)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q53_formats" -> """
+      WITH base AS (
+        SELECT o_orderstatus, count(*) AS n,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+               min(strftime(o_orderdate, '%Y-%m-%d')) AS first_date
+        FROM orders WHERE o_orderkey < 2000
+        GROUP BY o_orderstatus)
+      SELECT o_orderstatus, n, total, first_date, fmt
+      FROM base CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) f(fmt)"""
+  )
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/**
+ * Remaining SURVEY §2 surface: SINGLE_VALUE aggregator (§2.4), tumbling
+ * COUNT windows (§2.5 CountTumblingWindowAssigner), per-window stream
+ * join (§2.3 window join), lookup join (§2.3), and a second scalar
+ * battery (§2.8: base64, sha2, chr, left/right, overlay, position,
+ * bit_length, format_string).
+ */
+object MoreOps {
+
+  private val dec = DecimalType(18, 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SINGLE_VALUE over groups guaranteed single-valued (count = 1).
+    "q55_single_value" -> ((s, dir) => {
+      s.udf.register("single_value",
+        org.apache.spark.sql.functions.udaf(new graft.functions.SingleValueString()))
+      val singles = Tables.table(s, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") === 1).select(col("o_custkey").as("k"))
+      Tables.table(s, dir, "orders")
+        .join(singles, col("o_custkey") === col("k"), "left_semi")
+        .groupBy("o_custkey")
+        .agg(expr("single_value(o_orderstatus)").as("status"))
+    }),
+
+    // Tumbling count windows: fixed-size batches of 10 per user in
+    // event-time order (CountTumblingWindowAssigner analogue).
+    "q56_count_tumble" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.table(s, dir, "events")
+        .withColumn("win", ((row_number().over(w) - 1) / 10).cast("long"))
+        .groupBy("user_id", "win")
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sum_v"))
+    }),
+
+    // Window join: views ⋈ purchases of the same user in the same
+    // 1-day tumbling window (JoinedStreams/window-join analogue).
+    "q57_window_join" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "events")
+      def winAgg(t: String, n: String) = e
+        .filter(col("event_type") === t)
+        .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as(n))
+        .select(col("user_id").as(s"u_$n"), unix_micros(col("w.start")).as(s"ws_$n"),
+                col(n))
+      winAgg("view", "n_views")
+        .join(winAgg("purchase", "n_purch"),
+          col("u_n_views") === col("u_n_purch") &&
+          col("ws_n_views") === col("ws_n_purch"))
+        .select(col("u_n_views").as("user_id"), col("ws_n_views").as("w_start"),
+                col("n_views"), col("n_purch"))
+    }),
+
+    // Lookup join: per-event point lookup of the user's customer row
+    // against a broadcast snapshot (unmatched users stay, null name).
+    "q58_lookup_join" -> ((s, dir) => {
+      val probe = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"))
+      val snap = Tables.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      LookupJoin.snapshot(probe, snap, "user_id", "c_custkey")
+        .select(col("event_id"), col("user_id"), col("c_name"),
+                col("c_mktsegment"))
+    }),
+
+    // Second scalar battery.
+    "q54_scalar_string2" -> ((s, dir) => {
+      Tables.table(s, dir, "documents").select(
+        col("doc_id"),
+        base64(encode(col("lang"), "UTF-8")).as("b64"),
+        (decode(unbase64(base64(encode(col("text"), "UTF-8"))), "UTF-8")
+          === col("text")).as("b64_roundtrip"),
+        sha2(col("text"), 256).as("sha"),
+        expr("char(65 + doc_id % 26)").as("c"),
+        expr("left(source, 4)").as("l4"),
+        expr("right(source, 2)").as("r2"),
+        overlay(col("source"), lit("XX"), lit(2)).as("ov"),
+        expr("position('r' in source)").cast("int").as("pos_r"),
+        bit_length(col("lang")).as("bl"),
+        format_string("%s_%04d", col("lang"), col("doc_id")).as("fmt"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q55_single_value" -> """
+      SELECT o_custkey, min(o_orderstatus) AS status
+      FROM orders
+      WHERE o_custkey IN (
+        SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) = 1)
+      GROUP BY o_custkey""",
+
+    "q56_count_tumble" -> """
+      SELECT user_id, CAST((rn - 1) // 10 AS BIGINT) AS win,
+             count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_v
+      FROM (SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events) x
+      GROUP BY user_id, (rn - 1) // 10""",
+
+    "q57_window_join" -> """
+      WITH v AS (
+        SELECT user_id, epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS ws,
+               count(*) AS n_views
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      p AS (
+        SELECT user_id, epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS ws,
+               count(*) AS n_purch
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT v.user_id, v.ws AS w_start, v.n_views, p.n_purch
+      FROM v JOIN p ON v.user_id = p.user_id AND v.ws = p.ws""",
+
+    "q58_lookup_join" -> """
+      SELECT event_id, user_id, c_name, c_mktsegment
+      FROM events LEFT JOIN customer ON user_id = c_custkey""",
+
+    "q54_scalar_string2" -> """
+      SELECT doc_id,
+             to_base64(CAST(lang AS BLOB)) AS b64,
+             CAST(from_base64(to_base64(CAST(text AS BLOB))) AS VARCHAR) = text
+               AS b64_roundtrip,
+             sha256(text) AS sha,
+             chr(65 + CAST(doc_id % 26 AS INT)) AS c,
+             left(source, 4) AS l4,
+             right(source, 2) AS r2,
+             substr(source, 1, 1) || 'XX' || substr(source, 4) AS ov,
+             CAST(strpos(source, 'r') AS INT) AS pos_r,
+             CAST(bit_length(lang) AS INT) AS bl,
+             printf('%s_%04d', lang, doc_id) AS fmt
+      FROM documents"""
+  )
+}
