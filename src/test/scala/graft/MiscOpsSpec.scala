@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SideOutput
+import graft.streaming.{FileReplaySource, StatefulOps}
+
+class MiscOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("side-output split partitions rows exactly, rest captures the tail") {
+    val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val parts = SideOutput.split(ev, col("event_type"),
+      Seq("click", "purchase"))
+    val nClick = parts("click").count()
+    val nPurch = parts("purchase").count()
+    val nRest = parts("__rest").count()
+    assert(nClick == ev.filter(col("event_type") === "click").count())
+    assert(nClick + nPurch + nRest == ev.count())
+    assert(parts("click").select("event_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("click"))
+  }
+
+  test("temporal sort: rows within each partition ordered by (user, ts)") {
+    val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), col("ts").cast("long").as("t"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("t"))
+      .as[(Long, Long)]
+    val violations = ev.mapPartitions { it =>
+      var bad = 0L
+      var prev: Option[(Long, Long)] = None
+      it.foreach { cur =>
+        if (prev.exists(p => p._1 == cur._1 && p._2 > cur._2)) bad += 1
+        prev = Some(cur)
+      }
+      Iterator(bad)
+    }.collect().sum
+    assert(violations == 0)
+  }
+
+  test("streaming running aggregate (over-window) via keyedProcess") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SEv]
+    val rows = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"))
+      .as[SEv].collect().sortBy(e => (e.ts.getTime, e.event_id)).take(300)
+    // running count+sum per user, emitted per event (ProcTimeUnbounded-
+    // PrecedingFunction analogue); events are fed in event-time order.
+    val out = StatefulOps.keyedProcess[Long, SEv, (Double, Long), (Long, Long, Double)](
+      mem.toDS().withWatermark("ts", "1 minute").groupByKey(_.user_id))(
+      onElements = (k, vs, st) => {
+        var (s, c) = st.getOrElse((0.0, 0L))
+        val outs = vs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+          s += e.value; c += 1
+          (e.event_id, c, s)
+        }
+        (Some((s, c)), outs.iterator, None)
+      },
+      onTimer = (_, s) => (Some(s), Iterator.empty))
+    val q = out.toDF("event_id", "run_n", "run_sum").writeStream
+      .format("memory").queryName("s_over").outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(100).foreach { ch => mem.addData(ch: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("s_over").as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, math.round(t._3 * 1e6) / 1e6))).toMap
+    val exp = rows.groupBy(_.user_id).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+      sorted.zipWithIndex.map { case (e, i) =>
+        val s = sorted.take(i + 1).map(_.value).sum
+        e.event_id -> ((i + 1L, math.round(s * 1e6) / 1e6))
+      }
+    }.toMap
+    assert(got == exp)
+  }
+
+  test("streaming file sink is exactly-once across query restarts") {
+    val stage = Files.createTempDirectory("graft_eo_in").toString
+    val sink = Files.createTempDirectory("graft_eo_out").toString
+    val ckpt = Files.createTempDirectory("graft_eo_ck").toString
+    val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "event_type")
+    ev.filter(col("event_id") < 500).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/batch=a")
+    val schema = spark.read.parquet(s"$stage/batch=a").schema
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    runOnce() // restart with no new data: must not duplicate
+    ev.filter(col("event_id") >= 500).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/batch=b")
+    runOnce() // restart with new file: only the delta is appended
+    val got = spark.read.parquet(sink)
+    assert(got.count() == ev.count())
+    assert(got.select("event_id").distinct().count() == ev.count())
+  }
+}

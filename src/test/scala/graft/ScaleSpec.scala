@@ -15,6 +15,13 @@ class ScaleSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("bucketed tables co-locate: join plan has no shuffle exchange") {
+    // orphaned locations survive the per-JVM derby metastore — clear them
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/$t"))
+    }
     val orders = Tables.table(spark, "/root/testdata/sf0.001", "orders")
     val lineitem = Tables.table(spark, "/root/testdata/sf0.001", "lineitem")
     orders.write.mode("overwrite")
