@@ -72,6 +72,21 @@ object MoreOps {
                 col("c_mktsegment"))
     }),
 
+    // Decimal arithmetic (reference DecimalITCase): exact +,-,× with
+    // Spark/DuckDB-identical result scales; division compared as double
+    // (DuckDB's decimal division yields float).
+    "q63_decimal" -> ((s, dir) => {
+      Tables.table(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 300)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice").cast(dec) + col("l_quantity").cast(dec)).as("add"),
+          (col("l_extendedprice").cast(dec) - col("l_tax").cast(dec)).as("sub"),
+          (col("l_extendedprice").cast(dec) * col("l_discount").cast(DecimalType(8, 4)))
+            .cast(DecimalType(28, 6)).as("mul"),
+          (col("l_extendedprice").cast(dec).cast("double") / 3).as("divd"))
+    }),
+
     // Second scalar battery.
     "q54_scalar_string2" -> ((s, dir) => {
       Tables.table(s, dir, "documents").select(
@@ -122,6 +137,15 @@ object MoreOps {
     "q58_lookup_join" -> """
       SELECT event_id, user_id, c_name, c_mktsegment
       FROM events LEFT JOIN customer ON user_id = c_custkey""",
+
+    "q63_decimal" -> """
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_extendedprice AS DECIMAL(18,2)) + CAST(l_quantity AS DECIMAL(18,2)) AS add,
+             CAST(l_extendedprice AS DECIMAL(18,2)) - CAST(l_tax AS DECIMAL(18,2)) AS sub,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,4))
+                  AS DECIMAL(28,6)) AS mul,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) / 3 AS divd
+      FROM lineitem WHERE l_orderkey < 300""",
 
     "q54_scalar_string2" -> """
       SELECT doc_id,

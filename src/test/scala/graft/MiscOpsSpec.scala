@@ -82,6 +82,46 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("stream-static broadcast join (broadcast state / connect analogue)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SEv]
+    val static = Tables.table(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = mem.toDF().join(broadcast(static),
+      col("user_id") === col("c_custkey"), "left")
+      .select("event_id", "c_mktsegment")
+    val q = joined.writeStream.format("memory").queryName("s_bcast")
+      .outputMode("append").start()
+    val rows = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value")).as[SEv].collect().take(200)
+    try { mem.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("s_bcast").count()
+    assert(got == 200)
+    // rule-table rows matched exactly where user_id ∈ custkeys
+    val custkeys = static.select("c_custkey").as[Long].collect().toSet
+    val matched = spark.table("s_bcast").filter(col("c_mktsegment").isNotNull).count()
+    assert(matched == rows.count(e => custkeys.contains(e.user_id)))
+  }
+
+  test("partitioning ops: repartitionByRange orders ranges, rebalance evens sizes") {
+    val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val ranged = ev.repartitionByRange(4, col("user_id"))
+    val bounds = ranged.select("user_id").as[Long].mapPartitions { it =>
+      val s = it.toSeq
+      if (s.isEmpty) Iterator.empty else Iterator((s.min, s.max))
+    }.collect().sortBy(_._1)
+    // partition ranges must not overlap
+    bounds.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._1)
+      case _ =>
+    }
+    val sizes = ev.repartition(8).rdd
+      .mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.length == 8 && sizes.max - sizes.min <= sizes.sum / 4)
+  }
+
   test("streaming file sink is exactly-once across query restarts") {
     val stage = Files.createTempDirectory("graft_eo_in").toString
     val sink = Files.createTempDirectory("graft_eo_out").toString
