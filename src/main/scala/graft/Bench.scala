@@ -18,7 +18,11 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // per-query isolation: cached frames from one query (LSH sigs,
+      // graph edges) must not distort or starve the next
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

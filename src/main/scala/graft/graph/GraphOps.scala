@@ -32,11 +32,15 @@ object GraphOps {
    * reachable).
    */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = symmetrize(edges).cache()
+    val sym = symmetrize(edges).localCheckpoint()
     var state = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
     var iter = 0
     var converged = false
+    // labels only ever decrease, so an unchanged sum(component) ⟺ no
+    // label changed — convergence costs one tiny aggregate, not a join.
+    // Decimal sum: no overflow at any node-count × id-range scale.
+    var prevSum: java.math.BigDecimal = null
     while (iter < maxIter && !converged) {
       val msgs = sym
         .join(state, sym("src") === state("node"))
@@ -47,11 +51,12 @@ object GraphOps {
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
         .localCheckpoint()
-      val changed = next.as("a")
-        .join(state.as("b"), col("a.node") === col("b.node"))
-        .filter(col("a.component") =!= col("b.component")).count()
+      val curSum = next
+        .agg(sum(col("component").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
       state = next
-      converged = changed == 0
+      converged = curSum == prevSum
+      prevSum = curSum
       iter += 1
     }
     state
