@@ -67,6 +67,32 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!one[Boolean]("is_json_value('{oops')"))
   }
 
+  test("§2.8 leftovers: str_to_map, parse_url, overlay, initcap, sha1, uuid shape") {
+    val m = one[Map[String, String]]("str_to_map('a:1,b:2', ',', ':')")
+    assert(m == Map("a" -> "1", "b" -> "2"))
+    assert(one[String]("parse_url('http://h.example/p?q=7', 'HOST')") == "h.example")
+    assert(one[String]("parse_url('http://h.example/p?q=7', 'QUERY', 'q')") == "7")
+    assert(one[String]("overlay('hello' PLACING 'XX' FROM 2)") == "hXXlo")
+    assert(one[String]("initcap('hello world')") == "Hello World")
+    assert(one[String]("sha1('x')") == "11f6ad8ec52a2984abaafd7c3b516503785c2072")
+    assert(one[String]("uuid()").matches("[0-9a-f-]{36}"))
+    assert(one[Int]("locate('l', 'hello')") == 3)
+    assert(one[String]("repeat('ab', 3)") == "ababab")
+  }
+
+  test("approximate aggregates are within tolerance of exact") {
+    val li = Tables.table(spark, "/root/testdata/sf0.001", "lineitem")
+    import org.apache.spark.sql.functions._
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey")).as("acd"),
+      countDistinct(col("l_partkey")).as("cd"),
+      percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50"),
+      expr("percentile(l_quantity, 0.5)").as("exact_p50")).collect()(0)
+    val (acd, cd) = (r.getAs[Long]("acd"), r.getAs[Long]("cd"))
+    assert(math.abs(acd - cd).toDouble / cd < 0.05)
+    assert(math.abs(r.getAs[Double]("p50") - r.getAs[Double]("exact_p50")) <= 1.0)
+  }
+
   test("events.ts normalizes ns → µs exactly") {
     val df = Tables.table(spark, "/root/testdata/sf0.001", "events")
     assert(df.schema("ts").dataType.typeName == "timestamp")
