@@ -45,6 +45,15 @@ object GraftFunctions {
   def hashCode(str: Column): Column =
     Bridge.column(graft.plans.JavaHashCode(Bridge.expression(str)))
 
+  // ---- vector --------------------------------------------------------------
+
+  /** cosine_sim(a, b): fused single-pass cosine similarity of two
+    * Array[Float] columns (codegen'd Catalyst expression; bit-equal to
+    * the composed aggregate/zip_with form). */
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.column(graft.plans.CosineSimilarity(
+      Bridge.expression(a), Bridge.expression(b)))
+
   // ---- collection ----------------------------------------------------------
 
   /**
@@ -105,6 +114,8 @@ object GraftFunctions {
     cols("is_digit") { case Seq(s) => isDigit(s) }
     cols("is_alpha") { case Seq(s) => isAlpha(s) }
     Bridge.register(spark, "hash_code") { case Seq(s) => graft.plans.JavaHashCode(s) }
+    Bridge.register(spark, "cosine_sim") { case Seq(a, b) =>
+      graft.plans.CosineSimilarity(a, b) }
     cols("graft_element") { case Seq(a) => element(a) }
     // Seeded variant must pull the seed out of the *Literal* — stringifying
     // the Column yields SQL text, not the value (round-1 bug).

@@ -69,13 +69,10 @@ object AnnOps {
       val c = emb.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
                 col("bucket"))
-      def dot(a: String, b: String) = expr(
-        s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
       q.join(c, "bucket")
-        .withColumn("cos", dot("qe", "ce") /
-          (sqrt(dot("qe", "qe")) * sqrt(dot("ce", "ce"))))
+        .withColumn("cos",
+          graft.functions.GraftFunctions.cosineSim(col("qe"), col("ce")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("q_id"), col("cand_id"), col("rnk"),

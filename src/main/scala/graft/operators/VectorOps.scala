@@ -38,9 +38,10 @@ object VectorOps {
       val w = Window.partitionBy("q_id")
         .orderBy(col("cos").desc, col("cand_id"))
       queries.crossJoin(cands)
+        // fused codegen'd expression — bit-equal to the composed
+        // dotD/sqrt form (see graft.plans.CosineSimilarity)
         .withColumn("cos",
-          dotD("q_emb", "c_emb") /
-            (sqrt(dotD("q_emb", "q_emb")) * sqrt(dotD("c_emb", "c_emb"))))
+          graft.functions.GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("cand_id"), col("rnk"),

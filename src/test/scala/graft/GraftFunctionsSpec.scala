@@ -93,6 +93,25 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getAs[Double]("p50") - r.getAs[Double]("exact_p50")) <= 1.0)
   }
 
+  test("cosine_sim: bit-equal to composed HOF form, clean type errors") {
+    import org.apache.spark.sql.functions._
+    val raw = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val emb = raw.select(col("vec_id"), col("embedding").as("ea"))
+    val pairs = emb.crossJoin(raw.select(col("embedding").as("eb"))).limit(2000)
+    def dotD(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    val both = pairs.select(
+      graft.functions.GraftFunctions.cosineSim(col("ea"), col("eb")).as("fused"),
+      (dotD("ea", "eb") / (sqrt(dotD("ea", "ea")) * sqrt(dotD("eb", "eb"))))
+        .as("composed"))
+    assert(both.filter(col("fused") =!= col("composed")).count() == 0)
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1), array(2))").collect()
+    }
+    assert(e.getMessage.contains("array<float>"))
+  }
+
   test("events.ts normalizes ns → µs exactly") {
     val df = Tables.table(spark, "/root/testdata/sf0.001", "events")
     assert(df.schema("ts").dataType.typeName == "timestamp")
