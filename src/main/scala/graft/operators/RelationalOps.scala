@@ -270,6 +270,23 @@ object RelationalOps {
       val c = t(s, dir, "customer").select(col("c_custkey").as("k"))
       val o = t(s, dir, "orders").select(col("o_custkey").as("k"))
       c.except(o)
+    }),
+
+    // INTERSECT ALL / EXCEPT ALL — multiset counting rewrites
+    // (RewriteIntersectAllRule / RewriteMinusAllRule).
+    "q64_intersect_all" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(col("l_suppkey").as("k"))
+      val sup = t(s, dir, "supplier").filter(col("s_acctbal") > 0)
+        .select(col("s_suppkey").as("k"))
+      l.intersectAll(sup).groupBy("k").agg(count(lit(1)).as("n"))
+    }),
+
+    "q65_except_all" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_suppkey").as("k"))
+      val l2 = t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+        .select(col("l_suppkey").as("k"))
+      l.exceptAll(l2).groupBy("k").agg(count(lit(1)).as("n"))
     })
   )
 
@@ -436,6 +453,20 @@ object RelationalOps {
     "q24_except" -> """
       SELECT c_custkey AS k FROM customer
       EXCEPT
-      SELECT o_custkey AS k FROM orders"""
+      SELECT o_custkey AS k FROM orders""",
+
+    "q64_intersect_all" -> """
+      SELECT k, count(*) AS n FROM (
+        SELECT l_suppkey AS k FROM lineitem
+        INTERSECT ALL
+        SELECT s_suppkey AS k FROM supplier WHERE s_acctbal > 0) x
+      GROUP BY k""",
+
+    "q65_except_all" -> """
+      SELECT k, count(*) AS n FROM (
+        SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey < 2000
+        EXCEPT ALL
+        SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey < 1000) x
+      GROUP BY k"""
   )
 }
