@@ -29,15 +29,49 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Cep {
 
   /** One pattern step: named predicate; strict = must match the
-    * immediately following event (Pattern.next vs followedBy). */
+    * immediately following event (Pattern.next vs followedBy).
+    * minTimes/maxTimes = bounded quantifier (Pattern.times/optional —
+    * CEP/pattern/Quantifier.java; unbounded oneOrMore is served by the
+    * strictly-contiguous MatchRecognize operator instead). forbid = a
+    * negative condition guarding the gap BEFORE this step: any event
+    * matching it kills the partial match (Pattern.notFollowedBy);
+    * forbidNextOnly restricts the guard to the immediately following
+    * event (Pattern.notNext). */
   final case class Step[V](name: String, pred: V => Boolean,
-                           strict: Boolean = false)
+                           strict: Boolean = false,
+                           minTimes: Int = 1, maxTimes: Int = 1,
+                           forbid: Option[V => Boolean] = None,
+                           forbidNextOnly: Boolean = false) {
+    require(minTimes >= 0 && maxTimes >= math.max(minTimes, 1),
+      "need 0 <= minTimes <= maxTimes, maxTimes >= 1")
+  }
 
   /** A sequential pattern with an optional within-window (ms). */
   final case class Pattern[V](steps: Seq[Step[V]], withinMs: Option[Long],
                               skipPastLast: Boolean = false) {
     require(steps.nonEmpty && !steps.head.strict,
       "first step cannot be strict")
+    require(steps.head.minTimes >= 1, "first step cannot be optional")
+
+    /** Quantifier elimination: the cartesian expansion of each step's
+      * min..max repeat counts into plain step sequences. Enumerate-all
+      * matching over the expansions equals Flink's followedByAny × noSkip
+      * semantics for bounded quantifiers; expansions of different counts
+      * yield matches of different lengths, so no duplicates arise unless
+      * two ADJACENT quantified steps share a predicate (document: use
+      * disjoint step predicates with quantifiers). */
+    private[streaming] lazy val expansions: Seq[Seq[Step[V]]] =
+      steps.foldLeft(Seq(Seq.empty[Step[V]])) { (acc, st) =>
+        val reps = (st.minTimes to st.maxTimes).map { n =>
+          if (n == 0) Seq.empty
+          else st.copy(minTimes = 1, maxTimes = 1) +:
+            // repeats of a quantified step are strictly contiguous with
+            // each other (Flink's Pattern.times(n).consecutive())
+            Seq.fill(n - 1)(st.copy(minTimes = 1, maxTimes = 1,
+                                    strict = true, forbid = None))
+        }
+        for (a <- acc; r <- reps) yield a ++ r
+      }
   }
 
   /** A completed match: the matched events in step order. */
@@ -49,7 +83,8 @@ object Cep {
    * skipPastLast, matched events are consumed greedily in scan order.
    */
   private[streaming] def matchSeq[V](
-      pattern: Pattern[V], events: IndexedSeq[V], ts: V => Long): Seq[Seq[V]] = {
+      steps: Seq[Step[V]], pattern: Pattern[V], events: IndexedSeq[V],
+      ts: V => Long): Seq[Seq[V]] = {
     val out = mutable.ArrayBuffer.empty[Seq[V]]
     // partial match: (nextStepIdx, startTs, lastMatchedIdx, eventsReversed)
     var partials = mutable.ArrayBuffer.empty[(Int, Long, Int, List[V])]
@@ -62,26 +97,33 @@ object Cep {
       partials.foreach { case p @ (stepIdx, startTs, lastIdx, acc) =>
         val withinOk = pattern.withinMs.forall(w => t - startTs <= w)
         if (withinOk && !consumed) {
-          val step = pattern.steps(stepIdx)
-          val contiguityOk = !step.strict || lastIdx == i - 1
-          if (contiguityOk && step.pred(e)) {
-            if (stepIdx == pattern.steps.length - 1) {
-              out += (e :: acc).reverse
-              consumed = pattern.skipPastLast
-            } else {
-              next += ((stepIdx + 1, startTs, i, e :: acc))
+          val step = steps(stepIdx)
+          // notFollowedBy / notNext: an event matching the negative guard
+          // in the gap before this step kills the partial (takes
+          // precedence over the step predicate — conservative).
+          val forbidden = step.forbid.exists(f =>
+            (!step.forbidNextOnly || lastIdx == i - 1) && f(e))
+          if (!forbidden) {
+            val contiguityOk = !step.strict || lastIdx == i - 1
+            if (contiguityOk && step.pred(e)) {
+              if (stepIdx == steps.length - 1) {
+                out += (e :: acc).reverse
+                consumed = pattern.skipPastLast
+              } else {
+                next += ((stepIdx + 1, startTs, i, e :: acc))
+              }
             }
+            // Survival: relaxed steps may match a later event (followedByAny
+            // branching — every combination is enumerated, the semantics the
+            // SQL oracle's join reproduces); a strict step's only chance was
+            // i == lastIdx + 1, so it never survives past its slot.
+            if (!step.strict && !consumed) next += p
           }
-          // Survival: relaxed steps may match a later event (followedByAny
-          // branching — every combination is enumerated, the semantics the
-          // SQL oracle's join reproduces); a strict step's only chance was
-          // i == lastIdx + 1, so it never survives past its slot.
-          if (!step.strict && !consumed) next += p
         }
       }
       if (consumed) next.clear() // skip-past-last: drop overlapping partials
-      if (!consumed && pattern.steps.head.pred(e)) {
-        if (pattern.steps.length == 1) out += Seq(e)
+      if (!consumed && steps.head.pred(e)) {
+        if (steps.length == 1) out += Seq(e)
         else next += ((1, t, i, List(e)))
       }
       partials = next
@@ -89,6 +131,11 @@ object Cep {
     }
     out.toSeq
   }
+
+  /** Enumerate matches across all quantifier expansions of the pattern. */
+  private[streaming] def matchAll[V](
+      pattern: Pattern[V], events: IndexedSeq[V], ts: V => Long): Seq[Seq[V]] =
+    pattern.expansions.flatMap(st => matchSeq(st, pattern, events, ts))
 
   /**
    * Batch CEP over a Dataset: one shuffle on the key, sort within
@@ -120,7 +167,7 @@ object Cep {
               val evs = mutable.ArrayBuffer.empty[V]
               while (src.hasNext && src.head._1 == k)
                 evs += src.next()._4
-              queue = matchSeq(pattern, evs.toIndexedSeq, ts)
+              queue = matchAll(pattern, evs.toIndexedSeq, ts)
                 .map(m => Match(k, m)).iterator
             }
           }
@@ -154,7 +201,7 @@ object Cep {
         // matches must see ready ∪ pending (a ready start may match into
         // pending events ≤ its horizon — those are all ≤ wm, also final);
         // emit only matches whose FIRST event is in the ready prefix.
-        val all = matchSeq(pattern, buf.toIndexedSeq, ts)
+        val all = matchAll(pattern, buf.toIndexedSeq, ts)
         val out = all.filter(m => ts(m.head) <= safeTs)
           .map(m => Match(key, m))
         state.update(pending)
