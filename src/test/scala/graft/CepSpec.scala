@@ -27,23 +27,23 @@ class CepSpec extends AnyFunSuite {
     val evs = IndexedSeq(
       CEv(1, 0, "a"), CEv(2, 10, "b"), CEv(3, 20, "b"),
       CEv(4, 30, "c"), CEv(5, 200, "c"))
-    val ms = Cep.matchSeq(abc, evs, (_: CEv).t).map(ids)
+    val ms = Cep.matchAll(abc, evs, (_: CEv).t).map(ids)
     // both b's combine with the single a and the in-window c
     assert(ms.toSet == Set(Seq(1L, 2L, 4L), Seq(1L, 3L, 4L)))
   }
 
   test("matchSeq within-window excludes expired completions") {
     val evs = IndexedSeq(CEv(1, 0, "a"), CEv(2, 50, "b"), CEv(3, 150, "c"))
-    assert(Cep.matchSeq(abc, evs, (_: CEv).t).isEmpty)
+    assert(Cep.matchAll(abc, evs, (_: CEv).t).isEmpty)
   }
 
   test("strict contiguity (next) requires adjacency") {
     val strict = Pattern[CEv](Seq(
       Step[CEv]("a", _.kind == "a"),
       Step[CEv]("b", _.kind == "b", strict = true)), withinMs = None)
-    val hit = Cep.matchSeq(strict,
+    val hit = Cep.matchAll(strict,
       IndexedSeq(CEv(1, 0, "a"), CEv(2, 1, "b")), (_: CEv).t)
-    val miss = Cep.matchSeq(strict,
+    val miss = Cep.matchAll(strict,
       IndexedSeq(CEv(1, 0, "a"), CEv(9, 1, "x"), CEv(2, 2, "b")), (_: CEv).t)
     assert(hit.map(ids) == Seq(Seq(1L, 2L)) && miss.isEmpty)
   }
@@ -53,7 +53,7 @@ class CepSpec extends AnyFunSuite {
     val evs = IndexedSeq(
       CEv(1, 0, "a"), CEv(2, 10, "b"), CEv(3, 20, "c"),
       CEv(4, 30, "a"), CEv(5, 40, "b"), CEv(6, 50, "c"))
-    assert(Cep.matchSeq(p, evs, (_: CEv).t).map(ids)
+    assert(Cep.matchAll(p, evs, (_: CEv).t).map(ids)
       == Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)))
   }
 
@@ -68,7 +68,7 @@ class CepSpec extends AnyFunSuite {
     // would collapse to one match per key
     val exp = evs.groupBy(_.id % 3).toSeq.flatMap { case (k, xs) =>
       val sorted = xs.sortBy(e => (e.t, e.id)).toIndexedSeq
-      Cep.matchSeq(abc, sorted, (_: CEv).t).map(m => (k, ids(m)))
+      Cep.matchAll(abc, sorted, (_: CEv).t).map(m => (k, ids(m)))
     }.toSet
     assert(got == exp && got.nonEmpty)
   }
