@@ -16,18 +16,24 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // per-query isolation: cached frames from one query (LSH sigs,
       // graph edges) must not distort or starve the next
       spark.catalog.clearCache()
-      name -> dt
+      // a crashed query reports negative elapsed so it can't read as a win
+      (name, if (ok) dt else -dt)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    val total = results.map(_._2.abs).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -13,12 +13,14 @@ import graft.Tables
  * Approximate nearest neighbor via random-hyperplane LSH (SURVEY north
  * star: the scale path beside VectorOps' brute-force baseline).
  *
- * 100 TB design: each vector is mapped to a 16-bit bucket by the sign
- * pattern of 16 fixed hyperplanes — a pure projection (no shuffle); the
- * candidate join is an equi-join on the bucket key, so the corpus never
- * materializes the O(queries × corpus) pair space. Exact cosine runs only
- * inside buckets. Recall is tuned by bits/tables; this module uses one
- * table × 16 bits, enough to demonstrate the operator shape.
+ * 100 TB design: each vector is mapped to a `Planes`-bit bucket by the
+ * sign pattern of `Planes` fixed hyperplanes — a pure projection (no
+ * shuffle); the candidate join is an equi-join on the bucket key, so the
+ * corpus never materializes the O(queries × corpus) pair space. Exact
+ * cosine runs only inside buckets. Recall is tuned by bits/tables; this
+ * module uses one table × Planes (= 6) bits = 64 buckets, sized to the
+ * test fixtures; at 100 TB raise Planes (and add tables) so per-bucket
+ * candidate sets stay executor-memory sized.
  *
  * Determinism/portability: plane components derive from md5 ("p:d" →
  * 60-bit int → [-1000,1000]/1000), computed identically in Scala (plan

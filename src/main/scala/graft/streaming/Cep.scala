@@ -187,7 +187,12 @@ object Cep {
       pattern: Pattern[V], ts: V => Long)(
       implicit ve: Encoder[V], se: Encoder[Seq[V]],
       me: Encoder[Match[K, V]]): Dataset[Match[K, V]] = {
-    val horizon = pattern.withinMs.getOrElse(0L)
+    // Without a within-window there is no sound pruning horizon: state at
+    // the watermark would be dropped even though an unbounded pattern may
+    // still extend it across micro-batches, silently losing matches.
+    require(pattern.withinMs.isDefined,
+      "streaming CEP requires Pattern.withinMs (bounded within-window)")
+    val horizon = pattern.withinMs.get
     grouped.flatMapGroupsWithState[Seq[V], Match[K, V]](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
       (key: K, values: Iterator[V], state: GroupState[Seq[V]]) =>
