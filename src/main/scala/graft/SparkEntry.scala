@@ -23,7 +23,8 @@ object SparkEntry {
       ScalarBattery.queries ++ TextOps.queries ++ VectorOps.queries ++
       DedupOps.queries ++ AnnOps.queries ++ MultimodalOps.queries ++
       AggOps.queries ++ CepOps.queries ++ GraphQueries.queries ++
-      FormatOps.queries ++ MoreOps.queries ++ TpchOps.queries
+      FormatOps.queries ++ MoreOps.queries ++ TpchOps.queries ++
+      TpchSuite.queries
     // Ensure the function registry is installed whichever query runs first.
     all.map { case (k, f) =>
       k -> ((s: SparkSession, dir: String) => { GraftSession.init(s); f(s, dir) })
@@ -37,5 +38,6 @@ object SparkEntry {
     ScalarBattery.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
     DedupOps.oracle ++ AnnOps.oracle ++ MultimodalOps.oracle ++
     AggOps.oracle ++ CepOps.oracle ++ GraphQueries.oracle ++
-    FormatOps.oracle ++ MoreOps.oracle ++ TpchOps.oracle
+    FormatOps.oracle ++ MoreOps.oracle ++ TpchOps.oracle ++
+    TpchSuite.oracle
 }
