@@ -35,6 +35,28 @@ object CepOps {
         .map(m => (m.key, m.events(0).event_id, m.events(1).event_id,
                    m.events(2).event_id))
         .toDF("user_id", "v_id", "c_id", "p_id")
+    }),
+
+    // MATCH_RECOGNIZE (SURVEY §2.10 SQL front-end): ALL ROWS PER MATCH,
+    // pattern "A B+" over each customer's orders in date order — a
+    // high-price order followed by a run of low-price orders. A/B are
+    // complementary, so matches can't overlap and the relational oracle
+    // (lead + cumulative windows) reproduces the NFA output exactly,
+    // including greedy B+ and per-key 1-based match numbering.
+    "q84_match_recognize" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+                col("o_totalprice"))
+      graft.streaming.MatchRecognize.annotate(
+          o,
+          partitionBy = Seq("o_custkey"),
+          orderBy = Seq("o_orderdate", "o_orderkey"),
+          pattern = "A B+",
+          define = Seq(
+            "A" -> (col("o_totalprice") > 100000),
+            "B" -> (col("o_totalprice") <= 100000)))
+        .select(col("o_custkey"), col("o_orderkey"), col("mr_match"),
+                col("mr_var"))
     })
   )
 
@@ -49,6 +71,31 @@ object CepOps {
       JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t
             FROM events WHERE event_type = 'purchase') p
         ON p.user_id = v.user_id AND p.t > c.t
-       AND p.t <= v.t + INTERVAL 24 HOUR"""
+       AND p.t <= v.t + INTERVAL 24 HOUR""",
+
+    "q84_match_recognize" -> """
+      WITH base AS (
+        SELECT o_custkey, o_orderkey,
+               (o_totalprice > 100000) AS hi,
+               row_number() OVER w AS rn,
+               lead(o_totalprice > 100000) OVER w AS next_hi,
+               max(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS any_prev_hi
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      marked AS (
+        SELECT *,
+               CASE WHEN hi AND next_hi = false THEN 'A'
+                    WHEN NOT hi AND any_prev_hi = 1 THEN 'B'
+                    ELSE NULL END AS mr_var
+        FROM base)
+      SELECT o_custkey, o_orderkey,
+             CAST(sum(CASE WHEN mr_var = 'A' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY o_custkey ORDER BY rn) AS BIGINT) AS mr_match,
+             mr_var
+      FROM marked
+      WHERE mr_var IS NOT NULL"""
   )
 }

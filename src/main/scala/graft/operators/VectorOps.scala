@@ -46,6 +46,51 @@ object VectorOps {
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("cand_id"), col("rnk"),
                 round(col("cos"), 6).as("sim"))
+    }),
+
+    // IVF (inverted-file) ANN — the scale path beside AnnOps' LSH:
+    // a coarse quantizer (every 25th vector, deterministic, so the
+    // oracle can reproduce it) partitions the corpus into one inverted
+    // list per centroid; queries probe only their nprobe=2 nearest
+    // lists, then re-rank exactly inside them. 100 TB: centroids are
+    // tiny and BROADCAST twice (assignment + probe); the corpus is
+    // touched by ONE shuffle (argmin window by vec_id) and the
+    // candidate join is an equi-join on the centroid id — the
+    // O(q × corpus) pair space never materializes, and list sizes are
+    // corpus/K, tunable via K to fit executor memory.
+    "q85_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val cents = broadcast(emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cent")))
+      // each corpus vector joins its single nearest centroid's list
+      val wAssign = Window.partitionBy("cand_id")
+        .orderBy(col("a_cos").desc, col("cid"))
+      val assigned = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+        .crossJoin(cents)
+        .withColumn("a_cos", cos(col("c_emb"), col("cent")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("cand_id"), col("c_emb"), col("cid"))
+      // each query probes its nprobe nearest centroids
+      val wProbe = Window.partitionBy("q_id")
+        .orderBy(col("p_cos").desc, col("cid"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .crossJoin(cents)
+        .withColumn("p_cos", cos(col("q_emb"), col("cent")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= 2)
+        .select(col("q_id"), col("q_emb"), col("cid"))
+      val wTop = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("cand_id"))
+      broadcast(probes).join(assigned, "cid")
+        .withColumn("cos", cos(col("q_emb"), col("c_emb")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("cand_id"), col("rnk"),
+                round(col("cos"), 6).as("sim"))
     })
   )
 
@@ -66,6 +111,45 @@ object VectorOps {
                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rnk,
                cos
         FROM scored)
+      SELECT q_id, cand_id, CAST(rnk AS INT) AS rnk, round(cos, 6) AS sim
+      FROM ranked WHERE rnk <= 5""",
+
+    "q85_ann_ivf" -> """
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cent
+        FROM embeddings WHERE vec_id % 25 = 0),
+      assigned AS (
+        SELECT cand_id, ce, cid FROM (
+          SELECT e.vec_id AS cand_id, e.embedding::DOUBLE[] AS ce, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.embedding::DOUBLE[], c.cent)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(c.cent, c.cent))) DESC,
+                   c.cid) AS arn
+          FROM embeddings e CROSS JOIN cents c
+          WHERE e.vec_id >= 10) x
+        WHERE arn = 1),
+      probes AS (
+        SELECT q_id, qe, cid FROM (
+          SELECT e.vec_id AS q_id, e.embedding::DOUBLE[] AS qe, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.embedding::DOUBLE[], c.cent)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(c.cent, c.cent))) DESC,
+                   c.cid) AS prn
+          FROM embeddings e CROSS JOIN cents c
+          WHERE e.vec_id < 10) x
+        WHERE prn <= 2),
+      ranked AS (
+        SELECT q_id, cand_id,
+               list_dot_product(qe, ce)
+                 / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))
+                 AS cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY
+                 list_dot_product(qe, ce)
+                   / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))
+                 DESC, cand_id) AS rnk
+        FROM probes JOIN assigned USING (cid))
       SELECT q_id, cand_id, CAST(rnk AS INT) AS rnk, round(cos, 6) AS sim
       FROM ranked WHERE rnk <= 5"""
   )
