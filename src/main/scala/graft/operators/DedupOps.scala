@@ -41,12 +41,25 @@ object DedupOps {
         "transform(sequence(0, size(toks) - 3), i -> " +
         "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("sh"))
 
-  /** MinHash signature per doc: one groupBy, NumPerm min-aggregates. */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir)
-      .groupBy("doc_id")
-      .agg(min(h60(0, col("sh"))).as("m0"),
-           (1 until NumPerm).map(i => min(h60(i, col("sh"))).as(s"m$i")): _*)
+  // Universal-hash permutation constants: perm_i(h) = (a_i*h + b_i) mod p
+  // over the 31-bit truncation of the base hash. One md5 per shingle
+  // instead of NumPerm of them — at 100 TB the signature stage is
+  // hash-bound, so this is a 16x cut in its CPU. a_i*h < 2^62 stays in
+  // BIGINT for both engines; constants are fixed so oracles reproduce.
+  val MersenneP = 2147483647L // 2^31 - 1
+  private def permA(i: Int): Long = 2L * i + 3
+  private def permB(i: Int): Long = 1000003L * (i + 1)
+
+  /** MinHash signature per doc: one md5 + NumPerm affine permutations. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val base = shingles(s, dir)
+      .withColumn("h31", h60(0, col("sh")).bitwiseAND(lit(0x7FFFFFFFL)))
+    base.groupBy("doc_id")
+      .agg(
+        min((col("h31") * permA(0) + permB(0)) % MersenneP).as("m0"),
+        (1 until NumPerm).map(i =>
+          min((col("h31") * permA(i) + permB(i)) % MersenneP).as(s"m$i")): _*)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Candidate pairs from LSH banding + signature-agreement estimate.
@@ -151,7 +164,8 @@ object DedupOps {
   val oracle: Map[String, String] = Map(
     "q39_minhash_dedup" -> {
       val minCols = (0 until NumPerm)
-        .map(i => s"min(${h60Sql(i, "s")}) AS m$i").mkString(",\n               ")
+        .map(i => s"min((h31 * ${permA(i)} + ${permB(i)}) % $MersenneP) AS m$i")
+        .mkString(",\n               ")
       val rowsPerBand = NumPerm / Bands
       val bandCols = (0 until Bands).map { b =>
         val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
@@ -166,9 +180,11 @@ object DedupOps {
         .mkString(" + ")
       s"""
       WITH $shinglesSql,
+      hashed AS (
+        SELECT doc_id, ${h60Sql(0, "s")} & 2147483647 AS h31 FROM sh),
       sig AS (
         SELECT doc_id, $minCols
-        FROM sh GROUP BY doc_id),
+        FROM hashed GROUP BY doc_id),
       banded AS (
         SELECT doc_id, $bandCols
         FROM sig),
