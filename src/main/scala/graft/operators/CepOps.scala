@@ -57,6 +57,58 @@ object CepOps {
             "B" -> (col("o_totalprice") <= 100000)))
         .select(col("o_custkey"), col("o_orderkey"), col("mr_match"),
                 col("mr_var"))
+    }),
+
+    // MATCH_RECOGNIZE ONE ROW PER MATCH + MEASURES (StreamExecMatch
+    // MEASURES clause): one output row per "A B+" match carrying
+    // FIRST(A.key), LAST(B.key), COUNT(B.*), CLASSIFIER() of the final
+    // row, and a FINAL sum over the whole match.
+    "q87_mr_measures" -> ((s, dir) => {
+      import graft.streaming.MatchRecognize
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+                col("o_totalprice"))
+      MatchRecognize.oneRowPerMatch(
+          o,
+          partitionBy = Seq("o_custkey"),
+          orderBy = Seq("o_orderdate", "o_orderkey"),
+          pattern = "A B+",
+          define = Seq(
+            "A" -> (col("o_totalprice") > 100000),
+            "B" -> (col("o_totalprice") <= 100000)),
+          measures = Seq(
+            "a_key" -> MatchRecognize.Measures.firstOf("A", col("o_orderkey")),
+            "last_b_key" -> MatchRecognize.Measures.lastOf("B", col("o_orderkey")),
+            "n_b" -> MatchRecognize.Measures.countOf("B"),
+            "cls" -> MatchRecognize.Measures.classifier,
+            "match_total" ->
+              sum(col("o_totalprice")
+                .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+                .cast("double")))
+    }),
+
+    // CEP unbounded oneOrMore (Quantifier.java looping state): purchase
+    // followed (relaxed) by a greedy-maximal consecutive run of clicks.
+    // Enumerate-all (noSkip) semantics: every click after the purchase
+    // starts a candidate run that extends to its run's end — the oracle
+    // reproduces this with a gaps-and-islands run decomposition × suffix
+    // enumeration.
+    "q88_cep_oneormore" -> ((s, dir) => {
+      import s.implicits._
+      val ds = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+                unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .as[Ev]
+      val pattern = Cep.Pattern[Ev](
+        steps = Seq(
+          Cep.Step[Ev]("purchase", _.event_type == "purchase"),
+          Cep.Step[Ev]("clicks", _.event_type == "click",
+                       maxTimes = Cep.Unbounded)),
+        withinMs = None)
+      Cep.matchBatch[Long, Ev](ds, pattern, _.user_id, _.ts_us, _.event_id)
+        .map(m => (m.key, m.events.head.event_id, m.events(1).event_id,
+                   m.events.last.event_id, (m.events.length - 1).toLong))
+        .toDF("user_id", "p_id", "c_first", "c_last", "n_clicks")
     })
   )
 
@@ -96,6 +148,67 @@ object CepOps {
                PARTITION BY o_custkey ORDER BY rn) AS BIGINT) AS mr_match,
              mr_var
       FROM marked
-      WHERE mr_var IS NOT NULL"""
+      WHERE mr_var IS NOT NULL""",
+
+    "q87_mr_measures" -> """
+      WITH base AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               (o_totalprice > 100000) AS hi,
+               row_number() OVER w AS rn,
+               lead(o_totalprice > 100000) OVER w AS next_hi,
+               max(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS any_prev_hi
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      marked AS (
+        SELECT *,
+               CASE WHEN hi AND next_hi = false THEN 'A'
+                    WHEN NOT hi AND any_prev_hi = 1 THEN 'B'
+                    ELSE NULL END AS mr_var
+        FROM base),
+      annotated AS (
+        SELECT o_custkey, o_orderkey, o_totalprice, mr_var, rn,
+               CAST(sum(CASE WHEN mr_var = 'A' THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY o_custkey ORDER BY rn) AS BIGINT) AS mr_match
+        FROM marked
+        WHERE mr_var IS NOT NULL)
+      SELECT o_custkey, mr_match,
+             min(CASE WHEN mr_var = 'A' THEN o_orderkey END) AS a_key,
+             arg_max(o_orderkey, rn) FILTER (mr_var = 'B') AS last_b_key,
+             count(CASE WHEN mr_var = 'B' THEN 1 END) AS n_b,
+             arg_max(mr_var, rn) AS cls,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS match_total
+      FROM annotated
+      GROUP BY o_custkey, mr_match""",
+
+    "q88_cep_oneormore" -> """
+      WITH ev AS (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+      clicks AS (
+        SELECT user_id, event_id, rn,
+               rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        FROM ev WHERE event_type = 'click'),
+      runs AS (
+        SELECT user_id, grp, max(rn) AS end_rn,
+               arg_max(event_id, rn) AS c_last
+        FROM clicks GROUP BY user_id, grp),
+      suffixes AS (
+        SELECT c.user_id, c.event_id AS c_first, c.rn AS first_rn,
+               r.c_last, r.end_rn - c.rn + 1 AS n_clicks
+        FROM clicks c
+        JOIN runs r ON c.user_id = r.user_id AND c.grp = r.grp),
+      purch AS (
+        SELECT user_id, event_id AS p_id, rn
+        FROM ev WHERE event_type = 'purchase')
+      SELECT p.user_id, p.p_id, s.c_first, s.c_last,
+             CAST(s.n_clicks AS BIGINT) AS n_clicks
+      FROM purch p
+      JOIN suffixes s ON p.user_id = s.user_id AND s.first_rn > p.rn"""
   )
 }

@@ -55,7 +55,8 @@ object EventOps {
     "q25_tumble" -> ((s, dir) => {
       ev(s, dir)
         .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sum_v"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast(dec)).cast("double").as("sum_v"))
         .select(col("event_type"), unix_micros(col("w.start")).as("w_start"),
                 col("n"), col("sum_v"))
     }),
@@ -130,7 +131,7 @@ object EventOps {
       SELECT event_type,
              epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS w_start,
              count(*) AS n,
-             sum(CAST(value AS DECIMAL(18,2))) AS sum_v
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
       FROM events GROUP BY 1, 2""",
 
     "q26_hop" -> """
@@ -161,7 +162,7 @@ object EventOps {
         SELECT user_id, sid, count(*) AS n_events
         FROM sess GROUP BY user_id, sid)
       SELECT user_id, count(*) AS n_sessions,
-             sum(n_events) AS n_events, max(n_events) AS max_session
+             CAST(sum(n_events) AS BIGINT) AS n_events, max(n_events) AS max_session
       FROM per_sess GROUP BY user_id""",
 
     "q28_interval_join" -> """
@@ -185,7 +186,8 @@ object EventOps {
 
     "q30_json_props" -> """
       SELECT event_type,
-             sum(k) AS sum_k, count(k) AS n_k, min(k) AS min_k, max(k) AS max_k
+             CAST(sum(k) AS BIGINT) AS sum_k, count(k) AS n_k,
+             min(k) AS min_k, max(k) AS max_k
       FROM (SELECT event_type,
                    CAST(json_extract_string(props, '$.k') AS INT) AS k
             FROM events) x

@@ -44,7 +44,8 @@ object FormatOps {
       back.map { case (fmt, df) =>
         df.groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"),
-               sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"),
+               sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+                 .as("total"),
                min(col("o_date")).as("first_date"))
           .withColumn("fmt", lit(fmt))
       }.reduce(_ unionByName _)
@@ -55,7 +56,7 @@ object FormatOps {
     "q53_formats" -> """
       WITH base AS (
         SELECT o_orderstatus, count(*) AS n,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
                min(strftime(o_orderdate, '%Y-%m-%d')) AS first_date
         FROM orders WHERE o_orderkey < 2000
         GROUP BY o_orderstatus)

@@ -40,7 +40,17 @@ object GraphQueries {
 
     "q52_label_propagation" -> ((s, dir) =>
       GraphOps.labelPropagation(smallEdges(s, dir), iters = 2)
-        .select(col("node"), col("label")))
+        .select(col("node"), col("label"))),
+
+    // SSSP from customer 1 with deterministic per-edge weights
+    // ((src+dst) % 7 + 1) — verified against a DuckDB recursive-CTE
+    // shortest-path (bounded walk + min per node).
+    "q86_sssp" -> ((s, dir) =>
+      GraphOps.sssp(
+          smallEdges(s, dir)
+            .withColumn("w", pmod(col("src") + col("dst"), lit(7L)) + 1L),
+          source = 1L)
+        .select(col("node"), col("dist")))
   )
 
   private val edgesSql = s"""
@@ -83,9 +93,55 @@ object GraphQueries {
       r0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS rank FROM nodes),
       $iters
       SELECT node, round(rank, 6) AS rank_r FROM r3"""
-    }
-    // q52 label propagation: rows-only check (mode-of-neighbors with
-    // tie-breaks is impractical to unroll in portable SQL; covered by
-    // GraphSpec against a local reference implementation instead).
+    },
+
+    // 2 synchronous LP supersteps unrolled: per node take the most
+    // frequent neighbor label, ties to the smallest label (exactly
+    // GraphOps.labelPropagation's min_by(label, (-cnt, label))).
+    "q52_label_propagation" -> s"""
+      WITH $edgesSql,
+      edges AS (SELECT src, dst FROM edges0
+                UNION SELECT dst, src FROM edges0),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      l0 AS (SELECT node, node AS label FROM nodes),
+      c1 AS (
+        SELECT e.dst AS node, l.label, count(*) AS cnt,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, l.label) AS rk
+        FROM edges e JOIN l0 l ON e.src = l.node
+        GROUP BY e.dst, l.label),
+      l1 AS (
+        SELECT n.node, COALESCE(c.label, n.node) AS label
+        FROM nodes n LEFT JOIN (SELECT node, label FROM c1 WHERE rk = 1) c
+          ON n.node = c.node),
+      c2 AS (
+        SELECT e.dst AS node, l.label, count(*) AS cnt,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, l.label) AS rk
+        FROM edges e JOIN l1 l ON e.src = l.node
+        GROUP BY e.dst, l.label),
+      l2 AS (
+        SELECT n.node, COALESCE(c.label, l1.label) AS label
+        FROM nodes n
+        JOIN l1 ON n.node = l1.node
+        LEFT JOIN (SELECT node, label FROM c2 WHERE rk = 1) c
+          ON n.node = c.node)
+      SELECT node, label FROM l2""",
+
+    // Bounded-walk shortest path: enumerate all (node, walk length ≤ 60)
+    // pairs reachable from source 1, keep the min per node. The 60 cap
+    // only has to exceed the true weighted diameter (≤ 7 × hop diameter,
+    // hop diameter ≈ 4 on this dense bipartite graph).
+    "q86_sssp" -> s"""
+      WITH RECURSIVE $edgesSql,
+      edges AS (
+        SELECT src, dst, (src + dst) % 7 + 1 AS w FROM edges0
+        UNION SELECT dst, src, (src + dst) % 7 + 1 AS w FROM edges0),
+      walk(node, d) AS (
+        SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        UNION
+        SELECT e.dst, walk.d + e.w FROM edges e JOIN walk ON e.src = walk.node
+        WHERE walk.d + e.w <= 60)
+      SELECT node, min(d) AS dist FROM walk GROUP BY node"""
   )
 }

@@ -39,7 +39,8 @@ object MoreOps {
       Tables.table(s, dir, "events")
         .withColumn("win", ((row_number().over(w) - 1) / 10).cast("long"))
         .groupBy("user_id", "win")
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sum_v"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast(dec)).cast("double").as("sum_v"))
     }),
 
     // Window join: views ⋈ purchases of the same user in the same
@@ -80,10 +81,12 @@ object MoreOps {
         .filter(col("l_orderkey") < 300)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          (col("l_extendedprice").cast(dec) + col("l_quantity").cast(dec)).as("add"),
-          (col("l_extendedprice").cast(dec) - col("l_tax").cast(dec)).as("sub"),
+          (col("l_extendedprice").cast(dec) + col("l_quantity").cast(dec))
+            .cast("double").as("add"),
+          (col("l_extendedprice").cast(dec) - col("l_tax").cast(dec))
+            .cast("double").as("sub"),
           (col("l_extendedprice").cast(dec) * col("l_discount").cast(DecimalType(8, 4)))
-            .cast(DecimalType(28, 6)).as("mul"),
+            .cast("double").as("mul"),
           (col("l_extendedprice").cast(dec).cast("double") / 3).as("divd"))
     }),
 
@@ -115,7 +118,7 @@ object MoreOps {
 
     "q56_count_tumble" -> """
       SELECT user_id, CAST((rn - 1) // 10 AS BIGINT) AS win,
-             count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_v
+             count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
       FROM (SELECT user_id, value,
                    row_number() OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS rn
@@ -140,10 +143,12 @@ object MoreOps {
 
     "q63_decimal" -> """
       SELECT l_orderkey, l_linenumber,
-             CAST(l_extendedprice AS DECIMAL(18,2)) + CAST(l_quantity AS DECIMAL(18,2)) AS add,
-             CAST(l_extendedprice AS DECIMAL(18,2)) - CAST(l_tax AS DECIMAL(18,2)) AS sub,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) + CAST(l_quantity AS DECIMAL(18,2))
+                  AS DOUBLE) AS add,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) - CAST(l_tax AS DECIMAL(18,2))
+                  AS DOUBLE) AS sub,
              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,4))
-                  AS DECIMAL(28,6)) AS mul,
+                  AS DOUBLE) AS mul,
              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) / 3 AS divd
       FROM lineitem WHERE l_orderkey < 300""",
 

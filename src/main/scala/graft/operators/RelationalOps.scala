@@ -44,10 +44,10 @@ object RelationalOps {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast(dec)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec4))
-            .as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           round(sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1)), 6)
             .as("avg_qty"),
           count(lit(1)).as("count_order"))
@@ -69,7 +69,7 @@ object RelationalOps {
         .rollup("l_returnflag", "l_linestatus")
         .agg(
           grouping_id().as("gid"),
-          sum(col("l_quantity").cast(dec)).as("sum_qty"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
     }),
 
@@ -78,7 +78,7 @@ object RelationalOps {
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
           grouping_id().as("gid"),
-          sum(col("o_totalprice").cast(dec)).as("sum_price"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"),
           count(lit(1)).as("n"))
     }),
 
@@ -87,8 +87,9 @@ object RelationalOps {
       Tables.registerAll(s, dir)
       s.sql("""
         SELECT l_returnflag, l_linestatus,
-               grouping(l_returnflag) AS ga, grouping(l_linestatus) AS gb,
-               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               CAST(grouping(l_returnflag) AS BIGINT) AS ga,
+               CAST(grouping(l_linestatus) AS BIGINT) AS gb,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                count(*) AS n
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
@@ -117,7 +118,7 @@ object RelationalOps {
         .join(nation, col("c_nationkey") === col("n_nationkey"))
         .join(region, col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
-        .agg(sum(col("o_totalprice").cast(dec)).as("revenue"),
+        .agg(sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"),
              count(lit(1)).as("n_orders"))
     }),
 
@@ -129,7 +130,7 @@ object RelationalOps {
         .groupBy("c_custkey")
         .agg(count(col("o_orderkey")).as("n_orders"),
              coalesce(sum(col("o_totalprice").cast(dec)), lit(0).cast(dec))
-               .as("total"))
+               .cast("double").as("total"))
     }),
 
     // Full outer join: disjoint-ish key ranges so both null sides appear.
@@ -186,7 +187,7 @@ object RelationalOps {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
-                col("o_totalprice").cast(dec).as("price"))
+                col("o_totalprice").as("price"))
     }),
 
     // Running aggregate: ROWS UNBOUNDED PRECEDING frame.
@@ -196,7 +197,8 @@ object RelationalOps {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "orders")
         .select(col("o_orderkey"),
-                sum(col("o_totalprice").cast(dec)).over(w).as("run_sum"))
+                sum(col("o_totalprice").cast(dec)).over(w).cast("double")
+                  .as("run_sum"))
     }),
 
     // LEAD/LAG offset frames (OffsetOverFrame analogue).
@@ -205,8 +207,8 @@ object RelationalOps {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       t(s, dir, "orders")
         .select(col("o_orderkey"),
-                lag(col("o_totalprice").cast(dec), 1).over(w).as("prev_p"),
-                lead(col("o_totalprice").cast(dec), 1).over(w).as("next_p"))
+                lag(col("o_totalprice"), 1).over(w).as("prev_p"),
+                lead(col("o_totalprice"), 1).over(w).as("next_p"))
     }),
 
     // RANGE frame with numeric bound (RangeSlidingOverFrame analogue).
@@ -217,7 +219,8 @@ object RelationalOps {
       t(s, dir, "lineitem")
         .withColumn("qty_l", col("l_quantity").cast("long"))
         .select(col("l_orderkey"), col("l_linenumber"),
-                sum(col("l_extendedprice").cast(dec)).over(w).as("frame_sum"))
+                sum(col("l_extendedprice").cast(dec)).over(w).cast("double")
+                  .as("frame_sum"))
     }),
 
     // Rank-family + distribution functions.
@@ -237,9 +240,9 @@ object RelationalOps {
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       t(s, dir, "orders")
         .select(col("o_orderkey"),
-                first(col("o_totalprice").cast(dec)).over(w).as("first_p"),
-                last(col("o_totalprice").cast(dec)).over(w).as("last_p"),
-                nth_value(col("o_totalprice").cast(dec), 2).over(w).as("second_p"))
+                first(col("o_totalprice")).over(w).as("first_p"),
+                last(col("o_totalprice")).over(w).as("last_p"),
+                nth_value(col("o_totalprice"), 2).over(w).as("second_p"))
     }),
 
     // Global sort + limit → TakeOrderedAndProjectExec (no full sort at scale).
@@ -247,7 +250,7 @@ object RelationalOps {
       t(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
-        .select(col("o_orderkey"), col("o_totalprice").cast(dec).as("price"))
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
     }),
 
     // UNION distinct (union + dedup rewrite, SURVEY §2.7).
@@ -295,9 +298,9 @@ object RelationalOps {
   val oracle: Map[String, String] = Map(
     "q01_tpch1" -> """
       SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
              count(*) AS count_order
       FROM lineitem
@@ -314,21 +317,22 @@ object RelationalOps {
     "q03_rollup" -> """
       SELECT l_returnflag, l_linestatus,
              grouping(l_returnflag, l_linestatus) AS gid,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              count(*) AS n
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 
     "q04_cube" -> """
       SELECT o_orderstatus, o_orderpriority,
              grouping(o_orderstatus, o_orderpriority) AS gid,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
              count(*) AS n
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
 
     "q05_grouping_sets" -> """
       SELECT l_returnflag, l_linestatus,
-             grouping(l_returnflag) AS ga, grouping(l_linestatus) AS gb,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             CAST(grouping(l_returnflag) AS BIGINT) AS ga,
+             CAST(grouping(l_linestatus) AS BIGINT) AS gb,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              count(*) AS n
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
@@ -343,7 +347,7 @@ object RelationalOps {
 
     "q07_join_inner" -> """
       SELECT r_name,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
              count(*) AS n_orders
       FROM orders
       JOIN customer ON o_custkey = c_custkey
@@ -354,7 +358,7 @@ object RelationalOps {
     "q08_join_left" -> """
       SELECT c_custkey,
              count(o_orderkey) AS n_orders,
-             COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS total
+             CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey""",
 
@@ -392,30 +396,30 @@ object RelationalOps {
                row_number() OVER (PARTITION BY c_mktsegment
                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn,
                o_orderkey,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+               o_totalprice AS price
         FROM orders JOIN customer ON o_custkey = c_custkey) x
       WHERE rn <= 3""",
 
     "q16_running_sum" -> """
       SELECT o_orderkey,
-             sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
       FROM orders""",
 
     "q17_leadlag" -> """
       SELECT o_orderkey,
-             lag(CAST(o_totalprice AS DECIMAL(18,2)), 1)
+             lag(o_totalprice, 1)
                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_p,
-             lead(CAST(o_totalprice AS DECIMAL(18,2)), 1)
+             lead(o_totalprice, 1)
                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_p
       FROM orders""",
 
     "q18_range_frame" -> """
       SELECT l_orderkey, l_linenumber,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
                OVER (PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)
-                     RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS frame_sum
+                     RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS frame_sum
       FROM lineitem""",
 
     "q19_ntile" -> """
@@ -427,15 +431,15 @@ object RelationalOps {
 
     "q20_first_last" -> """
       SELECT o_orderkey,
-             first_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS first_p,
-             last_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS last_p,
-             nth_value(CAST(o_totalprice AS DECIMAL(18,2)), 2) OVER w AS second_p
+             first_value(o_totalprice) OVER w AS first_p,
+             last_value(o_totalprice) OVER w AS last_p,
+             nth_value(o_totalprice, 2) OVER w AS second_p
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
 
     "q21_toplimit" -> """
-      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      SELECT o_orderkey, o_totalprice AS price
       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
 
     "q22_union" -> """

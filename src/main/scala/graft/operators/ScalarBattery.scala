@@ -114,8 +114,8 @@ object ScalarBattery {
              CAST(l_orderkey AS BIGINT) // CAST(l_linenumber AS BIGINT) AS idiv,
              abs(l_discount - 0.05) AS adisc,
              CAST(sign(l_discount - 0.05) AS INT) AS sgn,
-             ceil(l_extendedprice) AS ceil_p,
-             floor(l_extendedprice) AS floor_p,
+             CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+             CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
              round(l_extendedprice, 1) AS round_p,
              sqrt(l_quantity) AS sqrt_q,
              round(exp(l_discount), 6) AS exp_d,

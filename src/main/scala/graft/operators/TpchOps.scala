@@ -30,7 +30,7 @@ object TpchOps {
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(dec)).as("revenue"))
+          .cast(dec)).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
         .select(col("l_orderkey"),
@@ -55,7 +55,7 @@ object TpchOps {
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(dec)).as("revenue"),
+          .cast(dec)).cast("double").as("revenue"),
           count(lit(1)).as("n"))
     }),
 
@@ -71,8 +71,8 @@ object TpchOps {
         .join(c, col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
                 unix_micros(col("o_orderdate").cast("timestamp")).as("odate"),
-                col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
-                col("tot_qty"))
+                col("o_totalprice").as("price"),
+                col("tot_qty").cast("double").as("tot_qty"))
     })
   )
 
@@ -80,8 +80,8 @@ object TpchOps {
     "q60_tpch3" -> """
       SELECT l_orderkey,
              epoch_us(o_orderdate) AS odate,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
-               AS revenue
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+               AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -94,8 +94,8 @@ object TpchOps {
 
     "q61_tpch5" -> """
       SELECT n_name,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
-               AS revenue,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+               AS DOUBLE) AS revenue,
              count(*) AS n
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -109,8 +109,8 @@ object TpchOps {
     "q62_tpch18" -> """
       SELECT c_custkey, c_name, o_orderkey,
              epoch_us(o_orderdate) AS odate,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-             big.tot_qty
+             o_totalprice AS price,
+             CAST(big.tot_qty AS DOUBLE) AS tot_qty
       FROM orders
       JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS tot_qty
             FROM lineitem GROUP BY l_orderkey

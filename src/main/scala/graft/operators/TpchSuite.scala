@@ -89,7 +89,7 @@ object TpchSuite {
                 col("l_discount").between(0.05, 0.07) &&
                 col("l_quantity") < 24)
         .agg(sum((col("l_extendedprice") * col("l_discount")).cast(dec))
-          .as("revenue"))),
+          .cast("double").as("revenue"))),
 
     // Q7: volume shipping between two nations, both directions, by year.
     "q69_tpch7" -> ((s, dir) => {
@@ -109,7 +109,7 @@ object TpchSuite {
                 (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
                  year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(sum(rev).as("revenue"))
+        .agg(sum(rev).cast("double").as("revenue"))
     }),
 
     // Q8: national market share — share-of-total via conditional agg.
@@ -147,7 +147,7 @@ object TpchSuite {
                  year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
                   lit(0.5) * col("p_retailprice") * col("l_quantity")).cast(dec))
-          .as("sum_profit"))
+          .cast("double").as("sum_profit"))
     }),
 
     // Q10: returned-item reporting — top 20 customers by lost revenue.
@@ -161,7 +161,7 @@ object TpchSuite {
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(nat, col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-        .agg(sum(rev).as("revenue"))
+        .agg(sum(rev).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
@@ -176,7 +176,7 @@ object TpchSuite {
       val total = value.agg(sum(col("value")).as("grand"))
       value.join(broadcast(total))
         .filter(col("value").cast("double") > col("grand").cast("double") * 0.001)
-        .select(col("l_partkey"), col("value"))
+        .select(col("l_partkey"), col("value").cast("double").as("value"))
     }),
 
     // Q12: shipping modes vs priority — conditional-sum pivot.
@@ -226,6 +226,7 @@ object TpchSuite {
       t(s, dir, "supplier")
         .join(revenue, col("s_suppkey") === col("l_suppkey"))
         .join(broadcast(best), col("total_revenue") === col("best"))
+        .withColumn("total_revenue", col("total_revenue").cast("double"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
     }),
 
@@ -272,7 +273,7 @@ object TpchSuite {
       t(s, dir, "lineitem")
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .filter(cond)
-        .agg(sum(rev).as("revenue"))
+        .agg(sum(rev).cast("double").as("revenue"))
     }),
 
     // Q20: potential part promotion — IN(grouped HAVING) as semi joins.
@@ -339,7 +340,8 @@ object TpchSuite {
         .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("cntrycode"))
         .agg(count(lit(1)).as("numcust"),
-             sum(col("c_acctbal").cast(DecimalType(18, 2))).as("totacctbal"))
+             sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+               .as("totacctbal"))
     })
   )
 
@@ -373,7 +375,7 @@ object TpchSuite {
       GROUP BY o_orderpriority""",
 
     "q68_tpch6" -> """
-      SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue
+      SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -383,8 +385,8 @@ object TpchSuite {
     "q69_tpch7" -> """
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS BIGINT) AS l_year,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
-               AS revenue
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+               AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -419,9 +421,9 @@ object TpchSuite {
     "q71_tpch9" -> """
       SELECT n_name AS nation,
              CAST(year(o_orderdate) AS BIGINT) AS o_year,
-             sum(CAST(l_extendedprice * (1.0 - l_discount)
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
                       - 0.5 * p_retailprice * l_quantity AS DECIMAL(18,4)))
-               AS sum_profit
+               AS DOUBLE) AS sum_profit
       FROM lineitem
       JOIN part ON l_partkey = p_partkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -432,8 +434,8 @@ object TpchSuite {
 
     "q72_tpch10" -> """
       SELECT c_custkey, c_name, c_acctbal, n_name,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
-               AS revenue
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+               AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -452,16 +454,16 @@ object TpchSuite {
         FROM lineitem
         WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
         GROUP BY l_partkey)
-      SELECT l_partkey, value FROM value
+      SELECT l_partkey, CAST(value AS DOUBLE) AS value FROM value
       WHERE CAST(value AS DOUBLE) >
             (SELECT CAST(sum(value) AS DOUBLE) * 0.001 FROM value)""",
 
     "q74_tpch12" -> """
       SELECT l_returnflag,
-             sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                 THEN 1 ELSE 0 END) AS high_line_count,
-             sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                 THEN 0 ELSE 1 END) AS low_line_count
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       WHERE l_returnflag IN ('A','R')
@@ -499,7 +501,7 @@ object TpchSuite {
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
         GROUP BY l_suppkey)
-      SELECT s_suppkey, s_name, total_revenue
+      SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
       FROM supplier JOIN revenue ON s_suppkey = l_suppkey
       WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
 
@@ -524,8 +526,8 @@ object TpchSuite {
                                 WHERE l2.l_partkey = lineitem.l_partkey)""",
 
     "q80_tpch19" -> """
-      SELECT sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
-               AS revenue
+      SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+               AS DOUBLE) AS revenue
       FROM lineitem
       JOIN part ON l_partkey = p_partkey
       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
@@ -575,7 +577,7 @@ object TpchSuite {
                  FROM customer
                  WHERE CAST(c_nationkey % 10 AS BIGINT) IN (1,3,5,7,9))
       SELECT cntrycode, count(*) AS numcust,
-             sum(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
       FROM c
       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM c WHERE c_acctbal > 0)
         AND NOT EXISTS (SELECT 1 FROM orders

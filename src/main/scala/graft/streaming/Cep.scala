@@ -28,11 +28,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object Cep {
 
+  /** maxTimes sentinel for an unbounded quantifier (Pattern.oneOrMore /
+    * timesOrMore — CEP/pattern/Quantifier.java looping states). */
+  val Unbounded: Int = Int.MaxValue
+
   /** One pattern step: named predicate; strict = must match the
     * immediately following event (Pattern.next vs followedBy).
-    * minTimes/maxTimes = bounded quantifier (Pattern.times/optional —
-    * CEP/pattern/Quantifier.java; unbounded oneOrMore is served by the
-    * strictly-contiguous MatchRecognize operator instead). forbid = a
+    * minTimes/maxTimes = quantifier (Pattern.times/optional/oneOrMore —
+    * CEP/pattern/Quantifier.java). maxTimes == Unbounded is a looping
+    * state: repeats are consecutive (internal strict contiguity, like
+    * `.oneOrMore().consecutive()`) and GREEDY-MAXIMAL — the run extends
+    * as long as the predicate holds, exactly MATCH_RECOGNIZE `X+`; the
+    * run closes on the first non-matching event (or end of input), after
+    * which the next step proceeds under its own contiguity. forbid = a
     * negative condition guarding the gap BEFORE this step: any event
     * matching it kills the partial match (Pattern.notFollowedBy);
     * forbidNextOnly restricts the guard to the immediately following
@@ -44,6 +52,7 @@ object Cep {
                            forbidNextOnly: Boolean = false) {
     require(minTimes >= 0 && maxTimes >= math.max(minTimes, 1),
       "need 0 <= minTimes <= maxTimes, maxTimes >= 1")
+    def unbounded: Boolean = maxTimes == Unbounded
   }
 
   /** A sequential pattern with an optional within-window (ms). */
@@ -62,14 +71,29 @@ object Cep {
       * disjoint step predicates with quantifiers). */
     private[streaming] lazy val expansions: Seq[Seq[Step[V]]] =
       steps.foldLeft(Seq(Seq.empty[Step[V]])) { (acc, st) =>
-        val reps = (st.minTimes to st.maxTimes).map { n =>
-          if (n == 0) Seq.empty
-          else st.copy(minTimes = 1, maxTimes = 1) +:
-            // repeats of a quantified step are strictly contiguous with
-            // each other (Flink's Pattern.times(n).consecutive())
-            Seq.fill(n - 1)(st.copy(minTimes = 1, maxTimes = 1,
-                                    strict = true, forbid = None))
-        }
+        val reps: Seq[Seq[Step[V]]] =
+          if (st.unbounded) {
+            // timesOrMore(n): n-1 plain consecutive copies, then the
+            // looping state itself (consumes the ≥1 remaining repeats).
+            val lead =
+              if (st.minTimes <= 1) Seq.empty
+              else st.copy(minTimes = 1, maxTimes = 1) +:
+                Seq.fill(st.minTimes - 2)(st.copy(minTimes = 1, maxTimes = 1,
+                                                  strict = true, forbid = None))
+            val loop = st.copy(minTimes = 1,
+                               strict = st.strict || st.minTimes > 1,
+                               forbid = if (st.minTimes > 1) None else st.forbid)
+            // zeroOrMore also admits the empty repetition
+            if (st.minTimes == 0) Seq(Seq.empty, lead :+ loop)
+            else Seq(lead :+ loop)
+          } else (st.minTimes to st.maxTimes).map { n =>
+            if (n == 0) Seq.empty
+            else st.copy(minTimes = 1, maxTimes = 1) +:
+              // repeats of a quantified step are strictly contiguous with
+              // each other (Flink's Pattern.times(n).consecutive())
+              Seq.fill(n - 1)(st.copy(minTimes = 1, maxTimes = 1,
+                                      strict = true, forbid = None))
+          }
         for (a <- acc; r <- reps) yield a ++ r
       }
   }
@@ -86,48 +110,82 @@ object Cep {
       steps: Seq[Step[V]], pattern: Pattern[V], events: IndexedSeq[V],
       ts: V => Long): Seq[Seq[V]] = {
     val out = mutable.ArrayBuffer.empty[Seq[V]]
-    // partial match: (nextStepIdx, startTs, lastMatchedIdx, eventsReversed)
-    var partials = mutable.ArrayBuffer.empty[(Int, Long, Int, List[V])]
+    // partial match:
+    // (nextStepIdx, startTs, lastMatchedIdx, eventsReversed, looping)
+    // looping = currently extending an Unbounded step's consecutive run.
+    var partials = mutable.ArrayBuffer.empty[(Int, Long, Int, List[V], Boolean)]
     var i = 0
     while (i < events.length) {
       val e = events(i)
       val t = ts(e)
-      val next = mutable.ArrayBuffer.empty[(Int, Long, Int, List[V])]
+      val next = mutable.ArrayBuffer.empty[(Int, Long, Int, List[V], Boolean)]
       var consumed = false
-      partials.foreach { case p @ (stepIdx, startTs, lastIdx, acc) =>
-        val withinOk = pattern.withinMs.forall(w => t - startTs <= w)
-        if (withinOk && !consumed) {
-          val step = steps(stepIdx)
-          // notFollowedBy / notNext: an event matching the negative guard
-          // in the gap before this step kills the partial (takes
-          // precedence over the step predicate — conservative).
-          val forbidden = step.forbid.exists(f =>
-            (!step.forbidNextOnly || lastIdx == i - 1) && f(e))
-          if (!forbidden) {
-            val contiguityOk = !step.strict || lastIdx == i - 1
-            if (contiguityOk && step.pred(e)) {
-              if (stepIdx == steps.length - 1) {
-                out += (e :: acc).reverse
-                consumed = pattern.skipPastLast
-              } else {
-                next += ((stepIdx + 1, startTs, i, e :: acc))
-              }
-            }
-            // Survival: relaxed steps may match a later event (followedByAny
-            // branching — every combination is enumerated, the semantics the
-            // SQL oracle's join reproduces); a strict step's only chance was
-            // i == lastIdx + 1, so it never survives past its slot.
-            if (!step.strict && !consumed) next += p
+      // a greedy run that closed BEFORE e emitted a match not containing
+      // e: under skip-past-last all overlapping partials die, but e itself
+      // stays eligible to start the next match (MR "past last row").
+      var wipe = false
+      // offer may cascade: a closing greedy run hands the SAME event to
+      // the following step (the run-closing event can begin the next step).
+      def offer(stepIdx: Int, startTs: Long, lastIdx: Int, acc: List[V],
+                looping: Boolean): Unit = {
+        if (consumed || wipe) return
+        val step = steps(stepIdx)
+        if (looping) {
+          // greedy-maximal: while the predicate holds the run MUST extend
+          // (no submatch branching — MATCH_RECOGNIZE `X+` semantics).
+          if (lastIdx == i - 1 && step.pred(e)) {
+            next += ((stepIdx, startTs, i, e :: acc, true))
+          } else if (stepIdx == steps.length - 1) {
+            // run closed by a non-matching event; loop was the last step
+            out += acc.reverse
+            wipe = pattern.skipPastLast
+          } else {
+            offer(stepIdx + 1, startTs, lastIdx, acc, looping = false)
+          }
+          return
+        }
+        // notFollowedBy / notNext: an event matching the negative guard
+        // in the gap before this step kills the partial (takes
+        // precedence over the step predicate — conservative).
+        val forbidden = step.forbid.exists(f =>
+          (!step.forbidNextOnly || lastIdx == i - 1) && f(e))
+        if (forbidden) return
+        val contiguityOk = !step.strict || lastIdx == i - 1
+        if (contiguityOk && step.pred(e)) {
+          if (step.unbounded) {
+            next += ((stepIdx, startTs, i, e :: acc, true))
+          } else if (stepIdx == steps.length - 1) {
+            out += (e :: acc).reverse
+            consumed = pattern.skipPastLast
+          } else {
+            next += ((stepIdx + 1, startTs, i, e :: acc, false))
           }
         }
+        // Survival: relaxed steps may match a later event (followedByAny
+        // branching — every combination is enumerated, the semantics the
+        // SQL oracle's join reproduces); a strict step's only chance was
+        // i == lastIdx + 1, so it never survives past its slot.
+        if (!step.strict && !consumed)
+          next += ((stepIdx, startTs, lastIdx, acc, false))
       }
-      if (consumed) next.clear() // skip-past-last: drop overlapping partials
+      partials.foreach { case (stepIdx, startTs, lastIdx, acc, looping) =>
+        val withinOk = pattern.withinMs.forall(w => t - startTs <= w)
+        if (withinOk && !consumed && !wipe)
+          offer(stepIdx, startTs, lastIdx, acc, looping)
+      }
+      // skip-past-last: drop overlapping partials
+      if (consumed || wipe) next.clear()
       if (!consumed && steps.head.pred(e)) {
-        if (steps.length == 1) out += Seq(e)
-        else next += ((1, t, i, List(e)))
+        if (steps.head.unbounded) next += ((0, t, i, List(e), true))
+        else if (steps.length == 1) out += Seq(e)
+        else next += ((1, t, i, List(e), false))
       }
       partials = next
       i += 1
+    }
+    // end of input closes any still-open run of a final looping step
+    partials.foreach { case (stepIdx, _, _, acc, looping) =>
+      if (looping && stepIdx == steps.length - 1) out += acc.reverse
     }
     out.toSeq
   }

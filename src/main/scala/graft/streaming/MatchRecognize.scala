@@ -98,6 +98,7 @@ object MatchRecognize {
           skipWs()
           if (peek != '}') fail("expected }")
           pos += 1
+          hi.foreach(h => if (h < lo) fail(s"quantifier max $h < min $lo"))
           Rep(a, lo, hi, greedy = true)
         case _ => return a
       }
@@ -191,12 +192,19 @@ object MatchRecognize {
     def run(flags: IndexedSeq[Array[Boolean]], start: Int): Array[Int] = {
       var clist = mutable.ArrayBuffer.empty[(Int, List[Int])]
       val seen = new java.util.BitSet(prog.length)
+      // Dedup EVERY pc (not just Sym/Done): the first, highest-priority
+      // arrival at a pc wins, and — critically — epsilon cycles from
+      // nullable bodies of unbounded quantifiers ('(A?)+', '(A*)*')
+      // terminate instead of recursing forever.
       def add(list: mutable.ArrayBuffer[(Int, List[Int])], pc: Int,
-              trace: List[Int]): Unit = prog(pc) match {
-        case Split(a, b) => add(list, a, trace); add(list, b, trace)
-        case Jmp(t)      => add(list, t, trace)
-        case _ =>
-          if (!seen.get(pc)) { seen.set(pc); list += ((pc, trace)) }
+              trace: List[Int]): Unit = {
+        if (seen.get(pc)) return
+        seen.set(pc)
+        prog(pc) match {
+          case Split(a, b) => add(list, a, trace); add(list, b, trace)
+          case Jmp(t)      => add(list, t, trace)
+          case _           => list += ((pc, trace))
+        }
       }
       add(clist, 0, Nil)
       var best: List[Int] = null
@@ -255,7 +263,8 @@ object MatchRecognize {
     val flagIdx = vars.map(n => inSchema.fieldIndex(s"__mr_$n")).toArray
     val outSchema = StructType(df.schema.fields :+
       StructField("mr_match", LongType, nullable = false) :+
-      StructField("mr_var", StringType, nullable = false))
+      StructField("mr_var", StringType, nullable = false) :+
+      StructField("mr_seq", LongType, nullable = false))
     val skipPastLast = skip == SkipPastLastRow
 
     sorted.mapPartitions { it =>
@@ -280,7 +289,7 @@ object MatchRecognize {
               while (k < m.length) {
                 val r = rows(p + k)
                 out += Row.fromSeq(
-                  r.toSeq.take(nOrig) ++ Seq(mid, varNames(m(k))))
+                  r.toSeq.take(nOrig) ++ Seq(mid, varNames(m(k)), k.toLong))
                 k += 1
               }
               p = if (skipPastLast) p + m.length else p + 1
@@ -300,5 +309,55 @@ object MatchRecognize {
         def next(): Row = { refill(); queue.next() }
       }
     }(Encoders.row(outSchema))
+  }
+
+  /**
+   * MEASURES building blocks for ONE ROW PER MATCH (the reference's
+   * StreamExecMatch MEASURES clause / MatchCodeGenerator FIRST, LAST,
+   * CLASSIFIER, RUNNING-vs-FINAL aggregates — re-expressed as ordinary
+   * Catalyst aggregate expressions over the annotated match rows, so the
+   * measure surface is Spark's whole agg library and stays in codegen).
+   * All helpers read the `mr_var`/`mr_seq` columns `annotate` emits;
+   * per-variable navigation uses min_by/max_by over the in-match ordinal
+   * (null-safe: rows of other variables have a null ordering key and are
+   * ignored by MaxMinBy).
+   */
+  object Measures {
+    private def seqOf(v: String): Column =
+      org.apache.spark.sql.functions.when(col("mr_var") === v, col("mr_seq"))
+    /** FIRST(V.c) — c on the first row classified as V. */
+    def firstOf(v: String, c: Column): Column =
+      org.apache.spark.sql.functions.min_by(
+        org.apache.spark.sql.functions.when(col("mr_var") === v, c), seqOf(v))
+    /** LAST(V.c) — c on the last row classified as V. */
+    def lastOf(v: String, c: Column): Column =
+      org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.when(col("mr_var") === v, c), seqOf(v))
+    /** CLASSIFIER() of the final row of the match. */
+    def classifier: Column =
+      org.apache.spark.sql.functions.max_by(col("mr_var"), col("mr_seq"))
+    /** COUNT(V.*) — rows classified as V. */
+    def countOf(v: String): Column =
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.when(col("mr_var") === v, lit(1)))
+  }
+
+  /**
+   * ONE ROW PER MATCH: run `annotate`, then collapse each match to a
+   * single row computing `measures` (aggregate Columns — plain
+   * aggregates apply FINAL semantics over the whole match; the Measures
+   * helpers cover FIRST/LAST/CLASSIFIER/per-variable counts). Output is
+   * one row per (partition keys, mr_match).
+   */
+  def oneRowPerMatch(df: DataFrame, partitionBy: Seq[String],
+                     orderBy: Seq[String], pattern: String,
+                     define: Seq[(String, Column)],
+                     measures: Seq[(String, Column)],
+                     skip: Skip = SkipPastLastRow): DataFrame = {
+    require(measures.nonEmpty)
+    val ann = annotate(df, partitionBy, orderBy, pattern, define, skip)
+    val aggs = measures.map { case (n, c) => c.as(n) }
+    ann.groupBy((partitionBy :+ "mr_match").map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -73,6 +73,71 @@ class CepSpec extends AnyFunSuite {
     assert(got == exp && got.nonEmpty)
   }
 
+  test("oneOrMore: greedy-maximal consecutive runs, enumerate-all entry") {
+    val p = Pattern[CEv](Seq(
+      Step[CEv]("a", _.kind == "a"),
+      Step[CEv]("b", _.kind == "b", maxTimes = Cep.Unbounded)), withinMs = None)
+    val evs = IndexedSeq(
+      CEv(1, 0, "a"), CEv(2, 10, "b"), CEv(3, 20, "b"), CEv(4, 30, "x"),
+      CEv(5, 40, "b"))
+    val ms = Cep.matchAll(p, evs, (_: CEv).t).map(ids).toSet
+    // runs are [2,3] and [5]; relaxed entry enumerates every suffix of
+    // each run after the 'a'; greedy extension forbids sub-runs [2] alone.
+    assert(ms == Set(Seq(1L, 2L, 3L), Seq(1L, 3L), Seq(1L, 5L)))
+  }
+
+  test("oneOrMore closing event can start the next match (skip-past-last)") {
+    val p = Pattern[CEv](Seq(
+      Step[CEv]("a", _.kind == "a"),
+      Step[CEv]("b", _.kind == "b", strict = true, maxTimes = Cep.Unbounded)),
+      withinMs = None, skipPastLast = true)
+    val evs = IndexedSeq(
+      CEv(1, 0, "a"), CEv(2, 10, "b"), CEv(3, 20, "b"),
+      CEv(4, 30, "a"), CEv(5, 40, "b"))
+    // match 1 = [1,2,3] closes at event 4, which must itself start match 2
+    assert(Cep.matchAll(p, evs, (_: CEv).t).map(ids)
+      == Seq(Seq(1L, 2L, 3L), Seq(4L, 5L)))
+  }
+
+  test("timesOrMore(2): bounded lead copies then unbounded loop") {
+    val p = Pattern[CEv](Seq(
+      Step[CEv]("b", _.kind == "b", minTimes = 2, maxTimes = Cep.Unbounded)),
+      withinMs = None)
+    val evs = IndexedSeq(
+      CEv(1, 0, "b"), CEv(2, 10, "b"), CEv(3, 20, "b"), CEv(4, 30, "x"))
+    val ms = Cep.matchAll(p, evs, (_: CEv).t).map(ids).toSet
+    // ≥2 consecutive b's, greedy to run end: suffixes of length ≥ 2
+    assert(ms == Set(Seq(1L, 2L, 3L), Seq(2L, 3L)))
+  }
+
+  test("strict-entry oneOrMore equals MATCH_RECOGNIZE 'A B+'") {
+    val df = (0 until 60).map { i =>
+      (i.toLong % 5, i.toLong, if (i % 4 == 0) "a" else if (i % 4 == 3) "x" else "b")
+    }.toDF("k", "seq", "kind")
+    val mr = graft.streaming.MatchRecognize.annotate(
+        df, Seq("k"), Seq("seq"), "A B+",
+        Seq("A" -> (org.apache.spark.sql.functions.col("kind") === "a"),
+            "B" -> (org.apache.spark.sql.functions.col("kind") === "b")))
+      .groupBy("k", "mr_match")
+      .agg(org.apache.spark.sql.functions.min("seq").as("s"),
+           org.apache.spark.sql.functions.max("seq").as("e"),
+           org.apache.spark.sql.functions.count(
+             org.apache.spark.sql.functions.lit(1)).as("n"))
+      .select("k", "s", "e", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val p = Pattern[CEv](Seq(
+      Step[CEv]("a", _.kind == "a"),
+      Step[CEv]("b", _.kind == "b", strict = true, maxTimes = Cep.Unbounded)),
+      withinMs = None, skipPastLast = true)
+    val cep = Cep.matchBatch[Long, CEv](
+        df.as[(Long, Long, String)].map(t => CEv(t._2, t._2, t._3)).as[CEv],
+        p, _.id % 5, _.t, _.id)
+      .collect()
+      .map(m => (m.key, m.events.head.id, m.events.last.id, m.events.length.toLong))
+      .toSet
+    assert(cep == mr && cep.nonEmpty)
+  }
+
   test("streaming CEP emits finalized matches and matches batch result") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CEv]

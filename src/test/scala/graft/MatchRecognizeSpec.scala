@@ -47,6 +47,45 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(past.count() == 2 && next.count() == 4)
   }
 
+  test("nullable body of unbounded quantifier terminates (epsilon cycle)") {
+    val df = rows((1, 1, 1.0), (1, 2, 1.0), (1, 3, 9.0))
+    // '(A?)+' and '(A*)*' form epsilon cycles in the NFA; the closure must
+    // dedup Split/Jmp pcs instead of recursing forever.
+    val out = MatchRecognize.annotate(df, Seq("k"), Seq("seq"), "(A?)+",
+      Seq("A" -> (col("v") <= 5)))
+    // greedy: one match consuming the whole run of A rows
+    assert(matched(out) == Seq((1, 1L, "A"), (2, 1L, "A")))
+    val out2 = MatchRecognize.annotate(df, Seq("k"), Seq("seq"), "(A*)* B",
+      Seq("A" -> (col("v") <= 5), "B" -> (col("v") > 5)))
+    assert(out2.count() == 3)
+  }
+
+  test("quantifier with max < min is rejected") {
+    val df = rows((1, 1, 1.0))
+    val ex = intercept[IllegalArgumentException] {
+      MatchRecognize.annotate(df, Seq("k"), Seq("seq"), "A{3,2}",
+        Seq("A" -> (col("v") <= 5)))
+    }
+    assert(ex.getMessage.contains("max"))
+  }
+
+  test("oneRowPerMatch computes MEASURES per match") {
+    val df = rows((1, 1, 9.0), (1, 2, 1.0), (1, 3, 2.0), (1, 4, 9.0),
+                  (1, 5, 3.0))
+    val out = MatchRecognize.oneRowPerMatch(
+      df, Seq("k"), Seq("seq"), "A B+",
+      define = Seq("A" -> (col("v") > 5), "B" -> (col("v") <= 5)),
+      measures = Seq(
+        "a_seq" -> MatchRecognize.Measures.firstOf("A", col("seq")),
+        "last_b_seq" -> MatchRecognize.Measures.lastOf("B", col("seq")),
+        "n_b" -> MatchRecognize.Measures.countOf("B"),
+        "cls" -> MatchRecognize.Measures.classifier,
+        "total_v" -> sum(col("v"))))
+    val got = out.select("mr_match", "a_seq", "last_b_seq", "n_b", "cls", "total_v")
+      .as[(Long, Int, Int, Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1, 3, 2L, "B", 12.0), (2L, 4, 5, 1L, "B", 12.0)))
+  }
+
   test("partitions are independent and match ids restart per key") {
     val df = rows((1, 1, 9.0), (1, 2, 1.0), (2, 1, 9.0), (2, 2, 1.0))
     val out = MatchRecognize.annotate(df, Seq("k"), Seq("seq"), "A B",
