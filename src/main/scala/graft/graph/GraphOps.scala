@@ -40,6 +40,9 @@ object GraphOps {
     // labels only ever decrease, so an unchanged sum(component) ⟺ no
     // label changed — convergence costs one tiny aggregate, not a join.
     // Decimal sum: no overflow at any node-count × id-range scale.
+    // Checked every 2nd superstep only: one extra (idempotent) superstep
+    // after the fixpoint is cheaper than doubling the driver-side action
+    // count — wall-clock here is job-scheduling latency, not data volume.
     var prevSum: java.math.BigDecimal = null
     while (iter < maxIter && !converged) {
       val msgs = sym
@@ -51,12 +54,14 @@ object GraphOps {
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
         .localCheckpoint()
-      val curSum = next
-        .agg(sum(col("component").cast("decimal(38,0)"))).collect()(0)
-        .getDecimal(0)
       state = next
-      converged = curSum == prevSum
-      prevSum = curSum
+      if (iter % 2 == 1 || iter == maxIter - 1) {
+        val curSum = next
+          .agg(sum(col("component").cast("decimal(38,0)"))).collect()(0)
+          .getDecimal(0)
+        converged = curSum == prevSum
+        prevSum = curSum
+      }
       iter += 1
     }
     state

@@ -1,7 +1,7 @@
 package graft.operators
 
 import scala.concurrent.{Await, ExecutionContext, Future}
-import scala.concurrent.duration._
+import scala.concurrent.duration.{FiniteDuration, DurationInt}
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions.broadcast
@@ -31,17 +31,67 @@ object LookupJoin {
       probe(probeKey) === lookupTable(lookupKey), "left")
 
   /**
-   * Async lookup against an arbitrary (serializable) service function,
-   * `maxInFlight` concurrent requests per partition.
+   * Async lookup against an arbitrary (serializable) service function
+   * with a SLIDING window of up to `maxInFlight` concurrent requests per
+   * partition (AsyncWaitOperator.java:78's ordered/unordered stream
+   * element queues): a new request is issued the moment a slot frees, so
+   * one slow call delays only its own result, never a whole batch.
+   *
+   *  - `ordered = false` (Flink unordered mode): results emit in
+   *    COMPLETION order — minimum latency.
+   *  - `ordered = true` (Flink ordered mode): results emit in probe
+   *    order — a slow head blocks emission but not the other in-flight
+   *    requests.
+   *
+   * `timeout` bounds each individual wait (AsyncWaitOperator's per
+   * request timeout).
    */
-  def async[V, R: Encoder](probe: Dataset[V], maxInFlight: Int)(
-      service: V => R): Dataset[R] =
+  def async[V, R: Encoder](probe: Dataset[V], maxInFlight: Int,
+                           ordered: Boolean = false,
+                           timeout: FiniteDuration = 5.minutes)(
+      service: V => R): Dataset[R] = {
+    require(maxInFlight > 0)
     probe.mapPartitions { it =>
       implicit val ec: ExecutionContext = ExecutionContext.global
-      it.grouped(maxInFlight).flatMap { batch =>
-        Await.result(
-          Future.sequence(batch.map(v => Future(service(v)))),
-          5.minutes)
+      if (ordered) new Iterator[R] {
+        private val inFlight = scala.collection.mutable.Queue.empty[Future[R]]
+        private def fill(): Unit =
+          while (inFlight.size < maxInFlight && it.hasNext) {
+            // draw from the source iterator on THIS thread — Future's
+            // by-name body runs on a pool thread and would race on `it`
+            val v = it.next()
+            inFlight += Future(service(v))
+          }
+        def hasNext: Boolean = { fill(); inFlight.nonEmpty }
+        def next(): R = {
+          fill()
+          val r = Await.result(inFlight.dequeue(), timeout)
+          fill()
+          r
+        }
+      } else new Iterator[R] {
+        private val done =
+          new java.util.concurrent.LinkedBlockingQueue[scala.util.Try[R]]()
+        private var inFlight = 0
+        private def fill(): Unit =
+          while (inFlight < maxInFlight && it.hasNext) {
+            val v = it.next()
+            inFlight += 1
+            Future(service(v)).onComplete(done.put)
+          }
+        def hasNext: Boolean = { fill(); inFlight > 0 }
+        def next(): R = {
+          fill()
+          val t = done.poll(timeout.toMillis,
+                            java.util.concurrent.TimeUnit.MILLISECONDS)
+          if (t == null)
+            throw new java.util.concurrent.TimeoutException(
+              s"async lookup did not complete within $timeout")
+          inFlight -= 1
+          fill()
+          t.get
+        }
       }
     }
+  }
 }

@@ -85,6 +85,7 @@ object StreamOps {
    * small result sets.
    */
   def inferOutputMode(df: DataFrame): OutputMode = {
+    import org.apache.spark.sql.catalyst.expressions.{SessionWindow, TimeWindow}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, EventTimeWatermark}
     val plan = df.queryExecution.analyzed
     val aggs = plan.collect { case a: Aggregate => a }
@@ -92,9 +93,19 @@ object StreamOps {
     else {
       val hasWatermark = plan.collectFirst {
         case _: EventTimeWatermark => true }.getOrElse(false)
+      // structural: a grouping expression is windowed iff it contains a
+      // TimeWindow/SessionWindow expression, or references an attribute
+      // the TimeWindowing/SessionWindowing rules marked with their
+      // metadata key — never by column NAME (a column literally called
+      // "window" must not fool this).
       val windowed = aggs.forall(_.groupingExpressions.exists(e =>
-        e.references.exists(a => a.name == "w" || a.name == "window") ||
-        e.toString.contains("window")))
+        e.exists {
+          case _: TimeWindow | _: SessionWindow => true
+          case _ => false
+        } ||
+        e.references.exists(a =>
+          a.metadata.contains(TimeWindow.marker) ||
+          a.metadata.contains(SessionWindow.marker))))
       if (hasWatermark && windowed) OutputMode.Append else OutputMode.Update
     }
   }

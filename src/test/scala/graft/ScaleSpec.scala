@@ -75,6 +75,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == (1 to 500).map(i => (i, s"svc-$i")).toSet)
   }
 
+  test("async lookup: one slow request stalls neither the window nor emission") {
+    // single partition so within-partition concurrency is what's measured
+    val probes = (1 to 20).toDS().repartition(1)
+    val t0 = System.nanoTime()
+    val got = LookupJoin.async(probes, maxInFlight = 8) { i =>
+      if (i == 1) Thread.sleep(1500) // slow head
+      i
+    }.collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(got.toSet == (1 to 20).toSet)
+    // unordered mode: the slow head's result emits AFTER fast ones that
+    // were issued concurrently (lock-step batching would emit it first)
+    assert(got.head != 1)
+    // 19 fast lookups + one 1.5s sleep, 8-wide window: far under the
+    // 19 × 1.5s a serial or head-blocked pipeline would take
+    assert(elapsedMs < 10000, s"took $elapsedMs ms")
+  }
+
+  test("async lookup ordered mode preserves probe order under concurrency") {
+    val probes = (1 to 50).toDS().repartition(1)
+    val got = LookupJoin.async(probes, maxInFlight = 8, ordered = true) { i =>
+      if (i % 7 == 0) Thread.sleep(50)
+      i * 2
+    }.collect()
+    assert(got.toSeq == (1 to 50).map(_ * 2))
+  }
+
   test("flatMapGroups table-aggregate emits top-2 per group (UDTAF)") {
     val orders = Tables.table(spark, "/root/testdata/sf0.001", "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))

@@ -170,5 +170,11 @@ class StreamingSpec extends AnyFunSuite {
     val unbounded = df.groupBy("user_id").agg(count(lit(1)))
     assert(StreamOps.inferOutputMode(unbounded) == OutputMode.Update())
     assert(StreamOps.inferOutputMode(df.filter(col("value") > 0)) == OutputMode.Append())
+    // structural check: a plain column literally named "window" must NOT
+    // read as a windowed aggregation
+    val decoy = df.withWatermark("ts", "10 minutes")
+      .withColumn("window", col("user_id") % 10)
+      .groupBy("window").agg(count(lit(1)).as("n"))
+    assert(StreamOps.inferOutputMode(decoy) == OutputMode.Update())
   }
 }
