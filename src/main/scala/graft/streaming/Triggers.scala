@@ -47,6 +47,21 @@ object Triggers {
       delta(lastFired.getOrElse(window.head), v) > threshold
   }
 
+  /** ContinuousEventTimeTrigger.java: fire whenever event time crosses
+    * the next `intervalMs` boundary since the last fire (anchored at the
+    * window's first element). Element-driven: the fire happens ON the
+    * first element at/past the boundary rather than on a timer at the
+    * boundary itself — documented divergence from the reference's
+    * timer-driven firing (same fired windows, shifted fire instant). */
+  final case class ContinuousEventTimeTrigger[V](intervalMs: Long,
+                                                 ts: V => Long)
+      extends Trigger[V] {
+    def fires(window: Seq[V], lastFired: Option[V], v: V): Boolean = {
+      val anchor = lastFired.map(ts).getOrElse(ts(window.head))
+      ts(v) >= anchor + intervalMs
+    }
+  }
+
   /** What the aggregate sees at fire time. */
   trait Evictor[V] extends Serializable {
     def evict(window: Seq[V]): Seq[V]

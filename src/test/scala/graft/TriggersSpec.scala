@@ -75,6 +75,20 @@ class TriggersSpec extends AnyFunSuite {
     assert(got.toSet == Set((1L, 9.0, 3L), (1L, 20.0, 2L)))
   }
 
+  test("continuous event-time trigger fires at interval boundaries") {
+    val evs = Seq((1L, 1000L, 1.0), (1L, 2000L, 2.0), (1L, 6000L, 3.0),
+                  (1L, 7000L, 4.0), (1L, 12000L, 5.0))
+    val got = stream(evs, "tr_cont") { g =>
+      Triggers.window[Long, TEv, (Long, Double, Long)](
+        g, Triggers.ContinuousEventTimeTrigger[TEv](5000L, _.t),
+        Triggers.KeepAll[TEv](), purge = false, orderBy = _.t) {
+        (k, w) => (k, w.map(_.v).sum, w.size.toLong)
+      }
+    }
+    // anchored at t=1000: fires at 6000 (window 1,2,3) and 12000 (all 5)
+    assert(got.toSet == Set((1L, 6.0, 3L), (1L, 15.0, 5L)))
+  }
+
   test("time evictor keeps only the recent span at fire time") {
     val evs = Seq((1L, 1000L, 1.0), (1L, 2000L, 2.0), (1L, 10000L, 3.0))
     val got = stream(evs, "tr_time") { g =>
