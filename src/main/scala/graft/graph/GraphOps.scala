@@ -196,6 +196,80 @@ object GraphOps {
   }
 
   /**
+   * Graph summarization (Gelly library/Summarization.java analogue):
+   * contract vertices by a grouping label; the summary graph has one
+   * vertex per label (with its member count) and one edge per ordered
+   * label pair (with the number of original edges it represents).
+   * Returns the summary EDGES (src_label, dst_label, n_edges) —
+   * vertex counts are a groupBy away.
+   *
+   * Scale: two hash joins to translate endpoints + one aggregate —
+   * no iteration, embarrassingly parallel.
+   */
+  def summarize(edges: DataFrame, vertexLabel: DataFrame): DataFrame = {
+    // vertexLabel: (node, label)
+    val l = vertexLabel.select(col("node"), col("label"))
+    edges
+      .join(l.select(col("node").as("sn"), col("label").as("src_label")),
+        col("src") === col("sn"))
+      .join(l.select(col("node").as("dn"), col("label").as("dst_label")),
+        col("dst") === col("dn"))
+      .groupBy("src_label", "dst_label")
+      .agg(count(lit(1)).as("n_edges"))
+  }
+
+  /**
+   * Local clustering coefficient (Gelly clustering metrics analogue):
+   * coefficient(n) = triangles(n) / C(deg(n), 2) on an undirected
+   * canonical (u < v) edge set; nodes of degree < 2 get 0.
+   */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val tri = triangleCounts(edges)
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"),
+        when(col("deg") < 2, lit(0.0))
+          .otherwise(round(coalesce(col("n_tri"), lit(0L)) * 2.0 /
+                           (col("deg") * (col("deg") - 1)), 6))
+          .as("coeff"))
+  }
+
+  /**
+   * Community detection (Gelly library/CommunityDetection.java analogue):
+   * label propagation with attenuated scores — labels carry a score,
+   * each superstep a node adopts the label with the highest aggregate
+   * incoming score (tie → smallest label), and the adopted label's score
+   * decays by `delta` per hop. Deterministic synchronous variant.
+   */
+  def communityDetection(edges: DataFrame, iters: Int,
+                         delta: Double = 0.5): DataFrame = {
+    val sym = symmetrize(edges).cache()
+    var state = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .withColumn("score", lit(1.0))
+    for (_ <- 1 to iters) {
+      val incoming = sym
+        .join(state, sym("src") === state("node"))
+        .groupBy(col("dst").as("node2"), col("label"))
+        .agg(sum(col("score")).as("total"), max(col("score")).as("best"))
+      val adopted = incoming.groupBy(col("node2"))
+        .agg(min_by(struct(col("label"), col("best")),
+                    struct((-col("total")).as("neg"), col("label")))
+          .as("pick"))
+        .select(col("node2"), col("pick.label").as("new_label"),
+                (col("pick.best") - delta).as("new_score"))
+      state = state.join(adopted, col("node") === col("node2"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"),
+          coalesce(col("new_score"), col("score")).as("score"))
+        .localCheckpoint()
+    }
+    state.select(col("node"), col("label"))
+  }
+
+  /**
    * Label propagation: labels start as node ids; each superstep every
    * node adopts the most frequent label among neighbors (tie → smallest
    * label). Fixed iteration count (sync variant, like Gelly's).

@@ -61,7 +61,24 @@ object GraphQueries {
     // HITS hubs (customers) & authorities (suppliers) on the bipartite
     // purchase graph, 2 iterations, max-normalized.
     "q90_hits" -> ((s, dir) =>
-      GraphOps.hits(smallEdges(s, dir), iters = 2))
+      GraphOps.hits(smallEdges(s, dir), iters = 2)),
+
+    // Graph summarization: contract by node % 5 groups.
+    "q91_summarize" -> ((s, dir) => {
+      val e = smallEdges(s, dir)
+      val labels = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .withColumn("label", pmod(col("node"), lit(5L)))
+      GraphOps.summarize(e, labels)
+    }),
+
+    // Local clustering coefficient on the co-purchase graph.
+    "q92_clustering" -> ((s, dir) =>
+      GraphOps.clusteringCoefficients(copurchaseEdges(s, dir))),
+
+    // Community detection (score-attenuated LP), 2 supersteps.
+    "q93_community" -> ((s, dir) =>
+      GraphOps.communityDetection(smallEdges(s, dir), iters = 2))
   )
 
   // co-purchase projection: frequent-co-supplier pairs, deterministically
@@ -213,6 +230,69 @@ object GraphQueries {
       UNION ALL
       SELECT node, 'auth' AS role,
              round(score / (SELECT max(score) FROM auth2), 6) AS score
-      FROM auth2"""
+      FROM auth2""",
+
+    "q91_summarize" -> s"""
+      WITH $edgesSql
+      SELECT src % 5 AS src_label, dst % 5 AS dst_label,
+             count(*) AS n_edges
+      FROM edges0 GROUP BY 1, 2""",
+
+    "q92_clustering" -> """
+      WITH cs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey <= 100),
+      e AS (
+        SELECT a.c AS u, b.c AS v
+        FROM cs a JOIN cs b ON a.sp = b.sp AND a.c < b.c
+        GROUP BY a.c, b.c
+        HAVING count(*) >= 10 AND (a.c + b.c) % 3 = 0),
+      tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v),
+      tcnt AS (
+        SELECT node, count(*) AS n_tri FROM (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri) x
+        GROUP BY node),
+      deg AS (
+        SELECT node, count(*) AS deg FROM (
+          SELECT u AS node FROM e UNION ALL SELECT v FROM e) d
+        GROUP BY node)
+      SELECT deg.node,
+             CASE WHEN deg < 2 THEN 0.0
+                  ELSE round(COALESCE(n_tri, 0) * 2.0 / (deg * (deg - 1)), 6)
+             END AS coeff
+      FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node""",
+
+    // 2 supersteps of score-attenuated LP unrolled: superstep 1 all
+    // incoming scores are 1.0 (unique labels) so the pick degenerates to
+    // min neighbor id; superstep 2 all scores are 0.5 so the pick is the
+    // neighbor-label mode (count desc, label asc) — both SQL-exact.
+    "q93_community" -> s"""
+      WITH $edgesSql,
+      edges AS (SELECT src, dst FROM edges0
+                UNION SELECT dst, src FROM edges0),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      l1 AS (
+        SELECT e.dst AS node, min(e.src) AS label
+        FROM edges e GROUP BY e.dst),
+      c2 AS (
+        SELECT e.dst AS node, l.label, count(*) AS cnt,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, l.label) AS rk
+        FROM edges e JOIN l1 l ON e.src = l.node
+        GROUP BY e.dst, l.label),
+      l2 AS (
+        SELECT n.node, COALESCE(c.label, l1.label) AS label
+        FROM nodes n
+        JOIN l1 ON n.node = l1.node
+        LEFT JOIN (SELECT node, label FROM c2 WHERE rk = 1) c
+          ON n.node = c.node)
+      SELECT node, label FROM l2"""
   )
 }
