@@ -91,21 +91,20 @@ object DedupOps {
         .filter(col("n_agree") >= 4)
     }),
 
-    // 60-bit SimHash per document over distinct tokens.
+    // 60-bit SimHash per document over distinct tokens — ONE fused
+    // aggregate (graft.plans.SimHashAgg: a 60-int vote buffer with
+    // map-side partial merge) instead of 60 independent sum(CASE)
+    // columns; identical bit semantics, several-fold cheaper update.
     "q40_simhash" -> ((s, dir) => {
       val toks = Tables.table(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
         .withColumn("h", h60(99, col("tok")))
-      val bitSums = (0 until SimBits).map { b =>
-        sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
-          .as(s"s$b")
-      }
-      toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until SimBits).map(b =>
-            when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
-            .reduce(_ + _).as("simhash"))
+      val simAgg = org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.plans.SimHashAgg(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("h")),
+          SimBits).toAggregateExpression())
+      toks.groupBy("doc_id").agg(simAgg.as("simhash"))
     }),
 
     // SimHash near-dup pairs: chunk-banding candidates, hamming <= 8.

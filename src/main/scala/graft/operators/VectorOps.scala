@@ -52,27 +52,35 @@ object VectorOps {
     // a coarse quantizer (every 25th vector, deterministic, so the
     // oracle can reproduce it) partitions the corpus into one inverted
     // list per centroid; queries probe only their nprobe=2 nearest
-    // lists, then re-rank exactly inside them. 100 TB: centroids are
-    // tiny and BROADCAST twice (assignment + probe); the corpus is
-    // touched by ONE shuffle (argmin window by vec_id) and the
-    // candidate join is an equi-join on the centroid id — the
+    // lists, then re-rank exactly inside them. 100 TB: the centroid set
+    // is tiny and deterministic, so corpus→centroid assignment is a
+    // SHUFFLE-FREE argmax PROJECTION (centroids folded into one array
+    // literal, transform + array_max picks the nearest) — the corpus is
+    // only ever shuffled ONCE, by the candidate equi-join on cid; the
     // O(q × corpus) pair space never materializes, and list sizes are
     // corpus/K, tunable via K to fit executor memory.
     "q85_ann_ivf" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
       val cos = graft.functions.GraftFunctions.cosineSim _
+      val centRows = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getAs[Number](0).longValue(), r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq
+      // one Literal node holding the whole centroid table (NOT a
+      // per-element expression tree) — constant-folded into codegen
+      val centsArr = typedLit(centRows)
+        .cast("array<struct<cid:bigint,cent:array<float>>>")
       val cents = broadcast(emb.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cent")))
-      // each corpus vector joins its single nearest centroid's list
-      val wAssign = Window.partitionBy("cand_id")
-        .orderBy(col("a_cos").desc, col("cid"))
+      // nearest centroid per corpus vector, as a projection: array_max
+      // over struct<cos,ncid> is lexicographic — max cos, ties to the
+      // larger -cid = SMALLER cid, matching ORDER BY cos DESC, cid
       val assigned = emb.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
-        .crossJoin(cents)
-        .withColumn("a_cos", cos(col("c_emb"), col("cent")))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("cand_id"), col("c_emb"), col("cid"))
+        .withColumn("cents", centsArr)
+        .withColumn("best", expr(
+          "array_max(transform(cents, c -> struct(cosine_sim(c_emb, c.cent) AS cos, -c.cid AS ncid)))"))
+        .select(col("cand_id"), col("c_emb"), (-col("best.ncid")).as("cid"))
       // each query probes its nprobe nearest centroids
       val wProbe = Window.partitionBy("q_id")
         .orderBy(col("p_cos").desc, col("cid"))

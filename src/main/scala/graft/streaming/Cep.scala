@@ -172,6 +172,15 @@ object Cep {
         val withinOk = pattern.withinMs.forall(w => t - startTs <= w)
         if (withinOk && !consumed && !wipe)
           offer(stepIdx, startTs, lastIdx, acc, looping)
+        else if (!withinOk && !consumed && !wipe && looping &&
+                 stepIdx == steps.length - 1) {
+          // A greedy run at the final step whose every event is inside the
+          // within-window is COMPLETE; the out-of-window event merely
+          // closes it. Emit it (same as the end-of-input sweep below)
+          // instead of silently dropping a valid match.
+          out += acc.reverse
+          wipe = pattern.skipPastLast
+        }
       }
       // skip-past-last: drop overlapping partials
       if (consumed || wipe) next.clear()

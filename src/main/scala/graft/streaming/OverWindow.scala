@@ -67,9 +67,14 @@ object OverWindow {
         val (pending0, tail0, acc0) =
           state.getOption.getOrElse((Seq.empty[V], Seq.empty[V], 0.0))
         val wm = state.getCurrentWatermarkMs()
-        // drop too-late rows (their emission slot has passed), merge, sort
+        // drop too-late rows (their emission slot has passed), merge, sort.
+        // value(v) is a final sort key so duplicate (eventTime, tiebreak)
+        // pairs still get a deterministic cross-batch order: rows equal in
+        // all three keys are interchangeable for the aggregates computed
+        // here, so replay determinism holds without requiring unique
+        // tie-breaks.
         val pending = (pending0 ++ values.filter(eventTime(_) > wm))
-          .sortBy(v => (eventTime(v), tiebreak(v)))
+          .sortBy(v => (eventTime(v), tiebreak(v), value(v)))
         val (ready, still) = pending.partition(eventTime(_) <= wm)
         val out = mutable.ArrayBuffer.empty[(K, Long, Long, Double)]
         var tail = tail0

@@ -48,17 +48,20 @@ object Triggers {
   }
 
   /** ContinuousEventTimeTrigger.java: fire whenever event time crosses
-    * the next `intervalMs` boundary since the last fire (anchored at the
-    * window's first element). Element-driven: the fire happens ON the
-    * first element at/past the boundary rather than on a timer at the
-    * boundary itself — documented divergence from the reference's
-    * timer-driven firing (same fired windows, shifted fire instant). */
+    * the next interval-ALIGNED boundary after the anchor (the reference
+    * registers timers at ts - ts % interval + interval, so boundaries sit
+    * on multiples of the interval regardless of where the first element
+    * landed). Element-driven: the fire happens ON the first element
+    * at/past the boundary rather than on a timer at the boundary itself —
+    * documented divergence from the reference's timer-driven firing (same
+    * fired window contents, shifted fire instant). */
   final case class ContinuousEventTimeTrigger[V](intervalMs: Long,
                                                  ts: V => Long)
       extends Trigger[V] {
     def fires(window: Seq[V], lastFired: Option[V], v: V): Boolean = {
       val anchor = lastFired.map(ts).getOrElse(ts(window.head))
-      ts(v) >= anchor + intervalMs
+      val aligned = anchor - java.lang.Math.floorMod(anchor, intervalMs)
+      ts(v) >= aligned + intervalMs
     }
   }
 

@@ -60,12 +60,16 @@ def main():
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
         else:
-            for c in sorted(sdf.columns):
-                a = sorted(map(str, sdf[c].tolist()))
-                b = sorted(map(str, odf[c].tolist()))
-                if a != b:
-                    diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
-                    problems.append(f"col {c}: e.g. {diffs}")
+            # Row-wise: project columns in sorted name order, sort row
+            # tuples, compare — matches the driver's row-association-
+            # preserving fingerprint (per-column sorted lists would
+            # false-PASS cross-row permutations).
+            cols = sorted(sdf.columns)
+            a = sorted(tuple(map(str, r)) for r in sdf[cols].itertuples(index=False))
+            b = sorted(tuple(map(str, r)) for r in odf[cols].itertuples(index=False))
+            if a != b:
+                diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                problems.append(f"rows differ: e.g. {diffs}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
