@@ -1,0 +1,879 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/**
+ * TPC-DS query *shapes* adapted to the driver testdata schema — the
+ * structurally hardest slice of the reference's flagship batch gate
+ * (103/103 TPC-DS variants with answer-set match,
+ * flink-end-to-end-tests/flink-tpcds-test/src/main/java/org/apache/flink/
+ * table/tpcds/TpcdsTestProgram.java:58-69, test_tpcds.sh:22).
+ *
+ * The testdata has no store/catalog/web fact trio, so "channel" is
+ * modeled on columns the generator does populate:
+ *   - 3-way channel     := l_returnflag  ('A'=store,'N'=catalog,'R'=web)
+ *   - 2-way channel     := l_linestatus  ('F'=store, 'O'=web)
+ *   - date_dim          := year()/month() of o_orderdate / l_shipdate
+ *   - item              := part;  customer demographics := c_mktsegment
+ *   - store geography   := supplier→nation→region
+ * Each query keeps its defining PLAN SHAPE — multi-channel UNION ALL
+ * feeding ROLLUP (q5/q77), ROLLUP over joins with rank-per-grouping-level
+ * (q18/q22/q36/q67), correlated EXISTS batteries (q35), INTERSECT/EXCEPT
+ * channel sets (q14/q38/q87), a/b variants (14a/b, 23a/b), year-over-year
+ * self-joins (q11), moving-window deviation (q47), cumulative full-outer
+ * (q51), scalar-subquery batteries (q88/q90), cross-channel band match
+ * (q58) — with predicates remapped to available columns.
+ *
+ * Exactness rules (shared with TpchSuite): money math is cast to
+ * DECIMAL(18,4) inside every SUM in BOTH engines (order-independent,
+ * exact), then CAST AS DOUBLE on output; averages are computed as
+ * decimal-sum ÷ count (exact division of exact doubles — no rounding
+ * needed); counts CAST AS BIGINT in the oracle (DuckDB sum/count of int
+ * is HUGEINT); no DECIMAL column ever leaves a query. Every LIMIT sits
+ * under a total order (ties broken by the full grouping tuple, NULLs
+ * removed from sort keys via coalesce so Spark/DuckDB null-ordering
+ * defaults can't diverge).
+ *
+ * 100 TB notes: channel "tables" are filters over one fact scan —
+ * Catalyst pushes the flag predicate into the parquet scan per branch;
+ * dims (nation/region/part at TPC-H ratios) broadcast; year-over-year and
+ * cross-channel joins run on PRE-AGGREGATED frames (the only full-fact
+ * shuffle is the first groupBy); INTERSECT/EXCEPT run on distinct key
+ * projections, not whole rows. AQE handles the skewed-brand case in the
+ * rank queries.
+ */
+object TpcdsSuite {
+
+  private val dec = DecimalType(18, 4)
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+  private def amt: Column =
+    (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)
+  private def prof: Column =
+    (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      - lit(0.5) * col("p_retailprice") * col("l_quantity")).cast(dec)
+  private def ts(d: String): Column = lit(d).cast("timestamp")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── q5 shape: per-channel UNION ALL feeding ROLLUP(channel, geo) ──
+    "q94_tpcds5" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1997-01-01"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      def chan(rf: String, nm: String) = base
+        .filter(col("l_returnflag") === rf)
+        .select(lit(nm).as("channel"), col("n_name"),
+                amt.as("a"), prof.as("p"))
+      chan("A", "store").unionAll(chan("N", "catalog")).unionAll(chan("R", "web"))
+        .rollup(col("channel"), col("n_name"))
+        .agg(sum(col("a")).cast("double").as("total_sales"),
+             sum(col("p")).cast("double").as("total_profit"))
+    }),
+
+    // ── q77 shape: per-channel sales⟗returns summaries, UNION, ROLLUP ──
+    "q95_tpcds77" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+                col("l_shipdate") < ts("1997-01-01"))
+      def side(ls: String) = {
+        val sold = li.filter(col("l_linestatus") === ls &&
+                             col("l_returnflag") =!= "R")
+          .groupBy(col("n_name"))
+          .agg(sum(amt).cast(dec).as("sales"))
+        val ret = li.filter(col("l_linestatus") === ls &&
+                            col("l_returnflag") === "R")
+          .groupBy(col("n_name").as("rn_name"))
+          .agg(sum(amt).cast(dec).as("returns"))
+        sold.join(ret, col("n_name") === col("rn_name"), "full_outer")
+          .select(
+            lit(if (ls == "F") "store" else "web").as("channel"),
+            coalesce(col("n_name"), col("rn_name")).as("nation"),
+            coalesce(col("sales"), lit(0).cast(dec)).as("sales"),
+            coalesce(col("returns"), lit(0).cast(dec)).as("returns"))
+      }
+      side("F").unionAll(side("O"))
+        .rollup(col("channel"), col("nation"))
+        .agg(sum(col("sales")).cast("double").as("total_sales"),
+             sum(col("returns")).cast("double").as("total_returns"),
+             sum(col("sales") - col("returns")).cast("double").as("total_profit"))
+    }),
+
+    // ── q18 shape: multi-join ROLLUP with exact averages ──
+    "q96_tpcds18" -> ((s, dir) => {
+      val j = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1997-01-01"))
+      j.rollup(col("n_name"), col("c_mktsegment"))
+        .agg(
+          (sum(col("l_quantity").cast(dec)).cast("double") /
+            count(lit(1))).as("avg_qty"),
+          (sum(col("l_extendedprice").cast(dec)).cast("double") /
+            count(lit(1))).as("avg_price"),
+          (sum(col("o_totalprice").cast(dec)).cast("double") /
+            count(lit(1))).as("avg_order"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // ── q22 shape: inventory-style ROLLUP + ordered LIMIT ──
+    "q97_tpcds22" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .rollup(col("p_brand"), col("p_type"), col("p_size"))
+        .agg((sum(col("l_quantity").cast(dec)).cast("double") /
+               count(lit(1))).as("qoh"))
+        .orderBy(col("qoh"), coalesce(col("p_brand"), lit("")),
+                 coalesce(col("p_type"), lit("")),
+                 coalesce(col("p_size"), lit(-1)))
+        .limit(100)),
+
+    // ── q67 shape: ROLLUP then rank within category partition ──
+    "q98_tpcds67" -> ((s, dir) => {
+      val rolled = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .rollup(col("p_type"), col("p_brand"),
+                year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum(amt).cast("double").as("sumsales"))
+      val w = Window.partitionBy(col("p_type"))
+        .orderBy(col("sumsales").desc,
+                 coalesce(col("p_brand"), lit("")),
+                 coalesce(col("yr"), lit(-1L)))
+      rolled.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("p_type"), col("p_brand"), col("yr"),
+                col("sumsales"), col("rk").cast("long").as("rk"))
+    }),
+
+    // ── q35 shape: EXISTS ∧ (EXISTS ∨ EXISTS) demographic battery ──
+    "q99_tpcds35" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val o96 = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1997-01-01"))
+      def chanCust(rf: String) = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === rf)
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("k"))
+      val active = cust
+        .join(o96.select(col("o_custkey")),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(chanCust("A").unionAll(chanCust("R")).distinct(),
+              col("c_custkey") === col("k"), "left_semi")
+      active
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+             (sum(col("c_acctbal").cast(dec)).cast("double") /
+               count(lit(1))).as("avg_bal"),
+             min(col("c_acctbal")).as("min_bal"),
+             max(col("c_acctbal")).as("max_bal"))
+    }),
+
+    // ── q14a shape: INTERSECT of 3 channel item sets, then brand report ──
+    "q100_tpcds14a" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def items(rf: String) =
+        li.filter(col("l_returnflag") === rf).select(col("l_partkey")).distinct()
+      val cross = items("A").intersect(items("N")).intersect(items("R"))
+      li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1997-01-01"))
+        .join(cross.withColumnRenamed("l_partkey", "xk"),
+              col("l_partkey") === col("xk"), "left_semi")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(amt).cast("double").as("total_sales"),
+             count(lit(1)).as("cnt"))
+    }),
+
+    // ── q14b shape: same cross-channel set, year-vs-year brand compare ──
+    "q101_tpcds14b" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def items(rf: String) =
+        li.filter(col("l_returnflag") === rf).select(col("l_partkey")).distinct()
+      val cross = items("A").intersect(items("N")).intersect(items("R"))
+        .withColumnRenamed("l_partkey", "xk")
+      def byYear(y: String, yNext: String, out: String) =
+        li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_orderdate") >= ts(y) && col("o_orderdate") < ts(yNext))
+          .join(cross, col("l_partkey") === col("xk"), "left_semi")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand")).agg(sum(amt).cast("double").as(out))
+      byYear("1996-01-01", "1997-01-01", "sales_this")
+        .join(byYear("1997-01-01", "1998-01-01", "sales_next")
+                .withColumnRenamed("p_brand", "b2"),
+              col("p_brand") === col("b2"))
+        .filter(col("sales_next") > col("sales_this"))
+        .select(col("p_brand"), col("sales_this"), col("sales_next"))
+    }),
+
+    // ── q23a shape: frequent items × best customers → one total ──
+    "q102_tpcds23a" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val freq = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1998-01-01"))
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") > 20)
+        .select(col("l_partkey").as("fk"))
+      val spend = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(amt).cast("double").as("spent"))
+      val maxSpend = spend.agg(max(col("spent")).as("mx"))
+      val best = spend.join(broadcast(maxSpend))
+        .filter(col("spent") > col("mx") * 0.5)
+        .select(col("o_custkey").as("bk"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-12-01") &&
+                col("o_orderdate") < ts("1997-02-01"))
+        .join(freq, col("l_partkey") === col("fk"), "left_semi")
+        .join(best, col("o_custkey") === col("bk"), "left_semi")
+        .agg(sum(amt).cast("double").as("total_sales"))
+    }),
+
+    // ── q23b shape: same sets, per-customer top-10 ──
+    "q103_tpcds23b" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val freq = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1998-01-01"))
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") > 20)
+        .select(col("l_partkey").as("fk"))
+      val spend = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(amt).cast("double").as("spent"))
+      val maxSpend = spend.agg(max(col("spent")).as("mx"))
+      val best = spend.join(broadcast(maxSpend))
+        .filter(col("spent") > col("mx") * 0.5)
+        .select(col("o_custkey").as("bk"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-12-01") &&
+                col("o_orderdate") < ts("1997-02-01"))
+        .join(freq, col("l_partkey") === col("fk"), "left_semi")
+        .join(best, col("o_custkey") === col("bk"), "left_semi")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"))
+        .agg(sum(amt).cast("double").as("spent_dec"))
+        .orderBy(col("spent_dec").desc, col("c_name"))
+        .limit(10)
+    }),
+
+    // ── q38 shape: INTERSECT of customer identity sets across channels ──
+    "q104_tpcds38" -> ((s, dir) => {
+      def chanCust(rf: String) = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === rf)
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1997-01-01"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name")).distinct()
+      chanCust("A").intersect(chanCust("N")).intersect(chanCust("R"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ── q87 shape: EXCEPT chain over the same channel sets ──
+    "q105_tpcds87" -> ((s, dir) => {
+      def chanCust(rf: String) = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === rf)
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1997-01-01"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name")).distinct()
+      chanCust("A").except(chanCust("N")).except(chanCust("R"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ── q11 shape: year-over-year growth self-join on aggregated frame ──
+    "q106_tpcds11" -> ((s, dir) => {
+      val perYear = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1998-01-01"))
+        .groupBy(col("o_custkey"), col("l_linestatus"),
+                 year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum(amt).cast("double").as("total"))
+      def slice(ls: String, y: Int, out: String) = perYear
+        .filter(col("l_linestatus") === ls && col("yr") === y)
+        .select(col("o_custkey").as(s"k_$out"), col("total").as(out))
+      slice("F", 1996, "f96")
+        .join(slice("F", 1997, "f97"), col("k_f96") === col("k_f97"))
+        .join(slice("O", 1996, "o96"), col("k_f96") === col("k_o96"))
+        .join(slice("O", 1997, "o97"), col("k_f96") === col("k_o97"))
+        .filter(col("f96") > 0 && col("o96") > 0 &&
+                col("o97") / col("o96") > col("f97") / col("f96"))
+        .select(col("k_f96").as("c_custkey"))
+        .orderBy(col("c_custkey"))
+        .limit(100)
+    }),
+
+    // ── q47 shape: monthly deviation from category-year mean, lag/lead ──
+    "q107_tpcds47" -> ((s, dir) => {
+      val monthly = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+                 year(col("o_orderdate")).cast("long").as("yr"),
+                 month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(sum(amt).cast(dec).as("msum_dec"))
+      val wy = Window.partitionBy(col("p_brand"), col("yr"))
+      val wseq = Window.partitionBy(col("p_brand")).orderBy(col("yr"), col("mo"))
+      monthly
+        .withColumn("msum", col("msum_dec").cast("double"))
+        .withColumn("avg_monthly",
+          sum(col("msum_dec")).over(wy).cast("double") /
+            count(lit(1)).over(wy))
+        .withColumn("psum", lag(col("msum"), 1).over(wseq))
+        .withColumn("nsum", lead(col("msum"), 1).over(wseq))
+        .filter(col("yr") === 1997 && col("avg_monthly") > 0 &&
+                abs(col("msum") - col("avg_monthly")) / col("avg_monthly") > 0.1)
+        .select(col("p_brand"), col("yr"), col("mo"), col("msum"),
+                col("avg_monthly"), col("psum"), col("nsum"))
+    }),
+
+    // ── q51 shape: cumulative per-channel totals, FULL OUTER compare ──
+    "q108_tpcds51" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+                col("l_shipdate") < ts("1997-01-01"))
+      def cum(rf: String, pfx: String) = {
+        val w = Window.partitionBy(col("b")).orderBy(col("m"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        li.filter(col("l_returnflag") === rf)
+          .groupBy(col("p_brand").as("b"),
+                   month(col("l_shipdate")).cast("long").as("m"))
+          .agg(sum(amt).cast(dec).as("msum"))
+          .select(col("b").as(s"${pfx}_brand"), col("m").as(s"${pfx}_mo"),
+                  sum(col("msum")).over(w).cast("double").as(s"${pfx}_cum"))
+      }
+      cum("A", "store")
+        .join(cum("R", "web"),
+          col("store_brand") === col("web_brand") &&
+          col("store_mo") === col("web_mo"), "full_outer")
+        .select(
+          coalesce(col("store_brand"), col("web_brand")).as("p_brand"),
+          coalesce(col("store_mo"), col("web_mo")).as("mo"),
+          coalesce(col("store_cum"), lit(0.0)).as("store_cum"),
+          coalesce(col("web_cum"), lit(0.0)).as("web_cum"))
+        .filter(col("web_cum") > col("store_cum"))
+    }),
+
+    // ── q88 shape: battery of scalar-count subqueries, cross-joined ──
+    "q109_tpcds88" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def bucket(lo: Int, hi: Int, rf: Seq[String], out: String) =
+        li.filter(col("l_quantity") >= lo && col("l_quantity") <= hi &&
+                  col("l_returnflag").isin(rf: _*))
+          .agg(count(lit(1)).as(out))
+      bucket(1, 5, Seq("A", "R"), "h1")
+        .crossJoin(bucket(6, 10, Seq("A", "R"), "h2"))
+        .crossJoin(bucket(11, 15, Seq("A", "R"), "h3"))
+        .crossJoin(bucket(16, 20, Seq("A", "R"), "h4"))
+        .crossJoin(bucket(21, 25, Seq("N"), "h5"))
+        .crossJoin(bucket(26, 30, Seq("N"), "h6"))
+        .crossJoin(bucket(31, 35, Seq("N", "R"), "h7"))
+        .crossJoin(bucket(36, 40, Seq("N", "R"), "h8"))
+    }),
+
+    // ── q90 shape: ratio of two scalar-count subqueries ──
+    "q110_tpcds90" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      def cnt(mLo: Int, mHi: Int, out: String) = o
+        .filter(year(col("o_orderdate")) === 1996 &&
+                month(col("o_orderdate")).between(mLo, mHi))
+        .agg(count(lit(1)).as(out))
+      cnt(1, 3, "am").crossJoin(cnt(10, 12, "pm"))
+        .select(round(col("am").cast("double") / col("pm").cast("double"), 6)
+          .as("am_pm_ratio"))
+    }),
+
+    // ── q36 shape: margin ROLLUP + rank within grouping level ──
+    "q111_tpcds36" -> ((s, dir) => {
+      val rolled = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg((sum(prof).cast("double") / sum(amt).cast("double"))
+               .as("gross_margin"),
+             grouping_id().cast("long").as("lochierarchy"))
+      val w = Window
+        .partitionBy(col("lochierarchy"), coalesce(col("r_name"), lit("")))
+        .orderBy(col("gross_margin"), coalesce(col("n_name"), lit("")))
+      rolled.withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("r_name"), col("n_name"), col("gross_margin"),
+                col("lochierarchy"), col("rk"))
+    }),
+
+    // ── q58 shape: items with near-equal revenue across all 3 channels ──
+    "q112_tpcds58" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+                col("l_shipdate") < ts("1996-04-01"))
+      def rev(rf: String, out: String) = li
+        .filter(col("l_returnflag") === rf)
+        .groupBy(col("l_partkey").as(s"k_$out"))
+        .agg(sum(amt).cast("double").as(out))
+      rev("A", "store_rev")
+        .join(rev("N", "cat_rev"), col("k_store_rev") === col("k_cat_rev"))
+        .join(rev("R", "web_rev"), col("k_store_rev") === col("k_web_rev"))
+        .withColumn("avg3",
+          (col("store_rev") + col("cat_rev") + col("web_rev")) / 3.0)
+        .filter(
+          col("store_rev").between(col("avg3") * 0.9, col("avg3") * 1.1) &&
+          col("cat_rev").between(col("avg3") * 0.9, col("avg3") * 1.1) &&
+          col("web_rev").between(col("avg3") * 0.9, col("avg3") * 1.1))
+        .select(col("k_store_rev").as("l_partkey"),
+                col("store_rev"), col("cat_rev"), col("web_rev"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q94_tpcds5" -> """
+      WITH base AS (
+        SELECT CASE l_returnflag WHEN 'A' THEN 'store'
+                                 WHEN 'N' THEN 'catalog' ELSE 'web' END AS channel,
+               n_name,
+               CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4)) AS a,
+               CAST(l_extendedprice*(1.0-l_discount)
+                    - 0.5*p_retailprice*l_quantity AS DECIMAL(18,4)) AS p
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01')
+      SELECT channel, n_name,
+             CAST(sum(a) AS DOUBLE) AS total_sales,
+             CAST(sum(p) AS DOUBLE) AS total_profit
+      FROM base GROUP BY ROLLUP(channel, n_name)""",
+
+    "q95_tpcds77" -> """
+      WITH li AS (
+        SELECT l_linestatus, l_returnflag, n_name,
+               CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4)) AS a
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'),
+      sold AS (SELECT l_linestatus, n_name, CAST(sum(a) AS DECIMAL(18,4)) AS sales
+               FROM li WHERE l_returnflag <> 'R' GROUP BY 1, 2),
+      ret AS (SELECT l_linestatus, n_name, CAST(sum(a) AS DECIMAL(18,4)) AS returns
+              FROM li WHERE l_returnflag = 'R' GROUP BY 1, 2),
+      per AS (
+        SELECT CASE coalesce(sold.l_linestatus, ret.l_linestatus)
+                 WHEN 'F' THEN 'store' ELSE 'web' END AS channel,
+               coalesce(sold.n_name, ret.n_name) AS nation,
+               coalesce(sales, CAST(0 AS DECIMAL(18,4))) AS sales,
+               coalesce(returns, CAST(0 AS DECIMAL(18,4))) AS returns
+        FROM sold FULL OUTER JOIN ret
+          ON sold.l_linestatus = ret.l_linestatus AND sold.n_name = ret.n_name)
+      SELECT channel, nation,
+             CAST(sum(sales) AS DOUBLE) AS total_sales,
+             CAST(sum(returns) AS DOUBLE) AS total_returns,
+             CAST(sum(sales - returns) AS DOUBLE) AS total_profit
+      FROM per GROUP BY ROLLUP(channel, nation)""",
+
+    "q96_tpcds18" -> """
+      SELECT n_name, c_mktsegment,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS avg_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS avg_price,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS avg_order,
+             count(*) AS cnt
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY ROLLUP(n_name, c_mktsegment)""",
+
+    "q97_tpcds22" -> """
+      SELECT p_brand, p_type, p_size,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS qoh
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY ROLLUP(p_brand, p_type, p_size)
+      ORDER BY qoh, coalesce(p_brand, ''), coalesce(p_type, ''),
+               coalesce(p_size, -1)
+      LIMIT 100""",
+
+    "q98_tpcds67" -> """
+      WITH rolled AS (
+        SELECT p_type, p_brand, yr,
+               CAST(sum(a) AS DOUBLE) AS sumsales
+        FROM (SELECT p_type, p_brand,
+                     CAST(year(o_orderdate) AS BIGINT) AS yr,
+                     CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4)) AS a
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN part ON l_partkey = p_partkey)
+        GROUP BY ROLLUP(p_type, p_brand, yr))
+      SELECT p_type, p_brand, yr, sumsales, rk FROM (
+        SELECT *, CAST(row_number() OVER (
+                 PARTITION BY p_type
+                 ORDER BY sumsales DESC, coalesce(p_brand, ''),
+                          coalesce(yr, -1)) AS BIGINT) AS rk
+        FROM rolled)
+      WHERE rk <= 3""",
+
+    "q99_tpcds35" -> """
+      SELECT n_name, c_mktsegment, count(*) AS cnt,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS avg_bal,
+             min(c_acctbal) AS min_bal,
+             max(c_acctbal) AS max_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1996-01-01'
+                      AND o_orderdate < TIMESTAMP '1997-01-01')
+        AND (EXISTS (SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                     WHERE o_custkey = c_custkey AND l_returnflag = 'A')
+          OR EXISTS (SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                     WHERE o_custkey = c_custkey AND l_returnflag = 'R'))
+      GROUP BY n_name, c_mktsegment""",
+
+    "q100_tpcds14a" -> """
+      WITH cross_items AS (
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        INTERSECT
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+        INTERSECT
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+      SELECT p_brand,
+             CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS total_sales,
+             count(*) AS cnt
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND l_partkey IN (SELECT l_partkey FROM cross_items)
+      GROUP BY p_brand""",
+
+    "q101_tpcds14b" -> """
+      WITH cross_items AS (
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        INTERSECT
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+        INTERSECT
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+      y96 AS (
+        SELECT p_brand, CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+               AS DECIMAL(18,4))) AS DOUBLE) AS sales_this
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_partkey IN (SELECT l_partkey FROM cross_items)
+        GROUP BY p_brand),
+      y97 AS (
+        SELECT p_brand, CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+               AS DECIMAL(18,4))) AS DOUBLE) AS sales_next
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_partkey IN (SELECT l_partkey FROM cross_items)
+        GROUP BY p_brand)
+      SELECT y96.p_brand, sales_this, sales_next
+      FROM y96 JOIN y97 ON y96.p_brand = y97.p_brand
+      WHERE sales_next > sales_this""",
+
+    "q102_tpcds23a" -> """
+      WITH freq AS (
+        SELECT l_partkey FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_partkey
+        HAVING count(DISTINCT l_orderkey) > 20),
+      spend AS (
+        SELECT o_custkey, CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+               AS DECIMAL(18,4))) AS DOUBLE) AS spent
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey),
+      best AS (
+        SELECT o_custkey FROM spend
+        WHERE spent > 0.5 * (SELECT max(spent) FROM spend))
+      SELECT CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+             AS DECIMAL(18,4))) AS DOUBLE) AS total_sales
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1996-12-01'
+        AND o_orderdate < TIMESTAMP '1997-02-01'
+        AND l_partkey IN (SELECT l_partkey FROM freq)
+        AND o_custkey IN (SELECT o_custkey FROM best)""",
+
+    "q103_tpcds23b" -> """
+      WITH freq AS (
+        SELECT l_partkey FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_partkey
+        HAVING count(DISTINCT l_orderkey) > 20),
+      spend AS (
+        SELECT o_custkey, CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+               AS DECIMAL(18,4))) AS DOUBLE) AS spent
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey),
+      best AS (
+        SELECT o_custkey FROM spend
+        WHERE spent > 0.5 * (SELECT max(spent) FROM spend))
+      SELECT c_name, CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+             AS DECIMAL(18,4))) AS DOUBLE) AS spent_dec
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderdate >= TIMESTAMP '1996-12-01'
+        AND o_orderdate < TIMESTAMP '1997-02-01'
+        AND l_partkey IN (SELECT l_partkey FROM freq)
+        AND o_custkey IN (SELECT o_custkey FROM best)
+      GROUP BY c_name
+      ORDER BY spent_dec DESC, c_name
+      LIMIT 10""",
+
+    "q104_tpcds38" -> """
+      SELECT count(*) AS cnt FROM (
+        SELECT DISTINCT c_custkey, c_name
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'A'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        INTERSECT
+        SELECT DISTINCT c_custkey, c_name
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'N'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        INTERSECT
+        SELECT DISTINCT c_custkey, c_name
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01')""",
+
+    "q105_tpcds87" -> """
+      SELECT count(*) AS cnt FROM (
+        SELECT DISTINCT c_custkey, c_name
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'A'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        EXCEPT
+        SELECT DISTINCT c_custkey, c_name
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'N'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        EXCEPT
+        SELECT DISTINCT c_custkey, c_name
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01')""",
+
+    "q106_tpcds11" -> """
+      WITH per_year AS (
+        SELECT o_custkey, l_linestatus,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3)
+      SELECT f96.o_custkey AS c_custkey
+      FROM (SELECT * FROM per_year WHERE l_linestatus='F' AND yr=1996) f96
+      JOIN (SELECT * FROM per_year WHERE l_linestatus='F' AND yr=1997) f97
+        ON f96.o_custkey = f97.o_custkey
+      JOIN (SELECT * FROM per_year WHERE l_linestatus='O' AND yr=1996) o96
+        ON f96.o_custkey = o96.o_custkey
+      JOIN (SELECT * FROM per_year WHERE l_linestatus='O' AND yr=1997) o97
+        ON f96.o_custkey = o97.o_custkey
+      WHERE f96.total > 0 AND o96.total > 0
+        AND o97.total / o96.total > f97.total / f96.total
+      ORDER BY 1
+      LIMIT 100""",
+
+    "q107_tpcds47" -> """
+      WITH monthly AS (
+        SELECT p_brand,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(month(o_orderdate) AS BIGINT) AS mo,
+               CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                    AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS msum_dec
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2, 3),
+      v AS (
+        SELECT p_brand, yr, mo,
+               CAST(msum_dec AS DOUBLE) AS msum,
+               CAST(sum(msum_dec) OVER (PARTITION BY p_brand, yr) AS DOUBLE)
+                 / count(*) OVER (PARTITION BY p_brand, yr) AS avg_monthly,
+               lag(CAST(msum_dec AS DOUBLE), 1) OVER
+                 (PARTITION BY p_brand ORDER BY yr, mo) AS psum,
+               lead(CAST(msum_dec AS DOUBLE), 1) OVER
+                 (PARTITION BY p_brand ORDER BY yr, mo) AS nsum
+        FROM monthly)
+      SELECT p_brand, yr, mo, msum, avg_monthly, psum, nsum
+      FROM v
+      WHERE yr = 1997 AND avg_monthly > 0
+        AND abs(msum - avg_monthly) / avg_monthly > 0.1""",
+
+    "q108_tpcds51" -> """
+      WITH st AS (
+        SELECT p_brand AS b, CAST(month(l_shipdate) AS BIGINT) AS m,
+               CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                    AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS msum
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_returnflag = 'A'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2),
+      wb AS (
+        SELECT p_brand AS b, CAST(month(l_shipdate) AS BIGINT) AS m,
+               CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                    AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS msum
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_returnflag = 'R'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2),
+      stc AS (SELECT b, m, CAST(sum(msum) OVER (PARTITION BY b ORDER BY m
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS store_cum FROM st),
+      wbc AS (SELECT b, m, CAST(sum(msum) OVER (PARTITION BY b ORDER BY m
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS web_cum FROM wb)
+      SELECT coalesce(stc.b, wbc.b) AS p_brand,
+             coalesce(stc.m, wbc.m) AS mo,
+             coalesce(store_cum, 0.0) AS store_cum,
+             coalesce(web_cum, 0.0) AS web_cum
+      FROM stc FULL OUTER JOIN wbc ON stc.b = wbc.b AND stc.m = wbc.m
+      WHERE coalesce(web_cum, 0.0) > coalesce(store_cum, 0.0)""",
+
+    "q109_tpcds88" -> """
+      SELECT * FROM
+        (SELECT count(*) AS h1 FROM lineitem
+         WHERE l_quantity BETWEEN 1 AND 5 AND l_returnflag IN ('A','R')) s1,
+        (SELECT count(*) AS h2 FROM lineitem
+         WHERE l_quantity BETWEEN 6 AND 10 AND l_returnflag IN ('A','R')) s2,
+        (SELECT count(*) AS h3 FROM lineitem
+         WHERE l_quantity BETWEEN 11 AND 15 AND l_returnflag IN ('A','R')) s3,
+        (SELECT count(*) AS h4 FROM lineitem
+         WHERE l_quantity BETWEEN 16 AND 20 AND l_returnflag IN ('A','R')) s4,
+        (SELECT count(*) AS h5 FROM lineitem
+         WHERE l_quantity BETWEEN 21 AND 25 AND l_returnflag IN ('N')) s5,
+        (SELECT count(*) AS h6 FROM lineitem
+         WHERE l_quantity BETWEEN 26 AND 30 AND l_returnflag IN ('N')) s6,
+        (SELECT count(*) AS h7 FROM lineitem
+         WHERE l_quantity BETWEEN 31 AND 35 AND l_returnflag IN ('N','R')) s7,
+        (SELECT count(*) AS h8 FROM lineitem
+         WHERE l_quantity BETWEEN 36 AND 40 AND l_returnflag IN ('N','R')) s8""",
+
+    "q110_tpcds90" -> """
+      SELECT round(CAST(am AS DOUBLE) / CAST(pm AS DOUBLE), 6) AS am_pm_ratio
+      FROM (SELECT count(*) AS am FROM orders
+            WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+              AND year(o_orderdate) = 1996
+              AND month(o_orderdate) BETWEEN 1 AND 3) a,
+           (SELECT count(*) AS pm FROM orders
+            WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+              AND year(o_orderdate) = 1996
+              AND month(o_orderdate) BETWEEN 10 AND 12) b""",
+
+    "q111_tpcds36" -> """
+      WITH rolled AS (
+        SELECT r_name, n_name,
+               CAST(sum(p) AS DOUBLE) / CAST(sum(a) AS DOUBLE) AS gross_margin,
+               CAST(grouping(r_name, n_name) AS BIGINT) AS lochierarchy
+        FROM (SELECT r_name, n_name,
+                     CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4)) AS a,
+                     CAST(l_extendedprice*(1.0-l_discount)
+                          - 0.5*p_retailprice*l_quantity AS DECIMAL(18,4)) AS p
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey)
+        GROUP BY ROLLUP(r_name, n_name))
+      SELECT r_name, n_name, gross_margin, lochierarchy,
+             CAST(row_number() OVER (
+               PARTITION BY lochierarchy, coalesce(r_name, '')
+               ORDER BY gross_margin, coalesce(n_name, '')) AS BIGINT) AS rk
+      FROM rolled""",
+
+    "q112_tpcds58" -> """
+      WITH st AS (
+        SELECT l_partkey AS k, CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+               AS DECIMAL(18,4))) AS DOUBLE) AS store_rev
+        FROM lineitem WHERE l_returnflag = 'A'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1),
+      ct AS (
+        SELECT l_partkey AS k, CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+               AS DECIMAL(18,4))) AS DOUBLE) AS cat_rev
+        FROM lineitem WHERE l_returnflag = 'N'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1),
+      wb AS (
+        SELECT l_partkey AS k, CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+               AS DECIMAL(18,4))) AS DOUBLE) AS web_rev
+        FROM lineitem WHERE l_returnflag = 'R'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1)
+      SELECT st.k AS l_partkey, store_rev, cat_rev, web_rev
+      FROM st JOIN ct ON st.k = ct.k JOIN wb ON st.k = wb.k
+      WHERE store_rev BETWEEN 0.9 * (store_rev+cat_rev+web_rev)/3.0
+                          AND 1.1 * (store_rev+cat_rev+web_rev)/3.0
+        AND cat_rev BETWEEN 0.9 * (store_rev+cat_rev+web_rev)/3.0
+                        AND 1.1 * (store_rev+cat_rev+web_rev)/3.0
+        AND web_rev BETWEEN 0.9 * (store_rev+cat_rev+web_rev)/3.0
+                        AND 1.1 * (store_rev+cat_rev+web_rev)/3.0"""
+  )
+}
