@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+import graft.streaming.TemporalJoin
+
+case class Probe(p_id: Long, p_user: Long, p_ts: Timestamp)
+case class Ver(v_user: Long, v_ts: Timestamp, v_id: Long, v_val: Double)
+
+/** Streaming temporal/as-of join: the stream result must equal the batch
+  * dual (`AsOfJoin.leftAsOf`) on the same data, and a version arriving
+  * AFTER a pending probe — even with an event time below the current
+  * watermark — must still be matched (TemporalRowTimeJoinOperator
+  * semantics: emission waits for the watermark, so the version set at the
+  * probe's instant is complete). */
+class TemporalJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private lazy val eventRows =
+    Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"))
+      .as[SEv].collect().toSeq.sortBy(_.ts.getTime).take(600)
+
+  test("streaming as-of join equals batch leftAsOf") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SEv]
+    val ds = mem.toDS()
+    val probes = ds.filter(_.event_type == "purchase")
+      .map(e => Probe(e.event_id, e.user_id, e.ts))
+    val vers = ds.filter(_.event_type == "click")
+      .map(e => Ver(e.user_id, e.ts, e.event_id, e.value))
+    val joined = TemporalJoin.streamAsOf[Probe, Ver](
+      probes, vers, _.p_user, _.v_user, _.p_ts, _.v_ts, _.v_id, "10 minutes")
+      .select(col("_1.p_id").as("p_id"), col("_2.v_id").as("v_id"))
+    val q = joined.writeStream.format("memory").queryName("s_asof")
+      .outputMode(OutputMode.Append).start()
+    try {
+      eventRows.grouped(200).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val last = eventRows.last
+      mem.addData(SEv(-1L, new Timestamp(last.ts.getTime + 86400000L),
+        -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s_asof")
+
+    val pb = eventRows.filter(_.event_type == "purchase")
+      .map(e => Probe(e.event_id, e.user_id, e.ts)).toDF()
+    val vb = eventRows.filter(_.event_type == "click")
+      .map(e => Ver(e.user_id, e.ts, e.event_id, e.value)).toDF()
+    val exp = AsOfJoin.leftAsOf(pb, vb, "p_user", "v_user", "p_ts", "v_ts",
+        Seq("v_id"), "v_id")
+      .select(col("p_id"), col("v_id"))
+    assert(got.count() > 0)
+    assert(got.count() == exp.count())
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+  }
+
+  test("version arriving after the probe, out of order, still matches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SEv]
+    val ds = mem.toDS()
+    val probes = ds.filter(_.event_type == "p")
+      .map(e => Probe(e.event_id, e.user_id, e.ts))
+    val vers = ds.filter(_.event_type == "v")
+      .map(e => Ver(e.user_id, e.ts, e.event_id, e.value))
+    val joined = TemporalJoin.streamAsOf[Probe, Ver](
+      probes, vers, _.p_user, _.v_user, _.p_ts, _.v_ts, _.v_id, "3 seconds")
+      .select(col("_1.p_id").as("p_id"), col("_2.v_id").as("v_id"))
+    val q = joined.writeStream.format("memory").queryName("s_asof_late")
+      .outputMode(OutputMode.Append).start()
+    def ev(id: Long, tsMs: Long, user: Long, tpe: String) =
+      SEv(id, new Timestamp(tsMs), user, tpe, 0.0)
+    try {
+      // batch 1: version v1@1s, probe@5s (key 1), filler@7.9s (key 2)
+      // → wm after batch = 4.9s: the probe stays pending (5s > 4.9s)
+      mem.addData(ev(10, 1000, 1, "v"), ev(100, 5000, 1, "p"),
+                  ev(999, 7900, 2, "v"))
+      q.processAllAvailable()
+      // batch 2: v2@4.95s — arriving AFTER the probe row, out of order
+      // but inside the watermark delay — plus filler@8.1s pushing the
+      // wm to 5.1s, which releases the probe on the following sweep.
+      // (A version strictly below the watermark never reaches the
+      // operator: SS's stateful late-data filter drops it — same
+      // emission-at-watermark guarantee as the reference.)
+      mem.addData(ev(11, 4950, 1, "v"), ev(998, 8100, 2, "v"))
+      q.processAllAvailable()
+      mem.addData(ev(997, 90000, 2, "v"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s_asof_late").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exactly one emission for the probe, matched to the LATEST version
+    // at or before 5s — the later-arriving v2@4.95s, not v1@1s
+    assert(got.toSeq == Seq((100L, 11L)))
+  }
+}
