@@ -55,6 +55,68 @@ object Changelog {
    * exactly GroupAggFunction's protocol. Groups whose count returns to 0
    * retire their state (the reference's RecordCounter behavior).
    */
+  /** One retract-aware extremes output row (kind ∈ -U/+U/-D). */
+  final case class ExtremeChange(key: Long, kind: String,
+                                 min: Double, max: Double,
+                                 first: Double, last: Double, count: Long)
+
+  /**
+   * Retract-aware MIN/MAX/FIRST_VALUE/LAST_VALUE per key — the agg
+   * family SUM/COUNT retraction alone can't express: deleting the row
+   * holding the current max must re-emit the runner-up
+   * (PLANNER-J/functions/aggfunctions/MaxWithRetractAggFunction.java and
+   * FirstValueWithRetractAggFunction.java keep a sorted map / ordered
+   * list in keyed state for exactly this).
+   *
+   * State is the key's LIVE row set as `Map[ord → value]` (ord is the
+   * caller's unique row id — the changelog position): an insert adds its
+   * entry, a delete removes it, and every emission recomputes
+   * min/max/first/last from the live set. Where Flink's TreeMap pays
+   * O(log n) per record to keep extremes incremental, a micro-batch
+   * recompute is one O(live) scan per key per batch — the SS-idiomatic
+   * trade, bounded by the key's non-retracted rows, not by history.
+   * Emission protocol is GroupAggFunction's: any change emits
+   * (-U previous, +U new); a count reaching 0 emits (-U previous, -D).
+   */
+  def aggregateChangelogMinMax[V](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, V],
+      kind: V => String, value: V => Double, ord: V => Long)(
+      implicit ve: Encoder[V]): Dataset[ExtremeChange] = {
+    import org.apache.spark.sql.Encoders
+    implicit val se: Encoder[Map[Long, Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    implicit val oe: Encoder[ExtremeChange] = Encoders.product[ExtremeChange]
+    def snap(key: Long, k: String, live: Map[Long, Double]): ExtremeChange = {
+      val vs = live.values
+      ExtremeChange(key, k, vs.min, vs.max,
+        live(live.keys.min), live(live.keys.max), live.size.toLong)
+    }
+    grouped.flatMapGroupsWithState[Map[Long, Double], ExtremeChange](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: Long, values: Iterator[V], state: GroupState[Map[Long, Double]]) =>
+        val live0 = state.getOption.getOrElse(Map.empty[Long, Double])
+        var live = live0
+        values.foreach { v =>
+          kind(v) match {
+            case Insert | UpdateAfter => live += (ord(v) -> value(v))
+            case Delete | UpdateBefore => live -= ord(v)
+          }
+        }
+        if (live.isEmpty) state.remove() else state.update(live)
+        val before0 = if (live0.isEmpty) None else Some(snap(key, UpdateBefore, live0))
+        val after0 = if (live.isEmpty) None else Some(snap(key, UpdateAfter, live))
+        (before0, after0) match {
+          case (Some(b), Some(a)) if (b.min, b.max, b.first, b.last, b.count) ==
+                                     (a.min, a.max, a.first, a.last, a.count) =>
+            Iterator.empty
+          case (b, Some(a)) => b.iterator ++ Iterator(a)
+          case (Some(b), None) =>
+            Iterator(b, b.copy(kind = Delete))
+          case (None, None) => Iterator.empty
+        }
+    }
+  }
+
   def aggregateChangelog[V](
       grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, V],
       kind: V => String, value: V => Double)(

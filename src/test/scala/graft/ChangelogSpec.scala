@@ -48,6 +48,33 @@ class ChangelogSpec extends AnyFunSuite {
       (1L, "-U", 7.0, 1L), (1L, "-D", 7.0, 1L))) // batch 3: retire group
   }
 
+  test("retract-aware max: deleting the current max re-emits the runner-up") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    val out = Changelog.aggregateChangelogMinMax[CRow](
+      mem.toDS().groupByKey(_.key), _.kind, _.value, _.ord)
+    val q = out.writeStream.format("memory").queryName("cl_minmax")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(CRow(1, "+I", 5.0, 1), CRow(1, "+I", 9.0, 2), CRow(1, "+I", 7.0, 3))
+      q.processAllAvailable()
+      mem.addData(CRow(1, "-D", 9.0, 2)) // delete the row holding the max
+      q.processAllAvailable()
+      mem.addData(CRow(1, "-D", 5.0, 1)) // delete the row holding min+first
+      q.processAllAvailable()
+      mem.addData(CRow(1, "-D", 7.0, 3)) // group retires
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_minmax")
+      .select("kind", "min", "max", "first", "last", "count")
+      .as[(String, Double, Double, Double, Double, Long)].collect().toList
+    assert(got == List(
+      ("+U", 5.0, 9.0, 5.0, 7.0, 3L),                      // batch 1
+      ("-U", 5.0, 9.0, 5.0, 7.0, 3L), ("+U", 5.0, 7.0, 5.0, 7.0, 2L), // max→7
+      ("-U", 5.0, 7.0, 5.0, 7.0, 2L), ("+U", 7.0, 7.0, 7.0, 7.0, 1L), // min/first move
+      ("-U", 7.0, 7.0, 7.0, 7.0, 1L), ("-D", 7.0, 7.0, 7.0, 7.0, 1L))) // retire
+  }
+
   test("changelog aggregate emits nothing for no-op batches") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]
