@@ -41,6 +41,30 @@ object StreamOps {
       .agg(aggs.head, aggs.tail: _*)
 
   /**
+   * DYNAMIC-gap session windows (STREAM/api/windowing/assigners/
+   * DynamicEventTimeSessionWindows.java analogue — the reference extracts
+   * a per-element gap via SessionWindowTimeGapExtractor). Spark's
+   * `session_window` takes an arbitrary gap *expression* evaluated per
+   * row, so the extractor is just a Column — it must be
+   * CalendarIntervalType, i.e. built with `make_interval(...)`, not an
+   * INTERVAL literal (those are DayTimeIntervalType, which the
+   * SessionWindowing rule rejects for dynamic gaps): e.g.
+   * `when(col("event_type") === "purchase",
+   *       expr("make_interval(0,0,0,0,0,40,0)")).otherwise(...)`. Merging of overlapping
+   * per-row [ts, ts+gap) windows happens in the native
+   * SessionWindowStateStore operator — same mechanics as the static gap,
+   * no custom state needed. Rows whose gap expression is ≤ 0 or null are
+   * dropped (Spark's documented dynamic-gap contract, matching the
+   * reference's "extractor must return > 0").
+   */
+  def dynamicSessionAgg(df: DataFrame, tsCol: String, gap: Column,
+                        disorder: String, keys: Seq[Column],
+                        aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, disorder)
+      .groupBy(keys :+ session_window(col(tsCol), gap).as("w"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /**
    * Stream-stream interval join (TimeBoundedStreamJoin analogue): rows
    * join when `right.ts ∈ [left.ts + lower, left.ts + upper]` on the key.
    * Both sides need watermarks so state is pruned.

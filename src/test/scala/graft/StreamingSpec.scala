@@ -77,6 +77,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
   }
 
+  test("streaming dynamic-gap session agg equals batch dynamic-gap session agg") {
+    // gap extractor: CalendarIntervalType expression evaluated per row
+    // (make_interval — an INTERVAL literal is DayTimeIntervalType, which
+    // session_window rejects for dynamic gaps)
+    val gap = when(col("event_type") === "purchase",
+        expr("make_interval(0,0,0,0,0,45,0)"))
+      .otherwise(expr("make_interval(0,0,0,0,0,15,0)"))
+    val got = runStream("s_dynsess") { ds =>
+      StreamOps.dynamicSessionAgg(ds.toDF(), "ts", gap, "10 minutes",
+        Seq(col("user_id")), Seq(count(lit(1)).as("n")))
+        .select(col("user_id"), col("w.start").as("ws"), col("n"))
+    }.filter(col("user_id") =!= -1L)
+    val exp = eventRows.toDF()
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("ws"), col("n"))
+    assert(got.count() > 0)
+    // the per-element gap must actually vary the windows vs a static gap
+    val static = eventRows.toDF()
+      .groupBy(col("user_id"), session_window(col("ts"), "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+    assert(exp.count() != static.count())
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+  }
+
   test("streaming dedup keep-first equals batch distinct-on-first") {
     val got = runStream("s_dedup") { ds =>
       StreamOps.dedupKeepFirst(ds.toDF(), "ts", "10 minutes",
