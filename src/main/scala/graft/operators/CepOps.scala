@@ -43,18 +43,22 @@ object CepOps {
     // complementary, so matches can't overlap and the relational oracle
     // (lead + cumulative windows) reproduces the NFA output exactly,
     // including greedy B+ and per-key 1-based match numbering.
+    // Entered through the SQL-string front-end (MatchRecognizeSql), so
+    // the oracle gate also value-checks the clause parser; the spec
+    // proves SQL == Scala API on this exact shape.
     "q84_match_recognize" -> ((s, dir) => {
       val o = Tables.table(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
                 col("o_totalprice"))
-      graft.streaming.MatchRecognize.annotate(
-          o,
-          partitionBy = Seq("o_custkey"),
-          orderBy = Seq("o_orderdate", "o_orderkey"),
-          pattern = "A B+",
-          define = Seq(
-            "A" -> (col("o_totalprice") > 100000),
-            "B" -> (col("o_totalprice") <= 100000)))
+      graft.streaming.MatchRecognizeSql(o, """
+          MATCH_RECOGNIZE (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ALL ROWS PER MATCH
+            PATTERN (A B+)
+            DEFINE A AS A.o_totalprice > 100000,
+                   B AS B.o_totalprice <= 100000
+          )""")
         .select(col("o_custkey"), col("o_orderkey"), col("mr_match"),
                 col("mr_var"))
     }),
@@ -63,28 +67,27 @@ object CepOps {
     // MEASURES clause): one output row per "A B+" match carrying
     // FIRST(A.key), LAST(B.key), COUNT(B.*), CLASSIFIER() of the final
     // row, and a FINAL sum over the whole match.
+    // Also entered via the SQL front-end (see q84 note).
     "q87_mr_measures" -> ((s, dir) => {
-      import graft.streaming.MatchRecognize
       val o = Tables.table(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
                 col("o_totalprice"))
-      MatchRecognize.oneRowPerMatch(
-          o,
-          partitionBy = Seq("o_custkey"),
-          orderBy = Seq("o_orderdate", "o_orderkey"),
-          pattern = "A B+",
-          define = Seq(
-            "A" -> (col("o_totalprice") > 100000),
-            "B" -> (col("o_totalprice") <= 100000)),
-          measures = Seq(
-            "a_key" -> MatchRecognize.Measures.firstOf("A", col("o_orderkey")),
-            "last_b_key" -> MatchRecognize.Measures.lastOf("B", col("o_orderkey")),
-            "n_b" -> MatchRecognize.Measures.countOf("B"),
-            "cls" -> MatchRecognize.Measures.classifier,
-            "match_total" ->
-              sum(col("o_totalprice")
-                .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-                .cast("double")))
+      graft.streaming.MatchRecognizeSql(o, """
+          MATCH_RECOGNIZE (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            MEASURES FIRST(A.o_orderkey) AS a_key,
+                     LAST(B.o_orderkey) AS last_b_key,
+                     COUNT(B.*) AS n_b,
+                     CLASSIFIER() AS cls,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS match_total
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+)
+            DEFINE A AS A.o_totalprice > 100000,
+                   B AS B.o_totalprice <= 100000
+          )""")
     }),
 
     // CEP unbounded oneOrMore (Quantifier.java looping state): purchase

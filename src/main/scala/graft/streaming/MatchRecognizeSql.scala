@@ -1,0 +1,216 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{count, expr, lit}
+
+/**
+ * SQL-string front-end for MATCH_RECOGNIZE (SURVEY §2.10): parses the
+ * full SQL:2016 clause —
+ *
+ *   SELECT * FROM <table> MATCH_RECOGNIZE (
+ *     PARTITION BY k1 [, k2 …]
+ *     ORDER BY t1 [, t2 …]
+ *     [MEASURES <expr> AS name [, …]]
+ *     [ONE ROW PER MATCH | ALL ROWS PER MATCH]
+ *     [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
+ *     PATTERN ( <regex over variables> )
+ *     DEFINE V AS <boolean sql> [, …]
+ *   )
+ *
+ * — into the existing engine (`MatchRecognize.annotate` /
+ * `oneRowPerMatch`), the reachability the reference provides through
+ * `TableEnvironment.sqlQuery` → StreamExecMatch
+ * (flink-table-api-java/.../TableEnvironmentImpl.java:626,
+ * flink-table-planner-blink/.../stream/StreamExecMatch.scala:68).
+ *
+ * Measure surface: FIRST(V.c) / LAST(V.c) / COUNT(V.*) / COUNT(*) /
+ * CLASSIFIER() map to the Measures helpers; any other SQL aggregate
+ * works with per-variable scoping — `sum(B.price)` rewrites to
+ * `sum(CASE WHEN mr_var = 'B' THEN price END)` (FINAL semantics over
+ * the match's rows, SQL-standard variable scoping). DEFINE predicates
+ * evaluate on the CURRENT row (variable qualifiers resolve to the
+ * current row's columns); PREV/NEXT navigation is not supported —
+ * the engine classifies rows before matching (a documented divergence:
+ * the reference's MatchCodeGenerator generates cross-row accessors).
+ *
+ * Everything downstream of the parse is the engine's normal Catalyst
+ * path — DEFINE predicates become codegen'd boolean columns computed
+ * before the single hash shuffle; at 100 TB the SQL entry costs nothing
+ * over the Scala API.
+ */
+object MatchRecognizeSql {
+
+  /** Run `SELECT * FROM <table> MATCH_RECOGNIZE (...)` against the
+    * session catalog (table/view name resolved via spark.table). */
+  def sql(spark: SparkSession, sqlText: String): DataFrame = {
+    val m = java.util.regex.Pattern.compile(
+        "(?is)^\\s*SELECT\\s+\\*\\s+FROM\\s+([\\w.]+)\\s+MATCH_RECOGNIZE\\s*\\(")
+      .matcher(sqlText)
+    require(m.find(),
+      "expected: SELECT * FROM <table> MATCH_RECOGNIZE ( ... )")
+    val body = balanced(sqlText, m.end() - 1)
+    run(spark.table(m.group(1)), body)
+  }
+
+  /** Apply a `MATCH_RECOGNIZE (...)` clause (with or without the keyword
+    * wrapper) to an existing DataFrame. */
+  def apply(df: DataFrame, clause: String): DataFrame = {
+    val t = clause.trim
+    val body =
+      if (t.toUpperCase.startsWith("MATCH_RECOGNIZE"))
+        balanced(t, t.indexOf('('))
+      else if (t.startsWith("(")) balanced(t, 0)
+      else t
+    run(df, body)
+  }
+
+  // ------------------------------------------------------------- internals
+
+  /** Content of the parenthesized group opening at `open`. */
+  private def balanced(s: String, open: Int): String = {
+    require(open >= 0 && s.charAt(open) == '(', "expected (")
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return s.substring(open + 1, i)
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("unbalanced parentheses")
+  }
+
+  private val sections = Seq(
+    "PARTITION BY", "ORDER BY", "MEASURES", "ONE ROW PER MATCH",
+    "ALL ROWS PER MATCH", "AFTER MATCH", "PATTERN", "DEFINE")
+
+  /** Locate top-level (paren-depth-0) section keywords in the body. */
+  private def sectionSpans(body: String): Seq[(String, Int, Int)] = {
+    val upper = body.toUpperCase
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    for (kw <- sections) {
+      var from = 0
+      var idx = upper.indexOf(kw, from)
+      while (idx >= 0) {
+        val depth = body.substring(0, idx).count(_ == '(') -
+                    body.substring(0, idx).count(_ == ')')
+        val beforeOk = idx == 0 || !upper.charAt(idx - 1).isLetterOrDigit
+        val after = idx + kw.length
+        val afterOk = after >= upper.length ||
+          !(upper.charAt(after).isLetterOrDigit || upper.charAt(after) == '_')
+        if (depth == 0 && beforeOk && afterOk) found += ((idx, kw))
+        from = idx + 1
+        idx = upper.indexOf(kw, from)
+      }
+    }
+    val sorted = found.sortBy(_._1).toSeq
+    sorted.zipWithIndex.map { case ((at, kw), i) =>
+      val end = if (i + 1 < sorted.length) sorted(i + 1)._1 else body.length
+      (kw, at + kw.length, end)
+    }
+  }
+
+  /** Split on top-level commas. */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Rewrite `V.col` (V a pattern variable) to a per-variable-scoped SQL
+    * fragment; other qualifiers (table aliases) are left alone. */
+  private def scopeVars(sqlExpr: String, vars: Seq[String],
+                        perRow: Boolean): String =
+    vars.foldLeft(sqlExpr) { (e, v) =>
+      val p = s"(?i)\\b$v\\.(\\w+)"
+      if (perRow) e.replaceAll(p, "$1") // DEFINE: current row's column
+      else e.replaceAll(p, s"(CASE WHEN mr_var = '$v' THEN $$1 END)")
+    }
+
+  private val firstRe = "(?is)^FIRST\\s*\\(\\s*(\\w+)\\s*\\.\\s*(\\w+)\\s*\\)$".r
+  private val lastRe = "(?is)^LAST\\s*\\(\\s*(\\w+)\\s*\\.\\s*(\\w+)\\s*\\)$".r
+  private val countVarRe = "(?is)^COUNT\\s*\\(\\s*(\\w+)\\s*\\.\\s*\\*\\s*\\)$".r
+  private val countAllRe = "(?is)^COUNT\\s*\\(\\s*\\*\\s*\\)$".r
+  private val classifierRe = "(?is)^CLASSIFIER\\s*\\(\\s*\\)$".r
+
+  private def measureCol(e: String, vars: Seq[String]): Column = e.trim match {
+    case firstRe(v, c) => MatchRecognize.Measures.firstOf(canon(v, vars), expr(c))
+    case lastRe(v, c) => MatchRecognize.Measures.lastOf(canon(v, vars), expr(c))
+    case countVarRe(v) => MatchRecognize.Measures.countOf(canon(v, vars))
+    case countAllRe() => count(lit(1))
+    case classifierRe() => MatchRecognize.Measures.classifier
+    case other => expr(scopeVars(other, vars, perRow = false))
+  }
+
+  private def canon(v: String, vars: Seq[String]): String =
+    vars.find(_.equalsIgnoreCase(v)).getOrElse(
+      throw new IllegalArgumentException(s"undefined pattern variable $v"))
+
+  private def run(df: DataFrame, body: String): DataFrame = {
+    val spans = sectionSpans(body)
+    def section(kw: String): Option[String] =
+      spans.find(_._1 == kw).map { case (_, s, e) => body.substring(s, e).trim }
+
+    val partitionBy = splitTop(section("PARTITION BY").getOrElse(
+      throw new IllegalArgumentException("PARTITION BY is required")))
+    val orderBy = splitTop(section("ORDER BY").getOrElse(
+        throw new IllegalArgumentException("ORDER BY is required")))
+      .map(_.replaceAll("(?i)\\s+ASC$", ""))
+    val allRows = spans.exists(_._1 == "ALL ROWS PER MATCH")
+    val skip = section("AFTER MATCH") match {
+      case None => MatchRecognize.SkipPastLastRow
+      case Some(s) if s.toUpperCase.replaceAll("\\s+", " ").trim ==
+        "SKIP PAST LAST ROW" => MatchRecognize.SkipPastLastRow
+      case Some(s) if s.toUpperCase.replaceAll("\\s+", " ").trim ==
+        "SKIP TO NEXT ROW" => MatchRecognize.SkipToNextRow
+      case Some(s) => throw new IllegalArgumentException(
+        s"unsupported AFTER MATCH clause: $s")
+    }
+    val patternSec = section("PATTERN").getOrElse(
+      throw new IllegalArgumentException("PATTERN is required"))
+    val pattern = balanced(patternSec, patternSec.indexOf('('))
+
+    val defineSec = section("DEFINE").getOrElse(
+      throw new IllegalArgumentException("DEFINE is required"))
+    val defRe = "(?is)^(\\w+)\\s+AS\\s+(.+)$".r
+    val rawDefs = splitTop(defineSec).map {
+      case defRe(name, pred) => (name, pred.trim)
+      case other => throw new IllegalArgumentException(s"bad DEFINE item: $other")
+    }
+    val vars = rawDefs.map(_._1)
+    val define = rawDefs.map { case (n, p) =>
+      n -> expr(scopeVars(p, vars, perRow = true))
+    }
+
+    if (allRows) {
+      MatchRecognize.annotate(df, partitionBy, orderBy, pattern, define, skip)
+    } else {
+      val measuresSec = section("MEASURES").getOrElse(
+        throw new IllegalArgumentException("ONE ROW PER MATCH needs MEASURES"))
+      val asRe = "(?is)^(.+?)\\s+AS\\s+(\\w+)$".r
+      val measures = splitTop(measuresSec).map {
+        case asRe(e, name) => (name, measureCol(e, vars))
+        case other => throw new IllegalArgumentException(
+          s"bad MEASURES item (need '<expr> AS name'): $other")
+      }
+      MatchRecognize.oneRowPerMatch(
+        df, partitionBy, orderBy, pattern, define, measures, skip)
+    }
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{MatchRecognize, MatchRecognizeSql}
+
+/** The SQL-string front-end must reproduce the Scala-API results for the
+  * oracled q84 (ALL ROWS PER MATCH) and q87 (ONE ROW PER MATCH +
+  * MEASURES) shapes, plus variable-scoped generic aggregates and
+  * AFTER MATCH SKIP TO NEXT ROW. */
+class MatchRecognizeSqlSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private lazy val orders = {
+    val o = Tables.table(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+              col("o_totalprice"))
+    o.createOrReplaceTempView("orders_v")
+    o
+  }
+
+  test("SQL ALL ROWS PER MATCH equals annotate API (q84 shape)") {
+    orders
+    val got = MatchRecognizeSql.sql(spark, """
+      SELECT * FROM orders_v MATCH_RECOGNIZE (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ALL ROWS PER MATCH
+        PATTERN (A B+)
+        DEFINE A AS A.o_totalprice > 100000,
+               B AS B.o_totalprice <= 100000
+      )""")
+      .select(col("o_custkey"), col("o_orderkey"), col("mr_match"), col("mr_var"))
+    val exp = MatchRecognize.annotate(
+        orders,
+        partitionBy = Seq("o_custkey"),
+        orderBy = Seq("o_orderdate", "o_orderkey"),
+        pattern = "A B+",
+        define = Seq(
+          "A" -> (col("o_totalprice") > 100000),
+          "B" -> (col("o_totalprice") <= 100000)))
+      .select(col("o_custkey"), col("o_orderkey"), col("mr_match"), col("mr_var"))
+    assert(got.count() > 0)
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+    assert(got.count() == exp.count())
+  }
+
+  test("SQL ONE ROW PER MATCH + MEASURES equals oneRowPerMatch API (q87 shape)") {
+    orders
+    val got = MatchRecognizeSql.sql(spark, """
+      SELECT * FROM orders_v MATCH_RECOGNIZE (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        MEASURES FIRST(A.o_orderkey) AS a_key,
+                 LAST(B.o_orderkey) AS last_b_key,
+                 COUNT(B.*) AS n_b,
+                 CLASSIFIER() AS cls,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS match_total
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B+)
+        DEFINE A AS A.o_totalprice > 100000,
+               B AS B.o_totalprice <= 100000
+      )""")
+    val exp = MatchRecognize.oneRowPerMatch(
+        orders,
+        partitionBy = Seq("o_custkey"),
+        orderBy = Seq("o_orderdate", "o_orderkey"),
+        pattern = "A B+",
+        define = Seq(
+          "A" -> (col("o_totalprice") > 100000),
+          "B" -> (col("o_totalprice") <= 100000)),
+        measures = Seq(
+          "a_key" -> MatchRecognize.Measures.firstOf("A", col("o_orderkey")),
+          "last_b_key" -> MatchRecognize.Measures.lastOf("B", col("o_orderkey")),
+          "n_b" -> MatchRecognize.Measures.countOf("B"),
+          "cls" -> MatchRecognize.Measures.classifier,
+          "match_total" -> sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")))
+    assert(got.count() > 0)
+    assert(got.columns.toSeq == exp.columns.toSeq)
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+  }
+
+  test("variable-scoped aggregate and SKIP TO NEXT ROW") {
+    orders
+    val got = MatchRecognizeSql.sql(spark, """
+      SELECT * FROM orders_v MATCH_RECOGNIZE (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        MEASURES CAST(sum(CAST(B.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS b_total,
+                 COUNT(*) AS n_rows
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A B)
+        DEFINE A AS A.o_totalprice > 100000,
+               B AS B.o_totalprice <= 100000
+      )""")
+    val exp = MatchRecognize.oneRowPerMatch(
+        orders,
+        partitionBy = Seq("o_custkey"),
+        orderBy = Seq("o_orderdate", "o_orderkey"),
+        pattern = "A B",
+        define = Seq(
+          "A" -> (col("o_totalprice") > 100000),
+          "B" -> (col("o_totalprice") <= 100000)),
+        measures = Seq(
+          "b_total" -> sum(when(col("mr_var") === "B", col("o_totalprice"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double"),
+          "n_rows" -> count(lit(1))),
+        skip = MatchRecognize.SkipToNextRow)
+    assert(got.count() > 0)
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+  }
+}
