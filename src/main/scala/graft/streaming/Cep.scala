@@ -61,148 +61,162 @@ object Cep {
     require(steps.nonEmpty && !steps.head.strict,
       "first step cannot be strict")
     require(steps.head.minTimes >= 1, "first step cannot be optional")
-
-    /** Quantifier elimination: the cartesian expansion of each step's
-      * min..max repeat counts into plain step sequences. Enumerate-all
-      * matching over the expansions equals Flink's followedByAny × noSkip
-      * semantics for bounded quantifiers; expansions of different counts
-      * yield matches of different lengths, so no duplicates arise unless
-      * two ADJACENT quantified steps share a predicate (document: use
-      * disjoint step predicates with quantifiers). */
-    private[streaming] lazy val expansions: Seq[Seq[Step[V]]] =
-      steps.foldLeft(Seq(Seq.empty[Step[V]])) { (acc, st) =>
-        val reps: Seq[Seq[Step[V]]] =
-          if (st.unbounded) {
-            // timesOrMore(n): n-1 plain consecutive copies, then the
-            // looping state itself (consumes the ≥1 remaining repeats).
-            val lead =
-              if (st.minTimes <= 1) Seq.empty
-              else st.copy(minTimes = 1, maxTimes = 1) +:
-                Seq.fill(st.minTimes - 2)(st.copy(minTimes = 1, maxTimes = 1,
-                                                  strict = true, forbid = None))
-            val loop = st.copy(minTimes = 1,
-                               strict = st.strict || st.minTimes > 1,
-                               forbid = if (st.minTimes > 1) None else st.forbid)
-            // zeroOrMore also admits the empty repetition
-            if (st.minTimes == 0) Seq(Seq.empty, lead :+ loop)
-            else Seq(lead :+ loop)
-          } else (st.minTimes to st.maxTimes).map { n =>
-            if (n == 0) Seq.empty
-            else st.copy(minTimes = 1, maxTimes = 1) +:
-              // repeats of a quantified step are strictly contiguous with
-              // each other (Flink's Pattern.times(n).consecutive())
-              Seq.fill(n - 1)(st.copy(minTimes = 1, maxTimes = 1,
-                                      strict = true, forbid = None))
-          }
-        for (a <- acc; r <- reps) yield a ++ r
-      }
   }
 
   /** A completed match: the matched events in step order. */
   final case class Match[K, V](key: K, events: Seq[V])
 
+  /** NFA thread: `reps >= 1` means a consecutive run of `reps` repeats of
+    * `step` is in progress (bounded or looping); `reps == 0` waits for
+    * the step's first repeat. `acc` is the matched events, reversed. */
+  private final case class Th[V](step: Int, reps: Int, startTs: Long,
+                                 lastIdx: Int, acc: List[V])
+
   /**
-   * Core matcher: enumerate matches over one key's time-ordered events.
-   * Keeps only partial matches younger than the within-horizon; for
-   * skipPastLast, matched events are consumed greedily in scan order.
+   * Unified threaded-NFA matcher (single engine for every quantifier —
+   * the round-4 expansion enumeration is gone): one scan of the key's
+   * time-ordered events, each live thread tracking (step, repeat-count).
+   * Quantifiers branch IN PLACE — after the k-th repeat with k ≥ min the
+   * thread forks into "continue repeating" (consecutive, like
+   * `times(n).consecutive()`) and "advance to the next step" — so a
+   * pattern with several `{n,m}` steps costs one pass, not the
+   * Π(mᵢ−nᵢ+1) passes the expansion engine paid. Unbounded steps are
+   * greedy-maximal runs (MATCH_RECOGNIZE `X+`): extension is mandatory
+   * while the predicate holds; the run closes on the first non-matching
+   * event, which cascades — the closing event is offered to the next
+   * step (and may begin it).
+   *
+   * Enumerate-all semantics (followedByAny × noSkip) are unchanged:
+   * relaxed steps survive gaps as waiting threads, every entry point of
+   * a run is enumerated. Like the reference's NFA, an ambiguous pattern
+   * (adjacent quantified steps sharing a predicate) yields one match per
+   * distinct VARIABLE BINDING — same event sequence, different split —
+   * which is Flink's own multiplicity, no longer an accident of the
+   * expansion count.
    */
-  private[streaming] def matchSeq[V](
-      steps: Seq[Step[V]], pattern: Pattern[V], events: IndexedSeq[V],
-      ts: V => Long): Seq[Seq[V]] = {
+  private[streaming] def matchAll[V](
+      pattern: Pattern[V], events: IndexedSeq[V], ts: V => Long): Seq[Seq[V]] = {
+    val steps = pattern.steps
+    val last = steps.length - 1
+    // canEndAt(s): every step after s is optional → a match may end at s.
+    val canEndAt = Array.tabulate(steps.length)(s =>
+      ((s + 1) to last).forall(steps(_).minTimes == 0))
+    // advance targets: s+1, plus further steps reachable by skipping
+    // min==0 steps (the quantifier-elimination n=0 choices, as ε-moves).
+    val advTargets = Array.tabulate(steps.length) { s =>
+      val b = Seq.newBuilder[Int]
+      var s2 = s + 1
+      var go = s2 <= last
+      while (go) { b += s2; go = s2 < last && steps(s2).minTimes == 0; s2 += 1 }
+      b.result()
+    }
+
     val out = mutable.ArrayBuffer.empty[Seq[V]]
-    // partial match:
-    // (nextStepIdx, startTs, lastMatchedIdx, eventsReversed, looping)
-    // looping = currently extending an Unbounded step's consecutive run.
-    var partials = mutable.ArrayBuffer.empty[(Int, Long, Int, List[V], Boolean)]
+    var partials = mutable.ArrayBuffer.empty[Th[V]]
     var i = 0
     while (i < events.length) {
       val e = events(i)
       val t = ts(e)
-      val next = mutable.ArrayBuffer.empty[(Int, Long, Int, List[V], Boolean)]
+      val next = mutable.ArrayBuffer.empty[Th[V]]
+      // consumed: a match ENDING IN e emitted under skip-past-last — e is
+      // spent, overlapping partials die, e cannot start a new match.
+      // wipe: a greedy run closed BEFORE e emitted — partials die but e
+      // itself stays eligible to start the next match ("past last row").
       var consumed = false
-      // a greedy run that closed BEFORE e emitted a match not containing
-      // e: under skip-past-last all overlapping partials die, but e itself
-      // stays eligible to start the next match (MR "past last row").
       var wipe = false
-      // offer may cascade: a closing greedy run hands the SAME event to
-      // the following step (the run-closing event can begin the next step).
-      def offer(stepIdx: Int, startTs: Long, lastIdx: Int, acc: List[V],
-                looping: Boolean): Unit = {
+
+      def emit(acc: List[V], close: Boolean): Unit = {
+        out += acc.reverse
+        if (pattern.skipPastLast) { if (close) wipe = true else consumed = true }
+      }
+
+      // rep k of bounded step s consumed e: emit / keep repeating / fork
+      // waiting threads at the advance targets.
+      def afterConsume(s: Int, k: Int, startTs: Long, acc: List[V]): Unit = {
+        val st = steps(s)
+        if (st.unbounded) { next += Th(s, k, startTs, i, acc); return }
+        if (k >= st.minTimes && canEndAt(s)) {
+          emit(acc, close = false)
+          if (consumed) return
+        }
+        if (k < st.maxTimes) next += Th(s, k, startTs, i, acc)
+        if (k >= st.minTimes)
+          advTargets(s).foreach(s2 => next += Th(s2, 0, startTs, i, acc))
+      }
+
+      // a greedy run closed by e (e not in the run): emit if the pattern
+      // may end here, then cascade e to the following step(s).
+      def closeRun(th: Th[V]): Unit = {
+        if (canEndAt(th.step)) {
+          emit(th.acc, close = true)
+          if (consumed || wipe) return
+        }
+        advTargets(th.step).foreach(s2 =>
+          offer(Th(s2, 0, th.startTs, th.lastIdx, th.acc)))
+      }
+
+      def offer(th: Th[V]): Unit = {
         if (consumed || wipe) return
-        val step = steps(stepIdx)
-        if (looping) {
-          // greedy-maximal: while the predicate holds the run MUST extend
-          // (no submatch branching — MATCH_RECOGNIZE `X+` semantics).
-          if (lastIdx == i - 1 && step.pred(e)) {
-            next += ((stepIdx, startTs, i, e :: acc, true))
-          } else if (stepIdx == steps.length - 1) {
-            // run closed by a non-matching event; loop was the last step
-            out += acc.reverse
-            wipe = pattern.skipPastLast
-          } else {
-            offer(stepIdx + 1, startTs, lastIdx, acc, looping = false)
+        val st = steps(th.step)
+        if (th.reps >= 1) {
+          val canExtend = th.lastIdx == i - 1 && th.reps < st.maxTimes &&
+            st.pred(e)
+          if (st.unbounded) {
+            // greedy-maximal: while the predicate holds the run MUST
+            // extend (no submatch branching)
+            if (canExtend)
+              next += Th(th.step, th.reps + 1, th.startTs, i, e :: th.acc)
+            else if (th.reps >= st.minTimes) closeRun(th)
+            return
           }
+          // bounded repeats are strictly consecutive; the advance fork
+          // already happened at consume time, so this thread only extends
+          if (canExtend) afterConsume(th.step, th.reps + 1, th.startTs, e :: th.acc)
           return
         }
-        // notFollowedBy / notNext: an event matching the negative guard
-        // in the gap before this step kills the partial (takes
-        // precedence over the step predicate — conservative).
-        val forbidden = step.forbid.exists(f =>
-          (!step.forbidNextOnly || lastIdx == i - 1) && f(e))
-        if (forbidden) return
-        val contiguityOk = !step.strict || lastIdx == i - 1
-        if (contiguityOk && step.pred(e)) {
-          if (step.unbounded) {
-            next += ((stepIdx, startTs, i, e :: acc, true))
-          } else if (stepIdx == steps.length - 1) {
-            out += (e :: acc).reverse
-            consumed = pattern.skipPastLast
-          } else {
-            next += ((stepIdx + 1, startTs, i, e :: acc, false))
+        // waiting for the step's first repeat
+        val forbidden = st.forbid.exists(f =>
+          (!st.forbidNextOnly || th.lastIdx == i - 1) && f(e))
+        if (forbidden) return // notFollowedBy/notNext kills the partial
+        val contiguityOk = !st.strict || th.lastIdx == i - 1
+        if (contiguityOk && st.pred(e)) {
+          if (st.unbounded) next += Th(th.step, 1, th.startTs, i, e :: th.acc)
+          else afterConsume(th.step, 1, th.startTs, e :: th.acc)
+        }
+        // survival: relaxed steps may match a later event (followedByAny
+        // branching); a strict step's only chance was i == lastIdx + 1
+        if (!st.strict && !consumed && !wipe) next += th
+      }
+
+      partials.foreach { th =>
+        if (!consumed && !wipe) {
+          val withinOk = pattern.withinMs.forall(w => t - th.startTs <= w)
+          if (withinOk) offer(th)
+          else if (th.reps >= math.max(steps(th.step).minTimes, 1) &&
+                   steps(th.step).unbounded && canEndAt(th.step)) {
+            // a greedy run at a pattern-final step whose every event is
+            // inside the within-window is COMPLETE; the out-of-window
+            // event merely closes it
+            emit(th.acc, close = true)
           }
         }
-        // Survival: relaxed steps may match a later event (followedByAny
-        // branching — every combination is enumerated, the semantics the
-        // SQL oracle's join reproduces); a strict step's only chance was
-        // i == lastIdx + 1, so it never survives past its slot.
-        if (!step.strict && !consumed)
-          next += ((stepIdx, startTs, lastIdx, acc, false))
       }
-      partials.foreach { case (stepIdx, startTs, lastIdx, acc, looping) =>
-        val withinOk = pattern.withinMs.forall(w => t - startTs <= w)
-        if (withinOk && !consumed && !wipe)
-          offer(stepIdx, startTs, lastIdx, acc, looping)
-        else if (!withinOk && !consumed && !wipe && looping &&
-                 stepIdx == steps.length - 1) {
-          // A greedy run at the final step whose every event is inside the
-          // within-window is COMPLETE; the out-of-window event merely
-          // closes it. Emit it (same as the end-of-input sweep below)
-          // instead of silently dropping a valid match.
-          out += acc.reverse
-          wipe = pattern.skipPastLast
-        }
-      }
-      // skip-past-last: drop overlapping partials
       if (consumed || wipe) next.clear()
       if (!consumed && steps.head.pred(e)) {
-        if (steps.head.unbounded) next += ((0, t, i, List(e), true))
-        else if (steps.length == 1) out += Seq(e)
-        else next += ((1, t, i, List(e), false))
+        if (steps.head.unbounded) next += Th(0, 1, t, i, List(e))
+        else afterConsume(0, 1, t, List(e))
       }
       partials = next
       i += 1
     }
-    // end of input closes any still-open run of a final looping step
-    partials.foreach { case (stepIdx, _, _, acc, looping) =>
-      if (looping && stepIdx == steps.length - 1) out += acc.reverse
+    // end of input closes any still-open greedy run at a pattern-final step
+    partials.foreach { th =>
+      if (th.reps >= math.max(steps(th.step).minTimes, 1) &&
+          steps(th.step).unbounded && canEndAt(th.step))
+        out += th.acc.reverse
     }
     out.toSeq
   }
-
-  /** Enumerate matches across all quantifier expansions of the pattern. */
-  private[streaming] def matchAll[V](
-      pattern: Pattern[V], events: IndexedSeq[V], ts: V => Long): Seq[Seq[V]] =
-    pattern.expansions.flatMap(st => matchSeq(st, pattern, events, ts))
 
   /**
    * Batch CEP over a Dataset: one shuffle on the key, sort within
