@@ -52,7 +52,21 @@ object LookupJoin {
       service: V => R): Dataset[R] = {
     require(maxInFlight > 0)
     probe.mapPartitions { it =>
-      implicit val ec: ExecutionContext = ExecutionContext.global
+      // dedicated pool sized to maxInFlight: the global pool is bounded by
+      // CPU count, which would silently cap the in-flight window below the
+      // requested value for I/O-bound services (lookups are waits, not
+      // compute). Daemon threads; idle threads retire after 10s so a
+      // finished partition leaks nothing.
+      val pool = new java.util.concurrent.ThreadPoolExecutor(
+        maxInFlight, maxInFlight, 10L, java.util.concurrent.TimeUnit.SECONDS,
+        new java.util.concurrent.LinkedBlockingQueue[Runnable](),
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-async-lookup")
+          t.setDaemon(true)
+          t
+        })
+      pool.allowCoreThreadTimeOut(true)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       if (ordered) new Iterator[R] {
         private val inFlight = scala.collection.mutable.Queue.empty[Future[R]]
         private def fill(): Unit =
