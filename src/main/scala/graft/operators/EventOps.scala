@@ -51,6 +51,26 @@ object EventOps {
         .select(col("p_id"), col("v_id"))
     }),
 
+    // The q14 shape entered through the ASOF SQL front-end
+    // (operators/SqlFrontend.scala) — the oracle gate value-checks the
+    // SQL rewrite against DuckDB's native ASOF JOIN.
+    "q113_asof_sql" -> ((s, dir) => {
+      val e = ev(s, dir)
+      e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView("asof_purchases")
+      e.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+                col("ts").as("v_ts"))
+        .createOrReplaceTempView("asof_views")
+      SqlFrontend.sql(s, """
+          SELECT p.p_id, v.v_id
+          FROM asof_purchases p
+          ASOF JOIN asof_views v
+            ON p.user_id = v.v_user AND p.ts >= v.v_ts""",
+        tiebreak = Some("v_id"))
+    }),
+
     // Tumbling window (TUMBLE): 1-day buckets per event_type.
     "q25_tumble" -> ((s, dir) => {
       ev(s, dir)
@@ -122,6 +142,12 @@ object EventOps {
   // µs — the same normalization Tables.scala applies on the Spark side.
   val oracle: Map[String, String] = Map(
     "q14_asof_join" -> """
+      SELECT p.event_id AS p_id, v.event_id AS v_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)""",
+
+    "q113_asof_sql" -> """
       SELECT p.event_id AS p_id, v.event_id AS v_id
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, expr}
+
+import graft.streaming.MatchRecognizeSql
+
+/**
+ * SQL-string front-end for the custom join operators (SURVEY §2.3), the
+ * reachability the reference provides through `TableEnvironment.sqlQuery`
+ * (flink-table-api-java/.../TableEnvironmentImpl.java:626 → ParserImpl;
+ * temporal joins surface as `FOR SYSTEM_TIME AS OF` and are planned by
+ * LogicalCorrelateToJoinFromTemporalTableRule). One dispatcher:
+ *
+ *   - `… ASOF [LEFT] JOIN … ON l.k = r.k AND l.ts >= r.ts`
+ *     (DuckDB/Snowflake surface syntax) → `AsOfJoin.leftAsOf`;
+ *   - `… [LEFT] JOIN <t> FOR SYSTEM_TIME AS OF <probe.col> [AS a] ON …`
+ *     (the reference's processing-time lookup join) →
+ *     `LookupJoin.snapshot`-style broadcast join against the current
+ *     table snapshot;
+ *   - `… MATCH_RECOGNIZE (…)` → `MatchRecognizeSql`;
+ *   - anything else → `spark.sql` unchanged.
+ *
+ * Supported SELECT shape for the rewrites: single join, table names
+ * resolved from the session catalog, column references optionally
+ * qualified by the declared aliases (qualifiers are stripped after the
+ * rewrite — the operators emit unqualified columns, so both sides'
+ * names must be distinct, as in the reference's temporal join output).
+ * As-of tie-break among equal-(key, ts) versions defaults to the
+ * version timestamp; pass `tiebreak` for a total order when (key, ts)
+ * is not unique.
+ *
+ * The rewrite itself is metadata-only — everything downstream is the
+ * operators' normal Catalyst path (one shuffle + window pass for as-of,
+ * broadcast hash join for lookup), so the SQL entry costs nothing at
+ * 100 TB over the Scala API.
+ */
+object SqlFrontend {
+
+  private val asofRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+([\\w.]+)(?:\\s+(?:AS\\s+)?(\\w+))?" +
+    "\\s+ASOF\\s+(LEFT\\s+)?JOIN\\s+([\\w.]+)(?:\\s+(?:AS\\s+)?(\\w+))?" +
+    "\\s+ON\\s+(.+)$")
+
+  private val lookupRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+([\\w.]+)(?:\\s+(?:AS\\s+)?(\\w+))?" +
+    "\\s+(LEFT\\s+)?JOIN\\s+([\\w.]+)\\s+FOR\\s+SYSTEM_TIME\\s+AS\\s+OF\\s+" +
+    "[\\w.]+(?:\\s+(?:AS\\s+)?(\\w+))?\\s+ON\\s+(.+)$")
+
+  def sql(spark: SparkSession, text: String,
+          tiebreak: Option[String] = None): DataFrame = {
+    val upper = text.toUpperCase
+    if (upper.contains("MATCH_RECOGNIZE")) MatchRecognizeSql.sql(spark, text)
+    else {
+      val am = asofRe.matcher(text)
+      val lm = lookupRe.matcher(text)
+      if (am.matches()) asof(spark, am, tiebreak)
+      else if (lm.matches()) lookup(spark, lm)
+      else spark.sql(text)
+    }
+  }
+
+  /** Strip `alias.` qualifiers so expressions run on the operators'
+    * unqualified output. */
+  private def strip(e: String, aliases: Seq[String]): String =
+    aliases.filter(_ != null).foldLeft(e)((s, a) =>
+      s.replaceAll(s"(?i)\\b$a\\.", ""))
+
+  private def asof(spark: SparkSession, m: java.util.regex.Matcher,
+                   tiebreak: Option[String]): DataFrame = {
+    val (sel, lt, la, leftJoin, rt, ra, on) =
+      (m.group(1), m.group(2), m.group(3), m.group(4) != null,
+       m.group(5), m.group(6), m.group(7))
+    val lAlias = Option(la).getOrElse(lt)
+    val rAlias = Option(ra).getOrElse(rt)
+    // ON = one key equality + one >= inequality (either operand order)
+    val conj = on.split("(?i)\\s+AND\\s+").map(_.trim)
+    require(conj.length == 2,
+      "ASOF JOIN needs exactly: ON <key equality> AND <ts inequality>")
+    val qual = "(\\w+)\\.(\\w+)"
+    val eqRe = s"(?s)^$qual\\s*=\\s*$qual$$".r
+    val geRe = s"(?s)^$qual\\s*>=\\s*$qual$$".r
+    val leRe = s"(?s)^$qual\\s*<=\\s*$qual$$".r
+    var lk: String = null; var rk: String = null
+    var lts: String = null; var rts: String = null
+    conj.foreach {
+      case eqRe(q1, c1, q2, c2) =>
+        if (q1.equalsIgnoreCase(lAlias)) { lk = c1; rk = c2 }
+        else { lk = c2; rk = c1 }
+      case geRe(q1, c1, q2, c2) => // l.ts >= r.ts (backward as-of)
+        require(q1.equalsIgnoreCase(lAlias) && q2.equalsIgnoreCase(rAlias),
+          s"ASOF inequality must be <probe>.ts >= <version>.ts: $on")
+        lts = c1; rts = c2
+      case leRe(q1, c1, q2, c2) => // r.ts <= l.ts (same, flipped)
+        require(q1.equalsIgnoreCase(rAlias) && q2.equalsIgnoreCase(lAlias),
+          s"ASOF inequality must be <version>.ts <= <probe>.ts: $on")
+        rts = c1; lts = c2
+      case other => throw new IllegalArgumentException(
+        s"unsupported ASOF condition: $other")
+    }
+    require(lk != null && lts != null, s"ASOF ON clause incomplete: $on")
+
+    val left = spark.table(m.group(2))
+    val right0 = spark.table(rt)
+    // carry the right key under an internal name: it marks matched rows
+    // (inner semantics) without colliding with probe columns
+    val right = right0.withColumn("__asof_k", col(rk))
+    val carried = right0.columns.toSeq
+      .filterNot(left.columns.contains) :+ "__asof_k"
+    val ord = tiebreak.getOrElse(rts)
+    val joined = AsOfJoin.leftAsOf(left, right, lk, rk, lts, rts,
+      carried.distinct, ord)
+    val filtered =
+      if (leftJoin) joined else joined.filter(col("__asof_k").isNotNull)
+    val items = splitTop(sel).map(i => strip(i, Seq(lAlias, rAlias)))
+    val projected =
+      if (items == Seq("*")) filtered.drop("__asof_k")
+      else filtered.selectExpr(items: _*)
+    projected
+  }
+
+  private def lookup(spark: SparkSession,
+                     m: java.util.regex.Matcher): DataFrame = {
+    val (sel, lt, la, leftJoin, rt, ra, on) =
+      (m.group(1), m.group(2), m.group(3), m.group(4) != null,
+       m.group(5), m.group(6), m.group(7))
+    val lAlias = Option(la).getOrElse(lt)
+    val rAlias = Option(ra).getOrElse(rt)
+    val probe = spark.table(lt)
+    val lookupTable = spark.table(rt)
+    // processing-time temporal join = join against the CURRENT snapshot,
+    // broadcast (LookupJoinRunner semantics — per-row point lookups
+    // become a broadcast hash join when the table is scannable)
+    val cond = expr(strip(on, Seq(lAlias, rAlias)))
+    val joined = probe.join(broadcast(lookupTable), cond,
+      if (leftJoin) "left" else "inner")
+    val items = splitTop(sel).map(i => strip(i, Seq(lAlias, rAlias)))
+    if (items == Seq("*")) joined else joined.selectExpr(items: _*)
+  }
+
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+}

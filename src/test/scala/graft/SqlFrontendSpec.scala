@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOfJoin, SqlFrontend}
+
+/** The SQL dispatcher must reproduce the operator-API results: ASOF JOIN
+  * (inner + LEFT) → AsOfJoin.leftAsOf, FOR SYSTEM_TIME AS OF → broadcast
+  * snapshot join, and pass plain SQL through untouched. */
+class SqlFrontendSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private lazy val views = {
+    val e = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("sf_purchases")
+    e.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+              col("ts").as("v_ts"))
+      .createOrReplaceTempView("sf_views")
+    Tables.table(spark, "/root/testdata/sf0.001", "customer")
+      .createOrReplaceTempView("sf_customer")
+    Tables.table(spark, "/root/testdata/sf0.001", "nation")
+      .createOrReplaceTempView("sf_nation")
+  }
+
+  test("ASOF JOIN SQL equals AsOfJoin.leftAsOf (inner semantics)") {
+    views
+    val got = SqlFrontend.sql(spark, """
+        SELECT p.p_id, v.v_id
+        FROM sf_purchases p
+        ASOF JOIN sf_views v
+          ON p.user_id = v.v_user AND p.ts >= v.v_ts""",
+      tiebreak = Some("v_id"))
+    val exp = AsOfJoin.leftAsOf(
+        spark.table("sf_purchases"), spark.table("sf_views"),
+        "user_id", "v_user", "ts", "v_ts", Seq("v_id"), "v_id")
+      .filter(col("v_id").isNotNull)
+      .select(col("p_id"), col("v_id"))
+    assert(got.count() > 0)
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+    assert(got.count() == exp.count())
+  }
+
+  test("ASOF LEFT JOIN keeps unmatched probes with null version columns") {
+    views
+    val inner = SqlFrontend.sql(spark, """
+        SELECT p.p_id, v.v_id FROM sf_purchases p ASOF JOIN sf_views v
+          ON p.user_id = v.v_user AND p.ts >= v.v_ts""",
+      tiebreak = Some("v_id"))
+    val left = SqlFrontend.sql(spark, """
+        SELECT p.p_id, v.v_id FROM sf_purchases p ASOF LEFT JOIN sf_views v
+          ON p.user_id = v.v_user AND p.ts >= v.v_ts""",
+      tiebreak = Some("v_id"))
+    assert(left.count() == spark.table("sf_purchases").count())
+    assert(left.filter(col("v_id").isNotNull).count() == inner.count())
+  }
+
+  test("FOR SYSTEM_TIME AS OF rewrites to a broadcast snapshot join") {
+    views
+    val got = SqlFrontend.sql(spark, """
+        SELECT c.c_custkey, n.n_name
+        FROM sf_customer c
+        JOIN sf_nation FOR SYSTEM_TIME AS OF c.proctime AS n
+          ON c.c_nationkey = n.n_nationkey""")
+    val exp = spark.table("sf_customer")
+      .join(broadcast(spark.table("sf_nation")),
+            col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+    assert(got.count() == exp.count() && got.count() > 0)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("plain SQL passes through to spark.sql") {
+    views
+    val got = SqlFrontend.sql(spark,
+      "SELECT count(*) AS n FROM sf_customer WHERE c_acctbal > 0")
+    val exp = spark.sql(
+      "SELECT count(*) AS n FROM sf_customer WHERE c_acctbal > 0")
+    assert(got.collect().toSeq == exp.collect().toSeq)
+  }
+}
