@@ -101,6 +101,28 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(keys)
 
   /**
+   * Watermark idleness (CORE/api/common/eventtime/WatermarksWithIdleness
+   * .java analogue): the reference marks a source idle after a timeout so
+   * it stops holding back the combined watermark. Structured Streaming's
+   * combined watermark is governed by
+   * `spark.sql.streaming.multipleWatermarkPolicy` — the default `min`
+   * stalls every downstream window while ANY input is silent (exactly the
+   * problem WatermarksWithIdleness solves); `max` lets the fastest input
+   * drive the clock, so an idle source cannot stall emission. That is the
+   * behavioral analogue: instead of per-source idle DETECTION (timeout),
+   * the policy ignores the laggard globally. The trade is explicit:
+   * under `max`, events from the idle source that arrive late relative
+   * to the busy source's watermark are dropped as late data — the same
+   * risk Flink accepts while a source is marked idle.
+   */
+  def withIdleSourceTolerance(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+
+  /** Restore the safe default (min: all inputs gate the watermark). */
+  def withAllSourcesGating(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "min")
+
+  /**
    * Output-mode inference (the reference's changelog-mode inference,
    * FlinkChangelogModeInferenceProgram.scala): decide which SS OutputMode
    * a query shape supports. Append iff every aggregation is windowed on a

@@ -185,6 +185,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.map(_._1) == exp.map(_._1))
   }
 
+  test("watermark idleness: max policy lets a busy source finalize despite an idle one") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.multipleWatermarkPolicy")
+    StreamOps.withIdleSourceTolerance(spark)
+    try {
+      val busy = MemoryStream[SEv]
+      val idle = MemoryStream[SEv]
+      val union = busy.toDS().withWatermark("ts", "10 minutes").toDF()
+        .unionByName(idle.toDS().withWatermark("ts", "10 minutes").toDF())
+      val agg = union.groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("n"))
+      val q = agg.writeStream.format("memory").queryName("s_idle")
+        .outputMode(OutputMode.Append).start()
+      try {
+        val base = 1700000000000L
+        def e(id: Long, ms: Long) = SEv(id, new Timestamp(ms), 1L, "x", 0.0)
+        // the idle source contributes one early event, then goes silent;
+        // the busy source advances far past the first hour
+        idle.addData(e(1, base))
+        busy.addData(e(2, base + 1000))
+        q.processAllAvailable()
+        busy.addData(e(3, base + 2 * 3600 * 1000L))
+        q.processAllAvailable()
+        busy.addData(e(4, base + 4 * 3600 * 1000L))
+        q.processAllAvailable()
+        // under max policy the busy source's watermark finalized hour 1
+        // even though the idle source never advanced past `base`
+        assert(spark.table("s_idle").count() > 0)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", v)
+        case None => StreamOps.withAllSourcesGating(spark)
+      }
+    }
+  }
+
   test("output-mode inference: windowed+watermarked → Append, unbounded → Update") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[SEv]
