@@ -87,6 +87,31 @@ object AnnOps {
         .withColumn("bucket", bucketCol("embedding"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"))
+    }),
+
+    // Embedding-cosine near-dup DEDUP (the brief's dedup family, scale
+    // path): LSH-bucket candidates (equi-join, never O(n²)), exact cosine
+    // only inside buckets, then the dedup decision — drop any vector with
+    // a SMALLER-id near-duplicate, keeping the min-id representative.
+    // Output = the decision table (dropped id, its witness, stats).
+    // τ = 0.3 is fixture-tuned: the synthetic embeddings are near-random
+    // (max pairwise cosine ≈ 0.47); on a real corpus τ ≈ 0.95+.
+    "q114_embed_dedup" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+        .withColumn("bucket", bucketCol("embedding"))
+        .select(col("vec_id"), col("embedding"), col("bucket"))
+      val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"),
+                         col("bucket"))
+      val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"),
+                         col("bucket").as("bucket_b"))
+      a.join(b, col("bucket") === col("bucket_b") && col("a") < col("b"))
+        .withColumn("cos",
+          graft.functions.GraftFunctions.cosineSim(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.3)
+        .groupBy(col("b").as("vec_id"))
+        .agg(min(col("a")).as("dup_of"),
+             count(lit(1)).as("n_dups"),
+             round(max(col("cos")), 6).as("sim"))
     })
   )
 
@@ -132,7 +157,22 @@ object AnnOps {
       "q43_ann_buckets" -> s"""
       WITH $bucketCte
       SELECT bucket, count(*) AS n, min(vec_id) AS min_id
-      FROM bucketed GROUP BY bucket"""
+      FROM bucketed GROUP BY bucket""",
+
+      "q114_embed_dedup" -> s"""
+      WITH $bucketCte,
+      pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               list_dot_product(va.e, vb.e)
+                 / (sqrt(list_dot_product(va.e, va.e))
+                    * sqrt(list_dot_product(vb.e, vb.e))) AS cos
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        JOIN vecs va ON va.vec_id = a.vec_id
+        JOIN vecs vb ON vb.vec_id = b.vec_id)
+      SELECT b AS vec_id, min(a) AS dup_of,
+             count(*) AS n_dups, round(max(cos), 6) AS sim
+      FROM pairs WHERE cos >= 0.3 GROUP BY b"""
     )
   }
 }
