@@ -435,6 +435,56 @@ object TpcdsSuite {
                 col("lochierarchy"), col("rk"))
     }),
 
+    // ── q34 shape: order-count distribution band, agg→HAVING→dim join ──
+    "q115_tpcds34" -> ((s, dir) => {
+      val freq = t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt").between(8, 12))
+      freq.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("cnt"))
+    }),
+
+    // ── q41 shape: EXISTS over the dim itself with an OR battery ──
+    "q116_tpcds41" -> ((s, dir) => {
+      val p2 = t(s, dir, "part")
+        .filter((col("p_type") === "PROMO" && col("p_size").between(1, 10)) ||
+                (col("p_type") === "ECONOMY" && col("p_size").between(20, 30)) ||
+                (col("p_type") === "STANDARD" && col("p_size").between(40, 50)))
+        .select(col("p_brand").as("b2"))
+      t(s, dir, "part")
+        .filter(col("p_size").between(1, 20))
+        .join(p2, col("p_brand") === col("b2"), "left_semi")
+        .select(col("p_name")).distinct()
+    }),
+
+    // ── q4 shape: THREE channels × two years, double growth-ratio gate ──
+    "q117_tpcds4" -> ((s, dir) => {
+      val perYear = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1998-01-01"))
+        .groupBy(col("o_custkey"), col("l_returnflag"),
+                 year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum(amt).cast("double").as("total"))
+      def slice(rf: String, y: Int, out: String) = perYear
+        .filter(col("l_returnflag") === rf && col("yr") === y)
+        .select(col("o_custkey").as(s"k_$out"), col("total").as(out))
+      slice("A", 1996, "a96")
+        .join(slice("A", 1997, "a97"), col("k_a96") === col("k_a97"))
+        .join(slice("N", 1996, "n96"), col("k_a96") === col("k_n96"))
+        .join(slice("N", 1997, "n97"), col("k_a96") === col("k_n97"))
+        .join(slice("R", 1996, "r96"), col("k_a96") === col("k_r96"))
+        .join(slice("R", 1997, "r97"), col("k_a96") === col("k_r97"))
+        .filter(col("a96") > 0 && col("n96") > 0 && col("r96") > 0 &&
+                col("n97") / col("n96") > col("a97") / col("a96") &&
+                col("r97") / col("r96") > col("a97") / col("a96"))
+        .select(col("k_a96").as("c_custkey"))
+        .orderBy(col("c_custkey"))
+        .limit(100)
+    }),
+
     // ── q58 shape: items with near-equal revenue across all 3 channels ──
     "q112_tpcds58" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -844,6 +894,54 @@ object TpcdsSuite {
                PARTITION BY lochierarchy, coalesce(r_name, '')
                ORDER BY gross_margin, coalesce(n_name, '')) AS BIGINT) AS rk
       FROM rolled""",
+
+    "q115_tpcds34" -> """
+      SELECT c_custkey, c_name, c_mktsegment, cnt FROM (
+        SELECT o_custkey, count(*) AS cnt
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')
+        GROUP BY o_custkey
+        HAVING count(*) BETWEEN 8 AND 12)
+      JOIN customer ON o_custkey = c_custkey""",
+
+    "q116_tpcds41" -> """
+      SELECT DISTINCT p_name
+      FROM part p1
+      WHERE p_size BETWEEN 1 AND 20
+        AND EXISTS (
+          SELECT 1 FROM part p2
+          WHERE p2.p_brand = p1.p_brand
+            AND ((p2.p_type = 'PROMO' AND p2.p_size BETWEEN 1 AND 10)
+              OR (p2.p_type = 'ECONOMY' AND p2.p_size BETWEEN 20 AND 30)
+              OR (p2.p_type = 'STANDARD' AND p2.p_size BETWEEN 40 AND 50)))""",
+
+    "q117_tpcds4" -> """
+      WITH per_year AS (
+        SELECT o_custkey, l_returnflag,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3)
+      SELECT a96.o_custkey AS c_custkey
+      FROM (SELECT * FROM per_year WHERE l_returnflag='A' AND yr=1996) a96
+      JOIN (SELECT * FROM per_year WHERE l_returnflag='A' AND yr=1997) a97
+        ON a96.o_custkey = a97.o_custkey
+      JOIN (SELECT * FROM per_year WHERE l_returnflag='N' AND yr=1996) n96
+        ON a96.o_custkey = n96.o_custkey
+      JOIN (SELECT * FROM per_year WHERE l_returnflag='N' AND yr=1997) n97
+        ON a96.o_custkey = n97.o_custkey
+      JOIN (SELECT * FROM per_year WHERE l_returnflag='R' AND yr=1996) r96
+        ON a96.o_custkey = r96.o_custkey
+      JOIN (SELECT * FROM per_year WHERE l_returnflag='R' AND yr=1997) r97
+        ON a96.o_custkey = r97.o_custkey
+      WHERE a96.total > 0 AND n96.total > 0 AND r96.total > 0
+        AND n97.total / n96.total > a97.total / a96.total
+        AND r97.total / r96.total > a97.total / a96.total
+      ORDER BY 1
+      LIMIT 100""",
 
     "q112_tpcds58" -> """
       WITH st AS (
