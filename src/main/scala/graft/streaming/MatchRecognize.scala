@@ -187,8 +187,16 @@ object MatchRecognize {
   /**
    * Priority Pike VM: returns the classifier index per consumed row for
    * the preferred (leftmost-greedy) match starting at `start`, or null.
+   * With `times`/`spanMs` set (MATCH_RECOGNIZE WITHIN — the reference's
+   * Flink extension, StreamExecMatch interval), rows whose event time is
+   * more than `spanMs` past the start row's cannot be CONSUMED — the
+   * leftmost-greedy preference then maximizes within the window, exactly
+   * like the reference's NFA pruning partials at the window boundary —
+   * while already-completed threads still record their match.
    */
-  private final class Vm(prog: Array[Inst]) {
+  private final class Vm(prog: Array[Inst],
+                         times: IndexedSeq[Long] = null,
+                         spanMs: Long = -1L) {
     def run(flags: IndexedSeq[Array[Boolean]], start: Int): Array[Int] = {
       var clist = mutable.ArrayBuffer.empty[(Int, List[Int])]
       val seen = new java.util.BitSet(prog.length)
@@ -224,7 +232,8 @@ object MatchRecognize {
               // still override `best` at a later row (greedy loops).
               if (trace.nonEmpty) { best = trace; cut = true }
             case Sym(v) =>
-              if (i < flags.length && flags(i)(v))
+              if (i < flags.length && flags(i)(v) &&
+                  (spanMs < 0 || times(i) - times(start) <= spanMs))
                 add(nlist, pc + 1, v :: trace)
             case _ => () // Split/Jmp never appear post-closure
           }
@@ -244,15 +253,23 @@ object MatchRecognize {
    */
   def annotate(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
                pattern: String, define: Seq[(String, Column)],
-               skip: Skip = SkipPastLastRow): DataFrame = {
+               skip: Skip = SkipPastLastRow,
+               within: Option[(Column, Long)] = None): DataFrame = {
     require(partitionBy.nonEmpty && orderBy.nonEmpty && define.nonEmpty)
     val vars = define.map(_._1)
     val prog = compile(parse(pattern), vars.zipWithIndex.toMap)
     val varNames = vars.toArray
 
-    val flagged = define.foldLeft(df) { case (d, (n, c)) =>
+    val flagged0 = define.foldLeft(df) { case (d, (n, c)) =>
       d.withColumn(s"__mr_$n", coalesce(c.cast("boolean"), lit(false)))
     }
+    // WITHIN: event time (ms) evaluated per row before the shuffle, like
+    // the DEFINE flags — the matcher only reads longs.
+    val flagged = within match {
+      case Some((tc, _)) => flagged0.withColumn("__mr_ts", tc.cast("long"))
+      case None => flagged0
+    }
+    val spanMs = within.map(_._2).getOrElse(-1L)
     val sorted = flagged
       .repartition(partitionBy.map(col): _*)
       .sortWithinPartitions((partitionBy ++ orderBy).map(col): _*)
@@ -261,6 +278,7 @@ object MatchRecognize {
     val nOrig = df.schema.length
     val keyIdx = partitionBy.map(inSchema.fieldIndex).toArray
     val flagIdx = vars.map(n => inSchema.fieldIndex(s"__mr_$n")).toArray
+    val tsIdx = if (within.isDefined) inSchema.fieldIndex("__mr_ts") else -1
     val outSchema = StructType(df.schema.fields :+
       StructField("mr_match", LongType, nullable = false) :+
       StructField("mr_var", StringType, nullable = false) :+
@@ -268,7 +286,6 @@ object MatchRecognize {
     val skipPastLast = skip == SkipPastLastRow
 
     sorted.mapPartitions { it =>
-      val vm = new Vm(prog)
       // consecutive-key grouping over the sorted partition: one key's rows
       // in memory at a time (same bound as any per-key window operator).
       new Iterator[Row] {
@@ -278,6 +295,11 @@ object MatchRecognize {
         private def matchGroup(rows: mutable.ArrayBuffer[Row]): Iterator[Row] = {
           val flags: IndexedSeq[Array[Boolean]] =
             rows.map(r => flagIdx.map(j => !r.isNullAt(j) && r.getBoolean(j))).toIndexedSeq
+          val times: IndexedSeq[Long] =
+            if (tsIdx < 0) null
+            else rows.map(r => if (r.isNullAt(tsIdx)) Long.MinValue
+                               else r.getLong(tsIdx)).toIndexedSeq
+          val vm = new Vm(prog, times, spanMs)
           val out = mutable.ArrayBuffer.empty[Row]
           var p = 0
           var mid = 0L
@@ -353,9 +375,10 @@ object MatchRecognize {
                      orderBy: Seq[String], pattern: String,
                      define: Seq[(String, Column)],
                      measures: Seq[(String, Column)],
-                     skip: Skip = SkipPastLastRow): DataFrame = {
+                     skip: Skip = SkipPastLastRow,
+                     within: Option[(Column, Long)] = None): DataFrame = {
     require(measures.nonEmpty)
-    val ann = annotate(df, partitionBy, orderBy, pattern, define, skip)
+    val ann = annotate(df, partitionBy, orderBy, pattern, define, skip, within)
     val aggs = measures.map { case (n, c) => c.as(n) }
     ann.groupBy((partitionBy :+ "mr_match").map(col): _*)
       .agg(aggs.head, aggs.tail: _*)

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions.{count, expr, lit}
  *     [MEASURES <expr> AS name [, …]]
  *     [ONE ROW PER MATCH | ALL ROWS PER MATCH]
  *     [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
- *     PATTERN ( <regex over variables> )
+ *     PATTERN ( <regex over variables> ) [WITHIN INTERVAL 'n' UNIT]
  *     DEFINE V AS <boolean sql> [, …]
  *   )
  *
@@ -185,6 +185,21 @@ object MatchRecognizeSql {
     val patternSec = section("PATTERN").getOrElse(
       throw new IllegalArgumentException("PATTERN is required"))
     val pattern = balanced(patternSec, patternSec.indexOf('('))
+    // Flink extension: PATTERN (...) WITHIN INTERVAL 'n' UNIT — match span
+    // bounded by event time of the first ORDER BY column.
+    val withinRe =
+      "(?is)WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(SECOND|MINUTE|HOUR|DAY)".r
+    val within = withinRe.findFirstMatchIn(patternSec).map { m =>
+      val n = m.group(1).toLong
+      val ms = m.group(2).toUpperCase match {
+        case "SECOND" => n * 1000L
+        case "MINUTE" => n * 60000L
+        case "HOUR" => n * 3600000L
+        case "DAY" => n * 86400000L
+      }
+      (org.apache.spark.sql.functions.unix_millis(
+        org.apache.spark.sql.functions.col(orderBy.head).cast("timestamp")), ms)
+    }
 
     val defineSec = section("DEFINE").getOrElse(
       throw new IllegalArgumentException("DEFINE is required"))
@@ -199,7 +214,8 @@ object MatchRecognizeSql {
     }
 
     if (allRows) {
-      MatchRecognize.annotate(df, partitionBy, orderBy, pattern, define, skip)
+      MatchRecognize.annotate(df, partitionBy, orderBy, pattern, define, skip,
+        within)
     } else {
       val measuresSec = section("MEASURES").getOrElse(
         throw new IllegalArgumentException("ONE ROW PER MATCH needs MEASURES"))
@@ -210,7 +226,7 @@ object MatchRecognizeSql {
           s"bad MEASURES item (need '<expr> AS name'): $other")
       }
       MatchRecognize.oneRowPerMatch(
-        df, partitionBy, orderBy, pattern, define, measures, skip)
+        df, partitionBy, orderBy, pattern, define, measures, skip, within)
     }
   }
 }

@@ -84,6 +84,41 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
   }
 
+  test("WITHIN bounds the match span inside the matcher (greedy truncation)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2020-01-01 00:00:00", "a"),
+      (1L, "2020-01-01 00:00:10", "b"),
+      (1L, "2020-01-01 00:00:20", "b"),
+      (1L, "2020-01-01 00:10:00", "b") // outside the 50s window
+    ).toDF("k", "t", "kind").withColumn("t", col("t").cast("timestamp"))
+    df.createOrReplaceTempView("mr_within_v")
+    val got = MatchRecognizeSql.sql(spark, """
+      SELECT * FROM mr_within_v MATCH_RECOGNIZE (
+        PARTITION BY k
+        ORDER BY t
+        ALL ROWS PER MATCH
+        PATTERN (A B+) WITHIN INTERVAL '50' SECOND
+        DEFINE A AS kind = 'a', B AS kind = 'b'
+      )""").select(col("t").cast("string"), col("mr_var"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // greedy B+ truncates at the window boundary: the 00:10 row is out
+    assert(got == Set(
+      ("2020-01-01 00:00:00", "A"),
+      ("2020-01-01 00:00:10", "B"),
+      ("2020-01-01 00:00:20", "B")))
+    // without WITHIN the same pattern absorbs the far row
+    val unbounded = MatchRecognizeSql.sql(spark, """
+      SELECT * FROM mr_within_v MATCH_RECOGNIZE (
+        PARTITION BY k
+        ORDER BY t
+        ALL ROWS PER MATCH
+        PATTERN (A B+)
+        DEFINE A AS kind = 'a', B AS kind = 'b'
+      )""")
+    assert(unbounded.count() == 4)
+  }
+
   test("variable-scoped aggregate and SKIP TO NEXT ROW") {
     orders
     val got = MatchRecognizeSql.sql(spark, """
