@@ -209,8 +209,24 @@ object MatchRecognizeSql {
       case other => throw new IllegalArgumentException(s"bad DEFINE item: $other")
     }
     val vars = rawDefs.map(_._1)
+    // PREV/NEXT navigation: SQL row-pattern matching is strictly
+    // contiguous, so the previous row IN THE MATCH is the previous row in
+    // partition order — PREV(x, n) is exactly lag(x, n) OVER the
+    // partition/order window (and NEXT is lead). The rewrite happens
+    // before `expr`, so the navigation evaluates as an ordinary window
+    // flag ahead of the shuffle, the way the reference's
+    // MatchCodeGenerator emits cross-row accessors.
+    val over = s"OVER (PARTITION BY ${partitionBy.mkString(", ")} " +
+      s"ORDER BY ${orderBy.mkString(", ")})"
+    def nav(e: String): String = e
+      .replaceAll("(?i)\\bPREV\\s*\\(\\s*([^(),]+?)\\s*,\\s*(\\d+)\\s*\\)",
+        s"lag($$1, $$2) $over")
+      .replaceAll("(?i)\\bPREV\\s*\\(\\s*([^(),]+?)\\s*\\)", s"lag($$1, 1) $over")
+      .replaceAll("(?i)\\bNEXT\\s*\\(\\s*([^(),]+?)\\s*,\\s*(\\d+)\\s*\\)",
+        s"lead($$1, $$2) $over")
+      .replaceAll("(?i)\\bNEXT\\s*\\(\\s*([^(),]+?)\\s*\\)", s"lead($$1, 1) $over")
     val define = rawDefs.map { case (n, p) =>
-      n -> expr(scopeVars(p, vars, perRow = true))
+      n -> expr(nav(scopeVars(p, vars, perRow = true)))
     }
 
     if (allRows) {

@@ -119,6 +119,33 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(unbounded.count() == 4)
   }
 
+  test("PREV/NEXT navigation in DEFINE: the canonical V-shape pattern") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 8.0), (1L, 3L, 6.0),
+      (1L, 4L, 7.0), (1L, 5L, 9.0), (1L, 6L, 9.0)
+    ).toDF("k", "seq", "price")
+    df.createOrReplaceTempView("mr_v_shape")
+    val got = MatchRecognizeSql.sql(spark, """
+      SELECT * FROM mr_v_shape MATCH_RECOGNIZE (
+        PARTITION BY k
+        ORDER BY seq
+        MEASURES FIRST(STRT.seq) AS start_seq,
+                 LAST(DOWN.seq) AS bottom_seq,
+                 LAST(UP.seq) AS end_seq,
+                 COUNT(*) AS n_rows
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (STRT DOWN+ UP+)
+        DEFINE STRT AS TRUE,
+               DOWN AS price < PREV(price),
+               UP AS price > PREV(price)
+      )""").select("start_seq", "bottom_seq", "end_seq", "n_rows")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 10 > 8 > 6 < 7 < 9 = 9: one V from seq 1 to 5 (row 6 is flat, not UP)
+    assert(got.toSeq == Seq((1L, 3L, 5L, 5L)))
+  }
+
   test("variable-scoped aggregate and SKIP TO NEXT ROW") {
     orders
     val got = MatchRecognizeSql.sql(spark, """
