@@ -2,7 +2,7 @@ package graft.streaming
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -194,9 +194,9 @@ object MatchRecognize {
    * like the reference's NFA pruning partials at the window boundary —
    * while already-completed threads still record their match.
    */
-  private final class Vm(prog: Array[Inst],
-                         times: IndexedSeq[Long] = null,
-                         spanMs: Long = -1L) {
+  private[streaming] final class Vm(prog: Array[Inst],
+                                    times: IndexedSeq[Long] = null,
+                                    spanMs: Long = -1L) {
     def run(flags: IndexedSeq[Array[Boolean]], start: Int): Array[Int] = {
       var clist = mutable.ArrayBuffer.empty[(Int, List[Int])]
       val seen = new java.util.BitSet(prog.length)
@@ -244,6 +244,26 @@ object MatchRecognize {
       }
       if (best == null) null else best.reverse.toArray
     }
+  }
+
+  /** One skip-strategy-driven scan over a key's rows: (startIdx,
+    * classifier-per-consumed-row) for each match, in scan order. Shared
+    * by the batch operator and the streaming operator. */
+  private[streaming] def scanMatches(
+      prog: Array[Inst], flags: IndexedSeq[Array[Boolean]],
+      times: IndexedSeq[Long], spanMs: Long,
+      skipPastLast: Boolean): Seq[(Int, Array[Int])] = {
+    val vm = new Vm(prog, times, spanMs)
+    val out = mutable.ArrayBuffer.empty[(Int, Array[Int])]
+    var p = 0
+    while (p < flags.length) {
+      val m = vm.run(flags, p)
+      if (m != null) {
+        out += ((p, m))
+        p = if (skipPastLast) p + m.length else p + 1
+      } else p += 1
+    }
+    out.toSeq
   }
 
   // ------------------------------------------------------------- operator
@@ -299,25 +319,13 @@ object MatchRecognize {
             if (tsIdx < 0) null
             else rows.map(r => if (r.isNullAt(tsIdx)) Long.MinValue
                                else r.getLong(tsIdx)).toIndexedSeq
-          val vm = new Vm(prog, times, spanMs)
-          val out = mutable.ArrayBuffer.empty[Row]
-          var p = 0
-          var mid = 0L
-          while (p < rows.length) {
-            val m = vm.run(flags, p)
-            if (m != null) {
-              mid += 1
-              var k = 0
-              while (k < m.length) {
-                val r = rows(p + k)
-                out += Row.fromSeq(
-                  r.toSeq.take(nOrig) ++ Seq(mid, varNames(m(k)), k.toLong))
-                k += 1
+          scanMatches(prog, flags, times, spanMs, skipPastLast)
+            .iterator.zipWithIndex.flatMap { case ((p, m), mi) =>
+              m.iterator.zipWithIndex.map { case (v, k) =>
+                Row.fromSeq(rows(p + k).toSeq.take(nOrig) ++
+                  Seq(mi + 1L, varNames(v), k.toLong))
               }
-              p = if (skipPastLast) p + m.length else p + 1
-            } else p += 1
-          }
-          out.iterator
+            }
         }
         private def refill(): Unit = {
           while (!queue.hasNext && src.hasNext) {
@@ -331,6 +339,85 @@ object MatchRecognize {
         def next(): Row = { refill(); queue.next() }
       }
     }(Encoders.row(outSchema))
+  }
+
+  /**
+   * STREAMING row-pattern recognition (the reference's StreamExecMatch /
+   * CepOperator is streaming-first: rows buffer in keyed state and
+   * matches emit as the watermark passes —
+   * flink-table-planner-blink/.../stream/StreamExecMatch.scala:68). The
+   * typed dual of `annotate`: per-key state is the time-sorted row
+   * buffer; a match is FINAL once its start is older than
+   * watermark − within (its full span is then behind the watermark, so
+   * no admissible row can change it), at which point it emits and the
+   * dead prefix is pruned. `within` is mandatory — it is the state
+   * horizon (same soundness rule as Cep.matchStream: without a window
+   * there is no point at which a partial match can be finalized).
+   *
+   * Because the buffer is time-sorted, everything pruned is a PREFIX:
+   * matches are strictly contiguous, so a future match (start ts >
+   * watermark − within) can only involve rows after the boundary — no
+   * false adjacency is created by pruning. Match ordinals continue
+   * across batches (the reference's per-key match numbering).
+   *
+   * Output: one row per (key, matchId, classifier, row) — the ALL ROWS
+   * PER MATCH form; ONE ROW PER MATCH is a downstream groupBy exactly as
+   * in the batch operator.
+   */
+  def annotateStream[K, V](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V],
+      orderTs: V => Long, tiebreak: V => Long,
+      pattern: String, define: Seq[(String, V => Boolean)],
+      withinMs: Long, skip: Skip = SkipPastLastRow)(
+      implicit ve: Encoder[V], se: Encoder[Seq[V]],
+      oe: Encoder[(K, Long, String, V)]): Dataset[(K, Long, String, V)] = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(withinMs > 0, "streaming MATCH_RECOGNIZE requires a within horizon")
+    val vars = define.map(_._1)
+    val prog = compile(parse(pattern), vars.zipWithIndex.toMap)
+    val preds = define.map(_._2).toArray
+    val varNames = vars.toArray
+    val skipPastLast = skip == SkipPastLastRow
+    implicit val stEnc: Encoder[(Seq[V], Long)] = E.tuple(se, E.scalaLong)
+    grouped.flatMapGroupsWithState[(Seq[V], Long), (K, Long, String, V)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: K, values: Iterator[V],
+       state: org.apache.spark.sql.streaming.GroupState[(Seq[V], Long)]) =>
+        val (buf0, mid0) = state.getOption.getOrElse((Seq.empty[V], 0L))
+        val buf = (buf0 ++ values).sortBy(v => (orderTs(v), tiebreak(v)))
+          .toIndexedSeq
+        val wm = state.getCurrentWatermarkMs()
+        val safeTs = wm - withinMs
+        val flags = buf.map(v => preds.map(p => p(v)))
+        val times = buf.map(orderTs)
+        val all = scanMatches(prog, flags, times, withinMs, skipPastLast)
+        // time-sorted buffer ⇒ match starts are ts-nondecreasing ⇒ the
+        // finalizable matches are a prefix of the scan's match list
+        val ready = all.takeWhile { case (s, _) => times(s) <= safeTs }
+        var mid = mid0
+        val out = ready.flatMap { case (s, m) =>
+          mid += 1
+          m.toSeq.zipWithIndex.map { case (v, k) =>
+            (key, mid, varNames(v), buf(s + k))
+          }
+        }
+        // prune the dead prefix: rows at/before the horizon, plus (under
+        // skip-past-last) rows consumed or skipped by emitted matches
+        val scanEnd = if (skipPastLast && ready.nonEmpty)
+          ready.last._1 + ready.last._2.length else 0
+        val firstLive = math.max(buf.indexWhere(v => orderTs(v) > safeTs) match {
+          case -1 => buf.length
+          case i => i
+        }, scanEnd)
+        val pending = buf.drop(firstLive)
+        if (pending.isEmpty) state.remove()
+        else {
+          state.update((pending, mid))
+          state.setTimeoutTimestamp(orderTs(pending.head) + withinMs + 1)
+        }
+        out.iterator
+    }
   }
 
   /**

@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.MatchRecognize
+
+/** Streaming MATCH_RECOGNIZE must equal the batch operator on the same
+  * data: matches finalize at the watermark, ordinals continue across
+  * micro-batches, state prunes to the within horizon. */
+class StreamMatchRecognizeSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private lazy val eventRows: Seq[SEv] =
+    Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"))
+      .as[SEv].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id)).take(600)
+
+  test("streaming annotate equals batch annotate with WITHIN") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SEv]
+    val out = MatchRecognize.annotateStream[Long, SEv](
+      mem.toDS().withWatermark("ts", "10 minutes").groupByKey(_.user_id),
+      orderTs = _.ts.getTime, tiebreak = _.event_id,
+      pattern = "A B+",
+      define = Seq(
+        "A" -> ((e: SEv) => e.event_type == "purchase"),
+        "B" -> ((e: SEv) => e.event_type == "click")),
+      withinMs = 86400000L)
+    val q = out.map(t => (t._1, t._2, t._3, t._4.event_id))
+      .toDF("user_id", "mid", "var", "event_id")
+      .writeStream.format("memory").queryName("s_mr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      eventRows.grouped(150).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val last = eventRows.last
+      mem.addData(SEv(-1L, new Timestamp(last.ts.getTime + 48L * 3600 * 1000),
+        -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s_mr").filter(col("user_id") =!= -1L)
+      .select("user_id", "mid", "var", "event_id")
+      .as[(Long, Long, String, Long)].collect().toSet
+
+    val exp = MatchRecognize.annotate(
+        eventRows.toDF(),
+        partitionBy = Seq("user_id"),
+        orderBy = Seq("ts", "event_id"),
+        pattern = "A B+",
+        define = Seq(
+          "A" -> (col("event_type") === "purchase"),
+          "B" -> (col("event_type") === "click")),
+        within = Some((unix_millis(col("ts")), 86400000L)))
+      .select(col("user_id"), col("mr_match"), col("mr_var"), col("event_id"))
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got.nonEmpty)
+    assert(got == exp)
+  }
+}
