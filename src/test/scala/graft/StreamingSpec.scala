@@ -185,6 +185,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.map(_._1) == exp.map(_._1))
   }
 
+  test("socket source round-trip on loopback") {
+    // §2.1 row 3: the reference's SocketTextStreamFunction — SS's native
+    // socket source, driven end-to-end against a real loopback server
+    // (offline-safe: no egress, just 127.0.0.1).
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val port = server.getLocalPort
+    val writer = new Thread(() => {
+      val s = server.accept()
+      val out = new java.io.PrintWriter(s.getOutputStream, true)
+      (1 to 50).foreach(i => out.println(s"line$i"))
+      out.flush()
+      Thread.sleep(60000) // keep the connection open until the test ends
+      s.close()
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val df = spark.readStream.format("socket")
+      .option("host", "127.0.0.1").option("port", port).load()
+    val q = df.writeStream.format("memory").queryName("s_socket")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val deadline = System.currentTimeMillis + 60000
+      var n = 0L
+      while (n < 50 && System.currentTimeMillis < deadline) {
+        Thread.sleep(250)
+        q.processAllAvailable()
+        n = spark.table("s_socket").count()
+      }
+      assert(n == 50)
+      assert(spark.table("s_socket").select("value").as[String]
+        .collect().toSet == (1 to 50).map(i => s"line$i").toSet)
+    } finally { q.stop(); server.close() }
+  }
+
   test("watermark idleness: max policy lets a busy source finalize despite an idle one") {
     implicit val sc = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.multipleWatermarkPolicy")
