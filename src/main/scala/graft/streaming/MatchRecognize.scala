@@ -449,6 +449,43 @@ object MatchRecognize {
     def countOf(v: String): Column =
       org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.when(col("mr_var") === v, lit(1)))
+
+    private def varRows(v: String, c: Column): Column = {
+      import org.apache.spark.sql.functions._
+      // V's rows as (mr_seq, value) structs in match order; collect_list
+      // drops the non-V rows' nulls, array_sort orders by mr_seq
+      array_sort(collect_list(when(col("mr_var") === v,
+        struct(col("mr_seq").as("s"), c.as("v")))))
+    }
+    /** FIRST(V.c, offset) — c on the (offset+1)-th row classified as V
+      * (SQL:2016 logical navigation with offset; null when V matched
+      * fewer rows — try_element_at, since Spark 4 runs ANSI mode). */
+    def firstOf(v: String, c: Column, offset: Int): Column =
+      org.apache.spark.sql.functions
+        .try_element_at(varRows(v, c), lit(offset + 1))("v")
+    /** LAST(V.c, offset) — c on the (offset+1)-th row of V counting from
+      * the match end. */
+    def lastOf(v: String, c: Column, offset: Int): Column =
+      org.apache.spark.sql.functions.try_element_at(
+        org.apache.spark.sql.functions.reverse(varRows(v, c)),
+        lit(offset + 1))("v")
+
+    /**
+     * RUNNING semantics for ALL ROWS PER MATCH (the reference's
+     * RUNNING-vs-FINAL measure split, MatchCodeGenerator.scala): a
+     * per-row aggregate over the match PREFIX up to the current row.
+     * Apply to `annotate`'s output:
+     * `ann.withColumn("run_sum", Measures.running(Seq("k"))(sum($"x")))`.
+     * FINAL semantics are the plain groupBy aggregate (oneRowPerMatch)
+     * or an unbounded frame over the same window.
+     */
+    def running(partitionBy: Seq[String])(agg: Column): Column = {
+      import org.apache.spark.sql.expressions.Window
+      agg.over(Window
+        .partitionBy((partitionBy :+ "mr_match").map(col): _*)
+        .orderBy(col("mr_seq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    }
   }
 
   /**

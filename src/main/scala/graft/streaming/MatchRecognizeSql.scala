@@ -145,6 +145,10 @@ object MatchRecognizeSql {
 
   private val firstRe = "(?is)^FIRST\\s*\\(\\s*(\\w+)\\s*\\.\\s*(\\w+)\\s*\\)$".r
   private val lastRe = "(?is)^LAST\\s*\\(\\s*(\\w+)\\s*\\.\\s*(\\w+)\\s*\\)$".r
+  private val firstOffRe =
+    "(?is)^FIRST\\s*\\(\\s*(\\w+)\\s*\\.\\s*(\\w+)\\s*,\\s*(\\d+)\\s*\\)$".r
+  private val lastOffRe =
+    "(?is)^LAST\\s*\\(\\s*(\\w+)\\s*\\.\\s*(\\w+)\\s*,\\s*(\\d+)\\s*\\)$".r
   private val countVarRe = "(?is)^COUNT\\s*\\(\\s*(\\w+)\\s*\\.\\s*\\*\\s*\\)$".r
   private val countAllRe = "(?is)^COUNT\\s*\\(\\s*\\*\\s*\\)$".r
   private val classifierRe = "(?is)^CLASSIFIER\\s*\\(\\s*\\)$".r
@@ -152,6 +156,10 @@ object MatchRecognizeSql {
   private def measureCol(e: String, vars: Seq[String]): Column = e.trim match {
     case firstRe(v, c) => MatchRecognize.Measures.firstOf(canon(v, vars), expr(c))
     case lastRe(v, c) => MatchRecognize.Measures.lastOf(canon(v, vars), expr(c))
+    case firstOffRe(v, c, n) =>
+      MatchRecognize.Measures.firstOf(canon(v, vars), expr(c), n.toInt)
+    case lastOffRe(v, c, n) =>
+      MatchRecognize.Measures.lastOf(canon(v, vars), expr(c), n.toInt)
     case countVarRe(v) => MatchRecognize.Measures.countOf(canon(v, vars))
     case countAllRe() => count(lit(1))
     case classifierRe() => MatchRecognize.Measures.classifier

@@ -146,6 +146,37 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 3L, 5L, 5L)))
   }
 
+  test("FIRST/LAST offsets and RUNNING aggregates") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 200000.0), (1L, 2L, 10.0), (1L, 3L, 20.0), (1L, 4L, 30.0)
+    ).toDF("k", "seq", "price")
+    df.createOrReplaceTempView("mr_off_v")
+    val got = MatchRecognizeSql.sql(spark, """
+      SELECT * FROM mr_off_v MATCH_RECOGNIZE (
+        PARTITION BY k
+        ORDER BY seq
+        MEASURES FIRST(B.seq, 1) AS second_b,
+                 LAST(B.seq, 1) AS second_last_b,
+                 FIRST(B.seq, 5) AS past_end
+        ONE ROW PER MATCH
+        PATTERN (A B+)
+        DEFINE A AS price > 100000, B AS price <= 100000
+      )""").select("second_b", "second_last_b", "past_end").collect().head
+    assert(got.getLong(0) == 3L)  // B rows are seq 2,3,4: FIRST(+1) = 3
+    assert(got.getLong(1) == 3L)  // LAST(+1) = 3
+    assert(got.isNullAt(2))       // offset past the match: null, no throw
+
+    // RUNNING over ALL ROWS PER MATCH output
+    val ann = graft.streaming.MatchRecognize.annotate(
+      df, Seq("k"), Seq("seq"), "A B+",
+      Seq("A" -> (col("price") > 100000), "B" -> (col("price") <= 100000)))
+    val run = ann.withColumn("run_sum",
+        graft.streaming.MatchRecognize.Measures.running(Seq("k"))(sum(col("price"))))
+      .orderBy("seq").select("run_sum").as[Double].collect().toSeq
+    assert(run == Seq(200000.0, 200010.0, 200030.0, 200060.0))
+  }
+
   test("variable-scoped aggregate and SKIP TO NEXT ROW") {
     orders
     val got = MatchRecognizeSql.sql(spark, """
