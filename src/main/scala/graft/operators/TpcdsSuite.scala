@@ -485,6 +485,86 @@ object TpcdsSuite {
         .limit(100)
     }),
 
+    // ── q66 shape: 12-column monthly pivot via conditional aggregation ──
+    "q118_tpcds66" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+                col("l_shipdate") < ts("1997-01-01"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+      val months = (1 to 12).map(m =>
+        sum(when(month(col("l_shipdate")) === m, amt)
+          .otherwise(lit(0).cast(dec))).cast("double").as(f"m$m%02d"))
+      base.groupBy(col("n_name"))
+        .agg(months.head, months.tail :+
+             sum(amt).cast("double").as("total"): _*)
+    }),
+
+    // ── q9 shape: CASE battery over scalar-count/avg subqueries ──
+    "q119_tpcds9" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def stats(lo: Int, hi: Int, i: Int) = li
+        .filter(col("l_quantity") >= lo && col("l_quantity") <= hi)
+        .agg(count(lit(1)).as(s"cnt_$i"),
+             (sum(col("l_extendedprice").cast(dec)).cast("double") /
+               count(lit(1))).as(s"avg_price_$i"),
+             (sum(col("l_discount").cast(dec)).cast("double") /
+               count(lit(1))).as(s"avg_disc_$i"))
+      val joined = (1 to 5).map(i => stats((i - 1) * 10 + 1, i * 10, i))
+        .map(broadcast(_)).reduce(_.crossJoin(_))
+      val one = t(s, dir, "region").filter(col("r_regionkey") === 0)
+        .select(col("r_name"))
+      one.crossJoin(broadcast(joined)).select(
+        col("r_name") +: (1 to 5).map(i =>
+          when(col(s"cnt_$i") > 11000, col(s"avg_price_$i"))
+            .otherwise(col(s"avg_disc_$i")).as(s"bucket$i")): _*)
+    }),
+
+    // ── q31 shape: quarter-over-quarter growth matrix, two channels ──
+    "q120_tpcds31" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1996-10-01"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("l_linestatus"),
+                 quarter(col("o_orderdate")).cast("long").as("q"))
+        .agg(sum(amt).cast("double").as("total"))
+      def slice(ls: String, q: Int, out: String) = base
+        .filter(col("l_linestatus") === ls && col("q") === q)
+        .select(col("n_name").as(s"n_$out"), col("total").as(out))
+      slice("F", 1, "f1").join(slice("F", 2, "f2"), col("n_f1") === col("n_f2"))
+        .join(slice("F", 3, "f3"), col("n_f1") === col("n_f3"))
+        .join(slice("O", 1, "o1"), col("n_f1") === col("n_o1"))
+        .join(slice("O", 2, "o2"), col("n_f1") === col("n_o2"))
+        .join(slice("O", 3, "o3"), col("n_f1") === col("n_o3"))
+        .filter(col("f1") > 0 && col("f2") > 0 && col("o1") > 0 && col("o2") > 0 &&
+                col("o2") / col("o1") > col("f2") / col("f1") &&
+                col("o3") / col("o2") > col("f3") / col("f2"))
+        .select(col("n_f1").as("n_name"),
+                (col("o2") / col("o1")).as("web_q1_q2"),
+                (col("o3") / col("o2")).as("web_q2_q3"))
+    }),
+
+    // ── q21 shape: before/after-date balance band per supplier ──
+    "q121_tpcds21" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-06-01") &&
+                col("l_shipdate") < ts("1996-08-01"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(when(col("l_shipdate") < ts("1996-07-01"), lit(1)))
+               .as("before_cnt"),
+             count(when(col("l_shipdate") >= ts("1996-07-01"), lit(1)))
+               .as("after_cnt"))
+        // 2/3 <= before/after <= 3/2 as exact integer cross-products
+        .filter(col("after_cnt") * 2 <= col("before_cnt") * 3 &&
+                col("before_cnt") * 2 <= col("after_cnt") * 3)
+    }),
+
     // ── q58 shape: items with near-equal revenue across all 3 channels ──
     "q112_tpcds58" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -894,6 +974,82 @@ object TpcdsSuite {
                PARTITION BY lochierarchy, coalesce(r_name, '')
                ORDER BY gross_margin, coalesce(n_name, '')) AS BIGINT) AS rk
       FROM rolled""",
+
+    "q118_tpcds66" -> ("""
+      SELECT n_name,
+        """ + (1 to 12).map(m =>
+          f"""CAST(sum(CASE WHEN month(l_shipdate) = $m
+              THEN CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))
+              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS m$m%02d"""
+        ).mkString(",\n        ") + """,
+        CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4)))
+          AS DOUBLE) AS total
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name"""),
+
+    "q119_tpcds9" -> ("""
+      SELECT r_name,
+        """ + (1 to 5).map { i =>
+          val (lo, hi) = ((i - 1) * 10 + 1, i * 10)
+          s"""CASE WHEN (SELECT count(*) FROM lineitem
+                 WHERE l_quantity BETWEEN $lo AND $hi) > 11000
+             THEN (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                     AS DOUBLE) / count(*) FROM lineitem
+                   WHERE l_quantity BETWEEN $lo AND $hi)
+             ELSE (SELECT CAST(sum(CAST(l_discount AS DECIMAL(18,4)))
+                     AS DOUBLE) / count(*) FROM lineitem
+                   WHERE l_quantity BETWEEN $lo AND $hi)
+             END AS bucket$i"""
+        }.mkString(",\n        ") + """
+      FROM region WHERE r_regionkey = 0"""),
+
+    "q120_tpcds31" -> """
+      WITH base AS (
+        SELECT n_name, l_linestatus,
+               CAST(quarter(o_orderdate) AS BIGINT) AS q,
+               CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+        GROUP BY 1, 2, 3)
+      SELECT f1.n_name AS n_name,
+             o2.total / o1.total AS web_q1_q2,
+             o3.total / o2.total AS web_q2_q3
+      FROM (SELECT * FROM base WHERE l_linestatus='F' AND q=1) f1
+      JOIN (SELECT * FROM base WHERE l_linestatus='F' AND q=2) f2
+        ON f1.n_name = f2.n_name
+      JOIN (SELECT * FROM base WHERE l_linestatus='F' AND q=3) f3
+        ON f1.n_name = f3.n_name
+      JOIN (SELECT * FROM base WHERE l_linestatus='O' AND q=1) o1
+        ON f1.n_name = o1.n_name
+      JOIN (SELECT * FROM base WHERE l_linestatus='O' AND q=2) o2
+        ON f1.n_name = o2.n_name
+      JOIN (SELECT * FROM base WHERE l_linestatus='O' AND q=3) o3
+        ON f1.n_name = o3.n_name
+      WHERE f1.total > 0 AND f2.total > 0 AND o1.total > 0 AND o2.total > 0
+        AND o2.total / o1.total > f2.total / f1.total
+        AND o3.total / o2.total > f3.total / f2.total""",
+
+    "q121_tpcds21" -> """
+      SELECT s_suppkey, s_name,
+             CAST(count(*) FILTER (l_shipdate < TIMESTAMP '1996-07-01')
+               AS BIGINT) AS before_cnt,
+             CAST(count(*) FILTER (l_shipdate >= TIMESTAMP '1996-07-01')
+               AS BIGINT) AS after_cnt
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+        AND l_shipdate < TIMESTAMP '1996-08-01'
+      GROUP BY 1, 2
+      HAVING after_cnt * 2 <= before_cnt * 3
+         AND before_cnt * 2 <= after_cnt * 3""",
 
     "q115_tpcds34" -> """
       SELECT c_custkey, c_name, c_mktsegment, cnt FROM (
