@@ -61,6 +61,11 @@ object TpcdsSuite {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── q5 shape: per-channel UNION ALL feeding ROLLUP(channel, geo) ──
+    // The three branches scan the fact separately on purpose: in TPC-DS
+    // the channels ARE three distinct fact tables (store/catalog/web
+    // sales), so one pushdown-filtered scan per branch is the
+    // reference's real IO pattern — a CASE-channel single scan would be
+    // testing a different (easier) plan.
     "q94_tpcds5" -> ((s, dir) => {
       val base = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
