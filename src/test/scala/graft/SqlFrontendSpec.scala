@@ -75,6 +75,31 @@ class SqlFrontendSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("FOR SYSTEM_TIME AS OF on a STREAMING probe: stream-static lookup join") {
+    views
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEv]
+    mem.toDF().createOrReplaceTempView("sf_stream_probe")
+    val joined = SqlFrontend.sql(spark, """
+        SELECT p.event_id, n.n_name
+        FROM sf_stream_probe p
+        JOIN sf_nation FOR SYSTEM_TIME AS OF p.proctime AS n
+          ON p.user_id % 25 = n.n_nationkey""")
+    assert(joined.isStreaming)
+    val q = joined.writeStream.format("memory").queryName("s_lookup")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      val evs = (1 to 40).map(i => SEv(i.toLong, new java.sql.Timestamp(i * 1000L),
+        i.toLong, "x", 0.0))
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s_lookup").as[(Long, String)].collect().toSet
+    val exp = (1 to 40).map(i => (i.toLong, s"NATION_${i % 25}")).toSet
+    assert(got == exp)
+  }
+
   test("plain SQL passes through to spark.sql") {
     views
     val got = SqlFrontend.sql(spark,
