@@ -579,6 +579,85 @@ object TpcdsSuite {
                 col("before_cnt") * 2 <= col("after_cnt") * 3)
     }),
 
+    // ── q49 shape: per-channel worst-ratio ranking, UNION of channels ──
+    "q122_tpcds49" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+                col("l_shipdate") < ts("1997-01-01"))
+      def chan(rf: String, nm: String) = {
+        val per = li.filter(col("l_returnflag") === rf)
+          .groupBy(col("l_partkey"))
+          .agg(sum((col("l_extendedprice") * col("l_discount")).cast(dec))
+                 .cast("double").as("disc_amt"),
+               sum(col("l_extendedprice").cast(dec)).cast("double").as("amt"))
+          .filter(col("amt") > 0)
+          .withColumn("ratio", col("disc_amt") / col("amt"))
+        val w = Window.orderBy(col("ratio").desc, col("l_partkey"))
+        per.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 10)
+          .select(lit(nm).as("channel"), col("l_partkey"),
+                  round(col("ratio"), 6).as("ratio"), col("rk"))
+      }
+      chan("A", "store").unionAll(chan("N", "catalog")).unionAll(chan("R", "web"))
+    }),
+
+    // ── q59 shape: weekday sales matrix, year-over-year self-join ──
+    "q123_tpcds59" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+      // Spark dayofweek is 1-based (1=Sunday); DuckDB 0-based — align on 0..6
+      def matrix(y: String, yNext: String, pfx: String) = {
+        val dows = (0 to 6).map(d =>
+          sum(when(dayofweek(col("o_orderdate")) - 1 === d, amt)
+            .otherwise(lit(0).cast(dec))).cast("double").as(s"${pfx}_d$d"))
+        base.filter(col("o_orderdate") >= ts(y) && col("o_orderdate") < ts(yNext))
+          .groupBy(col("n_name").as(s"${pfx}_nation"))
+          .agg(dows.head, dows.tail: _*)
+      }
+      matrix("1996-01-01", "1997-01-01", "y1")
+        .join(matrix("1997-01-01", "1998-01-01", "y2"),
+              col("y1_nation") === col("y2_nation"))
+        .select(col("y1_nation").as("n_name") +:
+          (0 to 6).map(d => round(col(s"y2_d$d") / col(s"y1_d$d"), 6)
+            .as(s"ratio_d$d")): _*)
+    }),
+
+    // ── q65 shape: items selling below half their geo's average ──
+    "q124_tpcds65" -> ((s, dir) => {
+      val per = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("l_partkey"))
+        .agg(sum(amt).cast("double").as("rev"))
+      val avgPer = per.groupBy(col("n_name").as("an_name"))
+        .agg((sum(col("rev").cast(dec)).cast("double") /
+               count(lit(1))).as("avg_rev"))
+      per.join(broadcast(avgPer), col("n_name") === col("an_name"))
+        .filter(col("rev") <= col("avg_rev") * 0.5)
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("n_name"), col("p_name"), col("rev"))
+    }),
+
+    // ── q93 shape: net revenue excluding returned lines (compound-key
+    //    anti join), top customers ──
+    "q125_tpcds93" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val returned = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("r_ok"), col("l_linenumber").as("r_ln"))
+      li.join(returned,
+          col("l_orderkey") === col("r_ok") &&
+          col("l_linenumber") === col("r_ln"), "left_anti")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(amt).cast("double").as("net_rev"))
+        .orderBy(col("net_rev").desc, col("o_custkey"))
+        .limit(50)
+    }),
+
     // ── q58 shape: items with near-equal revenue across all 3 channels ──
     "q112_tpcds58" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1112,6 +1191,83 @@ object TpcdsSuite {
         AND r97.total / r96.total > a97.total / a96.total
       ORDER BY 1
       LIMIT 100""",
+
+    "q122_tpcds49" -> """
+      WITH per AS (
+        SELECT CASE l_returnflag WHEN 'A' THEN 'store'
+                                 WHEN 'N' THEN 'catalog' ELSE 'web' END AS channel,
+               l_partkey,
+               CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                 AS DOUBLE) AS disc_amt,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                 AS DOUBLE) AS amt
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT channel, l_partkey, disc_amt / amt AS ratio,
+               CAST(row_number() OVER (PARTITION BY channel
+                 ORDER BY disc_amt / amt DESC, l_partkey) AS BIGINT) AS rk
+        FROM per WHERE amt > 0)
+      SELECT channel, l_partkey, round(ratio, 6) AS ratio, rk
+      FROM ranked WHERE rk <= 10""",
+
+    "q123_tpcds59" -> ("""
+      WITH base AS (
+        SELECT n_name, o_orderdate, dayofweek(o_orderdate) AS dow,
+               CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4)) AS a
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      y1 AS (SELECT n_name, """ + (0 to 6).map(d =>
+        s"""CAST(sum(CASE WHEN dow = $d THEN a ELSE CAST(0 AS DECIMAL(18,4))
+            END) AS DOUBLE) AS y1_d$d""").mkString(",\n        ") + """
+        FROM base WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1),
+      y2 AS (SELECT n_name, """ + (0 to 6).map(d =>
+        s"""CAST(sum(CASE WHEN dow = $d THEN a ELSE CAST(0 AS DECIMAL(18,4))
+            END) AS DOUBLE) AS y2_d$d""").mkString(",\n        ") + """
+        FROM base WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1)
+      SELECT y1.n_name AS n_name,
+        """ + (0 to 6).map(d =>
+          s"round(y2_d$d / y1_d$d, 6) AS ratio_d$d").mkString(",\n        ") + """
+      FROM y1 JOIN y2 ON y1.n_name = y2.n_name"""),
+
+    "q124_tpcds65" -> """
+      WITH per AS (
+        SELECT n_name, l_partkey,
+               CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      avg_per AS (
+        SELECT n_name, CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) AS avg_rev
+        FROM per GROUP BY 1)
+      SELECT per.n_name AS n_name, p_name, rev
+      FROM per
+      JOIN avg_per ON per.n_name = avg_per.n_name
+      JOIN part ON l_partkey = p_partkey
+      WHERE rev <= avg_rev * 0.5""",
+
+    "q125_tpcds93" -> """
+      SELECT o_custkey, CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+             AS DECIMAL(18,4))) AS DOUBLE) AS net_rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem r
+        WHERE r.l_returnflag = 'R'
+          AND r.l_orderkey = lineitem.l_orderkey
+          AND r.l_linenumber = lineitem.l_linenumber)
+      GROUP BY 1
+      ORDER BY net_rev DESC, o_custkey
+      LIMIT 50""",
 
     "q112_tpcds58" -> """
       WITH st AS (
