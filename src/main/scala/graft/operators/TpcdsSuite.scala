@@ -658,6 +658,31 @@ object TpcdsSuite {
         .limit(50)
     }),
 
+    // ── q29 shape: buy → return → re-buy temporal chain across channels ──
+    "q126_tpcds29" -> ((s, dir) => {
+      val lo = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      def leg(rf: String, pfx: String) = lo
+        .filter(col("l_returnflag") === rf)
+        .select(col("o_custkey").as(s"${pfx}_ck"),
+                col("l_partkey").as(s"${pfx}_pk"),
+                col("o_orderdate").as(s"${pfx}_dt"), amt.as(s"${pfx}_amt"))
+      leg("A", "sale")
+        .join(leg("R", "ret"),
+          col("sale_ck") === col("ret_ck") && col("sale_pk") === col("ret_pk") &&
+          col("ret_dt") > col("sale_dt") &&
+          col("ret_dt") <= col("sale_dt") + expr("INTERVAL 90 DAYS"))
+        .join(leg("N", "rebuy"),
+          col("sale_ck") === col("rebuy_ck") &&
+          col("sale_pk") === col("rebuy_pk") &&
+          col("rebuy_dt") > col("ret_dt"))
+        .join(t(s, dir, "part"), col("sale_pk") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_chains"),
+             sum(col("sale_amt")).cast("double").as("sale_total"),
+             sum(col("rebuy_amt")).cast("double").as("rebuy_total"))
+    }),
+
     // ── q58 shape: items with near-equal revenue across all 3 channels ──
     "q112_tpcds58" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1268,6 +1293,26 @@ object TpcdsSuite {
       GROUP BY 1
       ORDER BY net_rev DESC, o_custkey
       LIMIT 50""",
+
+    "q126_tpcds29" -> """
+      WITH lo AS (
+        SELECT o_custkey, l_partkey, l_returnflag, o_orderdate,
+               CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4)) AS a
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      SELECT p_brand,
+             count(*) AS n_chains,
+             CAST(sum(sale.a) AS DOUBLE) AS sale_total,
+             CAST(sum(rebuy.a) AS DOUBLE) AS rebuy_total
+      FROM (SELECT * FROM lo WHERE l_returnflag = 'A') sale
+      JOIN (SELECT * FROM lo WHERE l_returnflag = 'R') ret
+        ON sale.o_custkey = ret.o_custkey AND sale.l_partkey = ret.l_partkey
+       AND ret.o_orderdate > sale.o_orderdate
+       AND ret.o_orderdate <= sale.o_orderdate + INTERVAL 90 DAY
+      JOIN (SELECT * FROM lo WHERE l_returnflag = 'N') rebuy
+        ON sale.o_custkey = rebuy.o_custkey AND sale.l_partkey = rebuy.l_partkey
+       AND rebuy.o_orderdate > ret.o_orderdate
+      JOIN part ON sale.l_partkey = p_partkey
+      GROUP BY p_brand""",
 
     "q112_tpcds58" -> """
       WITH st AS (
