@@ -47,8 +47,21 @@ object Bench {
     // Warm the JVM/codegen paths once on the smallest table so per-query
     // numbers measure the engine, not first-call classloading.
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Rep budget: repeat fast queries (median-of-3 beats one co-tenant
+    // spike), but a query whose first rep already exceeds this is either
+    // genuinely slow or spiked — repeating it just multiplies the damage
+    // (round 6: one spiked query cost 3 × 85 s of wall clock). One sample
+    // is recorded instead; the min/median distinction matters only for
+    // queries cheap enough to repeat.
+    val repBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_REP_BUDGET_SEC", "30").toDouble
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var rep = 0
+      var failed = false
+      var continue = true
+      while (continue && rep < reps) {
+        rep += 1
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -60,9 +73,10 @@ object Bench {
         // per-query isolation: cached frames from one query (LSH sigs,
         // graph edges) must not distort or starve the next
         spark.catalog.clearCache()
-        if (ok) Some(dt) else None
+        if (ok) times += dt else failed = true
+        if (dt > repBudgetSec || failed) continue = false
       }
-      (name, times.sorted)
+      (name, times.sorted.toSeq)
     }
     // Failed queries (any rep failing drops that rep; all reps failed =
     // failed query) are excluded from timings and reported by name.

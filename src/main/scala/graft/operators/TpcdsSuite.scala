@@ -419,7 +419,8 @@ object TpcdsSuite {
                 month(col("o_orderdate")).between(mLo, mHi))
         .agg(count(lit(1)).as(out))
       cnt(1, 3, "am").crossJoin(cnt(10, 12, "pm"))
-        .select(round(col("am").cast("double") / col("pm").cast("double"), 6)
+        .select(round(try_divide(col("am").cast("double"),
+                                 col("pm").cast("double")), 6)
           .as("am_pm_ratio"))
     }),
 
@@ -620,9 +621,12 @@ object TpcdsSuite {
       matrix("1996-01-01", "1997-01-01", "y1")
         .join(matrix("1997-01-01", "1998-01-01", "y2"),
               col("y1_nation") === col("y2_nation"))
+        // try_divide: a weekday with zero year-1 sales yields a NULL
+        // ratio (ANSI double division throws on /0; NULLIF in the oracle)
         .select(col("y1_nation").as("n_name") +:
-          (0 to 6).map(d => round(col(s"y2_d$d") / col(s"y1_d$d"), 6)
-            .as(s"ratio_d$d")): _*)
+          (0 to 6).map(d =>
+            round(try_divide(col(s"y2_d$d"), col(s"y1_d$d")), 6)
+              .as(s"ratio_d$d")): _*)
     }),
 
     // ── q65 shape: items selling below half their geo's average ──
@@ -1062,7 +1066,8 @@ object TpcdsSuite {
          WHERE l_quantity BETWEEN 36 AND 40 AND l_returnflag IN ('N','R')) s8""",
 
     "q110_tpcds90" -> """
-      SELECT round(CAST(am AS DOUBLE) / CAST(pm AS DOUBLE), 6) AS am_pm_ratio
+      SELECT round(CAST(am AS DOUBLE) / nullif(CAST(pm AS DOUBLE), 0), 6)
+        AS am_pm_ratio
       FROM (SELECT count(*) AS am FROM orders
             WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
               AND year(o_orderdate) = 1996
@@ -1258,7 +1263,8 @@ object TpcdsSuite {
           AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1)
       SELECT y1.n_name AS n_name,
         """ + (0 to 6).map(d =>
-          s"round(y2_d$d / y1_d$d, 6) AS ratio_d$d").mkString(",\n        ") + """
+          s"round(y2_d$d / nullif(y1_d$d, 0), 6) AS ratio_d$d")
+            .mkString(",\n        ") + """
       FROM y1 JOIN y2 ON y1.n_name = y2.n_name"""),
 
     "q124_tpcds65" -> """
