@@ -179,7 +179,13 @@ object MatchRecognizeSql {
       throw new IllegalArgumentException("PARTITION BY is required")))
     val orderBy = splitTop(section("ORDER BY").getOrElse(
         throw new IllegalArgumentException("ORDER BY is required")))
-      .map(_.replaceAll("(?i)\\s+ASC$", ""))
+      .map { o =>
+        // row-pattern order is ascending by the standard; reject DESC
+        // loudly instead of misreading "ts DESC" as a column name
+        require(!o.toUpperCase.endsWith(" DESC"),
+          s"MATCH_RECOGNIZE ORDER BY must be ascending (got: $o)")
+        o.replaceAll("(?i)\\s+ASC$", "")
+      }
     val allRows = spans.exists(_._1 == "ALL ROWS PER MATCH")
     val skip = section("AFTER MATCH") match {
       case None => MatchRecognize.SkipPastLastRow
