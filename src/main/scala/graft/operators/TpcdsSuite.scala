@@ -687,6 +687,52 @@ object TpcdsSuite {
              sum(col("rebuy_amt")).cast("double").as("rebuy_total"))
     }),
 
+    // ── q78 shape: unreturned sales paired across channels per (year, item) ──
+    "q127_tpcds78" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val returned = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("r_ok"), col("l_linenumber").as("r_ln"))
+      def chan(rf: String, pfx: String) = li
+        .filter(col("l_returnflag") === rf)
+        .join(returned,
+          col("l_orderkey") === col("r_ok") &&
+          col("l_linenumber") === col("r_ln"), "left_anti")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as(s"${pfx}_yr"),
+                 col("l_partkey").as(s"${pfx}_pk"))
+        .agg(sum(col("l_quantity").cast(dec)).cast("double").as(s"${pfx}_qty"),
+             sum(amt).cast("double").as(s"${pfx}_amt"))
+      chan("A", "st").join(chan("N", "wb"),
+          col("st_yr") === col("wb_yr") && col("st_pk") === col("wb_pk"))
+        .withColumn("qty_ratio", round(try_divide(col("st_qty"),
+          col("st_qty") + col("wb_qty")), 6))
+        .select(col("st_yr").as("yr"), col("st_pk").as("l_partkey"),
+                col("qty_ratio"), col("st_qty"), col("st_amt"),
+                col("wb_qty"), col("wb_amt"))
+        .orderBy(col("qty_ratio").desc, col("yr"), col("l_partkey"))
+        .limit(100)
+    }),
+
+    // ── q54 shape: customer revenue-band histogram, scalar-subquery bounds ──
+    "q128_tpcds54" -> ((s, dir) => {
+      val spend = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1996-07-01"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(amt).cast("double").as("spent"))
+      val bounds = spend.agg(
+        ((sum(col("spent").cast(dec)).cast("double") / count(lit(1))) * 0.5)
+          .as("lo"),
+        ((sum(col("spent").cast(dec)).cast("double") / count(lit(1))) * 1.5)
+          .as("hi"))
+      spend.crossJoin(broadcast(bounds))
+        .filter(col("spent") >= col("lo") && col("spent") <= col("hi"))
+        .withColumn("segment", floor(col("spent") / 5000.0).cast("long"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("num_customers"))
+    }),
+
     // ── q58 shape: items with near-equal revenue across all 3 channels ──
     "q112_tpcds58" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1319,6 +1365,56 @@ object TpcdsSuite {
        AND rebuy.o_orderdate > ret.o_orderdate
       JOIN part ON sale.l_partkey = p_partkey
       GROUP BY p_brand""",
+
+    "q127_tpcds78" -> """
+      WITH ret AS (SELECT l_orderkey AS r_ok, l_linenumber AS r_ln
+                   FROM lineitem WHERE l_returnflag = 'R'),
+      st AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, l_partkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS st_qty,
+               CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS st_amt
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'A'
+          AND NOT EXISTS (SELECT 1 FROM ret
+                          WHERE r_ok = l_orderkey AND r_ln = l_linenumber)
+        GROUP BY 1, 2),
+      wb AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, l_partkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS wb_qty,
+               CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS wb_amt
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'N'
+          AND NOT EXISTS (SELECT 1 FROM ret
+                          WHERE r_ok = l_orderkey AND r_ln = l_linenumber)
+        GROUP BY 1, 2)
+      SELECT st.yr AS yr, st.l_partkey AS l_partkey,
+             round(st_qty / nullif(st_qty + wb_qty, 0), 6) AS qty_ratio,
+             st_qty, st_amt, wb_qty, wb_amt
+      FROM st JOIN wb ON st.yr = wb.yr AND st.l_partkey = wb.l_partkey
+      ORDER BY qty_ratio DESC, yr, l_partkey
+      LIMIT 100""",
+
+    "q128_tpcds54" -> """
+      WITH spend AS (
+        SELECT o_custkey, CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+               AS DECIMAL(18,4))) AS DOUBLE) AS spent
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+        GROUP BY 1),
+      bounds AS (
+        SELECT (CAST(sum(CAST(spent AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*)) * 0.5 AS lo,
+               (CAST(sum(CAST(spent AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*)) * 1.5 AS hi
+        FROM spend)
+      SELECT CAST(floor(spent / 5000.0) AS BIGINT) AS segment,
+             count(*) AS num_customers
+      FROM spend, bounds
+      WHERE spent >= lo AND spent <= hi
+      GROUP BY 1""",
 
     "q112_tpcds58" -> """
       WITH st AS (
