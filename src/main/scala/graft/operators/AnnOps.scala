@@ -47,12 +47,16 @@ object AnnOps {
   /** Plane component p,d in [-1, 1] with 3 decimals (portable). */
   def planeComponent(p: Int, d: Int): Double = (h60(s"$p:$d") % 2001 - 1000) / 1000.0
 
-  /** Sequential-fold dot product of the embedding with a literal plane. */
-  private def dotPlane(embCol: String, p: Int): Column = {
-    expr(s"aggregate(zip_with($embCol, " +
-      s"array(${(0 until Dims).map(d => planeComponent(p, d)).mkString(",")}), " +
-      "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-  }
+  /** Sequential-fold dot product of the embedding with a literal plane —
+    * a codegen'd custom expression (plans/planeproj.scala); the earlier
+    * aggregate(zip_with(...)) form evaluated its lambdas interpreted and
+    * built a product array per row per plane. Fold order (and therefore
+    * every bucket bit) is unchanged. */
+  private def dotPlane(embCol: String, p: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.plans.DotConst(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col(embCol)),
+        (0 until Dims).map(d => planeComponent(p, d)).toArray))
 
   /** Bucket id: 16 sign bits of the plane projections. */
   def bucketCol(embCol: String): Column =
