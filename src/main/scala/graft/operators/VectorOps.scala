@@ -22,10 +22,6 @@ import graft.Tables
  */
 object VectorOps {
 
-  /** Sequential-fold double dot product of two float vectors. */
-  private def dotD(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 neighbors for each of the first 10 vectors.
     "q38_cosine_topk" -> ((s, dir) => {
