@@ -22,6 +22,41 @@ class StreamMatchRecognizeSpec extends AnyFunSuite {
               col("event_type"), col("value"))
       .as[SEv].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id)).take(600)
 
+  test("SKIP TO NEXT ROW: overlapping matches survive batch boundaries") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[SEv]
+    val out = MatchRecognize.annotateStream[Long, SEv](
+      mem.toDS().withWatermark("ts", "1 second").groupByKey(_.user_id),
+      orderTs = _.ts.getTime, tiebreak = _.event_id,
+      // contiguous overlap: "A A" over a run of three a's shares the
+      // middle row between two matches — found only under skip-to-next
+      pattern = "A A",
+      define = Seq("A" -> ((e: SEv) => e.event_type == "a")),
+      withinMs = 10000L, skip = MatchRecognize.SkipToNextRow)
+    val q = out.map(t => (t._2, t._3, t._4.event_id))
+      .toDF("mid", "var", "id")
+      .writeStream.format("memory").queryName("s_mr_over")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    def ev(id: Long, ms: Long, tp: String) =
+      SEv(id, new Timestamp(ms), 1L, tp, 0.0)
+    try {
+      // the a-run splits across batches; both overlapping pairs emit
+      mem.addData(ev(1, 1000, "a"), ev(2, 2000, "a"))
+      q.processAllAvailable()
+      mem.addData(ev(3, 3000, "a"))
+      q.processAllAvailable()
+      mem.addData(ev(99, 60000, "x")) // watermark push finalizes both
+      q.processAllAvailable()
+      mem.addData(ev(98, 120000, "x"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s_mr_over")
+      .select("mid", "var", "id").as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "A", 1L), (1L, "A", 2L),
+                      (2L, "A", 2L), (2L, "A", 3L)))
+  }
+
   test("streaming annotate equals batch annotate with WITHIN") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[SEv]
