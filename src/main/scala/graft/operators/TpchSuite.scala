@@ -92,10 +92,17 @@ object TpchSuite {
           .cast("double").as("revenue"))),
 
     // Q7: volume shipping between two nations, both directions, by year.
+    // Both nation sides are pre-filtered to the two nations of interest:
+    // Catalyst cannot derive per-side IN residuals from the cross-side OR
+    // below, so without this 23/25 of supplier/customer rows would flow
+    // through both joins only to be discarded by the pair filter.
     "q69_tpch7" -> ((s, dir) => {
+      val pair = Seq("NATION_1", "NATION_2")
       val n1 = broadcast(t(s, dir, "nation")
+        .filter(col("n_name").isin(pair: _*))
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
       val n2 = broadcast(t(s, dir, "nation")
+        .filter(col("n_name").isin(pair: _*))
         .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&

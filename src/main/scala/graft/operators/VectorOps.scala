@@ -22,6 +22,10 @@ import graft.Tables
  */
 object VectorOps {
 
+  /** Fixed IVF centroid count — independent of corpus size, so the
+   *  K-row driver collect and the plan literal stay O(K) at any scale. */
+  private val ivfK = 40
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 neighbors for each of the first 10 vectors.
     "q38_cosine_topk" -> ((s, dir) => {
@@ -45,28 +49,35 @@ object VectorOps {
     }),
 
     // IVF (inverted-file) ANN — the scale path beside AnnOps' LSH:
-    // a coarse quantizer (every 25th vector, deterministic, so the
-    // oracle can reproduce it) partitions the corpus into one inverted
-    // list per centroid; queries probe only their nprobe=2 nearest
-    // lists, then re-rank exactly inside them. 100 TB: the centroid set
-    // is tiny and deterministic, so corpus→centroid assignment is a
-    // SHUFFLE-FREE argmax PROJECTION (centroids folded into one array
-    // literal, transform + array_max picks the nearest) — the corpus is
-    // only ever shuffled ONCE, by the candidate equi-join on cid; the
-    // O(q × corpus) pair space never materializes, and list sizes are
-    // corpus/K, tunable via K to fit executor memory.
+    // a coarse quantizer of FIXED size K (deterministic sample: the K
+    // rows with the smallest md5(vec_id) — a TakeOrderedAndProject scan,
+    // no full sort, reproducible by the oracle) partitions the corpus
+    // into one inverted list per centroid; queries probe only their
+    // nprobe=2 nearest lists, then re-rank exactly inside them.
+    // 100 TB: K is INDEPENDENT of corpus size, so the K-row collect()
+    // and the centroid literal are O(K) forever — corpus→centroid
+    // assignment stays a SHUFFLE-FREE argmax PROJECTION (centroids
+    // folded into one array literal, transform + array_max picks the
+    // nearest); the corpus is only ever shuffled ONCE, by the candidate
+    // equi-join on cid; the O(q × corpus) pair space never materializes,
+    // and list sizes are corpus/K, tunable via K to fit executor memory.
+    // (If K were ever raised past literal-friendly size, swap the
+    // projection for the broadcast-join on `cents` below — same result.)
     "q85_ann_ivf" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
       val cos = graft.functions.GraftFunctions.cosineSim _
-      val centRows = emb.filter(col("vec_id") % 25 === 0)
+      val centSel = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(ivfK)
+      val centRows = centSel
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getAs[Number](0).longValue(), r.getSeq[Float](1)))
         .sortBy(_._1).toSeq
-      // one Literal node holding the whole centroid table (NOT a
+      // one Literal node holding the whole K-row centroid table (NOT a
       // per-element expression tree) — constant-folded into codegen
       val centsArr = typedLit(centRows)
         .cast("array<struct<cid:bigint,cent:array<float>>>")
-      val cents = broadcast(emb.filter(col("vec_id") % 25 === 0)
+      val cents = broadcast(centSel
         .select(col("vec_id").as("cid"), col("embedding").as("cent")))
       // nearest centroid per corpus vector, as a projection: array_max
       // over struct<cos,ncid> is lexicographic — max cos, ties to the
@@ -118,10 +129,11 @@ object VectorOps {
       SELECT q_id, cand_id, CAST(rnk AS INT) AS rnk, round(cos, 6) AS sim
       FROM ranked WHERE rnk <= 5""",
 
-    "q85_ann_ivf" -> """
+    "q85_ann_ivf" -> s"""
       WITH cents AS (
         SELECT vec_id AS cid, embedding::DOUBLE[] AS cent
-        FROM embeddings WHERE vec_id % 25 = 0),
+        FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT $ivfK),
       assigned AS (
         SELECT cand_id, ce, cid FROM (
           SELECT e.vec_id AS cand_id, e.embedding::DOUBLE[] AS ce, c.cid,

@@ -29,9 +29,11 @@ import org.apache.spark.sql.functions.{count, expr, lit}
  * `sum(CASE WHEN mr_var = 'B' THEN price END)` (FINAL semantics over
  * the match's rows, SQL-standard variable scoping). DEFINE predicates
  * evaluate on the CURRENT row (variable qualifiers resolve to the
- * current row's columns); PREV/NEXT navigation is not supported —
- * the engine classifies rows before matching (a documented divergence:
- * the reference's MatchCodeGenerator generates cross-row accessors).
+ * current row's columns); PREV(x[, n]) / NEXT(x[, n]) navigation IS
+ * supported — since row-pattern matching is strictly contiguous, they
+ * rewrite to lag/lead over the partition/order window before matching
+ * (see `nav` below), mirroring the cross-row accessors the reference's
+ * MatchCodeGenerator generates.
  *
  * Everything downstream of the parse is the engine's normal Catalyst
  * path — DEFINE predicates become codegen'd boolean columns computed
