@@ -138,6 +138,32 @@ class CepSpec extends AnyFunSuite {
     assert(cep == mr && cep.nonEmpty)
   }
 
+  test("oneOrMore run closed by an out-of-window event still emits") {
+    // Every event of the run is inside the within-window; the event that
+    // CLOSES the run merely falls outside it. The run must be emitted
+    // exactly as the end-of-input sweep would emit it — dropping it would
+    // make matches depend on whether a later event happens to exist.
+    val p = Pattern[CEv](Seq(
+      Step[CEv]("a", _.kind == "a"),
+      Step[CEv]("b", _.kind == "b", maxTimes = Cep.Unbounded)),
+      withinMs = Some(50L))
+    val evs = IndexedSeq(
+      CEv(1, 0, "a"), CEv(2, 10, "b"), CEv(3, 20, "b"), CEv(9, 200, "x"))
+    val withTrailing = Cep.matchAll(p, evs, (_: CEv).t).map(ids)
+    val noTrailing = Cep.matchAll(p, evs.dropRight(1), (_: CEv).t).map(ids)
+    // enumerate-all relaxed entry: run [2,3] plus its suffix [3]
+    assert(withTrailing.toSet == Set(Seq(1L, 2L, 3L), Seq(1L, 3L)))
+    assert(withTrailing == noTrailing)
+    // skip-past-last: the out-of-window closer stays eligible to START
+    // the next match (it is not part of the emitted run)
+    val p2 = p.copy(skipPastLast = true)
+    val evs2 = IndexedSeq(
+      CEv(1, 0, "a"), CEv(2, 10, "b"), CEv(3, 20, "b"),
+      CEv(4, 200, "a"), CEv(5, 210, "b"))
+    assert(Cep.matchAll(p2, evs2, (_: CEv).t).map(ids)
+      == Seq(Seq(1L, 2L, 3L), Seq(4L, 5L)))
+  }
+
   test("streaming CEP emits finalized matches and matches batch result") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CEv]
