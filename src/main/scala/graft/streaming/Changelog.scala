@@ -20,7 +20,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *    key) into its final table — one window pass, no driver loop;
  *  - `aggregateChangelog`: a streaming per-key SUM/COUNT that CONSUMES a
  *    changelog (insert/delete rows) and EMITS a changelog (-U old, +U
- *    new per change), i.e. GroupAggFunction's retraction behavior.
+ *    new per change), i.e. GroupAggFunction's retraction behavior;
+ *  - `joinChangelog`: an inner join that CONSUMES two changelogs and
+ *    EMITS the join result's changelog — the agg→join composition
+ *    (StreamingJoinOperator semantics).
  */
 object Changelog {
 
@@ -115,6 +118,117 @@ object Changelog {
           case (None, None) => Iterator.empty
         }
     }
+  }
+
+  /** One changelog-join output row: the joined pair plus the per-key
+    * emission sequence (`ord`) that makes `materialize` applicable
+    * downstream when the join output is upsert-shaped (≤1 live pair per
+    * key, as in agg-view ▸ join compositions). */
+  final case class JoinChange[L, R](key: Long, kind: String,
+                                    left: L, right: R, ord: Long)
+
+  /**
+   * Streaming changelog-consuming INNER JOIN of two updating inputs —
+   * the reference's StreamingJoinOperator
+   * (RUNTIME/.../operators/join/stream/StreamingJoinOperator.java:38)
+   * over JoinRecordStateViews (state/JoinRecordStateViews.java): each
+   * side's keyed state is its LIVE row multiset (payload → count);
+   * accumulate messages (+I/+U) add a row, retract messages (-U/-D)
+   * remove one instance by payload equality, and every state change
+   * emits the delta of the joined pair multiset as a changelog.
+   *
+   * Inputs are (joinKey, rowKind, payload) changelogs. Both are unioned
+   * into ONE keyed stateful operator (a single shuffle on the join key —
+   * the same co-partitioning Flink's twoInput operator gets from its
+   * hash exchanges), so left and right state live under the same group
+   * key, the way JoinRecordStateViews pairs them.
+   *
+   * Emission protocol is batch-atomic, mirroring `aggregateChangelog`:
+   * after applying the micro-batch's messages, pairs removed from the
+   * joined multiset emit -U (or -D when the key's join result empties)
+   * and added pairs emit +U (or +I when the key had no live pair) —
+   * the same net changelog as the reference's per-record emission,
+   * without transient pairs for same-batch both-side updates. Emissions
+   * carry a per-key sequence number (kept in state) so downstream
+   * `materialize` sees a totally ordered per-key log.
+   *
+   * A retraction whose payload is not in the live set is ignored (the
+   * reference's "state staled" tolerance). Duplicate rows are handled
+   * by counting, exactly like JoinRecordStateView.InputSideHasNoUniqueKey.
+   *
+   * Scale: state per key = live rows of BOTH sides for that key (what
+   * any streaming two-way join must hold); one exchange total; the
+   * per-batch cross-product delta touches only keys present in the
+   * batch. 100 TB: hot join keys are the skew risk exactly as in the
+   * reference — mitigate upstream via aggregateChangelog (upsert views
+   * have ≤1 live row per key, making the join O(1) per key per batch).
+   */
+  def joinChangelog[L, R](
+      left: Dataset[(Long, String, L)],
+      right: Dataset[(Long, String, R)])(
+      implicit lt: scala.reflect.runtime.universe.TypeTag[L],
+      rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[JoinChange[L, R]] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val ue: Encoder[(Long, String, Option[L], Option[R])] =
+      ExpressionEncoder()
+    implicit val ke: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    implicit val se: Encoder[(Seq[(L, Long)], Seq[(R, Long)], Long)] =
+      ExpressionEncoder()
+    implicit val oe: Encoder[JoinChange[L, R]] = ExpressionEncoder()
+
+    def bump[P](m: Map[P, Long], p: P, d: Long): Map[P, Long] = {
+      val c = m.getOrElse(p, 0L) + d
+      // c == 0: count exhausted; c < 0: stale retract — drop/ignore either
+      if (c > 0) m + (p -> c) else m - p
+    }
+    def cross(lm: Map[L, Long], rm: Map[R, Long]): Map[(L, R), Long] =
+      for { (l, cl) <- lm; (r, cr) <- rm } yield (l, r) -> cl * cr
+    def minus(a: Map[(L, R), Long], b: Map[(L, R), Long]) =
+      a.flatMap { case (p, c) =>
+        val d = c - b.getOrElse(p, 0L)
+        if (d > 0) Some(p -> d) else None
+      }
+    // deterministic emission order within a batch (Map order is not)
+    def expand(m: Map[(L, R), Long]): Seq[(L, R)] =
+      m.toSeq.sortBy(_._1.toString)
+        .flatMap { case (p, c) => Seq.fill(c.toInt)(p) }
+
+    val tagged =
+      left.map { case (k, kind, l) => (k, kind, Option(l), Option.empty[R]) }
+        .union(right.map { case (k, kind, r) =>
+          (k, kind, Option.empty[L], Option(r)) })
+    tagged.groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(L, Long)], Seq[(R, Long)], Long),
+                              JoinChange[L, R]](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, values: Iterator[(Long, String, Option[L], Option[R])],
+         state: GroupState[(Seq[(L, Long)], Seq[(R, Long)], Long)]) =>
+          val (l0, r0, n0) = state.getOption
+            .getOrElse((Seq.empty[(L, Long)], Seq.empty[(R, Long)], 0L))
+          var lm = l0.toMap
+          var rm = r0.toMap
+          val before = cross(lm, rm)
+          values.foreach { case (_, kind, lo, ro) =>
+            val d = kind match {
+              case Insert | UpdateAfter => 1L
+              case Delete | UpdateBefore => -1L
+            }
+            lo.foreach(p => lm = bump(lm, p, d))
+            ro.foreach(p => rm = bump(rm, p, d))
+          }
+          val after = cross(lm, rm)
+          val removed = expand(minus(before, after))
+          val added = expand(minus(after, before))
+          var n = n0
+          def rows(ps: Seq[(L, R)], kind: String): Seq[JoinChange[L, R]] =
+            ps.map { case (l, r) => n += 1; JoinChange(key, kind, l, r, n) }
+          val out =
+            rows(removed, if (after.isEmpty) Delete else UpdateBefore) ++
+            rows(added, if (before.isEmpty) Insert else UpdateAfter)
+          if (lm.isEmpty && rm.isEmpty) state.remove()
+          else state.update((lm.toSeq, rm.toSeq, n))
+          out.iterator
+      }
   }
 
   def aggregateChangelog[V](
