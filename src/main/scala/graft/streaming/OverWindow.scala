@@ -7,12 +7,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /**
  * Streaming OVER-window aggregates on event time (SURVEY §2.6): the
- * reference dedicates one operator per frame shape
+ * reference dedicates one operator per frame shape × aggregate
  * (flink-table-runtime-blink/.../operators/over/
  * RowTimeRangeBoundedPrecedingFunction.java, RowTimeRowsBounded-,
- * RowTimeRangeUnboundedPrecedingFunction.java, …); here one
- * flatMapGroupsWithState operator parameterized by `Frame` covers
- * ROWS/RANGE × bounded/unbounded PRECEDING.
+ * RowTimeRangeUnboundedPrecedingFunction.java, …, each parameterized by
+ * generated AggsHandleFunction); here one flatMapGroupsWithState
+ * operator parameterized by `Frame` × `FoldAgg` covers
+ * ROWS/RANGE × bounded/unbounded PRECEDING × any fold-expressible
+ * aggregate (SUM/COUNT/MIN/MAX/AVG built in).
  *
  * Semantics (same as the reference's row-time over-windows):
  *  - a row's aggregate is FINAL once the watermark passes its event time
@@ -26,7 +28,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * State per key = the not-yet-final rows plus the frame's lookback
  * (bounded frames: rows within the range / the last n rows; unbounded:
  * one accumulator) — pruned every firing, the same bound the reference
- * keeps in its per-key MapState.
+ * keeps in its per-key MapState. Bounded frames recompute the fold over
+ * the (frame-width-bounded) tail per emission instead of keeping a
+ * retractable accumulator — the SS-idiomatic trade: O(frame) per row
+ * with zero retract bookkeeping, which also frees the aggregate from
+ * needing a retract operation (the reference needs retract() on its
+ * bounded-preceding paths, AggsHandleFunction.retract).
  *
  * Scale: one shuffle on the key (the groupByKey), per-key state bounded
  * by disorder × rate + frame width; no global sort, no buffering of the
@@ -45,36 +52,60 @@ object OverWindow {
   case object UnboundedPreceding extends Frame
 
   /**
-   * Event-time over-window SUM of `value` per key. Emits
+   * A fold-expressible over-window aggregate: `zero`, per-row `add`,
+   * and a `finish` projection to the output value — the analogue of
+   * the reference's generated AggsHandleFunction accumulate/getValue
+   * (retract is unnecessary here, see the class scaladoc).
+   */
+  final case class FoldAgg[V, A](zero: A, add: (A, V) => A,
+                                 finish: A => Double) extends Serializable
+
+  def sumAgg[V](value: V => Double): FoldAgg[V, Double] =
+    FoldAgg(0.0, (a, v) => a + value(v), identity)
+  def countAgg[V]: FoldAgg[V, Long] =
+    FoldAgg(0L, (a, _) => a + 1L, _.toDouble)
+  def minAgg[V](value: V => Double): FoldAgg[V, Double] =
+    FoldAgg(Double.PositiveInfinity, (a, v) => math.min(a, value(v)), identity)
+  def maxAgg[V](value: V => Double): FoldAgg[V, Double] =
+    FoldAgg(Double.NegativeInfinity, (a, v) => math.max(a, value(v)), identity)
+  def avgAgg[V](value: V => Double): FoldAgg[V, (Double, Long)] =
+    FoldAgg((0.0, 0L), (a, v) => (a._1 + value(v), a._2 + 1L),
+            a => a._1 / a._2)
+
+  /**
+   * Event-time over-window aggregate of `agg` per key. Emits
    * (key, eventTime, tiebreak, agg) for every non-late row, in
    * event-time order per key, once final. `eventTime` must be the
-   * epoch-millis of the column the stream is watermarked on.
+   * epoch-millis of the column the stream is watermarked on; `sortVal`
+   * is a final deterministic sort key for rows whose
+   * (eventTime, tiebreak) collide (see the sort note inline).
    */
-  def overSum[K, V](
+  def overAgg[K, V, A](
       grouped: KeyValueGroupedDataset[K, V],
       eventTime: V => Long,
       tiebreak: V => Long,
-      value: V => Double,
+      sortVal: V => Double,
+      agg: FoldAgg[V, A],
       frame: Frame)(
       implicit ke: Encoder[K], ve: Encoder[V],
-      se: Encoder[(Seq[V], Seq[V], Double)],
+      se: Encoder[(Seq[V], Seq[V], A)],
       oe: Encoder[(K, Long, Long, Double)]): Dataset[(K, Long, Long, Double)] =
-    grouped.flatMapGroupsWithState[(Seq[V], Seq[V], Double),
+    grouped.flatMapGroupsWithState[(Seq[V], Seq[V], A),
                                    (K, Long, Long, Double)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
       (key: K, values: Iterator[V],
-       state: GroupState[(Seq[V], Seq[V], Double)]) =>
+       state: GroupState[(Seq[V], Seq[V], A)]) =>
         val (pending0, tail0, acc0) =
-          state.getOption.getOrElse((Seq.empty[V], Seq.empty[V], 0.0))
+          state.getOption.getOrElse((Seq.empty[V], Seq.empty[V], agg.zero))
         val wm = state.getCurrentWatermarkMs()
         // drop too-late rows (their emission slot has passed), merge, sort.
-        // value(v) is a final sort key so duplicate (eventTime, tiebreak)
+        // sortVal(v) is a final sort key so duplicate (eventTime, tiebreak)
         // pairs still get a deterministic cross-batch order: rows equal in
         // all three keys are interchangeable for the aggregates computed
         // here, so replay determinism holds without requiring unique
         // tie-breaks.
         val pending = (pending0 ++ values.filter(eventTime(_) > wm))
-          .sortBy(v => (eventTime(v), tiebreak(v), value(v)))
+          .sortBy(v => (eventTime(v), tiebreak(v), sortVal(v)))
         val (ready, still) = pending.partition(eventTime(_) <= wm)
         val out = mutable.ArrayBuffer.empty[(K, Long, Long, Double)]
         var tail = tail0
@@ -82,14 +113,14 @@ object OverWindow {
         frame match {
           case UnboundedPreceding =>
             ready.foreach { v =>
-              acc += value(v)
-              out += ((key, eventTime(v), tiebreak(v), acc))
+              acc = agg.add(acc, v)
+              out += ((key, eventTime(v), tiebreak(v), agg.finish(acc)))
             }
           case RowsPreceding(n) =>
             ready.foreach { v =>
               tail = (tail :+ v).takeRight(n + 1)
               out += ((key, eventTime(v), tiebreak(v),
-                       tail.iterator.map(value).sum))
+                       agg.finish(tail.foldLeft(agg.zero)(agg.add))))
             }
           case RangePreceding(lookback) =>
             // peer groups: all rows at one event time close together and
@@ -97,7 +128,7 @@ object OverWindow {
             ready.groupBy(eventTime).toSeq.sortBy(_._1).foreach {
               case (t, peers) =>
                 tail = (tail ++ peers).filter(v => eventTime(v) >= t - lookback)
-                val s = tail.iterator.map(value).sum
+                val s = agg.finish(tail.foldLeft(agg.zero)(agg.add))
                 peers.foreach(v => out += ((key, t, tiebreak(v), s)))
             }
             // future emissions have t > wm: prune beyond their lookback
@@ -108,4 +139,18 @@ object OverWindow {
           state.setTimeoutTimestamp(math.max(eventTime(still.head), wm + 1))
         out.iterator
     }
+
+  /** Event-time over-window SUM of `value` per key (the original
+    * surface; now a `sumAgg` instance of `overAgg`). */
+  def overSum[K, V](
+      grouped: KeyValueGroupedDataset[K, V],
+      eventTime: V => Long,
+      tiebreak: V => Long,
+      value: V => Double,
+      frame: Frame)(
+      implicit ke: Encoder[K], ve: Encoder[V],
+      se: Encoder[(Seq[V], Seq[V], Double)],
+      oe: Encoder[(K, Long, Long, Double)]): Dataset[(K, Long, Long, Double)] =
+    overAgg[K, V, Double](grouped, eventTime, tiebreak, value,
+                          sumAgg(value), frame)
 }

@@ -24,7 +24,11 @@ class OverWindowSpec extends AnyFunSuite {
     (1L, 1000L, 2.0), (2L, 2000L, 1.0), (1L, 3000L, 3.0), (1L, 3000L, 5.0),
     (2L, 5000L, 4.0), (1L, 7000L, 7.0), (2L, 9000L, 6.0), (1L, 12000L, 11.0))
 
-  private def runStream(frame: OverWindow.Frame): Set[(Long, Long, Long, Double)] = {
+  private def runStreamAgg[A](frame: OverWindow.Frame,
+                              agg: OverWindow.FoldAgg[OEv, A],
+                              tag: String)(
+      implicit se: org.apache.spark.sql.Encoder[(Seq[OEv], Seq[OEv], A)])
+      : Set[(Long, Long, Long, Double)] = {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double)]
     val ds = mem.toDS()
@@ -32,9 +36,9 @@ class OverWindowSpec extends AnyFunSuite {
       .select($"_1".as("k"), ($"_2" + base).as("t"), $"_3".as("v"), $"ets")
       .withWatermark("ets", "1 second")
       .as[OEv]
-    val out = OverWindow.overSum[Long, OEv](
-      ds.groupByKey(_.k), _.t, _.v.toLong, _.v, frame)
-    val name = s"ow_${frame.hashCode.abs}"
+    val out = OverWindow.overAgg[Long, OEv, A](
+      ds.groupByKey(_.k), _.t, _.v.toLong, _.v, agg, frame)
+    val name = s"ow_${tag}_${frame.hashCode.abs}"
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append).start()
     try {
@@ -46,13 +50,21 @@ class OverWindowSpec extends AnyFunSuite {
       .filter(_._1 != 9L)
   }
 
-  private def batchDual(w: Window.type => org.apache.spark.sql.expressions.WindowSpec)
+  private def runStream(frame: OverWindow.Frame): Set[(Long, Long, Long, Double)] =
+    runStreamAgg(frame, OverWindow.sumAgg[OEv](_.v), "sum")
+
+  private def batchDualAgg(aggCol: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                           w: Window.type => org.apache.spark.sql.expressions.WindowSpec)
       : Set[(Long, Long, Long, Double)] =
     evs.toDF("k", "t0", "v")
       .withColumn("t", $"t0" + base)
-      .withColumn("agg", sum($"v").over(w(Window)))
+      .withColumn("agg", aggCol($"v").over(w(Window)).cast("double"))
       .select($"k", $"t", $"v".cast("long").as("tb"), $"agg")
       .as[(Long, Long, Long, Double)].collect().toSet
+
+  private def batchDual(w: Window.type => org.apache.spark.sql.expressions.WindowSpec)
+      : Set[(Long, Long, Long, Double)] =
+    batchDualAgg(sum(_), w)
 
   test("unbounded-preceding running sum equals batch ROWS UNBOUNDED PRECEDING") {
     val got = runStream(OverWindow.UnboundedPreceding)
@@ -73,6 +85,55 @@ class OverWindowSpec extends AnyFunSuite {
     val exp = batchDual(_.partitionBy("k").orderBy($"t", $"v".cast("long"))
       .rowsBetween(-1, Window.currentRow))
     assert(got == exp && got.nonEmpty)
+  }
+
+  test("min over ROWS-bounded frame equals batch") {
+    val got = runStreamAgg(OverWindow.RowsPreceding(1),
+      OverWindow.minAgg[OEv](_.v), "min")
+    val exp = batchDualAgg(min(_), _.partitionBy("k")
+      .orderBy($"t", $"v".cast("long"))
+      .rowsBetween(-1, Window.currentRow))
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("min over RANGE-bounded frame equals batch") {
+    val got = runStreamAgg(OverWindow.RangePreceding(4000L),
+      OverWindow.minAgg[OEv](_.v), "minr")
+    val exp = batchDualAgg(min(_), _.partitionBy("k").orderBy($"t")
+      .rangeBetween(-4000L, Window.currentRow))
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("count over ROWS-bounded frame equals batch") {
+    val got = runStreamAgg(OverWindow.RowsPreceding(2),
+      OverWindow.countAgg[OEv], "cnt")
+    val exp = batchDualAgg(count(_), _.partitionBy("k")
+      .orderBy($"t", $"v".cast("long"))
+      .rowsBetween(-2, Window.currentRow))
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("count over RANGE-bounded frame equals batch") {
+    val got = runStreamAgg(OverWindow.RangePreceding(4000L),
+      OverWindow.countAgg[OEv], "cntr")
+    val exp = batchDualAgg(count(_), _.partitionBy("k").orderBy($"t")
+      .rangeBetween(-4000L, Window.currentRow))
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("max and avg over unbounded frame equal batch") {
+    val gotMax = runStreamAgg(OverWindow.UnboundedPreceding,
+      OverWindow.maxAgg[OEv](_.v), "max")
+    val expMax = batchDualAgg(max(_), _.partitionBy("k")
+      .orderBy($"t", $"v".cast("long"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    assert(gotMax == expMax && gotMax.nonEmpty)
+    val gotAvg = runStreamAgg(OverWindow.UnboundedPreceding,
+      OverWindow.avgAgg[OEv](_.v), "avg")
+    val expAvg = batchDualAgg(avg(_), _.partitionBy("k")
+      .orderBy($"t", $"v".cast("long"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    assert(gotAvg == expAvg && gotAvg.nonEmpty)
   }
 
   test("too-late rows are dropped, on-time results unchanged") {
