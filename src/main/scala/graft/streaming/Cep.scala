@@ -55,12 +55,30 @@ object Cep {
     def unbounded: Boolean = maxTimes == Unbounded
   }
 
+  /** Variable-targeted after-match skip (the reference's
+    * AfterMatchSkipStrategy.skipToFirst/skipToLast —
+    * CEP/nfa/aftermatch/SkipToFirstStrategy.java, SkipToLastStrategy
+    * .java): after a match emits, partial matches STARTING BEFORE the
+    * first (`first = true`) or last row the match bound to `variable`
+    * are pruned, and no new match may start before that row. When the
+    * variable bound no rows, or the target is the match's own first row
+    * (would loop), the reference's default is NO skip (NoSkipStrategy
+    * fallback); `throwOnMiss` switches to its throwExceptionOnMiss /
+    * MATCH_RECOGNIZE mode. */
+  final case class SkipTo(variable: String, first: Boolean,
+                          throwOnMiss: Boolean = false)
+
   /** A sequential pattern with an optional within-window (ms). */
   final case class Pattern[V](steps: Seq[Step[V]], withinMs: Option[Long],
-                              skipPastLast: Boolean = false) {
+                              skipPastLast: Boolean = false,
+                              skipTo: Option[SkipTo] = None) {
     require(steps.nonEmpty && !steps.head.strict,
       "first step cannot be strict")
     require(steps.head.minTimes >= 1, "first step cannot be optional")
+    require(!(skipPastLast && skipTo.isDefined),
+      "skipPastLast and skipTo are mutually exclusive")
+    skipTo.foreach(st => require(steps.exists(_.name == st.variable),
+      s"skipTo references undefined step ${st.variable}"))
   }
 
   /** A completed match: the matched events in step order. */
@@ -68,9 +86,14 @@ object Cep {
 
   /** NFA thread: `reps >= 1` means a consecutive run of `reps` repeats of
     * `step` is in progress (bounded or looping); `reps == 0` waits for
-    * the step's first repeat. `acc` is the matched events, reversed. */
-  private final case class Th[V](step: Int, reps: Int, startTs: Long,
-                                 lastIdx: Int, acc: List[V])
+    * the step's first repeat. `acc` is the matched (stepIdx, eventIdx)
+    * pairs, reversed — indices (not events) so after-match skip can
+    * locate the rows a variable bound. */
+  private final case class Th(step: Int, reps: Int, startTs: Long,
+                              lastIdx: Int, acc: List[(Int, Int)]) {
+    /** input index of the match's first event (acc is newest-first). */
+    def startIdx: Int = acc.last._2
+  }
 
   /**
    * Unified threaded-NFA matcher (single engine for every quantifier —
@@ -111,13 +134,20 @@ object Cep {
       b.result()
     }
 
+    val skipToIdx = pattern.skipTo.map(st =>
+      (st, steps.indexWhere(_.name == st.variable)))
+
     val out = mutable.ArrayBuffer.empty[Seq[V]]
-    var partials = mutable.ArrayBuffer.empty[Th[V]]
+    var partials = mutable.ArrayBuffer.empty[Th]
+    // SkipTo prune threshold: partials starting before this input index
+    // are dead, and no new match may start before it (the reference's
+    // shouldPrune: startEventID < pruningId).
+    var pruneBelow = 0
     var i = 0
     while (i < events.length) {
       val e = events(i)
       val t = ts(e)
-      val next = mutable.ArrayBuffer.empty[Th[V]]
+      val next = mutable.ArrayBuffer.empty[Th]
       // consumed: a match ENDING IN e emitted under skip-past-last — e is
       // spent, overlapping partials die, e cannot start a new match.
       // wipe: a greedy run closed BEFORE e emitted — partials die but e
@@ -125,14 +155,34 @@ object Cep {
       var consumed = false
       var wipe = false
 
-      def emit(acc: List[V], close: Boolean): Unit = {
-        out += acc.reverse
+      def pruned(acc: List[(Int, Int)]): Boolean = acc.last._2 < pruneBelow
+
+      def emit(acc: List[(Int, Int)], close: Boolean): Unit = {
+        if (pruned(acc)) return // discarded by an earlier match's skip
+        out += acc.reverse.map(p => events(p._2))
         if (pattern.skipPastLast) { if (close) wipe = true else consumed = true }
+        skipToIdx.foreach { case (st, vi) =>
+          val ordered = acc.reverse
+          val hit = if (st.first) ordered.find(_._1 == vi)
+                    else acc.find(_._1 == vi) // acc is newest-first
+          hit match {
+            case None =>
+              if (st.throwOnMiss) throw new IllegalStateException(
+                s"skipTo ${st.variable}: no rows matched to it")
+            case Some((_, ei)) if ei == ordered.head._2 =>
+              // target is the match's own first row: no-skip fallback
+              if (st.throwOnMiss) throw new IllegalStateException(
+                s"skipTo ${st.variable}: skipping to the match's first " +
+                "row would loop forever")
+            case Some((_, ei)) => pruneBelow = math.max(pruneBelow, ei)
+          }
+        }
       }
 
       // rep k of bounded step s consumed e: emit / keep repeating / fork
       // waiting threads at the advance targets.
-      def afterConsume(s: Int, k: Int, startTs: Long, acc: List[V]): Unit = {
+      def afterConsume(s: Int, k: Int, startTs: Long,
+                       acc: List[(Int, Int)]): Unit = {
         val st = steps(s)
         if (st.unbounded) { next += Th(s, k, startTs, i, acc); return }
         if (k >= st.minTimes && canEndAt(s)) {
@@ -146,7 +196,7 @@ object Cep {
 
       // a greedy run closed by e (e not in the run): emit if the pattern
       // may end here, then cascade e to the following step(s).
-      def closeRun(th: Th[V]): Unit = {
+      def closeRun(th: Th): Unit = {
         if (canEndAt(th.step)) {
           emit(th.acc, close = true)
           if (consumed || wipe) return
@@ -155,8 +205,8 @@ object Cep {
           offer(Th(s2, 0, th.startTs, th.lastIdx, th.acc)))
       }
 
-      def offer(th: Th[V]): Unit = {
-        if (consumed || wipe) return
+      def offer(th: Th): Unit = {
+        if (consumed || wipe || pruned(th.acc)) return
         val st = steps(th.step)
         if (th.reps >= 1) {
           val canExtend = th.lastIdx == i - 1 && th.reps < st.maxTimes &&
@@ -165,13 +215,15 @@ object Cep {
             // greedy-maximal: while the predicate holds the run MUST
             // extend (no submatch branching)
             if (canExtend)
-              next += Th(th.step, th.reps + 1, th.startTs, i, e :: th.acc)
+              next += Th(th.step, th.reps + 1, th.startTs, i,
+                         (th.step, i) :: th.acc)
             else if (th.reps >= st.minTimes) closeRun(th)
             return
           }
           // bounded repeats are strictly consecutive; the advance fork
           // already happened at consume time, so this thread only extends
-          if (canExtend) afterConsume(th.step, th.reps + 1, th.startTs, e :: th.acc)
+          if (canExtend) afterConsume(th.step, th.reps + 1, th.startTs,
+                                      (th.step, i) :: th.acc)
           return
         }
         // waiting for the step's first repeat
@@ -180,8 +232,9 @@ object Cep {
         if (forbidden) return // notFollowedBy/notNext kills the partial
         val contiguityOk = !st.strict || th.lastIdx == i - 1
         if (contiguityOk && st.pred(e)) {
-          if (st.unbounded) next += Th(th.step, 1, th.startTs, i, e :: th.acc)
-          else afterConsume(th.step, 1, th.startTs, e :: th.acc)
+          if (st.unbounded) next += Th(th.step, 1, th.startTs, i,
+                                       (th.step, i) :: th.acc)
+          else afterConsume(th.step, 1, th.startTs, (th.step, i) :: th.acc)
         }
         // survival: relaxed steps may match a later event (followedByAny
         // branching); a strict step's only chance was i == lastIdx + 1
@@ -203,17 +256,26 @@ object Cep {
       }
       if (consumed || wipe) next.clear()
       if (!consumed && steps.head.pred(e)) {
-        if (steps.head.unbounded) next += Th(0, 1, t, i, List(e))
-        else afterConsume(0, 1, t, List(e))
+        if (steps.head.unbounded) next += Th(0, 1, t, i, List((0, i)))
+        else afterConsume(0, 1, t, List((0, i)))
       }
-      partials = next
+      partials = if (pruneBelow > 0) next.filter(_.startIdx >= pruneBelow)
+                 else next
       i += 1
     }
     // end of input closes any still-open greedy run at a pattern-final step
     partials.foreach { th =>
       if (th.reps >= math.max(steps(th.step).minTimes, 1) &&
-          steps(th.step).unbounded && canEndAt(th.step))
-        out += th.acc.reverse
+          steps(th.step).unbounded && canEndAt(th.step) &&
+          th.startIdx >= pruneBelow) {
+        out += th.acc.reverse.map(p => events(p._2))
+        skipToIdx.foreach { case (st, vi) =>
+          val hit = if (st.first) th.acc.reverse.find(_._1 == vi)
+                    else th.acc.find(_._1 == vi)
+          hit.filter(_._2 > th.startIdx)
+            .foreach(h => pruneBelow = math.max(pruneBelow, h._2))
+        }
+      }
     }
     out.toSeq
   }

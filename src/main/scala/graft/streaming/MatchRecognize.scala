@@ -19,8 +19,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
  * Supported pattern syntax: concatenation, alternation `|`, grouping
  * `(...)`, quantifiers `* + ? {n} {n,} {n,m}` each with a reluctant `?`
  * suffix. Preference is standard leftmost-greedy (reluctant swaps branch
- * priority). AFTER MATCH SKIP PAST LAST ROW and SKIP TO NEXT ROW are
- * supported; empty matches are not emitted.
+ * priority). AFTER MATCH SKIP PAST LAST ROW, SKIP TO NEXT ROW, and the
+ * variable-targeted SKIP TO FIRST/LAST `var` are supported; empty
+ * matches are not emitted.
  *
  * Spark-first design, sized for the 100 TB case:
  *  - DEFINE predicates are evaluated as Catalyst `Column`s BEFORE the
@@ -48,6 +49,20 @@ object MatchRecognize {
   case object SkipPastLastRow extends Skip
   /** Resume at the row after the match's first row (overlaps allowed). */
   case object SkipToNextRow extends Skip
+  /** AFTER MATCH SKIP TO FIRST `variable` — resume at the first row the
+    * match classified as `variable` (reference:
+    * flink-cep/.../nfa/aftermatch/SkipToFirstStrategy.java). When the
+    * target is the match's first row (would loop forever) or the
+    * variable matched no rows: throw if `throwOnMiss` (the reference's
+    * MATCH_RECOGNIZE mode), else fall back to the next row (the
+    * reference's default CEP mode, NoSkipStrategy fallback). */
+  final case class SkipToFirst(variable: String,
+                               throwOnMiss: Boolean = true) extends Skip
+  /** AFTER MATCH SKIP TO LAST `variable` — resume at the last row the
+    * match classified as `variable` (SkipToLastStrategy.java); same
+    * miss/loop handling as [[SkipToFirst]]. */
+  final case class SkipToLast(variable: String,
+                              throwOnMiss: Boolean = true) extends Skip
 
   // ---------------------------------------------------------------- pattern
   private[streaming] sealed trait Ast
@@ -246,13 +261,53 @@ object MatchRecognize {
     }
   }
 
+  /** Resolve a Skip against the variable table into the scan-resume
+    * function: (matchStart, classifiers) => next scan position. Always
+    * advances (≥ start + 1) unless it throws. */
+  private[streaming] def resumeFn(skip: Skip, vars: Seq[String])
+      : (Int, Array[Int]) => Int = {
+    def varIdx(v: String): Int = {
+      val i = vars.indexOf(v)
+      require(i >= 0, s"AFTER MATCH SKIP TO references undefined variable $v")
+      i
+    }
+    skip match {
+      case SkipPastLastRow => (p, m) => p + m.length
+      case SkipToNextRow => (p, _) => p + 1
+      case SkipToFirst(v, thr) =>
+        val vi = varIdx(v)
+        (p, m) => m.indexOf(vi) match {
+          case -1 if thr => throw new IllegalStateException(
+            s"AFTER MATCH SKIP TO FIRST $v: no rows matched to $v")
+          case -1 => p + 1
+          case 0 if thr => throw new IllegalStateException(
+            s"AFTER MATCH SKIP TO FIRST $v: skipping to the match's " +
+            "first row would loop forever")
+          case 0 => p + 1
+          case k => p + k
+        }
+      case SkipToLast(v, thr) =>
+        val vi = varIdx(v)
+        (p, m) => m.lastIndexOf(vi) match {
+          case -1 if thr => throw new IllegalStateException(
+            s"AFTER MATCH SKIP TO LAST $v: no rows matched to $v")
+          case -1 => p + 1
+          case 0 if thr => throw new IllegalStateException(
+            s"AFTER MATCH SKIP TO LAST $v: skipping to the match's " +
+            "first row would loop forever")
+          case 0 => p + 1
+          case k => p + k
+        }
+    }
+  }
+
   /** One skip-strategy-driven scan over a key's rows: (startIdx,
     * classifier-per-consumed-row) for each match, in scan order. Shared
     * by the batch operator and the streaming operator. */
   private[streaming] def scanMatches(
       prog: Array[Inst], flags: IndexedSeq[Array[Boolean]],
       times: IndexedSeq[Long], spanMs: Long,
-      skipPastLast: Boolean): Seq[(Int, Array[Int])] = {
+      resume: (Int, Array[Int]) => Int): Seq[(Int, Array[Int])] = {
     val vm = new Vm(prog, times, spanMs)
     val out = mutable.ArrayBuffer.empty[(Int, Array[Int])]
     var p = 0
@@ -260,7 +315,7 @@ object MatchRecognize {
       val m = vm.run(flags, p)
       if (m != null) {
         out += ((p, m))
-        p = if (skipPastLast) p + m.length else p + 1
+        p = resume(p, m)
       } else p += 1
     }
     out.toSeq
@@ -303,7 +358,7 @@ object MatchRecognize {
       StructField("mr_match", LongType, nullable = false) :+
       StructField("mr_var", StringType, nullable = false) :+
       StructField("mr_seq", LongType, nullable = false))
-    val skipPastLast = skip == SkipPastLastRow
+    val resume = resumeFn(skip, vars)
 
     sorted.mapPartitions { it =>
       // consecutive-key grouping over the sorted partition: one key's rows
@@ -319,7 +374,7 @@ object MatchRecognize {
             if (tsIdx < 0) null
             else rows.map(r => if (r.isNullAt(tsIdx)) Long.MinValue
                                else r.getLong(tsIdx)).toIndexedSeq
-          scanMatches(prog, flags, times, spanMs, skipPastLast)
+          scanMatches(prog, flags, times, spanMs, resume)
             .iterator.zipWithIndex.flatMap { case ((p, m), mi) =>
               m.iterator.zipWithIndex.map { case (v, k) =>
                 Row.fromSeq(rows(p + k).toSeq.take(nOrig) ++
@@ -378,7 +433,7 @@ object MatchRecognize {
     val prog = compile(parse(pattern), vars.zipWithIndex.toMap)
     val preds = define.map(_._2).toArray
     val varNames = vars.toArray
-    val skipPastLast = skip == SkipPastLastRow
+    val resume = resumeFn(skip, vars)
     implicit val stEnc: Encoder[(Seq[V], Long)] = E.tuple(se, E.scalaLong)
     grouped.flatMapGroupsWithState[(Seq[V], Long), (K, Long, String, V)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -391,7 +446,7 @@ object MatchRecognize {
         val safeTs = wm - withinMs
         val flags = buf.map(v => preds.map(p => p(v)))
         val times = buf.map(orderTs)
-        val all = scanMatches(prog, flags, times, withinMs, skipPastLast)
+        val all = scanMatches(prog, flags, times, withinMs, resume)
         // time-sorted buffer ⇒ match starts are ts-nondecreasing ⇒ the
         // finalizable matches are a prefix of the scan's match list
         val ready = all.takeWhile { case (s, _) => times(s) <= safeTs }
@@ -402,10 +457,13 @@ object MatchRecognize {
             (key, mid, varNames(v), buf(s + k))
           }
         }
-        // prune the dead prefix: rows at/before the horizon, plus (under
-        // skip-past-last) rows consumed or skipped by emitted matches
-        val scanEnd = if (skipPastLast && ready.nonEmpty)
-          ready.last._1 + ready.last._2.length else 0
+        // prune the dead prefix: rows at/before the horizon, plus rows
+        // the last emitted match's skip strategy scanned past (under
+        // skip-past-last: its consumed rows; under skip-to-first/last:
+        // rows before the resume target) — the next batch's scan then
+        // restarts exactly where this scan resumed
+        val scanEnd = if (ready.nonEmpty)
+          resume(ready.last._1, ready.last._2) else 0
         val firstLive = math.max(buf.indexWhere(v => orderTs(v) > safeTs) match {
           case -1 => buf.length
           case i => i

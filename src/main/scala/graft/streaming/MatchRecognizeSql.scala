@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions.{count, expr, lit}
  *     ORDER BY t1 [, t2 …]
  *     [MEASURES <expr> AS name [, …]]
  *     [ONE ROW PER MATCH | ALL ROWS PER MATCH]
- *     [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
+ *     [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
+ *      | SKIP TO [FIRST | LAST] <var>]
  *     PATTERN ( <regex over variables> ) [WITHIN INTERVAL 'n' UNIT]
  *     DEFINE V AS <boolean sql> [, …]
  *   )
@@ -189,12 +190,19 @@ object MatchRecognizeSql {
         o.replaceAll("(?i)\\s+ASC$", "")
       }
     val allRows = spans.exists(_._1 == "ALL ROWS PER MATCH")
-    val skip = section("AFTER MATCH") match {
+    val toFirstRe = "(?i)^SKIP TO FIRST (\\w+)$".r
+    val toLastRe = "(?i)^SKIP TO (?:LAST )?(\\w+)$".r // bare TO v = TO LAST v
+    val skip = section("AFTER MATCH")
+      .map(_.replaceAll("\\s+", " ").trim) match {
       case None => MatchRecognize.SkipPastLastRow
-      case Some(s) if s.toUpperCase.replaceAll("\\s+", " ").trim ==
-        "SKIP PAST LAST ROW" => MatchRecognize.SkipPastLastRow
-      case Some(s) if s.toUpperCase.replaceAll("\\s+", " ").trim ==
-        "SKIP TO NEXT ROW" => MatchRecognize.SkipToNextRow
+      case Some(s) if s.equalsIgnoreCase("SKIP PAST LAST ROW") =>
+        MatchRecognize.SkipPastLastRow
+      case Some(s) if s.equalsIgnoreCase("SKIP TO NEXT ROW") =>
+        MatchRecognize.SkipToNextRow
+      // SQL:2016 / the reference's MATCH_RECOGNIZE mode: a skip target
+      // that misses or would not advance is a runtime error
+      case Some(toFirstRe(v)) => MatchRecognize.SkipToFirst(v)
+      case Some(toLastRe(v)) => MatchRecognize.SkipToLast(v)
       case Some(s) => throw new IllegalArgumentException(
         s"unsupported AFTER MATCH clause: $s")
     }
