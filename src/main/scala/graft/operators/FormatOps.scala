@@ -9,15 +9,37 @@ import org.apache.spark.sql.types._
 import graft.Tables
 
 /**
- * Format coverage (SURVEY §2.1 — flink-formats: csv, json, orc, parquet;
- * avro's Spark connector jar is not in this offline image, noted):
- * write a deterministic slice of `orders` to each format, read it back,
- * aggregate — proving the (de)serialization round-trip preserves values.
- * The oracle computes the same aggregate straight from the source table,
- * so any format-level corruption (quoting, type coercion, null handling)
- * would hash-mismatch.
+ * Format coverage (SURVEY §2.1 — flink-formats: csv, json, orc, parquet,
+ * avro): write a deterministic slice of `orders` to each format, read it
+ * back, aggregate — proving the (de)serialization round-trip preserves
+ * values. The oracle computes the same aggregate straight from the
+ * source table, so any format-level corruption (quoting, type coercion,
+ * null handling) would hash-mismatch.
+ *
+ * The avro leg is classpath-probed: Spark's avro support lives in the
+ * separate spark-avro connector jar, absent from this offline image —
+ * when the jar is present the avro round-trip activates in BOTH the
+ * query and its oracle (the probe runs once per JVM, so the two stay
+ * consistent); when absent, q53 degrades gracefully to the built-in
+ * formats instead of failing.
  */
 object FormatOps {
+
+  /** True when the avro data source is registered. Probed via Spark's
+    * own provider lookup — class presence is not enough (Spark 4 ships
+    * avro (de)serializer classes inside spark-sql while the data-source
+    * registration still lives in the separate spark-avro jar). */
+  private[graft] val avroAvailable: Boolean =
+    try {
+      org.apache.spark.sql.execution.datasources.DataSource
+        .lookupDataSource("avro", org.apache.spark.sql.internal.SQLConf.get)
+      true
+    } catch { case _: Exception => false }
+
+  /** Round-tripped formats, in output order (parquet is exercised by
+    * every source-table scan; avro joins when its connector is present). */
+  private[graft] val formats: Seq[String] =
+    Seq("csv", "json", "orc") ++ (if (avroAvailable) Seq("avro") else Nil)
 
   private val csvSchema = StructType(Seq(
     StructField("o_orderkey", LongType),
@@ -37,10 +59,16 @@ object FormatOps {
       sample.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
       sample.write.mode("overwrite").json(s"$tmp/json")
       sample.write.mode("overwrite").orc(s"$tmp/orc")
-      val back = Seq(
-        "csv" -> s.read.schema(csvSchema).option("header", "true").csv(s"$tmp/csv"),
-        "json" -> s.read.schema(csvSchema).json(s"$tmp/json"),
-        "orc" -> s.read.orc(s"$tmp/orc"))
+      if (avroAvailable)
+        sample.write.mode("overwrite").format("avro").save(s"$tmp/avro")
+      val back = formats.map {
+        case "csv" =>
+          "csv" -> s.read.schema(csvSchema).option("header", "true")
+            .csv(s"$tmp/csv")
+        case "json" => "json" -> s.read.schema(csvSchema).json(s"$tmp/json")
+        case "orc" => "orc" -> s.read.orc(s"$tmp/orc")
+        case "avro" => "avro" -> s.read.format("avro").load(s"$tmp/avro")
+      }
       back.map { case (fmt, df) =>
         df.groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"),
@@ -53,7 +81,7 @@ object FormatOps {
   )
 
   val oracle: Map[String, String] = Map(
-    "q53_formats" -> """
+    "q53_formats" -> s"""
       WITH base AS (
         SELECT o_orderstatus, count(*) AS n,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
@@ -61,6 +89,6 @@ object FormatOps {
         FROM orders WHERE o_orderkey < 2000
         GROUP BY o_orderstatus)
       SELECT o_orderstatus, n, total, first_date, fmt
-      FROM base CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) f(fmt)"""
+      FROM base CROSS JOIN (VALUES ${formats.map(f => s"('$f')").mkString(", ")}) f(fmt)"""
   )
 }

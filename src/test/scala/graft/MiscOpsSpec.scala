@@ -150,4 +150,23 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(got.count() == ev.count())
     assert(got.select("event_id").distinct().count() == ev.count())
   }
+
+  test("q53 avro leg activates iff the spark-avro connector is present") {
+    import graft.operators.FormatOps
+    val probe =
+      try {
+        org.apache.spark.sql.execution.datasources.DataSource
+          .lookupDataSource("avro", org.apache.spark.sql.internal.SQLConf.get)
+        true
+      } catch { case _: Exception => false }
+    // probe, format list, query output, and oracle SQL must agree — when
+    // the jar appears in a future image the avro leg activates in all
+    // four places at once; offline it degrades to the built-in formats
+    assert(graft.operators.FormatOps.avroAvailable == probe)
+    assert(FormatOps.formats.contains("avro") == probe)
+    assert(FormatOps.oracle("q53_formats").contains("('avro')") == probe)
+    val fmts = FormatOps.queries("q53_formats")(spark, "/root/testdata/sf0.001")
+      .select("fmt").distinct().as[String].collect().toSet
+    assert(fmts == FormatOps.formats.toSet)
+  }
 }
