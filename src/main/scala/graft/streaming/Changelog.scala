@@ -23,7 +23,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *    new per change), i.e. GroupAggFunction's retraction behavior;
  *  - `joinChangelog`: an inner join that CONSUMES two changelogs and
  *    EMITS the join result's changelog — the agg→join composition
- *    (StreamingJoinOperator semantics).
+ *    (StreamingJoinOperator semantics);
+ *  - `joinChangelogOuter`: the LEFT/RIGHT/FULL outer configuration of
+ *    the same operator, null-padding the outer side and retracting the
+ *    padded row when the first match arrives
+ *    (OuterJoinRecordStateView semantics).
  */
 object Changelog {
 
@@ -222,6 +226,123 @@ object Changelog {
           var n = n0
           def rows(ps: Seq[(L, R)], kind: String): Seq[JoinChange[L, R]] =
             ps.map { case (l, r) => n += 1; JoinChange(key, kind, l, r, n) }
+          val out =
+            rows(removed, if (after.isEmpty) Delete else UpdateBefore) ++
+            rows(added, if (before.isEmpty) Insert else UpdateAfter)
+          if (lm.isEmpty && rm.isEmpty) state.remove()
+          else state.update((lm.toSeq, rm.toSeq, n))
+          out.iterator
+      }
+  }
+
+  /** Which side(s) of an outer changelog join emit null-padded rows
+    * when the other side has no live match for the key. */
+  sealed abstract class OuterSide(val padLeft: Boolean, val padRight: Boolean)
+      extends Serializable
+  case object LeftOuter extends OuterSide(padLeft = true, padRight = false)
+  case object RightOuter extends OuterSide(padLeft = false, padRight = true)
+  case object FullOuter extends OuterSide(padLeft = true, padRight = true)
+
+  /** One OUTER changelog-join output row: `left`/`right` is None on the
+    * null-padded side (the reference pads with NullRowData). */
+  final case class OuterJoinChange[L, R](key: Long, kind: String,
+                                         left: Option[L], right: Option[R],
+                                         ord: Long)
+
+  /**
+   * Streaming changelog-consuming OUTER join (LEFT / RIGHT / FULL) of
+   * two updating inputs — the reference's StreamingJoinOperator in its
+   * outer configuration (RUNTIME/.../operators/join/stream/
+   * StreamingJoinOperator.java:38 with leftIsOuter/rightIsOuter, padding
+   * via `padRecord`; association counting per
+   * state/OuterJoinRecordStateView.java:35).
+   *
+   * Same state/emission machinery as [[joinChangelog]] (live-row
+   * multiset per side under one group key; batch-atomic delta of the
+   * join-result multiset). The only difference is the result function:
+   * when one side of a key is empty, the outer side's rows emit paired
+   * with None. The before→after diff then yields exactly the reference's
+   * padded-row retractions: a left row living alone emits (l, None);
+   * when its first right match arrives, (l, None) is retracted (-U) and
+   * (l, r) inserted (+U) — the numOfAssociations 0→1 transition of
+   * OuterJoinRecordStateView; the 1→0 transition re-pads.
+   *
+   * Scale: identical profile to the inner join — one exchange, per-key
+   * state is both sides' live rows, padding adds no extra state (it is
+   * derived from emptiness, where the reference stores an association
+   * count beside each row as a lookup-cost optimization; recomputing the
+   * count from in-memory batch state is cheaper than keeping it
+   * transactionally consistent here).
+   */
+  def joinChangelogOuter[L, R](
+      left: Dataset[(Long, String, L)],
+      right: Dataset[(Long, String, R)],
+      side: OuterSide)(
+      implicit lt: scala.reflect.runtime.universe.TypeTag[L],
+      rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[OuterJoinChange[L, R]] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val ue: Encoder[(Long, String, Option[L], Option[R])] =
+      ExpressionEncoder()
+    implicit val ke: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    implicit val se: Encoder[(Seq[(L, Long)], Seq[(R, Long)], Long)] =
+      ExpressionEncoder()
+    implicit val oe: Encoder[OuterJoinChange[L, R]] = ExpressionEncoder()
+
+    type Pair = (Option[L], Option[R])
+    def bump[P](m: Map[P, Long], p: P, d: Long): Map[P, Long] = {
+      val c = m.getOrElse(p, 0L) + d
+      if (c > 0) m + (p -> c) else m - p
+    }
+    // The key's join-result multiset under the outer semantics.
+    def result(lm: Map[L, Long], rm: Map[R, Long]): Map[Pair, Long] =
+      if (lm.nonEmpty && rm.nonEmpty)
+        for { (l, cl) <- lm; (r, cr) <- rm }
+          yield (Option(l), Option(r)) -> cl * cr
+      else if (lm.nonEmpty && side.padLeft)
+        lm.map { case (l, c) => (Option(l), Option.empty[R]) -> c }
+      else if (rm.nonEmpty && side.padRight)
+        rm.map { case (r, c) => (Option.empty[L], Option(r)) -> c }
+      else Map.empty
+    def minus(a: Map[Pair, Long], b: Map[Pair, Long]) =
+      a.flatMap { case (p, c) =>
+        val d = c - b.getOrElse(p, 0L)
+        if (d > 0) Some(p -> d) else None
+      }
+    def expand(m: Map[Pair, Long]): Seq[Pair] =
+      m.toSeq.sortBy(_._1.toString)
+        .flatMap { case (p, c) => Seq.fill(c.toInt)(p) }
+
+    val tagged =
+      left.map { case (k, kind, l) => (k, kind, Option(l), Option.empty[R]) }
+        .union(right.map { case (k, kind, r) =>
+          (k, kind, Option.empty[L], Option(r)) })
+    tagged.groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(L, Long)], Seq[(R, Long)], Long),
+                              OuterJoinChange[L, R]](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, values: Iterator[(Long, String, Option[L], Option[R])],
+         state: GroupState[(Seq[(L, Long)], Seq[(R, Long)], Long)]) =>
+          val (l0, r0, n0) = state.getOption
+            .getOrElse((Seq.empty[(L, Long)], Seq.empty[(R, Long)], 0L))
+          var lm = l0.toMap
+          var rm = r0.toMap
+          val before = result(lm, rm)
+          values.foreach { case (_, kind, lo, ro) =>
+            val d = kind match {
+              case Insert | UpdateAfter => 1L
+              case Delete | UpdateBefore => -1L
+            }
+            lo.foreach(p => lm = bump(lm, p, d))
+            ro.foreach(p => rm = bump(rm, p, d))
+          }
+          val after = result(lm, rm)
+          val removed = expand(minus(before, after))
+          val added = expand(minus(after, before))
+          var n = n0
+          def rows(ps: Seq[Pair], kind: String): Seq[OuterJoinChange[L, R]] =
+            ps.map { case (l, r) =>
+              n += 1; OuterJoinChange(key, kind, l, r, n)
+            }
           val out =
             rows(removed, if (after.isEmpty) Delete else UpdateBefore) ++
             rows(added, if (before.isEmpty) Insert else UpdateAfter)

@@ -127,6 +127,104 @@ class ChangelogSpec extends AnyFunSuite {
       ("-D", 5.0, 200.0, 8L)))                                  // batch 4
   }
 
+  test("left-outer changelog join: pad, retract pad on first match, re-pad") {
+    implicit val sc = spark.sqlContext
+    val lMem = MemoryStream[CRow]
+    val rMem = MemoryStream[CRow]
+    val left = lMem.toDS().map(c => (c.key, c.kind, LSide(c.value)))
+    val right = rMem.toDS().map(c => (c.key, c.kind, RSide(c.value)))
+    val out = Changelog.joinChangelogOuter(left, right, Changelog.LeftOuter)
+    val q = out.writeStream.format("memory").queryName("cl_louter")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: left row alone → padded +I (l, null)
+      lMem.addData(CRow(1, "+I", 5.0, 1))
+      q.processAllAvailable()
+      // batch 2: first right match → retract the pad, insert the pair
+      // (the reference's numOfAssociations 0→1 transition)
+      rMem.addData(CRow(1, "+I", 100.0, 1))
+      q.processAllAvailable()
+      // batch 3: the match dies → retract the pair, re-pad (1→0)
+      rMem.addData(CRow(1, "-D", 100.0, 2))
+      q.processAllAvailable()
+      // batch 4: right-only key on a LEFT outer join → no output
+      rMem.addData(CRow(2, "+I", 7.0, 3))
+      q.processAllAvailable()
+      // batch 5: left dies → the padded row deletes, key retires
+      lMem.addData(CRow(1, "-D", 5.0, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_louter")
+      .selectExpr("key", "kind", "left.v", "right.v", "ord")
+      .as[(Long, String, Option[Double], Option[Double], Long)]
+      .collect().toList.sortBy(_._5)
+    assert(got == List(
+      (1L, "+I", Some(5.0), None, 1L),                          // batch 1
+      (1L, "-U", Some(5.0), None, 2L),                          // batch 2
+      (1L, "+U", Some(5.0), Some(100.0), 3L),
+      (1L, "-U", Some(5.0), Some(100.0), 4L),                   // batch 3
+      (1L, "+U", Some(5.0), None, 5L),
+      (1L, "-D", Some(5.0), None, 6L)))                         // batch 5
+  }
+
+  test("full-outer changelog join ▸ materialize equals the batch full join") {
+    implicit val sc = spark.sqlContext
+    val lMem = MemoryStream[CRow]
+    val rMem = MemoryStream[CRow]
+    // updating upsert views on both sides (≤1 live row per key)
+    val lAgg = Changelog.aggregateChangelog[CRow](
+        lMem.toDS().groupByKey(_.key), _.kind, _.value)
+      .map(a => (a.key, a.kind, LAgg(a.sum, a.count)))
+    val rAgg = Changelog.aggregateChangelog[CRow](
+        rMem.toDS().groupByKey(_.key), _.kind, _.value)
+      .map(a => (a.key, a.kind, RAgg(a.sum, a.count)))
+    val out = Changelog.joinChangelogOuter(lAgg, rAgg, Changelog.FullOuter)
+    val q = out.writeStream.format("memory").queryName("cl_fouter")
+      .outputMode(OutputMode.Append).start()
+    val lRaw = scala.collection.mutable.ArrayBuffer.empty[CRow]
+    val rRaw = scala.collection.mutable.ArrayBuffer.empty[CRow]
+    def feed(ls: Seq[CRow], rs: Seq[CRow]): Unit = {
+      lRaw ++= ls; rRaw ++= rs
+      if (ls.nonEmpty) lMem.addData(ls: _*)
+      if (rs.nonEmpty) rMem.addData(rs: _*)
+      q.processAllAvailable()
+    }
+    try {
+      // key 1 both sides, key 2 left-only, key 3 right-only
+      feed(Seq(CRow(1, "+I", 5.0, 1), CRow(2, "+I", 20.0, 2)),
+           Seq(CRow(1, "+I", 100.0, 1), CRow(3, "+I", 9.0, 2)))
+      // key 2 gains a right match (un-pads), key 3's right side retires
+      // (key vanishes entirely on a full outer with no left rows)
+      feed(Seq.empty,
+           Seq(CRow(2, "+I", 40.0, 3), CRow(3, "-D", 9.0, 4)))
+      // out-of-order update on key 1's left view
+      feed(Seq(CRow(1, "-D", 5.0, 3), CRow(1, "+I", 8.0, 4)), Seq.empty)
+    } finally q.stop()
+    val mat = Changelog.materialize(
+        spark.table("cl_fouter"), "key", "kind", "ord")
+      .selectExpr("key", "left.sum", "left.count", "right.sum", "right.count")
+      .as[(Long, Option[Double], Option[Long], Option[Double], Option[Long])]
+      .collect().toSet
+    def view(rows: Seq[CRow]): Map[Long, (Double, Long)] = rows
+      .groupBy(_.key).flatMap { case (k, rs) =>
+        val live = rs.foldLeft((0.0, 0L)) { (acc, r) =>
+          if (r.kind == "+I" || r.kind == "+U") (acc._1 + r.value, acc._2 + 1)
+          else (acc._1 - r.value, acc._2 - 1)
+        }
+        if (live._2 > 0) Some(k -> live) else None
+      }
+    val lv = view(lRaw.toSeq)
+    val rv = view(rRaw.toSeq)
+    val expected = (lv.keySet | rv.keySet).map { k =>
+      (k, lv.get(k).map(_._1), lv.get(k).map(_._2),
+          rv.get(k).map(_._1), rv.get(k).map(_._2))
+    }
+    assert(mat == expected)
+    assert(mat == Set(
+      (1L, Some(8.0), Some(1L), Some(100.0), Some(1L)),
+      (2L, Some(20.0), Some(1L), Some(40.0), Some(1L))))
+  }
+
   test("agg ▸ joinChangelog ▸ materialize equals the batch join of the views") {
     implicit val sc = spark.sqlContext
     val lMem = MemoryStream[CRow]
