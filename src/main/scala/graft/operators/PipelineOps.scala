@@ -1,0 +1,282 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Training-data-pipeline compositions over `documents` (builder north
+ * star: the operations a 100 TB pretraining-data pipeline runs beyond
+ * single-operator dedup/scoring — cluster resolution, sampling,
+ * scrubbing, selection).
+ *
+ * Everything here is expression-only or reuses an existing distributed
+ * operator (connected components); no UDFs, no driver-side data.
+ *
+ * Scale notes per operator:
+ *  - dup_clusters: candidate edges come from bounded equi-joins
+ *    (DF-capped shingle join + exact-hash star edges), then min-label
+ *    connected components — per superstep one hash exchange on node id;
+ *    never O(n²) in documents.
+ *  - stratified_sample: pure projection + filter on a multiplicative
+ *    hash of the key — deterministic (re-runnable, auditable) unlike
+ *    `sampleBy`'s RNG, no shuffle, trivially parallel.
+ *  - pii_redact: per-row regex scrub, embarrassingly parallel scan;
+ *    codegen'd `regexp_replace`/`regexp_count`.
+ *  - token_histogram: projection + one partial-aggregated groupBy.
+ *  - train_select: greedy budget fill by quality rank. The cumulative
+ *    sum is a single ordered window — fine for the per-shard selection
+ *    this models; at 100 TB you run it per bucket with a per-bucket
+ *    budget (documented), never a global sort of the corpus.
+ */
+object PipelineOps {
+
+  /** Same document-frequency cap as TextOps.q37 — bounds the hot-key
+    * quadratic blowup of the shingle equi-join at scale. */
+  private val shingleDfCap = 500
+
+  /** Near-dup edge threshold for cluster resolution (the fixture's real
+    * near-dup pairs sit at jac ≥ 0.9; 0.5 keeps headroom without
+    * admitting topical-overlap noise). */
+  private val clusterJac = 0.5
+
+  /** Word-trigram Jaccard pairs (da < db, jac >= clusterJac) — the q37
+    * machinery re-scoped as an edge generator. */
+  private def jaccardEdges(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+    val rawShingles = toks.select(col("doc_id"),
+      explode(array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), i -> " +
+        "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("sh"))
+    val keepSh = rawShingles.groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= shingleDfCap)
+      .select("sh")
+    val shingles = rawShingles.join(keepSh, "sh")
+    val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    shingles.as("a")
+      .join(shingles.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.as("ca"), col("src") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("dst") === col("cb.doc_id"))
+      .filter(col("inter").cast("double")
+        / (col("ca.n_sh") + col("cb.n_sh") - col("inter")) >= clusterJac)
+      .select(col("src"), col("dst"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Transitive near-duplicate CLUSTER resolution: pairwise candidates
+    // (exact-hash groups ∪ trigram-Jaccard pairs) are only half the
+    // dedup story — A~B, B~C must collapse into ONE cluster even when
+    // A~C was never scored. Edges → min-label connected components →
+    // (doc, cluster representative, cluster size).
+    "q129_dup_clusters" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      // star edges inside each exact-duplicate hash group (min id ← doc)
+      val wH = Window.partitionBy(md5(col("text")))
+      val exactEdges = docs
+        .withColumn("src", min(col("doc_id")).over(wH))
+        .filter(col("src") =!= col("doc_id"))
+        .select(col("src"), col("doc_id").as("dst"))
+      val edges = jaccardEdges(docs).union(exactEdges)
+      val comp = graft.graph.GraphOps.connectedComponents(edges)
+        .select(col("node").as("doc_id"), col("component").as("cluster"))
+      val wC = Window.partitionBy(col("cluster"))
+      comp.withColumn("csize", count(lit(1)).over(wC))
+    }),
+
+    // Deterministic stratified sampling: per-language keep rates applied
+    // via a multiplicative hash of the key (Knuth 2654435761) — the
+    // sample is reproducible run-over-run and auditable row-by-row,
+    // which RNG-based sampleBy is not. Pure filter: no shuffle.
+    "q59_stratified_sample" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .withColumn("bucket", expr("(doc_id * 2654435761) % 1000"))
+        .withColumn("rate", expr(
+          "CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300 ELSE 100 END"))
+        .filter(col("bucket") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+    }),
+
+    // PII scrubbing: inject deterministic synthetic PII (the fixture
+    // corpus has none; the injection is identical in the oracle), then
+    // redact emails / phone numbers / IPv4s and report match counts and
+    // the scrubbed text's fingerprint. Patterns stay inside the
+    // RE2 ∩ java.util.regex common subset so both engines agree.
+    "q130_pii_redact" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+1-555-[0-9]{4}"
+      val ip = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      Tables.table(s, dir, "documents")
+        .withColumn("synth", concat(
+          col("text"), lit(" Contact user"),
+          col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+          lpad(expr("CAST(doc_id % 10000 AS STRING)"), 4, "0"),
+          lit(" from 10.0."), expr("CAST(doc_id % 256 AS STRING)"),
+          lit(".7")))
+        .withColumn("red", regexp_replace(
+          regexp_replace(
+            regexp_replace(col("synth"), email, "<EMAIL>"),
+            phone, "<PHONE>"),
+          ip, "<IP>"))
+        .select(
+          col("doc_id"),
+          regexp_count(col("synth"), lit(email)).cast("int").as("n_email"),
+          regexp_count(col("synth"), lit(phone)).cast("int").as("n_phone"),
+          regexp_count(col("synth"), lit(ip)).cast("int").as("n_ip"),
+          md5(col("red")).as("red_md5"),
+          length(col("red")).as("red_len"))
+    }),
+
+    // Token-count histogram: log2 length buckets per language — the
+    // standard corpus-shape diagnostic before sequence packing.
+    "q131_token_histogram" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+        .filter(col("n_tokens") >= 1)
+        .withColumn("bucket", floor(log2(col("n_tokens"))).cast("int"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).cast("bigint").as("sum_tokens"),
+             min(col("n_tokens")).as("min_tokens"),
+             max(col("n_tokens")).as("max_tokens"))
+    }),
+
+    // End-to-end training-set selection: quality gate (stopword ratio,
+    // length) → rank by quality → greedy fill of a token budget. The
+    // cumulative-sum window orders by (score desc, doc_id) so the
+    // selection is a deterministic function of the corpus.
+    "q132_train_select" -> ((s, dir) => {
+      val scored = Tables.table(s, dir, "documents")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("score", round(
+          expr("size(filter(toks, t -> t IN ('the','a','of','and','to')))")
+            .cast("double") / col("n_tokens"), 6))
+        .filter(col("lang") === "en" && col("n_tokens") >= 40 &&
+                col("score") >= 0.02)
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 8000)
+        .select(col("doc_id"), col("n_tokens"), col("score"),
+                col("cum_tokens"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q129_dup_clusters" -> s"""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents),
+      sh0 AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+        WHERE len(t) >= 3),
+      keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $shingleDfCap),
+      sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      jpairs AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jedges AS (
+        SELECT src, dst FROM jpairs
+        JOIN cnt ca ON src = ca.doc_id
+        JOIN cnt cb ON dst = cb.doc_id
+        WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= $clusterJac),
+      eedges AS (
+        SELECT src, dst FROM (
+          SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS src,
+                 doc_id AS dst
+          FROM documents) WHERE src <> dst),
+      edges AS (SELECT * FROM jedges UNION SELECT * FROM eedges),
+      sym AS (SELECT src, dst FROM edges
+              UNION SELECT dst, src FROM edges),
+      reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      comp AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        FROM reach GROUP BY src)
+      SELECT doc_id, cluster,
+             count(*) OVER (PARTITION BY cluster) AS csize
+      FROM comp""",
+
+    "q59_stratified_sample" -> """
+      SELECT doc_id, lang, (doc_id * 2654435761) % 1000 AS bucket
+      FROM documents
+      WHERE (doc_id * 2654435761) % 1000 <
+            CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300 ELSE 100 END""",
+
+    "q130_pii_redact" -> """
+      WITH synth AS (
+        SELECT doc_id,
+               text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.7' AS s
+        FROM documents),
+      red AS (
+        SELECT doc_id, s,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(s,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+            '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS r
+        FROM synth)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        CAST(len(regexp_extract_all(s, '\+1-555-[0-9]{4}')) AS INT) AS n_phone,
+        CAST(len(regexp_extract_all(s, '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ip,
+        md5(r) AS red_md5,
+        CAST(length(r) AS INT) AS red_len
+      FROM red""",
+
+    "q131_token_histogram" -> """
+      WITH t AS (
+        SELECT lang,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents)
+      SELECT lang, CAST(floor(log2(n_tokens)) AS INT) AS bucket,
+             count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(min(n_tokens) AS INT) AS min_tokens,
+             CAST(max(n_tokens) AS INT) AS max_tokens
+      FROM t WHERE n_tokens >= 1
+      GROUP BY lang, CAST(floor(log2(n_tokens)) AS INT)""",
+
+    "q132_train_select" -> """
+      WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS toks, lang
+        FROM documents),
+      scored AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               round(CAST(len(list_filter(toks,
+                 x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+                 / len(toks), 6) AS score
+        FROM t WHERE lang = 'en' AND len(toks) >= 40),
+      gated AS (SELECT * FROM scored WHERE score >= 0.02),
+      ranked AS (
+        SELECT doc_id, n_tokens, score,
+               sum(n_tokens) OVER (
+                 ORDER BY score DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_tokens
+        FROM gated)
+      SELECT doc_id, n_tokens, score, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      FROM ranked WHERE cum_tokens <= 8000"""
+  )
+}
