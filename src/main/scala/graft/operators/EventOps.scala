@@ -128,6 +128,21 @@ object EventOps {
         .select(col("user_id"), col("event_type"), col("event_id"))
     }),
 
+    // Flink SQL group-window syntax (GROUP BY TUMBLE + TUMBLE_START/END
+    // accessors) through the SQL front-end — rewritten syntactically to
+    // Spark's window() grouping (SqlFrontend.groupWindows), so the plan
+    // is the same codegen'd hash aggregate as q25.
+    "q133_sql_tumble" -> ((s, dir) => {
+      ev(s, dir).createOrReplaceTempView("gw_events")
+      SqlFrontend.sql(s, """
+        SELECT event_type,
+               unix_micros(TUMBLE_START(ts, INTERVAL '1' DAY)) AS w_start,
+               unix_micros(TUMBLE_END(ts, INTERVAL '1' DAY)) AS w_end,
+               count(*) AS n
+        FROM gw_events
+        GROUP BY event_type, TUMBLE(ts, INTERVAL '1' DAY)""")
+    }),
+
     // JSON field access + aggregation over extracted values.
     "q30_json_props" -> ((s, dir) => {
       ev(s, dir)
@@ -159,6 +174,14 @@ object EventOps {
              count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
       FROM events GROUP BY 1, 2""",
+
+    "q133_sql_tumble" -> """
+      SELECT event_type,
+             epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS w_start,
+             epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))
+                      + INTERVAL 1 DAY) AS w_end,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3""",
 
     "q26_hop" -> """
       WITH b AS (SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS b30

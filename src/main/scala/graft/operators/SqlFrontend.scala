@@ -51,6 +51,8 @@ object SqlFrontend {
           tiebreak: Option[String] = None): DataFrame = {
     val upper = text.toUpperCase
     if (upper.contains("MATCH_RECOGNIZE")) MatchRecognizeSql.sql(spark, text)
+    else if (groupWindowRe.matcher(text).find())
+      spark.sql(groupWindows(text))
     else {
       val am = asofRe.matcher(text)
       val lm = lookupRe.matcher(text)
@@ -58,6 +60,45 @@ object SqlFrontend {
       else if (lm.matches()) lookup(spark, lm)
       else spark.sql(text)
     }
+  }
+
+  // ---- Flink SQL group windows (GROUP BY TUMBLE/HOP/SESSION) ----------
+  // The reference plans these via LogicalWindowAggregateRuleBase
+  // (flink-table-planner-blink/.../rules/logical/
+  // LogicalWindowAggregateRuleBase.scala) with the auxiliary accessors
+  // TUMBLE_START/TUMBLE_END/HOP_*/SESSION_* (FlinkSqlOperatorTable).
+  // Spark SQL already has the same physical capability as the built-in
+  // `window()` / `session_window()` grouping functions, so the rewrite
+  // is purely syntactic — the plan underneath is Spark's normal
+  // Expand(for HOP)/hash-aggregate path, fully codegen'd.
+  //
+  // Argument-order note: Flink's HOP is (time, slide, size); Spark's
+  // window() is (time, size, slide).
+
+  private val groupWindowRe = java.util.regex.Pattern.compile(
+    "(?i)\\b(TUMBLE|HOP|SESSION)(_START|_END)?\\s*\\(")
+
+  private val iv = "INTERVAL\\s+'(\\d+)'\\s+(\\w+)"
+
+  private[operators] def groupWindows(text: String): String = {
+    var t = text
+    // auxiliary accessors first (their names contain the window names)
+    t = t.replaceAll("(?i)\\b(?:TUMBLE|HOP)_START\\s*\\([^()]*\\)",
+                     "window.start")
+    t = t.replaceAll("(?i)\\b(?:TUMBLE|HOP)_END\\s*\\([^()]*\\)",
+                     "window.end")
+    t = t.replaceAll("(?i)\\bSESSION_START\\s*\\([^()]*\\)",
+                     "session_window.start")
+    t = t.replaceAll("(?i)\\bSESSION_END\\s*\\([^()]*\\)",
+                     "session_window.end")
+    t = t.replaceAll(s"(?i)\\bTUMBLE\\s*\\(\\s*([\\w.]+)\\s*,\\s*$iv\\s*\\)",
+                     "window($1, '$2 $3')")
+    t = t.replaceAll(
+      s"(?i)\\bHOP\\s*\\(\\s*([\\w.]+)\\s*,\\s*$iv\\s*,\\s*$iv\\s*\\)",
+      "window($1, '$4 $5', '$2 $3')")
+    t = t.replaceAll(s"(?i)\\bSESSION\\s*\\(\\s*([\\w.]+)\\s*,\\s*$iv\\s*\\)",
+                     "session_window($1, '$2 $3')")
+    t
   }
 
   /** Strip `alias.` qualifiers so expressions run on the operators'

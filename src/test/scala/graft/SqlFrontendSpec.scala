@@ -108,4 +108,47 @@ class SqlFrontendSpec extends AnyFunSuite {
       "SELECT count(*) AS n FROM sf_customer WHERE c_acctbal > 0")
     assert(got.collect().toSeq == exp.collect().toSeq)
   }
+
+  private lazy val gwEvents = {
+    Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .createOrReplaceTempView("gw_spec_events")
+    spark.table("gw_spec_events")
+  }
+
+  test("GROUP BY HOP SQL equals the window() DataFrame dual (slide/size order)") {
+    import spark.implicits._
+    gwEvents
+    val got = SqlFrontend.sql(spark, """
+        SELECT unix_micros(HOP_START(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)) AS ws,
+               count(*) AS n
+        FROM gw_spec_events
+        GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)""")
+      .as[(Long, Long)].collect().toSet
+    val exp = gwEvents
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("ws"), col("n"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("GROUP BY SESSION SQL equals the session_window() DataFrame dual") {
+    import spark.implicits._
+    gwEvents
+    val got = SqlFrontend.sql(spark, """
+        SELECT user_id,
+               unix_micros(SESSION_START(ts, INTERVAL '30' MINUTE)) AS ws,
+               unix_micros(SESSION_END(ts, INTERVAL '30' MINUTE)) AS we,
+               count(*) AS n
+        FROM gw_spec_events
+        GROUP BY user_id, SESSION(ts, INTERVAL '30' MINUTE)""")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val exp = gwEvents
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("ws"),
+              unix_micros(col("w.end")).as("we"), col("n"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == exp && got.nonEmpty)
+  }
 }
