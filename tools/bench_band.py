@@ -1,13 +1,20 @@
 #!/usr/bin/env python3
 """Build the per-query calm-host bench band from all recorded BENCH runs.
 
-Usage: python3 tools/bench_band.py [BENCH_r*.json ...]
+Usage: python3 tools/bench_band.py [BENCH_r*.json | raw-bench-line.json ...]
 
-Each driver BENCH_r{N}.json wraps the bench's printed JSON line in its
-`tail` field. The per-query union-of-mins across every recorded run is
-the best calm-host estimate this host allows (BASELINE.md documents 3x
-per-query co-tenant spikes hitting disjoint query sets per run), so the
-band written here is: min_sec per query, regression threshold 3x.
+Accepts two shapes per input file:
+  - a driver BENCH_r{N}.json wrapper ({"sf": .., "tail": ..}) — `tail`
+    is the last 2000 chars of the bench's stdout, which usually TRUNCATES
+    the front of the printed JSON line, so per-query times are recovered
+    by scanning `"qNNN_name": sec` pairs rather than parsing the line;
+  - a raw bench output file containing the single printed JSON line
+    (e.g. `sbt "runMain graft.Bench" | grep '^{"metric"' > run.json`).
+
+The per-query union-of-mins across every recorded run is the best
+calm-host estimate this host allows (BASELINE.md documents 3x per-query
+co-tenant spikes hitting disjoint query sets per run), so the band
+written here is: min_sec per query, regression threshold 3x.
 
 Writes BASELINE_QUERIES.json: {"sf": .., "runs": N,
 "queries": {name: min_sec}} — machine-checkable by the judge or a CI
@@ -19,18 +26,33 @@ import json
 import re
 import sys
 
+QPAIR = re.compile(r'"(q\d+[a-z0-9_]*)"\s*:\s*([0-9.]+)')
+
 
 def extract(path):
-    d = json.load(open(path))
-    tail = d.get("tail") or ""
-    # the bench prints exactly one JSON object line with a "queries" map
-    m = None
-    for cand in re.findall(r'\{"metric".*?"queries":\{[^}]*\}[^\n]*\}', tail):
+    text = open(path).read()
+    sf = None
+    try:
+        d = json.loads(text)
+        if isinstance(d, dict) and "tail" in d:
+            sf = d.get("sf")
+            text = d.get("tail") or ""
+        elif isinstance(d, dict):
+            sf = d.get("sf")
+            text = json.dumps(d.get("queries", {}))
+    except json.JSONDecodeError:
+        m = re.search(r'"sf"\s*:\s*([0-9.]+)', text)
+        if m:
+            sf = float(m.group(1))
+    qs = {}
+    for name, sec in QPAIR.findall(text):
         try:
-            m = json.loads(cand)
-        except json.JSONDecodeError:
-            continue
-    return (m or {}).get("queries", {}), (m or {}).get("sf")
+            qs[name] = float(sec)
+        except ValueError:
+            pass
+    # a truncated tail can cut the FIRST pair's name in half; QPAIR only
+    # matches complete `"name": sec` pairs, so partial fragments drop out.
+    return qs, sf
 
 
 def main():
@@ -44,12 +66,11 @@ def main():
             continue
         if sf is None:
             sf = run_sf
-        if run_sf != sf:
+        if run_sf is not None and run_sf != sf:
             continue  # only merge runs at the same scale factor
         used += 1
         for q, sec in qs.items():
-            if isinstance(sec, (int, float)):
-                best[q] = min(best.get(q, float("inf")), sec)
+            best[q] = min(best.get(q, float("inf")), sec)
     out = {"sf": sf, "runs": used,
            "queries": {q: round(s, 3) for q, s in sorted(best.items())}}
     with open("BASELINE_QUERIES.json", "w") as f:
