@@ -49,4 +49,40 @@ object GlobalRank {
       .withColumn(outCol, row_number().over(w).cast("long") + col("__offset"))
       .drop("__pid", "__pid2", "__offset")
   }
+
+  /**
+   * Global ordered cumulative SUM at scale — the same three-step
+   * range-partitioned pattern as [[withRowNumber]], with per-partition
+   * SUM prefix totals as the offsets instead of row counts. Equals
+   * `sum(value) OVER (ORDER BY sortCols ROWS UNBOUNDED PRECEDING)`
+   * without the single-task global window. Exact for integral values
+   * (long arithmetic end to end); only the P partition totals touch the
+   * driver.
+   *
+   * @param sortCols deterministic total order (include a unique tiebreak)
+   * @param valueCol integral column to accumulate
+   */
+  def withCumSum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+                 outCol: String = "cum_sum"): DataFrame = {
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val mat = ranged.localCheckpoint()
+    val totals = mat.groupBy("__pid")
+      .agg(sum(valueCol.cast("long")).as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.toSeq.map { case (pid, t) =>
+      val o = (pid, acc); acc += t; o
+    }
+    if (offsets.isEmpty)
+      return df.withColumn(outCol, lit(0L)).limit(0)
+    val offsetDf = df.sparkSession
+      .createDataFrame(offsets).toDF("__pid2", "__offset")
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mat.join(broadcast(offsetDf), col("__pid") === col("__pid2"))
+      .withColumn(outCol,
+        sum(valueCol.cast("long")).over(w) + col("__offset"))
+      .drop("__pid", "__pid2", "__offset")
+  }
 }

@@ -45,6 +45,22 @@ object MultimodalOps {
           fakeFingerprint(col("payload")).as("fingerprint"),
           // "frame sample": first 8 bytes of payload, hex-encoded
           lower(hex(substring(col("payload"), 1, 8))).as("head8"))
+    }),
+
+    // Frame sampling: slice the payload into fixed 16-byte "frames",
+    // keep every 4th (the video frame-sample shape: stride over an
+    // opaque byte stream), fingerprint each kept frame. The explode is
+    // partition-parallel and the per-frame work is codegen'd — at
+    // 100 TB the frame rows never hit the driver and the stride bounds
+    // the blow-up factor. Decode stays the documented md5 stand-in.
+    "q134_frame_sample" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(expr(
+            "sequence(0, int(floor((length(text) - 1) / 16)))")).as("fi"))
+        .filter(col("fi") % 4 === 0)
+        .select(col("doc_id"), col("fi").cast("int").as("frame_idx"),
+          md5(expr("substring(text, fi * 16 + 1, 16)")).as("frame_md5"))
     })
   )
 
@@ -58,6 +74,14 @@ object MultimodalOps {
              source AS origin,
              substr(md5(text), 1, 16) AS fingerprint,
              lower(hex(substr(text, 1, 8))) AS head8
-      FROM documents"""
+      FROM documents""",
+
+    "q134_frame_sample" -> """
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             md5(substr(text, CAST(i * 16 + 1 AS INT), 16)) AS frame_md5
+      FROM documents,
+           UNNEST(generate_series(0,
+             CAST(floor((length(text) - 1) / 16) AS BIGINT))) AS g(i)
+      WHERE i % 4 = 0"""
   )
 }

@@ -27,9 +27,9 @@ import graft.Tables
  *    codegen'd `regexp_replace`/`regexp_count`.
  *  - token_histogram: projection + one partial-aggregated groupBy.
  *  - train_select: greedy budget fill by quality rank. The cumulative
- *    sum is a single ordered window — fine for the per-shard selection
- *    this models; at 100 TB you run it per bucket with a per-bucket
- *    budget (documented), never a global sort of the corpus.
+ *    sum is range-partitioned (GlobalRank.withCumSum — per-partition
+ *    prefix totals broadcast as offsets), so the global order costs a
+ *    sampled range exchange, not a single-task window.
  */
 object PipelineOps {
 
@@ -150,7 +150,9 @@ object PipelineOps {
 
     // End-to-end training-set selection: quality gate (stopword ratio,
     // length) → rank by quality → greedy fill of a token budget. The
-    // cumulative-sum window orders by (score desc, doc_id) so the
+    // cumulative sum runs range-partitioned (GlobalRank.withCumSum:
+    // per-partition prefix totals as broadcast offsets) — NOT a global
+    // single-task window — ordered by (score desc, doc_id) so the
     // selection is a deterministic function of the corpus.
     "q132_train_select" -> ((s, dir) => {
       val scored = Tables.table(s, dir, "documents")
@@ -161,10 +163,10 @@ object PipelineOps {
             .cast("double") / col("n_tokens"), 6))
         .filter(col("lang") === "en" && col("n_tokens") >= 40 &&
                 col("score") >= 0.02)
-      val w = Window.orderBy(col("score").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      scored
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("n_tokens"), col("score"))
+      GlobalRank.withCumSum(scored,
+          Seq(col("score").desc, col("doc_id")), col("n_tokens"),
+          outCol = "cum_tokens")
         .filter(col("cum_tokens") <= 8000)
         .select(col("doc_id"), col("n_tokens"), col("score"),
                 col("cum_tokens"))

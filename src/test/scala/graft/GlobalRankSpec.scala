@@ -37,4 +37,24 @@ class GlobalRankSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, Double)].toDF("k", "v")
     assert(GlobalRank.withRowNumber(empty, Seq(col("v"), col("k"))).count() == 0)
   }
+
+  test("range-partitioned global cumsum equals single-partition window") {
+    val orders = Tables.table(spark, "/root/testdata/sf0.001", "orders")
+      .withColumn("v", (col("o_orderkey") % 97).cast("long"))
+    val got = GlobalRank.withCumSum(orders,
+        Seq(col("o_totalprice").desc, col("o_orderkey")), col("v"), "cum")
+      .select(col("o_orderkey"), col("cum"))
+    val exp = orders.withColumn("cum",
+        sum(col("v")).over(
+          Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("o_orderkey"), col("cum"))
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+    assert(got.count() == orders.count())
+  }
+
+  test("global cumsum on empty input") {
+    val empty = Seq.empty[(Long, Long)].toDF("k", "v")
+    assert(GlobalRank.withCumSum(empty, Seq(col("k")), col("v")).count() == 0)
+  }
 }

@@ -29,6 +29,15 @@ import sys
 QPAIR = re.compile(r'"(q\d+[a-z0-9_]*)"\s*:\s*([0-9.]+)')
 
 
+def norm_sf(sf):
+    # the bench records sf as the data dir path ("/root/testdata/sf0.1");
+    # driver wrappers record the float — normalize both to the float
+    if isinstance(sf, str):
+        m = re.search(r"sf([0-9.]+)/?$", sf)
+        return float(m.group(1)) if m else None
+    return sf
+
+
 def extract(path):
     text = open(path).read()
     sf = None
@@ -39,7 +48,8 @@ def extract(path):
             text = d.get("tail") or ""
         elif isinstance(d, dict):
             sf = d.get("sf")
-            text = json.dumps(d.get("queries", {}))
+            # prefer per-rep mins when the raw line carries both
+            text = json.dumps(d.get("queries_min") or d.get("queries", {}))
     except json.JSONDecodeError:
         m = re.search(r'"sf"\s*:\s*([0-9.]+)', text)
         if m:
@@ -52,7 +62,7 @@ def extract(path):
             pass
     # a truncated tail can cut the FIRST pair's name in half; QPAIR only
     # matches complete `"name": sec` pairs, so partial fragments drop out.
-    return qs, sf
+    return qs, norm_sf(sf)
 
 
 def main():
