@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -119,6 +120,55 @@ object TextOps {
         .select(col("da"), col("db"), col("inter"),
                 col("ca.n_sh").as("n_a"), col("cb.n_sh").as("n_b"),
                 round(col("jac"), 6).as("jac"))
+    }),
+
+    // BPE-ish token counting: alongside whitespace tokens, count
+    // sub-word units the way a byte-pair-style pre-tokenizer splits —
+    // letter runs / digit runs / single punctuation marks — via one
+    // regexp_extract_all (codegen'd scan; identical RE2∩java pattern in
+    // the oracle). The tok_ratio (subword per whitespace token) is the
+    // standard fertility diagnostic before sequence packing.
+    "q135_bpe_tokens" -> ((s, dir) => {
+      val bpe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+      Tables.table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_ws"),
+          size(regexp_extract_all(col("text"), lit(bpe), lit(0))).as("n_bpe"))
+        .withColumn("tok_ratio",
+          round(col("n_bpe").cast("double") / col("n_ws"), 6))
+    }),
+
+    // Rolling-hash document fingerprinting (winnowing, the MOSS
+    // algorithm): hash every k=8 char-gram, keep the MIN hash of each
+    // w=16-gram window — the selected set is a position-robust document
+    // fingerprint (shared substrings select identical fingerprints
+    // regardless of offset). Output per doc: fingerprint-set size and
+    // the set's min/max as a compact signature. Pure
+    // explode + windowed-min + aggregate: partition-parallel, one
+    // shuffle on doc_id; the per-char explode is linear in corpus bytes
+    // (the same cost class as tokenization).
+    "q136_winnow_fp" -> ((s, dir) => {
+      val k = 8
+      val w = 16
+      val grams = Tables.table(s, dir, "documents")
+        .filter(length(col("text")) >= k)
+        .select(col("doc_id"),
+          explode(expr(
+            s"sequence(1, length(text) - ${k - 1})")).as("i"),
+          col("text"))
+        .select(col("doc_id"), col("i"),
+          substring(md5(expr(s"substring(text, i, $k)")), 1, 8).as("h"))
+      val win = Window.partitionBy("doc_id").orderBy("i")
+        .rowsBetween(0, w - 1)
+      grams
+        .withColumn("wmin", min(col("h")).over(win))
+        // winnowing selects each window's min; windows shorter than w at
+        // the tail still select (their min is over the remaining grams)
+        .groupBy("doc_id")
+        .agg(countDistinct(col("wmin")).as("n_fp"),
+             min(col("wmin")).as("fp_min"),
+             max(col("wmin")).as("fp_max"))
     })
   )
 
@@ -184,6 +234,34 @@ object TextOps {
       FROM pairs
       JOIN cnt ca ON da = ca.doc_id
       JOIN cnt cb ON db = cb.doc_id
-      WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.2"""
+      WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.2""",
+
+    "q135_bpe_tokens" -> """
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_ws,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe,
+             round(CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')), 6)
+               AS tok_ratio
+      FROM documents""",
+
+    "q136_winnow_fp" -> """
+      WITH g AS (
+        SELECT doc_id, i,
+               substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8) AS h
+        FROM documents,
+             UNNEST(generate_series(1, length(text) - 7)) AS t(i)
+        WHERE length(text) >= 8),
+      wm AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+                 AS wmin
+        FROM g)
+      SELECT doc_id, count(DISTINCT wmin) AS n_fp,
+             min(wmin) AS fp_min, max(wmin) AS fp_max
+      FROM wm GROUP BY doc_id"""
   )
 }
