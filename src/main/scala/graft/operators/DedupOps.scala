@@ -61,25 +61,32 @@ object DedupOps {
           min((col("h31") * permA(i) + permB(i)) % MersenneP).as(s"m$i")): _*)
   }
 
+  /** Distinct LSH candidate pairs (da < db): band-key equi-join over the
+    * banded signature — the shuffle is keyed on small band buckets, the
+    * O(n²) pair space never materializes. */
+  private def bandCandidates(sig: DataFrame): DataFrame = {
+    val rowsPerBand = NumPerm / Bands
+    // band key = md5 of the band's signature slice
+    val banded = sig.select(col("doc_id") +: (0 until Bands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"m$i").cast("string"))
+      md5(concat_ws("_", slice: _*)).as(s"b$b")
+    }: _*)
+    val bandKv = banded.select(col("doc_id"), explode(array(
+      (0 until Bands).map(b => struct(lit(b).as("band"), col(s"b$b").as("key"))): _*
+    )).as("bk")).select(col("doc_id"), col("bk.band"), col("bk.key"))
+    bandKv.as("x").join(bandKv.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Candidate pairs from LSH banding + signature-agreement estimate.
     "q39_minhash_dedup" -> ((s, dir) => {
       val sig = minhashSignatures(s, dir).cache()
-      val rowsPerBand = NumPerm / Bands
-      // band key = md5 of the band's signature slice
-      val banded = sig.select(col("doc_id") +: (0 until Bands).map { b =>
-        val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => col(s"m$i").cast("string"))
-        md5(concat_ws("_", slice: _*)).as(s"b$b")
-      }: _*)
-      val bandKv = banded.select(col("doc_id"), explode(array(
-        (0 until Bands).map(b => struct(lit(b).as("band"), col(s"b$b").as("key"))): _*
-      )).as("bk")).select(col("doc_id"), col("bk.band"), col("bk.key"))
-      val cand = bandKv.as("x").join(bandKv.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-        .distinct()
+      val cand = bandCandidates(sig)
       val agree = (0 until NumPerm)
         .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
         .reduce(_ + _)
@@ -125,6 +132,36 @@ object DedupOps {
                   .as("hamming"))
         .distinct()
         .filter(col("hamming") <= 8)
+    }),
+
+    // Scale-true transitive dup-cluster resolution: the 100 TB pipeline
+    // shape. LSH banding proposes candidates (equi-join on band keys,
+    // never O(n²)); exact trigram-Jaccard verifies ONLY the candidates
+    // (array_intersect over the two shingle sets — per-pair linear
+    // work); verified edges feed min-label connected components.
+    // Contrast with q129, which generates edges from the exact all-pairs
+    // shingle join — the verification baseline this path is measured
+    // against. Recall is the banding parameter (Bands/NumPerm), the
+    // documented knob.
+    "q137_dup_clusters_lsh" -> ((s, dir) => {
+      val sig = minhashSignatures(s, dir).cache()
+      val cand = bandCandidates(sig)
+      val docSh = shingles(s, dir).groupBy("doc_id")
+        .agg(collect_set(col("sh")).as("shs"))
+      val verified = cand
+        .join(docSh.as("a"), col("da") === col("a.doc_id"))
+        .join(docSh.as("b"), col("db") === col("b.doc_id"))
+        .withColumn("inter",
+          size(array_intersect(col("a.shs"), col("b.shs"))))
+        .withColumn("jac", col("inter").cast("double") /
+          (size(col("a.shs")) + size(col("b.shs")) - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val comp = graft.graph.GraphOps.connectedComponents(verified)
+        .select(col("node").as("doc_id"), col("component").as("cluster"))
+      val wC = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+      comp.withColumn("csize", count(lit(1)).over(wC))
     })
   )
 
@@ -200,6 +237,65 @@ object DedupOps {
       JOIN sig a ON da = a.doc_id
       JOIN sig b ON db = b.doc_id
       WHERE ($agreeExpr) >= 4"""
+    },
+
+    "q137_dup_clusters_lsh" -> {
+      val minCols = (0 until NumPerm)
+        .map(i => s"min((h31 * ${permA(i)} + ${permB(i)}) % $MersenneP) AS m$i")
+        .mkString(",\n               ")
+      val rowsPerBand = NumPerm / Bands
+      val bandCols = (0 until Bands).map { b =>
+        val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '_' || ")
+        s"md5($slice) AS b$b"
+      }.mkString(",\n               ")
+      val bandUnion = (0 until Bands)
+        .map(b => s"SELECT doc_id, $b AS band, b$b AS key FROM banded")
+        .mkString("\n        UNION ALL\n        ")
+      // intersection via the shingle join restricted to candidate pairs
+      // (equals Spark's array_intersect size — shingles are distinct);
+      // zero-intersection candidates drop out, harmless below jac 0.5
+      s"""
+      WITH RECURSIVE $shinglesSql,
+      hashed AS (
+        SELECT doc_id, ${h60Sql(0, "s")} & 2147483647 AS h31 FROM sh),
+      sig AS (
+        SELECT doc_id, $minCols
+        FROM hashed GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, $bandCols
+        FROM sig),
+      bandkv AS (
+        $bandUnion),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        FROM bandkv x JOIN bandkv y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.da, c.db, count(*) AS i
+        FROM cand c
+        JOIN sh a ON c.da = a.doc_id
+        JOIN sh b ON c.db = b.doc_id AND a.s = b.s
+        GROUP BY c.da, c.db),
+      edges AS (
+        SELECT i.da AS src, i.db AS dst
+        FROM inter i
+        JOIN cnt ca ON i.da = ca.doc_id
+        JOIN cnt cb ON i.db = cb.doc_id
+        WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5),
+      sym AS (SELECT src, dst FROM edges
+              UNION SELECT dst, src FROM edges),
+      reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src),
+      comp AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        FROM reach GROUP BY src)
+      SELECT doc_id, cluster,
+             count(*) OVER (PARTITION BY cluster) AS csize
+      FROM comp"""
     },
 
     "q40_simhash" -> simhashSql,
