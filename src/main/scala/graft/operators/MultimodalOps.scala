@@ -61,6 +61,21 @@ object MultimodalOps {
         .filter(col("fi") % 4 === 0)
         .select(col("doc_id"), col("fi").cast("int").as("frame_idx"),
           md5(expr("substring(text, fi * 16 + 1, 16)")).as("frame_md5"))
+    }),
+
+    // "Resize": 2:1 downsample of the opaque payload (keep the first of
+    // every 2 bytes — the media-resize shape on an undecoded stream),
+    // emitting the resized payload's size and fingerprint beside the
+    // original metadata. Single regexp_replace projection; the real
+    // codec swap-in point is the same as fakeFingerprint's.
+    "q138_resize" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .withColumn("resized", regexp_replace(col("text"), "(.).", "$1"))
+        .select(
+          col("doc_id"),
+          length(col("text")).as("orig_bytes"),
+          length(col("resized")).as("resized_bytes"),
+          substring(md5(col("resized")), 1, 16).as("resized_fp"))
     })
   )
 
@@ -82,6 +97,17 @@ object MultimodalOps {
       FROM documents,
            UNNEST(generate_series(0,
              CAST(floor((length(text) - 1) / 16) AS BIGINT))) AS g(i)
-      WHERE i % 4 = 0"""
+      WHERE i % 4 = 0""",
+
+    "q138_resize" -> """
+      WITH r AS (
+        SELECT doc_id, text,
+               regexp_replace(text, '(.).', '\1', 'g') AS resized
+        FROM documents)
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS orig_bytes,
+             CAST(length(resized) AS INT) AS resized_bytes,
+             substr(md5(resized), 1, 16) AS resized_fp
+      FROM r"""
   )
 }

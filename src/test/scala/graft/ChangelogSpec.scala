@@ -167,6 +167,35 @@ class ChangelogSpec extends AnyFunSuite {
       (1L, "-D", Some(5.0), None, 6L)))                         // batch 5
   }
 
+  test("right-outer changelog join pads the right side only") {
+    implicit val sc = spark.sqlContext
+    val lMem = MemoryStream[CRow]
+    val rMem = MemoryStream[CRow]
+    val left = lMem.toDS().map(c => (c.key, c.kind, LSide(c.value)))
+    val right = rMem.toDS().map(c => (c.key, c.kind, RSide(c.value)))
+    val out = Changelog.joinChangelogOuter(left, right, Changelog.RightOuter)
+    val q = out.writeStream.format("memory").queryName("cl_router")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // left-only key: silent on a RIGHT outer join
+      lMem.addData(CRow(1, "+I", 5.0, 1))
+      q.processAllAvailable()
+      // right-only key: padded
+      rMem.addData(CRow(2, "+I", 7.0, 1))
+      q.processAllAvailable()
+      // key 1 right arrives: plain insert (no pad existed to retract)
+      rMem.addData(CRow(1, "+I", 100.0, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_router")
+      .selectExpr("key", "kind", "left.v", "right.v", "ord")
+      .as[(Long, String, Option[Double], Option[Double], Long)]
+      .collect().toList.sortBy(t => (t._1, t._5))
+    assert(got == List(
+      (1L, "+I", Some(5.0), Some(100.0), 1L),
+      (2L, "+I", None, Some(7.0), 1L)))
+  }
+
   test("full-outer changelog join ▸ materialize equals the batch full join") {
     implicit val sc = spark.sqlContext
     val lMem = MemoryStream[CRow]
