@@ -64,6 +64,22 @@ object AggOps {
         .select(col("r_name"), col("tier"))
     }),
 
+    // Exact percentiles (linear interpolation — Spark `percentile` ==
+    // DuckDB `quantile_cont`): the distribution battery q06's
+    // min/max/avg/stddev family lacks. Exact percentile is a full sort
+    // per group; at 100 TB swap to approx_percentile (t-digest) and
+    // accept the documented error bound — the exact form stays as the
+    // verification baseline, same pattern as q37/q38.
+    "q139_percentiles" -> ((s, dir) => {
+      Tables.table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"),
+          count(lit(1)).as("n"))
+    }),
+
     // Count window (reference CountSlidingWindowAssigner): ROWS frame of
     // the last 5 events per user.
     "q48_count_window" -> ((s, dir) => {
@@ -78,6 +94,14 @@ object AggOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q139_percentiles" -> """
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             round(quantile_cont(value, 0.9), 6) AS p90,
+             round(quantile_cont(value, 0.99), 6) AS p99,
+             count(*) AS n
+      FROM events GROUP BY event_type""",
+
     "q45_agg_funcs" -> """
       WITH o AS (
         SELECT *, CAST(datediff('day', DATE '1990-01-01',
