@@ -159,6 +159,9 @@ object Changelog {
    * A retraction whose payload is not in the live set is ignored (the
    * reference's "state staled" tolerance). Duplicate rows are handled
    * by counting, exactly like JoinRecordStateView.InputSideHasNoUniqueKey.
+   * `cond` is the residual join condition beyond the equi-key (the
+   * reference's generated JoinCondition): pairs failing it never enter
+   * the join-result multiset.
    *
    * Scale: state per key = live rows of BOTH sides for that key (what
    * any streaming two-way join must hold); one exchange total; the
@@ -169,7 +172,8 @@ object Changelog {
    */
   def joinChangelog[L, R](
       left: Dataset[(Long, String, L)],
-      right: Dataset[(Long, String, R)])(
+      right: Dataset[(Long, String, R)],
+      cond: (L, R) => Boolean = (_: L, _: R) => true)(
       implicit lt: scala.reflect.runtime.universe.TypeTag[L],
       rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[JoinChange[L, R]] = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
@@ -186,7 +190,8 @@ object Changelog {
       if (c > 0) m + (p -> c) else m - p
     }
     def cross(lm: Map[L, Long], rm: Map[R, Long]): Map[(L, R), Long] =
-      for { (l, cl) <- lm; (r, cr) <- rm } yield (l, r) -> cl * cr
+      for { (l, cl) <- lm; (r, cr) <- rm if cond(l, r) }
+        yield (l, r) -> cl * cr
     def minus(a: Map[(L, R), Long], b: Map[(L, R), Long]) =
       a.flatMap { case (p, c) =>
         val d = c - b.getOrElse(p, 0L)
@@ -260,12 +265,16 @@ object Changelog {
    * Same state/emission machinery as [[joinChangelog]] (live-row
    * multiset per side under one group key; batch-atomic delta of the
    * join-result multiset). The only difference is the result function:
-   * when one side of a key is empty, the outer side's rows emit paired
+   * a row on an outer side with zero passing associations emits paired
    * with None. The before→after diff then yields exactly the reference's
    * padded-row retractions: a left row living alone emits (l, None);
-   * when its first right match arrives, (l, None) is retracted (-U) and
-   * (l, r) inserted (+U) — the numOfAssociations 0→1 transition of
-   * OuterJoinRecordStateView; the 1→0 transition re-pads.
+   * when its first passing right match arrives, (l, None) is retracted
+   * (-U) and (l, r) inserted (+U) — the numOfAssociations 0→1 transition
+   * of OuterJoinRecordStateView; the 1→0 transition re-pads. `cond` is
+   * the residual join condition beyond the equi-key (the reference's
+   * generated JoinCondition); with a non-trivial cond, padding is per
+   * ROW — a left row whose only candidate fails the condition stays
+   * padded even while the key's right side is non-empty.
    *
    * Scale: identical profile to the inner join — one exchange, per-key
    * state is both sides' live rows, padding adds no extra state (it is
@@ -277,7 +286,8 @@ object Changelog {
   def joinChangelogOuter[L, R](
       left: Dataset[(Long, String, L)],
       right: Dataset[(Long, String, R)],
-      side: OuterSide)(
+      side: OuterSide,
+      cond: (L, R) => Boolean = (_: L, _: R) => true)(
       implicit lt: scala.reflect.runtime.universe.TypeTag[L],
       rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[OuterJoinChange[L, R]] = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
@@ -293,16 +303,27 @@ object Changelog {
       val c = m.getOrElse(p, 0L) + d
       if (c > 0) m + (p -> c) else m - p
     }
-    // The key's join-result multiset under the outer semantics.
-    def result(lm: Map[L, Long], rm: Map[R, Long]): Map[Pair, Long] =
-      if (lm.nonEmpty && rm.nonEmpty)
-        for { (l, cl) <- lm; (r, cr) <- rm }
+    // The key's join-result multiset under the outer semantics. Padding
+    // is PER ROW: a row pads when it has zero passing associations on
+    // the other side (OuterJoinRecordStateView.numOfAssociations == 0)
+    // — with the default always-true cond this reduces to "the other
+    // side of the key is empty".
+    def result(lm: Map[L, Long], rm: Map[R, Long]): Map[Pair, Long] = {
+      val pairs: Map[Pair, Long] =
+        for { (l, cl) <- lm; (r, cr) <- rm if cond(l, r) }
           yield (Option(l), Option(r)) -> cl * cr
-      else if (lm.nonEmpty && side.padLeft)
-        lm.map { case (l, c) => (Option(l), Option.empty[R]) -> c }
-      else if (rm.nonEmpty && side.padRight)
-        rm.map { case (r, c) => (Option.empty[L], Option(r)) -> c }
-      else Map.empty
+      val padL: Map[Pair, Long] =
+        if (side.padLeft)
+          lm.collect { case (l, c) if !rm.keysIterator.exists(cond(l, _)) =>
+            (Option(l), Option.empty[R]) -> c }
+        else Map.empty
+      val padR: Map[Pair, Long] =
+        if (side.padRight)
+          rm.collect { case (r, c) if !lm.keysIterator.exists(cond(_, r)) =>
+            (Option.empty[L], Option(r)) -> c }
+        else Map.empty
+      pairs ++ padL ++ padR
+    }
     def minus(a: Map[Pair, Long], b: Map[Pair, Long]) =
       a.flatMap { case (p, c) =>
         val d = c - b.getOrElse(p, 0L)

@@ -196,6 +196,46 @@ class ChangelogSpec extends AnyFunSuite {
       (2L, "+I", None, Some(7.0), 1L)))
   }
 
+  test("non-equi residual condition: per-row association padding") {
+    implicit val sc = spark.sqlContext
+    val lMem = MemoryStream[CRow]
+    val rMem = MemoryStream[CRow]
+    val left = lMem.toDS().map(c => (c.key, c.kind, LSide(c.value)))
+    val right = rMem.toDS().map(c => (c.key, c.kind, RSide(c.value)))
+    // residual condition beyond the key: l.v < r.v
+    val out = Changelog.joinChangelogOuter(left, right, Changelog.LeftOuter,
+      (l: LSide, r: RSide) => l.v < r.v)
+    val q = out.writeStream.format("memory").queryName("cl_nonequi")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // left row alone → padded
+      lMem.addData(CRow(1, "+I", 5.0, 1))
+      q.processAllAvailable()
+      // right row FAILING the condition (3 < 5): key's right side is
+      // non-empty but the left row has zero passing associations —
+      // stays padded, NO emission
+      rMem.addData(CRow(1, "+I", 3.0, 1))
+      q.processAllAvailable()
+      // passing right row → un-pad (0→1 associations)
+      rMem.addData(CRow(1, "+I", 100.0, 2))
+      q.processAllAvailable()
+      // the passing row retracts → re-pad (1→0), the failing 3.0 is
+      // still live and still doesn't count
+      rMem.addData(CRow(1, "-D", 100.0, 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_nonequi")
+      .selectExpr("kind", "left.v", "right.v", "ord")
+      .as[(String, Option[Double], Option[Double], Long)]
+      .collect().toList.sortBy(_._4)
+    assert(got == List(
+      ("+I", Some(5.0), None, 1L),                              // batch 1
+      ("-U", Some(5.0), None, 2L),                              // batch 3
+      ("+U", Some(5.0), Some(100.0), 3L),
+      ("-U", Some(5.0), Some(100.0), 4L),                       // batch 4
+      ("+U", Some(5.0), None, 5L)))
+  }
+
   test("full-outer changelog join ▸ materialize equals the batch full join") {
     implicit val sc = spark.sqlContext
     val lMem = MemoryStream[CRow]
