@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -144,31 +143,30 @@ object TextOps {
     // w=16-gram window — the selected set is a position-robust document
     // fingerprint (shared substrings select identical fingerprints
     // regardless of offset). Output per doc: fingerprint-set size and
-    // the set's min/max as a compact signature. Pure
-    // explode + windowed-min + aggregate: partition-parallel, one
-    // shuffle on doc_id; the per-char explode is linear in corpus bytes
-    // (the same cost class as tokenization).
+    // the set's min/max as a compact signature.
+    //
+    // ZERO-shuffle formulation: the gram hashes, per-window minima and
+    // the distinct-set stats are all higher-order array expressions
+    // inside one projection — no explode, no window exchange, no
+    // aggregation exchange. At 100 TB fingerprinting is embarrassingly
+    // parallel over the scan; windows shorter than w at the tail still
+    // select (slice caps at the array end), matching the SQL oracle's
+    // ROWS BETWEEN frame semantics exactly.
     "q136_winnow_fp" -> ((s, dir) => {
       val k = 8
       val w = 16
-      val grams = Tables.table(s, dir, "documents")
+      Tables.table(s, dir, "documents")
         .filter(length(col("text")) >= k)
+        .withColumn("grams", expr(
+          s"transform(sequence(1, length(text) - ${k - 1}), " +
+          s"i -> substring(md5(substring(text, i, $k)), 1, 8))"))
+        .withColumn("wmins", expr(
+          s"transform(sequence(1, size(grams)), " +
+          s"j -> array_min(slice(grams, j, $w)))"))
         .select(col("doc_id"),
-          explode(expr(
-            s"sequence(1, length(text) - ${k - 1})")).as("i"),
-          col("text"))
-        .select(col("doc_id"), col("i"),
-          substring(md5(expr(s"substring(text, i, $k)")), 1, 8).as("h"))
-      val win = Window.partitionBy("doc_id").orderBy("i")
-        .rowsBetween(0, w - 1)
-      grams
-        .withColumn("wmin", min(col("h")).over(win))
-        // winnowing selects each window's min; windows shorter than w at
-        // the tail still select (their min is over the remaining grams)
-        .groupBy("doc_id")
-        .agg(countDistinct(col("wmin")).as("n_fp"),
-             min(col("wmin")).as("fp_min"),
-             max(col("wmin")).as("fp_max"))
+          size(array_distinct(col("wmins"))).cast("long").as("n_fp"),
+          array_min(col("wmins")).as("fp_min"),
+          array_max(col("wmins")).as("fp_max"))
     })
   )
 
