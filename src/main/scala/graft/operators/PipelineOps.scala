@@ -170,6 +170,89 @@ object PipelineOps {
         .filter(col("cum_tokens") <= 8000)
         .select(col("doc_id"), col("n_tokens"), col("score"),
                 col("cum_tokens"))
+    }),
+
+    // Benchmark decontamination: flag training docs sharing any word
+    // 13-gram with a held-out eval set (the GPT-3 n; eval set here = the
+    // deterministic doc_id%20==7 slice standing in for a benchmark
+    // suite). Scale shape: eval benchmarks are fixed-size regardless of
+    // corpus size, so the distinct benchmark-gram set is BROADCAST and
+    // the probe is a map-side hash join over the training-gram scan —
+    // the only exchange is the per-doc hit count.
+    "q140_decontaminate" -> ((s, dir) => {
+      val n = 13
+      val docs = Tables.table(s, dir, "documents")
+        .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      val grams = docs.filter(size(col("toks")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> array_join(slice(toks, i, $n), ' '))")).as("gram"))
+      val bench = broadcast(grams.filter(col("doc_id") % 20 === 7)
+        .select(col("gram")).distinct())
+      val hits = grams.filter(col("doc_id") % 20 =!= 7)
+        .join(bench, "gram")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("h"))
+      docs.filter(col("doc_id") % 20 =!= 7)
+        .select(col("doc_id"),
+          greatest(size(col("toks")) - (n - 1), lit(0))
+            .cast("int").as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("h"), lit(0L)).cast("int").as("n_hits"),
+          (coalesce(col("h"), lit(0L)) > 0).cast("int").as("contaminated"))
+    }),
+
+    // Repetition signals (the Gopher quality-filter family): fraction of
+    // tokens that are repeats, and the document share of its most
+    // frequent word bigram. ZERO-shuffle: the top-bigram count is the
+    // longest equal-run in the SORTED bigram array — a single
+    // higher-order fold per row, no explode/groupBy.
+    "q141_repetition" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+        .filter(size(col("toks")) >= 2)
+        .withColumn("bgs", expr(
+          "array_sort(transform(sequence(0, size(toks) - 2), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1])))"))
+        .withColumn("top2", expr(
+          "aggregate(bgs, named_struct('prev', '', 'run', 0, 'best', 0), " +
+          "(acc, x) -> named_struct(" +
+          "  'prev', x, " +
+          "  'run', IF(x = acc.prev, acc.run + 1, 1), " +
+          "  'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1, 1))), " +
+          "acc -> acc.best)"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("int").as("n_tokens"),
+          col("top2").cast("int").as("top2_cnt"),
+          round(col("top2").cast("double") / size(col("bgs")), 6)
+            .as("top2_frac"),
+          round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+            / size(col("toks")), 6).as("dup_word_frac"))
+    }),
+
+    // Sequence packing (concat-and-chunk): documents are laid end-to-end
+    // in doc_id order and cut into fixed 2048-token training sequences;
+    // each doc reports its global token offset, its sequence id, and
+    // whether it straddles a cut. The global offset is the
+    // range-partitioned cumulative sum (GlobalRank.withCumSum) — a
+    // sampled range exchange plus per-partition prefix offsets, never a
+    // single-task window.
+    "q142_seq_pack" -> ((s, dir) => {
+      val seqLen = 2048
+      val sized = Tables.table(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(split(trim(col("text")), "\\s+")).cast("bigint"))
+        .select(col("doc_id"), col("n_tokens"))
+      GlobalRank.withCumSum(sized, Seq(col("doc_id")), col("n_tokens"),
+          outCol = "cum_end")
+        .withColumn("offset", col("cum_end") - col("n_tokens"))
+        // integer division (not floor(double)): token offsets at 100 TB
+        // exceed the 2^53 double mantissa
+        .select(col("doc_id"), col("n_tokens"), col("offset"),
+          expr(s"offset DIV $seqLen").as("seq_id"),
+          (expr(s"offset DIV $seqLen") =!=
+            expr(s"(cum_end - 1) DIV $seqLen")).cast("int").as("straddles"))
     })
   )
 
@@ -257,6 +340,71 @@ object PipelineOps {
              CAST(max(n_tokens) AS INT) AS max_tokens
       FROM t WHERE n_tokens >= 1
       GROUP BY lang, CAST(floor(log2(n_tokens)) AS INT)""",
+
+    "q140_decontaminate" -> """
+      WITH d AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, array_to_string(toks[i:i+12], ' ') AS gram
+        FROM d, UNNEST(generate_series(1, len(toks) - 12)) AS t(i)
+        WHERE len(toks) >= 13),
+      bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 7),
+      hits AS (
+        SELECT g.doc_id, count(DISTINCT g.gram) AS h
+        FROM g JOIN bench USING (gram)
+        WHERE g.doc_id % 20 <> 7
+        GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(greatest(len(toks) - 12, 0) AS INT) AS n_grams,
+             CAST(coalesce(h, 0) AS INT) AS n_hits,
+             CAST(coalesce(h, 0) > 0 AS INT) AS contaminated
+      FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id
+      WHERE d.doc_id % 20 <> 7""",
+
+    "q141_repetition" -> """
+      WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      b AS (
+        SELECT doc_id, toks, toks[i] || ' ' || toks[i+1] AS bg
+        FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+        WHERE len(toks) >= 2),
+      cnt AS (
+        SELECT doc_id,
+               CAST(max(len(toks)) AS INT) AS n_tokens,
+               CAST(max(len(list_distinct(toks))) AS INT) AS n_distinct,
+               CAST(count(*) AS INT) AS n_bigrams,
+               CAST(max(c) AS INT) AS top2_cnt
+        FROM (SELECT doc_id, toks, bg, count(*) OVER
+                (PARTITION BY doc_id, bg) AS c FROM b)
+        GROUP BY doc_id)
+      SELECT doc_id, n_tokens, top2_cnt,
+             round(CAST(top2_cnt AS DOUBLE) / n_bigrams, 6) AS top2_frac,
+             round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6)
+               AS dup_word_frac
+      FROM cnt""",
+
+    "q142_seq_pack" -> """
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                 AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_end
+        FROM t)
+      SELECT doc_id, n_tokens,
+             cum_end - n_tokens AS "offset",
+             (cum_end - n_tokens) // 2048 AS seq_id,
+             CAST((cum_end - n_tokens) // 2048
+               <> (cum_end - 1) // 2048 AS INT) AS straddles
+      FROM c""",
 
     "q132_train_select" -> """
       WITH t AS (
