@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal, Rand}
+import org.apache.spark.sql.catalyst.expressions.{Expression, IntegralDivide, Literal, Rand}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
 
@@ -104,32 +104,46 @@ object GraftFunctions {
 
   // ---- registration ----------------------------------------------------------
 
-  /** Install SQL-facing names on a session (idempotent). */
-  def registerAll(spark: SparkSession): Unit = {
-    def cols(name: String)(builder: PartialFunction[Seq[Column], Column]): Unit =
-      Bridge.registerCols(spark, name)(builder)
-
-    cols("split_index") { case Seq(s, d, i) => splitIndex(s, d, i) }
-    cols("is_decimal") { case Seq(s) => isDecimal(s) }
-    cols("is_digit") { case Seq(s) => isDigit(s) }
-    cols("is_alpha") { case Seq(s) => isAlpha(s) }
-    Bridge.register(spark, "hash_code") { case Seq(s) => graft.plans.JavaHashCode(s) }
-    Bridge.register(spark, "cosine_sim") { case Seq(a, b) =>
-      graft.plans.CosineSimilarity(a, b) }
-    cols("graft_element") { case Seq(a) => element(a) }
-    // Seeded variant must pull the seed out of the *Literal* — stringifying
-    // the Column yields SQL text, not the value (round-1 bug).
-    Bridge.register(spark, "rand_integer") {
-      case Seq(n) =>
-        Bridge.expression(floor(Bridge.column(Rand(Literal(util.Random.nextLong()))) * Bridge.column(n)).cast("int"))
-      case Seq(seed, n) =>
-        Bridge.expression(floor(Bridge.column(Rand(seed)) * Bridge.column(n)).cast("int"))
+  /**
+   * Name → expression-builder table: the single source of truth for the
+   * SQL surface, consumed by both `registerAll` (session-level temp
+   * functions) and `graft.GraftExtensions` (cluster-wide injection via
+   * `spark.sql.extensions`).
+   */
+  val builders: Seq[(String, PartialFunction[Seq[Expression], Expression])] = {
+    // lift a Column-API builder to the Expression level
+    def cols(builder: PartialFunction[Seq[Column], Column])
+        : PartialFunction[Seq[Expression], Expression] = {
+      case es if builder.isDefinedAt(es.map(Bridge.column)) =>
+        Bridge.expression(builder(es.map(Bridge.column)))
     }
-    cols("divide_integer") { case Seq(a, b) => divideInteger(a, b) }
-    cols("convert_tz") { case Seq(t, f, z) => convertTz(t, f, z) }
-    cols("is_json_value") { case Seq(s) => isJsonValue(s) }
-    cols("is_json_object") { case Seq(s) => isJsonObject(s) }
-    cols("is_json_array") { case Seq(s) => isJsonArray(s) }
-    cols("is_json_scalar") { case Seq(s) => isJsonScalar(s) }
+    Seq(
+      "split_index" -> cols { case Seq(s, d, i) => splitIndex(s, d, i) },
+      "is_decimal" -> cols { case Seq(s) => isDecimal(s) },
+      "is_digit" -> cols { case Seq(s) => isDigit(s) },
+      "is_alpha" -> cols { case Seq(s) => isAlpha(s) },
+      "hash_code" -> { case Seq(s: Expression) => graft.plans.JavaHashCode(s) },
+      "cosine_sim" -> { case Seq(a: Expression, b: Expression) =>
+        graft.plans.CosineSimilarity(a, b) },
+      "graft_element" -> cols { case Seq(a) => element(a) },
+      // Seeded variant must pull the seed out of the *Literal* — stringifying
+      // the Column yields SQL text, not the value (round-1 bug).
+      "rand_integer" -> {
+        case Seq(n: Expression) =>
+          Bridge.expression(floor(Bridge.column(Rand(Literal(util.Random.nextLong()))) * Bridge.column(n)).cast("int"))
+        case Seq(seed: Expression, n: Expression) =>
+          Bridge.expression(floor(Bridge.column(Rand(seed)) * Bridge.column(n)).cast("int"))
+      },
+      "divide_integer" -> cols { case Seq(a, b) => divideInteger(a, b) },
+      "convert_tz" -> cols { case Seq(t, f, z) => convertTz(t, f, z) },
+      "is_json_value" -> cols { case Seq(s) => isJsonValue(s) },
+      "is_json_object" -> cols { case Seq(s) => isJsonObject(s) },
+      "is_json_array" -> cols { case Seq(s) => isJsonArray(s) },
+      "is_json_scalar" -> cols { case Seq(s) => isJsonScalar(s) }
+    )
   }
+
+  /** Install SQL-facing names on a session (idempotent). */
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) => Bridge.register(spark, name)(b) }
 }

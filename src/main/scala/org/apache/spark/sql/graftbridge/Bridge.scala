@@ -29,25 +29,45 @@ object Bridge {
   def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
 
   /**
+   * Total arity-checked function builder from a partial one: mismatches
+   * (builder not defined at the arg list) surface as a proper
+   * WRONG_NUM_ARGS AnalysisException, not a MatchError. Shared by the
+   * session-level registry path and the SparkSessionExtensions injector.
+   */
+  def builderFn(name: String,
+      builder: PartialFunction[Seq[Expression], Expression])
+      : Seq[Expression] => Expression =
+    es =>
+      if (builder.isDefinedAt(es)) builder(es)
+      else throw new AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> "a supported number of",
+          "actualNum" -> es.size.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  /**
    * Register a temp SQL function built from raw Catalyst expressions,
    * e.g. `register(spark, "hash_code") { case Seq(e) => JavaHashCode(e) }`.
-   * Arity mismatches (builder not defined at the arg list) surface as a
-   * proper WRONG_NUM_ARGS AnalysisException, not a MatchError.
    */
   def register(spark: SparkSession, name: String)(
       builder: PartialFunction[Seq[Expression], Expression]): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name,
-      es =>
-        if (builder.isDefinedAt(es)) builder(es)
-        else throw new AnalysisException(
-          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-          messageParameters = Map(
-            "functionName" -> name,
-            "expectedNum" -> "a supported number of",
-            "actualNum" -> es.size.toString,
-            "docroot" -> "https://spark.apache.org/docs/latest")),
-      "scala_udf")
+      name, builderFn(name, builder), "scala_udf")
+
+  /**
+   * Materialize the functions a `SparkSessionExtensions` instance would
+   * inject at session build time into a standalone registry (test hook:
+   * `registerFunctions` is private[sql], so sessions built over an
+   * already-running SparkContext can't exercise the injection path
+   * in-process — this applies the same code path the session builder runs).
+   */
+  def materializeInjectedFunctions(
+      ext: org.apache.spark.sql.SparkSessionExtensions)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(
+      new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry)
 
   /**
    * Register a temp SQL function built with the Column API (so composed

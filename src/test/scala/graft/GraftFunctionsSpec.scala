@@ -118,4 +118,34 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = df.selectExpr("min(ts)", "max(ts)").collect()(0)
     assert(r.getTimestamp(0) != null && r.getTimestamp(1) != null)
   }
+
+  test("GraftExtensions injects the full SQL surface via the extensions path") {
+    // `spark.sql.extensions` is a STATIC conf read from the SparkContext at
+    // session build — a new in-process session over the shared test context
+    // cannot see it, so apply the injector to the same registry hook the
+    // session builder uses. (The live `--conf spark.sql.extensions=...`
+    // path is exercised end-to-end in a separate spark-shell JVM by the
+    // verify drive.)
+    import org.apache.spark.sql.SparkSessionExtensions
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftbridge.Bridge
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = Bridge.materializeInjectedFunctions(ext)
+    // every table entry is injected
+    graft.functions.GraftFunctions.builders.foreach { case (name, _) =>
+      assert(reg.functionExists(FunctionIdentifier(name)), name)
+    }
+    // a direct-Catalyst builder yields an immediately evaluable expression
+    val hc = reg.lookupFunction(
+      FunctionIdentifier("hash_code"), Seq(Literal("abc")))
+    assert(hc.eval(null) == "abc".hashCode)
+    // a Column-composed builder yields a tree for the analyzer (resolution
+    // is exercised live in the spark-shell drive's --conf run)
+    val sx = reg.lookupFunction(
+      FunctionIdentifier("split_index"),
+      Seq(Literal("a.b.c"), Literal("."), Literal(1)))
+    assert(sx != null)
+  }
 }
