@@ -61,6 +61,39 @@ object DedupOps {
           min((col("h31") * permA(i) + permB(i)) % MersenneP).as(s"m$i")): _*)
   }
 
+  /**
+   * Expression-only MinHash signature of a text column: the same
+   * NumPerm affine permutations as `minhashSignatures`, but computed
+   * per ROW with higher-order array functions (one md5 per shingle,
+   * then NumPerm array_min folds) — no explode, no groupBy. This is the
+   * form a STREAMING pipeline needs (no blocking aggregation) and is
+   * bit-identical to the batch signature (asserted in StreamingSpec).
+   * Docs with fewer than 3 tokens have no trigram shingles → NULL.
+   */
+  def minhashSigExpr(textCol: String): Column = {
+    // single-element `transform(array(x), v -> body)[0]` = let-binding:
+    // tokenize once, md5 each shingle once, then NumPerm affine folds
+    val mins = (0 until NumPerm).map(i =>
+      s"array_min(transform(hs, h -> (h * ${permA(i)} + ${permB(i)}) % $MersenneP))")
+    expr(
+      s"""transform(array(split(trim($textCol), '\\\\s+')), toks ->
+         |  CASE WHEN size(toks) >= 3 THEN
+         |    transform(array(
+         |      transform(array_distinct(transform(sequence(0, size(toks) - 3),
+         |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))),
+         |        x -> CAST(conv(substring(md5(concat('0:', x)), 1, 15), 16, 10) AS BIGINT) & 2147483647)
+         |    ), hs -> array(${mins.mkString(", ")}))[0]
+         |  END
+         |)[0]""".stripMargin)
+  }
+
+  /** Near-dup dedup key: md5 over the signature; exact-text fallback for
+    * sub-shingle docs (NULL signature). */
+  def minhashSigKey(textCol: String): Column =
+    coalesce(
+      md5(concat_ws("_", minhashSigExpr(textCol).cast("array<string>"))),
+      md5(col(textCol)))
+
   /** Distinct LSH candidate pairs (da < db): band-key equi-join over the
     * banded signature — the shuffle is keyed on small band buckets, the
     * O(n²) pair space never materializes. */

@@ -101,6 +101,29 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(keys)
 
   /**
+   * Streaming NEAR-duplicate suppression: keep the first-arriving
+   * document per MinHash signature within the watermark horizon. The
+   * signature (operators.DedupOps.minhashSigExpr) is expression-only —
+   * computed per row in the scan projection, no blocking aggregation —
+   * so the only stateful operator is the signature-keyed dedup, whose
+   * state the watermark prunes. Granularity: full-signature equality
+   * (all 16 permutation minima), i.e. shingle-set near-identity; docs
+   * under 3 tokens fall back to exact-text keys. This is the streaming
+   * face of the batch LSH dedup family (q39/q114/q137): at 100 TB the
+   * same signature expression feeds both, and state stays
+   * O(distinct signatures within horizon), never O(corpus).
+   */
+  def nearDupSuppressWithinWatermark(df: DataFrame, textCol: String,
+                                     tsCol: String,
+                                     disorder: String): DataFrame = {
+    val keyed = df.withColumn("graft_sig_key",
+      graft.operators.DedupOps.minhashSigKey(textCol))
+    keyed.withWatermark(tsCol, disorder)
+      .dropDuplicatesWithinWatermark("graft_sig_key")
+      .drop("graft_sig_key")
+  }
+
+  /**
    * Watermark idleness (CORE/api/common/eventtime/WatermarksWithIdleness
    * .java analogue): the reference marks a source idle after a timeout so
    * it stops holding back the combined watermark. Structured Streaming's

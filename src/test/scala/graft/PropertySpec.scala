@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Property-based parity checks (SURVEY §5.6): random inputs, fixed seed,
+ * ONE DataFrame per property — the engine column is compared against a
+ * plain-Scala reference implementation of the same semantics
+ * (SqlFunctionUtils / Calcite behavior), so each property costs one Spark
+ * job instead of one per generated case.
+ */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private val N = 300
+
+  /** Deterministic sample of a generator (fixed seed → reproducible CI). */
+  private def sample[A](g: Gen[A]): Seq[A] =
+    Iterator.from(0)
+      .map(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+      .flatten.take(N).toSeq
+
+  test("split_index matches -1-limit split semantics on random strings") {
+    val str = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('.'),
+      Gen.const('|'))).map(_.mkString)
+    val rows = sample(for {
+      s <- str; d <- Gen.oneOf(".", "|", "ab"); i <- Gen.choose(-1, 6)
+    } yield (s, d, i))
+    val df = rows.toDF("s", "d", "i")
+      .withColumn("got", expr("split_index(s, d, i)"))
+      .collect()
+    rows.zip(df).foreach { case ((s, d, i), r) =>
+      val parts = s.split(java.util.regex.Pattern.quote(d), -1)
+      val want = if (i >= 0 && i < parts.length) parts(i) else null
+      assert(r.getAs[String]("got") == want, s"split_index('$s','$d',$i)")
+    }
+  }
+
+  test("hash_code equals JVM String.hashCode on random strings") {
+    val rows = sample(Gen.asciiPrintableStr)
+    val got = rows.toDF("s").withColumn("h", expr("hash_code(s)")).collect()
+    rows.zip(got).foreach { case (s, r) =>
+      assert(r.getAs[Int]("h") == s.hashCode, s"hash_code('$s')")
+    }
+  }
+
+  test("is_digit / is_alpha / is_decimal match character-class semantics") {
+    val gen = Gen.oneOf(
+      Gen.numStr, Gen.alphaStr, Gen.asciiPrintableStr,
+      Gen.choose(-1e9, 1e9).map(d => f"$d%.4f"))
+    val rows = sample(gen)
+    val got = rows.toDF("s").select(col("s"),
+      expr("is_digit(s)").as("dig"), expr("is_alpha(s)").as("alp"),
+      expr("is_decimal(s)").as("dec")).collect()
+    rows.zip(got).foreach { case (s, r) =>
+      assert(r.getAs[Boolean]("dig") == (s.nonEmpty && s.forall(c => c >= '0' && c <= '9')), s"is_digit('$s')")
+      assert(r.getAs[Boolean]("alp") == (s.nonEmpty && s.forall(c => c.isLetter && c <= 'z')), s"is_alpha('$s')")
+      val decWant = s.matches("^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)$")
+      assert(r.getAs[Boolean]("dec") == decWant, s"is_decimal('$s')")
+    }
+  }
+
+  test("divide_integer is exact above the 2^53 double mantissa") {
+    val rows = sample(for {
+      a <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+      b <- Gen.choose(1L, 1000L)
+    } yield (a, b))
+    val got = rows.toDF("a", "b")
+      .withColumn("q", expr("divide_integer(a, b)")).collect()
+    rows.zip(got).foreach { case ((a, b), r) =>
+      assert(r.getAs[Long]("q") == a / b, s"divide_integer($a,$b)")
+    }
+  }
+
+  test("withCumSum equals a single-partition running sum on random data") {
+    val rows = sample(for {
+      k <- Gen.choose(0L, 50L); v <- Gen.choose(1L, 100L)
+    } yield (k, v)).zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+    val df = rows.toDF("id", "k", "v").repartition(7)
+    val got = graft.operators.GlobalRank
+      .withCumSum(df, Seq(col("k"), col("id")), col("v"), outCol = "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val want = rows.sortBy(t => (t._2, t._1))
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, _, v)) => (id, acc + v) }
+      .drop(1).toMap
+    assert(got == want)
+  }
+}

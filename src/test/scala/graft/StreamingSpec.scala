@@ -12,6 +12,8 @@ import graft.streaming.{StatefulOps, StreamOps}
 case class SEv(event_id: Long, ts: Timestamp, user_id: Long,
                event_type: String, value: Double)
 
+case class SDoc(doc_id: Long, ts: Timestamp, text: String)
+
 /** Streaming semantics: replay `events` through MemoryStream and check
   * the streaming result equals the batch dual (the unified batch/stream
   * guarantee the reference makes). */
@@ -274,5 +276,48 @@ class StreamingSpec extends AnyFunSuite {
       .withColumn("window", col("user_id") % 10)
       .groupBy("window").agg(count(lit(1)).as("n"))
     assert(StreamOps.inferOutputMode(decoy) == OutputMode.Update())
+  }
+
+  test("expression-only minhash signature is bit-identical to the batch aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.operators.DedupOps.minhashSignatures(spark, dir)
+    val perRow = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.operators.DedupOps.minhashSigExpr("text").as("sig"))
+      .filter(col("sig").isNotNull)
+    val n = graft.operators.DedupOps.NumPerm
+    val joined = batch.join(perRow, "doc_id")
+    assert(joined.count() == batch.count()) // same doc coverage (≥3 tokens)
+    val mismatch = joined.filter(
+      (0 until n).map(i => col(s"m$i") =!= col("sig")(i)).reduce(_ || _))
+    assert(mismatch.count() == 0)
+  }
+
+  test("streaming near-dup suppression drops signature-equal docs within the horizon") {
+    implicit val sc = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new Timestamp(base.getTime + m * 60000L)
+    val mem = MemoryStream[SDoc]
+    val q = StreamOps.nearDupSuppressWithinWatermark(
+        mem.toDF(), "text", "ts", "10 minutes")
+      .select("doc_id").writeStream
+      .format("memory").queryName("s_neardup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        SDoc(1, t(0), "a b c a b c"),
+        // different raw text, IDENTICAL trigram-shingle set {abc,bca,cab}
+        // → same signature → suppressed as a near-dup of doc 1
+        SDoc(2, t(1), "a b c a b c a b c"),
+        SDoc(3, t(2), "x y z w v u"),       // distinct → kept
+        SDoc(4, t(3), "hi yo"),             // <3 tokens: exact-key path
+        SDoc(5, t(4), "hi yo"))             // exact dup of 4 → suppressed
+      q.processAllAvailable()
+      mem.addData(SDoc(-1, t(24 * 60), "sentinel flush doc"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("s_neardup").filter(col("doc_id") =!= -1L)
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
   }
 }
