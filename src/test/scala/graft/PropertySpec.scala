@@ -76,6 +76,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("leftAsOf equals the brute-force latest-version-at-probe on random data") {
+    val probes = sample(for {
+      k <- Gen.choose(0L, 8L); t <- Gen.choose(0L, 1000L)
+    } yield (k, t)).zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+    val versions = sample(for {
+      k <- Gen.choose(0L, 8L); t <- Gen.choose(0L, 1000L)
+      v <- Gen.choose(0L, 1000000L)
+    } yield (k, t, v))
+      // unique (key, ts): the as-of winner is deterministic
+      .distinctBy(x => (x._1, x._2))
+    val probeDf = probes.toDF("pid", "k", "pts")
+    val verDf = versions.toDF("k", "vts", "v")
+    val got = graft.operators.AsOfJoin.leftAsOf(
+        probeDf, verDf, "k", "k", "pts", "vts", Seq("v"), rightOrd = "vts")
+      .select("pid", "v").as[(Long, Option[Long])].collect().toMap
+    probes.foreach { case (pid, k, pts) =>
+      val want = versions.filter(x => x._1 == k && x._2 <= pts)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got(pid) == want, s"probe $pid (k=$k, ts=$pts)")
+    }
+  }
+
   test("withCumSum equals a single-partition running sum on random data") {
     val rows = sample(for {
       k <- Gen.choose(0L, 50L); v <- Gen.choose(1L, 100L)
