@@ -151,6 +151,46 @@ object AnnOps {
           round(col("n_caught").cast("double") / col("n_true"), 6))
         .withColumn("theory_floor",
           round(pow(lit(1.0) - acos(col("tau")) / math.Pi, Planes), 6))
+    }),
+
+    // Multi-probe LSH: the recall knob q143 motivates. Probing the query
+    // bucket plus the `Planes` buckets at Hamming distance 1 multiplies
+    // candidates by ≤ P+1 and lifts pair recall to
+    // p^P + P·p^(P-1)·(1-p) (p = 1 - acos(τ)/π) — measured here beside
+    // the single-probe recall over the same exact-pair baseline, both
+    // against their analytic floors. A pair is multi-probe-caught iff
+    // bit_count(bucket_a XOR bucket_b) <= 1; the SERVING path is the
+    // same equi-join as q42 with the probe side exploded into the P+1
+    // flip keys (bucket, bucket XOR 1<<p) — still never O(n²).
+    "q144_ann_multiprobe" -> ((s, dir) => {
+      val taus = Seq(0.25, 0.30, 0.35, 0.40)
+      val emb = Tables.table(s, dir, "embeddings")
+        .withColumn("bucket", bucketCol("embedding"))
+      val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"),
+                         col("bucket").as("ba"))
+      val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"),
+                         col("bucket").as("bb"))
+      val p = lit(1.0) - acos(col("tau")) / math.Pi
+      a.join(b, col("a") < col("b"))
+        .select(
+          graft.functions.GraftFunctions.cosineSim(col("ea"), col("eb"))
+            .as("cos"),
+          (col("ba") === col("bb")).as("c1"),
+          (expr("bit_count(ba ^ bb)") <= 1).as("cmp"))
+        .withColumn("tau", explode(typedLit(taus)))
+        .filter(col("cos") >= col("tau"))
+        .groupBy("tau")
+        .agg(count(lit(1)).cast("bigint").as("n_true"),
+             sum(when(col("c1"), 1L).otherwise(0L)).cast("bigint").as("n_1"),
+             sum(when(col("cmp"), 1L).otherwise(0L)).cast("bigint").as("n_mp"))
+        .withColumn("recall_1",
+          round(col("n_1").cast("double") / col("n_true"), 6))
+        .withColumn("recall_mp",
+          round(col("n_mp").cast("double") / col("n_true"), 6))
+        .withColumn("theory_1", round(pow(p, Planes), 6))
+        .withColumn("theory_mp", round(
+          pow(p, Planes) +
+            lit(Planes.toDouble) * pow(p, Planes - 1) * (lit(1.0) - p), 6))
     })
   )
 
@@ -231,6 +271,33 @@ object AnnOps {
                / count(*), 6) AS recall,
              round(power(1.0 - acos(tau) / pi(), $Planes), 6)
                AS theory_floor
+      FROM pairs, UNNEST(CAST([0.25, 0.30, 0.35, 0.40] AS DOUBLE[])) t(tau)
+      WHERE cos >= tau
+      GROUP BY tau""",
+
+      "q144_ann_multiprobe" -> s"""
+      WITH $bucketCte,
+      pairs AS (
+        SELECT a.bucket = b.bucket AS c1,
+               bit_count(xor(a.bucket, b.bucket)) <= 1 AS cmp,
+               list_dot_product(va.e, vb.e)
+                 / (sqrt(list_dot_product(va.e, va.e))
+                    * sqrt(list_dot_product(vb.e, vb.e))) AS cos
+        FROM bucketed a JOIN bucketed b ON a.vec_id < b.vec_id
+        JOIN vecs va ON va.vec_id = a.vec_id
+        JOIN vecs vb ON vb.vec_id = b.vec_id)
+      SELECT tau,
+             CAST(count(*) AS BIGINT) AS n_true,
+             CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+             CAST(sum(CASE WHEN cmp THEN 1 ELSE 0 END) AS BIGINT) AS n_mp,
+             round(CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 6) AS recall_1,
+             round(CAST(sum(CASE WHEN cmp THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 6) AS recall_mp,
+             round(power(1.0 - acos(tau) / pi(), $Planes), 6) AS theory_1,
+             round(power(1.0 - acos(tau) / pi(), $Planes)
+               + $Planes * power(1.0 - acos(tau) / pi(), ${Planes - 1})
+                 * (1.0 - (1.0 - acos(tau) / pi())), 6) AS theory_mp
       FROM pairs, UNNEST(CAST([0.25, 0.30, 0.35, 0.40] AS DOUBLE[])) t(tau)
       WHERE cos >= tau
       GROUP BY tau"""
