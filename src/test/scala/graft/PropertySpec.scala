@@ -98,6 +98,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MATCH_RECOGNIZE greedy A B+ C with SKIP PAST LAST equals java.util.regex on random strings") {
+    val strGen = Gen.listOfN(30, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val strings = sample(strGen).take(60).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val rows = strings.flatMap { case (pid, s) =>
+      s.zipWithIndex.map { case (ch, pos) => (pid, pos.toLong, ch.toString) }
+    }
+    rows.toDF("pid", "pos", "ch").createOrReplaceTempView("prop_cep")
+    val got = graft.streaming.MatchRecognizeSql.sql(spark, """
+        SELECT * FROM prop_cep MATCH_RECOGNIZE (
+          PARTITION BY pid
+          ORDER BY pos
+          MEASURES FIRST(A.pos) AS m_start, LAST(C.pos) AS m_end
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+ C)
+          DEFINE A AS A.ch = 'a', B AS B.ch = 'b', C AS C.ch = 'c'
+        )""")
+      .select("pid", "m_start", "m_end")
+      .as[(Long, Long, Long)].collect().toSet
+    // independent reference: java.util.regex greedy + non-overlapping
+    // find() IS "greedy quantifier, skip past last row"
+    val want = strings.flatMap { case (pid, s) =>
+      val m = java.util.regex.Pattern.compile("ab+c").matcher(s)
+      Iterator.continually(m.find()).takeWhile(identity)
+        .map(_ => (pid, m.start().toLong, (m.end() - 1).toLong)).toList
+    }.toSet
+    assert(got == want)
+  }
+
   test("withCumSum equals a single-partition running sum on random data") {
     val rows = sample(for {
       k <- Gen.choose(0L, 50L); v <- Gen.choose(1L, 100L)
