@@ -83,15 +83,25 @@ object RelationalOps {
     }),
 
     // Explicit GROUPING SETS via SQL, per-column grouping() flags.
+    // Pre-aggregate on the finest key BEFORE the grouping sets: Catalyst
+    // plans Expand below the aggregate, so sets multiply the FULL input
+    // (3x the fact table at 100 TB). Collapsing to the (flag, status)
+    // key first shrinks the expanded set to |key domain| rows; SUM/COUNT
+    // re-aggregate exactly (decimal sums of sums, sum of counts).
     "q05_grouping_sets" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""
+        WITH pre AS (
+          SELECT l_returnflag, l_linestatus,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+                 count(*) AS c
+          FROM lineitem GROUP BY l_returnflag, l_linestatus)
         SELECT l_returnflag, l_linestatus,
                CAST(grouping(l_returnflag) AS BIGINT) AS ga,
                CAST(grouping(l_linestatus) AS BIGINT) AS gb,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-               count(*) AS n
-        FROM lineitem
+               CAST(sum(s) AS DOUBLE) AS sum_qty,
+               sum(c) AS n
+        FROM pre
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
     }),
 

@@ -150,12 +150,18 @@ object TpcdsSuite {
 
     // ── q67 shape: ROLLUP then rank within category partition ──
     "q98_tpcds67" -> ((s, dir) => {
-      val rolled = t(s, dir, "lineitem")
+      // pre-aggregate on the finest rollup key before Expand (which
+      // otherwise multiplies the full fact join 4x at 100 TB); decimal
+      // sums re-aggregate exactly
+      val pre = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-        .rollup(col("p_type"), col("p_brand"),
-                year(col("o_orderdate")).cast("long").as("yr"))
-        .agg(sum(amt).cast("double").as("sumsales"))
+        .groupBy(col("p_type"), col("p_brand"),
+                 year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum(amt).as("s"))
+      val rolled = pre
+        .rollup(col("p_type"), col("p_brand"), col("yr"))
+        .agg(sum(col("s")).cast("double").as("sumsales"))
       val w = Window.partitionBy(col("p_type"))
         .orderBy(col("sumsales").desc,
                  coalesce(col("p_brand"), lit("")),
@@ -426,15 +432,20 @@ object TpcdsSuite {
 
     // ── q36 shape: margin ROLLUP + rank within grouping level ──
     "q111_tpcds36" -> ((s, dir) => {
-      val rolled = t(s, dir, "lineitem")
+      // pre-aggregate on (r_name, n_name) before the rollup Expand;
+      // the ratio re-derives from exact decimal partial sums
+      val pre = t(s, dir, "lineitem")
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")),
               col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")),
               col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(prof).as("sp"), sum(amt).as("sa"))
+      val rolled = pre
         .rollup(col("r_name"), col("n_name"))
-        .agg((sum(prof).cast("double") / sum(amt).cast("double"))
+        .agg((sum(col("sp")).cast("double") / sum(col("sa")).cast("double"))
                .as("gross_margin"),
              grouping_id().cast("long").as("lochierarchy"))
       val w = Window
