@@ -138,11 +138,17 @@ object TpcdsSuite {
 
     // ── q22 shape: inventory-style ROLLUP + ordered LIMIT ──
     "q97_tpcds22" -> ((s, dir) =>
+      // pre-aggregate on the finest rollup key before Expand (4x the
+      // fact join otherwise); the average re-derives exactly from
+      // (decimal sum, count) partials
       t(s, dir, "lineitem")
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(sum(col("l_quantity").cast(dec)).as("sq"),
+             count(lit(1)).as("cq"))
         .rollup(col("p_brand"), col("p_type"), col("p_size"))
-        .agg((sum(col("l_quantity").cast(dec)).cast("double") /
-               count(lit(1))).as("qoh"))
+        .agg((sum(col("sq")).cast("double") / sum(col("cq")))
+               .as("qoh"))
         .orderBy(col("qoh"), coalesce(col("p_brand"), lit("")),
                  coalesce(col("p_type"), lit("")),
                  coalesce(col("p_size"), lit(-1)))
