@@ -770,10 +770,85 @@ object TpcdsSuite {
           col("web_rev").between(col("avg3") * 0.9, col("avg3") * 1.1))
         .select(col("k_store_rev").as("l_partkey"),
                 col("store_rev"), col("cat_rev"), col("web_rev"))
+    }),
+
+    // ── q39 shape: coefficient-of-variation filter, consecutive-period
+    //    self-join (mean/stddev per (type, day), pair day d with d+1
+    //    where both covs clear the bar). stddev is order-dependent float
+    //    accumulation → compare on the ROUNDED cov in both engines. ──
+    "q145_tpcds39" -> ((s, dir) => {
+      val m = t(s, dir, "events")
+        .groupBy(col("event_type"),
+                 date_trunc("day", col("ts")).cast("date").as("d"))
+        .agg(round(stddev_samp(col("value")) / avg(col("value")), 6)
+               .as("cov"))
+      val b = m.select(col("event_type").as("bt"), col("d").as("bd"),
+                       col("cov").as("cov_next"))
+      m.join(b, col("event_type") === col("bt") &&
+                col("bd") === date_add(col("d"), 1))
+        .filter(col("cov") >= 0.98 && col("cov_next") >= 0.98)
+        .select(col("event_type"), col("d"), col("cov"),
+                col("bd").as("d_next"), col("cov_next"))
+    }),
+
+    // ── q64 shape: two-snapshot chained join — the same (part,
+    //    customer) revenue aggregate materialized for consecutive years
+    //    and self-joined on the compound key where the later year grew.
+    //    Revenue stays DECIMAL through the comparison (exact), double
+    //    only at output. ──
+    "q146_tpcds64" -> ((s, dir) => {
+      val per = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .groupBy(col("l_partkey"), col("o_custkey"),
+                 year(col("o_orderdate")).as("yr"))
+        .agg(sum(amt).as("rev"))
+      val a = per.filter(col("yr") === 1995)
+        .select(col("l_partkey").as("pk"), col("o_custkey").as("ck"),
+                col("rev").as("rev95"))
+      val b = per.filter(col("yr") === 1996)
+        .select(col("l_partkey").as("bpk"), col("o_custkey").as("bck"),
+                col("rev").as("rev96"))
+      a.join(b, col("pk") === col("bpk") && col("ck") === col("bck"))
+        .filter(col("rev96") > col("rev95"))
+        .join(t(s, dir, "part"), col("pk") === col("p_partkey"))
+        .select(col("pk").as("l_partkey"), col("ck").as("o_custkey"),
+                col("p_name"),
+                col("rev95").cast("double").as("rev95"),
+                col("rev96").cast("double").as("rev96"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q145_tpcds39" -> """
+      WITH m AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               round(stddev_samp(value) / avg(value), 6) AS cov
+        FROM events GROUP BY 1, 2)
+      SELECT a.event_type, a.d, a.cov,
+             b.d AS d_next, b.cov AS cov_next
+      FROM m a JOIN m b
+        ON a.event_type = b.event_type AND b.d = a.d + 1
+      WHERE a.cov >= 0.98 AND b.cov >= 0.98""",
+
+    "q146_tpcds64" -> """
+      WITH per AS (
+        SELECT l_partkey, o_custkey, year(o_orderdate) AS yr,
+               sum(CAST(l_extendedprice*(1.0-l_discount)
+                   AS DECIMAL(18,4))) AS rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(o_orderdate) IN (1995, 1996)
+        GROUP BY 1, 2, 3)
+      SELECT a.l_partkey, a.o_custkey, p_name,
+             CAST(a.rev AS DOUBLE) AS rev95,
+             CAST(b.rev AS DOUBLE) AS rev96
+      FROM per a
+      JOIN per b ON a.l_partkey = b.l_partkey
+                AND a.o_custkey = b.o_custkey
+                AND a.yr = 1995 AND b.yr = 1996
+      JOIN part ON a.l_partkey = p_partkey
+      WHERE b.rev > a.rev""",
 
     "q94_tpcds5" -> """
       WITH base AS (
