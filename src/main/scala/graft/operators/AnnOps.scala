@@ -125,15 +125,18 @@ object AnnOps {
     // random-hyperplane LSH — P(collision) = (1 - acos(τ)/π)^Planes.
     // Observed ≈ theory on the fixture (5.5% vs 4.6% at τ=0.3, 6 bits),
     // i.e. the index behaves to spec and the recall knob (Planes/tables/
-    // multi-probe) can be budgeted analytically. The exact all-pairs side
-    // is the measurement baseline you pay on a SAMPLE at 100 TB — the
+    // multi-probe) can be budgeted analytically. The exact side runs on
+    // a DETERMINISTIC 1-in-5 anchor sample (vec_id % 5 — reproducible,
+    // auditable), which is exactly how the measurement is paid for at
+    // 100 TB: all-pairs over a probe sample, never over the corpus; the
     // serving path stays the equi-join.
     "q143_ann_recall" -> ((s, dir) => {
       val taus = Seq(0.25, 0.30, 0.35, 0.40)
       val emb = Tables.table(s, dir, "embeddings")
         .withColumn("bucket", bucketCol("embedding"))
-      val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"),
-                         col("bucket").as("ba"))
+      val a = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("a"), col("embedding").as("ea"),
+                col("bucket").as("ba"))
       val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"),
                          col("bucket").as("bb"))
       a.join(b, col("a") < col("b"))
@@ -166,8 +169,10 @@ object AnnOps {
       val taus = Seq(0.25, 0.30, 0.35, 0.40)
       val emb = Tables.table(s, dir, "embeddings")
         .withColumn("bucket", bucketCol("embedding"))
-      val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"),
-                         col("bucket").as("ba"))
+      // same deterministic 1-in-5 anchor sample as q143
+      val a = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("a"), col("embedding").as("ea"),
+                col("bucket").as("ba"))
       val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"),
                          col("bucket").as("bb"))
       val p = lit(1.0) - acos(col("tau")) / math.Pi
@@ -260,7 +265,8 @@ object AnnOps {
                list_dot_product(va.e, vb.e)
                  / (sqrt(list_dot_product(va.e, va.e))
                     * sqrt(list_dot_product(vb.e, vb.e))) AS cos
-        FROM bucketed a JOIN bucketed b ON a.vec_id < b.vec_id
+        FROM bucketed a JOIN bucketed b
+          ON a.vec_id % 5 = 0 AND a.vec_id < b.vec_id
         JOIN vecs va ON va.vec_id = a.vec_id
         JOIN vecs vb ON vb.vec_id = b.vec_id)
       SELECT tau,
@@ -283,7 +289,8 @@ object AnnOps {
                list_dot_product(va.e, vb.e)
                  / (sqrt(list_dot_product(va.e, va.e))
                     * sqrt(list_dot_product(vb.e, vb.e))) AS cos
-        FROM bucketed a JOIN bucketed b ON a.vec_id < b.vec_id
+        FROM bucketed a JOIN bucketed b
+          ON a.vec_id % 5 = 0 AND a.vec_id < b.vec_id
         JOIN vecs va ON va.vec_id = a.vec_id
         JOIN vecs vb ON vb.vec_id = b.vec_id)
       SELECT tau,

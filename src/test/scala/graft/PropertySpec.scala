@@ -128,6 +128,37 @@ class PropertySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("WinnowFp matches a plain-Scala winnowing reference incl. the non-ASCII path") {
+    val k = 8; val w = 16
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('é', 'λ', '中', 'ß')) // multi-byte UTF-8, BMP
+    val texts = sample(Gen.choose(k, 60)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString)))
+      .take(80).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    def ref(text: String): (Long, String, String) = {
+      val n = text.length - k + 1
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = (0 until n).map { i =>
+        md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString
+      }
+      val wmins = (0 until n).map(j => hs.slice(j, math.min(j + w, n)).min)
+      (wmins.distinct.size.toLong, wmins.min, wmins.max)
+    }
+    val fp = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.plans.WinnowFp(org.apache.spark.sql.graftbridge.Bridge
+        .expression(col("text")), k, w))
+    val gotM = texts.toDF("id", "text")
+      .select(col("id"), fp.as("fp"))
+      .select(col("id"), col("fp.n_fp"), col("fp.fp_min"), col("fp.fp_max"))
+      .as[(Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    texts.foreach { case (id, s) =>
+      assert(gotM(id) == ref(s), s"doc $id '$s'")
+    }
+  }
+
   test("withCumSum equals a single-partition running sum on random data") {
     val rows = sample(for {
       k <- Gen.choose(0L, 50L); v <- Gen.choose(1L, 100L)
