@@ -25,11 +25,13 @@ import org.apache.spark.sql.graftbridge.Bridge
  * the same `GraftFunctions.builders` table.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     functions.GraftFunctions.builders.foreach { case (name, builder) =>
       extensions.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         Bridge.builderFn(name, builder)))
     }
+    extensions.injectOptimizerRule(_ => plans.PreAggregateBeforeExpand)
+  }
 }

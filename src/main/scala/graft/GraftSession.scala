@@ -58,6 +58,13 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     functions.GraftFunctions.registerAll(spark)
+    // partial-aggregation pushdown through Expand (rollup/cube/grouping
+    // sets) — idempotent add; kill switch spark.graft.preaggExpand=false
+    if (!spark.experimental.extraOptimizations
+          .contains(plans.PreAggregateBeforeExpand)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.PreAggregateBeforeExpand
+    }
     spark
   }
 }

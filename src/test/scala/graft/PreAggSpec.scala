@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PreAggregateBeforeExpand: partial aggregation must move below the
+  * grouping-sets Expand exactly when it re-derives exactly, and results
+  * must be bit-identical with the rule on and off. */
+class PreAggSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def lineitem =
+    Tables.table(spark, "/root/testdata/sf0.001", "lineitem")
+
+  /** true iff some Expand in the optimized plan has an Aggregate below it */
+  private def preAggApplied(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case e: Expand => e.child.collectFirst { case a: Aggregate => a }.isDefined
+    }.exists(identity)
+
+  private def withRule[T](on: Boolean)(body: => T): T = {
+    val key = "spark.graft.preaggExpand"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, on.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def collectSorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("rollup of decimal sum + count: rule applies and results are identical") {
+    def q = lineitem.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"),
+           count(lit(1)).as("n"),
+           min(col("l_quantity")).as("mn"),
+           max(col("l_quantity")).as("mx"))
+    val (onPlan, onRows) = withRule(true) { (preAggApplied(q), collectSorted(q)) }
+    val (offPlan, offRows) = withRule(false) { (preAggApplied(q), collectSorted(q)) }
+    assert(onPlan, "rule should insert an Aggregate below Expand")
+    assert(!offPlan, "kill switch should disable the rewrite")
+    assert(onRows == offRows)
+  }
+
+  test("schema is unchanged by the rewrite (sum type cast back)") {
+    def q = lineitem.cube(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
+    val onS = withRule(true)(q.schema)
+    val offS = withRule(false)(q.schema)
+    assert(onS == offS)
+  }
+
+  test("double sum is NOT rewritten (order-dependent accumulation)") {
+    def q = lineitem.rollup(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("s")) // double column
+    withRule(true) { assert(!preAggApplied(q)) }
+  }
+
+  test("distinct aggregate is NOT rewritten") {
+    def q = lineitem.rollup(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("d"))
+    withRule(true) { assert(!preAggApplied(q)) }
+  }
+
+  test("avg is NOT rewritten (not exactly decomposable here)") {
+    def q = lineitem.rollup(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("a"))
+    withRule(true) { assert(!preAggApplied(q)) }
+  }
+
+  test("already-pre-aggregated child is left alone") {
+    def pre = lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
+    def q = pre.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("s")).as("s2"))
+    // child of Expand is the pre-aggregate: the rule must not stack
+    // another partial below it (guard), but the plan still HAS an
+    // aggregate below Expand — assert idempotence by value instead
+    val on = withRule(true)(collectSorted(q))
+    val off = withRule(false)(collectSorted(q))
+    assert(on == off)
+  }
+
+  test("grouping sets over an expression key with mixed aggs stays exact") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    def q = spark.sql("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) AS BIGINT) ga,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) s,
+             count(*) n, min(l_shipdate) mn
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), ())""")
+    val on = withRule(true)(collectSorted(q))
+    val off = withRule(false)(collectSorted(q))
+    assert(on == off)
+  }
+}
