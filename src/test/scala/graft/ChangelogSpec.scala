@@ -348,6 +348,76 @@ class ChangelogSpec extends AnyFunSuite {
     assert(mat == expected)
     assert(mat == Set((1L, 7.0, 1L, 150.0, 1L))) // keys 2,3 must be gone
   }
+
+  test("randomized changelog join: folded output equals the live cross product (seeded)") {
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(20260813L)
+    // random inserts/deletes over 3 keys; deletes always target a live
+    // row (value-carrying retraction, as the protocol requires)
+    def genOps(n: Int): Seq[CRow] = {
+      val live = scala.collection.mutable.Map.empty[(Long, Double), Int]
+        .withDefaultValue(0)
+      (1 to n).map { i =>
+        val key = rnd.nextInt(3).toLong
+        val liveVals = live.collect {
+          case ((k, v), c) if k == key && c > 0 => v
+        }.toSeq.sorted
+        if (liveVals.nonEmpty && rnd.nextInt(100) < 40) {
+          val v = liveVals(rnd.nextInt(liveVals.size))
+          live((key, v)) -= 1
+          CRow(key, "-D", v, i.toLong)
+        } else {
+          val v = (rnd.nextInt(4) + 1).toDouble
+          live((key, v)) += 1
+          CRow(key, "+I", v, i.toLong)
+        }
+      }
+    }
+    def liveMultiset(ops: Seq[CRow]): Map[(Long, Double), Int] =
+      ops.foldLeft(Map.empty[(Long, Double), Int].withDefaultValue(0)) {
+        (m, op) =>
+          m.updated((op.key, op.value),
+            m((op.key, op.value)) + (if (op.kind == "+I") 1 else -1))
+      }.filter(_._2 > 0)
+    val lOps = genOps(40)
+    val rOps = genOps(40)
+
+    val lMem = MemoryStream[CRow]
+    val rMem = MemoryStream[CRow]
+    val out = Changelog.joinChangelog(
+      lMem.toDS().map(c => (c.key, c.kind, LSide(c.value))),
+      rMem.toDS().map(c => (c.key, c.kind, RSide(c.value))))
+    val q = out.writeStream.format("memory").queryName("cl_prop")
+      .outputMode(OutputMode.Append).start()
+    try {
+      lOps.grouped(7).toSeq.zipAll(rOps.grouped(7).toSeq, Seq.empty[CRow],
+          Seq.empty[CRow]).foreach { case (ls, rs) =>
+        if (ls.nonEmpty) lMem.addData(ls: _*)
+        if (rs.nonEmpty) rMem.addData(rs: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // fold the emitted changelog into a pair multiset; it must stay
+    // non-negative at every prefix and land on lLive × rLive per key
+    val events = spark.table("cl_prop")
+      .selectExpr("key", "kind", "left.v", "right.v", "ord")
+      .as[(Long, String, Double, Double, Long)].collect().sortBy(_._5)
+    val mult = scala.collection.mutable.Map
+      .empty[(Long, Double, Double), Int].withDefaultValue(0)
+    events.foreach { case (k, kind, lv, rv, _) =>
+      val delta = if (kind == "+I" || kind == "+U") 1 else -1
+      mult((k, lv, rv)) += delta
+      assert(mult((k, lv, rv)) >= 0, s"negative pair count at ($k,$lv,$rv)")
+    }
+    val lLive = liveMultiset(lOps)
+    val rLive = liveMultiset(rOps)
+    val expected = (for {
+      ((lk, lv), lc) <- lLive.toSeq
+      ((rk, rv), rc) <- rLive.toSeq if rk == lk
+    } yield (lk, lv, rv) -> lc * rc).toMap
+    assert(mult.filter(_._2 != 0).toMap == expected)
+  }
 }
 
 case class LSide(v: Double)
