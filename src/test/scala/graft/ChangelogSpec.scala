@@ -418,6 +418,82 @@ class ChangelogSpec extends AnyFunSuite {
     } yield (lk, lv, rv) -> lc * rc).toMap
     assert(mult.filter(_._2 != 0).toMap == expected)
   }
+
+  test("randomized FULL OUTER changelog join: folded output equals outer-join semantics (seeded)") {
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(813L)
+    def genOps(n: Int): Seq[CRow] = {
+      val live = scala.collection.mutable.Map.empty[(Long, Double), Int]
+        .withDefaultValue(0)
+      (1 to n).map { i =>
+        val key = rnd.nextInt(3).toLong
+        val liveVals = live.collect {
+          case ((k, v), c) if k == key && c > 0 => v
+        }.toSeq.sorted
+        if (liveVals.nonEmpty && rnd.nextInt(100) < 40) {
+          val v = liveVals(rnd.nextInt(liveVals.size))
+          live((key, v)) -= 1
+          CRow(key, "-D", v, i.toLong)
+        } else {
+          val v = (rnd.nextInt(3) + 1).toDouble
+          live((key, v)) += 1
+          CRow(key, "+I", v, i.toLong)
+        }
+      }
+    }
+    def liveMs(ops: Seq[CRow]): Map[(Long, Double), Int] =
+      ops.foldLeft(Map.empty[(Long, Double), Int].withDefaultValue(0)) {
+        (m, op) =>
+          m.updated((op.key, op.value),
+            m((op.key, op.value)) + (if (op.kind == "+I") 1 else -1))
+      }.filter(_._2 > 0)
+    val lOps = genOps(35)
+    val rOps = genOps(35)
+
+    val lMem = MemoryStream[CRow]
+    val rMem = MemoryStream[CRow]
+    val out = Changelog.joinChangelogOuter(
+      lMem.toDS().map(c => (c.key, c.kind, LSide(c.value))),
+      rMem.toDS().map(c => (c.key, c.kind, RSide(c.value))),
+      Changelog.FullOuter)
+    val q = out.writeStream.format("memory").queryName("cl_fprop")
+      .outputMode(OutputMode.Append).start()
+    try {
+      lOps.grouped(6).toSeq.zipAll(rOps.grouped(6).toSeq, Seq.empty[CRow],
+          Seq.empty[CRow]).foreach { case (ls, rs) =>
+        if (ls.nonEmpty) lMem.addData(ls: _*)
+        if (rs.nonEmpty) rMem.addData(rs: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val events = spark.table("cl_fprop")
+      .selectExpr("key", "kind", "left.v", "right.v", "ord")
+      .as[(Long, String, Option[Double], Option[Double], Long)]
+      .collect().sortBy(_._5)
+    val mult = scala.collection.mutable.Map
+      .empty[(Long, Option[Double], Option[Double]), Int].withDefaultValue(0)
+    events.foreach { case (k, kind, lv, rv, _) =>
+      val delta = if (kind == "+I" || kind == "+U") 1 else -1
+      mult((k, lv, rv)) += delta
+      assert(mult((k, lv, rv)) >= 0, s"negative pair count at ($k,$lv,$rv)")
+    }
+    val lLive = liveMs(lOps)
+    val rLive = liveMs(rOps)
+    val keys = (lLive.keySet.map(_._1) ++ rLive.keySet.map(_._1))
+    val expected = keys.flatMap { k =>
+      val ls = lLive.collect { case ((kk, v), c) if kk == k => (v, c) }.toSeq
+      val rs = rLive.collect { case ((kk, v), c) if kk == k => (v, c) }.toSeq
+      if (ls.nonEmpty && rs.nonEmpty)
+        for ((lv, lc) <- ls; (rv, rc) <- rs)
+          yield (k, Some(lv): Option[Double], Some(rv): Option[Double]) -> lc * rc
+      else if (ls.nonEmpty)
+        ls.map { case (lv, lc) => (k, Some(lv): Option[Double], None: Option[Double]) -> lc }
+      else
+        rs.map { case (rv, rc) => (k, None: Option[Double], Some(rv): Option[Double]) -> rc }
+    }.toMap
+    assert(mult.filter(_._2 != 0).toMap == expected)
+  }
 }
 
 case class LSide(v: Double)
