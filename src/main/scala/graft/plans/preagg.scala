@@ -74,9 +74,65 @@ object PreAggregateBeforeExpand extends Rule[LogicalPlan] {
       case _: Count => true
       case _: Min => true
       case _: Max => true
+      // decimal-only: integral/float averages accumulate their sum in
+      // DOUBLE (Average.sumDataType), which is order-dependent
+      case a: Average => a.child.dataType.isInstanceOf[DecimalType]
       case _ => false
     }
   }
+
+  /** Partial aliases for one aggregate call + how to rebuild the final
+    * expression from the re-aggregation of those partials. */
+  private case class Decomp(partials: Seq[Alias],
+                            rebuild: Seq[Attribute] => Expression)
+
+  private def sumOf(attr: Attribute, target: org.apache.spark.sql.types.DataType): Expression = {
+    val re = AggregateExpression(Sum(attr), Complete, isDistinct = false)
+    if (re.dataType == target) re else Cast(re, target)
+  }
+
+  private def decompose(ae: AggregateExpression, i: Int): Option[Decomp] =
+    ae.aggregateFunction match {
+      case s: Sum =>
+        val p = Alias(AggregateExpression(s, Complete, isDistinct = false),
+          s"_graft_partial_${i}_0")()
+        Some(Decomp(Seq(p), { case Seq(a) => sumOf(a, ae.dataType) }))
+      case c: Count =>
+        val p = Alias(AggregateExpression(c, Complete, isDistinct = false),
+          s"_graft_partial_${i}_0")()
+        Some(Decomp(Seq(p), { case Seq(a) => sumOf(a, ae.dataType) }))
+      case m: Min =>
+        val p = Alias(AggregateExpression(m, Complete, isDistinct = false),
+          s"_graft_partial_${i}_0")()
+        Some(Decomp(Seq(p), { case Seq(a) =>
+          AggregateExpression(Min(a), Complete, isDistinct = false) }))
+      case m: Max =>
+        val p = Alias(AggregateExpression(m, Complete, isDistinct = false),
+          s"_graft_partial_${i}_0")()
+        Some(Decomp(Seq(p), { case Seq(a) =>
+          AggregateExpression(Max(a), Complete, isDistinct = false) }))
+      case avg: Average if avg.child.dataType.isInstanceOf[DecimalType] =>
+        // decimal average decomposes to (sum, count) partials; the final
+        // division reuses Spark's OWN Average.evaluateExpression tree
+        // with the internal sum/count buffer attrs substituted by the
+        // re-aggregations — bit-exact by construction
+        val ps = Alias(AggregateExpression(Sum(avg.child), Complete,
+          isDistinct = false), s"_graft_partial_${i}_0")()
+        val pc = Alias(AggregateExpression(Count(avg.child), Complete,
+          isDistinct = false), s"_graft_partial_${i}_1")()
+        Some(Decomp(Seq(ps, pc), { case Seq(sAttr, cAttr) =>
+          val finalSum = sumOf(sAttr, avg.sum.dataType)
+          val finalCount = AggregateExpression(Sum(cAttr), Complete,
+            isDistinct = false) // long, exact
+          avg.evaluateExpression.transform {
+            case r: AttributeReference if r.exprId == avg.sum.exprId =>
+              finalSum
+            case r: AttributeReference if r.exprId == avg.count.exprId =>
+              finalCount
+          }
+        }))
+      case _ => None
+    }
 
   /** Position classes of the Expand output. */
   private def rewrite(
@@ -145,23 +201,17 @@ object PreAggregateBeforeExpand extends Rule[LogicalPlan] {
     // every agg function must read only measure attrs (or literals)
     if (!topAggFns.forall(_.references.subsetOf(measureAttrSet))) return None
 
-    val partials: Seq[(AggregateExpression, Alias, AggregateFunction)] =
+    val decomps: Seq[(AggregateExpression, Decomp)] =
       topAggFns.zipWithIndex.map { case (ae, i) =>
-        val pFn: AggregateFunction = ae.aggregateFunction match {
-          case s: Sum => s
-          case c: Count => c
-          case m: Min => m
-          case m: Max => m
-          case other => return None
+        decompose(ae, i) match {
+          case Some(d) => ae -> d
+          case None => return None
         }
-        val alias = Alias(
-          AggregateExpression(pFn, Complete, isDistinct = false),
-          s"_graft_partial_$i")()
-        (ae, alias, pFn)
       }
+    val partialAliases: Seq[Alias] = decomps.flatMap(_._2.partials)
 
-    val partialAgg = Aggregate(partialKeys, partialKeys ++ partials.map(_._2), child)
-    val partialAttrs: Seq[Attribute] = partials.map(_._2.toAttribute)
+    val partialAgg = Aggregate(partialKeys, partialKeys ++ partialAliases, child)
+    val partialAttrs: Seq[Attribute] = partialAliases.map(_.toAttribute)
 
     // rebuild Expand: keep non-measure positions (original attrs/ids),
     // append the partial columns as passthroughs
@@ -173,24 +223,10 @@ object PreAggregateBeforeExpand extends Rule[LogicalPlan] {
     val newExpand = Expand(newProjections, newOutput, partialAgg)
 
     // final aggregate: replace each agg call with its re-aggregation over
-    // the partial column, cast back to the original result type
+    // its partial columns (result type preserved by each rebuild)
     val replacement: Map[AggregateExpression, Expression] =
-      partials.map { case (ae, alias, _) =>
-        val attr = alias.toAttribute
-        val reAgg: Expression = ae.aggregateFunction match {
-          case _: Count =>
-            AggregateExpression(Sum(attr), Complete, isDistinct = false)
-          case _: Sum =>
-            AggregateExpression(Sum(attr), Complete, isDistinct = false)
-          case _: Min =>
-            AggregateExpression(Min(attr), Complete, isDistinct = false)
-          case _: Max =>
-            AggregateExpression(Max(attr), Complete, isDistinct = false)
-        }
-        val castBack =
-          if (reAgg.dataType == ae.dataType) reAgg
-          else Cast(reAgg, ae.dataType)
-        ae -> castBack
+      decomps.map { case (ae, d) =>
+        ae -> d.rebuild(d.partials.map(_.toAttribute))
       }.toMap
 
     val newAggExprs = agg.aggregateExpressions.map { ne =>

@@ -68,10 +68,23 @@ class PreAggSpec extends AnyFunSuite {
     withRule(true) { assert(!preAggApplied(q)) }
   }
 
-  test("avg is NOT rewritten (not exactly decomposable here)") {
+  test("DOUBLE avg is NOT rewritten (sum buffer accumulates in double)") {
     def q = lineitem.rollup(col("l_returnflag"))
       .agg(avg(col("l_quantity")).as("a"))
     withRule(true) { assert(!preAggApplied(q)) }
+  }
+
+  test("DECIMAL avg IS rewritten via Spark's own evaluateExpression, bit-identical") {
+    def q = lineitem.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(avg(col("l_quantity").cast("decimal(18,2)")).as("a"),
+           sum(col("l_extendedprice").cast("decimal(18,4)")).as("s"))
+    val (onPlan, onRows, onSchema) =
+      withRule(true) { (preAggApplied(q), collectSorted(q), q.schema) }
+    val (offRows, offSchema) =
+      withRule(false) { (collectSorted(q), q.schema) }
+    assert(onPlan, "decimal avg should decompose to sum/count partials")
+    assert(onRows == offRows)
+    assert(onSchema == offSchema)
   }
 
   test("already-pre-aggregated child is left alone") {
