@@ -231,6 +231,35 @@ object PipelineOps {
             / size(col("toks")), 6).as("dup_word_frac"))
     }),
 
+    // Domain-mixture reweighting (the data-mixing step of a pretraining
+    // pipeline): given target per-source weights, derive per-source KEEP
+    // RATES that reshape the token distribution toward the target
+    // without upsampling (global scale pins the max rate at 1.0 —
+    // DoReMi-style renormalization). The per-source table is tiny at any
+    // corpus size, so the three global scalars travel as broadcast
+    // cross joins — no single-partition window anywhere.
+    "q147_domain_mix" -> ((s, dir) => {
+      val tok = Tables.table(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(split(trim(col("text")), "\\s+")).cast("bigint"))
+               .as("n_tokens"))
+        .withColumn("w",
+          (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).cast("double"))
+      val tot = tok.agg(sum(col("n_tokens")).cast("double").as("tot_tokens"),
+                        sum(col("w")).as("tot_w"))
+      val shared = tok.crossJoin(broadcast(tot))
+        .withColumn("cur_share", col("n_tokens") / col("tot_tokens"))
+        .withColumn("tgt_share", col("w") / col("tot_w"))
+        .withColumn("raw", col("tgt_share") / col("cur_share"))
+      val mx = shared.agg(max(col("raw")).as("mx"))
+      shared.crossJoin(broadcast(mx))
+        .select(col("source"), col("n_tokens"),
+          round(col("cur_share"), 6).as("cur_share"),
+          round(col("tgt_share"), 6).as("tgt_share"),
+          round(col("raw") / col("mx"), 6).as("keep_rate"),
+          round(col("n_tokens") * col("raw") / col("mx"), 2).as("est_tokens"))
+    }),
+
     // Sequence packing (concat-and-chunk): documents are laid end-to-end
     // in doc_id order and cut into fixed 2048-token training sequences;
     // each doc reports its global token offset, its sequence id, and
@@ -386,6 +415,29 @@ object PipelineOps {
              round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6)
                AS dup_word_frac
       FROM cnt""",
+
+    "q147_domain_mix" -> """
+      WITH tok AS (
+        SELECT source,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                 AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      x AS (
+        SELECT source, n_tokens,
+               CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS DOUBLE) AS w
+        FROM tok),
+      y AS (
+        SELECT source, n_tokens,
+               n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS cur_share,
+               w / sum(w) OVER () AS tgt_share
+        FROM x),
+      z AS (SELECT *, tgt_share / cur_share AS raw FROM y)
+      SELECT source, n_tokens,
+             round(cur_share, 6) AS cur_share,
+             round(tgt_share, 6) AS tgt_share,
+             round(raw / max(raw) OVER (), 6) AS keep_rate,
+             round(n_tokens * raw / max(raw) OVER (), 2) AS est_tokens
+      FROM z""",
 
     "q142_seq_pack" -> """
       WITH t AS (
