@@ -293,6 +293,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(mismatch.count() == 0)
   }
 
+  test("pipeline composite: file replay → quality gate → near-dup suppress → exactly-once sink survives restart") {
+    import java.nio.file.Files
+    val stage = Files.createTempDirectory("graft_pipe_in").toString
+    val sink = Files.createTempDirectory("graft_pipe_out").toString
+    val ckpt = Files.createTempDirectory("graft_pipe_ck").toString
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("ts", expr(
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"))
+      .select("doc_id", "ts", "text", "lang")
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/b=a")
+    docs.filter(col("doc_id") >= 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/b=b")
+    val schema = spark.read.parquet(s"$stage/b=a").schema
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      df.filter(size(split(trim(col("text")), "\\s+")) >= 5)
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val q = StreamOps.nearDupSuppressWithinWatermark(
+          gate(in), "text", "ts", "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    runOnce() // restart with no new data: exactly-once, no duplicates
+    val got = spark.read.parquet(sink)
+    val sigKey = graft.operators.DedupOps.minhashSigKey("text")
+    val expKeys = gate(docs).select(sigKey.as("k")).distinct()
+    // one survivor per distinct signature among gated docs (all doc
+    // timestamps sit inside one watermark horizon, so dedup is global)
+    assert(got.count() == expKeys.count())
+    val gotKeys = got.select(sigKey.as("k"))
+    assert(gotKeys.distinct().count() == got.count())
+    assert(gotKeys.except(expKeys).isEmpty && expKeys.except(gotKeys).isEmpty)
+  }
+
   test("streaming near-dup suppression drops signature-equal docs within the horizon") {
     implicit val sc = spark.sqlContext
     val base = Timestamp.valueOf("2024-01-01 00:00:00")
