@@ -816,6 +816,29 @@ object TpcdsSuite {
                 col("p_name"),
                 col("rev95").cast("double").as("rev95"),
                 col("rev96").cast("double").as("rev96"))
+    }),
+
+    // ── q72 shape: date-OFFSET join condition (late shipment = shipped
+    //    more than 5 days after order) + LEFT OUTER leg against a
+    //    filtered promo dim, conditional counts per nation×year. The
+    //    equi key carries the join; the date arithmetic rides as the
+    //    residual condition, exactly q72's inventory-date pattern. ──
+    "q148_tpcds72" -> ((s, dir) => {
+      val promo = t(s, dir, "part").filter(col("p_size") < 10)
+        .select(col("p_partkey").as("promo_pk"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 5 DAY"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(promo), col("l_partkey") === col("promo_pk"), "left")
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_late"),
+             count(col("promo_pk")).as("n_promo_late"))
+        .withColumn("promo_frac", round(
+          col("n_promo_late").cast("double") / col("n_late"), 6))
     })
   )
 
@@ -849,6 +872,22 @@ object TpcdsSuite {
                 AND a.yr = 1995 AND b.yr = 1996
       JOIN part ON a.l_partkey = p_partkey
       WHERE b.rev > a.rev""",
+
+    "q148_tpcds72" -> """
+      SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+             count(*) AS n_late,
+             count(p.promo_pk) AS n_promo_late,
+             round(CAST(count(p.promo_pk) AS DOUBLE) / count(*), 6)
+               AS promo_frac
+      FROM lineitem l
+      JOIN orders o ON l_orderkey = o_orderkey
+                   AND l_shipdate > o_orderdate + INTERVAL 5 DAY
+      JOIN supplier s ON l_suppkey = s_suppkey
+      JOIN nation n ON s_nationkey = n_nationkey
+      LEFT JOIN (SELECT p_partkey AS promo_pk FROM part
+                 WHERE p_size < 10) p
+        ON l_partkey = p.promo_pk
+      GROUP BY n_name, CAST(year(o_orderdate) AS INT)""",
 
     "q94_tpcds5" -> """
       WITH base AS (
