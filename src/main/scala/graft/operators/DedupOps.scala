@@ -50,8 +50,21 @@ object DedupOps {
   private def permA(i: Int): Long = 2L * i + 3
   private def permB(i: Int): Long = 1000003L * (i + 1)
 
-  /** MinHash signature per doc: one md5 + NumPerm affine permutations. */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+  /** MinHash signature per doc: one md5 per shingle + NumPerm affine
+    * permutations, computed per ROW by the custom `MinHashSig`
+    * expression — a pure scan projection, NO explode/groupBy exchanges
+    * (they were the signature stage's whole cost; the aggregate dual
+    * lives on in DedupOpsSpec as the independent parity reference). */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"), minhashSigExpr("text").as("sig"))
+      .filter(col("sig").isNotNull) // <3 tokens: no trigram shingles
+      .select(col("doc_id") +:
+        (0 until NumPerm).map(i => col("sig")(i).as(s"m$i")): _*)
+
+  /** The explode+groupBy formulation of the signature — retained as the
+    * independent dual the spec checks `MinHashSig` against bit-for-bit. */
+  def minhashSignaturesAggDual(s: SparkSession, dir: String): DataFrame = {
     val base = shingles(s, dir)
       .withColumn("h31", h60(0, col("sh")).bitwiseAND(lit(0x7FFFFFFFL)))
     base.groupBy("doc_id")
@@ -70,22 +83,13 @@ object DedupOps {
    * bit-identical to the batch signature (asserted in StreamingSpec).
    * Docs with fewer than 3 tokens have no trigram shingles → NULL.
    */
-  def minhashSigExpr(textCol: String): Column = {
-    // single-element `transform(array(x), v -> body)[0]` = let-binding:
-    // tokenize once, md5 each shingle once, then NumPerm affine folds
-    val mins = (0 until NumPerm).map(i =>
-      s"array_min(transform(hs, h -> (h * ${permA(i)} + ${permB(i)}) % $MersenneP))")
-    expr(
-      s"""transform(array(split(trim($textCol), '\\\\s+')), toks ->
-         |  CASE WHEN size(toks) >= 3 THEN
-         |    transform(array(
-         |      transform(array_distinct(transform(sequence(0, size(toks) - 3),
-         |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))),
-         |        x -> CAST(conv(substring(md5(concat('0:', x)), 1, 15), 16, 10) AS BIGINT) & 2147483647)
-         |    ), hs -> array(${mins.mkString(", ")}))[0]
-         |  END
-         |)[0]""".stripMargin)
-  }
+  def minhashSigExpr(textCol: String): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.plans.MinHashSig(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col(textCol)),
+        (0 until NumPerm).map(permA).toArray,
+        (0 until NumPerm).map(permB).toArray,
+        MersenneP))
 
   /** Near-dup dedup key: md5 over the signature; exact-text fallback for
     * sub-shingle docs (NULL signature). */

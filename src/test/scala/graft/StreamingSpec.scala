@@ -280,7 +280,9 @@ class StreamingSpec extends AnyFunSuite {
 
   test("expression-only minhash signature is bit-identical to the batch aggregate") {
     val dir = "/root/testdata/sf0.001"
-    val batch = graft.operators.DedupOps.minhashSignatures(spark, dir)
+    // the explode+groupBy dual is the INDEPENDENT formulation the
+    // MinHashSig expression must reproduce bit-for-bit
+    val batch = graft.operators.DedupOps.minhashSignaturesAggDual(spark, dir)
     val perRow = Tables.table(spark, dir, "documents")
       .select(col("doc_id"),
         graft.operators.DedupOps.minhashSigExpr("text").as("sig"))
