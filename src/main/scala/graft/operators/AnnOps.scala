@@ -58,7 +58,7 @@ object AnnOps {
         org.apache.spark.sql.graftbridge.Bridge.expression(col(embCol)),
         (0 until Dims).map(d => planeComponent(p, d)).toArray))
 
-  /** Bucket id: 16 sign bits of the plane projections. */
+  /** Bucket id: `Planes` sign bits of the plane projections. */
   def bucketCol(embCol: String): Column =
     (0 until Planes)
       .map(p => when(dotPlane(embCol, p) > 0, lit(1L << p)).otherwise(0L))
