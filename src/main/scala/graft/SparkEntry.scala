@@ -24,7 +24,8 @@ object SparkEntry {
       DedupOps.queries ++ AnnOps.queries ++ MultimodalOps.queries ++
       AggOps.queries ++ CepOps.queries ++ GraphQueries.queries ++
       FormatOps.queries ++ MoreOps.queries ++ TpchOps.queries ++
-      TpchSuite.queries ++ TpcdsSuite.queries ++ PipelineOps.queries
+      TpchSuite.queries ++ TpcdsSuite.queries ++ PipelineOps.queries ++
+      SketchOps.queries
     // Ensure the function registry is installed whichever query runs first.
     all.map { case (k, f) =>
       k -> ((s: SparkSession, dir: String) => { GraftSession.init(s); f(s, dir) })
@@ -39,5 +40,6 @@ object SparkEntry {
     DedupOps.oracle ++ AnnOps.oracle ++ MultimodalOps.oracle ++
     AggOps.oracle ++ CepOps.oracle ++ GraphQueries.oracle ++
     FormatOps.oracle ++ MoreOps.oracle ++ TpchOps.oracle ++
-    TpchSuite.oracle ++ TpcdsSuite.oracle ++ PipelineOps.oracle
+    TpchSuite.oracle ++ TpcdsSuite.oracle ++ PipelineOps.oracle ++
+    SketchOps.oracle
 }

@@ -165,6 +165,42 @@ object TextOps {
           col("fp.n_fp").as("n_fp"),
           col("fp.fp_min").as("fp_min"),
           col("fp.fp_max").as("fp_max"))
+    }),
+
+    // Substring-level near-dup pairs via winnowed-fingerprint overlap
+    // (the MOSS pair-scoring step; the substring analogue of q37's
+    // whole-document shingle Jaccard — catches docs sharing long COPIED
+    // SPANS even when the rest of the text differs, which whole-doc
+    // shingle Jaccard dilutes away). Per doc the distinct selected
+    // fingerprints come from ONE WinnowFpSet eval (no per-gram rows);
+    // candidate pairs come from the fingerprint posting-list equi-join
+    // under the same document-frequency cap as q37 — never O(n²) in
+    // documents; containment = shared / min(|A|,|B|) so a short doc
+    // fully contained in a long one still scores 1.
+    "q149_winnow_pairs" -> ((s, dir) => {
+      val fpSet = org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.plans.WinnowFpSet(org.apache.spark.sql.graftbridge.Bridge
+          .expression(col("text")), k = 8, w = 16))
+      val post = Tables.table(s, dir, "documents")
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), explode(fpSet).as("fp"))
+      val keep = post.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= shingleDfCap).select("fp")
+      val capped = post.join(keep, "fp")
+      val cnt = capped.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      capped.as("a")
+        .join(capped.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("shared"))
+        .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
+        .select(col("da"), col("db"), col("shared"),
+          col("ca.n_fp").as("n_a"), col("cb.n_fp").as("n_b"),
+          round(col("shared").cast("double")
+            / least(col("ca.n_fp"), col("cb.n_fp")), 6).as("containment"))
+        .filter(col("shared").cast("double")
+          / least(col("n_a"), col("n_b")) >= 0.5)
     })
   )
 
@@ -258,6 +294,37 @@ object TextOps {
         FROM g)
       SELECT doc_id, count(DISTINCT wmin) AS n_fp,
              min(wmin) AS fp_min, max(wmin) AS fp_max
-      FROM wm GROUP BY doc_id"""
+      FROM wm GROUP BY doc_id""",
+
+    "q149_winnow_pairs" -> s"""
+      WITH g AS (
+        SELECT doc_id, i,
+               substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8) AS h
+        FROM documents,
+             UNNEST(generate_series(1, length(text) - 7)) AS t(i)
+        WHERE length(text) >= 8),
+      wm AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+                 AS wmin
+        FROM g),
+      post AS (SELECT DISTINCT doc_id, wmin AS fp FROM wm),
+      keep AS (SELECT fp FROM post GROUP BY fp
+               HAVING count(*) <= $shingleDfCap),
+      capped AS (SELECT post.doc_id, post.fp FROM post JOIN keep USING (fp)),
+      cnt AS (SELECT doc_id, count(*) AS n_fp FROM capped GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+        FROM capped a JOIN capped b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT da, db, shared, ca.n_fp AS n_a, cb.n_fp AS n_b,
+             round(CAST(shared AS DOUBLE) / least(ca.n_fp, cb.n_fp), 6)
+               AS containment
+      FROM pairs
+      JOIN cnt ca ON da = ca.doc_id
+      JOIN cnt cb ON db = cb.doc_id
+      WHERE CAST(shared AS DOUBLE) / least(ca.n_fp, cb.n_fp) >= 0.5"""
   )
 }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -49,7 +50,62 @@ case class WinnowFp(child: Expression, k: Int, w: Int)
   }
 
   protected override def nullSafeEval(input: Any): Any = {
-    val u = input.asInstanceOf[UTF8String]
+    val sel = Winnow.selectedSorted(input.asInstanceOf[UTF8String], k, w)
+    if (sel == null) return null
+    new GenericInternalRow(Array[Any](
+      sel.length.toLong,
+      UTF8String.fromString(f"${sel(0)}%08x"),
+      UTF8String.fromString(f"${sel(sel.length - 1)}%08x")))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFp =
+    copy(child = newChild)
+}
+
+/**
+ * `winnow_fp_set(text)` — same selection loop as [[WinnowFp]] but
+ * returning the full DISTINCT selected-fingerprint set as a sorted
+ * `array<string>` of 8-hex-char values, for fingerprint-level joins
+ * (shared-substring / MOSS pair scoring). Explode the array to get the
+ * (doc, fingerprint) posting list without ever materializing per-gram
+ * rows: one eval per document, same cost profile as `winnow_fp`.
+ */
+case class WinnowFpSet(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fp_set"
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fp_set requires string, got ${other.catalogString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val sel = Winnow.selectedSorted(input.asInstanceOf[UTF8String], k, w)
+    if (sel == null) return null
+    val out = new Array[AnyRef](sel.length)
+    var i = 0
+    while (i < sel.length) {
+      out(i) = UTF8String.fromString(f"${sel(i)}%08x")
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowFpSet = copy(child = newChild)
+}
+
+private[plans] object Winnow {
+
+  /** Distinct selected winnowing fingerprints of `u` (uint32 of the
+    * first 4 md5 bytes per k-gram, min per w-window), sorted ascending;
+    * null when the text is shorter than one gram. */
+  def selectedSorted(u: UTF8String, k: Int, w: Int): Array[Long] = {
     val nc = u.numChars()
     val n = nc - k + 1
     if (n <= 0) return null
@@ -74,8 +130,6 @@ case class WinnowFp(child: Expression, k: Int, w: Int)
     var head = 0
     var tail = 0 // exclusive
     val seen = new java.util.HashSet[Long]()
-    var minV = Long.MaxValue
-    var maxV = Long.MinValue
     var filled = -1 // last index pushed into the deque
     var j = 0
     while (j < n) {
@@ -88,18 +142,14 @@ case class WinnowFp(child: Expression, k: Int, w: Int)
         tail += 1
       }
       while (deque(head) < j) head += 1
-      val m = hashes(deque(head))
-      seen.add(m)
-      if (m < minV) minV = m
-      if (m > maxV) maxV = m
+      seen.add(hashes(deque(head)))
       j += 1
     }
-    new GenericInternalRow(Array[Any](
-      seen.size.toLong,
-      UTF8String.fromString(f"$minV%08x"),
-      UTF8String.fromString(f"$maxV%08x")))
+    val arr = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { arr(p) = it.next(); p += 1 }
+    java.util.Arrays.sort(arr)
+    arr
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WinnowFp =
-    copy(child = newChild)
 }
