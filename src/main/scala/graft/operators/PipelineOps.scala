@@ -452,8 +452,8 @@ object PipelineOps {
                  AS cum_end
         FROM t)
       SELECT doc_id, n_tokens,
-             cum_end - n_tokens AS "offset",
-             (cum_end - n_tokens) // 2048 AS seq_id,
+             CAST(cum_end - n_tokens AS BIGINT) AS "offset",
+             CAST((cum_end - n_tokens) // 2048 AS BIGINT) AS seq_id,
              CAST((cum_end - n_tokens) // 2048
                <> (cum_end - 1) // 2048 AS INT) AS straddles
       FROM c""",

@@ -839,6 +839,94 @@ object TpcdsSuite {
              count(col("promo_pk")).as("n_promo_late"))
         .withColumn("promo_frac", round(
           col("n_promo_late").cast("double") / col("n_late"), 6))
+    }),
+
+    // ── q95 shape: two-hop fulfillment EXISTS + returns EXISTS ──
+    // TPC-DS 95 counts web orders shipped from ≥2 distinct warehouses
+    // that also appear in web_returns. Mapped: orders whose lines ship
+    // from ≥2 distinct supplier NATIONS (the self-join-on-order-number
+    // hop) and that have ≥1 returned line. Both membership sets reduce
+    // to DISTINCT order-key projections fed to LEFT SEMI joins — at
+    // 100 TB the semi-join sides are order-key sets (narrow), the
+    // distinct-nation count is a partial-aggregated groupBy on the
+    // already-filtered fact, and nothing rescans the fact per subquery.
+    "q155_tpcds95" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val multiNation = li
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("s_nationkey")).as("nn"))
+        .filter(col("nn") >= 2).select(col("ok"))
+      val returned = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("rok")).distinct()
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1995-01-01") &&
+                col("o_orderdate") < ts("1995-07-01"))
+        .join(multiNation, col("o_orderkey") === col("ok"), "left_semi")
+        .join(returned, col("o_orderkey") === col("rok"), "left_semi")
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+             sum(col("o_totalprice").cast(dec)).cast("double")
+               .as("total_price"))
+    }),
+
+    // ── q44 shape: best/worst performer rank join ──
+    // TPC-DS 44 ranks items by average net profit ascending AND
+    // descending and pairs rank n with rank n. Mapped: parts ranked by
+    // average line revenue. The ranked input is the PRE-AGGREGATED part
+    // dim (bounded), and each top-10 is taken with orderBy+limit
+    // (TakeOrderedAndProject) BEFORE the 10-row window assigns ranks —
+    // no global window ever sees more than 10 rows.
+    "q156_tpcds44" -> ((s, dir) => {
+      val perf = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg((sum(amt).cast("double") / count(lit(1))).as("avg_rev"))
+      def top(asc: Boolean) = {
+        val ord = if (asc) Seq(col("avg_rev").asc, col("l_partkey").asc)
+                  else Seq(col("avg_rev").desc, col("l_partkey").asc)
+        perf.orderBy(ord: _*).limit(10)
+          .withColumn("rk", row_number().over(Window.orderBy(ord: _*)))
+      }
+      val worst = top(asc = true)
+        .select(col("rk"), col("l_partkey").as("worst_pk"),
+                col("avg_rev").as("worst_rev"))
+      val best = top(asc = false)
+        .select(col("rk"), col("l_partkey").as("best_pk"),
+                col("avg_rev").as("best_rev"))
+      best.join(worst, "rk")
+        .join(t(s, dir, "part").select(col("p_partkey"),
+          col("p_name").as("best_name")), col("best_pk") === col("p_partkey"))
+        .drop("p_partkey")
+        .join(t(s, dir, "part").select(col("p_partkey"),
+          col("p_name").as("worst_name")), col("worst_pk") === col("p_partkey"))
+        .select(col("rk").cast("long").as("rk"), col("best_name"),
+                col("best_rev"), col("worst_name"), col("worst_rev"))
+    }),
+
+    // ── q1 shape: members above 1.2× their group's average ──
+    // TPC-DS 1 flags customers whose store-return total exceeds 1.2×
+    // the average return total of their store. Mapped: customers whose
+    // RETURNED revenue exceeds 1.2× the average returned revenue of
+    // their supplier nation. The per-group average is computed on the
+    // pre-aggregated (customer, nation) frame and broadcast back — the
+    // correlated scalar subquery of the SQL form costs one tiny join,
+    // not a re-scan per row.
+    "q157_tpcds1" -> ((s, dir) => {
+      val ret = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("o_custkey"), col("n_name"))
+        .agg(sum(amt).cast(dec).as("ctr_dec"))
+      val avgN = ret.groupBy(col("n_name"))
+        .agg((sum(col("ctr_dec")).cast("double") / count(lit(1)))
+          .as("avg_ret"))
+      ret.join(broadcast(avgN), "n_name")
+        .filter(col("ctr_dec").cast("double") > lit(1.2) * col("avg_ret"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+                col("ctr_dec").cast("double").as("ctr_total"))
     })
   )
 
@@ -888,6 +976,66 @@ object TpcdsSuite {
                  WHERE p_size < 10) p
         ON l_partkey = p.promo_pk
       GROUP BY n_name, CAST(year(o_orderdate) AS INT)""",
+
+    "q155_tpcds95" -> """
+      WITH multi AS (
+        SELECT l_orderkey FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY l_orderkey
+        HAVING count(DISTINCT s_nationkey) >= 2),
+      ret AS (SELECT DISTINCT l_orderkey FROM lineitem
+              WHERE l_returnflag = 'R')
+      SELECT count(DISTINCT o_orderkey) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-07-01'
+        AND o_orderkey IN (SELECT l_orderkey FROM multi)
+        AND o_orderkey IN (SELECT l_orderkey FROM ret)""",
+
+    "q156_tpcds44" -> """
+      WITH perf AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_rev
+        FROM lineitem GROUP BY l_partkey),
+      worst AS (
+        SELECT l_partkey AS worst_pk, avg_rev AS worst_rev,
+               row_number() OVER (ORDER BY avg_rev ASC, l_partkey ASC) AS rk
+        FROM perf QUALIFY rk <= 10),
+      best AS (
+        SELECT l_partkey AS best_pk, avg_rev AS best_rev,
+               row_number() OVER (ORDER BY avg_rev DESC, l_partkey ASC) AS rk
+        FROM perf QUALIFY rk <= 10)
+      SELECT CAST(b.rk AS BIGINT) AS rk,
+             pb.p_name AS best_name, b.best_rev,
+             pw.p_name AS worst_name, w.worst_rev
+      FROM best b JOIN worst w ON b.rk = w.rk
+      JOIN part pb ON b.best_pk = pb.p_partkey
+      JOIN part pw ON w.worst_pk = pw.p_partkey""",
+
+    "q157_tpcds1" -> """
+      WITH ret AS (
+        SELECT o_custkey, n_name,
+               sum(CAST(l_extendedprice*(1.0-l_discount)
+                   AS DECIMAL(18,4))) AS ctr_dec
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2),
+      avg_n AS (
+        SELECT n_name,
+               CAST(sum(ctr_dec) AS DOUBLE) / count(*) AS avg_ret
+        FROM ret GROUP BY n_name)
+      SELECT c_custkey, c_name, r.n_name,
+             CAST(r.ctr_dec AS DOUBLE) AS ctr_total
+      FROM ret r
+      JOIN avg_n a ON r.n_name = a.n_name
+      JOIN customer ON r.o_custkey = c_custkey
+      WHERE CAST(r.ctr_dec AS DOUBLE) > 1.2 * a.avg_ret""",
 
     "q94_tpcds5" -> """
       WITH base AS (
