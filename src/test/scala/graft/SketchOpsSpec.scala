@@ -95,6 +95,73 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("HllDistinct aggregator equals the SQL-composed q151 estimate " +
+    "per source (batch == sketch-state path)") {
+    import spark.implicits._
+    val agg = new graft.functions.Sketches.HllDistinct().toColumn
+    val got = Tables.table(spark, dir, "documents")
+      .select(col("source"), col("text")).as[(String, String)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(agg.name("est"))
+      .toDF("source", "est")
+      .withColumn("est", round(col("est"), 4))
+    val exp = run("q151_hll_distinct").select("source", "est")
+    assert(got.count() > 0)
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+  }
+
+  test("CmsSketch aggregator: estimates match q150 for every reported " +
+    "heavy hitter, and merged partial sketches equal the global sketch") {
+    import spark.implicits._
+    val toks = Tables.table(spark, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .as[String]
+    val cells = toks.groupByKey(_ => 0)
+      .agg(new graft.functions.Sketches.CmsSketch().toColumn.name("cells"))
+      .collect().head._2
+    // partition the stream two ways, sketch each half, merge
+    val Array(h1, h2) = toks.randomSplit(Array(0.5, 0.5), seed = 7)
+    def sk(d: org.apache.spark.sql.Dataset[String]) = d.groupByKey(_ => 0)
+      .agg(new graft.functions.Sketches.CmsSketch().toColumn.name("c"))
+      .collect().headOption.map(_._2)
+      .getOrElse(new Array[Long](graft.functions.Sketches.CmsDepth
+        * graft.functions.Sketches.CmsWidth))
+    val merged = new graft.functions.Sketches.CmsSketch().merge(sk(h1), sk(h2))
+    assert(merged.toSeq == cells.toSeq, "sketch merge is lossless")
+    run("q150_cms_heavy").collect().foreach { r =>
+      val est = graft.functions.Sketches.cmsEstimate(
+        cells, r.getAs[String]("token"))
+      assert(est == r.getAs[Long]("est"),
+        s"token=${r.getAs[String]("token")}")
+    }
+  }
+
+  test("streaming HLL: per-source sketch state across micro-batches " +
+    "converges to the batch estimate") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sc = spark.sqlContext
+    val rows = Tables.table(spark, dir, "documents")
+      .select(col("source"), col("text")).as[(String, String)]
+      .collect().toSeq
+    val mem = MemoryStream[(String, String)]
+    val q = mem.toDS().groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.Sketches.HllDistinct().toColumn.name("est"))
+      .toDF("source", "est")
+      .writeStream.format("memory").queryName("s_hll")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      rows.grouped(200).foreach { chunk =>
+        mem.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("s_hll").withColumn("est", round(col("est"), 4))
+    val exp = run("q151_hll_distinct").select("source", "est")
+    assert(got.count() > 0)
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+  }
+
   test("q149 pairs: containment bounded by 1, keys ordered da < db") {
     val rows = run("q149_winnow_pairs").collect()
     rows.foreach { r =>
