@@ -150,6 +150,27 @@ object EventOps {
         .groupBy("event_type")
         .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"),
              min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
+    // Slowly-changing-dimension type-2 build from an update log: per
+    // key, each update becomes a versioned row with a validity interval
+    // [valid_from, valid_to) closed by the NEXT update (lead), open
+    // (NULL) for the current row. The batch dual of materializing an
+    // upsert changelog with history retained (streaming/Changelog.scala
+    // materializes latest-only) — one hash exchange on the key, one
+    // partition-local sort, no self-join.
+    "q160_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .filter(col("event_type") === "view")
+        .withColumn("valid_from", unix_micros(col("ts")))
+        .withColumn("valid_to", unix_micros(lead(col("ts"), 1).over(w)))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("event_id"), col("value"),
+                col("version"), col("valid_from"), col("valid_to"),
+                col("is_current"))
     })
   )
 
@@ -240,6 +261,16 @@ object EventOps {
       FROM (SELECT event_type,
                    CAST(json_extract_string(props, '$.k') AS INT) AS k
             FROM events) x
-      GROUP BY event_type"""
+      GROUP BY event_type""",
+
+    "q160_scd2" -> """
+      SELECT user_id, event_id, value,
+             CAST(row_number() OVER w AS BIGINT) AS version,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from,
+             epoch_us(CAST(lead(ts, 1) OVER w AS TIMESTAMP)) AS valid_to,
+             lead(ts, 1) OVER w IS NULL AS is_current
+      FROM events
+      WHERE event_type = 'view'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
   )
 }

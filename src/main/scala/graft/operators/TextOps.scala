@@ -38,6 +38,9 @@ object TextOps {
    *  the hot-key quadratic blowup of the shingle equi-join at scale. */
   private val shingleDfCap = 500
 
+  /** q149's fingerprint document-frequency cap — see the q149 comment. */
+  private val winnowDfCap = 100
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Quality-scoring statistics per document.
     "q34_text_stats" -> ((s, dir) => {
@@ -172,11 +175,20 @@ object TextOps {
     // whole-document shingle Jaccard — catches docs sharing long COPIED
     // SPANS even when the rest of the text differs, which whole-doc
     // shingle Jaccard dilutes away). Per doc the distinct selected
-    // fingerprints come from ONE WinnowFpSet eval (no per-gram rows);
-    // candidate pairs come from the fingerprint posting-list equi-join
-    // under the same document-frequency cap as q37 — never O(n²) in
+    // fingerprints come from ONE WinnowFpSet eval (no per-gram rows),
+    // CACHED so the three consumers (df filter, per-doc counts, the
+    // self-join's two sides) don't each re-run the md5-per-position
+    // loop; candidate pairs come from the fingerprint posting-list
+    // equi-join under a document-frequency cap — never O(n²) in
     // documents; containment = shared / min(|A|,|B|) so a short doc
     // fully contained in a long one still scores 1.
+    //
+    // winnowDfCap is much tighter than q37's shingle cap: an 8-char
+    // substring ("the and ") recurs across unrelated documents orders
+    // of magnitude more often than a 3-WORD shingle, and every
+    // fingerprint admitted at df=D contributes O(D²) candidate pairs.
+    // Boilerplate grams carry no pair-evidence — dropping them is the
+    // MOSS noise-threshold step, not a loss.
     "q149_winnow_pairs" -> ((s, dir) => {
       val fpSet = org.apache.spark.sql.graftbridge.Bridge.column(
         graft.plans.WinnowFpSet(org.apache.spark.sql.graftbridge.Bridge
@@ -184,8 +196,9 @@ object TextOps {
       val post = Tables.table(s, dir, "documents")
         .filter(length(col("text")) >= 8)
         .select(col("doc_id"), explode(fpSet).as("fp"))
+        .cache()
       val keep = post.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= shingleDfCap).select("fp")
+        .filter(col("df") <= winnowDfCap).select("fp")
       val capped = post.join(keep, "fp")
       val cnt = capped.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
       capped.as("a")
@@ -201,6 +214,49 @@ object TextOps {
             / least(col("ca.n_fp"), col("cb.n_fp")), 6).as("containment"))
         .filter(col("shared").cast("double")
           / least(col("n_a"), col("n_b")) >= 0.5)
+    }),
+
+    // The distributed primitive of BPE tokenizer TRAINING: global
+    // adjacent-symbol pair counts (here: character pairs within words —
+    // exactly the first merge round). One explode + one partial-
+    // aggregated groupBy per round; the top pair becomes the round's
+    // merge, the vocabulary update is a broadcast map, and the next
+    // round re-counts — each round costs one scan + one bounded-key
+    // exchange at any corpus size.
+    "q158_bpe_pairs" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("wd"))
+        .filter(length(col("wd")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(wd) - 1), i -> substring(wd, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(20)
+    }),
+
+    // Unigram surprisal scoring (perplexity proxy without a model): each
+    // token's -ln(count/total) is QUANTIZED to integer millinats once
+    // per DISTINCT token, so the per-document total is an exact integer
+    // sum — order-independent, hence bit-reproducible under any shuffle
+    // (a raw float sum over exploded tokens would depend on partition
+    // order). avg bucket uses integer division on the POSITIVE surprisal
+    // (Spark `div` truncates toward zero, DuckDB `//` floors — they
+    // agree only on non-negatives, which surprisal guarantees).
+    "q159_unigram_logprob" -> ((s, dir) => {
+      val toks = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).as("n_total"))
+      val mlb = vocab.crossJoin(broadcast(total))
+        .select(col("tok"),
+          round(-log(col("cnt").cast("double") / col("n_total")) * 1000)
+            .cast("long").as("mlb"))
+      toks.join(mlb, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("mlb")).as("total_mlb"))
+        .withColumn("avg_mlb", expr("total_mlb div n_tokens"))
     })
   )
 
@@ -311,7 +367,7 @@ object TextOps {
         FROM g),
       post AS (SELECT DISTINCT doc_id, wmin AS fp FROM wm),
       keep AS (SELECT fp FROM post GROUP BY fp
-               HAVING count(*) <= $shingleDfCap),
+               HAVING count(*) <= $winnowDfCap),
       capped AS (SELECT post.doc_id, post.fp FROM post JOIN keep USING (fp)),
       cnt AS (SELECT doc_id, count(*) AS n_fp FROM capped GROUP BY doc_id),
       pairs AS (
@@ -325,6 +381,37 @@ object TextOps {
       FROM pairs
       JOIN cnt ca ON da = ca.doc_id
       JOIN cnt cb ON db = cb.doc_id
-      WHERE CAST(shared AS DOUBLE) / least(ca.n_fp, cb.n_fp) >= 0.5"""
+      WHERE CAST(shared AS DOUBLE) / least(ca.n_fp, cb.n_fp) >= 0.5""",
+
+    "q158_bpe_pairs" -> """
+      WITH w AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS wd
+        FROM documents),
+      p AS (
+        SELECT substr(wd, CAST(i AS INT), 2) AS pair
+        FROM w, UNNEST(generate_series(1, length(wd) - 1)) AS t(i)
+        WHERE length(wd) >= 2)
+      SELECT pair, count(*) AS cnt
+      FROM p GROUP BY pair
+      ORDER BY cnt DESC, pair ASC
+      LIMIT 20""",
+
+    "q159_unigram_logprob" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+      mlb AS (
+        SELECT tok,
+               CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total) * 1000)
+                 AS BIGINT) AS mlb
+        FROM vocab, tot)
+      SELECT t.doc_id, count(*) AS n_tokens,
+             CAST(sum(m.mlb) AS BIGINT) AS total_mlb,
+             CAST(sum(m.mlb) AS BIGINT) // count(*) AS avg_mlb
+      FROM toks t JOIN mlb m ON t.tok = m.tok
+      GROUP BY t.doc_id"""
   )
 }
