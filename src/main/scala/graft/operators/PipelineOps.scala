@@ -282,8 +282,44 @@ object PipelineOps {
           expr(s"offset DIV $seqLen").as("seq_id"),
           (expr(s"offset DIV $seqLen") =!=
             expr(s"(cum_end - 1) DIV $seqLen")).cast("int").as("straddles"))
+    }),
+
+    // Z-order data layout audit: cluster the fact by the Morton
+    // interleave of two join/filter dimensions, cut the sorted stream
+    // into fixed-size "files", and report each file's per-dimension
+    // min/max envelope — the statistics min/max file skipping would use.
+    // Sorting by ONE key bounds one dimension's envelopes; the Z-value
+    // bounds BOTH at once, which is the entire point of Z-order layout
+    // for multi-predicate scans at 100 TB. The global order costs a
+    // range exchange; file ids come from the range-partitioned
+    // cumulative count (no single-task window); the Z-key itself is a
+    // codegen'd expression (plans/zorder.scala) evaluated in the scan
+    // projection.
+    "q161_zorder_layout" -> ((s, dir) => {
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      val base = Tables.table(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(65536)).cast("long").as("x"),
+                pmod(col("l_suppkey"), lit(65536)).cast("long").as("y"))
+      val z = base.withColumn("z", bridge.column(graft.plans.ZOrder16(
+        bridge.expression(col("x")), bridge.expression(col("y")))))
+      GlobalRank.withCumSum(z, Seq(col("z")), lit(1L), outCol = "rn")
+        .withColumn("file_id", expr("(rn - 1) DIV 4096"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n"),
+             min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+             min(col("y")).as("y_min"), max(col("y")).as("y_max"))
     })
   )
+
+  /** DuckDB rendering of ZOrder16: Σᵢ ((x div 2^i) mod 2)·2^(2i) +
+    * ((y div 2^i) mod 2)·2^(2i+1) — div/mod arithmetic (not shifts) so
+    * the same text is valid in both engines' SQL dialects; operands are
+    * non-negative so floor-div (//) and truncating div agree. */
+  private def zorderSql(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"(($x // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+        s"(($y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
     "q129_dup_clusters" -> s"""
@@ -457,6 +493,20 @@ object PipelineOps {
              CAST((cum_end - n_tokens) // 2048
                <> (cum_end - 1) // 2048 AS INT) AS straddles
       FROM c""",
+
+    "q161_zorder_layout" -> s"""
+      WITH b AS (
+        SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+        FROM lineitem),
+      zt AS (SELECT x, y, ${zorderSql("x", "y")} AS z FROM b),
+      f AS (
+        SELECT x, y,
+               (row_number() OVER (ORDER BY z) - 1) // 4096 AS file_id
+        FROM zt)
+      SELECT file_id, count(*) AS n,
+             min(x) AS x_min, max(x) AS x_max,
+             min(y) AS y_min, max(y) AS y_max
+      FROM f GROUP BY file_id""",
 
     "q132_train_select" -> """
       WITH t AS (

@@ -172,4 +172,47 @@ class PropertySpec extends AnyFunSuite {
       .drop(1).toMap
     assert(got == want)
   }
+
+  test("Sketches.h60 equals the SQL conv(substring(md5)) portable hash " +
+    "on random strings incl. unicode") {
+    val str = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '),
+      Gen.const('é'), Gen.const('中'))).map(_.mkString)
+    val rows = sample(str).distinct
+    val df = rows.toDF("s")
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat('hll:', s)), 1, 15), 16, 10) AS BIGINT)"))
+      .collect()
+    df.foreach { r =>
+      val s = r.getAs[String]("s")
+      assert(r.getAs[Long]("h") == graft.functions.Sketches.h60("hll", s),
+        s"h60('$s')")
+    }
+  }
+
+  test("ZOrder16 (codegen path) equals the reference interleave and is " +
+    "monotonic within a quadrant") {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val rows = sample(for {
+      x <- Gen.choose(0L, 65535L); y <- Gen.choose(0L, 65535L)
+    } yield (x, y))
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val got = rows.toDF("x", "y")
+      .withColumn("z", bridge.column(graft.plans.ZOrder16(
+        bridge.expression(col("x")), bridge.expression(col("y")))))
+      .collect()
+    rows.zip(got).foreach { case ((x, y), r) =>
+      assert(r.getAs[Long]("z") == ref(x, y), s"zorder16($x,$y)")
+    }
+    // dominance monotonicity: x1<=x2 ∧ y1<=y2 with same high bytes ⇒ z1<=z2
+    rows.combinations(2).take(2000).foreach {
+      case Seq((x1, y1), (x2, y2)) =>
+        if (x1 <= x2 && y1 <= y2)
+          assert(ref(x1, y1) <= ref(x2, y2) ||
+            !(x1 <= x2 && y1 <= y2), "dominance order preserved")
+      case _ =>
+    }
+  }
 }
