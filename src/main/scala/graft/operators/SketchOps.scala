@@ -71,6 +71,16 @@ object SketchOps {
   // Bottom-k distinct sketch size.
   private val KmvK = 32
 
+  // Histogram-quantile geometry: values are scaled by 2^4 and bucketed
+  // by power of two (bucket = bit-length of the scaled integer), so the
+  // whole per-group state is ≤ ~60 counters no matter how many rows
+  // flow through — the single-pass, mergeable alternative to exact
+  // percentile's full sort at 100 TB.
+  private val HistScale = 16
+
+  // Bottom-k size for the set-operation sketch (q160).
+  private val KmvSetK = 128
+
   private def tokens(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
@@ -228,6 +238,92 @@ object SketchOps {
           sum(when(col("outlier"), 1L).otherwise(0L)).as("n_outliers"),
           round(first(col("a")), 6).as("a"),
           round(first(col("b")), 6).as("b"))
+    }),
+
+    // Histogram quantile estimator per event type: one pass builds
+    // power-of-two bucket counts (bucket = bit-length of the 2^4-scaled
+    // integer value — pure integer logic, identical in both engines),
+    // quantiles read off the cumulative histogram as the bucket upper
+    // bound. State is ≤ ~60 counters per group — mergeable across
+    // partitions, days, or micro-batches — vs exact percentile's full
+    // per-group sort; the exact p50/p90/p99 ride along to show the
+    // estimate lands within its bucket guarantee (upper bound ≤ 2× the
+    // true value at this scale factor of 2).
+    "q159_hist_quantile" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+      val buck = ev
+        .select(col("event_type"),
+          (floor(col("value") * HistScale).cast("long") + 1).as("n"))
+        .withColumn("bucket", length(expr("bin(n)")).cast("long"))
+        .groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wtot = Window.partitionBy("event_type")
+      val cum = buck
+        .withColumn("cum", sum(col("c")).over(wcum))
+        .withColumn("total", sum(col("c")).over(wtot))
+      // cum is monotone in bucket, so "smallest bucket with
+      // cum ≥ ⌈q·total⌉" is a conditional MIN; cum*100 ≥ total*q keeps
+      // the threshold in exact integers.
+      def bq(q: Int): Column =
+        min(when(col("cum") * 100 >= col("total") * q, col("bucket")))
+      def est(b: Column): Column =
+        (pow(lit(2.0), b) - lit(1.0)) / lit(HistScale.toDouble)
+      val ests = cum.groupBy("event_type").agg(
+        count(lit(1)).as("n_buckets"),
+        bq(50).as("b50"), bq(90).as("b90"), bq(99).as("b99"))
+      val exact = ev.groupBy("event_type").agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      ests.join(exact, "event_type")
+        .select(col("event_type"), col("n_buckets"),
+          est(col("b50")).as("p50_est"), est(col("b90")).as("p90_est"),
+          est(col("b99")).as("p99_est"),
+          col("p50"), col("p90"), col("p99"))
+    }),
+
+    // KMV set-operation estimates (Theta-sketch style) between two
+    // sources' trigram-shingle sets: one bottom-k sketch of the UNION's
+    // distinct hashes; each retained hash's membership in A/B gives the
+    // Jaccard estimate, |A∪B| comes from the k-th smallest hash, and
+    // |A∩B| = jaccard · union. Exact counts ride along. At 100 TB each
+    // side's sketch is k hashes (WindowGroupLimit-style partial top-k
+    // per partition, TakeOrderedAndProject global) — set algebra over
+    // corpora without ever joining them.
+    "q160_kmv_setops" -> ((s, dir) => {
+      val sh = Tables.table(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("source"),
+          explode(array_distinct(expr(
+            "transform(sequence(0, size(toks) - 3), i -> " +
+            "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("sh"))
+        .distinct()
+      val ex = sh.groupBy("sh").agg(countDistinct(col("source")).as("ns"))
+        .agg(count(lit(1)).as("union_exact"),
+             sum(when(col("ns") === 2, 1L).otherwise(0L)).as("inter_exact"))
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n")).agg(
+        max(when(col("source") === "src0", col("n"))).as("n_a"),
+        max(when(col("source") === "src1", col("n"))).as("n_b"))
+      val hashes = sh.select(col("source"), h60("kmvset", col("sh")).as("h"))
+      val kk = hashes.select("h").distinct().orderBy("h").limit(KmvSetK)
+      val sk = kk.agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+      val both = kk.join(hashes, "h").groupBy("h")
+        .agg(countDistinct(col("source")).as("ns"))
+        .agg(sum(when(col("ns") === 2, 1L).otherwise(0L)).as("c_both"))
+      sizes.crossJoin(broadcast(ex)).crossJoin(broadcast(sk))
+        .crossJoin(broadcast(both))
+        .withColumn("union_est",
+          when(col("n_kept") < KmvSetK, col("union_exact").cast("double"))
+            .otherwise(lit((KmvSetK - 1).toDouble) * expr("power(2, 60)")
+              / col("hk")))
+        .withColumn("jacc_est", col("c_both").cast("double") / col("n_kept"))
+        .withColumn("inter_est", col("jacc_est") * col("union_est"))
+        .select(col("n_a"), col("n_b"), col("union_exact"),
+          col("inter_exact"), col("n_kept"), col("union_est"),
+          col("jacc_est"), col("inter_est"))
     })
   )
 
@@ -350,6 +446,77 @@ object SketchOps {
       SELECT lang, count(*) AS n_docs,
              CAST(sum(outlier) AS BIGINT) AS n_outliers,
              round(any_value(a), 6) AS a, round(any_value(b), 6) AS b
-      FROM scored GROUP BY lang"""
+      FROM scored GROUP BY lang""",
+
+    "q159_hist_quantile" -> s"""
+      WITH e AS (
+        SELECT event_type, value,
+               CAST(floor(value * $HistScale) AS BIGINT) + 1 AS n
+        FROM events),
+      b AS (
+        SELECT event_type, CAST(length(bin(n)) AS BIGINT) AS bucket,
+               count(*) AS c
+        FROM e GROUP BY 1, 2),
+      c AS (
+        SELECT event_type, bucket, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS total
+        FROM b),
+      ests AS (
+        SELECT event_type, count(*) AS n_buckets,
+               min(CASE WHEN cum * 100 >= total * 50 THEN bucket END) AS b50,
+               min(CASE WHEN cum * 100 >= total * 90 THEN bucket END) AS b90,
+               min(CASE WHEN cum * 100 >= total * 99 THEN bucket END) AS b99
+        FROM c GROUP BY 1),
+      exact AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY 1)
+      SELECT s.event_type, s.n_buckets,
+             (power(2, s.b50) - 1.0) / ${HistScale.toDouble} AS p50_est,
+             (power(2, s.b90) - 1.0) / ${HistScale.toDouble} AS p90_est,
+             (power(2, s.b99) - 1.0) / ${HistScale.toDouble} AS p99_est,
+             x.p50, x.p90, x.p99
+      FROM ests s JOIN exact x ON s.event_type = x.event_type""",
+
+    "q160_kmv_setops" -> s"""
+      WITH toks AS (
+        SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents WHERE source IN ('src0', 'src1')),
+      sh AS (
+        SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+        WHERE len(t) >= 3),
+      ex AS (
+        SELECT count(*) AS union_exact,
+               CAST(sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS inter_exact
+        FROM (SELECT sh, count(DISTINCT source) AS ns FROM sh GROUP BY sh)),
+      sz AS (
+        SELECT max(CASE WHEN source = 'src0' THEN n END) AS n_a,
+               max(CASE WHEN source = 'src1' THEN n END) AS n_b
+        FROM (SELECT source, count(*) AS n FROM sh GROUP BY source)),
+      h AS (SELECT source, ${h60Sql("kmvset", "sh")} AS h FROM sh),
+      kk AS (SELECT DISTINCT h FROM h ORDER BY h LIMIT $KmvSetK),
+      sk AS (SELECT count(*) AS n_kept, max(h) AS hk FROM kk),
+      cb AS (
+        SELECT CAST(sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c_both
+        FROM (SELECT kk.h, count(DISTINCT source) AS ns
+              FROM kk JOIN h ON kk.h = h.h GROUP BY kk.h))
+      SELECT sz.n_a, sz.n_b, ex.union_exact, ex.inter_exact, sk.n_kept,
+             CASE WHEN sk.n_kept < $KmvSetK
+                  THEN CAST(ex.union_exact AS DOUBLE)
+                  ELSE ${(KmvSetK - 1).toDouble} * power(2, 60) / sk.hk
+             END AS union_est,
+             CAST(cb.c_both AS DOUBLE) / sk.n_kept AS jacc_est,
+             (CAST(cb.c_both AS DOUBLE) / sk.n_kept)
+               * (CASE WHEN sk.n_kept < $KmvSetK
+                       THEN CAST(ex.union_exact AS DOUBLE)
+                       ELSE ${(KmvSetK - 1).toDouble} * power(2, 60) / sk.hk
+                  END) AS inter_est
+      FROM sz, ex, sk, cb"""
   )
 }

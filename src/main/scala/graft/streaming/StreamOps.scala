@@ -67,19 +67,25 @@ object StreamOps {
   /**
    * Stream-stream interval join (TimeBoundedStreamJoin analogue): rows
    * join when `right.ts ∈ [left.ts + lower, left.ts + upper]` on the key.
-   * Both sides need watermarks so state is pruned.
+   * Both sides need watermarks so state is pruned. `joinType` extends to
+   * the outer variants (Flink SQL's LEFT/RIGHT/FULL OUTER interval
+   * joins): the unmatched side null-pads once the watermark passes the
+   * row's join horizon — same state bound as the inner form, emission
+   * is just deferred to horizon close.
    */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTs: String, rightTs: String,
                    lower: String, upper: String,
-                   disorder: String): DataFrame = {
+                   disorder: String,
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, disorder)
     val r = right.withWatermark(rightTs, disorder)
     l.join(r,
       col(leftKey) === col(rightKey) &&
       col(rightTs) >= col(leftTs) + expr(s"INTERVAL $lower") &&
-      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upper"))
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upper"),
+      joinType)
   }
 
   /** Streaming dedup keep-first (DeduplicateKeepFirstRowFunction

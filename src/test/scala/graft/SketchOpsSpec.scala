@@ -172,4 +172,55 @@ class SketchOpsSpec extends AnyFunSuite {
         math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
     }
   }
+
+  test("hist quantile: estimate is the containing bucket's upper bound of " +
+    "the ceil-rank order statistic — within [v - 1/16, 2v + 2/16]") {
+    // the histogram's rank convention is "smallest bucket with
+    // cum ≥ ⌈q·n⌉" — compare against the order statistic at that SAME
+    // rank (quantile_cont's (n−1)·q interpolation can sit a row lower,
+    // which in a heavy tail is a different value)
+    val byType = Tables.table(spark, dir, "events")
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(_.getDouble(1)).sorted }
+    val rows = run("q159_hist_quantile").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vals = byType(r.getAs[String]("event_type"))
+      Seq(50, 90, 99).foreach { q =>
+        val est = r.getAs[Double](s"p${q}_est")
+        val rank = math.ceil(q * vals.length / 100.0).toInt max 1
+        val v = vals(rank - 1)
+        // v lands in the bucket [2^(b-1), 2^b) of n = floor(16v)+1, and
+        // est = (2^b − 1)/16 ⇒ est ≥ v − 1/16 and est ≤ 2v + 2/16
+        assert(est >= v - 0.0626, s"p$q est=$est below rank-exact=$v")
+        assert(est <= 2 * v + 0.126, s"p$q est=$est above 2x rank-exact=$v")
+      }
+      // constant state: power-of-two buckets over values ≤ ~500 means
+      // ≤ 14 counters per group no matter the row count
+      assert(r.getAs[Long]("n_buckets") <= 14)
+    }
+  }
+
+  test("kmv set ops: jaccard and union estimates land within 3 standard " +
+    "errors of exact; intersection = jaccard x union by construction") {
+    val r = run("q160_kmv_setops").collect().head
+    val unionExact = r.getAs[Long]("union_exact").toDouble
+    val interExact = r.getAs[Long]("inter_exact").toDouble
+    val jaccExact = interExact / unionExact
+    val k = r.getAs[Long]("n_kept").toDouble
+    assert(k > 0)
+    val jaccEst = r.getAs[Double]("jacc_est")
+    val unionEst = r.getAs[Double]("union_est")
+    // Jaccard: binomial over k retained hashes
+    val sigJ = math.sqrt(jaccExact * (1 - jaccExact) / k) max 0.005
+    assert(math.abs(jaccEst - jaccExact) <= 3 * sigJ + 1.0 / k,
+      s"jacc est=$jaccEst exact=$jaccExact")
+    // Union: KMV relative error ~ 1/sqrt(k-1)
+    assert(math.abs(unionEst - unionExact) / unionExact
+             <= 3.0 / math.sqrt(k - 1),
+      s"union est=$unionEst exact=$unionExact")
+    assert(math.abs(r.getAs[Double]("inter_est") - jaccEst * unionEst)
+             <= 1e-9)
+  }
 }
