@@ -144,6 +144,21 @@ object GraftFunctions {
   }
 
   /** Install SQL-facing names on a session (idempotent). */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     builders.foreach { case (name, b) => Bridge.register(spark, name)(b) }
+    // Mergeable sketches as SQL aggregate functions (the reference's
+    // AggregateFunction registration surface, SURVEY §2.11): the typed
+    // Aggregators in Sketches become `hll_distinct(col)` /
+    // `cms_sketch(col)` in SQL — partial-aggregated map-side, merged at
+    // the exchange, usable in streaming update mode as incremental
+    // per-group sketch state. `cms_estimate(cells, tok)` reads a built
+    // sketch; probe-side only (runs over the bounded candidate set, not
+    // the stream).
+    spark.udf.register("hll_distinct",
+      udaf(new Sketches.HllDistinct, org.apache.spark.sql.Encoders.STRING))
+    spark.udf.register("cms_sketch",
+      udaf(new Sketches.CmsSketch, org.apache.spark.sql.Encoders.STRING))
+    spark.udf.register("cms_estimate",
+      (cells: Seq[Long], tok: String) => Sketches.cmsEstimate(cells.toArray, tok))
+  }
 }

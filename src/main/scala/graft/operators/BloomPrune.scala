@@ -20,7 +20,7 @@ import graft.Tables
  * This implementation keeps everything deterministic and
  * codegen-friendly:
  *  - the filter is m = 2^16 bits (1 KiB·8 = 8 KiB as 1024 longs) with
- *    k = 4 md5-derived hash slots per key — portable across engines and
+ *    k = 4 xxhash64-derived hash slots per key — deterministic across
  *    runs, independent of corpus size;
  *  - the BUILD collects only DISTINCT SLOT indexes (≤ min(4·|keys|, m)
  *    ints — bounded by m = 65536 regardless of corpus), never the keys;
@@ -44,11 +44,13 @@ object BloomPrune {
   /** Hash functions per key. */
   val K: Int = 4
 
-  /** Portable 60-bit hash of a key under seed i (same md5 construction
-    * as DedupOps/SketchOps), then a slot in [0, M). */
+  /** Slot of `key` under hash i: xxhash64 with the index as a leading
+    * mix-in field. Unlike the sketch family there is no cross-engine
+    * portability requirement here (the oracle is the PLAIN join, the
+    * filter never changes results), so the hash can be the fast native
+    * one — 4 xxhash64 calls per probe row instead of 4 md5s. */
   private def slot(i: Int, key: Column): Column =
-    pmod(conv(substring(md5(concat(lit(s"bloom$i:"),
-      key.cast("string"))), 1, 15), 16, 10).cast("long"), lit(M.toLong))
+    pmod(xxhash64(lit(i), key), lit(M.toLong))
 
   /** BUILD: distinct slot indexes of the dim keys, folded into the
     * bit-set on the driver. The collect is bounded by M ints. */
@@ -89,7 +91,7 @@ object BloomPrune {
     // qualifying supplier keys build the Bloom filter; lineitem is
     // pruned in its scan projection before the (broadcast) join. The
     // oracle is the PLAIN join — no-false-negatives makes them equal.
-    "q158_bloom_join" -> ((s, dir) => {
+    "q162_bloom_join" -> ((s, dir) => {
       val li = Tables.table(s, dir, "lineitem")
       val supp = Tables.table(s, dir, "supplier")
       val nat = Tables.table(s, dir, "nation")
@@ -106,7 +108,7 @@ object BloomPrune {
   )
 
   val oracle: Map[String, String] = Map(
-    "q158_bloom_join" -> """
+    "q162_bloom_join" -> """
       SELECT s.s_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
                AS revenue,
              count(*) AS n_items

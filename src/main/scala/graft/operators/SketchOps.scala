@@ -78,7 +78,7 @@ object SketchOps {
   // percentile's full sort at 100 TB.
   private val HistScale = 16
 
-  // Bottom-k size for the set-operation sketch (q160).
+  // Bottom-k size for the set-operation sketch (q164).
   private val KmvSetK = 128
 
   private def tokens(s: SparkSession, dir: String): DataFrame =
@@ -249,7 +249,7 @@ object SketchOps {
     // per-group sort; the exact p50/p90/p99 ride along to show the
     // estimate lands within its bucket guarantee (upper bound ≤ 2× the
     // true value at this scale factor of 2).
-    "q159_hist_quantile" -> ((s, dir) => {
+    "q163_hist_quantile" -> ((s, dir) => {
       val ev = Tables.table(s, dir, "events")
       val buck = ev
         .select(col("event_type"),
@@ -291,7 +291,7 @@ object SketchOps {
     // side's sketch is k hashes (WindowGroupLimit-style partial top-k
     // per partition, TakeOrderedAndProject global) — set algebra over
     // corpora without ever joining them.
-    "q160_kmv_setops" -> ((s, dir) => {
+    "q164_kmv_setops" -> ((s, dir) => {
       val sh = Tables.table(s, dir, "documents")
         .filter(col("source").isin("src0", "src1"))
         .withColumn("toks", split(trim(col("text")), "\\s+"))
@@ -448,7 +448,7 @@ object SketchOps {
              round(any_value(a), 6) AS a, round(any_value(b), 6) AS b
       FROM scored GROUP BY lang""",
 
-    "q159_hist_quantile" -> s"""
+    "q163_hist_quantile" -> s"""
       WITH e AS (
         SELECT event_type, value,
                CAST(floor(value * $HistScale) AS BIGINT) + 1 AS n
@@ -481,7 +481,7 @@ object SketchOps {
              x.p50, x.p90, x.p99
       FROM ests s JOIN exact x ON s.event_type = x.event_type""",
 
-    "q160_kmv_setops" -> s"""
+    "q164_kmv_setops" -> s"""
       WITH toks AS (
         SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
         FROM documents WHERE source IN ('src0', 'src1')),

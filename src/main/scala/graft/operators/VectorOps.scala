@@ -26,6 +26,38 @@ object VectorOps {
    *  K-row driver collect and the plan literal stay O(K) at any scale. */
   private val ivfK = 40
 
+  /** Deterministic fixed-K coarse quantizer shared by q85 (ANN) and
+    * q161 (semantic dedup): centroids are the K rows with the smallest
+    * md5(vec_id) — reproducible, corpus-size-independent — and each
+    * `corpus` row is assigned its nearest centroid as a SHUFFLE-FREE
+    * argmax projection (the centroid table folded into one array
+    * literal; array_max over struct(cos, -cid) = max cos, ties to the
+    * smaller cid). Returns (corpus + cid, broadcastable centroid DF). */
+  private def ivfAssign(emb: DataFrame, corpus: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val centSel = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(ivfK)
+    val centRows = centSel
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+    // one Literal node holding the whole K-row centroid table (NOT a
+    // per-element expression tree) — constant-folded into codegen
+    val centsArr = typedLit(centRows)
+      .cast("array<struct<cid:bigint,cent:array<float>>>")
+    val cents = broadcast(centSel
+      .select(col("vec_id").as("cid"), col("embedding").as("cent")))
+    val assigned = corpus
+      .withColumn("cents", centsArr)
+      .withColumn("best", expr(
+        "array_max(transform(cents, c -> struct(cosine_sim(embedding, c.cent) AS cos, -c.cid AS ncid)))"))
+      .drop("cents")
+      .withColumn("cid", -col("best.ncid"))
+      .drop("best")
+    (assigned, cents)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 neighbors for each of the first 10 vectors.
     "q38_cosine_topk" -> ((s, dir) => {
@@ -66,28 +98,12 @@ object VectorOps {
     "q85_ann_ivf" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
       val cos = graft.functions.GraftFunctions.cosineSim _
-      val centSel = emb
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(ivfK)
-      val centRows = centSel
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getAs[Number](0).longValue(), r.getSeq[Float](1)))
-        .sortBy(_._1).toSeq
-      // one Literal node holding the whole K-row centroid table (NOT a
-      // per-element expression tree) — constant-folded into codegen
-      val centsArr = typedLit(centRows)
-        .cast("array<struct<cid:bigint,cent:array<float>>>")
-      val cents = broadcast(centSel
-        .select(col("vec_id").as("cid"), col("embedding").as("cent")))
-      // nearest centroid per corpus vector, as a projection: array_max
-      // over struct<cos,ncid> is lexicographic — max cos, ties to the
-      // larger -cid = SMALLER cid, matching ORDER BY cos DESC, cid
-      val assigned = emb.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
-        .withColumn("cents", centsArr)
-        .withColumn("best", expr(
-          "array_max(transform(cents, c -> struct(cosine_sim(c_emb, c.cent) AS cos, -c.cid AS ncid)))"))
-        .select(col("cand_id"), col("c_emb"), (-col("best.ncid")).as("cid"))
+      val (assigned0, cents) = ivfAssign(emb,
+        emb.filter(col("vec_id") >= 10)
+          .select(col("vec_id"), col("embedding")))
+      val assigned = assigned0
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+                col("cid"))
       // each query probes its nprobe nearest centroids
       val wProbe = Window.partitionBy("q_id")
         .orderBy(col("p_cos").desc, col("cid"))
@@ -106,6 +122,31 @@ object VectorOps {
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("cand_id"), col("rnk"),
                 round(col("cos"), 6).as("sim"))
+    }),
+
+    // Semantic dedup (SemDeDup, Abbas et al. 2023): candidates = same
+    // IVF cell (the coarse quantizer doubles as the blocking key), exact
+    // cosine inside the cell, min-id representative kept — the
+    // embedding-space dual of the LSH-bucketed q114. 100 TB: the corpus
+    // shuffles ONCE (by cid); per-cell pair work is (corpus/K)² per
+    // cell, tuned by K; output shape matches q114 so the two blocking
+    // strategies are directly comparable.
+    "q165_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      val (assigned, _) = ivfAssign(emb,
+        emb.select(col("vec_id"), col("embedding")))
+      val a = assigned.select(col("cid"), col("vec_id").as("a"),
+                              col("embedding").as("ea"))
+      val b = assigned.select(col("cid").as("cid_b"), col("vec_id").as("b"),
+                              col("embedding").as("eb"))
+      a.join(b, col("cid") === col("cid_b") && col("a") < col("b"))
+        .withColumn("cos",
+          graft.functions.GraftFunctions.cosineSim(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.3)
+        .groupBy(col("b").as("vec_id"))
+        .agg(min(col("a")).as("dup_of"),
+             count(lit(1)).as("n_dups"),
+             round(max(col("cos")), 6).as("sim"))
     })
   )
 
@@ -167,6 +208,32 @@ object VectorOps {
                  DESC, cand_id) AS rnk
         FROM probes JOIN assigned USING (cid))
       SELECT q_id, cand_id, CAST(rnk AS INT) AS rnk, round(cos, 6) AS sim
-      FROM ranked WHERE rnk <= 5"""
+      FROM ranked WHERE rnk <= 5""",
+
+    "q165_semantic_dedup" -> s"""
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cent
+        FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT $ivfK),
+      assigned AS (
+        SELECT vec_id, ve, cid FROM (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS ve, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.embedding::DOUBLE[], c.cent)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(c.cent, c.cent))) DESC,
+                   c.cid) AS arn
+          FROM embeddings e CROSS JOIN cents c) x
+        WHERE arn = 1),
+      pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               list_dot_product(a.ve, b.ve)
+                 / (sqrt(list_dot_product(a.ve, a.ve))
+                    * sqrt(list_dot_product(b.ve, b.ve))) AS cos
+        FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id)
+      SELECT b AS vec_id, min(a) AS dup_of, count(*) AS n_dups,
+             round(max(cos), 6) AS sim
+      FROM pairs WHERE cos >= 0.3 GROUP BY b"""
   )
 }

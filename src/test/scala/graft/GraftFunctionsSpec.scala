@@ -148,4 +148,32 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(Literal("a.b.c"), Literal("."), Literal(1)))
     assert(sx != null)
   }
+
+  test("sketch aggregators are SQL-callable: hll_distinct via spark.sql " +
+    "equals the typed-Aggregator column path") {
+    import org.apache.spark.sql.functions._
+    Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .createOrReplaceTempView("gf_docs")
+    val sqlRes = spark.sql(
+      "SELECT source, round(hll_distinct(text), 4) AS est " +
+      "FROM gf_docs GROUP BY source")
+    import spark.implicits._
+    val agg = new graft.functions.Sketches.HllDistinct().toColumn
+    val colRes = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), col("text")).as[(String, String)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(agg.name("est")).toDF("source", "est")
+      .withColumn("est", round(col("est"), 4))
+    assert(sqlRes.count() > 0)
+    assert(sqlRes.except(colRes).isEmpty && colRes.except(sqlRes).isEmpty)
+    // cms end-to-end in SQL: build the sketch, probe one token
+    val cms = spark.sql(
+      "SELECT cms_estimate(cms_sketch(w), 'the') AS est FROM " +
+      "(SELECT explode(split(trim(text), '\\\\s+')) AS w FROM gf_docs)")
+      .collect().head.getLong(0)
+    val trueCnt = spark.sql(
+      "SELECT count(*) FROM (SELECT explode(split(trim(text), '\\\\s+')) " +
+      "AS w FROM gf_docs) WHERE w = 'the'").collect().head.getLong(0)
+    assert(cms >= trueCnt, s"CMS one-sided error violated: $cms < $trueCnt")
+  }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LayoutOps
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("clustered write: bounded file sizes and pairwise non-overlapping " +
+    "key envelopes (min/max pruning actually works)") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-layout").toString + "/orders"
+    val orders = Tables.table(spark, dir, "orders")
+    val n = orders.count()
+    val target = 200L
+    LayoutOps.writeClustered(orders, out, Seq(col("o_orderkey")), target)
+
+    val env = LayoutOps.envelopes(spark, out, "o_orderkey")
+      .orderBy(col("lo")).collect()
+    // file count near ceil(n/target); every file within the record cap
+    assert(env.length >= (n / target).toInt)
+    assert(env.forall(_.getAs[Long]("rows") <= target))
+    // round-trip completeness
+    assert(spark.read.parquet(out).count() == n)
+    // disjoint envelopes: each file's hi below the next file's lo
+    env.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"),
+          s"overlap: ${a.getAs[String]("file")} and ${b.getAs[String]("file")}")
+      case _ =>
+    }
+  }
+
+  test("compact: many small files collapse to the target layout") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact")
+    val frag = tmp.toString + "/frag"
+    val packed = tmp.toString + "/packed"
+    val orders = Tables.table(spark, dir, "orders")
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    assert(LayoutOps.envelopes(spark, frag, "o_orderkey").count() >= 32)
+    LayoutOps.compact(spark, frag, packed, Seq(col("o_orderkey")), 500L)
+    val env = LayoutOps.envelopes(spark, packed, "o_orderkey").collect()
+    assert(env.length <= (orders.count() / 500 + 1).toInt)
+    assert(spark.read.parquet(packed).count() == orders.count())
+  }
+}

@@ -183,7 +183,7 @@ class SketchOpsSpec extends AnyFunSuite {
       .select(col("event_type"), col("value")).collect()
       .groupBy(_.getString(0)).map { case (t, rs) =>
         t -> rs.map(_.getDouble(1)).sorted }
-    val rows = run("q159_hist_quantile").collect()
+    val rows = run("q163_hist_quantile").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val vals = byType(r.getAs[String]("event_type"))
@@ -202,9 +202,35 @@ class SketchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming histogram: bucket counts maintained across micro-batches " +
+    "equal the batch histogram (the mergeable state the quantile reads)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sc = spark.sqlContext
+    val ev = Tables.table(spark, dir, "events")
+      .select(col("event_type"), col("value")).as[(String, Double)]
+      .collect().toSeq
+    def bucketed(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("n", floor(col("value") * 16).cast("long") + 1)
+      .withColumn("bucket", length(expr("bin(n)")).cast("long"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
+    val mem = MemoryStream[(String, Double)]
+    val q = bucketed(mem.toDF().toDF("event_type", "value"))
+      .writeStream.format("memory").queryName("s_hist")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      ev.grouped(250).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("s_hist")
+    val exp = bucketed(Tables.table(spark, dir, "events"))
+    assert(got.count() > 0)
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+  }
+
   test("kmv set ops: jaccard and union estimates land within 3 standard " +
     "errors of exact; intersection = jaccard x union by construction") {
-    val r = run("q160_kmv_setops").collect().head
+    val r = run("q164_kmv_setops").collect().head
     val unionExact = r.getAs[Long]("union_exact").toDouble
     val interExact = r.getAs[Long]("inter_exact").toDouble
     val jaccExact = interExact / unionExact
