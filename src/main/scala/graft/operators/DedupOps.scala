@@ -199,6 +199,32 @@ object DedupOps {
       val wC = org.apache.spark.sql.expressions.Window
         .partitionBy(col("cluster"))
       comp.withColumn("csize", count(lit(1)).over(wC))
+    }),
+
+    // Segment-level exact dedup (the C4/RefinedWeb "remove duplicated
+    // lines" pass, adapted to the delimiter-free fixture): each doc is
+    // chunked into fixed 10-token segments, a segment is a duplicate
+    // when its text occurs in ≥2 DISTINCT documents, and each doc
+    // reports its duplicated-segment fraction (the drop/keep signal).
+    // Scale: segments travel as md5 digests — the shuffle key is 16
+    // bytes regardless of segment length — and the frequency table is
+    // a hash-exchange groupBy, never any pairwise comparison.
+    "q166_segment_dedup" -> ((s, dir) => {
+      val segs = Tables.table(s, dir, "documents")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, (size(toks) - 1) div 10), " +
+          "i -> md5(concat_ws(' ', slice(toks, i * 10 + 1, 10))))"))
+          .as("h"))
+      val freq = segs.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+      segs.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+             sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_segs"))
+        .withColumn("dup_frac",
+          round(col("n_dup_segs").cast("double") / col("n_segs"), 6))
     })
   )
 
@@ -353,6 +379,25 @@ object DedupOps {
       FROM kv x JOIN kv y
         ON x.c = y.c AND x.key = y.key AND x.doc_id < y.doc_id
       WHERE bit_count(xor(x.simhash, y.simhash)) <= 8"""
-    }
+    },
+
+    "q166_segment_dedup" -> """
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        FROM documents),
+      segs AS (
+        SELECT doc_id,
+               md5(array_to_string(a[(i*10+1):(i*10+10)], ' ')) AS h
+        FROM t, UNNEST(generate_series(0, (len(a) - 1) // 10)) AS g(i)
+        WHERE len(a) >= 1),
+      freq AS (SELECT h, count(DISTINCT doc_id) AS ndocs
+               FROM segs GROUP BY h)
+      SELECT doc_id, count(*) AS n_segs,
+             CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_segs,
+             round(CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS dup_frac
+      FROM segs JOIN freq USING (h)
+      GROUP BY doc_id"""
   )
 }

@@ -203,6 +203,62 @@ object PipelineOps {
           (coalesce(col("h"), lit(0L)) > 0).cast("int").as("contaminated"))
     }),
 
+    // Bloom-filter decontamination — the scale path beside q140's exact
+    // broadcast join: the eval slice's 13-grams fold into a fixed
+    // 2^20-slot Bloom set (4 md5-derived slots per gram — portable, so
+    // the oracle rebuilds the IDENTICAL filter and the comparison is
+    // bit-exact, false positives included); corpus grams probe the slot
+    // set, a gram is bloom-positive iff all 4 slots hit. No false
+    // negatives by construction — every doc carries both counts and
+    // exact ≤ bloom per row. At 100 TB the filter follows the EVAL
+    // corpus size (fixed), not the training corpus: the probe is a
+    // broadcast semi-join on an integer slot, where q140 must broadcast
+    // the gram STRINGS.
+    "q167_bloom_decontam" -> ((s, dir) => {
+      val n = 13
+      val bfM = 1 << 20
+      val docs = Tables.table(s, dir, "documents")
+        .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      val grams = docs.filter(size(col("toks")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> array_join(slice(toks, i, $n), ' '))")).as("gram"))
+      val ii = array((0 until 4).map(lit): _*)
+      def slotted(df: DataFrame): DataFrame = df
+        .select(df.columns.map(col) :+ explode(ii).as("i"): _*)
+        .withColumn("slot", pmod(
+          conv(substring(md5(concat(lit("bf"), col("i").cast("string"),
+            lit(":"), col("gram"))), 1, 15), 16, 10).cast("long"),
+          lit(bfM.toLong)))
+      val slotSet = broadcast(
+        slotted(grams.filter(col("doc_id") % 20 === 7).select(col("gram")))
+          .select(col("slot")).distinct())
+      val bloomPos = slotted(grams.filter(col("doc_id") % 20 =!= 7))
+        .join(slotSet, "slot")
+        .groupBy(col("doc_id"), col("gram"))
+        .agg(countDistinct(col("i")).as("k_hit"))
+        .filter(col("k_hit") === 4)
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("bh"))
+      val bench = broadcast(grams.filter(col("doc_id") % 20 === 7)
+        .select(col("gram")).distinct())
+      val exactHits = grams.filter(col("doc_id") % 20 =!= 7)
+        .join(bench, "gram")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("eh"))
+      docs.filter(col("doc_id") % 20 =!= 7)
+        .select(col("doc_id"),
+          greatest(size(col("toks")) - (n - 1), lit(0))
+            .cast("int").as("n_grams"))
+        .join(bloomPos, Seq("doc_id"), "left")
+        .join(exactHits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("bh"), lit(0L)).cast("int").as("n_bloom_hits"),
+          coalesce(col("eh"), lit(0L)).cast("int").as("n_exact_hits"),
+          (coalesce(col("bh"), lit(0L)) > 0).cast("int").as("bloom_flag"),
+          (coalesce(col("eh"), lit(0L)) > 0).cast("int").as("exact_flag"))
+    }),
+
     // Repetition signals (the Gopher quality-filter family): fraction of
     // tokens that are repeats, and the document share of its most
     // frequent word bigram. ZERO-shuffle: the top-bigram count is the
@@ -426,6 +482,46 @@ object PipelineOps {
              CAST(coalesce(h, 0) AS INT) AS n_hits,
              CAST(coalesce(h, 0) > 0 AS INT) AS contaminated
       FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id
+      WHERE d.doc_id % 20 <> 7""",
+
+    "q167_bloom_decontam" -> """
+      WITH d AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, array_to_string(toks[i:i+12], ' ') AS gram
+        FROM d, UNNEST(generate_series(1, len(toks) - 12)) AS t(i)
+        WHERE len(toks) >= 13),
+      corp AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 7),
+      ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 7),
+      evslots AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5('bf' || CAST(ii.i AS VARCHAR)
+                 || ':' || gram), 1, 15)) AS BIGINT) % 1048576 AS slot
+        FROM ev, UNNEST([0, 1, 2, 3]) AS ii(i)),
+      cs AS (
+        SELECT doc_id, gram, ii.i,
+               CAST(('0x' || substr(md5('bf' || CAST(ii.i AS VARCHAR)
+                 || ':' || gram), 1, 15)) AS BIGINT) % 1048576 AS slot
+        FROM corp, UNNEST([0, 1, 2, 3]) AS ii(i)),
+      bp AS (
+        SELECT doc_id, gram
+        FROM cs JOIN evslots USING (slot)
+        GROUP BY doc_id, gram
+        HAVING count(DISTINCT i) = 4),
+      bh AS (SELECT doc_id, count(DISTINCT gram) AS bh
+             FROM bp GROUP BY doc_id),
+      eh AS (SELECT c.doc_id, count(DISTINCT c.gram) AS eh
+             FROM corp c JOIN ev USING (gram) GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(greatest(len(toks) - 12, 0) AS INT) AS n_grams,
+             CAST(coalesce(bh, 0) AS INT) AS n_bloom_hits,
+             CAST(coalesce(eh, 0) AS INT) AS n_exact_hits,
+             CAST(coalesce(bh, 0) > 0 AS INT) AS bloom_flag,
+             CAST(coalesce(eh, 0) > 0 AS INT) AS exact_flag
+      FROM d LEFT JOIN bh ON d.doc_id = bh.doc_id
+           LEFT JOIN eh ON d.doc_id = eh.doc_id
       WHERE d.doc_id % 20 <> 7""",
 
     "q141_repetition" -> """

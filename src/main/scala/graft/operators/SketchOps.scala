@@ -94,14 +94,20 @@ object SketchOps {
     "q150_cms_heavy" -> ((s, dir) => {
       val toks = tokens(s, dir)
       val depths = array((0 until CmsDepth).map(lit): _*)
-      val slotted = toks
-        .select(col("tok"), explode(depths).as("depth"))
+      val cnts = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+      // Cell counts from the DISTINCT-token frequency table, not from
+      // re-hashing the raw stream ×depth: Σ_{tok→slot} count(tok) is the
+      // same number as counting the exploded stream, and at 100 TB
+      // |distinct tokens| ≪ |stream| — one partial-aggregated pass over
+      // the stream (cnts, needed anyway), then sketch construction is
+      // O(|vocab|·depth).
+      val cells = cnts
+        .select(col("tok"), col("true_cnt"), explode(depths).as("depth"))
         .withColumn("slot",
           pmod(h60("cms", concat(col("depth").cast("string"),
             lit("_"), col("tok"))), lit(CmsWidth)))
-      val cells = slotted.groupBy("depth", "slot")
-        .agg(count(lit(1)).as("c"))
-      val cnts = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+        .groupBy("depth", "slot")
+        .agg(sum(col("true_cnt")).as("c"))
       val probes = cnts.select(col("tok"))
         .select(col("tok"), explode(depths).as("depth"))
         .withColumn("slot",

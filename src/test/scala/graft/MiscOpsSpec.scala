@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.SideOutput
+import graft.operators.{DedupOps, PipelineOps, SideOutput}
 import graft.streaming.{FileReplaySource, StatefulOps}
 
 class MiscOpsSpec extends AnyFunSuite {
@@ -168,5 +168,33 @@ class MiscOpsSpec extends AnyFunSuite {
     val fmts = FormatOps.queries("q53_formats")(spark, "/root/testdata/sf0.001")
       .select("fmt").distinct().as[String].collect().toSet
     assert(fmts == FormatOps.formats.toSet)
+  }
+
+  test("bloom decontamination never misses an exact hit (no false " +
+    "negatives), and flags agree with counts") {
+    val rows = PipelineOps.queries("q167_bloom_decontam")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("n_bloom_hits")
+      val e = r.getAs[Int]("n_exact_hits")
+      assert(b >= e, s"doc=${r.getAs[Long]("doc_id")} bloom=$b < exact=$e")
+      assert((r.getAs[Int]("bloom_flag") == 1) == (b > 0))
+      assert((r.getAs[Int]("exact_flag") == 1) == (e > 0))
+    }
+  }
+
+  test("segment dedup: dup fraction bounded, duplicated segments imply " +
+    "a partner document") {
+    val rows = DedupOps.queries("q166_segment_dedup")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_segs")
+      val d = r.getAs[Long]("n_dup_segs")
+      assert(n > 0 && d >= 0 && d <= n)
+    }
+    // the fixture contains near-identical docs → some segment is shared
+    assert(rows.exists(_.getAs[Long]("n_dup_segs") > 0))
   }
 }
