@@ -648,16 +648,22 @@ object TpcdsSuite {
 
     // ── q65 shape: items selling below half their geo's average ──
     "q124_tpcds65" -> ((s, dir) => {
+      // below-average detection as a WINDOW over the aggregated frame:
+      // the fact join + per-(nation, part) aggregate runs ONCE and the
+      // per-nation average is one extra exchange on the (tiny)
+      // aggregated rows — the self-join dual would recompute the whole
+      // fact pipeline as its second input. Identical float tree to the
+      // aggregate/join form (decimal sum → double ÷ long count).
       val per = t(s, dir, "lineitem")
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")),
               col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), col("l_partkey"))
         .agg(sum(amt).cast("double").as("rev"))
-      val avgPer = per.groupBy(col("n_name").as("an_name"))
-        .agg((sum(col("rev").cast(dec)).cast("double") /
-               count(lit(1))).as("avg_rev"))
-      per.join(broadcast(avgPer), col("n_name") === col("an_name"))
+      val w = Window.partitionBy(col("n_name"))
+      per.withColumn("avg_rev",
+          sum(col("rev").cast(dec)).over(w).cast("double")
+            / count(lit(1)).over(w))
         .filter(col("rev") <= col("avg_rev") * 0.5)
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .select(col("n_name"), col("p_name"), col("rev"))
