@@ -925,10 +925,11 @@ object TpcdsSuite {
               col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("o_custkey"), col("n_name"))
         .agg(sum(amt).cast(dec).as("ctr_dec"))
-      val avgN = ret.groupBy(col("n_name"))
-        .agg((sum(col("ctr_dec")).cast("double") / count(lit(1)))
-          .as("avg_ret"))
-      ret.join(broadcast(avgN), "n_name")
+      // per-nation average as a window over the aggregated frame (same
+      // rationale as q124: the fact pipeline runs once by construction)
+      val w = Window.partitionBy(col("n_name"))
+      ret.withColumn("avg_ret",
+          sum(col("ctr_dec")).over(w).cast("double") / count(lit(1)).over(w))
         .filter(col("ctr_dec").cast("double") > lit(1.2) * col("avg_ret"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("n_name"),
