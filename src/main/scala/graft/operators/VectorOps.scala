@@ -147,11 +147,31 @@ object VectorOps {
         .agg(min(col("a")).as("dup_of"),
              count(lit(1)).as("n_dups"),
              round(max(col("cos")), 6).as("sim"))
+    }),
+
+    // IVF recall@5 — the q143 measurement for the OTHER index: per
+    // query, how many of the brute-force top-5 the nprobe=2 IVF probe
+    // returned. Every ANN path in the engine ships with its measured
+    // recall (LSH: q143/q144, IVF: here); at 100 TB the ground-truth
+    // side runs on a fixed probe sample exactly as q143 documents.
+    "q168_ivf_recall" -> ((s, dir) => {
+      val gt = queries("q38_cosine_topk")(s, dir)
+        .select(col("q_id"), col("cand_id"))
+      val iv = queries("q85_ann_ivf")(s, dir)
+        .select(col("q_id").as("iq"), col("cand_id").as("ic"))
+      val hit = gt.join(iv,
+          col("q_id") === col("iq") && col("cand_id") === col("ic"))
+        .groupBy("q_id").agg(count(lit(1)).as("nh"))
+      gt.select("q_id").distinct()
+        .join(hit, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("nh"), lit(0L)).cast("int").as("n_hit"),
+          (coalesce(col("nh"), lit(0L)).cast("double") / lit(5.0))
+            .as("recall_at_5"))
     })
   )
 
-  val oracle: Map[String, String] = Map(
-    "q38_cosine_topk" -> """
+  private val q38OracleSql: String = """
       WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
                  FROM embeddings WHERE vec_id < 10),
       c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS ce
@@ -168,9 +188,9 @@ object VectorOps {
                cos
         FROM scored)
       SELECT q_id, cand_id, CAST(rnk AS INT) AS rnk, round(cos, 6) AS sim
-      FROM ranked WHERE rnk <= 5""",
+      FROM ranked WHERE rnk <= 5"""
 
-    "q85_ann_ivf" -> s"""
+  private val q85OracleSql: String = s"""
       WITH cents AS (
         SELECT vec_id AS cid, embedding::DOUBLE[] AS cent
         FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
@@ -208,7 +228,12 @@ object VectorOps {
                  DESC, cand_id) AS rnk
         FROM probes JOIN assigned USING (cid))
       SELECT q_id, cand_id, CAST(rnk AS INT) AS rnk, round(cos, 6) AS sim
-      FROM ranked WHERE rnk <= 5""",
+      FROM ranked WHERE rnk <= 5"""
+
+  val oracle: Map[String, String] = Map(
+    "q38_cosine_topk" -> q38OracleSql,
+
+    "q85_ann_ivf" -> q85OracleSql,
 
     "q165_semantic_dedup" -> s"""
       WITH cents AS (
@@ -234,6 +259,18 @@ object VectorOps {
           ON a.cid = b.cid AND a.vec_id < b.vec_id)
       SELECT b AS vec_id, min(a) AS dup_of, count(*) AS n_dups,
              round(max(cos), 6) AS sim
-      FROM pairs WHERE cos >= 0.3 GROUP BY b"""
+      FROM pairs WHERE cos >= 0.3 GROUP BY b""",
+
+    "q168_ivf_recall" -> s"""
+      WITH gt AS (SELECT q_id, cand_id FROM ($q38OracleSql)),
+      iv AS (SELECT q_id, cand_id FROM ($q85OracleSql)),
+      hit AS (
+        SELECT gt.q_id, count(*) AS nh
+        FROM gt JOIN iv ON gt.q_id = iv.q_id AND gt.cand_id = iv.cand_id
+        GROUP BY 1)
+      SELECT q.q_id, CAST(coalesce(nh, 0) AS INT) AS n_hit,
+             CAST(coalesce(nh, 0) AS DOUBLE) / 5.0 AS recall_at_5
+      FROM (SELECT DISTINCT q_id FROM gt) q
+      LEFT JOIN hit ON q.q_id = hit.q_id"""
   )
 }

@@ -184,6 +184,21 @@ class MiscOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf recall: bounded per query, mean above the random-cell floor " +
+    "(nprobe/K)") {
+    val rows = graft.operators.VectorOps.queries("q168_ivf_recall")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val h = r.getAs[Int]("n_hit")
+      assert(h >= 0 && h <= 5)
+      assert(r.getAs[Double]("recall_at_5") == h / 5.0)
+    }
+    val mean = rows.map(_.getAs[Double]("recall_at_5")).sum / rows.length
+    assert(mean >= 2.0 / 40 / 2,
+      s"mean recall $mean below half the random floor — probe broken")
+  }
+
   test("segment dedup: dup fraction bounded, duplicated segments imply " +
     "a partner document") {
     val rows = DedupOps.queries("q166_segment_dedup")(
