@@ -215,4 +215,23 @@ class PropertySpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("BloomPrune has no false negatives on random key sets, and prunes " +
+    "a disjoint probe set hard") {
+    import graft.operators.BloomPrune
+    val keys = sample(Gen.chooseNum(Long.MinValue, Long.MaxValue)).distinct
+    val (ins, outs) = keys.splitAt(keys.length / 2)
+    val bits = BloomPrune.build(ins.toDF("k"), "k")
+    val got = keys.toDF("k")
+      .withColumn("hit", BloomPrune.mightContain(bits, col("k")))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Boolean]("hit"))
+      .toMap
+    // every inserted key must test positive
+    ins.foreach(k => assert(got(k), s"false negative for $k"))
+    // FP rate on the disjoint half stays near theory:
+    // (1 - e^{-kn/m})^k with n=150, m=2^16, k=4 → ~3e-9; allow slack
+    val fps = outs.count(got(_))
+    assert(fps <= math.max(1, outs.length / 20),
+      s"$fps false positives out of ${outs.length}")
+  }
 }
