@@ -201,6 +201,39 @@ object DedupOps {
       comp.withColumn("csize", count(lit(1)).over(wC))
     }),
 
+    // LSH banding PRECISION swept over τ — the complement of q143's
+    // recall: of the candidate pairs the band join surfaces, what
+    // fraction are true near-dups (exact trigram Jaccard ≥ τ)? Paid
+    // only on the candidate set (the thing precision bounds is exactly
+    // the wasted verify work), thresholds compared in cross-multiplied
+    // INTEGERS so the oracle agrees at the boundary. Precision + recall
+    // together budget the Bands/NumPerm knob analytically.
+    "q170_band_precision" -> ((s, dir) => {
+      val sig = minhashSignatures(s, dir)
+      val cand = bandCandidates(sig)
+      val docSh = shingles(s, dir).groupBy("doc_id")
+        .agg(collect_set(col("sh")).as("shs"))
+      val j = cand
+        .join(docSh.as("a"), col("da") === col("a.doc_id"))
+        .join(docSh.as("b"), col("db") === col("b.doc_id"))
+        .withColumn("inter",
+          size(array_intersect(col("a.shs"), col("b.shs"))).cast("long"))
+        .withColumn("na", size(col("a.shs")).cast("long"))
+        .withColumn("nb", size(col("b.shs")).cast("long"))
+      val taus = Seq(2, 3, 4, 5) // τ = t/10
+      val tSums: Seq[Column] = taus.map(tt => sum(when(
+        col("inter") * 10 >= lit(tt) * (col("na") + col("nb") - col("inter")),
+        1L).otherwise(0L)).as(s"t$tt"))
+      val aggCols = count(lit(1)).as("n_cand") +: tSums
+      val agg = j.agg(aggCols.head, aggCols.tail: _*)
+      agg.select(col("n_cand"), expr("stack(4, " +
+          "CAST(0.2 AS DOUBLE), t2, CAST(0.3 AS DOUBLE), t3, " +
+          "CAST(0.4 AS DOUBLE), t4, CAST(0.5 AS DOUBLE), t5) " +
+          "as (tau, n_true)"))
+        .withColumn("precision",
+          round(col("n_true").cast("double") / col("n_cand"), 6))
+    }),
+
     // Segment-level exact dedup (the C4/RefinedWeb "remove duplicated
     // lines" pass, adapted to the delimiter-free fixture): each doc is
     // chunked into fixed 10-token segments, a segment is a duplicate
@@ -379,6 +412,63 @@ object DedupOps {
       FROM kv x JOIN kv y
         ON x.c = y.c AND x.key = y.key AND x.doc_id < y.doc_id
       WHERE bit_count(xor(x.simhash, y.simhash)) <= 8"""
+    },
+
+    "q170_band_precision" -> {
+      val minCols = (0 until NumPerm)
+        .map(i => s"min((h31 * ${permA(i)} + ${permB(i)}) % $MersenneP) AS m$i")
+        .mkString(",\n               ")
+      val rowsPerBand = NumPerm / Bands
+      val bandCols = (0 until Bands).map { b =>
+        val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '_' || ")
+        s"md5($slice) AS b$b"
+      }.mkString(",\n               ")
+      val bandUnion = (0 until Bands)
+        .map(b => s"SELECT doc_id, $b AS band, b$b AS key FROM banded")
+        .mkString("\n        UNION ALL\n        ")
+      val tSums = Seq(2, 3, 4, 5).map(tt =>
+        s"CAST(sum(CASE WHEN inter * 10 >= $tt * (na + nb - inter) " +
+          s"THEN 1 ELSE 0 END) AS BIGINT) AS t$tt").mkString(",\n               ")
+      val rows = Seq(2, 3, 4, 5).map(tt =>
+        s"SELECT n_cand, CAST(0.$tt AS DOUBLE) AS tau, t$tt AS n_true, " +
+          s"round(CAST(t$tt AS DOUBLE) / n_cand, 6) AS precision FROM a")
+        .mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH $shinglesSql,
+      hashed AS (
+        SELECT doc_id, ${h60Sql(0, "s")} & 2147483647 AS h31 FROM sh),
+      sig AS (
+        SELECT doc_id, $minCols
+        FROM hashed GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, $bandCols
+        FROM sig),
+      bandkv AS (
+        $bandUnion),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        FROM bandkv x JOIN bandkv y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+      i0 AS (
+        SELECT c.da, c.db, count(*) AS inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.da
+        JOIN sh b ON b.doc_id = c.db AND a.s = b.s
+        GROUP BY 1, 2),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      jj AS (
+        SELECT c.da, c.db, coalesce(i0.inter, 0) AS inter,
+               ca.n AS na, cb.n AS nb
+        FROM cand c
+        LEFT JOIN i0 ON c.da = i0.da AND c.db = i0.db
+        JOIN cnt ca ON c.da = ca.doc_id
+        JOIN cnt cb ON c.db = cb.doc_id),
+      a AS (
+        SELECT count(*) AS n_cand,
+               $tSums
+        FROM jj)
+      $rows"""
     },
 
     "q166_segment_dedup" -> """

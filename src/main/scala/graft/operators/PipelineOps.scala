@@ -259,6 +259,43 @@ object PipelineOps {
           (coalesce(col("eh"), lit(0L)) > 0).cast("int").as("exact_flag"))
     }),
 
+    // Quality-gate funnel — the ablation table every filtering pipeline
+    // publishes: gates applied in order, each row reporting docs in,
+    // dropped here, surviving. One scan computes all per-doc flags
+    // (no shuffle), one aggregate folds them into the funnel; every
+    // threshold is INTEGER arithmetic (cross-multiplied ratios), so the
+    // oracle agrees exactly with no float comparisons at the boundary.
+    "q169_filter_funnel" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .withColumn("nt", size(col("toks")).cast("long"))
+        .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("nc",
+          length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+        .select(
+          (col("n_chars") >= 100).as("g1"),
+          (col("nt") >= 20).as("g2"),
+          // duplicate-token fraction ≤ 0.6 ⇔ (nt − nd)·10 ≤ nt·6
+          ((col("nt") - col("nd")) * 10 <= col("nt") * 6).as("g3"),
+          // mean token length in [3, 7] chars
+          (col("nc") >= col("nt") * 3 && col("nc") <= col("nt") * 7)
+            .as("g4"))
+      d.agg(
+          count(lit(1)).as("n0"),
+          sum(when(col("g1"), 1L).otherwise(0L)).as("o1"),
+          sum(when(col("g1") && col("g2"), 1L).otherwise(0L)).as("o2"),
+          sum(when(col("g1") && col("g2") && col("g3"), 1L).otherwise(0L))
+            .as("o3"),
+          sum(when(col("g1") && col("g2") && col("g3") && col("g4"), 1L)
+            .otherwise(0L)).as("o4"))
+        .selectExpr("stack(4, " +
+          "'1_len_chars', n0, n0 - o1, o1, " +
+          "'2_min_tokens', o1, o1 - o2, o2, " +
+          "'3_repetition', o2, o2 - o3, o3, " +
+          "'4_token_shape', o3, o3 - o4, o4) " +
+          "as (stage, n_in, n_fail, n_out)")
+    }),
+
     // Repetition signals (the Gopher quality-filter family): fraction of
     // tokens that are repeats, and the document share of its most
     // frequent word bigram. ZERO-shuffle: the top-bigram count is the
@@ -523,6 +560,36 @@ object PipelineOps {
       FROM d LEFT JOIN bh ON d.doc_id = bh.doc_id
            LEFT JOIN eh ON d.doc_id = eh.doc_id
       WHERE d.doc_id % 20 <> 7""",
+
+    "q169_filter_funnel" -> """
+      WITH f AS (
+        SELECT n_chars >= 100 AS g1,
+               len(t) >= 20 AS g2,
+               (len(t) - len(list_distinct(t))) * 10 <= len(t) * 6 AS g3,
+               length(regexp_replace(text, '\s', '', 'g')) >= len(t) * 3
+                 AND length(regexp_replace(text, '\s', '', 'g'))
+                       <= len(t) * 7 AS g4
+        FROM (SELECT n_chars, text,
+                     regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents)),
+      a AS (
+        SELECT count(*) AS n0,
+               CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+               CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS o2,
+               CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS o3,
+               CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS o4
+        FROM f)
+      SELECT '1_len_chars' AS stage, n0 AS n_in, n0 - o1 AS n_fail,
+             o1 AS n_out FROM a
+      UNION ALL
+      SELECT '2_min_tokens', o1, o1 - o2, o2 FROM a
+      UNION ALL
+      SELECT '3_repetition', o2, o2 - o3, o3 FROM a
+      UNION ALL
+      SELECT '4_token_shape', o3, o3 - o4, o4 FROM a""",
 
     "q141_repetition" -> """
       WITH t AS (

@@ -185,6 +185,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(col("c_id").isNull).count() > 0)
   }
 
+  test("streaming FULL OUTER interval join matches batch dual") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SEv]
+    val split = (df: org.apache.spark.sql.DataFrame) => (
+      df.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                col("ts").as("p_ts")),
+      df.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+                col("event_id").as("c_id")))
+    val (p, c) = split(mem.toDS().toDF())
+    val q = StreamOps.intervalJoin(p, c, "p_user", "c_user", "p_ts", "c_ts",
+        "-10 MINUTES", "-0 SECONDS", "10 minutes", "fullOuter")
+      .select(col("p_id"), col("c_id"))
+      .writeStream.format("memory").queryName("s_ij_fo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      eventRows.grouped(200).foreach { chunk =>
+        mem.addData(chunk: _*); q.processAllAvailable()
+      }
+      val far = new Timestamp(eventRows.last.ts.getTime + 86400000L)
+      mem.addData(SEv(-1L, far, -1L, "purchase", 0.0),
+                  SEv(-2L, far, -1L, "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s_ij_fo").filter(
+      (col("p_id").isNull || col("p_id") >= 0) &&
+      (col("c_id").isNull || col("c_id") >= 0))
+    val (pb, cb) = split(eventRows.toDF())
+    val exp = pb.join(cb, col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"), "full")
+      .select(col("p_id"), col("c_id"))
+    assert(got.count() == exp.count())
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+    // pads on BOTH sides: unmatched purchases and unmatched clicks
+    assert(got.filter(col("c_id").isNull).count() > 0)
+    assert(got.filter(col("p_id").isNull).count() > 0)
+  }
+
   test("streaming top-n per key emits refreshed top lists") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[SEv]
