@@ -219,33 +219,56 @@ object PipelineOps {
       val bfM = 1 << 20
       val docs = Tables.table(s, dir, "documents")
         .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      // grams travel as md5 DIGESTS from the moment they exist: every
+      // downstream distinct/join/broadcast exchanges 32-hex keys, never
+      // 13-word strings, and the Bloom hash is a substring of the same
+      // digest — one md5 per gram occurrence total, computed in the
+      // scan projection.
       val grams = docs.filter(size(col("toks")) >= n)
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(1, size(toks) - ${n - 1}), " +
-          s"i -> array_join(slice(toks, i, $n), ' '))")).as("gram"))
+          s"i -> md5(array_join(slice(toks, i, $n), ' ')))")).as("gh"))
+      // 4 slots by Kirsch–Mitzenmacher double hashing of the 60-bit
+      // digest prefix (slot_i = x + i·y mod m, y forced odd) — k-hash
+      // Bloom FP asymptotics, decided once per DISTINCT gram.
       val ii = array((0 until 4).map(lit): _*)
       def slotted(df: DataFrame): DataFrame = df
-        .select(df.columns.map(col) :+ explode(ii).as("i"): _*)
-        .withColumn("slot", pmod(
-          conv(substring(md5(concat(lit("bf"), col("i").cast("string"),
-            lit(":"), col("gram"))), 1, 15), 16, 10).cast("long"),
-          lit(bfM.toLong)))
+        .withColumn("h",
+          conv(substring(col("gh"), 1, 15), 16, 10).cast("long"))
+        .withColumn("x", pmod(col("h"), lit(bfM.toLong)))
+        .withColumn("y",
+          pmod(expr(s"h div $bfM"), lit(bfM.toLong))
+            .bitwiseOR(lit(1L)))
+        .select(col("*"), explode(ii).as("i"))
+        .withColumn("slot",
+          pmod(col("x") + col("i") * col("y"), lit(bfM.toLong)))
+      // the explode pass runs ONCE: all four legs (eval slot set, corpus
+      // vocabulary, per-doc hits, exact bench) derive from the cached
+      // distinct (doc, digest) frame — at 100 TB this is the bounded
+      // doc×gram association, 48 bytes a row, the natural reuse point
+      val allD = grams.distinct().cache()
+      val evalD = allD.filter(col("doc_id") % 20 === 7)
+        .select(col("gh")).distinct()
       val slotSet = broadcast(
-        slotted(grams.filter(col("doc_id") % 20 === 7).select(col("gram")))
-          .select(col("slot")).distinct())
-      val bloomPos = slotted(grams.filter(col("doc_id") % 20 =!= 7))
+        slotted(evalD).select(col("slot")).distinct())
+      val uniq = allD.filter(col("doc_id") % 20 =!= 7)
+        .select(col("gh")).distinct()
+      val bloomPosGrams = slotted(uniq)
         .join(slotSet, "slot")
-        .groupBy(col("doc_id"), col("gram"))
+        .groupBy(col("gh"))
         .agg(countDistinct(col("i")).as("k_hit"))
         .filter(col("k_hit") === 4)
+        .select(col("gh"))
+      val gramsD = allD.filter(col("doc_id") % 20 =!= 7)
+      val bloomPos = gramsD
+        .join(bloomPosGrams, "gh", "left_semi")
         .groupBy(col("doc_id"))
-        .agg(countDistinct(col("gram")).as("bh"))
-      val bench = broadcast(grams.filter(col("doc_id") % 20 === 7)
-        .select(col("gram")).distinct())
-      val exactHits = grams.filter(col("doc_id") % 20 =!= 7)
-        .join(bench, "gram")
+        .agg(count(lit(1)).as("bh"))
+      val bench = broadcast(evalD)
+      val exactHits = gramsD
+        .join(bench, "gh", "left_semi")
         .groupBy(col("doc_id"))
-        .agg(countDistinct(col("gram")).as("eh"))
+        .agg(count(lit(1)).as("eh"))
       docs.filter(col("doc_id") % 20 =!= 7)
         .select(col("doc_id"),
           greatest(size(col("toks")) - (n - 1), lit(0))
@@ -527,30 +550,38 @@ object PipelineOps {
                regexp_split_to_array(trim(lower(text)), '\s+') AS toks
         FROM documents),
       g AS (
-        SELECT doc_id, array_to_string(toks[i:i+12], ' ') AS gram
+        SELECT doc_id, md5(array_to_string(toks[i:i+12], ' ')) AS gh
         FROM d, UNNEST(generate_series(1, len(toks) - 12)) AS t(i)
         WHERE len(toks) >= 13),
-      corp AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 7),
-      ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 7),
+      corp AS (SELECT doc_id, gh FROM g WHERE doc_id % 20 <> 7),
+      ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 20 = 7),
+      evh AS (
+        SELECT CAST(('0x' || substr(gh, 1, 15)) AS BIGINT) AS h
+        FROM ev),
       evslots AS (
-        SELECT DISTINCT
-               CAST(('0x' || substr(md5('bf' || CAST(ii.i AS VARCHAR)
-                 || ':' || gram), 1, 15)) AS BIGINT) % 1048576 AS slot
-        FROM ev, UNNEST([0, 1, 2, 3]) AS ii(i)),
-      cs AS (
-        SELECT doc_id, gram, ii.i,
-               CAST(('0x' || substr(md5('bf' || CAST(ii.i AS VARCHAR)
-                 || ':' || gram), 1, 15)) AS BIGINT) % 1048576 AS slot
-        FROM corp, UNNEST([0, 1, 2, 3]) AS ii(i)),
-      bp AS (
-        SELECT doc_id, gram
-        FROM cs JOIN evslots USING (slot)
-        GROUP BY doc_id, gram
+        SELECT DISTINCT (x + ii.i * y) % 1048576 AS slot
+        FROM (SELECT h % 1048576 AS x,
+                     ((h // 1048576) % 1048576) | 1 AS y
+              FROM evh), UNNEST([0, 1, 2, 3]) AS ii(i)),
+      uniq AS (SELECT DISTINCT gh FROM corp),
+      us AS (
+        SELECT gh, ii.i, (x + ii.i * y) % 1048576 AS slot
+        FROM (SELECT gh,
+                     h % 1048576 AS x,
+                     ((h // 1048576) % 1048576) | 1 AS y
+              FROM (SELECT gh,
+                           CAST(('0x' || substr(gh, 1, 15)) AS BIGINT) AS h
+                    FROM uniq)), UNNEST([0, 1, 2, 3]) AS ii(i)),
+      bpg AS (
+        SELECT gh
+        FROM us JOIN evslots USING (slot)
+        GROUP BY gh
         HAVING count(DISTINCT i) = 4),
-      bh AS (SELECT doc_id, count(DISTINCT gram) AS bh
-             FROM bp GROUP BY doc_id),
-      eh AS (SELECT c.doc_id, count(DISTINCT c.gram) AS eh
-             FROM corp c JOIN ev USING (gram) GROUP BY 1)
+      corpd AS (SELECT DISTINCT doc_id, gh FROM corp),
+      bh AS (SELECT doc_id, count(*) AS bh
+             FROM corpd JOIN bpg USING (gh) GROUP BY 1),
+      eh AS (SELECT c.doc_id, count(*) AS eh
+             FROM corpd c JOIN ev USING (gh) GROUP BY 1)
       SELECT d.doc_id,
              CAST(greatest(len(toks) - 12, 0) AS INT) AS n_grams,
              CAST(coalesce(bh, 0) AS INT) AS n_bloom_hits,
