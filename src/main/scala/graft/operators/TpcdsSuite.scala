@@ -927,13 +927,29 @@ object TpcdsSuite {
         .agg(sum(amt).cast(dec).as("ctr_dec"))
       // per-nation average as a window over the aggregated frame (same
       // rationale as q124: the fact pipeline runs once by construction)
-      val w = Window.partitionBy(col("n_name"))
+      val wAvg = Window.partitionBy(col("n_name"))
       ret.withColumn("avg_ret",
-          sum(col("ctr_dec")).over(w).cast("double") / count(lit(1)).over(w))
+          sum(col("ctr_dec")).over(wAvg).cast("double")
+            / count(lit(1)).over(wAvg))
         .filter(col("ctr_dec").cast("double") > lit(1.2) * col("avg_ret"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("n_name"),
                 col("ctr_dec").cast("double").as("ctr_total"))
+    }),
+
+    // ── q88 shape: the 8-time-band count battery. The reference query
+    //    is EIGHT scalar subqueries cross-joined (8 scans); the engine
+    //    form is ONE scan with 8 conditional sums — the classic
+    //    multi-band rewrite, 8× less fact I/O at any scale ──
+    "q171_tpcds88" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+      val vcond = (col("value") >= 0 && col("value") <= 50) ||
+        (col("value") >= 100 && col("value") <= 150) ||
+        (col("value") >= 200 && col("value") <= 250)
+      def band(h: Int): Column =
+        sum(when(hour(col("ts")) === h && vcond, 1L).otherwise(0L))
+          .as(s"h$h")
+      ev.agg(band(8), (9 to 15).map(band): _*)
     })
   )
 
@@ -1731,6 +1747,17 @@ object TpcdsSuite {
         AND cat_rev BETWEEN 0.9 * (store_rev+cat_rev+web_rev)/3.0
                         AND 1.1 * (store_rev+cat_rev+web_rev)/3.0
         AND web_rev BETWEEN 0.9 * (store_rev+cat_rev+web_rev)/3.0
-                        AND 1.1 * (store_rev+cat_rev+web_rev)/3.0"""
+                        AND 1.1 * (store_rev+cat_rev+web_rev)/3.0""",
+
+    "q171_tpcds88" -> {
+      val bands = (8 to 15).map(h =>
+        s"CAST(sum(CASE WHEN extract(hour FROM ts) = $h AND " +
+          "((value >= 0 AND value <= 50) OR (value >= 100 AND value <= 150)" +
+          s" OR (value >= 200 AND value <= 250)) THEN 1 ELSE 0 END) " +
+          s"AS BIGINT) AS h$h").mkString(",\n             ")
+      s"""
+      SELECT $bands
+      FROM events"""
+    }
   )
 }

@@ -151,6 +151,40 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == ev.count())
   }
 
+  test("upsert sink: keyed keep-latest across micro-batches and restarts, " +
+    "idempotent on replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val sink = Files.createTempDirectory("graft_upsert").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_upsert_ck").toString
+    val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .as[(Long, Long, Double)](org.apache.spark.sql.Encoders
+        .tuple(org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble))
+      .collect().toSeq.sortBy(_._1)
+    val mem = MemoryStream[(Long, Long, Double)]
+    val q = graft.streaming.StreamSinks.upsertParquet(
+      mem.toDF().toDF("event_id", "user_id", "value"),
+      sink, ckpt, Seq("user_id"), "event_id", buckets = 8)
+    try {
+      ev.grouped(300).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = graft.streaming.StreamSinks.readUpsertTable(spark, sink)
+    val exp = ev.groupBy(_._2).map { case (_, rs) => rs.maxBy(_._1) }.toSeq
+      .toDF("event_id", "user_id", "value")
+    assert(got.count() == exp.count())
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+    // replaying the last chunk (retry semantics) changes nothing
+    graft.streaming.StreamSinks.applyBatch(
+      ev.takeRight(300).toDF("event_id", "user_id", "value"),
+      sink, Seq("user_id"), "event_id", 8)
+    val again = graft.streaming.StreamSinks.readUpsertTable(spark, sink)
+    assert(again.count() == exp.count())
+    assert(again.except(exp).isEmpty && exp.except(again).isEmpty)
+  }
+
   test("q53 avro leg activates iff the spark-avro connector is present") {
     import graft.operators.FormatOps
     val probe =
