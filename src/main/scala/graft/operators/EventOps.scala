@@ -171,6 +171,48 @@ object EventOps {
         .select(col("user_id"), col("event_id"), col("value"),
                 col("version"), col("valid_from"), col("valid_to"),
                 col("is_current"))
+    }),
+
+    // Conversion funnel view → click → purchase: per user, the first
+    // view, the first click AFTER it, the first purchase AFTER that —
+    // ORDERED containment, not mere co-occurrence. One pass: per-user
+    // conditional mins chain through two more conditional aggregates on
+    // the same grouped frame (no event self-joins); output is the
+    // stage-count funnel.
+    "q172_conversion_funnel" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val perUser = e.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(perUser, "user_id")
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      val nV = perUser.filter(col("t_view").isNotNull)
+        .agg(count(lit(1)).as("n")).select(col("n").as("n_view"))
+      val nC = c.agg(count(lit(1)).as("n_click"))
+      val nP = p.agg(count(lit(1)).as("n_purchase"))
+      nV.crossJoin(nC).crossJoin(nP)
+    }),
+
+    // Retention cohort grid: cohort = the user's first-activity day,
+    // cell (cohort_day, offset) = distinct users of that cohort active
+    // `offset` days later (offsets 0–7). Two hash exchanges total (the
+    // per-user min, the cell distinct) — the cohort table never
+    // materializes user×day beyond the distinct activity pairs.
+    "q173_retention_cohorts" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val firstDay = e.groupBy(col("user_id"))
+        .agg(min(col("d")).as("cohort"))
+      e.join(firstDay, "user_id")
+        .withColumn("offset", datediff(col("d"), col("cohort")).cast("long"))
+        .filter(col("offset") <= 7)
+        .groupBy(col("cohort"), col("offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
     })
   )
 
@@ -271,6 +313,39 @@ object EventOps {
              lead(ts, 1) OVER w IS NULL AS is_current
       FROM events
       WHERE event_type = 'view'
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    "q172_conversion_funnel" -> """
+      WITH pu AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'
+                        THEN CAST(ts AS TIMESTAMP) END) AS t_view
+        FROM events GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+        FROM events e JOIN pu ON e.user_id = pu.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > pu.t_view
+        GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND CAST(e.ts AS TIMESTAMP) > c.t_click
+        GROUP BY e.user_id)
+      SELECT (SELECT count(*) FROM pu WHERE t_view IS NOT NULL) AS n_view,
+             (SELECT count(*) FROM c) AS n_click,
+             (SELECT count(*) FROM p) AS n_purchase""",
+
+    "q173_retention_cohorts" -> """
+      WITH a AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+        FROM events),
+      f AS (SELECT user_id, min(d) AS cohort FROM a GROUP BY user_id)
+      SELECT f.cohort, CAST(a.d - f.cohort AS BIGINT) AS "offset",
+             count(DISTINCT a.user_id) AS n_active
+      FROM a JOIN f ON a.user_id = f.user_id
+      WHERE a.d - f.cohort <= 7
+      GROUP BY 1, 2"""
   )
 }
