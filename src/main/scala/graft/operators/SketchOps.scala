@@ -289,6 +289,57 @@ object SketchOps {
           col("p50"), col("p90"), col("p99"))
     }),
 
+    // Sliding-window distinct users per day (7-day window) — the query
+    // shape where mergeable sketches STOP being optional: exact sliding
+    // distinct does not decompose (each window must re-see its users),
+    // but HLL registers union by per-register max, so each day's
+    // register row CONTRIBUTES to the ≤7 windows covering it — the
+    // contribute-explode is 7× the (days × 64-register) table,
+    // independent of event volume. Exact counts ride along as the
+    // verification baseline (they re-expand user×window pairs — the
+    // cost the sketch avoids).
+    "q174_sliding_distinct" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(datediff(to_date(col("ts")),
+          lit("2024-01-01").cast("date")).cast("long").as("dayn"),
+          col("user_id"))
+      val maxDay = 29L
+      val regs = ev
+        .select(col("dayn"),
+          h60("hllu", col("user_id").cast("string")).as("h"))
+        .withColumn("reg", pmod(col("h"), lit(HllM)))
+        .withColumn("rem", expr(s"h div $HllM"))
+        .withColumn("rank",
+          when(col("rem") === 0, lit(55))
+            .otherwise(lit(55) - length(expr("bin(rem)"))))
+        .groupBy("dayn", "reg").agg(max(col("rank")).as("m"))
+      val winRegs = regs
+        .select(col("reg"), col("m"),
+          explode(expr(s"sequence(dayn, least(dayn + 6, $maxDay))"))
+            .as("wd"))
+        .groupBy("wd", "reg").agg(max(col("m")).as("m"))
+      val agg = winRegs.groupBy("wd").agg(
+        count(lit(1)).as("n_reg"),
+        sum(expr("CAST(power(2, 55 - m) AS BIGINT)")).as("ssum"))
+      val exact = ev.distinct()
+        .select(col("user_id"),
+          explode(expr(s"sequence(dayn, least(dayn + 6, $maxDay))"))
+            .as("wd"))
+        .groupBy("wd").agg(countDistinct(col("user_id")).as("exact_cnt"))
+      agg.join(exact, "wd")
+        .withColumn("sum_scaled",
+          col("ssum") + (lit(HllM) - col("n_reg"))
+            * expr("CAST(power(2, 55) AS BIGINT)"))
+        .withColumn("e_raw",
+          lit(0.709) * expr("power(2, 67)") / col("sum_scaled"))
+        .withColumn("v", lit(HllM) - col("n_reg"))
+        .select(col("wd").as("day_index"), col("n_reg"),
+          round(when(col("e_raw") <= lit(2.5 * HllM) && col("v") > 0,
+              lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
+            .otherwise(col("e_raw")), 4).as("est"),
+          col("exact_cnt"))
+    }),
+
     // KMV set-operation estimates (Theta-sketch style) between two
     // sources' trigram-shingle sets: one bottom-k sketch of the UNION's
     // distinct hashes; each retained hash's membership in A/B gives the
@@ -453,6 +504,49 @@ object SketchOps {
              CAST(sum(outlier) AS BIGINT) AS n_outliers,
              round(any_value(a), 6) AS a, round(any_value(b), 6) AS b
       FROM scored GROUP BY lang""",
+
+    "q174_sliding_distinct" -> s"""
+      WITH e AS (
+        SELECT CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 - DATE '2024-01-01' AS BIGINT) AS dayn,
+               user_id
+        FROM events),
+      h AS (
+        SELECT dayn, ${h60Sql("hllu", "CAST(user_id AS VARCHAR)")} AS h
+        FROM e),
+      r AS (
+        SELECT dayn, h % $HllM AS reg,
+               CASE WHEN (h // $HllM) = 0 THEN 55
+                    ELSE 55 - length(bin(h // $HllM)) END AS rank
+        FROM h),
+      regs AS (SELECT dayn, reg, max(rank) AS m FROM r GROUP BY 1, 2),
+      winregs AS (
+        SELECT g.wd, reg, max(m) AS m
+        FROM regs, UNNEST(generate_series(dayn, least(dayn + 6, 29)))
+          AS g(wd)
+        GROUP BY 1, 2),
+      agg AS (
+        SELECT wd, count(*) AS n_reg,
+               sum(CAST(power(2, 55 - m) AS BIGINT)) AS ssum
+        FROM winregs GROUP BY wd),
+      exact AS (
+        SELECT g.wd, count(DISTINCT user_id) AS exact_cnt
+        FROM (SELECT DISTINCT dayn, user_id FROM e) u,
+             UNNEST(generate_series(dayn, least(dayn + 6, 29))) AS g(wd)
+        GROUP BY 1),
+      raw AS (
+        SELECT a.wd, a.n_reg,
+               0.709 * power(2, 67)
+                 / (a.ssum + ($HllM - a.n_reg)
+                    * CAST(power(2, 55) AS BIGINT)) AS e_raw,
+               $HllM - a.n_reg AS v, x.exact_cnt
+        FROM agg a JOIN exact x ON a.wd = x.wd)
+      SELECT wd AS day_index, n_reg,
+             round(CASE WHEN e_raw <= ${2.5 * HllM} AND v > 0
+                        THEN ${HllM.toDouble} * ln(${HllM.toDouble} / v)
+                        ELSE e_raw END, 4) AS est,
+             exact_cnt
+      FROM raw""",
 
     "q163_hist_quantile" -> s"""
       WITH e AS (
