@@ -198,6 +198,68 @@ object EventOps {
       nV.crossJoin(nC).crossJoin(nP)
     }),
 
+    // Snapshot diff → CDC changelog generation: two keyed snapshot
+    // states (per-user trailing-10-day aggregates at two cutoffs) are
+    // full-outer joined on the key and every difference becomes an
+    // I/U/D row — the INVERSE of Changelog.materialize, for producing a
+    // changelog when the upstream only offers snapshots. Trailing
+    // windows make deletes REAL (users drop out of the window). One
+    // exchange per snapshot + the diff join; deterministic value
+    // compare via decimal sums.
+    "q175_snapshot_diff" -> ((s, dir) => {
+      def snap(lo: String, hi: String) = ev(s, dir)
+        .filter(col("ts") >= lit(lo).cast("timestamp") &&
+                col("ts") < lit(hi).cast("timestamp"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast(dec)).cast("double").as("val"))
+      val a = snap("2024-01-05", "2024-01-15")
+        .select(col("user_id"), col("n").as("old_n"), col("val").as("old_val"))
+      val b = snap("2024-01-10", "2024-01-20")
+        .select(col("user_id").as("ub"), col("n").as("new_n"),
+                col("val").as("new_val"))
+      a.join(b, col("user_id") === col("ub"), "full")
+        .withColumn("op",
+          when(col("user_id").isNull, "I")
+            .when(col("ub").isNull, "D")
+            .when(col("old_n") =!= col("new_n") ||
+                  col("old_val") =!= col("new_val"), "U")
+            .otherwise("N"))
+        .filter(col("op") =!= "N")
+        .select(coalesce(col("user_id"), col("ub")).as("user_id"),
+                col("op"), col("old_n"), col("new_n"),
+                col("old_val"), col("new_val"))
+    }),
+
+    // Sessionized path analysis: 30-minute-gap sessions per user, each
+    // session's ordered event-type path, top-20 paths by frequency.
+    // Session assignment is the lag+cumsum pattern (one window over the
+    // per-user sort — the batch dual of session_window); paths are
+    // built from a SORTED struct array so the string is a deterministic
+    // function of the session's rows.
+    "q176_session_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = ev(s, dir)
+        .withColumn("gap",
+          when(unix_micros(col("ts"))
+                 - unix_micros(lag(col("ts"), 1).over(w))
+                 > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("session_no", sum(col("gap")).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id"), col("session_no"))
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, " +
+          "event_type))), x -> x.event_type)"), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    }),
+
     // Retention cohort grid: cohort = the user's first-activity day,
     // cell (cohort_day, offset) = distinct users of that cohort active
     // `offset` days later (offsets 0–7). Two hash exchanges total (the
@@ -335,6 +397,54 @@ object EventOps {
       SELECT (SELECT count(*) FROM pu WHERE t_view IS NOT NULL) AS n_view,
              (SELECT count(*) FROM c) AS n_click,
              (SELECT count(*) FROM p) AS n_purchase""",
+
+    "q175_snapshot_diff" -> """
+      WITH a AS (
+        SELECT user_id, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05'
+          AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
+        GROUP BY 1),
+      b AS (
+        SELECT user_id, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10'
+          AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20'
+        GROUP BY 1),
+      d AS (
+        SELECT coalesce(a.user_id, b.user_id) AS user_id,
+               CASE WHEN a.user_id IS NULL THEN 'I'
+                    WHEN b.user_id IS NULL THEN 'D'
+                    WHEN a.n <> b.n OR a.val <> b.val THEN 'U'
+                    ELSE 'N' END AS op,
+               a.n AS old_n, b.n AS new_n,
+               a.val AS old_val, b.val AS new_val
+        FROM a FULL JOIN b ON a.user_id = b.user_id)
+      SELECT * FROM d WHERE op <> 'N'""",
+
+    "q176_session_paths" -> """
+      WITH s0 AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                      - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                      > 1800000000 THEN 1 ELSE 0 END AS gap
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s1 AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM s0),
+      p AS (
+        SELECT user_id, session_no,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM s1 GROUP BY 1, 2)
+      SELECT path, count(*) AS n_sessions
+      FROM p GROUP BY path
+      ORDER BY n_sessions DESC, path
+      LIMIT 20""",
 
     "q173_retention_cohorts" -> """
       WITH a AS (
