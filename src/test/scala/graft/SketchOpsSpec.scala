@@ -228,6 +228,39 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
   }
 
+  test("streaming per-day HLL registers equal the batch register table " +
+    "(the mergeable state q174's sliding union reads)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sc = spark.sqlContext
+    def regs(df: org.apache.spark.sql.DataFrame) = df
+      .select(datediff(to_date(col("ts")),
+        lit("2024-01-01").cast("date")).cast("long").as("dayn"),
+        conv(substring(md5(concat(lit("hllu:"),
+          col("user_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("reg", pmod(col("h"), lit(64)))
+      .withColumn("rem", expr("h div 64"))
+      .withColumn("rank", when(col("rem") === 0, lit(55))
+        .otherwise(lit(55) - length(expr("bin(rem)"))))
+      .groupBy("dayn", "reg").agg(max(col("rank")).as("m"))
+    val rows = Tables.table(spark, dir, "events")
+      .select(col("ts"), col("user_id"))
+      .as[(java.sql.Timestamp, Long)].collect().toSeq
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = regs(mem.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("s_dayregs")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      rows.grouped(250).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("s_dayregs")
+    val exp = regs(Tables.table(spark, dir, "events"))
+    assert(got.count() > 0)
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+  }
+
   test("kmv set ops: jaccard and union estimates land within 3 standard " +
     "errors of exact; intersection = jaccard x union by construction") {
     val r = run("q164_kmv_setops").collect().head
