@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape assertions for this round's operators — the properties
+ * that make them scale are STRUCTURAL, so they are checked on the
+ * physical plan, not just on row counts (the difference between "it
+ * was fast today" and "nothing can make it slow at 100 TB").
+ */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan.toString
+
+  test("q162: the Bloom probe filter sits BELOW the join, in the fact " +
+    "scan stage (prunes before any exchange)") {
+    val p = plan("q162_bloom_join")
+    val joinIdx = p.indexOf("Join")
+    val probeIdx = p.indexOf("shiftright")
+    assert(joinIdx >= 0, "join present")
+    assert(probeIdx > joinIdx,
+      "probe filter printed deeper than the join (upstream of it)")
+  }
+
+  test("q171: the 8-band battery reads events exactly once") {
+    val p = plan("q171_tpcds88")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected a single fact scan, plan had $scans")
+  }
+
+  test("q169: the funnel is one scan + one aggregate (no joins, no " +
+    "extra exchanges)") {
+    val p = plan("q169_filter_funnel")
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+    assert(!p.contains("Join"), "funnel must not join")
+  }
+
+  test("q166: segment dedup shuffles digests, not segment text") {
+    val p = plan("q166_segment_dedup")
+    // the md5 happens in a scan-side projection; every EXCHANGE key must
+    // be the digest/doc_id attribute, never a raw segment expression
+    val parts = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(parts.nonEmpty, "dedup must hash-exchange")
+    parts.foreach(k => assert(!k.contains("concat_ws"),
+      s"raw segment text in exchange key: $k"))
+  }
+}
