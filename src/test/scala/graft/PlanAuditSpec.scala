@@ -39,7 +39,9 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q166: segment dedup shuffles digests, not segment text") {
-    val p = plan("q166_segment_dedup")
+    // exchanges only exist post-EnsureRequirements → executedPlan
+    val p = SparkEntry.queries("q166_segment_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
     // the md5 happens in a scan-side projection; every EXCHANGE key must
     // be the digest/doc_id attribute, never a raw segment expression
     val parts = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
