@@ -163,12 +163,24 @@ object Changelog {
    * reference's generated JoinCondition): pairs failing it never enter
    * the join-result multiset.
    *
+   * PER-RECORD INCREMENTAL (the reference's exact algorithm): each
+   * input message probes only the OTHER side's current live multiset —
+   * an accumulate emits +count(r) for every matching other-side payload,
+   * a retract emits the negatives — so per-batch work is
+   * O(messages × other side's distinct payloads for the key), never the
+   * key's full |L|×|R| cross product. The per-message deltas telescope
+   * to exactly (after − before) per pair, so netting them at batch end
+   * reproduces the batch-atomic protocol (no transient pairs for
+   * same-batch both-side updates) while keeping the reference's
+   * per-record cost profile. The join-result's live total is carried in
+   * state so emptiness transitions (+I vs +U, -D vs -U) need no
+   * recomputation.
+   *
    * Scale: state per key = live rows of BOTH sides for that key (what
-   * any streaming two-way join must hold); one exchange total; the
-   * per-batch cross-product delta touches only keys present in the
-   * batch. 100 TB: hot join keys are the skew risk exactly as in the
-   * reference — mitigate upstream via aggregateChangelog (upsert views
-   * have ≤1 live row per key, making the join O(1) per key per batch).
+   * any streaming two-way join must hold); one exchange total. A hot
+   * join key now costs O(update × other side) per batch — the reference's
+   * own profile; for insert-only hot keys, [[joinChangelogSharded]]
+   * additionally spreads one key's work across sub-key tasks.
    */
   def joinChangelog[L, R](
       left: Dataset[(Long, String, L)],
@@ -180,23 +192,10 @@ object Changelog {
     implicit val ue: Encoder[(Long, String, Option[L], Option[R])] =
       ExpressionEncoder()
     implicit val ke: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
-    implicit val se: Encoder[(Seq[(L, Long)], Seq[(R, Long)], Long)] =
+    implicit val se: Encoder[(Seq[(L, Long)], Seq[(R, Long)], Long, Long)] =
       ExpressionEncoder()
     implicit val oe: Encoder[JoinChange[L, R]] = ExpressionEncoder()
 
-    def bump[P](m: Map[P, Long], p: P, d: Long): Map[P, Long] = {
-      val c = m.getOrElse(p, 0L) + d
-      // c == 0: count exhausted; c < 0: stale retract — drop/ignore either
-      if (c > 0) m + (p -> c) else m - p
-    }
-    def cross(lm: Map[L, Long], rm: Map[R, Long]): Map[(L, R), Long] =
-      for { (l, cl) <- lm; (r, cr) <- rm if cond(l, r) }
-        yield (l, r) -> cl * cr
-    def minus(a: Map[(L, R), Long], b: Map[(L, R), Long]) =
-      a.flatMap { case (p, c) =>
-        val d = c - b.getOrElse(p, 0L)
-        if (d > 0) Some(p -> d) else None
-      }
     // deterministic emission order within a batch (Map order is not)
     def expand(m: Map[(L, R), Long]): Seq[(L, R)] =
       m.toSeq.sortBy(_._1.toString)
@@ -207,37 +206,96 @@ object Changelog {
         .union(right.map { case (k, kind, r) =>
           (k, kind, Option.empty[L], Option(r)) })
     tagged.groupByKey(_._1)
-      .flatMapGroupsWithState[(Seq[(L, Long)], Seq[(R, Long)], Long),
+      .flatMapGroupsWithState[(Seq[(L, Long)], Seq[(R, Long)], Long, Long),
                               JoinChange[L, R]](
           OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, values: Iterator[(Long, String, Option[L], Option[R])],
-         state: GroupState[(Seq[(L, Long)], Seq[(R, Long)], Long)]) =>
-          val (l0, r0, n0) = state.getOption
-            .getOrElse((Seq.empty[(L, Long)], Seq.empty[(R, Long)], 0L))
-          var lm = l0.toMap
-          var rm = r0.toMap
-          val before = cross(lm, rm)
-          values.foreach { case (_, kind, lo, ro) =>
-            val d = kind match {
-              case Insert | UpdateAfter => 1L
-              case Delete | UpdateBefore => -1L
-            }
-            lo.foreach(p => lm = bump(lm, p, d))
-            ro.foreach(p => rm = bump(rm, p, d))
+         state: GroupState[(Seq[(L, Long)], Seq[(R, Long)], Long, Long)]) =>
+          val (l0, r0, n0, t0) = state.getOption
+            .getOrElse((Seq.empty[(L, Long)], Seq.empty[(R, Long)], 0L, 0L))
+          val lm = scala.collection.mutable.Map[L, Long](l0: _*)
+          val rm = scala.collection.mutable.Map[R, Long](r0: _*)
+          // net pair deltas for this batch (same-batch cancellation)
+          val delta = scala.collection.mutable.Map.empty[(L, R), Long]
+          var total = t0
+          def addDelta(p: (L, R), d: Long): Unit = {
+            val c = delta.getOrElse(p, 0L) + d
+            if (c == 0L) delta -= p else delta(p) = c
+            total += d
           }
-          val after = cross(lm, rm)
-          val removed = expand(minus(before, after))
-          val added = expand(minus(after, before))
+          values.foreach { case (_, kind, lo, ro) =>
+            val acc = kind == Insert || kind == UpdateAfter
+            lo.foreach { l =>
+              if (acc) {
+                rm.foreach { case (r, cr) =>
+                  if (cond(l, r)) addDelta((l, r), cr) }
+                lm(l) = lm.getOrElse(l, 0L) + 1
+              } else lm.get(l).foreach { cl => // absent ⇒ stale retract: ignore
+                rm.foreach { case (r, cr) =>
+                  if (cond(l, r)) addDelta((l, r), -cr) }
+                if (cl == 1L) lm -= l else lm(l) = cl - 1
+              }
+            }
+            ro.foreach { r =>
+              if (acc) {
+                lm.foreach { case (l, cl) =>
+                  if (cond(l, r)) addDelta((l, r), cl) }
+                rm(r) = rm.getOrElse(r, 0L) + 1
+              } else rm.get(r).foreach { cr =>
+                lm.foreach { case (l, cl) =>
+                  if (cond(l, r)) addDelta((l, r), -cl) }
+                if (cr == 1L) rm -= r else rm(r) = cr - 1
+              }
+            }
+          }
+          val removed = expand(delta.collect {
+            case (p, c) if c < 0 => p -> -c }.toMap)
+          val added = expand(delta.filter(_._2 > 0).toMap)
           var n = n0
           def rows(ps: Seq[(L, R)], kind: String): Seq[JoinChange[L, R]] =
             ps.map { case (l, r) => n += 1; JoinChange(key, kind, l, r, n) }
           val out =
-            rows(removed, if (after.isEmpty) Delete else UpdateBefore) ++
-            rows(added, if (before.isEmpty) Insert else UpdateAfter)
+            rows(removed, if (total == 0L) Delete else UpdateBefore) ++
+            rows(added, if (t0 == 0L) Insert else UpdateAfter)
           if (lm.isEmpty && rm.isEmpty) state.remove()
-          else state.update((lm.toSeq, rm.toSeq, n))
+          else state.update((lm.toSeq, rm.toSeq, n, total))
           out.iterator
       }
+  }
+
+  /**
+   * Hot-key skew guard: the changelog inner join with each join key
+   * SHARDED into `shards` sub-keys — left rows route by payload hash,
+   * right rows replicate to every shard — so one hot key's per-batch
+   * work and state spread across `shards` independent tasks instead of
+   * serializing in one (the classic salted-join skew mitigation,
+   * cf. the reference's key-group spreading). Retractions stay correct:
+   * a left payload always hashes to the same shard as its insert, and
+   * the right side is fully replicated per shard.
+   *
+   * Trade-offs vs [[joinChangelog]]: right-side state is duplicated
+   * ×shards for sharded keys, and `ord`/emptiness-kind bookkeeping is
+   * per (key, shard) — the output is correct at the PAIR-MULTISET
+   * level (fold it, aggregate it), not as a totally-ordered per-key
+   * log for `materialize`. Keys must satisfy |key| < Long.Max/shards.
+   */
+  def joinChangelogSharded[L, R](
+      left: Dataset[(Long, String, L)],
+      right: Dataset[(Long, String, R)],
+      shards: Int,
+      cond: (L, R) => Boolean = (_: L, _: R) => true)(
+      implicit lt: scala.reflect.runtime.universe.TypeTag[L],
+      rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[JoinChange[L, R]] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val le: Encoder[(Long, String, L)] = ExpressionEncoder()
+    implicit val re: Encoder[(Long, String, R)] = ExpressionEncoder()
+    implicit val je: Encoder[JoinChange[L, R]] = ExpressionEncoder()
+    val s = shards.toLong
+    val lSharded = left.map { case (k, kind, l) =>
+      (k * s + math.floorMod(l.hashCode.toLong, s), kind, l) }
+    val rSharded = right.flatMap { case (k, kind, r) =>
+      (0L until s).map(i => (k * s + i, kind, r)) }
+    joinChangelog(lSharded, rSharded, cond).map(jc => jc.copy(key = jc.key / s))
   }
 
   /** Which side(s) of an outer changelog join emit null-padded rows
@@ -262,26 +320,24 @@ object Changelog {
    * via `padRecord`; association counting per
    * state/OuterJoinRecordStateView.java:35).
    *
-   * Same state/emission machinery as [[joinChangelog]] (live-row
-   * multiset per side under one group key; batch-atomic delta of the
-   * join-result multiset). The only difference is the result function:
-   * a row on an outer side with zero passing associations emits paired
-   * with None. The before→after diff then yields exactly the reference's
-   * padded-row retractions: a left row living alone emits (l, None);
-   * when its first passing right match arrives, (l, None) is retracted
-   * (-U) and (l, r) inserted (+U) — the numOfAssociations 0→1 transition
-   * of OuterJoinRecordStateView; the 1→0 transition re-pads. `cond` is
-   * the residual join condition beyond the equi-key (the reference's
-   * generated JoinCondition); with a non-trivial cond, padding is per
-   * ROW — a left row whose only candidate fails the condition stays
-   * padded even while the key's right side is non-empty.
+   * Same shuffle/netting/emission machinery as [[joinChangelog]], and
+   * the same PER-RECORD INCREMENTAL algorithm: each message probes only
+   * the other side's live multiset. Padding is PER ROW — a row on an
+   * outer side with zero passing associations emits paired with None —
+   * and, like the reference's OuterJoinRecordStateView:35, each live
+   * payload carries its association count IN STATE (number of passing
+   * other-side record instances), so the 0→1 transition (retract the
+   * padded row, insert the pair) and the 1→0 transition (re-pad) are
+   * detected in O(1) per touched payload while processing the message
+   * that causes them — no post-hoc recomputation over the full state.
+   * With a non-trivial `cond`, a left row whose only candidate fails
+   * the condition stays padded even while the key's right side is
+   * non-empty.
    *
    * Scale: identical profile to the inner join — one exchange, per-key
-   * state is both sides' live rows, padding adds no extra state (it is
-   * derived from emptiness, where the reference stores an association
-   * count beside each row as a lookup-cost optimization; recomputing the
-   * count from in-memory batch state is cheaper than keeping it
-   * transactionally consistent here).
+   * state is both sides' live rows plus one counter per payload
+   * (exactly the reference's state layout); per-batch work is
+   * O(messages × other side's distinct payloads), never |L|×|R|.
    */
   def joinChangelogOuter[L, R](
       left: Dataset[(Long, String, L)],
@@ -294,41 +350,11 @@ object Changelog {
     implicit val ue: Encoder[(Long, String, Option[L], Option[R])] =
       ExpressionEncoder()
     implicit val ke: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
-    implicit val se: Encoder[(Seq[(L, Long)], Seq[(R, Long)], Long)] =
+    implicit val se: Encoder[(Seq[(L, Long, Long)], Seq[(R, Long, Long)], Long, Long)] =
       ExpressionEncoder()
     implicit val oe: Encoder[OuterJoinChange[L, R]] = ExpressionEncoder()
 
     type Pair = (Option[L], Option[R])
-    def bump[P](m: Map[P, Long], p: P, d: Long): Map[P, Long] = {
-      val c = m.getOrElse(p, 0L) + d
-      if (c > 0) m + (p -> c) else m - p
-    }
-    // The key's join-result multiset under the outer semantics. Padding
-    // is PER ROW: a row pads when it has zero passing associations on
-    // the other side (OuterJoinRecordStateView.numOfAssociations == 0)
-    // — with the default always-true cond this reduces to "the other
-    // side of the key is empty".
-    def result(lm: Map[L, Long], rm: Map[R, Long]): Map[Pair, Long] = {
-      val pairs: Map[Pair, Long] =
-        for { (l, cl) <- lm; (r, cr) <- rm if cond(l, r) }
-          yield (Option(l), Option(r)) -> cl * cr
-      val padL: Map[Pair, Long] =
-        if (side.padLeft)
-          lm.collect { case (l, c) if !rm.keysIterator.exists(cond(l, _)) =>
-            (Option(l), Option.empty[R]) -> c }
-        else Map.empty
-      val padR: Map[Pair, Long] =
-        if (side.padRight)
-          rm.collect { case (r, c) if !lm.keysIterator.exists(cond(_, r)) =>
-            (Option.empty[L], Option(r)) -> c }
-        else Map.empty
-      pairs ++ padL ++ padR
-    }
-    def minus(a: Map[Pair, Long], b: Map[Pair, Long]) =
-      a.flatMap { case (p, c) =>
-        val d = c - b.getOrElse(p, 0L)
-        if (d > 0) Some(p -> d) else None
-      }
     def expand(m: Map[Pair, Long]): Seq[Pair] =
       m.toSeq.sortBy(_._1.toString)
         .flatMap { case (p, c) => Seq.fill(c.toInt)(p) }
@@ -338,37 +364,110 @@ object Changelog {
         .union(right.map { case (k, kind, r) =>
           (k, kind, Option.empty[L], Option(r)) })
     tagged.groupByKey(_._1)
-      .flatMapGroupsWithState[(Seq[(L, Long)], Seq[(R, Long)], Long),
+      .flatMapGroupsWithState[(Seq[(L, Long, Long)], Seq[(R, Long, Long)], Long, Long),
                               OuterJoinChange[L, R]](
           OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, values: Iterator[(Long, String, Option[L], Option[R])],
-         state: GroupState[(Seq[(L, Long)], Seq[(R, Long)], Long)]) =>
-          val (l0, r0, n0) = state.getOption
-            .getOrElse((Seq.empty[(L, Long)], Seq.empty[(R, Long)], 0L))
-          var lm = l0.toMap
-          var rm = r0.toMap
-          val before = result(lm, rm)
-          values.foreach { case (_, kind, lo, ro) =>
-            val d = kind match {
-              case Insert | UpdateAfter => 1L
-              case Delete | UpdateBefore => -1L
-            }
-            lo.foreach(p => lm = bump(lm, p, d))
-            ro.foreach(p => rm = bump(rm, p, d))
+         state: GroupState[(Seq[(L, Long, Long)], Seq[(R, Long, Long)], Long, Long)]) =>
+          val (l0, r0, n0, t0) = state.getOption
+            .getOrElse((Seq.empty[(L, Long, Long)], Seq.empty[(R, Long, Long)], 0L, 0L))
+          // payload → (live count, association count); assoc = number of
+          // passing other-side record INSTANCES (the reference's
+          // numOfAssociations), maintained incrementally below.
+          val lm = scala.collection.mutable.Map[L, (Long, Long)](
+            l0.map { case (p, c, a) => p -> (c, a) }: _*)
+          val rm = scala.collection.mutable.Map[R, (Long, Long)](
+            r0.map { case (p, c, a) => p -> (c, a) }: _*)
+          val delta = scala.collection.mutable.Map.empty[Pair, Long]
+          var total = t0
+          def addDelta(p: Pair, d: Long): Unit = {
+            val c = delta.getOrElse(p, 0L) + d
+            if (c == 0L) delta -= p else delta(p) = c
+            total += d
           }
-          val after = result(lm, rm)
-          val removed = expand(minus(before, after))
-          val added = expand(minus(after, before))
+          // NOTE: the loops below update assoc counters of EXISTING
+          // entries of the map being iterated — in-place node value
+          // mutation, safe for mutable.HashMap; no insert/remove happens
+          // inside an iteration over the same map.
+          values.foreach { case (_, kind, lo, ro) =>
+            val acc = kind == Insert || kind == UpdateAfter
+            lo.foreach { l =>
+              if (acc) {
+                var al = 0L
+                rm.foreach { case (r, (cr, ar)) =>
+                  if (cond(l, r)) {
+                    al += cr
+                    addDelta((Option(l), Option(r)), cr)
+                    // this r gains 1 association (the new l instance)
+                    if (ar == 0L && side.padRight)
+                      addDelta((Option.empty[L], Option(r)), -cr)
+                    rm(r) = (cr, ar + 1L)
+                  }
+                }
+                if (al == 0L && side.padLeft)
+                  addDelta((Option(l), Option.empty[R]), 1L)
+                val (cl, _) = lm.getOrElse(l, (0L, 0L))
+                lm(l) = (cl + 1L, al)
+              } else lm.get(l).foreach { case (cl, al) =>
+                rm.foreach { case (r, (cr, ar)) =>
+                  if (cond(l, r)) {
+                    addDelta((Option(l), Option(r)), -cr)
+                    if (ar == 1L && side.padRight)
+                      addDelta((Option.empty[L], Option(r)), cr)
+                    rm(r) = (cr, ar - 1L)
+                  }
+                }
+                if (al == 0L && side.padLeft)
+                  addDelta((Option(l), Option.empty[R]), -1L)
+                if (cl == 1L) lm -= l else lm(l) = (cl - 1L, al)
+              }
+            }
+            ro.foreach { r =>
+              if (acc) {
+                var ar = 0L
+                lm.foreach { case (l, (cl, al)) =>
+                  if (cond(l, r)) {
+                    ar += cl
+                    addDelta((Option(l), Option(r)), cl)
+                    if (al == 0L && side.padLeft)
+                      addDelta((Option(l), Option.empty[R]), -cl)
+                    lm(l) = (cl, al + 1L)
+                  }
+                }
+                if (ar == 0L && side.padRight)
+                  addDelta((Option.empty[L], Option(r)), 1L)
+                val (cr, _) = rm.getOrElse(r, (0L, 0L))
+                rm(r) = (cr + 1L, ar)
+              } else rm.get(r).foreach { case (cr, ar) =>
+                lm.foreach { case (l, (cl, al)) =>
+                  if (cond(l, r)) {
+                    addDelta((Option(l), Option(r)), -cl)
+                    if (al == 1L && side.padLeft)
+                      addDelta((Option(l), Option.empty[R]), cl)
+                    lm(l) = (cl, al - 1L)
+                  }
+                }
+                if (ar == 0L && side.padRight)
+                  addDelta((Option.empty[L], Option(r)), -1L)
+                if (cr == 1L) rm -= r else rm(r) = (cr - 1L, ar)
+              }
+            }
+          }
+          val removed = expand(delta.collect {
+            case (p, c) if c < 0 => p -> -c }.toMap)
+          val added = expand(delta.filter(_._2 > 0).toMap)
           var n = n0
           def rows(ps: Seq[Pair], kind: String): Seq[OuterJoinChange[L, R]] =
             ps.map { case (l, r) =>
               n += 1; OuterJoinChange(key, kind, l, r, n)
             }
           val out =
-            rows(removed, if (after.isEmpty) Delete else UpdateBefore) ++
-            rows(added, if (before.isEmpty) Insert else UpdateAfter)
+            rows(removed, if (total == 0L) Delete else UpdateBefore) ++
+            rows(added, if (t0 == 0L) Insert else UpdateAfter)
           if (lm.isEmpty && rm.isEmpty) state.remove()
-          else state.update((lm.toSeq, rm.toSeq, n))
+          else state.update((
+            lm.toSeq.map { case (p, (c, a)) => (p, c, a) },
+            rm.toSeq.map { case (p, (c, a)) => (p, c, a) }, n, total))
           out.iterator
       }
   }

@@ -419,6 +419,84 @@ class ChangelogSpec extends AnyFunSuite {
     assert(mult.filter(_._2 != 0).toMap == expected)
   }
 
+  test("hot key: per-batch join work is proportional to the update, not |L|x|R|") {
+    implicit val sc = spark.sqlContext
+    // cond evaluations == pairs the operator actually examined; the old
+    // before/after cross-diff would evaluate ~2·|L|·|R| per touched key
+    // per batch, the per-record algorithm O(messages · other side).
+    val evals = spark.sparkContext.longAccumulator("condEvals")
+    val lMem = MemoryStream[CRow]
+    val rMem = MemoryStream[CRow]
+    val out = Changelog.joinChangelog(
+      lMem.toDS().map(c => (c.key, c.kind, LSide(c.value))),
+      rMem.toDS().map(c => (c.key, c.kind, RSide(c.value))),
+      (l: LSide, r: RSide) => { evals.add(1L); l.v == r.v })
+    val q = out.writeStream.format("memory").queryName("cl_hot")
+      .outputMode(OutputMode.Append).start()
+    val n = 1000
+    try {
+      // build a hot key: 1000 live rows per side, each left matching
+      // exactly one right
+      lMem.addData((1 to n).map(i => CRow(1, "+I", i.toDouble, i.toLong)): _*)
+      rMem.addData((1 to n).map(i => CRow(1, "+I", i.toDouble, i.toLong)): _*)
+      q.processAllAvailable()
+      val buildEvals = evals.value
+      val buildRows = spark.table("cl_hot").count()
+      assert(buildRows == n) // selective cond: n matched pairs
+      // single-row update against the hot key
+      lMem.addData(CRow(1, "+I", 7.0, 9999))
+      q.processAllAvailable()
+      val updateEvals = evals.value - buildEvals
+      val updateRows = spark.table("cl_hot").count() - buildRows
+      assert(updateRows == 1) // the one new pair (7.0, 7.0)
+      // O(other side) = n evals, NOT O(|L|·|R|) = 2·(n+1)·n ≈ 2e6
+      assert(updateEvals <= 2L * n,
+        s"update examined $updateEvals pairs; expected ≤ ${2 * n}")
+    } finally q.stop()
+  }
+
+  test("sharded hot-key join: pair multiset equals the unsharded join (insert+retract)") {
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(88L)
+    // 10%-hot-key distribution: key 1 takes ~90% of traffic
+    def gen(n: Int): Seq[CRow] = (1 to n).map { i =>
+      val key = if (rnd.nextInt(10) < 9) 1L else (2 + rnd.nextInt(3)).toLong
+      CRow(key, "+I", (rnd.nextInt(5) + 1).toDouble, i.toLong)
+    }
+    val lOps = gen(60) ++ Seq(CRow(1, "-D", 1.0, 100), CRow(1, "-D", 2.0, 101))
+    val rOps = gen(60)
+    def run(sharded: Boolean, name: String): Map[(Long, Double, Double), Int] = {
+      val lMem = MemoryStream[CRow]
+      val rMem = MemoryStream[CRow]
+      val l = lMem.toDS().map(c => (c.key, c.kind, LSide(c.value)))
+      val r = rMem.toDS().map(c => (c.key, c.kind, RSide(c.value)))
+      val out = if (sharded) Changelog.joinChangelogSharded(l, r, 4)
+                else Changelog.joinChangelog(l, r)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        lOps.grouped(20).toSeq.zipAll(rOps.grouped(20).toSeq,
+            Seq.empty[CRow], Seq.empty[CRow]).foreach { case (ls, rs) =>
+          if (ls.nonEmpty) lMem.addData(ls: _*)
+          if (rs.nonEmpty) rMem.addData(rs: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val m = scala.collection.mutable.Map
+        .empty[(Long, Double, Double), Int].withDefaultValue(0)
+      spark.table(name).selectExpr("key", "kind", "left.v", "right.v")
+        .as[(Long, String, Double, Double)].collect().foreach {
+          case (k, kind, lv, rv) =>
+            m((k, lv, rv)) += (if (kind == "+I" || kind == "+U") 1 else -1)
+        }
+      m.filter(_._2 != 0).toMap
+    }
+    val plain = run(sharded = false, "cl_shard_plain")
+    val shard = run(sharded = true, "cl_shard_4")
+    assert(shard == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("randomized FULL OUTER changelog join: folded output equals outer-join semantics (seeded)") {
     implicit val sc = spark.sqlContext
     val rnd = new scala.util.Random(813L)
