@@ -48,9 +48,16 @@ object BloomPrune {
     * mix-in field. Unlike the sketch family there is no cross-engine
     * portability requirement here (the oracle is the PLAIN join, the
     * filter never changes results), so the hash can be the fast native
-    * one — 4 xxhash64 calls per probe row instead of 4 md5s. */
+    * one — 4 xxhash64 calls per probe row instead of 4 md5s.
+    *
+    * The key is cast to STRING first: xxhash64's output depends on the
+    * input's Catalyst type, and build() hashes the dim key while
+    * mightContain() hashes the fact key — without a canonical
+    * representation an int-vs-bigint key pair would miss on every probe
+    * and silently break the no-false-negatives contract. The string
+    * form is identical for equal integral values of any width. */
   private def slot(i: Int, key: Column): Column =
-    pmod(xxhash64(lit(i), key), lit(M.toLong))
+    pmod(xxhash64(lit(i), key.cast("string")), lit(M.toLong))
 
   /** BUILD: distinct slot indexes of the dim keys, folded into the
     * bit-set on the driver. The collect is bounded by M ints. */
@@ -81,6 +88,19 @@ object BloomPrune {
     * over the dim's join keys. Result is identical to the plain join. */
   def prunedJoin(fact: DataFrame, dim: DataFrame,
                  factKey: String, dimKey: String): DataFrame = {
+    // The string canonicalization in slot() aligns integral widths, but
+    // types whose string forms of equal values differ (decimal "5.00"
+    // vs bigint "5") would still probe-miss — reject those up front.
+    import org.apache.spark.sql.types._
+    def rep(t: DataType): String = t match {
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case other => other.sql
+    }
+    val ft = fact.schema(factKey).dataType
+    val dt = dim.schema(dimKey).dataType
+    require(rep(ft) == rep(dt),
+      s"BloomPrune key types must share a string representation: " +
+        s"$factKey is ${ft.sql}, $dimKey is ${dt.sql}")
     val bits = build(dim, dimKey)
     fact.filter(mightContain(bits, col(factKey)))
       .join(broadcast(dim), col(factKey) === col(dimKey))

@@ -30,18 +30,38 @@ import org.apache.spark.sql.functions._
 object LayoutOps {
 
   /** Rows-per-file to aim for; tune to land files near the row-group /
-    * HDFS-block sweet spot for the row width at hand. */
+    * HDFS-block sweet spot for the row width at hand.
+    *
+    * The sizing count() and the write are two actions. On a bare file
+    * scan the count is a parquet-metadata-only aggregate (no data
+    * read), so running the scan "twice" is free; for any computed
+    * pipeline the input is persisted around the two passes — the
+    * pipeline executes ONCE, the write reads the materialized blocks,
+    * and a nondeterministic input cannot diverge between count and
+    * write (both see identical rows). */
   def writeClustered(df: DataFrame, path: String, clusterCols: Seq[Column],
                      targetRowsPerFile: Long): Unit = {
     require(targetRowsPerFile > 0)
-    val n = df.count()
-    val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
-      .min(Int.MaxValue.toLong).toInt
-    df.repartitionByRange(nFiles, clusterCols: _*)
-      .sortWithinPartitions(clusterCols: _*)
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", targetRowsPerFile)
-      .parquet(path)
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.datasources.v2.{
+      DataSourceV2Relation, DataSourceV2ScanRelation}
+    val bareScan = df.queryExecution.optimizedPlan match {
+      case _: LogicalRelation | _: DataSourceV2Relation |
+           _: DataSourceV2ScanRelation => true
+      case _ => false
+    }
+    val src = if (bareScan) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = src.count()
+      val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
+        .min(Int.MaxValue.toLong).toInt
+      src.repartitionByRange(nFiles, clusterCols: _*)
+        .sortWithinPartitions(clusterCols: _*)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", targetRowsPerFile)
+        .parquet(path)
+    } finally if (!bareScan) src.unpersist()
   }
 
   /** Compact an existing parquet directory in place-adjacent fashion:

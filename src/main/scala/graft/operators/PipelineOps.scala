@@ -243,10 +243,14 @@ object PipelineOps {
         .withColumn("slot",
           pmod(col("x") + col("i") * col("y"), lit(bfM.toLong)))
       // the explode pass runs ONCE: all four legs (eval slot set, corpus
-      // vocabulary, per-doc hits, exact bench) derive from the cached
+      // vocabulary, per-doc hits, exact bench) derive from the shared
       // distinct (doc, digest) frame — at 100 TB this is the bounded
-      // doc×gram association, 48 bytes a row, the natural reuse point
-      val allD = grams.distinct().cache()
+      // doc×gram association, 48 bytes a row, the natural reuse point.
+      // localCheckpoint (not cache): the blocks are released when the
+      // plan is garbage-collected, so repeated invocations (bench reps,
+      // spec + oracle dump) don't accumulate session-lifetime cached
+      // partitions the way an un-unpersisted cache() would.
+      val allD = grams.distinct().localCheckpoint()
       val evalD = allD.filter(col("doc_id") % 20 === 7)
         .select(col("gh")).distinct()
       val slotSet = broadcast(

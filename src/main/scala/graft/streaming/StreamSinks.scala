@@ -51,7 +51,6 @@ object StreamSinks {
                  buckets: Int): Unit = {
     if (batch.isEmpty) return
     val s = batch.sparkSession
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val withB = batch.withColumn("__bucket",
       pmod(hash(keyCols.map(col): _*), lit(buckets)))
     val affected = withB.select("__bucket").distinct()
@@ -69,7 +68,13 @@ object StreamSinks {
       .filter(col("__rn") === 1).drop("__rn")
       // break the read-path/write-path cycle before overwriting
       .localCheckpoint()
-    merged.write.partitionBy("__bucket").mode("overwrite").parquet(path)
+    // writer-scoped dynamic overwrite: only the touched __bucket
+    // partitions are replaced, without mutating the session-wide
+    // partitionOverwriteMode (which would silently change the semantics
+    // of unrelated overwrite writes in the same session)
+    merged.write.partitionBy("__bucket")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
   }
 
   /** Read the upsert table back (drops the bucketing column). */

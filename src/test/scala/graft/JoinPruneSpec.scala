@@ -43,6 +43,21 @@ class JoinPruneSpec extends AnyFunSuite {
     assert(pruned.count() < li.count())
   }
 
+  test("mixed integral key widths probe correctly (canonical string " +
+    "hash); representation-incompatible types are rejected up front") {
+    import spark.implicits._
+    val fact = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")   // int
+    val d = Seq((1L, "x"), (3L, "y")).toDF("dk", "dv")            // bigint
+    val got = BloomPrune.prunedJoin(fact, d, "k", "dk")
+      .select(col("k"), col("dv")).as[(Int, String)].collect().toSet
+    assert(got == Set((1, "x"), (3, "y")),
+      "int fact key vs bigint dim key must not produce false negatives")
+    val dec = d.select(col("dk").cast("decimal(10,2)").as("dk"), col("dv"))
+    intercept[IllegalArgumentException] {
+      BloomPrune.prunedJoin(fact, dec, "k", "dk")
+    }
+  }
+
   test("build collects only slot indexes, bounded by M") {
     val bits = BloomPrune.build(dim, "s_suppkey")
     assert(bits.length == BloomPrune.M / 64)

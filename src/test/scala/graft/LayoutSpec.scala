@@ -35,6 +35,28 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("writeClustered on a computed pipeline executes the pipeline " +
+    "exactly once (persisted around count+write), envelopes still disjoint") {
+    val acc = spark.sparkContext.longAccumulator("layout-row-evals")
+    val touch = udf { (x: Long) => acc.add(1L); x }
+    val orders = Tables.table(spark, dir, "orders")
+    val n = orders.count()
+    val piped = orders.select(touch(col("o_orderkey")).as("k"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-layout-once").toString + "/once"
+    LayoutOps.writeClustered(piped, out, Seq(col("k")), 500L)
+    assert(acc.value == n,
+      s"pipeline evaluated ${acc.value} rows for $n inputs — " +
+        "the count+write double pass must not recompute the source")
+    val env = LayoutOps.envelopes(spark, out, "k")
+      .orderBy(col("lo")).collect()
+    env.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"))
+      case _ =>
+    }
+    assert(spark.read.parquet(out).count() == n)
+  }
+
   test("compact: many small files collapse to the target layout") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact")
     val frag = tmp.toString + "/frag"
