@@ -3,7 +3,7 @@ package graft.streaming
 import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row}
-import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit, struct, to_json, unix_millis}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /**
@@ -476,6 +476,66 @@ object MatchRecognize {
         }
         out.iterator
     }
+  }
+
+  /**
+   * STREAMING ALL-ROWS row-pattern recognition over an untyped
+   * DataFrame — the Row-level dual of [[annotateStream]], the engine
+   * under [[MatchRecognizeSql.stream]]. DEFINE flags and the event
+   * clock are pre-computed as codegen'd boolean/long columns BEFORE the
+   * keyed shuffle (the same trick as the batch [[annotate]]); the keyed
+   * NFA state machine then reads only those primitives. Matches
+   * finalize when the watermark passes their span (the caller must set
+   * `withWatermark` on the first ORDER BY column upstream), emit whole
+   * within one micro-batch, and per-key match ordinals equal the batch
+   * operator's (matches finalize strictly in scan order). Output = the
+   * input columns + (mr_match, mr_var); mr_seq is reconstructable
+   * downstream as a row_number over (keys, mr_match) in ORDER BY order.
+   *
+   * State note: the per-key row buffer is kryo-encoded (rows are opaque
+   * state bytes, as in the reference's CEP state) and bounded by the
+   * `withinMs` horizon — identical pruning to [[annotateStream]].
+   */
+  def annotateStreamDf(df: DataFrame, partitionBy: Seq[String],
+                       orderBy: Seq[String], pattern: String,
+                       define: Seq[(String, Column)], withinMs: Long,
+                       skip: Skip = SkipPastLastRow): DataFrame = {
+    require(partitionBy.nonEmpty && orderBy.nonEmpty && define.nonEmpty)
+    val nOrig = df.schema.length
+    val flagged0 = define.foldLeft(df) { case (d, (n, c)) =>
+      d.withColumn(s"__mr_$n", coalesce(c.cast("boolean"), lit(false)))
+    }
+    val tb = orderBy.drop(1).headOption
+      .map(c => coalesce(col(c).cast("long"), lit(0L))).getOrElse(lit(0L))
+    val flagged = flagged0
+      .withColumn("__mr_ts",
+        unix_millis(col(orderBy.head).cast("timestamp")))
+      .withColumn("__mr_tb", tb)
+      .withColumn("__mr_key", to_json(struct(partitionBy.map(col): _*)))
+    val sch = flagged.schema
+    val keyIdx = sch.fieldIndex("__mr_key")
+    val tsIdx = sch.fieldIndex("__mr_ts")
+    val tbIdx = sch.fieldIndex("__mr_tb")
+    val flagIdx = define.map { case (n, _) => sch.fieldIndex(s"__mr_$n") }
+    implicit val ve: Encoder[Row] = Encoders.row(sch)
+    implicit val se: Encoder[Seq[Row]] = Encoders.kryo[Seq[Row]]
+    implicit val oe: Encoder[(String, Long, String, Row)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.STRING, ve)
+    val defs: Seq[(String, Row => Boolean)] =
+      define.zipWithIndex.map { case ((n, _), i) =>
+        val j = flagIdx(i)
+        n -> ((r: Row) => !r.isNullAt(j) && r.getBoolean(j))
+      }
+    val ann = annotateStream[String, Row](
+      flagged.groupByKey(_.getString(keyIdx))(Encoders.STRING),
+      orderTs = _.getLong(tsIdx), tiebreak = _.getLong(tbIdx),
+      pattern, defs, withinMs, skip)
+    val outSchema = StructType(df.schema.fields :+
+      StructField("mr_match", LongType, nullable = false) :+
+      StructField("mr_var", StringType, nullable = false))
+    ann.map { case (_, mid, v, r) =>
+      Row.fromSeq(r.toSeq.take(nOrig) :+ mid :+ v)
+    }(Encoders.row(outSchema))
   }
 
   /**

@@ -173,7 +173,26 @@ object MatchRecognizeSql {
     vars.find(_.equalsIgnoreCase(v)).getOrElse(
       throw new IllegalArgumentException(s"undefined pattern variable $v"))
 
+  /** Everything a MATCH_RECOGNIZE body parses to, df-independent —
+    * shared by the batch path ([[run]]) and the streaming path
+    * ([[stream]]). */
+  private case class Parsed(
+      partitionBy: Seq[String], orderBy: Seq[String], allRows: Boolean,
+      skip: MatchRecognize.Skip, pattern: String,
+      within: Option[(Column, Long)], define: Seq[(String, Column)],
+      rawDefs: Seq[(String, String)], measures: Seq[(String, Column)])
+
   private def run(df: DataFrame, body: String): DataFrame = {
+    val p = parseBody(body)
+    if (p.allRows)
+      MatchRecognize.annotate(df, p.partitionBy, p.orderBy, p.pattern,
+        p.define, p.skip, p.within)
+    else
+      MatchRecognize.oneRowPerMatch(df, p.partitionBy, p.orderBy, p.pattern,
+        p.define, p.measures, p.skip, p.within)
+  }
+
+  private def parseBody(body: String): Parsed = {
     val spans = sectionSpans(body)
     def section(kw: String): Option[String] =
       spans.find(_._1 == kw).map { case (_, s, e) => body.substring(s, e).trim }
@@ -253,20 +272,105 @@ object MatchRecognizeSql {
       n -> expr(nav(scopeVars(p, vars, perRow = true)))
     }
 
-    if (allRows) {
-      MatchRecognize.annotate(df, partitionBy, orderBy, pattern, define, skip,
-        within)
-    } else {
+    val measures = if (allRows) Seq.empty else {
       val measuresSec = section("MEASURES").getOrElse(
         throw new IllegalArgumentException("ONE ROW PER MATCH needs MEASURES"))
       val asRe = "(?is)^(.+?)\\s+AS\\s+(\\w+)$".r
-      val measures = splitTop(measuresSec).map {
+      splitTop(measuresSec).map {
         case asRe(e, name) => (name, measureCol(e, vars))
         case other => throw new IllegalArgumentException(
           s"bad MEASURES item (need '<expr> AS name'): $other")
       }
-      MatchRecognize.oneRowPerMatch(
-        df, partitionBy, orderBy, pattern, define, measures, skip, within)
     }
+    Parsed(partitionBy, orderBy, allRows, skip, pattern, within, define,
+      rawDefs, measures)
+  }
+
+  // ------------------------------------------------------- streaming entry
+
+  /**
+   * The streaming result of [[stream]]: `annotated` is the unbounded
+   * ALL-ROWS match stream (matches finalize at the watermark and emit
+   * whole within one micro-batch — `MatchRecognize.annotateStreamDf`);
+   * `finishBatch` is the per-micro-batch completion that reconstructs
+   * `mr_seq` and, for ONE ROW PER MATCH, collapses each match with the
+   * clause's MEASURES (legal as a plain batch aggregate precisely
+   * because matches are batch-atomic — no match ever spans two
+   * micro-batches, the reference's StreamExecMatch emission unit).
+   */
+  case class StreamMatches(annotated: DataFrame,
+                           finishBatch: DataFrame => DataFrame) {
+    /** Run to a parquet directory, one `batch=<id>` partition per
+      * micro-batch — overwrite per batch id makes retried batches
+      * idempotent. Read back with [[readMatches]]. */
+    def start(path: String, checkpoint: String)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      annotated.writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val out = finishBatch(b)
+          if (!out.isEmpty)
+            out.write.mode("overwrite").parquet(s"$path/batch=$id")
+        }
+        .start()
+  }
+
+  /** Read a [[StreamMatches.start]] sink back, dropping the batch-id
+    * partition column. */
+  def readMatches(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("batch")
+
+  /**
+   * STREAMING MATCH_RECOGNIZE from the same SQL clause, ONE ROW PER
+   * MATCH included — the reference's StreamExecMatch default mode
+   * (flink-table-planner-blink/.../stream/StreamExecMatch.scala:68).
+   * The composition: the keyed streaming NFA finalizes matches as the
+   * watermark passes (`PATTERN (…) WITHIN` is the mandatory state
+   * horizon), whole matches emit atomically in one micro-batch, and the
+   * MEASURES collapse runs as an ordinary batch aggregate per
+   * micro-batch. Per-key match ordinals equal the batch operator's, so
+   * stream output == batch dual row-for-row.
+   *
+   * `df` must carry a watermark on the first ORDER BY column
+   * (`withWatermark`). Limitation vs the batch path: DEFINE predicates
+   * cannot use PREV/NEXT (they rewrite to lag/lead window functions,
+   * which streaming DataFrames don't support); conditions read the
+   * current row only.
+   */
+  def stream(df: DataFrame, clause: String): StreamMatches = {
+    val t = clause.trim
+    val body =
+      if (t.toUpperCase.startsWith("MATCH_RECOGNIZE"))
+        balanced(t, t.indexOf('('))
+      else if (t.startsWith("(")) balanced(t, 0)
+      else t
+    val p = parseBody(body)
+    val withinMs = p.within.map(_._2).getOrElse(throw
+      new IllegalArgumentException(
+        "streaming MATCH_RECOGNIZE requires PATTERN (…) WITHIN INTERVAL"))
+    val navRe = "(?i)\\b(PREV|NEXT)\\s*\\(".r
+    p.rawDefs.foreach { case (n, pred) =>
+      require(navRe.findFirstIn(pred).isEmpty,
+        s"streaming DEFINE cannot use PREV/NEXT (variable $n): " +
+          "lag/lead window functions are unsupported on streams")
+    }
+    val annotated = MatchRecognize.annotateStreamDf(
+      df, p.partitionBy, p.orderBy, p.pattern, p.define, withinMs, p.skip)
+    val keys = (p.partitionBy :+ "mr_match").map(
+      org.apache.spark.sql.functions.col)
+    val order = p.orderBy.map(org.apache.spark.sql.functions.col)
+    val finish = (batch: DataFrame) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, row_number}
+      val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+      val withSeq = batch.withColumn("mr_seq",
+        (row_number().over(w) - 1).cast("long"))
+      if (p.allRows) withSeq
+      else {
+        val aggs = p.measures.map { case (n, c) => c.as(n) }
+        withSeq.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      }
+    }
+    StreamMatches(annotated, finish)
   }
 }

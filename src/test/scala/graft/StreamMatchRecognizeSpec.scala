@@ -57,6 +57,58 @@ class StreamMatchRecognizeSpec extends AnyFunSuite {
                       (2L, "A", 2L), (2L, "A", 3L)))
   }
 
+  test("SQL stream ONE ROW PER MATCH equals batch dual on out-of-order input") {
+    implicit val sc = spark.sqlContext
+    val clause =
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES FIRST(A.event_id) AS first_id, LAST(B.event_id) AS last_id,
+        |         COUNT(B.*) AS n_b, sum(B.value) AS b_value
+        |ONE ROW PER MATCH
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (A B+) WITHIN INTERVAL '1' DAY
+        |DEFINE A AS event_type = 'purchase', B AS event_type = 'click'
+        |""".stripMargin
+    val mem = MemoryStream[SEv]
+    val src = mem.toDS().toDF().withWatermark("ts", "7 days")
+    val sm = graft.streaming.MatchRecognizeSql.stream(src, clause)
+    val dir = java.nio.file.Files.createTempDirectory("mr_stream").toString
+    val q = sm.start(s"$dir/out", s"$dir/ck")
+    val rnd = new scala.util.Random(42)
+    try {
+      // shuffle each chunk: arrival order within a micro-batch is
+      // arbitrary; chunks stay time-ordered so nothing is late-dropped
+      eventRows.grouped(150).foreach { c =>
+        mem.addData(rnd.shuffle(c): _*); q.processAllAvailable()
+      }
+      val last = eventRows.last
+      mem.addData(SEv(-1L, new Timestamp(last.ts.getTime + 30L * 86400 * 1000),
+        -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("mr_match"), col("first_id"),
+        col("last_id"), col("n_b"), round(col("b_value"), 3).as("bv"))
+      .collect().map(_.toSeq).toSet
+    val got = canon(
+      graft.streaming.MatchRecognizeSql.readMatches(spark, s"$dir/out"))
+    val exp = canon(graft.streaming.MatchRecognizeSql(eventRows.toDF(), clause))
+    assert(got.nonEmpty)
+    assert(got == exp)
+
+    // DEFINE with PREV/NEXT must be rejected up front on streams
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.MatchRecognizeSql.stream(src,
+        """PARTITION BY user_id ORDER BY ts, event_id
+          |MEASURES COUNT(*) AS n ONE ROW PER MATCH
+          |PATTERN (A B) WITHIN INTERVAL '1' DAY
+          |DEFINE A AS event_type = 'purchase',
+          |       B AS value > PREV(value)""".stripMargin)
+    }
+    assert(err.getMessage.contains("PREV"))
+  }
+
   test("streaming annotate equals batch annotate with WITHIN") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[SEv]
