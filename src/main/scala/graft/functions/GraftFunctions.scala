@@ -160,5 +160,10 @@ object GraftFunctions {
       udaf(new Sketches.CmsSketch, org.apache.spark.sql.Encoders.STRING))
     spark.udf.register("cms_estimate",
       (cells: Seq[Long], tok: String) => Sketches.cmsEstimate(cells.toArray, tok))
+    spark.udf.register("kmv_distinct",
+      udaf(new Sketches.KmvDistinct, org.apache.spark.sql.Encoders.STRING))
+    spark.udf.register("hist_quantile",
+      udaf(new Sketches.HistQuantile,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Int)]()))
   }
 }

@@ -122,6 +122,110 @@ object Sketches {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  val KmvK = 32 // matches SketchOps q154
+
+  /**
+   * `KmvDistinct`: mergeable bottom-k (KMV) distinct-count estimate —
+   * the Aggregator dual of SketchOps q154. Buffer = the ≤k smallest
+   * DISTINCT 60-bit hashes, kept sorted ascending; merge = sorted-merge
+   * + truncate (associative, commutative, idempotent). `finish` is the
+   * classic KMV estimator (k−1)·2^60 / h_k, exact (= buffer size) while
+   * fewer than k distinct values have been seen. Same "kmv" hash seed as
+   * q154, so the SQL-composed and Aggregator paths agree bit-for-bit.
+   */
+  class KmvDistinct extends Aggregator[String, Array[Long], Double] {
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(b: Array[Long], s: String): Array[Long] = {
+      val h = h60("kmv", s)
+      val pos = java.util.Arrays.binarySearch(b, h)
+      if (pos >= 0) b // already present
+      else {
+        val ins = -pos - 1
+        if (ins >= KmvK) b // larger than the kept k smallest
+        else {
+          val n = math.min(b.length + 1, KmvK)
+          val out = new Array[Long](n)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, n - ins - 1)
+          out
+        }
+      }
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val out = new Array[Long](math.min(a.length + b.length, KmvK))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+        val v = if (takeA) a(i) else b(j)
+        if (takeA) i += 1 else j += 1
+        if (i < a.length && a(i) == v) i += 1 // dedup across sides
+        if (j < b.length && b(j) == v) j += 1
+        out(n) = v; n += 1
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+    def finish(r: Array[Long]): Double =
+      if (r.length < KmvK) r.length.toDouble
+      else (KmvK - 1).toDouble * math.pow(2, 60) / r(KmvK - 1)
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  val HistScale = 16 // matches SketchOps q163
+
+  /**
+   * `HistQuantile`: mergeable power-of-two-histogram quantile estimate —
+   * the Aggregator dual of SketchOps q163. Input = (value, q) with q the
+   * integer percentile (e.g. 50, 90, 99; constant within a group).
+   * Buffer = 64 bucket counters (bucket = bit-length of the 2^4-scaled
+   * integer value, identical bucketing to q163) + the q slot; merge =
+   * element-wise sum. `finish` reads the smallest bucket whose
+   * cumulative count reaches ⌈q% · total⌉ and returns its value upper
+   * bound (2^bucket − 1) / 16 — the same integer-threshold arithmetic as
+   * the SQL form, so both paths agree bit-for-bit.
+   */
+  class HistQuantile extends Aggregator[(Double, Int), Array[Long], Double] {
+    private val B = 64
+    def zero: Array[Long] = new Array[Long](B + 1)
+    def reduce(b: Array[Long], in: (Double, Int)): Array[Long] = {
+      val n = math.floor(in._1 * HistScale).toLong + 1L
+      val bucket =
+        if (n == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n)
+      b(bucket - 1) += 1L
+      b(B) = in._2.toLong
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < B) { a(i) += b(i); i += 1 }
+      a(B) = math.max(a(B), b(B)) // zero-buffer side carries q = 0
+      a
+    }
+    def finish(r: Array[Long]): Double = {
+      val q = r(B)
+      var total = 0L
+      var i = 0
+      while (i < B) { total += r(i); i += 1 }
+      if (total == 0L) return Double.NaN
+      var cum = 0L
+      i = 0
+      while (i < B) {
+        cum += r(i)
+        if (cum * 100L >= total * q)
+          return (math.pow(2.0, (i + 1).toDouble) - 1.0) / HistScale
+        i += 1
+      }
+      (math.pow(2.0, B.toDouble) - 1.0) / HistScale
+    }
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   /** Point estimate from a CMS cell array (min over the token's cells). */
   def cmsEstimate(cells: Array[Long], tok: String): Long = {
     var est = Long.MaxValue

@@ -176,4 +176,67 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "AS w FROM gf_docs) WHERE w = 'the'").collect().head.getLong(0)
     assert(cms >= trueCnt, s"CMS one-sided error violated: $cms < $trueCnt")
   }
+
+  test("kmv_distinct SQL aggregate equals the typed path and the " +
+    "SQL-composed bottom-k (q154) arithmetic") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    docs.createOrReplaceTempView("gf_docs")
+    val sqlRes = spark.sql(
+      "SELECT source, round(kmv_distinct(text), 4) AS est " +
+      "FROM gf_docs GROUP BY source")
+    import spark.implicits._
+    val agg = new graft.functions.Sketches.KmvDistinct().toColumn
+    val colRes = docs.select(col("source"), col("text"))
+      .as[(String, String)].groupByKey(_._1).mapValues(_._2)
+      .agg(agg.name("est")).toDF("source", "est")
+      .withColumn("est", round(col("est"), 4))
+    assert(sqlRes.count() > 0)
+    assert(sqlRes.except(colRes).isEmpty && colRes.except(sqlRes).isEmpty)
+    // composed dual: the q154 bottom-k arithmetic over the same hash
+    val k = graft.functions.Sketches.KmvK
+    val h = udf((s: String) => graft.functions.Sketches.h60("kmv", s))
+    val dh = docs.select(col("source"), h(col("text")).as("h")).distinct()
+    val w = Window.partitionBy("source").orderBy("h")
+    val composed = dh.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).groupBy("source")
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .select(col("source"),
+        round(when(col("n") < k, col("n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * expr("power(2, 60)") / col("hk")),
+          4).as("est"))
+    assert(sqlRes.except(composed).isEmpty && composed.except(sqlRes).isEmpty)
+  }
+
+  test("hist_quantile SQL aggregate equals the SQL-composed histogram " +
+    "(q163) arithmetic") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    ev.createOrReplaceTempView("gf_ev")
+    val sqlRes = spark.sql(
+      "SELECT event_type, round(hist_quantile(value, 50), 6) AS p50, " +
+      "round(hist_quantile(value, 99), 6) AS p99 " +
+      "FROM gf_ev GROUP BY event_type")
+    val scale = graft.functions.Sketches.HistScale
+    val buck = ev.select(col("event_type"),
+        (floor(col("value") * scale).cast("long") + 1).as("n"))
+      .withColumn("bucket", length(expr("bin(n)")).cast("long"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtot = Window.partitionBy("event_type")
+    val cum = buck.withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("total", sum(col("c")).over(wtot))
+    def bq(q: Int) = min(when(col("cum") * 100 >= col("total") * q, col("bucket")))
+    def est(b: org.apache.spark.sql.Column) =
+      round((pow(lit(2.0), b) - lit(1.0)) / lit(scale.toDouble), 6)
+    val composed = cum.groupBy("event_type")
+      .agg(bq(50).as("b50"), bq(99).as("b99"))
+      .select(col("event_type"), est(col("b50")).as("p50"),
+        est(col("b99")).as("p99"))
+    assert(sqlRes.count() > 0)
+    assert(sqlRes.except(composed).isEmpty && composed.except(sqlRes).isEmpty)
+  }
 }
