@@ -38,6 +38,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "funnel must not join")
   }
 
+  test("whole-suite sweep: no CartesianProduct (outside the deliberate " +
+    "allowlist), no shuffled join built from a bare fixed-size dim scan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{
+      CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    // q13 is the documented deliberate cross (TPC-H q13-style pattern
+    // battery measures the cross against its broadcast rewrite).
+    val cartesianOk = Set("q13_nlj")
+    // region/nation are FIXED-SIZE at any scale factor (5/25 rows): a
+    // shuffled join whose build side is a bare pipeline over one of them
+    // is always wrong at 100 TB — it must broadcast.
+    def bareDimScan(p: SparkPlan): Boolean = {
+      val leaves = p.collectLeaves()
+      leaves.length == 1 &&
+        Seq("/region", "/nation").exists(leaves.head.toString.contains) &&
+        p.collect {
+          case j: SortMergeJoinExec => j
+          case j: ShuffledHashJoinExec => j
+        }.isEmpty
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val sp = SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+      val cart = sp.collect { case c: CartesianProductExec => c }
+      val dimShuffled = sp.collect {
+        case j: SortMergeJoinExec
+          if bareDimScan(j.left) || bareDimScan(j.right) => j
+        case j: ShuffledHashJoinExec
+          if bareDimScan(j.left) || bareDimScan(j.right) => j
+      }
+      (if (cart.nonEmpty && !cartesianOk.contains(name))
+         Seq(s"$name: CartesianProduct") else Nil) ++
+      (if (dimShuffled.nonEmpty)
+         Seq(s"$name: shuffled join over a bare region/nation scan") else Nil)
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("q166: segment dedup shuffles digests, not segment text") {
     // exchanges only exist post-EnsureRequirements → executedPlan
     val p = SparkEntry.queries("q166_segment_dedup")(spark, dir)
