@@ -25,7 +25,8 @@ object SparkEntry {
       AggOps.queries ++ CepOps.queries ++ GraphQueries.queries ++
       FormatOps.queries ++ MoreOps.queries ++ TpchOps.queries ++
       TpchSuite.queries ++ TpcdsSuite.queries ++ PipelineOps.queries ++
-      SketchOps.queries ++ BloomPrune.queries
+      SketchOps.queries ++ BloomPrune.queries ++
+      streaming.ReplayQueries.queries
     // Ensure the function registry is installed whichever query runs first.
     all.map { case (k, f) =>
       k -> ((s: SparkSession, dir: String) => { GraftSession.init(s); f(s, dir) })
@@ -41,5 +42,6 @@ object SparkEntry {
     AggOps.oracle ++ CepOps.oracle ++ GraphQueries.oracle ++
     FormatOps.oracle ++ MoreOps.oracle ++ TpchOps.oracle ++
     TpchSuite.oracle ++ TpcdsSuite.oracle ++ PipelineOps.oracle ++
-    SketchOps.oracle ++ BloomPrune.oracle
+    SketchOps.oracle ++ BloomPrune.oracle ++
+    streaming.ReplayQueries.oracle
 }
