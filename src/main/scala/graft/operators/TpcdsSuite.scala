@@ -950,10 +950,418 @@ object TpcdsSuite {
         sum(when(hour(col("ts")) === h && vcond, 1L).otherwise(0L))
           .as(s"h$h")
       ev.agg(band(8), (9 to 15).map(band): _*)
+    }),
+
+    // ── q33/q56/q60 family: per-channel UNION ALL restricted by an
+    // item-attribute SUBQUERY. The restriction is a semi-join on the
+    // restriction COLUMN (a brand qualifies if ANY of its parts has the
+    // attribute — deliberately not a local filter), and the grouping
+    // column + date window differ per variant, exactly how the three
+    // TPC-DS queries differ from each other. ──
+    "q181_tpcds33" -> ((s, dir) =>
+      channelUnionByItem(s, dir, _.filter(col("p_type") === "STANDARD"),
+        "p_brand", "1996-01-01", "1996-04-01")),
+
+    "q182_tpcds56" -> ((s, dir) =>
+      channelUnionByItem(s, dir, _.filter(col("p_size").isin(1, 5, 9)),
+        "p_type", "1996-04-01", "1996-07-01")),
+
+    "q183_tpcds60" -> ((s, dir) =>
+      channelUnionByItem(s, dir,
+        _.filter(col("p_retailprice").between(950, 952)),
+        "p_brand", "1996-07-01", "1996-10-01")),
+
+    // ── q48 shape: disjunction of (segment × price band) conjunctions
+    // ANDed with a disjunction of (geography × order-total band)
+    // conjunctions — the OR-of-bands join predicate that defeats
+    // single-range pushdown; one scalar result row. ──
+    "q184_tpcds48" -> ((s, dir) => {
+      def seg(m: String, a: Int, b: Int): Column =
+        col("c_mktsegment") === m && col("l_extendedprice").between(a, b)
+      def geo(ns: Seq[String], a: Int, b: Int): Column =
+        col("n_name").isin(ns: _*) && col("o_totalprice").between(a, b)
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .filter((seg("BUILDING", 5000, 40000) ||
+                 seg("MACHINERY", 20000, 60000) ||
+                 seg("HOUSEHOLD", 40000, 80000)) &&
+                (geo(Seq("NATION_1", "NATION_2"), 0, 200000) ||
+                 geo(Seq("NATION_3", "NATION_4"), 50000, 300000) ||
+                 geo(Seq("NATION_5", "NATION_6"), 100000, 400000)))
+        .agg(sum(col("l_quantity").cast(dec)).cast("double").as("total_qty"),
+             count(lit(1)).as("n"))
+    }),
+
+    // ── q13 shape: the q48 OR-band structure reporting exact averages
+    // (decimal-sum ÷ count) over quantity/price/discount. ──
+    "q185_tpcds13" -> ((s, dir) => {
+      def seg(m: String, a: Int, b: Int): Column =
+        col("c_mktsegment") === m && col("l_extendedprice").between(a, b)
+      def geo(ns: Seq[String], a: Int, b: Int): Column =
+        col("n_name").isin(ns: _*) && col("o_totalprice").between(a, b)
+      val n = count(lit(1))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .filter((seg("AUTOMOBILE", 1000, 30000) ||
+                 seg("FURNITURE", 15000, 45000) ||
+                 seg("MACHINERY", 30000, 70000)) &&
+                (geo(Seq("NATION_7", "NATION_8", "NATION_9"), 0, 250000) ||
+                 geo(Seq("NATION_10", "NATION_11"), 40000, 350000)))
+        .agg((sum(col("l_quantity").cast(dec)).cast("double") / n).as("avg_qty"),
+             (sum(col("l_extendedprice").cast(dec)).cast("double") / n)
+               .as("avg_price"),
+             (sum(col("l_discount").cast(dec)).cast("double") / n).as("avg_disc"),
+             sum(amt).cast("double").as("sum_amt"))
+    }),
+
+    // ── q75 shape: three-channel UNION re-aggregated per (year, brand),
+    // then a prior-year self-join keeping brands whose quantity DROPPED
+    // — the yearly-delta report. Self-join runs on the aggregated frame
+    // (25 brands × 2 years), never on the fact. ──
+    "q186_tpcds75" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      def chan(rf: String) = base.filter(col("l_returnflag") === rf)
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"), col("p_brand"))
+        .agg(sum(col("l_quantity").cast(dec)).as("qty"), sum(amt).as("sales"))
+      val all = chan("A").union(chan("N")).union(chan("R"))
+        .groupBy("yr", "p_brand")
+        .agg(sum(col("qty")).as("qty"), sum(col("sales")).as("sales"))
+      val prev = all.filter(col("yr") === 1996)
+        .select(col("p_brand").as("b_prev"), col("qty").as("qty_prev"),
+                col("sales").as("sales_prev"))
+      all.filter(col("yr") === 1997)
+        .join(prev, col("p_brand") === col("b_prev"))
+        .filter(col("qty") < col("qty_prev"))
+        .select(col("p_brand"),
+                col("qty_prev").cast("double").as("prev_qty"),
+                col("qty").cast("double").as("curr_qty"),
+                (col("qty") - col("qty_prev")).cast("double").as("qty_diff"),
+                (col("sales") - col("sales_prev")).cast("double")
+                  .as("sales_diff"))
+        .orderBy(col("qty_diff"), col("p_brand")).limit(100)
+    }),
+
+    // ── q70 shape: rank-per-grouping-level ROLLUP restricted to the
+    // top-5 nations per region by a windowed SUBQUERY — the two-stage
+    // "rank inside the dim selection, then rank inside the rollup"
+    // plan. Both windows run over aggregated frames. ──
+    "q187_tpcds70" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+      val perNation = base.groupBy(col("r_name").as("pr"), col("n_name").as("pn"))
+        .agg(sum(amt).as("prof"))
+      val wtop = Window.partitionBy("pr").orderBy(col("prof").desc, col("pn"))
+      val top = perNation.withColumn("rk", dense_rank().over(wtop))
+        .filter(col("rk") <= 5).select(col("pn"))
+      val agg = base.join(broadcast(top), col("n_name") === col("pn"),
+          "left_semi")
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(amt).cast("double").as("total"),
+             (grouping(col("r_name")) + grouping(col("n_name")))
+               .cast("long").as("lochierarchy"))
+      val wrank = Window
+        .partitionBy(col("lochierarchy"),
+                     when(col("lochierarchy") === 0, col("r_name")))
+        .orderBy(col("total").desc, coalesce(col("n_name"), lit("")))
+      agg.withColumn("rk", rank().over(wrank).cast("long"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+                coalesce(col("n_name"), lit("ALL")).as("n_name"),
+                col("total"), col("lochierarchy"), col("rk"))
+        .orderBy(col("lochierarchy").desc, col("r_name"), col("n_name"))
+    }),
+
+    // ── q16 shape: double correlation on the SAME fact — EXISTS a
+    // sibling line from a different supplier AND NOT EXISTS a returned
+    // line, over a date window; distinct-order count + revenue. The
+    // semi and anti join both key on l_orderkey, so they share one
+    // exchange with the o_orderkey join. ──
+    "q188_tpcds16" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k3"))
+      li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1996-07-01"))
+        .join(l2, col("l_orderkey") === col("k2") &&
+                  col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("k3"), "left_anti")
+        .agg(countDistinct(col("o_orderkey")).as("order_count"),
+             sum(amt).cast("double").as("total_amt"))
+    }),
+
+    // ── q45 shape: DISJUNCTIVE membership — a local band predicate OR
+    // an IN-subquery hit. The subquery leg becomes a broadcast marker
+    // join (not a semi join: rows failing it can still pass on the
+    // band), the canonical plan for OR-of-semi-join. ──
+    "q189_tpcds45" -> ((s, dir) => {
+      val pset = t(s, dir, "part").filter(col("p_size").between(1, 5))
+        .select(col("p_partkey").as("pk")).distinct()
+        .withColumn("in_pset", lit(1))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(pset), col("l_partkey") === col("pk"), "left_outer")
+        .filter(col("c_acctbal").between(1000, 5000) || col("in_pset") === 1)
+        .groupBy(col("n_name"))
+        .agg(sum(amt).cast("double").as("total"), count(lit(1)).as("n"))
+        .orderBy("n_name")
+    }),
+
+    // ── q2 shape: week-over-week weekday matrix — per (year, ISO week)
+    // pivot of the 7 weekday sums, then a same-week next-year self-join
+    // reporting the 7 ratios. Pivot happens in ONE aggregate (7
+    // conditional sums); the self-join runs on ~52 rows per side. ──
+    "q190_tpcds2" -> ((s, dir) => {
+      val days = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+      val dayAggs = days.zipWithIndex.map { case (d, i) =>
+        sum(when(dayofweek(col("o_orderdate")) === i + 1, amt)).as(d)
+      }
+      val wk = base
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+                 weekofyear(col("o_orderdate")).cast("long").as("wk"))
+        .agg(dayAggs.head, dayAggs.tail: _*)
+      val prev = wk.filter(col("yr") === 1996).select(
+        col("wk").as("wk_p") +: days.map(d => col(d).as(s"${d}_p")): _*)
+      wk.filter(col("yr") === 1997)
+        .join(prev, col("wk") === col("wk_p"))
+        .select(col("wk") +: days.map(d =>
+          (col(d).cast("double") / col(s"${d}_p").cast("double"))
+            .as(s"${d}_r")): _*)
+        .orderBy("wk")
     })
   )
 
+  /** q33/q56/q60 skeleton: three per-channel fact branches, each
+    * semi-joined to the item-attribute restriction set on `key`,
+    * aggregated per channel then re-aggregated over the UNION ALL.
+    * Decimal sums stay decimal through the re-aggregation (the 3-way
+    * double addition order would otherwise be engine-dependent). */
+  private def channelUnionByItem(s: SparkSession, dir: String,
+      restrict: DataFrame => DataFrame, key: String,
+      lo: String, hi: String): DataFrame = {
+    val keys = restrict(t(s, dir, "part")).select(col(key)).distinct()
+    val joined = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= ts(lo) && col("o_orderdate") < ts(hi))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(keys), Seq(key), "left_semi")
+    def chan(rf: String) = joined.filter(col("l_returnflag") === rf)
+      .groupBy(col(key)).agg(sum(amt).as("sales"))
+    chan("A").union(chan("N")).union(chan("R"))
+      .groupBy(col(key))
+      .agg(sum(col("sales")).cast("double").as("total_sales"))
+      .orderBy(col("total_sales").desc, col(key)).limit(100)
+  }
+
+  /** DuckDB dual of [[channelUnionByItem]]. */
+  private def channelUnionSql(restrict: String, key: String,
+      lo: String, hi: String): String = s"""
+    WITH chan AS (
+      SELECT l_returnflag AS rf, $key,
+             sum(CAST(l_extendedprice*(1.0-l_discount)
+                 AS DECIMAL(18,4))) AS sales
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE o_orderdate >= TIMESTAMP '$lo'
+        AND o_orderdate < TIMESTAMP '$hi'
+        AND $restrict
+      GROUP BY 1, 2)
+    SELECT $key, CAST(sum(sales) AS DOUBLE) AS total_sales
+    FROM chan GROUP BY 1
+    ORDER BY total_sales DESC, $key LIMIT 100"""
+
   val oracle: Map[String, String] = Map(
+
+    "q181_tpcds33" -> channelUnionSql(
+      "p_brand IN (SELECT p_brand FROM part WHERE p_type = 'STANDARD')",
+      "p_brand", "1996-01-01", "1996-04-01"),
+
+    "q182_tpcds56" -> channelUnionSql(
+      "p_type IN (SELECT p_type FROM part WHERE p_size IN (1, 5, 9))",
+      "p_type", "1996-04-01", "1996-07-01"),
+
+    "q183_tpcds60" -> channelUnionSql(
+      "p_brand IN (SELECT p_brand FROM part " +
+        "WHERE p_retailprice BETWEEN 950 AND 952)",
+      "p_brand", "1996-07-01", "1996-10-01"),
+
+    "q184_tpcds48" -> """
+      SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_qty,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE ((c_mktsegment = 'BUILDING'
+                AND l_extendedprice BETWEEN 5000 AND 40000)
+          OR (c_mktsegment = 'MACHINERY'
+                AND l_extendedprice BETWEEN 20000 AND 60000)
+          OR (c_mktsegment = 'HOUSEHOLD'
+                AND l_extendedprice BETWEEN 40000 AND 80000))
+        AND ((n_name IN ('NATION_1','NATION_2')
+                AND o_totalprice BETWEEN 0 AND 200000)
+          OR (n_name IN ('NATION_3','NATION_4')
+                AND o_totalprice BETWEEN 50000 AND 300000)
+          OR (n_name IN ('NATION_5','NATION_6')
+                AND o_totalprice BETWEEN 100000 AND 400000))""",
+
+    "q185_tpcds13" -> """
+      SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS avg_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS avg_price,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS avg_disc,
+             CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS sum_amt
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE ((c_mktsegment = 'AUTOMOBILE'
+                AND l_extendedprice BETWEEN 1000 AND 30000)
+          OR (c_mktsegment = 'FURNITURE'
+                AND l_extendedprice BETWEEN 15000 AND 45000)
+          OR (c_mktsegment = 'MACHINERY'
+                AND l_extendedprice BETWEEN 30000 AND 70000))
+        AND ((n_name IN ('NATION_7','NATION_8','NATION_9')
+                AND o_totalprice BETWEEN 0 AND 250000)
+          OR (n_name IN ('NATION_10','NATION_11')
+                AND o_totalprice BETWEEN 40000 AND 350000))""",
+
+    "q186_tpcds75" -> """
+      WITH chan AS (
+        SELECT l_returnflag AS rf, CAST(year(o_orderdate) AS BIGINT) AS yr,
+               p_brand,
+               sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty,
+               sum(CAST(l_extendedprice*(1.0-l_discount)
+                   AS DECIMAL(18,4))) AS sales
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE year(o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2, 3),
+      agg AS (
+        SELECT yr, p_brand, sum(qty) AS qty, sum(sales) AS sales
+        FROM chan GROUP BY 1, 2)
+      SELECT c.p_brand AS p_brand,
+             CAST(p.qty AS DOUBLE) AS prev_qty,
+             CAST(c.qty AS DOUBLE) AS curr_qty,
+             CAST(c.qty - p.qty AS DOUBLE) AS qty_diff,
+             CAST(c.sales - p.sales AS DOUBLE) AS sales_diff
+      FROM (SELECT * FROM agg WHERE yr = 1997) c
+      JOIN (SELECT * FROM agg WHERE yr = 1996) p ON c.p_brand = p.p_brand
+      WHERE c.qty < p.qty
+      ORDER BY qty_diff, p_brand LIMIT 100""",
+
+    "q187_tpcds70" -> """
+      WITH per AS (
+        SELECT r_name AS pr, n_name AS pn,
+               sum(CAST(l_extendedprice*(1.0-l_discount)
+                   AS DECIMAL(18,4))) AS prof
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2),
+      sel AS (
+        SELECT pn FROM (
+          SELECT pn, dense_rank() OVER (PARTITION BY pr
+                   ORDER BY prof DESC, pn) AS rk FROM per) x
+        WHERE rk <= 5),
+      agg AS (
+        SELECT r_name, n_name,
+               CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS total,
+               CAST(GROUPING(r_name) + GROUPING(n_name) AS BIGINT)
+                 AS lochierarchy
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE n_name IN (SELECT pn FROM sel)
+        GROUP BY ROLLUP(r_name, n_name))
+      SELECT coalesce(r_name, 'ALL') AS r_name,
+             coalesce(n_name, 'ALL') AS n_name,
+             total, lochierarchy,
+             CAST(rank() OVER (
+               PARTITION BY lochierarchy,
+                 CASE WHEN lochierarchy = 0 THEN r_name END
+               ORDER BY total DESC, coalesce(n_name, '')) AS BIGINT) AS rk
+      FROM agg
+      ORDER BY lochierarchy DESC, r_name, n_name""",
+
+    "q188_tpcds16" -> """
+      SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS order_count,
+             CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS total_amt
+      FROM lineitem l1
+      JOIN orders ON l1.l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_returnflag = 'R')""",
+
+    "q189_tpcds45" -> """
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS total,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_acctbal BETWEEN 1000 AND 5000
+         OR l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_size BETWEEN 1 AND 5)
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "q190_tpcds2" -> ("""
+      WITH wk AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(weekofyear(o_orderdate) AS BIGINT) AS wk,
+               """ + Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+                 .zipWithIndex.map { case (d, i) =>
+                   s"""sum(CASE WHEN dayofweek(o_orderdate) = $i
+                       THEN CAST(l_extendedprice*(1.0-l_discount)
+                            AS DECIMAL(18,4)) END) AS $d"""
+                 }.mkString(",\n               ") + """
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2)
+      SELECT c.wk AS wk,
+             """ + Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+               .map(d => s"CAST(c.$d AS DOUBLE) / CAST(p.$d AS DOUBLE)" +
+                 s" AS ${d}_r").mkString(",\n             ") + """
+      FROM (SELECT * FROM wk WHERE yr = 1997) c
+      JOIN (SELECT * FROM wk WHERE yr = 1996) p ON c.wk = p.wk
+      ORDER BY wk"""),
 
     "q145_tpcds39" -> """
       WITH m AS (
