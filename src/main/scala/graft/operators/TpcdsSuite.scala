@@ -1123,6 +1123,205 @@ object TpcdsSuite {
         .orderBy("n_name")
     }),
 
+    // ── q3 shape: star-join report — (year, brand) revenue for one
+    // item type, the canonical dimensional report. ──
+    "q191_tpcds3" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_type") === "PROMO")
+        .groupBy(year(col("o_orderdate")).cast("long").as("d_year"),
+                 col("p_brand"))
+        .agg(sum(amt).cast("double").as("total"))
+        .orderBy(col("d_year"), col("total").desc, col("p_brand"))
+        .limit(100)
+    }),
+
+    // ── q6 shape: customers-per-geo buying items priced above 1.2× the
+    // average of their item TYPE — the correlated scalar-average
+    // subquery decorrelated to a per-type aggregate broadcast back. ──
+    "q192_tpcds6" -> ((s, dir) => {
+      val typAvg = t(s, dir, "part").groupBy(col("p_type").as("ta_type"))
+        .agg((sum(col("p_retailprice").cast(dec)).cast("double") /
+              count(lit(1))).as("type_avg"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(typAvg), col("p_type") === col("ta_type"))
+        .filter(col("p_retailprice") > col("type_avg") * 1.03)
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(countDistinct(col("c_custkey")).as("cnt"))
+        .filter(col("cnt") >= 10)
+        .orderBy(col("cnt"), col("n_name")).limit(100)
+    }),
+
+    // ── q12/q98 family: revenue share within item class via a window
+    // over the aggregated frame (the share denominator never rescans
+    // the fact). Two variants on the two order-status channels. ──
+    "q193_tpcds12" -> ((s, dir) => tpcds12Share(s, dir, "F")),
+    "q194_tpcds98" -> ((s, dir) => tpcds12Share(s, dir, "O")),
+
+    // ── q19 shape: brand revenue where the customer's and supplier's
+    // geographies DIFFER (the cross-geo trade report). ──
+    "q195_tpcds19" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-03-01") &&
+                col("o_orderdate") < ts("1996-04-01"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(amt).cast("double").as("total"))
+        .orderBy(col("total").desc, col("p_brand")).limit(100)
+    }),
+
+    // ── q30 shape: customers whose returns exceed 1.2× their nation's
+    // average customer return (q1's web variant: same above-group-
+    // average skeleton, customer-level output). ──
+    "q196_tpcds30" -> ((s, dir) => {
+      val ret = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .agg(sum(amt).as("ret_amt"))
+      val w = Window.partitionBy(col("c_nationkey"))
+      ret
+        .withColumn("nat_avg",
+          sum(col("ret_amt")).over(w).cast("double") /
+            count(lit(1)).over(w))
+        .filter(col("ret_amt").cast("double") > col("nat_avg") * 1.2)
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+                col("ret_amt").cast("double").as("ret_amt"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ── q32/q92 shape: excess discount — lines whose discount exceeds
+    // 1.3× the average discount of THEIR part over the window; the
+    // correlated average decorrelated to a per-part aggregate. ──
+    "q197_tpcds32" -> ((s, dir) => {
+      val win = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1996-07-01"))
+      val perPart = win.groupBy(col("l_partkey").as("ap_key"))
+        .agg((sum(col("l_discount").cast(dec)).cast("double") /
+              count(lit(1))).as("avg_disc"))
+      win.join(perPart, col("l_partkey") === col("ap_key"))
+        .filter(col("l_discount") > col("avg_disc") * 1.3)
+        .agg(sum(col("l_extendedprice").cast(dec)).cast("double")
+               .as("excess"))
+    }),
+
+    // ── q42/q55 family: month dimensional report (year×type / brand). ──
+    "q198_tpcds42" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-05-01") &&
+                col("o_orderdate") < ts("1996-06-01"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("d_year"),
+                 col("p_type"))
+        .agg(sum(amt).cast("double").as("total"))
+        .orderBy(col("total").desc, col("d_year"), col("p_type"))
+        .limit(100)
+    }),
+    "q199_tpcds55" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-11-01") &&
+                col("o_orderdate") < ts("1996-12-01"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(amt).cast("double").as("total"))
+        .orderBy(col("total").desc, col("p_brand")).limit(100)
+    }),
+
+    // ── q61 shape: promotional-to-total revenue ratio — two scalar
+    // aggregates over the same windowed fact, joined as 1-row frames
+    // (broadcast scalar join, never a real cartesian). ──
+    "q200_tpcds61" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1997-01-01"))
+      val promo = base.filter(col("o_orderpriority") === "1-URGENT")
+        .agg(sum(amt).cast("double").as("promo_rev"))
+      val total = base.agg(sum(amt).cast("double").as("total_rev"))
+      promo.crossJoin(broadcast(total))
+        .select(col("promo_rev"), col("total_rev"),
+                (col("promo_rev") * 100.0 / col("total_rev")).as("pct"))
+    }),
+
+    // ── q62 shape: ship-latency day-band pivot per order priority
+    // (30/60/90/120+ day buckets of o_orderdate → l_shipdate). ──
+    "q201_tpcds62" -> ((s, dir) => {
+      val lat = datediff(col("l_shipdate"), col("o_orderdate"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(when(lat <= 30, 1)).as("d30"),
+             count(when(lat > 30 && lat <= 60, 1)).as("d60"),
+             count(when(lat > 60 && lat <= 90, 1)).as("d90"),
+             count(when(lat > 90, 1)).as("d120"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ── q73 shape: order item-count band joined back to the customer
+    // (the q34 family at a different band with per-order output). ──
+    "q202_tpcds73" -> ((s, dir) => {
+      val per = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt").between(5, 7))
+      per.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+                col("cnt"))
+        .orderBy(col("cnt").desc, col("c_name"), col("o_orderkey"))
+    }),
+
+    // ── q89 shape: monthly sums per (type, brand) vs the group's year
+    // average via a window over the aggregated frame; keep rows
+    // deviating > 10%, report the deviation. ──
+    "q203_tpcds89" -> ((s, dir) => {
+      val monthly = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(year(col("o_orderdate")) === 1996)
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("p_brand"),
+                 month(col("o_orderdate")).cast("long").as("m"))
+        .agg(sum(amt).as("msum"))
+      val w = Window.partitionBy(col("p_type"), col("p_brand"))
+      monthly
+        .withColumn("avg_m",
+          sum(col("msum")).over(w).cast("double") / count(lit(1)).over(w))
+        .withColumn("msum_d", col("msum").cast("double"))
+        .filter(col("avg_m") =!= 0.0 &&
+                abs(col("msum_d") - col("avg_m")) / col("avg_m") > 0.1)
+        .select(col("p_type"), col("p_brand"), col("m"),
+                col("msum_d").as("msum"), col("avg_m"))
+        .orderBy((col("msum_d") - col("avg_m")).asc, col("p_type"),
+                 col("p_brand"), col("m"))
+        .limit(100)
+    }),
+
+    // ── q96 shape: single band-count scalar (one filtered COUNT over
+    // two dim predicates — q88's battery reduced to one cell). ──
+    "q204_tpcds96" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderpriority") === "2-HIGH" &&
+                col("l_quantity").between(20, 30))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     // ── q2 shape: week-over-week weekday matrix — per (year, ISO week)
     // pivot of the 7 weekday sums, then a same-week next-year self-join
     // reporting the 7 ratios. Pivot happens in ONE aggregate (7
@@ -1172,6 +1371,48 @@ object TpcdsSuite {
       .orderBy(col("total_sales").desc, col(key)).limit(100)
   }
 
+  /** q12/q98 skeleton: revenue per (p_type, p_name) over a date window
+    * and order-status channel; share-of-class from a window over the
+    * aggregated frame (the denominator never rescans the fact). */
+  private def tpcds12Share(s: SparkSession, dir: String,
+      status: String): DataFrame = {
+    val per = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderstatus") === status &&
+              col("o_orderdate") >= ts("1996-02-01") &&
+              col("o_orderdate") < ts("1996-03-01"))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("p_name"))
+      .agg(sum(amt).as("rev"))
+    val w = Window.partitionBy(col("p_type"))
+    per.withColumn("class_rev", sum(col("rev")).over(w))
+      .select(col("p_type"), col("p_name"),
+              col("rev").cast("double").as("rev"),
+              (col("rev").cast("double") * 100.0 /
+               col("class_rev").cast("double")).as("revenueratio"))
+      .orderBy(col("p_type"), col("revenueratio"), col("p_name"))
+  }
+
+  /** DuckDB dual of [[tpcds12Share]]. */
+  private def tpcds12ShareSql(status: String): String = s"""
+    WITH per AS (
+      SELECT p_type, p_name,
+             sum(CAST(l_extendedprice*(1.0-l_discount)
+                 AS DECIMAL(18,4))) AS rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE o_orderstatus = '$status'
+        AND o_orderdate >= TIMESTAMP '1996-02-01'
+        AND o_orderdate < TIMESTAMP '1996-03-01'
+      GROUP BY 1, 2)
+    SELECT p_type, p_name, CAST(rev AS DOUBLE) AS rev,
+           CAST(rev AS DOUBLE) * 100.0 /
+             CAST(sum(rev) OVER (PARTITION BY p_type) AS DOUBLE)
+             AS revenueratio
+    FROM per
+    ORDER BY p_type, revenueratio, p_name"""
+
   /** DuckDB dual of [[channelUnionByItem]]. */
   private def channelUnionSql(restrict: String, key: String,
       lo: String, hi: String): String = s"""
@@ -1191,6 +1432,184 @@ object TpcdsSuite {
     ORDER BY total_sales DESC, $key LIMIT 100"""
 
   val oracle: Map[String, String] = Map(
+
+    "q191_tpcds3" -> """
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS d_year, p_brand,
+             CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'PROMO'
+      GROUP BY 1, 2
+      ORDER BY d_year, total DESC, p_brand LIMIT 100""",
+
+    "q192_tpcds6" -> """
+      WITH ta AS (
+        SELECT p_type AS ta_type,
+               CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) AS type_avg
+        FROM part GROUP BY 1)
+      SELECT n_name, CAST(count(DISTINCT c_custkey) AS BIGINT) AS cnt
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN ta ON p_type = ta_type
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE p_retailprice > type_avg * 1.03
+      GROUP BY n_name
+      HAVING count(DISTINCT c_custkey) >= 10
+      ORDER BY cnt, n_name LIMIT 100""",
+
+    "q193_tpcds12" -> tpcds12ShareSql("F"),
+    "q194_tpcds98" -> tpcds12ShareSql("O"),
+
+    "q195_tpcds19" -> """
+      SELECT p_brand,
+             CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE o_orderdate >= TIMESTAMP '1996-03-01'
+        AND o_orderdate < TIMESTAMP '1996-04-01'
+        AND c_nationkey <> s_nationkey
+      GROUP BY p_brand
+      ORDER BY total DESC, p_brand LIMIT 100""",
+
+    "q196_tpcds30" -> """
+      WITH ret AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               sum(CAST(l_extendedprice*(1.0-l_discount)
+                   AS DECIMAL(18,4))) AS ret_amt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2, 3),
+      win AS (
+        SELECT *, CAST(sum(ret_amt) OVER (PARTITION BY c_nationkey)
+                       AS DOUBLE)
+                    / count(*) OVER (PARTITION BY c_nationkey) AS nat_avg
+        FROM ret)
+      SELECT c_custkey, c_name, n_name,
+             CAST(ret_amt AS DOUBLE) AS ret_amt
+      FROM win JOIN nation ON c_nationkey = n_nationkey
+      WHERE CAST(ret_amt AS DOUBLE) > nat_avg * 1.2
+      ORDER BY c_custkey""",
+
+    "q197_tpcds32" -> """
+      WITH win AS (
+        SELECT l_partkey, l_discount, l_extendedprice
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'),
+      ap AS (
+        SELECT l_partkey AS ap_key,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) AS avg_disc
+        FROM win GROUP BY 1)
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS excess
+      FROM win JOIN ap ON l_partkey = ap_key
+      WHERE l_discount > avg_disc * 1.3""",
+
+    "q198_tpcds42" -> """
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS d_year, p_type,
+             CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE o_orderdate >= TIMESTAMP '1996-05-01'
+        AND o_orderdate < TIMESTAMP '1996-06-01'
+      GROUP BY 1, 2
+      ORDER BY total DESC, d_year, p_type LIMIT 100""",
+
+    "q199_tpcds55" -> """
+      SELECT p_brand,
+             CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE o_orderdate >= TIMESTAMP '1996-11-01'
+        AND o_orderdate < TIMESTAMP '1996-12-01'
+      GROUP BY p_brand
+      ORDER BY total DESC, p_brand LIMIT 100""",
+
+    "q200_tpcds61" -> """
+      WITH base AS (
+        SELECT o_orderpriority, l_extendedprice, l_discount
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'),
+      promo AS (
+        SELECT CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS promo_rev
+        FROM base WHERE o_orderpriority = '1-URGENT'),
+      total AS (
+        SELECT CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+        FROM base)
+      SELECT promo_rev, total_rev, promo_rev * 100.0 / total_rev AS pct
+      FROM promo, total""",
+
+    "q201_tpcds62" -> """
+      SELECT o_orderpriority,
+             CAST(count(CASE WHEN lat <= 30 THEN 1 END) AS BIGINT) AS d30,
+             CAST(count(CASE WHEN lat > 30 AND lat <= 60 THEN 1 END)
+                  AS BIGINT) AS d60,
+             CAST(count(CASE WHEN lat > 60 AND lat <= 90 THEN 1 END)
+                  AS BIGINT) AS d90,
+             CAST(count(CASE WHEN lat > 90 THEN 1 END) AS BIGINT) AS d120
+      FROM (SELECT o_orderpriority,
+                   date_diff('day', o_orderdate, l_shipdate) AS lat
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey) x
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q202_tpcds73" -> """
+      SELECT c_name, c_custkey, o_orderkey, cnt
+      FROM (SELECT o_orderkey, o_custkey,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+            HAVING count(*) BETWEEN 5 AND 7) per
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY cnt DESC, c_name, o_orderkey""",
+
+    "q203_tpcds89" -> """
+      WITH monthly AS (
+        SELECT p_type, p_brand,
+               CAST(month(o_orderdate) AS BIGINT) AS m,
+               sum(CAST(l_extendedprice*(1.0-l_discount)
+                   AS DECIMAL(18,4))) AS msum
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE year(o_orderdate) = 1996
+        GROUP BY 1, 2, 3),
+      win AS (
+        SELECT *, CAST(sum(msum) OVER (PARTITION BY p_type, p_brand)
+                       AS DOUBLE)
+                    / count(*) OVER (PARTITION BY p_type, p_brand)
+                    AS avg_m,
+               CAST(msum AS DOUBLE) AS msum_d
+        FROM monthly)
+      SELECT p_type, p_brand, m, msum_d AS msum, avg_m
+      FROM win
+      WHERE avg_m <> 0.0 AND abs(msum_d - avg_m) / avg_m > 0.1
+      ORDER BY msum_d - avg_m ASC, p_type, p_brand, m LIMIT 100""",
+
+    "q204_tpcds96" -> """
+      SELECT CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '2-HIGH'
+        AND l_quantity BETWEEN 20 AND 30""",
 
     "q181_tpcds33" -> channelUnionSql(
       "p_brand IN (SELECT p_brand FROM part WHERE p_type = 'STANDARD')",
