@@ -1322,6 +1322,198 @@ object TpcdsSuite {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    // ── q28 shape: six-band average/distinct battery in ONE scan
+    // (conditional aggregates instead of the reference's six
+    // cross-joined scalar subqueries — the q9/q88 pattern extended
+    // with per-band DISTINCT counts). ──
+    "q205_tpcds28" -> ((s, dir) => {
+      def band(i: Int): Column =
+        col("l_quantity") >= (i - 1) * 8 + 1 && col("l_quantity") <= i * 8
+      val aggs = (1 to 6).flatMap { i =>
+        Seq(
+          (sum(when(band(i), col("l_extendedprice")).cast(dec))
+             .cast("double") / count(when(band(i), lit(1))))
+            .as(s"avg_price_$i"),
+          countDistinct(when(band(i), col("l_extendedprice")))
+            .as(s"dist_price_$i"))
+      }
+      t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    }),
+
+    // ── q74 shape: year-over-year customer ratio over a UNION of the
+    // two channel legs (q11's union variant: channel totals built by
+    // UNION ALL then pivoted by filter-joins on the aggregated frame). ──
+    "q206_tpcds74" -> ((s, dir) => {
+      def leg(ls: String) = t(s, dir, "lineitem")
+        .filter(col("l_linestatus") === ls)
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+                 year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum(amt).as("total"))
+        .withColumn("chan", lit(ls))
+      val all = leg("F").union(leg("O"))
+      def slice(ch: String, y: Int, out: String) = all
+        .filter(col("chan") === ch && col("yr") === y)
+        .select(col("c_custkey").as(s"k_$out"), col("c_name").as(s"n_$out"),
+                col("total").cast("double").as(out))
+      slice("F", 1996, "s1")
+        .join(slice("F", 1997, "s2"), col("k_s1") === col("k_s2"))
+        .join(slice("O", 1996, "w1"), col("k_s1") === col("k_w1"))
+        .join(slice("O", 1997, "w2"), col("k_s1") === col("k_w2"))
+        .filter(col("s1") > 0 && col("w1") > 0 &&
+                col("w2") / col("w1") > col("s2") / col("s1"))
+        .select(col("k_s1").as("c_custkey"), col("n_s1").as("c_name"))
+        .orderBy("c_custkey").limit(100)
+    }),
+
+    // ── q76 shape: cross-channel union of "degenerate-attribute" rows
+    // (zero-discount lines per channel) counted per (channel, year,
+    // quarter) — the union-then-group report over all three channels. ──
+    "q207_tpcds76" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .filter(col("l_discount") === 0.0)
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      def chan(rf: String, nm: String) = base
+        .filter(col("l_returnflag") === rf)
+        .select(lit(nm).as("channel"),
+                year(col("o_orderdate")).cast("long").as("yr"),
+                quarter(col("o_orderdate")).cast("long").as("q"),
+                col("l_extendedprice"))
+      chan("A", "store").union(chan("N", "catalog")).union(chan("R", "web"))
+        .groupBy("channel", "yr", "q")
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("l_extendedprice").cast(dec)).cast("double")
+               .as("sales"))
+        .orderBy("channel", "yr", "q")
+    }),
+
+    // ── q80 shape: per-channel sales/returns/profit, rolled up over
+    // (channel, brand). The rollup re-aggregates the PRE-AGGREGATED
+    // per-(channel, brand) frame — the pre-agg-below-Expand structure
+    // by construction. ──
+    "q208_tpcds80" -> ((s, dir) => {
+      val per = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1997-01-01"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_linestatus").as("channel"), col("p_brand"))
+        .agg(sum(when(col("l_returnflag") =!= "R", amt)).as("sales"),
+             sum(when(col("l_returnflag") === "R", amt)).as("returns"),
+             sum(when(col("l_returnflag") =!= "R", prof)).as("profit"))
+      per.rollup(col("channel"), col("p_brand"))
+        .agg(sum(col("sales")).cast("double").as("sales"),
+             sum(col("returns")).cast("double").as("returns"),
+             sum(col("profit")).cast("double").as("profit"))
+        .select(coalesce(col("channel"), lit("ALL")).as("channel"),
+                coalesce(col("p_brand"), lit("ALL")).as("p_brand"),
+                col("sales"), col("returns"), col("profit"))
+        .orderBy("channel", "p_brand")
+    }),
+
+    // ── q86 shape: two-level rollup with rank per grouping level, no
+    // dim side (q36/q70's skeleton on the item hierarchy alone). ──
+    "q209_tpcds86" -> ((s, dir) => {
+      val agg = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1996-04-01"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .rollup(col("p_type"), col("p_brand"))
+        .agg(sum(amt).cast("double").as("total"),
+             (grouping(col("p_type")) + grouping(col("p_brand")))
+               .cast("long").as("lochierarchy"))
+      val w = Window
+        .partitionBy(col("lochierarchy"),
+                     when(col("lochierarchy") === 0, col("p_type")))
+        .orderBy(col("total").desc, coalesce(col("p_brand"), lit("")))
+      agg.withColumn("rk", rank().over(w).cast("long"))
+        .select(coalesce(col("p_type"), lit("ALL")).as("p_type"),
+                coalesce(col("p_brand"), lit("ALL")).as("p_brand"),
+                col("total"), col("lochierarchy"), col("rk"))
+        .orderBy(col("lochierarchy").desc, col("p_type"), col("p_brand"))
+    }),
+
+    // ── q17 shape: the buy → return → re-buy chain (q29's joins)
+    // reporting per-brand count/mean/stddev — stddev computed from
+    // exact decimal (n, Σx, Σx²) in BOTH engines, so the float is
+    // bit-deterministic (builtin stddev would sum doubles in engine-
+    // dependent order). Chain scope is (customer NATION, part): the
+    // synthetic data has no per-customer repeat-purchase pattern, so
+    // the per-customer chain of real q17 would be empty here. ──
+    "q210_tpcds17" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def leg(rf: String, ck: String, pk: String, q: String) =
+        li.filter(col("l_returnflag") === rf)
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as(ck), col("l_partkey").as(pk),
+                  col("l_quantity").as(q))
+      val buy = leg("A", "ck", "pk", "q_buy")
+      val ret = leg("R", "ck2", "pk2", "q_ret")
+      val rebuy = leg("N", "ck3", "pk3", "q_re")
+      def stats(q: Column, nm: String): Seq[Column] = {
+        val n = count(lit(1)).cast("double")
+        val sx = sum(q.cast(dec)).cast("double")
+        val sxx = sum((q * q).cast(dec)).cast("double")
+        Seq(count(lit(1)).as(s"${nm}_cnt"),
+            (sx / n).as(s"${nm}_mean"),
+            sqrt((sxx - sx * sx / n) / (n - 1.0)).as(s"${nm}_std"))
+      }
+      val allStats = stats(col("q_buy"), "buy") ++
+        stats(col("q_ret"), "ret") ++ stats(col("q_re"), "re")
+      buy.join(ret, col("ck") === col("ck2") && col("pk") === col("pk2"))
+        .join(rebuy, col("ck") === col("ck3") && col("pk") === col("pk3"))
+        .join(t(s, dir, "part"), col("pk") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(allStats.head, allStats.tail: _*)
+        .filter(col("buy_cnt") >= 2) // stddev undefined (0/0) at n=1
+        .orderBy("p_brand")
+    }),
+
+    // ── q53 shape: quarterly manufacturer sums vs the yearly average
+    // (q89's family at quarter grain with a HAVING-style deviation
+    // filter). ──
+    "q211_tpcds53" -> ((s, dir) => {
+      val q = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(year(col("o_orderdate")) === 1996)
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+                 quarter(col("o_orderdate")).cast("long").as("qtr"))
+        .agg(sum(amt).as("qsum"))
+      val w = Window.partitionBy(col("p_brand"))
+      q.withColumn("avg_q",
+          sum(col("qsum")).over(w).cast("double") / count(lit(1)).over(w))
+        .withColumn("qsum_d", col("qsum").cast("double"))
+        .filter(col("avg_q") > 0.0 &&
+                abs(col("qsum_d") - col("avg_q")) / col("avg_q") > 0.05)
+        .select(col("p_brand"), col("qtr"), col("qsum_d").as("qsum"),
+                col("avg_q"))
+        .orderBy(col("avg_q").desc, col("qsum"), col("p_brand"), col("qtr"))
+        .limit(100)
+    }),
+
+    // ── q82 shape: item report semi-joined to windowed fact activity
+    // (parts in a price band that SOLD in the window with a quantity
+    // band) — the inventory-availability report without an inventory
+    // table. ──
+    "q212_tpcds82" -> ((s, dir) => {
+      val active = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1996-07-01") &&
+                col("l_quantity").between(10, 40))
+        .select(col("l_partkey"))
+      t(s, dir, "part")
+        .filter(col("p_retailprice").between(920, 970))
+        .join(active, col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy("p_partkey").limit(100)
+    }),
+
     // ── q2 shape: week-over-week weekday matrix — per (year, ISO week)
     // pivot of the 7 weekday sums, then a same-week next-year self-join
     // reporting the 7 ratios. Pivot happens in ONE aggregate (7
@@ -1432,6 +1624,175 @@ object TpcdsSuite {
     ORDER BY total_sales DESC, $key LIMIT 100"""
 
   val oracle: Map[String, String] = Map(
+
+    "q205_tpcds28" -> ("""
+      SELECT
+        """ + (1 to 6).map { i =>
+          val lo = (i - 1) * 8 + 1
+          val hi = i * 8
+          s"""CAST(sum(CASE WHEN l_quantity BETWEEN $lo AND $hi
+                THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE)
+                / count(CASE WHEN l_quantity BETWEEN $lo AND $hi THEN 1 END)
+                AS avg_price_$i,
+              CAST(count(DISTINCT CASE WHEN l_quantity BETWEEN $lo AND $hi
+                THEN l_extendedprice END) AS BIGINT) AS dist_price_$i"""
+        }.mkString(",\n        ") + """
+      FROM lineitem"""),
+
+    "q206_tpcds74" -> """
+      WITH leg AS (
+        SELECT l_linestatus AS chan, c_custkey, c_name,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE year(o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2, 3, 4)
+      SELECT s1.c_custkey AS c_custkey, s1.c_name AS c_name
+      FROM (SELECT * FROM leg WHERE chan='F' AND yr=1996) s1
+      JOIN (SELECT * FROM leg WHERE chan='F' AND yr=1997) s2
+        ON s1.c_custkey = s2.c_custkey
+      JOIN (SELECT * FROM leg WHERE chan='O' AND yr=1996) w1
+        ON s1.c_custkey = w1.c_custkey
+      JOIN (SELECT * FROM leg WHERE chan='O' AND yr=1997) w2
+        ON s1.c_custkey = w2.c_custkey
+      WHERE s1.total > 0 AND w1.total > 0
+        AND w2.total / w1.total > s2.total / s1.total
+      ORDER BY c_custkey LIMIT 100""",
+
+    "q207_tpcds76" -> """
+      SELECT CASE l_returnflag WHEN 'A' THEN 'store'
+                               WHEN 'N' THEN 'catalog'
+                               ELSE 'web' END AS channel,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(quarter(o_orderdate) AS BIGINT) AS q,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sales
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_discount = 0.0
+      GROUP BY 1, 2, 3
+      ORDER BY channel, yr, q""",
+
+    "q208_tpcds80" -> """
+      WITH per AS (
+        SELECT l_linestatus AS channel, p_brand,
+               sum(CASE WHEN l_returnflag <> 'R'
+                   THEN CAST(l_extendedprice*(1.0-l_discount)
+                        AS DECIMAL(18,4)) END) AS sales,
+               sum(CASE WHEN l_returnflag = 'R'
+                   THEN CAST(l_extendedprice*(1.0-l_discount)
+                        AS DECIMAL(18,4)) END) AS returns,
+               sum(CASE WHEN l_returnflag <> 'R'
+                   THEN CAST(l_extendedprice*(1.0-l_discount)
+                        - 0.5*p_retailprice*l_quantity
+                        AS DECIMAL(18,4)) END) AS profit
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2)
+      SELECT coalesce(channel, 'ALL') AS channel,
+             coalesce(p_brand, 'ALL') AS p_brand,
+             CAST(sum(sales) AS DOUBLE) AS sales,
+             CAST(sum(returns) AS DOUBLE) AS returns,
+             CAST(sum(profit) AS DOUBLE) AS profit
+      FROM per GROUP BY ROLLUP(channel, p_brand)
+      ORDER BY channel, p_brand""",
+
+    "q209_tpcds86" -> """
+      WITH agg AS (
+        SELECT p_type, p_brand,
+               CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS total,
+               CAST(GROUPING(p_type) + GROUPING(p_brand) AS BIGINT)
+                 AS lochierarchy
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY ROLLUP(p_type, p_brand))
+      SELECT coalesce(p_type, 'ALL') AS p_type,
+             coalesce(p_brand, 'ALL') AS p_brand,
+             total, lochierarchy,
+             CAST(rank() OVER (
+               PARTITION BY lochierarchy,
+                 CASE WHEN lochierarchy = 0 THEN p_type END
+               ORDER BY total DESC, coalesce(p_brand, '')) AS BIGINT) AS rk
+      FROM agg
+      ORDER BY lochierarchy DESC, p_type, p_brand""",
+
+    "q210_tpcds17" -> ("""
+      WITH buy AS (
+        SELECT c_nationkey AS ck, l_partkey AS pk, l_quantity AS q_buy
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'A'),
+      ret AS (
+        SELECT c_nationkey AS ck, l_partkey AS pk, l_quantity AS q_ret
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'),
+      rebuy AS (
+        SELECT c_nationkey AS ck, l_partkey AS pk, l_quantity AS q_re
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'N')
+      SELECT p_brand,
+        """ + Seq(("q_buy", "buy"), ("q_ret", "ret"), ("q_re", "re"))
+          .map { case (q, nm) =>
+            s"""CAST(count(*) AS BIGINT) AS ${nm}_cnt,
+              CAST(sum(CAST($q AS DECIMAL(18,4))) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS ${nm}_mean,
+              sqrt((CAST(sum(CAST($q*$q AS DECIMAL(18,4))) AS DOUBLE)
+                    - CAST(sum(CAST($q AS DECIMAL(18,4))) AS DOUBLE)
+                      * CAST(sum(CAST($q AS DECIMAL(18,4))) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE))
+                   / (CAST(count(*) AS DOUBLE) - 1.0)) AS ${nm}_std"""
+          }.mkString(",\n        ") + """
+      FROM buy
+      JOIN ret ON buy.ck = ret.ck AND buy.pk = ret.pk
+      JOIN rebuy ON buy.ck = rebuy.ck AND buy.pk = rebuy.pk
+      JOIN part ON buy.pk = p_partkey
+      GROUP BY p_brand
+      HAVING count(*) >= 2
+      ORDER BY p_brand"""),
+
+    "q211_tpcds53" -> """
+      WITH q AS (
+        SELECT p_brand, CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+               sum(CAST(l_extendedprice*(1.0-l_discount)
+                   AS DECIMAL(18,4))) AS qsum
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE year(o_orderdate) = 1996
+        GROUP BY 1, 2),
+      win AS (
+        SELECT *, CAST(sum(qsum) OVER (PARTITION BY p_brand) AS DOUBLE)
+                    / count(*) OVER (PARTITION BY p_brand) AS avg_q,
+               CAST(qsum AS DOUBLE) AS qsum_d
+        FROM q)
+      SELECT p_brand, qtr, qsum_d AS qsum, avg_q
+      FROM win
+      WHERE avg_q > 0.0 AND abs(qsum_d - avg_q) / avg_q > 0.05
+      ORDER BY avg_q DESC, qsum, p_brand, qtr LIMIT 100""",
+
+    "q212_tpcds82" -> """
+      SELECT p_partkey, p_name, p_retailprice
+      FROM part
+      WHERE p_retailprice BETWEEN 920 AND 970
+        AND p_partkey IN (
+          SELECT l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1996-07-01'
+            AND l_quantity BETWEEN 10 AND 40)
+      ORDER BY p_partkey LIMIT 100""",
 
     "q191_tpcds3" -> """
       SELECT CAST(year(o_orderdate) AS BIGINT) AS d_year, p_brand,
