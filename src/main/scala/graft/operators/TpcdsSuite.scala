@@ -1514,6 +1514,200 @@ object TpcdsSuite {
         .orderBy("p_partkey").limit(100)
     }),
 
+    // ── q7/q26 family: demographic average report — 4 exact averages
+    // per item type for one customer segment; the catalog variant
+    // differs by segment + channel flag. ──
+    "q213_tpcds7" -> ((s, dir) => demographicAvgs(s, dir, "AUTOMOBILE", "A")),
+    "q216_tpcds26" -> ((s, dir) => demographicAvgs(s, dir, "FURNITURE", "N")),
+
+    // ── q20 shape: share-of-class on the catalog channel (the q12/q98
+    // skeleton keyed by return-flag channel instead of order status). ──
+    "q214_tpcds20" -> ((s, dir) => {
+      val per = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "N")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-02-01") &&
+                col("o_orderdate") < ts("1996-03-01"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("p_name"))
+        .agg(sum(amt).as("rev"))
+      val w = Window.partitionBy(col("p_type"))
+      per.withColumn("class_rev", sum(col("rev")).over(w))
+        .select(col("p_type"), col("p_name"),
+                col("rev").cast("double").as("rev"),
+                (col("rev").cast("double") * 100.0 /
+                 col("class_rev").cast("double")).as("revenueratio"))
+        .orderBy(col("p_type"), col("revenueratio"), col("p_name"))
+    }),
+
+    // ── q25 shape: the buy→return→re-buy chain reporting net AMOUNTS
+    // (q17's joins, money aggregates instead of quantity stats). ──
+    "q215_tpcds25" -> ((s, dir) => {
+      def leg(rf: String, ck: String, pk: String, a: String) =
+        t(s, dir, "lineitem").filter(col("l_returnflag") === rf)
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as(ck), col("l_partkey").as(pk),
+                  amt.as(a))
+      leg("A", "ck", "pk", "a_buy")
+        .join(leg("R", "ck2", "pk2", "a_ret"),
+              col("ck") === col("ck2") && col("pk") === col("pk2"))
+        .join(leg("N", "ck3", "pk3", "a_re"),
+              col("ck") === col("ck3") && col("pk") === col("pk3"))
+        .join(t(s, dir, "part"), col("pk") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("a_buy")).cast("double").as("buy_amt"),
+             sum(col("a_ret")).cast("double").as("ret_amt"),
+             sum(col("a_re")).cast("double").as("re_amt"))
+        .orderBy("p_brand")
+    }),
+
+    // ── q27 shape: two-level geo rollup of exact averages for one
+    // segment (rank-free q36 with average measures). ──
+    "q217_tpcds27" -> ((s, dir) => {
+      val n = count(lit(1))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .rollup(col("n_name"), col("p_type"))
+        .agg((sum(col("l_quantity").cast(dec)).cast("double") / n)
+               .as("avg_qty"),
+             (sum(col("l_extendedprice").cast(dec)).cast("double") / n)
+               .as("avg_price"),
+             (grouping(col("n_name")) + grouping(col("p_type")))
+               .cast("long").as("lochierarchy"))
+        .select(coalesce(col("n_name"), lit("ALL")).as("n_name"),
+                coalesce(col("p_type"), lit("ALL")).as("p_type"),
+                col("avg_qty"), col("avg_price"), col("lochierarchy"))
+        .orderBy(col("lochierarchy").desc, col("n_name"), col("p_type"))
+    }),
+
+    // ── q40 shape: before/after-pivot-date returned amounts per brand
+    // over a window (q21's band skeleton with money measures). ──
+    "q218_tpcds40" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" &&
+                col("l_shipdate") >= ts("1996-03-01") &&
+                col("l_shipdate") < ts("1996-09-01"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(when(col("l_shipdate") < ts("1996-06-01"), amt))
+               .cast("double").as("before_amt"),
+             sum(when(col("l_shipdate") >= ts("1996-06-01"), amt))
+               .cast("double").as("after_amt"))
+        .orderBy("p_brand")
+    }),
+
+    // ── q43 shape: weekday sums pivot per supplier geography, one
+    // year (the q2 matrix at dim grain without the YoY join). ──
+    "q219_tpcds43" -> ((s, dir) => {
+      val days = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+      val dayAggs = days.zipWithIndex.map { case (d, i) =>
+        sum(when(dayofweek(col("o_orderdate")) === i + 1, amt))
+          .cast("double").as(d)
+      }
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(year(col("o_orderdate")) === 1996)
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dayAggs.head, dayAggs.tail: _*)
+        .orderBy("n_name")
+    }),
+
+    // ── q46/q68 shape: per-order amounts for one segment where the
+    // supplier ships cross-nation; order-level output joined back to
+    // the customer. ──
+    "q220_tpcds46" -> ((s, dir) => {
+      val per = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("c_name"), col("o_orderkey"))
+        .agg(sum(amt).cast("double").as("net_amt"),
+             sum((col("l_extendedprice") * col("l_tax")).cast(dec))
+               .cast("double").as("tax_amt"))
+      per.orderBy(col("c_name"), col("o_orderkey")).limit(100)
+    }),
+
+    // ── q52 shape: (year, brand) month report — the q42/q55 family's
+    // third variant (December window, year+brand output). ──
+    "q221_tpcds52" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-12-01") &&
+                col("o_orderdate") < ts("1997-01-01"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("d_year"),
+                 col("p_brand"))
+        .agg(sum(amt).cast("double").as("total"))
+        .orderBy(col("total").desc, col("p_brand")).limit(100)
+    }),
+
+    // ── q63 shape: monthly manufacturer deviation for an item subset
+    // (q53's skeleton at month grain with a type filter). ──
+    "q222_tpcds63" -> ((s, dir) => {
+      val m = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(year(col("o_orderdate")) === 1996)
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_type").isin("ECONOMY", "STANDARD", "PROMO"))
+        .groupBy(col("p_brand"),
+                 month(col("o_orderdate")).cast("long").as("m"))
+        .agg(sum(amt).as("msum"))
+      val w = Window.partitionBy(col("p_brand"))
+      m.withColumn("avg_m",
+          sum(col("msum")).over(w).cast("double") / count(lit(1)).over(w))
+        .withColumn("msum_d", col("msum").cast("double"))
+        .filter(col("avg_m") > 0.0 &&
+                abs(col("msum_d") - col("avg_m")) / col("avg_m") > 0.1)
+        .select(col("p_brand"), col("m"), col("msum_d").as("msum"),
+                col("avg_m"))
+        .orderBy(col("p_brand"), col("m")).limit(100)
+    }),
+
+    // ── q91 shape: one-month returned-loss report per (segment,
+    // priority) — the call-center loss report on available dims. ──
+    "q223_tpcds91" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-08-01") &&
+                col("o_orderdate") < ts("1996-09-01"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(sum(amt).cast("double").as("loss"))
+        .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+    }),
+
+    // ── q97 shape: channel key-overlap counts — distinct (customer,
+    // part) pairs per channel, FULL OUTER joined on the aggregated
+    // key sets, counted into store-only / web-only / both. ──
+    "q224_tpcds97" -> ((s, dir) => {
+      def keys(ls: String, c: String, p: String) = t(s, dir, "lineitem")
+        .filter(col("l_linestatus") === ls)
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as(c), col("l_partkey").as(p)).distinct()
+      keys("F", "sc", "sp")
+        .join(keys("O", "wc", "wp"),
+              col("sc") === col("wc") && col("sp") === col("wp"),
+              "full_outer")
+        .agg(count(when(col("sc").isNotNull && col("wc").isNull, 1))
+               .as("store_only"),
+             count(when(col("sc").isNull && col("wc").isNotNull, 1))
+               .as("web_only"),
+             count(when(col("sc").isNotNull && col("wc").isNotNull, 1))
+               .as("both_ch"))
+    }),
+
     // ── q2 shape: week-over-week weekday matrix — per (year, ISO week)
     // pivot of the 7 weekday sums, then a same-week next-year self-join
     // reporting the 7 ratios. Pivot happens in ONE aggregate (7
@@ -1562,6 +1756,47 @@ object TpcdsSuite {
       .agg(sum(col("sales")).cast("double").as("total_sales"))
       .orderBy(col("total_sales").desc, col(key)).limit(100)
   }
+
+  /** q7/q26 skeleton: four exact averages per item type for one
+    * customer segment and channel flag. */
+  private def demographicAvgs(s: SparkSession, dir: String,
+      segment: String, rf: String): DataFrame = {
+    val n = count(lit(1))
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === rf)
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === segment)
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg((sum(col("l_quantity").cast(dec)).cast("double") / n)
+             .as("avg_qty"),
+           (sum(col("l_extendedprice").cast(dec)).cast("double") / n)
+             .as("avg_price"),
+           (sum(col("l_discount").cast(dec)).cast("double") / n)
+             .as("avg_disc"),
+           (sum(col("l_tax").cast(dec)).cast("double") / n).as("avg_tax"))
+      .orderBy("p_type")
+  }
+
+  /** DuckDB dual of [[demographicAvgs]]. */
+  private def demographicAvgsSql(segment: String, rf: String): String = s"""
+    SELECT p_type,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             / count(*) AS avg_disc,
+           CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE)
+             / count(*) AS avg_tax
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_returnflag = '$rf' AND c_mktsegment = '$segment'
+    GROUP BY p_type
+    ORDER BY p_type"""
 
   /** q12/q98 skeleton: revenue per (p_type, p_name) over a date window
     * and order-status channel; share-of-class from a window over the
@@ -1624,6 +1859,188 @@ object TpcdsSuite {
     ORDER BY total_sales DESC, $key LIMIT 100"""
 
   val oracle: Map[String, String] = Map(
+
+    "q213_tpcds7" -> demographicAvgsSql("AUTOMOBILE", "A"),
+    "q216_tpcds26" -> demographicAvgsSql("FURNITURE", "N"),
+
+    "q214_tpcds20" -> """
+      WITH per AS (
+        SELECT p_type, p_name,
+               sum(CAST(l_extendedprice*(1.0-l_discount)
+                   AS DECIMAL(18,4))) AS rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_returnflag = 'N'
+          AND o_orderdate >= TIMESTAMP '1996-02-01'
+          AND o_orderdate < TIMESTAMP '1996-03-01'
+        GROUP BY 1, 2)
+      SELECT p_type, p_name, CAST(rev AS DOUBLE) AS rev,
+             CAST(rev AS DOUBLE) * 100.0 /
+               CAST(sum(rev) OVER (PARTITION BY p_type) AS DOUBLE)
+               AS revenueratio
+      FROM per
+      ORDER BY p_type, revenueratio, p_name""",
+
+    "q215_tpcds25" -> """
+      WITH buy AS (
+        SELECT c_nationkey AS ck, l_partkey AS pk,
+               CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))
+                 AS a_buy
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'A'),
+      ret AS (
+        SELECT c_nationkey AS ck, l_partkey AS pk,
+               CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))
+                 AS a_ret
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'),
+      rebuy AS (
+        SELECT c_nationkey AS ck, l_partkey AS pk,
+               CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))
+                 AS a_re
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'N')
+      SELECT p_brand,
+             CAST(sum(a_buy) AS DOUBLE) AS buy_amt,
+             CAST(sum(a_ret) AS DOUBLE) AS ret_amt,
+             CAST(sum(a_re) AS DOUBLE) AS re_amt
+      FROM buy
+      JOIN ret ON buy.ck = ret.ck AND buy.pk = ret.pk
+      JOIN rebuy ON buy.ck = rebuy.ck AND buy.pk = rebuy.pk
+      JOIN part ON buy.pk = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand""",
+
+    "q217_tpcds27" -> """
+      SELECT coalesce(n_name, 'ALL') AS n_name,
+             coalesce(p_type, 'ALL') AS p_type,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS avg_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS avg_price,
+             CAST(GROUPING(n_name) + GROUPING(p_type) AS BIGINT)
+               AS lochierarchy
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY ROLLUP(n_name, p_type)
+      ORDER BY lochierarchy DESC, n_name, p_type""",
+
+    "q218_tpcds40" -> """
+      SELECT p_brand,
+             CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1996-06-01'
+                  THEN CAST(l_extendedprice*(1.0-l_discount)
+                       AS DECIMAL(18,4)) END) AS DOUBLE) AS before_amt,
+             CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-06-01'
+                  THEN CAST(l_extendedprice*(1.0-l_discount)
+                       AS DECIMAL(18,4)) END) AS DOUBLE) AS after_amt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'R'
+        AND l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l_shipdate < TIMESTAMP '1996-09-01'
+      GROUP BY p_brand
+      ORDER BY p_brand""",
+
+    "q219_tpcds43" -> ("""
+      SELECT n_name,
+             """ + Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+               .zipWithIndex.map { case (d, i) =>
+                 s"""CAST(sum(CASE WHEN dayofweek(o_orderdate) = $i
+                     THEN CAST(l_extendedprice*(1.0-l_discount)
+                          AS DECIMAL(18,4)) END) AS DOUBLE) AS $d"""
+               }.mkString(",\n             ") + """
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE year(o_orderdate) = 1996
+      GROUP BY n_name
+      ORDER BY n_name"""),
+
+    "q220_tpcds46" -> """
+      SELECT c_name, o_orderkey,
+             CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS net_amt,
+             CAST(sum(CAST(l_extendedprice*l_tax AS DECIMAL(18,4)))
+                  AS DOUBLE) AS tax_amt
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND s_nationkey <> c_nationkey
+      GROUP BY c_name, o_orderkey
+      ORDER BY c_name, o_orderkey LIMIT 100""",
+
+    "q221_tpcds52" -> """
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS d_year, p_brand,
+             CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE o_orderdate >= TIMESTAMP '1996-12-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+      ORDER BY total DESC, p_brand LIMIT 100""",
+
+    "q222_tpcds63" -> """
+      WITH m AS (
+        SELECT p_brand, CAST(month(o_orderdate) AS BIGINT) AS m,
+               sum(CAST(l_extendedprice*(1.0-l_discount)
+                   AS DECIMAL(18,4))) AS msum
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE year(o_orderdate) = 1996
+          AND p_type IN ('ECONOMY', 'STANDARD', 'PROMO')
+        GROUP BY 1, 2),
+      win AS (
+        SELECT *, CAST(sum(msum) OVER (PARTITION BY p_brand) AS DOUBLE)
+                    / count(*) OVER (PARTITION BY p_brand) AS avg_m,
+               CAST(msum AS DOUBLE) AS msum_d
+        FROM m)
+      SELECT p_brand, m, msum_d AS msum, avg_m
+      FROM win
+      WHERE avg_m > 0.0 AND abs(msum_d - avg_m) / avg_m > 0.1
+      ORDER BY p_brand, m LIMIT 100""",
+
+    "q223_tpcds91" -> """
+      SELECT c_mktsegment, o_orderpriority,
+             CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS loss
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-08-01'
+        AND o_orderdate < TIMESTAMP '1996-09-01'
+      GROUP BY 1, 2
+      ORDER BY c_mktsegment, o_orderpriority""",
+
+    "q224_tpcds97" -> """
+      WITH f AS (
+        SELECT DISTINCT o_custkey AS sc, l_partkey AS sp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linestatus = 'F'),
+      o AS (
+        SELECT DISTINCT o_custkey AS wc, l_partkey AS wp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linestatus = 'O')
+      SELECT CAST(count(CASE WHEN sc IS NOT NULL AND wc IS NULL
+                   THEN 1 END) AS BIGINT) AS store_only,
+             CAST(count(CASE WHEN sc IS NULL AND wc IS NOT NULL
+                   THEN 1 END) AS BIGINT) AS web_only,
+             CAST(count(CASE WHEN sc IS NOT NULL AND wc IS NOT NULL
+                   THEN 1 END) AS BIGINT) AS both_ch
+      FROM f FULL OUTER JOIN o ON sc = wc AND sp = wp""",
 
     "q205_tpcds28" -> ("""
       SELECT
