@@ -91,6 +91,34 @@ object Bench {
     val total = good.map { case (_, ts) => median(ts) }.sum
     val base62 = good.collect { case (k, ts) if baselineSet(k) => median(ts) }.sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"stat":"median","baseline62":$base62%.3f,"queries":$qs,"queries_min":$mins,"failed":$failed,"sf":"$sfDir"}""")
+    // Scaling outliers (stderr, stdout stays one JSON line): compare this
+    // run's per-query mins against the band's recorded sf0.01 mins
+    // (tools/bench_band.py writes queries_small). 10x data puts linear
+    // queries near 10x; >30x flags super-linear growth — the cheap local
+    // proxy for the 100 TB question. The 0.05 s floor keeps fixed
+    // per-job overhead from faking sub-linearity into the denominator.
+    if (sfDir.endsWith("sf0.1")) {
+      try {
+        val bandPath = java.nio.file.Paths.get("BASELINE_QUERIES.json")
+        if (java.nio.file.Files.exists(bandPath)) {
+          val txt = java.nio.file.Files.readString(bandPath)
+          "\"queries_small\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+            .foreach { m =>
+              val pair = "\"(q[0-9a-z_]+)\"\\s*:\\s*([0-9.]+)".r
+              val small = pair.findAllMatchIn(m.group(1))
+                .map(p => p.group(1) -> p.group(2).toDouble).toMap
+              good.foreach { case (k, ts) =>
+                small.get(k).foreach { s =>
+                  val ratio = ts.head / math.max(s, 0.05)
+                  if (ratio > 30.0) System.err.println(
+                    f"BENCH SCALING OUTLIER $k: $ratio%.1fx for 10x data " +
+                      f"(sf0.01 min $s%.3f s -> ${ts.head}%.3f s)")
+                }
+              }
+            }
+        }
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

@@ -65,14 +65,32 @@ def extract(path):
     return qs, norm_sf(sf)
 
 
+SMALL_SF = 0.01
+# Fixed per-job overhead floor: below this an sf0.01 time measures Spark
+# scheduling, not the operator, and the ratio would be meaningless.
+SMALL_FLOOR = 0.05
+# 10x data -> linear queries land near 10; 30 allows 3x constant-factor
+# slack (partition-count effects, broadcast thresholds) before a query
+# is flagged super-linear.
+SCALING_OUTLIER = 30.0
+
+
 def main():
     paths = sys.argv[1:] or sorted(glob.glob("BENCH_r*.json"))
     best = {}
+    small = {}
     sf = None
     used = 0
+    used_small = 0
     for p in paths:
         qs, run_sf = extract(p)
         if not qs:
+            continue
+        if run_sf == SMALL_SF:
+            # small-sf runs feed the scaling denominator, not the band
+            used_small += 1
+            for q, sec in qs.items():
+                small[q] = min(small.get(q, float("inf")), sec)
             continue
         if sf is None:
             sf = run_sf
@@ -81,11 +99,28 @@ def main():
         used += 1
         for q, sec in qs.items():
             best[q] = min(best.get(q, float("inf")), sec)
+    # sf0.01 -> sf0.1 scaling ratio per query: the cheap local proxy for
+    # the 100x question. ratio >> 10 on a calm host = super-linear.
+    scaling = {}
+    for q, sec in sorted(best.items()):
+        if q in small:
+            scaling[q] = round(sec / max(small[q], SMALL_FLOOR), 2)
     out = {"sf": sf, "runs": used,
            "queries": {q: round(s, 3) for q, s in sorted(best.items())}}
+    if scaling:
+        out["small_sf"] = SMALL_SF
+        out["runs_small"] = used_small
+        out["queries_small"] = {q: round(s, 3) for q, s in sorted(small.items())}
+        out["scaling"] = scaling
     with open("BASELINE_QUERIES.json", "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
-    print(f"BASELINE_QUERIES.json: {len(best)} queries from {used} runs at sf={sf}")
+    print(f"BASELINE_QUERIES.json: {len(best)} queries from {used} runs "
+          f"at sf={sf}; scaling ratios for {len(scaling)} queries from "
+          f"{used_small} sf={SMALL_SF} runs")
+    outliers = {q: r for q, r in scaling.items() if r > SCALING_OUTLIER}
+    for q, r in sorted(outliers.items(), key=lambda kv: -kv[1]):
+        print(f"SCALING OUTLIER {q}: {r}x for 10x data "
+              f"({small[q]}s -> {best[q]}s)")
 
 
 if __name__ == "__main__":
