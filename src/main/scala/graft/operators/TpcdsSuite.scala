@@ -1708,6 +1708,310 @@ object TpcdsSuite {
                .as("both_ch"))
     }),
 
+    // ── q8 shape: sales restricted to geographies qualified by a
+    // HAVING-subquery on a different table (nations with ≥ 10
+    // high-balance customers). ──
+    "q225_tpcds8" -> ((s, dir) => {
+      val qual = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .groupBy(col("c_nationkey").as("qk"))
+        .agg(count(lit(1)).as("nc")).filter(col("nc") >= 10)
+        .select(col("qk"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(qual), col("c_nationkey") === col("qk"), "left_semi")
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(amt).cast("double").as("total"))
+        .orderBy("n_name")
+    }),
+
+    // ── q10 shape: customer demographic counts gated on EXISTS in one
+    // channel AND EXISTS in (either of two others) — the q35 battery
+    // with an OR leg. ──
+    "q226_tpcds10" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      def active(rf: String) = li.filter(col("l_returnflag") === rf)
+        .select(col("o_custkey").as("ak")).distinct()
+      val either = active("N").union(active("R")).distinct()
+      t(s, dir, "customer")
+        .join(broadcast(active("A")),
+              col("c_custkey") === col("ak"), "left_semi")
+        .join(broadcast(either.select(col("ak").as("bk"))),
+              col("c_custkey") === col("bk"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+             (sum(col("c_acctbal").cast(dec)).cast("double") /
+              count(lit(1))).as("avg_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ── q15 shape: revenue per geography where ANY of three
+    // heterogeneous dim predicates holds (balance OR order size OR
+    // nation membership). ──
+    "q227_tpcds15" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-04-01") &&
+                col("o_orderdate") < ts("1996-07-01"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .filter(col("c_acctbal") > 8000 ||
+                col("o_totalprice") > 300000 ||
+                col("n_name").isin("NATION_20", "NATION_21", "NATION_22"))
+        .groupBy(col("n_name"))
+        .agg(sum(amt).cast("double").as("total"))
+        .orderBy("n_name")
+    }),
+
+    // ── q24 shape: grouped returns kept only above a GLOBAL scalar
+    // threshold (1.05× the average group total, computed over the
+    // aggregated frame and broadcast back). ──
+    "q228_tpcds24" -> ((s, dir) => {
+      val per = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("n_name"), col("p_type"))
+        .agg(sum(amt).as("ret"))
+      val thresh = per.agg(
+        (sum(col("ret")).cast("double") / count(lit(1)) * 1.05)
+          .as("bar"))
+      per.crossJoin(broadcast(thresh))
+        .filter(col("ret").cast("double") > col("bar"))
+        .select(col("n_name"), col("p_type"),
+                col("ret").cast("double").as("ret"))
+        .orderBy("n_name", "p_type")
+    }),
+
+    // ── q37 shape: the q82 item report on the catalog channel with a
+    // different price/quantity band and the type column exposed. ──
+    "q229_tpcds37" -> ((s, dir) => {
+      val active = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "N")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-07-01") &&
+                col("o_orderdate") < ts("1997-01-01") &&
+                col("l_quantity").between(5, 35))
+        .select(col("l_partkey"))
+      t(s, dir, "part")
+        .filter(col("p_retailprice").between(930, 980))
+        .join(active, col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"), col("p_type"),
+                col("p_retailprice"))
+        .orderBy("p_partkey").limit(100)
+    }),
+
+    // ── q50/q99 family: ship-latency day-band pivot — per supplier
+    // geography (q50) and per (priority, year) with five buckets
+    // (q99). ──
+    "q230_tpcds50" -> ((s, dir) => {
+      val lat = datediff(col("l_shipdate"), col("o_orderdate"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(when(lat <= 30, 1)).as("d30"),
+             count(when(lat > 30 && lat <= 60, 1)).as("d60"),
+             count(when(lat > 60 && lat <= 90, 1)).as("d90"),
+             count(when(lat > 90, 1)).as("d120"))
+        .orderBy("n_name")
+    }),
+    "q240_tpcds99" -> ((s, dir) => {
+      val lat = datediff(col("l_shipdate"), col("o_orderdate"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"),
+                 year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(when(lat <= 15, 1)).as("d15"),
+             count(when(lat > 15 && lat <= 30, 1)).as("d30"),
+             count(when(lat > 30 && lat <= 45, 1)).as("d45"),
+             count(when(lat > 45 && lat <= 60, 1)).as("d60"),
+             count(when(lat > 60, 1)).as("d75"))
+        .orderBy("o_orderpriority", "yr")
+    }),
+
+    // ── q57 shape: monthly brand deviation with the NEIGHBOR months
+    // alongside — lag/lead over the aggregated monthly frame after the
+    // window-average deviation filter. ──
+    "q231_tpcds57" -> ((s, dir) => {
+      val m = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(year(col("o_orderdate")) === 1996)
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+                 month(col("o_orderdate")).cast("long").as("m"))
+        .agg(sum(amt).as("msum"))
+      val wb = Window.partitionBy(col("p_brand"))
+      val wo = Window.partitionBy(col("p_brand")).orderBy(col("m"))
+      m.withColumn("avg_m",
+          sum(col("msum")).over(wb).cast("double") / count(lit(1)).over(wb))
+        .withColumn("msum_d", col("msum").cast("double"))
+        .withColumn("prev_m", lag(col("msum").cast("double"), 1).over(wo))
+        .withColumn("next_m", lead(col("msum").cast("double"), 1).over(wo))
+        .filter(col("avg_m") > 0.0 &&
+                abs(col("msum_d") - col("avg_m")) / col("avg_m") > 0.1)
+        .select(col("p_brand"), col("m"), col("msum_d").as("msum"),
+                col("avg_m"), col("prev_m"), col("next_m"))
+        .orderBy(col("p_brand"), col("m")).limit(100)
+    }),
+
+    // ── q68 shape: per-order amount report for price-band lines of
+    // two segments (q46's skeleton on a value band instead of the
+    // geography mismatch). ──
+    "q232_tpcds68" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_extendedprice").between(20000, 60000))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("MACHINERY", "HOUSEHOLD"))
+        .groupBy(col("c_name"), col("o_orderkey"))
+        .agg(sum(amt).cast("double").as("net_amt"),
+             sum(col("l_discount").cast(dec)).cast("double")
+               .as("disc_sum"))
+        .orderBy(col("c_name"), col("o_orderkey")).limit(100)
+    }),
+
+    // ── q69 shape: demographic counts for customers ACTIVE in one
+    // channel but NOT in another — the semi + anti battery on the
+    // same fact. ──
+    "q233_tpcds69" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      def active(ls: String) = li.filter(col("l_linestatus") === ls)
+        .select(col("o_custkey").as("ak")).distinct()
+      t(s, dir, "customer")
+        .join(broadcast(active("F")),
+              col("c_custkey") === col("ak"), "left_semi")
+        .join(broadcast(active("P").select(col("ak").as("pk"))),
+              col("c_custkey") === col("pk"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ── q79 shape: per-(customer, order) profit for one priority and
+    // month, customer-level output. ──
+    "q234_tpcds79" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+                col("o_orderdate") >= ts("1996-05-01") &&
+                col("o_orderdate") < ts("1996-06-01"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("c_name"), col("o_orderkey"))
+        .agg(sum(prof).cast("double").as("profit"))
+        .orderBy(col("c_name"), col("o_orderkey")).limit(100)
+    }),
+
+    // ── q81 shape: q30's above-nation-average returns on the finished
+    // channel slice, with the balance exposed (the catalog-returns
+    // variant). ──
+    "q235_tpcds81" -> ((s, dir) => {
+      val ret = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_linestatus") === "F")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+                 col("c_nationkey"))
+        .agg(sum(amt).as("ret_amt"))
+      val w = Window.partitionBy(col("c_nationkey"))
+      ret
+        .withColumn("nat_avg",
+          sum(col("ret_amt")).over(w).cast("double") /
+            count(lit(1)).over(w))
+        .filter(col("ret_amt").cast("double") > col("nat_avg") * 1.2)
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+                col("n_name"),
+                col("ret_amt").cast("double").as("ret_amt"))
+        .orderBy(col("c_custkey")).limit(100)
+    }),
+
+    // ── q83 shape: three date-set return totals joined on the item —
+    // each month's share of the three-month total. ──
+    "q236_tpcds83" -> ((s, dir) => {
+      def monthRet(lo: String, hi: String, out: String) =
+        t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R" &&
+                  col("l_shipdate") >= ts(lo) && col("l_shipdate") < ts(hi))
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand").as(s"b_$out"))
+          .agg(sum(col("l_quantity").cast(dec)).as(out))
+      monthRet("1996-03-01", "1996-04-01", "q1")
+        .join(monthRet("1996-06-01", "1996-07-01", "q2"),
+              col("b_q1") === col("b_q2"))
+        .join(monthRet("1996-09-01", "1996-10-01", "q3"),
+              col("b_q1") === col("b_q3"))
+        .select(col("b_q1").as("p_brand"),
+                col("q1").cast("double").as("qty1"),
+                col("q2").cast("double").as("qty2"),
+                col("q3").cast("double").as("qty3"),
+                ((col("q1") + col("q2") + col("q3")).cast("double") / 3.0)
+                  .as("avg_qty"))
+        .orderBy("p_brand")
+    }),
+
+    // ── q84 shape: customer directory through chained dim lookups
+    // (customer → nation → region) for a balance band. ──
+    "q237_tpcds84" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_acctbal").between(4000, 6000))
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "AMERICA")
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+                col("r_name"))
+        .orderBy("c_custkey").limit(100)
+    }),
+
+    // ── q85 shape: returned lines matching OR-of-(priority ×
+    // quantity-band) groups, per-priority exact averages. ──
+    "q238_tpcds85" -> ((s, dir) => {
+      def grp(pr: String, a: Int, b: Int): Column =
+        col("o_orderpriority") === pr && col("l_quantity").between(a, b)
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(grp("1-URGENT", 1, 20) || grp("2-HIGH", 10, 30) ||
+                grp("3-MEDIUM", 20, 40))
+        .groupBy(col("o_orderpriority"))
+        .agg((sum(col("l_quantity").cast(dec)).cast("double") /
+              count(lit(1))).as("avg_qty"),
+             count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ── q92 shape: excess-discount scalar on the open channel over a
+    // shorter window (q32's web variant — per-part average threshold,
+    // different slice and measure). ──
+    "q239_tpcds92" -> ((s, dir) => {
+      val win = t(s, dir, "lineitem")
+        .filter(col("l_linestatus") === "O")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-03-01") &&
+                col("o_orderdate") < ts("1996-06-01"))
+      val perPart = win.groupBy(col("l_partkey").as("ap_key"))
+        .agg((sum(col("l_discount").cast(dec)).cast("double") /
+              count(lit(1))).as("avg_disc"))
+      win.join(perPart, col("l_partkey") === col("ap_key"))
+        .filter(col("l_discount") > col("avg_disc") * 1.3)
+        .agg(sum(amt).cast("double").as("excess"),
+             count(lit(1)).as("n"))
+    }),
+
     // ── q2 shape: week-over-week weekday matrix — per (year, ISO week)
     // pivot of the 7 weekday sums, then a same-week next-year self-join
     // reporting the 7 ratios. Pivot happens in ONE aggregate (7
@@ -1859,6 +2163,276 @@ object TpcdsSuite {
     ORDER BY total_sales DESC, $key LIMIT 100"""
 
   val oracle: Map[String, String] = Map(
+
+    "q225_tpcds8" -> """
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_nationkey IN (
+        SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
+        GROUP BY c_nationkey HAVING count(*) >= 10)
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "q226_tpcds10" -> """
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS avg_bal
+      FROM customer
+      WHERE c_custkey IN (
+              SELECT o_custkey FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'A')
+        AND c_custkey IN (
+              SELECT o_custkey FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag IN ('N', 'R'))
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q227_tpcds15" -> """
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-04-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+        AND (c_acctbal > 8000 OR o_totalprice > 300000
+             OR n_name IN ('NATION_20','NATION_21','NATION_22'))
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "q228_tpcds24" -> """
+      WITH per AS (
+        SELECT n_name, p_type,
+               sum(CAST(l_extendedprice*(1.0-l_discount)
+                   AS DECIMAL(18,4))) AS ret
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2),
+      bar AS (
+        SELECT CAST(sum(ret) AS DOUBLE) / count(*) * 1.05 AS bar FROM per)
+      SELECT n_name, p_type, CAST(ret AS DOUBLE) AS ret
+      FROM per, bar
+      WHERE CAST(ret AS DOUBLE) > bar
+      ORDER BY n_name, p_type""",
+
+    "q229_tpcds37" -> """
+      SELECT p_partkey, p_name, p_type, p_retailprice
+      FROM part
+      WHERE p_retailprice BETWEEN 930 AND 980
+        AND p_partkey IN (
+          SELECT l_partkey FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'N'
+            AND o_orderdate >= TIMESTAMP '1996-07-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+            AND l_quantity BETWEEN 5 AND 35)
+      ORDER BY p_partkey LIMIT 100""",
+
+    "q230_tpcds50" -> """
+      SELECT n_name,
+             CAST(count(CASE WHEN lat <= 30 THEN 1 END) AS BIGINT) AS d30,
+             CAST(count(CASE WHEN lat > 30 AND lat <= 60 THEN 1 END)
+                  AS BIGINT) AS d60,
+             CAST(count(CASE WHEN lat > 60 AND lat <= 90 THEN 1 END)
+                  AS BIGINT) AS d90,
+             CAST(count(CASE WHEN lat > 90 THEN 1 END) AS BIGINT) AS d120
+      FROM (SELECT n_name,
+                   date_diff('day', o_orderdate, l_shipdate) AS lat
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey) x
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "q240_tpcds99" -> """
+      SELECT o_orderpriority, yr,
+             CAST(count(CASE WHEN lat <= 15 THEN 1 END) AS BIGINT) AS d15,
+             CAST(count(CASE WHEN lat > 15 AND lat <= 30 THEN 1 END)
+                  AS BIGINT) AS d30,
+             CAST(count(CASE WHEN lat > 30 AND lat <= 45 THEN 1 END)
+                  AS BIGINT) AS d45,
+             CAST(count(CASE WHEN lat > 45 AND lat <= 60 THEN 1 END)
+                  AS BIGINT) AS d60,
+             CAST(count(CASE WHEN lat > 60 THEN 1 END) AS BIGINT) AS d75
+      FROM (SELECT o_orderpriority,
+                   CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   date_diff('day', o_orderdate, l_shipdate) AS lat
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey) x
+      GROUP BY 1, 2
+      ORDER BY o_orderpriority, yr""",
+
+    "q231_tpcds57" -> """
+      WITH m AS (
+        SELECT p_brand, CAST(month(o_orderdate) AS BIGINT) AS m,
+               sum(CAST(l_extendedprice*(1.0-l_discount)
+                   AS DECIMAL(18,4))) AS msum
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE year(o_orderdate) = 1996
+        GROUP BY 1, 2),
+      win AS (
+        SELECT *, CAST(sum(msum) OVER (PARTITION BY p_brand) AS DOUBLE)
+                    / count(*) OVER (PARTITION BY p_brand) AS avg_m,
+               CAST(msum AS DOUBLE) AS msum_d,
+               lag(CAST(msum AS DOUBLE), 1) OVER
+                 (PARTITION BY p_brand ORDER BY m) AS prev_m,
+               lead(CAST(msum AS DOUBLE), 1) OVER
+                 (PARTITION BY p_brand ORDER BY m) AS next_m
+        FROM m)
+      SELECT p_brand, m, msum_d AS msum, avg_m, prev_m, next_m
+      FROM win
+      WHERE avg_m > 0.0 AND abs(msum_d - avg_m) / avg_m > 0.1
+      ORDER BY p_brand, m LIMIT 100""",
+
+    "q232_tpcds68" -> """
+      SELECT c_name, o_orderkey,
+             CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS net_amt,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+               AS disc_sum
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE l_extendedprice BETWEEN 20000 AND 60000
+        AND c_mktsegment IN ('MACHINERY', 'HOUSEHOLD')
+      GROUP BY c_name, o_orderkey
+      ORDER BY c_name, o_orderkey LIMIT 100""",
+
+    "q233_tpcds69" -> """
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+      FROM customer
+      WHERE c_custkey IN (
+              SELECT o_custkey FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_linestatus = 'F')
+        AND c_custkey NOT IN (
+              SELECT o_custkey FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_linestatus = 'P')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q234_tpcds79" -> """
+      SELECT c_name, o_orderkey,
+             CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                  - 0.5*p_retailprice*l_quantity AS DECIMAL(18,4)))
+                  AS DOUBLE) AS profit
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= TIMESTAMP '1996-05-01'
+        AND o_orderdate < TIMESTAMP '1996-06-01'
+      GROUP BY c_name, o_orderkey
+      ORDER BY c_name, o_orderkey LIMIT 100""",
+
+    "q235_tpcds81" -> """
+      WITH ret AS (
+        SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+               sum(CAST(l_extendedprice*(1.0-l_discount)
+                   AS DECIMAL(18,4))) AS ret_amt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+        GROUP BY 1, 2, 3, 4),
+      win AS (
+        SELECT *, CAST(sum(ret_amt) OVER (PARTITION BY c_nationkey)
+                       AS DOUBLE)
+                    / count(*) OVER (PARTITION BY c_nationkey) AS nat_avg
+        FROM ret)
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+             CAST(ret_amt AS DOUBLE) AS ret_amt
+      FROM win JOIN nation ON c_nationkey = n_nationkey
+      WHERE CAST(ret_amt AS DOUBLE) > nat_avg * 1.2
+      ORDER BY c_custkey LIMIT 100""",
+
+    "q236_tpcds83" -> """
+      WITH m1 AS (
+        SELECT p_brand AS b, sum(CAST(l_quantity AS DECIMAL(18,4))) AS q1
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_returnflag = 'R'
+          AND l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1),
+      m2 AS (
+        SELECT p_brand AS b, sum(CAST(l_quantity AS DECIMAL(18,4))) AS q2
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_returnflag = 'R'
+          AND l_shipdate >= TIMESTAMP '1996-06-01'
+          AND l_shipdate < TIMESTAMP '1996-07-01'
+        GROUP BY 1),
+      m3 AS (
+        SELECT p_brand AS b, sum(CAST(l_quantity AS DECIMAL(18,4))) AS q3
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_returnflag = 'R'
+          AND l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
+        GROUP BY 1)
+      SELECT m1.b AS p_brand,
+             CAST(q1 AS DOUBLE) AS qty1, CAST(q2 AS DOUBLE) AS qty2,
+             CAST(q3 AS DOUBLE) AS qty3,
+             CAST(q1 + q2 + q3 AS DOUBLE) / 3.0 AS avg_qty
+      FROM m1 JOIN m2 ON m1.b = m2.b JOIN m3 ON m1.b = m3.b
+      ORDER BY p_brand""",
+
+    "q237_tpcds84" -> """
+      SELECT c_custkey, c_name, n_name, r_name
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE c_acctbal BETWEEN 4000 AND 6000 AND r_name = 'AMERICA'
+      ORDER BY c_custkey LIMIT 100""",
+
+    "q238_tpcds85" -> """
+      SELECT o_orderpriority,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS avg_qty,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND ((o_orderpriority = '1-URGENT'
+                AND l_quantity BETWEEN 1 AND 20)
+          OR (o_orderpriority = '2-HIGH'
+                AND l_quantity BETWEEN 10 AND 30)
+          OR (o_orderpriority = '3-MEDIUM'
+                AND l_quantity BETWEEN 20 AND 40))
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q239_tpcds92" -> """
+      WITH win AS (
+        SELECT l_partkey, l_discount, l_extendedprice
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linestatus = 'O'
+          AND o_orderdate >= TIMESTAMP '1996-03-01'
+          AND o_orderdate < TIMESTAMP '1996-06-01'),
+      ap AS (
+        SELECT l_partkey AS ap_key,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) AS avg_disc
+        FROM win GROUP BY 1)
+      SELECT CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS excess,
+             CAST(count(*) AS BIGINT) AS n
+      FROM win JOIN ap ON l_partkey = ap_key
+      WHERE l_discount > avg_disc * 1.3""",
 
     "q213_tpcds7" -> demographicAvgsSql("AUTOMOBILE", "A"),
     "q216_tpcds26" -> demographicAvgsSql("FURNITURE", "N"),
