@@ -2012,6 +2012,84 @@ object TpcdsSuite {
              count(lit(1)).as("n"))
     }),
 
+    // ── q94 shape: q16's web-channel variant — open-status lines in a
+    // window, EXISTS a sibling from another supplier, NOT EXISTS a
+    // returned line; distinct-order count + revenue. ──
+    "q241_tpcds94" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k3"))
+      li.filter(col("l_linestatus") === "O")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-07-01") &&
+                col("o_orderdate") < ts("1997-01-01"))
+        .join(l2, col("l_orderkey") === col("k2") &&
+                  col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("k3"), "left_anti")
+        .agg(countDistinct(col("o_orderkey")).as("order_count"),
+             sum(amt).cast("double").as("total_amt"))
+    }),
+
+    // ── q71 shape: brand revenue by time-of-sale breakdown across the
+    // three channels as a LONG-format UNION (the pivot-free dual of
+    // q2/q43's matrices) — weekday stands in for the hour dimension
+    // the schema lacks. ──
+    "q242_tpcds71" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1996-10-01") &&
+                col("o_orderdate") < ts("1996-11-01"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      def chan(rf: String) = base.filter(col("l_returnflag") === rf)
+        .groupBy(col("p_brand"),
+                 dayofweek(col("o_orderdate")).cast("long").as("dow"))
+        .agg(sum(amt).as("rev"))
+      chan("A").union(chan("N")).union(chan("R"))
+        .groupBy(col("p_brand"), col("dow"))
+        .agg(sum(col("rev")).cast("double").as("rev"))
+        .orderBy(col("p_brand"), col("dow"))
+    }),
+
+    // ── q24b: the q24 skeleton (global scalar threshold) over the
+    // (nation, BRAND) grouping — the a/b pair differs only in the
+    // restriction literal, exactly as in the reference's variant set. ──
+    "q243_tpcds24b" -> ((s, dir) => {
+      val per = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(sum(amt).as("ret"))
+      val thresh = per.agg(
+        (sum(col("ret")).cast("double") / count(lit(1)) * 1.05).as("bar"))
+      per.crossJoin(broadcast(thresh))
+        .filter(col("ret").cast("double") > col("bar"))
+        .select(col("n_name"), col("p_brand"),
+                col("ret").cast("double").as("ret"))
+        .orderBy("n_name", "p_brand")
+    }),
+
+    // ── q39b: the q39 consecutive-period cov join under the stricter
+    // variance gate (the reference's b-variant tightens the literal). ──
+    "q244_tpcds39b" -> ((s, dir) => {
+      val m = t(s, dir, "events")
+        .groupBy(col("event_type"),
+                 date_trunc("day", col("ts")).cast("date").as("d"))
+        .agg(round(stddev_samp(col("value")) / avg(col("value")), 6)
+               .as("cov"))
+      val b = m.select(col("event_type").as("bt"), col("d").as("bd"),
+                       col("cov").as("cov_next"))
+      m.join(b, col("event_type") === col("bt") &&
+                col("bd") === date_add(col("d"), 1))
+        .filter(col("cov") >= 1.02 && col("cov_next") >= 1.02)
+        .select(col("event_type"), col("d"), col("cov"),
+                col("bd").as("d_next"), col("cov_next"))
+    }),
+
     // ── q2 shape: week-over-week weekday matrix — per (year, ISO week)
     // pivot of the 7 weekday sums, then a same-week next-year self-join
     // reporting the 7 ratios. Pivot happens in ONE aggregate (7
@@ -2163,6 +2241,68 @@ object TpcdsSuite {
     ORDER BY total_sales DESC, $key LIMIT 100"""
 
   val oracle: Map[String, String] = Map(
+
+    "q241_tpcds94" -> """
+      SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS order_count,
+             CAST(sum(CAST(l_extendedprice*(1.0-l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS total_amt
+      FROM lineitem l1
+      JOIN orders ON l1.l_orderkey = o_orderkey
+      WHERE l1.l_linestatus = 'O'
+        AND o_orderdate >= TIMESTAMP '1996-07-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_returnflag = 'R')""",
+
+    "q242_tpcds71" -> """
+      WITH chan AS (
+        SELECT l_returnflag AS rf, p_brand,
+               CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+               sum(CAST(l_extendedprice*(1.0-l_discount)
+                   AS DECIMAL(18,4))) AS rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1996-11-01'
+        GROUP BY 1, 2, 3)
+      SELECT p_brand, dow, CAST(sum(rev) AS DOUBLE) AS rev
+      FROM chan GROUP BY 1, 2
+      ORDER BY p_brand, dow""",
+
+    "q243_tpcds24b" -> """
+      WITH per AS (
+        SELECT n_name, p_brand,
+               sum(CAST(l_extendedprice*(1.0-l_discount)
+                   AS DECIMAL(18,4))) AS ret
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2),
+      bar AS (
+        SELECT CAST(sum(ret) AS DOUBLE) / count(*) * 1.05 AS bar FROM per)
+      SELECT n_name, p_brand, CAST(ret AS DOUBLE) AS ret
+      FROM per, bar
+      WHERE CAST(ret AS DOUBLE) > bar
+      ORDER BY n_name, p_brand""",
+
+    "q244_tpcds39b" -> """
+      WITH m AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               round(stddev_samp(value) / avg(value), 6) AS cov
+        FROM events GROUP BY 1, 2)
+      SELECT a.event_type, a.d, a.cov,
+             b.d AS d_next, b.cov AS cov_next
+      FROM m a JOIN m b
+        ON a.event_type = b.event_type AND b.d = a.d + 1
+      WHERE a.cov >= 1.02 AND b.cov >= 1.02""",
 
     "q225_tpcds8" -> """
       SELECT n_name,
