@@ -1061,15 +1061,21 @@ object TpcdsSuite {
               col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")),
               col("n_regionkey") === col("r_regionkey"))
-      val perNation = base.groupBy(col("r_name").as("pr"), col("n_name").as("pn"))
+      // One fact-side aggregation only: the rollup re-aggregates the
+      // per-(region, nation) sums (exact decimal, order-independent),
+      // so both the top-5 window and the semi-join run on ~|nation|
+      // rows and the 4-table join is scanned once (its shuffle is
+      // reused across the two consumers via ReuseExchange).
+      val perNation = base.groupBy(col("r_name"), col("n_name"))
         .agg(sum(amt).as("prof"))
-      val wtop = Window.partitionBy("pr").orderBy(col("prof").desc, col("pn"))
+      val wtop = Window.partitionBy("r_name")
+        .orderBy(col("prof").desc, col("n_name"))
       val top = perNation.withColumn("rk", dense_rank().over(wtop))
-        .filter(col("rk") <= 5).select(col("pn"))
-      val agg = base.join(broadcast(top), col("n_name") === col("pn"),
+        .filter(col("rk") <= 5).select(col("n_name").as("pn"))
+      val agg = perNation.join(broadcast(top), col("n_name") === col("pn"),
           "left_semi")
         .rollup(col("r_name"), col("n_name"))
-        .agg(sum(amt).cast("double").as("total"),
+        .agg(sum(col("prof")).cast("double").as("total"),
              (grouping(col("r_name")) + grouping(col("n_name")))
                .cast("long").as("lochierarchy"))
       val wrank = Window
@@ -1325,19 +1331,29 @@ object TpcdsSuite {
     // ── q28 shape: six-band average/distinct battery in ONE scan
     // (conditional aggregates instead of the reference's six
     // cross-joined scalar subqueries — the q9/q88 pattern extended
-    // with per-band DISTINCT counts). ──
+    // with per-band DISTINCT counts). Six `countDistinct` on DIFFERENT
+    // expressions would trigger Catalyst's Expand rewrite (7x row
+    // multiplication before the exchange); instead a two-phase shape:
+    // group by price carrying six per-band row counts (one exchange of
+    // |L| narrow rows, map-side partials), then one scalar aggregate
+    // derives each band's average from sum(price x count) and its
+    // distinct count from count(per-band presence) — exact decimal
+    // arithmetic, bit-identical to the direct form. ──
     "q205_tpcds28" -> ((s, dir) => {
       def band(i: Int): Column =
         col("l_quantity") >= (i - 1) * 8 + 1 && col("l_quantity") <= i * 8
+      val pre = t(s, dir, "lineitem")
+        .groupBy(col("l_extendedprice").as("p"))
+        .agg(count(when(band(1), lit(1))).as("c_1"),
+             (2 to 6).map(i => count(when(band(i), lit(1))).as(s"c_$i")): _*)
       val aggs = (1 to 6).flatMap { i =>
         Seq(
-          (sum(when(band(i), col("l_extendedprice")).cast(dec))
-             .cast("double") / count(when(band(i), lit(1))))
+          (sum(col("p").cast(dec) * col(s"c_$i")).cast("double") /
+             sum(col(s"c_$i")))
             .as(s"avg_price_$i"),
-          countDistinct(when(band(i), col("l_extendedprice")))
-            .as(s"dist_price_$i"))
+          count(when(col(s"c_$i") > 0, lit(1))).as(s"dist_price_$i"))
       }
-      t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      pre.agg(aggs.head, aggs.tail: _*)
     }),
 
     // ── q74 shape: year-over-year customer ratio over a UNION of the

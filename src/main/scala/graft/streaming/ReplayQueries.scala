@@ -38,10 +38,32 @@ import graft.Tables
  * agg/dedup/join operators shuffles on the group/join key exactly as
  * the batch dual does, and parquet-sink commit is per-micro-batch
  * atomic via the sink's _spark_metadata log.
+ *
+ * Cost model of the harness (why the knobs below): each micro-batch
+ * commits one delta file per STATE-STORE PARTITION per stateful
+ * operator (HDFS-backed provider), so wall time ~ batches x
+ * statePartitions, independent of row volume at test scale. The
+ * staging projection keeps only the columns the streamed plan reads
+ * (the "source" simply contains what a production topic would), two
+ * micro-batches exercise the same cross-batch state transitions as
+ * four, and `statePartitions` sizes the state exchange to the key
+ * cardinality under test — on a real cluster this is the same
+ * decision as sizing `spark.sql.shuffle.partitions` to executors,
+ * made here per-query with set-and-restore so the shared session is
+ * never left mutated (cf. the round-7 review note on
+ * StreamSinks.applyBatch).
  */
 object ReplayQueries {
 
   private val dec = DecimalType(18, 2)
+
+  /** Typed row for the changelog-join replay (q245). `cents` is
+    * floor(value*100): integer-valued doubles sum exactly in any
+    * micro-batch order, so the stream's final state hash-matches the
+    * batch dual without a float-ordering caveat. */
+  final case class EvRow(user_id: Long, event_type: String, cents: Long)
+  /** One side's updating aggregate view payload. */
+  final case class SideAgg(sum: Double, count: Long)
 
   /** Stage `df` as `n` parquet files under a fresh temp dir; return the
     * (input, output, checkpoint) directory triple. */
@@ -51,28 +73,43 @@ object ReplayQueries {
     (s"$root/in", s"$root/out", s"$root/ck")
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` = `n`, restoring the
+    * previous value afterwards even on failure. State-store partition
+    * count is fixed at the FIRST checkpoint of a streaming query; every
+    * replay query uses a fresh checkpoint dir, so the narrowed setting
+    * applies cleanly per query. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key  = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Tumbling-window aggregate executed as a STREAM: 4 micro-batches
+    // Tumbling-window aggregate executed as a STREAM: 2 micro-batches
     // of file replay, Complete-mode state carried across batches, final
     // batch rewrites the full result (same columns as batch q25).
     "q178_stream_tumble" -> ((s, dir) => {
       val ev = Tables.table(s, dir, "events")
-      val (in, out, ck) = stage(ev, 8)
-      val agg = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 2).parquet(in)
-        .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
-        .agg(count(lit(1)).as("n"),
-             sum(col("value").cast(dec)).cast("double").as("sum_v"))
-        .select(col("event_type"), unix_micros(col("w.start")).as("w_start"),
-                col("n"), col("sum_v"))
-      val q = agg.writeStream.outputMode("complete")
-        .option("checkpointLocation", ck)
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("overwrite").parquet(out)
-        }
-        .start()
-      q.processAllAvailable(); q.stop()
+        .select(col("event_type"), col("ts"), col("value"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val agg = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("value").cast(dec)).cast("double").as("sum_v"))
+          .select(col("event_type"), unix_micros(col("w.start")).as("w_start"),
+                  col("n"), col("sum_v"))
+        val q = agg.writeStream.outputMode("complete")
+          .option("checkpointLocation", ck)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(out)
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
       s.read.parquet(out)
     }),
 
@@ -80,16 +117,18 @@ object ReplayQueries {
     // spans micro-batches; emits the distinct digest set (batch dual:
     // SELECT DISTINCT md5(text)).
     "q179_stream_dedup" -> ((s, dir) => {
-      val docs = Tables.table(s, dir, "documents")
-      val (in, out, ck) = stage(docs, 8)
-      val dd = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 2).parquet(in)
-        .select(md5(col("text")).as("digest"))
-        .dropDuplicates("digest")
-      val q = dd.writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ck)
-        .start()
-      q.processAllAvailable(); q.stop()
+      val docs = Tables.table(s, dir, "documents").select(col("text"))
+      val (in, out, ck) = stage(docs, 4)
+      withStatePartitions(s, 8) {
+        val dd = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .select(md5(col("text")).as("digest"))
+          .dropDuplicates("digest")
+        val q = dd.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
       s.read.parquet(out)
     }),
 
@@ -99,26 +138,69 @@ object ReplayQueries {
     // batch dual SQL must hash-match it.
     "q180_stream_interval_join" -> ((s, dir) => {
       val ev = Tables.table(s, dir, "events")
-      val (in, out, ck) = stage(ev, 8)
-      def src() = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 2).parquet(in)
-      val p = src().filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-                col("ts").as("p_ts"))
-        .withWatermark("p_ts", "3650 days")
-      val c = src().filter(col("event_type") === "click")
-        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-                col("ts").as("c_ts"))
-        .withWatermark("c_ts", "3650 days")
-      val j = p.join(c, col("p_user") === col("c_user") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
-          col("c_ts") < col("p_ts"))
-        .select(col("p_id"), col("c_id"))
-      val q = j.writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ck)
-        .start()
-      q.processAllAvailable(); q.stop()
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        def src() = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+        val p = src().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                  col("ts").as("p_ts"))
+          .withWatermark("p_ts", "3650 days")
+        val c = src().filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+                  col("ts").as("c_ts"))
+          .withWatermark("c_ts", "3650 days")
+        val j = p.join(c, col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+            col("c_ts") < col("p_ts"))
+          .select(col("p_id"), col("c_id"))
+        val q = j.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
       s.read.parquet(out)
+    }),
+
+    // The full updating-stream stack under the oracle gate: insert-only
+    // event replay feeds TWO changelog aggregates (per-user purchase
+    // and click SUM/COUNT views emitting -U/+U retraction pairs), whose
+    // updating outputs drive the per-record incremental changelog JOIN
+    // (`Changelog.joinChangelog`, the reference's StreamingJoinOperator
+    // algorithm); the sink's accumulated changelog is then materialized
+    // to its final table. Three chained stateful operators across
+    // micro-batches — the final state is batch-boundary-independent,
+    // so the batch dual SQL must hash-match it.
+    "q245_stream_changelog_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .as[EvRow]
+        def side(kind: String) = Changelog.aggregateChangelog[EvRow](
+            src.filter(_.event_type == kind).groupByKey(_.user_id),
+            _ => Changelog.Insert, _.cents.toDouble)
+          .map(a => (a.key, a.kind, SideAgg(a.sum, a.count)))
+        val j = Changelog.joinChangelog(side("purchase"), side("click"))
+        val q = j.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      Changelog.materialize(s.read.parquet(out), "key", "kind", "ord")
+        .select(col("key").as("user_id"),
+                (col("left.sum") / 100.0).as("purchase_amt"),
+                col("left.count").as("purchases"),
+                (col("right.sum") / 100.0).as("click_amt"),
+                col("right.count").as("clicks"))
     })
   )
 
@@ -141,6 +223,18 @@ object ReplayQueries {
             FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id
        AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE
-       AND c.c_ts < p.p_ts"""
+       AND c.c_ts < p.p_ts""",
+
+    "q245_stream_changelog_join" -> """
+      WITH p AS (
+        SELECT user_id, sum(floor(value*100)) AS s, count(*) AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      k AS (
+        SELECT user_id, sum(floor(value*100)) AS s, count(*) AS c
+        FROM events WHERE event_type = 'click' GROUP BY 1)
+      SELECT p.user_id AS user_id,
+             p.s/100.0 AS purchase_amt, CAST(p.c AS BIGINT) AS purchases,
+             k.s/100.0 AS click_amt, CAST(k.c AS BIGINT) AS clicks
+      FROM p JOIN k ON p.user_id = k.user_id"""
   )
 }
