@@ -173,36 +173,44 @@ object ReplayQueries {
     // to its final table. Three chained stateful operators across
     // micro-batches — the final state is batch-boundary-independent,
     // so the batch dual SQL must hash-match it.
-    "q245_stream_changelog_join" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.table(s, dir, "events")
-        .filter(col("event_type").isin("purchase", "click"))
-        .select(col("user_id"), col("event_type"),
-                floor(col("value") * 100).as("cents"))
-      val (in, out, ck) = stage(ev, 4)
-      withStatePartitions(s, 8) {
-        val src = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 2).parquet(in)
-          .as[EvRow]
-        def side(kind: String) = Changelog.aggregateChangelog[EvRow](
-            src.filter(_.event_type == kind).groupByKey(_.user_id),
-            _ => Changelog.Insert, _.cents.toDouble)
-          .map(a => (a.key, a.kind, SideAgg(a.sum, a.count)))
-        val j = Changelog.joinChangelog(side("purchase"), side("click"))
-        val q = j.writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", ck)
-          .outputMode("append")
-          .start()
-        q.processAllAvailable(); q.stop()
-      }
-      Changelog.materialize(s.read.parquet(out), "key", "kind", "ord")
-        .select(col("key").as("user_id"),
-                (col("left.sum") / 100.0).as("purchase_amt"),
-                col("left.count").as("purchases"),
-                (col("right.sum") / 100.0).as("click_amt"),
-                col("right.count").as("clicks"))
-    })
+    "q245_stream_changelog_join" -> ((s, dir) =>
+      changelogJoinReplay(s, dir, nFiles = 4, filesPerTrigger = 2))
   )
+
+  /** q245's pipeline with the replay split as parameters, so the spec
+    * can assert the final state is IDENTICAL under different
+    * micro-batch boundaries (the batch-boundary-independence claim the
+    * oracle gate relies on). */
+  def changelogJoinReplay(s: SparkSession, dir: String,
+                          nFiles: Int, filesPerTrigger: Int): DataFrame = {
+    import s.implicits._
+    val ev = Tables.table(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("event_type"),
+              floor(col("value") * 100).as("cents"))
+    val (in, out, ck) = stage(ev, nFiles)
+    withStatePartitions(s, 8) {
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", filesPerTrigger).parquet(in)
+        .as[EvRow]
+      def side(kind: String) = Changelog.aggregateChangelog[EvRow](
+          src.filter(_.event_type == kind).groupByKey(_.user_id),
+          _ => Changelog.Insert, _.cents.toDouble)
+        .map(a => (a.key, a.kind, SideAgg(a.sum, a.count)))
+      val j = Changelog.joinChangelog(side("purchase"), side("click"))
+      val q = j.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    Changelog.materialize(s.read.parquet(out), "key", "kind", "ord")
+      .select(col("key").as("user_id"),
+              (col("left.sum") / 100.0).as("purchase_amt"),
+              col("left.count").as("purchases"),
+              (col("right.sum") / 100.0).as("click_amt"),
+              col("right.count").as("clicks"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q178_stream_tumble" -> """

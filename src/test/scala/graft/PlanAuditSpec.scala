@@ -75,6 +75,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("q205: the band-distinct battery plans WITHOUT the multi-distinct " +
+    "Expand rewrite (no 7x row multiplication before the exchange)") {
+    val p = plan("q205_tpcds28")
+    assert(!p.contains("Expand"),
+      "two-phase rewrite must avoid Catalyst's Expand-based distinct plan")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "one lineitem scan")
+  }
+
+  test("q187: the ranked rollup derives from the per-nation aggregate — " +
+    "AQE reuses the fact-side exchange instead of re-running the 4-table " +
+    "join for the second consumer") {
+    // stage reuse is a RUNTIME decision under AQE: execute, then read
+    // the final adaptive plan
+    val df = SparkEntry.queries("q187_tpcds70")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange|ReusedQueryStage".r.findAllIn(p).nonEmpty,
+      "per-nation aggregate exchange must be computed once and reused")
+  }
+
   test("q166: segment dedup shuffles digests, not segment text") {
     // exchanges only exist post-EnsureRequirements → executedPlan
     val p = SparkEntry.queries("q166_segment_dedup")(spark, dir)

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.ReplayQueries
+
+/**
+ * The oracle-gated replay queries claim their final state is
+ * batch-boundary-independent — that is what lets an unbounded execution
+ * sit under a hash-matching gate at all. This spec replays the hardest
+ * one (three chained stateful operators: changelog aggregate x2 ▸
+ * per-record incremental changelog join ▸ materialize) under DIFFERENT
+ * micro-batch splits and asserts bit-identical results.
+ */
+class ReplaySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("changelog-join replay: one giant batch == four micro-batches, " +
+    "bit-identical final state") {
+    def run(nFiles: Int, fpt: Int): Set[(Long, Double, Long, Double, Long)] =
+      ReplayQueries.changelogJoinReplay(spark, dir, nFiles, fpt)
+        .selectExpr("user_id", "purchase_amt", "purchases",
+                    "click_amt", "clicks")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+                   r.getDouble(3), r.getLong(4)))
+        .toSet
+    val oneBatch = run(nFiles = 1, fpt = 1)
+    val fourBatches = run(nFiles = 8, fpt = 2)
+    assert(oneBatch.nonEmpty, "replay produced rows")
+    assert(oneBatch == fourBatches,
+      "final materialized state must not depend on micro-batch boundaries")
+  }
+}
