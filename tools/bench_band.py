@@ -82,10 +82,13 @@ def main():
     sf = None
     used = 0
     used_small = 0
+    current = set()  # query names in the widest run = the live suite
     for p in paths:
         qs, run_sf = extract(p)
         if not qs:
             continue
+        if len(qs) > len(current):
+            current = set(qs)
         if run_sf == SMALL_SF:
             # small-sf runs feed the scaling denominator, not the band
             used_small += 1
@@ -99,6 +102,12 @@ def main():
         used += 1
         for q, sec in qs.items():
             best[q] = min(best.get(q, float("inf")), sec)
+    # Queries get renamed/renumbered across rounds; mins from old runs
+    # under dead names would otherwise haunt the band forever. The run
+    # with the widest coverage is the current full suite — keep only its
+    # names.
+    best = {q: s for q, s in best.items() if q in current}
+    small = {q: s for q, s in small.items() if q in current}
     # sf0.01 -> sf0.1 scaling ratio per query: the cheap local proxy for
     # the 100x question. ratio >> 10 on a calm host = super-linear.
     scaling = {}
