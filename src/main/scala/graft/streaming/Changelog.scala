@@ -181,6 +181,16 @@ object Changelog {
    * join key now costs O(update × other side) per batch — the reference's
    * own profile; for insert-only hot keys, [[joinChangelogSharded]]
    * additionally spreads one key's work across sub-key tasks.
+   *
+   * Known trade-off vs the reference's state backend: `GroupState` is a
+   * single value, so a TOUCHED key re-(de)serializes its full live-row
+   * state once per micro-batch — O(live rows of that key) I/O even for a
+   * one-row update — where RocksDB MapState does per-payload point
+   * reads/writes. Untouched keys cost nothing. The compute is still
+   * per-record incremental; for keys where the serialization term
+   * dominates (very large live sets under sustained updates),
+   * [[joinChangelogSharded]] divides the per-task state by the shard
+   * count, which bounds the term the same way key-group spreading does.
    */
   def joinChangelog[L, R](
       left: Dataset[(Long, String, L)],
