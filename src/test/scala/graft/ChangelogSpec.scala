@@ -455,6 +455,56 @@ class ChangelogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hot key OUTER: per-batch join work is proportional to the update, not |L|x|R|") {
+    implicit val sc = spark.sqlContext
+    // same accumulator harness as the inner-join hot-key spec: the
+    // outer join's scaladoc claims the identical per-record profile,
+    // so it gets the identical assertion.
+    val evals = spark.sparkContext.longAccumulator("condEvalsOuter")
+    val lMem = MemoryStream[CRow]
+    val rMem = MemoryStream[CRow]
+    val out = Changelog.joinChangelogOuter(
+      lMem.toDS().map(c => (c.key, c.kind, LSide(c.value))),
+      rMem.toDS().map(c => (c.key, c.kind, RSide(c.value))),
+      Changelog.LeftOuter,
+      (l: LSide, r: RSide) => { evals.add(1L); l.v == r.v })
+    val q = out.writeStream.format("memory").queryName("cl_hot_outer")
+      .outputMode(OutputMode.Append).start()
+    val n = 1000
+    // fold the emitted changelog to the live pair multiset (the two
+    // memory sources may land in separate micro-batches, so transient
+    // pads legitimately appear and are retracted ACROSS batches —
+    // netting is per-batch; the live state is what must be right)
+    def live(): Map[(Option[Double], Option[Double]), Long] =
+      spark.table("cl_hot_outer")
+        .selectExpr("kind", "left.v AS lv", "right.v AS rv").collect()
+        .foldLeft(Map.empty[(Option[Double], Option[Double]), Long]) {
+          (m, r) =>
+            val p = (Option(r.get(1)).map(_.asInstanceOf[Double]),
+                     Option(r.get(2)).map(_.asInstanceOf[Double]))
+            val d = if (r.getString(0) == "+I" || r.getString(0) == "+U") 1L else -1L
+            val c = m.getOrElse(p, 0L) + d
+            if (c == 0L) m - p else m.updated(p, c)
+        }
+    try {
+      // hot key: 1000 live rows per side, each left matching exactly one right
+      lMem.addData((1 to n).map(i => CRow(1, "+I", i.toDouble, i.toLong)): _*)
+      rMem.addData((1 to n).map(i => CRow(1, "+I", i.toDouble, i.toLong)): _*)
+      q.processAllAvailable()
+      val buildEvals = evals.value
+      val built = live()
+      assert(built.size == n && built.forall { case ((l, r), c) =>
+        c == 1L && l.isDefined && l == r }) // n matched pairs, no live pads
+      // single-row update against the hot key: duplicates the (7,7) pair
+      lMem.addData(CRow(1, "+I", 7.0, 9999))
+      q.processAllAvailable()
+      val updateEvals = evals.value - buildEvals
+      assert(live()((Some(7.0), Some(7.0))) == 2L)
+      assert(updateEvals <= 2L * n,
+        s"update examined $updateEvals pairs; expected ≤ ${2 * n}")
+    } finally q.stop()
+  }
+
   test("sharded hot-key join: pair multiset equals the unsharded join (insert+retract)") {
     implicit val sc = spark.sqlContext
     val rnd = new scala.util.Random(88L)
