@@ -16,12 +16,12 @@ import graft.Tables
  * source table, so any format-level corruption (quoting, type coercion,
  * null handling) would hash-mismatch.
  *
- * The avro leg is classpath-probed: Spark's avro support lives in the
- * separate spark-avro connector jar, absent from this offline image —
- * when the jar is present the avro round-trip activates in BOTH the
- * query and its oracle (the probe runs once per JVM, so the two stay
- * consistent); when absent, q53 degrades gracefully to the built-in
- * formats instead of failing.
+ * The avro leg always runs: Spark's own avro support lives in the
+ * separate spark-avro connector jar, preferred when present (the probe
+ * runs once per JVM, so query and oracle stay consistent); when absent
+ * the round-trip goes through [[graft.sources.AvroIO]] on avro-core,
+ * which IS an unconditional Spark classpath dependency — either way
+ * real Avro container files are written and re-read.
  */
 object FormatOps {
 
@@ -37,9 +37,12 @@ object FormatOps {
     } catch { case _: Exception => false }
 
   /** Round-tripped formats, in output order (parquet is exercised by
-    * every source-table scan; avro joins when its connector is present). */
-  private[graft] val formats: Seq[String] =
-    Seq("csv", "json", "orc") ++ (if (avroAvailable) Seq("avro") else Nil)
+    * every source-table scan). The avro leg is ALWAYS on: through the
+    * spark-avro connector when its jar is present, else through
+    * [[graft.sources.AvroIO]] on avro-core (an unconditional Spark
+    * dependency) — so the round-trip executes, not just compiles, in
+    * connector-less environments. */
+  private[graft] val formats: Seq[String] = Seq("csv", "json", "orc", "avro")
 
   private val csvSchema = StructType(Seq(
     StructField("o_orderkey", LongType),
@@ -61,13 +64,16 @@ object FormatOps {
       sample.write.mode("overwrite").orc(s"$tmp/orc")
       if (avroAvailable)
         sample.write.mode("overwrite").format("avro").save(s"$tmp/avro")
+      else graft.sources.AvroIO.write(sample, s"$tmp/avro")
       val back = formats.map {
         case "csv" =>
           "csv" -> s.read.schema(csvSchema).option("header", "true")
             .csv(s"$tmp/csv")
         case "json" => "json" -> s.read.schema(csvSchema).json(s"$tmp/json")
         case "orc" => "orc" -> s.read.orc(s"$tmp/orc")
-        case "avro" => "avro" -> s.read.format("avro").load(s"$tmp/avro")
+        case "avro" =>
+          "avro" -> (if (avroAvailable) s.read.format("avro").load(s"$tmp/avro")
+                     else graft.sources.AvroIO.read(s, s"$tmp/avro"))
       }
       back.map { case (fmt, df) =>
         df.groupBy("o_orderstatus")
