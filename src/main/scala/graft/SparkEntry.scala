@@ -26,6 +26,7 @@ object SparkEntry {
       FormatOps.queries ++ MoreOps.queries ++ TpchOps.queries ++
       TpchSuite.queries ++ TpcdsSuite.queries ++ PipelineOps.queries ++
       SketchOps.queries ++ BloomPrune.queries ++
+      sources.JdbcOps.queries ++
       streaming.ReplayQueries.queries
     // Ensure the function registry is installed whichever query runs first.
     all.map { case (k, f) =>
@@ -42,6 +43,6 @@ object SparkEntry {
     AggOps.oracle ++ CepOps.oracle ++ GraphQueries.oracle ++
     FormatOps.oracle ++ MoreOps.oracle ++ TpchOps.oracle ++
     TpchSuite.oracle ++ TpcdsSuite.oracle ++ PipelineOps.oracle ++
-    SketchOps.oracle ++ BloomPrune.oracle ++
+    SketchOps.oracle ++ BloomPrune.oracle ++ sources.JdbcOps.oracle ++
     streaming.ReplayQueries.oracle
 }
