@@ -63,9 +63,16 @@ object JdbcOps {
     // the database -> aggregate. The oracle computes the same aggregate
     // straight from parquet, so type coercion or row loss in either
     // JDBC direction hash-mismatches.
+    //
+    // The written slice is the FIXED key range the query reads (key
+    // values don't renumber with scale factor, so the Derby work is
+    // constant at any SF) — a correctness-gate query should not grow a
+    // single-node database linearly with the corpus. The parquet-side
+    // filter prunes via PushedFilters before a single JDBC insert.
     "q246_jdbc_roundtrip" -> ((s, dir) => {
       val url = freshUrl()
       Tables.table(s, dir, "orders")
+        .filter(col("o_orderkey") < 4000)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .coalesce(4)
         .write.mode("overwrite").jdbc(url, "ORDERS_RT", props)
