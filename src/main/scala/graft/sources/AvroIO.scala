@@ -91,8 +91,16 @@ object AvroIO {
     val nCols = df.schema.length
     df.rdd.mapPartitionsWithIndex { (idx, rows) =>
       val schema = new Schema.Parser().parse(schemaJson)
+      // Task-committer discipline in miniature: stream to an
+      // attempt-suffixed dot-file (invisible to the reader's `*.avro`
+      // glob), then delete-and-rename into place — so a speculative or
+      // retried attempt never interleaves bytes with a winner, and a
+      // killed attempt leaves only an ignorable temp.
+      val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+      val fsys = new Path(path).getFileSystem(hconf.value)
       val part = new Path(path, f"part-$idx%05d.avro")
-      val os = part.getFileSystem(hconf.value).create(part, true)
+      val tmp = new Path(path, f".part-$idx%05d.attempt-$attempt")
+      val os = fsys.create(tmp, true)
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       w.create(schema, os)
       var n = 0L
@@ -110,6 +118,9 @@ object AvroIO {
         n += 1
       }
       w.close() // closes os
+      if (fsys.exists(part)) fsys.delete(part, false)
+      if (!fsys.rename(tmp, part))
+        throw new java.io.IOException(s"commit failed: $tmp -> $part")
       Iterator.single(n)
     }.count(): Unit
   }
