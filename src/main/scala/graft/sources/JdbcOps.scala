@@ -86,6 +86,79 @@ object JdbcOps {
     })
   )
 
+  /** Keyed JDBC UPSERT via SQL-standard MERGE — the reference's
+    * JdbcUpsertTableSink (flink-connectors/flink-connector-jdbc/.../
+    * JdbcUpsertTableSink.java: UPDATE_AFTER stream into a keyed table).
+    * Apply one micro-batch: keep-last per key within the batch by
+    * `seqCol`, then each partition opens a connection and executes one
+    * batched, transactional MERGE statement per row group.
+    *
+    * Idempotent on replay: re-MERGing an applied batch updates rows to
+    * the values they already hold. Parameter markers are CAST to the
+    * column's SQL type (Derby rejects untyped parameters; the cast is
+    * harmless on other engines). The batch is coalesced to
+    * `maxConnections` partitions so the endpoint sees a bounded
+    * connection count. */
+  def upsertBatch(batch: DataFrame, url: String, table: String,
+                  keyCols: Seq[String], seqCol: String,
+                  maxConnections: Int = 4): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    if (batch.isEmpty) return
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    val latest = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    def sqlType(dt: DataType): String = dt match {
+      case LongType => "BIGINT";   case IntegerType => "INTEGER"
+      case DoubleType => "DOUBLE"; case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case StringType => "VARCHAR(4000)"
+      case other => throw new IllegalArgumentException(s"upsert: $other")
+    }
+    val cols = latest.schema.fields.toSeq
+    val names = cols.map(_.name)
+    val typeOf = cols.map(f => f.name -> sqlType(f.dataType)).toMap
+    val nonKeys = names.filterNot(keyCols.contains)
+    // Derby's MERGE source must be a base table or table function (no
+    // VALUES constructor), so use the documented one-row idiom: the
+    // dual table SYSIBM.SYSDUMMY1 as the source, the row's values as
+    // typed parameters in ON / SET / INSERT. Parameter order per row:
+    // keys (ON), non-keys (SET), then every column (INSERT).
+    def p(c: String) = s"CAST(? AS ${typeOf(c)})"
+    def q(c: String) = "\"" + c + "\"" // writer-created columns are case-exact
+    val merge =
+      s"""MERGE INTO $table t
+         |USING SYSIBM.SYSDUMMY1
+         |ON ${keyCols.map(k => s"t.${q(k)} = ${p(k)}").mkString(" AND ")}
+         |WHEN MATCHED THEN UPDATE SET ${
+           nonKeys.map(c => s"${q(c)} = ${p(c)}").mkString(", ")}
+         |WHEN NOT MATCHED THEN INSERT (${names.map(q).mkString(", ")})
+         |VALUES (${names.map(p).mkString(", ")})""".stripMargin
+    val paramCols = (keyCols ++ nonKeys ++ names).toIndexedSeq
+    val colIdx = names.zipWithIndex.toMap
+    latest.coalesce(maxConnections).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.nonEmpty) {
+          Class.forName(driver)
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            conn.setAutoCommit(false)
+            val st = conn.prepareStatement(merge)
+            rows.foreach { r =>
+              var i = 0
+              while (i < paramCols.length) {
+                st.setObject(i + 1, r.get(colIdx(paramCols(i))))
+                i += 1
+              }
+              st.addBatch()
+            }
+            st.executeBatch()
+            conn.commit()
+          } finally conn.close()
+        }
+    }
+  }
+
   val oracle: Map[String, String] = Map(
     "q246_jdbc_roundtrip" -> """
       SELECT o_orderstatus, count(*) AS n,

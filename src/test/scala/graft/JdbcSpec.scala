@@ -44,6 +44,40 @@ class JdbcSpec extends AnyFunSuite {
     assert(back.collect().map(_.toString).sorted.toSeq == exp)
   }
 
+  test("jdbc MERGE upsert: keep-last per key, streamed batches, idempotent replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.JdbcOps
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val url = freshUrl()
+    // seed the table shape (and one row that batch 1 must overwrite)
+    Seq((1L, "a", 0L)).toDF("k", "v", "seq")
+      .write.mode("overwrite").jdbc(url, "UPS", props)
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = mem.toDS().toDF("k", "v", "seq").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ups_ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        JdbcOps.upsertBatch(b, url, "UPS", Seq("k"), "seq")
+      }.start()
+    def state(): Set[(Long, String, Long)] =
+      spark.read.jdbc(url, "UPS", props)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    try {
+      mem.addData((1L, "b", 1L), (2L, "x", 1L), (2L, "y", 2L)) // in-batch dup key
+      q.processAllAvailable()
+      assert(state() == Set((1L, "b", 1L), (2L, "y", 2L)))
+      mem.addData((2L, "z", 3L), (3L, "c", 3L))
+      q.processAllAvailable()
+      val after = state()
+      assert(after == Set((1L, "b", 1L), (2L, "z", 3L), (3L, "c", 3L)))
+      // replayed batch (retry semantics) must be a no-op
+      JdbcOps.upsertBatch(Seq((2L, "z", 3L), (3L, "c", 3L)).toDF("k", "v", "seq"),
+        url, "UPS", Seq("k"), "seq")
+      assert(state() == after)
+    } finally q.stop()
+  }
+
   test("jdbc-backed dimension drives the lookup join") {
     val url = freshUrl()
     Tables.table(spark, dir, "nation")
