@@ -25,7 +25,7 @@ object SparkEntry {
       AggOps.queries ++ CepOps.queries ++ GraphQueries.queries ++
       FormatOps.queries ++ MoreOps.queries ++ TpchOps.queries ++
       TpchSuite.queries ++ TpcdsSuite.queries ++ PipelineOps.queries ++
-      SketchOps.queries ++ BloomPrune.queries ++
+      SketchOps.queries ++ BloomPrune.queries ++ RetrievalOps.queries ++
       sources.JdbcOps.queries ++
       streaming.ReplayQueries.queries
     // Ensure the function registry is installed whichever query runs first.
@@ -43,6 +43,7 @@ object SparkEntry {
     AggOps.oracle ++ CepOps.oracle ++ GraphQueries.oracle ++
     FormatOps.oracle ++ MoreOps.oracle ++ TpchOps.oracle ++
     TpchSuite.oracle ++ TpcdsSuite.oracle ++ PipelineOps.oracle ++
-    SketchOps.oracle ++ BloomPrune.oracle ++ sources.JdbcOps.oracle ++
+    SketchOps.oracle ++ BloomPrune.oracle ++ RetrievalOps.oracle ++
+    sources.JdbcOps.oracle ++
     streaming.ReplayQueries.oracle
 }

@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Retrieval & data-selection operators for the training-data pipeline
+ * family (builder north star): exact substring-level dedup coverage
+ * (the suffix-array dedup of Lee et al. 2022, "Deduplicating Training
+ * Data Makes Language Models Better", re-expressed as a k-gram
+ * position join — the pipeline op that q35/q39/q166 document-/segment-
+ * level dedup does NOT cover: a duplicated PARAGRAPH inside an
+ * otherwise unique doc), BM25 keyword retrieval (the classic sparse
+ * retriever used to mine/inspect corpora), and DSIR-style hashed
+ * n-gram importance weighting (Xie et al. 2023, "Data Selection for
+ * Language Models via Importance Resampling") for domain-targeted
+ * data selection.
+ *
+ * Scale notes (100 TB):
+ *  - q247: positions travel as (doc_id, pos, md5-digest) — the text
+ *    itself never shuffles (the q166 discipline). The duplicated-digest
+ *    reduction is one partial-aggregated count per digest; span
+ *    coverage is a per-doc window (one narrow exchange on doc_id,
+ *    partition-local sort). No O(n²) anywhere: a gram shared by D
+ *    positions costs D rows, not D² — unlike pair-style dedup, span
+ *    coverage never forms pairs.
+ *  - q248: the per-term document-frequency / corpus stats frames are
+ *    |terms| and 1 rows — broadcast scalar-join pattern; tf explode is
+ *    pre-filtered to the query terms inside the scan projection so the
+ *    exploded row count is bounded by term hits, not corpus tokens.
+ *    Final top-k is orderBy+limit = TakeOrderedAndProject (per-
+ *    partition heaps + driver merge of k rows, never a global sort).
+ *  - q249: the bucketed LM ratio table is ≤ B=1024 rows regardless of
+ *    corpus size — train-tiny/score-everywhere: built with two
+ *    partial-aggregated counts, broadcast back over the feature
+ *    stream. Per-bucket log-ratios are quantized to integer millinats
+ *    BEFORE the per-doc sum (the q159 trick), so document weights are
+ *    exact integer sums — bit-reproducible under any partitioning.
+ */
+object RetrievalOps {
+
+  /** 60-bit portable hash (same construction as DedupOps/SketchOps). */
+  private def h60(seed: String, s: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 15), 16, 10)
+      .cast("long")
+
+  private def h60Sql(seed: String, s: String): String =
+    s"CAST(('0x' || substr(md5('$seed:' || $s), 1, 15)) AS BIGINT)"
+
+  /** q247 span gram width (tokens). Real pipelines use ~50-token spans;
+   *  the fixture docs are ~60 tokens, so k=5 exercises the same
+   *  machinery at fixture scale. */
+  private[operators] val SpanK = 5
+
+  /** q248 query terms + Robertson/Lucene BM25 constants. */
+  private val Bm25Terms = Seq("spark", "window", "vector")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** q249 hashed-feature bucket count. */
+  private val DsirB = 1024
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact substring-level dedup coverage (Lee et al. 2022): mark every
+    // token position whose k-gram occurs more than once in the corpus
+    // (including intra-document repeats, as in the paper), merge the
+    // overlapping [pos, pos+k) intervals per document, and report the
+    // duplicated-token count and fraction. The interval union is the
+    // lead()-window identity: a position covers min(k, next_pos - pos)
+    // tokens (k for the last), so one window + one sum computes the
+    // union length without materializing intervals.
+    "q247_substring_dedup" -> ((s, dir) => {
+      val k = SpanK
+      val docs = Tables.table(s, dir, "documents")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .filter(size(col("toks")) >= k)
+      val pos = docs.select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(toks) - $k), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i + 1, $k))))"))
+          .as(Seq("pos", "dig")))
+      val dup = pos.groupBy("dig").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select("dig")
+      val dupPos = pos.join(dup, "dig").select("doc_id", "pos")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val cov = dupPos
+        .withColumn("nxt", lead(col("pos"), 1).over(w))
+        .withColumn("contrib",
+          when(col("nxt").isNull, lit(k))
+            .otherwise(least(lit(k), col("nxt") - col("pos"))))
+        .groupBy("doc_id")
+        .agg(sum(col("contrib")).cast("long").as("dup_tokens"))
+      docs.select(col("doc_id"), size(col("toks")).as("n_tokens"))
+        .join(cov, "doc_id")
+        .withColumn("dup_frac",
+          round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
+    }),
+
+    // BM25 ranked keyword retrieval (Robertson; Lucene's idf variant):
+    // score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    // idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)). Each term's
+    // contribution is quantized to integer micro-points so the per-doc
+    // sum is order-independent; top 50 via TakeOrderedAndProject.
+    "q248_bm25" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+        .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val hits = docs.select(col("doc_id"), col("dl"),
+          explode(expr(
+            "filter(toks, t -> t IN " +
+              Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")") + ")"))
+            .as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = hits.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      hits.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5))))
+        .withColumn("contrib_u",
+          round(col("idf") * (col("tf") * lit(Bm25K1 + 1.0))
+            / (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B)
+              + lit(Bm25B) * col("dl") / col("avgdl"))) * lit(1e6))
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum(col("contrib_u")).as("score_u"))
+        .orderBy(col("score_u").desc, col("doc_id").asc)
+        .limit(50)
+    }),
+
+    // DSIR-style importance weights: hashed word-bigram features
+    // (B=1024 buckets), a +1-smoothed bucket LM for the target domain
+    // (lang = 'en') vs the whole corpus, per-bucket log-ratio in
+    // integer millinats, per-doc weight = Σ feature log-ratios.
+    // selected = weight > 0 (doc looks more target-like than
+    // corpus-like under the hashed-bigram model).
+    "q249_dsir_weights" -> ((s, dir) => {
+      val bg = Tables.table(s, dir, "documents")
+        .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i]))")).as("bg"))
+        .withColumn("bkt", pmod(h60("dsir", col("bg")), lit(DsirB)))
+      val cc = bg.groupBy("bkt").agg(count(lit(1)).as("cc"))
+      val ct = bg.filter(col("lang") === "en")
+        .groupBy("bkt").agg(count(lit(1)).as("ct"))
+      val totals = bg.agg(
+        sum(lit(1)).as("tot_c"),
+        sum(when(col("lang") === "en", 1).otherwise(0)).as("tot_t"))
+      val lr = cc.join(ct, Seq("bkt"), "left")
+        .na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(totals))
+        .select(col("bkt"),
+          round((log((col("ct") + lit(1)).cast("double")
+              / (col("tot_t") + lit(DsirB)))
+            - log((col("cc") + lit(1)).cast("double")
+              / (col("tot_c") + lit(DsirB)))) * lit(1000))
+            .cast("long").as("lr_mlb"))
+      bg.join(broadcast(lr), "bkt")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"),
+             sum(col("lr_mlb")).as("weight_mlb"))
+        .withColumn("selected", col("weight_mlb") > 0)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q247_substring_dedup" -> s"""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(toks[i:i+${SpanK - 1}], ' ')) AS dig
+        FROM t, UNNEST(generate_series(1, len(toks) - ${SpanK - 1})) AS u(i)
+        WHERE len(toks) >= $SpanK),
+      dup AS (SELECT dig FROM g GROUP BY dig HAVING count(*) > 1),
+      dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (dig)),
+      cov AS (
+        SELECT doc_id,
+               sum(CASE WHEN nxt IS NULL THEN $SpanK
+                        ELSE least($SpanK, nxt - pos) END) AS dup_tokens
+        FROM (SELECT doc_id, pos,
+                     lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+              FROM dp)
+        GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+             CAST(cov.dup_tokens AS BIGINT) AS dup_tokens,
+             round(CAST(cov.dup_tokens AS DOUBLE) / len(t.toks), 6)
+               AS dup_frac
+      FROM t JOIN cov ON t.doc_id = cov.doc_id""",
+
+    "q248_bm25" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""
+      WITH d AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+               len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl
+        FROM documents),
+      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      hits AS (
+        SELECT doc_id, dl, tok AS term, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+        WHERE tok IN $terms
+        GROUP BY doc_id, dl, tok),
+      dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM hits GROUP BY term),
+      scored AS (
+        SELECT h.doc_id,
+               CAST(round(
+                 ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                 * (h.tf * ${Bm25K1 + 1.0})
+                 / (h.tf + $Bm25K1 * (${1.0 - Bm25B}
+                     + $Bm25B * h.dl / s.avgdl)) * 1e6) AS BIGINT)
+                 AS contrib_u
+        FROM hits h JOIN dfreq f ON h.term = f.term, stats s)
+      SELECT doc_id, count(*) AS n_terms,
+             CAST(sum(contrib_u) AS BIGINT) AS score_u
+      FROM scored GROUP BY doc_id
+      ORDER BY score_u DESC, doc_id ASC
+      LIMIT 50"""
+    },
+
+    "q249_dsir_weights" -> s"""
+      WITH t AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents),
+      bg AS (
+        SELECT doc_id, lang,
+               ${h60Sql("dsir", "(toks[i-1] || ' ' || toks[i])")} % $DsirB
+                 AS bkt
+        FROM t, UNNEST(generate_series(2, len(toks))) AS u(i)
+        WHERE len(toks) >= 2),
+      cc AS (SELECT bkt, count(*) AS cc FROM bg GROUP BY bkt),
+      ct AS (SELECT bkt, count(*) AS ct FROM bg WHERE lang = 'en'
+             GROUP BY bkt),
+      tot AS (SELECT count(*) AS tot_c,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tot_t
+              FROM bg),
+      lr AS (
+        SELECT cc.bkt,
+               CAST(round((ln(CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE)
+                               / (tot.tot_t + $DsirB))
+                         - ln(CAST(cc.cc + 1 AS DOUBLE)
+                               / (tot.tot_c + $DsirB))) * 1000) AS BIGINT)
+                 AS lr_mlb
+        FROM cc LEFT JOIN ct ON cc.bkt = ct.bkt, tot)
+      SELECT bg.doc_id, count(*) AS n_feats,
+             CAST(sum(lr.lr_mlb) AS BIGINT) AS weight_mlb,
+             CAST(sum(lr.lr_mlb) AS BIGINT) > 0 AS selected
+      FROM bg JOIN lr ON bg.bkt = lr.bkt
+      GROUP BY bg.doc_id"""
+  )
+}
