@@ -31,14 +31,37 @@ object Tables {
     if (name == "events") normalizeEventTs(df) else df
   }
 
-  private def normalizeEventTs(df: DataFrame): DataFrame =
+  /**
+   * Normalize `events.ts` to a µs-precision `TimestampType` column
+   * regardless of which of the three plausible parquet encodings the
+   * fixture generator emitted:
+   *   - INT64 TIMESTAMP(NANOS) read as LongType under
+   *     `spark.sql.legacy.parquet.nanosAsLong` → integer-divide to µs;
+   *   - plain `timestamp[us]` (no TZ annotation) read as TIMESTAMP_NTZ →
+   *     cast to TimestampType (session TZ is pinned UTC in GraftSession,
+   *     so the cast is epoch-preserving and bit-compatible with the
+   *     DuckDB oracle, which treats TIMESTAMP as naive);
+   *   - `timestamp[us, UTC]` read as TimestampType → pass through.
+   */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // Integer division (IntegralDivide): `/` on longs is double division
         // and ns epochs (~1.7e18) exceed 2^53, which would corrupt the µs.
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => df // already a timestamp type
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df // already µs TimestampType
     }
+
+  /**
+   * Canonical epoch-µs projection for a normalized event-time column.
+   * All operator code converts timestamps to epoch micros through this
+   * helper so a future fixture-encoding change is a one-line fix here
+   * rather than a sweep over every call site.
+   */
+  def tsMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
 
   /** Register every table as a temp view named after itself. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -23,7 +23,7 @@ object CepOps {
       import s.implicits._
       val ds = Tables.table(s, dir, "events")
         .select(col("event_id"), col("user_id"),
-                unix_micros(col("ts")).as("ts_us"), col("event_type"))
+                Tables.tsMicros(col("ts")).as("ts_us"), col("event_type"))
         .as[Ev]
       val pattern = Cep.Pattern[Ev](
         steps = Seq(
@@ -100,7 +100,7 @@ object CepOps {
       import s.implicits._
       val ds = Tables.table(s, dir, "events")
         .select(col("event_id"), col("user_id"),
-                unix_micros(col("ts")).as("ts_us"), col("event_type"))
+                Tables.tsMicros(col("ts")).as("ts_us"), col("event_type"))
         .as[Ev]
       val pattern = Cep.Pattern[Ev](
         steps = Seq(

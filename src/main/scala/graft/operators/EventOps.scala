@@ -77,7 +77,7 @@ object EventOps {
         .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
         .agg(count(lit(1)).as("n"),
              sum(col("value").cast(dec)).cast("double").as("sum_v"))
-        .select(col("event_type"), unix_micros(col("w.start")).as("w_start"),
+        .select(col("event_type"), Tables.tsMicros(col("w.start")).as("w_start"),
                 col("n"), col("sum_v"))
     }),
 
@@ -87,7 +87,7 @@ object EventOps {
       ev(s, dir)
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
         .agg(count(lit(1)).as("n"))
-        .select(unix_micros(col("w.start")).as("w_start"), col("n"))
+        .select(Tables.tsMicros(col("w.start")).as("w_start"), col("n"))
     }),
 
     // Session window (SESSION gap 30 min) per user: session count and size.
@@ -164,8 +164,8 @@ object EventOps {
         .orderBy(col("ts"), col("event_id"))
       ev(s, dir)
         .filter(col("event_type") === "view")
-        .withColumn("valid_from", unix_micros(col("ts")))
-        .withColumn("valid_to", unix_micros(lead(col("ts"), 1).over(w)))
+        .withColumn("valid_from", Tables.tsMicros(col("ts")))
+        .withColumn("valid_to", Tables.tsMicros(lead(col("ts"), 1).over(w)))
         .withColumn("version", row_number().over(w).cast("long"))
         .withColumn("is_current", col("valid_to").isNull)
         .select(col("user_id"), col("event_id"), col("value"),
@@ -242,8 +242,8 @@ object EventOps {
         .orderBy(col("ts"), col("event_id"))
       val sess = ev(s, dir)
         .withColumn("gap",
-          when(unix_micros(col("ts"))
-                 - unix_micros(lag(col("ts"), 1).over(w))
+          when(Tables.tsMicros(col("ts"))
+                 - Tables.tsMicros(lag(col("ts"), 1).over(w))
                  > 30L * 60 * 1000000, 1L)
             .otherwise(0L))
         .withColumn("session_no", sum(col("gap")).over(

@@ -51,7 +51,7 @@ object MoreOps {
         .filter(col("event_type") === t)
         .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
         .agg(count(lit(1)).as(n))
-        .select(col("user_id").as(s"u_$n"), unix_micros(col("w.start")).as(s"ws_$n"),
+        .select(col("user_id").as(s"u_$n"), Tables.tsMicros(col("w.start")).as(s"ws_$n"),
                 col(n))
       winAgg("view", "n_views")
         .join(winAgg("purchase", "n_purch"),

@@ -100,7 +100,7 @@ object ReplayQueries {
           .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
           .agg(count(lit(1)).as("n"),
                sum(col("value").cast(dec)).cast("double").as("sum_v"))
-          .select(col("event_type"), unix_micros(col("w.start")).as("w_start"),
+          .select(col("event_type"), Tables.tsMicros(col("w.start")).as("w_start"),
                   col("n"), col("sum_v"))
         val q = agg.writeStream.outputMode("complete")
           .option("checkpointLocation", ck)
