@@ -325,9 +325,17 @@ object Cep {
    * matches once their within-window is fully behind the watermark
    * (so late events cannot change them), prune emitted prefix.
    */
+  /**
+   * `tsPerMs` scales the watermark (always epoch-ms in Spark) into the
+   * unit of `ts`/`withinMs` — pass 1000 when matching on epoch-µs event
+   * times so the within-horizon keeps the batch engine's exact µs
+   * boundary semantics instead of truncating to ms.
+   */
   def matchStream[K, V](
       grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V],
-      pattern: Pattern[V], ts: V => Long)(
+      pattern: Pattern[V], ts: V => Long,
+      tiebreak: V => Long = (_: V) => 0L,
+      tsPerMs: Long = 1L)(
       implicit ve: Encoder[V], se: Encoder[Seq[V]],
       me: Encoder[Match[K, V]]): Dataset[Match[K, V]] = {
     // Without a within-window there is no sound pruning horizon: state at
@@ -339,9 +347,11 @@ object Cep {
     grouped.flatMapGroupsWithState[Seq[V], Match[K, V]](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
       (key: K, values: Iterator[V], state: GroupState[Seq[V]]) =>
+        // same (ts, tiebreak) order as matchBatch, so ties among equal-ts
+        // events resolve identically regardless of arrival batch
         val buf = (state.getOption.getOrElse(Seq.empty) ++ values)
-          .sortBy(ts)
-        val wm = state.getCurrentWatermarkMs()
+          .sortBy(v => (ts(v), tiebreak(v)))
+        val wm = state.getCurrentWatermarkMs() * tsPerMs
         // a match starting at event e can only involve events up to
         // ts(e)+horizon; safe to finalize starts below wm - horizon.
         val safeTs = wm - horizon
@@ -354,7 +364,8 @@ object Cep {
           .map(m => Match(key, m))
         state.update(pending)
         if (pending.nonEmpty)
-          state.setTimeoutTimestamp(ts(pending.head) + horizon + 1)
+          // timeout timestamps are epoch-ms: scale back from the ts unit
+          state.setTimeoutTimestamp((ts(pending.head) + horizon) / tsPerMs + 1)
         out.iterator
     }
   }

@@ -65,12 +65,54 @@ object ReplayQueries {
   /** One side's updating aggregate view payload. */
   final case class SideAgg(sum: Double, count: Long)
 
+  /** Typed event for the streaming-CEP replay (q251): `ts_us` is the
+    * epoch-µs match time; `ets` is the watermarked event-time column,
+    * kept inside the element type so the watermark stays attached to
+    * the typed plan (cf. CepSpec's streaming harness note). */
+  final case class CepEv(event_id: Long, user_id: Long, ts_us: Long,
+                         event_type: String, ets: java.sql.Timestamp)
+
+  /** Typed event for the streaming over-window replay (q252): `t_ms`
+    * is the epoch-ms emission time (the watermark unit). */
+  final case class OvEv(event_id: Long, user_id: Long, t_ms: Long,
+                        value: Double, ets: java.sql.Timestamp)
+
   /** Stage `df` as `n` parquet files under a fresh temp dir; return the
     * (input, output, checkpoint) directory triple. */
   private def stage(df: DataFrame, n: Int): (String, String, String) = {
     val root = Files.createTempDirectory("graft_replay").toString
     df.repartition(n).write.mode("overwrite").parquet(s"$root/in")
     (s"$root/in", s"$root/out", s"$root/ck")
+  }
+
+  /**
+   * Stage `df` as `n` EVENT-TIME-ORDERED parquet files (file i holds the
+   * i-th ts-range slice), written as sequential jobs so file modification
+   * times strictly increase — `FileStreamSource` replays oldest-first, so
+   * a `maxFilesPerTrigger=1` query sees event time advance monotonically
+   * and a tight watermark delay drops nothing. Two trailing `sentinel`
+   * files (far-future rows on an impossible key) then push the watermark
+   * past every real row so watermark-gated operators (session windows,
+   * CEP horizons, over-window emission) finalize all state — the replay
+   * analogue of the reference's final `Long.MAX_VALUE` watermark on
+   * bounded input (flink-streaming-java/.../streamstatus/StreamStatus.java).
+   *
+   * The ntile staging sort is a single task — acceptable because staging
+   * is harness scaffolding; the streamed plan under test is the
+   * production shape (keyed state shuffled on the group key).
+   */
+  private def stageOrdered(df: DataFrame, tsCol: String, n: Int,
+                           sentinel: DataFrame): (String, String, String) = {
+    val root = Files.createTempDirectory("graft_replay").toString
+    val in = s"$root/in"
+    val sliced = df.withColumn("__slice",
+      ntile(n).over(org.apache.spark.sql.expressions.Window.orderBy(col(tsCol))))
+    for (i <- 1 to n)
+      sliced.filter(col("__slice") === i).drop("__slice")
+        .coalesce(1).write.mode("append").parquet(in)
+    sentinel.coalesce(1).write.mode("append").parquet(in)
+    sentinel.coalesce(1).write.mode("append").parquet(in)
+    (in, s"$root/out", s"$root/ck")
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` = `n`, restoring the
@@ -174,7 +216,132 @@ object ReplayQueries {
     // micro-batches — the final state is batch-boundary-independent,
     // so the batch dual SQL must hash-match it.
     "q245_stream_changelog_join" -> ((s, dir) =>
-      changelogJoinReplay(s, dir, nFiles = 4, filesPerTrigger = 2))
+      changelogJoinReplay(s, dir, nFiles = 4, filesPerTrigger = 2)),
+
+    // Session windows executed as a STREAM (the reference's merging
+    // SessionWindowAssigner, RUNTIME/runtime/operators/window/assigners/
+    // SessionWindowAssigner.java): per-user 30-min-gap sessions assembled
+    // by the native streaming session_window operator in Append mode —
+    // sessions merge across micro-batches and emit once the watermark
+    // passes their close; the sentinel files flush the horizon. The
+    // read-back rollup to per-user stats is batch shaping; the session
+    // ASSEMBLY (the stateful merging operator) runs unbounded. Oracle:
+    // q27's lag/cumsum SQL dual.
+    "q250_stream_session" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events").select(col("user_id"), col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("user_id"),
+                lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
+                  .cast("timestamp").as("ts"))
+      val (in, out, ck) = stageOrdered(ev, "ts", 4, sentinel)
+      withStatePartitions(s, 8) {
+        val agg = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .withWatermark("ts", "1 second")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("n_events"))
+        val q = agg.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(out).filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+             sum(col("n_events")).as("n_events"),
+             max(col("n_events")).as("max_session"))
+    }),
+
+    // CEP executed as a STREAM: the q49 funnel pattern (view → click →
+    // purchase within 24h, enumerate-all) through the watermark-gated
+    // NFA (`Cep.matchStream`, the CepOperator.java:83 analogue) — state
+    // buffers per user, matches finalize once the within-horizon is
+    // behind the watermark, sentinels flush the tail. Matching runs on
+    // epoch-µs (`tsPerMs = 1000`) so the 24h boundary is exactly the
+    // batch engine's; oracle: q49's 3-way self-join, verbatim.
+    "q251_stream_cep" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+                Tables.tsMicros(col("ts")).as("ts_us"), col("event_type"),
+                col("ts").as("ets"))
+      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+                lit((maxTs.getTime + 100L * 86400 * 1000) * 1000).as("ts_us"),
+                lit("zz_sentinel").as("event_type"),
+                lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
+                  .cast("timestamp").as("ets"))
+      val (in, out, ck) = stageOrdered(ev, "ets", 4, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .withWatermark("ets", "1 second")
+          .as[CepEv]
+        val pattern = Cep.Pattern[CepEv](
+          steps = Seq(
+            Cep.Step[CepEv]("view", _.event_type == "view"),
+            Cep.Step[CepEv]("click", _.event_type == "click"),
+            Cep.Step[CepEv]("purchase", _.event_type == "purchase")),
+          withinMs = Some(24L * 3600 * 1000000)) // 24h in µs, as q49
+        val matches = Cep.matchStream[Long, CepEv](
+            src.groupByKey(_.user_id), pattern, _.ts_us, _.event_id,
+            tsPerMs = 1000L)
+          .map(m => (m.key, m.events(0).event_id, m.events(1).event_id,
+                     m.events(2).event_id))
+          .toDF("user_id", "v_id", "c_id", "p_id")
+        val q = matches.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(out).filter(col("user_id") >= 0)
+    }),
+
+    // Event-time over-window executed as a STREAM: running MIN(value)
+    // per user (ROWS UNBOUNDED PRECEDING) through the watermark-ordered
+    // fold (`OverWindow.overAgg`, the RowTimeRowsUnboundedPrecedingFunction
+    // analogue, RUNTIME/runtime/operators/over/) — rows emit in
+    // (event-ms, event_id) order per key once final; sentinels flush
+    // emission past the data horizon. Oracle: the batch over-window SQL
+    // with the identical deterministic ORDER BY.
+    "q252_stream_over" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+                expr("unix_micros(cast(ts as timestamp)) div 1000").as("t_ms"),
+                col("value"), col("ts").as("ets"))
+      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+                lit(maxTs.getTime + 100L * 86400 * 1000).as("t_ms"),
+                lit(0.0).as("value"),
+                lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
+                  .cast("timestamp").as("ets"))
+      val (in, out, ck) = stageOrdered(ev, "ets", 4, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .withWatermark("ets", "1 second")
+          .as[OvEv]
+        val runMin = OverWindow.overAgg[Long, OvEv, Double](
+            src.groupByKey(_.user_id),
+            _.t_ms, _.event_id, _.value,
+            OverWindow.minAgg[OvEv](_.value),
+            OverWindow.UnboundedPreceding)
+          .toDF("user_id", "t_ms", "event_id", "run_min")
+        val q = runMin.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(out).filter(col("user_id") >= 0)
+    })
   )
 
   /** q245's pipeline with the replay split as parameters, so the spec
@@ -243,6 +410,52 @@ object ReplayQueries {
       SELECT p.user_id AS user_id,
              p.s/100.0 AS purchase_amt, CAST(p.c AS BIGINT) AS purchases,
              k.s/100.0 AS click_amt, CAST(k.c AS BIGINT) AS clicks
-      FROM p JOIN k ON p.user_id = k.user_id"""
+      FROM p JOIN k ON p.user_id = k.user_id""",
+
+    // q27's batch dual, verbatim: sessionization via lag/cumsum.
+    "q250_stream_session" -> """
+      WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - lag(CAST(ts AS TIMESTAMP))
+                             OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      sess AS (
+        SELECT user_id,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged),
+      per_sess AS (
+        SELECT user_id, sid, count(*) AS n_events
+        FROM sess GROUP BY user_id, sid)
+      SELECT user_id, count(*) AS n_sessions,
+             CAST(sum(n_events) AS BIGINT) AS n_events, max(n_events) AS max_session
+      FROM per_sess GROUP BY user_id""",
+
+    // q49's batch dual, verbatim: the funnel as a 3-way self-join.
+    "q251_stream_cep" -> """
+      SELECT v.user_id, v.event_id AS v_id, c.event_id AS c_id, p.event_id AS p_id
+      FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t
+            FROM events WHERE event_type = 'view') v
+      JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t
+            FROM events WHERE event_type = 'click') c
+        ON c.user_id = v.user_id AND c.t > v.t
+      JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t
+            FROM events WHERE event_type = 'purchase') p
+        ON p.user_id = v.user_id AND p.t > c.t
+       AND p.t <= v.t + INTERVAL 24 HOUR""",
+
+    "q252_stream_over" -> """
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS t_ms,
+             event_id,
+             min(value) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_min
+      FROM events"""
   )
 }
