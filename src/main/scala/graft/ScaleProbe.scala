@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * One-off scaling probe for the queries whose 100x behavior rests on a
+ * tuning constant rather than a measured point — currently
+ * q37_ngram_jaccard, whose shingle-DF cap (spark.graft.shingleDfCap)
+ * bounds the self-join hot keys and which holds the scaling band's
+ * worst sf0.01→sf0.1 ratio.
+ *
+ * Builds a synthetic 10x corpus from the given sf dir by unioning ten
+ * copies of `documents` with every token suffixed by the copy index:
+ * within-copy shingle structure (and thus DF distribution and true
+ * near-dup pairs) is preserved exactly, while cross-copy overlap is
+ * zero — so the 10x corpus behaves like ten independent corpora and
+ * ideal scaling is linear. (A plain 10x union of identical copies would
+ * manufacture 10-clone dup groups and a quadratic pair blowup that says
+ * nothing about the algorithm.)
+ *
+ * Prints one JSON line: base/10x wall seconds, the ratio, and the cap.
+ * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleProbe"
+ */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.tune(
+        SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+      .getOrCreate()
+    GraftSession.init(spark)
+
+    // Stage the synthetic 10x documents dir (only `documents` is needed).
+    val root = Files.createTempDirectory("graft_scaleprobe").toString
+    val docs = Tables.table(spark, sfDir, "documents")
+    val copies = (0 until 10).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+        concat_ws(" ", transform(split(trim(col("text")), "\\s+"),
+          t => concat(t, lit(s"_$i")))).as("text"))
+    }
+    copies.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$root/documents.parquet")
+
+    def time(dir: String): Double = {
+      val t0 = System.nanoTime()
+      val df = operators.TextOps.queries("q37_ngram_jaccard")(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Warm codegen/classloading on the small base before timing.
+    time(sfDir)
+    val base = time(sfDir)
+    val x10 = time(root)
+    val cap = spark.conf.getOption("spark.graft.shingleDfCap").getOrElse("500")
+    println(f"""{"probe":"q37_ngram_jaccard","sf_dir":"$sfDir","cap":$cap,"base_sec":$base%.2f,"x10_sec":$x10%.2f,"ratio":${x10 / base}%.2f}""")
+    spark.stop()
+  }
+}

@@ -35,8 +35,16 @@ object TextOps {
   /** Max documents a shingle may appear in before it is pruned from the
    *  q37 self-join (document-frequency cap). Any value far above the
    *  real dup-group size preserves near-dup pairs; it exists to bound
-   *  the hot-key quadratic blowup of the shingle equi-join at scale. */
+   *  the hot-key quadratic blowup of the shingle equi-join at scale.
+   *  Default for `spark.graft.shingleDfCap` — the oracle gate runs at
+   *  this default (the oracle SQL interpolates it statically); override
+   *  the conf when tuning the cap against a larger corpus. */
   private val shingleDfCap = 500
+
+  /** Runtime cap: `spark.graft.shingleDfCap` if set, else the default. */
+  private def shingleCap(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.shingleDfCap")
+      .map(_.toInt).getOrElse(shingleDfCap)
 
   /** q149's fingerprint document-frequency cap — see the q149 comment. */
   private val winnowDfCap = 100
@@ -103,7 +111,7 @@ object TextOps {
             "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("sh"))
       val keepSh = rawShingles.groupBy("sh")
         .agg(count(lit(1)).as("df"))
-        .filter(col("df") <= shingleDfCap)
+        .filter(col("df") <= shingleCap(s))
         .select("sh")
       val shingles = rawShingles.join(keepSh, "sh")
       val counts = shingles.groupBy("doc_id")
