@@ -68,6 +68,80 @@ object GraphOps {
   }
 
   /**
+   * Connected components by alternating large-star/small-star contraction
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   * SoCC '14) — the scale-insurance variant of `connectedComponents`:
+   * round count is O(log² n) in the worst case and ~log n in practice,
+   * independent of graph DIAMETER, where min-label propagation needs one
+   * superstep per hop. On a 100 TB web/link graph with long chains the
+   * min-label loop is unusable; star contraction converges in a handful
+   * of shuffles. Each round is two (join + groupBy) exchanges on node id
+   * — the same shuffle shape Spark already optimizes.
+   *
+   * Semantics identical to `connectedComponents` (component = min node
+   * id reachable); `connectedComponentsStarWithStats` also returns the
+   * number of rounds for measurement.
+   */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponentsStarWithStats(edges, maxIter)._1
+
+  def connectedComponentsStarWithStats(edges: DataFrame, maxIter: Int = 25)
+      : (DataFrame, Int) = {
+    val nodes = symmetrize(edges).select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var iter = 0
+    var converged = false
+    // edge-multiset signature: (count, sum of per-edge hashes). Stable
+    // signature ⟺ the star forest stopped changing (hash-collision odds
+    // are negligible and the structure is monotone-contracting anyway).
+    var prev: (Long, java.math.BigDecimal) = null
+    while (iter < maxIter && !converged) {
+      // LARGE-STAR: for each u, m = min({u} ∪ N(u)); link every strictly
+      // LARGER neighbor to m. Keeps every component connected while
+      // halving long tails (the proof is Kiveris et al. Lemma 1).
+      val nbrs = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val lmin = nbrs.groupBy("src")
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
+      val large = nbrs.join(lmin, nbrs("src") === lmin("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      // SMALL-STAR: orient u > v; for each u, m = min neighbor; link u
+      // and all its smaller neighbors to m.
+      val o = large.select(greatest(col("src"), col("dst")).as("u"),
+                           least(col("src"), col("dst")).as("v"))
+      val smin = o.groupBy("u").agg(min(col("v")).as("m"))
+      val small = o.join(smin, "u")
+        .select(col("v").as("src"), col("m").as("dst"))
+        .union(smin.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint()
+      val row = small
+        .agg(count(lit(1)).as("n"),
+             sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")).as("h"))
+        .collect()(0)
+      val sig = (row.getLong(0), row.getDecimal(1))
+      converged = prev != null && sig == prev
+      prev = sig
+      e = small
+      iter += 1
+    }
+    // after convergence e is a star forest: non-root → component min.
+    // (min-agg is a no-op at a true fixpoint; it keeps the projection a
+    // function if the loop was cut by maxIter mid-contraction)
+    val parents = e.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("comp"))
+    val out = nodes
+      .join(parents, Seq("node"), "left")
+      .select(col("node"),
+              coalesce(col("comp"), col("node")).as("component"))
+    (out, iter)
+  }
+
+  /**
    * PageRank, fixed iteration count, damping d: rank = (1-d)/N + d·Σ
    * rank(in-neighbor)/outdeg. Dangling mass is NOT redistributed (same
    * simplification as Gelly's basic PageRank) — documented, and mirrored

@@ -34,6 +34,13 @@ object GraphQueries {
       GraphOps.connectedComponents(smallEdges(s, dir))
         .select(col("node"), col("component"))),
 
+    // Same components via large-star/small-star contraction (Kiveris et
+    // al.) — the diameter-independent variant for 100x graphs; oracle is
+    // q50's recursive-CTE reachability, verbatim.
+    "q253_cc_star" -> ((s, dir) =>
+      GraphOps.connectedComponentsStar(smallEdges(s, dir))
+        .select(col("node"), col("component"))),
+
     "q51_pagerank" -> ((s, dir) =>
       GraphOps.pageRank(smallEdges(s, dir), iters = 3)
         .select(col("node"), round(col("rank"), 6).as("rank_r"))),
@@ -106,6 +113,17 @@ object GraphQueries {
 
   val oracle: Map[String, String] = Map(
     "q50_connected_components" -> s"""
+      WITH RECURSIVE $edgesSql,
+      edges AS (SELECT src, dst FROM edges0
+                UNION SELECT dst, src FROM edges0),
+      nodes AS (SELECT DISTINCT src AS n FROM edges),
+      reach(n, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.n)
+      SELECT n AS node, min(r) AS component FROM reach GROUP BY n""",
+
+    "q253_cc_star" -> s"""
       WITH RECURSIVE $edgesSql,
       edges AS (SELECT src, dst FROM edges0
                 UNION SELECT dst, src FROM edges0),

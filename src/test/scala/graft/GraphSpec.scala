@@ -23,6 +23,29 @@ class GraphSpec extends AnyFunSuite {
     assert(Seq(20L, 21L).forall(cc(_) == 20L))
   }
 
+  test("star-contraction CC matches min-label on the bridged graph") {
+    val a = GraphOps.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = GraphOps.connectedComponentsStar(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("star-contraction CC solves a path graph far deeper than its round count") {
+    // 4001-node path: min-label propagation moves the min ONE hop per
+    // superstep (needs ~4000), which is exactly the diameter-bound
+    // failure mode at 100x scale. Star contraction must finish in
+    // O(log n) rounds and label everything with the path head.
+    val n = 4000L
+    val path = spark.range(n)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val (cc, rounds) = GraphOps.connectedComponentsStarWithStats(path)
+    assert(rounds <= 15, s"expected O(log n) rounds, took $rounds")
+    val rows = cc.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == n + 1)
+    assert(rows.forall(_._2 == 0L))
+  }
+
   test("pagerank sums to <= 1 and favors high in-degree nodes") {
     val pr = GraphOps.pageRank(edges, iters = 5).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
