@@ -234,7 +234,12 @@ object ReplayQueries {
         .select(lit(-1L).as("user_id"),
                 lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
                   .cast("timestamp").as("ts"))
-      val (in, out, ck) = stageOrdered(ev, "ts", 4, sentinel)
+      val (in, out, ck) = stageOrdered(ev, "ts", 2, sentinel)
+      // Cost note: ~18 s at sf0.1, dominated by the merging-session
+      // operator re-merging the accumulated per-key session lists each
+      // batch (measured identical at 8 vs 32 state partitions, so it is
+      // per-key merge work, not exchange width). A correctness-gate
+      // entry by construction, like q180 — not a serving path.
       withStatePartitions(s, 8) {
         val agg = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
@@ -275,7 +280,7 @@ object ReplayQueries {
                 lit("zz_sentinel").as("event_type"),
                 lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
                   .cast("timestamp").as("ets"))
-      val (in, out, ck) = stageOrdered(ev, "ets", 4, sentinel)
+      val (in, out, ck) = stageOrdered(ev, "ets", 2, sentinel)
       withStatePartitions(s, 8) {
         val src = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
@@ -322,7 +327,7 @@ object ReplayQueries {
                 lit(0.0).as("value"),
                 lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
                   .cast("timestamp").as("ets"))
-      val (in, out, ck) = stageOrdered(ev, "ets", 4, sentinel)
+      val (in, out, ck) = stageOrdered(ev, "ets", 2, sentinel)
       withStatePartitions(s, 8) {
         val src = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
