@@ -168,6 +168,65 @@ object VectorOps {
           coalesce(col("nh"), lit(0L)).cast("int").as("n_hit"),
           (coalesce(col("nh"), lit(0L)).cast("double") / lit(5.0))
             .as("recall_at_5"))
+    }),
+
+    // Deterministic Lloyd k-means (document/topic clustering for
+    // curation mixtures): K=8, two (assign, update) rounds + final
+    // assignment. Seeding reuses the IVF md5(vec_id) deterministic
+    // sample. Every cross-engine-sensitive reduction is either a
+    // per-pair in-array-order fold (the q85-proven score idiom, query
+    // norm dropped — it cannot change an argmax) or exact integer math
+    // (centroid sums in int-micros, mean as floor of one double
+    // division), so the fully unrolled DuckDB dual hash-matches.
+    // 100 TB: per round, assignment is a SHUFFLE-FREE projection against
+    // an O(K) broadcast literal and the update is one partial-agg
+    // shuffle on (cid, pos) — K-row driver collects, like IVF; rounds
+    // are a fixed constant. (Reference has no clustering op; this is a
+    // pipeline-extra like DSIR/SemDeDup, which both consume it.)
+    "q254_kmeans" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val kk = 8
+      val quant = "CAST(floor(CAST(x AS DOUBLE) * 1000000D) AS BIGINT)"
+      var cents: Seq[(Long, Seq[Long])] = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(kk)
+        .select(col("vec_id"),
+          expr(s"transform(embedding, x -> $quant)").as("cent"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+        .sortBy(_._1).toSeq
+      def assigned(): DataFrame = {
+        val centsArr = typedLit(cents)
+          .cast("array<struct<cid:bigint,cent:array<bigint>>>")
+        emb.withColumn("cents", centsArr)
+          .withColumn("best", expr(
+            """array_max(transform(cents, c -> struct(
+              |  aggregate(zip_with(embedding, c.cent,
+              |      (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+              |    0D, (a, v) -> a + v)
+              |  / sqrt(aggregate(transform(c.cent,
+              |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+              |      0D, (a, v) -> a + v)) AS score,
+              |  -c.cid AS ncid)))""".stripMargin))
+          .withColumn("cid", -col("best.ncid"))
+          .drop("cents", "best")
+      }
+      for (_ <- 1 to 2) {
+        val upd = assigned()
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(sum(expr(quant)).as("sx"), count(lit(1)).as("n"))
+          .withColumn("cj", expr(
+            "CAST(floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+          .groupBy("cid")
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(pos, cj))), p -> p.cj)")
+            .as("cent"))
+        val updMap = upd.collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+        // a cluster that captured no rows keeps its previous centroid
+        cents = cents.map { case (cid, old) => (cid, updMap.getOrElse(cid, old)) }
+      }
+      assigned().select(col("vec_id"), col("cid"))
     })
   )
 
@@ -230,7 +289,48 @@ object VectorOps {
       SELECT q_id, cand_id, CAST(rnk AS INT) AS rnk, round(cos, 6) AS sim
       FROM ranked WHERE rnk <= 5"""
 
+  /** One k-means assignment round in DuckDB: nearest centroid by the
+    * norm-free score (dot / ||cent||), ties to the smaller cid. */
+  private def kmAssignSql(centsCte: String): String = s"""
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.embedding::DOUBLE[], c.cent::DOUBLE[])
+                     / sqrt(list_dot_product(c.cent::DOUBLE[], c.cent::DOUBLE[]))
+                   DESC, c.cid) AS rn
+          FROM embeddings e CROSS JOIN $centsCte c) x WHERE rn = 1"""
+
+  /** One centroid update round in DuckDB: int-micro quantized mean. */
+  private def kmUpdateSql(assignCte: String): String = s"""
+        SELECT cid, list(cj ORDER BY i) AS cent FROM (
+          SELECT a.cid, g.i,
+                 CAST(floor(CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE)
+                                                * 1000000) AS BIGINT)) AS DOUBLE)
+                            / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cj
+          FROM $assignCte a JOIN embeddings e USING (vec_id),
+               UNNEST(generate_series(1, len(e.embedding))) AS g(i)
+          GROUP BY a.cid, g.i) z
+        GROUP BY cid"""
+
+  private val q254OracleSql: String = s"""
+      WITH c0 AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS cent
+        FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      a1 AS (${kmAssignSql("c0")}),
+      u1 AS (${kmUpdateSql("a1")}),
+      c1 AS (SELECT c0.cid, COALESCE(u1.cent, c0.cent) AS cent
+             FROM c0 LEFT JOIN u1 USING (cid)),
+      a2 AS (${kmAssignSql("c1")}),
+      u2 AS (${kmUpdateSql("a2")}),
+      c2 AS (SELECT c1.cid, COALESCE(u2.cent, c1.cent) AS cent
+             FROM c1 LEFT JOIN u2 USING (cid)),
+      a3 AS (${kmAssignSql("c2")})
+      SELECT vec_id, cid FROM a3"""
+
   val oracle: Map[String, String] = Map(
+    "q254_kmeans" -> q254OracleSql,
     "q38_cosine_topk" -> q38OracleSql,
 
     "q85_ann_ivf" -> q85OracleSql,
