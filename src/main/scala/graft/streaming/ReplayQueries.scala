@@ -235,11 +235,12 @@ object ReplayQueries {
                 lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
                   .cast("timestamp").as("ts"))
       val (in, out, ck) = stageOrdered(ev, "ts", 2, sentinel)
-      // Cost note: ~18 s at sf0.1, dominated by the merging-session
-      // operator re-merging the accumulated per-key session lists each
-      // batch (measured identical at 8 vs 32 state partitions, so it is
-      // per-key merge work, not exchange width). A correctness-gate
-      // entry by construction, like q180 — not a serving path.
+      // Cost note: ~18 s cold / ~4 s warm-median at sf0.1, dominated by
+      // the merging-session operator re-merging the accumulated per-key
+      // session lists each batch (measured identical at 8 vs 32 state
+      // partitions, so it is per-key merge work, not exchange width). A
+      // correctness-gate entry by construction, like q180 — not a
+      // serving path.
       withStatePartitions(s, 8) {
         val agg = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
@@ -305,6 +306,50 @@ object ReplayQueries {
         q.processAllAvailable(); q.stop()
       }
       s.read.parquet(out).filter(col("user_id") >= 0)
+    }),
+
+    // LEFT OUTER interval join executed as a STREAM-STREAM join — the
+    // outer leg of q180's row (IntervalJoinOperator relatedness, plus
+    // the reference's outer-join null-padding semantics): an unmatched
+    // purchase emits its null-padded row only once the watermark proves
+    // no in-window click can still arrive, so this gate checks the
+    // state-eviction timing logic, not just the match set. Ordered
+    // staging + sentinels advance the watermark past the horizon so
+    // every real row resolves; sentinel rows (user -1, one per side so
+    // both input streams see the advance) are filtered from the result.
+    "q255_stream_interval_join_left" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
+      val sentinel = s.range(2)
+        .select((-col("id") - 1).as("event_id"), lit(-1L).as("user_id"),
+                lit(sentTs).cast("timestamp").as("ts"),
+                when(col("id") === 0, "purchase").otherwise("click")
+                  .as("event_type"))
+      val (in, out, ck) = stageOrdered(ev, "ts", 2, sentinel)
+      withStatePartitions(s, 8) {
+        def src() = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val p = src().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                  col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 second")
+        val c = src().filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+                  col("ts").as("c_ts"))
+          .withWatermark("c_ts", "1 second")
+        val j = p.join(c, col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+            col("c_ts") < col("p_ts"), "leftOuter")
+          .select(col("p_user"), col("p_id"), col("c_id"))
+        val q = j.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(out).filter(col("p_user") >= 0)
     }),
 
     // Event-time over-window executed as a STREAM: running MIN(value)
@@ -452,6 +497,16 @@ object ReplayQueries {
             FROM events WHERE event_type = 'purchase') p
         ON p.user_id = v.user_id AND p.t > c.t
        AND p.t <= v.t + INTERVAL 24 HOUR""",
+
+    "q255_stream_interval_join_left" -> """
+      SELECT p.user_id AS p_user, p.event_id AS p_id, c.event_id AS c_id
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+            FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+            FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE
+       AND c.c_ts < p.p_ts""",
 
     "q252_stream_over" -> """
       SELECT user_id,
