@@ -29,9 +29,11 @@ import graft.Tables
  * the interval join is an INNER join, whose full match set emits
  * regardless of micro-batch boundaries (the reference's
  * TimeBoundedStreamJoin, flink-streaming-java/.../co/IntervalJoinOperator.java:71).
- * Watermarks are present (the streaming-plan requirement) but set far
- * beyond the data's horizon so no correctness-bearing state is evicted
- * mid-replay.
+ * Queries on unordered staging keep their watermark far beyond the
+ * data's horizon so no correctness-bearing state is evicted mid-replay;
+ * queries on `stageOrdered` staging run TIGHT watermarks instead —
+ * state evicts continuously (the production shape) and the trailing
+ * sentinel files flush the horizon.
  *
  * At 100 TB the replay harness itself is test scaffolding, but the
  * streaming plans it runs are the production shapes: keyed state in the
@@ -177,23 +179,34 @@ object ReplayQueries {
     // Interval join executed as a STREAM-STREAM join: purchases x
     // clicks within (p_ts - 10 min, p_ts) per user, inner — the full
     // pair set emits whatever the micro-batch boundaries, then the
-    // batch dual SQL must hash-match it.
+    // batch dual SQL must hash-match it. Ordered staging + a TIGHT
+    // watermark (was a 3650-day hold-everything delay): state is
+    // continuously evicted as the watermark passes the 10-min bound,
+    // which is the production shape — buffered state is bounded by the
+    // interval width x arrival rate, not the stream length.
     "q180_stream_interval_join" -> ((s, dir) => {
       val ev = Tables.table(s, dir, "events")
         .filter(col("event_type").isin("purchase", "click"))
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      val (in, out, ck) = stage(ev, 4)
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
+      val sentinel = s.range(2)
+        .select((-col("id") - 1).as("event_id"), lit(-1L).as("user_id"),
+                lit(sentTs).cast("timestamp").as("ts"),
+                when(col("id") === 0, "purchase").otherwise("click")
+                  .as("event_type"))
+      val (in, out, ck) = stageOrdered(ev, "ts", 2, sentinel)
       withStatePartitions(s, 8) {
         def src() = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 2).parquet(in)
+          .option("maxFilesPerTrigger", 1).parquet(in)
         val p = src().filter(col("event_type") === "purchase")
           .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
                   col("ts").as("p_ts"))
-          .withWatermark("p_ts", "3650 days")
+          .withWatermark("p_ts", "1 second")
         val c = src().filter(col("event_type") === "click")
           .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
                   col("ts").as("c_ts"))
-          .withWatermark("c_ts", "3650 days")
+          .withWatermark("c_ts", "1 second")
         val j = p.join(c, col("p_user") === col("c_user") &&
             col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
             col("c_ts") < col("p_ts"))
