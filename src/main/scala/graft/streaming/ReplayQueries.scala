@@ -231,6 +231,28 @@ object ReplayQueries {
     "q245_stream_changelog_join" -> ((s, dir) =>
       changelogJoinReplay(s, dir, nFiles = 4, filesPerTrigger = 2)),
 
+    // Keyed KEEP-LAST materialization executed as a STREAM through the
+    // upsert sink (the reference's upsert-kafka / JDBC-upsert family,
+    // T-COMMON/connector/sink/abilities/SupportsUpsert-style): per-user
+    // latest row by event_id, merged bucket-wise per micro-batch,
+    // idempotent on retry. The final table must equal the batch
+    // arg-max dual regardless of micro-batch boundaries.
+    "q256_stream_keep_last" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val root = Files.createTempDirectory("graft_replay").toString
+      ev.repartition(4).write.mode("overwrite").parquet(s"$root/in")
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(s"$root/in")
+        val q = StreamSinks.upsertParquet(src, s"$root/t", s"$root/ck",
+          keyCols = Seq("user_id"), seqCol = "event_id", buckets = 16)
+        q.processAllAvailable(); q.stop()
+      }
+      StreamSinks.readUpsertTable(s, s"$root/t")
+        .select(col("user_id"), col("event_id"), col("value"))
+    }),
+
     // Session windows executed as a STREAM (the reference's merging
     // SessionWindowAssigner, RUNTIME/runtime/operators/window/assigners/
     // SessionWindowAssigner.java): per-user 30-min-gap sessions assembled
@@ -474,6 +496,12 @@ object ReplayQueries {
              p.s/100.0 AS purchase_amt, CAST(p.c AS BIGINT) AS purchases,
              k.s/100.0 AS click_amt, CAST(k.c AS BIGINT) AS clicks
       FROM p JOIN k ON p.user_id = k.user_id""",
+
+    "q256_stream_keep_last" -> """
+      SELECT e.user_id, e.event_id, e.value
+      FROM events e
+      JOIN (SELECT user_id, max(event_id) AS m FROM events GROUP BY 1) k
+        ON e.user_id = k.user_id AND e.event_id = k.m""",
 
     // q27's batch dual, verbatim: sessionization via lag/cumsum.
     "q250_stream_session" -> """
