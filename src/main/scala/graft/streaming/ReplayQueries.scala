@@ -231,6 +231,75 @@ object ReplayQueries {
     "q245_stream_changelog_join" -> ((s, dir) =>
       changelogJoinReplay(s, dir, nFiles = 4, filesPerTrigger = 2)),
 
+    // SQL MATCH_RECOGNIZE executed as a STREAM (StreamExecMatch
+    // analogue): purchase followed by a greedy run of contiguous clicks
+    // within 1 day, per user, ONE ROW PER MATCH with FIRST/LAST/COUNT
+    // and a decimal-sum measure. The keyed streaming NFA finalizes
+    // matches behind the watermark; ordered staging + sentinels flush
+    // the horizon. Oracle: the strict-contiguity relational unroll
+    // (first breaking row bounds each run).
+    "q258_stream_match_recognize" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("event_type"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+                lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
+                  .cast("timestamp").as("ts"),
+                lit("zz_sentinel").as("event_type"), lit(0.0).as("value"))
+      val (in, out, ck) = stageOrdered(ev, "ts", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .withWatermark("ts", "1 second")
+        val sm = MatchRecognizeSql.stream(src, """
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FIRST(A.event_id) AS a_id,
+                     LAST(B.event_id) AS last_b_id,
+                     COUNT(B.*) AS n_b,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS match_total
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+) WITHIN INTERVAL '1' DAY
+            DEFINE A AS event_type = 'purchase',
+                   B AS event_type = 'click'""")
+        val q = sm.start(out, ck)
+        q.processAllAvailable(); q.stop()
+      }
+      MatchRecognizeSql.readMatches(s, out)
+        .select(col("user_id"), col("mr_match"), col("a_id"),
+                col("last_b_id"), col("n_b"), col("match_total"))
+    }),
+
+    // HOP (sliding) window aggregate executed as a STREAM: each event
+    // lands in size/slide = 2 overlapping windows (the Blink sliding
+    // window operator's pane logic, RUNTIME/runtime/operators/window/);
+    // Complete mode carries pane state across micro-batches and the
+    // final batch rewrites the full result — batch dual is q26's
+    // time_bucket union.
+    "q257_stream_hop" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events").select(col("ts"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val agg = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(Tables.tsMicros(col("w.start")).as("w_start"), col("n"))
+        val q = agg.writeStream.outputMode("complete")
+          .option("checkpointLocation", ck)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(out)
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(out)
+    }),
+
     // Keyed KEEP-LAST materialization executed as a STREAM through the
     // upsert sink (the reference's upsert-kafka / JDBC-upsert family,
     // T-COMMON/connector/sink/abilities/SupportsUpsert-style): per-user
@@ -496,6 +565,55 @@ object ReplayQueries {
              p.s/100.0 AS purchase_amt, CAST(p.c AS BIGINT) AS purchases,
              k.s/100.0 AS click_amt, CAST(k.c AS BIGINT) AS clicks
       FROM p JOIN k ON p.user_id = k.user_id""",
+
+    // Strict-contiguity A B+ unroll: per purchase, the run is bounded
+    // by the first row after it that is not an in-window click; a match
+    // exists iff the run is non-empty. SKIP PAST LAST ROW cannot drop
+    // matches here because a purchase can never sit inside a click run.
+    "q258_stream_match_recognize" -> """
+      WITH w AS (
+        SELECT user_id, event_id, event_type, value,
+               CAST(ts AS TIMESTAMP) AS t,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+      brk AS (
+        SELECT p.user_id, p.rn AS prn, p.t AS a_t,
+               (SELECT min(c.rn) FROM w c
+                WHERE c.user_id = p.user_id AND c.rn > p.rn
+                  AND (c.event_type <> 'click'
+                       OR c.t > p.t + INTERVAL 1 DAY)) AS lim
+        FROM w p WHERE p.event_type = 'purchase'),
+      brk2 AS (
+        SELECT b.user_id, b.prn, COALESCE(b.lim, m.mx + 1) AS limx
+        FROM brk b JOIN (SELECT user_id, max(rn) AS mx FROM w GROUP BY 1) m
+          USING (user_id)),
+      mrows AS (
+        SELECT b.user_id, b.prn, x.rn, x.event_id, x.value
+        FROM brk2 b JOIN w x ON x.user_id = b.user_id
+             AND x.rn >= b.prn AND x.rn < b.limx
+        WHERE b.limx > b.prn + 1),
+      matches AS (
+        SELECT user_id, prn,
+               min(CASE WHEN rn = prn THEN event_id END) AS a_id,
+               arg_max(event_id, rn) FILTER (rn > prn) AS last_b_id,
+               count(*) FILTER (rn > prn) AS n_b,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS match_total
+        FROM mrows GROUP BY user_id, prn)
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY prn) AS BIGINT)
+               AS mr_match,
+             a_id, last_b_id, CAST(n_b AS BIGINT) AS n_b, match_total
+      FROM matches""",
+
+    // q26's batch dual, verbatim.
+    "q257_stream_hop" -> """
+      WITH b AS (SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS b30
+                 FROM events)
+      SELECT epoch_us(s) AS w_start, count(*) AS n FROM (
+        SELECT b30 AS s FROM b
+        UNION ALL
+        SELECT b30 - INTERVAL 30 MINUTE AS s FROM b) x
+      GROUP BY s""",
 
     "q256_stream_keep_last" -> """
       SELECT e.user_id, e.event_id, e.value
