@@ -231,6 +231,132 @@ object ReplayQueries {
     "q245_stream_changelog_join" -> ((s, dir) =>
       changelogJoinReplay(s, dir, nFiles = 4, filesPerTrigger = 2)),
 
+    // COUNT-tumbling windows executed as a STREAM (the reference's
+    // CountTumblingWindowAssigner, STREAM/api/windowing/assigners/
+    // GlobalWindows + count trigger): the hard part on an out-of-order
+    // stream is assigning a DETERMINISTIC per-key sequence number, which
+    // the watermark-ordered running count (OverWindow.overAgg) provides;
+    // rows then fold into windows of 5 and only complete windows count.
+    // The batch dual is the row_number / div-5 rewrite (same as q56's
+    // batch shape).
+    "q261_stream_count_tumble" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+                expr("unix_micros(cast(ts as timestamp)) div 1000").as("t_ms"),
+                col("value"), col("ts").as("ets"))
+      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+                lit(maxTs.getTime + 100L * 86400 * 1000).as("t_ms"),
+                lit(0.0).as("value"),
+                lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
+                  .cast("timestamp").as("ets"))
+      val (in, out, ck) = stageOrdered(ev, "ets", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .withWatermark("ets", "1 second")
+          .as[OvEv]
+        val rn = OverWindow.overAgg[Long, OvEv, Long](
+            src.groupByKey(_.user_id),
+            _.t_ms, _.event_id, _.value,
+            OverWindow.countAgg[OvEv],
+            OverWindow.UnboundedPreceding)
+          .toDF("user_id", "t_ms", "event_id", "rn")
+        val q = rn.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(out).filter(col("user_id") >= 0)
+        .withColumn("wid", expr("(CAST(rn AS BIGINT) - 1) div 5"))
+        .groupBy("user_id", "wid")
+        .agg(count(lit(1)).as("n"),
+             min(col("event_id")).as("lo_id"),
+             max(col("event_id")).as("hi_id"))
+        .filter(col("n") === 5)
+        .select(col("user_id"), col("wid"), col("lo_id"), col("hi_id"))
+    }),
+
+    // DYNAMIC-GAP session windows executed as a STREAM (the reference's
+    // SessionWindowTimeGapExtractor, STREAM/api/windowing/assigners/
+    // DynamicEventTimeSessionWindows.java): each event extends its
+    // session by its own gap — purchases hold sessions open 60 min,
+    // everything else 30 — through the native merging session operator
+    // via StreamOps.dynamicSessionAgg. Oracle: running-max interval
+    // union (new session iff the event starts at/after every prior
+    // event's end).
+    "q259_stream_dynamic_session" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("user_id"),
+                lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
+                  .cast("timestamp").as("ts"),
+                lit("zz_sentinel").as("event_type"))
+      val (in, out, ck) = stageOrdered(ev, "ts", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val agg = StreamOps.dynamicSessionAgg(src, "ts",
+            gap = when(col("event_type") === "purchase", "60 minutes")
+              .otherwise("30 minutes"),
+            disorder = "1 second",
+            keys = Seq(col("user_id")),
+            aggs = Seq(count(lit(1)).as("n_events")))
+          .select(col("user_id"), col("n_events"))
+        val q = agg.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(out).filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+             sum(col("n_events")).as("n_events"),
+             max(col("n_events")).as("max_session"))
+    }),
+
+    // Streaming Top-N per key (AppendOnlyTopNFunction analogue) under
+    // the oracle gate: per event_type, the 3 highest values seen, state
+    // carried across micro-batches; each refreshed top list is UPSERTED
+    // by (key, batch-id) through the keyed sink, so the materialized
+    // table is the final list per key — which must equal the batch
+    // row_number dual exactly.
+    "q260_stream_topn" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val root = Files.createTempDirectory("graft_replay").toString
+      ev.repartition(4).write.mode("overwrite").parquet(s"$root/in")
+      val tbl = s"$root/t"
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(s"$root/in")
+          .as[(Long, String, Double)]
+        val top = StatefulOps.topNPerKey[String, (Long, String, Double)](
+          src.groupByKey(_._2), n = 3, score = _._3, tiebreak = _._1)
+        val q = top.toDF("k", "top")
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            StreamSinks.applyBatch(b.withColumn("__seq", lit(id)),
+              tbl, Seq("k"), "__seq", buckets = 16)
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      StreamSinks.readUpsertTable(s, tbl)
+        .select(col("k").as("event_type"),
+                posexplode(col("top")).as(Seq("i", "e")))
+        .select(col("event_type"), (col("i") + 1).cast("int").as("rnk"),
+                col("e._1").as("event_id"), col("e._3").as("value"))
+    }),
+
     // SQL MATCH_RECOGNIZE executed as a STREAM (StreamExecMatch
     // analogue): purchase followed by a greedy run of contiguous clicks
     // within 1 day, per user, ONE ROW PER MATCH with FIRST/LAST/COUNT
@@ -565,6 +691,64 @@ object ReplayQueries {
              p.s/100.0 AS purchase_amt, CAST(p.c AS BIGINT) AS purchases,
              k.s/100.0 AS click_amt, CAST(k.c AS BIGINT) AS clicks
       FROM p JOIN k ON p.user_id = k.user_id""",
+
+    "q261_stream_count_tumble" -> """
+      WITH o AS (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000, event_id)
+                 AS rn
+        FROM events),
+      w AS (SELECT user_id, event_id, (rn - 1) // 5 AS wid FROM o)
+      SELECT user_id, wid, min(event_id) AS lo_id, max(event_id) AS hi_id
+      FROM w GROUP BY user_id, wid
+      HAVING count(*) = 5""",
+
+    // Dynamic-gap interval union: an event opens a new session iff its
+    // start is >= the running max of all prior (event-time + own-gap)
+    // ends for its user (Spark merges windows that OVERLAP; touching
+    // windows do not merge).
+    "q259_stream_dynamic_session" -> """
+      WITH o AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 + CASE WHEN event_type = 'purchase'
+                        THEN 3600000000 ELSE 1800000000 END AS endu,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        FROM events),
+      m AS (
+        SELECT user_id, tu, rn,
+               max(endu) OVER (PARTITION BY user_id ORDER BY rn
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_end
+        FROM o),
+      f AS (
+        SELECT user_id,
+               CASE WHEN prev_end IS NULL OR tu >= prev_end THEN 1 ELSE 0 END
+                 AS new_s, rn
+        FROM m),
+      sess AS (
+        SELECT user_id,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY rn
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS sid
+        FROM f),
+      per_sess AS (
+        SELECT user_id, sid, count(*) AS n_events
+        FROM sess GROUP BY user_id, sid)
+      SELECT user_id, count(*) AS n_sessions,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             max(n_events) AS max_session
+      FROM per_sess GROUP BY user_id""",
+
+    "q260_stream_topn" -> """
+      SELECT event_type, CAST(rnk AS INT) AS rnk, event_id, value FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rnk
+        FROM events) x
+      WHERE rnk <= 3""",
 
     // Strict-contiguity A B+ unroll: per purchase, the run is bounded
     // by the first row after it that is not an in-window click; a match
