@@ -428,6 +428,56 @@ object PipelineOps {
         .agg(count(lit(1)).as("n"),
              min(col("x")).as("x_min"), max(col("x")).as("x_max"),
              min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+    }),
+
+    // The canonical Gopher quality rules (Rae et al. 2021 §A1.1) as a
+    // per-document verdict — q169 publishes the funnel aggregate; this
+    // is the classifier itself, every rule a codegen'd projection in ONE
+    // scan with no shuffle and all thresholds in cross-multiplied
+    // INTEGER arithmetic (no float boundary in the oracle compare).
+    // Rules: word count 50..100k; mean word length 3..10; symbol
+    // (#/ellipsis) to word ratio <= 0.1; <= 90% bullet lines; <= 30%
+    // ellipsis-ending lines; >= 80% words with an alphabetic char;
+    // >= 1 distinct Gopher stopword (the paper uses >= 2; the fixture's
+    // synthetic vocabulary carries at most one of the eight, so the
+    // threshold is scaled to keep the rule discriminating — 382/500
+    // docs pass it at sf0.01 vs 0/500 at the paper value).
+    "q262_gopher_rules" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .withColumn("nt", size(col("toks")).cast("long"))
+        .withColumn("nc",
+          length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+        .withColumn("nsym",
+          size(expr("regexp_extract_all(text, '#|\\\\.\\\\.\\\\.|…', 0)"))
+            .cast("long"))
+        .withColumn("lines", split(col("text"), "\n"))
+        .withColumn("nl", size(col("lines")).cast("long"))
+        .withColumn("nbul",
+          size(expr("filter(lines, l -> l rlike '^\\\\s*[-*•]')")).cast("long"))
+        .withColumn("nell",
+          size(expr("filter(lines, l -> l rlike '(\\\\.\\\\.\\\\.|…)\\\\s*$')"))
+            .cast("long"))
+        .withColumn("nalpha",
+          size(expr("filter(toks, t -> t rlike '[A-Za-z]')")).cast("long"))
+        .withColumn("nstop", size(expr(
+          "filter(array('the','be','to','of','and','that','have','with'), " +
+          "w -> array_contains(transform(toks, t -> lower(t)), w))"))
+          .cast("long"))
+        .select(
+          col("doc_id"),
+          (col("nt") >= 50 && col("nt") <= 100000).cast("int").as("r_words"),
+          (col("nc") >= col("nt") * 3 && col("nc") <= col("nt") * 10)
+            .cast("int").as("r_wordlen"),
+          (col("nsym") * 10 <= col("nt")).cast("int").as("r_symbol"),
+          (col("nbul") * 10 <= col("nl") * 9).cast("int").as("r_bullet"),
+          (col("nell") * 10 <= col("nl") * 3).cast("int").as("r_ellipsis"),
+          (col("nalpha") * 5 >= col("nt") * 4).cast("int").as("r_alpha"),
+          (col("nstop") >= 1).cast("int").as("r_stop"))
+        .withColumn("pass",
+          (col("r_words") * col("r_wordlen") * col("r_symbol")
+            * col("r_bullet") * col("r_ellipsis") * col("r_alpha")
+            * col("r_stop")).cast("int"))
     })
   )
 
@@ -727,6 +777,44 @@ object PipelineOps {
                  AS cum_tokens
         FROM gated)
       SELECT doc_id, n_tokens, score, CAST(cum_tokens AS BIGINT) AS cum_tokens
-      FROM ranked WHERE cum_tokens <= 8000"""
+      FROM ranked WHERE cum_tokens <= 8000""",
+
+    "q262_gopher_rules" -> """
+      WITH d AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\s+') AS toks,
+               string_split(text, chr(10)) AS lines
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS nt,
+               CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS nc,
+               CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS BIGINT) AS nsym,
+               CAST(len(lines) AS BIGINT) AS nl,
+               CAST(len(list_filter(lines,
+                 l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS nbul,
+               CAST(len(list_filter(lines,
+                 l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS nell,
+               CAST(len(list_filter(toks,
+                 t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS nalpha,
+               CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                 w -> list_contains(list_transform(toks, t -> lower(t)), w)))
+                 AS BIGINT) AS nstop
+        FROM d),
+      r AS (
+        SELECT doc_id,
+               CAST(nt >= 50 AND nt <= 100000 AS INT) AS r_words,
+               CAST(nc >= nt * 3 AND nc <= nt * 10 AS INT) AS r_wordlen,
+               CAST(nsym * 10 <= nt AS INT) AS r_symbol,
+               CAST(nbul * 10 <= nl * 9 AS INT) AS r_bullet,
+               CAST(nell * 10 <= nl * 3 AS INT) AS r_ellipsis,
+               CAST(nalpha * 5 >= nt * 4 AS INT) AS r_alpha,
+               CAST(nstop >= 1 AS INT) AS r_stop
+        FROM m)
+      SELECT doc_id, r_words, r_wordlen, r_symbol, r_bullet, r_ellipsis,
+             r_alpha, r_stop,
+             r_words * r_wordlen * r_symbol * r_bullet * r_ellipsis
+               * r_alpha * r_stop AS pass
+      FROM r"""
   )
 }

@@ -589,40 +589,46 @@ object ReplayQueries {
     // (event-ms, event_id) order per key once final; sentinels flush
     // emission past the data horizon. Oracle: the batch over-window SQL
     // with the identical deterministic ORDER BY.
-    "q252_stream_over" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.table(s, dir, "events")
-        .select(col("event_id"), col("user_id"),
-                expr("unix_micros(cast(ts as timestamp)) div 1000").as("t_ms"),
-                col("value"), col("ts").as("ets"))
-      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
-      val sentinel = s.range(1)
-        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
-                lit(maxTs.getTime + 100L * 86400 * 1000).as("t_ms"),
-                lit(0.0).as("value"),
-                lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
-                  .cast("timestamp").as("ets"))
-      val (in, out, ck) = stageOrdered(ev, "ets", 2, sentinel)
-      withStatePartitions(s, 8) {
-        val src = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 1).parquet(in)
-          .withWatermark("ets", "1 second")
-          .as[OvEv]
-        val runMin = OverWindow.overAgg[Long, OvEv, Double](
-            src.groupByKey(_.user_id),
-            _.t_ms, _.event_id, _.value,
-            OverWindow.minAgg[OvEv](_.value),
-            OverWindow.UnboundedPreceding)
-          .toDF("user_id", "t_ms", "event_id", "run_min")
-        val q = runMin.writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", ck)
-          .outputMode("append")
-          .start()
-        q.processAllAvailable(); q.stop()
-      }
-      s.read.parquet(out).filter(col("user_id") >= 0)
-    })
+    "q252_stream_over" -> ((s, dir) => overReplay(s, dir, nSlices = 2))
   )
+
+  /** q252's pipeline with the replay split as a parameter, so the spec
+    * can assert the watermark-ordered overAgg emits IDENTICAL rows under
+    * different micro-batch boundaries (the determinism claim every
+    * stageOrdered gate relies on). */
+  def overReplay(s: SparkSession, dir: String, nSlices: Int): DataFrame = {
+    import s.implicits._
+    val ev = Tables.table(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+              expr("unix_micros(cast(ts as timestamp)) div 1000").as("t_ms"),
+              col("value"), col("ts").as("ets"))
+    val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+    val sentinel = s.range(1)
+      .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+              lit(maxTs.getTime + 100L * 86400 * 1000).as("t_ms"),
+              lit(0.0).as("value"),
+              lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
+                .cast("timestamp").as("ets"))
+    val (in, out, ck) = stageOrdered(ev, "ets", nSlices, sentinel)
+    withStatePartitions(s, 8) {
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .withWatermark("ets", "1 second")
+        .as[OvEv]
+      val runMin = OverWindow.overAgg[Long, OvEv, Double](
+          src.groupByKey(_.user_id),
+          _.t_ms, _.event_id, _.value,
+          OverWindow.minAgg[OvEv](_.value),
+          OverWindow.UnboundedPreceding)
+        .toDF("user_id", "t_ms", "event_id", "run_min")
+      val q = runMin.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    s.read.parquet(out).filter(col("user_id") >= 0)
+  }
 
   /** q245's pipeline with the replay split as parameters, so the spec
     * can assert the final state is IDENTICAL under different

@@ -32,4 +32,24 @@ class ReplaySpec extends AnyFunSuite {
     assert(oneBatch == fourBatches,
       "final materialized state must not depend on micro-batch boundaries")
   }
+
+  test("watermark-ordered over-window replay: 1, 2 and 4 ts-slices emit " +
+    "identical rows") {
+    // the stageOrdered path (sessions/CEP/over/count-window gates) rests
+    // on the claim that watermark-ordered emission is independent of how
+    // event time is sliced into micro-batches — assert it on the overAgg
+    // gate, which emits one row PER EVENT (the finest-grained check).
+    def run(n: Int): Set[(Long, Long, Long, Double)] =
+      ReplayQueries.overReplay(spark, dir, nSlices = n)
+        .selectExpr("user_id", "t_ms", "event_id", "run_min")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val one = run(1)
+    val two = run(2)
+    val four = run(4)
+    assert(one.nonEmpty, "replay produced rows")
+    assert(one == two && two == four,
+      "per-row emissions must not depend on ts-slice boundaries")
+  }
 }
