@@ -231,6 +231,31 @@ object ReplayQueries {
     "q245_stream_changelog_join" -> ((s, dir) =>
       changelogJoinReplay(s, dir, nFiles = 4, filesPerTrigger = 2)),
 
+    // Stream-static LOOKUP join under the oracle gate (the reference's
+    // LookupJoin against a bounded build side, T-COMMON/connector/
+    // source/LookupTableSource.java): replayed events probe a BROADCAST
+    // customer dim — no shuffle of the stream side, no watermark needed
+    // (the dim is bounded); every probe emits exactly its match set, so
+    // the append sink equals the batch join dual.
+    "q263_stream_lookup" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"))
+      val dim = broadcast(Tables.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val j = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .join(dim, col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("c_nationkey"))
+        val q = j.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(out)
+    }),
+
     // COUNT-tumbling windows executed as a STREAM (the reference's
     // CountTumblingWindowAssigner, STREAM/api/windowing/assigners/
     // GlobalWindows + count trigger): the hard part on an out-of-order
@@ -697,6 +722,10 @@ object ReplayQueries {
              p.s/100.0 AS purchase_amt, CAST(p.c AS BIGINT) AS purchases,
              k.s/100.0 AS click_amt, CAST(k.c AS BIGINT) AS clicks
       FROM p JOIN k ON p.user_id = k.user_id""",
+
+    "q263_stream_lookup" -> """
+      SELECT e.event_id, c.c_nationkey
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
 
     "q261_stream_count_tumble" -> """
       WITH o AS (
