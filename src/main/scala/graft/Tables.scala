@@ -28,7 +28,11 @@ object Tables {
     // events.ts is nanosecond-precision in parquet; Spark reads INT64
     // TIMESTAMP(NANOS) only as LongType (legacy flag) or µs — normalize to
     // a µs timestamp at ingest (SURVEY §7.4.7).
-    if (name == "events") normalizeEventTs(df) else df
+    name match {
+      case "events" => normalizeEventTs(df)
+      case "embeddings" => normalizeEmbedding(df)
+      case _ => df
+    }
   }
 
   /**
@@ -53,6 +57,24 @@ object Tables {
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df // already µs TimestampType
     }
+
+  /**
+   * Normalize `embeddings.embedding` to `array<float>` if the fixture
+   * generator ever switches element precision (the round-8 postmortem's
+   * lesson generalized: ingest owns fixture-encoding drift, operators
+   * assume the canonical type). Float32 is also the right storage type
+   * at 100 TB — half the scan bytes of float64 for ANN workloads.
+   */
+  private[graft] def normalizeEmbedding(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(_, _) =>
+        df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding has non-array type $other")
+    }
+  }
 
   /**
    * Canonical epoch-µs projection for a normalized event-time column.
