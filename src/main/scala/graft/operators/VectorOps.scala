@@ -227,6 +227,22 @@ object VectorOps {
         cents = cents.map { case (cid, old) => (cid, updMap.getOrElse(cid, old)) }
       }
       assigned().select(col("vec_id"), col("cid"))
+    }),
+
+    // Cluster-balanced subset selection (the curation step after
+    // clustering — SemDeDup/DoReMi-style mixtures take a bounded quota
+    // per semantic bucket instead of a global head that one dominant
+    // cluster would fill): q254's assignment → deterministic md5 order
+    // per cluster → top-20 quota. The rank filter compiles to
+    // WindowGroupLimit (Spark ≥3.5 rank pushdown), so each cluster's
+    // partition computes only its top-k — no global sort at scale.
+    "q264_cluster_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("cid"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      queries("q254_kmeans")(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 20)
+        .select(col("vec_id"), col("cid"), col("rnk").cast("int").as("rnk"))
     })
   )
 
@@ -331,6 +347,15 @@ object VectorOps {
 
   val oracle: Map[String, String] = Map(
     "q254_kmeans" -> q254OracleSql,
+
+    "q264_cluster_sample" -> s"""
+      WITH asg AS ($q254OracleSql)
+      SELECT vec_id, cid, CAST(rnk AS INT) AS rnk FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY cid
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+        FROM asg) x
+      WHERE rnk <= 20""",
     "q38_cosine_topk" -> q38OracleSql,
 
     "q85_ann_ivf" -> q85OracleSql,
