@@ -68,6 +68,42 @@ object SketchOps {
   // is the rank (leading-zero position + 1) of the 54-bit hash suffix.
   private val HllM = 64
 
+  /** Per-(source, register) max-rank table — works identically on a
+    * batch OR streaming `documents` frame (q151 / q265). */
+  private def hllRegisters(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), h60("hll", col("text")).as("h"))
+      .withColumn("reg", pmod(col("h"), lit(HllM)))
+      .withColumn("rem", expr(s"h div $HllM"))
+      .withColumn("rank",
+        when(col("rem") === 0, lit(55))
+          .otherwise(lit(55) - length(expr("bin(rem)"))))
+      .groupBy("source", "reg").agg(max(col("rank")).as("m"))
+
+  /** Estimate shaping shared by q151/q265: harmonic mean over the
+    * register table plus the Flajolet small-range correction (below
+    * 2.5m the raw harmonic estimate is biased high — switch to linear
+    * counting on the empty-register count, m · ln(m/V)). */
+  private def hllEstimate(regs: DataFrame, docs: DataFrame): DataFrame = {
+    val agg = regs.groupBy("source").agg(
+      count(lit(1)).as("n_reg"),
+      sum(expr("CAST(power(2, 55 - m) AS BIGINT)")).as("ssum"))
+    val exact = docs.groupBy("source")
+      .agg(countDistinct(col("text")).as("exact_cnt"))
+    agg.join(exact, "source")
+      .withColumn("sum_scaled",
+        col("ssum") + (lit(HllM) - col("n_reg"))
+          * expr("CAST(power(2, 55) AS BIGINT)"))
+      .withColumn("e_raw",
+        lit(0.709) * expr("power(2, 67)") / col("sum_scaled"))
+      .withColumn("v", lit(HllM) - col("n_reg"))
+      .select(col("source"), col("n_reg"),
+        round(when(col("e_raw") <= lit(2.5 * HllM) && col("v") > 0,
+            lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
+          .otherwise(col("e_raw")), 4).as("est"),
+        col("exact_cnt"))
+  }
+
   // Bottom-k distinct sketch size.
   private val KmvK = 32
 
@@ -132,34 +168,39 @@ object SketchOps {
     // IEEE ops on exact inputs.
     "q151_hll_distinct" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
-      val regs = docs
-        .select(col("source"), h60("hll", col("text")).as("h"))
-        .withColumn("reg", pmod(col("h"), lit(HllM)))
-        .withColumn("rem", expr(s"h div $HllM"))
-        .withColumn("rank",
-          when(col("rem") === 0, lit(55))
-            .otherwise(lit(55) - length(expr("bin(rem)"))))
-        .groupBy("source", "reg").agg(max(col("rank")).as("m"))
-      val agg = regs.groupBy("source").agg(
-        count(lit(1)).as("n_reg"),
-        sum(expr("CAST(power(2, 55 - m) AS BIGINT)")).as("ssum"))
-      val exact = docs.groupBy("source")
-        .agg(countDistinct(col("text")).as("exact_cnt"))
-      agg.join(exact, "source")
-        .withColumn("sum_scaled",
-          col("ssum") + (lit(HllM) - col("n_reg"))
-            * expr("CAST(power(2, 55) AS BIGINT)"))
-        .withColumn("e_raw",
-          lit(0.709) * expr("power(2, 67)") / col("sum_scaled"))
-        .withColumn("v", lit(HllM) - col("n_reg"))
-        // Flajolet small-range correction: below 2.5m the raw harmonic
-        // estimate is biased high — switch to linear counting on the
-        // empty-register count (m · ln(m/V)).
-        .select(col("source"), col("n_reg"),
-          round(when(col("e_raw") <= lit(2.5 * HllM) && col("v") > 0,
-              lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
-            .otherwise(col("e_raw")), 4).as("est"),
-          col("exact_cnt"))
+      hllEstimate(hllRegisters(docs), docs)
+    }),
+
+    // The HLL register table maintained as a STREAMING aggregation
+    // across micro-batches — the "mergeable state a streaming/multi-day
+    // union would keep" (scale note above) made executable under the
+    // oracle gate: per-(source, register) MAX-rank in Complete mode is
+    // batch-boundary-independent by construction (max is associative
+    // and commutative), so the final register table — and the estimate
+    // shaped from it — hash-matches q151's batch oracle verbatim.
+    "q265_stream_hll" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("source"), col("text"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_hll_replay").toString
+      docs.repartition(4).write.mode("overwrite").parquet(s"$root/in")
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "8")
+      try {
+        val regs = hllRegisters(
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 2).parquet(s"$root/in"))
+        val q = regs.writeStream.outputMode("complete")
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(s"$root/out")
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      } finally s.conf.set(key, prev)
+      hllEstimate(s.read.parquet(s"$root/out"),
+                  Tables.table(s, dir, "documents"))
     }),
 
     // Bottom-k (KMV) distinct sketch per source: the k smallest distinct
@@ -384,7 +425,7 @@ object SketchOps {
     })
   )
 
-  val oracle: Map[String, String] = Map(
+  private val baseOracle: Map[String, String] = Map(
     "q150_cms_heavy" -> s"""
       WITH toks AS (
         SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
@@ -619,4 +660,9 @@ object SketchOps {
                   END) AS inter_est
       FROM sz, ex, sk, cb"""
   )
+
+  /** q265 streams to the identical register table, so its oracle is
+    * q151's SQL verbatim. */
+  val oracle: Map[String, String] =
+    baseOracle + ("q265_stream_hll" -> baseOracle("q151_hll_distinct"))
 }
