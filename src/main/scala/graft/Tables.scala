@@ -59,20 +59,25 @@ object Tables {
     }
 
   /**
-   * Normalize `embeddings.embedding` to `array<float>` if the fixture
-   * generator ever switches element precision (the round-8 postmortem's
-   * lesson generalized: ingest owns fixture-encoding drift, operators
-   * assume the canonical type). Float32 is also the right storage type
-   * at 100 TB — half the scan bytes of float64 for ANN workloads.
+   * Guard `embeddings.embedding`'s element type at ingest (the round-8
+   * postmortem's lesson generalized: ingest owns fixture-encoding
+   * drift). A silent double→float cast here would be WORSE than the
+   * drift itself — the DuckDB oracle reads the raw fixture, so lossy
+   * rounding on only the Spark side would break vector-oracle parity
+   * subtly. Instead: float32 (the canonical encoding) passes through;
+   * anything else fails LOUDLY at ingest with a message naming the
+   * decision that has to be made consciously (widen operators to
+   * double, or re-point the oracle at cast values).
    */
   private[graft] def normalizeEmbedding(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     df.schema("embedding").dataType match {
       case ArrayType(FloatType, _) => df
-      case ArrayType(_, _) =>
-        df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
       case other => throw new IllegalStateException(
-        s"embeddings.embedding has non-array type $other")
+        s"fixture drift: embeddings.embedding is $other (expected " +
+          "array<float>). Do NOT silently cast — the DuckDB oracle " +
+          "computes on the raw fixture values; decide the cast policy " +
+          "on both sides together.")
     }
   }
 
@@ -84,6 +89,13 @@ object Tables {
    */
   def tsMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+
+  /** Epoch-ms sibling of [[tsMicros]] (the watermark unit for
+    * flatMapGroupsWithState event times). floor of the double division
+    * is exact here: epoch-µs < 2^53, so the quotient's error (~2e-4 at
+    * this magnitude) can never move it across an integer boundary. */
+  def tsMillis(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(tsMicros(c) / lit(1000)).cast("long")
 
   /** Register every table as a temp view named after itself. */
   def registerAll(spark: SparkSession, dir: String): Unit =

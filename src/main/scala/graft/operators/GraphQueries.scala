@@ -105,6 +105,19 @@ object GraphQueries {
       .select(col("u"), col("v"))
   }
 
+  /** Recursive-CTE min-reachability — shared by q50 and q253 (same
+    * semantics, two implementations under one oracle). */
+  private lazy val ccOracleSql: String = s"""
+      WITH RECURSIVE $edgesSql,
+      edges AS (SELECT src, dst FROM edges0
+                UNION SELECT dst, src FROM edges0),
+      nodes AS (SELECT DISTINCT src AS n FROM edges),
+      reach(n, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.n)
+      SELECT n AS node, min(r) AS component FROM reach GROUP BY n"""
+
   private val edgesSql = s"""
       edges0 AS (
         SELECT DISTINCT o_custkey AS src, l_suppkey + $SuppOffset AS dst
@@ -112,27 +125,9 @@ object GraphQueries {
         WHERE o_custkey <= 200)"""
 
   val oracle: Map[String, String] = Map(
-    "q50_connected_components" -> s"""
-      WITH RECURSIVE $edgesSql,
-      edges AS (SELECT src, dst FROM edges0
-                UNION SELECT dst, src FROM edges0),
-      nodes AS (SELECT DISTINCT src AS n FROM edges),
-      reach(n, r) AS (
-        SELECT n, n FROM nodes
-        UNION
-        SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.n)
-      SELECT n AS node, min(r) AS component FROM reach GROUP BY n""",
+    "q50_connected_components" -> ccOracleSql,
 
-    "q253_cc_star" -> s"""
-      WITH RECURSIVE $edgesSql,
-      edges AS (SELECT src, dst FROM edges0
-                UNION SELECT dst, src FROM edges0),
-      nodes AS (SELECT DISTINCT src AS n FROM edges),
-      reach(n, r) AS (
-        SELECT n, n FROM nodes
-        UNION
-        SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.n)
-      SELECT n AS node, min(r) AS component FROM reach GROUP BY n""",
+    "q253_cc_star" -> ccOracleSql,
 
     "q51_pagerank" -> {
       val d = 0.85

@@ -184,10 +184,7 @@ object SketchOps {
       val root = java.nio.file.Files
         .createTempDirectory("graft_hll_replay").toString
       docs.repartition(4).write.mode("overwrite").parquet(s"$root/in")
-      val key = "spark.sql.shuffle.partitions"
-      val prev = s.conf.get(key)
-      s.conf.set(key, "8")
-      try {
+      graft.streaming.ReplayQueries.withStatePartitions(s, 8) {
         val regs = hllRegisters(
           s.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 2).parquet(s"$root/in"))
@@ -198,7 +195,7 @@ object SketchOps {
           }
           .start()
         q.processAllAvailable(); q.stop()
-      } finally s.conf.set(key, prev)
+      }
       hllEstimate(s.read.parquet(s"$root/out"),
                   Tables.table(s, dir, "documents"))
     }),

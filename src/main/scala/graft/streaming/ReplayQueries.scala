@@ -109,12 +109,36 @@ object ReplayQueries {
     val in = s"$root/in"
     val sliced = df.withColumn("__slice",
       ntile(n).over(org.apache.spark.sql.expressions.Window.orderBy(col(tsCol))))
-    for (i <- 1 to n)
+      .localCheckpoint() // one global sort, not one per slice write
+    for (i <- 1 to n) {
       sliced.filter(col("__slice") === i).drop("__slice")
         .coalesce(1).write.mode("append").parquet(in)
+      stampMtimes(in)
+    }
     sentinel.coalesce(1).write.mode("append").parquet(in)
+    stampMtimes(in)
     sentinel.coalesce(1).write.mode("append").parquet(in)
+    stampMtimes(in)
     (in, s"$root/out", s"$root/ck")
+  }
+
+  /** Stamp any not-yet-stamped data file in `dir` with a strictly
+    * increasing modification time. Sequential write jobs usually produce
+    * increasing mtimes anyway, but local-FS mtime granularity is a
+    * millisecond and FileStreamSource breaks ties in unspecified order —
+    * an explicit monotone stamp removes the race outright. */
+  private val mtimeClock = new java.util.concurrent.atomic.AtomicLong(1600000000000L)
+  private def stampMtimes(dir: String): Unit = {
+    val d = new java.io.File(dir)
+    d.listFiles().filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .sortBy(_.getName)
+      .foreach { f =>
+        if (f.lastModified() < mtimeClock.get())
+          () // already stamped by an earlier call
+        else
+          f.setLastModified(mtimeClock.addAndGet(60000L))
+      }
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` = `n`, restoring the
@@ -122,7 +146,7 @@ object ReplayQueries {
     * count is fixed at the FIRST checkpoint of a streaming query; every
     * replay query uses a fresh checkpoint dir, so the narrowed setting
     * applies cleanly per query. */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+  private[graft] def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key  = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, n.toString)
@@ -268,7 +292,7 @@ object ReplayQueries {
       import s.implicits._
       val ev = Tables.table(s, dir, "events")
         .select(col("event_id"), col("user_id"),
-                expr("unix_micros(cast(ts as timestamp)) div 1000").as("t_ms"),
+                Tables.tsMillis(col("ts")).as("t_ms"),
                 col("value"), col("ts").as("ets"))
       val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
       val sentinel = s.range(1)
@@ -625,7 +649,7 @@ object ReplayQueries {
     import s.implicits._
     val ev = Tables.table(s, dir, "events")
       .select(col("event_id"), col("user_id"),
-              expr("unix_micros(cast(ts as timestamp)) div 1000").as("t_ms"),
+              Tables.tsMillis(col("ts")).as("t_ms"),
               col("value"), col("ts").as("ets"))
     val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
     val sentinel = s.range(1)
@@ -740,9 +764,10 @@ object ReplayQueries {
       HAVING count(*) = 5""",
 
     // Dynamic-gap interval union: an event opens a new session iff its
-    // start is >= the running max of all prior (event-time + own-gap)
-    // ends for its user (Spark merges windows that OVERLAP; touching
-    // windows do not merge).
+    // start is strictly past the running max of all prior (event-time +
+    // own-gap) ends for its user — Spark's merging-session iterators
+    // start a new session only on start > currentSessionEnd, so
+    // TOUCHING windows merge (same convention as q27/q250's oracle).
     "q259_stream_dynamic_session" -> """
       WITH o AS (
         SELECT user_id,
@@ -760,7 +785,7 @@ object ReplayQueries {
         FROM o),
       f AS (
         SELECT user_id,
-               CASE WHEN prev_end IS NULL OR tu >= prev_end THEN 1 ELSE 0 END
+               CASE WHEN prev_end IS NULL OR tu > prev_end THEN 1 ELSE 0 END
                  AS new_s, rn
         FROM m),
       sess AS (

@@ -76,19 +76,21 @@ class TablesSpec extends AnyFunSuite {
     assert(ev.select(min(unix_micros(col("ts")))).head().getLong(0) > 0L)
   }
 
-  test("normalizeEmbedding: float passes through, double casts to float") {
+  test("normalizeEmbedding: float passes through, precision drift fails loudly") {
+    // A silent double→float cast would break vector-oracle parity (the
+    // DuckDB oracle reads the raw fixture), so drift must fail at ingest
+    // with a message naming the decision — not surface as subtle numeric
+    // mismatches deep in a gate.
     val dir = Files.createTempDirectory("tables-emb").toString
     Seq((1L, Seq(1.5, -2.25, 0.125)))
       .toDF("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$dir/d")
-    val asDouble = Tables.normalizeEmbedding(spark.read.parquet(s"$dir/d"))
-    assert(asDouble.schema("embedding").dataType ==
-      ArrayType(FloatType, containsNull = true))
-    assert(asDouble.select("embedding").head().getSeq[Float](0)
-      == Seq(1.5f, -2.25f, 0.125f))
+    val err = intercept[IllegalStateException] {
+      Tables.normalizeEmbedding(spark.read.parquet(s"$dir/d"))
+    }
+    assert(err.getMessage.contains("fixture drift"))
     val fixture = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
-    assert(fixture.schema("embedding").dataType.isInstanceOf[ArrayType])
-    assert(fixture.schema("embedding").dataType
-      .asInstanceOf[ArrayType].elementType == FloatType)
+    assert(fixture.schema("embedding").dataType ==
+      ArrayType(FloatType, containsNull = true))
   }
 }
