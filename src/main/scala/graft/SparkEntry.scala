@@ -26,6 +26,7 @@ object SparkEntry {
       FormatOps.queries ++ MoreOps.queries ++ TpchOps.queries ++
       TpchSuite.queries ++ TpcdsSuite.queries ++ PipelineOps.queries ++
       SketchOps.queries ++ BloomPrune.queries ++ RetrievalOps.queries ++
+      LmOps.queries ++
       sources.JdbcOps.queries ++
       streaming.ReplayQueries.queries
     // Ensure the function registry is installed whichever query runs first.
@@ -44,6 +45,7 @@ object SparkEntry {
     FormatOps.oracle ++ MoreOps.oracle ++ TpchOps.oracle ++
     TpchSuite.oracle ++ TpcdsSuite.oracle ++ PipelineOps.oracle ++
     SketchOps.oracle ++ BloomPrune.oracle ++ RetrievalOps.oracle ++
+    LmOps.oracle ++
     sources.JdbcOps.oracle ++
     streaming.ReplayQueries.oracle
 }

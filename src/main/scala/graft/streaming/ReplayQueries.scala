@@ -141,6 +141,42 @@ object ReplayQueries {
       }
   }
 
+  /**
+   * Stage `main` as `n` event-time-ordered slices (as [[stageOrdered]]),
+   * then TWO `sentinel` watermark-carrier files, then `late` as one
+   * trailing file — the replay shape for allowed-lateness testing.
+   *
+   * Why the sentinels: Spark keeps TWO watermark values per batch
+   * (SPARK-42376): EVICTION uses the value updated from the previous
+   * batch, but the LATE-EVENT FILTER uses the one from the batch before
+   * that. The sentinels (rows on an impossible key at max(main) event
+   * time) absorb that one-batch lag, so by the late file's batch the
+   * filter watermark is exactly max(main event time) − delay — each
+   * late row is then deterministically accepted (its window still open)
+   * or dropped, independent of how `main` was sliced.
+   */
+  private def stageWithLate(main: DataFrame, tsCol: String, n: Int,
+                            sentinel: DataFrame,
+                            late: DataFrame): (String, String, String) = {
+    val root = Files.createTempDirectory("graft_replay").toString
+    val in = s"$root/in"
+    val sliced = main.withColumn("__slice",
+      ntile(n).over(org.apache.spark.sql.expressions.Window.orderBy(col(tsCol))))
+      .localCheckpoint()
+    for (i <- 1 to n) {
+      sliced.filter(col("__slice") === i).drop("__slice")
+        .coalesce(1).write.mode("append").parquet(in)
+      stampMtimes(in)
+    }
+    sentinel.coalesce(1).write.mode("append").parquet(in)
+    stampMtimes(in)
+    sentinel.coalesce(1).write.mode("append").parquet(in)
+    stampMtimes(in)
+    late.coalesce(1).write.mode("append").parquet(in)
+    stampMtimes(in)
+    (in, s"$root/out", s"$root/ck")
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` = `n`, restoring the
     * previous value afterwards even on failure. State-store partition
     * count is fixed at the FIRST checkpoint of a streaming query; every
@@ -631,6 +667,108 @@ object ReplayQueries {
       s.read.parquet(out).filter(col("p_user") >= 0)
     }),
 
+    // Keyed two-input connect executed as a STREAM (the reference's
+    // ConnectedStreams.process(KeyedCoProcessFunction), STREAM/api/
+    // functions/co/KeyedCoProcessFunction.java:58-66): a CONTROL stream
+    // (view events — each sets the user's alert threshold to its value)
+    // and a DATA stream (purchase events — emitted iff they exceed the
+    // latest threshold) share one per-key state cell. Event-time-ordered
+    // replay + the deterministic (ts, side, tiebreak) fold order make
+    // the emission set equal the batch as-of dual: each purchase pairs
+    // with the last view at-or-before it.
+    "q268_stream_coprocess" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_id"), col("user_id"),
+                Tables.tsMicros(col("ts")).as("ts_us"),
+                col("event_type"), col("value"), col("ts").as("ets"))
+      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+                lit(sentTs.getTime * 1000L).as("ts_us"),
+                lit("zz_sentinel").as("event_type"), lit(0.0).as("value"),
+                lit(sentTs).cast("timestamp").as("ets"))
+      val (in, out, ck) = stageOrdered(ev, "ets", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val ctrl = src.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+          .as[(Long, Long, Long, Double)]
+        val data = src.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+                  struct(col("user_id"), col("event_id"), col("value")))
+          .as[(Long, Long, Long, (Long, Long, Double))]
+        val alerts = CoProcess.connect[Long, Double, (Long, Long, Double),
+                                       Double, (Long, Long, Double, Double)](
+          ctrl, data,
+          onLeft = (_, thr) => (Some(thr), Iterator.empty),
+          onRight = (st, p) => (st, st match {
+            case Some(thr) if p._3 > thr =>
+              Iterator((p._1, p._2, p._3, thr))
+            case _ => Iterator.empty
+          }))
+          .toDF("user_id", "p_id", "p_value", "thr")
+        val q = alerts.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(out).filter(col("user_id") >= 0)
+    }),
+
+    // Allowed lateness executed as a STREAM (the reference's
+    // WindowOperator allowedLateness re-firing, STREAM/runtime/operators/
+    // windowing/WindowOperator.java:160 — a late-but-in-lateness element
+    // re-fires its window with an updated result; beyond-lateness
+    // elements are dropped): daily tumbling counts per event_type in
+    // UPDATE mode with a 3-day watermark delay; a withheld slice of rows
+    // (event_id % 7 = 0) replays AFTER the watermark reached
+    // max(main) − 3d, so each late row deterministically updates its
+    // still-open window or is dropped with its evicted one. The upsert
+    // sink keeps the LAST update per window — which must equal the batch
+    // dual over main ∪ accepted-late rows (the oracle re-derives the
+    // acceptance predicate: window end > max(main) − 3d).
+    "q269_stream_lateness" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"),
+                floor(col("value") * 100).cast("long").as("cents"))
+      val main = ev.filter(pmod(col("event_id"), lit(7)) =!= 0)
+      val late = ev.filter(pmod(col("event_id"), lit(7)) === 0)
+      val maxTs = main.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = s.range(1)
+        .select(lit("zz_sentinel").as("event_type"),
+                lit(maxTs).cast("timestamp").as("ts"),
+                lit(0L).as("cents"))
+      val (in, tbl, ck) = stageWithLate(main.drop("event_id"), "ts", 2,
+        sentinel, late.drop("event_id"))
+      withStatePartitions(s, 8) {
+        val src = s.readStream
+          .schema(main.drop("event_id").schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .withWatermark("ts", "3 days")
+        val agg = src
+          .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .select(col("event_type"), Tables.tsMicros(col("w.start")).as("w_start"),
+                  col("n"), col("cents"))
+        val q = agg.writeStream.outputMode("update")
+          .option("checkpointLocation", ck)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            StreamSinks.applyBatch(b.withColumn("__seq", lit(id)),
+              tbl, Seq("event_type", "w_start"), "__seq", buckets = 16)
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      StreamSinks.readUpsertTable(s, tbl)
+        .filter(col("event_type") =!= "zz_sentinel")
+        .select(col("event_type"), col("w_start"), col("n"), col("cents"))
+    }),
+
     // Event-time over-window executed as a STREAM: running MIN(value)
     // per user (ROWS UNBOUNDED PRECEDING) through the watermark-ordered
     // fold (`OverWindow.overAgg`, the RowTimeRowsUnboundedPrecedingFunction
@@ -910,6 +1048,43 @@ object ReplayQueries {
         ON p.user_id = c.user_id
        AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE
        AND c.c_ts < p.p_ts""",
+
+    // Batch as-of dual of the coprocess fold: a purchase's threshold is
+    // the last view value at-or-before it (side 0 sorts before side 1
+    // at equal timestamps — the connect operator's fold order).
+    "q268_stream_coprocess" -> """
+      WITH u AS (
+        SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS t,
+               CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side
+        FROM events WHERE event_type IN ('view', 'purchase')),
+      thr AS (
+        SELECT user_id, event_id, value, side,
+               last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY t, side, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS thr
+        FROM u)
+      SELECT user_id, event_id AS p_id, value AS p_value, thr
+      FROM thr WHERE side = 1 AND thr IS NOT NULL AND value > thr""",
+
+    // Batch dual over main ∪ accepted-late rows: the oracle re-derives
+    // the allowed-lateness acceptance predicate — a late row counts iff
+    // its day window's END is past the final main watermark
+    // (max(main ts) − 3 days), which is exactly Spark's late-data filter
+    // for windowed aggregates (window.end > watermark).
+    "q269_stream_lateness" -> """
+      WITH m AS (SELECT * FROM events WHERE event_id % 7 <> 0),
+      mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mt FROM m),
+      l AS (SELECT e.* FROM events e, mx
+            WHERE e.event_id % 7 = 0
+              AND date_trunc('day', CAST(e.ts AS TIMESTAMP)) + INTERVAL 1 DAY
+                  > mx.mt - INTERVAL 3 DAY),
+      allr AS (SELECT event_type, ts, value FROM m
+               UNION ALL SELECT event_type, ts, value FROM l)
+      SELECT event_type,
+             epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS w_start,
+             count(*) AS n, CAST(sum(floor(value * 100)) AS BIGINT) AS cents
+      FROM allr GROUP BY 1, 2""",
 
     "q252_stream_over" -> """
       SELECT user_id,
