@@ -42,8 +42,8 @@ object LmOps {
   private val Lam = 0.75           // bigram weight (1-Lam on the unigram)
 
   /** q267 chunking constants: window of 32 tokens, stride 24 (25% overlap). */
-  private[operators] val ChunkW = 32
-  private[operators] val ChunkS = 24
+  private[graft] val ChunkW = 32
+  private[graft] val ChunkS = 24
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Interpolated bigram-LM perplexity filter: train add-one-smoothed

@@ -676,49 +676,7 @@ object ReplayQueries {
     // replay + the deterministic (ts, side, tiebreak) fold order make
     // the emission set equal the batch as-of dual: each purchase pairs
     // with the last view at-or-before it.
-    "q268_stream_coprocess" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.table(s, dir, "events")
-        .filter(col("event_type").isin("view", "purchase"))
-        .select(col("event_id"), col("user_id"),
-                Tables.tsMicros(col("ts")).as("ts_us"),
-                col("event_type"), col("value"), col("ts").as("ets"))
-      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
-      val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
-      val sentinel = s.range(1)
-        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
-                lit(sentTs.getTime * 1000L).as("ts_us"),
-                lit("zz_sentinel").as("event_type"), lit(0.0).as("value"),
-                lit(sentTs).cast("timestamp").as("ets"))
-      val (in, out, ck) = stageOrdered(ev, "ets", 2, sentinel)
-      withStatePartitions(s, 8) {
-        val src = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 1).parquet(in)
-        val ctrl = src.filter(col("event_type") === "view")
-          .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
-          .as[(Long, Long, Long, Double)]
-        val data = src.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts_us"), col("event_id"),
-                  struct(col("user_id"), col("event_id"), col("value")))
-          .as[(Long, Long, Long, (Long, Long, Double))]
-        val alerts = CoProcess.connect[Long, Double, (Long, Long, Double),
-                                       Double, (Long, Long, Double, Double)](
-          ctrl, data,
-          onLeft = (_, thr) => (Some(thr), Iterator.empty),
-          onRight = (st, p) => (st, st match {
-            case Some(thr) if p._3 > thr =>
-              Iterator((p._1, p._2, p._3, thr))
-            case _ => Iterator.empty
-          }))
-          .toDF("user_id", "p_id", "p_value", "thr")
-        val q = alerts.writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", ck)
-          .outputMode("append")
-          .start()
-        q.processAllAvailable(); q.stop()
-      }
-      s.read.parquet(out).filter(col("user_id") >= 0)
-    }),
+    "q268_stream_coprocess" -> ((s, dir) => coProcessReplay(s, dir, 2)),
 
     // Allowed lateness executed as a STREAM (the reference's
     // WindowOperator allowedLateness re-firing, STREAM/runtime/operators/
@@ -732,42 +690,7 @@ object ReplayQueries {
     // sink keeps the LAST update per window — which must equal the batch
     // dual over main ∪ accepted-late rows (the oracle re-derives the
     // acceptance predicate: window end > max(main) − 3d).
-    "q269_stream_lateness" -> ((s, dir) => {
-      val ev = Tables.table(s, dir, "events")
-        .select(col("event_id"), col("event_type"), col("ts"),
-                floor(col("value") * 100).cast("long").as("cents"))
-      val main = ev.filter(pmod(col("event_id"), lit(7)) =!= 0)
-      val late = ev.filter(pmod(col("event_id"), lit(7)) === 0)
-      val maxTs = main.agg(max(col("ts"))).head().getTimestamp(0)
-      val sentinel = s.range(1)
-        .select(lit("zz_sentinel").as("event_type"),
-                lit(maxTs).cast("timestamp").as("ts"),
-                lit(0L).as("cents"))
-      val (in, tbl, ck) = stageWithLate(main.drop("event_id"), "ts", 2,
-        sentinel, late.drop("event_id"))
-      withStatePartitions(s, 8) {
-        val src = s.readStream
-          .schema(main.drop("event_id").schema)
-          .option("maxFilesPerTrigger", 1).parquet(in)
-          .withWatermark("ts", "3 days")
-        val agg = src
-          .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
-          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-          .select(col("event_type"), Tables.tsMicros(col("w.start")).as("w_start"),
-                  col("n"), col("cents"))
-        val q = agg.writeStream.outputMode("update")
-          .option("checkpointLocation", ck)
-          .foreachBatch { (b: DataFrame, id: Long) =>
-            StreamSinks.applyBatch(b.withColumn("__seq", lit(id)),
-              tbl, Seq("event_type", "w_start"), "__seq", buckets = 16)
-          }
-          .start()
-        q.processAllAvailable(); q.stop()
-      }
-      StreamSinks.readUpsertTable(s, tbl)
-        .filter(col("event_type") =!= "zz_sentinel")
-        .select(col("event_type"), col("w_start"), col("n"), col("cents"))
-    }),
+    "q269_stream_lateness" -> ((s, dir) => latenessReplay(s, dir, 2)),
 
     // Event-time over-window executed as a STREAM: running MIN(value)
     // per user (ROWS UNBOUNDED PRECEDING) through the watermark-ordered
@@ -815,6 +738,97 @@ object ReplayQueries {
       q.processAllAvailable(); q.stop()
     }
     s.read.parquet(out).filter(col("user_id") >= 0)
+  }
+
+  /** q268's pipeline with the replay split as a parameter, so the spec
+    * can assert the coprocess emission set is IDENTICAL under different
+    * micro-batch boundaries (the fold is (ts, side, tie)-ordered within
+    * a batch and the slices are event-time ranges, so any slicing yields
+    * the same global fold order). */
+  def coProcessReplay(s: SparkSession, dir: String, nSlices: Int): DataFrame = {
+    import s.implicits._
+    val ev = Tables.table(s, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"),
+              Tables.tsMicros(col("ts")).as("ts_us"),
+              col("event_type"), col("value"), col("ts").as("ets"))
+    val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+    val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
+    val sentinel = s.range(1)
+      .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+              lit(sentTs.getTime * 1000L).as("ts_us"),
+              lit("zz_sentinel").as("event_type"), lit(0.0).as("value"),
+              lit(sentTs).cast("timestamp").as("ets"))
+    val (in, out, ck) = stageOrdered(ev, "ets", nSlices, sentinel)
+    withStatePartitions(s, 8) {
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val ctrl = src.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      val data = src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+                struct(col("user_id"), col("event_id"), col("value")))
+        .as[(Long, Long, Long, (Long, Long, Double))]
+      val alerts = CoProcess.connect[Long, Double, (Long, Long, Double),
+                                     Double, (Long, Long, Double, Double)](
+        ctrl, data,
+        onLeft = (_, thr) => (Some(thr), Iterator.empty),
+        onRight = (st, p) => (st, st match {
+          case Some(thr) if p._3 > thr =>
+            Iterator((p._1, p._2, p._3, thr))
+          case _ => Iterator.empty
+        }))
+        .toDF("user_id", "p_id", "p_value", "thr")
+      val q = alerts.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    s.read.parquet(out).filter(col("user_id") >= 0)
+  }
+
+  /** q269's pipeline with the main-slice split as a parameter, so the
+    * spec can assert the accepted-late set does NOT depend on how the
+    * main stream was sliced (the sentinel watermark-carrier files pin
+    * the late batch's filter watermark to max(main) − delay whatever
+    * the slicing). */
+  def latenessReplay(s: SparkSession, dir: String, nSlices: Int): DataFrame = {
+    val ev = Tables.table(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("ts"),
+              floor(col("value") * 100).cast("long").as("cents"))
+    val main = ev.filter(pmod(col("event_id"), lit(7)) =!= 0)
+    val late = ev.filter(pmod(col("event_id"), lit(7)) === 0)
+    val maxTs = main.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinel = s.range(1)
+      .select(lit("zz_sentinel").as("event_type"),
+              lit(maxTs).cast("timestamp").as("ts"),
+              lit(0L).as("cents"))
+    val (in, tbl, ck) = stageWithLate(main.drop("event_id"), "ts", nSlices,
+      sentinel, late.drop("event_id"))
+    withStatePartitions(s, 8) {
+      val src = s.readStream
+        .schema(main.drop("event_id").schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .withWatermark("ts", "3 days")
+      val agg = src
+        .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .select(col("event_type"), Tables.tsMicros(col("w.start")).as("w_start"),
+                col("n"), col("cents"))
+      val q = agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          StreamSinks.applyBatch(b.withColumn("__seq", lit(id)),
+            tbl, Seq("event_type", "w_start"), "__seq", buckets = 16)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    StreamSinks.readUpsertTable(s, tbl)
+      .filter(col("event_type") =!= "zz_sentinel")
+      .select(col("event_type"), col("w_start"), col("n"), col("cents"))
   }
 
   /** q245's pipeline with the replay split as parameters, so the spec
