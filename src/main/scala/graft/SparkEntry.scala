@@ -26,7 +26,7 @@ object SparkEntry {
       FormatOps.queries ++ MoreOps.queries ++ TpchOps.queries ++
       TpchSuite.queries ++ TpcdsSuite.queries ++ PipelineOps.queries ++
       SketchOps.queries ++ BloomPrune.queries ++ RetrievalOps.queries ++
-      LmOps.queries ++
+      LmOps.queries ++ CurationOps.queries ++
       sources.JdbcOps.queries ++
       streaming.ReplayQueries.queries
     // Ensure the function registry is installed whichever query runs first.
@@ -45,7 +45,7 @@ object SparkEntry {
     FormatOps.oracle ++ MoreOps.oracle ++ TpchOps.oracle ++
     TpchSuite.oracle ++ TpcdsSuite.oracle ++ PipelineOps.oracle ++
     SketchOps.oracle ++ BloomPrune.oracle ++ RetrievalOps.oracle ++
-    LmOps.oracle ++
+    LmOps.oracle ++ CurationOps.oracle ++
     sources.JdbcOps.oracle ++
     streaming.ReplayQueries.oracle
 }

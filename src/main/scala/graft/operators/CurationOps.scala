@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Corpus-curation operators over `documents` (round 9): sparse TF-IDF
+ * pair similarity, per-source frequency capping, and character-entropy
+ * quality signals. These are the standard web-corpus curation steps
+ * that sit beside dedup (TextOps/DedupOps) and quality gating
+ * (PipelineOps q169/q262) in a 100 TB training-data pipeline.
+ *
+ * The reference has no TF-IDF operator; the capability mapping is the
+ * same as its batch relational stack (aggregate + join on the Blink
+ * planner, PLANNER/plan/nodes/physical/batch/BatchExecHashAggregate
+ * .scala + BatchExecHashJoin.scala) — everything below is plain
+ * groupBy/join so Catalyst plans it with partial aggregation and a
+ * single shuffle per key change.
+ *
+ * Float discipline (repo rule, cf. TextOps q159): log-weights are
+ * quantized to integer milli-units IMMEDIATELY after the transcendental
+ * call, all sums run on BIGINT, and only the final scalar division is
+ * floating point — so the DuckDB oracle hash-matches bit-for-bit.
+ */
+object CurationOps {
+
+  /** Terms appearing in more documents than this are pruned from the
+    * PAIR join (not from the norms): a stop-word term key would create
+    * a quadratic hot key at scale (same rationale as TextOps q37's
+    * shingle-DF cap). Terms with df = 1 are also pruned from the join —
+    * they cannot contribute to any pair — which at web scale removes
+    * the long tail (typically >50% of the vocabulary). */
+  private val termDfCap = 500
+
+  /** Cosine threshold for reported pairs. The fixture corpus is
+    * topically homogeneous (median all-pairs TF-IDF cosine ≈ 0.62), so
+    * the threshold sits where the distribution's near-dup tail starts —
+    * ~0.5% of the pair space survives at every fixture scale. */
+  private val minCos = 0.85
+
+  /** Per-source document budget for q272 (frequency capping). */
+  private val sourceCap = 1000
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sparse TF-IDF cosine similarity pairs via an inverted-index join:
+    // never materializes dense vectors and never does all-pairs — the
+    // pair space is generated per TERM (df-capped), which is how a
+    // 100 TB corpus is actually paired. Weights are integer milli-nats
+    // (tf × round(ln(N/df)·1000)), numerators and norms sum as BIGINT,
+    // and the only float op is the final num / (√norm_a · √norm_b).
+    "q270_tfidf_pairs" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val nDocs = docs.count()
+      val tf = docs
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = tf.join(df, "tok")
+        .select(col("doc_id"), col("tok"), col("df"),
+          (col("tf") * round(log(lit(nDocs.toDouble) / col("df")) * 1000)
+            .cast("long")).as("w"))
+      val norms = w.groupBy("doc_id")
+        .agg(sum(col("w") * col("w")).as("norm2"))
+      val joinable = w.filter(col("df").between(2, termDfCap))
+      val pairs = joinable.as("a")
+        .join(joinable.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(sum(col("a.w") * col("b.w")).as("num"))
+      pairs
+        .join(norms.as("na"), col("da") === col("na.doc_id"))
+        .join(norms.as("nb"), col("db") === col("nb.doc_id"))
+        .withColumn("cos", col("num").cast("double")
+          / (sqrt(col("na.norm2").cast("double"))
+             * sqrt(col("nb.norm2").cast("double"))))
+        .filter(col("cos") >= minCos)
+        .select(col("da"), col("db"), col("num"),
+                round(col("cos"), 6).as("cos"))
+    }),
+
+    // Per-source frequency capping (the CommonCrawl-style "no domain
+    // may dominate the corpus" rule): keep the `sourceCap` highest-
+    // quality docs per source (quality = n_chars, tie-break doc_id asc)
+    // and report the per-source keep/drop budget. The rank is a
+    // per-source window (WindowGroupLimit prunes rank > cap before the
+    // sort completes), so no source's full document list is ever held.
+    "q272_source_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.table(s, dir, "documents")
+      val ranked = docs.withColumn("rnk",
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      ranked
+        .withColumn("kept", (col("rnk") <= sourceCap).cast("int"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("kept")).as("n_kept"),
+             sum(lit(1) - col("kept")).as("n_dropped"),
+             sum(when(col("rnk") <= sourceCap, col("n_chars"))
+               .otherwise(0)).as("kept_chars"),
+             min(when(col("rnk") <= sourceCap, col("n_chars")))
+               .as("min_kept_chars"))
+    }),
+
+    // Character-entropy quality signal: gibberish and boilerplate both
+    // sit at entropy extremes. Letter distribution per doc → per-letter
+    // milli-nat surprisal round(-ln(c/n)·1000) → length-weighted BIGINT
+    // sum → integer-divided mean. One scan + one narrow groupBy; at
+    // 100 TB this is an embarrassingly parallel profile pass.
+    "q273_char_entropy" -> ((s, dir) => {
+      val chars = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]', 0)"))
+            .as("ch"))
+      val counts = chars.groupBy("doc_id", "ch")
+        .agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy("doc_id").agg(sum(col("c")).as("n"))
+      counts.join(totals, "doc_id")
+        .withColumn("mnat",
+          round(-log(col("c").cast("double") / col("n")) * 1000)
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(max(col("n")).as("n_letters"),
+             count(lit(1)).as("n_distinct"),
+             sum(col("c") * col("mnat")).as("total_mnat"))
+        .withColumn("h_mnat", expr("total_mnat div n_letters"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q270_tfidf_pairs" -> s"""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      w AS (
+        SELECT tf.doc_id, tf.tok, dfx.df,
+               tf.tf * CAST(round(ln(nd.n / dfx.df) * 1000) AS BIGINT) AS w
+        FROM tf JOIN dfx USING (tok), nd),
+      norms AS (SELECT doc_id, sum(w * w) AS norm2 FROM w GROUP BY doc_id),
+      j AS (SELECT * FROM w WHERE df BETWEEN 2 AND $termDfCap),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, sum(a.w * b.w) AS num
+        FROM j a JOIN j b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT da, db, CAST(num AS BIGINT) AS num,
+             round(CAST(num AS DOUBLE)
+                   / (sqrt(CAST(na.norm2 AS DOUBLE))
+                      * sqrt(CAST(nb.norm2 AS DOUBLE))), 6) AS cos
+      FROM pairs
+      JOIN norms na ON da = na.doc_id
+      JOIN norms nb ON db = nb.doc_id
+      WHERE CAST(num AS DOUBLE)
+            / (sqrt(CAST(na.norm2 AS DOUBLE))
+               * sqrt(CAST(nb.norm2 AS DOUBLE))) >= $minCos""",
+
+    "q272_source_cap" -> s"""
+      WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rnk
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN rnk <= $sourceCap THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN rnk <= $sourceCap THEN 0 ELSE 1 END)
+               AS BIGINT) AS n_dropped,
+             CAST(sum(CASE WHEN rnk <= $sourceCap THEN n_chars ELSE 0 END)
+               AS BIGINT) AS kept_chars,
+             min(CASE WHEN rnk <= $sourceCap THEN n_chars END)
+               AS min_kept_chars
+      FROM ranked GROUP BY source""",
+
+    "q273_char_entropy" -> """
+      WITH chars AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]')) AS ch
+        FROM documents),
+      counts AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+      totals AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+                 FROM counts GROUP BY doc_id),
+      m AS (
+        SELECT counts.doc_id, counts.c, totals.n,
+               CAST(round(-ln(CAST(counts.c AS DOUBLE) / totals.n) * 1000)
+                 AS BIGINT) AS mnat
+        FROM counts JOIN totals USING (doc_id))
+      SELECT doc_id, max(n) AS n_letters, count(*) AS n_distinct,
+             CAST(sum(c * mnat) AS BIGINT) AS total_mnat,
+             CAST(sum(c * mnat) AS BIGINT) // max(n) AS h_mnat
+      FROM m GROUP BY doc_id"""
+  )
+}

@@ -18,6 +18,10 @@ object MoreOps {
 
   private val dec = DecimalType(18, 2)
 
+  /** q276's async-lookup emission row (top-level so its Encoder derives
+    * cleanly inside the mapPartitions closure). */
+  final case class AsyncHit(event_id: Long, c_nationkey: Long)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SINGLE_VALUE over groups guaranteed single-valued (count = 1).
     "q55_single_value" -> ((s, dir) => {
@@ -90,6 +94,32 @@ object MoreOps {
           (col("l_extendedprice").cast(dec).cast("double") / 3).as("divd"))
     }),
 
+    // ASYNC lookup join under the oracle gate (the reference's
+    // AsyncLookupJoinRunner + AsyncWaitOperator ordered mode,
+    // RUNTIME/runtime/operators/join/lookup/AsyncLookupJoinRunner.java):
+    // per-event point lookups against a dictionary service (here a
+    // broadcast snapshot standing in for the external system) with a
+    // sliding window of 16 in-flight requests per partition and
+    // probe-ORDER emission. The async machinery must not change the
+    // result set: the oracle is the plain inner-join dual (q58's
+    // broadcast snapshot is the sync path; this gate is the async one).
+    "q276_async_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val probe = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"))
+        .as[(Long, Long)]
+      val dict = s.sparkContext.broadcast(
+        Tables.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+          .as[(Long, Long)].collect().toMap)
+      LookupJoin.async(probe, maxInFlight = 16, ordered = true) {
+        case (eventId, userId) =>
+          AsyncHit(eventId, dict.value.getOrElse(userId, -1L))
+      }
+        .filter(_.c_nationkey >= 0L)
+        .toDF()
+    }),
+
     // Second scalar battery.
     "q54_scalar_string2" -> ((s, dir) => {
       Tables.table(s, dir, "documents").select(
@@ -140,6 +170,10 @@ object MoreOps {
     "q58_lookup_join" -> """
       SELECT event_id, user_id, c_name, c_mktsegment
       FROM events LEFT JOIN customer ON user_id = c_custkey""",
+
+    "q276_async_lookup" -> """
+      SELECT event_id, c_nationkey
+      FROM events JOIN customer ON user_id = c_custkey""",
 
     "q63_decimal" -> """
       SELECT l_orderkey, l_linenumber,

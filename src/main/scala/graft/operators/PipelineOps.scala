@@ -478,6 +478,38 @@ object PipelineOps {
           (col("r_words") * col("r_wordlen") * col("r_symbol")
             * col("r_bullet") * col("r_ellipsis") * col("r_alpha")
             * col("r_stop")).cast("int"))
+    }),
+
+    // Canonical-document selection — the KEEP decision that turns q129's
+    // near-dup clusters into a deduplicated corpus: per cluster keep the
+    // highest-quality member (quality = n_chars, tie-break doc_id asc)
+    // and account for the chars dropped. Docs outside every edge are
+    // their own singleton cluster (LEFT join + coalesce), so the output
+    // partitions the corpus exactly. Scale: same profile as q129 (the
+    // cluster resolution dominates); the canonical pick is one window
+    // rank inside each cluster partition.
+    "q271_canonical_docs" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val wH = Window.partitionBy(md5(col("text")))
+      val exactEdges = docs
+        .withColumn("src", min(col("doc_id")).over(wH))
+        .filter(col("src") =!= col("doc_id"))
+        .select(col("src"), col("doc_id").as("dst"))
+      val edges = jaccardEdges(docs).union(exactEdges)
+      val comp = graft.graph.GraphOps.connectedComponents(edges)
+        .select(col("node").as("doc_id"), col("component").as("cluster"))
+      val clustered = docs.select(col("doc_id"), col("n_chars"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      val wC = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      clustered.withColumn("rnk", row_number().over(wC))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("csize"),
+             min(when(col("rnk") === 1, col("doc_id"))).as("keeper"),
+             min(when(col("rnk") === 1, col("n_chars"))).as("keeper_chars"),
+             sum(when(col("rnk") > 1, col("n_chars")).otherwise(0L))
+               .as("dropped_chars"))
     })
   )
 
@@ -491,8 +523,10 @@ object PipelineOps {
         s"(($y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
     }.mkString(" + ")
 
-  val oracle: Map[String, String] = Map(
-    "q129_dup_clusters" -> s"""
+  /** Shared CTE prefix for q129/q271: near-dup edges → recursive
+    * transitive closure → min-label components (the SQL dual of
+    * jaccardEdges + GraphOps.connectedComponents). */
+  private def clusterCteSql: String = s"""
       WITH RECURSIVE toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
         FROM documents),
@@ -526,10 +560,30 @@ object PipelineOps {
         SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
       comp AS (
         SELECT src AS doc_id, least(src, min(dst)) AS cluster
-        FROM reach GROUP BY src)
+        FROM reach GROUP BY src)"""
+
+  val oracle: Map[String, String] = Map(
+    "q129_dup_clusters" -> s"""$clusterCteSql
       SELECT doc_id, cluster,
              count(*) OVER (PARTITION BY cluster) AS csize
       FROM comp""",
+
+    "q271_canonical_docs" -> s"""$clusterCteSql,
+      clustered AS (
+        SELECT d.doc_id, d.n_chars,
+               COALESCE(c.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c USING (doc_id)),
+      r AS (
+        SELECT cluster, doc_id, n_chars,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY n_chars DESC, doc_id) AS rnk
+        FROM clustered)
+      SELECT cluster, count(*) AS csize,
+             min(CASE WHEN rnk = 1 THEN doc_id END) AS keeper,
+             min(CASE WHEN rnk = 1 THEN n_chars END) AS keeper_chars,
+             CAST(sum(CASE WHEN rnk > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS dropped_chars
+      FROM r GROUP BY cluster""",
 
     "q59_stratified_sample" -> """
       SELECT doc_id, lang, (doc_id * 2654435761) % 1000 AS bucket

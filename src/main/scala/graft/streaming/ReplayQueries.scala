@@ -79,6 +79,13 @@ object ReplayQueries {
   final case class OvEv(event_id: Long, user_id: Long, t_ms: Long,
                         value: Double, ets: java.sql.Timestamp)
 
+  /** Probe / versioned-build rows for the streaming temporal join gate
+    * (q275): purchases probe the per-user "latest view" version table. */
+  final case class TjProbe(p_id: Long, p_user: Long, p_value: Double,
+                           p_ts: java.sql.Timestamp)
+  final case class TjVer(v_user: Long, v_ts: java.sql.Timestamp,
+                         v_id: Long, v_value: Double)
+
   /** Stage `df` as `n` parquet files under a fresh temp dir; return the
     * (input, output, checkpoint) directory triple. */
   private def stage(df: DataFrame, n: Int): (String, String, String) = {
@@ -692,6 +699,98 @@ object ReplayQueries {
     // acceptance predicate: window end > max(main) − 3d).
     "q269_stream_lateness" -> ((s, dir) => latenessReplay(s, dir, 2)),
 
+    // FULL OUTER changelog join under the oracle gate — q245's pipeline
+    // with the join in its outer configuration (the reference's
+    // StreamingJoinOperator with leftIsOuter AND rightIsOuter, padding
+    // via OuterJoinRecordStateView association counts): the two updating
+    // per-user aggregates cover DIFFERENT user sets (value ≥ 150 on each
+    // side keeps users with only qualifying purchases, only qualifying
+    // clicks, and both), so the final materialized table contains live
+    // null-padded rows on BOTH sides — rows that were retracted and
+    // re-padded as the other side's first/last association arrived
+    // across micro-batches. Batch dual: the FULL OUTER JOIN SQL.
+    "q274_stream_changelog_outer" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click") &&
+                col("value") >= 150)
+        .select(col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .as[EvRow]
+        def side(kind: String) = Changelog.aggregateChangelog[EvRow](
+            src.filter(_.event_type == kind).groupByKey(_.user_id),
+            _ => Changelog.Insert, _.cents.toDouble)
+          .map(a => (a.key, a.kind, SideAgg(a.sum, a.count)))
+        val j = Changelog.joinChangelogOuter(
+          side("purchase"), side("click"), Changelog.FullOuter)
+        val q = j.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      Changelog.materialize(s.read.parquet(out), "key", "kind", "ord")
+        .select(col("key").as("user_id"),
+                (col("left.sum") / 100.0).as("purchase_amt"),
+                col("left.count").as("purchases"),
+                (col("right.sum") / 100.0).as("click_amt"),
+                col("right.count").as("clicks"))
+    }),
+
+    // Streaming temporal (versioned-table) join under the oracle gate —
+    // the reference's TemporalRowTimeJoinOperator (RUNTIME/runtime/
+    // operators/join/temporal/TemporalRowTimeJoinOperator.java): view
+    // events version a per-user build table; each purchase probes the
+    // version current AT ITS EVENT TIME, emission deferred until the
+    // watermark proves the version set at the probe's instant is
+    // complete (versions at the probe's ms ARE visible; equal-ts
+    // versions resolve to the highest event_id — the operator's
+    // deterministic tie order). The far-future probe-side sentinel
+    // flushes every pending probe. Batch dual: last view at-or-before
+    // each purchase at ms precision.
+    "q275_stream_temporal_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("event_type"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+                lit(sentTs).cast("timestamp").as("ts"),
+                lit("purchase").as("event_type"), lit(0.0).as("value"))
+      val (in, out, ck) = stageOrdered(ev, "ts", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val probes = src.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                  col("value").as("p_value"), col("ts").as("p_ts"))
+          .as[TjProbe]
+        val vers = src.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+                  col("event_id").as("v_id"), col("value").as("v_value"))
+          .as[TjVer]
+        val j = TemporalJoin.streamAsOf[TjProbe, TjVer](
+            probes, vers, _.p_user, _.v_user, _.p_ts, _.v_ts, _.v_id,
+            "1 second")
+          .select(col("_1.p_user").as("p_user"), col("_1.p_id").as("p_id"),
+                  col("_1.p_value").as("p_value"),
+                  col("_2.v_id").as("v_id"), col("_2.v_value").as("v_value"))
+        val q = j.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(out).filter(col("p_user") >= 0)
+    }),
+
     // Event-time over-window executed as a STREAM: running MIN(value)
     // per user (ROWS UNBOUNDED PRECEDING) through the watermark-ordered
     // fold (`OverWindow.overAgg`, the RowTimeRowsUnboundedPrecedingFunction
@@ -902,6 +1001,43 @@ object ReplayQueries {
     "q263_stream_lookup" -> """
       SELECT e.event_id, c.c_nationkey
       FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
+
+    "q274_stream_changelog_outer" -> """
+      WITH p AS (
+        SELECT user_id, sum(floor(value*100)) AS s, count(*) AS c
+        FROM events WHERE event_type = 'purchase' AND value >= 150
+        GROUP BY 1),
+      k AS (
+        SELECT user_id, sum(floor(value*100)) AS s, count(*) AS c
+        FROM events WHERE event_type = 'click' AND value >= 150
+        GROUP BY 1)
+      SELECT COALESCE(p.user_id, k.user_id) AS user_id,
+             p.s/100.0 AS purchase_amt, CAST(p.c AS BIGINT) AS purchases,
+             k.s/100.0 AS click_amt, CAST(k.c AS BIGINT) AS clicks
+      FROM p FULL JOIN k ON p.user_id = k.user_id""",
+
+    // ms-precision as-of (the operator keys its state on epoch millis):
+    // the version visible to a probe is the last view row with
+    // view-ms <= probe-ms; equal-ms versions resolve to max event_id.
+    "q275_stream_temporal_join" -> """
+      WITH v AS (
+        SELECT user_id, event_id, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS tms
+        FROM events WHERE event_type = 'view'),
+      p AS (
+        SELECT user_id, event_id, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS tms
+        FROM events WHERE event_type = 'purchase'),
+      j AS (
+        SELECT p.user_id, p.event_id AS p_id, p.value AS p_value,
+               v.event_id AS v_id, v.value AS v_value,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY v.tms DESC, v.event_id DESC)
+                 AS rn
+        FROM p LEFT JOIN v
+          ON v.user_id = p.user_id AND v.tms <= p.tms)
+      SELECT user_id AS p_user, p_id, p_value, v_id, v_value
+      FROM j WHERE rn = 1""",
 
     "q261_stream_count_tumble" -> """
       WITH o AS (

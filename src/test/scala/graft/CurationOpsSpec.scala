@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CurationOps
+
+/** Round-9 curation operators: TF-IDF pair similarity, per-source
+  * capping, character entropy, canonical-doc selection. Each check is an
+  * INDEPENDENT recomputation (local Scala on collected raw text) or a
+  * structural invariant — not a rerun of the operator's own plan. */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q270 tf-idf: pair cosine matches a local dense recomputation") {
+    val got = CurationOps.queries("q270_tfidf_pairs")(spark, dir)
+      .select("da", "db", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    assert(got.values.forall(c => c > 0.0 && c <= 1.0 + 1e-9))
+    assert(got.keys.forall { case (a, b) => a < b })
+
+    // local dense recompute of the integer-milli-nat weighting for the
+    // highest-cosine pair
+    val docs = Tables.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = docs.size.toDouble
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").toSeq
+    val tf: Map[Long, Map[String, Long]] =
+      docs.map { case (id, t) =>
+        id -> toks(t).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      }
+    val df: Map[String, Long] = tf.values.flatMap(_.keys).toSeq
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def w(id: Long): Map[String, Long] =
+      tf(id).map { case (t, f) =>
+        t -> f * math.round(math.log(n / df(t)) * 1000)
+      }
+    val (da, db) = got.maxBy(_._2)._1
+    val (wa, wb) = (w(da), w(db))
+    val joinable = (t: String) => df(t) >= 2 && df(t) <= 500
+    val num = wa.keySet.intersect(wb.keySet).filter(joinable)
+      .toSeq.map(t => wa(t) * wb(t)).sum
+    def norm2(m: Map[String, Long]): Long = m.values.map(v => v * v).sum
+    val expect = num.toDouble / (math.sqrt(norm2(wa).toDouble) *
+      math.sqrt(norm2(wb).toDouble))
+    assert(math.abs(got((da, db)) - expect) < 1e-6)
+  }
+
+  test("q273 entropy: one document matches a local recomputation") {
+    val rows = CurationOps.queries("q273_char_entropy")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.nonEmpty)
+    val (docId, counts) = Tables.table(spark, dir, "documents")
+      .select("doc_id", "text").collect().iterator
+      .map { r =>
+        r.getLong(0) -> r.getString(1).toLowerCase
+          .filter(c => c >= 'a' && c <= 'z')
+          .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      }
+      .find(_._2.nonEmpty).get
+    val nl = counts.values.sum
+    val total = counts.values.map { c =>
+      c * math.round(-math.log(c.toDouble / nl) * 1000)
+    }.sum
+    val (gNl, gDistinct, gTotal, gH) = rows(docId)
+    assert(gNl == nl && gDistinct == counts.size &&
+      gTotal == total && gH == total / nl)
+  }
+
+  test("q272 source cap: budgets are consistent and capped") {
+    val rows = CurationOps.queries("q272_source_cap")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nKept, nDropped) =
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+         r.getAs[Long]("n_dropped"))
+      assert(nKept <= 1000 && nKept + nDropped == nDocs)
+    }
+    val direct = Tables.table(spark, dir, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getAs[String]("source") ->
+      r.getAs[Long]("n_docs")).toMap == direct)
+  }
+
+  test("q271 canonical docs: clusters partition the corpus exactly") {
+    val rows = graft.operators.PipelineOps
+      .queries("q271_canonical_docs")(spark, dir).collect()
+    val nDocs = Tables.table(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("csize")).sum == nDocs)
+    val keepers = rows.map(_.getAs[Long]("keeper"))
+    assert(keepers.distinct.length == keepers.length)
+    // the keeper really is the arg-max-chars / min-id member: for every
+    // singleton cluster the keeper is the cluster label itself
+    rows.filter(_.getAs[Long]("csize") == 1L).foreach { r =>
+      assert(r.getAs[Long]("keeper") == r.getAs[Long]("cluster"))
+      assert(r.getAs[Long]("dropped_chars") == 0L)
+    }
+  }
+
+  test("q276 async lookup equals the broadcast-join dual") {
+    val got = graft.operators.MoreOps
+      .queries("q276_async_lookup")(spark, dir)
+    val dual = Tables.table(spark, dir, "events")
+      .join(broadcast(Tables.table(spark, dir, "customer")),
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("c_nationkey"))
+    assert(got.count() == dual.count())
+    assert(got.except(dual).isEmpty && dual.except(got).isEmpty)
+  }
+}
