@@ -45,19 +45,27 @@ object ScaleProbe {
     copies.reduce(_ unionAll _).write.mode("overwrite")
       .parquet(s"$root/documents.parquet")
 
-    def time(dir: String): Double = {
+    def time(q: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      val df = operators.TextOps.queries("q37_ngram_jaccard")(spark, dir)
+      val df = SparkEntry.queries(q)(spark, dir)
       df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warm codegen/classloading on the small base before timing.
-    time(sfDir)
-    val base = time(sfDir)
-    val x10 = time(root)
+    // Probes: the two document-pair operators whose 100x behavior rests
+    // on a DF-cap constant (q37's shingle cap; q270's term cap) — the
+    // per-copy token suffixing preserves each cap's within-copy DF
+    // structure while zeroing cross-copy overlap, so ideal is linear.
+    val probes = Seq("q37_ngram_jaccard", "q270_tfidf_pairs")
+    val parts = probes.map { q =>
+      // Warm codegen/classloading on the small base before timing.
+      time(q, sfDir)
+      val base = time(q, sfDir)
+      val x10 = time(q, root)
+      f""""$q":{"base_sec":$base%.2f,"x10_sec":$x10%.2f,"ratio":${x10 / base}%.2f}"""
+    }
     val cap = spark.conf.getOption("spark.graft.shingleDfCap").getOrElse("500")
-    println(f"""{"probe":"q37_ngram_jaccard","sf_dir":"$sfDir","cap":$cap,"base_sec":$base%.2f,"x10_sec":$x10%.2f,"ratio":${x10 / base}%.2f}""")
+    println(s"""{"sf_dir":"$sfDir","cap":$cap,${parts.mkString(",")}}""")
     spark.stop()
   }
 }

@@ -53,15 +53,22 @@ object CurationOps {
     "q270_tfidf_pairs" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
       val nDocs = docs.count()
+      // tf and w are each read by two+ downstream subtrees (df + the
+      // join; norms + both self-join sides) — localCheckpoint them so
+      // the corpus is scanned and tokenized ONCE (unchecked, the plan
+      // re-derives the token aggregation eight times; at 100 TB that is
+      // 8x the scan+shuffle bill).
       val tf = docs
         .select(col("doc_id"),
           explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val w = tf.join(df, "tok")
         .select(col("doc_id"), col("tok"), col("df"),
           (col("tf") * round(log(lit(nDocs.toDouble) / col("df")) * 1000)
             .cast("long")).as("w"))
+        .localCheckpoint()
       val norms = w.groupBy("doc_id")
         .agg(sum(col("w") * col("w")).as("norm2"))
       val joinable = w.filter(col("df").between(2, termDfCap))
@@ -84,12 +91,15 @@ object CurationOps {
     // Per-source frequency capping (the CommonCrawl-style "no domain
     // may dominate the corpus" rule): keep the `sourceCap` highest-
     // quality docs per source (quality = n_chars, tie-break doc_id asc)
-    // and report the per-source keep/drop budget. The rank is a
-    // per-source window (WindowGroupLimit prunes rank > cap before the
-    // sort completes), so no source's full document list is ever held.
+    // and report the per-source keep/drop budget. Because the DROPPED
+    // side is part of the report, every row must be ranked (no
+    // WindowGroupLimit top-k pruning applies); the cost is one
+    // per-source partition sort over (n_chars, doc_id) — the narrow
+    // two-column projection, not the documents themselves.
     "q272_source_cap" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.table(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
       val ranked = docs.withColumn("rnk",
         row_number().over(Window.partitionBy(col("source"))
           .orderBy(col("n_chars").desc, col("doc_id"))))
@@ -103,6 +113,47 @@ object CurationOps {
                .otherwise(0)).as("kept_chars"),
              min(when(col("rnk") <= sourceCap, col("n_chars")))
                .as("min_kept_chars"))
+    }),
+
+    // Temperature-scaled mixture allocation (the multinomial-sampling
+    // weight scheme of multilingual/multi-source training runs: weight
+    // source i by count^α, α = 0.5, so small sources are up-sampled):
+    // per-source token counts → sqrt-damped integer milli-weights →
+    // each source's share of a fixed 1M-token budget by integer
+    // arithmetic. The whole computation after one narrow aggregate runs
+    // on a SOURCES-sized table — at 100 TB this is a driver-trivial
+    // broadcast decision table, exactly how mixture weights ship.
+    "q280_mixture_temperature" -> ((s, dir) => {
+      val bySource = Tables.table(s, dir, "documents")
+        .select(col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_toks"))
+        .withColumn("w_milli",
+          round(sqrt(col("n_toks").cast("double")) * 1000).cast("long"))
+      val totalW = bySource.agg(sum(col("w_milli"))).head().getLong(0)
+      bySource
+        .withColumn("alloc_toks",
+          expr(s"(1000000 * w_milli) div ${totalW}"))
+        .select(col("source"), col("n_docs"), col("n_toks"),
+                col("w_milli"), col("alloc_toks"))
+    }),
+
+    // Normalization-fingerprint dedup: case/punctuation/whitespace-
+    // insensitive exact dedup (the cheap formatting-near-dup catch that
+    // runs BEFORE MinHash in a curation funnel). Normal form = lowercase
+    // → strip non-alphanumeric/space → collapse runs of spaces → trim;
+    // groups keyed by the md5 of that form. Pure scan + one hash
+    // exchange, same scale profile as q35's exact dedup.
+    "q281_normalized_dedup" -> ((s, dir) => {
+      val norm = regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")
+      Tables.table(s, dir, "documents")
+        .groupBy(md5(trim(norm)).as("h"))
+        .agg(min(col("doc_id")).as("keeper"),
+             count(lit(1)).as("n"),
+             sum(col("n_chars")).as("total_chars"))
     }),
 
     // Character-entropy quality signal: gibberish and boilerplate both
@@ -176,6 +227,30 @@ object CurationOps {
              min(CASE WHEN rnk <= $sourceCap THEN n_chars END)
                AS min_kept_chars
       FROM ranked GROUP BY source""",
+
+    "q280_mixture_temperature" -> """
+      WITH bs AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                 AS BIGINT) AS n_toks
+        FROM documents GROUP BY source),
+      w AS (
+        SELECT source, n_docs,  n_toks,
+               CAST(round(sqrt(CAST(n_toks AS DOUBLE)) * 1000) AS BIGINT)
+                 AS w_milli
+        FROM bs),
+      t AS (SELECT CAST(sum(w_milli) AS BIGINT) AS tw FROM w)
+      SELECT source, n_docs, n_toks, w_milli,
+             (1000000 * w_milli) // tw AS alloc_toks
+      FROM w, t""",
+
+    "q281_normalized_dedup" -> """
+      SELECT md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS h,
+             min(doc_id) AS keeper, count(*) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY 1""",
 
     "q273_char_entropy" -> """
       WITH chars AS (

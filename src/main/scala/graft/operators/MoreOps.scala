@@ -120,6 +120,56 @@ object MoreOps {
         .toDF()
     }),
 
+    // Side outputs under the oracle gate (the reference's OutputTag /
+    // getSideOutput fan-out, STREAM/api/datastream/
+    // SingleOutputStreamOperator.java:395): one pass tags every event,
+    // the named outputs and the unconsumed-rest output are read back
+    // separately (each from the SHARED cached tagged plan — the
+    // one-operator-many-streams shape), and the gate summarizes each
+    // leg. The oracle is the single-scan CASE dual, so the split must
+    // neither drop nor double-count a row.
+    "q277_side_outputs" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_type"),
+                floor(col("value") * 100).cast("long").as("cents"))
+      val parts = SideOutput.split(ev, col("event_type"),
+        Seq("purchase", "click"))
+      val legs = Seq("purchase", "click", "__rest").map { t =>
+        parts(t).agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .select(lit(t).as("tag"), col("n"), col("cents"))
+      }
+      legs.reduce(_.unionByName(_))
+    }),
+
+    // Salted (skew-spread) join under the oracle gate (the reference's
+    // skew handling per SURVEY §2.4 SplitAggregateRule / salted
+    // repartition): the probe side's hot keys are sprayed over 8 salt
+    // buckets, the build side replicated 8x — and the result set must be
+    // EXACTLY the plain join's (salting is a physical rewrite, never a
+    // semantic one).
+    "q278_salted_join" -> ((s, dir) => {
+      val probe = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"))
+      val build = Tables.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      Skew.saltedJoin(probe, build, "user_id", "c_custkey", salts = 8)
+        .select(col("event_id"), col("user_id"), col("c_nationkey"))
+    }),
+
+    // Two-phase (salted partial + final) aggregation under the oracle
+    // gate (SplitAggregateRule, PLANNER/plan/rules/logical/
+    // SplitAggregateRule.scala — local/global split for hot grouping
+    // keys): cents sums stay integral so the salted partials merge
+    // bit-exactly to the direct groupBy dual.
+    "q279_two_phase_agg" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_type"),
+                floor(col("value") * 100).cast("long").as("cents"))
+      Skew.twoPhaseAgg(ev, "event_type", salts = 8,
+        partial = Seq(sum(col("cents")).as("pc"), count(lit(1)).as("pn")),
+        finalAgg = Seq(sum(col("pc")).as("cents"), sum(col("pn")).as("n")))
+    }),
+
     // Second scalar battery.
     "q54_scalar_string2" -> ((s, dir) => {
       Tables.table(s, dir, "documents").select(
@@ -174,6 +224,22 @@ object MoreOps {
     "q276_async_lookup" -> """
       SELECT event_id, c_nationkey
       FROM events JOIN customer ON user_id = c_custkey""",
+
+    "q277_side_outputs" -> """
+      SELECT CASE WHEN event_type IN ('purchase', 'click')
+                  THEN event_type ELSE '__rest' END AS tag,
+             count(*) AS n,
+             CAST(sum(floor(value * 100)) AS BIGINT) AS cents
+      FROM events GROUP BY 1""",
+
+    "q278_salted_join" -> """
+      SELECT event_id, user_id, c_nationkey
+      FROM events JOIN customer ON user_id = c_custkey""",
+
+    "q279_two_phase_agg" -> """
+      SELECT event_type, CAST(sum(floor(value * 100)) AS BIGINT) AS cents,
+             count(*) AS n
+      FROM events GROUP BY event_type""",
 
     "q63_decimal" -> """
       SELECT l_orderkey, l_linenumber,

@@ -200,6 +200,52 @@ object SketchOps {
                   Tables.table(s, dir, "documents"))
     }),
 
+    // The CMS cell table maintained as a STREAMING aggregation across
+    // micro-batches (q150's sketch under unbounded input — the
+    // reference's per-key incremental agg state, RUNTIME/runtime/
+    // operators/aggregate/): per-(depth, slot) COUNT over the exploded
+    // token stream in Complete mode. Cell sums are integer counts —
+    // associative, commutative, batch-boundary-independent — so the
+    // read-back cell table, probed by the batch vocabulary exactly as
+    // q150 does, hash-matches q150's oracle verbatim.
+    "q282_stream_cms" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents").select(col("text"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cms_replay").toString
+      docs.repartition(4).write.mode("overwrite").parquet(s"$root/in")
+      val depths = array((0 until CmsDepth).map(lit): _*)
+      def slotted(toks: DataFrame): DataFrame = toks
+        .select(col("tok"), explode(depths).as("depth"))
+        .withColumn("slot",
+          pmod(h60("cms", concat(col("depth").cast("string"),
+            lit("_"), col("tok"))), lit(CmsWidth)))
+      graft.streaming.ReplayQueries.withStatePartitions(s, 8) {
+        val streamCells = slotted(
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 2).parquet(s"$root/in")
+            .select(explode(split(trim(col("text")), "\\s+")).as("tok")))
+          .groupBy("depth", "slot")
+          .agg(count(lit(1)).as("c"))
+        val q = streamCells.writeStream.outputMode("complete")
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(s"$root/out")
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      val cells = s.read.parquet(s"$root/out")
+      val toks = tokens(s, dir)
+      val cnts = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+      val est = slotted(cnts.select(col("tok")))
+        .join(broadcast(cells), Seq("depth", "slot"))
+        .groupBy("tok").agg(min(col("c")).as("est"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      est.join(cnts, "tok").crossJoin(broadcast(total))
+        .filter(col("est") * 1000 >= col("n_total"))
+        .select(col("tok").as("token"), col("est"), col("true_cnt"))
+    }),
+
     // Bottom-k (KMV) distinct sketch per source: the k smallest distinct
     // hashes. Doubles as a uniform sample OF THE DISTINCT population
     // (the classic "distinct sample") and yields the KMV estimate
@@ -658,8 +704,10 @@ object SketchOps {
       FROM sz, ex, sk, cb"""
   )
 
-  /** q265 streams to the identical register table, so its oracle is
-    * q151's SQL verbatim. */
+  /** q265/q282 stream to the identical register/cell tables their batch
+    * siblings build, so their oracles are q151's/q150's SQL verbatim. */
   val oracle: Map[String, String] =
-    baseOracle + ("q265_stream_hll" -> baseOracle("q151_hll_distinct"))
+    baseOracle +
+      ("q265_stream_hll" -> baseOracle("q151_hll_distinct")) +
+      ("q282_stream_cms" -> baseOracle("q150_cms_heavy"))
 }
