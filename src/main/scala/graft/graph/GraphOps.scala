@@ -364,6 +364,85 @@ object GraphOps {
   }
 
   /**
+   * Jaccard-index vertex similarity (Gelly library/similarity/
+   * JaccardIndex.java analogue) on an undirected canonical (u < v) edge
+   * set: for every vertex pair sharing ≥1 neighbor, |N(u)∩N(v)| /
+   * |N(u)∪N(v)|. Pair generation is PER COMMON NEIGHBOR (the grouped
+   * neighbor-pair emission of the reference), never all-pairs — the
+   * same hub-bounded profile as triangleCounts; a df-style degree cap
+   * on the pivot vertex is the production guard at web scale (the
+   * reference's MaximumNumPairs knob).
+   * Returns (u, v, shared, union_deg, jaccard rounded to 6).
+   */
+  def jaccardIndex(edges: DataFrame): DataFrame = {
+    val sym = symmetrize(
+      edges.select(col("u").as("src"), col("v").as("dst")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val shared = sym.as("a").join(sym.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .groupBy(col("a.dst").as("u"), col("b.dst").as("v"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("shared"),
+        (col("du") + col("dv") - col("shared")).as("union_deg"),
+        round(col("shared").cast("double")
+          / (col("du") + col("dv") - col("shared")), 6).as("jaccard"))
+  }
+
+  /**
+   * Adamic–Adar vertex similarity (Gelly library/similarity/
+   * AdamicAdar.java analogue): for every pair sharing ≥1 neighbor,
+   * Σ over common neighbors w of 1/ln(deg(w)) — rarer shared neighbors
+   * count more. Per-neighbor contributions are quantized to integer
+   * milli-units immediately after the log (repo float discipline), so
+   * the pair sums are BIGINT and engine-exact. A common neighbor always
+   * has deg ≥ 2, so ln(deg) > 0. Returns (u, v, n_common, aa_milli).
+   */
+  def adamicAdar(edges: DataFrame): DataFrame = {
+    val sym = symmetrize(
+      edges.select(col("u").as("src"), col("v").as("dst")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    // contrib only for deg ≥ 2: a common neighbor always has degree ≥ 2,
+    // and degree-1 rows would hit 1/ln(1) = 1/0 under ANSI evaluation
+    // even though the join can never select them.
+    val wContrib = deg.filter(col("deg") >= 2).select(col("node"),
+      round(lit(1000.0) / log(col("deg").cast("double"))).cast("long")
+        .as("contrib"))
+    sym.as("a").join(sym.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .join(wContrib, col("a.src") === wContrib("node"))
+      .groupBy(col("a.dst").as("u"), col("b.dst").as("v"))
+      .agg(count(lit(1)).as("n_common"), sum(col("contrib")).as("aa_milli"))
+  }
+
+  /**
+   * Whole-graph vertex metrics (Gelly library/metric/undirected/
+   * VertexMetrics.java analogue) on an undirected canonical (u < v)
+   * edge set: vertex/edge counts, average and maximum degree, and the
+   * triplet count Σ C(deg, 2) (the denominator of the global clustering
+   * coefficient). One aggregate over the degree table.
+   */
+  def vertexMetrics(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val nEdges = edges.count()
+    deg.agg(
+        count(lit(1)).as("n_vertices"),
+        round(avg(col("deg")), 6).as("avg_degree"),
+        max(col("deg")).as("max_degree"),
+        sum(expr("(deg * (deg - 1)) div 2")).cast("long")
+          .as("n_triplets"))
+      .withColumn("n_edges", lit(nEdges))
+  }
+
+  /**
    * Label propagation: labels start as node ids; each superstep every
    * node adopts the most frequent label among neighbors (tie → smallest
    * label). Fixed iteration count (sync variant, like Gelly's).

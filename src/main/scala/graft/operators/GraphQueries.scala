@@ -85,7 +85,23 @@ object GraphQueries {
 
     // Community detection (score-attenuated LP), 2 supersteps.
     "q93_community" -> ((s, dir) =>
-      GraphOps.communityDetection(smallEdges(s, dir), iters = 2))
+      GraphOps.communityDetection(smallEdges(s, dir), iters = 2)),
+
+    // Jaccard-index vertex similarity on the co-purchase graph
+    // (library/similarity/JaccardIndex.java): pairs sharing ≥1 neighbor
+    // scored by |N(u)∩N(v)| / |N(u)∪N(v)|.
+    "q283_jaccard_index" -> ((s, dir) =>
+      GraphOps.jaccardIndex(copurchaseEdges(s, dir))),
+
+    // Adamic–Adar similarity (library/similarity/AdamicAdar.java):
+    // common neighbors weighted by 1/ln(degree), milli-quantized.
+    "q284_adamic_adar" -> ((s, dir) =>
+      GraphOps.adamicAdar(copurchaseEdges(s, dir))),
+
+    // Whole-graph degree metrics (library/metric/undirected/
+    // VertexMetrics.java): vertex/edge counts, avg/max degree, triplets.
+    "q285_vertex_metrics" -> ((s, dir) =>
+      GraphOps.vertexMetrics(copurchaseEdges(s, dir)))
   )
 
   // co-purchase projection: frequent-co-supplier pairs, deterministically
@@ -123,6 +139,19 @@ object GraphQueries {
         SELECT DISTINCT o_custkey AS src, l_suppkey + $SuppOffset AS dst
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_custkey <= 200)"""
+
+  /** SQL dual of [[copurchaseEdges]] (shared by q283–q285; same text as
+    * inlined in q89/q92). */
+  private val coEdgesSql = """
+      cs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey <= 100),
+      e AS (
+        SELECT a.c AS u, b.c AS v
+        FROM cs a JOIN cs b ON a.sp = b.sp AND a.c < b.c
+        GROUP BY a.c, b.c
+        HAVING count(*) >= 10 AND (a.c + b.c) % 3 = 0)"""
 
   val oracle: Map[String, String] = Map(
     "q50_connected_components" -> ccOracleSql,
@@ -306,6 +335,52 @@ object GraphQueries {
         JOIN l1 ON n.node = l1.node
         LEFT JOIN (SELECT node, label FROM c2 WHERE rk = 1) c
           ON n.node = c.node)
-      SELECT node, label FROM l2"""
+      SELECT node, label FROM l2""",
+
+    "q283_jaccard_index" -> s"""
+      WITH $coEdgesSql,
+      sym AS (SELECT u AS w, v AS x FROM e
+              UNION SELECT v AS w, u AS x FROM e),
+      deg AS (SELECT w AS node, count(*) AS deg FROM sym GROUP BY w),
+      p AS (
+        SELECT a.x AS u, b.x AS v, count(*) AS shared
+        FROM sym a JOIN sym b ON a.w = b.w AND a.x < b.x
+        GROUP BY 1, 2)
+      SELECT p.u, p.v, p.shared,
+             du.deg + dv.deg - p.shared AS union_deg,
+             round(CAST(p.shared AS DOUBLE)
+                   / (du.deg + dv.deg - p.shared), 6) AS jaccard
+      FROM p
+      JOIN deg du ON p.u = du.node
+      JOIN deg dv ON p.v = dv.node""",
+
+    "q284_adamic_adar" -> s"""
+      WITH $coEdgesSql,
+      sym AS (SELECT u AS w, v AS x FROM e
+              UNION SELECT v AS w, u AS x FROM e),
+      deg AS (SELECT w AS node, count(*) AS deg FROM sym GROUP BY w),
+      c AS (SELECT node,
+                   CAST(round(1000.0 / ln(deg)) AS BIGINT) AS contrib
+            FROM deg)
+      SELECT a.x AS u, b.x AS v, count(*) AS n_common,
+             CAST(sum(c.contrib) AS BIGINT) AS aa_milli
+      FROM sym a
+      JOIN sym b ON a.w = b.w AND a.x < b.x
+      JOIN c ON a.w = c.node
+      GROUP BY 1, 2""",
+
+    "q285_vertex_metrics" -> s"""
+      WITH $coEdgesSql,
+      deg AS (
+        SELECT node, count(*) AS deg FROM (
+          SELECT u AS node FROM e
+          UNION ALL SELECT v FROM e) x
+        GROUP BY node)
+      SELECT count(*) AS n_vertices,
+             (SELECT count(*) FROM e) AS n_edges,
+             round(avg(deg), 6) AS avg_degree,
+             max(deg) AS max_degree,
+             CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_triplets
+      FROM deg"""
   )
 }

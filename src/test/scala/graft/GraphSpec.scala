@@ -77,4 +77,41 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(got == labels)
   }
+
+  // undirected canonical (u < v) view of the bridged graph for the
+  // similarity/metric operators
+  private lazy val uvEdges = edges.toDF("u", "v")
+
+  test("jaccard index matches the hand-computed pair table") {
+    val got = GraphOps.jaccardIndex(uvEdges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(4))).toMap
+    // 10 pairs share >= 1 neighbor on the bridged two-triangle graph
+    assert(got.size == 10)
+    assert(got((1L, 2L)) == (1L, 0.333333))   // common {3}, deg 2+2
+    assert(got((11L, 12L)) == (1L, 0.333333)) // common {10}, deg 2+2
+    assert(got((1L, 10L)) == (1L, 0.25))      // bridge pair via 3
+    assert(!got.contains((20L, 21L)))         // no common neighbor
+  }
+
+  test("adamic-adar weights rare shared neighbors higher") {
+    val got = GraphOps.adamicAdar(uvEdges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == 10)
+    // via a degree-2 neighbor: round(1000/ln 2) = 1443
+    assert(got((1L, 3L)) == (1L, 1443L))
+    // via a degree-3 neighbor: round(1000/ln 3) = 910
+    assert(got((1L, 2L)) == (1L, 910L))
+    assert(got((1L, 10L)) == (1L, 910L))
+  }
+
+  test("vertex metrics aggregate the degree table") {
+    val r = GraphOps.vertexMetrics(uvEdges).head()
+    assert(r.getAs[Long]("n_vertices") == 8L)
+    assert(r.getAs[Long]("n_edges") == 8L)
+    assert(r.getAs[Double]("avg_degree") == 2.0)
+    assert(r.getAs[Long]("max_degree") == 3L)
+    assert(r.getAs[Long]("n_triplets") == 10L) // 1+1+3+3+1+1
+  }
 }
