@@ -243,6 +243,108 @@ object VectorOps {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 20)
         .select(col("vec_id"), col("cid"), col("rnk").cast("int").as("rnk"))
+    }),
+
+    // Gram/covariance matrix of the embedding corpus (the one-pass
+    // second-moment aggregate under PCA / whitening / Mahalanobis
+    // pipelines). Values quantize to integer milli-units FIRST, then
+    // each row explodes only its upper-triangle index pairs through ONE
+    // generator — no self-join, no dense matrix object — and partial
+    // (map-side) aggregation collapses every partition to ≤ d(d+1)/2 =
+    // 2080 cells before the shuffle: the per-partition Gram
+    // accumulation a 100 TB pass needs, written declaratively. Final
+    // covariance = (Σxy − ΣxΣy/n)/n on exact BIGINTs.
+    "q286_embedding_gram" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      val n = emb.count()
+      val q = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("q"))
+      val gram = q.select(expr(
+          "explode(flatten(transform(sequence(0, 63), i -> " +
+          "transform(sequence(i, 63), j -> " +
+          "struct(i AS i, j AS j, q[i] * q[j] AS p)))))").as("c"))
+        .groupBy(col("c.i").as("i0"), col("c.j").as("j0"))
+        .agg(sum(col("c.p")).as("gram"))
+      val sums = q.select(expr(
+          "explode(transform(sequence(0, 63), i -> " +
+          "struct(i AS i, q[i] AS v)))").as("c"))
+        .groupBy(col("c.i").as("i0")).agg(sum(col("c.v")).as("s"))
+      gram
+        .join(broadcast(sums.select(col("i0"), col("s").as("si"))), "i0")
+        .join(broadcast(sums.select(col("i0").as("j0"), col("s").as("sj"))),
+          "j0")
+        .select((col("i0") + 1).as("i"), (col("j0") + 1).as("j"),
+          col("gram"),
+          round((col("gram").cast("double")
+            - col("si").cast("double") * col("sj").cast("double")
+              / lit(n.toDouble)) / lit(n.toDouble), 6).as("cov"))
+    }),
+
+    // Per-label centroid table (the supervised sibling of q254's
+    // k-means): per (label, dimension) count, integer milli-sum and
+    // mean. One generator + one partial-aggregated groupBy — the
+    // class-profile pass of classifier-quality and Mahalanobis-distance
+    // pipelines, 640 output cells regardless of corpus size.
+    "q287_label_centroids" -> ((s, dir) => {
+      Tables.table(s, dir, "embeddings")
+        .select(col("label"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("q"))
+        .select(col("label"), expr(
+          "explode(transform(sequence(0, 63), i -> " +
+          "struct(i AS i, q[i] AS v)))").as("c"))
+        .groupBy(col("label"), (col("c.i") + 1).as("i"))
+        .agg(count(lit(1)).as("n"), sum(col("c.v")).as("s"))
+        .withColumn("mean_milli",
+          round(col("s").cast("double") / col("n"), 6))
+    }),
+
+    // Diagonal-Mahalanobis embedding outlier score (the embedding-space
+    // quality gate: distribution-level anomalies that cosine near-dup
+    // checks can't see). Per-dimension corpus mean/variance come from
+    // the same integer milli-sums as q286; each vector's score is the
+    // sum of 64 per-dimension squared z-scores, each quantized to an
+    // integer micro-unit BEFORE summing so the total is order-free and
+    // engine-exact. Two-pass profile at 100 TB: a 64-row broadcast
+    // moment table, then one embarrassingly parallel scoring scan.
+    "q288_embedding_outliers" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      val n = emb.count()
+      val q = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("q"))
+      val moments = q.select(expr(
+          "explode(transform(sequence(0, 63), i -> " +
+          "struct(i AS i, q[i] AS v)))").as("c"))
+        .groupBy(col("c.i").as("i"))
+        .agg(sum(col("c.v")).as("s"), sum(col("c.v") * col("c.v")).as("s2"))
+        .select(col("i"), col("s"),
+          ((col("s2").cast("double") - col("s").cast("double")
+            * col("s").cast("double") / lit(n.toDouble)) / lit(n.toDouble))
+            .as("variance"))
+      val scored = q
+        .select(col("vec_id"), expr(
+          "explode(transform(sequence(0, 63), i -> " +
+          "struct(i AS i, q[i] AS v)))").as("c"))
+        .join(broadcast(moments), col("c.i") === moments("i"))
+        .select(col("vec_id"),
+          expr(s"CAST(round(1000000 * " +
+            s"(c.v - CAST(s AS DOUBLE) / ${n.toDouble}) * " +
+            s"(c.v - CAST(s AS DOUBLE) / ${n.toDouble}) " +
+            s"/ variance) AS BIGINT)").as("z_micro"))
+        .groupBy("vec_id")
+        .agg(sum(col("z_micro")).as("score_micro"))
+      // top-20 via orderBy+limit = TakeOrderedAndProject (distributed
+      // partial top-k), NOT a global row_number window (single-task
+      // sort of the whole corpus at scale); the rank window then runs
+      // on 20 rows only.
+      val top = scored.orderBy(col("score_micro").desc, col("vec_id"))
+        .limit(20)
+      val w = Window.orderBy(col("score_micro").desc, col("vec_id"))
+      top.withColumn("rnk", row_number().over(w))
+        .select(col("vec_id"), col("score_micro"),
+                col("rnk").cast("int").as("rnk"))
     })
   )
 
@@ -347,6 +449,74 @@ object VectorOps {
 
   val oracle: Map[String, String] = Map(
     "q254_kmeans" -> q254OracleSql,
+
+    "q286_embedding_gram" -> """
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                 AS q
+        FROM embeddings),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+      cells AS (
+        SELECT a.i, b.j, CAST(sum(q.q[a.i] * q.q[b.j]) AS BIGINT) AS gram
+        FROM q,
+             UNNEST(generate_series(1, 64)) AS a(i),
+             UNNEST(generate_series(1, 64)) AS b(j)
+        WHERE b.j >= a.i
+        GROUP BY 1, 2),
+      sums AS (
+        SELECT g.i, CAST(sum(q.q[g.i]) AS BIGINT) AS s
+        FROM q, UNNEST(generate_series(1, 64)) AS g(i)
+        GROUP BY 1)
+      SELECT c.i, c.j, c.gram,
+             round((CAST(c.gram AS DOUBLE)
+               - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / n.n) / n.n,
+               6) AS cov
+      FROM cells c
+      JOIN sums si ON c.i = si.i
+      JOIN sums sj ON c.j = sj.i, n""",
+
+    "q287_label_centroids" -> """
+      WITH q AS (
+        SELECT label,
+               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                 AS q
+        FROM embeddings)
+      SELECT label, g.i, count(*) AS n,
+             CAST(sum(q.q[g.i]) AS BIGINT) AS s,
+             round(CAST(sum(q.q[g.i]) AS DOUBLE) / count(*), 6)
+               AS mean_milli
+      FROM q, UNNEST(generate_series(1, 64)) AS g(i)
+      GROUP BY 1, 2""",
+
+    "q288_embedding_outliers" -> """
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                 AS q
+        FROM embeddings),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+      m AS (
+        SELECT g.i, CAST(sum(q.q[g.i]) AS BIGINT) AS s,
+               (CAST(sum(q.q[g.i] * q.q[g.i]) AS DOUBLE)
+                 - CAST(sum(q.q[g.i]) AS DOUBLE)
+                   * CAST(sum(q.q[g.i]) AS DOUBLE) / nn.n) / nn.n
+                 AS variance
+        FROM q, UNNEST(generate_series(1, 64)) AS g(i), nn
+        GROUP BY g.i, nn.n),
+      z AS (
+        SELECT q.vec_id,
+               CAST(sum(CAST(round(1000000
+                 * (q.q[m.i] - CAST(m.s AS DOUBLE) / nn.n)
+                 * (q.q[m.i] - CAST(m.s AS DOUBLE) / nn.n)
+                 / m.variance) AS BIGINT)) AS BIGINT) AS score_micro
+        FROM q, m, nn
+        GROUP BY q.vec_id)
+      SELECT vec_id, score_micro, CAST(rnk AS INT) AS rnk FROM (
+        SELECT vec_id, score_micro,
+               row_number() OVER (ORDER BY score_micro DESC, vec_id) AS rnk
+        FROM z) x
+      WHERE rnk <= 20""",
 
     "q264_cluster_sample" -> s"""
       WITH asg AS ($q254OracleSql)
