@@ -266,10 +266,14 @@ object VectorOps {
           "struct(i AS i, j AS j, q[i] * q[j] AS p)))))").as("c"))
         .groupBy(col("c.i").as("i0"), col("c.j").as("j0"))
         .agg(sum(col("c.p")).as("gram"))
+      // 64-row first-moment table, materialized once (it feeds both the
+      // si and sj broadcast legs — unchecked, the corpus would be
+      // scanned a third time for the second leg)
       val sums = q.select(expr(
           "explode(transform(sequence(0, 63), i -> " +
           "struct(i AS i, q[i] AS v)))").as("c"))
         .groupBy(col("c.i").as("i0")).agg(sum(col("c.v")).as("s"))
+        .localCheckpoint()
       gram
         .join(broadcast(sums.select(col("i0"), col("s").as("si"))), "i0")
         .join(broadcast(sums.select(col("i0").as("j0"), col("s").as("sj"))),
