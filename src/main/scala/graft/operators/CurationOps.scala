@@ -156,6 +156,38 @@ object CurationOps {
              sum(col("n_chars")).as("total_chars"))
     }),
 
+    // Cross-source contamination matrix: exact word-trigram shingle
+    // overlap between every pair of corpus sources (the corpus-level
+    // view of the q167 doc-level decontamination — "how much does
+    // source A leak into source B"). Only 16-byte DIGESTS travel
+    // through the exchange and the self-join (the shingle text never
+    // shuffles, the q166 discipline); per-digest pair fan-out is
+    // bounded by #sources², not corpus size. Jaccard from the
+    // per-source distinct-shingle counts.
+    "q290_source_overlap" -> ((s, dir) => {
+      val sh = Tables.table(s, dir, "documents")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("source"), explode(array_distinct(expr(
+          "transform(sequence(0, size(toks) - 3), i -> " +
+          "md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")))
+          .as("d"))
+        .distinct()
+        .localCheckpoint()
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.d") === col("b.d") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).as("common"))
+      pairs
+        .join(broadcast(sizes.select(col("source").as("sa"),
+          col("n").as("n_a"))), "sa")
+        .join(broadcast(sizes.select(col("source").as("sb"),
+          col("n").as("n_b"))), "sb")
+        .withColumn("jaccard", round(col("common").cast("double")
+          / (col("n_a") + col("n_b") - col("common")), 6))
+    }),
+
     // Character-entropy quality signal: gibberish and boilerplate both
     // sit at entropy extremes. Letter distribution per doc → per-letter
     // milli-nat surprisal round(-ln(c/n)·1000) → length-weighted BIGINT
@@ -251,6 +283,27 @@ object CurationOps {
              min(doc_id) AS keeper, count(*) AS n,
              CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM documents GROUP BY 1""",
+
+    "q290_source_overlap" -> """
+      WITH toks AS (
+        SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT source,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+        WHERE len(t) >= 3),
+      sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      p AS (
+        SELECT a.source AS sa, b.source AS sb, count(*) AS common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT sa, sb, common, na.n AS n_a, nb.n AS n_b,
+             round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6)
+               AS jaccard
+      FROM p
+      JOIN sizes na ON sa = na.source
+      JOIN sizes nb ON sb = nb.source""",
 
     "q273_char_entropy" -> """
       WITH chars AS (

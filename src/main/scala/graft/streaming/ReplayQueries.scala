@@ -86,6 +86,10 @@ object ReplayQueries {
   final case class TjVer(v_user: Long, v_ts: java.sql.Timestamp,
                          v_id: Long, v_value: Double)
 
+  /** Typed event for the trigger/evictor gate (q289). */
+  final case class TrigEv(event_id: Long, event_type: String, ts_us: Long,
+                          cents: Long, ets: java.sql.Timestamp)
+
   /** Stage `df` as `n` parquet files under a fresh temp dir; return the
     * (input, output, checkpoint) directory triple. */
   private def stage(df: DataFrame, n: Int): (String, String, String) = {
@@ -791,6 +795,55 @@ object ReplayQueries {
       s.read.parquet(out).filter(col("p_user") >= 0)
     }),
 
+    // GlobalWindows + CountTrigger + CountEvictor + purge executed as a
+    // STREAM under the oracle gate (the reference's
+    // STREAM/api/windowing/triggers/{CountTrigger,PurgingTrigger}.java +
+    // evictors/CountEvictor.java over GlobalWindows): per event_type,
+    // every 5th arrival fires, the evictor trims the fired window to its
+    // LAST 3 elements, and the purge restarts the window — Flink's
+    // count-window-with-evictor idiom. Determinism: event timestamps
+    // are unique at µs precision in the fixture, stageOrdered slices by
+    // ts and the operator sorts each micro-batch by ts_us, so the
+    // arrival fold is the global event-time order whatever the slicing;
+    // no watermark is involved (arrival-driven firing), so the trailing
+    // partial window simply never fires — exactly the batch dual's
+    // complete-windows-only predicate.
+    "q289_stream_count_evictor" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+                Tables.tsMicros(col("ts")).as("ts_us"),
+                floor(col("value") * 100).cast("long").as("cents"),
+                col("ts").as("ets"))
+      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("event_id"), lit("zz_sentinel").as("event_type"),
+                lit(sentTs.getTime * 1000L).as("ts_us"),
+                lit(0L).as("cents"),
+                lit(sentTs).cast("timestamp").as("ets"))
+      val (in, out, ck) = stageOrdered(ev, "ets", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .as[TrigEv]
+        val fired = Triggers.window[String, TrigEv,
+                                    (String, Long, Long, Long, Long)](
+            src.groupByKey(_.event_type),
+            Triggers.CountTrigger(5), Triggers.CountEvictor[TrigEv](3),
+            purge = true, orderBy = _.ts_us) { (k, kept) =>
+          (k, kept.map(_.event_id).min, kept.map(_.event_id).max,
+           kept.map(_.cents).sum, kept.size.toLong)
+        }.toDF("event_type", "lo_id", "hi_id", "cents", "n")
+        val q = fired.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(out).filter(col("event_type") =!= "zz_sentinel")
+    }),
+
     // Event-time over-window executed as a STREAM: running MIN(value)
     // per user (ROWS UNBOUNDED PRECEDING) through the watermark-ordered
     // fold (`OverWindow.overAgg`, the RowTimeRowsUnboundedPrecedingFunction
@@ -1015,6 +1068,25 @@ object ReplayQueries {
              p.s/100.0 AS purchase_amt, CAST(p.c AS BIGINT) AS purchases,
              k.s/100.0 AS click_amt, CAST(k.c AS BIGINT) AS clicks
       FROM p FULL JOIN k ON p.user_id = k.user_id""",
+
+    // Complete windows of 5 per event_type in event-time order; the
+    // evictor keeps positions 2..4 (the last 3) of each window.
+    "q289_stream_count_evictor" -> """
+      WITH o AS (
+        SELECT event_type, event_id, floor(value * 100) AS cents_d,
+               row_number() OVER (PARTITION BY event_type ORDER BY ts)
+                 AS rn
+        FROM events),
+      w AS (
+        SELECT event_type, event_id, CAST(cents_d AS BIGINT) AS cents,
+               (rn - 1) // 5 AS wid, (rn - 1) % 5 AS p,
+               count(*) OVER (PARTITION BY event_type, (rn - 1) // 5)
+                 AS wn
+        FROM o)
+      SELECT event_type, min(event_id) AS lo_id, max(event_id) AS hi_id,
+             CAST(sum(cents) AS BIGINT) AS cents, count(*) AS n
+      FROM w WHERE wn = 5 AND p >= 2
+      GROUP BY event_type, wid""",
 
     // ms-precision as-of (the operator keys its state on epoch millis):
     // the version visible to a probe is the last view row with

@@ -103,6 +103,20 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q290 source-overlap matrix is symmetric-consistent and bounded") {
+    val rows = CurationOps.queries("q290_source_overlap")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (common, na, nb, j) =
+        (r.getAs[Long]("common"), r.getAs[Long]("n_a"),
+         r.getAs[Long]("n_b"), r.getAs[Double]("jaccard"))
+      assert(r.getAs[String]("sa") < r.getAs[String]("sb"))
+      assert(common <= math.min(na, nb))
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("q276 async lookup equals the broadcast-join dual") {
     val got = graft.operators.MoreOps
       .queries("q276_async_lookup")(spark, dir)

@@ -55,4 +55,30 @@ class StreamGateSpec extends AnyFunSuite {
     assert(got.filter(col("v_id").isNull).count() >= 0)
     assert(got.filter(col("v_id").isNotNull).count() > 0)
   }
+
+  test("q289 count-trigger/evictor stream equals the complete-window dual") {
+    val got = ReplayQueries.queries("q289_stream_count_evictor")(spark, dir)
+    Tables.registerAll(spark, dir)
+    val dual = spark.sql("""
+      WITH o AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY ts)
+                 AS rn
+        FROM events),
+      w AS (
+        SELECT event_type, event_id, cents,
+               (rn - 1) div 5 AS wid, (rn - 1) % 5 AS p,
+               count(*) OVER (PARTITION BY event_type, (rn - 1) div 5)
+                 AS wn
+        FROM o)
+      SELECT event_type, min(event_id) AS lo_id, max(event_id) AS hi_id,
+             sum(cents) AS cents, count(*) AS n
+      FROM w WHERE wn = 5 AND p >= 2
+      GROUP BY event_type, wid""")
+    assert(got.count() > 0 && got.count() == dual.count())
+    assert(got.except(dual).isEmpty && dual.except(got).isEmpty)
+    // every fired window was evictor-trimmed to exactly 3 elements
+    assert(got.filter(col("n") =!= 3).count() == 0)
+  }
 }
