@@ -64,8 +64,9 @@ object ScaleProbe {
       val x10 = time(q, root)
       f""""$q":{"base_sec":$base%.2f,"x10_sec":$x10%.2f,"ratio":${x10 / base}%.2f}"""
     }
-    val cap = spark.conf.getOption("spark.graft.shingleDfCap").getOrElse("500")
-    println(s"""{"sf_dir":"$sfDir","cap":$cap,${parts.mkString(",")}}""")
+    val shCap = spark.conf.getOption("spark.graft.shingleDfCap").getOrElse("500")
+    val tmCap = spark.conf.getOption("spark.graft.termDfCap").getOrElse("500")
+    println(s"""{"sf_dir":"$sfDir","shingle_cap":$shCap,"term_cap":$tmCap,${parts.mkString(",")}}""")
     spark.stop()
   }
 }

@@ -429,17 +429,22 @@ object GraphOps {
    * coefficient). One aggregate over the degree table.
    */
   def vertexMetrics(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("u").as("node"))
-      .union(edges.select(col("v").as("node")))
+    // explode both endpoints in ONE pass over the edge plan (a
+    // union-of-two-selects would execute the upstream edge join twice)
+    val deg = edges
+      .select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val nEdges = edges.count()
+    // n_edges = Σdeg / 2 (every undirected edge contributes 2 to the
+    // degree table) — derived inside the one aggregate, so the edge
+    // plan (an expensive join for q285's co-purchase graph) executes
+    // ONCE; a separate edges.count() would run it a second time.
     deg.agg(
         count(lit(1)).as("n_vertices"),
+        expr("CAST(sum(deg) div 2 AS BIGINT)").as("n_edges"),
         round(avg(col("deg")), 6).as("avg_degree"),
         max(col("deg")).as("max_degree"),
         sum(expr("(deg * (deg - 1)) div 2")).cast("long")
           .as("n_triplets"))
-      .withColumn("n_edges", lit(nEdges))
   }
 
   /**

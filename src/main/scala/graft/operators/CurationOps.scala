@@ -31,8 +31,16 @@ object CurationOps {
     * a quadratic hot key at scale (same rationale as TextOps q37's
     * shingle-DF cap). Terms with df = 1 are also pruned from the join —
     * they cannot contribute to any pair — which at web scale removes
-    * the long tail (typically >50% of the vocabulary). */
+    * the long tail (typically >50% of the vocabulary). Default for
+    * `spark.graft.termDfCap`; the oracle gate runs at this default (the
+    * oracle SQL interpolates it statically) — override the conf only
+    * when probing the cap (ScaleProbe). */
   private val termDfCap = 500
+
+  /** Runtime cap: `spark.graft.termDfCap` if set, else the default. */
+  private def termCap(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.termDfCap")
+      .map(_.toInt).getOrElse(termDfCap)
 
   /** Cosine threshold for reported pairs. The fixture corpus is
     * topically homogeneous (median all-pairs TF-IDF cosine ≈ 0.62), so
@@ -71,7 +79,7 @@ object CurationOps {
         .localCheckpoint()
       val norms = w.groupBy("doc_id")
         .agg(sum(col("w") * col("w")).as("norm2"))
-      val joinable = w.filter(col("df").between(2, termDfCap))
+      val joinable = w.filter(col("df").between(2, termCap(s)))
       val pairs = joinable.as("a")
         .join(joinable.as("b"),
           col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
@@ -124,6 +132,9 @@ object CurationOps {
     // on a SOURCES-sized table — at 100 TB this is a driver-trivial
     // broadcast decision table, exactly how mixture weights ship.
     "q280_mixture_temperature" -> ((s, dir) => {
+      // sources-sized table, materialized once: the totalW action below
+      // and the returned frame would otherwise each re-run the full
+      // corpus scan+tokenize (the q270 discipline)
       val bySource = Tables.table(s, dir, "documents")
         .select(col("source"),
           size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
@@ -131,6 +142,7 @@ object CurationOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_toks"))
         .withColumn("w_milli",
           round(sqrt(col("n_toks").cast("double")) * 1000).cast("long"))
+        .localCheckpoint()
       val totalW = bySource.agg(sum(col("w_milli"))).head().getLong(0)
       bySource
         .withColumn("alloc_toks",

@@ -140,8 +140,8 @@ object GraphQueries {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_custkey <= 200)"""
 
-  /** SQL dual of [[copurchaseEdges]] (shared by q283–q285; same text as
-    * inlined in q89/q92). */
+  /** SQL dual of [[copurchaseEdges]] — the single copy shared by every
+    * co-purchase-graph oracle (q89, q92, q283–q285). */
   private val coEdgesSql = """
       cs AS (
         SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
@@ -231,16 +231,8 @@ object GraphQueries {
         WHERE walk.d + e.w <= 60)
       SELECT node, min(d) AS dist FROM walk GROUP BY node""",
 
-    "q89_triangles" -> """
-      WITH cs AS (
-        SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        WHERE o_custkey <= 100),
-      e AS (
-        SELECT a.c AS u, b.c AS v
-        FROM cs a JOIN cs b ON a.sp = b.sp AND a.c < b.c
-        GROUP BY a.c, b.c
-        HAVING count(*) >= 10 AND (a.c + b.c) % 3 = 0),
+    "q89_triangles" -> s"""
+      WITH $coEdgesSql,
       tri AS (
         SELECT e1.u AS a, e1.v AS b, e2.v AS c
         FROM e e1
@@ -280,16 +272,8 @@ object GraphQueries {
              count(*) AS n_edges
       FROM edges0 GROUP BY 1, 2""",
 
-    "q92_clustering" -> """
-      WITH cs AS (
-        SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        WHERE o_custkey <= 100),
-      e AS (
-        SELECT a.c AS u, b.c AS v
-        FROM cs a JOIN cs b ON a.sp = b.sp AND a.c < b.c
-        GROUP BY a.c, b.c
-        HAVING count(*) >= 10 AND (a.c + b.c) % 3 = 0),
+    "q92_clustering" -> s"""
+      WITH $coEdgesSql,
       tri AS (
         SELECT e1.u AS a, e1.v AS b, e2.v AS c
         FROM e e1

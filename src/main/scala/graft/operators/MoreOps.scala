@@ -138,7 +138,10 @@ object MoreOps {
         parts(t).agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
           .select(lit(t).as("tag"), col("n"), col("cents"))
       }
-      legs.reduce(_.unionByName(_))
+      // a global agg emits one (0, null) row even for an EMPTY leg; the
+      // GROUP BY oracle emits no row for an absent group — drop empty
+      // legs so the shapes agree on any fixture
+      legs.reduce(_.unionByName(_)).filter(col("n") > 0)
     }),
 
     // Salted (skew-spread) join under the oracle gate (the reference's

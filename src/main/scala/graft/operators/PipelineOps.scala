@@ -70,6 +70,22 @@ object PipelineOps {
       .select(col("src"), col("dst"))
   }
 
+  /** Near-dup cluster membership shared by q129/q271 (the Scala dual of
+    * the shared oracle CTE `clusterCteSql`): exact-hash star edges ∪
+    * trigram-Jaccard pairs → min-label connected components →
+    * (doc_id, cluster). Only edge-touched docs appear. */
+  private def dupClusterComp(docs: DataFrame): DataFrame = {
+    // star edges inside each exact-duplicate hash group (min id ← doc)
+    val wH = Window.partitionBy(md5(col("text")))
+    val exactEdges = docs
+      .withColumn("src", min(col("doc_id")).over(wH))
+      .filter(col("src") =!= col("doc_id"))
+      .select(col("src"), col("doc_id").as("dst"))
+    val edges = jaccardEdges(docs).union(exactEdges)
+    graft.graph.GraphOps.connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("component").as("cluster"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Transitive near-duplicate CLUSTER resolution: pairwise candidates
     // (exact-hash groups ∪ trigram-Jaccard pairs) are only half the
@@ -77,16 +93,7 @@ object PipelineOps {
     // A~C was never scored. Edges → min-label connected components →
     // (doc, cluster representative, cluster size).
     "q129_dup_clusters" -> ((s, dir) => {
-      val docs = Tables.table(s, dir, "documents")
-      // star edges inside each exact-duplicate hash group (min id ← doc)
-      val wH = Window.partitionBy(md5(col("text")))
-      val exactEdges = docs
-        .withColumn("src", min(col("doc_id")).over(wH))
-        .filter(col("src") =!= col("doc_id"))
-        .select(col("src"), col("doc_id").as("dst"))
-      val edges = jaccardEdges(docs).union(exactEdges)
-      val comp = graft.graph.GraphOps.connectedComponents(edges)
-        .select(col("node").as("doc_id"), col("component").as("cluster"))
+      val comp = dupClusterComp(Tables.table(s, dir, "documents"))
       val wC = Window.partitionBy(col("cluster"))
       comp.withColumn("csize", count(lit(1)).over(wC))
     }),
@@ -490,14 +497,7 @@ object PipelineOps {
     // rank inside each cluster partition.
     "q271_canonical_docs" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
-      val wH = Window.partitionBy(md5(col("text")))
-      val exactEdges = docs
-        .withColumn("src", min(col("doc_id")).over(wH))
-        .filter(col("src") =!= col("doc_id"))
-        .select(col("src"), col("doc_id").as("dst"))
-      val edges = jaccardEdges(docs).union(exactEdges)
-      val comp = graft.graph.GraphOps.connectedComponents(edges)
-        .select(col("node").as("doc_id"), col("component").as("cluster"))
+      val comp = dupClusterComp(docs)
       val clustered = docs.select(col("doc_id"), col("n_chars"))
         .join(comp, Seq("doc_id"), "left")
         .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))

@@ -51,8 +51,9 @@ class StreamGateSpec extends AnyFunSuite {
       FROM j WHERE rn = 1""")
     assert(got.count() > 0 && got.count() == dual.count())
     assert(got.except(dual).isEmpty && dual.except(got).isEmpty)
-    // both matched and unmatched probes appear
-    assert(got.filter(col("v_id").isNull).count() >= 0)
+    // both matched and unmatched probes appear (the sf0.001 fixture has
+    // 16 purchases with no at-or-before view — verified in DuckDB)
+    assert(got.filter(col("v_id").isNull).count() > 0)
     assert(got.filter(col("v_id").isNotNull).count() > 0)
   }
 
