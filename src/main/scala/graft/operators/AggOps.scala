@@ -80,6 +80,35 @@ object AggOps {
           count(lit(1)).as("n"))
     }),
 
+    // Exact quantiles at scale — the 100 TB path q139's scaladoc defers
+    // to, made a first-class operator: when the value domain is bounded
+    // (here: prices quantize exactly to ≤50k distinct cents), the exact
+    // p-quantile needs NO per-group value buffer (percentile()'s
+    // full-sort state) — histogram per (group, cents), cumulative
+    // counts over the ≤|domain| histogram rows, and the type-1 quantile
+    // is the smallest value whose cumulative count reaches ceil(p·n).
+    // One narrow groupBy + one window over histogram rows, both
+    // partition-parallel; memory is |domain| per group, independent of
+    // row count. (hist_quantile is the approx sibling for unbounded
+    // domains.)
+    "q291_exact_quantiles_hist" -> ((s, dir) => {
+      val h = Tables.table(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h.withColumn("cum", sum(col("c")).over(w))
+      val tot = h.groupBy("event_type").agg(sum(col("c")).as("n"))
+      def q(p: String, name: String) =
+        min(when(col("cum") >= ceil(expr(s"$p * n")), col("cents"))).as(name)
+      cum.join(broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+             q("0.5", "p50_cents"), q("0.9", "p90_cents"),
+             q("0.99", "p99_cents"))
+    }),
+
     // Count window (reference CountSlidingWindowAssigner): ROWS frame of
     // the last 5 events per user.
     "q48_count_window" -> ((s, dir) => {
@@ -138,6 +167,29 @@ object AggOps {
       JOIN (VALUES (0, 'low'), (1, 'mid'), (2, 'high'), (3, 'top'), (4, 'max'))
            v(r_key, tier)
         ON r_regionkey = r_key""",
+
+    "q291_exact_quantiles_hist" -> """
+      WITH h AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+               count(*) AS c
+        FROM events GROUP BY 1, 2),
+      cum AS (
+        SELECT event_type, cents, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM h),
+      tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+              FROM h GROUP BY 1)
+      SELECT event_type, max(n) AS n,
+             min(CASE WHEN cum >= ceil(0.5 * n) THEN cents END)
+               AS p50_cents,
+             min(CASE WHEN cum >= ceil(0.9 * n) THEN cents END)
+               AS p90_cents,
+             min(CASE WHEN cum >= ceil(0.99 * n) THEN cents END)
+               AS p99_cents
+      FROM cum JOIN tot USING (event_type)
+      GROUP BY event_type""",
 
     "q48_count_window" -> """
       SELECT event_id,
