@@ -255,11 +255,15 @@ object VectorOps {
     // accumulation a 100 TB pass needs, written declaratively. Final
     // covariance = (Σxy − ΣxΣy/n)/n on exact BIGINTs.
     "q286_embedding_gram" -> ((s, dir) => {
-      val emb = Tables.table(s, dir, "embeddings")
-      val n = emb.count()
-      val q = emb.select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-          .as("q"))
+      // quantized corpus, materialized once: the count action, the
+      // first-moment pass and the pair-cell pass all read the
+      // checkpoint — the raw corpus is scanned exactly ONCE
+      val q = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("q"))
+        .localCheckpoint()
+      val n = q.count()
       val gram = q.select(expr(
           "explode(flatten(transform(sequence(0, 63), i -> " +
           "transform(sequence(i, 63), j -> " +

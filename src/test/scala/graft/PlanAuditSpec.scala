@@ -107,4 +107,48 @@ class PlanAuditSpec extends AnyFunSuite {
     parts.foreach(k => assert(!k.contains("concat_ws"),
       s"raw segment text in exchange key: $k"))
   }
+
+  test("q286: the gram pass partial-aggregates the exploded pairs " +
+    "BEFORE the exchange (per-partition Gram accumulation)") {
+    val p = SparkEntry.queries("q286_embedding_gram")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the generator's 2080-cells-per-row expansion must meet a partial
+    // HashAggregate on its own side of the shuffle
+    assert(p.contains("partial_sum"),
+      "pair cells must partially aggregate map-side")
+    // the corpus itself was checkpointed — no parquet re-scan per subtree
+    assert("Scan parquet".r.findAllIn(p).length == 0,
+      "post-checkpoint plan must not rescan the corpus")
+  }
+
+  test("q281: normalized dedup is one scan and one digest exchange") {
+    val p = SparkEntry.queries("q281_normalized_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+    val parts = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(parts.length == 1, s"expected one exchange, got $parts")
+    // the md5 grouping key is aliased to a _groupingexpression attribute
+    // pre-exchange; the property that matters is that no RAW text column
+    // travels as the partition key
+    assert(!parts.head.contains("text"),
+      s"raw text column in exchange key: ${parts.head}")
+  }
+
+  test("q290: the source-overlap self-join shuffles digests, never " +
+    "shingle text") {
+    val p = SparkEntry.queries("q290_source_overlap")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val parts = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(parts.nonEmpty)
+    parts.foreach(k => assert(!k.contains("concat_ws"),
+      s"raw shingle text in exchange key: $k"))
+  }
+
+  test("q288: outlier top-k is TakeOrderedAndProject, not a global " +
+    "window sort") {
+    val p = SparkEntry.queries("q288_embedding_outliers")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be a distributed partial top-k")
+  }
 }
