@@ -168,6 +168,39 @@ object CurationOps {
              sum(col("n_chars")).as("total_chars"))
     }),
 
+    // Paragraph-level global keep-first dedup WITH document rewrite —
+    // the C4-style step that actually REMOVES duplicated paragraphs
+    // (q166 detects segment dups; this emits the deduplicated corpus):
+    // explode paragraphs, keep each paragraph digest's globally first
+    // occurrence (min (doc_id, idx) — a partial-aggregated min(struct),
+    // NOT a per-digest window sort, so the universal boilerplate
+    // paragraphs that appear in millions of docs never force a skewed
+    // sort), reassemble each doc's surviving paragraphs in original
+    // order and fingerprint the rewrite. Scale: two digest exchanges +
+    // one per-doc collect of its own (bounded-size) paragraph list.
+    "q293_paragraph_rewrite" -> ((s, dir) => {
+      val paras = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("idx", "para")))
+        .withColumn("d", md5(col("para")))
+        .localCheckpoint()
+      val firsts = paras.groupBy("d")
+        .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+      val kept = paras.join(firsts, "d")
+        .filter(col("doc_id") === col("f.doc_id") &&
+                col("idx") === col("f.idx"))
+      val rebuilt = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws("\n", expr(
+            "transform(array_sort(collect_list(struct(idx, para))), " +
+            "x -> x.para)"))).as("new_digest"))
+      paras.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_paras"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          col("new_digest"))
+    }),
+
     // Cross-source contamination matrix: exact word-trigram shingle
     // overlap between every pair of corpus sources (the corpus-level
     // view of the q167 doc-level decontamination — "how much does
@@ -295,6 +328,27 @@ object CurationOps {
              min(doc_id) AS keeper, count(*) AS n,
              CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM documents GROUP BY 1""",
+
+    "q293_paragraph_rewrite" -> """
+      WITH p AS (
+        SELECT doc_id, g.i - 1 AS idx, parts[g.i] AS para
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+              FROM documents) t,
+             UNNEST(generate_series(1, len(parts))) AS g(i)),
+      r AS (
+        SELECT doc_id, idx, para,
+               row_number() OVER (PARTITION BY md5(para)
+                                  ORDER BY doc_id, idx) AS rk
+        FROM p),
+      k AS (SELECT doc_id, idx, para FROM r WHERE rk = 1),
+      reb AS (
+        SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(para, chr(10) ORDER BY idx)) AS new_digest
+        FROM k GROUP BY doc_id),
+      tot AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id)
+      SELECT t.doc_id, t.n_paras,
+             COALESCE(reb.n_kept, 0) AS n_kept, reb.new_digest
+      FROM tot t LEFT JOIN reb USING (doc_id)""",
 
     "q290_source_overlap" -> """
       WITH toks AS (

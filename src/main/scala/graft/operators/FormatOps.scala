@@ -83,10 +83,45 @@ object FormatOps {
                min(col("o_date")).as("first_date"))
           .withColumn("fmt", lit(fmt))
       }.reduce(_ unionByName _)
+    }),
+
+    // Schema evolution across writer generations (the reference's
+    // format-evolution concern — Avro reader/writer schema resolution,
+    // T-COMMON/formats; Spark's parquet mergeSchema is the analogue):
+    // generation 0 files lack the later-added `value` column; a
+    // mergeSchema read unifies the dataset, null-filling the old rows,
+    // and the aggregate must see exactly the union the oracle computes
+    // from the fixture. At 100 TB this is the daily reality of a
+    // long-lived dataset dir: schema drift across partitions must not
+    // need a rewrite; the unified read costs one footer merge.
+    "q292_schema_evolution" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+      val root = Files.createTempDirectory("graft_schemaevo").toString
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("event_id"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$root/gen0")
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(s"$root/gen1")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$root/gen0", s"$root/gen1")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             count(col("value")).as("n_with_value"),
+             sum(floor(col("value") * 100)).cast("long").as("cents"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q292_schema_evolution" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_with_value,
+             CAST(sum(CASE WHEN event_id % 2 = 1
+                           THEN floor(value * 100) END) AS BIGINT)
+               AS cents
+      FROM events GROUP BY event_type""",
+
     "q53_formats" -> s"""
       WITH base AS (
         SELECT o_orderstatus, count(*) AS n,
