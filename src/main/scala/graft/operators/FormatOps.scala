@@ -115,7 +115,8 @@ object FormatOps {
   val oracle: Map[String, String] = Map(
     "q292_schema_evolution" -> """
       SELECT event_type, count(*) AS n,
-             CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+             CAST(sum(CASE WHEN event_id % 2 = 1 AND value IS NOT NULL
+                           THEN 1 ELSE 0 END)
                AS BIGINT) AS n_with_value,
              CAST(sum(CASE WHEN event_id % 2 = 1
                            THEN floor(value * 100) END) AS BIGINT)

@@ -103,6 +103,14 @@ object MoreOps {
     // probe-ORDER emission. The async machinery must not change the
     // result set: the oracle is the plain inner-join dual (q58's
     // broadcast snapshot is the sync path; this gate is the async one).
+    // DIM-BOUNDED ASSUMPTION (mirrors IVF's O(K) driver collect): the
+    // `collect().toMap` below materializes the whole dictionary on the
+    // driver, which is only valid because a lookup TABLE is by contract
+    // a bounded dimension (the reference's lookup source is a cached
+    // external table, not a fact stream). At 100 TB the fact side
+    // streams through unchanged; only the dim must fit in one JVM — for
+    // a dim too big to broadcast, the co-partitioned changelog join
+    // (q245) is the correct shape instead, not a bigger lookup cache.
     "q276_async_lookup" -> ((s, dir) => {
       import s.implicits._
       val probe = Tables.table(s, dir, "events")

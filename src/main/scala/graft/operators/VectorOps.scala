@@ -331,6 +331,11 @@ object VectorOps {
           ((col("s2").cast("double") - col("s").cast("double")
             * col("s").cast("double") / lit(n.toDouble)) / lit(n.toDouble))
             .as("variance"))
+        // A constant (zero-variance) dimension would divide by zero
+        // below; ANSI Spark throws while DuckDB errors differently —
+        // drop such dimensions in the same subtree (mirrored in the
+        // oracle's WHERE m.variance > 0), like adamicAdar's deg >= 2.
+        .filter(col("variance") > lit(0.0d))
       val scored = q
         .select(col("vec_id"), expr(
           "explode(transform(sequence(0, 63), i -> " +
@@ -519,6 +524,7 @@ object VectorOps {
                  * (q.q[m.i] - CAST(m.s AS DOUBLE) / nn.n)
                  / m.variance) AS BIGINT)) AS BIGINT) AS score_micro
         FROM q, m, nn
+        WHERE m.variance > 0
         GROUP BY q.vec_id)
       SELECT vec_id, score_micro, CAST(rnk AS INT) AS rnk FROM (
         SELECT vec_id, score_micro,

@@ -831,7 +831,8 @@ object ReplayQueries {
                                     (String, Long, Long, Long, Long)](
             src.groupByKey(_.event_type),
             Triggers.CountTrigger(5), Triggers.CountEvictor[TrigEv](3),
-            purge = true, orderBy = _.ts_us) { (k, kept) =>
+            purge = true, orderBy = _.ts_us,
+            tieBreak = _.event_id) { (k, kept) =>
           (k, kept.map(_.event_id).min, kept.map(_.event_id).max,
            kept.map(_.cents).sum, kept.size.toLong)
         }.toDF("event_type", "lo_id", "hi_id", "cents", "n")
@@ -1074,7 +1075,8 @@ object ReplayQueries {
     "q289_stream_count_evictor" -> """
       WITH o AS (
         SELECT event_type, event_id, floor(value * 100) AS cents_d,
-               row_number() OVER (PARTITION BY event_type ORDER BY ts)
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id)
                  AS rn
         FROM events),
       w AS (

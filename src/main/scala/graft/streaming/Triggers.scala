@@ -101,7 +101,8 @@ object Triggers {
       trigger: Trigger[V],
       evictor: Evictor[V],
       purge: Boolean,
-      orderBy: V => Long)(
+      orderBy: V => Long,
+      tieBreak: V => Long = (_: V) => 0L)(
       aggregate: (K, Seq[V]) => O)(
       implicit ve: Encoder[V], se: Encoder[(Seq[V], Option[V])],
       oe: Encoder[O]): Dataset[O] =
@@ -111,7 +112,7 @@ object Triggers {
         var (buf, lastFired) =
           state.getOption.getOrElse((Seq.empty[V], Option.empty[V]))
         val out = mutable.ArrayBuffer.empty[O]
-        values.toSeq.sortBy(orderBy).foreach { v =>
+        values.toSeq.sortBy(v => (orderBy(v), tieBreak(v))).foreach { v =>
           buf = buf :+ v
           if (trigger.fires(buf, lastFired, v)) {
             out += aggregate(key, evictor.evict(buf))
