@@ -36,6 +36,49 @@ object Changelog {
   val UpdateBefore = "-U"
   val UpdateAfter = "+U"
   val Delete = "-D"
+  /** Internal pseudo-kind: refreshes a key's idle-state clock without
+    * touching its multisets (used by [[joinChangelogSharded]] to keep
+    * every shard of a key on the same TTL clock). Never emitted. */
+  val Touch = "~T"
+
+  /**
+   * Idle-state retention (the reference's
+   * `StreamQueryConfig#withIdleStateRetentionTime` /
+   * `table.exec.state.ttl`, cleanup timers in
+   * PLANNER-J/runtime/functions/KeyedProcessFunctionWithCleanupState.java):
+   * a key whose state has not been ACCESSED (read-or-written by a
+   * record) for `ms` of processing time is dropped, so never-retracted
+   * keys don't accumulate forever on unbounded streams. Two mechanisms
+   * give at-`ms` semantics under micro-batching:
+   *
+   *  - lazy expiry on access (always on): a record arriving for a key
+   *    idle past the TTL folds from FRESH state (the view a Flink
+   *    record gets after the cleanup timer fired) — wall-clock-exact,
+   *    because it compares the batch's processing time against the
+   *    key's recorded last access, and deterministic under replay;
+   *  - `reclaimTimers = true` additionally registers
+   *    `ProcessingTimeTimeout` callbacks that physically remove idle
+   *    keys' state (the reference's cleanup timer — the actual memory
+   *    reclamation for keys that never return). CAVEAT: with state
+   *    timeouts registered, Spark's micro-batch engine keeps scheduling
+   *    timeout-check batches, so the query never settles into the
+   *    no-new-data state and `StreamingQuery#processAllAvailable` would
+   *    block forever — use it only on continuously-triggered production
+   *    queries (pair with a paced `Trigger.ProcessingTime`), never in a
+   *    replay harness that synchronizes on processAllAvailable.
+   *
+   * Like the reference, expiry is SILENT — no -D retraction is emitted,
+   * so a downstream materialized view keeps the last emitted row (the
+   * documented staleness trade-off of idle-state retention). Flink's
+   * (min, max) retention pair is a timer-coalescing optimization, not a
+   * semantic: we honor the min bound exactly.
+   *
+   * In TTL mode, per-key emission sequence numbers are based on the
+   * batch's processing time (`max(prev, nowMs << 20) + i`), so `ord`
+   * stays strictly increasing across a retire-then-rearrive epoch even
+   * after the timeout callback dropped the counter.
+   */
+  final case class IdleStateTtl(ms: Long, reclaimTimers: Boolean = false)
 
   /**
    * Batch-materialize a changelog into its current table: per key, apply
@@ -87,10 +130,11 @@ object Changelog {
    */
   def aggregateChangelogMinMax[V](
       grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, V],
-      kind: V => String, value: V => Double, ord: V => Long)(
+      kind: V => String, value: V => Double, ord: V => Long,
+      ttl: Option[IdleStateTtl] = None)(
       implicit ve: Encoder[V]): Dataset[ExtremeChange] = {
     import org.apache.spark.sql.Encoders
-    implicit val se: Encoder[Map[Long, Double]] =
+    implicit val se: Encoder[(Map[Long, Double], Long)] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     implicit val oe: Encoder[ExtremeChange] = Encoders.product[ExtremeChange]
     def snap(key: Long, k: String, live: Map[Long, Double]): ExtremeChange = {
@@ -98,18 +142,30 @@ object Changelog {
       ExtremeChange(key, k, vs.min, vs.max,
         live(live.keys.min), live(live.keys.max), live.size.toLong)
     }
-    grouped.flatMapGroupsWithState[Map[Long, Double], ExtremeChange](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-      (key: Long, values: Iterator[V], state: GroupState[Map[Long, Double]]) =>
-        val live0 = state.getOption.getOrElse(Map.empty[Long, Double])
+    val timeoutConf = if (ttl.exists(_.reclaimTimers)) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    grouped.flatMapGroupsWithState[(Map[Long, Double], Long), ExtremeChange](
+        OutputMode.Append, timeoutConf) {
+      (key: Long, values: Iterator[V], state: GroupState[(Map[Long, Double], Long)]) =>
+       if (state.hasTimedOut) { state.remove(); Iterator.empty }
+       else {
+        val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+        val live0 = state.getOption
+          .filter { case (_, last) => ttl.forall(t => now - last <= t.ms) }
+          .map(_._1).getOrElse(Map.empty[Long, Double])
         var live = live0
         values.foreach { v =>
           kind(v) match {
             case Insert | UpdateAfter => live += (ord(v) -> value(v))
             case Delete | UpdateBefore => live -= ord(v)
+            case Touch => ()
           }
         }
-        if (live.isEmpty) state.remove() else state.update(live)
+        if (live.isEmpty) state.remove()
+        else {
+          state.update((live, now))
+          ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
+        }
         val before0 = if (live0.isEmpty) None else Some(snap(key, UpdateBefore, live0))
         val after0 = if (live.isEmpty) None else Some(snap(key, UpdateAfter, live))
         (before0, after0) match {
@@ -121,6 +177,7 @@ object Changelog {
             Iterator(b, b.copy(kind = Delete))
           case (None, None) => Iterator.empty
         }
+       }
     }
   }
 
@@ -195,14 +252,15 @@ object Changelog {
   def joinChangelog[L, R](
       left: Dataset[(Long, String, L)],
       right: Dataset[(Long, String, R)],
-      cond: (L, R) => Boolean = (_: L, _: R) => true)(
+      cond: (L, R) => Boolean = (_: L, _: R) => true,
+      ttl: Option[IdleStateTtl] = None)(
       implicit lt: scala.reflect.runtime.universe.TypeTag[L],
       rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[JoinChange[L, R]] = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     implicit val ue: Encoder[(Long, String, Option[L], Option[R])] =
       ExpressionEncoder()
     implicit val ke: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
-    implicit val se: Encoder[(Seq[(L, Long)], Seq[(R, Long)], Long, Long)] =
+    implicit val se: Encoder[(Seq[(L, Long)], Seq[(R, Long)], Long, Long, Long)] =
       ExpressionEncoder()
     implicit val oe: Encoder[JoinChange[L, R]] = ExpressionEncoder()
 
@@ -211,17 +269,25 @@ object Changelog {
       m.toSeq.sortBy(_._1.toString)
         .flatMap { case (p, c) => Seq.fill(c.toInt)(p) }
 
+    val timeoutConf = if (ttl.exists(_.reclaimTimers)) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
     val tagged =
       left.map { case (k, kind, l) => (k, kind, Option(l), Option.empty[R]) }
         .union(right.map { case (k, kind, r) =>
           (k, kind, Option.empty[L], Option(r)) })
     tagged.groupByKey(_._1)
-      .flatMapGroupsWithState[(Seq[(L, Long)], Seq[(R, Long)], Long, Long),
+      .flatMapGroupsWithState[(Seq[(L, Long)], Seq[(R, Long)], Long, Long, Long),
                               JoinChange[L, R]](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          OutputMode.Append, timeoutConf) {
         (key: Long, values: Iterator[(Long, String, Option[L], Option[R])],
-         state: GroupState[(Seq[(L, Long)], Seq[(R, Long)], Long, Long)]) =>
+         state: GroupState[(Seq[(L, Long)], Seq[(R, Long)], Long, Long, Long)]) =>
+         if (state.hasTimedOut) { state.remove(); Iterator.empty }
+         else {
+          val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+          // lazy expiry: a key idle past the TTL folds from fresh state
           val (l0, r0, n0, t0) = state.getOption
+            .filter { case (_, _, _, _, last) => ttl.forall(t => now - last <= t.ms) }
+            .map { case (l, r, n, t, _) => (l, r, n, t) }
             .getOrElse((Seq.empty[(L, Long)], Seq.empty[(R, Long)], 0L, 0L))
           val lm = scala.collection.mutable.Map[L, Long](l0: _*)
           val rm = scala.collection.mutable.Map[R, Long](r0: _*)
@@ -234,6 +300,7 @@ object Changelog {
             total += d
           }
           values.foreach { case (_, kind, lo, ro) =>
+            if (kind != Touch) {
             val acc = kind == Insert || kind == UpdateAfter
             lo.foreach { l =>
               if (acc) {
@@ -257,19 +324,26 @@ object Changelog {
                 if (cr == 1L) rm -= r else rm(r) = cr - 1
               }
             }
+            }
           }
           val removed = expand(delta.collect {
             case (p, c) if c < 0 => p -> -c }.toMap)
           val added = expand(delta.filter(_._2 > 0).toMap)
-          var n = n0
+          // TTL mode: processing-time-based ord keeps the per-key log
+          // ordered across retire/expire epochs (see IdleStateTtl doc)
+          var n = if (ttl.isDefined) math.max(n0, now << 20) else n0
           def rows(ps: Seq[(L, R)], kind: String): Seq[JoinChange[L, R]] =
             ps.map { case (l, r) => n += 1; JoinChange(key, kind, l, r, n) }
           val out =
             rows(removed, if (total == 0L) Delete else UpdateBefore) ++
             rows(added, if (t0 == 0L) Insert else UpdateAfter)
           if (lm.isEmpty && rm.isEmpty) state.remove()
-          else state.update((lm.toSeq, rm.toSeq, n, total))
+          else {
+            state.update((lm.toSeq, rm.toSeq, n, total, now))
+            ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
+          }
           out.iterator
+         }
       }
   }
 
@@ -288,12 +362,21 @@ object Changelog {
    * per (key, shard) — the output is correct at the PAIR-MULTISET
    * level (fold it, aggregate it), not as a totally-ordered per-key
    * log for `materialize`. Keys must satisfy |key| < Long.Max/shards.
+   *
+   * With `ttl` set, every left record additionally fans a payload-free
+   * [[Touch]] to the key's OTHER shards (right records already
+   * replicate), so all shards of a key see the same access pattern and
+   * expire on the same TTL clock — the sharded join under TTL stays
+   * pair-multiset-equivalent to the unsharded one. Cost: ×shards tiny
+   * touch rows per left record, the same order as the right-side
+   * replication the operator already pays.
    */
   def joinChangelogSharded[L, R](
       left: Dataset[(Long, String, L)],
       right: Dataset[(Long, String, R)],
       shards: Int,
-      cond: (L, R) => Boolean = (_: L, _: R) => true)(
+      cond: (L, R) => Boolean = (_: L, _: R) => true,
+      ttl: Option[IdleStateTtl] = None)(
       implicit lt: scala.reflect.runtime.universe.TypeTag[L],
       rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[JoinChange[L, R]] = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
@@ -301,11 +384,18 @@ object Changelog {
     implicit val re: Encoder[(Long, String, R)] = ExpressionEncoder()
     implicit val je: Encoder[JoinChange[L, R]] = ExpressionEncoder()
     val s = shards.toLong
-    val lSharded = left.map { case (k, kind, l) =>
-      (k * s + math.floorMod(l.hashCode.toLong, s), kind, l) }
+    val lSharded =
+      if (ttl.isEmpty) left.map { case (k, kind, l) =>
+        (k * s + math.floorMod(l.hashCode.toLong, s), kind, l) }
+      else left.flatMap { case (k, kind, l) =>
+        val home = math.floorMod(l.hashCode.toLong, s)
+        (0L until s).map(i =>
+          (k * s + i, if (i == home) kind else Touch, l))
+      }
     val rSharded = right.flatMap { case (k, kind, r) =>
       (0L until s).map(i => (k * s + i, kind, r)) }
-    joinChangelog(lSharded, rSharded, cond).map(jc => jc.copy(key = jc.key / s))
+    joinChangelog(lSharded, rSharded, cond, ttl)
+      .map(jc => jc.copy(key = jc.key / s))
   }
 
   /** Which side(s) of an outer changelog join emit null-padded rows
@@ -353,14 +443,15 @@ object Changelog {
       left: Dataset[(Long, String, L)],
       right: Dataset[(Long, String, R)],
       side: OuterSide,
-      cond: (L, R) => Boolean = (_: L, _: R) => true)(
+      cond: (L, R) => Boolean = (_: L, _: R) => true,
+      ttl: Option[IdleStateTtl] = None)(
       implicit lt: scala.reflect.runtime.universe.TypeTag[L],
       rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[OuterJoinChange[L, R]] = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     implicit val ue: Encoder[(Long, String, Option[L], Option[R])] =
       ExpressionEncoder()
     implicit val ke: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
-    implicit val se: Encoder[(Seq[(L, Long, Long)], Seq[(R, Long, Long)], Long, Long)] =
+    implicit val se: Encoder[(Seq[(L, Long, Long)], Seq[(R, Long, Long)], Long, Long, Long)] =
       ExpressionEncoder()
     implicit val oe: Encoder[OuterJoinChange[L, R]] = ExpressionEncoder()
 
@@ -369,17 +460,25 @@ object Changelog {
       m.toSeq.sortBy(_._1.toString)
         .flatMap { case (p, c) => Seq.fill(c.toInt)(p) }
 
+    val timeoutConf = if (ttl.exists(_.reclaimTimers)) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
     val tagged =
       left.map { case (k, kind, l) => (k, kind, Option(l), Option.empty[R]) }
         .union(right.map { case (k, kind, r) =>
           (k, kind, Option.empty[L], Option(r)) })
     tagged.groupByKey(_._1)
-      .flatMapGroupsWithState[(Seq[(L, Long, Long)], Seq[(R, Long, Long)], Long, Long),
+      .flatMapGroupsWithState[(Seq[(L, Long, Long)], Seq[(R, Long, Long)], Long, Long, Long),
                               OuterJoinChange[L, R]](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          OutputMode.Append, timeoutConf) {
         (key: Long, values: Iterator[(Long, String, Option[L], Option[R])],
-         state: GroupState[(Seq[(L, Long, Long)], Seq[(R, Long, Long)], Long, Long)]) =>
+         state: GroupState[(Seq[(L, Long, Long)], Seq[(R, Long, Long)], Long, Long, Long)]) =>
+         if (state.hasTimedOut) { state.remove(); Iterator.empty }
+         else {
+          val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+          // lazy expiry: a key idle past the TTL folds from fresh state
           val (l0, r0, n0, t0) = state.getOption
+            .filter { case (_, _, _, _, last) => ttl.forall(t => now - last <= t.ms) }
+            .map { case (l, r, n, t, _) => (l, r, n, t) }
             .getOrElse((Seq.empty[(L, Long, Long)], Seq.empty[(R, Long, Long)], 0L, 0L))
           // payload → (live count, association count); assoc = number of
           // passing other-side record INSTANCES (the reference's
@@ -400,6 +499,7 @@ object Changelog {
           // mutation, safe for mutable.HashMap; no insert/remove happens
           // inside an iteration over the same map.
           values.foreach { case (_, kind, lo, ro) =>
+            if (kind != Touch) {
             val acc = kind == Insert || kind == UpdateAfter
             lo.foreach { l =>
               if (acc) {
@@ -462,11 +562,14 @@ object Changelog {
                 if (cr == 1L) rm -= r else rm(r) = (cr - 1L, ar)
               }
             }
+            }
           }
           val removed = expand(delta.collect {
             case (p, c) if c < 0 => p -> -c }.toMap)
           val added = expand(delta.filter(_._2 > 0).toMap)
-          var n = n0
+          // TTL mode: processing-time-based ord keeps the per-key log
+          // ordered across retire/expire epochs (see IdleStateTtl doc)
+          var n = if (ttl.isDefined) math.max(n0, now << 20) else n0
           def rows(ps: Seq[Pair], kind: String): Seq[OuterJoinChange[L, R]] =
             ps.map { case (l, r) =>
               n += 1; OuterJoinChange(key, kind, l, r, n)
@@ -475,42 +578,62 @@ object Changelog {
             rows(removed, if (total == 0L) Delete else UpdateBefore) ++
             rows(added, if (t0 == 0L) Insert else UpdateAfter)
           if (lm.isEmpty && rm.isEmpty) state.remove()
-          else state.update((
-            lm.toSeq.map { case (p, (c, a)) => (p, c, a) },
-            rm.toSeq.map { case (p, (c, a)) => (p, c, a) }, n, total))
+          else {
+            state.update((
+              lm.toSeq.map { case (p, (c, a)) => (p, c, a) },
+              rm.toSeq.map { case (p, (c, a)) => (p, c, a) }, n, total, now))
+            ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
+          }
           out.iterator
+         }
       }
   }
 
   def aggregateChangelog[V](
       grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, V],
-      kind: V => String, value: V => Double)(
+      kind: V => String, value: V => Double,
+      ttl: Option[IdleStateTtl] = None)(
       implicit ve: Encoder[V]): Dataset[AggChange] = {
     import org.apache.spark.sql.Encoders
-    implicit val se: Encoder[(Double, Long)] =
-      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    // state = (sum, count, lastAccessMs); lastAccess is 0/unused without TTL
+    implicit val se: Encoder[(Double, Long, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong, Encoders.scalaLong)
     implicit val oe: Encoder[AggChange] = Encoders.product[AggChange]
-    grouped.flatMapGroupsWithState[(Double, Long), AggChange](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-      (key: Long, values: Iterator[V], state: GroupState[(Double, Long)]) =>
-        val (s0, c0) = state.getOption.getOrElse((0.0, 0L))
-        var (s, c) = (s0, c0)
-        values.foreach { v =>
-          kind(v) match {
-            case Insert | UpdateAfter => s += value(v); c += 1
-            case Delete | UpdateBefore => s -= value(v); c -= 1
-          }
-        }
-        if (c == 0L) state.remove() else state.update((s, c))
-        if ((s, c) == (s0, c0)) Iterator.empty
+    val timeoutConf = if (ttl.exists(_.reclaimTimers)) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    grouped.flatMapGroupsWithState[(Double, Long, Long), AggChange](
+        OutputMode.Append, timeoutConf) {
+      (key: Long, values: Iterator[V], state: GroupState[(Double, Long, Long)]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
         else {
-          val before =
-            if (c0 == 0L) Iterator.empty
-            else Iterator(AggChange(key, UpdateBefore, s0, c0))
-          val after =
-            if (c == 0L) Iterator(AggChange(key, Delete, s0, c0))
-            else Iterator(AggChange(key, UpdateAfter, s, c))
-          before ++ after
+          val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+          // lazy expiry: a key idle past the TTL folds from fresh state
+          val (s0, c0) = state.getOption
+            .filter { case (_, _, last) => ttl.forall(t => now - last <= t.ms) }
+            .map { case (s, c, _) => (s, c) }.getOrElse((0.0, 0L))
+          var (s, c) = (s0, c0)
+          values.foreach { v =>
+            kind(v) match {
+              case Insert | UpdateAfter => s += value(v); c += 1
+              case Delete | UpdateBefore => s -= value(v); c -= 1
+              case Touch => ()
+            }
+          }
+          if (c == 0L) state.remove()
+          else {
+            state.update((s, c, now))
+            ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
+          }
+          if ((s, c) == (s0, c0)) Iterator.empty
+          else {
+            val before =
+              if (c0 == 0L) Iterator.empty
+              else Iterator(AggChange(key, UpdateBefore, s0, c0))
+            val after =
+              if (c == 0L) Iterator(AggChange(key, Delete, s0, c0))
+              else Iterator(AggChange(key, UpdateAfter, s, c))
+            before ++ after
+          }
         }
     }
   }

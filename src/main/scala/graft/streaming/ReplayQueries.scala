@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -845,6 +845,67 @@ object ReplayQueries {
       s.read.parquet(out).filter(col("event_type") =!= "zz_sentinel")
     }),
 
+    // Idle-state retention (TTL) under the oracle gate — the
+    // reference's `table.exec.state.ttl` /
+    // `StreamQueryConfig#withIdleStateRetentionTime` wired through the
+    // changelog aggregate (Changelog.IdleStateTtl): per-user purchase
+    // cents accumulate as an updating view; the replay then goes IDLE
+    // past the retention, so every key's state expires, and the second
+    // half of the stream re-accumulates from FRESH state. Expiry is
+    // silent (no -D), so the materialized view keeps each key's last
+    // emitted row — the reference's documented staleness trade-off.
+    // Deterministic by construction: phase 1 and phase 2 are each ONE
+    // micro-batch (single staged file), and the idle gap exceeds the
+    // TTL by a wide margin, so "phase-2 keys fold from fresh state" and
+    // "phase-1-only keys keep their stale row" hold under any timing.
+    // Oracle: per user, the phase-2-only aggregate when the user has
+    // phase-2 purchases, else the full (= phase-1) aggregate; the phase
+    // split is the event-time midpoint, identically computed in µs
+    // integer arithmetic on both engines.
+    "q294_stream_ttl_agg" -> ((s, dir) => {
+      import s.implicits._
+      val ttlMs = 1500L
+      val p = Tables.table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+                floor(col("value") * 100).cast("long").as("cents"),
+                Tables.tsMicros(col("ts")).as("tus"))
+      val (minUs, maxUs) = {
+        val r = p.agg(min(col("tus")), max(col("tus"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val splitUs = (minUs + maxUs) / 2
+      val root = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+      val (in, out, ck) = (s"$root/in", s"$root/out", s"$root/ck")
+      p.filter(col("tus") <= splitUs)
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(p.schema)
+          .option("maxFilesPerTrigger", 16).parquet(in)
+          .as[(Long, Long, Long)]
+        val agg = Changelog.aggregateChangelog[(Long, Long, Long)](
+          src.groupByKey(_._1), _ => Changelog.Insert, _._2.toDouble,
+          ttl = Some(Changelog.IdleStateTtl(ttlMs)))
+        val q = agg.writeStream
+          .option("checkpointLocation", ck)
+          .outputMode("append")
+          .foreachBatch { (batch: Dataset[Changelog.AggChange], bid: Long) =>
+            batch.withColumn("bid", lit(bid))
+              .write.mode("append").parquet(out)
+          }
+          .start()
+        q.processAllAvailable()
+        Thread.sleep(ttlMs + 1100L) // idle past the retention: state expires
+        p.filter(col("tus") > splitUs)
+          .coalesce(1).write.mode("append").parquet(in)
+        q.processAllAvailable(); q.stop()
+      }
+      Changelog.materialize(s.read.parquet(out), "key", "kind", "bid")
+        .select(col("key").as("user_id"),
+                col("sum").cast("long").as("cents"),
+                col("count").as("cnt"))
+    }),
+
     // Event-time over-window executed as a STREAM: running MIN(value)
     // per user (ROWS UNBOUNDED PRECEDING) through the watermark-ordered
     // fold (`OverWindow.overAgg`, the RowTimeRowsUnboundedPrecedingFunction
@@ -1069,6 +1130,26 @@ object ReplayQueries {
              p.s/100.0 AS purchase_amt, CAST(p.c AS BIGINT) AS purchases,
              k.s/100.0 AS click_amt, CAST(k.c AS BIGINT) AS clicks
       FROM p FULL JOIN k ON p.user_id = k.user_id""",
+
+    // Idle-state TTL: phase split at the event-time midpoint (µs
+    // integer arithmetic); users with phase-2 purchases re-accumulated
+    // from fresh state, phase-1-only users keep their stale last row.
+    "q294_stream_ttl_agg" -> """
+      WITH p AS (
+        SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        FROM events WHERE event_type = 'purchase'),
+      b AS (SELECT (min(tus) + max(tus)) // 2 AS split FROM p),
+      agg AS (
+        SELECT user_id,
+               sum(CASE WHEN tus > b.split THEN 1 ELSE 0 END) AS n2,
+               CAST(sum(cents) AS BIGINT) AS s_all, count(*) AS c_all,
+               CAST(sum(CASE WHEN tus > b.split THEN cents END) AS BIGINT) AS s2
+        FROM p, b GROUP BY user_id)
+      SELECT user_id,
+             CASE WHEN n2 > 0 THEN s2 ELSE s_all END AS cents,
+             CAST(CASE WHEN n2 > 0 THEN n2 ELSE c_all END AS BIGINT) AS cnt
+      FROM agg""",
 
     // Complete windows of 5 per event_type in event-time order; the
     // evictor keeps positions 2..4 (the last 3) of each window.

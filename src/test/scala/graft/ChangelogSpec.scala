@@ -622,6 +622,158 @@ class ChangelogSpec extends AnyFunSuite {
     }.toMap
     assert(mult.filter(_._2 != 0).toMap == expected)
   }
+
+  // ---------------------------------------------------------------- TTL
+
+  import graft.streaming.Changelog.IdleStateTtl
+
+  test("TTL aggregate: a key re-arriving within the retention continues its state") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    // generous TTL — the two batches run back-to-back, far under 1h
+    val out = Changelog.aggregateChangelog[CRow](
+      mem.toDS().groupByKey(_.key), _.kind, _.value,
+      ttl = Some(IdleStateTtl(3600L * 1000)))
+    val q = out.writeStream.format("memory").queryName("cl_ttl_cont")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(CRow(1, "+I", 5.0, 1)); q.processAllAvailable()
+      mem.addData(CRow(1, "+I", 7.0, 2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_ttl_cont")
+      .select("key", "kind", "sum", "count")
+      .as[(Long, String, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "+U", 5.0, 1L),
+      (1L, "-U", 5.0, 1L), (1L, "+U", 12.0, 2L))) // retraction pair: state lived
+  }
+
+  test("TTL aggregate: an expired key's re-arrival behaves as a fresh insert") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    val out = Changelog.aggregateChangelog[CRow](
+      mem.toDS().groupByKey(_.key), _.kind, _.value,
+      ttl = Some(IdleStateTtl(500L)))
+    val q = out.writeStream.format("memory").queryName("cl_ttl_fresh")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(CRow(1, "+I", 5.0, 1)); q.processAllAvailable()
+      Thread.sleep(1200L) // idle past the 500 ms retention — state expires
+      mem.addData(CRow(1, "+I", 7.0, 2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_ttl_fresh")
+      .select("key", "kind", "sum", "count")
+      .as[(Long, String, Double, Long)].collect().toSeq
+    // second arrival folds from FRESH state: +U 7 with count 1, and no
+    // -U retraction of the expired aggregate (silent expiry)
+    assert(got == Seq((1L, "+U", 5.0, 1L), (1L, "+U", 7.0, 1L)))
+  }
+
+  test("TTL reclaim timers physically remove state of keys that never return") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    val out = Changelog.aggregateChangelog[CRow](
+      mem.toDS().groupByKey(_.key), _.kind, _.value,
+      ttl = Some(IdleStateTtl(500L, reclaimTimers = true)))
+    // reclaimTimers mode: the engine self-schedules timeout batches, so
+    // never processAllAvailable — pace the trigger and poll the metrics
+    val q = out.writeStream.format("memory").queryName("cl_ttl_reclaim")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      mem.addData(CRow(1, "+I", 5.0, 1), CRow(2, "+I", 9.0, 2))
+      def stateRows: Option[Long] = q.recentProgress
+        .filter(_.stateOperators.nonEmpty).lastOption
+        .map(_.stateOperators.head.numRowsTotal)
+      val seeded = (1 to 150).exists { _ =>
+        Thread.sleep(200L); stateRows.contains(2L)
+      }
+      assert(seeded, s"state never reached 2 rows (saw $stateRows)")
+      // then go idle: timeout callbacks must reclaim both keys' state
+      val reclaimed = (1 to 150).exists { _ =>
+        Thread.sleep(200L); stateRows.contains(0L)
+      }
+      assert(reclaimed, s"idle state not reclaimed (saw $stateRows)")
+    } finally q.stop()
+  }
+
+  test("TTL join: an expired key's live sets are gone — re-arrival joins fresh") {
+    implicit val sc = spark.sqlContext
+    val lMem = MemoryStream[CRow]
+    val rMem = MemoryStream[CRow]
+    val out = Changelog.joinChangelog(
+      lMem.toDS().map(c => (c.key, c.kind, LSide(c.value))),
+      rMem.toDS().map(c => (c.key, c.kind, RSide(c.value))),
+      ttl = Some(IdleStateTtl(500L)))
+    val q = out.writeStream.format("memory").queryName("cl_ttl_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      lMem.addData(CRow(1, "+I", 5.0, 1))
+      rMem.addData(CRow(1, "+I", 100.0, 1))
+      q.processAllAvailable() // pair (5, 100) joins and emits
+      Thread.sleep(1200L)     // both sides' state for key 1 expires
+      lMem.addData(CRow(1, "+I", 6.0, 2))
+      q.processAllAvailable() // right side expired: 6 finds no match
+      rMem.addData(CRow(1, "+I", 200.0, 2))
+      q.processAllAvailable() // 200 joins the live 6 only, not the expired 5
+    } finally q.stop()
+    val pairs = spark.table("cl_ttl_join")
+      .selectExpr("kind", "left.v", "right.v")
+      .as[(String, Double, Double)].collect().toSeq.sortBy(_._2)
+    assert(pairs == Seq(("+I", 5.0, 100.0), ("+I", 6.0, 200.0)))
+  }
+
+  test("sharded TTL join: touches keep all shards of a key on one clock (sharded == unsharded)") {
+    implicit val sc = spark.sqlContext
+    val shards = 4
+    def home(v: Double): Long = math.floorMod(LSide(v).hashCode.toLong, shards.toLong)
+    // two left payloads that route to DIFFERENT shards of the key
+    val vA = 5.0
+    val vB = (1 to 100).map(_.toDouble).find(home(_) != home(vA)).get
+    val ttl = Some(IdleStateTtl(5000L))
+    def run(sharded: Boolean, name: String): Map[(Long, Double, Double), Int] = {
+      val lMem = MemoryStream[CRow]
+      val rMem = MemoryStream[CRow]
+      val l = lMem.toDS().map(c => (c.key, c.kind, LSide(c.value)))
+      val r = rMem.toDS().map(c => (c.key, c.kind, RSide(c.value)))
+      val out = if (sharded) Changelog.joinChangelogSharded(l, r, shards, ttl = ttl)
+                else Changelog.joinChangelog(l, r, ttl = ttl)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        // key 1: right lands once, then ONLY vA-shard left traffic keeps
+        // the key alive (back-to-back batches, far under the 5 s TTL);
+        // key 2 goes silent past the TTL and then returns.
+        rMem.addData(CRow(1, "+I", 100.0, 1), CRow(2, "+I", 50.0, 1))
+        lMem.addData(CRow(1, "+I", vA, 1), CRow(2, "+I", 1.0, 2))
+        q.processAllAvailable()
+        (2 to 4).foreach { i =>
+          lMem.addData(CRow(1, "+I", vA, i.toLong + 10)); q.processAllAvailable()
+        }
+        // probe: vB homes to a shard that saw NO left traffic — without
+        // touches its replicated right copy would have idled out
+        lMem.addData(CRow(1, "+I", vB, 20)); q.processAllAvailable()
+        Thread.sleep(7000L) // key 2 (and key 1) idle past the TTL
+        lMem.addData(CRow(2, "+I", 2.0, 30)); q.processAllAvailable()
+      } finally q.stop()
+      val m = scala.collection.mutable.Map
+        .empty[(Long, Double, Double), Int].withDefaultValue(0)
+      spark.table(name).selectExpr("key", "kind", "left.v", "right.v")
+        .as[(Long, String, Double, Double)].collect().foreach {
+          case (k, kind, lv, rv) =>
+            m((k, lv, rv)) += (if (kind == "+I" || kind == "+U") 1 else -1)
+        }
+      m.filter(_._2 != 0).toMap
+    }
+    val plain = run(sharded = false, "cl_ttlshard_plain")
+    val shard = run(sharded = true, "cl_ttlshard_4")
+    assert(shard == plain)
+    // the cross-shard probe joined (all shards shared the key's clock)...
+    assert(shard.getOrElse((1L, vB, 100.0), 0) > 0)
+    // ...and key 2's return found expired state on both variants
+    assert(shard.getOrElse((2L, 2.0, 50.0), 0) == 0)
+  }
 }
 
 case class LSide(v: Double)
