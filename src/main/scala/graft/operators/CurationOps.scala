@@ -97,30 +97,48 @@ object CurationOps {
     }),
 
     // Per-source frequency capping (the CommonCrawl-style "no domain
-    // may dominate the corpus" rule): keep the `sourceCap` highest-
-    // quality docs per source (quality = n_chars, tie-break doc_id asc)
-    // and report the per-source keep/drop budget. Because the DROPPED
-    // side is part of the report, every row must be ranked (no
-    // WindowGroupLimit top-k pruning applies); the cost is one
-    // per-source partition sort over (n_chars, doc_id) — the narrow
-    // two-column projection, not the documents themselves.
+    // may dominate the corpus" rule): keep the cap highest-quality docs
+    // per source (quality = n_chars, tie-break doc_id asc) and report
+    // the per-source keep/drop budget. NO per-doc rank: the report's
+    // columns are all functionals of the per-(source, n_chars)
+    // HISTOGRAM (the q291 bounded-domain move) — one narrow hash agg,
+    // then a window over HISTOGRAM rows (≤ distinct char-lengths per
+    // source, never the docs), so a single dominant source at 100 TB
+    // costs a domain-bounded sort, not a per-row partition sort. The
+    // doc_id tie-break only decides WHICH boundary docs are kept —
+    // boundary docs all share n_chars = cutoff, so every reported
+    // column is tie-invariant and the rank-based oracle matches
+    // exactly. The cap is a conf so a spec can force the drop branch.
     "q272_source_cap" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.table(s, dir, "documents")
-        .select(col("source"), col("doc_id"), col("n_chars"))
-      val ranked = docs.withColumn("rnk",
-        row_number().over(Window.partitionBy(col("source"))
-          .orderBy(col("n_chars").desc, col("doc_id"))))
-      ranked
-        .withColumn("kept", (col("rnk") <= sourceCap).cast("int"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-             sum(col("kept")).as("n_kept"),
-             sum(lit(1) - col("kept")).as("n_dropped"),
-             sum(when(col("rnk") <= sourceCap, col("n_chars"))
-               .otherwise(0)).as("kept_chars"),
-             min(when(col("rnk") <= sourceCap, col("n_chars")))
-               .as("min_kept_chars"))
+      val cap = s.conf.get("spark.graft.sourceCap", sourceCap.toString).toInt
+      val hist = Tables.table(s, dir, "documents")
+        .select(col("source"), col("n_chars"))
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+      // cum = # docs of the source with n_chars >= this row's value
+      val cum = hist.withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc)))
+      cum.groupBy("source")
+        .agg(sum(col("cnt")).as("n_docs"),
+             sum(col("n_chars").cast("long") * col("cnt")).as("all_chars"),
+             min(col("n_chars")).as("min_chars"),
+             // cutoff = n_chars of the rank-`cap` doc (null: under cap)
+             max(when(col("cum") >= cap, col("n_chars"))).as("cutoff"),
+             sum(when(col("cum") < cap,
+                      col("n_chars").cast("long") * col("cnt"))
+               .otherwise(lit(0L))).as("above_chars"),
+             sum(when(col("cum") < cap, col("cnt"))
+               .otherwise(lit(0L))).as("above_cnt"))
+        .select(col("source"), col("n_docs"),
+          least(col("n_docs"), lit(cap.toLong)).as("n_kept"),
+          (col("n_docs") - least(col("n_docs"), lit(cap.toLong)))
+            .as("n_dropped"),
+          when(col("cutoff").isNull, col("all_chars"))
+            .otherwise(col("above_chars")
+              + (lit(cap.toLong) - col("above_cnt"))
+                * col("cutoff").cast("long")).as("kept_chars"),
+          coalesce(col("cutoff"), col("min_chars")).as("min_kept_chars"))
     }),
 
     // Temperature-scaled mixture allocation (the multinomial-sampling

@@ -88,6 +88,28 @@ class CurationOpsSpec extends AnyFunSuite {
       r.getAs[Long]("n_docs")).toMap == direct)
   }
 
+  test("q272 with a binding cap: keep/drop accounting matches a local rank") {
+    val key = "spark.graft.sourceCap"
+    spark.conf.set(key, "5") // ~25 docs/source at this scale: drops bind
+    try {
+      val rows = CurationOps.queries("q272_source_cap")(spark, dir).collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"),
+           r.getAs[Long]("kept_chars"), r.getAs[Long]("min_kept_chars"))).toMap
+      // independent local recomputation of the rank-based definition
+      val docs = Tables.table(spark, dir, "documents")
+        .select("source", "doc_id", "n_chars").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val expected = docs.groupBy(_._1).map { case (src, ds) =>
+        val kept = ds.sortBy(d => (-d._3, d._2)).take(5)
+        src -> (kept.size.toLong, (ds.size - kept.size).toLong,
+                kept.map(_._3).sum, kept.map(_._3).min)
+      }
+      assert(rows == expected)
+      assert(rows.values.exists(_._2 > 0), "cap must actually drop docs")
+    } finally spark.conf.unset(key)
+  }
+
   test("q271 canonical docs: clusters partition the corpus exactly") {
     val rows = graft.operators.PipelineOps
       .queries("q271_canonical_docs")(spark, dir).collect()

@@ -144,6 +144,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"raw shingle text in exchange key: $k"))
   }
 
+  test("q272: the source-cap window runs over the (source, n_chars) " +
+    "histogram, never the per-doc input") {
+    val p = plan("q272_source_cap")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, "cumulative histogram window present")
+    // below the window sits the histogram aggregate keyed on n_chars —
+    // a dominant source costs a domain-bounded sort, not a per-row one
+    val histAgg = "HashAggregate\\(keys=\\[source[^\\]]*n_chars".r
+    val aggIdx = histAgg.findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    assert(aggIdx > winIdx,
+      s"histogram aggregate must feed the window (win=$winIdx agg=$aggIdx):\n$p")
+    assert("Window".r.findAllIn(p).length == 1, "exactly one window pass")
+  }
+
   test("q288: outlier top-k is TakeOrderedAndProject, not a global " +
     "window sort") {
     val p = SparkEntry.queries("q288_embedding_outliers")(spark, dir)
