@@ -121,10 +121,20 @@ object TemporalJoin {
           if (pending.isEmpty && kept.isEmpty) state.remove()
           else {
             state.update(TJState(pending, kept))
-            // earliest pending probe fires the next emission sweep; all
-            // pending probes have ts > wm so the timer is legal.
-            if (pending.nonEmpty)
-              state.setTimeoutTimestamp(pending.map(_._1).min)
+            // earliest pending probe fires the next emission sweep (all
+            // pending probes have ts > wm, so that timer is legal); and
+            // when more than one version is retained, a PRUNE timer at
+            // the earliest live version's instant reclaims an idle
+            // key's version tail once the watermark passes it — the
+            // reference prunes below-watermark state on watermark
+            // timers (TemporalRowTimeJoinOperator.java:72), not only
+            // when the key happens to receive another record.
+            val probeTimer = pending.map(_._1).minOption
+            val pruneTimer =
+              if (kept.size > 1) live.map(_._1).minOption.map(_ + 1L)
+              else None
+            (probeTimer.toList ++ pruneTimer.toList).minOption
+              .foreach(state.setTimeoutTimestamp)
           }
           out.iterator
       }

@@ -43,6 +43,44 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE skew-join splits a skewed partition at runtime (OptimizeSkewedJoin fires)") {
+    // Spark's built-in answer to the reference's skew handling
+    // (SplitAggregateRule / key-group spreading): the manual salted
+    // rewrite (q278 and the cases below) covers planned skew; this
+    // proves the RUNTIME re-plan also fires, so unplanned skew at
+    // 100 TB is split without any query change.
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // hot key 7 carries 80% of the rows (~6 MB of padded payload)
+      val pad = "x" * 400
+      val left = spark.range(0, 20000)
+        .select(when(col("id") % 5 =!= 0, lit(7L)).otherwise(col("id") % 100)
+                  .as("k"),
+                concat(lit(pad), col("id")).as("payload"))
+      val right = spark.range(0, 100).select(col("id").as("k"),
+        (col("id") * 10).as("v"))
+      val joined = left.join(right, "k")
+      // execute THIS DataFrame's query so its adaptive plan finalizes
+      // (count() would plan a separate query execution)
+      assert(joined.collect().length == 20000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals plain join on skewed data") {
     // hot key: 90% of probe rows share key 1
     val probe = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 1L, i))

@@ -101,4 +101,51 @@ class TemporalJoinSpec extends AnyFunSuite {
     // at or before 5s — the later-arriving v2@4.95s, not v1@1s
     assert(got.toSeq == Seq((100L, 11L)))
   }
+
+  test("version state is pruned below the watermark: retained rows measured, not assumed") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SEv]
+    val ds = mem.toDS()
+    val probes = ds.filter(_.event_type == "p")
+      .map(e => Probe(e.event_id, e.user_id, e.ts))
+    val vers = ds.filter(_.event_type == "v")
+      .map(e => Ver(e.user_id, e.ts, e.event_id, e.value))
+    val joined = TemporalJoin.streamAsOf[Probe, Ver](
+      probes, vers, _.p_user, _.v_user, _.p_ts, _.v_ts, _.v_id, "1 second")
+      .select(col("_1.p_id").as("p_id"), col("_2.v_id").as("v_id"))
+    val ck = java.nio.file.Files.createTempDirectory("tj_prune_ck").toString
+    val q = joined.writeStream.format("memory").queryName("s_asof_prune")
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append).start()
+    def ev(id: Long, tsMs: Long, user: Long, tpe: String) =
+      SEv(id, new Timestamp(tsMs), user, tpe, 0.0)
+    try {
+      // 10 versions for key 1 land inside one batch; key 2 is filler
+      // whose only job is to advance the watermark
+      mem.addData(((1 to 10).map(i =>
+        ev(i.toLong, i * 1000L, 1, "v")) :+ ev(900, 20000, 2, "v")): _*)
+      q.processAllAvailable()
+      // wm = 19s: the next touch of key 1 prunes versions 1..9 (all
+      // below wm), keeping v10 as the current version plus the new one
+      mem.addData(ev(11, 70000, 1, "v"), ev(901, 80000, 2, "v"))
+      q.processAllAvailable()
+      // wm = 79s: key 1 receives NO data — the prune timer registered
+      // at v11's instant must fire on its own and shed the tail
+      mem.addData(ev(902, 120000, 2, "v"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // read the checkpoint's state store: the empirical retained rows
+    val st = spark.read.format("statestore").load(ck)
+    val byKey = st.selectExpr("key.value AS k",
+        "size(value.groupState.probes) AS n_probes",
+        "size(value.groupState.versions) AS n_versions")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // 11 versions entered for key 1; only the current one (v11) survives
+    assert(byKey(1L) == (0, 1),
+      s"key 1 state not pruned to the single current version: $byKey")
+    // invariant for every key: one current version plus live versions
+    // still inside the watermark lag (key 2's last row IS above the
+    // final watermark, so it legitimately holds current + live = 2)
+    assert(byKey.values.forall(_._2 <= 2), s"unbounded version tail: $byKey")
+  }
 }
