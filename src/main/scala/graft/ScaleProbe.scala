@@ -33,17 +33,29 @@ object ScaleProbe {
       .getOrCreate()
     GraftSession.init(spark)
 
-    // Stage the synthetic 10x documents dir (only `documents` is needed).
+    // Stage the synthetic 10x documents dir, keeping every column the
+    // probed operators read (lang/source/n_chars pass through; only the
+    // text is copy-suffixed so cross-copy shingle overlap is zero).
     val root = Files.createTempDirectory("graft_scaleprobe").toString
     val docs = Tables.table(spark, sfDir, "documents")
     val copies = (0 until 10).map { i =>
       docs.select(
         (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
         concat_ws(" ", transform(split(trim(col("text")), "\\s+"),
-          t => concat(t, lit(s"_$i")))).as("text"))
+          t => concat(t, lit(s"_$i")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
     }
     copies.reduce(_ unionAll _).write.mode("overwrite")
       .parquet(s"$root/documents.parquet")
+    // 10x embeddings for the vector-moment probes (identical vectors:
+    // their operators are single-scan aggregates with no pair space to
+    // distort, so the copy only multiplies rows)
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    (0 until 10).map { i =>
+      emb.select((col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$root/embeddings.parquet")
 
     def time(q: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -52,11 +64,16 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Probes: the two document-pair operators whose 100x behavior rests
-    // on a DF-cap constant (q37's shingle cap; q270's term cap) — the
+    // Probes: every multi-second batch operator whose scaling-band
+    // ratio exceeded 3x, plus the two DF-cap pair operators — the
     // per-copy token suffixing preserves each cap's within-copy DF
     // structure while zeroing cross-copy overlap, so ideal is linear.
-    val probes = Seq("q37_ngram_jaccard", "q270_tfidf_pairs")
+    val probes = Seq(
+      "q37_ngram_jaccard", "q270_tfidf_pairs",
+      "q129_dup_clusters", "q271_canonical_docs",   // trigram edges + CC
+      "q247_substring_dedup",                       // winnowing spans
+      "q262_gopher_rules",                          // quality battery
+      "q286_embedding_gram", "q290_source_overlap") // moments / digests
     val parts = probes.map { q =>
       // Warm codegen/classloading on the small base before timing.
       time(q, sfDir)
