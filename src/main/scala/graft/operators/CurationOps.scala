@@ -273,6 +273,54 @@ object CurationOps {
              count(lit(1)).as("n_distinct"),
              sum(col("c") * col("mnat")).as("total_mnat"))
         .withColumn("h_mnat", expr("total_mnat div n_letters"))
+    }),
+
+    // Vocabulary coverage curve (the tokenizer-budget question every
+    // training run asks: how many vocabulary types cover X‰ of the
+    // corpus token mass?). Token counts → GLOBAL frequency-ordered
+    // cumulative mass via GlobalRank.withCumSum (range-partitioned — no
+    // single-task global window even over a 100 TB-derived vocabulary)
+    // → one scan answers all five thresholds. vocab_size at threshold t
+    // = #types with cum·1000 < t·total, plus one — rank itself is never
+    // materialized. Integer arithmetic end to end (cum ≤ total ≤ 1e13
+    // tokens at 100 TB; ×1000 stays far under Long.Max).
+    "q295_vocab_coverage" -> ((s, dir) => {
+      val vocab = Tables.table(s, dir, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val cum = GlobalRank.withCumSum(vocab,
+          Seq(col("cnt").desc, col("tok")), col("cnt"), "cum")
+        .localCheckpoint() // one action below + the threshold pass
+      val total = cum.agg(max(col("cum"))).head().getLong(0)
+      val th = s.createDataFrame(
+          Seq(500L, 800L, 900L, 950L, 990L).map(Tuple1(_)))
+        .toDF("threshold_pm")
+      cum.crossJoin(broadcast(th)) // 5-row broadcast: BNLJ, no cartesian
+        .groupBy("threshold_pm")
+        .agg((sum(when(col("cum") * 1000 < col("threshold_pm") * total, 1L)
+                .otherwise(0L)) + 1L).cast("long").as("vocab_size"),
+             min(when(col("cum") * 1000 >= col("threshold_pm") * total,
+                 col("cum"))).as("covered"))
+        .withColumn("total_toks", lit(total))
+    }),
+
+    // Zipf head report: the 20 most frequent token types with their
+    // global rank and parts-per-million corpus share — the "what is the
+    // head made of" diagnostic read next to q295's curve. Top-20 via
+    // orderBy+limit = TakeOrderedAndProject (distributed partial
+    // top-k); the rank window then runs on 20 rows only (q288 pattern).
+    "q296_zipf_head" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vocab = Tables.table(s, dir, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // total action + top-k read the same agg
+      val total = vocab.agg(sum(col("cnt"))).head().getLong(0)
+      val top = vocab.orderBy(col("cnt").desc, col("tok")).limit(20)
+      val w = Window.orderBy(col("cnt").desc, col("tok"))
+      top.withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("freq_ppm", expr(s"(cnt * 1000000) div ${total}L"))
+        .select(col("tok"), col("cnt"), col("rnk"), col("freq_ppm"))
     })
   )
 
@@ -405,6 +453,37 @@ object CurationOps {
       SELECT doc_id, max(n) AS n_letters, count(*) AS n_distinct,
              CAST(sum(c * mnat) AS BIGINT) AS total_mnat,
              CAST(sum(c * mnat) AS BIGINT) // max(n) AS h_mnat
-      FROM m GROUP BY doc_id"""
+      FROM m GROUP BY doc_id""",
+
+    "q295_vocab_coverage" -> """
+      WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      v AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+      t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+      r AS (SELECT tok, cnt,
+              CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM v),
+      th(threshold_pm) AS (VALUES (500), (800), (900), (950), (990))
+      SELECT CAST(th.threshold_pm AS BIGINT) AS threshold_pm,
+             CAST(sum(CASE WHEN r.cum * 1000 < th.threshold_pm * t.total
+                           THEN 1 ELSE 0 END) + 1 AS BIGINT) AS vocab_size,
+             CAST(min(CASE WHEN r.cum * 1000 >= th.threshold_pm * t.total
+                           THEN r.cum END) AS BIGINT) AS covered,
+             CAST(max(t.total) AS BIGINT) AS total_toks
+      FROM th, r, t GROUP BY 1""",
+
+    "q296_zipf_head" -> """
+      WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      v AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+      t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+      x AS (SELECT tok, cnt,
+              row_number() OVER (ORDER BY cnt DESC, tok) AS rnk FROM v)
+      SELECT tok, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS BIGINT) AS rnk,
+             CAST((cnt * 1000000) // t.total AS BIGINT) AS freq_ppm
+      FROM x, t WHERE rnk <= 20"""
   )
 }

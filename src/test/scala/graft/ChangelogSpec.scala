@@ -698,6 +698,28 @@ class ChangelogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TTL minmax: an expired key's extremes restart from the re-arrival") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    val out = Changelog.aggregateChangelogMinMax[CRow](
+      mem.toDS().groupByKey(_.key), _.kind, _.value, _.ord,
+      ttl = Some(IdleStateTtl(500L)))
+    val q = out.writeStream.format("memory").queryName("cl_ttl_minmax")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(CRow(1, "+I", 5.0, 1), CRow(1, "+I", 9.0, 2))
+      q.processAllAvailable()
+      Thread.sleep(1200L) // past the retention: the live set expires
+      mem.addData(CRow(1, "+I", 7.0, 3)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_ttl_minmax")
+      .select("kind", "min", "max", "count")
+      .as[(String, Double, Double, Long)].collect().toSeq
+    // after expiry the extremes restart at 7 with count 1 — and no -U
+    // of the expired (5, 9) snapshot is emitted (silent expiry)
+    assert(got == Seq(("+U", 5.0, 9.0, 2L), ("+U", 7.0, 7.0, 1L)))
+  }
+
   test("TTL join: an expired key's live sets are gone — re-arrival joins fresh") {
     implicit val sc = spark.sqlContext
     val lMem = MemoryStream[CRow]

@@ -110,6 +110,33 @@ class CurationOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("q295/q296 vocabulary: coverage and head match a local tally") {
+    val texts = Tables.table(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val counts = texts.flatMap(_.trim.toLowerCase.split("\\s+"))
+      .groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+    val total = counts.values.sum
+    val ordered = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+    val cums = ordered.scanLeft(0L)(_ + _._2).tail
+
+    val cov = CurationOps.queries("q295_vocab_coverage")(spark, dir)
+      .collect().map(r => r.getAs[Long]("threshold_pm") ->
+        (r.getAs[Long]("vocab_size"), r.getAs[Long]("covered"),
+         r.getAs[Long]("total_toks"))).toMap
+    Seq(500L, 800L, 900L, 950L, 990L).foreach { t =>
+      val vs = cums.count(_ * 1000 < t * total) + 1
+      val covered = cums.find(_ * 1000 >= t * total).get
+      assert(cov(t) == (vs.toLong, covered, total), s"threshold $t")
+    }
+    val head = CurationOps.queries("q296_zipf_head")(spark, dir)
+      .collect().map(r => (r.getAs[String]("tok"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("rnk"), r.getAs[Long]("freq_ppm")))
+    assert(head.length == 20)
+    val expHead = ordered.take(20).zipWithIndex.map { case ((t, c), i) =>
+      (t, c, i + 1L, c * 1000000 / total) }
+    assert(head.sortBy(_._3).toSeq == expHead)
+  }
+
   test("q271 canonical docs: clusters partition the corpus exactly") {
     val rows = graft.operators.PipelineOps
       .queries("q271_canonical_docs")(spark, dir).collect()
