@@ -63,6 +63,38 @@ object RetrievalOps {
   /** q249 hashed-feature bucket count. */
   private val DsirB = 1024
 
+  /** The BM25 scorer shared by q248 (ranked retrieval) and q298 (the
+    * lexical leg of hybrid fusion): per-doc integer micro-point scores,
+    * pre-limit. One corpus pass; stats/df frames broadcast. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(s, dir, "documents")
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val hits = docs.select(col("doc_id"), col("dl"),
+        explode(expr(
+          "filter(toks, t -> t IN " +
+            Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")") + ")"))
+          .as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = hits.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    hits.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .withColumn("contrib_u",
+        round(col("idf") * (col("tf") * lit(Bm25K1 + 1.0))
+          / (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B)
+            + lit(Bm25B) * col("dl") / col("avgdl"))) * lit(1e6))
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_u")).as("score_u"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact substring-level dedup coverage (Lee et al. 2022): mark every
     // token position whose k-gram occurs more than once in the corpus
@@ -103,35 +135,56 @@ object RetrievalOps {
     // idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)). Each term's
     // contribution is quantized to integer micro-points so the per-doc
     // sum is order-independent; top 50 via TakeOrderedAndProject.
-    "q248_bm25" -> ((s, dir) => {
-      val docs = Tables.table(s, dir, "documents")
-        .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
-        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
-      val stats = docs.agg(count(lit(1)).as("n_docs"),
-        avg(col("dl")).as("avgdl"))
-      val hits = docs.select(col("doc_id"), col("dl"),
-          explode(expr(
-            "filter(toks, t -> t IN " +
-              Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")") + ")"))
-            .as("term"))
-        .groupBy(col("doc_id"), col("dl"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = hits.groupBy("term")
-        .agg(countDistinct(col("doc_id")).as("df"))
-      hits.join(broadcast(dfreq), "term")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
-            / (col("df") + lit(0.5))))
-        .withColumn("contrib_u",
-          round(col("idf") * (col("tf") * lit(Bm25K1 + 1.0))
-            / (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B)
-              + lit(Bm25B) * col("dl") / col("avgdl"))) * lit(1e6))
-            .cast("long"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_terms"), sum(col("contrib_u")).as("score_u"))
+    "q248_bm25" -> ((s, dir) =>
+      bm25Scored(s, dir)
         .orderBy(col("score_u").desc, col("doc_id").asc)
-        .limit(50)
+        .limit(50)),
+
+    // Reciprocal-rank fusion of the two retrieval legs every hybrid
+    // search stack runs (Cormack et al. 2009): BM25 lexical top-50
+    // (q248's scorer) fused with dense cosine top-50 against a fixed
+    // query embedding, rrf = Σ 1e6 div (60 + rank). All-integer fusion
+    // arithmetic; the cosine inputs are milli-quantized BIGINTs so both
+    // engines rank on bit-identical doubles. Each leg is a ≤50-row
+    // frame (TakeOrderedAndProject), so the fusion join and the final
+    // rank windows never touch more than 50 rows — corpus-size work is
+    // exactly one BM25 pass plus one embedding scan.
+    "q298_rrf_fusion" -> ((s, dir) => {
+      val lex = bm25Scored(s, dir)
+        .orderBy(col("score_u").desc, col("doc_id").asc).limit(50)
+        .withColumn("lex_rnk", row_number().over(
+          Window.orderBy(col("score_u").desc, col("doc_id").asc))
+          .cast("long"))
+        .select(col("doc_id"), col("lex_rnk"))
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("ev"))
+      // O(1) driver collect: the single query vector (vec_id 0)
+      val qv = emb.filter(col("vec_id") === 0)
+        .head().getSeq[Long](1)
+      val qvSql = qv.mkString("array(", "L, ", "L)")
+      val nq = qv.map(v => v * v).sum
+      val den = emb
+        .withColumn("num", expr(
+          s"aggregate(zip_with(ev, $qvSql, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        .withColumn("nv", expr(
+          "aggregate(ev, 0L, (acc, x) -> acc + x * x)"))
+        .withColumn("cos", col("num").cast("double")
+          / (sqrt(col("nv").cast("double")) * lit(math.sqrt(nq.toDouble))))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(50)
+        .withColumn("dense_rnk", row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+        .select(col("vec_id").as("doc_id"), col("dense_rnk"))
+      lex.join(den, Seq("doc_id"), "full")
+        .withColumn("rrf_u",
+          coalesce(expr("1000000 div (60 + lex_rnk)"), lit(0L))
+            + coalesce(expr("1000000 div (60 + dense_rnk)"), lit(0L)))
+        .orderBy(col("rrf_u").desc, col("doc_id").asc).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("rrf_u").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("lex_rnk"), col("dense_rnk"),
+                col("rrf_u"), col("rnk"))
     }),
 
     // DSIR-style importance weights: hashed word-bigram features
@@ -171,6 +224,38 @@ object RetrievalOps {
     })
   )
 
+  /** DuckDB dual of [[bm25Scored]] — shared by the q248 and q298
+    * oracles; ends at the per-doc `bm` aggregate (pre-limit). */
+  private val bm25CteSql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""d AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+               len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl
+        FROM documents),
+      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      hits AS (
+        SELECT doc_id, dl, tok AS term, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+        WHERE tok IN $terms
+        GROUP BY doc_id, dl, tok),
+      dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM hits GROUP BY term),
+      scored AS (
+        SELECT h.doc_id,
+               CAST(round(
+                 ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                 * (h.tf * ${Bm25K1 + 1.0})
+                 / (h.tf + $Bm25K1 * (${1.0 - Bm25B}
+                     + $Bm25B * h.dl / s.avgdl)) * 1e6) AS BIGINT)
+                 AS contrib_u
+        FROM hits h JOIN dfreq f ON h.term = f.term, stats s),
+      bm AS (
+        SELECT doc_id, count(*) AS n_terms,
+               CAST(sum(contrib_u) AS BIGINT) AS score_u
+        FROM scored GROUP BY doc_id)"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q247_substring_dedup" -> s"""
       WITH t AS (
@@ -197,37 +282,51 @@ object RetrievalOps {
                AS dup_frac
       FROM t JOIN cov ON t.doc_id = cov.doc_id""",
 
-    "q248_bm25" -> {
-      val terms = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
-      s"""
-      WITH d AS (
-        SELECT doc_id,
-               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
-               len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl
-        FROM documents),
-      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
-      hits AS (
-        SELECT doc_id, dl, tok AS term, count(*) AS tf
-        FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
-        WHERE tok IN $terms
-        GROUP BY doc_id, dl, tok),
-      dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
-                FROM hits GROUP BY term),
-      scored AS (
-        SELECT h.doc_id,
-               CAST(round(
-                 ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
-                 * (h.tf * ${Bm25K1 + 1.0})
-                 / (h.tf + $Bm25K1 * (${1.0 - Bm25B}
-                     + $Bm25B * h.dl / s.avgdl)) * 1e6) AS BIGINT)
-                 AS contrib_u
-        FROM hits h JOIN dfreq f ON h.term = f.term, stats s)
-      SELECT doc_id, count(*) AS n_terms,
-             CAST(sum(contrib_u) AS BIGINT) AS score_u
-      FROM scored GROUP BY doc_id
+    "q248_bm25" -> s"""
+      WITH $bm25CteSql
+      SELECT doc_id, n_terms, score_u FROM bm
       ORDER BY score_u DESC, doc_id ASC
-      LIMIT 50"""
-    },
+      LIMIT 50""",
+
+    "q298_rrf_fusion" -> s"""
+      WITH $bm25CteSql,
+      lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score_u DESC, doc_id) AS lex_rnk
+        FROM (SELECT doc_id, score_u FROM bm
+              ORDER BY score_u DESC, doc_id LIMIT 50)),
+      qv AS (
+        SELECT list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        FROM embeddings WHERE vec_id = 0),
+      ev AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+        FROM embeddings),
+      den0 AS (
+        SELECT ev.vec_id,
+               list_dot_product(ev.e, qv.q)
+                 / (sqrt(list_dot_product(ev.e, ev.e))
+                    * sqrt(list_dot_product(qv.q, qv.q))) AS cos
+        FROM ev, qv),
+      den AS (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY cos DESC, vec_id) AS dense_rnk
+        FROM (SELECT vec_id, cos FROM den0
+              ORDER BY cos DESC, vec_id LIMIT 50)),
+      f AS (
+        SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+               l.lex_rnk, d.dense_rnk,
+               coalesce(1000000 // (60 + l.lex_rnk), 0)
+                 + coalesce(1000000 // (60 + d.dense_rnk), 0) AS rrf_u
+        FROM lex l FULL JOIN den d ON l.doc_id = d.doc_id)
+      SELECT doc_id, CAST(lex_rnk AS BIGINT) AS lex_rnk,
+             CAST(dense_rnk AS BIGINT) AS dense_rnk,
+             CAST(rrf_u AS BIGINT) AS rrf_u, CAST(rnk AS BIGINT) AS rnk
+      FROM (SELECT f.*, row_number() OVER (ORDER BY rrf_u DESC, doc_id)
+                     AS rnk FROM f) x
+      WHERE rnk <= 20""",
 
     "q249_dsir_weights" -> s"""
       WITH t AS (

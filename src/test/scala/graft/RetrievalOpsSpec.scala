@@ -95,4 +95,28 @@ class RetrievalOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
     assert(w(true) > w(false))
   }
+
+  test("rrf fusion: scores recompute from the reported leg ranks, order total") {
+    val rows = graft.operators.RetrievalOps
+      .queries("q298_rrf_fusion")(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length == 20)
+    assert(rows.map(_._5).sorted.toSeq == (1L to 20L))
+    rows.foreach { case (id, lex, den, rrf, _) =>
+      val expect = lex.map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        den.map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(rrf == expect, s"doc $id rrf mismatch")
+      assert(lex.isDefined || den.isDefined)
+    }
+    // the fused order really is (rrf desc, doc_id asc)
+    val sorted = rows.sortBy { case (id, _, _, rrf, _) => (-rrf, id) }
+    assert(sorted.map(_._5).toSeq == (1L to 20L),
+      "fused ranking must order by (rrf desc, doc_id)")
+    // both legs contribute to the fused head (it is a real fusion, not
+    // one leg passing through)
+    assert(rows.exists(_._2.isDefined) && rows.exists(_._3.isDefined))
+  }
 }
