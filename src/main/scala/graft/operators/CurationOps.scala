@@ -304,6 +304,46 @@ object CurationOps {
         .withColumn("total_toks", lit(total))
     }),
 
+    // Incremental-ingest dedup (the production shape of exact dedup:
+    // new crawl snapshots arrive as DELTAS and must dedup against the
+    // already-ingested BASE without rereading it beyond its digest
+    // index): base = doc_id % 3 != 0, delta = the rest. A delta doc is
+    // dropped if its prefix fingerprint (md5 of the first 10
+    // normalized tokens — the title/lead-shingle near-exact catch:
+    // re-fetched pages share their head; the fixture has no full-text
+    // dups, so a full-text digest would leave both drop branches
+    // untested) exists in base (digest anti-join —
+    // digests only, text never shuffles), else deduped within the
+    // delta keeping min doc_id per digest via a partial-aggregated
+    // groupBy + join-back (NOT a per-digest window sort: a universal
+    // boilerplate digest would make that one partition's sort huge —
+    // the q293 discipline). Report = per-source ingest accounting.
+    "q297_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+                md5(concat_ws(" ",
+                  slice(split(trim(lower(col("text"))), "\\s+"), 1, 10)))
+                  .as("dig"))
+      val baseDigs = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select("dig").distinct().withColumn("in_base", lit(1))
+      val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val marked = delta.join(baseDigs, Seq("dig"), "left")
+      val keepers = marked.filter(col("in_base").isNull)
+        .groupBy("dig").agg(min(col("doc_id")).as("keep_id"))
+      marked.join(keepers, Seq("dig"), "left")
+        .withColumn("vs_base", col("in_base").isNotNull)
+        .withColumn("ingested",
+          col("in_base").isNull && col("doc_id") === col("keep_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_delta"),
+             sum(when(col("vs_base"), 1L).otherwise(0L)).as("n_vs_base"),
+             sum(when(!col("vs_base") && !col("ingested"), 1L)
+               .otherwise(0L)).as("n_within"),
+             sum(when(col("ingested"), 1L).otherwise(0L)).as("n_ingested"),
+             sum(when(col("ingested"), col("n_chars")).otherwise(0L))
+               .as("ingested_chars"))
+    }),
+
     // Zipf head report: the 20 most frequent token types with their
     // global rank and parts-per-million corpus share — the "what is the
     // head made of" diagnostic read next to q295's curve. Top-20 via
@@ -473,6 +513,34 @@ object CurationOps {
                            THEN r.cum END) AS BIGINT) AS covered,
              CAST(max(t.total) AS BIGINT) AS total_toks
       FROM th, r, t GROUP BY 1""",
+
+    "q297_incremental_dedup" -> """
+      WITH docs AS (
+        SELECT doc_id, source, n_chars,
+               md5(array_to_string(
+                 (regexp_split_to_array(trim(lower(text)), '\s+'))[1:10],
+                 ' ')) AS dig
+        FROM documents),
+      base AS (SELECT DISTINCT dig FROM docs WHERE doc_id % 3 != 0),
+      delta AS (SELECT * FROM docs WHERE doc_id % 3 = 0),
+      marked AS (
+        SELECT d.*, (b.dig IS NOT NULL) AS vs_base
+        FROM delta d LEFT JOIN base b ON d.dig = b.dig),
+      keepers AS (
+        SELECT dig, min(doc_id) AS keep_id FROM marked
+        WHERE NOT vs_base GROUP BY dig)
+      SELECT source, count(*) AS n_delta,
+             CAST(sum(CASE WHEN vs_base THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_vs_base,
+             CAST(sum(CASE WHEN NOT vs_base AND m.doc_id != k.keep_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+             CAST(sum(CASE WHEN NOT vs_base AND m.doc_id = k.keep_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_ingested,
+             CAST(sum(CASE WHEN NOT vs_base AND m.doc_id = k.keep_id
+                           THEN n_chars ELSE 0 END) AS BIGINT)
+               AS ingested_chars
+      FROM marked m LEFT JOIN keepers k ON m.dig = k.dig
+      GROUP BY source""",
 
     "q296_zipf_head" -> """
       WITH toks AS (

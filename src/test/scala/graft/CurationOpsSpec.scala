@@ -137,6 +137,37 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(head.sortBy(_._3).toSeq == expHead)
   }
 
+  test("q297 incremental dedup: accounting matches a local base/delta replay") {
+    val got = CurationOps.queries("q297_incremental_dedup")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_delta"), r.getAs[Long]("n_vs_base"),
+         r.getAs[Long]("n_within"), r.getAs[Long]("n_ingested"),
+         r.getAs[Long]("ingested_chars"))).toMap
+    val docs = Tables.table(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars", "text").collect()
+      .map { r =>
+        val dig = r.getString(3).trim.toLowerCase.split("\\s+")
+          .take(10).mkString(" ")
+        (r.getLong(0), r.getString(1), r.getLong(2), dig)
+      }
+    val base = docs.filter(_._1 % 3 != 0).map(_._4).toSet
+    val delta = docs.filter(_._1 % 3 == 0)
+    val keep = delta.filterNot(d => base(d._4))
+      .groupBy(_._4).map { case (_, ds) => ds.minBy(_._1) }.toSet
+    val expected = delta.groupBy(_._2).map { case (src, ds) =>
+      val vsBase = ds.count(d => base(d._4))
+      val ingested = ds.filter(keep)
+      src -> (ds.size.toLong, vsBase.toLong,
+        (ds.size - vsBase - ingested.size).toLong, ingested.size.toLong,
+        ingested.map(_._3).sum)
+    }
+    assert(got == expected)
+    assert(got.values.map(_._1).sum > 0)
+    // the fixture's shared prefixes make BOTH drop branches bind
+    assert(got.values.map(_._2).sum > 0, "vs-base drops must bind")
+    assert(got.values.map(_._3).sum > 0, "within-delta drops must bind")
+  }
+
   test("q271 canonical docs: clusters partition the corpus exactly") {
     val rows = graft.operators.PipelineOps
       .queries("q271_canonical_docs")(spark, dir).collect()
