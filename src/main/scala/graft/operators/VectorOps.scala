@@ -358,8 +358,117 @@ object VectorOps {
       top.withColumn("rnk", row_number().over(w))
         .select(col("vec_id"), col("score_micro"),
                 col("rnk").cast("int").as("rnk"))
+    }),
+
+    // PCA projection (the dimensionality-reduction pass under SemDeDup
+    // / clustering / visualization pipelines): covariance from the SAME
+    // exact integer moment sums as q286 (one corpus scan, partial-agg
+    // to ≤2080 cells), eigendecomposed ON THE DRIVER by cyclic Jacobi
+    // (a 64×64 symmetric solve — O(d³) driver work, the same O(K)
+    // driver-bound argument as IVF's centroid collect), top-8
+    // components broadcast back as literals, projections computed in
+    // one embarrassingly parallel scan via dot(x, v_j) − ⟨mean, v_j⟩
+    // (the mean-centering folds into a per-component constant).
+    // Deterministic: integer moment sums are partition-order-free, the
+    // Jacobi sweep order is fixed, and each eigenvector's sign is
+    // normalized (largest-|coordinate| positive). No SQL oracle — an
+    // eigensolve is not expressible in DuckDB SQL; the driver records
+    // the weaker rows-only check and PcaSpec verifies the algebra
+    // (orthonormality, eigen residual, explained-variance order)
+    // against local recomputation.
+    "q299_pca_project" -> ((s, dir) => {
+      val k = 8
+      val q = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("q"))
+        .localCheckpoint()
+      val (means, _, comps) = pcaModel(s, dir, k)
+      val consts = comps.map(v => v.zip(means).map { case (a, b) => a * b }.sum)
+      val projCols = (0 until k).map { j =>
+        val vSql = comps(j).mkString("array(", "D, ", "D)")
+        expr(s"CAST(round(aggregate(zip_with(q, $vSql, " +
+          s"(a, b) -> CAST(a AS DOUBLE) * b), 0D, (acc, x) -> acc + x) " +
+          s"- ${consts(j)}D) AS BIGINT)").as(s"p${j + 1}")
+      }
+      q.select(col("vec_id") +: projCols: _*)
     })
   )
+
+  /** Exact integer moment sums → covariance → top-`k` eigenpairs by
+    * cyclic Jacobi on the driver. Returns (means, eigenvalues desc,
+    * components), all in milli-units of the quantized corpus. Shared
+    * by q299 and PcaSpec (which checks the algebra independently). */
+  private[graft] def pcaModel(s: SparkSession, dir: String, k: Int)
+      : (Array[Double], Array[Double], Array[Array[Double]]) = {
+    val d = 64
+    val q = Tables.table(s, dir, "embeddings")
+      .select(expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("q"))
+      .localCheckpoint()
+    val n = q.count().toDouble
+    val cells = q.select(expr(
+        "explode(flatten(transform(sequence(0, 63), i -> " +
+        "transform(sequence(i, 63), j -> " +
+        "struct(i AS i, j AS j, q[i] * q[j] AS p)))))").as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(sum(col("c.p")).as("g"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val sums = q.select(expr(
+        "explode(transform(sequence(0, 63), i -> struct(i AS i, q[i] AS v)))")
+        .as("c"))
+      .groupBy(col("c.i").as("i")).agg(sum(col("c.v")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val means = Array.tabulate(d)(i => sums(i) / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val g = cells((math.min(i, j), math.max(i, j)))
+      g / n - means(i) * means(j)
+    }
+    // cyclic Jacobi: fixed sweep order → deterministic rotations
+    val a = cov.map(_.clone)
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm: Double = {
+      var s0 = 0.0
+      for (p <- 0 until d; r <- p + 1 until d) s0 += a(p)(r) * a(p)(r)
+      math.sqrt(s0)
+    }
+    var sweep = 0
+    while (sweep < 100 && offNorm > 1e-12) {
+      for (p <- 0 until d; r <- p + 1 until d if math.abs(a(p)(r)) > 1e-18) {
+        val theta = (a(r)(r) - a(p)(p)) / (2.0 * a(p)(r))
+        val t = math.signum(theta) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s0 = t * c
+        for (i <- 0 until d) {
+          val aip = a(i)(p); val air = a(i)(r)
+          a(i)(p) = c * aip - s0 * air
+          a(i)(r) = s0 * aip + c * air
+        }
+        for (i <- 0 until d) {
+          val api = a(p)(i); val ari = a(r)(i)
+          a(p)(i) = c * api - s0 * ari
+          a(r)(i) = s0 * api + c * ari
+        }
+        for (i <- 0 until d) {
+          val vip = v(i)(p); val vir = v(i)(r)
+          v(i)(p) = c * vip - s0 * vir
+          v(i)(r) = s0 * vip + c * vir
+        }
+      }
+      sweep += 1
+    }
+    val pairs = (0 until d).map(j => (a(j)(j), j))
+      .sortBy { case (ev, j) => (-ev, j) }.take(k)
+    val comps = pairs.map { case (_, j) =>
+      val vec = Array.tabulate(d)(i => v(i)(j))
+      // deterministic sign: largest-|coordinate| (first on tie) positive
+      val m = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      if (vec(m) < 0) vec.map(-_) else vec
+    }.toArray
+    (means, pairs.map(_._1).toArray, comps)
+  }
 
   private val q38OracleSql: String = """
       WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
