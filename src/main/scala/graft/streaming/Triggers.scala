@@ -84,6 +84,18 @@ object Triggers {
     }
   }
 
+  /** DeltaEvictor.java: evict every element whose delta against the
+    * window's NEWEST element reaches the threshold (the reference
+    * compares each buffered element to the last one and removes those
+    * with delta >= threshold). */
+  final case class DeltaEvictor[V](threshold: Double, delta: (V, V) => Double)
+      extends Evictor[V] {
+    def evict(window: Seq[V]): Seq[V] = {
+      val newest = window.last
+      window.filter(v => delta(v, newest) < threshold)
+    }
+  }
+
   /** No eviction (the default window content). */
   final case class KeepAll[V]() extends Evictor[V] {
     def evict(window: Seq[V]): Seq[V] = window

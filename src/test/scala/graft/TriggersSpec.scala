@@ -61,6 +61,22 @@ class TriggersSpec extends AnyFunSuite {
                             (1L, 11.0, 2L)))
   }
 
+  test("delta evictor removes elements too far from the newest at fire time") {
+    val evs = Seq((1L, 1000L, 1.0), (1L, 2000L, 8.0), (1L, 3000L, 9.0),
+                  (1L, 4000L, 10.0), (1L, 5000L, 2.0), (1L, 6000L, 3.0))
+    val got = stream(evs, "tr_delta_evict") { g =>
+      Triggers.window[Long, TEv, (Long, Double, Long)](
+        g, Triggers.CountTrigger(3),
+        Triggers.DeltaEvictor[TEv](3.0, (a, b) => math.abs(b.v - a.v)),
+        purge = true, orderBy = _.t) {
+        (k, w) => (k, w.map(_.v).sum, w.size.toLong)
+      }
+    }
+    // window [1,8,9]: newest 9, |9-1|=8 >= 3 evicts the 1 → sum 17, n 2
+    // window [10,2,3]: newest 3, |3-10|=7 >= 3 evicts the 10 → sum 5, n 2
+    assert(got.toSet == Set((1L, 17.0, 2L), (1L, 5.0, 2L)))
+  }
+
   test("delta trigger fires on value jumps past the threshold") {
     val evs = Seq((1L, 1000L, 1.0), (1L, 2000L, 2.0), (1L, 3000L, 9.0),
                   (1L, 4000L, 9.5), (1L, 5000L, 20.0))
