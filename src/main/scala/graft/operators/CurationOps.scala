@@ -304,6 +304,89 @@ object CurationOps {
         .withColumn("total_toks", lit(total))
     }),
 
+    // Population-stability-index drift detection (the data-quality gate
+    // between ingestion snapshots: has the VALUE DISTRIBUTION moved?):
+    // events split at the event-time midpoint; 10 equal-width cent
+    // bins anchored on the FIRST half's per-type range (the reference
+    // period defines the bins, the standard PSI protocol); +1-smoothed
+    // proportions; per-bin contribution (pB − pA)·ln(pB/pA) quantized
+    // to integer micro-nats BEFORE the sum. Absent bins materialize via
+    // a sequence explode so smoothing terms are complete. Two narrow
+    // aggregates + a types-sized broadcast — a 100 TB drift check costs
+    // one scan.
+    "q300_psi_drift" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_type"),
+                floor(col("value") * 100).cast("long").as("cents"),
+                Tables.tsMicros(col("ts")).as("tus"))
+      val (minUs, maxUs) = {
+        val r = ev.agg(min(col("tus")), max(col("tus"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val splitUs = (minUs + maxUs) / 2
+      val halved = ev.withColumn("in_a", col("tus") <= splitUs)
+      val bounds = halved.filter(col("in_a"))
+        .groupBy("event_type")
+        .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      val binned = halved.join(broadcast(bounds), "event_type")
+        .withColumn("c2", least(col("hi"), greatest(col("lo"), col("cents"))))
+        .withColumn("bin", least(lit(9L),
+          expr("((c2 - lo) * 10) div (hi - lo + 1)")))
+        .groupBy("event_type", "bin")
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+             sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+      val allBins = bounds.select(col("event_type"),
+          explode(expr("sequence(0L, 9L)")).as("bin"))
+        .join(binned, Seq("event_type", "bin"), "left")
+        .na.fill(0L, Seq("ca", "cb"))
+      val totals = allBins.groupBy("event_type")
+        .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      allBins.join(broadcast(totals), "event_type")
+        .withColumn("pa", (col("ca") + 1).cast("double")
+          / (col("na") + 10).cast("double"))
+        .withColumn("pb", (col("cb") + 1).cast("double")
+          / (col("nb") + 10).cast("double"))
+        .withColumn("contrib_unat",
+          round((col("pb") - col("pa")) * log(col("pb") / col("pa"))
+            * lit(1e6)).cast("long"))
+        .groupBy("event_type")
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+             sum(col("contrib_unat")).as("psi_unat"))
+    }),
+
+    // Per-source unigram KL divergence vs the corpus (the "how unlike
+    // the rest is this domain" matrix mixture design reads): +1-smoothed
+    // source and corpus unigram models, KL clipped to the source's
+    // OBSERVED support (the standard report shape — the full-vocabulary
+    // tail has no closed form and at web scale would cross-join
+    // |vocab| × |sources|); per-token contribution p_s·ln(p_s/p_c)
+    // quantized to integer micro-nats before the per-source sum. One
+    // token scan; the corpus model joins back by token (digest-narrow).
+    "q301_source_divergence" -> ((s, dir) => {
+      val toks = Tables.table(s, dir, "documents")
+        .select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      val st = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+        .localCheckpoint() // feeds corpus model, totals AND the join
+      val ct = st.groupBy("tok").agg(sum(col("c_st")).as("c_t"))
+      val totals = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+      val v = ct.count()
+      val n = totals.agg(sum(col("n_s"))).head().getLong(0)
+      st.join(ct, "tok")
+        .join(broadcast(totals), "source")
+        .withColumn("p_s", (col("c_st") + 1).cast("double")
+          / (col("n_s") + lit(v)).cast("double"))
+        .withColumn("p_c", (col("c_t") + 1).cast("double")
+          / lit((n + v).toDouble))
+        .withColumn("contrib_unat",
+          round(col("p_s") * log(col("p_s") / col("p_c")) * lit(1e6))
+            .cast("long"))
+        .groupBy("source")
+        .agg(max(col("n_s")).as("n_toks"),
+             count(lit(1)).as("n_types"),
+             sum(col("contrib_unat")).as("kl_unat"))
+    }),
+
     // Incremental-ingest dedup (the production shape of exact dedup:
     // new crawl snapshots arrive as DELTAS and must dedup against the
     // already-ingested BASE without rereading it beyond its digest
@@ -513,6 +596,67 @@ object CurationOps {
                            THEN r.cum END) AS BIGINT) AS covered,
              CAST(max(t.total) AS BIGINT) AS total_toks
       FROM th, r, t GROUP BY 1""",
+
+    "q300_psi_drift" -> """
+      WITH ev AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        FROM events),
+      sp AS (SELECT (min(tus) + max(tus)) // 2 AS s FROM ev),
+      h AS (SELECT ev.*, ev.tus <= sp.s AS in_a FROM ev, sp),
+      bounds AS (SELECT event_type, min(cents) AS lo, max(cents) AS hi
+                 FROM h WHERE in_a GROUP BY 1),
+      binned AS (
+        SELECT h.event_type,
+               least(9, ((least(b.hi, greatest(b.lo, h.cents)) - b.lo) * 10)
+                        // (b.hi - b.lo + 1)) AS bin,
+               sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS cb
+        FROM h JOIN bounds b USING (event_type) GROUP BY 1, 2),
+      ab AS (
+        SELECT x.event_type, x.bin,
+               coalesce(bn.ca, 0) AS ca, coalesce(bn.cb, 0) AS cb
+        FROM (SELECT b.event_type, g.bin
+              FROM bounds b, UNNEST(generate_series(0, 9)) AS g(bin)) x
+        LEFT JOIN binned bn
+          ON bn.event_type = x.event_type AND bn.bin = x.bin),
+      tot AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+                     CAST(sum(cb) AS BIGINT) AS nb
+              FROM ab GROUP BY 1),
+      c AS (
+        SELECT ab.event_type, tot.na, tot.nb,
+               CAST(round((CAST(ab.cb + 1 AS DOUBLE) / (tot.nb + 10)
+                           - CAST(ab.ca + 1 AS DOUBLE) / (tot.na + 10))
+                 * ln((CAST(ab.cb + 1 AS DOUBLE) / (tot.nb + 10))
+                      / (CAST(ab.ca + 1 AS DOUBLE) / (tot.na + 10)))
+                 * 1e6) AS BIGINT) AS contrib
+        FROM ab JOIN tot USING (event_type))
+      SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+             CAST(sum(contrib) AS BIGINT) AS psi_unat
+      FROM c GROUP BY event_type""",
+
+    "q301_source_divergence" -> """
+      WITH toks AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      st AS (SELECT source, tok, count(*) AS c_st FROM toks GROUP BY 1, 2),
+      ct AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t
+             FROM st GROUP BY 1),
+      tot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+              FROM st GROUP BY 1),
+      vv AS (SELECT count(*) AS v FROM ct),
+      nn AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM tot),
+      c AS (
+        SELECT st.source, tot.n_s,
+               CAST(round((CAST(st.c_st + 1 AS DOUBLE) / (tot.n_s + vv.v))
+                 * ln((CAST(st.c_st + 1 AS DOUBLE) / (tot.n_s + vv.v))
+                      / (CAST(ct.c_t + 1 AS DOUBLE) / (nn.n + vv.v)))
+                 * 1e6) AS BIGINT) AS contrib
+        FROM st JOIN ct USING (tok) JOIN tot USING (source), vv, nn)
+      SELECT source, max(n_s) AS n_toks, count(*) AS n_types,
+             CAST(sum(contrib) AS BIGINT) AS kl_unat
+      FROM c GROUP BY source""",
 
     "q297_incremental_dedup" -> """
       WITH docs AS (

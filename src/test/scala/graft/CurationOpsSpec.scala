@@ -168,6 +168,57 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._3).sum > 0, "within-delta drops must bind")
   }
 
+  test("q300 PSI and q301 KL match local recomputations") {
+    // PSI: replay one event type's binning locally
+    val psi = CurationOps.queries("q300_psi_drift")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+         r.getAs[Long]("psi_unat"))).toMap
+    val evs = Tables.table(spark, dir, "events")
+      .selectExpr("event_type", "CAST(floor(value * 100) AS LONG) AS cents",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS tus").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val split = (evs.map(_._3).min + evs.map(_._3).max) / 2
+    val tpe = psi.keys.min
+    val rows = evs.filter(_._1 == tpe)
+    val a = rows.filter(_._3 <= split).map(_._2)
+    val b = rows.filter(_._3 > split).map(_._2)
+    val (lo, hi) = (a.min, a.max)
+    def bin(c: Long) = math.min(9L, ((math.min(hi, math.max(lo, c)) - lo) * 10)
+      / (hi - lo + 1))
+    val (na, nb) = (a.length.toLong, b.length.toLong)
+    val expPsi = (0L to 9L).map { k =>
+      val ca = a.count(bin(_) == k); val cb = b.count(bin(_) == k)
+      val pa = (ca + 1).toDouble / (na + 10)
+      val pb = (cb + 1).toDouble / (nb + 10)
+      math.round((pb - pa) * math.log(pb / pa) * 1e6)
+    }.sum
+    assert(psi(tpe) == (na, nb, expPsi))
+    assert(psi.values.exists(_._3 != 0L), "PSI must detect some drift")
+
+    // KL: replay one source's clipped divergence locally
+    val kl = CurationOps.queries("q301_source_divergence")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("n_types"),
+         r.getAs[Long]("kl_unat"))).toMap
+    val toks = Tables.table(spark, dir, "documents")
+      .select("source", "text").collect()
+      .flatMap(r => r.getString(1).trim.toLowerCase.split("\\s+")
+        .map(r.getString(0) -> _))
+    val corpus = toks.groupBy(_._2).map { case (t, v) => t -> v.size.toLong }
+    val (vCnt, nTot) = (corpus.size.toLong, toks.length.toLong)
+    val src = kl.keys.min
+    val mine = toks.filter(_._1 == src).groupBy(_._2)
+      .map { case (t, v) => t -> v.size.toLong }
+    val ns = mine.values.sum
+    val expKl = mine.map { case (t, c) =>
+      val ps = (c + 1).toDouble / (ns + vCnt)
+      val pc = (corpus(t) + 1).toDouble / (nTot + vCnt)
+      math.round(ps * math.log(ps / pc) * 1e6)
+    }.sum
+    assert(kl(src) == (ns, mine.size.toLong, expKl))
+  }
+
   test("q271 canonical docs: clusters partition the corpus exactly") {
     val rows = graft.operators.PipelineOps
       .queries("q271_canonical_docs")(spark, dir).collect()
