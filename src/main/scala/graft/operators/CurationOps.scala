@@ -402,15 +402,21 @@ object CurationOps {
     // boilerplate digest would make that one partition's sort huge —
     // the q293 discipline). Report = per-source ingest accounting.
     "q297_incremental_dedup" -> ((s, dir) => {
+      // narrow digest projection checkpointed ONCE: base digests, the
+      // delta mark join and the keeper join all read it — unchecked,
+      // the corpus text would be scanned and re-hashed four times
+      // (q270 discipline; the plan audit pins this)
       val docs = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"),
                 md5(concat_ws(" ",
                   slice(split(trim(lower(col("text"))), "\\s+"), 1, 10)))
                   .as("dig"))
+        .localCheckpoint()
       val baseDigs = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
         .select("dig").distinct().withColumn("in_base", lit(1))
       val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
       val marked = delta.join(baseDigs, Seq("dig"), "left")
+        .localCheckpoint() // read by keepers AND the final accounting
       val keepers = marked.filter(col("in_base").isNull)
         .groupBy("dig").agg(min(col("doc_id")).as("keep_id"))
       marked.join(keepers, Seq("dig"), "left")

@@ -158,6 +158,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(p).length == 1, "exactly one window pass")
   }
 
+  test("q295: the cumulative vocabulary mass has NO unpartitioned window " +
+    "(range-partitioned cum-sum, not a single-task global sort)") {
+    // q295's own checkpoint hides the cum-sum stage, so audit the
+    // operator it delegates to directly: GlobalRank.withCumSum must
+    // partition its window by the range-partition id — a bare
+    // Window.orderBy would collapse the vocab into one task at 100 TB
+    import org.apache.spark.sql.functions.col
+    val vocab = spark.range(0, 1000).selectExpr(
+      "CAST(id AS STRING) AS tok", "id % 37 + 1 AS cnt")
+    val cum = graft.operators.GlobalRank.withCumSum(
+      vocab, Seq(col("cnt").desc, col("tok")), col("cnt"), "cum")
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(cum.queryExecution.sparkPlan.toString)
+      .map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty, "cum-sum window present")
+    winSpecs.foreach(spec => assert(spec.contains("__pid"),
+      s"window not partitioned by the range-partition id: $spec"))
+  }
+
+  test("q296: the Zipf head is TakeOrderedAndProject over the vocab") {
+    val p = SparkEntry.queries("q296_zipf_head")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be a distributed partial top-k")
+  }
+
+  test("q297/q301: the corpus parquet is scanned once, at checkpoint " +
+    "time — the final plan reads only the narrow digest/token projection") {
+    Seq("q297_incremental_dedup", "q301_source_divergence").foreach { q =>
+      val p = plan(q)
+      val parquetScans = "Scan parquet".r.findAllIn(p).length
+      assert(parquetScans == 0,
+        s"$q re-reads the corpus ($parquetScans parquet scans):\n$p")
+      assert(p.contains("ExistingRDD"),
+        s"$q must read the checkpointed projection")
+    }
+  }
+
   test("q288: outlier top-k is TakeOrderedAndProject, not a global " +
     "window sort") {
     val p = SparkEntry.queries("q288_embedding_outliers")(spark, dir)
