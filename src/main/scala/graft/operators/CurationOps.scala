@@ -325,9 +325,16 @@ object CurationOps {
       }
       val splitUs = (minUs + maxUs) / 2
       val halved = ev.withColumn("in_a", col("tus") <= splitUs)
-      val bounds = halved.filter(col("in_a"))
-        .groupBy("event_type")
-        .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      // bins anchor on the REFERENCE half's range; a type with no
+      // reference rows (a brand-new event type — the loudest drift
+      // signal) falls back to its full range so it still gets a row
+      // (uniform smoothed pa vs its actual pb) instead of being
+      // silently dropped by the bounds join
+      val bounds = halved.groupBy("event_type")
+        .agg(coalesce(min(when(col("in_a"), col("cents"))),
+               min(col("cents"))).as("lo"),
+             coalesce(max(when(col("in_a"), col("cents"))),
+               max(col("cents"))).as("hi"))
       val binned = halved.join(broadcast(bounds), "event_type")
         .withColumn("c2", least(col("hi"), greatest(col("lo"), col("cents"))))
         .withColumn("bin", least(lit(9L),
@@ -610,8 +617,12 @@ object CurationOps {
         FROM events),
       sp AS (SELECT (min(tus) + max(tus)) // 2 AS s FROM ev),
       h AS (SELECT ev.*, ev.tus <= sp.s AS in_a FROM ev, sp),
-      bounds AS (SELECT event_type, min(cents) AS lo, max(cents) AS hi
-                 FROM h WHERE in_a GROUP BY 1),
+      bounds AS (SELECT event_type,
+                        coalesce(min(CASE WHEN in_a THEN cents END),
+                                 min(cents)) AS lo,
+                        coalesce(max(CASE WHEN in_a THEN cents END),
+                                 max(cents)) AS hi
+                 FROM h GROUP BY 1),
       binned AS (
         SELECT h.event_type,
                least(9, ((least(b.hi, greatest(b.lo, h.cents)) - b.lo) * 10)

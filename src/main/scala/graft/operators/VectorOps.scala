@@ -378,12 +378,10 @@ object VectorOps {
     // against local recomputation.
     "q299_pca_project" -> ((s, dir) => {
       val k = 8
-      val q = Tables.table(s, dir, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-            .as("q"))
-        .localCheckpoint()
-      val (means, _, comps) = pcaModel(s, dir, k)
+      // ONE corpus scan: the checkpointed quantized frame feeds the
+      // moment sums inside pcaModel AND the projection pass below
+      val q = quantizedEmbeddings(s, dir).localCheckpoint()
+      val (means, _, comps) = pcaModel(q, k)
       val consts = comps.map(v => v.zip(means).map { case (a, b) => a * b }.sum)
       val projCols = (0 until k).map { j =>
         val vSql = comps(j).mkString("array(", "D, ", "D)")
@@ -395,18 +393,23 @@ object VectorOps {
     })
   )
 
+  /** The milli-quantized embedding corpus (vec_id, q) — caller decides
+    * whether to checkpoint (q299 does, once, for all downstream reads). */
+  private[graft] def quantizedEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("q"))
+
   /** Exact integer moment sums → covariance → top-`k` eigenpairs by
-    * cyclic Jacobi on the driver. Returns (means, eigenvalues desc,
-    * components), all in milli-units of the quantized corpus. Shared
-    * by q299 and PcaSpec (which checks the algebra independently). */
-  private[graft] def pcaModel(s: SparkSession, dir: String, k: Int)
+    * cyclic Jacobi on the driver, over an already-materialized
+    * quantized frame (column `q`) so the corpus is scanned once.
+    * Returns (means, eigenvalues desc, components), all in milli-units.
+    * Shared by q299 and PcaSpec (which checks the algebra
+    * independently). */
+  private[graft] def pcaModel(q: DataFrame, k: Int)
       : (Array[Double], Array[Double], Array[Array[Double]]) = {
     val d = 64
-    val q = Tables.table(s, dir, "embeddings")
-      .select(expr(
-        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-        .as("q"))
-      .localCheckpoint()
     val n = q.count().toDouble
     val cells = q.select(expr(
         "explode(flatten(transform(sequence(0, 63), i -> " +

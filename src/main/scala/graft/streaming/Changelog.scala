@@ -615,7 +615,13 @@ object Changelog {
           values.foreach { v =>
             kind(v) match {
               case Insert | UpdateAfter => s += value(v); c += 1
-              case Delete | UpdateBefore => s -= value(v); c -= 1
+              // count 0 ⇒ no live rows ⇒ the retract is stale (e.g. a
+              // late retraction of a row whose state the TTL already
+              // expired) — ignore it, like the reference's
+              // GroupAggFunction when the accumulator is absent and
+              // joinChangelog's absent-payload guard; applying it would
+              // persist a negative count that never self-heals.
+              case Delete | UpdateBefore => if (c > 0) { s -= value(v); c -= 1 }
               case Touch => ()
             }
           }

@@ -144,8 +144,14 @@ object ReplayQueries {
       df.queryExecution.logical.canonicalized.toString +
       sentinel.queryExecution.logical.canonicalized.toString
     val in = cachedIn(key) { in =>
+      // slice on (ts, every other column): equal-ts rows would otherwise
+      // land in nondeterministic slices, and maxFilesPerTrigger=1 makes
+      // each slice its own micro-batch — a per-batch tie-break sort in
+      // the operator cannot reorder ACROSS batches
+      val tieCols = df.columns.filterNot(_ == tsCol).sorted.map(col)
       val sliced = df.withColumn("__slice",
-        ntile(n).over(org.apache.spark.sql.expressions.Window.orderBy(col(tsCol))))
+        ntile(n).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col(tsCol) +: tieCols.toSeq: _*)))
         .localCheckpoint() // one global sort, not one per slice write
       for (i <- 1 to n) {
         sliced.filter(col("__slice") === i).drop("__slice")
@@ -202,8 +208,10 @@ object ReplayQueries {
       sentinel.queryExecution.logical.canonicalized.toString +
       late.queryExecution.logical.canonicalized.toString
     val in = cachedIn(key) { in =>
+      val tieCols = main.columns.filterNot(_ == tsCol).sorted.map(col)
       val sliced = main.withColumn("__slice",
-        ntile(n).over(org.apache.spark.sql.expressions.Window.orderBy(col(tsCol))))
+        ntile(n).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col(tsCol) +: tieCols.toSeq: _*)))
         .localCheckpoint()
       for (i <- 1 to n) {
         sliced.filter(col("__slice") === i).drop("__slice")

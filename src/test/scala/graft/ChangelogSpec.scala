@@ -698,6 +698,29 @@ class ChangelogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TTL aggregate: a late retraction of an expired row is stale — ignored") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    val out = Changelog.aggregateChangelog[CRow](
+      mem.toDS().groupByKey(_.key), _.kind, _.value,
+      ttl = Some(IdleStateTtl(500L)))
+    val q = out.writeStream.format("memory").queryName("cl_ttl_stale")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(CRow(1, "+I", 5.0, 1)); q.processAllAvailable()
+      Thread.sleep(1200L) // the 5.0 row's state expires
+      // late retraction of the expired row: must NOT fold into fresh
+      // state (negative count) — the reference ignores retracts when
+      // the accumulator is absent
+      mem.addData(CRow(1, "-D", 5.0, 2)); q.processAllAvailable()
+      mem.addData(CRow(1, "+I", 7.0, 3)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_ttl_stale")
+      .select("key", "kind", "sum", "count")
+      .as[(Long, String, Double, Long)].collect().toSeq
+    assert(got == Seq((1L, "+U", 5.0, 1L), (1L, "+U", 7.0, 1L)))
+  }
+
   test("TTL minmax: an expired key's extremes restart from the re-arrival") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]

@@ -19,7 +19,8 @@ class PcaSpec extends AnyFunSuite {
       .map(_.getSeq[Float](1).map(f =>
         math.round(f.toDouble * 1000).toDouble).toArray)
 
-  private lazy val model = graft.operators.VectorOps.pcaModel(spark, dir, 8)
+  private lazy val model = graft.operators.VectorOps.pcaModel(
+    graft.operators.VectorOps.quantizedEmbeddings(spark, dir), 8)
 
   test("components are orthonormal and satisfy the eigen equation") {
     val (means, evals, comps) = model
