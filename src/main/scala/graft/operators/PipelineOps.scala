@@ -98,6 +98,30 @@ object PipelineOps {
       comp.withColumn("csize", count(lit(1)).over(wC))
     }),
 
+    // Leakage-safe train/eval split: the split unit is the near-dup
+    // CLUSTER, not the document — a doc-level random split leaks
+    // near-duplicates of training docs into eval (the contamination
+    // mode q140/q167 detect after the fact; this op prevents it by
+    // construction, since split is a function of the cluster label).
+    // Deterministic multiplicative-hash bucketing on the cluster (the
+    // q59 auditable-sampling discipline): bucket < 100 → eval (10%).
+    // Scale: q129's cluster machinery + one hash — no extra shuffle
+    // beyond the membership join.
+    "q302_leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val comp = dupClusterComp(docs)
+      docs.select(col("doc_id"), col("n_chars"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+        .withColumn("split",
+          when(expr("(cluster * 2654435761) % 1000") < 100, "eval")
+            .otherwise("train"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("cluster")).as("n_clusters"),
+             sum(col("n_chars")).as("total_chars"))
+    }),
+
     // Deterministic stratified sampling: per-language keep rates applied
     // via a multiplicative hash of the key (Knuth 2654435761) — the
     // sample is reproducible run-over-run and auditable row-by-row,
@@ -567,6 +591,21 @@ object PipelineOps {
       SELECT doc_id, cluster,
              count(*) OVER (PARTITION BY cluster) AS csize
       FROM comp""",
+
+    "q302_leakage_safe_split" -> s"""$clusterCteSql,
+      clustered AS (
+        SELECT d.doc_id, d.n_chars,
+               COALESCE(c.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c USING (doc_id)),
+      sp AS (
+        SELECT doc_id, n_chars, cluster,
+               CASE WHEN (cluster * 2654435761) % 1000 < 100
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM clustered)
+      SELECT split, count(*) AS n_docs,
+             count(DISTINCT cluster) AS n_clusters,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM sp GROUP BY split""",
 
     "q271_canonical_docs" -> s"""$clusterCteSql,
       clustered AS (

@@ -80,6 +80,19 @@ object Changelog {
    */
   final case class IdleStateTtl(ms: Long, reclaimTimers: Boolean = false)
 
+  /** The CONFIG surface of idle-state retention — the reference exposes
+    * it as `table.exec.state.ttl` (a table config, not an API argument),
+    * so pipelines flip it cluster-wide without touching operator code.
+    * Reads `spark.graft.state.ttl.ms`; unset or ≤ 0 → no retention.
+    * `spark.graft.state.ttl.reclaimTimers=true` additionally enables
+    * timer reclamation (see the caveat above). */
+  def ttlFromConf(s: org.apache.spark.sql.SparkSession): Option[IdleStateTtl] =
+    s.conf.getOption("spark.graft.state.ttl.ms").map(_.toLong)
+      .filter(_ > 0)
+      .map(ms => IdleStateTtl(ms,
+        s.conf.getOption("spark.graft.state.ttl.reclaimTimers")
+          .exists(_.toBoolean)))
+
   /**
    * Batch-materialize a changelog into its current table: per key, apply
    * +I/+U/-D in `ord` order; the last surviving row wins, deleted keys

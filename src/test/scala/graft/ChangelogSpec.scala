@@ -698,6 +698,40 @@ class ChangelogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TTL via conf: spark.graft.state.ttl.ms drives retention like table.exec.state.ttl") {
+    implicit val sc = spark.sqlContext
+    assert(Changelog.ttlFromConf(spark).isEmpty)
+    spark.conf.set("spark.graft.state.ttl.ms", "0")
+    assert(Changelog.ttlFromConf(spark).isEmpty, "non-positive = disabled")
+    spark.conf.set("spark.graft.state.ttl.ms", "500")
+    try {
+      assert(Changelog.ttlFromConf(spark).contains(IdleStateTtl(500L)))
+      spark.conf.set("spark.graft.state.ttl.reclaimTimers", "true")
+      assert(Changelog.ttlFromConf(spark)
+        .contains(IdleStateTtl(500L, reclaimTimers = true)))
+      spark.conf.unset("spark.graft.state.ttl.reclaimTimers")
+      // the conf-driven TTL behaves like the explicit one: expiry
+      val mem = MemoryStream[CRow]
+      val out = Changelog.aggregateChangelog[CRow](
+        mem.toDS().groupByKey(_.key), _.kind, _.value,
+        ttl = Changelog.ttlFromConf(spark))
+      val q = out.writeStream.format("memory").queryName("cl_ttl_conf")
+        .outputMode(OutputMode.Append).start()
+      try {
+        mem.addData(CRow(1, "+I", 5.0, 1)); q.processAllAvailable()
+        Thread.sleep(1200L)
+        mem.addData(CRow(1, "+I", 7.0, 2)); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("cl_ttl_conf")
+        .select("kind", "sum", "count")
+        .as[(String, Double, Long)].collect().toSeq
+      assert(got == Seq(("+U", 5.0, 1L), ("+U", 7.0, 1L)))
+    } finally {
+      spark.conf.unset("spark.graft.state.ttl.ms")
+      spark.conf.unset("spark.graft.state.ttl.reclaimTimers")
+    }
+  }
+
   test("TTL aggregate: a late retraction of an expired row is stale — ignored") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]

@@ -234,6 +234,34 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q302 split: cluster-level assignment with zero near-dup leakage") {
+    val got = graft.operators.PipelineOps
+      .queries("q302_leakage_safe_split")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_clusters"), r.getAs[Long]("total_chars"))).toMap
+    val clusterOf = graft.operators.PipelineOps
+      .queries("q129_dup_clusters")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.table(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def split(c: Long) = if ((c * 2654435761L) % 1000 < 100) "eval" else "train"
+    val local = docs.map { case (id, nc) =>
+      val c = clusterOf.getOrElse(id, id); (split(c), c, nc)
+    }
+    val expected = local.groupBy(_._1).map { case (s, rows) =>
+      s -> (rows.size.toLong, rows.map(_._2).distinct.size.toLong,
+            rows.map(_._3).sum)
+    }
+    assert(got == expected)
+    assert(got.keySet == Set("train", "eval"), "both splits populated")
+    // zero leakage: every near-dup cluster lands wholly in one split
+    local.groupBy(_._2).values.foreach { members =>
+      assert(members.map(_._1).distinct.size == 1,
+        s"cluster split across train/eval: $members")
+    }
+  }
+
   test("q290 source-overlap matrix is symmetric-consistent and bounded") {
     val rows = CurationOps.queries("q290_source_overlap")(spark, dir)
       .collect()
