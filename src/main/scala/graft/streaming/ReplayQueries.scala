@@ -90,6 +90,10 @@ object ReplayQueries {
   final case class TrigEv(event_id: Long, event_type: String, ts_us: Long,
                           cents: Long, ets: java.sql.Timestamp)
 
+  /** Typed delta document for the streaming ingest-dedup gate (q303). */
+  final case class IngestDoc(doc_id: Long, source: String, n_chars: Long,
+                             dig: String)
+
   /** Stage `df` as `n` parquet files under a fresh temp dir; return the
     * (input, output, checkpoint) directory triple. */
   /**
@@ -287,6 +291,17 @@ object ReplayQueries {
       }
       s.read.parquet(out)
     }),
+
+    // STREAMING ingest dedup — q297's incremental-ingest shape run as a
+    // STREAM (the production deployment: deltas ARRIVE continuously):
+    // the delta replays in doc_id order, a stream-static LEFT ANTI join
+    // against the base snapshot's digest index drops already-ingested
+    // prefixes, and a keyed keep-first state admits each new digest's
+    // first arrival. Deterministic under any slicing: slices are
+    // doc_id-ordered and each micro-batch admits its per-digest
+    // min(doc_id), so the admitted doc is the GLOBAL min per digest —
+    // exactly the batch dual's keeper. Oracle = the batch keepers SQL.
+    "q303_stream_ingest_dedup" -> ((s, dir) => ingestDedupReplay(s, dir, 3)),
 
     // Interval join executed as a STREAM-STREAM join: purchases x
     // clicks within (p_ts - 10 min, p_ts) per user, inner — the full
@@ -1086,6 +1101,47 @@ object ReplayQueries {
       .select(col("event_type"), col("w_start"), col("n"), col("cents"))
   }
 
+  /** q303's pipeline with the slice count as a parameter, so the spec
+    * can assert the admitted set is IDENTICAL under different
+    * micro-batch boundaries (each batch admits its per-digest
+    * min(doc_id); slices are doc_id-ordered, so that min is global). */
+  def ingestDedupReplay(s: SparkSession, dir: String, nSlices: Int): DataFrame = {
+    import s.implicits._
+    val all = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              md5(concat_ws(" ",
+                slice(split(trim(lower(col("text"))), "\\s+"), 1, 10)))
+                .as("dig"))
+    val baseDigs = all.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select("dig").distinct().localCheckpoint()
+    val delta = all.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val sentinel = s.range(1).select(
+      lit(Long.MaxValue / 2).as("doc_id"), lit("zz_sentinel").as("source"),
+      lit(0L).as("n_chars"), lit("zz_no_such_digest").as("dig"))
+    val (in, out, ck) = stageOrdered(delta, "doc_id", nSlices, sentinel)
+    withStatePartitions(s, 8) {
+      val admitted = s.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .join(broadcast(baseDigs), Seq("dig"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("dig"))
+        .as[IngestDoc]
+        .groupByKey(_.dig)
+        .flatMapGroupsWithState[Boolean, IngestDoc](
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (_, vals, state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+            if (state.exists) Iterator.empty
+            else { state.update(true); Iterator(vals.minBy(_.doc_id)) }
+        }
+      val q = admitted.toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    s.read.parquet(out).filter(col("source") =!= "zz_sentinel")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   /** q245's pipeline with the replay split as parameters, so the spec
     * can assert the final state is IDENTICAL under different
     * micro-batch boundaries (the batch-boundary-independence claim the
@@ -1131,6 +1187,21 @@ object ReplayQueries {
 
     "q179_stream_dedup" -> """
       SELECT DISTINCT md5(text) AS digest FROM documents""",
+
+    "q303_stream_ingest_dedup" -> """
+      WITH docs AS (
+        SELECT doc_id, source, n_chars,
+               md5(array_to_string(
+                 (regexp_split_to_array(trim(lower(text)), '\s+'))[1:10],
+                 ' ')) AS dig
+        FROM documents),
+      base AS (SELECT DISTINCT dig FROM docs WHERE doc_id % 3 != 0),
+      fresh AS (
+        SELECT d.* FROM docs d LEFT JOIN base b ON d.dig = b.dig
+        WHERE d.doc_id % 3 = 0 AND b.dig IS NULL),
+      keepers AS (SELECT dig, min(doc_id) AS doc_id FROM fresh GROUP BY dig)
+      SELECT f.doc_id, f.source, f.n_chars
+      FROM fresh f JOIN keepers k ON f.dig = k.dig AND f.doc_id = k.doc_id""",
 
     "q180_stream_interval_join" -> """
       SELECT p.event_id AS p_id, c.event_id AS c_id

@@ -52,4 +52,19 @@ class ReplaySpec extends AnyFunSuite {
     assert(one == two && two == four,
       "per-row emissions must not depend on ts-slice boundaries")
   }
+
+  test("streaming ingest-dedup replay: 1 and 5 doc_id-slices admit the " +
+    "identical keeper set") {
+    // each micro-batch admits its per-digest min(doc_id) and slices are
+    // doc_id-ordered, so the admitted doc must be the GLOBAL min per
+    // digest regardless of slicing — the q303 determinism claim.
+    def run(n: Int): Set[(Long, String, Long)] =
+      ReplayQueries.ingestDedupReplay(spark, dir, nSlices = n)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+    val one = run(1)
+    val five = run(5)
+    assert(one.nonEmpty, "replay admitted rows")
+    assert(one == five, "admitted set must not depend on slice boundaries")
+  }
 }
