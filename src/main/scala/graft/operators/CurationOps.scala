@@ -51,6 +51,15 @@ object CurationOps {
   /** Per-source document budget for q272 (frequency capping). */
   private val sourceCap = 1000
 
+  /** Effective q272 cap: the SAME conf lookup the query performs, read at
+    * oracle-BUILD time (oracle is a `def`, re-evaluated when Verify dumps
+    * it), so a session that sets `spark.graft.sourceCap` gets an oracle
+    * baked with the same value the Spark plan used — they cannot diverge. */
+  private def sourceCapEff: Int =
+    SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.sourceCap"))
+      .map(_.toInt).getOrElse(sourceCap)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Sparse TF-IDF cosine similarity pairs via an inverted-index join:
     // never materializes dense vectors and never does all-pairs — the
@@ -455,12 +464,16 @@ object CurationOps {
       val top = vocab.orderBy(col("cnt").desc, col("tok")).limit(20)
       val w = Window.orderBy(col("cnt").desc, col("tok"))
       top.withColumn("rnk", row_number().over(w).cast("long"))
-        .withColumn("freq_ppm", expr(s"(cnt * 1000000) div ${total}L"))
+        // ppm through DECIMAL(38,0): cnt * 1e6 would overflow BIGINT for
+        // cnt > ~9.2e12 (inside q295's 1e13-token design ceiling); the
+        // widened multiply is exact and DIV returns BIGINT in both engines
+        .withColumn("freq_ppm", expr(
+          s"CAST((CAST(cnt AS DECIMAL(38,0)) * 1000000) div ${total}L AS BIGINT)"))
         .select(col("tok"), col("cnt"), col("rnk"), col("freq_ppm"))
     })
   )
 
-  val oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = Map(
     "q270_tfidf_pairs" -> s"""
       WITH toks AS (
         SELECT doc_id,
@@ -497,13 +510,13 @@ object CurationOps {
                                   ORDER BY n_chars DESC, doc_id) AS rnk
         FROM documents)
       SELECT source, count(*) AS n_docs,
-             CAST(sum(CASE WHEN rnk <= $sourceCap THEN 1 ELSE 0 END)
+             CAST(sum(CASE WHEN rnk <= $sourceCapEff THEN 1 ELSE 0 END)
                AS BIGINT) AS n_kept,
-             CAST(sum(CASE WHEN rnk <= $sourceCap THEN 0 ELSE 1 END)
+             CAST(sum(CASE WHEN rnk <= $sourceCapEff THEN 0 ELSE 1 END)
                AS BIGINT) AS n_dropped,
-             CAST(sum(CASE WHEN rnk <= $sourceCap THEN n_chars ELSE 0 END)
+             CAST(sum(CASE WHEN rnk <= $sourceCapEff THEN n_chars ELSE 0 END)
                AS BIGINT) AS kept_chars,
-             min(CASE WHEN rnk <= $sourceCap THEN n_chars END)
+             min(CASE WHEN rnk <= $sourceCapEff THEN n_chars END)
                AS min_kept_chars
       FROM ranked GROUP BY source""",
 
@@ -712,7 +725,8 @@ object CurationOps {
       x AS (SELECT tok, cnt,
               row_number() OVER (ORDER BY cnt DESC, tok) AS rnk FROM v)
       SELECT tok, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS BIGINT) AS rnk,
-             CAST((cnt * 1000000) // t.total AS BIGINT) AS freq_ppm
+             CAST((CAST(cnt AS HUGEINT) * 1000000) // t.total AS BIGINT)
+               AS freq_ppm
       FROM x, t WHERE rnk <= 20"""
   )
 }

@@ -113,8 +113,13 @@ object PipelineOps {
       docs.select(col("doc_id"), col("n_chars"))
         .join(comp, Seq("doc_id"), "left")
         .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+        // multiply widened through DECIMAL(38,0): cluster ids are doc_ids
+        // (unbounded Long), and BIGINT cluster*2654435761 overflows for
+        // ids >= ~3.47e9 (ANSI mode throws); the widened form is exact for
+        // the full Long domain and identical in the DuckDB oracle (HUGEINT)
         .withColumn("split",
-          when(expr("(cluster * 2654435761) % 1000") < 100, "eval")
+          when(expr("CAST((CAST(cluster AS DECIMAL(38,0)) * 2654435761)" +
+                    " % 1000 AS BIGINT)") < 100, "eval")
             .otherwise("train"))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
@@ -128,7 +133,10 @@ object PipelineOps {
     // which RNG-based sampleBy is not. Pure filter: no shuffle.
     "q59_stratified_sample" -> ((s, dir) => {
       Tables.table(s, dir, "documents")
-        .withColumn("bucket", expr("(doc_id * 2654435761) % 1000"))
+        // same DECIMAL(38,0) widening as q302: overflow-safe multiplicative
+        // hash over the full Long key domain, identical in the oracle
+        .withColumn("bucket", expr(
+          "CAST((CAST(doc_id AS DECIMAL(38,0)) * 2654435761) % 1000 AS BIGINT)"))
         .withColumn("rate", expr(
           "CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300 ELSE 100 END"))
         .filter(col("bucket") < col("rate"))
@@ -599,7 +607,7 @@ object PipelineOps {
         FROM documents d LEFT JOIN comp c USING (doc_id)),
       sp AS (
         SELECT doc_id, n_chars, cluster,
-               CASE WHEN (cluster * 2654435761) % 1000 < 100
+               CASE WHEN (CAST(cluster AS HUGEINT) * 2654435761) % 1000 < 100
                     THEN 'eval' ELSE 'train' END AS split
         FROM clustered)
       SELECT split, count(*) AS n_docs,
@@ -625,9 +633,11 @@ object PipelineOps {
       FROM r GROUP BY cluster""",
 
     "q59_stratified_sample" -> """
-      SELECT doc_id, lang, (doc_id * 2654435761) % 1000 AS bucket
+      SELECT doc_id, lang,
+             CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 1000 AS BIGINT)
+               AS bucket
       FROM documents
-      WHERE (doc_id * 2654435761) % 1000 <
+      WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 1000 <
             CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300 ELSE 100 END""",
 
     "q130_pii_redact" -> """

@@ -105,11 +105,29 @@ object ReplayQueries {
    * operator under test. Only the read-only `in` dir is cached; every
    * run still gets a FRESH out + checkpoint dir, so the streaming
    * query itself replays from scratch each time. Canonicalized plans
-   * normalize expression ids and embed source paths and literals
-   * (e.g. a sentinel's max-ts), so two different inputs can't collide.
+   * normalize expression ids and embed literals (e.g. a sentinel's
+   * max-ts) — but NOT file-source paths (HadoopFsRelation renders as
+   * just its format short name), so the key additionally appends the
+   * scan root paths via [[sourceRoots]]: two same-shaped frames reading
+   * different data dirs in one JVM cannot collide.
    */
   private val stageCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The sorted file-scan root paths of `dfs`' analyzed plans — the part
+    * of frame identity a canonicalized plan string omits. Covers v1
+    * (`LogicalRelation`/`HadoopFsRelation`) and DSv2 relations. */
+  private def sourceRoots(dfs: DataFrame*): String =
+    dfs.flatMap(_.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case other => Seq(other.toString)
+        }
+      case dsv2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        Seq(dsv2.table.name())
+    }.flatten).sorted.mkString(",")
   private def cachedIn(key: String)(build: String => Unit): String =
     stageCache.getOrElseUpdate(key, {
       val in = Files.createTempDirectory("graft_replay").toString + "/in"
@@ -118,7 +136,8 @@ object ReplayQueries {
     })
 
   private def stage(df: DataFrame, n: Int): (String, String, String) = {
-    val key = s"plain|$n|" + df.queryExecution.logical.canonicalized.toString
+    val key = s"plain|$n|" + sourceRoots(df) + "|" +
+      df.queryExecution.logical.canonicalized.toString
     val in = cachedIn(key) { in =>
       df.repartition(n).write.mode("overwrite").parquet(in)
     }
@@ -144,7 +163,7 @@ object ReplayQueries {
    */
   private def stageOrdered(df: DataFrame, tsCol: String, n: Int,
                            sentinel: DataFrame): (String, String, String) = {
-    val key = s"ordered|$tsCol|$n|" +
+    val key = s"ordered|$tsCol|$n|" + sourceRoots(df, sentinel) + "|" +
       df.queryExecution.logical.canonicalized.toString +
       sentinel.queryExecution.logical.canonicalized.toString
     val in = cachedIn(key) { in =>
@@ -207,7 +226,7 @@ object ReplayQueries {
   private def stageWithLate(main: DataFrame, tsCol: String, n: Int,
                             sentinel: DataFrame,
                             late: DataFrame): (String, String, String) = {
-    val key = s"late|$tsCol|$n|" +
+    val key = s"late|$tsCol|$n|" + sourceRoots(main, sentinel, late) + "|" +
       main.queryExecution.logical.canonicalized.toString +
       sentinel.queryExecution.logical.canonicalized.toString +
       late.queryExecution.logical.canonicalized.toString
