@@ -602,6 +602,181 @@ object Changelog {
       }
   }
 
+  /** One SEMI/ANTI changelog-join output row: only the probe (left)
+    * payload is emitted — the right side exists solely as the
+    * EXISTS/NOT-EXISTS predicate. */
+  final case class ExistChange[L](key: Long, kind: String, left: L, ord: Long)
+
+  /**
+   * Streaming changelog-consuming SEMI join — `WHERE EXISTS (...)` over
+   * two updating inputs, the reference's StreamingSemiAntiJoinOperator
+   * (RUNTIME/runtime/operators/join/stream/StreamingSemiAntiJoinOperator
+   * .java:36): a left row is IN the output iff it currently has ≥ 1
+   * passing right association; the output is a changelog of LEFT rows
+   * only. See [[joinChangelogAnti]] for the NOT-EXISTS dual.
+   *
+   * Same machinery as [[joinChangelogOuter]] — one union exchange on
+   * the join key, left payloads carry their association count IN STATE
+   * (the reference's OuterJoinRecordStateView.numOfAssociations; for
+   * semi/anti the count is the whole game) — but the emission rule
+   * flips from "pad vs pair" to "member vs non-member": only the 0↔1
+   * association transitions change the output, so a right-side update
+   * that keeps the count ≥ 1 emits NOTHING (exactly the reference's
+   * semi-join suppression of redundant updates). Batch-atomic netting,
+   * stale-retract tolerance, duplicate counting, per-key `ord` and TTL
+   * behave as in the other changelog joins; with an agg view on the
+   * left the output is upsert-shaped and [[materialize]]-able.
+   *
+   * Scale: identical profile to the inner join — per-key state is both
+   * sides' live rows plus one counter per left payload; per-batch work
+   * is O(messages × other side's distinct payloads). The OUTPUT is
+   * strictly smaller than the inner join's (left rows, not pairs), and
+   * right-side churn above one association is absorbed in state.
+   */
+  def joinChangelogSemi[L, R](
+      left: Dataset[(Long, String, L)],
+      right: Dataset[(Long, String, R)],
+      cond: (L, R) => Boolean = (_: L, _: R) => true,
+      ttl: Option[IdleStateTtl] = None)(
+      implicit lt: scala.reflect.runtime.universe.TypeTag[L],
+      rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[ExistChange[L]] =
+    existenceJoin(left, right, anti = false, cond, ttl)
+
+  /**
+   * Streaming changelog-consuming ANTI join — `WHERE NOT EXISTS (...)`
+   * over two updating inputs (the other half of
+   * StreamingSemiAntiJoinOperator.java:36): a left row is in the output
+   * iff it currently has ZERO passing right associations. The FIRST
+   * passing right arrival retracts the left row from the output; the
+   * LAST passing right retraction re-admits it — the 1→0 / 0→1
+   * transitions mirror [[joinChangelogSemi]] with the sign flipped.
+   */
+  def joinChangelogAnti[L, R](
+      left: Dataset[(Long, String, L)],
+      right: Dataset[(Long, String, R)],
+      cond: (L, R) => Boolean = (_: L, _: R) => true,
+      ttl: Option[IdleStateTtl] = None)(
+      implicit lt: scala.reflect.runtime.universe.TypeTag[L],
+      rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[ExistChange[L]] =
+    existenceJoin(left, right, anti = true, cond, ttl)
+
+  private def existenceJoin[L, R](
+      left: Dataset[(Long, String, L)],
+      right: Dataset[(Long, String, R)],
+      anti: Boolean,
+      cond: (L, R) => Boolean,
+      ttl: Option[IdleStateTtl])(
+      implicit lt: scala.reflect.runtime.universe.TypeTag[L],
+      rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[ExistChange[L]] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val ue: Encoder[(Long, String, Option[L], Option[R])] =
+      ExpressionEncoder()
+    implicit val ke: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    // left state rows are (payload, live count, association count)
+    implicit val se: Encoder[(Seq[(L, Long, Long)], Seq[(R, Long)], Long, Long, Long)] =
+      ExpressionEncoder()
+    implicit val oe: Encoder[ExistChange[L]] = ExpressionEncoder()
+
+    def expand(m: Map[L, Long]): Seq[L] =
+      m.toSeq.sortBy(_._1.toString)
+        .flatMap { case (p, c) => Seq.fill(c.toInt)(p) }
+
+    val timeoutConf = if (ttl.exists(_.reclaimTimers)) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    val tagged =
+      left.map { case (k, kind, l) => (k, kind, Option(l), Option.empty[R]) }
+        .union(right.map { case (k, kind, r) =>
+          (k, kind, Option.empty[L], Option(r)) })
+    tagged.groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(L, Long, Long)], Seq[(R, Long)], Long, Long, Long),
+                              ExistChange[L]](
+          OutputMode.Append, timeoutConf) {
+        (key: Long, values: Iterator[(Long, String, Option[L], Option[R])],
+         state: GroupState[(Seq[(L, Long, Long)], Seq[(R, Long)], Long, Long, Long)]) =>
+         if (state.hasTimedOut) { state.remove(); Iterator.empty }
+         else {
+          val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+          // lazy expiry: a key idle past the TTL folds from fresh state
+          val (l0, r0, n0, t0) = state.getOption
+            .filter { case (_, _, _, _, last) => ttl.forall(t => now - last <= t.ms) }
+            .map { case (l, r, n, t, _) => (l, r, n, t) }
+            .getOrElse((Seq.empty[(L, Long, Long)], Seq.empty[(R, Long)], 0L, 0L))
+          val lm = scala.collection.mutable.Map[L, (Long, Long)](
+            l0.map { case (p, c, a) => p -> (c, a) }: _*)
+          val rm = scala.collection.mutable.Map[R, Long](r0: _*)
+          val delta = scala.collection.mutable.Map.empty[L, Long]
+          var total = t0
+          def addDelta(p: L, d: Long): Unit = {
+            val c = delta.getOrElse(p, 0L) + d
+            if (c == 0L) delta -= p else delta(p) = c
+            total += d
+          }
+          // a left payload is emitted iff its association count passes
+          def passes(al: Long): Boolean = if (anti) al == 0L else al > 0L
+          values.foreach { case (_, kind, lo, ro) =>
+            if (kind != Touch) {
+            val acc = kind == Insert || kind == UpdateAfter
+            lo.foreach { l =>
+              if (acc) {
+                // a payload already in state carries its (incrementally
+                // maintained) association count — no probe needed; a
+                // NEW payload counts passing right INSTANCES once
+                val (cl, al0) = lm.getOrElse(l, (0L, -1L))
+                val al =
+                  if (cl > 0L) al0
+                  else rm.iterator.map { case (r, cr) =>
+                    if (cond(l, r)) cr else 0L }.sum
+                if (passes(al)) addDelta(l, 1L)
+                lm(l) = (cl + 1L, al)
+              } else lm.get(l).foreach { case (cl, al) => // absent ⇒ stale
+                if (passes(al)) addDelta(l, -1L)
+                if (cl == 1L) lm -= l else lm(l) = (cl - 1L, al)
+              }
+            }
+            ro.foreach { r =>
+              if (acc) {
+                lm.foreach { case (l, (cl, al)) =>
+                  if (cond(l, r)) {
+                    // 0→1 association: membership flips for all cl copies
+                    if (al == 0L) addDelta(l, if (anti) -cl else cl)
+                    lm(l) = (cl, al + 1L)
+                  }
+                }
+                rm(r) = rm.getOrElse(r, 0L) + 1L
+              } else rm.get(r).foreach { cr => // absent ⇒ stale retract
+                lm.foreach { case (l, (cl, al)) =>
+                  if (cond(l, r)) {
+                    // 1→0 association: membership flips back
+                    if (al == 1L) addDelta(l, if (anti) cl else -cl)
+                    lm(l) = (cl, al - 1L)
+                  }
+                }
+                if (cr == 1L) rm -= r else rm(r) = cr - 1L
+              }
+            }
+            }
+          }
+          val removed = expand(delta.collect {
+            case (p, c) if c < 0 => p -> -c }.toMap)
+          val added = expand(delta.filter(_._2 > 0).toMap)
+          var n = if (ttl.isDefined) math.max(n0, now << 20) else n0
+          def rows(ps: Seq[L], kind: String): Seq[ExistChange[L]] =
+            ps.map { l => n += 1; ExistChange(key, kind, l, n) }
+          val out =
+            rows(removed, if (total == 0L) Delete else UpdateBefore) ++
+            rows(added, if (t0 == 0L) Insert else UpdateAfter)
+          if (lm.isEmpty && rm.isEmpty) state.remove()
+          else {
+            state.update((
+              lm.toSeq.map { case (p, (c, a)) => (p, c, a) },
+              rm.toSeq, n, total, now))
+            ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
+          }
+          out.iterator
+         }
+      }
+  }
+
   def aggregateChangelog[V](
       grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, V],
       kind: V => String, value: V => Double,

@@ -377,6 +377,25 @@ object ReplayQueries {
     "q245_stream_changelog_join" -> ((s, dir) =>
       changelogJoinReplay(s, dir, nFiles = 4, filesPerTrigger = 2)),
 
+    // SEMI changelog join under the oracle gate — EXISTS over two
+    // UPDATING inputs (the reference's StreamingSemiAntiJoinOperator,
+    // planned for `WHERE EXISTS (subquery)` on changelogs): the
+    // per-user purchase agg view is emitted iff the user's click agg
+    // view currently has count ≥ 14 (the fixture median, so both the
+    // EXISTS and NOT-EXISTS sides stay populated at every SF). The click view CROSSES that
+    // threshold mid-replay (its count ticks up across micro-batches via
+    // -U/+U retraction pairs), so the gate exercises the 0→1
+    // association transitions, not just a static filter.
+    "q304_stream_semi_join" -> ((s, dir) =>
+      existenceJoinReplay(s, dir, anti = false)),
+
+    // ANTI changelog join — the NOT-EXISTS dual: purchase views of
+    // users whose click count never reaches 14 (or who have no clicks).
+    // Mid-replay threshold crossings RETRACT previously-emitted rows,
+    // so the materialized final state equals the batch NOT EXISTS dual.
+    "q305_stream_anti_join" -> ((s, dir) =>
+      existenceJoinReplay(s, dir, anti = true)),
+
     // Stream-static LOOKUP join under the oracle gate (the reference's
     // LookupJoin against a bounded build side, T-COMMON/connector/
     // source/LookupTableSource.java): replayed events probe a BROADCAST
@@ -1196,7 +1215,68 @@ object ReplayQueries {
               col("right.count").as("clicks"))
   }
 
+  /** q304/q305's pipeline: two updating agg views feeding the SEMI or
+    * ANTI changelog join; parameterized on the replay split so the spec
+    * can assert batch-boundary independence (as [[changelogJoinReplay]]). */
+  def existenceJoinReplay(s: SparkSession, dir: String, anti: Boolean,
+                          nFiles: Int = 4, filesPerTrigger: Int = 2): DataFrame = {
+    import s.implicits._
+    val ev = Tables.table(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("event_type"),
+              floor(col("value") * 100).as("cents"))
+    val (in, out, ck) = stage(ev, nFiles)
+    withStatePartitions(s, 8) {
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", filesPerTrigger).parquet(in)
+        .as[EvRow]
+      def side(kind: String) = Changelog.aggregateChangelog[EvRow](
+          src.filter(_.event_type == kind).groupByKey(_.user_id),
+          _ => Changelog.Insert, _.cents.toDouble)
+        .map(a => (a.key, a.kind, SideAgg(a.sum, a.count)))
+      val cond = (_: SideAgg, r: SideAgg) => r.count >= 14
+      val j =
+        if (anti) Changelog.joinChangelogAnti(side("purchase"), side("click"), cond)
+        else Changelog.joinChangelogSemi(side("purchase"), side("click"), cond)
+      val q = j.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    Changelog.materialize(s.read.parquet(out), "key", "kind", "ord")
+      .select(col("key").as("user_id"),
+              (col("left.sum") / 100.0).as("purchase_amt"),
+              col("left.count").as("purchases"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q304_stream_semi_join" -> """
+      WITH p AS (
+        SELECT user_id, sum(floor(value*100)) AS s, count(*) AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      k AS (
+        SELECT user_id, count(*) AS c
+        FROM events WHERE event_type = 'click' GROUP BY 1)
+      SELECT p.user_id AS user_id,
+             p.s/100.0 AS purchase_amt, CAST(p.c AS BIGINT) AS purchases
+      FROM p
+      WHERE EXISTS (SELECT 1 FROM k
+                    WHERE k.user_id = p.user_id AND k.c >= 14)""",
+
+    "q305_stream_anti_join" -> """
+      WITH p AS (
+        SELECT user_id, sum(floor(value*100)) AS s, count(*) AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      k AS (
+        SELECT user_id, count(*) AS c
+        FROM events WHERE event_type = 'click' GROUP BY 1)
+      SELECT p.user_id AS user_id,
+             p.s/100.0 AS purchase_amt, CAST(p.c AS BIGINT) AS purchases
+      FROM p
+      WHERE NOT EXISTS (SELECT 1 FROM k
+                        WHERE k.user_id = p.user_id AND k.c >= 14)""",
+
     "q178_stream_tumble" -> """
       SELECT event_type,
              epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS w_start,

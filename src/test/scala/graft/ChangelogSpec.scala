@@ -781,21 +781,27 @@ class ChangelogSpec extends AnyFunSuite {
     implicit val sc = spark.sqlContext
     val lMem = MemoryStream[CRow]
     val rMem = MemoryStream[CRow]
+    // Each phase lands in ONE micro-batch (all its messages fold under a
+    // single processing time), so the test never races batch latency
+    // against the TTL — only the deliberate sleep crosses it. A cold
+    // first batch can take seconds on a loaded host, so phases split
+    // across batches would flake.
     val out = Changelog.joinChangelog(
       lMem.toDS().map(c => (c.key, c.kind, LSide(c.value))),
       rMem.toDS().map(c => (c.key, c.kind, RSide(c.value))),
-      ttl = Some(IdleStateTtl(500L)))
+      ttl = Some(IdleStateTtl(2000L)))
     val q = out.writeStream.format("memory").queryName("cl_ttl_join")
       .outputMode(OutputMode.Append).start()
     try {
       lMem.addData(CRow(1, "+I", 5.0, 1))
       rMem.addData(CRow(1, "+I", 100.0, 1))
       q.processAllAvailable() // pair (5, 100) joins and emits
-      Thread.sleep(1200L)     // both sides' state for key 1 expires
+      Thread.sleep(4500L)     // both sides' state for key 1 expires
       lMem.addData(CRow(1, "+I", 6.0, 2))
-      q.processAllAvailable() // right side expired: 6 finds no match
       rMem.addData(CRow(1, "+I", 200.0, 2))
-      q.processAllAvailable() // 200 joins the live 6 only, not the expired 5
+      // one batch: 6 and 200 fold from FRESH state and join each other;
+      // had the expired 5 survived, (5, 200) would also have emitted
+      q.processAllAvailable()
     } finally q.stop()
     val pairs = spark.table("cl_ttl_join")
       .selectExpr("kind", "left.v", "right.v")
@@ -852,6 +858,141 @@ class ChangelogSpec extends AnyFunSuite {
     assert(shard.getOrElse((1L, vB, 100.0), 0) > 0)
     // ...and key 2's return found expired state on both variants
     assert(shard.getOrElse((2L, 2.0, 50.0), 0) == 0)
+  }
+
+  // ---- SEMI / ANTI changelog joins (StreamingSemiAntiJoinOperator) ----
+
+  test("semi changelog join: membership flips only on 0↔1 association transitions") {
+    implicit val sc = spark.sqlContext
+    val lMem = MemoryStream[CRow]
+    val rMem = MemoryStream[CRow]
+    val left = lMem.toDS().map(c => (c.key, c.kind, LSide(c.value)))
+    val right = rMem.toDS().map(c => (c.key, c.kind, RSide(c.value)))
+    val out = Changelog.joinChangelogSemi(left, right)
+    val q = out.writeStream.format("memory").queryName("cl_semi")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: left alone — no right association yet, nothing emitted
+      lMem.addData(CRow(1, "+I", 5.0, 1)); q.processAllAvailable()
+      // batch 2: first right arrival → 0→1, left row enters (+I)
+      rMem.addData(CRow(1, "+I", 100.0, 1)); q.processAllAvailable()
+      // batch 3: second right association → 1→2, NO emission
+      rMem.addData(CRow(1, "+I", 200.0, 2)); q.processAllAvailable()
+      // batch 4: one right retracts → 2→1, still a member, NO emission
+      rMem.addData(CRow(1, "-D", 100.0, 3)); q.processAllAvailable()
+      // batch 5: last right retracts → 1→0, left row leaves (-D)
+      rMem.addData(CRow(1, "-D", 200.0, 4)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_semi")
+      .selectExpr("kind", "left.v", "ord")
+      .as[(String, Double, Long)].collect().toList.sortBy(_._3)
+    assert(got == List(("+I", 5.0, 1L), ("-D", 5.0, 2L)))
+  }
+
+  test("anti changelog join: first match retracts, last unmatch re-admits; duplicates counted") {
+    implicit val sc = spark.sqlContext
+    val lMem = MemoryStream[CRow]
+    val rMem = MemoryStream[CRow]
+    val left = lMem.toDS().map(c => (c.key, c.kind, LSide(c.value)))
+    val right = rMem.toDS().map(c => (c.key, c.kind, RSide(c.value)))
+    val out = Changelog.joinChangelogAnti(left, right)
+    val q = out.writeStream.format("memory").queryName("cl_anti")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two duplicate left rows, no right → both in output
+      lMem.addData(CRow(1, "+I", 5.0, 1), CRow(1, "+I", 5.0, 2))
+      q.processAllAvailable()
+      // batch 2: right arrives → 0→1: BOTH copies retract (join empties)
+      rMem.addData(CRow(1, "+I", 100.0, 1)); q.processAllAvailable()
+      // batch 3: right retracts → 1→0: both copies re-admitted
+      rMem.addData(CRow(1, "-D", 100.0, 2)); q.processAllAvailable()
+      // batch 4: one left copy retracts → one -U
+      lMem.addData(CRow(1, "-D", 5.0, 3)); q.processAllAvailable()
+      // batch 5: last left copy retracts → output empties with -D
+      lMem.addData(CRow(1, "-D", 5.0, 4)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_anti")
+      .selectExpr("kind", "left.v", "ord")
+      .as[(String, Double, Long)].collect().toList.sortBy(_._3)
+    assert(got == List(
+      ("+I", 5.0, 1L), ("+I", 5.0, 2L),   // batch 1: both copies out
+      // batch 2 empties the key's output → every removed row carries -D
+      // (the convention shared with joinChangelog/joinChangelogOuter)
+      ("-D", 5.0, 3L), ("-D", 5.0, 4L),
+      ("+I", 5.0, 5L), ("+I", 5.0, 6L),   // batch 3: re-admission
+      ("-U", 5.0, 7L),                     // batch 4: one copy leaves
+      ("-D", 5.0, 8L)))                    // batch 5: retire
+  }
+
+  test("semi join residual cond: membership requires a PASSING association") {
+    implicit val sc = spark.sqlContext
+    val lMem = MemoryStream[CRow]
+    val rMem = MemoryStream[CRow]
+    val left = lMem.toDS().map(c => (c.key, c.kind, LSide(c.value)))
+    val right = rMem.toDS().map(c => (c.key, c.kind, RSide(c.value)))
+    val out = Changelog.joinChangelogSemi[LSide, RSide](left, right,
+      cond = (_, r) => r.v >= 150.0)
+    val q = out.writeStream.format("memory").queryName("cl_semi_cond")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // right row failing the cond: key non-empty but NOT a passing match
+      lMem.addData(CRow(1, "+I", 5.0, 1))
+      rMem.addData(CRow(1, "+I", 100.0, 1))
+      q.processAllAvailable()
+      // the right view UPDATES above the threshold → retract+insert pair
+      // crosses the cond boundary: association 0→1, left row enters
+      rMem.addData(CRow(1, "-U", 100.0, 2), CRow(1, "+U", 200.0, 3))
+      q.processAllAvailable()
+      // updates back below → 1→0, left row leaves
+      rMem.addData(CRow(1, "-U", 200.0, 4), CRow(1, "+U", 120.0, 5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_semi_cond")
+      .selectExpr("kind", "left.v", "ord")
+      .as[(String, Double, Long)].collect().toList.sortBy(_._3)
+    assert(got == List(("+I", 5.0, 1L), ("-D", 5.0, 2L)))
+  }
+
+  test("semi/anti same-batch netting: transient membership flips cancel") {
+    implicit val sc = spark.sqlContext
+    val lMem = MemoryStream[CRow]
+    val rMem = MemoryStream[CRow]
+    val left = lMem.toDS().map(c => (c.key, c.kind, LSide(c.value)))
+    val right = rMem.toDS().map(c => (c.key, c.kind, RSide(c.value)))
+    val out = Changelog.joinChangelogSemi(left, right)
+    val q = out.writeStream.format("memory").queryName("cl_semi_net")
+      .outputMode(OutputMode.Append).start()
+    try {
+      lMem.addData(CRow(1, "+I", 5.0, 1)); q.processAllAvailable()
+      // right insert AND retract in ONE batch: 0→1→0 nets to nothing
+      rMem.addData(CRow(1, "+I", 100.0, 1), CRow(1, "-D", 100.0, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("cl_semi_net").count() == 0L)
+  }
+
+  test("TTL semi join: an expired key re-arrives with fresh association state") {
+    implicit val sc = spark.sqlContext
+    val lMem = MemoryStream[CRow]
+    val rMem = MemoryStream[CRow]
+    val left = lMem.toDS().map(c => (c.key, c.kind, LSide(c.value)))
+    val right = rMem.toDS().map(c => (c.key, c.kind, RSide(c.value)))
+    val out = Changelog.joinChangelogSemi[LSide, RSide](left, right,
+      ttl = Some(IdleStateTtl(2000L)))
+    val q = out.writeStream.format("memory").queryName("cl_semi_ttl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      lMem.addData(CRow(1, "+I", 5.0, 1))
+      rMem.addData(CRow(1, "+I", 100.0, 1))
+      q.processAllAvailable() // member: +I emitted
+      Thread.sleep(4500L)     // idle past retention — BOTH sides expire
+      // a new right arrival finds no live left rows: nothing to admit
+      rMem.addData(CRow(1, "+I", 300.0, 2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_semi_ttl")
+      .selectExpr("kind", "left.v")
+      .as[(String, Double)].collect().toList
+    assert(got == List(("+I", 5.0))) // and no further emission post-expiry
   }
 }
 

@@ -33,6 +33,26 @@ class ReplaySpec extends AnyFunSuite {
       "final materialized state must not depend on micro-batch boundaries")
   }
 
+  test("semi/anti existence-join replay: one giant batch == four " +
+    "micro-batches, bit-identical final state") {
+    // q304/q305's claim: threshold crossings of the right-side agg view
+    // retract/admit left rows such that the FINAL state equals the batch
+    // EXISTS/NOT-EXISTS dual regardless of micro-batch boundaries.
+    def run(anti: Boolean, nFiles: Int, fpt: Int): Set[(Long, Double, Long)] =
+      ReplayQueries.existenceJoinReplay(spark, dir, anti, nFiles, fpt)
+        .selectExpr("user_id", "purchase_amt", "purchases")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+    for (anti <- Seq(false, true)) {
+      val oneBatch = run(anti, nFiles = 1, fpt = 1)
+      val fourBatches = run(anti, nFiles = 8, fpt = 2)
+      assert(oneBatch.nonEmpty, s"anti=$anti replay produced rows")
+      assert(oneBatch == fourBatches,
+        s"anti=$anti final state must not depend on micro-batch boundaries")
+    }
+  }
+
   test("watermark-ordered over-window replay: 1, 2 and 4 ts-slices emit " +
     "identical rows") {
     // the stageOrdered path (sessions/CEP/over/count-window gates) rests
