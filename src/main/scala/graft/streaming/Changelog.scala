@@ -602,6 +602,106 @@ object Changelog {
       }
   }
 
+  /** One retract-consuming Top-N output row. Per (key, rowId) the
+    * stream is upsert-shaped: +I/+U when the row (re-)enters the top-N
+    * or changes score inside it, -D when it leaves — so a downstream
+    * [[materialize]] on the composite (key, rowId) yields exactly the
+    * final top-N set per key. */
+  final case class TopNChange(key: Long, kind: String, rowId: Long,
+                              score: Double, ord: Long)
+
+  /**
+   * Retract-CONSUMING streaming Top-N per key — the reference's
+   * RetractableTopNFunction (PLANNER-J/runtime/rank/
+   * RetractableTopNFunction.java: a sorted map of the key's FULL live
+   * row set plus a record map, so a retraction of a top row re-admits
+   * the runner-up): the input is a changelog (e.g. an updating
+   * aggregate view), rows identified by `rowId` and ranked by
+   * (`score` desc, `rowId` asc); the output is the changelog of the
+   * key's top-`n` SLICE. [[aggregateChangelogMinMax]] is exactly the
+   * n = 1 instance of this operator (for min/max only); this is the
+   * general-N rank version.
+   *
+   * Emission per micro-batch is the top-slice DELTA, row-level: a row
+   * demoted out of the slice (by a better arrival or its own update)
+   * emits -D; the promoted runner-up emits +I; a row whose score
+   * changes while staying ranked emits its -U/+U pair. Changes
+   * entirely below rank n emit NOTHING — the reference's rank-range
+   * suppression, which is what makes Top-N over a high-churn updating
+   * view cheap at the sink.
+   *
+   * State is the key's live (rowId → score) map — the same O(live)
+   * layout the reference keeps (its sorted map + record map), because
+   * under arbitrary retraction ANY live row can become the runner-up.
+   * Where Flink pays O(log n) per record in its TreeMap, a micro-batch
+   * recomputes the n-slice in one O(live log live) pass per TOUCHED
+   * key per batch (untouched keys cost nothing) — the SS-idiomatic
+   * trade, cf. [[aggregateChangelogMinMax]]. For Top-N over an
+   * updating aggregate, live = the key's distinct group count, not
+   * raw-event history. Stale retractions (unknown rowId) are ignored.
+   */
+  def topNChangelog[V](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, V],
+      n: Int,
+      kind: V => String, score: V => Double, rowId: V => Long,
+      ttl: Option[IdleStateTtl] = None)(
+      implicit ve: Encoder[V]): Dataset[TopNChange] = {
+    import org.apache.spark.sql.Encoders
+    implicit val se: Encoder[(Map[Long, Double], Long, Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    implicit val oe: Encoder[TopNChange] = Encoders.product[TopNChange]
+    def topOf(m: Map[Long, Double]): Seq[(Long, Double)] =
+      m.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(n)
+    val timeoutConf = if (ttl.exists(_.reclaimTimers)) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    grouped.flatMapGroupsWithState[(Map[Long, Double], Long, Long), TopNChange](
+        OutputMode.Append, timeoutConf) {
+      (key: Long, values: Iterator[V], state: GroupState[(Map[Long, Double], Long, Long)]) =>
+       if (state.hasTimedOut) { state.remove(); Iterator.empty }
+       else {
+        val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+        // lazy expiry: a key idle past the TTL folds from fresh state
+        val (live0, n0) = state.getOption
+          .filter { case (_, _, last) => ttl.forall(t => now - last <= t.ms) }
+          .map { case (m, o, _) => (m, o) }
+          .getOrElse((Map.empty[Long, Double], 0L))
+        var live = live0
+        values.foreach { v =>
+          kind(v) match {
+            case Insert | UpdateAfter => live += (rowId(v) -> score(v))
+            case Delete | UpdateBefore => live -= rowId(v) // absent ⇒ stale
+            case Touch => ()
+          }
+        }
+        if (live.isEmpty) state.remove()
+        val t0s = topOf(live0)
+        val t1s = topOf(live)
+        val removed = t0s.filterNot(t1s.contains)
+        val added = t1s.filterNot(t0s.contains)
+        val addedIds = added.map(_._1).toSet
+        val removedIds = removed.map(_._1).toSet
+        var ord = if (ttl.isDefined) math.max(n0, now << 20) else n0
+        val out =
+          removed.map { case (id, sc) =>
+            ord += 1
+            // same row re-appears with a new score → update pair;
+            // otherwise the row left the slice outright
+            TopNChange(key, if (addedIds(id)) UpdateBefore else Delete,
+                       id, sc, ord)
+          } ++
+          added.map { case (id, sc) =>
+            ord += 1
+            TopNChange(key, if (removedIds(id)) UpdateAfter else Insert,
+                       id, sc, ord)
+          }
+        if (live.nonEmpty) state.update((live, ord, now))
+        ttl.filter(_.reclaimTimers).foreach { t =>
+          if (live.nonEmpty) state.setTimeoutDuration(t.ms) }
+        out.iterator
+       }
+    }
+  }
+
   /** One SEMI/ANTI changelog-join output row: only the probe (left)
     * payload is emitted — the right side exists solely as the
     * EXISTS/NOT-EXISTS predicate. */

@@ -396,6 +396,52 @@ object ReplayQueries {
     "q305_stream_anti_join" -> ((s, dir) =>
       existenceJoinReplay(s, dir, anti = true)),
 
+    // Retract-CONSUMING Top-N under the oracle gate (the reference's
+    // RetractableTopNFunction): per user-group, the top-3 users by LIVE
+    // purchase total — the input is the per-user changelog aggregate
+    // view, so every micro-batch RE-RANKS on -U/+U retraction pairs
+    // (users overtake each other as their sums grow; overtaken rows are
+    // demoted with -D, runner-ups admitted with +I). The materialized
+    // per-(group,row) upsert log must equal the batch row_number dual
+    // over the FINAL sums. Group = user_id % 8 keeps the rank operator
+    // key-parallel (the reference's rank keyed on partitionBy).
+    "q306_stream_retract_topn" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .as[EvRow]
+        val agg = Changelog.aggregateChangelog[EvRow](
+          src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
+        val top = Changelog.topNChangelog[Changelog.AggChange](
+          agg.groupByKey(_.key % 8), n = 3,
+          kind = _.kind, score = _.sum, rowId = _.key)
+        val q = top.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      // per-(group,row) upsert log → final top-3 set; rank derived at
+      // read over ≤ 3 rows × 8 groups (not part of the streamed state)
+      val fin = Changelog.materialize(
+        s.read.parquet(out)
+          .withColumn("mk", col("key") * 1000000L + col("rowId")),
+        "mk", "kind", "ord")
+      fin.select(col("key").as("grp"), col("rowId").as("user_id"),
+                 col("score").cast("long").as("cents"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("grp"))
+            .orderBy(col("cents").desc, col("user_id"))).cast("int"))
+        .select(col("grp"), col("rnk"), col("user_id"), col("cents"))
+    }),
+
     // Stream-static LOOKUP join under the oracle gate (the reference's
     // LookupJoin against a bounded build side, T-COMMON/connector/
     // source/LookupTableSource.java): replayed events probe a BROADCAST
@@ -1276,6 +1322,18 @@ object ReplayQueries {
       FROM p
       WHERE NOT EXISTS (SELECT 1 FROM k
                         WHERE k.user_id = p.user_id AND k.c >= 14)""",
+
+    "q306_stream_retract_topn" -> """
+      WITH p AS (
+        SELECT user_id, CAST(sum(floor(value*100)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      r AS (
+        SELECT user_id % 8 AS grp, user_id, cents,
+               row_number() OVER (PARTITION BY user_id % 8
+                                  ORDER BY cents DESC, user_id) AS rnk
+        FROM p)
+      SELECT grp, CAST(rnk AS INT) AS rnk, user_id, cents
+      FROM r WHERE rnk <= 3""",
 
     "q178_stream_tumble" -> """
       SELECT event_type,

@@ -860,6 +860,80 @@ class ChangelogSpec extends AnyFunSuite {
     assert(shard.getOrElse((2L, 2.0, 50.0), 0) == 0)
   }
 
+  // ---- retract-consuming Top-N (RetractableTopNFunction) ----
+
+  test("retract Top-N: retraction of a top row admits the runner-up; " +
+    "in-slice updates pair; below-slice churn is silent") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    // rowId = the CRow's ord field; rank by (value desc, rowId asc); n = 2
+    val out = Changelog.topNChangelog[CRow](
+      mem.toDS().groupByKey(_.key), n = 2,
+      kind = _.kind, score = _.value, rowId = _.ord)
+    val q = out.writeStream.format("memory").queryName("cl_topn")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: ids 10(5.0) 11(9.0) 12(7.0) → slice {11, 12}; 10 below
+      mem.addData(CRow(1, "+I", 5.0, 10), CRow(1, "+I", 9.0, 11),
+                  CRow(1, "+I", 7.0, 12))
+      q.processAllAvailable()
+      // batch 2: retract the TOP row → runner-up 10 re-admitted
+      mem.addData(CRow(1, "-D", 9.0, 11)); q.processAllAvailable()
+      // batch 3: id 12 updates 7.0→4.0 but STAYS ranked → -U/+U pair
+      mem.addData(CRow(1, "-U", 7.0, 12), CRow(1, "+U", 4.0, 12))
+      q.processAllAvailable()
+      // batch 4: new id 13(6.0) demotes 12 out of the slice
+      mem.addData(CRow(1, "+I", 6.0, 13)); q.processAllAvailable()
+      // batch 5: below-slice retraction (12) emits NOTHING
+      mem.addData(CRow(1, "-D", 4.0, 12)); q.processAllAvailable()
+      // batch 6: everything retracts → the slice drains
+      mem.addData(CRow(1, "-D", 5.0, 10), CRow(1, "-D", 6.0, 13))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_topn")
+      .select("kind", "rowId", "score", "ord")
+      .as[(String, Long, Double, Long)].collect().toList.sortBy(_._4)
+    assert(got == List(
+      ("+I", 11L, 9.0, 1L), ("+I", 12L, 7.0, 2L),   // batch 1 (rank order)
+      ("-D", 11L, 9.0, 3L), ("+I", 10L, 5.0, 4L),   // batch 2: runner-up in
+      ("-U", 12L, 7.0, 5L), ("+U", 12L, 4.0, 6L),   // batch 3: in-slice update
+      ("-D", 12L, 4.0, 7L), ("+I", 13L, 6.0, 8L),   // batch 4: demotion
+                                                     // batch 5: silent
+      ("-D", 13L, 6.0, 9L), ("-D", 10L, 5.0, 10L))) // batch 6: drain
+  }
+
+  test("retract Top-N over an updating aggregate == batch row_number dual") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    // CRow(key=user, value=amount): aggregate per user, then global top-3
+    // users by live sum — agg retraction pairs feed the rank operator
+    val agg = Changelog.aggregateChangelog[CRow](
+      mem.toDS().groupByKey(_.key), _.kind, _.value)
+    val out = Changelog.topNChangelog[Changelog.AggChange](
+      agg.groupByKey(_ => 0L), n = 3,
+      kind = _.kind, score = _.sum, rowId = _.key)
+    val q = out.writeStream.format("memory").queryName("cl_topn_agg")
+      .outputMode(OutputMode.Append).start()
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 60).map { i =>
+      CRow(key = rnd.nextInt(7).toLong, "+I", (rnd.nextInt(100) + 1).toDouble, i) }
+    try {
+      rows.grouped(13).foreach { chunk =>
+        mem.addData(chunk: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // fold the emitted changelog per rowId → final top-3 set
+    val fin = scala.collection.mutable.Map.empty[Long, Double]
+    spark.table("cl_topn_agg").select("kind", "rowId", "score", "ord")
+      .as[(String, Long, Double, Long)].collect().sortBy(_._4).foreach {
+        case (k, id, sc, _) =>
+          if (k == "+I" || k == "+U") fin(id) = sc
+          else if (k == "-D") fin -= id
+      }
+    val want = rows.groupBy(_.key).view.mapValues(_.map(_.value).sum)
+      .toSeq.sortBy { case (id, s) => (-s, id) }.take(3).toMap
+    assert(fin.toMap == want)
+  }
+
   // ---- SEMI / ANTI changelog joins (StreamingSemiAntiJoinOperator) ----
 
   test("semi changelog join: membership flips only on 0↔1 association transitions") {
