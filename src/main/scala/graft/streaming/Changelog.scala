@@ -877,6 +877,86 @@ object Changelog {
       }
   }
 
+  /** One distinct-aggregate output row (kind ∈ -U/+U/-D per emission):
+    * `distinct` = number of DISTINCT live values, `count` = total live
+    * value instances. */
+  final case class DistinctChange(key: Long, kind: String,
+                                  distinct: Long, count: Long)
+
+  /**
+   * Retract-capable COUNT(DISTINCT) per key over a changelog input —
+   * the reference's distinct aggregate with retraction (the planner
+   * wraps distinct aggs in a DistinctAccumulator whose MapView keyed
+   * state holds value → instance count,
+   * PLANNER-J/functions/aggfunctions + the generated distinct
+   * accumulator's MapView): an insert increments its value's instance
+   * count, a retraction decrements it, and the DISTINCT count moves
+   * only on a value's 0↔1 instance transitions. SUM/COUNT retraction
+   * ([[aggregateChangelog]]) cannot express this — deleting one of two
+   * equal values must NOT drop the distinct count.
+   *
+   * State per key is the live value multiset (value → count) — exactly
+   * the reference's MapView layout, bounded by the key's distinct live
+   * values (not history). Emission protocol is GroupAggFunction's:
+   * any change emits (-U previous, +U new); a key whose multiset
+   * empties emits (-U previous, -D). Stale retractions (value not
+   * live) are ignored, like the join family's absent-payload guard.
+   */
+  def aggregateChangelogDistinct[V](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, V],
+      kind: V => String, value: V => Double,
+      ttl: Option[IdleStateTtl] = None)(
+      implicit ve: Encoder[V]): Dataset[DistinctChange] = {
+    import org.apache.spark.sql.Encoders
+    implicit val se: Encoder[(Map[Double, Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    implicit val oe: Encoder[DistinctChange] = Encoders.product[DistinctChange]
+    val timeoutConf = if (ttl.exists(_.reclaimTimers)) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    grouped.flatMapGroupsWithState[(Map[Double, Long], Long), DistinctChange](
+        OutputMode.Append, timeoutConf) {
+      (key: Long, values: Iterator[V], state: GroupState[(Map[Double, Long], Long)]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+          // lazy expiry: a key idle past the TTL folds from fresh state
+          val m0 = state.getOption
+            .filter { case (_, last) => ttl.forall(t => now - last <= t.ms) }
+            .map(_._1).getOrElse(Map.empty[Double, Long])
+          var m = m0
+          values.foreach { v =>
+            kind(v) match {
+              case Insert | UpdateAfter =>
+                m += (value(v) -> (m.getOrElse(value(v), 0L) + 1L))
+              case Delete | UpdateBefore =>
+                m.get(value(v)).foreach { c => // absent ⇒ stale: ignore
+                  if (c == 1L) m -= value(v) else m += (value(v) -> (c - 1L))
+                }
+              case Touch => ()
+            }
+          }
+          if (m.isEmpty) state.remove()
+          else {
+            state.update((m, now))
+            ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
+          }
+          def snap(mm: Map[Double, Long], k: String): DistinctChange =
+            DistinctChange(key, k, mm.size.toLong, mm.values.sum)
+          val (d0, c0) = (m0.size.toLong, m0.values.sum)
+          val (d1, c1) = (m.size.toLong, m.values.sum)
+          if ((d0, c0) == (d1, c1)) Iterator.empty
+          else {
+            val before =
+              if (c0 == 0L) Iterator.empty else Iterator(snap(m0, UpdateBefore))
+            val after =
+              if (c1 == 0L) Iterator(snap(m0, Delete))
+              else Iterator(snap(m, UpdateAfter))
+            before ++ after
+          }
+        }
+    }
+  }
+
   def aggregateChangelog[V](
       grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, V],
       kind: V => String, value: V => Double,

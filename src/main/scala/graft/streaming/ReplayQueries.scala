@@ -396,6 +396,47 @@ object ReplayQueries {
     "q305_stream_anti_join" -> ((s, dir) =>
       existenceJoinReplay(s, dir, anti = true)),
 
+    // Retract-capable COUNT(DISTINCT) under the oracle gate (the
+    // reference's distinct aggregate on an UPDATING input, via the
+    // generated DistinctAccumulator's MapView): per user-group, the
+    // number of DISTINCT live purchase-total buckets (cents div 10000)
+    // across the group's users. As users' sums grow, their bucket
+    // FLIPS arrive as -U/+U retraction pairs; the distinct count must
+    // drop only when a bucket's LAST occupant leaves it — the
+    // value-instance 0↔1 transitions SUM/COUNT retraction can't see.
+    "q307_stream_distinct_agg" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .as[EvRow]
+        val agg = Changelog.aggregateChangelog[EvRow](
+          src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
+        val dis = Changelog.aggregateChangelogDistinct[Changelog.AggChange](
+          agg.groupByKey(_.key % 4),
+          _.kind, a => math.floor(a.sum / 10000.0))
+        // the GroupAggFunction protocol emits ≤ one +U/-D per key per
+        // batch — the batch id is the per-key order (the q294 pattern)
+        val q = dis.writeStream
+          .option("checkpointLocation", ck)
+          .outputMode("append")
+          .foreachBatch { (batch: Dataset[Changelog.DistinctChange], bid: Long) =>
+            batch.withColumn("bid", lit(bid))
+              .write.mode("append").parquet(out)
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      Changelog.materialize(s.read.parquet(out), "key", "kind", "bid")
+        .select(col("key").as("grp"), col("distinct").as("n_buckets"),
+                col("count").cast("long").as("n_users"))
+    }),
+
     // Retract-CONSUMING Top-N under the oracle gate (the reference's
     // RetractableTopNFunction): per user-group, the top-3 users by LIVE
     // purchase total — the input is the per-user changelog aggregate
@@ -1322,6 +1363,15 @@ object ReplayQueries {
       FROM p
       WHERE NOT EXISTS (SELECT 1 FROM k
                         WHERE k.user_id = p.user_id AND k.c >= 14)""",
+
+    "q307_stream_distinct_agg" -> """
+      WITH p AS (
+        SELECT user_id, CAST(sum(floor(value*100)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT user_id % 4 AS grp,
+             CAST(count(DISTINCT cents // 10000) AS BIGINT) AS n_buckets,
+             count(*) AS n_users
+      FROM p GROUP BY 1""",
 
     "q306_stream_retract_topn" -> """
       WITH p AS (

@@ -860,6 +860,68 @@ class ChangelogSpec extends AnyFunSuite {
     assert(shard.getOrElse((2L, 2.0, 50.0), 0) == 0)
   }
 
+  // ---- retract-capable COUNT(DISTINCT) (distinct-agg MapView) ----
+
+  test("distinct aggregate: distinct count moves only on 0↔1 value-instance transitions") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    val out = Changelog.aggregateChangelogDistinct[CRow](
+      mem.toDS().groupByKey(_.key), _.kind, _.value)
+    val q = out.writeStream.format("memory").queryName("cl_distinct")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two instances of 5.0, one of 7.0 → distinct 2, count 3
+      mem.addData(CRow(1, "+I", 5.0, 1), CRow(1, "+I", 5.0, 2),
+                  CRow(1, "+I", 7.0, 3))
+      q.processAllAvailable()
+      // retract ONE 5.0 → count drops, distinct does NOT (2→1 instances)
+      mem.addData(CRow(1, "-D", 5.0, 4)); q.processAllAvailable()
+      // retract the LAST 5.0 → distinct drops (1→0 instances)
+      mem.addData(CRow(1, "-D", 5.0, 5)); q.processAllAvailable()
+      // stale retraction of a value that is not live → ignored, no emit
+      mem.addData(CRow(1, "-D", 9.0, 6)); q.processAllAvailable()
+      // last value retracts → key retires with -D
+      mem.addData(CRow(1, "-D", 7.0, 7)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_distinct")
+      .select("kind", "distinct", "count")
+      .as[(String, Long, Long)].collect().toList
+    assert(got == List(
+      ("+U", 2L, 3L),                    // batch 1
+      ("-U", 2L, 3L), ("+U", 2L, 2L),    // batch 2: count only
+      ("-U", 2L, 2L), ("+U", 1L, 1L),    // batch 3: distinct drops
+                                          // batch 4: stale — silent
+      ("-U", 1L, 1L), ("-D", 1L, 1L)))   // batch 5: retire
+  }
+
+  test("distinct aggregate over an updating view == batch COUNT(DISTINCT) dual (seeded)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    // per-user sum view; DISTINCT over the users' current sum BUCKETS
+    // (sum div 30) per constant group — bucket flips arrive as -U/+U
+    val agg = Changelog.aggregateChangelog[CRow](
+      mem.toDS().groupByKey(_.key), _.kind, _.value)
+    val out = Changelog.aggregateChangelogDistinct[Changelog.AggChange](
+      agg.groupByKey(_ => 0L), _.kind, a => math.floor(a.sum / 30.0))
+    val q = out.writeStream.format("memory").queryName("cl_distinct_agg")
+      .outputMode(OutputMode.Append).start()
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map { i =>
+      CRow(rnd.nextInt(6).toLong, "+I", (rnd.nextInt(20) + 1).toDouble, i) }
+    try {
+      rows.grouped(11).foreach { chunk =>
+        mem.addData(chunk: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val last = spark.table("cl_distinct_agg")
+      .select("kind", "distinct", "count")
+      .as[(String, Long, Long)].collect().toList.last
+    val finalSums = rows.groupBy(_.key).view.mapValues(_.map(_.value).sum)
+    val want = finalSums.values.map(s => math.floor(s / 30.0)).toSet.size.toLong
+    assert(last._1 == "+U")
+    assert(last._2 == want)
+    assert(last._3 == finalSums.size.toLong)
+  }
+
   // ---- retract-consuming Top-N (RetractableTopNFunction) ----
 
   test("retract Top-N: retraction of a top row admits the runner-up; " +
