@@ -79,6 +79,19 @@ object OverWindow {
    * epoch-millis of the column the stream is watermarked on; `sortVal`
    * is a final deterministic sort key for rows whose
    * (eventTime, tiebreak) collide (see the sort note inline).
+   *
+   * `ttl`: idle-state retention ([[Changelog.IdleStateTtl]] — the
+   * reference applies `table.exec.state.ttl` to over-window state too,
+   * KeyedProcessFunctionWithCleanupState): a key whose last ELEMENT
+   * arrival is more than `ttl` of processing time ago folds its next
+   * element from fresh state — pending rows, frame tail, and running
+   * accumulator are gone (the documented restart-the-running-agg
+   * staleness trade). Watermark-timer firings drain pending rows
+   * without touching the idle clock. `reclaimTimers` is NOT supported
+   * here — the event-time timeout channel is already used for emission
+   * (Spark allows one timeout kind per operator); memory reclamation
+   * for never-returning keys would pair this operator with the
+   * changelog family's reclaim deployment pattern instead.
    */
   def overAgg[K, V, A](
       grouped: KeyValueGroupedDataset[K, V],
@@ -86,17 +99,26 @@ object OverWindow {
       tiebreak: V => Long,
       sortVal: V => Double,
       agg: FoldAgg[V, A],
-      frame: Frame)(
+      frame: Frame,
+      ttl: Option[Changelog.IdleStateTtl] = None)(
       implicit ke: Encoder[K], ve: Encoder[V],
-      se: Encoder[(Seq[V], Seq[V], A)],
-      oe: Encoder[(K, Long, Long, Double)]): Dataset[(K, Long, Long, Double)] =
-    grouped.flatMapGroupsWithState[(Seq[V], Seq[V], A),
+      se: Encoder[(Seq[V], Seq[V], A, Long)],
+      oe: Encoder[(K, Long, Long, Double)]): Dataset[(K, Long, Long, Double)] = {
+    require(!ttl.exists(_.reclaimTimers),
+      "overAgg: reclaimTimers unsupported (event-time timeout in use)")
+    grouped.flatMapGroupsWithState[(Seq[V], Seq[V], A, Long),
                                    (K, Long, Long, Double)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
       (key: K, values: Iterator[V],
-       state: GroupState[(Seq[V], Seq[V], A)]) =>
-        val (pending0, tail0, acc0) =
-          state.getOption.getOrElse((Seq.empty[V], Seq.empty[V], agg.zero))
+       state: GroupState[(Seq[V], Seq[V], A, Long)]) =>
+        val incoming = values.toSeq
+        val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+        // lazy expiry on ELEMENT arrival only: timer firings (empty
+        // batches draining pending rows) neither refresh nor trip it
+        val st0 = state.getOption.filter { case (_, _, _, last) =>
+          incoming.isEmpty || ttl.forall(t => now - last <= t.ms) }
+        val (pending0, tail0, acc0, last0) =
+          st0.getOrElse((Seq.empty[V], Seq.empty[V], agg.zero, now))
         val wm = state.getCurrentWatermarkMs()
         // drop too-late rows (their emission slot has passed), merge, sort.
         // sortVal(v) is a final sort key so duplicate (eventTime, tiebreak)
@@ -104,7 +126,7 @@ object OverWindow {
         // all three keys are interchangeable for the aggregates computed
         // here, so replay determinism holds without requiring unique
         // tie-breaks.
-        val pending = (pending0 ++ values.filter(eventTime(_) > wm))
+        val pending = (pending0 ++ incoming.filter(eventTime(_) > wm))
           .sortBy(v => (eventTime(v), tiebreak(v), sortVal(v)))
         val (ready, still) = pending.partition(eventTime(_) <= wm)
         val out = mutable.ArrayBuffer.empty[(K, Long, Long, Double)]
@@ -134,11 +156,13 @@ object OverWindow {
             // future emissions have t > wm: prune beyond their lookback
             tail = tail.filter(v => eventTime(v) >= wm - lookback)
         }
-        state.update((still, tail, acc))
+        val last1 = if (incoming.nonEmpty) now else last0
+        state.update((still, tail, acc, last1))
         if (still.nonEmpty)
           state.setTimeoutTimestamp(math.max(eventTime(still.head), wm + 1))
         out.iterator
     }
+  }
 
   /** Event-time over-window SUM of `value` per key (the original
     * surface; now a `sumAgg` instance of `overAgg`). */
@@ -149,7 +173,7 @@ object OverWindow {
       value: V => Double,
       frame: Frame)(
       implicit ke: Encoder[K], ve: Encoder[V],
-      se: Encoder[(Seq[V], Seq[V], Double)],
+      se: Encoder[(Seq[V], Seq[V], Double, Long)],
       oe: Encoder[(K, Long, Long, Double)]): Dataset[(K, Long, Long, Double)] =
     overAgg[K, V, Double](grouped, eventTime, tiebreak, value,
                           sumAgg(value), frame)

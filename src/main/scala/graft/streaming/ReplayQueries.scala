@@ -396,6 +396,43 @@ object ReplayQueries {
     "q305_stream_anti_join" -> ((s, dir) =>
       existenceJoinReplay(s, dir, anti = true)),
 
+    // Streaming WINDOW JOIN under the oracle gate (the reference's
+    // JoinedStreams.where(...).equalTo(...).window(Tumbling...) —
+    // STREAM/api/datastream/JoinedStreams.java: elements of two streams
+    // pair iff same key AND same tumbling window): expressed Spark-first
+    // as a stream-stream equi-join on (key, window(ts)) — the window
+    // bucket IS part of the join key, so Catalyst plans a plain
+    // streaming symmetric hash join and the watermark on both sides
+    // bounds state to open windows (the evict-on-window-close of the
+    // reference's window join). Batch dual: equi-join on the
+    // date_trunc'd day.
+    "q308_stream_window_join" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        def src() = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+        val p = src().filter(col("event_type") === "purchase")
+          .withWatermark("ts", "1 second")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                  window(col("ts"), "1 day").as("p_w"))
+        val c = src().filter(col("event_type") === "click")
+          .withWatermark("ts", "1 second")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+                  window(col("ts"), "1 day").as("c_w"))
+        val j = p.join(c, col("p_user") === col("c_user") &&
+            col("p_w") === col("c_w"))
+          .select(col("p_id"), col("c_id"))
+        val q = j.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(out)
+    }),
+
     // Retract-capable COUNT(DISTINCT) under the oracle gate (the
     // reference's distinct aggregate on an UPDATING input, via the
     // generated DistinctAccumulator's MapView): per user-group, the
@@ -1363,6 +1400,16 @@ object ReplayQueries {
       FROM p
       WHERE NOT EXISTS (SELECT 1 FROM k
                         WHERE k.user_id = p.user_id AND k.c >= 14)""",
+
+    "q308_stream_window_join" -> """
+      SELECT p.event_id AS p_id, c.event_id AS c_id
+      FROM (SELECT event_id, user_id,
+                   date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+            FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT event_id, user_id,
+                   date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+            FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.d = c.d""",
 
     "q307_stream_distinct_agg" -> """
       WITH p AS (

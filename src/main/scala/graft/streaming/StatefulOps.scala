@@ -58,47 +58,89 @@ object StatefulOps {
    * keeps the n best (score, payload) per key; emits the key's refreshed
    * top list whenever it changes (update semantics, like the reference's
    * retract + emit new rank list).
+   *
+   * `ttl` is the idle-state retention of [[Changelog.IdleStateTtl]]
+   * (the reference applies `table.exec.state.ttl` to ALL keyed state,
+   * rank buffers included): a key idle past the TTL folds from a FRESH
+   * empty buffer on its next arrival (lazy expiry); `reclaimTimers`
+   * additionally reclaims memory of keys that never return (same
+   * caveat as the changelog family — never in a replay harness).
    */
   def topNPerKey[K: Encoder, V](
       grouped: KeyValueGroupedDataset[K, V],
       n: Int,
       score: V => Double,
-      tiebreak: V => Long)(
+      tiebreak: V => Long,
+      ttl: Option[Changelog.IdleStateTtl] = None)(
       implicit ve: Encoder[V],
-      se: Encoder[Seq[(Double, Long, V)]],
-      oe: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
-    grouped.flatMapGroupsWithState[Seq[(Double, Long, V)], (K, Seq[V])](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-      (key: K, values: Iterator[V], state: GroupState[Seq[(Double, Long, V)]]) =>
-        val cur = state.getOption.getOrElse(Seq.empty)
+      se: Encoder[(Seq[(Double, Long, V)], Long)],
+      oe: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] = {
+    val timeoutConf =
+      if (ttl.exists(_.reclaimTimers)) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    grouped.flatMapGroupsWithState[(Seq[(Double, Long, V)], Long), (K, Seq[V])](
+        OutputMode.Update, timeoutConf) {
+      (key: K, values: Iterator[V], state: GroupState[(Seq[(Double, Long, V)], Long)]) =>
+       if (state.hasTimedOut) { state.remove(); Iterator.empty }
+       else {
+        val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+        // lazy expiry: a key idle past the TTL folds from a fresh buffer
+        val cur = state.getOption
+          .filter { case (_, last) => ttl.forall(t => now - last <= t.ms) }
+          .map(_._1).getOrElse(Seq.empty)
         val merged = (cur ++ values.map(v => (score(v), tiebreak(v), v)))
           .sortBy(t => (-t._1, t._2))
           .take(n)
-        if (merged != cur) {
-          state.update(merged)
-          Iterator((key, merged.map(_._3)))
-        } else Iterator.empty
+        // always (re)store: every arrival refreshes the idle clock, like
+        // the reference's cleanup-timer reset on access
+        state.update((merged, now))
+        ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
+        if (merged != cur) Iterator((key, merged.map(_._3)))
+        else Iterator.empty
+       }
     }
+  }
 
   /**
    * Streaming dedup keep-LAST per key (DeduplicateKeepLastRowFunction.java:
    * 36 analogue): latest row per key by event time wins; emits each time
    * the winner changes (update semantics — the -U/+U retraction pair of
    * the reference collapses to the new row in SS update mode).
+   *
+   * `ttl`: idle-state retention, as [[topNPerKey]] — an expired key's
+   * next row wins unconditionally (fresh state), even if an older-by-
+   * event-time row had won before the key went idle (exactly the
+   * documented staleness trade of the reference's dedup under state
+   * TTL).
    */
   def dedupKeepLast[K: Encoder, V](
       grouped: KeyValueGroupedDataset[K, V],
       eventTime: V => Long,
-      tiebreak: V => Long)(
-      implicit ve: Encoder[V], oe: Encoder[(K, V)]): Dataset[(K, V)] =
-    grouped.flatMapGroupsWithState[V, (K, V)](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-      (key: K, values: Iterator[V], state: GroupState[V]) =>
-        val candidates = state.getOption.iterator ++ values
+      tiebreak: V => Long,
+      ttl: Option[Changelog.IdleStateTtl] = None)(
+      implicit ve: Encoder[V], oe: Encoder[(K, V)],
+      se: Encoder[(V, Long)]): Dataset[(K, V)] = {
+    val timeoutConf =
+      if (ttl.exists(_.reclaimTimers)) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    grouped.flatMapGroupsWithState[(V, Long), (K, V)](
+        OutputMode.Update, timeoutConf) {
+      (key: K, values: Iterator[V], state: GroupState[(V, Long)]) =>
+       if (state.hasTimedOut) { state.remove(); Iterator.empty }
+       else {
+        val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+        // lazy expiry: an idle key's previous winner no longer competes
+        val prev = state.getOption
+          .filter { case (_, last) => ttl.forall(t => now - last <= t.ms) }
+          .map(_._1)
+        val candidates = prev.iterator ++ values
         val winner = candidates.maxBy(v => (eventTime(v), tiebreak(v)))
-        val changed = state.getOption.forall(prev =>
-          (eventTime(prev), tiebreak(prev)) != (eventTime(winner), tiebreak(winner)))
-        state.update(winner)
+        val changed = prev.forall(p =>
+          (eventTime(p), tiebreak(p)) != (eventTime(winner), tiebreak(winner)))
+        state.update((winner, now))
+        ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
         if (changed) Iterator((key, winner)) else Iterator.empty
+       }
     }
+  }
 }

@@ -27,7 +27,7 @@ class OverWindowSpec extends AnyFunSuite {
   private def runStreamAgg[A](frame: OverWindow.Frame,
                               agg: OverWindow.FoldAgg[OEv, A],
                               tag: String)(
-      implicit se: org.apache.spark.sql.Encoder[(Seq[OEv], Seq[OEv], A)])
+      implicit se: org.apache.spark.sql.Encoder[(Seq[OEv], Seq[OEv], A, Long)])
       : Set[(Long, Long, Long, Double)] = {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double)]

@@ -442,4 +442,86 @@ class StreamingSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 4L))
   }
+
+  // ---- idle-state TTL on the remaining stateful operators (the
+  // reference's table.exec.state.ttl applies to ALL keyed state, not
+  // just joins/aggs: rank buffers, dedup winners, over-windows) ----
+
+  import graft.streaming.Changelog.IdleStateTtl
+
+  test("TTL top-n: an expired key's buffer restarts from the re-arrival") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SEv]
+    val ds = StatefulOps.topNPerKey[Long, SEv](
+      mem.toDS().groupByKey(_.user_id), 3, _.value, _.event_id,
+      ttl = Some(IdleStateTtl(2000L)))
+    val q = ds.toDF("user_id", "top").writeStream
+      .format("memory").queryName("s_topn_ttl")
+      .outputMode(OutputMode.Update).start()
+    val t0 = new Timestamp(1700000000000L)
+    try {
+      mem.addData(SEv(1, t0, 1, "a", 9.0)); q.processAllAvailable()
+      Thread.sleep(4500L) // idle past retention: the rank buffer expires
+      mem.addData(SEv(2, t0, 1, "a", 5.0)); q.processAllAvailable()
+    } finally q.stop()
+    val tops = spark.table("s_topn_ttl").collect().map(
+      _.getSeq[org.apache.spark.sql.Row](1)
+        .map(_.getAs[Long]("event_id")).toList).toList
+    // second emission is [2] alone — had state lived it would be [1, 2]
+    assert(tops == List(List(1L), List(2L)))
+  }
+
+  test("TTL dedup keep-last: an expired key's next row wins even if older by event time") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SEv]
+    val ds = StatefulOps.dedupKeepLast[Long, SEv](
+      mem.toDS().groupByKey(_.user_id), _.ts.getTime, _.event_id,
+      ttl = Some(IdleStateTtl(2000L)))
+    val q = ds.toDF("user_id", "ev").writeStream
+      .format("memory").queryName("s_last_ttl")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(SEv(1, new Timestamp(10000L), 1, "a", 0.0))
+      q.processAllAvailable()
+      Thread.sleep(4500L) // winner state expires
+      // event-time OLDER than the expired winner — wins from fresh state
+      // (the documented staleness trade of dedup under idle-state TTL)
+      mem.addData(SEv(2, new Timestamp(5000L), 1, "a", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s_last_ttl").select("ev.event_id")
+      .as[Long].collect().toList
+    assert(got == List(1L, 2L))
+  }
+
+  test("TTL over-window: an expired key's running aggregate restarts") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.OverWindow
+    val mem = MemoryStream[(Long, Long, Double)]
+    val base = 1700000000000L
+    val ds = mem.toDS()
+      .withColumn("ets", (($"_2" + base) / 1000).cast("timestamp"))
+      .select($"_1".as("k"), ($"_2" + base).as("t"), $"_3".as("v"), $"ets")
+      .withWatermark("ets", "1 second")
+      .as[OEv]
+    val out = OverWindow.overAgg[Long, OEv, Double](
+      ds.groupByKey(_.k), _.t, _.v.toLong, _.v,
+      OverWindow.sumAgg[OEv](_.v), OverWindow.UnboundedPreceding,
+      ttl = Some(IdleStateTtl(2000L)))
+    val q = out.writeStream.format("memory").queryName("s_over_ttl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // phase 1: two rows then a watermark carrier → running sums 2, 5
+      mem.addData((1L, 1000L, 2.0), (1L, 3000L, 3.0), (9L, 10000000L, 0.0))
+      q.processAllAvailable()
+      Thread.sleep(4500L) // key 1 idle past retention: accumulator expires
+      // phase 2: a later row + carrier → sum restarts at 7, not 12
+      mem.addData((1L, 15000000L, 7.0), (9L, 30000000L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s_over_ttl")
+      .as[(Long, Long, Long, Double)].collect()
+      .filter(_._1 == 1L).sortBy(_._2).map(_._4).toList
+    assert(got == List(2.0, 5.0, 7.0))
+  }
 }
