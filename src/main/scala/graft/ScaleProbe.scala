@@ -73,7 +73,10 @@ object ScaleProbe {
       "q129_dup_clusters", "q271_canonical_docs",   // trigram edges + CC
       "q247_substring_dedup",                       // winnowing spans
       "q262_gopher_rules",                          // quality battery
-      "q286_embedding_gram", "q290_source_overlap") // moments / digests
+      "q286_embedding_gram", "q290_source_overlap", // moments / digests
+      "q158_bpe_pairs",                             // char-pair top-20
+      "q249_dsir_weights",                          // hashed-bucket imp. wts
+      "q149_winnow_pairs")                          // winnow digest pairs
     val parts = probes.map { q =>
       // Warm codegen/classloading on the small base before timing.
       time(q, sfDir)

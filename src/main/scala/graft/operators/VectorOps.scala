@@ -390,8 +390,93 @@ object VectorOps {
           s"- ${consts(j)}D) AS BIGINT)").as(s"p${j + 1}")
       }
       q.select(col("vec_id") +: projCols: _*)
+    }),
+
+    // Fixed-basis projection — the at-scale HALF of q299 under the hash
+    // gate: the same quantized corpus scan and zip_with/aggregate
+    // projection kernel, but onto a deterministic md5-seeded
+    // Gram-Schmidt basis ([[fixedBasis]], integer 1e-4 units) whose
+    // literals both engines share, and with mean-centering done in
+    // EXACT integers by scaling through n:
+    //   p_j = n·⟨q, b_j⟩ − ⟨S, b_j⟩   (S = per-dimension corpus sums)
+    // — algebraically n times the mean-centered projection, with no
+    // float division anywhere, so the result hash-matches DuckDB
+    // bit-for-bit. The data-dependent eigenbasis stays under q299
+    // (rows-only + PcaSpec). Two narrow passes over the checkpointed
+    // quantized frame: a 64-sum aggregate (driver gets 65 numbers) and
+    // the embarrassingly parallel projection scan. Long-safe for
+    // n·|q|·|b|·d up to ~6e17, i.e. corpora to ~1e9 vectors at these
+    // quantizations (documented key-range bound).
+    "q309_basis_project" -> ((s, dir) => {
+      val q = quantizedEmbeddings(s, dir).localCheckpoint()
+      val b = fixedBasis
+      val srow = q.select(
+        (0 until 64).map(i => sum(expr(s"q[$i]")).as(s"s$i")) :+
+          count(lit(1)).as("n"): _*).head()
+      val sums = Array.tabulate(64)(i => srow.getLong(i))
+      val n = srow.getLong(64)
+      val projCols = b.zipWithIndex.map { case (bj, j) =>
+        val arr = bj.mkString("array(", "L, ", "L)")
+        val dotS = bj.zip(sums).map { case (x, y) => x * y }.sum
+        expr(s"aggregate(zip_with(q, $arr, (a, b) -> a * b), 0L, " +
+          s"(acc, x) -> acc + x) * ${n}L - ${dotS}L").as(s"p${j + 1}")
+      }
+      q.select(col("vec_id") +: projCols.toSeq: _*)
     })
   )
+
+  /** Deterministic projection basis for q309: 8 pseudo-random 64-dim
+    * vectors seeded from md5("graft-basis-j-i"), modified-Gram-Schmidt
+    * orthonormalized in double precision, then quantized to integer
+    * 1e-4 units. A pure function of nothing — the Spark plan and the
+    * DuckDB oracle both consume the SAME integer literals, which is
+    * what lets an "orthonormal-basis projection" sit under the exact
+    * hash gate at all. */
+  private[graft] lazy val fixedBasis: Array[Array[Long]] = {
+    val (k, d) = (8, 64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val raw = Array.tabulate(k, d) { (j, i) =>
+      val h = md.digest(s"graft-basis-$j-$i".getBytes("UTF-8"))
+      (java.nio.ByteBuffer.wrap(h).getLong % 1000L).toDouble
+    }
+    val vs = raw.map(_.clone)
+    for (j <- 0 until k) {
+      for (p <- 0 until j) {
+        val dot = (0 until d).map(i => vs(j)(i) * vs(p)(i)).sum
+        for (i <- 0 until d) vs(j)(i) -= dot * vs(p)(i)
+      }
+      val nrm = math.sqrt(vs(j).map(x => x * x).sum)
+      for (i <- 0 until d) vs(j)(i) /= nrm
+    }
+    vs.map(_.map(x => math.round(x * 10000.0)))
+  }
+
+  /** q309's oracle, generated from the same [[fixedBasis]] literals.
+    * DuckDB lists are 1-based; sums and projections are cast back to
+    * BIGINT (DuckDB promotes sum(BIGINT) to HUGEINT, which the driver
+    * hash cannot represent). */
+  private def q309OracleSql: String = {
+    val b = fixedBasis
+    val sCols = (0 until 64)
+      .map(i => s"CAST(sum(q[${i + 1}]) AS BIGINT) AS s$i").mkString(", ")
+    val pCols = b.zipWithIndex.map { case (bj, j) =>
+      val dotQ = bj.zipWithIndex.map { case (x, i) =>
+        s"q[${i + 1}]*(${x})" }.mkString(" + ")
+      val dotS = bj.zipWithIndex.map { case (x, i) =>
+        s"s.s${i}*(${x})" }.mkString(" + ")
+      s"CAST(($dotQ) * s.n - ($dotS) AS BIGINT) AS p${j + 1}"
+    }.mkString(",\n             ")
+    s"""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        FROM embeddings),
+      s AS (SELECT $sCols, count(*) AS n FROM q)
+      SELECT vec_id,
+             $pCols
+      FROM q, s"""
+  }
 
   /** The milli-quantized embedding corpus (vec_id, q) — caller decides
     * whether to checkpoint (q299 does, once, for all downstream reads). */
@@ -574,6 +659,8 @@ object VectorOps {
 
   val oracle: Map[String, String] = Map(
     "q254_kmeans" -> q254OracleSql,
+
+    "q309_basis_project" -> q309OracleSql,
 
     "q286_embedding_gram" -> """
       WITH q AS (

@@ -74,4 +74,19 @@ class PcaSpec extends AnyFunSuite {
         s"projected variance $v vs eigenvalue $ev")
     }
   }
+
+  test("q309 fixed basis is orthonormal up to its 1e-4 quantization") {
+    val b = graft.operators.VectorOps.fixedBasis
+    assert(b.length == 8 && b.forall(_.length == 64))
+    val scale = 1e4
+    for (j <- b.indices) {
+      val norm2 = b(j).map(x => x.toDouble * x).sum / (scale * scale)
+      assert(math.abs(norm2 - 1.0) < 1e-2, s"row $j norm² $norm2")
+      for (p <- 0 until j) {
+        val dot = b(j).zip(b(p)).map { case (x, y) => x.toDouble * y }.sum /
+          (scale * scale)
+        assert(math.abs(dot) < 1e-2, s"rows $j x $p dot $dot")
+      }
+    }
+  }
 }
