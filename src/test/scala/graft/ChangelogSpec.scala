@@ -964,6 +964,35 @@ class ChangelogSpec extends AnyFunSuite {
       ("-D", 13L, 6.0, 9L), ("-D", 10L, 5.0, 10L))) // batch 6: drain
   }
 
+  test("updatable Top-N mode: +U with a unique rowId upserts in place, no -U needed") {
+    // the reference's UpdatableTopNFunction case (input has a unique key
+    // per rank row and sends updates WITHOUT retraction messages):
+    // topNChangelog's insert arm REPLACES the rowId's score, so the
+    // upsert-only protocol is the same operator with no -U traffic
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    val out = Changelog.topNChangelog[CRow](
+      mem.toDS().groupByKey(_.key), n = 2,
+      kind = _.kind, score = _.value, rowId = _.ord)
+    val q = out.writeStream.format("memory").queryName("cl_topn_upd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(CRow(1, "+I", 5.0, 10), CRow(1, "+I", 9.0, 11))
+      q.processAllAvailable()
+      // bare +U (no -U): id 10's score jumps to 12 → overtakes 11
+      mem.addData(CRow(1, "+U", 12.0, 10)); q.processAllAvailable()
+      // bare +U dropping id 10 below id 11 but still in the slice
+      mem.addData(CRow(1, "+U", 7.0, 10)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_topn_upd")
+      .select("kind", "rowId", "score", "ord")
+      .as[(String, Long, Double, Long)].collect().toList.sortBy(_._4)
+    assert(got == List(
+      ("+I", 11L, 9.0, 1L), ("+I", 10L, 5.0, 2L),   // batch 1, rank order
+      ("-U", 10L, 5.0, 3L), ("+U", 10L, 12.0, 4L),  // in-place upsert
+      ("-U", 10L, 12.0, 5L), ("+U", 10L, 7.0, 6L))) // still ranked
+  }
+
   test("retract Top-N over an updating aggregate == batch row_number dual") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]
