@@ -56,7 +56,7 @@ object CurationOps {
     * it), so a session that sets `spark.graft.sourceCap` gets an oracle
     * baked with the same value the Spark plan used — they cannot diverge. */
   private def sourceCapEff: Int =
-    SparkSession.getActiveSession
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .flatMap(_.conf.getOption("spark.graft.sourceCap"))
       .map(_.toInt).getOrElse(sourceCap)
 

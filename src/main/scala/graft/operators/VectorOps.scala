@@ -413,8 +413,10 @@ object VectorOps {
       val srow = q.select(
         (0 until 64).map(i => sum(expr(s"q[$i]")).as(s"s$i")) :+
           count(lit(1)).as("n"): _*).head()
-      val sums = Array.tabulate(64)(i => srow.getLong(i))
       val n = srow.getLong(64)
+      // empty corpus: sum() is null — degrade to the (empty) projection
+      // instead of an NPE at plan-build time
+      val sums = Array.tabulate(64)(i => if (n == 0L) 0L else srow.getLong(i))
       val projCols = b.zipWithIndex.map { case (bj, j) =>
         val arr = bj.mkString("array(", "L, ", "L)")
         val dotS = bj.zip(sums).map { case (x, y) => x * y }.sum

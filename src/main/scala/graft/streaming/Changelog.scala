@@ -350,11 +350,11 @@ object Changelog {
           val out =
             rows(removed, if (total == 0L) Delete else UpdateBefore) ++
             rows(added, if (t0 == 0L) Insert else UpdateAfter)
-          if (lm.isEmpty && rm.isEmpty) state.remove()
-          else {
-            state.update((lm.toSeq, rm.toSeq, n, total, now))
-            ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
-          }
+          // drained keys keep an O(1) tombstone with the ord counter —
+          // see topNChangelog: a reset counter would let a stale -D
+          // outrank a post-drain +I under `materialize`
+          state.update((lm.toSeq, rm.toSeq, n, total, now))
+          ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
           out.iterator
          }
       }
@@ -590,13 +590,13 @@ object Changelog {
           val out =
             rows(removed, if (total == 0L) Delete else UpdateBefore) ++
             rows(added, if (t0 == 0L) Insert else UpdateAfter)
-          if (lm.isEmpty && rm.isEmpty) state.remove()
-          else {
-            state.update((
-              lm.toSeq.map { case (p, (c, a)) => (p, c, a) },
-              rm.toSeq.map { case (p, (c, a)) => (p, c, a) }, n, total, now))
-            ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
-          }
+          // drained keys keep an O(1) tombstone with the ord counter —
+          // see topNChangelog: a reset counter would let a stale -D
+          // outrank a post-drain +I under `materialize`
+          state.update((
+            lm.toSeq.map { case (p, (c, a)) => (p, c, a) },
+            rm.toSeq.map { case (p, (c, a)) => (p, c, a) }, n, total, now))
+          ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
           out.iterator
          }
       }
@@ -669,11 +669,17 @@ object Changelog {
         values.foreach { v =>
           kind(v) match {
             case Insert | UpdateAfter => live += (rowId(v) -> score(v))
-            case Delete | UpdateBefore => live -= rowId(v) // absent ⇒ stale
+            case Delete | UpdateBefore =>
+              // remove only when the retracted SCORE matches the live
+              // row — the join family's payload-equality staleness
+              // guard, which also makes an upstream update's -U/+U pair
+              // order-insensitive within a batch (Spark contracts no
+              // intra-group value order: if +U(new) lands first, the
+              // late -U(old) no longer matches and is ignored)
+              if (live.get(rowId(v)).contains(score(v))) live -= rowId(v)
             case Touch => ()
           }
         }
-        if (live.isEmpty) state.remove()
         val t0s = topOf(live0)
         val t1s = topOf(live)
         val removed = t0s.filterNot(t1s.contains)
@@ -694,9 +700,14 @@ object Changelog {
             TopNChange(key, if (removedIds(id)) UpdateAfter else Insert,
                        id, sc, ord)
           }
-        if (live.nonEmpty) state.update((live, ord, now))
-        ttl.filter(_.reclaimTimers).foreach { t =>
-          if (live.nonEmpty) state.setTimeoutDuration(t.ms) }
+        // a drained key keeps an O(1) TOMBSTONE carrying the ord counter:
+        // removing it would restart ord at 0 on re-arrival, and a stale
+        // -D from the drain batch would then outrank the fresh +I under
+        // `materialize` (ord desc), silently deleting a live row. With
+        // TTL, tombstones expire like any state — the clock-epoch ord
+        // keeps the per-key log ordered across expiry instead.
+        state.update((live, ord, now))
+        ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
         out.iterator
        }
     }
@@ -865,13 +876,13 @@ object Changelog {
           val out =
             rows(removed, if (total == 0L) Delete else UpdateBefore) ++
             rows(added, if (t0 == 0L) Insert else UpdateAfter)
-          if (lm.isEmpty && rm.isEmpty) state.remove()
-          else {
-            state.update((
-              lm.toSeq.map { case (p, (c, a)) => (p, c, a) },
-              rm.toSeq, n, total, now))
-            ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
-          }
+          // drained keys keep an O(1) tombstone with the ord counter —
+          // see topNChangelog: a reset counter would let a stale -D
+          // outrank a post-drain +I under `materialize`
+          state.update((
+            lm.toSeq.map { case (p, (c, a)) => (p, c, a) },
+            rm.toSeq, n, total, now))
+          ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
           out.iterator
          }
       }

@@ -114,11 +114,14 @@ object ReplayQueries {
   private val stageCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** The sorted file-scan root paths of `dfs`' analyzed plans — the part
-    * of frame identity a canonicalized plan string omits. Covers v1
-    * (`LogicalRelation`/`HadoopFsRelation`) and DSv2 relations. */
-  private def sourceRoots(dfs: DataFrame*): String =
-    dfs.flatMap(_.queryExecution.analyzed.collect {
+  /** The sorted file-scan root paths of ONE frame's analyzed plan — the
+    * part of frame identity a canonicalized plan string omits. Covers v1
+    * (`LogicalRelation`/`HadoopFsRelation`) and DSv2 relations. Callers
+    * concatenate PER FRAME, in argument order — one merged sorted set
+    * across frames could not tell `stageOrdered(main@A, sentinel@B)`
+    * from `stageOrdered(main@B, sentinel@A)`. */
+  private def sourceRoots(df: DataFrame): String =
+    Seq(df).flatMap(_.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -163,7 +166,8 @@ object ReplayQueries {
    */
   private def stageOrdered(df: DataFrame, tsCol: String, n: Int,
                            sentinel: DataFrame): (String, String, String) = {
-    val key = s"ordered|$tsCol|$n|" + sourceRoots(df, sentinel) + "|" +
+    val key = s"ordered|$tsCol|$n|" + sourceRoots(df) + "||" +
+      sourceRoots(sentinel) + "|" +
       df.queryExecution.logical.canonicalized.toString +
       sentinel.queryExecution.logical.canonicalized.toString
     val in = cachedIn(key) { in =>
@@ -226,7 +230,8 @@ object ReplayQueries {
   private def stageWithLate(main: DataFrame, tsCol: String, n: Int,
                             sentinel: DataFrame,
                             late: DataFrame): (String, String, String) = {
-    val key = s"late|$tsCol|$n|" + sourceRoots(main, sentinel, late) + "|" +
+    val key = s"late|$tsCol|$n|" + sourceRoots(main) + "||" +
+      sourceRoots(sentinel) + "||" + sourceRoots(late) + "|" +
       main.queryExecution.logical.canonicalized.toString +
       sentinel.queryExecution.logical.canonicalized.toString +
       late.queryExecution.logical.canonicalized.toString

@@ -964,6 +964,56 @@ class ChangelogSpec extends AnyFunSuite {
       ("-D", 13L, 6.0, 9L), ("-D", 10L, 5.0, 10L))) // batch 6: drain
   }
 
+  test("retract Top-N: drain-then-rearrive stays materialize-safe (ord never restarts)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    val out = Changelog.topNChangelog[CRow](
+      mem.toDS().groupByKey(_.key), n = 2,
+      kind = _.kind, score = _.value, rowId = _.ord)
+    val q = out.writeStream.format("memory").queryName("cl_topn_drain")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(CRow(1, "+I", 5.0, 10)); q.processAllAvailable()
+      mem.addData(CRow(1, "-D", 5.0, 10)); q.processAllAvailable() // drain
+      mem.addData(CRow(1, "+I", 6.0, 10)); q.processAllAvailable() // return
+    } finally q.stop()
+    // the drain batch's -D must NOT outrank the post-drain +I: the ord
+    // counter survives the drain in a tombstone, so materialize on
+    // (key,rowId) yields the live row
+    val fin = Changelog.materialize(
+      spark.table("cl_topn_drain")
+        .withColumn("mk", col("key") * 1000000L + col("rowId")),
+      "mk", "kind", "ord")
+      .select("rowId", "score").as[(Long, Double)].collect().toList
+    assert(fin == List((10L, 6.0)))
+  }
+
+  test("semi join: drain-then-rearrive stays materialize-safe (ord never restarts)") {
+    implicit val sc = spark.sqlContext
+    val lMem = MemoryStream[CRow]
+    val rMem = MemoryStream[CRow]
+    val left = lMem.toDS().map(c => (c.key, c.kind, LSide(c.value)))
+    val right = rMem.toDS().map(c => (c.key, c.kind, RSide(c.value)))
+    val out = Changelog.joinChangelogSemi(left, right)
+    val q = out.writeStream.format("memory").queryName("cl_semi_drain")
+      .outputMode(OutputMode.Append).start()
+    try {
+      lMem.addData(CRow(1, "+I", 5.0, 1))
+      rMem.addData(CRow(1, "+I", 100.0, 1))
+      q.processAllAvailable()                                   // member
+      lMem.addData(CRow(1, "-D", 5.0, 2))
+      rMem.addData(CRow(1, "-D", 100.0, 2))
+      q.processAllAvailable()                                   // drain
+      lMem.addData(CRow(1, "+I", 7.0, 3))
+      rMem.addData(CRow(1, "+I", 200.0, 3))
+      q.processAllAvailable()                                   // return
+    } finally q.stop()
+    val fin = Changelog.materialize(
+      spark.table("cl_semi_drain"), "key", "kind", "ord")
+      .selectExpr("left.v").as[Double].collect().toList
+    assert(fin == List(7.0))
+  }
+
   test("updatable Top-N mode: +U with a unique rowId upserts in place, no -U needed") {
     // the reference's UpdatableTopNFunction case (input has a unique key
     // per rank row and sends updates WITHOUT retraction messages):
