@@ -85,6 +85,36 @@ object AnnOps {
                 round(col("cos"), 6).as("sim"), col("bucket"))
     }),
 
+    // Int8 scalar-quantized ANN (the FAISS IndexScalarQuantizer QT_8bit
+    // shape — the other classic compression path beside LSH/IVF): each
+    // embedding compresses 4x to 64 int8 codes under a FIXED symmetric
+    // [-1, 1] range (the trained-range contract of SQ8; these
+    // embeddings are unit-scale, and the clamp enforces the contract on
+    // outliers), and candidate ranking runs ENTIRELY on integer code
+    // dot products — the in-RAM distance scan an IVF list serves at
+    // 100 TB (compose with q85's IVF buckets; this gate measures the SQ
+    // kernel: 10 broadcast queries × a single candidate scan, top-5 via
+    // the rank window's group limit). All-integer after one proven
+    // round() per component → bit-exact oracle.
+    "q310_sq8_ann" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> greatest(-127L, least(127L, " +
+          "CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT))))").as("q8"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("q8").as("qa"))
+      val c = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("q8").as("qb"))
+      val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("cand_id"))
+      c.crossJoin(broadcast(q))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(qa, qb, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("cand_id"), col("rnk").cast("int").as("rnk"),
+                col("dot"))
+    }),
+
     // Bucket histogram: distribution diagnostics for the LSH table.
     "q43_ann_buckets" -> ((s, dir) => {
       Tables.table(s, dir, "embeddings")
@@ -217,7 +247,28 @@ object AnnOps {
                  AS bucket
         FROM proj GROUP BY vec_id)"""
 
+    val sq8DotTerms = (1 to Dims).map(i => s"qa[$i]*qb[$i]").mkString(" + ")
     Map(
+      "q310_sq8_ann" -> s"""
+      WITH q8 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> greatest(-127, least(127,
+                 CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT)))) AS q8
+        FROM embeddings),
+      q AS (SELECT vec_id AS q_id, q8 AS qa FROM q8 WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cand_id, q8 AS qb FROM q8 WHERE vec_id >= 10),
+      scored AS (
+        SELECT q_id, cand_id,
+               CAST($sq8DotTerms AS BIGINT) AS dot
+        FROM c, q),
+      ranked AS (
+        SELECT q_id, cand_id, dot,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY dot DESC, cand_id) AS rnk
+        FROM scored)
+      SELECT q_id, cand_id, CAST(rnk AS INT) AS rnk, dot
+      FROM ranked WHERE rnk <= 5""",
+
       "q42_ann_lsh" -> s"""
       WITH $bucketCte,
       q AS (SELECT b.vec_id AS q_id, v.e AS qe, b.bucket
