@@ -36,6 +36,13 @@ object AnnOps {
   val Planes = 6
   val Dims = 64
 
+  /** Int8 scalar quantization of the embedding column (q310/q311):
+    * fixed symmetric [-1, 1] range, clamped — one proven round() per
+    * component, identical in the DuckDB oracles. */
+  private val Sq8Expr =
+    "transform(embedding, x -> greatest(-127L, least(127L, " +
+    "CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT))))"
+
   /** 60-bit md5 hash of a string — must equal the SQL h60 in DedupOps. */
   private def h60(s: String): Long = {
     val hex = MessageDigest.getInstance("MD5")
@@ -98,9 +105,7 @@ object AnnOps {
     // round() per component → bit-exact oracle.
     "q310_sq8_ann" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
-        .select(col("vec_id"), expr(
-          "transform(embedding, x -> greatest(-127L, least(127L, " +
-          "CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT))))").as("q8"))
+        .select(col("vec_id"), expr(Sq8Expr).as("q8"))
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("q8").as("qa"))
       val c = emb.filter(col("vec_id") >= 10)
@@ -113,6 +118,51 @@ object AnnOps {
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("cand_id"), col("rnk").cast("int").as("rnk"),
                 col("dot"))
+    }),
+
+    // IVF-SQ8 — the standard composed ANN index (FAISS "IVF<K>,SQ8"):
+    // q85's coarse quantizer shape (md5-seeded K centroids, candidates
+    // assigned to their best list, queries probe nprobe lists) with
+    // q310's int8 codes as BOTH the residual-free storage format AND
+    // the distance kernel — coarse assignment, probing, and final
+    // ranking all run on integer code dot products, so the whole index
+    // path is bit-exact under the oracle. Scale: the candidate side is
+    // ONE scan + a K-row broadcast (assignment) and the serving join
+    // touches only probed lists (nprobe/K of the corpus), with 4×
+    // compressed codes — the composition q310's scaladoc promises.
+    "q311_ivf_sq8" -> ((s, dir) => {
+      val k = 8
+      val nprobe = 2
+      def idot(a: String, b: String) = expr(
+        s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), expr(Sq8Expr).as("q8"))
+      val cents = emb
+        .withColumn("mk", md5(col("vec_id").cast("string")))
+        .orderBy(col("mk"), col("vec_id")).limit(k)
+        .select(col("vec_id").as("cid"), col("q8").as("cent"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("d").desc, col("cid"))
+      val assigned = emb.filter(col("vec_id") >= 10)
+        .crossJoin(broadcast(cents))
+        .withColumn("d", idot("q8", "cent"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id").as("cand_id"), col("q8").as("qb"), col("cid"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .crossJoin(broadcast(cents))
+        .withColumn("d", idot("q8", "cent"))
+        .withColumn("prn", row_number().over(wAssign))
+        .filter(col("prn") <= nprobe)
+        .select(col("vec_id").as("q_id"), col("q8").as("qa"), col("cid"))
+      val wTop = Window.partitionBy("q_id")
+        .orderBy(col("dot").desc, col("cand_id"))
+      broadcast(probes).join(assigned, "cid")
+        .withColumn("dot", idot("qa", "qb"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("cand_id"), col("rnk").cast("int").as("rnk"),
+                col("dot"), col("cid"))
     }),
 
     // Bucket histogram: distribution diagnostics for the LSH table.
@@ -248,7 +298,45 @@ object AnnOps {
         FROM proj GROUP BY vec_id)"""
 
     val sq8DotTerms = (1 to Dims).map(i => s"qa[$i]*qb[$i]").mkString(" + ")
+    def idotSql(a: String, b: String) =
+      (1 to Dims).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
     Map(
+      "q311_ivf_sq8" -> s"""
+      WITH q8 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> greatest(-127, least(127,
+                 CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT)))) AS q8
+        FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cid, q8 AS cent FROM q8
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      assigned AS (
+        SELECT vec_id AS cand_id, q8 AS qb, cid FROM (
+          SELECT v.vec_id, v.q8, c.cid,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY (${idotSql("v.q8", "c.cent")}) DESC, c.cid)
+                   AS arn
+          FROM q8 v CROSS JOIN cents c WHERE v.vec_id >= 10) x
+        WHERE arn = 1),
+      probes AS (
+        SELECT vec_id AS q_id, q8 AS qa, cid FROM (
+          SELECT v.vec_id, v.q8, c.cid,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY (${idotSql("v.q8", "c.cent")}) DESC, c.cid)
+                   AS prn
+          FROM q8 v CROSS JOIN cents c WHERE v.vec_id < 10) x
+        WHERE prn <= 2),
+      scored AS (
+        SELECT p.q_id, a.cand_id, a.cid,
+               CAST(${idotSql("p.qa", "a.qb")} AS BIGINT) AS dot
+        FROM probes p JOIN assigned a USING (cid)),
+      ranked AS (
+        SELECT q_id, cand_id, cid, dot,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY dot DESC, cand_id) AS rnk
+        FROM scored)
+      SELECT q_id, cand_id, CAST(rnk AS INT) AS rnk, dot, cid
+      FROM ranked WHERE rnk <= 5""",
       "q310_sq8_ann" -> s"""
       WITH q8 AS (
         SELECT vec_id,
