@@ -135,8 +135,11 @@ object AnnOps {
       val nprobe = 2
       def idot(a: String, b: String) = expr(
         s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+      // checkpoint: the quantized corpus feeds THREE subtrees (centroid
+      // pick, candidate assignment, probe side) — one scan, not three
       val emb = Tables.table(s, dir, "embeddings")
         .select(col("vec_id"), expr(Sq8Expr).as("q8"))
+        .localCheckpoint()
       val cents = emb
         .withColumn("mk", md5(col("vec_id").cast("string")))
         .orderBy(col("mk"), col("vec_id")).limit(k)
@@ -297,16 +300,19 @@ object AnnOps {
                  AS bucket
         FROM proj GROUP BY vec_id)"""
 
-    val sq8DotTerms = (1 to Dims).map(i => s"qa[$i]*qb[$i]").mkString(" + ")
     def idotSql(a: String, b: String) =
       (1 to Dims).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
-    Map(
-      "q311_ivf_sq8" -> s"""
-      WITH q8 AS (
+    val sq8DotTerms = idotSql("qa", "qb")
+    // one shared quantization CTE for the SQ8 oracles — the Scala side
+    // is the single Sq8Expr; these two must stay in lockstep
+    val q8Cte = """q8 AS (
         SELECT vec_id,
                list_transform(embedding, x -> greatest(-127, least(127,
                  CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT)))) AS q8
-        FROM embeddings),
+        FROM embeddings)"""
+    Map(
+      "q311_ivf_sq8" -> s"""
+      WITH $q8Cte,
       cents AS (
         SELECT vec_id AS cid, q8 AS cent FROM q8
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
@@ -338,11 +344,7 @@ object AnnOps {
       SELECT q_id, cand_id, CAST(rnk AS INT) AS rnk, dot, cid
       FROM ranked WHERE rnk <= 5""",
       "q310_sq8_ann" -> s"""
-      WITH q8 AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> greatest(-127, least(127,
-                 CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT)))) AS q8
-        FROM embeddings),
+      WITH $q8Cte,
       q AS (SELECT vec_id AS q_id, q8 AS qa FROM q8 WHERE vec_id < 10),
       c AS (SELECT vec_id AS cand_id, q8 AS qb FROM q8 WHERE vec_id >= 10),
       scored AS (

@@ -352,9 +352,13 @@ object Changelog {
             rows(added, if (t0 == 0L) Insert else UpdateAfter)
           // drained keys keep an O(1) tombstone with the ord counter —
           // see topNChangelog: a reset counter would let a stale -D
-          // outrank a post-drain +I under `materialize`
-          state.update((lm.toSeq, rm.toSeq, n, total, now))
-          ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
+          // outrank a post-drain +I under `materialize`; unknown keys
+          // that emitted nothing allocate no entry
+          if (state.getOption.isDefined || lm.nonEmpty || rm.nonEmpty ||
+              out.nonEmpty) {
+            state.update((lm.toSeq, rm.toSeq, n, total, now))
+            ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
+          }
           out.iterator
          }
       }
@@ -592,11 +596,15 @@ object Changelog {
             rows(added, if (t0 == 0L) Insert else UpdateAfter)
           // drained keys keep an O(1) tombstone with the ord counter —
           // see topNChangelog: a reset counter would let a stale -D
-          // outrank a post-drain +I under `materialize`
-          state.update((
-            lm.toSeq.map { case (p, (c, a)) => (p, c, a) },
-            rm.toSeq.map { case (p, (c, a)) => (p, c, a) }, n, total, now))
-          ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
+          // outrank a post-drain +I under `materialize`; unknown keys
+          // that emitted nothing allocate no entry
+          if (state.getOption.isDefined || lm.nonEmpty || rm.nonEmpty ||
+              out.nonEmpty) {
+            state.update((
+              lm.toSeq.map { case (p, (c, a)) => (p, c, a) },
+              rm.toSeq.map { case (p, (c, a)) => (p, c, a) }, n, total, now))
+            ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
+          }
           out.iterator
          }
       }
@@ -705,9 +713,14 @@ object Changelog {
         // -D from the drain batch would then outrank the fresh +I under
         // `materialize` (ord desc), silently deleting a live row. With
         // TTL, tombstones expire like any state — the clock-epoch ord
-        // keeps the per-key log ordered across expiry instead.
-        state.update((live, ord, now))
-        ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
+        // keeps the per-key log ordered across expiry instead. Keys that
+        // never HAD state and emitted nothing (e.g. a stale retraction
+        // for an unknown key) allocate no entry — a buggy/replayed
+        // upstream must not grow the store from nothing.
+        if (state.getOption.isDefined || live.nonEmpty || out.nonEmpty) {
+          state.update((live, ord, now))
+          ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
+        }
         out.iterator
        }
     }
@@ -878,11 +891,15 @@ object Changelog {
             rows(added, if (t0 == 0L) Insert else UpdateAfter)
           // drained keys keep an O(1) tombstone with the ord counter —
           // see topNChangelog: a reset counter would let a stale -D
-          // outrank a post-drain +I under `materialize`
-          state.update((
-            lm.toSeq.map { case (p, (c, a)) => (p, c, a) },
-            rm.toSeq, n, total, now))
-          ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
+          // outrank a post-drain +I under `materialize`; unknown keys
+          // that emitted nothing allocate no entry
+          if (state.getOption.isDefined || lm.nonEmpty || rm.nonEmpty ||
+              out.nonEmpty) {
+            state.update((
+              lm.toSeq.map { case (p, (c, a)) => (p, c, a) },
+              rm.toSeq, n, total, now))
+            ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
+          }
           out.iterator
          }
       }

@@ -121,7 +121,7 @@ object ReplayQueries {
     * across frames could not tell `stageOrdered(main@A, sentinel@B)`
     * from `stageOrdered(main@B, sentinel@A)`. */
   private def sourceRoots(df: DataFrame): String =
-    Seq(df).flatMap(_.queryExecution.analyzed.collect {
+    df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -130,7 +130,7 @@ object ReplayQueries {
         }
       case dsv2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
         Seq(dsv2.table.name())
-    }.flatten).sorted.mkString(",")
+    }.flatten.sorted.mkString(",")
   private def cachedIn(key: String)(build: String => Unit): String =
     stageCache.getOrElseUpdate(key, {
       val in = Files.createTempDirectory("graft_replay").toString + "/in"
