@@ -154,6 +154,35 @@ object VectorOps {
     // returned. Every ANN path in the engine ships with its measured
     // recall (LSH: q143/q144, IVF: here); at 100 TB the ground-truth
     // side runs on a fixed probe sample exactly as q143 documents.
+    // Recall of the COMPRESSED ANN paths (q310 SQ8 scan, q311 IVF-SQ8)
+    // against the exact float top-5 ground truth (q38) — the q168
+    // measurement discipline applied to the quantized indexes: the
+    // compression claim ("4× smaller codes, integer kernels") is only
+    // honest next to its measured accuracy cost. Per query:
+    // hits-in-top-5 and recall@5 for each path. SQ8's loss comes from
+    // quantization alone; IVF-SQ8 additionally pays the nprobe/K
+    // pruning, so recall_ivf ≤ recall_sq8 row-wise in expectation.
+    "q312_sq8_recall" -> ((s, dir) => {
+      val gt = queries("q38_cosine_topk")(s, dir)
+        .select(col("q_id"), col("cand_id"))
+      def hits(df: DataFrame, n: String) = gt.join(
+          df.select(col("q_id").as("iq"), col("cand_id").as("ic")),
+          col("q_id") === col("iq") && col("cand_id") === col("ic"))
+        .groupBy("q_id").agg(count(lit(1)).as(n))
+      val sq = hits(AnnOps.queries("q310_sq8_ann")(s, dir), "nh_sq8")
+      val iv = hits(AnnOps.queries("q311_ivf_sq8")(s, dir), "nh_ivf")
+      gt.select("q_id").distinct()
+        .join(sq, Seq("q_id"), "left")
+        .join(iv, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("nh_sq8"), lit(0L)).cast("int").as("n_hit_sq8"),
+          (coalesce(col("nh_sq8"), lit(0L)).cast("double") / lit(5.0))
+            .as("recall_sq8"),
+          coalesce(col("nh_ivf"), lit(0L)).cast("int").as("n_hit_ivf"),
+          (coalesce(col("nh_ivf"), lit(0L)).cast("double") / lit(5.0))
+            .as("recall_ivf"))
+    }),
+
     "q168_ivf_recall" -> ((s, dir) => {
       val gt = queries("q38_cosine_topk")(s, dir)
         .select(col("q_id"), col("cand_id"))
@@ -770,6 +799,27 @@ object VectorOps {
       SELECT b AS vec_id, min(a) AS dup_of, count(*) AS n_dups,
              round(max(cos), 6) AS sim
       FROM pairs WHERE cos >= 0.3 GROUP BY b""",
+
+    "q312_sq8_recall" -> s"""
+      WITH gt AS (SELECT q_id, cand_id FROM ($q38OracleSql)),
+      sq AS (SELECT q_id, cand_id FROM (${AnnOps.oracle("q310_sq8_ann")})),
+      iv AS (SELECT q_id, cand_id FROM (${AnnOps.oracle("q311_ivf_sq8")})),
+      h1 AS (
+        SELECT gt.q_id, count(*) AS nh
+        FROM gt JOIN sq ON gt.q_id = sq.q_id AND gt.cand_id = sq.cand_id
+        GROUP BY 1),
+      h2 AS (
+        SELECT gt.q_id, count(*) AS nh
+        FROM gt JOIN iv ON gt.q_id = iv.q_id AND gt.cand_id = iv.cand_id
+        GROUP BY 1)
+      SELECT q.q_id,
+             CAST(coalesce(h1.nh, 0) AS INT) AS n_hit_sq8,
+             CAST(coalesce(h1.nh, 0) AS DOUBLE) / 5.0 AS recall_sq8,
+             CAST(coalesce(h2.nh, 0) AS INT) AS n_hit_ivf,
+             CAST(coalesce(h2.nh, 0) AS DOUBLE) / 5.0 AS recall_ivf
+      FROM (SELECT DISTINCT q_id FROM gt) q
+      LEFT JOIN h1 ON q.q_id = h1.q_id
+      LEFT JOIN h2 ON q.q_id = h2.q_id""",
 
     "q168_ivf_recall" -> s"""
       WITH gt AS (SELECT q_id, cand_id FROM ($q38OracleSql)),
