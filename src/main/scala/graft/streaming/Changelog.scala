@@ -77,6 +77,12 @@ object Changelog {
    * batch's processing time (`max(prev, nowMs << 20) + i`), so `ord`
    * stays strictly increasing across a retire-then-rearrive epoch even
    * after the timeout callback dropped the counter.
+   *
+   * TTL is also what bounds DRAIN TOMBSTONES (the O(1) ord-counter
+   * entries the ord-emitting operators keep for keys whose state
+   * emptied — see topNChangelog): without retention, tombstones make
+   * state grow with EVER-SEEN keys rather than live keys, so unbounded
+   * high-churn key domains require idle-state retention in production.
    */
   final case class IdleStateTtl(ms: Long, reclaimTimers: Boolean = false)
 
@@ -717,6 +723,16 @@ object Changelog {
         // never HAD state and emitted nothing (e.g. a stale retraction
         // for an unknown key) allocate no entry — a buggy/replayed
         // upstream must not grow the store from nothing.
+        //
+        // SCALE NOTE: tombstones change state growth from LIVE keys to
+        // EVER-SEEN keys — an unbounded leak when the key domain is
+        // unbounded and high-churn (keys drain and never return).
+        // Production deployments over unbounded key domains MUST enable
+        // IdleStateTtl (plus reclaimTimers on continuously-triggered
+        // queries) so drained keys' tombstones expire; bounded key
+        // domains (the common Top-N-per-category shape) are unaffected —
+        // the tombstone is O(1) per key that ever held state. This note
+        // applies equally to the join family's drain tombstones.
         if (state.getOption.isDefined || live.nonEmpty || out.nonEmpty) {
           state.update((live, ord, now))
           ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
@@ -858,8 +874,14 @@ object Changelog {
               }
             }
             ro.foreach { r =>
+              // iterate a SNAPSHOT of the left map: the body replaces
+              // association counts of existing keys, and mutating a map
+              // mid-foreach — even value-only — is unspecified for Scala
+              // collections (safe for today's mutable.HashMap, not by
+              // contract). The snapshot is O(key's live payloads), the
+              // same cost the probe loop already pays.
               if (acc) {
-                lm.foreach { case (l, (cl, al)) =>
+                lm.toSeq.foreach { case (l, (cl, al)) =>
                   if (cond(l, r)) {
                     // 0→1 association: membership flips for all cl copies
                     if (al == 0L) addDelta(l, if (anti) -cl else cl)
@@ -868,7 +890,7 @@ object Changelog {
                 }
                 rm(r) = rm.getOrElse(r, 0L) + 1L
               } else rm.get(r).foreach { cr => // absent ⇒ stale retract
-                lm.foreach { case (l, (cl, al)) =>
+                lm.toSeq.foreach { case (l, (cl, al)) =>
                   if (cond(l, r)) {
                     // 1→0 association: membership flips back
                     if (al == 1L) addDelta(l, if (anti) cl else -cl)

@@ -407,10 +407,17 @@ object ReplayQueries {
     // pair iff same key AND same tumbling window): expressed Spark-first
     // as a stream-stream equi-join on (key, window(ts)) — the window
     // bucket IS part of the join key, so Catalyst plans a plain
-    // streaming symmetric hash join and the watermark on both sides
-    // bounds state to open windows (the evict-on-window-close of the
-    // reference's window join). Batch dual: equi-join on the
-    // date_trunc'd day.
+    // streaming symmetric hash join; in production a tight watermark on
+    // both sides bounds state to open windows (the evict-on-window-close
+    // of the reference's window join). THIS REPLAY stages via plain
+    // stage() (unordered round-robin slices), so per the file-header
+    // determinism rule the watermark delay is held BEYOND the fixture's
+    // ~30-day span — no row may be late-dropped or state-evicted
+    // mid-replay, making the 4-batch replay equal the batch dual by
+    // construction rather than by Spark's current late-row behavior.
+    // The production tight-watermark shape is exercised separately by
+    // the stageOrdered gates (q250/q257/q259 et al.). Batch dual:
+    // equi-join on the date_trunc'd day.
     "q308_stream_window_join" -> ((s, dir) => {
       val ev = Tables.table(s, dir, "events")
         .filter(col("event_type").isin("purchase", "click"))
@@ -420,11 +427,11 @@ object ReplayQueries {
         def src() = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 2).parquet(in)
         val p = src().filter(col("event_type") === "purchase")
-          .withWatermark("ts", "1 second")
+          .withWatermark("ts", "90 days")
           .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
                   window(col("ts"), "1 day").as("p_w"))
         val c = src().filter(col("event_type") === "click")
-          .withWatermark("ts", "1 second")
+          .withWatermark("ts", "90 days")
           .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
                   window(col("ts"), "1 day").as("c_w"))
         val j = p.join(c, col("p_user") === col("c_user") &&
@@ -512,10 +519,13 @@ object ReplayQueries {
         q.processAllAvailable(); q.stop()
       }
       // per-(group,row) upsert log → final top-3 set; rank derived at
-      // read over ≤ 3 rows × 8 groups (not part of the streamed state)
+      // read over ≤ 3 rows × 8 groups (not part of the streamed state).
+      // The materialize key is a string concat of BOTH columns —
+      // collision-free for any user_id (an arithmetic composite like
+      // key*1e6+rowId would alias once rowId crosses the multiplier)
       val fin = Changelog.materialize(
         s.read.parquet(out)
-          .withColumn("mk", col("key") * 1000000L + col("rowId")),
+          .withColumn("mk", concat_ws("#", col("key"), col("rowId"))),
         "mk", "kind", "ord")
       fin.select(col("key").as("grp"), col("rowId").as("user_id"),
                  col("score").cast("long").as("cents"))
