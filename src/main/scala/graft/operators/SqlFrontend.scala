@@ -50,6 +50,11 @@ object SqlFrontend {
   def sql(spark: SparkSession, text: String,
           tiebreak: Option[String] = None): DataFrame = {
     val upper = text.toUpperCase
+    // streaming shapes over REGISTERED changelog views route to the
+    // stateful retraction operators (graft.streaming.StreamSql — the
+    // analogue of the reference's FlinkStreamRuleSets rank/subquery
+    // rules); unregistered names fall through to the batch paths below
+    graft.streaming.StreamSql.maybeSql(spark, text).getOrElse {
     if (upper.contains("MATCH_RECOGNIZE")) MatchRecognizeSql.sql(spark, text)
     else if (groupWindowRe.matcher(text).find())
       spark.sql(groupWindows(text))
@@ -59,6 +64,7 @@ object SqlFrontend {
       if (am.matches()) asof(spark, am, tiebreak)
       else if (lm.matches()) lookup(spark, lm)
       else spark.sql(text)
+    }
     }
   }
 
@@ -179,7 +185,7 @@ object SqlFrontend {
     if (items == Seq("*")) joined else joined.selectExpr(items: _*)
   }
 
-  private def splitTop(s: String): Seq[String] = {
+  private[graft] def splitTop(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
     var start = 0

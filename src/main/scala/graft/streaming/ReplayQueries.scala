@@ -535,6 +535,143 @@ object ReplayQueries {
         .select(col("grp"), col("rnk"), col("user_id"), col("cents"))
     }),
 
+    // The changelog family REACHED FROM PLAIN SQL — the reference's
+    // planner routing (FlinkStreamRuleSets.scala subquery rules +
+    // FlinkChangelogModeInferenceProgram) re-expressed as
+    // SqlFrontend.sql over registered changelog views (StreamSql).
+    // Same operator family as q304, entered through `WHERE EXISTS`
+    // text with an inner-side residual (threshold 12, vs q304's 14,
+    // so both gates exercise different crossing sets).
+    "q313_stream_sql_exists" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .as[EvRow]
+        def side(kind: String) = Changelog.aggregateChangelog[EvRow](
+            src.filter(_.event_type == kind).groupByKey(_.user_id),
+            _ => Changelog.Insert, _.cents.toDouble)
+          .map(a => (a.key, a.kind, a.sum, a.count))
+          .toDF("key", "kind", "amt_c", "cnt")
+        StreamSql.registerChangelog("q313_p", side("purchase"), "kind")
+        StreamSql.registerChangelog("q313_c", side("click"), "kind")
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT key AS user_id, amt_c/100.0 AS purchase_amt,
+                      cnt AS purchases
+               FROM q313_p
+               WHERE EXISTS (SELECT 1 FROM q313_c
+                             WHERE q313_c.key = q313_p.key
+                               AND q313_c.cnt >= 12)""")
+          val q = j.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally {
+          StreamSql.dropChangelog("q313_p"); StreamSql.dropChangelog("q313_c")
+        }
+      }
+      Changelog.materialize(s.read.parquet(out),
+          "user_id", "row_kind", "row_ord")
+        .select(col("user_id"), col("purchase_amt"), col("purchases"))
+    }),
+
+    // Retract-consuming Top-N entered via `ROW_NUMBER() <= k` SQL
+    // (the reference's rank rules planning RetractableTopNFunction):
+    // top-2 per key%6 group — a different slice/grouping than q306, so
+    // the SQL route is a gate of its own, not a duplicate.
+    "q314_stream_sql_topn" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .as[EvRow]
+        val view = Changelog.aggregateChangelog[EvRow](
+            src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
+          .map(a => (a.key, a.kind, a.sum))
+          .toDF("key", "kind", "amt_c")
+        StreamSql.registerChangelog("q314_p", view, "kind",
+          rowId = Some("key"))
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT grp, user_id, cents FROM (
+                 SELECT key % 6 AS grp, key AS user_id, amt_c AS cents,
+                        ROW_NUMBER() OVER (PARTITION BY key % 6
+                                           ORDER BY amt_c DESC, key) AS rn
+                 FROM q314_p) t WHERE rn <= 2""")
+          val q = j.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropChangelog("q314_p")
+      }
+      val fin = Changelog.materialize(
+        s.read.parquet(out)
+          .withColumn("mk", concat_ws("#", col("grp"), col("user_id"))),
+        "mk", "row_kind", "row_ord")
+      fin.select(col("grp"), col("user_id"),
+                 col("cents").cast("long").as("cents"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("grp"))
+            .orderBy(col("cents").desc, col("user_id"))).cast("int"))
+        .select(col("grp"), col("rnk"), col("user_id"), col("cents"))
+    }),
+
+    // Retract-capable COUNT(DISTINCT) entered via SQL text (the
+    // reference's distinct-accumulator planning): distinct live
+    // purchase-total buckets per key%5 group.
+    "q315_stream_sql_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .as[EvRow]
+        val view = Changelog.aggregateChangelog[EvRow](
+            src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
+          .map(a => (a.key, a.kind, a.sum))
+          .toDF("key", "kind", "amt_c")
+        StreamSql.registerChangelog("q315_p", view, "kind")
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT key % 5 AS grp,
+                      COUNT(DISTINCT floor(amt_c/10000)) AS n_buckets,
+                      COUNT(*) AS n_users
+               FROM q315_p GROUP BY key % 5""")
+          // ≤ one +U/-D per key per batch → batch id is the per-key
+          // materialization order (the q294/q307 pattern)
+          val q = j.writeStream
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .foreachBatch { (batch: DataFrame, bid: Long) =>
+              batch.withColumn("bid", lit(bid))
+                .write.mode("append").parquet(out)
+            }
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropChangelog("q315_p")
+      }
+      Changelog.materialize(s.read.parquet(out), "grp", "row_kind", "bid")
+        .select(col("grp"), col("n_buckets"), col("n_users"))
+    }),
+
     // Stream-static LOOKUP join under the oracle gate (the reference's
     // LookupJoin against a bounded build side, T-COMMON/connector/
     // source/LookupTableSource.java): replayed events probe a BROADCAST
@@ -1446,6 +1583,40 @@ object ReplayQueries {
         FROM p)
       SELECT grp, CAST(rnk AS INT) AS rnk, user_id, cents
       FROM r WHERE rnk <= 3""",
+
+    "q313_stream_sql_exists" -> """
+      WITH p AS (
+        SELECT user_id, sum(floor(value*100)) AS s, count(*) AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      k AS (
+        SELECT user_id, count(*) AS c
+        FROM events WHERE event_type = 'click' GROUP BY 1)
+      SELECT p.user_id AS user_id,
+             p.s/100.0 AS purchase_amt, CAST(p.c AS BIGINT) AS purchases
+      FROM p
+      WHERE EXISTS (SELECT 1 FROM k
+                    WHERE k.user_id = p.user_id AND k.c >= 12)""",
+
+    "q314_stream_sql_topn" -> """
+      WITH p AS (
+        SELECT user_id, CAST(sum(floor(value*100)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      r AS (
+        SELECT user_id % 6 AS grp, user_id, cents,
+               row_number() OVER (PARTITION BY user_id % 6
+                                  ORDER BY cents DESC, user_id) AS rnk
+        FROM p)
+      SELECT grp, CAST(rnk AS INT) AS rnk, user_id, cents
+      FROM r WHERE rnk <= 2""",
+
+    "q315_stream_sql_distinct" -> """
+      WITH p AS (
+        SELECT user_id, CAST(sum(floor(value*100)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT user_id % 5 AS grp,
+             CAST(count(DISTINCT floor(cents/10000)) AS BIGINT) AS n_buckets,
+             count(*) AS n_users
+      FROM p GROUP BY 1""",
 
     "q178_stream_tumble" -> """
       SELECT event_type,

@@ -1,0 +1,394 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+
+import graft.operators.SqlFrontend
+
+/**
+ * Streaming-SQL reachability for the changelog operator family — the
+ * repo's analogue of the reference's planner routing that makes
+ * `WHERE [NOT] EXISTS`, `ROW_NUMBER() <= k` and `COUNT(DISTINCT …)`
+ * over UPDATING inputs reach the stateful retraction operators from
+ * plain SQL (flink-table-planner-blink/.../plan/rules/
+ * FlinkStreamRuleSets.scala — the rank + subquery rule sets — and
+ * FlinkChangelogModeInferenceProgram.scala deciding each operator's
+ * changelog mode; execution lands in
+ * RUNTIME/runtime/operators/join/stream/StreamingSemiAntiJoinOperator.java:36,
+ * PLANNER-J/runtime/rank/RetractableTopNFunction.java and the generated
+ * DistinctAccumulator MapView).
+ *
+ * The entry point is [[SqlFrontend.sql]]: when a statement's FROM target
+ * is a REGISTERED CHANGELOG VIEW (a streaming DataFrame carrying a
+ * row-kind column — the repo's updating-table representation, see
+ * [[Changelog]]), the statement is routed here and rewritten onto
+ * [[Changelog.joinChangelogSemi]]/[[Changelog.joinChangelogAnti]],
+ * [[Changelog.topNChangelog]] or
+ * [[Changelog.aggregateChangelogDistinct]]; unregistered names fall
+ * through to `spark.sql` untouched, so the same text runs as a batch
+ * query against catalog tables.
+ *
+ * OUTPUT CONTRACT: the result is itself a changelog DataFrame — the
+ * projected columns plus `row_kind` (+I/-U/+U/-D) and, for the
+ * ord-emitting operators (EXISTS / Top-N), `row_ord`, the per-key
+ * emission sequence that makes [[Changelog.materialize]] applicable at
+ * the sink. The distinct aggregate follows the GroupAggFunction
+ * protocol (≤ one +U or -D per key per micro-batch), so a
+ * `foreachBatch` batch id is its materialization order (the q294/q307
+ * pattern).
+ *
+ * Supported shapes (single statement, view names resolved against
+ * [[registerChangelog]]; `<expr>` may be any deterministic scalar
+ * expression over the view's columns):
+ *
+ *  - `SELECT <items> FROM V [AS a]
+ *     WHERE [NOT] EXISTS (SELECT … FROM W [AS b]
+ *                         WHERE b.k = a.k [AND <W-side residual>…])`
+ *    → semi/anti changelog join on the single key equality; residual
+ *    conjuncts must reference ONLY the inner view and are applied as a
+ *    changelog-preserving filter on it (a stateless predicate commutes
+ *    with retraction: dropping a payload's -U/+U pair on both sides of
+ *    a threshold crossing is exactly the filtered view's changelog —
+ *    how the reference plans WHERE on updating tables). Residuals over
+ *    BOTH sides need the Scala API's `cond` lambda.
+ *  - `SELECT <items> FROM (
+ *       SELECT <expr AS name>…, ROW_NUMBER() OVER (
+ *         PARTITION BY <g> ORDER BY <s> [ASC|DESC] [, <rowId>]) AS rn
+ *       FROM V) [t] WHERE rn <= <n>`
+ *    → retract-consuming Top-N; V must declare a `rowId` (its upsert
+ *    key) at registration. Inner items may reference only <g>, <s> and
+ *    the rowId (the columns the rank state carries); `rn` itself is not
+ *    projectable — this is the reference's no-rank-number output mode
+ *    (RankProcessStrategy without outputRankNumber), ranks derive at
+ *    read over the ≤ n materialized rows per key.
+ *  - `SELECT <g> AS ga, COUNT(DISTINCT <v>) AS da [, COUNT(*) AS ca]
+ *     FROM V GROUP BY <g>`
+ *    → retract-capable distinct aggregate (value-instance 0↔1
+ *    transitions); `ca` is the group's live input-row count.
+ *
+ * Keys: the changelog operators key on Long — the group/join key
+ * expression must be Long-castable (composite keys: derive a single
+ * key column in the view, the same normalization Flink's key selector
+ * performs). Payloads cross the EXISTS operator as canonical JSON
+ * (`to_json` over the view's non-kind columns, decoded back with the
+ * view's schema after the join) — one serialize per record, the same
+ * order of cost as the reference serializing payloads into keyed
+ * state; hot pipelines that care use the typed Scala API directly.
+ * The rewrite is metadata-only: everything downstream is the
+ * operators' normal one-exchange keyed-state path, so SQL entry adds
+ * no shuffle at any scale.
+ *
+ * TTL: pass `ttl`, or set `spark.graft.state.ttl.ms` (the config
+ * surface every changelog operator honors — [[Changelog.ttlFromConf]]).
+ */
+object StreamSql {
+
+  /** A registered updating view: a (usually streaming) DataFrame whose
+    * `kindCol` carries the row kind (+I/-U/+U/-D), plus the optional
+    * upsert-key column rank queries require. */
+  final case class ChangelogView(df: DataFrame, kindCol: String,
+                                 rowIdCol: Option[String])
+
+  // process-wide by design: mirrors the reference's per-process
+  // TableEnvironment catalog of registered tables; names are
+  // case-insensitive like SQL identifiers
+  private val views = TrieMap.empty[String, ChangelogView]
+
+  def registerChangelog(name: String, df: DataFrame,
+                        kindCol: String = "kind",
+                        rowId: Option[String] = None): Unit = {
+    require(df.columns.contains(kindCol),
+      s"changelog view '$name' has no row-kind column '$kindCol'")
+    rowId.foreach(c => require(df.columns.contains(c),
+      s"changelog view '$name' has no rowId column '$c'"))
+    views(name.toLowerCase) = ChangelogView(df, kindCol, rowId)
+  }
+
+  def dropChangelog(name: String): Unit = views.remove(name.toLowerCase)
+
+  private def view(name: String): Option[ChangelogView] =
+    views.get(name.toLowerCase)
+
+  // ---- statement shapes -------------------------------------------------
+
+  private val existsRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)(?:\\s+(?:AS\\s+)?(\\w+))?" +
+    "\\s+WHERE\\s+(NOT\\s+)?EXISTS\\s*\\(\\s*SELECT\\s+.+?\\s+FROM\\s+" +
+    "(\\w+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+WHERE\\s+(.+)\\)\\s*$")
+
+  private val topnRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s*\\(\\s*SELECT\\s+(.+?),\\s*" +
+    "ROW_NUMBER\\s*\\(\\s*\\)\\s+OVER\\s*\\(\\s*PARTITION\\s+BY\\s+(.+?)" +
+    "\\s+ORDER\\s+BY\\s+(.+?)\\s*\\)\\s+(?:AS\\s+)?(\\w+)\\s+FROM\\s+(\\w+)" +
+    "\\s*\\)\\s*(?:(?:AS\\s+)?(\\w+)\\s*)?WHERE\\s+(\\w+)\\s*<=\\s*(\\d+)\\s*$")
+
+  private val distinctRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)(?:\\s+(?:AS\\s+)?(\\w+))?" +
+    "\\s+GROUP\\s+BY\\s+(.+?)\\s*$")
+
+  /** Whitespace/case-insensitive expression identity — how inner rank
+    * projection items are matched against the partition/order/rowId
+    * expressions (textual, like the surface syntax itself). */
+  private def norm(e: String): String =
+    e.replaceAll("\\s+", "").toLowerCase
+
+  /** Split a predicate on top-level ANDs (parenthesis-depth aware). */
+  private def splitAnd(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    val up = s.toUpperCase
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && i + 5 <= s.length &&
+              up.regionMatches(i, " AND ", 0, 5)) {
+            out += s.substring(start, i)
+            i += 5
+            start = i
+          } else i += 1
+      }
+    }
+    out += s.substring(start)
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private def strip(e: String, quals: Seq[String]): String =
+    quals.filter(_ != null).distinct.foldLeft(e)((s, a) =>
+      s.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(a)}\\.", ""))
+
+  /** `expr AS alias` | `expr alias` | bare column — the projection item
+    * grammar the rank/distinct routes accept. */
+  private def itemAlias(item: String): (String, String) = {
+    val m = java.util.regex.Pattern
+      .compile("(?is)^(.+?)\\s+(?:AS\\s+)?(\\w+)\\s*$").matcher(item)
+    if (m.matches() && !m.group(1).trim.endsWith(",")) (m.group(1).trim, m.group(2))
+    else (item.trim, item.trim)
+  }
+
+  /**
+   * Try to route `text` onto a changelog operator. Returns None when no
+   * supported shape matches a REGISTERED view — the caller then falls
+   * through to the batch path. Unsupported constructs on a registered
+   * view throw with a pointer at the Scala API, not silently degrade:
+   * running an updating view through a batch operator would be wrong,
+   * not slow.
+   */
+  def maybeSql(spark: SparkSession, text: String,
+               ttl: Option[Changelog.IdleStateTtl] = None): Option[DataFrame] = {
+    val effTtl = ttl.orElse(Changelog.ttlFromConf(spark))
+    val tm = topnRe.matcher(text)
+    val em = existsRe.matcher(text)
+    val dm = distinctRe.matcher(text)
+    if (tm.matches() && view(tm.group(6)).isDefined)
+      Some(topn(spark, tm, effTtl))
+    else if (em.matches() && view(em.group(2)).isDefined)
+      Some(exists(spark, em, effTtl))
+    else if (dm.matches() && view(dm.group(2)).isDefined &&
+             dm.group(1).toUpperCase.contains("DISTINCT"))
+      Some(distinct(spark, dm, effTtl))
+    else None
+  }
+
+  // ---- WHERE [NOT] EXISTS → semi/anti changelog join --------------------
+
+  private def exists(spark: SparkSession, m: java.util.regex.Matcher,
+                     ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
+    val (sel, lName, lAlias0, anti, rName, rAlias0, innerWhere) =
+      (m.group(1), m.group(2), m.group(3), m.group(4) != null,
+       m.group(5), m.group(6), m.group(7))
+    val lv = view(lName).get
+    val rv = view(rName).getOrElse(throw new IllegalArgumentException(
+      s"EXISTS subquery over unregistered view '$rName' — both sides of a " +
+      "streaming EXISTS must be registered changelog views"))
+    val lAlias = Option(lAlias0).getOrElse(lName)
+    val rAlias = Option(rAlias0).getOrElse(rName)
+
+    val conj = splitAnd(innerWhere)
+    val qual = "(\\w+)\\.(\\w+)"
+    val eqRe = s"(?s)^$qual\\s*=\\s*$qual$$".r
+    var lKey: String = null
+    var rKey: String = null
+    val residuals = scala.collection.mutable.ArrayBuffer.empty[String]
+    conj.foreach {
+      case c @ eqRe(q1, c1, q2, c2)
+          if (q1.equalsIgnoreCase(lAlias) && q2.equalsIgnoreCase(rAlias)) ||
+             (q1.equalsIgnoreCase(rAlias) && q2.equalsIgnoreCase(lAlias)) =>
+        require(lKey == null, s"streaming EXISTS supports ONE key equality " +
+          s"(derive a composite key column in the view): $innerWhere")
+        if (q1.equalsIgnoreCase(lAlias)) { lKey = c1; rKey = c2 }
+        else { lKey = c2; rKey = c1 }
+        val _ = c
+      case resid => residuals += resid
+    }
+    require(lKey != null,
+      s"streaming EXISTS needs a <outer>.k = <inner>.k equality: $innerWhere")
+
+    // residuals: inner-side-only predicates, applied as a
+    // changelog-preserving filter on the right view (see object doc)
+    val rFiltered = residuals.foldLeft(rv.df) { (df, resid) =>
+      val stripped = strip(resid, Seq(rAlias, rName))
+      try df.filter(expr(stripped))
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"EXISTS residual '$resid' must reference only the inner view " +
+          s"'$rName' (both-side residuals need the Scala API cond lambda)", e)
+      }
+    }
+
+    implicit val enc3: Encoder[(Long, String, String)] = ExpressionEncoder()
+    def encode(df: DataFrame, kindCol: String, keyCol: String): Dataset[(Long, String, String)] = {
+      val payload = df.columns.filterNot(_ == kindCol).toSeq
+      df.select(col(keyCol).cast("long"), col(kindCol).cast("string"),
+                to_json(struct(payload.map(col): _*)))
+        .as[(Long, String, String)]
+    }
+    val lds = encode(lv.df, lv.kindCol, lKey)
+    val rds = encode(rFiltered, rv.kindCol, rKey)
+    val joined =
+      if (anti) Changelog.joinChangelogAnti(lds, rds, ttl = ttl)
+      else Changelog.joinChangelogSemi(lds, rds, ttl = ttl)
+
+    val lPayload = lv.df.columns.filterNot(_ == lv.kindCol).toSeq
+    val schema = lv.df.select(lPayload.map(col): _*).schema
+    val decoded = joined.toDF()
+      .select(from_json(col("left"), schema).as("__p"),
+              col("kind").as("row_kind"), col("ord").as("row_ord"))
+      .select(lPayload.map(c => col(s"__p.`$c`")) :+
+              col("row_kind") :+ col("row_ord"): _*)
+    val items = SqlFrontend.splitTop(sel).map(strip(_, Seq(lAlias, lName)))
+    if (items == Seq("*")) decoded
+    else decoded.selectExpr(items ++ Seq("row_kind", "row_ord"): _*)
+  }
+
+  // ---- ROW_NUMBER() <= k → retract-consuming Top-N ----------------------
+
+  private def topn(spark: SparkSession, m: java.util.regex.Matcher,
+                   ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
+    val (outerSel, innerSel, gExpr, orderBy, rnAlias, vName, tAlias0, whereRn, nStr) =
+      (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
+       m.group(6), m.group(7), m.group(8), m.group(9))
+    require(whereRn.equalsIgnoreCase(rnAlias),
+      s"Top-N WHERE must bound the ROW_NUMBER alias '$rnAlias', got '$whereRn'")
+    val n = nStr.toInt
+    val v = view(vName).get
+    val rowIdCol = v.rowIdCol.getOrElse(throw new IllegalArgumentException(
+      s"streaming Top-N over '$vName' needs its upsert key: " +
+      "registerChangelog(..., rowId = Some(col)) — the reference's rank " +
+      "operator similarly requires the input's unique key"))
+
+    // ORDER BY <s> [ASC|DESC] [, <rowId> [ASC]] — the optional explicit
+    // tiebreak must BE the rowId ascending (the operator's fixed
+    // tiebreak, same as the reference's row-number comparator)
+    val ordParts = SqlFrontend.splitTop(orderBy)
+    val dirRe = java.util.regex.Pattern
+      .compile("(?is)^(.+?)(?:\\s+(ASC|DESC))?\\s*$")
+    val m0 = dirRe.matcher(ordParts.head); require(m0.matches())
+    val sExpr = m0.group(1).trim
+    val desc = m0.group(2) != null && m0.group(2).equalsIgnoreCase("DESC")
+    ordParts.tail.foreach { p =>
+      val mi = dirRe.matcher(p); require(mi.matches())
+      require(norm(mi.group(1)) == norm(rowIdCol) &&
+              (mi.group(2) == null || mi.group(2).equalsIgnoreCase("ASC")),
+        s"Top-N tiebreak must be the rowId '$rowIdCol' ascending: $orderBy")
+    }
+
+    implicit val enc4: Encoder[(Long, String, Double, Long)] = ExpressionEncoder()
+    implicit val keyEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    val base = v.df
+      .withColumn("__g", expr(strip(gExpr, Seq(tAlias0, vName))).cast("long"))
+      .withColumn("__s", expr(strip(sExpr, Seq(tAlias0, vName))).cast("double"))
+      .select(col("__g"), col(v.kindCol).cast("string"), col("__s"),
+              col(rowIdCol).cast("long"))
+      .as[(Long, String, Double, Long)]
+    // ASC ranks by negated score (topNChangelog ranks desc); the sign
+    // is restored in the projection below, so emitted scores are the
+    // user's values either way
+    val top = Changelog.topNChangelog[(Long, String, Double, Long)](
+      base.groupByKey(_._1), n,
+      kind = _._2, score = t => if (desc) t._3 else -t._3, rowId = _._4,
+      ttl = ttl)
+
+    val (ng, ns, nid) = (norm(gExpr), norm(sExpr), norm(rowIdCol))
+    val named = SqlFrontend.splitTop(innerSel).map { item =>
+      val (e, alias) = itemAlias(strip(item, Seq(tAlias0, vName)))
+      norm(e) match {
+        case `ng` => col("key").as(alias)
+        case `nid` => col("rowId").as(alias)
+        case `ns` =>
+          (if (desc) col("score") else -col("score")).as(alias)
+        case _ => throw new IllegalArgumentException(
+          s"Top-N inner projection may reference only the partition key, " +
+          s"the order expression and the rowId (the rank state's columns): $item")
+      }
+    }
+    val out = top.toDF().select(named :+
+      col("kind").as("row_kind") :+ col("ord").as("row_ord"): _*)
+    val items = SqlFrontend.splitTop(outerSel)
+      .map(strip(_, Seq(tAlias0)))
+    require(!items.exists(i => i.matches(s"(?i).*\\b$rnAlias\\b.*")),
+      s"'$rnAlias' is not projectable: the retractable rank runs in " +
+      "no-rank-number mode (ranks derive at read over the ≤ n " +
+      "materialized rows per key)")
+    if (items == Seq("*")) out
+    else out.selectExpr(items ++ Seq("row_kind", "row_ord"): _*)
+  }
+
+  // ---- COUNT(DISTINCT) → retract-capable distinct aggregate -------------
+
+  private def distinct(spark: SparkSession, m: java.util.regex.Matcher,
+                       ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
+    val (sel, vName, vAlias0, groupBy) =
+      (m.group(1), m.group(2), m.group(3), m.group(4))
+    val v = view(vName).get
+    val quals = Seq(vAlias0, vName)
+    val items = SqlFrontend.splitTop(sel).map(strip(_, quals))
+    val cdRe = java.util.regex.Pattern.compile(
+      "(?is)^COUNT\\s*\\(\\s*DISTINCT\\s+(.+)\\)\\s+(?:AS\\s+)?(\\w+)\\s*$")
+    val cRe = java.util.regex.Pattern.compile(
+      "(?is)^COUNT\\s*\\(\\s*\\*\\s*\\)\\s+(?:AS\\s+)?(\\w+)\\s*$")
+    var gItem: Option[(String, String)] = None
+    var dItem: Option[(String, String)] = None
+    var cItem: Option[String] = None
+    items.foreach { item =>
+      val mcd = cdRe.matcher(item)
+      val mc = cRe.matcher(item)
+      if (mcd.matches()) {
+        require(dItem.isEmpty, "one COUNT(DISTINCT …) per statement " +
+          "(multiple distinct aggs: compose in the Scala API)")
+        dItem = Some((mcd.group(1).trim, mcd.group(2)))
+      } else if (mc.matches()) cItem = Some(mc.group(1))
+      else {
+        require(gItem.isEmpty, "streaming COUNT(DISTINCT) supports one " +
+          "group-key item (derive a composite key column in the view)")
+        gItem = Some(itemAlias(item))
+      }
+    }
+    val (gExpr, gAlias) = gItem.getOrElse(throw new IllegalArgumentException(
+      s"streaming COUNT(DISTINCT) needs the group key in the SELECT: $sel"))
+    val (vExpr, dAlias) = dItem.getOrElse(throw new IllegalArgumentException(
+      s"no COUNT(DISTINCT …) item in: $sel"))
+    val gb = strip(groupBy, quals).trim
+    require(norm(gb) == norm(gExpr) || gb == "1",
+      s"GROUP BY must match the select's key expression '$gExpr': $groupBy")
+
+    implicit val enc3: Encoder[(Long, String, Double)] = ExpressionEncoder()
+    implicit val keyEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    val base = v.df
+      .withColumn("__g", expr(gExpr).cast("long"))
+      .withColumn("__v", expr(vExpr).cast("double"))
+      .select(col("__g"), col(v.kindCol).cast("string"), col("__v"))
+      .as[(Long, String, Double)]
+    val d = Changelog.aggregateChangelogDistinct[(Long, String, Double)](
+      base.groupByKey(_._1), kind = _._2, value = _._3, ttl = ttl)
+    val withCount = cItem.map(ca => Seq(col("count").as(ca))).getOrElse(Nil)
+    d.toDF().select(Seq(col("key").as(gAlias), col("distinct").as(dAlias)) ++
+      withCount :+ col("kind").as("row_kind"): _*)
+  }
+}

@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SqlFrontend
+import graft.streaming.{Changelog, StreamSql}
+
+/**
+ * Streaming-SQL reachability of the changelog operator family
+ * (StreamSql): the SQL entry must reproduce the direct Scala-API
+ * pipelines — the repo's analogue of the reference planning
+ * `WHERE [NOT] EXISTS` / `ROW_NUMBER() <= k` / `COUNT(DISTINCT)` over
+ * updating inputs onto StreamingSemiAntiJoinOperator /
+ * RetractableTopNFunction / the distinct MapView accumulator
+ * (FlinkStreamRuleSets.scala rank + subquery rules).
+ */
+class StreamSqlSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def fresh(name: String): String =
+    name + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  test("SQL EXISTS routes to the semi changelog join: 0↔1 association transitions") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("lv"); val rv = fresh("rv")
+    val lmem = MemoryStream[CRow]; val rmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind")
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT key AS k, value AS v FROM $lv
+          WHERE EXISTS (SELECT 1 FROM $rv
+                        WHERE $rv.key = $lv.key AND $rv.value >= 5)""")
+    val sink = fresh("sql_semi")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: left row arrives, right side below threshold → nothing
+      lmem.addData(CRow(1, "+I", 10.0, 1))
+      rmem.addData(CRow(1, "+I", 3.0, 1))
+      q.processAllAvailable()
+      // batch 2: right crosses the residual threshold → 0→1 → +I
+      rmem.addData(CRow(1, "+I", 7.0, 2))
+      q.processAllAvailable()
+      // batch 3: the passing right row retracts → 1→0 → -D
+      rmem.addData(CRow(1, "-D", 7.0, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).orderBy("row_ord")
+      .select("k", "v", "row_kind").as[(Long, Double, String)].collect().toList
+    assert(got == List((1L, 10.0, "+I"), (1L, 10.0, "-D")))
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+  }
+
+  test("SQL NOT EXISTS routes to the anti changelog join") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("lv"); val rv = fresh("rv")
+    val lmem = MemoryStream[CRow]; val rmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind")
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT key AS k, value AS v FROM $lv
+          WHERE NOT EXISTS (SELECT 1 FROM $rv WHERE $rv.key = $lv.key)""")
+    val sink = fresh("sql_anti")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData(CRow(1, "+I", 10.0, 1)) // no right row → member
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "+I", 1.0, 1))  // first association → retract
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "-D", 1.0, 1))  // last association gone → re-admit
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).orderBy("row_ord")
+      .select("v", "row_kind").as[(Double, String)].collect().toList
+    assert(got == List((10.0, "+I"), (10.0, "-D"), (10.0, "+I")))
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+  }
+
+  test("SQL Top-N is bit-identical to the direct topNChangelog API") {
+    implicit val sc = spark.sqlContext
+    val tv = fresh("tv")
+    val sqlMem = MemoryStream[CRow]; val apiMem = MemoryStream[CRow]
+    StreamSql.registerChangelog(tv, sqlMem.toDS().toDF(),
+      kindCol = "kind", rowId = Some("key"))
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT grp, id, v FROM (
+            SELECT key % 2 AS grp, key AS id, value AS v,
+                   ROW_NUMBER() OVER (PARTITION BY key % 2
+                                      ORDER BY value DESC, key) AS rn
+            FROM $tv) t WHERE rn <= 2""")
+    val direct = Changelog.topNChangelog[CRow](
+      apiMem.toDS().groupByKey(_.key % 2), n = 2,
+      kind = _.kind, score = _.value, rowId = _.key)
+    val sinkS = fresh("sql_topn"); val sinkA = fresh("api_topn")
+    val qs = out.writeStream.format("memory").queryName(sinkS)
+      .outputMode(OutputMode.Append).start()
+    val qa = direct.writeStream.format("memory").queryName(sinkA)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // identical batches in lockstep so batch boundaries coincide
+      def feed(rows: CRow*): Unit = {
+        sqlMem.addData(rows); apiMem.addData(rows)
+        qs.processAllAvailable(); qa.processAllAvailable()
+      }
+      feed(CRow(2, "+I", 5.0, 1), CRow(4, "+I", 9.0, 2), CRow(6, "+I", 7.0, 3))
+      feed(CRow(8, "+I", 8.0, 4))          // overtakes 6 → demote/admit
+      feed(CRow(4, "-D", 9.0, 2))          // current best retracts → re-admit 6
+      feed(CRow(2, "-U", 5.0, 1), CRow(2, "+U", 10.0, 5)) // score update in slice
+    } finally { qs.stop(); qa.stop() }
+    val gotSql = spark.table(sinkS).orderBy("grp", "row_ord")
+      .select("grp", "id", "v", "row_kind", "row_ord")
+      .as[(Long, Long, Double, String, Long)].collect().toList
+    val gotApi = spark.table(sinkA).orderBy("key", "ord")
+      .select("key", "rowId", "score", "kind", "ord")
+      .as[(Long, Long, Double, String, Long)].collect().toList
+    assert(gotSql == gotApi) // bit-identical incl. ord sequence
+    assert(gotSql.nonEmpty)
+  }
+
+  test("SQL Top-N ASC ranks smallest-first and restores the score sign") {
+    implicit val sc = spark.sqlContext
+    val tv = fresh("tva")
+    val mem = MemoryStream[CRow]
+    StreamSql.registerChangelog(tv, mem.toDS().toDF(),
+      kindCol = "kind", rowId = Some("key"))
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT id, v FROM (
+            SELECT key AS id, value AS v,
+                   ROW_NUMBER() OVER (PARTITION BY key % 1
+                                      ORDER BY value ASC) AS rn
+            FROM $tv) WHERE rn <= 1""")
+    val sink = fresh("sql_topn_asc")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(CRow(1, "+I", 5.0, 1), CRow(2, "+I", 3.0, 2))
+      q.processAllAvailable()
+      mem.addData(CRow(3, "+I", 1.0, 3)) // new minimum takes the slice
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).orderBy("row_ord")
+      .select("id", "v", "row_kind").as[(Long, Double, String)].collect().toList
+    assert(got == List((2L, 3.0, "+I"), (2L, 3.0, "-D"), (3L, 1.0, "+I")))
+    StreamSql.dropChangelog(tv)
+  }
+
+  test("SQL COUNT(DISTINCT) is bit-identical to the direct API and sees 0↔1 value transitions") {
+    implicit val sc = spark.sqlContext
+    val dv = fresh("dv")
+    val sqlMem = MemoryStream[CRow]; val apiMem = MemoryStream[CRow]
+    StreamSql.registerChangelog(dv, sqlMem.toDS().toDF(), kindCol = "kind")
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT key % 2 AS g, COUNT(DISTINCT value) AS d, COUNT(*) AS c
+          FROM $dv GROUP BY key % 2""")
+    val direct = Changelog.aggregateChangelogDistinct[CRow](
+      apiMem.toDS().groupByKey(_.key % 2), _.kind, _.value)
+    val sinkS = fresh("sql_dist"); val sinkA = fresh("api_dist")
+    val qs = out.writeStream.format("memory").queryName(sinkS)
+      .outputMode(OutputMode.Append).start()
+    val qa = direct.writeStream.format("memory").queryName(sinkA)
+      .outputMode(OutputMode.Append).start()
+    try {
+      def feed(rows: CRow*): Unit = {
+        sqlMem.addData(rows); apiMem.addData(rows)
+        qs.processAllAvailable(); qa.processAllAvailable()
+      }
+      feed(CRow(2, "+I", 5.0, 1), CRow(4, "+I", 5.0, 2)) // two rows, one value
+      feed(CRow(2, "-D", 5.0, 1)) // one of two equal values: distinct stays 1
+      feed(CRow(4, "-D", 5.0, 2)) // last instance: group retires
+    } finally { qs.stop(); qa.stop() }
+    val gotSql = spark.table(sinkS)
+      .select("g", "d", "c", "row_kind")
+      .as[(Long, Long, Long, String)].collect().toList
+    val gotApi = spark.table(sinkA)
+      .select("key", "distinct", "count", "kind")
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(gotSql == gotApi)
+    assert(gotSql == List(
+      (0L, "+U", 1L, 2L), (0L, "-U", 1L, 2L), (0L, "+U", 1L, 1L),
+      (0L, "-U", 1L, 1L), (0L, "-D", 1L, 1L))
+      .map { case (g, k, d, c) => (g, d, c, k) })
+    StreamSql.dropChangelog(dv)
+  }
+
+  test("unregistered names fall through to the batch SQL path") {
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .createOrReplaceTempView("streamsql_batch_t")
+    val got = SqlFrontend.sql(spark,
+      "SELECT id FROM streamsql_batch_t WHERE EXISTS " +
+      "(SELECT 1 FROM streamsql_batch_t u WHERE u.id = streamsql_batch_t.id)")
+    assert(got.count() == 2)
+  }
+
+  test("unsupported streaming constructs fail loudly, not silently degrade") {
+    implicit val sc = spark.sqlContext
+    val tv = fresh("tverr")
+    val mem = MemoryStream[CRow]
+    StreamSql.registerChangelog(tv, mem.toDS().toDF(), kindCol = "kind")
+    // Top-N without a declared rowId
+    val e1 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT id FROM (SELECT key AS id, ROW_NUMBER() OVER (
+              PARTITION BY key ORDER BY value DESC) AS rn FROM $tv)
+            WHERE rn <= 1""")
+    }
+    assert(e1.getMessage.contains("rowId"))
+    // projecting the rank number
+    StreamSql.registerChangelog(tv, mem.toDS().toDF(),
+      kindCol = "kind", rowId = Some("key"))
+    val e2 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT id, rn FROM (SELECT key AS id, ROW_NUMBER() OVER (
+              PARTITION BY key ORDER BY value DESC) AS rn FROM $tv)
+            WHERE rn <= 1""")
+    }
+    assert(e2.getMessage.contains("no-rank-number"))
+    StreamSql.dropChangelog(tv)
+  }
+}
