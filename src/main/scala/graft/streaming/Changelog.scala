@@ -200,6 +200,105 @@ object Changelog {
     }
   }
 
+  /** One retract-aware ordered/multiset aggregate output row (kind ∈
+    * -U/+U/-D): `first`/`last` are FIRST_VALUE/LAST_VALUE by the row
+    * ord, `listagg` the ord-ordered delimiter-join, `collect` the
+    * value-sorted serialization of the live multiset (duplicates
+    * retained — value → count recoverable by counting). */
+  final case class ListAggChange(key: Long, kind: String,
+                                 first: Double, last: Double,
+                                 listagg: String, collect: String,
+                                 count: Long)
+
+  /** Canonical element formatting for listagg/collect strings:
+    * integral doubles print as integers (matching `CAST(x AS VARCHAR)`
+    * of an integer column in the batch dual), others as Scala's
+    * shortest-round-trip double. */
+  private def fmtVal(d: Double): String =
+    if (d == math.rint(d) && math.abs(d) < 9.007199254740992e15)
+      d.toLong.toString
+    else d.toString
+
+  /**
+   * Retract-capable FIRST_VALUE / LAST_VALUE / LISTAGG / COLLECT per
+   * key — the order/multiset-valued quarter of the reference's
+   * retract-agg family (PLANNER-J/functions/aggfunctions/
+   * FirstValueWithRetractAggFunction.java:61,
+   * LastValueWithRetractAggFunction.java,
+   * ListAggWithRetractAggFunction.java:37 — a ListView the retraction
+   * removes from — and CollectAggFunction's value→count MapView).
+   * SUM/COUNT retraction cannot express these: retracting the row that
+   * holds the current FIRST must re-admit the successor, and deleting
+   * ONE of two equal values must keep the element in COLLECT.
+   *
+   * State is the key's live row set as `Map[ord → value]` — exactly
+   * [[aggregateChangelogMinMax]]'s layout (`ord` is the caller's
+   * unique row id, which doubles as the FIRST/LAST/LISTAGG order, the
+   * way the reference's order-sensitive retract aggs key their
+   * ListView): an insert adds its entry, a retraction removes BY ORD
+   * (so duplicates are distinct instances and removing one keeps the
+   * others), and every emission recomputes the four aggregates from
+   * the live set — one O(live log live) pass per touched key per
+   * micro-batch, the SS-idiomatic trade vs the reference's per-record
+   * O(log n) sorted-map maintenance. Emission protocol is
+   * GroupAggFunction's: any change emits (-U previous, +U new); a key
+   * whose live set empties emits (-U previous, -D).
+   */
+  def aggregateChangelogListAgg[V](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, V],
+      kind: V => String, value: V => Double, ord: V => Long,
+      delimiter: String = ",",
+      ttl: Option[IdleStateTtl] = None)(
+      implicit ve: Encoder[V]): Dataset[ListAggChange] = {
+    import org.apache.spark.sql.Encoders
+    implicit val se: Encoder[(Map[Long, Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    implicit val oe: Encoder[ListAggChange] = Encoders.product[ListAggChange]
+    def snap(key: Long, k: String, live: Map[Long, Double]): ListAggChange = {
+      val vals = live.toSeq.sortBy(_._1).map(_._2)
+      ListAggChange(key, k, live(live.keys.min), live(live.keys.max),
+        vals.map(fmtVal).mkString(delimiter),
+        vals.sorted.map(fmtVal).mkString(delimiter), live.size.toLong)
+    }
+    val timeoutConf = if (ttl.exists(_.reclaimTimers)) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    grouped.flatMapGroupsWithState[(Map[Long, Double], Long), ListAggChange](
+        OutputMode.Append, timeoutConf) {
+      (key: Long, values: Iterator[V], state: GroupState[(Map[Long, Double], Long)]) =>
+       if (state.hasTimedOut) { state.remove(); Iterator.empty }
+       else {
+        val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+        val live0 = state.getOption
+          .filter { case (_, last) => ttl.forall(t => now - last <= t.ms) }
+          .map(_._1).getOrElse(Map.empty[Long, Double])
+        var live = live0
+        values.foreach { v =>
+          kind(v) match {
+            case Insert | UpdateAfter => live += (ord(v) -> value(v))
+            case Delete | UpdateBefore => live -= ord(v)
+            case Touch => ()
+          }
+        }
+        if (live.isEmpty) state.remove()
+        else {
+          state.update((live, now))
+          ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
+        }
+        val before0 = if (live0.isEmpty) None else Some(snap(key, UpdateBefore, live0))
+        val after0 = if (live.isEmpty) None else Some(snap(key, UpdateAfter, live))
+        (before0, after0) match {
+          case (Some(b), Some(a)) if (b.first, b.last, b.listagg, b.collect, b.count) ==
+                                     (a.first, a.last, a.listagg, a.collect, a.count) =>
+            Iterator.empty
+          case (b, Some(a)) => b.iterator ++ Iterator(a)
+          case (Some(b), None) =>
+            Iterator(b, b.copy(kind = Delete))
+          case (None, None) => Iterator.empty
+        }
+       }
+    }
+  }
+
   /** One changelog-join output row: the joined pair plus the per-key
     * emission sequence (`ord`) that makes `materialize` applicable
     * downstream when the join output is upsert-shaped (≤1 live pair per

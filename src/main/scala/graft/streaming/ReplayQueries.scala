@@ -672,6 +672,52 @@ object ReplayQueries {
         .select(col("grp"), col("n_buckets"), col("n_users"))
     }),
 
+    // Retract-capable FIRST_VALUE / LAST_VALUE / LISTAGG / COLLECT
+    // under the oracle gate (the reference's order/multiset-valued
+    // retract aggs — FirstValueWithRetractAggFunction / ListAggWith
+    // RetractAggFunction / CollectAggFunction): per user-group, the
+    // ord-ordered value list and sorted multiset of per-user LIVE
+    // purchase totals. Every upstream -U/+U pair REPLACES that user's
+    // element in place (remove-by-ord), so mid-replay the list churns
+    // and the final state must equal the batch arg_min/arg_max/
+    // string_agg dual over the FINAL sums.
+    "q316_stream_listagg" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .as[EvRow]
+        val agg = Changelog.aggregateChangelog[EvRow](
+          src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
+        val la = Changelog.aggregateChangelogListAgg[Changelog.AggChange](
+          agg.groupByKey(_.key % 8),
+          kind = _.kind, value = _.sum, ord = _.key)
+        // GroupAggFunction protocol: ≤ one +U/-D per key per batch —
+        // the batch id is the per-key order (the q294/q307 pattern)
+        val q = la.writeStream
+          .option("checkpointLocation", ck)
+          .outputMode("append")
+          .foreachBatch { (batch: Dataset[Changelog.ListAggChange], bid: Long) =>
+            batch.withColumn("bid", lit(bid))
+              .write.mode("append").parquet(out)
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      Changelog.materialize(s.read.parquet(out), "key", "kind", "bid")
+        .select(col("key").as("grp"),
+                col("first").cast("long").as("first_c"),
+                col("last").cast("long").as("last_c"),
+                col("listagg").as("vals"),
+                col("collect").as("vals_sorted"),
+                col("count").as("n_users"))
+    }),
+
     // Stream-static LOOKUP join under the oracle gate (the reference's
     // LookupJoin against a bounded build side, T-COMMON/connector/
     // source/LookupTableSource.java): replayed events probe a BROADCAST
@@ -1615,6 +1661,18 @@ object ReplayQueries {
         FROM events WHERE event_type = 'purchase' GROUP BY 1)
       SELECT user_id % 5 AS grp,
              CAST(count(DISTINCT floor(cents/10000)) AS BIGINT) AS n_buckets,
+             count(*) AS n_users
+      FROM p GROUP BY 1""",
+
+    "q316_stream_listagg" -> """
+      WITH p AS (
+        SELECT user_id, CAST(sum(floor(value*100)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT user_id % 8 AS grp,
+             arg_min(cents, user_id) AS first_c,
+             arg_max(cents, user_id) AS last_c,
+             string_agg(CAST(cents AS VARCHAR), ',' ORDER BY user_id) AS vals,
+             string_agg(CAST(cents AS VARCHAR), ',' ORDER BY cents) AS vals_sorted,
              count(*) AS n_users
       FROM p GROUP BY 1""",
 

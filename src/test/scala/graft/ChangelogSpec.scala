@@ -1209,6 +1209,74 @@ class ChangelogSpec extends AnyFunSuite {
       .as[(String, Double)].collect().toList
     assert(got == List(("+I", 5.0))) // and no further emission post-expiry
   }
+
+  test("retract FIRST_VALUE: retracting the current first re-admits the successor") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    val out = Changelog.aggregateChangelogListAgg[CRow](
+      mem.toDS().groupByKey(_.key), _.kind, _.value, _.ord)
+    val q = out.writeStream.format("memory").queryName("cl_first")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(CRow(1, "+I", 5.0, 1), CRow(1, "+I", 9.0, 2))
+      q.processAllAvailable() // first=5 (ord 1), last=9 (ord 2)
+      mem.addData(CRow(1, "-D", 5.0, 1)) // the FIRST row retracts
+      q.processAllAvailable() // successor (ord 2) becomes first
+    } finally q.stop()
+    val got = spark.table("cl_first")
+      .select("kind", "first", "last", "listagg")
+      .as[(String, Double, Double, String)].collect().toList
+    assert(got == List(
+      ("+U", 5.0, 9.0, "5,9"),
+      ("-U", 5.0, 9.0, "5,9"), ("+U", 9.0, 9.0, "9")))
+  }
+
+  test("retract COLLECT: deleting one of two equal values keeps the element") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    val out = Changelog.aggregateChangelogListAgg[CRow](
+      mem.toDS().groupByKey(_.key), _.kind, _.value, _.ord)
+    val q = out.writeStream.format("memory").queryName("cl_collect")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(CRow(1, "+I", 7.0, 1), CRow(1, "+I", 7.0, 2),
+                  CRow(1, "+I", 3.0, 3))
+      q.processAllAvailable() // multiset {7×2, 3×1}
+      mem.addData(CRow(1, "-D", 7.0, 1)) // one 7 retracts — BY ORD
+      q.processAllAvailable() // the other 7 stays in the multiset
+      mem.addData(CRow(1, "-D", 7.0, 2), CRow(1, "-D", 3.0, 3))
+      q.processAllAvailable() // live set empties: -U then -D
+    } finally q.stop()
+    val got = spark.table("cl_collect")
+      .select("kind", "collect", "count")
+      .as[(String, String, Long)].collect().toList
+    assert(got == List(
+      ("+U", "3,7,7", 3L),
+      ("-U", "3,7,7", 3L), ("+U", "3,7", 2L),
+      ("-U", "3,7", 2L), ("-D", "3,7", 2L)))
+  }
+
+  test("retract LISTAGG: an upstream -U/+U pair updates the element in place") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    val out = Changelog.aggregateChangelogListAgg[CRow](
+      mem.toDS().groupByKey(_.key), _.kind, _.value, _.ord)
+    val q = out.writeStream.format("memory").queryName("cl_listagg")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(CRow(1, "+I", 10.0, 1), CRow(1, "+I", 20.0, 2))
+      q.processAllAvailable() // listagg "10,20" in ord order
+      // the ord-1 element updates 10 → 15 (retraction pair on one ord)
+      mem.addData(CRow(1, "-U", 10.0, 1), CRow(1, "+U", 15.0, 1))
+      q.processAllAvailable() // position kept: "15,20", not appended
+    } finally q.stop()
+    val got = spark.table("cl_listagg")
+      .select("kind", "listagg", "count")
+      .as[(String, String, Long)].collect().toList
+    assert(got == List(
+      ("+U", "10,20", 2L),
+      ("-U", "10,20", 2L), ("+U", "15,20", 2L)))
+  }
 }
 
 case class LSide(v: Double)
