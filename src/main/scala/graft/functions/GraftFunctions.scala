@@ -125,6 +125,8 @@ object GraftFunctions {
       "hash_code" -> { case Seq(s: Expression) => graft.plans.JavaHashCode(s) },
       "cosine_sim" -> { case Seq(a: Expression, b: Expression) =>
         graft.plans.CosineSimilarity(a, b) },
+      "dot_codes" -> { case Seq(a: Expression, b: Expression) =>
+        graft.plans.DotCodes(a, b) },
       "graft_element" -> cols { case Seq(a) => element(a) },
       // Seeded variant must pull the seed out of the *Literal* — stringifying
       // the Column yields SQL text, not the value (round-1 bug).

@@ -65,6 +65,18 @@ object AnnOps {
         org.apache.spark.sql.graftbridge.Bridge.expression(col(embCol)),
         (0 until Dims).map(d => planeComponent(p, d)).toArray))
 
+  /** Integer dot product of two BIGINT code arrays — the SQ8 serving
+    * kernel as a codegen'd expression (plans.DotCodes; the composed
+    * aggregate(zip_with(...)) form ran its lambdas interpreted and
+    * built a product array per candidate pair — the q136 lesson
+    * applied to the one hot loop that still had it). Bit-identical
+    * results, same oracle. */
+  def dotCodes(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.plans.DotCodes(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
   /** Bucket id: `Planes` sign bits of the plane projections. */
   def bucketCol(embCol: String): Column =
     (0 until Planes)
@@ -112,8 +124,7 @@ object AnnOps {
         .select(col("vec_id").as("cand_id"), col("q8").as("qb"))
       val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("cand_id"))
       c.crossJoin(broadcast(q))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(qa, qb, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        .withColumn("dot", dotCodes(col("qa"), col("qb")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("cand_id"), col("rnk").cast("int").as("rnk"),
@@ -130,43 +141,9 @@ object AnnOps {
     // ONE scan + a K-row broadcast (assignment) and the serving join
     // touches only probed lists (nprobe/K of the corpus), with 4×
     // compressed codes — the composition q310's scaladoc promises.
-    "q311_ivf_sq8" -> ((s, dir) => {
-      val k = 8
-      val nprobe = 2
-      def idot(a: String, b: String) = expr(
-        s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
-      // checkpoint: the quantized corpus feeds THREE subtrees (centroid
-      // pick, candidate assignment, probe side) — one scan, not three
-      val emb = Tables.table(s, dir, "embeddings")
-        .select(col("vec_id"), expr(Sq8Expr).as("q8"))
-        .localCheckpoint()
-      val cents = emb
-        .withColumn("mk", md5(col("vec_id").cast("string")))
-        .orderBy(col("mk"), col("vec_id")).limit(k)
-        .select(col("vec_id").as("cid"), col("q8").as("cent"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("d").desc, col("cid"))
-      val assigned = emb.filter(col("vec_id") >= 10)
-        .crossJoin(broadcast(cents))
-        .withColumn("d", idot("q8", "cent"))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id").as("cand_id"), col("q8").as("qb"), col("cid"))
-      val probes = emb.filter(col("vec_id") < 10)
-        .crossJoin(broadcast(cents))
-        .withColumn("d", idot("q8", "cent"))
-        .withColumn("prn", row_number().over(wAssign))
-        .filter(col("prn") <= nprobe)
-        .select(col("vec_id").as("q_id"), col("q8").as("qa"), col("cid"))
-      val wTop = Window.partitionBy("q_id")
-        .orderBy(col("dot").desc, col("cand_id"))
-      broadcast(probes).join(assigned, "cid")
-        .withColumn("dot", idot("qa", "qb"))
-        .withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("cand_id"), col("rnk").cast("int").as("rnk"),
-                col("dot"), col("cid"))
-    }),
+    // Body in [[ivfSq8]] (parameterized on nprobe: q317 sweeps the
+    // recall knob over the same pipeline).
+    "q311_ivf_sq8" -> ((s, dir) => ivfSq8(s, dir, nprobe = 2)),
 
     // Bucket histogram: distribution diagnostics for the LSH table.
     "q43_ann_buckets" -> ((s, dir) => {
@@ -282,6 +259,60 @@ object AnnOps {
     })
   )
 
+  /** The q311 pipeline with the probe width exposed: nprobe of the `k`
+    * inverted lists are scanned per query. nprobe = k probes every
+    * list — the candidate set degenerates to the full SQ8 scan (q310),
+    * so the recall curve q317 measures ends at the SQ8 ceiling by
+    * construction. */
+  def ivfSq8(s: SparkSession, dir: String, nprobe: Int, k: Int = 8): DataFrame = {
+    def idot(a: String, b: String) = dotCodes(col(a), col(b))
+    // checkpoint: the quantized corpus feeds THREE subtrees (centroid
+    // pick, candidate assignment, probe side) — one scan, not three
+    val emb = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), expr(Sq8Expr).as("q8"))
+      .localCheckpoint()
+    val cents = emb
+      .withColumn("mk", md5(col("vec_id").cast("string")))
+      .orderBy(col("mk"), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("q8").as("cent"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("d").desc, col("cid"))
+    val assigned = emb.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(cents))
+      .withColumn("d", idot("q8", "cent"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id").as("cand_id"), col("q8").as("qb"), col("cid"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(cents))
+      .withColumn("d", idot("q8", "cent"))
+      .withColumn("prn", row_number().over(wAssign))
+      .filter(col("prn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("q8").as("qa"), col("cid"))
+    val wTop = Window.partitionBy("q_id")
+      .orderBy(col("dot").desc, col("cand_id"))
+    broadcast(probes).join(assigned, "cid")
+      .withColumn("dot", idot("qa", "qb"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("cand_id"), col("rnk").cast("int").as("rnk"),
+              col("dot"), col("cid"))
+  }
+
+  /** Integer-dot SQL terms — the DuckDB mirror of [[dotCodes]] over
+    * 1-indexed lists (shared by the SQ8 oracles here and q317's sweep
+    * oracle in VectorOps). */
+  private[operators] def idotSql(a: String, b: String): String =
+    (1 to Dims).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+
+  /** Shared quantization CTE for the SQ8 oracles — the Scala side is
+    * the single Sq8Expr; these two must stay in lockstep. */
+  private[operators] val q8Cte = """q8 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> greatest(-127, least(127,
+                 CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT)))) AS q8
+        FROM embeddings)"""
+
   val oracle: Map[String, String] = {
     // plane table as an inline VALUES list: (p, d, v)
     val planeRows = (for (p <- 0 until Planes; d <- 0 until Dims)
@@ -300,16 +331,7 @@ object AnnOps {
                  AS bucket
         FROM proj GROUP BY vec_id)"""
 
-    def idotSql(a: String, b: String) =
-      (1 to Dims).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
     val sq8DotTerms = idotSql("qa", "qb")
-    // one shared quantization CTE for the SQ8 oracles — the Scala side
-    // is the single Sq8Expr; these two must stay in lockstep
-    val q8Cte = """q8 AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> greatest(-127, least(127,
-                 CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT)))) AS q8
-        FROM embeddings)"""
     Map(
       "q311_ivf_sq8" -> s"""
       WITH $q8Cte,

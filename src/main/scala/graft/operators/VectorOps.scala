@@ -183,6 +183,34 @@ object VectorOps {
             .as("recall_ivf"))
     }),
 
+    // The nprobe/recall CURVE for IVF-SQ8 (q312 reports the single
+    // nprobe=2 point — one number can't separate a mis-built index
+    // from a hostile fixture): recall@5 vs the exact float top-5 at
+    // nprobe ∈ {1, 2, 4, 8}. Monotone by construction (more probed
+    // lists ⊇ fewer), and nprobe = K probes EVERY list — the candidate
+    // set degenerates to q310's full SQ8 scan, so the curve must end
+    // at the SQ8 ceiling: the knob provably buys back everything the
+    // pruning cost, which is the operational answer a capacity planner
+    // needs (the same analytic-budget discipline as q143/q144's
+    // theory floors for LSH).
+    "q317_ivf_nprobe_sweep" -> ((s, dir) => {
+      val gt = queries("q38_cosine_topk")(s, dir)
+        .select(col("q_id"), col("cand_id"))
+      val tot = gt.groupBy().agg(count(lit(1)).as("n_rel"))
+      Seq(1, 2, 4, 8).map { np =>
+        AnnOps.ivfSq8(s, dir, nprobe = np)
+          .select(col("q_id"), col("cand_id"))
+          .join(gt, Seq("q_id", "cand_id"))
+          .groupBy().agg(count(lit(1)).as("n_hit"))
+          .withColumn("nprobe", lit(np))
+      }.reduce(_ unionByName _)
+        .crossJoin(tot)
+        .select(col("nprobe").cast("int").as("nprobe"),
+                col("n_hit").cast("bigint").as("n_hit"),
+                round(col("n_hit").cast("double") / col("n_rel"), 6)
+                  .as("recall_at_5"))
+    }),
+
     "q168_ivf_recall" -> ((s, dir) => {
       val gt = queries("q38_cosine_topk")(s, dir)
         .select(col("q_id"), col("cand_id"))
@@ -831,6 +859,49 @@ object VectorOps {
       SELECT q.q_id, CAST(coalesce(nh, 0) AS INT) AS n_hit,
              CAST(coalesce(nh, 0) AS DOUBLE) / 5.0 AS recall_at_5
       FROM (SELECT DISTINCT q_id FROM gt) q
-      LEFT JOIN hit ON q.q_id = hit.q_id"""
+      LEFT JOIN hit ON q.q_id = hit.q_id""",
+
+    "q317_ivf_nprobe_sweep" -> s"""
+      WITH ${AnnOps.q8Cte},
+      cents AS (
+        SELECT vec_id AS cid, q8 AS cent FROM q8
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      assigned AS (
+        SELECT vec_id AS cand_id, q8 AS qb, cid FROM (
+          SELECT v.vec_id, v.q8, c.cid,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY (${AnnOps.idotSql("v.q8", "c.cent")}) DESC, c.cid)
+                   AS arn
+          FROM q8 v CROSS JOIN cents c WHERE v.vec_id >= 10) x
+        WHERE arn = 1),
+      probes AS (
+        SELECT vec_id AS q_id, q8 AS qa, cid, prn FROM (
+          SELECT v.vec_id, v.q8, c.cid,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY (${AnnOps.idotSql("v.q8", "c.cent")}) DESC, c.cid)
+                   AS prn
+          FROM q8 v CROSS JOIN cents c WHERE v.vec_id < 10) x
+        WHERE prn <= 8),
+      nps AS (SELECT * FROM (VALUES (1), (2), (4), (8)) t(np)),
+      scored AS (
+        SELECT n.np, p.q_id, a.cand_id,
+               row_number() OVER (PARTITION BY n.np, p.q_id
+                 ORDER BY (${AnnOps.idotSql("p.qa", "a.qb")}) DESC, a.cand_id)
+                 AS rnk
+        FROM nps n
+        JOIN probes p ON p.prn <= n.np
+        JOIN assigned a USING (cid)),
+      ivf AS (SELECT np, q_id, cand_id FROM scored WHERE rnk <= 5),
+      gt AS (SELECT q_id, cand_id FROM ($q38OracleSql)),
+      tot AS (SELECT count(*) AS n_rel FROM gt),
+      hits AS (
+        SELECT np, count(*) AS n_hit
+        FROM ivf JOIN gt USING (q_id, cand_id)
+        GROUP BY np)
+      SELECT CAST(n.np AS INT) AS nprobe,
+             CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+             round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_rel, 6)
+               AS recall_at_5
+      FROM nps n LEFT JOIN hits h ON h.np = n.np CROSS JOIN tot t"""
   )
 }

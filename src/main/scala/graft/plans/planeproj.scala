@@ -72,3 +72,81 @@ case class DotConst(child: Expression, weights: Array[Double])
   override def hashCode(): Int =
     31 * child.hashCode() + java.util.Arrays.hashCode(weights)
 }
+
+/**
+ * `dot_codes(a, b)` — integer dot product of two BIGINT code arrays:
+ * the SQ8 ANN serving kernel (AnnOps q310/q311 — the per-candidate
+ * distance an IVF list scan evaluates at 100 TB). Replaces the composed
+ * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, +)` pipeline for the
+ * same reason as [[DotConst]]: higher-order functions evaluate their
+ * lambdas interpreted and materialize a product array per candidate
+ * pair — this is one codegen'd long loop, allocation-free.
+ *
+ * Semantics mirror the composed form exactly, including its edges:
+ * `zip_with` pads the shorter array with nulls and a null element
+ * poisons the sum, so differing lengths or any null element yield NULL
+ * here too — quantized code arrays (non-null, fixed dims) never hit
+ * either edge, and results stay bit-identical.
+ */
+case class DotCodes(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  // nullable even over non-null inputs: length mismatch / null element
+  // yield NULL (the zip_with-padding semantics this expression mirrors)
+  override def nullable: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "dot_codes"
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_codes requires two array<bigint>, got " +
+      s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          long $s = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            $s += $a.getLong($i) * $b.getLong($i);
+          }
+          if (!${ev.isNull}) { ${ev.value} = $s; }
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotCodes =
+    copy(left = newLeft, right = newRight)
+}

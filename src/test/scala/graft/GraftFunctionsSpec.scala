@@ -112,6 +112,35 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("array<float>"))
   }
 
+  test("dot_codes: bit-equal to the composed HOF form incl. null/length edges") {
+    import org.apache.spark.sql.functions._
+    // the exact SQ8 shape q310 serves: int8 codes of fixture embeddings
+    val q8 = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> greatest(-127L, least(127L, " +
+        "CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT))))").as("q8"))
+    val pairs = q8.select(col("q8").as("qa"))
+      .crossJoin(q8.select(col("q8").as("qb"))).limit(2000)
+    val both = pairs.select(
+      graft.operators.AnnOps.dotCodes(col("qa"), col("qb")).as("fused"),
+      expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, " +
+           "(acc, v) -> acc + v)").as("composed"))
+    assert(both.filter(col("fused") =!= col("composed")).count() == 0)
+    // edges: length mismatch and a null element both yield NULL (the
+    // zip_with padding / null-poisoning semantics), and SQL reachability
+    val edges = spark.sql(
+      """SELECT dot_codes(array(1L, 2L), array(3L, 4L)) AS ok,
+                dot_codes(array(1L, 2L), array(3L)) AS len,
+                dot_codes(array(1L, CAST(NULL AS BIGINT)), array(3L, 4L)) AS nul
+      """).collect()(0)
+    assert(edges.getLong(0) == 11L)
+    assert(edges.isNullAt(1) && edges.isNullAt(2))
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_codes(array(1), array(2L))").collect()
+    }
+    assert(e.getMessage.contains("array<bigint>"))
+  }
+
   test("events.ts normalizes ns → µs exactly") {
     val df = Tables.table(spark, "/root/testdata/sf0.001", "events")
     assert(df.schema("ts").dataType.typeName == "timestamp")
