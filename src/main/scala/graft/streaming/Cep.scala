@@ -330,12 +330,26 @@ object Cep {
    * unit of `ts`/`withinMs` — pass 1000 when matching on epoch-µs event
    * times so the within-horizon keeps the batch engine's exact µs
    * boundary semantics instead of truncating to ms.
+   *
+   * State bounds: the within-horizon is the DEFAULT (and event-time-
+   * sound) bound — a key's buffer only holds events younger than
+   * `withinMs`, pruned as the watermark advances. `ttl` adds the
+   * reference's idle-state retention ON TOP (table.exec.state.ttl
+   * applies to CepOperator's keyed NFA state like any other operator):
+   * a key IDLE past the retention in processing time drops its pending
+   * prefix buffer — its partial match does NOT resume when the key
+   * returns, even if the returning event is inside the event-time
+   * horizon. Lazy-expiry only (the event-time timeout slot is taken by
+   * the horizon flush; Changelog.IdleStateTtl.reclaimTimers is
+   * rejected); an event-time timeout wakeup is not a record access and
+   * does not refresh the idle clock.
    */
   def matchStream[K, V](
       grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V],
       pattern: Pattern[V], ts: V => Long,
       tiebreak: V => Long = (_: V) => 0L,
-      tsPerMs: Long = 1L)(
+      tsPerMs: Long = 1L,
+      ttl: Option[Changelog.IdleStateTtl] = None)(
       implicit ve: Encoder[V], se: Encoder[Seq[V]],
       me: Encoder[Match[K, V]]): Dataset[Match[K, V]] = {
     // Without a within-window there is no sound pruning horizon: state at
@@ -343,14 +357,26 @@ object Cep {
     // still extend it across micro-batches, silently losing matches.
     require(pattern.withinMs.isDefined,
       "streaming CEP requires Pattern.withinMs (bounded within-window)")
+    require(!ttl.exists(_.reclaimTimers),
+      "streaming CEP uses the event-time timeout for its horizon flush; " +
+      "idle-state retention is lazy-expiry only here")
     val horizon = pattern.withinMs.get
-    grouped.flatMapGroupsWithState[Seq[V], Match[K, V]](
+    implicit val stEnc: Encoder[(Seq[V], Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        se, org.apache.spark.sql.Encoders.scalaLong)
+    grouped.flatMapGroupsWithState[(Seq[V], Long), Match[K, V]](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-      (key: K, values: Iterator[V], state: GroupState[Seq[V]]) =>
+      (key: K, values: Iterator[V], state: GroupState[(Seq[V], Long)]) =>
+        val vs = values.toSeq
+        val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+        val (buf0, last0) = state.getOption.getOrElse((Seq.empty[V], now))
+        // lazy idle expiry: a key idle past the retention folds from an
+        // EMPTY buffer — the expired partial match cannot resume
+        val prev = if (ttl.exists(t => now - last0 > t.ms)) Seq.empty[V]
+                   else buf0
         // same (ts, tiebreak) order as matchBatch, so ties among equal-ts
         // events resolve identically regardless of arrival batch
-        val buf = (state.getOption.getOrElse(Seq.empty) ++ values)
-          .sortBy(v => (ts(v), tiebreak(v)))
+        val buf = (prev ++ vs).sortBy(v => (ts(v), tiebreak(v)))
         val wm = state.getCurrentWatermarkMs() * tsPerMs
         // a match starting at event e can only involve events up to
         // ts(e)+horizon; safe to finalize starts below wm - horizon.
@@ -362,7 +388,9 @@ object Cep {
         val all = matchAll(pattern, buf.toIndexedSeq, ts)
         val out = all.filter(m => ts(m.head) <= safeTs)
           .map(m => Match(key, m))
-        state.update(pending)
+        // a timeout/flush wakeup (no records) is not an access: carry the
+        // previous idle clock so the TTL measures record-to-record gaps
+        state.update((pending, if (vs.nonEmpty) now else last0))
         if (pending.nonEmpty)
           // timeout timestamps are epoch-ms: scale back from the ts unit
           state.setTimeoutTimestamp((ts(pending.head) + horizon) / tsPerMs + 1)

@@ -423,24 +423,42 @@ object MatchRecognize {
       grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V],
       orderTs: V => Long, tiebreak: V => Long,
       pattern: String, define: Seq[(String, V => Boolean)],
-      withinMs: Long, skip: Skip = SkipPastLastRow)(
+      withinMs: Long, skip: Skip = SkipPastLastRow,
+      ttl: Option[Changelog.IdleStateTtl] = None)(
       implicit ve: Encoder[V], se: Encoder[Seq[V]],
       oe: Encoder[(K, Long, String, V)]): Dataset[(K, Long, String, V)] = {
     import org.apache.spark.sql.{Encoders => E}
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     require(withinMs > 0, "streaming MATCH_RECOGNIZE requires a within horizon")
+    // the within-horizon is the default state bound; `ttl` adds the
+    // reference's idle-state retention on top — an idle key's pending
+    // buffer AND match counter drop, exactly the full-state cleanup
+    // the reference's TTL timer performs on CepOperator keyed state.
+    // Lazy-expiry only (the event-time timeout slot is the horizon
+    // flush), same contract as Cep.matchStream.
+    require(!ttl.exists(_.reclaimTimers),
+      "streaming MATCH_RECOGNIZE uses the event-time timeout for its " +
+      "horizon flush; idle-state retention is lazy-expiry only here")
     val vars = define.map(_._1)
     val prog = compile(parse(pattern), vars.zipWithIndex.toMap)
     val preds = define.map(_._2).toArray
     val varNames = vars.toArray
     val resume = resumeFn(skip, vars)
-    implicit val stEnc: Encoder[(Seq[V], Long)] = E.tuple(se, E.scalaLong)
-    grouped.flatMapGroupsWithState[(Seq[V], Long), (K, Long, String, V)](
+    implicit val stEnc: Encoder[(Seq[V], Long, Long)] =
+      E.tuple(se, E.scalaLong, E.scalaLong)
+    grouped.flatMapGroupsWithState[(Seq[V], Long, Long), (K, Long, String, V)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
       (key: K, values: Iterator[V],
-       state: org.apache.spark.sql.streaming.GroupState[(Seq[V], Long)]) =>
-        val (buf0, mid0) = state.getOption.getOrElse((Seq.empty[V], 0L))
-        val buf = (buf0 ++ values).sortBy(v => (orderTs(v), tiebreak(v)))
+       state: org.apache.spark.sql.streaming.GroupState[(Seq[V], Long, Long)]) =>
+        val vs = values.toSeq
+        val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+        val (buf1, mid1, last0) =
+          state.getOption.getOrElse((Seq.empty[V], 0L, now))
+        // lazy idle expiry: buffer and match ordinal fold from scratch
+        val (buf0, mid0) =
+          if (ttl.exists(t => now - last0 > t.ms)) (Seq.empty[V], 0L)
+          else (buf1, mid1)
+        val buf = (buf0 ++ vs).sortBy(v => (orderTs(v), tiebreak(v)))
           .toIndexedSeq
         val wm = state.getCurrentWatermarkMs()
         val safeTs = wm - withinMs
@@ -471,7 +489,10 @@ object MatchRecognize {
         val pending = buf.drop(firstLive)
         if (pending.isEmpty) state.remove()
         else {
-          state.update((pending, mid))
+          // a timeout/flush wakeup (no records) is not an access: carry
+          // the previous idle clock (record-to-record TTL, as in
+          // Cep.matchStream)
+          state.update((pending, mid, if (vs.nonEmpty) now else last0))
           state.setTimeoutTimestamp(orderTs(pending.head) + withinMs + 1)
         }
         out.iterator

@@ -196,4 +196,44 @@ class CepSpec extends AnyFunSuite {
     val got = spark.table("s_cep").as[String].collect().toSet
     assert(got == Set("1-2-3", "4-5-6"))
   }
+
+  test("streaming CEP idle-state TTL: an expired key's partial match does not resume") {
+    implicit val sc = spark.sqlContext
+    val pattern = Pattern[WEv](Seq(
+      Step[WEv]("a", _.kind == "a"),
+      Step[WEv]("b", _.kind == "b"),
+      Step[WEv]("c", _.kind == "c")), withinMs = Some(60000L))
+    val base = 1700000000000L
+    // identical phases (incl. the idle gap) with and without TTL — the
+    // retention is the only difference, so it is the cause
+    def run(name: String, ttl: Option[graft.streaming.Changelog.IdleStateTtl])
+        : Set[String] = {
+      val mem = MemoryStream[CEv]
+      val ds = mem.toDS()
+        .withColumn("ets", ($"t" / 1000).cast("timestamp"))
+        .withWatermark("ets", "1 second")
+        .as[WEv]
+      val out = Cep.matchStream[Long, WEv](
+        ds.groupByKey(_ => 0L), pattern, _.t, ttl = ttl)
+      val q = out.map(m => m.events.map(_.id).mkString("-"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        // phase 1: the a-b PREFIX of a match, in one batch
+        mem.addData(CEv(1, base, "a"), CEv(2, base + 1000, "b"))
+        q.processAllAvailable()
+        Thread.sleep(4500L) // idle past the 2 s retention
+        // phase 2: the closer, still INSIDE the 60 s event-time horizon
+        mem.addData(CEv(3, base + 2000, "c"))
+        q.processAllAvailable()
+        // sentinels flush the watermark past everything
+        mem.addData(CEv(99, base + 10000000, "x")); q.processAllAvailable()
+        mem.addData(CEv(98, base + 20000000, "x")); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).as[String].collect().toSet
+    }
+    assert(run("s_cep_nottl", None) == Set("1-2-3"))
+    assert(run("s_cep_ttl",
+      Some(graft.streaming.Changelog.IdleStateTtl(2000L))) == Set.empty)
+  }
 }

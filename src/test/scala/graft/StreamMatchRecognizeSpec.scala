@@ -149,4 +149,43 @@ class StreamMatchRecognizeSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got == exp)
   }
+
+  test("MATCH_RECOGNIZE idle-state TTL: an expired key's partial match does not resume") {
+    implicit val sc = spark.sqlContext
+    def ev(id: Long, ms: Long, tp: String) =
+      SEv(id, new Timestamp(ms), 1L, tp, 0.0)
+    // identical phases (incl. the idle gap) with and without TTL
+    def run(name: String, ttl: Option[graft.streaming.Changelog.IdleStateTtl])
+        : Set[(Long, String, Long)] = {
+      val mem = MemoryStream[SEv]
+      val out = MatchRecognize.annotateStream[Long, SEv](
+        mem.toDS().withWatermark("ts", "1 second").groupByKey(_.user_id),
+        orderTs = _.ts.getTime, tiebreak = _.event_id,
+        pattern = "A B",
+        define = Seq(
+          "A" -> ((e: SEv) => e.event_type == "a"),
+          "B" -> ((e: SEv) => e.event_type == "b")),
+        withinMs = 60000L, ttl = ttl)
+      val q = out.map(t => (t._2, t._3, t._4.event_id))
+        .toDF("mid", "var", "id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        mem.addData(ev(1, 1000, "a")) // the A prefix buffers
+        q.processAllAvailable()
+        Thread.sleep(4500L)           // idle past the 2 s retention
+        // the closer, still inside the 60 s event-time horizon
+        mem.addData(ev(2, 2000, "b"))
+        q.processAllAvailable()
+        mem.addData(ev(99, 600000, "x")); q.processAllAvailable()
+        mem.addData(ev(98, 1200000, "x")); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).select("mid", "var", "id")
+        .as[(Long, String, Long)].collect().toSet
+    }
+    assert(run("s_mr_nottl", None) ==
+      Set((1L, "A", 1L), (1L, "B", 2L)))
+    assert(run("s_mr_ttl",
+      Some(graft.streaming.Changelog.IdleStateTtl(2000L))) == Set.empty)
+  }
 }
