@@ -672,6 +672,53 @@ object ReplayQueries {
         .select(col("grp"), col("n_buckets"), col("n_users"))
     }),
 
+    // The ordered/multiset retract aggregates REACHED FROM PLAIN SQL —
+    // FIRST_VALUE/LAST_VALUE/LISTAGG/COLLECT text over a registered
+    // changelog view routes to aggregateChangelogListAgg (the view's
+    // upsert key is the order, as in the reference's order-sensitive
+    // retract aggs). Different grouping (%7) than q316's direct-API
+    // gate, so both entries carry their own oracle.
+    "q318_stream_sql_listagg" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .as[EvRow]
+        val view = Changelog.aggregateChangelog[EvRow](
+            src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
+          .map(a => (a.key, a.kind, a.sum))
+          .toDF("key", "kind", "amt_c")
+        StreamSql.registerChangelog("q318_p", view, "kind",
+          rowId = Some("key"))
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT key % 7 AS grp, FIRST_VALUE(amt_c) AS first_c,
+                      LAST_VALUE(amt_c) AS last_c, LISTAGG(amt_c) AS vals,
+                      COLLECT(amt_c) AS vals_sorted, COUNT(*) AS n_users
+               FROM q318_p GROUP BY key % 7""")
+          val q = j.writeStream
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .foreachBatch { (batch: DataFrame, bid: Long) =>
+              batch.withColumn("bid", lit(bid))
+                .write.mode("append").parquet(out)
+            }
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropChangelog("q318_p")
+      }
+      Changelog.materialize(s.read.parquet(out), "grp", "row_kind", "bid")
+        .select(col("grp"),
+                col("first_c").cast("long").as("first_c"),
+                col("last_c").cast("long").as("last_c"),
+                col("vals"), col("vals_sorted"), col("n_users"))
+    }),
+
     // Retract-capable FIRST_VALUE / LAST_VALUE / LISTAGG / COLLECT
     // under the oracle gate (the reference's order/multiset-valued
     // retract aggs — FirstValueWithRetractAggFunction / ListAggWith
@@ -1661,6 +1708,18 @@ object ReplayQueries {
         FROM events WHERE event_type = 'purchase' GROUP BY 1)
       SELECT user_id % 5 AS grp,
              CAST(count(DISTINCT floor(cents/10000)) AS BIGINT) AS n_buckets,
+             count(*) AS n_users
+      FROM p GROUP BY 1""",
+
+    "q318_stream_sql_listagg" -> """
+      WITH p AS (
+        SELECT user_id, CAST(sum(floor(value*100)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT user_id % 7 AS grp,
+             arg_min(cents, user_id) AS first_c,
+             arg_max(cents, user_id) AS last_c,
+             string_agg(CAST(cents AS VARCHAR), ',' ORDER BY user_id) AS vals,
+             string_agg(CAST(cents AS VARCHAR), ',' ORDER BY cents) AS vals_sorted,
              count(*) AS n_users
       FROM p GROUP BY 1""",
 

@@ -68,6 +68,16 @@ import graft.operators.SqlFrontend
  *     FROM V GROUP BY <g>`
  *    → retract-capable distinct aggregate (value-instance 0↔1
  *    transitions); `ca` is the group's live input-row count.
+ *  - `SELECT <g> AS ga, FIRST_VALUE(<v>) | LAST_VALUE(<v>) |
+ *     LISTAGG(<v> [, '<delim>']) | COLLECT(<v>) | COUNT(*) …
+ *     FROM V GROUP BY <g>`
+ *    → retract-capable ordered/multiset aggregates
+ *    ([[Changelog.aggregateChangelogListAgg]]); V must declare its
+ *    upsert key at registration — it is the FIRST/LAST/LISTAGG order,
+ *    the way the reference's order-sensitive retract aggs key their
+ *    ListView. All value arguments must be the same expression (one
+ *    live multiset per statement); COLLECT emits the value-sorted
+ *    serialization of the multiset (duplicates retained).
  *
  * Keys: the changelog operators key on Long — the group/join key
  * expression must be Long-castable (composite keys: derive a single
@@ -193,6 +203,10 @@ object StreamSql {
     else if (dm.matches() && view(dm.group(2)).isDefined &&
              dm.group(1).toUpperCase.contains("DISTINCT"))
       Some(distinct(spark, dm, effTtl))
+    else if (dm.matches() && view(dm.group(2)).isDefined &&
+             dm.group(1).toUpperCase.matches(
+               "(?s).*\\b(FIRST_VALUE|LAST_VALUE|LISTAGG|COLLECT)\\b.*"))
+      Some(listagg(spark, dm, effTtl))
     else None
   }
 
@@ -390,5 +404,83 @@ object StreamSql {
     val withCount = cItem.map(ca => Seq(col("count").as(ca))).getOrElse(Nil)
     d.toDF().select(Seq(col("key").as(gAlias), col("distinct").as(dAlias)) ++
       withCount :+ col("kind").as("row_kind"): _*)
+  }
+
+  // ---- FIRST_VALUE / LAST_VALUE / LISTAGG / COLLECT → ordered retract agg
+
+  private def listagg(spark: SparkSession, m: java.util.regex.Matcher,
+                      ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
+    val (sel, vName, vAlias0, groupBy) =
+      (m.group(1), m.group(2), m.group(3), m.group(4))
+    val v = view(vName).get
+    val rowIdCol = v.rowIdCol.getOrElse(throw new IllegalArgumentException(
+      s"streaming FIRST_VALUE/LAST_VALUE/LISTAGG/COLLECT over '$vName' " +
+      "needs its upsert key: registerChangelog(..., rowId = Some(col)) — " +
+      "it is the aggregate's order, the way the reference's " +
+      "order-sensitive retract aggs key their ListView"))
+    val quals = Seq(vAlias0, vName)
+    val items = SqlFrontend.splitTop(sel).map(strip(_, quals))
+    val aggRe = java.util.regex.Pattern.compile(
+      "(?is)^(FIRST_VALUE|LAST_VALUE|COLLECT)\\s*\\(\\s*(.+)\\)\\s+(?:AS\\s+)?(\\w+)\\s*$")
+    val laRe = java.util.regex.Pattern.compile(
+      "(?is)^LISTAGG\\s*\\(\\s*(.+?)(?:\\s*,\\s*'([^']*)')?\\s*\\)\\s+(?:AS\\s+)?(\\w+)\\s*$")
+    val cRe = java.util.regex.Pattern.compile(
+      "(?is)^COUNT\\s*\\(\\s*\\*\\s*\\)\\s+(?:AS\\s+)?(\\w+)\\s*$")
+    var gItem: Option[(String, String)] = None
+    var vExpr: Option[String] = None
+    var delim = ","
+    // output column of the operator → user alias, in item order
+    val outCols = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def sameValue(e: String): Unit = {
+      require(vExpr.forall(p => norm(p) == norm(e)),
+        s"all value arguments must be the same expression (one live " +
+        s"multiset per statement): '${vExpr.get}' vs '$e'")
+      vExpr = Some(e.trim)
+    }
+    items.foreach { item =>
+      val ma = aggRe.matcher(item)
+      val ml = laRe.matcher(item)
+      val mc = cRe.matcher(item)
+      if (ma.matches()) {
+        sameValue(ma.group(2))
+        val out = ma.group(1).toUpperCase match {
+          case "FIRST_VALUE" => "first"
+          case "LAST_VALUE" => "last"
+          case _ => "collect"
+        }
+        outCols += ((out, ma.group(3)))
+      } else if (ml.matches()) {
+        sameValue(ml.group(1))
+        Option(ml.group(2)).foreach(delim = _)
+        outCols += (("listagg", ml.group(3)))
+      } else if (mc.matches()) outCols += (("count", mc.group(1)))
+      else {
+        require(gItem.isEmpty, "streaming ordered aggregates support one " +
+          "group-key item (derive a composite key column in the view)")
+        gItem = Some(itemAlias(item))
+        outCols += (("key", itemAlias(item)._2))
+      }
+    }
+    val (gExpr, _) = gItem.getOrElse(throw new IllegalArgumentException(
+      s"streaming ordered aggregates need the group key in the SELECT: $sel"))
+    val ve = vExpr.getOrElse(throw new IllegalArgumentException(
+      s"no FIRST_VALUE/LAST_VALUE/LISTAGG/COLLECT item in: $sel"))
+    val gb = strip(groupBy, quals).trim
+    require(norm(gb) == norm(gExpr) || gb == "1",
+      s"GROUP BY must match the select's key expression '$gExpr': $groupBy")
+
+    implicit val enc4: Encoder[(Long, String, Double, Long)] = ExpressionEncoder()
+    implicit val keyEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    val base = v.df
+      .withColumn("__g", expr(gExpr).cast("long"))
+      .withColumn("__v", expr(ve).cast("double"))
+      .select(col("__g"), col(v.kindCol).cast("string"), col("__v"),
+              col(rowIdCol).cast("long"))
+      .as[(Long, String, Double, Long)]
+    val d = Changelog.aggregateChangelogListAgg[(Long, String, Double, Long)](
+      base.groupByKey(_._1), kind = _._2, value = _._3, ord = _._4,
+      delimiter = delim, ttl = ttl)
+    d.toDF().select(outCols.toSeq.map { case (c, a) => col(c).as(a) } :+
+      col("kind").as("row_kind"): _*)
   }
 }

@@ -187,6 +187,46 @@ class StreamSqlSpec extends AnyFunSuite {
     StreamSql.dropChangelog(dv)
   }
 
+  test("SQL FIRST_VALUE/LISTAGG/COLLECT is bit-identical to the direct API") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("lav")
+    val sqlMem = MemoryStream[CRow]; val apiMem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, sqlMem.toDS().toDF(),
+      kindCol = "kind", rowId = Some("ord"))
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT key % 2 AS g, FIRST_VALUE(value) AS fv,
+                 LAST_VALUE(value) AS lv2, LISTAGG(value) AS vals,
+                 COLLECT(value) AS ms, COUNT(*) AS c
+          FROM $lv GROUP BY key % 2""")
+    val direct = Changelog.aggregateChangelogListAgg[CRow](
+      apiMem.toDS().groupByKey(_.key % 2), _.kind, _.value, _.ord)
+    val sinkS = fresh("sql_la"); val sinkA = fresh("api_la")
+    val qs = out.writeStream.format("memory").queryName(sinkS)
+      .outputMode(OutputMode.Append).start()
+    val qa = direct.writeStream.format("memory").queryName(sinkA)
+      .outputMode(OutputMode.Append).start()
+    try {
+      def feed(rows: CRow*): Unit = {
+        sqlMem.addData(rows); apiMem.addData(rows)
+        qs.processAllAvailable(); qa.processAllAvailable()
+      }
+      feed(CRow(2, "+I", 5.0, 1), CRow(4, "+I", 9.0, 2))
+      feed(CRow(2, "-D", 5.0, 1)) // the first retracts: successor takes over
+      feed(CRow(4, "-U", 9.0, 2), CRow(4, "+U", 7.0, 2)) // in-place update
+    } finally { qs.stop(); qa.stop() }
+    val gotSql = spark.table(sinkS)
+      .select("g", "fv", "lv2", "vals", "ms", "c", "row_kind")
+      .as[(Long, Double, Double, String, String, Long, String)]
+      .collect().toList
+    val gotApi = spark.table(sinkA)
+      .select("key", "first", "last", "listagg", "collect", "count", "kind")
+      .as[(Long, Double, Double, String, String, Long, String)]
+      .collect().toList
+    assert(gotSql == gotApi)
+    assert(gotSql.nonEmpty)
+    StreamSql.dropChangelog(lv)
+  }
+
   test("unregistered names fall through to the batch SQL path") {
     Seq((1L, "a"), (2L, "b")).toDF("id", "s")
       .createOrReplaceTempView("streamsql_batch_t")
