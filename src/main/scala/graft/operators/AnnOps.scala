@@ -264,7 +264,21 @@ object AnnOps {
     * list — the candidate set degenerates to the full SQ8 scan (q310),
     * so the recall curve q317 measures ends at the SQ8 ceiling by
     * construction. */
-  def ivfSq8(s: SparkSession, dir: String, nprobe: Int, k: Int = 8): DataFrame = {
+  def ivfSq8(s: SparkSession, dir: String, nprobe: Int, k: Int = 8): DataFrame =
+    ivfSq8Sweep(s, dir, Seq(nprobe), k).drop("np")
+
+  /** [[ivfSq8]] generalized to a SET of probe widths served by ONE
+    * pipeline — one corpus scan/checkpoint, one centroid pick, one
+    * assignment window, one probe ranking; each swept width is just the
+    * `probe_rank <= np` filter over the shared probe side (exactly the
+    * q317 oracle's formulation). The measurement sweep must not cost
+    * |nprobes| index builds: at 100 TB rebuilding the quantized corpus
+    * and its assignment per knob setting would quadruple the dominant
+    * scan for a diagnostic the shared pipeline gives for the price of
+    * the widest point. Output = ivfSq8's columns plus `np`, ranked per
+    * (np, q_id). */
+  def ivfSq8Sweep(s: SparkSession, dir: String, nprobes: Seq[Int],
+                  k: Int = 8): DataFrame = {
     def idot(a: String, b: String) = dotCodes(col(a), col(b))
     // checkpoint: the quantized corpus feeds THREE subtrees (centroid
     // pick, candidate assignment, probe side) — one scan, not three
@@ -287,16 +301,20 @@ object AnnOps {
       .crossJoin(broadcast(cents))
       .withColumn("d", idot("q8", "cent"))
       .withColumn("prn", row_number().over(wAssign))
-      .filter(col("prn") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("q8").as("qa"), col("cid"))
-    val wTop = Window.partitionBy("q_id")
+      .filter(col("prn") <= nprobes.max)
+      .select(col("vec_id").as("q_id"), col("q8").as("qa"), col("cid"),
+              col("prn"))
+    val wTop = Window.partitionBy("np", "q_id")
       .orderBy(col("dot").desc, col("cand_id"))
-    broadcast(probes).join(assigned, "cid")
+    broadcast(probes.withColumn("np", explode(typedLit(nprobes)))
+        .filter(col("prn") <= col("np"))
+        .drop("prn"))
+      .join(assigned, "cid")
       .withColumn("dot", idot("qa", "qb"))
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= 5)
-      .select(col("q_id"), col("cand_id"), col("rnk").cast("int").as("rnk"),
-              col("dot"), col("cid"))
+      .select(col("np"), col("q_id"), col("cand_id"),
+              col("rnk").cast("int").as("rnk"), col("dot"), col("cid"))
   }
 
   /** Integer-dot SQL terms — the DuckDB mirror of [[dotCodes]] over

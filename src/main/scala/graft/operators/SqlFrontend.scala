@@ -108,10 +108,12 @@ object SqlFrontend {
   }
 
   /** Strip `alias.` qualifiers so expressions run on the operators'
-    * unqualified output. */
-  private def strip(e: String, aliases: Seq[String]): String =
-    aliases.filter(_ != null).foldLeft(e)((s, a) =>
-      s.replaceAll(s"(?i)\\b$a\\.", ""))
+    * unqualified output. Shared with [[graft.streaming.StreamSql]]
+    * (same surface-syntax convention); aliases are regex-quoted and
+    * de-duplicated so a name = alias pair strips once. */
+  private[graft] def strip(e: String, aliases: Seq[String]): String =
+    aliases.filter(_ != null).distinct.foldLeft(e)((s, a) =>
+      s.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(a)}\\.", ""))
 
   private def asof(spark: SparkSession, m: java.util.regex.Matcher,
                    tiebreak: Option[String]): DataFrame = {

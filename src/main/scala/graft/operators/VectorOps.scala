@@ -194,21 +194,25 @@ object VectorOps {
     // needs (the same analytic-budget discipline as q143/q144's
     // theory floors for LSH).
     "q317_ivf_nprobe_sweep" -> ((s, dir) => {
+      val nps = Seq(1, 2, 4, 8)
       val gt = queries("q38_cosine_topk")(s, dir)
         .select(col("q_id"), col("cand_id"))
       val tot = gt.groupBy().agg(count(lit(1)).as("n_rel"))
-      Seq(1, 2, 4, 8).map { np =>
-        AnnOps.ivfSq8(s, dir, nprobe = np)
-          .select(col("q_id"), col("cand_id"))
-          .join(gt, Seq("q_id", "cand_id"))
-          .groupBy().agg(count(lit(1)).as("n_hit"))
-          .withColumn("nprobe", lit(np))
-      }.reduce(_ unionByName _)
+      // ONE shared index pipeline serves all four points (ivfSq8Sweep:
+      // one scan/checkpoint, one centroid pick, one assignment — not
+      // |nps| rebuilds); missing-np rows surface as 0 hits via the
+      // left join, mirroring the oracle's `nps LEFT JOIN hits`
+      val hits = AnnOps.ivfSq8Sweep(s, dir, nps)
+        .select(col("np"), col("q_id"), col("cand_id"))
+        .join(gt, Seq("q_id", "cand_id"))
+        .groupBy("np").agg(count(lit(1)).as("n_hit"))
+      s.range(1).select(explode(typedLit(nps)).as("np"))
+        .join(hits, Seq("np"), "left")
         .crossJoin(tot)
-        .select(col("nprobe").cast("int").as("nprobe"),
-                col("n_hit").cast("bigint").as("n_hit"),
-                round(col("n_hit").cast("double") / col("n_rel"), 6)
-                  .as("recall_at_5"))
+        .select(col("np").cast("int").as("nprobe"),
+                coalesce(col("n_hit"), lit(0L)).cast("bigint").as("n_hit"),
+                round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+                      col("n_rel"), 6).as("recall_at_5"))
     }),
 
     "q168_ivf_recall" -> ((s, dir) => {

@@ -388,12 +388,17 @@ object Cep {
         val all = matchAll(pattern, buf.toIndexedSeq, ts)
         val out = all.filter(m => ts(m.head) <= safeTs)
           .map(m => Match(key, m))
-        // a timeout/flush wakeup (no records) is not an access: carry the
-        // previous idle clock so the TTL measures record-to-record gaps
-        state.update((pending, if (vs.nonEmpty) now else last0))
-        if (pending.nonEmpty)
+        // a drained buffer drops the state entry entirely (no ord counter
+        // here, so no tombstone needed — cf. Changelog's drain protocol);
+        // otherwise a timeout/flush wakeup (no records) is not an access:
+        // carry the previous idle clock so the TTL measures
+        // record-to-record gaps
+        if (pending.isEmpty) state.remove()
+        else {
+          state.update((pending, if (vs.nonEmpty) now else last0))
           // timeout timestamps are epoch-ms: scale back from the ts unit
           state.setTimeoutTimestamp((ts(pending.head) + horizon) / tsPerMs + 1)
+        }
         out.iterator
     }
   }

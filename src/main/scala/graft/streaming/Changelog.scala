@@ -153,17 +153,44 @@ object Changelog {
       ttl: Option[IdleStateTtl] = None)(
       implicit ve: Encoder[V]): Dataset[ExtremeChange] = {
     import org.apache.spark.sql.Encoders
+    implicit val oe: Encoder[ExtremeChange] = Encoders.product[ExtremeChange]
+    aggregateChangelogLive[V, ExtremeChange](grouped, kind, value, ord, ttl)(
+      snap = { (key, k, live) =>
+        val vs = live.values
+        ExtremeChange(key, k, vs.min, vs.max,
+          live(live.keys.min), live(live.keys.max), live.size.toLong)
+      },
+      sameAgg = (b, a) => (b.min, b.max, b.first, b.last, b.count) ==
+                          (a.min, a.max, a.first, a.last, a.count),
+      asDelete = _.copy(kind = Delete))
+  }
+
+  /**
+   * The shared state machine of the live-row-set retract aggregates
+   * ([[aggregateChangelogMinMax]], [[aggregateChangelogListAgg]]):
+   * per-key state is `Map[ord → value]` (+ the TTL access clock); an
+   * insert adds its entry, a retraction removes BY ORD — guarded by
+   * VALUE equality, the same staleness guard as `topNChangelog`, which
+   * also makes an upstream -U/+U pair order-insensitive within a batch
+   * (Spark contracts no intra-group value order: if +U(new) lands
+   * first on the same ord, the late -U(old) no longer matches and is
+   * ignored instead of deleting the updated row). Emission protocol is
+   * GroupAggFunction's, with the aggregate snapshot/equality/delete
+   * shape supplied by the caller.
+   */
+  private def aggregateChangelogLive[V, A](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, V],
+      kind: V => String, value: V => Double, ord: V => Long,
+      ttl: Option[IdleStateTtl])(
+      snap: (Long, String, Map[Long, Double]) => A,
+      sameAgg: (A, A) => Boolean,
+      asDelete: A => A)(
+      implicit ve: Encoder[V], oe: Encoder[A]): Dataset[A] = {
     implicit val se: Encoder[(Map[Long, Double], Long)] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-    implicit val oe: Encoder[ExtremeChange] = Encoders.product[ExtremeChange]
-    def snap(key: Long, k: String, live: Map[Long, Double]): ExtremeChange = {
-      val vs = live.values
-      ExtremeChange(key, k, vs.min, vs.max,
-        live(live.keys.min), live(live.keys.max), live.size.toLong)
-    }
     val timeoutConf = if (ttl.exists(_.reclaimTimers)) GroupStateTimeout.ProcessingTimeTimeout
                       else GroupStateTimeout.NoTimeout
-    grouped.flatMapGroupsWithState[(Map[Long, Double], Long), ExtremeChange](
+    grouped.flatMapGroupsWithState[(Map[Long, Double], Long), A](
         OutputMode.Append, timeoutConf) {
       (key: Long, values: Iterator[V], state: GroupState[(Map[Long, Double], Long)]) =>
        if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -176,7 +203,8 @@ object Changelog {
         values.foreach { v =>
           kind(v) match {
             case Insert | UpdateAfter => live += (ord(v) -> value(v))
-            case Delete | UpdateBefore => live -= ord(v)
+            case Delete | UpdateBefore =>
+              if (live.get(ord(v)).contains(value(v))) live -= ord(v)
             case Touch => ()
           }
         }
@@ -188,12 +216,9 @@ object Changelog {
         val before0 = if (live0.isEmpty) None else Some(snap(key, UpdateBefore, live0))
         val after0 = if (live.isEmpty) None else Some(snap(key, UpdateAfter, live))
         (before0, after0) match {
-          case (Some(b), Some(a)) if (b.min, b.max, b.first, b.last, b.count) ==
-                                     (a.min, a.max, a.first, a.last, a.count) =>
-            Iterator.empty
+          case (Some(b), Some(a)) if sameAgg(b, a) => Iterator.empty
           case (b, Some(a)) => b.iterator ++ Iterator(a)
-          case (Some(b), None) =>
-            Iterator(b, b.copy(kind = Delete))
+          case (Some(b), None) => Iterator(b, asDelete(b))
           case (None, None) => Iterator.empty
         }
        }
@@ -236,8 +261,11 @@ object Changelog {
    * unique row id, which doubles as the FIRST/LAST/LISTAGG order, the
    * way the reference's order-sensitive retract aggs key their
    * ListView): an insert adds its entry, a retraction removes BY ORD
-   * (so duplicates are distinct instances and removing one keeps the
-   * others), and every emission recomputes the four aggregates from
+   * guarded by value equality (so duplicates are distinct instances,
+   * removing one keeps the others, and a stale -U for an ord already
+   * overwritten by its same-batch +U is ignored — see
+   * [[aggregateChangelogLive]]), and every emission recomputes the
+   * four aggregates from
    * the live set — one O(live log live) pass per touched key per
    * micro-batch, the SS-idiomatic trade vs the reference's per-record
    * O(log n) sorted-map maintenance. Emission protocol is
@@ -251,52 +279,17 @@ object Changelog {
       ttl: Option[IdleStateTtl] = None)(
       implicit ve: Encoder[V]): Dataset[ListAggChange] = {
     import org.apache.spark.sql.Encoders
-    implicit val se: Encoder[(Map[Long, Double], Long)] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     implicit val oe: Encoder[ListAggChange] = Encoders.product[ListAggChange]
-    def snap(key: Long, k: String, live: Map[Long, Double]): ListAggChange = {
-      val vals = live.toSeq.sortBy(_._1).map(_._2)
-      ListAggChange(key, k, live(live.keys.min), live(live.keys.max),
-        vals.map(fmtVal).mkString(delimiter),
-        vals.sorted.map(fmtVal).mkString(delimiter), live.size.toLong)
-    }
-    val timeoutConf = if (ttl.exists(_.reclaimTimers)) GroupStateTimeout.ProcessingTimeTimeout
-                      else GroupStateTimeout.NoTimeout
-    grouped.flatMapGroupsWithState[(Map[Long, Double], Long), ListAggChange](
-        OutputMode.Append, timeoutConf) {
-      (key: Long, values: Iterator[V], state: GroupState[(Map[Long, Double], Long)]) =>
-       if (state.hasTimedOut) { state.remove(); Iterator.empty }
-       else {
-        val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
-        val live0 = state.getOption
-          .filter { case (_, last) => ttl.forall(t => now - last <= t.ms) }
-          .map(_._1).getOrElse(Map.empty[Long, Double])
-        var live = live0
-        values.foreach { v =>
-          kind(v) match {
-            case Insert | UpdateAfter => live += (ord(v) -> value(v))
-            case Delete | UpdateBefore => live -= ord(v)
-            case Touch => ()
-          }
-        }
-        if (live.isEmpty) state.remove()
-        else {
-          state.update((live, now))
-          ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
-        }
-        val before0 = if (live0.isEmpty) None else Some(snap(key, UpdateBefore, live0))
-        val after0 = if (live.isEmpty) None else Some(snap(key, UpdateAfter, live))
-        (before0, after0) match {
-          case (Some(b), Some(a)) if (b.first, b.last, b.listagg, b.collect, b.count) ==
-                                     (a.first, a.last, a.listagg, a.collect, a.count) =>
-            Iterator.empty
-          case (b, Some(a)) => b.iterator ++ Iterator(a)
-          case (Some(b), None) =>
-            Iterator(b, b.copy(kind = Delete))
-          case (None, None) => Iterator.empty
-        }
-       }
-    }
+    aggregateChangelogLive[V, ListAggChange](grouped, kind, value, ord, ttl)(
+      snap = { (key, k, live) =>
+        val vals = live.toSeq.sortBy(_._1).map(_._2)
+        ListAggChange(key, k, live(live.keys.min), live(live.keys.max),
+          vals.map(fmtVal).mkString(delimiter),
+          vals.sorted.map(fmtVal).mkString(delimiter), live.size.toLong)
+      },
+      sameAgg = (b, a) => (b.first, b.last, b.listagg, b.collect, b.count) ==
+                          (a.first, a.last, a.listagg, a.collect, a.count),
+      asDelete = _.copy(kind = Delete))
   }
 
   /** One changelog-join output row: the joined pair plus the per-key

@@ -145,40 +145,54 @@ object StreamSql {
   private def norm(e: String): String =
     e.replaceAll("\\s+", "").toLowerCase
 
-  /** Split a predicate on top-level ANDs (parenthesis-depth aware). */
+  /** Split a predicate on top-level ANDs (parenthesis-depth aware,
+    * string-literal opaque, any whitespace around AND — newline/tab
+    * delimited conjuncts split too; case matched in place with
+    * `regionMatches(ignoreCase)` so no uppercased copy whose length
+    * could diverge from the original). */
   private def splitAnd(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
     var start = 0
     var i = 0
-    val up = s.toUpperCase
     while (i < s.length) {
       s.charAt(i) match {
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
-        case _ =>
-          if (depth == 0 && i + 5 <= s.length &&
-              up.regionMatches(i, " AND ", 0, 5)) {
-            out += s.substring(start, i)
-            i += 5
-            start = i
-          } else i += 1
+        case '\'' =>
+          i += 1
+          while (i < s.length && s.charAt(i) != '\'') i += 1
+          i += 1
+        case c if depth == 0 && Character.isWhitespace(c) &&
+                  s.regionMatches(true, i + 1, "AND", 0, 3) &&
+                  i + 4 < s.length && Character.isWhitespace(s.charAt(i + 4)) =>
+          out += s.substring(start, i)
+          i += 5
+          start = i
+        case _ => i += 1
       }
     }
     out += s.substring(start)
     out.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
+  // qualifier stripping shared with the batch front-end — one
+  // implementation of the surface-syntax convention to maintain
   private def strip(e: String, quals: Seq[String]): String =
-    quals.filter(_ != null).distinct.foldLeft(e)((s, a) =>
-      s.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(a)}\\.", ""))
+    SqlFrontend.strip(e, quals)
 
-  /** `expr AS alias` | `expr alias` | bare column — the projection item
-    * grammar the rank/distinct routes accept. */
+  /** `expr AS alias` | `expr alias` | bare expression — the projection
+    * item grammar the rank/distinct routes accept. A trailing word is
+    * an implicit alias only when the preceding text is a complete
+    * expression: `key % 5` must NOT backtrack to (`key %`, alias `5`),
+    * so an expr ending in an operator/comma keeps the whole item as a
+    * bare (self-named) expression. */
   private def itemAlias(item: String): (String, String) = {
     val m = java.util.regex.Pattern
       .compile("(?is)^(.+?)\\s+(?:AS\\s+)?(\\w+)\\s*$").matcher(item)
-    if (m.matches() && !m.group(1).trim.endsWith(",")) (m.group(1).trim, m.group(2))
+    val exprDone = m.matches() &&
+      !"[%+*/=<>,(~^&|-]$".r.findFirstIn(m.group(1).trim).isDefined
+    if (exprDone) (m.group(1).trim, m.group(2))
     else (item.trim, item.trim)
   }
 
@@ -308,7 +322,7 @@ object StreamSql {
     val desc = m0.group(2) != null && m0.group(2).equalsIgnoreCase("DESC")
     ordParts.tail.foreach { p =>
       val mi = dirRe.matcher(p); require(mi.matches())
-      require(norm(mi.group(1)) == norm(rowIdCol) &&
+      require(norm(strip(mi.group(1), Seq(tAlias0, vName))) == norm(rowIdCol) &&
               (mi.group(2) == null || mi.group(2).equalsIgnoreCase("ASC")),
         s"Top-N tiebreak must be the rowId '$rowIdCol' ascending: $orderBy")
     }
@@ -329,7 +343,12 @@ object StreamSql {
       kind = _._2, score = t => if (desc) t._3 else -t._3, rowId = _._4,
       ttl = ttl)
 
-    val (ng, ns, nid) = (norm(gExpr), norm(sExpr), norm(rowIdCol))
+    // compare stripped-vs-stripped: the inner items are stripped of
+    // their view/alias qualifiers below, so the partition/order sides
+    // must be too (`v.key % 6` and `key % 6` are the same expression)
+    val (ng, ns, nid) = (norm(strip(gExpr, Seq(tAlias0, vName))),
+                         norm(strip(sExpr, Seq(tAlias0, vName))),
+                         norm(rowIdCol))
     val named = SqlFrontend.splitTop(innerSel).map { item =>
       val (e, alias) = itemAlias(strip(item, Seq(tAlias0, vName)))
       norm(e) match {

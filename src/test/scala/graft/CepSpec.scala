@@ -236,4 +236,43 @@ class CepSpec extends AnyFunSuite {
     assert(run("s_cep_ttl",
       Some(graft.streaming.Changelog.IdleStateTtl(2000L))) == Set.empty)
   }
+
+  test("a drained CEP key removes its state entry (no ever-seen-key leak)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CEv]
+    val pattern = Pattern[WEv](Seq(
+      Step[WEv]("a", _.kind == "a"),
+      Step[WEv]("b", _.kind == "b")), withinMs = Some(60000L))
+    val base = 1700000000000L
+    val ds = mem.toDS()
+      .withColumn("ets", ($"t" / 1000).cast("timestamp"))
+      .withWatermark("ets", "1 second")
+      .as[WEv]
+    // the match lives on key 1; sentinels ride key 99 so advancing the
+    // watermark never re-touches the drained key with data
+    val out = Cep.matchStream[Long, WEv](
+      ds.groupByKey(e => if (e.kind == "x") 99L else 1L), pattern, _.t)
+    val ck = java.nio.file.Files.createTempDirectory("cep_drain_ck").toString
+    val q = out.map(m => m.events.map(_.id).mkString("-"))
+      .writeStream.format("memory").queryName("s_cep_drain")
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(CEv(1, base, "a"), CEv(2, base + 1000, "b"))
+      q.processAllAvailable()
+      // sentinels push the watermark far past key 1's horizon: its
+      // event-time timeout fires, the buffer flushes (match emitted),
+      // pending empties — the entry must be REMOVED, not parked empty
+      mem.addData(CEv(99, base + 10000000, "x")); q.processAllAvailable()
+      mem.addData(CEv(98, base + 20000000, "x")); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("s_cep_drain").as[String].collect().toSet == Set("1-2"))
+    // empirical state audit: only the sentinel key's pending tail may
+    // remain; the drained key must have NO entry (pre-fix it kept an
+    // empty-buffer row per ever-seen key, forever)
+    val keys = spark.read.format("statestore").load(ck)
+      .selectExpr("key.value AS k").as[Long].collect().toSet
+    assert(!keys.contains(1L), s"drained key 1 still holds state: $keys")
+    assert(keys.contains(99L)) // the read itself is live, not vacuous
+  }
 }
