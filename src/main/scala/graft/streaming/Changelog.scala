@@ -1153,4 +1153,89 @@ object Changelog {
         }
     }
   }
+
+  /** One retract-capable moment-accumulator output row (kind ∈
+    * -U/+U/-D): raw (Σv, Σv², n) — AVG/VAR_POP/VAR_SAMP/STDDEV derive
+    * declaratively downstream (`sum/count`,
+    * `(sumsq − sum²/count)/count`, …), keeping emission minimal and the
+    * derivation in codegen'd projections. */
+  final case class StatsChange(key: Long, kind: String,
+                               sum: Double, sumsq: Double, count: Long)
+
+  /**
+   * Retract-capable AVG / VAR_POP / VAR_SAMP / STDDEV_POP / STDDEV_SAMP
+   * per key — the moment-accumulator quarter of the reference's
+   * retract-agg family (PLANNER-J/functions/aggfunctions/
+   * AvgAggFunction.java's retract() reversing (sum, count);
+   * VarPopAggFunction / VarSampAggFunction / StddevPopAggFunction /
+   * StddevSampAggFunction maintain exactly this (Σv, Σv², n)
+   * accumulator with retract expressions subtracting from each).
+   * [[aggregateChangelog]]'s sign-reversal discipline extends verbatim:
+   * the second moment is as reversible as the first, so state is just
+   * (sum, sumsq, count) — no live row set needed.
+   *
+   * Retraction exactness: like aggregateChangelog, bit-exact replay
+   * assumes integer-quantized values (integral doubles < 2^53 — the
+   * repo-wide cents/ppm discipline), where +v then −v round-trips
+   * exactly; with arbitrary floats, add-then-subtract can leave
+   * residual ulps (the reference has the same property — its retract
+   * methods subtract in double/decimal too).
+   *
+   * Emission protocol is GroupAggFunction's: any change emits
+   * (-U previous, +U new); a count reaching 0 emits (-U previous, -D)
+   * and retires the state (RecordCounter behavior). Stale retractions
+   * (count already 0) are ignored, like aggregateChangelog's guard.
+   */
+  def aggregateChangelogStats[V](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, V],
+      kind: V => String, value: V => Double,
+      ttl: Option[IdleStateTtl] = None)(
+      implicit ve: Encoder[V]): Dataset[StatsChange] = {
+    import org.apache.spark.sql.Encoders
+    // state = (sum, sumsq, count, lastAccessMs); lastAccess unused sans TTL
+    implicit val se: Encoder[(Double, Double, Long, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble,
+                     Encoders.scalaLong, Encoders.scalaLong)
+    implicit val oe: Encoder[StatsChange] = Encoders.product[StatsChange]
+    val timeoutConf = if (ttl.exists(_.reclaimTimers)) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    grouped.flatMapGroupsWithState[(Double, Double, Long, Long), StatsChange](
+        OutputMode.Append, timeoutConf) {
+      (key: Long, values: Iterator[V], state: GroupState[(Double, Double, Long, Long)]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+          // lazy expiry: a key idle past the TTL folds from fresh state
+          val (s0, q0, c0) = state.getOption
+            .filter { case (_, _, _, last) => ttl.forall(t => now - last <= t.ms) }
+            .map { case (s, q, c, _) => (s, q, c) }.getOrElse((0.0, 0.0, 0L))
+          var (s, sq, c) = (s0, q0, c0)
+          values.foreach { v =>
+            kind(v) match {
+              case Insert | UpdateAfter =>
+                val x = value(v); s += x; sq += x * x; c += 1
+              case Delete | UpdateBefore =>
+                // count 0 ⇒ stale retract (cf. aggregateChangelog)
+                if (c > 0) { val x = value(v); s -= x; sq -= x * x; c -= 1 }
+              case Touch => ()
+            }
+          }
+          if (c == 0L) state.remove()
+          else {
+            state.update((s, sq, c, now))
+            ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
+          }
+          if ((s, sq, c) == (s0, q0, c0)) Iterator.empty
+          else {
+            val before =
+              if (c0 == 0L) Iterator.empty
+              else Iterator(StatsChange(key, UpdateBefore, s0, q0, c0))
+            val after =
+              if (c == 0L) Iterator(StatsChange(key, Delete, s0, q0, c0))
+              else Iterator(StatsChange(key, UpdateAfter, s, sq, c))
+            before ++ after
+          }
+        }
+    }
+  }
 }

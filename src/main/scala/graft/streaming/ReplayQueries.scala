@@ -719,6 +719,98 @@ object ReplayQueries {
                 col("vals"), col("vals_sorted"), col("n_users"))
     }),
 
+    // Plain streaming GROUP BY aggregation entered via SQL text — the
+    // day-one streaming-SQL statement (the reference plans it onto
+    // GroupAggFunction with retract-capable SUM/COUNT/AVG): the router
+    // lands on aggregateChangelogStats, whose (Σv, Σv², n) accumulator
+    // absorbs the upstream per-user -U/+U churn exactly (integral
+    // doubles — the repo-wide cents discipline). AVG is a codegen'd
+    // projection over the emitted accumulator, so the final state must
+    // equal the batch dual bit-for-bit.
+    "q319_stream_sql_groupagg" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .as[EvRow]
+        val view = Changelog.aggregateChangelog[EvRow](
+            src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
+          .map(a => (a.key, a.kind, a.sum))
+          .toDF("key", "kind", "amt_c")
+        StreamSql.registerChangelog("q319_p", view, "kind")
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT key % 6 AS grp, SUM(amt_c) AS sum_c,
+                      COUNT(*) AS n_users, AVG(amt_c) AS avg_c
+               FROM q319_p GROUP BY key % 6""")
+          val q = j.writeStream
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .foreachBatch { (batch: DataFrame, bid: Long) =>
+              batch.withColumn("bid", lit(bid))
+                .write.mode("append").parquet(out)
+            }
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropChangelog("q319_p")
+      }
+      Changelog.materialize(s.read.parquet(out), "grp", "row_kind", "bid")
+        .select(col("grp"), col("sum_c").cast("long").as("sum_c"),
+                col("n_users"), col("avg_c"))
+    }),
+
+    // The variance family over an updating input, via SQL — the
+    // reference's VarPop/VarSamp/StddevPop/StddevSamp retract
+    // functions: retraction subtracts from BOTH moments, so mid-replay
+    // the accumulator churns and the final emission must equal the
+    // batch `(Σv² − Σv·Σv/n)/n` dual computed with the identical
+    // operand order (IEEE-correctly-rounded ops on identical integer
+    // moments → bit-equal doubles, the q309/q38 discipline).
+    "q320_stream_sql_stats" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .as[EvRow]
+        val view = Changelog.aggregateChangelog[EvRow](
+            src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
+          .map(a => (a.key, a.kind, a.sum))
+          .toDF("key", "kind", "amt_c")
+        StreamSql.registerChangelog("q320_p", view, "kind")
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT key % 4 AS grp, VAR_POP(amt_c) AS var_pop_c,
+                      VAR_SAMP(amt_c) AS var_samp_c,
+                      STDDEV_POP(amt_c) AS sd_pop_c,
+                      STDDEV_SAMP(amt_c) AS sd_samp_c,
+                      COUNT(*) AS n_users
+               FROM q320_p GROUP BY key % 4""")
+          val q = j.writeStream
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .foreachBatch { (batch: DataFrame, bid: Long) =>
+              batch.withColumn("bid", lit(bid))
+                .write.mode("append").parquet(out)
+            }
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropChangelog("q320_p")
+      }
+      Changelog.materialize(s.read.parquet(out), "grp", "row_kind", "bid")
+        .select(col("grp"), col("var_pop_c"), col("var_samp_c"),
+                col("sd_pop_c"), col("sd_samp_c"), col("n_users"))
+    }),
+
     // Retract-capable FIRST_VALUE / LAST_VALUE / LISTAGG / COLLECT
     // under the oracle gate (the reference's order/multiset-valued
     // retract aggs — FirstValueWithRetractAggFunction / ListAggWith
@@ -1734,6 +1826,34 @@ object ReplayQueries {
              string_agg(CAST(cents AS VARCHAR), ',' ORDER BY cents) AS vals_sorted,
              count(*) AS n_users
       FROM p GROUP BY 1""",
+
+    "q319_stream_sql_groupagg" -> """
+      WITH p AS (
+        SELECT user_id, CAST(sum(floor(value*100)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT user_id % 6 AS grp,
+             CAST(sum(cents) AS BIGINT) AS sum_c,
+             count(*) AS n_users,
+             CAST(sum(cents) AS DOUBLE) / count(*) AS avg_c
+      FROM p GROUP BY 1""",
+
+    "q320_stream_sql_stats" -> """
+      WITH p AS (
+        SELECT user_id, CAST(sum(floor(value*100)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      m AS (
+        SELECT user_id % 4 AS grp,
+               CAST(sum(cents) AS DOUBLE) AS s,
+               CAST(sum(cents*cents) AS DOUBLE) AS ssq,
+               count(*) AS n
+        FROM p GROUP BY 1)
+      SELECT grp,
+             (ssq - s*s/n)/n AS var_pop_c,
+             CASE WHEN n > 1 THEN (ssq - s*s/n)/(n-1) END AS var_samp_c,
+             sqrt((ssq - s*s/n)/n) AS sd_pop_c,
+             CASE WHEN n > 1 THEN sqrt((ssq - s*s/n)/(n-1)) END AS sd_samp_c,
+             n AS n_users
+      FROM m""",
 
     "q178_stream_tumble" -> """
       SELECT event_type,

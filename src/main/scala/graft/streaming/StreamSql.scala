@@ -78,6 +78,23 @@ import graft.operators.SqlFrontend
  *    ListView. All value arguments must be the same expression (one
  *    live multiset per statement); COLLECT emits the value-sorted
  *    serialization of the multiset (duplicates retained).
+ *  - `SELECT <g> AS ga, SUM(<v>) | COUNT(*) | AVG(<v>) |
+ *     VAR_POP(<v>) | VAR_SAMP(<v>) | STDDEV_POP(<v>) |
+ *     STDDEV_SAMP(<v>) … FROM V GROUP BY <g>`
+ *    → retract-capable moment aggregates
+ *    ([[Changelog.aggregateChangelogStats]] — the reference's
+ *    Avg/VarPop/VarSamp/StddevPop/StddevSamp retract functions over
+ *    the (Σv, Σv², n) accumulator); the derived columns are
+ *    codegen'd projections over the emitted accumulator. One value
+ *    expression per statement (one accumulator).
+ *  - `SELECT <g> AS ga, MIN(<v>) | MAX(<v>) | COUNT(*) …
+ *     FROM V GROUP BY <g>`
+ *    → retract-aware extremes ([[Changelog.aggregateChangelogMinMax]]
+ *    — a live row set, so retracting the current max re-admits the
+ *    runner-up); V must declare its upsert key at registration (the
+ *    live set's row identity). MIN/MAX cannot mix with the
+ *    moment/ordered aggregates in one statement (different state
+ *    families — compose in the Scala API).
  *
  * Keys: the changelog operators key on Long — the group/join key
  * expression must be Long-castable (composite keys: derive a single
@@ -221,7 +238,32 @@ object StreamSql {
              dm.group(1).toUpperCase.matches(
                "(?s).*\\b(FIRST_VALUE|LAST_VALUE|LISTAGG|COLLECT)\\b.*"))
       Some(listagg(spark, dm, effTtl))
-    else None
+    else if (dm.matches() && view(dm.group(2)).isDefined &&
+             dm.group(1).toUpperCase.matches(
+               "(?s).*\\b(SUM|AVG|VAR_POP|VAR_SAMP|STDDEV_POP|STDDEV_SAMP|MIN|MAX|COUNT)\\s*\\(.*"))
+      Some(groupAgg(spark, dm, effTtl))
+    else {
+      // fail-loud contract (object doc): a statement that references a
+      // REGISTERED changelog view but matches no supported shape must
+      // throw, not fall through — the batch path would fold -U/-D
+      // retraction rows as ordinary inserts and return silently wrong
+      // results (or a confusing TABLE_OR_VIEW_NOT_FOUND).
+      val fm = java.util.regex.Pattern
+        .compile("(?i)\\bFROM\\s+(\\w+)").matcher(text)
+      val hit = scala.collection.mutable.LinkedHashSet.empty[String]
+      while (fm.find()) if (view(fm.group(1)).isDefined) hit += fm.group(1)
+      if (hit.nonEmpty) throw new IllegalArgumentException(
+        s"statement references registered changelog view(s) " +
+        s"${hit.mkString(", ")} but matches no supported streaming-SQL " +
+        "shape (WHERE [NOT] EXISTS / ROW_NUMBER() <= k / COUNT(DISTINCT) " +
+        "/ FIRST_VALUE|LAST_VALUE|LISTAGG|COLLECT — see StreamSql's " +
+        "object doc for the exact grammar); running an updating view " +
+        "through a batch operator would be wrong, not slow — use the " +
+        "Changelog Scala API (aggregateChangelog / joinChangelogSemi/" +
+        "Anti / topNChangelog / aggregateChangelogDistinct/ListAgg) " +
+        s"for this query: $text")
+      None
+    }
   }
 
   // ---- WHERE [NOT] EXISTS → semi/anti changelog join --------------------
@@ -501,5 +543,109 @@ object StreamSql {
       delimiter = delim, ttl = ttl)
     d.toDF().select(outCols.toSeq.map { case (c, a) => col(c).as(a) } :+
       col("kind").as("row_kind"): _*)
+  }
+
+  // ---- SUM/COUNT/AVG/VAR/STDDEV and MIN/MAX → retract group aggregates
+
+  private val MomentAggs =
+    Set("SUM", "AVG", "VAR_POP", "VAR_SAMP", "STDDEV_POP", "STDDEV_SAMP")
+
+  private def groupAgg(spark: SparkSession, m: java.util.regex.Matcher,
+                       ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
+    val (sel, vName, vAlias0, groupBy) =
+      (m.group(1), m.group(2), m.group(3), m.group(4))
+    val v = view(vName).get
+    val quals = Seq(vAlias0, vName)
+    val items = SqlFrontend.splitTop(sel).map(strip(_, quals))
+    val aggRe = java.util.regex.Pattern.compile(
+      "(?is)^(SUM|AVG|VAR_POP|VAR_SAMP|STDDEV_POP|STDDEV_SAMP|MIN|MAX)" +
+      "\\s*\\(\\s*(.+?)\\s*\\)\\s+(?:AS\\s+)?(\\w+)\\s*$")
+    val cRe = java.util.regex.Pattern.compile(
+      "(?is)^COUNT\\s*\\(\\s*\\*\\s*\\)\\s+(?:AS\\s+)?(\\w+)\\s*$")
+    var gItem: Option[(String, String)] = None
+    var vExpr: Option[String] = None
+    val outCols = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    items.foreach { item =>
+      val ma = aggRe.matcher(item)
+      val mc = cRe.matcher(item)
+      if (ma.matches()) {
+        val e = ma.group(2).trim
+        require(vExpr.forall(p => norm(p) == norm(e)),
+          s"all value arguments must be the same expression (one " +
+          s"accumulator per statement): '${vExpr.get}' vs '$e'")
+        vExpr = Some(e)
+        outCols += ((ma.group(1).toUpperCase, ma.group(3)))
+      } else if (mc.matches()) outCols += (("COUNT", mc.group(1)))
+      else {
+        require(gItem.isEmpty, "streaming group aggregates support one " +
+          "group-key item (derive a composite key column in the view)")
+        gItem = Some(itemAlias(item))
+        outCols += (("KEY", itemAlias(item)._2))
+      }
+    }
+    val (gExpr, _) = gItem.getOrElse(throw new IllegalArgumentException(
+      s"streaming group aggregates need the group key in the SELECT: $sel"))
+    val gb = strip(groupBy, quals).trim
+    require(norm(gb) == norm(gExpr) || gb == "1",
+      s"GROUP BY must match the select's key expression '$gExpr': $groupBy")
+    val fns = outCols.map(_._1).toSet
+    val hasMinMax = fns.contains("MIN") || fns.contains("MAX")
+    require(!(hasMinMax && fns.exists(MomentAggs)),
+      "MIN/MAX keep a live row set while SUM/AVG/VAR/STDDEV keep a " +
+      "moment accumulator — one operator family per statement " +
+      "(compose in the Scala API)")
+
+    implicit val keyEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    if (hasMinMax) {
+      val rowIdCol = v.rowIdCol.getOrElse(throw new IllegalArgumentException(
+        s"streaming MIN/MAX over '$vName' needs its upsert key: " +
+        "registerChangelog(..., rowId = Some(col)) — retracting the " +
+        "current extreme re-admits the runner-up from the live row set"))
+      implicit val enc4: Encoder[(Long, String, Double, Long)] = ExpressionEncoder()
+      val base = v.df
+        .withColumn("__g", expr(gExpr).cast("long"))
+        .withColumn("__v", expr(vExpr.get).cast("double"))
+        .select(col("__g"), col(v.kindCol).cast("string"), col("__v"),
+                col(rowIdCol).cast("long"))
+        .as[(Long, String, Double, Long)]
+      val d = Changelog.aggregateChangelogMinMax[(Long, String, Double, Long)](
+        base.groupByKey(_._1), kind = _._2, value = _._3, ord = _._4,
+        ttl = ttl)
+      d.toDF().select(outCols.toSeq.map {
+        case ("KEY", a) => col("key").as(a)
+        case ("MIN", a) => col("min").as(a)
+        case ("MAX", a) => col("max").as(a)
+        case ("COUNT", a) => col("count").as(a)
+        case (f, _) => throw new IllegalStateException(f) // unreachable
+      } :+ col("kind").as("row_kind"): _*)
+    } else {
+      implicit val enc3: Encoder[(Long, String, Double)] = ExpressionEncoder()
+      val base = v.df
+        .withColumn("__g", expr(gExpr).cast("long"))
+        // COUNT(*)-only statements have no value argument: fold zeros
+        .withColumn("__v", expr(vExpr.getOrElse("0")).cast("double"))
+        .select(col("__g"), col(v.kindCol).cast("string"), col("__v"))
+        .as[(Long, String, Double)]
+      val d = Changelog.aggregateChangelogStats[(Long, String, Double)](
+        base.groupByKey(_._1), kind = _._2, value = _._3, ttl = ttl)
+      // one shared operand ORDER for the variance family so the oracle
+      // dual `(ssq − s·s/n)/n` is reproducible bit-for-bit
+      val varPop = (col("sumsq") - col("sum") * col("sum") / col("count")) /
+        col("count")
+      val varSamp = when(col("count") > 1,
+        (col("sumsq") - col("sum") * col("sum") / col("count")) /
+          (col("count") - lit(1L)))
+      d.toDF().select(outCols.toSeq.map {
+        case ("KEY", a) => col("key").as(a)
+        case ("SUM", a) => col("sum").as(a)
+        case ("COUNT", a) => col("count").as(a)
+        case ("AVG", a) => (col("sum") / col("count")).as(a)
+        case ("VAR_POP", a) => varPop.as(a)
+        case ("VAR_SAMP", a) => varSamp.as(a)
+        case ("STDDEV_POP", a) => sqrt(varPop).as(a)
+        case ("STDDEV_SAMP", a) => sqrt(varSamp).as(a)
+        case (f, _) => throw new IllegalStateException(f) // unreachable
+      } :+ col("kind").as("row_kind"): _*)
+    }
   }
 }

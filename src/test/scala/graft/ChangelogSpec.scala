@@ -1277,6 +1277,60 @@ class ChangelogSpec extends AnyFunSuite {
       ("+U", "10,20", 2L),
       ("-U", "10,20", 2L), ("+U", "15,20", 2L)))
   }
+
+  test("retract agg staleness guard: a -U whose value no longer matches its ord is ignored") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    val out = Changelog.aggregateChangelogListAgg[CRow](
+      mem.toDS().groupByKey(_.key), _.kind, _.value, _.ord)
+    val q = out.writeStream.format("memory").queryName("cl_stale")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(CRow(1, "+I", 10.0, 1)); q.processAllAvailable()
+      // the +U half of an in-place update lands first (its -U strayed)
+      mem.addData(CRow(1, "+U", 15.0, 1)); q.processAllAvailable()
+      // the late -U carries the PRE-update value: stale → ignored, no
+      // emission — without the value-equality guard it would delete
+      // the freshly updated row (the round-11 topNChangelog invariant,
+      // which also makes same-batch -U/+U pairs order-insensitive)
+      mem.addData(CRow(1, "-U", 10.0, 1)); q.processAllAvailable()
+      // ord 1 must still be live: the next insert sees count 2
+      mem.addData(CRow(1, "+I", 20.0, 2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_stale").select("kind", "listagg", "count")
+      .as[(String, String, Long)].collect().toList
+    assert(got == List(
+      ("+U", "10", 1L),
+      ("-U", "10", 1L), ("+U", "15", 1L),
+      ("-U", "15", 1L), ("+U", "15,20", 2L)))
+  }
+
+  test("retract stats: both moments reverse exactly and the group retires at count 0") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    val out = Changelog.aggregateChangelogStats[CRow](
+      mem.toDS().groupByKey(_.key), _.kind, _.value)
+    val q = out.writeStream.format("memory").queryName("cl_stats")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(CRow(1, "+I", 10.0, 1), CRow(1, "+I", 20.0, 2))
+      q.processAllAvailable() // Σ=30, Σ²=500, n=2
+      mem.addData(CRow(1, "-D", 20.0, 2))
+      q.processAllAvailable() // retraction reverses BOTH moments exactly
+      mem.addData(CRow(1, "-D", 10.0, 1))
+      q.processAllAvailable() // count→0: -U then -D, state retired
+      // stale retract on the retired group: ignored, no emission
+      mem.addData(CRow(1, "-D", 7.0, 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_stats")
+      .select("kind", "sum", "sumsq", "count")
+      .as[(String, Double, Double, Long)].collect().toList
+    assert(got == List(
+      ("+U", 30.0, 500.0, 2L),
+      ("-U", 30.0, 500.0, 2L), ("+U", 10.0, 100.0, 1L),
+      ("-U", 10.0, 100.0, 1L), ("-D", 10.0, 100.0, 1L)))
+  }
 }
 
 case class LSide(v: Double)

@@ -259,6 +259,148 @@ class StreamSqlSpec extends AnyFunSuite {
             WHERE rn <= 1""")
     }
     assert(e2.getMessage.contains("no-rank-number"))
+    // a shape NO route supports (an agg outside every family, and a
+    // bare filtered scan) over a registered view must throw — falling
+    // through to the batch path would fold -U/-D retraction rows as
+    // ordinary inserts and return silently wrong results (the
+    // documented fail-loud contract)
+    val e3 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"SELECT key, MEDIAN(value) AS s FROM $tv GROUP BY key")
+    }
+    assert(e3.getMessage.contains("no supported streaming-SQL shape"))
+    val e5 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark, s"SELECT * FROM $tv WHERE value > 5")
+    }
+    assert(e5.getMessage.contains("no supported streaming-SQL shape"))
+    // and a registered view buried in an otherwise-unmatched statement
+    // (e.g. as the EXISTS inner with an unregistered outer) also throws
+    val e4 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"SELECT * FROM not_a_view WHERE EXISTS " +
+        s"(SELECT 1 FROM $tv WHERE $tv.key = not_a_view.key)")
+    }
+    assert(e4.getMessage.contains("no supported streaming-SQL shape"))
     StreamSql.dropChangelog(tv)
+  }
+
+  test("router accepts qualified expressions, bare multi-token keys and newline conjuncts") {
+    implicit val sc = spark.sqlContext
+    val tv = fresh("tvq")
+    val mem = MemoryStream[CRow]
+    StreamSql.registerChangelog(tv, mem.toDS().toDF(),
+      kindCol = "kind", rowId = Some("key"))
+    // view-qualified partition/order/tiebreak exprs: the stripped inner
+    // items must compare against the STRIPPED partition/order sides
+    val topn = SqlFrontend.sql(spark,
+      s"""SELECT grp, id, v FROM (
+            SELECT $tv.key % 6 AS grp, $tv.key AS id, $tv.value AS v,
+                   ROW_NUMBER() OVER (PARTITION BY $tv.key % 6
+                     ORDER BY $tv.value DESC, $tv.key) AS rn
+            FROM $tv) t WHERE rn <= 2""")
+    assert(topn.columns.toSeq == Seq("grp", "id", "v", "row_kind", "row_ord"))
+    // bare un-aliased group key: `key % 5` must stay one expression,
+    // not backtrack to expr `key %` + implicit alias `5`
+    val dist = SqlFrontend.sql(spark,
+      s"SELECT key % 5, COUNT(DISTINCT value) AS d FROM $tv GROUP BY key % 5")
+    assert(dist.columns.contains("d"))
+    // newline-delimited AND inside the EXISTS subquery predicate
+    val rv = fresh("rvq")
+    val rmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    val ex = SqlFrontend.sql(spark,
+      s"SELECT key AS k FROM $tv WHERE EXISTS (SELECT 1 FROM $rv" +
+      s" WHERE $rv.key = $tv.key\nAND $rv.value >= 5)")
+    assert(ex.columns.toSeq == Seq("k", "row_kind", "row_ord"))
+    StreamSql.dropChangelog(tv); StreamSql.dropChangelog(rv)
+  }
+
+  test("SQL SUM/COUNT/AVG/VAR_POP routes to the stats changelog aggregate") {
+    implicit val sc = spark.sqlContext
+    val gv = fresh("gv")
+    val sqlMem = MemoryStream[CRow]; val apiMem = MemoryStream[CRow]
+    StreamSql.registerChangelog(gv, sqlMem.toDS().toDF(), kindCol = "kind")
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT key % 2 AS g, SUM(value) AS s, COUNT(*) AS c,
+                 AVG(value) AS a, VAR_POP(value) AS vp,
+                 STDDEV_SAMP(value) AS sd
+          FROM $gv GROUP BY key % 2""")
+    val direct = Changelog.aggregateChangelogStats[CRow](
+      apiMem.toDS().groupByKey(_.key % 2), _.kind, _.value)
+    val sinkS = fresh("sql_ga"); val sinkA = fresh("api_ga")
+    val qs = out.writeStream.format("memory").queryName(sinkS)
+      .outputMode(OutputMode.Append).start()
+    val qa = direct.writeStream.format("memory").queryName(sinkA)
+      .outputMode(OutputMode.Append).start()
+    try {
+      def feed(rows: CRow*): Unit = {
+        sqlMem.addData(rows); apiMem.addData(rows)
+        qs.processAllAvailable(); qa.processAllAvailable()
+      }
+      feed(CRow(2, "+I", 10.0, 1), CRow(4, "+I", 20.0, 2))
+      feed(CRow(2, "-U", 10.0, 1), CRow(2, "+U", 16.0, 1)) // in-place update
+      feed(CRow(4, "-D", 20.0, 2)) // retraction reverses both moments
+    } finally { qs.stop(); qa.stop() }
+    val gotSql = spark.table(sinkS)
+      .select("g", "s", "c", "a", "vp", "sd", "row_kind")
+      .as[(Long, Double, Long, Double, Double, Option[Double], String)]
+      .collect().toList
+    // the SQL projection must equal the derivation over the direct
+    // accumulator, operand order and all
+    val gotApi = spark.table(sinkA)
+      .selectExpr("key", "sum", "count",
+        "sum / count",
+        "(sumsq - sum * sum / count) / count",
+        "CASE WHEN count > 1 THEN " +
+          "sqrt((sumsq - sum * sum / count) / (count - 1)) END",
+        "kind")
+      .as[(Long, Double, Long, Double, Double, Option[Double], String)]
+      .collect().toList
+    assert(gotSql == gotApi)
+    // spot-check the lifecycle: the update leaves count 2 → var over
+    // {16, 20}: mean 18, var_pop 4
+    assert(gotSql.map(r => (r._1, r._2, r._3, r._5, r._7)).contains(
+      (0L, 36.0, 2L, 4.0, "+U")))
+    StreamSql.dropChangelog(gv)
+  }
+
+  test("SQL MIN/MAX routes to the extremes aggregate; mixing families throws") {
+    implicit val sc = spark.sqlContext
+    val mv = fresh("mv")
+    val mem = MemoryStream[CRow]
+    StreamSql.registerChangelog(mv, mem.toDS().toDF(),
+      kindCol = "kind", rowId = Some("ord"))
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT key % 2 AS g, MIN(value) AS mn, MAX(value) AS mx,
+                 COUNT(*) AS c FROM $mv GROUP BY key % 2""")
+    val sink = fresh("sql_mm")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(CRow(2, "+I", 5.0, 1), CRow(4, "+I", 9.0, 2))
+      q.processAllAvailable()
+      mem.addData(CRow(4, "-D", 9.0, 2)) // current max retracts
+      q.processAllAvailable()            // runner-up re-admitted from live set
+    } finally q.stop()
+    val got = spark.table(sink).select("g", "mn", "mx", "c", "row_kind")
+      .as[(Long, Double, Double, Long, String)].collect().toList
+    assert(got == List(
+      (0L, 5.0, 9.0, 2L, "+U"),
+      (0L, 5.0, 9.0, 2L, "-U"), (0L, 5.0, 5.0, 1L, "+U")))
+    // min/max and the moment family keep different state: reject mixes
+    val e = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"SELECT key AS g, MIN(value) AS mn, SUM(value) AS s FROM $mv GROUP BY key")
+    }
+    assert(e.getMessage.contains("one operator family"))
+    // MIN/MAX without a declared rowId: pointer at registration
+    val mv2 = fresh("mv2")
+    StreamSql.registerChangelog(mv2, mem.toDS().toDF(), kindCol = "kind")
+    val e2 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"SELECT key AS g, MAX(value) AS mx FROM $mv2 GROUP BY key")
+    }
+    assert(e2.getMessage.contains("rowId"))
+    StreamSql.dropChangelog(mv); StreamSql.dropChangelog(mv2)
   }
 }
