@@ -811,6 +811,49 @@ object ReplayQueries {
                 col("sd_pop_c"), col("sd_samp_c"), col("n_users"))
     }),
 
+    // MIN/MAX over an updating input via SQL — the router's extremes
+    // family (aggregateChangelogMinMax's live row set, keyed by the
+    // view's declared upsert key): mid-replay a user's total GROWS
+    // through -U/+U pairs, so the live set churns and per-group
+    // extremes must settle to the batch min/max of the FINAL sums.
+    "q321_stream_sql_minmax" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .as[EvRow]
+        val view = Changelog.aggregateChangelog[EvRow](
+            src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
+          .map(a => (a.key, a.kind, a.sum))
+          .toDF("key", "kind", "amt_c")
+        StreamSql.registerChangelog("q321_p", view, "kind",
+          rowId = Some("key"))
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT key % 3 AS grp, MIN(amt_c) AS min_c,
+                      MAX(amt_c) AS max_c, COUNT(*) AS n_users
+               FROM q321_p GROUP BY key % 3""")
+          val q = j.writeStream
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .foreachBatch { (batch: DataFrame, bid: Long) =>
+              batch.withColumn("bid", lit(bid))
+                .write.mode("append").parquet(out)
+            }
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropChangelog("q321_p")
+      }
+      Changelog.materialize(s.read.parquet(out), "grp", "row_kind", "bid")
+        .select(col("grp"), col("min_c").cast("long").as("min_c"),
+                col("max_c").cast("long").as("max_c"), col("n_users"))
+    }),
+
     // Retract-capable FIRST_VALUE / LAST_VALUE / LISTAGG / COLLECT
     // under the oracle gate (the reference's order/multiset-valued
     // retract aggs — FirstValueWithRetractAggFunction / ListAggWith
@@ -1854,6 +1897,16 @@ object ReplayQueries {
              CASE WHEN n > 1 THEN sqrt((ssq - s*s/n)/(n-1)) END AS sd_samp_c,
              n AS n_users
       FROM m""",
+
+    "q321_stream_sql_minmax" -> """
+      WITH p AS (
+        SELECT user_id, CAST(sum(floor(value*100)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT user_id % 3 AS grp,
+             min(cents) AS min_c,
+             max(cents) AS max_c,
+             count(*) AS n_users
+      FROM p GROUP BY 1""",
 
     "q178_stream_tumble" -> """
       SELECT event_type,
