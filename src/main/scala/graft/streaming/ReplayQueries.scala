@@ -672,6 +672,98 @@ object ReplayQueries {
         .select(col("grp"), col("n_buckets"), col("n_users"))
     }),
 
+    // The two-sided changelog JOIN reached from plain SQL — the day-one
+    // `A JOIN B ON` statement over two updating tables (the reference
+    // plans it onto StreamingJoinOperator; FlinkStreamRuleSets join
+    // rules + changelog-mode inference). Same operator as q245, entered
+    // through SQL text WITH a right-side residual (clicks ≥ 12) that
+    // q245 doesn't exercise — the residual is applied as a
+    // changelog-preserving filter, so mid-replay threshold crossings
+    // insert/retract whole pairs.
+    "q322_stream_sql_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .as[EvRow]
+        def side(kind: String) = Changelog.aggregateChangelog[EvRow](
+            src.filter(_.event_type == kind).groupByKey(_.user_id),
+            _ => Changelog.Insert, _.cents.toDouble)
+          .map(a => (a.key, a.kind, a.sum, a.count))
+          .toDF("key", "kind", "amt_c", "cnt")
+        StreamSql.registerChangelog("q322_p", side("purchase"), "kind")
+        StreamSql.registerChangelog("q322_c", side("click"), "kind")
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT p.key AS user_id, p.amt_c/100.0 AS purchase_amt,
+                      p.cnt AS purchases, c.cnt AS clicks
+               FROM q322_p p JOIN q322_c c
+                 ON p.key = c.key AND c.cnt >= 12""")
+          val q = j.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally {
+          StreamSql.dropChangelog("q322_p"); StreamSql.dropChangelog("q322_c")
+        }
+      }
+      Changelog.materialize(s.read.parquet(out),
+          "user_id", "row_kind", "row_ord")
+        .select(col("user_id"), col("purchase_amt"),
+                col("purchases"), col("clicks"))
+    }),
+
+    // LEFT OUTER changelog join via SQL — null-padded right side with
+    // in-place pad↔pair transitions as the click view crosses the
+    // residual threshold mid-replay (the reference's
+    // OuterJoinRecordStateView association counting; q274 gates the
+    // FULL OUTER direct API, this gates LEFT through the SQL text).
+    "q323_stream_sql_left_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .as[EvRow]
+        def side(kind: String) = Changelog.aggregateChangelog[EvRow](
+            src.filter(_.event_type == kind).groupByKey(_.user_id),
+            _ => Changelog.Insert, _.cents.toDouble)
+          .map(a => (a.key, a.kind, a.sum, a.count))
+          .toDF("key", "kind", "amt_c", "cnt")
+        StreamSql.registerChangelog("q323_p", side("purchase"), "kind")
+        StreamSql.registerChangelog("q323_c", side("click"), "kind")
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT p.key AS user_id, p.amt_c/100.0 AS purchase_amt,
+                      p.cnt AS purchases, c.amt_c/100.0 AS click_amt,
+                      c.cnt AS clicks
+               FROM q323_p p LEFT OUTER JOIN q323_c c
+                 ON p.key = c.key AND c.cnt >= 12""")
+          val q = j.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally {
+          StreamSql.dropChangelog("q323_p"); StreamSql.dropChangelog("q323_c")
+        }
+      }
+      Changelog.materialize(s.read.parquet(out),
+          "user_id", "row_kind", "row_ord")
+        .select(col("user_id"), col("purchase_amt"), col("purchases"),
+                col("click_amt"), col("clicks"))
+    }),
+
     // The ordered/multiset retract aggregates REACHED FROM PLAIN SQL —
     // FIRST_VALUE/LAST_VALUE/LISTAGG/COLLECT text over a registered
     // changelog view routes to aggregateChangelogListAgg (the view's
@@ -1845,6 +1937,30 @@ object ReplayQueries {
              CAST(count(DISTINCT floor(cents/10000)) AS BIGINT) AS n_buckets,
              count(*) AS n_users
       FROM p GROUP BY 1""",
+
+    "q322_stream_sql_join" -> """
+      WITH p AS (
+        SELECT user_id, sum(floor(value*100)) AS s, count(*) AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      k AS (
+        SELECT user_id, count(*) AS c
+        FROM events WHERE event_type = 'click' GROUP BY 1)
+      SELECT p.user_id AS user_id,
+             p.s/100.0 AS purchase_amt, CAST(p.c AS BIGINT) AS purchases,
+             CAST(k.c AS BIGINT) AS clicks
+      FROM p JOIN k ON p.user_id = k.user_id AND k.c >= 12""",
+
+    "q323_stream_sql_left_join" -> """
+      WITH p AS (
+        SELECT user_id, sum(floor(value*100)) AS s, count(*) AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      k AS (
+        SELECT user_id, sum(floor(value*100)) AS s, count(*) AS c
+        FROM events WHERE event_type = 'click' GROUP BY 1)
+      SELECT p.user_id AS user_id,
+             p.s/100.0 AS purchase_amt, CAST(p.c AS BIGINT) AS purchases,
+             k.s/100.0 AS click_amt, CAST(k.c AS BIGINT) AS clicks
+      FROM p LEFT JOIN k ON p.user_id = k.user_id AND k.c >= 12""",
 
     "q318_stream_sql_listagg" -> """
       WITH p AS (

@@ -78,6 +78,20 @@ import graft.operators.SqlFrontend
  *    ListView. All value arguments must be the same expression (one
  *    live multiset per statement); COLLECT emits the value-sorted
  *    serialization of the multiset (duplicates retained).
+ *  - `SELECT <items> FROM A [AS a]
+ *     [INNER | LEFT [OUTER] | RIGHT [OUTER] | FULL [OUTER]] JOIN B [AS b]
+ *     ON a.k = b.k [AND <one-side residual>…]`
+ *    → two-sided changelog join ([[Changelog.joinChangelog]] /
+ *    [[Changelog.joinChangelogOuter]] — the reference's
+ *    StreamingJoinOperator, the day-one `A JOIN B` statement over two
+ *    updating tables). One key equality (composite keys: derive a
+ *    single key column in the view); each residual conjunct must
+ *    reference exactly ONE side (qualified by its alias) and is applied
+ *    as a changelog-preserving filter on that view — both-side
+ *    residuals need the Scala API's `cond` lambda. Projection items
+ *    must be alias-qualified (`a.col`, `b.col` — both sides may share
+ *    column names) and `*` is rejected; outer-side columns null-pad
+ *    exactly like the batch join.
  *  - `SELECT <g> AS ga, SUM(<v>) | COUNT(*) | AVG(<v>) |
  *     VAR_POP(<v>) | VAR_SAMP(<v>) | STDDEV_POP(<v>) |
  *     STDDEV_SAMP(<v>) … FROM V GROUP BY <g>`
@@ -145,6 +159,12 @@ object StreamSql {
     "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)(?:\\s+(?:AS\\s+)?(\\w+))?" +
     "\\s+WHERE\\s+(NOT\\s+)?EXISTS\\s*\\(\\s*SELECT\\s+.+?\\s+FROM\\s+" +
     "(\\w+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+WHERE\\s+(.+)\\)\\s*$")
+
+  private val joinRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)" +
+    "(?:\\s+(?:AS\\s+)?(?!INNER\\b|LEFT\\b|RIGHT\\b|FULL\\b|JOIN\\b)(\\w+))?" +
+    "\\s+(?:(INNER|LEFT|RIGHT|FULL)\\s+)?(?:OUTER\\s+)?JOIN\\s+(\\w+)" +
+    "(?:\\s+(?:AS\\s+)?(?!ON\\b)(\\w+))?\\s+ON\\s+(.+?)\\s*$")
 
   private val topnRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s*\\(\\s*SELECT\\s+(.+?),\\s*" +
@@ -226,11 +246,14 @@ object StreamSql {
     val effTtl = ttl.orElse(Changelog.ttlFromConf(spark))
     val tm = topnRe.matcher(text)
     val em = existsRe.matcher(text)
+    val jm = joinRe.matcher(text)
     val dm = distinctRe.matcher(text)
     if (tm.matches() && view(tm.group(6)).isDefined)
       Some(topn(spark, tm, effTtl))
     else if (em.matches() && view(em.group(2)).isDefined)
       Some(exists(spark, em, effTtl))
+    else if (jm.matches() && view(jm.group(2)).isDefined)
+      Some(joinStmt(spark, jm, effTtl))
     else if (dm.matches() && view(dm.group(2)).isDefined &&
              dm.group(1).toUpperCase.contains("DISTINCT"))
       Some(distinct(spark, dm, effTtl))
@@ -255,15 +278,29 @@ object StreamSql {
       if (hit.nonEmpty) throw new IllegalArgumentException(
         s"statement references registered changelog view(s) " +
         s"${hit.mkString(", ")} but matches no supported streaming-SQL " +
-        "shape (WHERE [NOT] EXISTS / ROW_NUMBER() <= k / COUNT(DISTINCT) " +
-        "/ FIRST_VALUE|LAST_VALUE|LISTAGG|COLLECT — see StreamSql's " +
-        "object doc for the exact grammar); running an updating view " +
-        "through a batch operator would be wrong, not slow — use the " +
-        "Changelog Scala API (aggregateChangelog / joinChangelogSemi/" +
-        "Anti / topNChangelog / aggregateChangelogDistinct/ListAgg) " +
-        s"for this query: $text")
+        "shape (A JOIN B ON / WHERE [NOT] EXISTS / ROW_NUMBER() <= k / " +
+        "COUNT(DISTINCT) / FIRST_VALUE|LAST_VALUE|LISTAGG|COLLECT — see " +
+        "StreamSql's object doc for the exact grammar); running an " +
+        "updating view through a batch operator would be wrong, not " +
+        "slow — use the Changelog Scala API (aggregateChangelog / " +
+        "joinChangelog[Outer] / joinChangelogSemi/Anti / topNChangelog " +
+        s"/ aggregateChangelogDistinct/ListAgg) for this query: $text")
       None
     }
+  }
+
+  /** A view's payload serialized for the generic join operators: (key,
+    * kind, canonical-JSON payload) — one serialize per record, the same
+    * order of cost as the reference serializing payloads into keyed
+    * state (object doc). Decoded back with the view's schema after the
+    * operator. */
+  private def encodeView(df: DataFrame, kindCol: String,
+                         keyCol: String): Dataset[(Long, String, String)] = {
+    implicit val enc3: Encoder[(Long, String, String)] = ExpressionEncoder()
+    val payload = df.columns.filterNot(_ == kindCol).toSeq
+    df.select(col(keyCol).cast("long"), col(kindCol).cast("string"),
+              to_json(struct(payload.map(col): _*)))
+      .as[(Long, String, String)]
   }
 
   // ---- WHERE [NOT] EXISTS → semi/anti changelog join --------------------
@@ -312,15 +349,8 @@ object StreamSql {
       }
     }
 
-    implicit val enc3: Encoder[(Long, String, String)] = ExpressionEncoder()
-    def encode(df: DataFrame, kindCol: String, keyCol: String): Dataset[(Long, String, String)] = {
-      val payload = df.columns.filterNot(_ == kindCol).toSeq
-      df.select(col(keyCol).cast("long"), col(kindCol).cast("string"),
-                to_json(struct(payload.map(col): _*)))
-        .as[(Long, String, String)]
-    }
-    val lds = encode(lv.df, lv.kindCol, lKey)
-    val rds = encode(rFiltered, rv.kindCol, rKey)
+    val lds = encodeView(lv.df, lv.kindCol, lKey)
+    val rds = encodeView(rFiltered, rv.kindCol, rKey)
     val joined =
       if (anti) Changelog.joinChangelogAnti(lds, rds, ttl = ttl)
       else Changelog.joinChangelogSemi(lds, rds, ttl = ttl)
@@ -335,6 +365,104 @@ object StreamSql {
     val items = SqlFrontend.splitTop(sel).map(strip(_, Seq(lAlias, lName)))
     if (items == Seq("*")) decoded
     else decoded.selectExpr(items ++ Seq("row_kind", "row_ord"): _*)
+  }
+
+  // ---- A JOIN B ON → two-sided changelog join ---------------------------
+
+  private def joinStmt(spark: SparkSession, m: java.util.regex.Matcher,
+                       ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
+    val (sel, lName, lAlias0, jt0, rName, rAlias0, onClause) =
+      (m.group(1), m.group(2), m.group(3), m.group(4),
+       m.group(5), m.group(6), m.group(7))
+    val lv = view(lName).get
+    val rv = view(rName).getOrElse(throw new IllegalArgumentException(
+      s"JOIN over unregistered view '$rName' — both sides of a streaming " +
+      "join must be registered changelog views (an updating view against " +
+      "a static/versioned table is a lookup/temporal join — see " +
+      "LookupJoin / TemporalJoin)"))
+    val lAlias = Option(lAlias0).getOrElse(lName)
+    val rAlias = Option(rAlias0).getOrElse(rName)
+    require(!lAlias.equalsIgnoreCase(rAlias) && !lName.equalsIgnoreCase(rName),
+      s"streaming JOIN sides need distinct aliases: '$lAlias' vs '$rAlias'")
+    val jt = Option(jt0).map(_.toUpperCase).getOrElse("INNER")
+
+    val conj = splitAnd(onClause)
+    val qual = "(\\w+)\\.(\\w+)"
+    val eqRe = s"(?s)^$qual\\s*=\\s*$qual$$".r
+    def isL(q: String) = q.equalsIgnoreCase(lAlias) || q.equalsIgnoreCase(lName)
+    def isR(q: String) = q.equalsIgnoreCase(rAlias) || q.equalsIgnoreCase(rName)
+    var lKey: String = null
+    var rKey: String = null
+    val residuals = scala.collection.mutable.ArrayBuffer.empty[String]
+    conj.foreach {
+      case c @ eqRe(q1, c1, q2, c2)
+          if (isL(q1) && isR(q2)) || (isR(q1) && isL(q2)) =>
+        require(lKey == null, s"streaming JOIN supports ONE key equality " +
+          s"(derive a composite key column in the view): $onClause")
+        if (isL(q1)) { lKey = c1; rKey = c2 }
+        else { lKey = c2; rKey = c1 }
+        val _ = c
+      case resid => residuals += resid
+    }
+    require(lKey != null,
+      s"streaming JOIN needs an <left>.k = <right>.k equality: $onClause")
+
+    // each residual references exactly one side → changelog-preserving
+    // filter on that view (a stateless deterministic predicate over the
+    // payload commutes with retraction — object doc); both-side
+    // residuals need the Scala API's cond lambda
+    def refs(e: String, a: String, n: String): Boolean =
+      e.matches("(?is).*\\b(" + java.util.regex.Pattern.quote(a) + "|" +
+        java.util.regex.Pattern.quote(n) + ")\\s*\\..*")
+    var lf = lv.df
+    var rf = rv.df
+    residuals.foreach { resid =>
+      val onL = refs(resid, lAlias, lName)
+      val onR = refs(resid, rAlias, rName)
+      require(onL ^ onR, s"JOIN residual '$resid' must reference exactly " +
+        "one side, qualified with its alias (both-side residuals need " +
+        "the Scala API's cond lambda)")
+      if (onL) lf = lf.filter(expr(strip(resid, Seq(lAlias, lName))))
+      else rf = rf.filter(expr(strip(resid, Seq(rAlias, rName))))
+    }
+
+    val lds = encodeView(lf, lv.kindCol, lKey)
+    val rds = encodeView(rf, rv.kindCol, rKey)
+    val joined: DataFrame = jt match {
+      case "INNER" => Changelog.joinChangelog(lds, rds, ttl = ttl).toDF()
+      case "LEFT" =>
+        Changelog.joinChangelogOuter(lds, rds, Changelog.LeftOuter, ttl = ttl).toDF()
+      case "RIGHT" =>
+        Changelog.joinChangelogOuter(lds, rds, Changelog.RightOuter, ttl = ttl).toDF()
+      case _ =>
+        Changelog.joinChangelogOuter(lds, rds, Changelog.FullOuter, ttl = ttl).toDF()
+    }
+
+    // decode each side with its view schema; an outer side's padded row
+    // decodes to a null struct, so its columns null-pad like batch SQL
+    val lPayload = lv.df.columns.filterNot(_ == lv.kindCol).toSeq
+    val rPayload = rv.df.columns.filterNot(_ == rv.kindCol).toSeq
+    val lSchema = lv.df.select(lPayload.map(col): _*).schema
+    val rSchema = rv.df.select(rPayload.map(col): _*).schema
+    val decoded = joined.select(
+      from_json(col("left"), lSchema).as("__l"),
+      from_json(col("right"), rSchema).as("__r"),
+      col("kind").as("row_kind"), col("ord").as("row_ord"))
+
+    def requal(e: String): String = e
+      .replaceAll("(?i)\\b(" + java.util.regex.Pattern.quote(lAlias) + "|" +
+        java.util.regex.Pattern.quote(lName) + ")\\s*\\.", "__l.")
+      .replaceAll("(?i)\\b(" + java.util.regex.Pattern.quote(rAlias) + "|" +
+        java.util.regex.Pattern.quote(rName) + ")\\s*\\.", "__r.")
+    val items = SqlFrontend.splitTop(sel)
+    require(items != Seq("*"), "streaming JOIN needs explicit projection " +
+      "items qualified by view alias — both sides may share column names")
+    try decoded.selectExpr(items.map(requal) ++ Seq("row_kind", "row_ord"): _*)
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new IllegalArgumentException(
+        s"JOIN projection items must be qualified with a view alias " +
+        s"('$lAlias.' / '$rAlias.'): $sel", e)
+    }
   }
 
   // ---- ROW_NUMBER() <= k → retract-consuming Top-N ----------------------

@@ -227,6 +227,95 @@ class StreamSqlSpec extends AnyFunSuite {
     StreamSql.dropChangelog(lv)
   }
 
+  test("SQL JOIN routes to the two-sided changelog join: pair lifecycle with a one-side residual") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("jl"); val rv = fresh("jr")
+    val lmem = MemoryStream[CRow]; val rmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind")
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT a.value AS lv, b.value AS rv2 FROM $lv a JOIN $rv b
+          ON a.key = b.key AND b.value >= 5""")
+    assert(out.columns.toSeq == Seq("lv", "rv2", "row_kind", "row_ord"))
+    val sink = fresh("sql_join")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData(CRow(1, "+I", 10.0, 1)) // no right yet → nothing
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "+I", 3.0, 1))  // residual filters it → nothing
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "+I", 7.0, 2))  // first passing pair → +I
+      q.processAllAvailable()
+      lmem.addData(CRow(1, "-U", 10.0, 1), CRow(1, "+U", 12.0, 1)) // in-place
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "-D", 7.0, 2))  // last pair gone → -D
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).orderBy("row_ord")
+      .select("lv", "rv2", "row_kind")
+      .as[(Double, Double, String)].collect().toList
+    assert(got == List((10.0, 7.0, "+I"), (10.0, 7.0, "-U"),
+                       (12.0, 7.0, "+U"), (12.0, 7.0, "-D")))
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+  }
+
+  test("SQL LEFT JOIN pads the right side and transitions pad↔pair") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("jol"); val rv = fresh("jor")
+    val lmem = MemoryStream[CRow]; val rmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind")
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    // no aliases: LEFT must parse as the join type, not as an alias of
+    // the left view (the regex's negative lookahead)
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT $lv.value AS lv2, $rv.value AS rv2
+          FROM $lv LEFT JOIN $rv ON $lv.key = $rv.key""")
+    val sink = fresh("sql_ljoin")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData(CRow(1, "+I", 10.0, 1)) // unmatched → null-padded +I
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "+I", 7.0, 1))  // pad retracts, pair inserts
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "-D", 7.0, 1))  // back to the padded row
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).orderBy("row_ord")
+      .select("lv2", "rv2", "row_kind")
+      .as[(Double, Option[Double], String)].collect().toList
+    assert(got == List(
+      (10.0, None, "+I"),
+      (10.0, None, "-U"), (10.0, Some(7.0), "+U"),
+      (10.0, Some(7.0), "-U"), (10.0, None, "+U")))
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+  }
+
+  test("SQL JOIN rejects both-side residuals, bare *, and unregistered sides") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("jel"); val rv = fresh("jer")
+    val mem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, mem.toDS().toDF(), kindCol = "kind")
+    StreamSql.registerChangelog(rv, mem.toDS().toDF(), kindCol = "kind")
+    val e1 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT a.value AS v FROM $lv a JOIN $rv b
+            ON a.key = b.key AND a.value > b.value""")
+    }
+    assert(e1.getMessage.contains("exactly one side"))
+    val e2 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark, s"SELECT * FROM $lv a JOIN $rv b ON a.key = b.key")
+    }
+    assert(e2.getMessage.contains("explicit projection"))
+    val e3 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"SELECT a.value AS v FROM $lv a JOIN not_registered b ON a.key = b.key")
+    }
+    assert(e3.getMessage.contains("unregistered"))
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+  }
+
   test("unregistered names fall through to the batch SQL path") {
     Seq((1L, "a"), (2L, "b")).toDF("id", "s")
       .createOrReplaceTempView("streamsql_batch_t")
