@@ -114,6 +114,83 @@ object Changelog {
       .drop("__rn")
   }
 
+  /**
+   * Changelog-mode filter over an UPDATING stream — the reference's Calc
+   * on a retract input followed by changelog-mode inference (a SQL
+   * `HAVING` over a streaming GROUP BY plans onto exactly this;
+   * FlinkChangelogModeInferenceProgram decides the Calc's produced
+   * kinds). In pure retract mode a Calc is STATELESS: filtering each
+   * row by its own values is correct because -U carries the OLD row.
+   * Our upsert materialization (`materialize`, or the foreachBatch
+   * batch-id pattern) ignores -U as a state carrier, so "previously
+   * passed, now fails" must surface as an explicit -D — this operator
+   * keeps the minimal state to synthesize it: the key's LAST EMITTED
+   * payload (one row per live passing key, reclaimed on retire; orders
+   * of magnitude below the upstream aggregate's own state).
+   *
+   * Input: a changelog DataFrame following the GroupAggFunction
+   * protocol (per key per micro-batch, at most one accumulate row
+   * +I/+U — the new state — plus its -U predecessor, or one -D).
+   * `pred` is evaluated by Catalyst on the DataFrame (codegen, not a
+   * per-row lambda); emission per key per batch:
+   *
+   *   none → passes   : +U (new state enters the filtered view)
+   *   passes → passes : -U old, +U new (value changed)
+   *   passes → fails  : -D old (leaves the view; the DELETE carries the
+   *                     retracted row, as the reference pads it)
+   *   fails → fails / none → fails : nothing
+   *   passes → upstream -D : -D old
+   *
+   * Output columns = input columns (payload + `kindCol`).
+   */
+  def filterChangelog(df: DataFrame, keyCol: String, kindCol: String,
+                      pred: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val ie: Encoder[(Long, String, Boolean, String)] = ExpressionEncoder()
+    implicit val oe: Encoder[(Long, String, String)] = ExpressionEncoder()
+    implicit val ke: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    implicit val se: Encoder[String] = org.apache.spark.sql.Encoders.STRING
+    val payloadCols = df.columns.filterNot(_ == kindCol).toSeq
+    val schema = df.select(payloadCols.map(col): _*).schema
+    val enc = df.select(col(keyCol).cast("long"), col(kindCol).cast("string"),
+        coalesce(pred.cast("boolean"), lit(false)),
+        to_json(struct(payloadCols.map(col): _*)))
+      .as[(Long, String, Boolean, String)]
+    val out = enc.groupByKey(_._1)
+      .flatMapGroupsWithState[String, (Long, String, String)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, String, Boolean, String)],
+         state: GroupState[String]) =>
+          // fold the batch to the key's net transition (≤1 accumulate
+          // and/or one -D under the upstream protocol)
+          var acc: (String, Boolean) = null
+          var retired = false
+          rows.foreach { case (_, kind, pass, payload) =>
+            if (kind == Insert || kind == UpdateAfter) acc = (payload, pass)
+            else if (kind == Delete) retired = true
+          }
+          val prev = state.getOption
+          val next: Option[String] =
+            if (acc != null) Some(acc._1).filter(_ => acc._2)
+            else if (retired) None
+            else prev
+          (prev, next) match {
+            case (None, Some(p)) =>
+              state.update(p); Iterator((key, UpdateAfter, p))
+            case (Some(o), Some(p)) if o != p =>
+              state.update(p)
+              Iterator((key, UpdateBefore, o), (key, UpdateAfter, p))
+            case (Some(o), None) =>
+              state.remove(); Iterator((key, Delete, o))
+            case _ => Iterator.empty
+          }
+      }
+    out.toDF("__k", "__kind", "__p")
+      .select(from_json(col("__p"), schema).as("__s"), col("__kind"))
+      .select(payloadCols.map(c => col(s"__s.`$c`")) :+
+              col("__kind").as(kindCol): _*)
+  }
+
   /** One changelog-aggregate output row (kind ∈ -U/+U per emission). */
   final case class AggChange(key: Long, kind: String, sum: Double, count: Long)
 

@@ -764,6 +764,53 @@ object ReplayQueries {
                 col("click_amt"), col("clicks"))
     }),
 
+    // WHERE + HAVING over a streaming GROUP BY (the reference's Calc on
+    // updating input + changelog-mode inference): WHERE is a
+    // changelog-preserving payload filter on the view — users whose
+    // live purchase total crosses 60000 cents mid-replay LEAVE the
+    // aggregate via the -U retraction (no matching +U passes) — and
+    // HAVING is a changelog filter on the updating result
+    // (filterChangelog): groups cross the 600000 threshold as sums
+    // accumulate, entering with +U (and leaving with an explicit -D if
+    // member churn drops them back).
+    "q324_stream_sql_having" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .as[EvRow]
+        val view = Changelog.aggregateChangelog[EvRow](
+            src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
+          .map(a => (a.key, a.kind, a.sum))
+          .toDF("key", "kind", "amt_c")
+        StreamSql.registerChangelog("q324_p", view, "kind")
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT key % 6 AS grp, SUM(amt_c) AS sum_c,
+                      COUNT(*) AS n_users
+               FROM q324_p WHERE amt_c < 60000
+               GROUP BY key % 6 HAVING sum_c > 600000""")
+          val q = j.writeStream
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .foreachBatch { (batch: DataFrame, bid: Long) =>
+              batch.withColumn("bid", lit(bid))
+                .write.mode("append").parquet(out)
+            }
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropChangelog("q324_p")
+      }
+      Changelog.materialize(s.read.parquet(out), "grp", "row_kind", "bid")
+        .select(col("grp"), col("sum_c").cast("long").as("sum_c"),
+                col("n_users"))
+    }),
+
     // The ordered/multiset retract aggregates REACHED FROM PLAIN SQL —
     // FIRST_VALUE/LAST_VALUE/LISTAGG/COLLECT text over a registered
     // changelog view routes to aggregateChangelogListAgg (the view's
@@ -1961,6 +2008,16 @@ object ReplayQueries {
              p.s/100.0 AS purchase_amt, CAST(p.c AS BIGINT) AS purchases,
              k.s/100.0 AS click_amt, CAST(k.c AS BIGINT) AS clicks
       FROM p LEFT JOIN k ON p.user_id = k.user_id AND k.c >= 12""",
+
+    "q324_stream_sql_having" -> """
+      WITH p AS (
+        SELECT user_id, CAST(sum(floor(value*100)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT user_id % 6 AS grp,
+             CAST(sum(cents) AS BIGINT) AS sum_c,
+             count(*) AS n_users
+      FROM p WHERE cents < 60000
+      GROUP BY 1 HAVING sum(cents) > 600000""",
 
     "q318_stream_sql_listagg" -> """
       WITH p AS (

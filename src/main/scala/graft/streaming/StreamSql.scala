@@ -110,6 +110,16 @@ import graft.operators.SqlFrontend
  *    moment/ordered aggregates in one statement (different state
  *    families — compose in the Scala API).
  *
+ * Every GROUP BY shape above also accepts `[WHERE <pred>]` before the
+ * GROUP BY and `[HAVING <pred>]` after it. WHERE is a
+ * changelog-preserving payload filter on the view (a deterministic
+ * predicate commutes with retraction — the reference's Calc on
+ * updating input); HAVING references the statement's OUTPUT aliases
+ * and runs as a changelog-mode filter on the updating result
+ * ([[Changelog.filterChangelog]] — a group whose new value fails the
+ * predicate leaves the filtered view with an explicit -D, so upsert
+ * materialization stays correct).
+ *
  * Keys: the changelog operators key on Long — the group/join key
  * expression must be Long-castable (composite keys: derive a single
  * key column in the view, the same normalization Flink's key selector
@@ -174,7 +184,8 @@ object StreamSql {
 
   private val distinctRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)(?:\\s+(?:AS\\s+)?(\\w+))?" +
-    "\\s+GROUP\\s+BY\\s+(.+?)\\s*$")
+    "(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)" +
+    "(?:\\s+HAVING\\s+(.+?))?\\s*$")
 
   /** Whitespace/case-insensitive expression identity — how inner rank
     * projection items are matched against the partition/order/rowId
@@ -232,6 +243,27 @@ object StreamSql {
     if (exprDone) (m.group(1).trim, m.group(2))
     else (item.trim, item.trim)
   }
+
+  /** `WHERE <pred>` on an updating view, applied BEFORE the aggregate:
+    * a deterministic predicate over the payload is changelog-preserving
+    * on a retract stream (-U carries the OLD row, so a value crossing
+    * the predicate surfaces as a bare retraction — exactly the
+    * reference's Calc on updating input). */
+  private def whereFilter(df: DataFrame, whereCl: String,
+                          quals: Seq[String]): DataFrame =
+    Option(whereCl).map(w => df.filter(expr(strip(w, quals)))).getOrElse(df)
+
+  /** `HAVING <pred>` over the aggregate's OUTPUT aliases — a changelog
+    * filter on the updating result ([[Changelog.filterChangelog]]):
+    * emits +U when a group enters the filtered view, -U/+U while it
+    * stays, and an explicit -D when its new value fails the predicate,
+    * so upsert materialization stays correct. */
+  private def havingFilter(res: DataFrame, having: String, keyAlias: String,
+                           quals: Seq[String]): DataFrame =
+    Option(having).map { h =>
+      Changelog.filterChangelog(res, keyAlias, "row_kind",
+        expr(strip(h, quals)))
+    }.getOrElse(res)
 
   /**
    * Try to route `text` onto a changelog operator. Returns None when no
@@ -547,10 +579,11 @@ object StreamSql {
 
   private def distinct(spark: SparkSession, m: java.util.regex.Matcher,
                        ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
-    val (sel, vName, vAlias0, groupBy) =
-      (m.group(1), m.group(2), m.group(3), m.group(4))
+    val (sel, vName, vAlias0, whereCl, groupBy, having) =
+      (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))
     val v = view(vName).get
     val quals = Seq(vAlias0, vName)
+    val vdf = whereFilter(v.df, whereCl, quals)
     val items = SqlFrontend.splitTop(sel).map(strip(_, quals))
     val cdRe = java.util.regex.Pattern.compile(
       "(?is)^COUNT\\s*\\(\\s*DISTINCT\\s+(.+)\\)\\s+(?:AS\\s+)?(\\w+)\\s*$")
@@ -583,7 +616,7 @@ object StreamSql {
 
     implicit val enc3: Encoder[(Long, String, Double)] = ExpressionEncoder()
     implicit val keyEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
-    val base = v.df
+    val base = vdf
       .withColumn("__g", expr(gExpr).cast("long"))
       .withColumn("__v", expr(vExpr).cast("double"))
       .select(col("__g"), col(v.kindCol).cast("string"), col("__v"))
@@ -591,16 +624,18 @@ object StreamSql {
     val d = Changelog.aggregateChangelogDistinct[(Long, String, Double)](
       base.groupByKey(_._1), kind = _._2, value = _._3, ttl = ttl)
     val withCount = cItem.map(ca => Seq(col("count").as(ca))).getOrElse(Nil)
-    d.toDF().select(Seq(col("key").as(gAlias), col("distinct").as(dAlias)) ++
+    val res = d.toDF().select(
+      Seq(col("key").as(gAlias), col("distinct").as(dAlias)) ++
       withCount :+ col("kind").as("row_kind"): _*)
+    havingFilter(res, having, gAlias, quals)
   }
 
   // ---- FIRST_VALUE / LAST_VALUE / LISTAGG / COLLECT → ordered retract agg
 
   private def listagg(spark: SparkSession, m: java.util.regex.Matcher,
                       ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
-    val (sel, vName, vAlias0, groupBy) =
-      (m.group(1), m.group(2), m.group(3), m.group(4))
+    val (sel, vName, vAlias0, whereCl, groupBy, having) =
+      (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))
     val v = view(vName).get
     val rowIdCol = v.rowIdCol.getOrElse(throw new IllegalArgumentException(
       s"streaming FIRST_VALUE/LAST_VALUE/LISTAGG/COLLECT over '$vName' " +
@@ -660,7 +695,7 @@ object StreamSql {
 
     implicit val enc4: Encoder[(Long, String, Double, Long)] = ExpressionEncoder()
     implicit val keyEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
-    val base = v.df
+    val base = whereFilter(v.df, whereCl, quals)
       .withColumn("__g", expr(gExpr).cast("long"))
       .withColumn("__v", expr(ve).cast("double"))
       .select(col("__g"), col(v.kindCol).cast("string"), col("__v"),
@@ -669,8 +704,10 @@ object StreamSql {
     val d = Changelog.aggregateChangelogListAgg[(Long, String, Double, Long)](
       base.groupByKey(_._1), kind = _._2, value = _._3, ord = _._4,
       delimiter = delim, ttl = ttl)
-    d.toDF().select(outCols.toSeq.map { case (c, a) => col(c).as(a) } :+
+    val res = d.toDF().select(
+      outCols.toSeq.map { case (c, a) => col(c).as(a) } :+
       col("kind").as("row_kind"): _*)
+    havingFilter(res, having, gItem.get._2, quals)
   }
 
   // ---- SUM/COUNT/AVG/VAR/STDDEV and MIN/MAX → retract group aggregates
@@ -680,8 +717,8 @@ object StreamSql {
 
   private def groupAgg(spark: SparkSession, m: java.util.regex.Matcher,
                        ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
-    val (sel, vName, vAlias0, groupBy) =
-      (m.group(1), m.group(2), m.group(3), m.group(4))
+    val (sel, vName, vAlias0, whereCl, groupBy, having) =
+      (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))
     val v = view(vName).get
     val quals = Seq(vAlias0, vName)
     val items = SqlFrontend.splitTop(sel).map(strip(_, quals))
@@ -730,7 +767,7 @@ object StreamSql {
         "registerChangelog(..., rowId = Some(col)) — retracting the " +
         "current extreme re-admits the runner-up from the live row set"))
       implicit val enc4: Encoder[(Long, String, Double, Long)] = ExpressionEncoder()
-      val base = v.df
+      val base = whereFilter(v.df, whereCl, quals)
         .withColumn("__g", expr(gExpr).cast("long"))
         .withColumn("__v", expr(vExpr.get).cast("double"))
         .select(col("__g"), col(v.kindCol).cast("string"), col("__v"),
@@ -739,16 +776,17 @@ object StreamSql {
       val d = Changelog.aggregateChangelogMinMax[(Long, String, Double, Long)](
         base.groupByKey(_._1), kind = _._2, value = _._3, ord = _._4,
         ttl = ttl)
-      d.toDF().select(outCols.toSeq.map {
+      val res = d.toDF().select(outCols.toSeq.map {
         case ("KEY", a) => col("key").as(a)
         case ("MIN", a) => col("min").as(a)
         case ("MAX", a) => col("max").as(a)
         case ("COUNT", a) => col("count").as(a)
         case (f, _) => throw new IllegalStateException(f) // unreachable
       } :+ col("kind").as("row_kind"): _*)
+      havingFilter(res, having, gItem.get._2, quals)
     } else {
       implicit val enc3: Encoder[(Long, String, Double)] = ExpressionEncoder()
-      val base = v.df
+      val base = whereFilter(v.df, whereCl, quals)
         .withColumn("__g", expr(gExpr).cast("long"))
         // COUNT(*)-only statements have no value argument: fold zeros
         .withColumn("__v", expr(vExpr.getOrElse("0")).cast("double"))
@@ -763,7 +801,7 @@ object StreamSql {
       val varSamp = when(col("count") > 1,
         (col("sumsq") - col("sum") * col("sum") / col("count")) /
           (col("count") - lit(1L)))
-      d.toDF().select(outCols.toSeq.map {
+      val res = d.toDF().select(outCols.toSeq.map {
         case ("KEY", a) => col("key").as(a)
         case ("SUM", a) => col("sum").as(a)
         case ("COUNT", a) => col("count").as(a)
@@ -774,6 +812,7 @@ object StreamSql {
         case ("STDDEV_SAMP", a) => sqrt(varSamp).as(a)
         case (f, _) => throw new IllegalStateException(f) // unreachable
       } :+ col("kind").as("row_kind"): _*)
+      havingFilter(res, having, gItem.get._2, quals)
     }
   }
 }

@@ -453,6 +453,41 @@ class StreamSqlSpec extends AnyFunSuite {
     StreamSql.dropChangelog(gv)
   }
 
+  test("SQL WHERE pre-filters the view; HAVING runs as a changelog filter with explicit -D") {
+    implicit val sc = spark.sqlContext
+    val hv = fresh("hv")
+    val mem = MemoryStream[CRow]
+    StreamSql.registerChangelog(hv, mem.toDS().toDF(), kindCol = "kind")
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT key % 2 AS g, SUM(value) AS s, COUNT(*) AS c
+          FROM $hv WHERE value < 100 GROUP BY key % 2 HAVING s > 15""")
+    assert(out.columns.toSeq == Seq("g", "s", "c", "row_kind"))
+    val sink = fresh("sql_having")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // WHERE drops the 200-value row entirely; sum 10 fails HAVING
+      mem.addData(CRow(2, "+I", 10.0, 1), CRow(4, "+I", 200.0, 2))
+      q.processAllAvailable()
+      // sum 10 → 22 crosses the HAVING threshold → group enters (+U)
+      mem.addData(CRow(6, "+I", 12.0, 3))
+      q.processAllAvailable()
+      // stays above: value change emits -U/+U
+      mem.addData(CRow(6, "-U", 12.0, 3), CRow(6, "+U", 13.0, 3))
+      q.processAllAvailable()
+      // retraction drops the sum below the threshold → explicit -D
+      mem.addData(CRow(6, "-D", 13.0, 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).select("g", "s", "c", "row_kind")
+      .as[(Long, Double, Long, String)].collect().toList
+    assert(got == List(
+      (0L, 22.0, 2L, "+U"),
+      (0L, 22.0, 2L, "-U"), (0L, 23.0, 2L, "+U"),
+      (0L, 23.0, 2L, "-D")))
+    StreamSql.dropChangelog(hv)
+  }
+
   test("SQL MIN/MAX routes to the extremes aggregate; mixing families throws") {
     implicit val sc = spark.sqlContext
     val mv = fresh("mv")
