@@ -141,26 +141,40 @@ object Changelog {
    *   fails → fails / none → fails : nothing
    *   passes → upstream -D : -D old
    *
-   * Output columns = input columns (payload + `kindCol`).
+   * Output columns = input columns (payload + `kindCol`). Honors
+   * [[IdleStateTtl]] like every changelog operator (lazy expiry on
+   * access + opt-in reclaim timers): an expired key's cell drops, so
+   * its next passing value re-enters as a fresh +U — the same silent
+   * staleness trade the upstream aggregate's own TTL makes.
    */
   def filterChangelog(df: DataFrame, keyCol: String, kindCol: String,
-                      pred: org.apache.spark.sql.Column): DataFrame = {
+                      pred: org.apache.spark.sql.Column,
+                      ttl: Option[IdleStateTtl] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     implicit val ie: Encoder[(Long, String, Boolean, String)] = ExpressionEncoder()
     implicit val oe: Encoder[(Long, String, String)] = ExpressionEncoder()
     implicit val ke: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
-    implicit val se: Encoder[String] = org.apache.spark.sql.Encoders.STRING
+    implicit val se: Encoder[(String, Long)] = ExpressionEncoder()
     val payloadCols = df.columns.filterNot(_ == kindCol).toSeq
     val schema = df.select(payloadCols.map(col): _*).schema
     val enc = df.select(col(keyCol).cast("long"), col(kindCol).cast("string"),
         coalesce(pred.cast("boolean"), lit(false)),
         to_json(struct(payloadCols.map(col): _*)))
       .as[(Long, String, Boolean, String)]
+    val timeoutConf = if (ttl.exists(_.reclaimTimers))
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     val out = enc.groupByKey(_._1)
-      .flatMapGroupsWithState[String, (Long, String, String)](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[(String, Long), (Long, String, String)](
+          OutputMode.Append, timeoutConf) {
         (key: Long, rows: Iterator[(Long, String, Boolean, String)],
-         state: GroupState[String]) =>
+         state: GroupState[(String, Long)]) =>
+         if (state.hasTimedOut) { state.remove(); Iterator.empty }
+         else {
+          val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+          // lazy expiry: a key idle past the TTL folds from fresh state
+          val prev = state.getOption
+            .filter { case (_, last) => ttl.forall(t => now - last <= t.ms) }
+            .map(_._1)
           // fold the batch to the key's net transition (≤1 accumulate
           // and/or one -D under the upstream protocol)
           var acc: (String, Boolean) = null
@@ -169,21 +183,30 @@ object Changelog {
             if (kind == Insert || kind == UpdateAfter) acc = (payload, pass)
             else if (kind == Delete) retired = true
           }
-          val prev = state.getOption
           val next: Option[String] =
             if (acc != null) Some(acc._1).filter(_ => acc._2)
             else if (retired) None
             else prev
+          def keep(p: String): Unit = {
+            state.update((p, now))
+            ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
+          }
           (prev, next) match {
             case (None, Some(p)) =>
-              state.update(p); Iterator((key, UpdateAfter, p))
+              keep(p); Iterator((key, UpdateAfter, p))
             case (Some(o), Some(p)) if o != p =>
-              state.update(p)
+              keep(p)
               Iterator((key, UpdateBefore, o), (key, UpdateAfter, p))
+            case (Some(o), Some(_)) =>
+              // value unchanged, but the key WAS accessed this batch —
+              // refresh its idle clock (the TTL's read-or-written rule)
+              if (ttl.isDefined) keep(o)
+              Iterator.empty
             case (Some(o), None) =>
               state.remove(); Iterator((key, Delete, o))
             case _ => Iterator.empty
           }
+         }
       }
     out.toDF("__k", "__kind", "__p")
       .select(from_json(col("__p"), schema).as("__s"), col("__kind"))

@@ -170,10 +170,14 @@ object StreamSql {
     "\\s+WHERE\\s+(NOT\\s+)?EXISTS\\s*\\(\\s*SELECT\\s+.+?\\s+FROM\\s+" +
     "(\\w+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+WHERE\\s+(.+)\\)\\s*$")
 
+  // OUTER may only follow LEFT/RIGHT/FULL (as in standard SQL): a bare
+  // `A OUTER JOIN B` must NOT parse — the alias lookahead rejects OUTER
+  // and the type group requires a direction, so the statement falls to
+  // the fail-loud scan instead of silently running as an inner join
   private val joinRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)" +
-    "(?:\\s+(?:AS\\s+)?(?!INNER\\b|LEFT\\b|RIGHT\\b|FULL\\b|JOIN\\b)(\\w+))?" +
-    "\\s+(?:(INNER|LEFT|RIGHT|FULL)\\s+)?(?:OUTER\\s+)?JOIN\\s+(\\w+)" +
+    "(?:\\s+(?:AS\\s+)?(?!INNER\\b|LEFT\\b|RIGHT\\b|FULL\\b|OUTER\\b|JOIN\\b)(\\w+))?" +
+    "\\s+(?:(INNER|LEFT|RIGHT|FULL)(?:\\s+OUTER)?\\s+)?JOIN\\s+(\\w+)" +
     "(?:\\s+(?:AS\\s+)?(?!ON\\b)(\\w+))?\\s+ON\\s+(.+?)\\s*$")
 
   private val topnRe = java.util.regex.Pattern.compile(
@@ -259,10 +263,11 @@ object StreamSql {
     * stays, and an explicit -D when its new value fails the predicate,
     * so upsert materialization stays correct. */
   private def havingFilter(res: DataFrame, having: String, keyAlias: String,
-                           quals: Seq[String]): DataFrame =
+                           quals: Seq[String],
+                           ttl: Option[Changelog.IdleStateTtl]): DataFrame =
     Option(having).map { h =>
       Changelog.filterChangelog(res, keyAlias, "row_kind",
-        expr(strip(h, quals)))
+        expr(strip(h, quals)), ttl = ttl)
     }.getOrElse(res)
 
   /**
@@ -303,20 +308,26 @@ object StreamSql {
       // throw, not fall through — the batch path would fold -U/-D
       // retraction rows as ordinary inserts and return silently wrong
       // results (or a confusing TABLE_OR_VIEW_NOT_FOUND).
+      // scan FROM *and* JOIN targets: a join whose OTHER side is
+      // unregistered must still fail loudly when a registered view sits
+      // after the JOIN keyword
       val fm = java.util.regex.Pattern
-        .compile("(?i)\\bFROM\\s+(\\w+)").matcher(text)
+        .compile("(?i)\\b(?:FROM|JOIN)\\s+(\\w+)").matcher(text)
       val hit = scala.collection.mutable.LinkedHashSet.empty[String]
       while (fm.find()) if (view(fm.group(1)).isDefined) hit += fm.group(1)
       if (hit.nonEmpty) throw new IllegalArgumentException(
         s"statement references registered changelog view(s) " +
         s"${hit.mkString(", ")} but matches no supported streaming-SQL " +
-        "shape (A JOIN B ON / WHERE [NOT] EXISTS / ROW_NUMBER() <= k / " +
-        "COUNT(DISTINCT) / FIRST_VALUE|LAST_VALUE|LISTAGG|COLLECT — see " +
-        "StreamSql's object doc for the exact grammar); running an " +
-        "updating view through a batch operator would be wrong, not " +
-        "slow — use the Changelog Scala API (aggregateChangelog / " +
-        "joinChangelog[Outer] / joinChangelogSemi/Anti / topNChangelog " +
-        s"/ aggregateChangelogDistinct/ListAgg) for this query: $text")
+        "shape (A [INNER|LEFT|RIGHT|FULL] JOIN B ON / WHERE [NOT] " +
+        "EXISTS / ROW_NUMBER() <= k / COUNT(DISTINCT) / " +
+        "FIRST_VALUE|LAST_VALUE|LISTAGG|COLLECT / " +
+        "SUM|AVG|VAR_*|STDDEV_*|MIN|MAX|COUNT(*) group aggregates, each " +
+        "GROUP BY shape with optional WHERE/HAVING — see StreamSql's " +
+        "object doc for the exact grammar); running an updating view " +
+        "through a batch operator would be wrong, not slow — use the " +
+        "Changelog Scala API (aggregateChangelog[Stats/MinMax/Distinct/" +
+        "ListAgg] / joinChangelog[Outer] / joinChangelogSemi/Anti / " +
+        s"topNChangelog / filterChangelog) for this query: $text")
       None
     }
   }
@@ -414,8 +425,19 @@ object StreamSql {
       "LookupJoin / TemporalJoin)"))
     val lAlias = Option(lAlias0).getOrElse(lName)
     val rAlias = Option(rAlias0).getOrElse(rName)
-    require(!lAlias.equalsIgnoreCase(rAlias) && !lName.equalsIgnoreCase(rName),
-      s"streaming JOIN sides need distinct aliases: '$lAlias' vs '$rAlias'")
+    // the two sides' qualifier sets must be disjoint, or column
+    // references can't be attributed to a side: a self-join needs the
+    // view registered twice under different names, and an alias that
+    // collides with the OTHER side's view name is just as ambiguous
+    require(!lName.equalsIgnoreCase(rName),
+      s"streaming self-join on '$lName': register the view a second " +
+      "time under a different name (qualifier attribution needs " +
+      "distinct names per side)")
+    val lQuals = Set(lAlias.toLowerCase, lName.toLowerCase)
+    val rQuals = Set(rAlias.toLowerCase, rName.toLowerCase)
+    require((lQuals & rQuals).isEmpty,
+      s"streaming JOIN qualifiers must be disjoint between sides: " +
+      s"{$lAlias, $lName} vs {$rAlias, $rName}")
     val jt = Option(jt0).map(_.toUpperCase).getOrElse("INNER")
 
     val conj = splitAnd(onClause)
@@ -442,10 +464,22 @@ object StreamSql {
     // each residual references exactly one side → changelog-preserving
     // filter on that view (a stateless deterministic predicate over the
     // payload commutes with retraction — object doc); both-side
-    // residuals need the Scala API's cond lambda
+    // residuals need the Scala API's cond lambda. On an OUTER join the
+    // residual's side must NOT be a preserved side: an ON predicate on
+    // the preserved side only disqualifies the MATCH (the row still
+    // emits null-padded), whereas a pre-join filter would drop the row
+    // entirely — so LEFT accepts only right-side residuals, RIGHT only
+    // left-side, FULL none (standard SQL ON semantics; put the
+    // predicate in the downstream consumer or the Scala API's cond).
     def refs(e: String, a: String, n: String): Boolean =
       e.matches("(?is).*\\b(" + java.util.regex.Pattern.quote(a) + "|" +
         java.util.regex.Pattern.quote(n) + ")\\s*\\..*")
+    val (padsLeft, padsRight) = jt match {
+      case "LEFT" => (true, false)
+      case "RIGHT" => (false, true)
+      case "FULL" => (true, true)
+      case _ => (false, false)
+    }
     var lf = lv.df
     var rf = rv.df
     residuals.foreach { resid =>
@@ -454,6 +488,11 @@ object StreamSql {
       require(onL ^ onR, s"JOIN residual '$resid' must reference exactly " +
         "one side, qualified with its alias (both-side residuals need " +
         "the Scala API's cond lambda)")
+      require(!(onL && padsLeft) && !(onR && padsRight),
+        s"ON residual '$resid' sits on a PRESERVED side of this $jt " +
+        "OUTER join: it would have to disqualify matches while keeping " +
+        "the row null-padded, which a pre-join filter cannot express — " +
+        "use the Scala API's cond lambda (or filter the join result)")
       if (onL) lf = lf.filter(expr(strip(resid, Seq(lAlias, lName))))
       else rf = rf.filter(expr(strip(resid, Seq(rAlias, rName))))
     }
@@ -627,7 +666,7 @@ object StreamSql {
     val res = d.toDF().select(
       Seq(col("key").as(gAlias), col("distinct").as(dAlias)) ++
       withCount :+ col("kind").as("row_kind"): _*)
-    havingFilter(res, having, gAlias, quals)
+    havingFilter(res, having, gAlias, quals, ttl)
   }
 
   // ---- FIRST_VALUE / LAST_VALUE / LISTAGG / COLLECT → ordered retract agg
@@ -707,7 +746,7 @@ object StreamSql {
     val res = d.toDF().select(
       outCols.toSeq.map { case (c, a) => col(c).as(a) } :+
       col("kind").as("row_kind"): _*)
-    havingFilter(res, having, gItem.get._2, quals)
+    havingFilter(res, having, gItem.get._2, quals, ttl)
   }
 
   // ---- SUM/COUNT/AVG/VAR/STDDEV and MIN/MAX → retract group aggregates
@@ -783,7 +822,7 @@ object StreamSql {
         case ("COUNT", a) => col("count").as(a)
         case (f, _) => throw new IllegalStateException(f) // unreachable
       } :+ col("kind").as("row_kind"): _*)
-      havingFilter(res, having, gItem.get._2, quals)
+      havingFilter(res, having, gItem.get._2, quals, ttl)
     } else {
       implicit val enc3: Encoder[(Long, String, Double)] = ExpressionEncoder()
       val base = whereFilter(v.df, whereCl, quals)
@@ -812,7 +851,7 @@ object StreamSql {
         case ("STDDEV_SAMP", a) => sqrt(varSamp).as(a)
         case (f, _) => throw new IllegalStateException(f) // unreachable
       } :+ col("kind").as("row_kind"): _*)
-      havingFilter(res, having, gItem.get._2, quals)
+      havingFilter(res, having, gItem.get._2, quals, ttl)
     }
   }
 }

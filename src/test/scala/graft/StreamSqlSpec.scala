@@ -292,6 +292,33 @@ class StreamSqlSpec extends AnyFunSuite {
     StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
   }
 
+  test("SQL RIGHT JOIN pads the left side (the mirrored outer configuration)") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("jrl"); val rv = fresh("jrr")
+    val lmem = MemoryStream[CRow]; val rmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind")
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT a.value AS lv2, b.value AS rv2
+          FROM $lv a RIGHT OUTER JOIN $rv b ON a.key = b.key""")
+    val sink = fresh("sql_rjoin")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      rmem.addData(CRow(1, "+I", 7.0, 1))  // unmatched right → padded left
+      q.processAllAvailable()
+      lmem.addData(CRow(1, "+I", 10.0, 1)) // pad retracts, pair inserts
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).orderBy("row_ord")
+      .select("lv2", "rv2", "row_kind")
+      .as[(Option[Double], Double, String)].collect().toList
+    assert(got == List(
+      (None, 7.0, "+I"),
+      (None, 7.0, "-U"), (Some(10.0), 7.0, "+U")))
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+  }
+
   test("SQL JOIN rejects both-side residuals, bare *, and unregistered sides") {
     implicit val sc = spark.sqlContext
     val lv = fresh("jel"); val rv = fresh("jer")
@@ -313,6 +340,42 @@ class StreamSqlSpec extends AnyFunSuite {
         s"SELECT a.value AS v FROM $lv a JOIN not_registered b ON a.key = b.key")
     }
     assert(e3.getMessage.contains("unregistered"))
+    // preserved-side ON residual on an outer join: a pre-join filter
+    // would drop rows batch SQL null-pads — must be rejected
+    val e4 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT a.value AS v, b.value AS w FROM $lv a LEFT JOIN $rv b
+            ON a.key = b.key AND a.value > 5""")
+    }
+    assert(e4.getMessage.contains("PRESERVED side"))
+    // ...but the same residual is fine on the non-preserved side, and
+    // on an INNER join on either side
+    assert(SqlFrontend.sql(spark,
+      s"""SELECT a.value AS v FROM $lv a LEFT JOIN $rv b
+          ON a.key = b.key AND b.value > 5""").columns.contains("row_kind"))
+    assert(SqlFrontend.sql(spark,
+      s"""SELECT a.value AS v FROM $lv a JOIN $rv b
+          ON a.key = b.key AND a.value > 5""").columns.contains("row_kind"))
+    // a registered view AFTER the JOIN keyword with an unregistered
+    // FROM side must fail loudly, not fall through to batch SQL
+    val e5 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"SELECT a.v AS v FROM not_registered a JOIN $rv b ON a.k = b.key")
+    }
+    assert(e5.getMessage.contains("no supported streaming-SQL shape"))
+    // bare `OUTER JOIN` (no direction) is invalid SQL: it must not
+    // silently parse as an inner join
+    val e6 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"SELECT a.value AS v FROM $lv a OUTER JOIN $rv b ON a.key = b.key")
+    }
+    assert(e6.getMessage.contains("no supported streaming-SQL shape"))
+    // self-join points at double registration
+    val e7 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"SELECT a.value AS v FROM $lv a JOIN $lv b ON a.key = b.key")
+    }
+    assert(e7.getMessage.contains("self-join"))
     StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
   }
 
