@@ -146,6 +146,11 @@ object Changelog {
    * access + opt-in reclaim timers): an expired key's cell drops, so
    * its next passing value re-enters as a fresh +U — the same silent
    * staleness trade the upstream aggregate's own TTL makes.
+   *
+   * Scale: one exchange — but on the AGGREGATE'S OUTPUT changelog
+   * (≤ groups × transitions rows per batch), orders of magnitude below
+   * the input stream the aggregate itself shuffles; state is one cell
+   * per currently-passing key, removed on leave (state-store-audited).
    */
   def filterChangelog(df: DataFrame, keyCol: String, kindCol: String,
                       pred: org.apache.spark.sql.Column,

@@ -1331,6 +1331,58 @@ class ChangelogSpec extends AnyFunSuite {
       ("-U", 30.0, 500.0, 2L), ("+U", 10.0, 100.0, 1L),
       ("-U", 10.0, 100.0, 1L), ("-D", 10.0, 100.0, 1L)))
   }
+
+  test("filterChangelog: leave drains the key's cell; never-passing keys allocate none") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    val out = Changelog.filterChangelog(
+      mem.toDS().toDF(), "key", "kind", col("value") > 5)
+    val ck = java.nio.file.Files.createTempDirectory("fc_drain_ck").toString
+    val q = out.writeStream.format("memory").queryName("cl_filter")
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // key 1 passes (cell allocated), key 2 fails (no cell ever)
+      mem.addData(CRow(1, "+U", 10.0, 1), CRow(2, "+U", 3.0, 1))
+      q.processAllAvailable()
+      // key 1's new value fails → explicit -D, cell REMOVED; key 3
+      // enters and stays live (the state read below is not vacuous)
+      mem.addData(CRow(1, "-U", 10.0, 1), CRow(1, "+U", 4.0, 1),
+                  CRow(3, "+U", 8.0, 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_filter").select("key", "value", "kind")
+      .as[(Long, Double, String)].collect().toList
+    assert(got == List(
+      (1L, 10.0, "+U"),
+      (1L, 10.0, "-D"), (3L, 8.0, "+U")))
+    val keys = spark.read.format("statestore").load(ck)
+      .selectExpr("key.value AS k").as[Long].collect().toSet
+    assert(keys == Set(3L), s"expected only the live key's cell: $keys")
+  }
+
+  test("filterChangelog TTL: an idle key's cell expires, so its next value re-enters fresh") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    val out = Changelog.filterChangelog(
+      mem.toDS().toDF(), "key", "kind", col("value") > 5,
+      ttl = Some(Changelog.IdleStateTtl(2000)))
+    val q = out.writeStream.format("memory").queryName("cl_filter_ttl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // phase 1 in ONE batch (cold-batch wall time must not cross TTL)
+      mem.addData(CRow(1, "+U", 10.0, 1))
+      q.processAllAvailable()
+      Thread.sleep(4500) // the deliberate idle period crosses the TTL
+      // phase 2: the expired cell folds fresh — a live cell would emit
+      // the -U(10)/+U(12) pair; expiry makes it a bare re-entry +U(12)
+      mem.addData(CRow(1, "-U", 10.0, 1), CRow(1, "+U", 12.0, 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_filter_ttl").select("value", "kind")
+      .as[(Double, String)].collect().toList
+    assert(got == List((10.0, "+U"), (12.0, "+U")))
+  }
 }
 
 case class LSide(v: Double)
