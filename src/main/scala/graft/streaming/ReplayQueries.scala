@@ -811,6 +811,65 @@ object ReplayQueries {
                 col("n_users"))
     }),
 
+    // CHAINED streaming SQL — statement 1's updating result registered
+    // as a view feeding statement 2, the repo's analogue of the
+    // reference planning one multi-operator retract pipeline from
+    // nested SQL (GroupAggFunction → RetractableTopNFunction, its
+    // changelog-mode inference wiring the -U/+U protocol between them):
+    // per-user purchase aggs → SQL GROUP BY (key%6) sums → SQL Top-2
+    // groups per parity by live sum. Group sums churn across batches,
+    // so the rank state consumes genuine retractions from the chained
+    // aggregate, all through SQL text.
+    "q325_stream_sql_chain" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+          .as[EvRow]
+        val view = Changelog.aggregateChangelog[EvRow](
+            src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
+          .map(a => (a.key, a.kind, a.sum))
+          .toDF("key", "kind", "amt_c")
+        StreamSql.registerChangelog("q325_p", view, "kind")
+        try {
+          val g = graft.operators.SqlFrontend.sql(s,
+            """SELECT key % 6 AS grp, SUM(amt_c) AS sum_c
+               FROM q325_p GROUP BY key % 6""")
+          StreamSql.registerChangelog("q325_g", g, "row_kind",
+            rowId = Some("grp"))
+          val t = graft.operators.SqlFrontend.sql(s,
+            """SELECT prt, grp, sum_c FROM (
+                 SELECT grp % 2 AS prt, grp, sum_c,
+                        ROW_NUMBER() OVER (PARTITION BY grp % 2
+                                           ORDER BY sum_c DESC, grp) AS rn
+                 FROM q325_g) t WHERE rn <= 2""")
+          val q = t.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally {
+          StreamSql.dropChangelog("q325_p"); StreamSql.dropChangelog("q325_g")
+        }
+      }
+      val fin = Changelog.materialize(
+        s.read.parquet(out)
+          .withColumn("mk", concat_ws("#", col("prt"), col("grp"))),
+        "mk", "row_kind", "row_ord")
+      fin.select(col("prt"), col("grp"),
+                 col("sum_c").cast("long").as("sum_c"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("prt"))
+            .orderBy(col("sum_c").desc, col("grp"))).cast("int"))
+        .select(col("prt"), col("rnk"), col("grp"), col("sum_c"))
+    }),
+
     // The ordered/multiset retract aggregates REACHED FROM PLAIN SQL —
     // FIRST_VALUE/LAST_VALUE/LISTAGG/COLLECT text over a registered
     // changelog view routes to aggregateChangelogListAgg (the view's
@@ -2018,6 +2077,21 @@ object ReplayQueries {
              count(*) AS n_users
       FROM p WHERE cents < 60000
       GROUP BY 1 HAVING sum(cents) > 600000""",
+
+    "q325_stream_sql_chain" -> """
+      WITH p AS (
+        SELECT user_id, CAST(sum(floor(value*100)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      g AS (
+        SELECT user_id % 6 AS grp, CAST(sum(cents) AS BIGINT) AS sum_c
+        FROM p GROUP BY 1),
+      r AS (
+        SELECT grp % 2 AS prt, grp, sum_c,
+               row_number() OVER (PARTITION BY grp % 2
+                                  ORDER BY sum_c DESC, grp) AS rnk
+        FROM g)
+      SELECT prt, CAST(rnk AS INT) AS rnk, grp, sum_c
+      FROM r WHERE rnk <= 2""",
 
     "q318_stream_sql_listagg" -> """
       WITH p AS (
