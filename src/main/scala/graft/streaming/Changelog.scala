@@ -209,7 +209,13 @@ object Changelog {
               Iterator.empty
             case (Some(o), None) =>
               state.remove(); Iterator((key, Delete, o))
-            case _ => Iterator.empty
+            case _ =>
+              // (None, None): if a physical cell exists here it was
+              // TTL-expired out of `prev` — and this key's next
+              // activity did NOT re-enter (failing value or upstream
+              // -D), so drop the dead cell rather than leak it
+              if (state.getOption.isDefined) state.remove()
+              Iterator.empty
           }
          }
       }

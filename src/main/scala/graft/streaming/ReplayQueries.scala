@@ -543,21 +543,8 @@ object ReplayQueries {
     // text with an inner-side residual (threshold 12, vs q304's 14,
     // so both gates exercise different crossing sets).
     "q313_stream_sql_exists" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.table(s, dir, "events")
-        .filter(col("event_type").isin("purchase", "click"))
-        .select(col("user_id"), col("event_type"),
-                floor(col("value") * 100).as("cents"))
-      val (in, out, ck) = stage(ev, 4)
+      val (side, out, ck) = purchaseClickViews(s, dir)
       withStatePartitions(s, 8) {
-        val src = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 2).parquet(in)
-          .as[EvRow]
-        def side(kind: String) = Changelog.aggregateChangelog[EvRow](
-            src.filter(_.event_type == kind).groupByKey(_.user_id),
-            _ => Changelog.Insert, _.cents.toDouble)
-          .map(a => (a.key, a.kind, a.sum, a.count))
-          .toDF("key", "kind", "amt_c", "cnt")
         StreamSql.registerChangelog("q313_p", side("purchase"), "kind")
         StreamSql.registerChangelog("q313_c", side("click"), "kind")
         try {
@@ -587,21 +574,9 @@ object ReplayQueries {
     // top-2 per key%6 group — a different slice/grouping than q306, so
     // the SQL route is a gate of its own, not a duplicate.
     "q314_stream_sql_topn" -> ((s, dir) => {
-      import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val ev = Tables.table(s, dir, "events")
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_type"),
-                floor(col("value") * 100).as("cents"))
-      val (in, out, ck) = stage(ev, 4)
+      val (view, out, ck) = purchaseCentsView(s, dir)
       withStatePartitions(s, 8) {
-        val src = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 2).parquet(in)
-          .as[EvRow]
-        val view = Changelog.aggregateChangelog[EvRow](
-            src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
-          .map(a => (a.key, a.kind, a.sum))
-          .toDF("key", "kind", "amt_c")
         StreamSql.registerChangelog("q314_p", view, "kind",
           rowId = Some("key"))
         try {
@@ -634,20 +609,8 @@ object ReplayQueries {
     // reference's distinct-accumulator planning): distinct live
     // purchase-total buckets per key%5 group.
     "q315_stream_sql_distinct" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.table(s, dir, "events")
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_type"),
-                floor(col("value") * 100).as("cents"))
-      val (in, out, ck) = stage(ev, 4)
+      val (view, out, ck) = purchaseCentsView(s, dir)
       withStatePartitions(s, 8) {
-        val src = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 2).parquet(in)
-          .as[EvRow]
-        val view = Changelog.aggregateChangelog[EvRow](
-            src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
-          .map(a => (a.key, a.kind, a.sum))
-          .toDF("key", "kind", "amt_c")
         StreamSql.registerChangelog("q315_p", view, "kind")
         try {
           val j = graft.operators.SqlFrontend.sql(s,
@@ -681,21 +644,8 @@ object ReplayQueries {
     // changelog-preserving filter, so mid-replay threshold crossings
     // insert/retract whole pairs.
     "q322_stream_sql_join" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.table(s, dir, "events")
-        .filter(col("event_type").isin("purchase", "click"))
-        .select(col("user_id"), col("event_type"),
-                floor(col("value") * 100).as("cents"))
-      val (in, out, ck) = stage(ev, 4)
+      val (side, out, ck) = purchaseClickViews(s, dir)
       withStatePartitions(s, 8) {
-        val src = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 2).parquet(in)
-          .as[EvRow]
-        def side(kind: String) = Changelog.aggregateChangelog[EvRow](
-            src.filter(_.event_type == kind).groupByKey(_.user_id),
-            _ => Changelog.Insert, _.cents.toDouble)
-          .map(a => (a.key, a.kind, a.sum, a.count))
-          .toDF("key", "kind", "amt_c", "cnt")
         StreamSql.registerChangelog("q322_p", side("purchase"), "kind")
         StreamSql.registerChangelog("q322_c", side("click"), "kind")
         try {
@@ -725,21 +675,8 @@ object ReplayQueries {
     // OuterJoinRecordStateView association counting; q274 gates the
     // FULL OUTER direct API, this gates LEFT through the SQL text).
     "q323_stream_sql_left_join" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.table(s, dir, "events")
-        .filter(col("event_type").isin("purchase", "click"))
-        .select(col("user_id"), col("event_type"),
-                floor(col("value") * 100).as("cents"))
-      val (in, out, ck) = stage(ev, 4)
+      val (side, out, ck) = purchaseClickViews(s, dir)
       withStatePartitions(s, 8) {
-        val src = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 2).parquet(in)
-          .as[EvRow]
-        def side(kind: String) = Changelog.aggregateChangelog[EvRow](
-            src.filter(_.event_type == kind).groupByKey(_.user_id),
-            _ => Changelog.Insert, _.cents.toDouble)
-          .map(a => (a.key, a.kind, a.sum, a.count))
-          .toDF("key", "kind", "amt_c", "cnt")
         StreamSql.registerChangelog("q323_p", side("purchase"), "kind")
         StreamSql.registerChangelog("q323_c", side("click"), "kind")
         try {
@@ -774,20 +711,8 @@ object ReplayQueries {
     // accumulate, entering with +U (and leaving with an explicit -D if
     // member churn drops them back).
     "q324_stream_sql_having" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.table(s, dir, "events")
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_type"),
-                floor(col("value") * 100).as("cents"))
-      val (in, out, ck) = stage(ev, 4)
+      val (view, out, ck) = purchaseCentsView(s, dir)
       withStatePartitions(s, 8) {
-        val src = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 2).parquet(in)
-          .as[EvRow]
-        val view = Changelog.aggregateChangelog[EvRow](
-            src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
-          .map(a => (a.key, a.kind, a.sum))
-          .toDF("key", "kind", "amt_c")
         StreamSql.registerChangelog("q324_p", view, "kind")
         try {
           val j = graft.operators.SqlFrontend.sql(s,
@@ -821,21 +746,9 @@ object ReplayQueries {
     // so the rank state consumes genuine retractions from the chained
     // aggregate, all through SQL text.
     "q325_stream_sql_chain" -> ((s, dir) => {
-      import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val ev = Tables.table(s, dir, "events")
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_type"),
-                floor(col("value") * 100).as("cents"))
-      val (in, out, ck) = stage(ev, 4)
+      val (view, out, ck) = purchaseCentsView(s, dir)
       withStatePartitions(s, 8) {
-        val src = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 2).parquet(in)
-          .as[EvRow]
-        val view = Changelog.aggregateChangelog[EvRow](
-            src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
-          .map(a => (a.key, a.kind, a.sum))
-          .toDF("key", "kind", "amt_c")
         StreamSql.registerChangelog("q325_p", view, "kind")
         try {
           val g = graft.operators.SqlFrontend.sql(s,
@@ -877,20 +790,8 @@ object ReplayQueries {
     // retract aggs). Different grouping (%7) than q316's direct-API
     // gate, so both entries carry their own oracle.
     "q318_stream_sql_listagg" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.table(s, dir, "events")
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_type"),
-                floor(col("value") * 100).as("cents"))
-      val (in, out, ck) = stage(ev, 4)
+      val (view, out, ck) = purchaseCentsView(s, dir)
       withStatePartitions(s, 8) {
-        val src = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 2).parquet(in)
-          .as[EvRow]
-        val view = Changelog.aggregateChangelog[EvRow](
-            src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
-          .map(a => (a.key, a.kind, a.sum))
-          .toDF("key", "kind", "amt_c")
         StreamSql.registerChangelog("q318_p", view, "kind",
           rowId = Some("key"))
         try {
@@ -926,20 +827,8 @@ object ReplayQueries {
     // projection over the emitted accumulator, so the final state must
     // equal the batch dual bit-for-bit.
     "q319_stream_sql_groupagg" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.table(s, dir, "events")
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_type"),
-                floor(col("value") * 100).as("cents"))
-      val (in, out, ck) = stage(ev, 4)
+      val (view, out, ck) = purchaseCentsView(s, dir)
       withStatePartitions(s, 8) {
-        val src = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 2).parquet(in)
-          .as[EvRow]
-        val view = Changelog.aggregateChangelog[EvRow](
-            src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
-          .map(a => (a.key, a.kind, a.sum))
-          .toDF("key", "kind", "amt_c")
         StreamSql.registerChangelog("q319_p", view, "kind")
         try {
           val j = graft.operators.SqlFrontend.sql(s,
@@ -970,20 +859,8 @@ object ReplayQueries {
     // operand order (IEEE-correctly-rounded ops on identical integer
     // moments → bit-equal doubles, the q309/q38 discipline).
     "q320_stream_sql_stats" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.table(s, dir, "events")
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_type"),
-                floor(col("value") * 100).as("cents"))
-      val (in, out, ck) = stage(ev, 4)
+      val (view, out, ck) = purchaseCentsView(s, dir)
       withStatePartitions(s, 8) {
-        val src = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 2).parquet(in)
-          .as[EvRow]
-        val view = Changelog.aggregateChangelog[EvRow](
-            src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
-          .map(a => (a.key, a.kind, a.sum))
-          .toDF("key", "kind", "amt_c")
         StreamSql.registerChangelog("q320_p", view, "kind")
         try {
           val j = graft.operators.SqlFrontend.sql(s,
@@ -1015,20 +892,8 @@ object ReplayQueries {
     // through -U/+U pairs, so the live set churns and per-group
     // extremes must settle to the batch min/max of the FINAL sums.
     "q321_stream_sql_minmax" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.table(s, dir, "events")
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_type"),
-                floor(col("value") * 100).as("cents"))
-      val (in, out, ck) = stage(ev, 4)
+      val (view, out, ck) = purchaseCentsView(s, dir)
       withStatePartitions(s, 8) {
-        val src = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 2).parquet(in)
-          .as[EvRow]
-        val view = Changelog.aggregateChangelog[EvRow](
-            src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
-          .map(a => (a.key, a.kind, a.sum))
-          .toDF("key", "kind", "amt_c")
         StreamSql.registerChangelog("q321_p", view, "kind",
           rowId = Some("key"))
         try {
@@ -1886,6 +1751,52 @@ object ReplayQueries {
     * can assert the final state is IDENTICAL under different
     * micro-batch boundaries (the batch-boundary-independence claim the
     * oracle gate relies on). */
+  /** Shared prelude of the streaming-SQL gates (q314–q325): stage the
+    * purchase events (4 round-robin slices, 2 files per trigger) and
+    * build the per-user live-cents aggregate view `(key, kind, amt_c)`
+    * over the staged replay stream — the updating input every SQL
+    * route consumes. Returns the view plus the gate's sink/checkpoint
+    * dirs. */
+  private def purchaseCentsView(s: SparkSession, dir: String)
+      : (DataFrame, String, String) = {
+    import s.implicits._
+    val ev = Tables.table(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_type"),
+              floor(col("value") * 100).as("cents"))
+    val (in, out, ck) = stage(ev, 4)
+    val src = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 2).parquet(in)
+      .as[EvRow]
+    val view = Changelog.aggregateChangelog[EvRow](
+        src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
+      .map(a => (a.key, a.kind, a.sum))
+      .toDF("key", "kind", "amt_c")
+    (view, out, ck)
+  }
+
+  /** Two-sided variant (q313/q322/q323): per-user `(key, kind, amt_c,
+    * cnt)` aggregate views of the purchase and click streams over one
+    * staged replay — call the returned function with the event type. */
+  private def purchaseClickViews(s: SparkSession, dir: String)
+      : (String => DataFrame, String, String) = {
+    import s.implicits._
+    val ev = Tables.table(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("event_type"),
+              floor(col("value") * 100).as("cents"))
+    val (in, out, ck) = stage(ev, 4)
+    val src = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 2).parquet(in)
+      .as[EvRow]
+    def side(kind: String): DataFrame = Changelog.aggregateChangelog[EvRow](
+        src.filter(_.event_type == kind).groupByKey(_.user_id),
+        _ => Changelog.Insert, _.cents.toDouble)
+      .map(a => (a.key, a.kind, a.sum, a.count))
+      .toDF("key", "kind", "amt_c", "cnt")
+    (side _, out, ck)
+  }
+
   def changelogJoinReplay(s: SparkSession, dir: String,
                           nFiles: Int, filesPerTrigger: Int): DataFrame = {
     import s.implicits._

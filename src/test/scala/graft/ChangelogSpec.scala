@@ -1353,9 +1353,12 @@ class ChangelogSpec extends AnyFunSuite {
     } finally q.stop()
     val got = spark.table("cl_filter").select("key", "value", "kind")
       .as[(Long, Double, String)].collect().toList
-    assert(got == List(
-      (1L, 10.0, "+U"),
-      (1L, 10.0, "-D"), (3L, 8.0, "+U")))
+    // batch 1 emits only key 1's entry; batch 2's two rows come from
+    // DIFFERENT group keys, whose relative order Spark doesn't
+    // contract — compare that tail order-insensitively
+    assert(got.head == ((1L, 10.0, "+U")))
+    assert(got.tail.toSet == Set((1L, 10.0, "-D"), (3L, 8.0, "+U")))
+    assert(got.size == 3)
     val keys = spark.read.format("statestore").load(ck)
       .selectExpr("key.value AS k").as[Long].collect().toSet
     assert(keys == Set(3L), s"expected only the live key's cell: $keys")
