@@ -145,6 +145,71 @@ object AnnOps {
     // recall knob over the same pipeline).
     "q311_ivf_sq8" -> ((s, dir) => ivfSq8(s, dir, nprobe = 2)),
 
+    // Product quantization (the FAISS IndexPQ shape — the third classic
+    // compression path beside SQ8's uniform grid and IVF's coarse
+    // partitioning): the 64-dim int8 vector splits into M=8 subspaces
+    // of 8 dims; each subspace has a 16-entry codebook (md5-seeded
+    // corpus picks, the IVF centroid convention — deterministic
+    // "training", so the whole index is oracle-expressible) and a
+    // vector stores only its per-subspace nearest-codeword ids: 8 small
+    // codes per vector, a 32x cut vs the raw floats. Serving is the
+    // textbook ADC scan: the query precomputes one 8x16 lookup table of
+    // integer sub-dots against every codeword, and a candidate's
+    // approximate dot is the SUM of 8 table entries selected by its
+    // codes — no per-candidate vector math at all, which is what makes
+    // PQ the memory-bound serving format at 100 TB (the corpus scan
+    // reads M bytes per vector, not the embedding). Encoding ranks by
+    // integer sub-dot (the inner-product PQ variant, consistent with
+    // the suite's dot ranking); everything stays integer end-to-end →
+    // bit-exact oracle.
+    "q326_pq_ann" -> ((s, dir) => {
+      val M = 8
+      val Sub = Dims / M
+      val ms = (0 until M).toList
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), expr(Sq8Expr).as("q8"))
+        .localCheckpoint() // feeds codebook pick, encoding AND queries
+      val cents = emb
+        .withColumn("mk", md5(col("vec_id").cast("string")))
+        .orderBy(col("mk"), col("vec_id")).limit(16)
+        .select(col("vec_id").as("cid"), col("q8").as("cent"))
+      val centSub = cents
+        .select(col("cid"), col("cent"), explode(typedLit(ms)).as("m"))
+        .select(col("cid"), col("m"),
+                expr(s"slice(cent, m*$Sub + 1, $Sub)").as("cs"))
+      // encode: per (candidate, subspace), the argmax-dot codeword
+      val wEnc = Window.partitionBy("cand_id", "m")
+        .orderBy(col("d").desc, col("cid"))
+      val codes = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("q8"),
+                explode(typedLit(ms)).as("m"))
+        .select(col("cand_id"), col("m"),
+                expr(s"slice(q8, m*$Sub + 1, $Sub)").as("xs"))
+        .join(broadcast(centSub), "m")
+        .withColumn("d", dotCodes(col("xs"), col("cs")))
+        .withColumn("ern", row_number().over(wEnc))
+        .filter(col("ern") === 1)
+        .select(col("cand_id"), col("m"), col("cid"))
+      // ADC table: every query's integer sub-dot against every codeword
+      val lut = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("q8"),
+                explode(typedLit(ms)).as("m"))
+        .select(col("q_id"), col("m"),
+                expr(s"slice(q8, m*$Sub + 1, $Sub)").as("qs"))
+        .join(broadcast(centSub), "m")
+        .withColumn("lv", dotCodes(col("qs"), col("cs")))
+        .select(col("q_id"), col("m"), col("cid"), col("lv"))
+      val wTop = Window.partitionBy("q_id")
+        .orderBy(col("adot").desc, col("cand_id"))
+      codes.join(broadcast(lut), Seq("m", "cid"))
+        .groupBy("q_id", "cand_id")
+        .agg(sum("lv").as("adot"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("cand_id"),
+                col("rnk").cast("int").as("rnk"), col("adot"))
+    }),
+
     // Bucket histogram: distribution diagnostics for the LSH table.
     "q43_ann_buckets" -> ((s, dir) => {
       Tables.table(s, dir, "embeddings")
@@ -321,7 +386,11 @@ object AnnOps {
     * 1-indexed lists (shared by the SQ8 oracles here and q317's sweep
     * oracle in VectorOps). */
   private[operators] def idotSql(a: String, b: String): String =
-    (1 to Dims).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+    idotSqlN(a, b, Dims)
+
+  /** n-dim variant for the PQ sub-vectors. */
+  private[operators] def idotSqlN(a: String, b: String, n: Int): String =
+    (1 to n).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
 
   /** Shared quantization CTE for the SQ8 oracles — the Scala side is
     * the single Sq8Expr; these two must stay in lockstep. */
@@ -397,6 +466,44 @@ object AnnOps {
                                   ORDER BY dot DESC, cand_id) AS rnk
         FROM scored)
       SELECT q_id, cand_id, CAST(rnk AS INT) AS rnk, dot
+      FROM ranked WHERE rnk <= 5""",
+
+      "q326_pq_ann" -> s"""
+      WITH $q8Cte,
+      cents AS (
+        SELECT vec_id AS cid, q8 AS cent FROM q8
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      ms AS (SELECT range AS m FROM range(8)),
+      centsub AS (
+        SELECT cid, m, list_slice(cent, m*8 + 1, m*8 + 8) AS cs
+        FROM cents, ms),
+      enc AS (
+        SELECT cand_id, m, cid,
+               row_number() OVER (PARTITION BY cand_id, m
+                                  ORDER BY d DESC, cid) AS ern
+        FROM (
+          SELECT x.vec_id AS cand_id, x.m, s.cid,
+                 CAST(${idotSqlN("x.xs", "s.cs", 8)} AS BIGINT) AS d
+          FROM (SELECT vec_id, m, list_slice(q8, m*8 + 1, m*8 + 8) AS xs
+                FROM q8, ms WHERE vec_id >= 10) x
+          JOIN centsub s ON x.m = s.m)),
+      codes AS (SELECT cand_id, m, cid FROM enc WHERE ern = 1),
+      lut AS (
+        SELECT qd.vec_id AS q_id, qd.m, s.cid,
+               CAST(${idotSqlN("qd.qs", "s.cs", 8)} AS BIGINT) AS lv
+        FROM (SELECT vec_id, m, list_slice(q8, m*8 + 1, m*8 + 8) AS qs
+              FROM q8, ms WHERE vec_id < 10) qd
+        JOIN centsub s ON qd.m = s.m),
+      adc AS (
+        SELECT l.q_id, c.cand_id, CAST(sum(l.lv) AS BIGINT) AS adot
+        FROM codes c JOIN lut l ON c.m = l.m AND c.cid = l.cid
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT q_id, cand_id, adot,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adot DESC, cand_id) AS rnk
+        FROM adc)
+      SELECT q_id, cand_id, CAST(rnk AS INT) AS rnk, adot
       FROM ranked WHERE rnk <= 5""",
 
       "q42_ann_lsh" -> s"""

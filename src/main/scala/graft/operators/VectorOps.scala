@@ -183,6 +183,28 @@ object VectorOps {
             .as("recall_ivf"))
     }),
 
+    // PQ's accuracy cost measured next to ITS claim (q312's discipline
+    // for the third compression path): recall@5 of the q326 ADC scan
+    // vs the exact float top-5. PQ loses more than SQ8 by construction
+    // — each subspace snaps to one of 16 codewords instead of a
+    // per-component grid — which is exactly the capacity trade (32x
+    // smaller codes) this gate prices.
+    "q327_pq_recall" -> ((s, dir) => {
+      val gt = queries("q38_cosine_topk")(s, dir)
+        .select(col("q_id"), col("cand_id"))
+      val pq = gt.join(
+          AnnOps.queries("q326_pq_ann")(s, dir)
+            .select(col("q_id").as("iq"), col("cand_id").as("ic")),
+          col("q_id") === col("iq") && col("cand_id") === col("ic"))
+        .groupBy("q_id").agg(count(lit(1)).as("nh"))
+      gt.select("q_id").distinct()
+        .join(pq, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("nh"), lit(0L)).cast("int").as("n_hit_pq"),
+          (coalesce(col("nh"), lit(0L)).cast("double") / lit(5.0))
+            .as("recall_pq"))
+    }),
+
     // The nprobe/recall CURVE for IVF-SQ8 (q312 reports the single
     // nprobe=2 point — one number can't separate a mis-built index
     // from a hostile fixture): recall@5 vs the exact float top-5 at
@@ -852,6 +874,19 @@ object VectorOps {
       FROM (SELECT DISTINCT q_id FROM gt) q
       LEFT JOIN h1 ON q.q_id = h1.q_id
       LEFT JOIN h2 ON q.q_id = h2.q_id""",
+
+    "q327_pq_recall" -> s"""
+      WITH gt AS (SELECT q_id, cand_id FROM ($q38OracleSql)),
+      pq AS (SELECT q_id, cand_id FROM (${AnnOps.oracle("q326_pq_ann")})),
+      h AS (
+        SELECT gt.q_id, count(*) AS nh
+        FROM gt JOIN pq ON gt.q_id = pq.q_id AND gt.cand_id = pq.cand_id
+        GROUP BY 1)
+      SELECT q.q_id,
+             CAST(coalesce(h.nh, 0) AS INT) AS n_hit_pq,
+             CAST(coalesce(h.nh, 0) AS DOUBLE) / 5.0 AS recall_pq
+      FROM (SELECT DISTINCT q_id FROM gt) q
+      LEFT JOIN h ON q.q_id = h.q_id""",
 
     "q168_ivf_recall" -> s"""
       WITH gt AS (SELECT q_id, cand_id FROM ($q38OracleSql)),
