@@ -43,6 +43,24 @@ object AnnOps {
     "transform(embedding, x -> greatest(-127L, least(127L, " +
     "CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT))))"
 
+  /** The SQ8-quantized corpus, checkpointed — shared prep of every
+    * compressed-index gate (q310/q311/q317/q326): one scan serves
+    * codebook/centroid pick, encoding and the query side. */
+  private def sq8Corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), expr(Sq8Expr).as("q8"))
+      .localCheckpoint()
+
+  /** The deterministic "training" convention every index here uses:
+    * the first `k` corpus vectors in md5(vec_id) order become the
+    * centroids/codewords — one definition to keep in lockstep with the
+    * DuckDB mirrors (`ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    * LIMIT k`). */
+  private def mdCentroids(emb: DataFrame, k: Int): DataFrame =
+    emb.withColumn("mk", md5(col("vec_id").cast("string")))
+      .orderBy(col("mk"), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("q8").as("cent"))
+
   /** 60-bit md5 hash of a string — must equal the SQL h60 in DedupOps. */
   private def h60(s: String): Long = {
     val hex = MessageDigest.getInstance("MD5")
@@ -116,8 +134,7 @@ object AnnOps {
     // the rank window's group limit). All-integer after one proven
     // round() per component → bit-exact oracle.
     "q310_sq8_ann" -> ((s, dir) => {
-      val emb = Tables.table(s, dir, "embeddings")
-        .select(col("vec_id"), expr(Sq8Expr).as("q8"))
+      val emb = sq8Corpus(s, dir)
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("q8").as("qa"))
       val c = emb.filter(col("vec_id") >= 10)
@@ -166,13 +183,8 @@ object AnnOps {
       val M = 8
       val Sub = Dims / M
       val ms = (0 until M).toList
-      val emb = Tables.table(s, dir, "embeddings")
-        .select(col("vec_id"), expr(Sq8Expr).as("q8"))
-        .localCheckpoint() // feeds codebook pick, encoding AND queries
-      val cents = emb
-        .withColumn("mk", md5(col("vec_id").cast("string")))
-        .orderBy(col("mk"), col("vec_id")).limit(16)
-        .select(col("vec_id").as("cid"), col("q8").as("cent"))
+      val emb = sq8Corpus(s, dir) // feeds codebook pick, encoding AND queries
+      val cents = mdCentroids(emb, 16)
       val centSub = cents
         .select(col("cid"), col("cent"), explode(typedLit(ms)).as("m"))
         .select(col("cid"), col("m"),
@@ -345,15 +357,10 @@ object AnnOps {
   def ivfSq8Sweep(s: SparkSession, dir: String, nprobes: Seq[Int],
                   k: Int = 8): DataFrame = {
     def idot(a: String, b: String) = dotCodes(col(a), col(b))
-    // checkpoint: the quantized corpus feeds THREE subtrees (centroid
-    // pick, candidate assignment, probe side) — one scan, not three
-    val emb = Tables.table(s, dir, "embeddings")
-      .select(col("vec_id"), expr(Sq8Expr).as("q8"))
-      .localCheckpoint()
-    val cents = emb
-      .withColumn("mk", md5(col("vec_id").cast("string")))
-      .orderBy(col("mk"), col("vec_id")).limit(k)
-      .select(col("vec_id").as("cid"), col("q8").as("cent"))
+    // one scan feeds THREE subtrees (centroid pick, candidate
+    // assignment, probe side) — see sq8Corpus
+    val emb = sq8Corpus(s, dir)
+    val cents = mdCentroids(emb, k)
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("d").desc, col("cid"))
     val assigned = emb.filter(col("vec_id") >= 10)
