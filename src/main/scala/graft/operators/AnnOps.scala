@@ -222,6 +222,76 @@ object AnnOps {
                 col("rnk").cast("int").as("rnk"), col("adot"))
     }),
 
+    // IVF-PQ — the production-default composed index (FAISS
+    // "IVF<K>,PQ<M>"): q311's coarse quantizer (md5-seeded K=8 lists,
+    // queries probe nprobe=2) pruning the corpus, q326's PQ codes
+    // serving the distance INSIDE the probed lists via the ADC table.
+    // Per candidate the index stores one list id + 8 codes; serving
+    // touches nprobe/K of the corpus and reads no embeddings at all —
+    // the combination that holds both the memory AND the compute side
+    // at 100 TB. All-integer end-to-end → bit-exact oracle.
+    "q328_ivf_pq" -> ((s, dir) => {
+      val M = 8
+      val Sub = Dims / M
+      val nprobe = 2
+      val ms = (0 until M).toList
+      val emb = sq8Corpus(s, dir)
+      val coarse = mdCentroids(emb, 8)
+        .select(col("cid").as("ccid"), col("cent").as("ccent"))
+      val centSub = mdCentroids(emb, 16)
+        .select(col("cid"), col("cent"), explode(typedLit(ms)).as("m"))
+        .select(col("cid"), col("m"),
+                expr(s"slice(cent, m*$Sub + 1, $Sub)").as("cs"))
+      // coarse assignment: every candidate to its best list (q311)
+      val wCoarse = Window.partitionBy("vec_id")
+        .orderBy(col("d").desc, col("ccid"))
+      val assigned = emb.filter(col("vec_id") >= 10)
+        .crossJoin(broadcast(coarse))
+        .withColumn("d", dotCodes(col("q8"), col("ccent")))
+        .withColumn("arn", row_number().over(wCoarse))
+        .filter(col("arn") === 1)
+        .select(col("vec_id").as("cand_id"), col("q8"), col("ccid"))
+      // PQ encoding of the assigned candidates (q326)
+      val wEnc = Window.partitionBy("cand_id", "m")
+        .orderBy(col("d").desc, col("cid"))
+      val codes = assigned
+        .select(col("cand_id"), col("ccid"), col("q8"),
+                explode(typedLit(ms)).as("m"))
+        .select(col("cand_id"), col("ccid"), col("m"),
+                expr(s"slice(q8, m*$Sub + 1, $Sub)").as("xs"))
+        .join(broadcast(centSub), "m")
+        .withColumn("d", dotCodes(col("xs"), col("cs")))
+        .withColumn("ern", row_number().over(wEnc))
+        .filter(col("ern") === 1)
+        .select(col("cand_id"), col("ccid"), col("m"), col("cid"))
+      // queries: probe the top-nprobe coarse lists + build the ADC LUT
+      val queriesQ8 = emb.filter(col("vec_id") < 10)
+      val probes = queriesQ8
+        .crossJoin(broadcast(coarse))
+        .withColumn("d", dotCodes(col("q8"), col("ccent")))
+        .withColumn("prn", row_number().over(wCoarse))
+        .filter(col("prn") <= nprobe)
+        .select(col("vec_id").as("q_id"), col("ccid"))
+      val lut = queriesQ8
+        .select(col("vec_id").as("q_id"), col("q8"),
+                explode(typedLit(ms)).as("m"))
+        .select(col("q_id"), col("m"),
+                expr(s"slice(q8, m*$Sub + 1, $Sub)").as("qs"))
+        .join(broadcast(centSub), "m")
+        .withColumn("lv", dotCodes(col("qs"), col("cs")))
+        .select(col("q_id"), col("m"), col("cid"), col("lv"))
+      val wTop = Window.partitionBy("q_id")
+        .orderBy(col("adot").desc, col("cand_id"))
+      codes.join(broadcast(probes), "ccid")
+        .join(broadcast(lut), Seq("q_id", "m", "cid"))
+        .groupBy("q_id", "cand_id")
+        .agg(sum("lv").as("adot"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("cand_id"),
+                col("rnk").cast("int").as("rnk"), col("adot"))
+    }),
+
     // Bucket histogram: distribution diagnostics for the LSH table.
     "q43_ann_buckets" -> ((s, dir) => {
       Tables.table(s, dir, "embeddings")
@@ -504,6 +574,66 @@ object AnnOps {
       adc AS (
         SELECT l.q_id, c.cand_id, CAST(sum(l.lv) AS BIGINT) AS adot
         FROM codes c JOIN lut l ON c.m = l.m AND c.cid = l.cid
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT q_id, cand_id, adot,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adot DESC, cand_id) AS rnk
+        FROM adc)
+      SELECT q_id, cand_id, CAST(rnk AS INT) AS rnk, adot
+      FROM ranked WHERE rnk <= 5""",
+
+      "q328_ivf_pq" -> s"""
+      WITH $q8Cte,
+      coarse AS (
+        SELECT vec_id AS ccid, q8 AS ccent FROM q8
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      cents AS (
+        SELECT vec_id AS cid, q8 AS cent FROM q8
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      ms AS (SELECT range AS m FROM range(8)),
+      centsub AS (
+        SELECT cid, m, list_slice(cent, m*8 + 1, m*8 + 8) AS cs
+        FROM cents, ms),
+      assigned AS (
+        SELECT cand_id, q8, ccid FROM (
+          SELECT v.vec_id AS cand_id, v.q8, c.ccid,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY (${idotSql("v.q8", "c.ccent")}) DESC, c.ccid)
+                   AS arn
+          FROM q8 v CROSS JOIN coarse c WHERE v.vec_id >= 10) x
+        WHERE arn = 1),
+      enc AS (
+        SELECT cand_id, ccid, m, cid,
+               row_number() OVER (PARTITION BY cand_id, m
+                                  ORDER BY d DESC, cid) AS ern
+        FROM (
+          SELECT a.cand_id, a.ccid, x.m, s.cid,
+                 CAST(${idotSqlN("x.xs", "s.cs", 8)} AS BIGINT) AS d
+          FROM assigned a,
+               LATERAL (SELECT m, list_slice(a.q8, m*8 + 1, m*8 + 8) AS xs
+                        FROM ms) x
+          JOIN centsub s ON x.m = s.m)),
+      codes AS (SELECT cand_id, ccid, m, cid FROM enc WHERE ern = 1),
+      probes AS (
+        SELECT q_id, ccid FROM (
+          SELECT v.vec_id AS q_id, c.ccid,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY (${idotSql("v.q8", "c.ccent")}) DESC, c.ccid)
+                   AS prn
+          FROM q8 v CROSS JOIN coarse c WHERE v.vec_id < 10) x
+        WHERE prn <= 2),
+      lut AS (
+        SELECT qd.vec_id AS q_id, qd.m, s.cid,
+               CAST(${idotSqlN("qd.qs", "s.cs", 8)} AS BIGINT) AS lv
+        FROM (SELECT vec_id, m, list_slice(q8, m*8 + 1, m*8 + 8) AS qs
+              FROM q8, ms WHERE vec_id < 10) qd
+        JOIN centsub s ON qd.m = s.m),
+      adc AS (
+        SELECT l.q_id, c.cand_id, CAST(sum(l.lv) AS BIGINT) AS adot
+        FROM codes c
+        JOIN probes p ON c.ccid = p.ccid
+        JOIN lut l ON l.q_id = p.q_id AND c.m = l.m AND c.cid = l.cid
         GROUP BY 1, 2),
       ranked AS (
         SELECT q_id, cand_id, adot,

@@ -192,17 +192,22 @@ object VectorOps {
     "q327_pq_recall" -> ((s, dir) => {
       val gt = queries("q38_cosine_topk")(s, dir)
         .select(col("q_id"), col("cand_id"))
-      val pq = gt.join(
-          AnnOps.queries("q326_pq_ann")(s, dir)
-            .select(col("q_id").as("iq"), col("cand_id").as("ic")),
+      def hits(df: DataFrame, n: String) = gt.join(
+          df.select(col("q_id").as("iq"), col("cand_id").as("ic")),
           col("q_id") === col("iq") && col("cand_id") === col("ic"))
-        .groupBy("q_id").agg(count(lit(1)).as("nh"))
+        .groupBy("q_id").agg(count(lit(1)).as(n))
+      val pq = hits(AnnOps.queries("q326_pq_ann")(s, dir), "nh_pq")
+      val ip = hits(AnnOps.queries("q328_ivf_pq")(s, dir), "nh_ivfpq")
       gt.select("q_id").distinct()
         .join(pq, Seq("q_id"), "left")
+        .join(ip, Seq("q_id"), "left")
         .select(col("q_id"),
-          coalesce(col("nh"), lit(0L)).cast("int").as("n_hit_pq"),
-          (coalesce(col("nh"), lit(0L)).cast("double") / lit(5.0))
-            .as("recall_pq"))
+          coalesce(col("nh_pq"), lit(0L)).cast("int").as("n_hit_pq"),
+          (coalesce(col("nh_pq"), lit(0L)).cast("double") / lit(5.0))
+            .as("recall_pq"),
+          coalesce(col("nh_ivfpq"), lit(0L)).cast("int").as("n_hit_ivfpq"),
+          (coalesce(col("nh_ivfpq"), lit(0L)).cast("double") / lit(5.0))
+            .as("recall_ivfpq"))
     }),
 
     // The nprobe/recall CURVE for IVF-SQ8 (q312 reports the single
@@ -878,15 +883,23 @@ object VectorOps {
     "q327_pq_recall" -> s"""
       WITH gt AS (SELECT q_id, cand_id FROM ($q38OracleSql)),
       pq AS (SELECT q_id, cand_id FROM (${AnnOps.oracle("q326_pq_ann")})),
-      h AS (
+      ip AS (SELECT q_id, cand_id FROM (${AnnOps.oracle("q328_ivf_pq")})),
+      h1 AS (
         SELECT gt.q_id, count(*) AS nh
         FROM gt JOIN pq ON gt.q_id = pq.q_id AND gt.cand_id = pq.cand_id
+        GROUP BY 1),
+      h2 AS (
+        SELECT gt.q_id, count(*) AS nh
+        FROM gt JOIN ip ON gt.q_id = ip.q_id AND gt.cand_id = ip.cand_id
         GROUP BY 1)
       SELECT q.q_id,
-             CAST(coalesce(h.nh, 0) AS INT) AS n_hit_pq,
-             CAST(coalesce(h.nh, 0) AS DOUBLE) / 5.0 AS recall_pq
+             CAST(coalesce(h1.nh, 0) AS INT) AS n_hit_pq,
+             CAST(coalesce(h1.nh, 0) AS DOUBLE) / 5.0 AS recall_pq,
+             CAST(coalesce(h2.nh, 0) AS INT) AS n_hit_ivfpq,
+             CAST(coalesce(h2.nh, 0) AS DOUBLE) / 5.0 AS recall_ivfpq
       FROM (SELECT DISTINCT q_id FROM gt) q
-      LEFT JOIN h ON q.q_id = h.q_id""",
+      LEFT JOIN h1 ON q.q_id = h1.q_id
+      LEFT JOIN h2 ON q.q_id = h2.q_id""",
 
     "q168_ivf_recall" -> s"""
       WITH gt AS (SELECT q_id, cand_id FROM ($q38OracleSql)),
