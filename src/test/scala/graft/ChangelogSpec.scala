@@ -1386,6 +1386,34 @@ class ChangelogSpec extends AnyFunSuite {
       .as[(Double, String)].collect().toList
     assert(got == List((10.0, "+U"), (12.0, "+U")))
   }
+
+  test("filterChangelog TTL: an expired cell whose key next FAILS the filter is physically dropped") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    val out = Changelog.filterChangelog(
+      mem.toDS().toDF(), "key", "kind", col("value") > 5,
+      ttl = Some(Changelog.IdleStateTtl(2000)))
+    val ck = java.nio.file.Files.createTempDirectory("fc_ttl_drop_ck").toString
+    val q = out.writeStream.format("memory").queryName("cl_filter_ttl_drop")
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(CRow(1, "+U", 10.0, 1)) // passes → cell allocated
+      q.processAllAvailable()
+      Thread.sleep(4500) // idle past the TTL: the cell is dead
+      // the next value FAILS the filter: expiry already removed the
+      // row from the view (silently, per the TTL contract — no -D),
+      // and the dead cell must be physically dropped, not parked
+      mem.addData(CRow(1, "-U", 10.0, 1), CRow(1, "+U", 3.0, 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_filter_ttl_drop").select("value", "kind")
+      .as[(Double, String)].collect().toList
+    assert(got == List((10.0, "+U"))) // no -D, no re-entry
+    val keys = spark.read.format("statestore").load(ck)
+      .selectExpr("key.value AS k").as[Long].collect().toSet
+    assert(keys.isEmpty, s"dead cell lingers after expiry+fail: $keys")
+  }
 }
 
 case class LSide(v: Double)
