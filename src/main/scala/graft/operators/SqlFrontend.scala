@@ -107,13 +107,47 @@ object SqlFrontend {
     t
   }
 
+  /** Apply a text rewrite to the NON-literal regions of `s` only —
+    * single-quoted SQL string literals (with `''` escapes) pass through
+    * untouched, so a literal like `' see a.example '` is never mangled
+    * by qualifier rewrites. Shared by [[strip]] and
+    * [[graft.streaming.StreamSql]]'s join requalification. */
+  private[graft] def rewriteOutsideLiterals(s: String)(
+      f: String => String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var start = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        out ++= f(s.substring(start, i))
+        val litStart = i
+        i += 1
+        // scan to the closing quote; '' inside a literal is an escaped
+        // quote, not a terminator
+        var done = false
+        while (!done && i < s.length) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+            else { i += 1; done = true }
+          } else i += 1
+        }
+        out ++= s.substring(litStart, i)
+        start = i
+      } else i += 1
+    }
+    out ++= f(s.substring(start))
+    out.toString
+  }
+
   /** Strip `alias.` qualifiers so expressions run on the operators'
     * unqualified output. Shared with [[graft.streaming.StreamSql]]
     * (same surface-syntax convention); aliases are regex-quoted and
-    * de-duplicated so a name = alias pair strips once. */
+    * de-duplicated so a name = alias pair strips once. String literals
+    * are opaque — qualifier-like text inside them survives. */
   private[graft] def strip(e: String, aliases: Seq[String]): String =
-    aliases.filter(_ != null).distinct.foldLeft(e)((s, a) =>
-      s.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(a)}\\.", ""))
+    rewriteOutsideLiterals(e)(seg =>
+      aliases.filter(_ != null).distinct.foldLeft(seg)((s, a) =>
+        s.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(a)}\\.", "")))
 
   private def asof(spark: SparkSession, m: java.util.regex.Matcher,
                    tiebreak: Option[String]): DataFrame = {

@@ -217,9 +217,14 @@ object StreamSql {
           i += 1
         case c if depth == 0 && Character.isWhitespace(c) &&
                   s.regionMatches(true, i + 1, "AND", 0, 3) &&
-                  i + 4 < s.length && Character.isWhitespace(s.charAt(i + 4)) =>
+                  i + 4 < s.length && {
+                    // any non-identifier char ends the keyword: `AND(x)`
+                    // is a delimiter too, not part of a longer word
+                    val c4 = s.charAt(i + 4)
+                    !Character.isLetterOrDigit(c4) && c4 != '_'
+                  } =>
           out += s.substring(start, i)
-          i += 5
+          i += 4
           start = i
         case _ => i += 1
       }
@@ -292,7 +297,11 @@ object StreamSql {
     else if (jm.matches() && view(jm.group(2)).isDefined)
       Some(joinStmt(spark, jm, effTtl))
     else if (dm.matches() && view(dm.group(2)).isDefined &&
-             dm.group(1).toUpperCase.contains("DISTINCT"))
+             // word-bounded: an alias like `distinct_key` must not trip
+             // the COUNT(DISTINCT) route
+             java.util.regex.Pattern
+               .compile("(?i)\\bCOUNT\\s*\\(\\s*DISTINCT\\b")
+               .matcher(dm.group(1)).find())
       Some(distinct(spark, dm, effTtl))
     else if (dm.matches() && view(dm.group(2)).isDefined &&
              dm.group(1).toUpperCase.matches(
@@ -359,6 +368,20 @@ object StreamSql {
       "streaming EXISTS must be registered changelog views"))
     val lAlias = Option(lAlias0).getOrElse(lName)
     val rAlias = Option(rAlias0).getOrElse(rName)
+    // same disjointness contract as joinStmt: key-equality attribution
+    // matches qualifiers case-insensitively, so a collision between the
+    // outer alias and the inner view's name/alias could silently swap
+    // lKey/rKey; a self-EXISTS on one registered view is just as
+    // ambiguous — re-register the view under a second name instead
+    require(!lName.equalsIgnoreCase(rName),
+      s"streaming self-EXISTS on '$lName': register the view a second " +
+      "time under a different name (qualifier attribution needs " +
+      "distinct names per side)")
+    val lQuals = Set(lAlias.toLowerCase, lName.toLowerCase)
+    val rQuals = Set(rAlias.toLowerCase, rName.toLowerCase)
+    require((lQuals & rQuals).isEmpty,
+      s"streaming EXISTS qualifiers must be disjoint between the outer " +
+      s"query and the subquery: {$lAlias, $lName} vs {$rAlias, $rName}")
 
     val conj = splitAnd(innerWhere)
     val qual = "(\\w+)\\.(\\w+)"
@@ -520,11 +543,12 @@ object StreamSql {
       from_json(col("right"), rSchema).as("__r"),
       col("kind").as("row_kind"), col("ord").as("row_ord"))
 
-    def requal(e: String): String = e
-      .replaceAll("(?i)\\b(" + java.util.regex.Pattern.quote(lAlias) + "|" +
-        java.util.regex.Pattern.quote(lName) + ")\\s*\\.", "__l.")
-      .replaceAll("(?i)\\b(" + java.util.regex.Pattern.quote(rAlias) + "|" +
-        java.util.regex.Pattern.quote(rName) + ")\\s*\\.", "__r.")
+    def requal(e: String): String =
+      SqlFrontend.rewriteOutsideLiterals(e)(_
+        .replaceAll("(?i)\\b(" + java.util.regex.Pattern.quote(lAlias) + "|" +
+          java.util.regex.Pattern.quote(lName) + ")\\s*\\.", "__l.")
+        .replaceAll("(?i)\\b(" + java.util.regex.Pattern.quote(rAlias) + "|" +
+          java.util.regex.Pattern.quote(rName) + ")\\s*\\.", "__r."))
     val items = SqlFrontend.splitTop(sel)
     require(items != Seq("*"), "streaming JOIN needs explicit projection " +
       "items qualified by view alias — both sides may share column names")

@@ -590,4 +590,87 @@ class StreamSqlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("rowId"))
     StreamSql.dropChangelog(mv); StreamSql.dropChangelog(mv2)
   }
+
+  test("EXISTS rejects colliding qualifiers and self-EXISTS (attribution ambiguity)") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("exg"); val mem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, mem.toDS().toDF(), kindCol = "kind")
+    // self-EXISTS on one registered view: the inner qualifier would
+    // match first and silently swap lKey/rKey — must point at
+    // re-registering under a distinct name
+    val e1 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT key AS k FROM $lv a
+            WHERE EXISTS (SELECT 1 FROM $lv b WHERE b.key = a.key)""")
+    }
+    assert(e1.getMessage.contains("self-EXISTS"))
+    // outer alias colliding case-insensitively with the inner view name
+    val rv = fresh("exc")
+    val rmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    val e2 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT key AS k FROM $lv AS ${rv.toUpperCase}
+            WHERE EXISTS (SELECT 1 FROM $rv
+                          WHERE $rv.key = ${rv.toUpperCase}.key)""")
+    }
+    assert(e2.getMessage.contains("disjoint"))
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+  }
+
+  test("qualifier rewrites are string-literal-opaque (strip and join requalification)") {
+    implicit val sc = spark.sqlContext
+    // unit level: qualifier-like text inside a literal must survive
+    assert(SqlFrontend.strip("concat(a.name, ' see a.example ')", Seq("a")) ==
+      "concat(name, ' see a.example ')")
+    assert(SqlFrontend.strip("'it''s a.b' || a.b", Seq("a")) ==
+      "'it''s a.b' || b")
+    // end to end: a join projection whose literal contains `a.`-shaped
+    // text must emit the literal unchanged (not '__l.'-rewritten)
+    val lv = fresh("litl"); val rv = fresh("litr")
+    val lmem = MemoryStream[CRow]; val rmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind")
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT concat(a.value, ' see a.example ') AS s, b.value AS w
+          FROM $lv a JOIN $rv b ON a.key = b.key""")
+    val sink = fresh("sql_lit")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData(CRow(1, "+I", 10.0, 1))
+      rmem.addData(CRow(1, "+I", 2.0, 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).select("s").as[String].collect().toList
+    assert(got == List("10.0 see a.example "))
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+  }
+
+  test("DISTINCT as an identifier substring must not trip the COUNT(DISTINCT) route") {
+    implicit val sc = spark.sqlContext
+    val dv = fresh("dvw")
+    val mem = MemoryStream[CRow]
+    StreamSql.registerChangelog(dv, mem.toDS().toDF(), kindCol = "kind")
+    // `distinct_key` is an alias, not a COUNT(DISTINCT …) item: this is
+    // a supported moment-aggregate statement and must route as one
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT key AS distinct_key, SUM(value) AS s
+          FROM $dv GROUP BY key""")
+    assert(out.columns.toSeq == Seq("distinct_key", "s", "row_kind"))
+    StreamSql.dropChangelog(dv)
+  }
+
+  test("AND immediately followed by '(' still splits conjuncts") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("apl"); val rv = fresh("apr")
+    val lmem = MemoryStream[CRow]; val rmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind")
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    val out = SqlFrontend.sql(spark,
+      s"SELECT key AS k FROM $lv WHERE EXISTS (SELECT 1 FROM $rv" +
+      s" WHERE $rv.key = $lv.key AND($rv.value >= 5))")
+    assert(out.columns.toSeq == Seq("k", "row_kind", "row_ord"))
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+  }
 }
