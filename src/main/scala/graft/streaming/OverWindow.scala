@@ -48,8 +48,15 @@ object OverWindow {
   /** ROWS BETWEEN n PRECEDING AND CURRENT ROW (ties broken by
     * `tiebreak`, mirroring a deterministic batch ORDER BY). */
   final case class RowsPreceding(n: Int) extends Frame
-  /** ROWS/RANGE UNBOUNDED PRECEDING — running aggregate. */
+  /** ROWS UNBOUNDED PRECEDING — running aggregate (ties split by
+    * `tiebreak`, each row sees only rows at or before its own slot). */
   case object UnboundedPreceding extends Frame
+  /** RANGE UNBOUNDED PRECEDING AND CURRENT ROW — SQL's DEFAULT frame
+    * for an ordered window: the running aggregate INCLUDING all peer
+    * rows at the current event time (every peer gets the same value,
+    * the reference's RowTimeRangeUnboundedPrecedingFunction). State is
+    * still one accumulator — peers are grouped per emission sweep. */
+  case object RangeUnboundedPreceding extends Frame
 
   /**
    * A fold-expressible over-window aggregate: `zero`, per-row `add`,
@@ -137,6 +144,15 @@ object OverWindow {
             ready.foreach { v =>
               acc = agg.add(acc, v)
               out += ((key, eventTime(v), tiebreak(v), agg.finish(acc)))
+            }
+          case RangeUnboundedPreceding =>
+            // peers fold together and all read the post-group value —
+            // RANGE's peer semantics with the same O(1) accumulator
+            ready.groupBy(eventTime).toSeq.sortBy(_._1).foreach {
+              case (t, peers) =>
+                peers.foreach(v => acc = agg.add(acc, v))
+                val sVal = agg.finish(acc)
+                peers.foreach(v => out += ((key, t, tiebreak(v), sVal)))
             }
           case RowsPreceding(n) =>
             ready.foreach { v =>

@@ -1574,7 +1574,149 @@ object ReplayQueries {
     // (event-ms, event_id) order per key once final; sentinels flush
     // emission past the data horizon. Oracle: the batch over-window SQL
     // with the identical deterministic ORDER BY.
-    "q252_stream_over" -> ((s, dir) => overReplay(s, dir, nSlices = 2))
+    "q252_stream_over" -> ((s, dir) => overReplay(s, dir, nSlices = 2)),
+
+    // q252's pipeline entered through SQL TEXT (the reference's
+    // StreamExecOverAggregate planning `AGG(v) OVER (PARTITION BY …
+    // ORDER BY rowtime)` from SQL — plan/nodes/physical/stream/
+    // StreamExecOverAggregate.scala): the events replay registered as
+    // an APPEND stream view (StreamSql.registerStream — the WATERMARK
+    // DDL analogue) and the running MIN written as a plain OVER
+    // statement. Same operator (OverWindow.overAgg), same oracle as
+    // q252 — the SQL front door must change nothing.
+    "q329_stream_sql_over" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+                col("ts").as("ets"))
+      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+                lit(0.0).as("value"),
+                lit(sentTs).cast("timestamp").as("ets"))
+      val (in, out, ck) = stageOrdered(ev, "ets", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        StreamSql.registerStream("q329_v", src, tsCol = "ets",
+          delay = "1 second", rowId = Some("event_id"))
+        try {
+          val res = graft.operators.SqlFrontend.sql(s,
+            """SELECT user_id, ets, event_id,
+                      MIN(value) OVER (PARTITION BY user_id
+                        ORDER BY ets, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS run_min
+               FROM q329_v""")
+            .select(col("user_id"), unix_millis(col("ets")).as("t_ms"),
+                    col("event_id"), col("run_min"))
+          val q = res.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropStream("q329_v")
+      }
+      s.read.parquet(out).filter(col("user_id") >= 0)
+    }),
+
+    // q180's interval join entered through SQL TEXT — the reference
+    // plans `WHERE a.ts BETWEEN b.ts - x AND b.ts + y` onto
+    // RowTimeBoundedStreamJoin (the time-bounded stream join); here the
+    // BETWEEN bound in the ON clause routes two registered stream views
+    // onto Spark's watermarked stream-stream join. Inclusive BETWEEN
+    // bounds (vs q180's strict upper), mirrored exactly in the oracle.
+    "q330_stream_sql_interval" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
+      val sentinel = s.range(2)
+        .select((-col("id") - 1).as("event_id"), lit(-1L).as("user_id"),
+                lit(sentTs).cast("timestamp").as("ts"),
+                when(col("id") === 0, "purchase").otherwise("click")
+                  .as("event_type"))
+      val (in, out, ck) = stageOrdered(ev, "ts", 2, sentinel)
+      withStatePartitions(s, 8) {
+        def src() = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val p = src().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                  col("ts").as("p_ts"))
+        val c = src().filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+                  col("ts").as("c_ts"))
+        StreamSql.registerStream("q330_p", p, tsCol = "p_ts",
+          delay = "1 second")
+        StreamSql.registerStream("q330_c", c, tsCol = "c_ts",
+          delay = "1 second")
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT p.p_id, c.c_id FROM q330_p p JOIN q330_c c
+               ON p.p_user = c.c_user
+              AND c.c_ts BETWEEN p.p_ts - INTERVAL '10' MINUTE AND p.p_ts""")
+          val q = j.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally {
+          StreamSql.dropStream("q330_p"); StreamSql.dropStream("q330_c")
+        }
+      }
+      s.read.parquet(out).filter(col("p_id") >= 0)
+    }),
+
+    // q275's row-time temporal join entered through SQL TEXT — the
+    // reference's LogicalCorrelateToJoinFromTemporalTableRule planning
+    // `FOR SYSTEM_TIME AS OF probe.rowtime` onto
+    // TemporalRowTimeJoinOperator; here the statement routes two
+    // registered stream views onto TemporalJoin.streamAsOf. Same
+    // operator, same oracle as q275.
+    "q331_stream_sql_temporal" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("event_type"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+                lit(sentTs).cast("timestamp").as("ts"),
+                lit("purchase").as("event_type"), lit(0.0).as("value"))
+      val (in, out, ck) = stageOrdered(ev, "ts", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val probes = src.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                  col("value").as("p_value"), col("ts").as("p_ts"))
+        val vers = src.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+                  col("event_id").as("v_id"), col("value").as("v_value"))
+        StreamSql.registerStream("q331_p", probes, tsCol = "p_ts",
+          delay = "1 second")
+        StreamSql.registerStream("q331_v", vers, tsCol = "v_ts",
+          delay = "1 second", rowId = Some("v_id"))
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT p.p_user AS p_user, p.p_id AS p_id,
+                      p.p_value AS p_value, v.v_id AS v_id,
+                      v.v_value AS v_value
+               FROM q331_p p LEFT JOIN q331_v
+                 FOR SYSTEM_TIME AS OF p.p_ts AS v
+               ON p.p_user = v.v_user""")
+          val q = j.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally {
+          StreamSql.dropStream("q331_p"); StreamSql.dropStream("q331_v")
+        }
+      }
+      s.read.parquet(out).filter(col("p_user") >= 0)
+    })
   )
 
   /** q252's pipeline with the replay split as a parameter, so the spec
@@ -2399,6 +2541,48 @@ object ReplayQueries {
                PARTITION BY user_id
                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_min
-      FROM events"""
+      FROM events""",
+
+    // same batch dual as q252 — the SQL front door must change nothing
+    "q329_stream_sql_over" -> """
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS t_ms,
+             event_id,
+             min(value) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_min
+      FROM events""",
+
+    // q180's dual with the SQL route's INCLUSIVE BETWEEN bounds
+    "q330_stream_sql_interval" -> """
+      SELECT p.event_id AS p_id, c.event_id AS c_id
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+            FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+            FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.c_ts BETWEEN p.p_ts - INTERVAL 10 MINUTE AND p.p_ts""",
+
+    // same ms-precision as-of dual as q275
+    "q331_stream_sql_temporal" -> """
+      WITH v AS (
+        SELECT user_id, event_id, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS tms
+        FROM events WHERE event_type = 'view'),
+      p AS (
+        SELECT user_id, event_id, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS tms
+        FROM events WHERE event_type = 'purchase'),
+      j AS (
+        SELECT p.user_id, p.event_id AS p_id, p.value AS p_value,
+               v.event_id AS v_id, v.value AS v_value,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY v.tms DESC, v.event_id DESC)
+                 AS rn
+        FROM p LEFT JOIN v
+          ON v.user_id = p.user_id AND v.tms <= p.tms)
+      SELECT user_id AS p_user, p_id, p_value, v_id, v_value
+      FROM j WHERE rn = 1"""
   )
 }

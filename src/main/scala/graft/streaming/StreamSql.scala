@@ -163,6 +163,36 @@ object StreamSql {
   private def view(name: String): Option[ChangelogView] =
     views.get(name.toLowerCase)
 
+  /** A registered APPEND-ONLY streaming view: an insert-only streaming
+    * DataFrame with a declared event-time column and watermark delay —
+    * the repo's analogue of the reference's `WATERMARK FOR ts AS ts -
+    * INTERVAL …` DDL clause on an insert-only table. `rowIdCol` is the
+    * optional unique row/version id the time-domain operators use as a
+    * deterministic tiebreak (over-window) or version order (temporal
+    * join). Routed by [[StreamSqlTime]]. */
+  final case class StreamView(df: DataFrame, tsCol: String, delay: String,
+                              rowIdCol: Option[String])
+
+  private val streams = TrieMap.empty[String, StreamView]
+
+  def registerStream(name: String, df: DataFrame, tsCol: String,
+                     delay: String, rowId: Option[String] = None): Unit = {
+    require(df.columns.contains(tsCol),
+      s"stream view '$name' has no event-time column '$tsCol'")
+    require(df.schema(tsCol).dataType ==
+        org.apache.spark.sql.types.TimestampType,
+      s"stream view '$name': event-time column '$tsCol' must be TIMESTAMP " +
+      s"(got ${df.schema(tsCol).dataType.simpleString})")
+    rowId.foreach(c => require(df.columns.contains(c),
+      s"stream view '$name' has no rowId column '$c'"))
+    streams(name.toLowerCase) = StreamView(df, tsCol, delay, rowId)
+  }
+
+  def dropStream(name: String): Unit = streams.remove(name.toLowerCase)
+
+  private[streaming] def streamView(name: String): Option[StreamView] =
+    streams.get(name.toLowerCase)
+
   // ---- statement shapes -------------------------------------------------
 
   private val existsRe = java.util.regex.Pattern.compile(
@@ -194,19 +224,31 @@ object StreamSql {
   /** Whitespace/case-insensitive expression identity — how inner rank
     * projection items are matched against the partition/order/rowId
     * expressions (textual, like the surface syntax itself). */
-  private def norm(e: String): String =
+  private[streaming] def norm(e: String): String =
     e.replaceAll("\\s+", "").toLowerCase
 
   /** Split a predicate on top-level ANDs (parenthesis-depth aware,
     * string-literal opaque, any whitespace around AND — newline/tab
     * delimited conjuncts split too; case matched in place with
     * `regionMatches(ignoreCase)` so no uppercased copy whose length
-    * could diverge from the original). */
-  private def splitAnd(s: String): Seq[String] = {
+    * could diverge from the original). The AND belonging to a top-level
+    * `x BETWEEN a AND b` is part of the BETWEEN, not a conjunct
+    * delimiter — the interval-join route's time bound stays one
+    * conjunct. */
+  private[streaming] def splitAnd(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
+    var pendingBetween = 0
     var start = 0
     var i = 0
+    def keywordAt(j: Int, w: String): Boolean =
+      s.regionMatches(true, j, w, 0, w.length) && {
+        val after = j + w.length
+        after >= s.length || {
+          val c = s.charAt(after)
+          !Character.isLetterOrDigit(c) && c != '_'
+        }
+      }
     while (i < s.length) {
       s.charAt(i) match {
         case '(' => depth += 1; i += 1
@@ -216,16 +258,17 @@ object StreamSql {
           while (i < s.length && s.charAt(i) != '\'') i += 1
           i += 1
         case c if depth == 0 && Character.isWhitespace(c) &&
-                  s.regionMatches(true, i + 1, "AND", 0, 3) &&
-                  i + 4 < s.length && {
-                    // any non-identifier char ends the keyword: `AND(x)`
-                    // is a delimiter too, not part of a longer word
-                    val c4 = s.charAt(i + 4)
-                    !Character.isLetterOrDigit(c4) && c4 != '_'
-                  } =>
-          out += s.substring(start, i)
-          i += 4
-          start = i
+                  keywordAt(i + 1, "BETWEEN") =>
+          pendingBetween += 1
+          i += 8
+        case c if depth == 0 && Character.isWhitespace(c) &&
+                  keywordAt(i + 1, "AND") && i + 4 < s.length =>
+          if (pendingBetween > 0) { pendingBetween -= 1; i += 4 }
+          else {
+            out += s.substring(start, i)
+            i += 4
+            start = i
+          }
         case _ => i += 1
       }
     }
@@ -235,7 +278,7 @@ object StreamSql {
 
   // qualifier stripping shared with the batch front-end — one
   // implementation of the surface-syntax convention to maintain
-  private def strip(e: String, quals: Seq[String]): String =
+  private[streaming] def strip(e: String, quals: Seq[String]): String =
     SqlFrontend.strip(e, quals)
 
   /** `expr AS alias` | `expr alias` | bare expression — the projection
@@ -244,7 +287,7 @@ object StreamSql {
     * expression: `key % 5` must NOT backtrack to (`key %`, alias `5`),
     * so an expr ending in an operator/comma keeps the whole item as a
     * bare (self-named) expression. */
-  private def itemAlias(item: String): (String, String) = {
+  private[streaming] def itemAlias(item: String): (String, String) = {
     val m = java.util.regex.Pattern
       .compile("(?is)^(.+?)\\s+(?:AS\\s+)?(\\w+)\\s*$").matcher(item)
     val exprDone = m.matches() &&
@@ -290,10 +333,21 @@ object StreamSql {
     val em = existsRe.matcher(text)
     val jm = joinRe.matcher(text)
     val dm = distinctRe.matcher(text)
+    val tjm = StreamSqlTime.temporalRe.matcher(text)
+    val ovm = StreamSqlTime.overRe.matcher(text)
     if (tm.matches() && view(tm.group(6)).isDefined)
       Some(topn(spark, tm, effTtl))
     else if (em.matches() && view(em.group(2)).isDefined)
       Some(exists(spark, em, effTtl))
+    // time-domain shapes over APPEND-ONLY stream views (registerStream)
+    else if (tjm.matches() && streamView(tjm.group(2)).isDefined)
+      Some(StreamSqlTime.temporal(spark, tjm))
+    else if (jm.matches() && streamView(jm.group(2)).isDefined)
+      Some(StreamSqlTime.interval(spark, jm))
+    else if (ovm.matches() && streamView(ovm.group(2)).isDefined &&
+             java.util.regex.Pattern.compile("(?i)\\bOVER\\s*\\(")
+               .matcher(ovm.group(1)).find())
+      Some(StreamSqlTime.over(spark, ovm, effTtl))
     else if (jm.matches() && view(jm.group(2)).isDefined)
       Some(joinStmt(spark, jm, effTtl))
     else if (dm.matches() && view(dm.group(2)).isDefined &&
@@ -323,7 +377,11 @@ object StreamSql {
       val fm = java.util.regex.Pattern
         .compile("(?i)\\b(?:FROM|JOIN)\\s+(\\w+)").matcher(text)
       val hit = scala.collection.mutable.LinkedHashSet.empty[String]
-      while (fm.find()) if (view(fm.group(1)).isDefined) hit += fm.group(1)
+      val hitStream = scala.collection.mutable.LinkedHashSet.empty[String]
+      while (fm.find()) {
+        if (view(fm.group(1)).isDefined) hit += fm.group(1)
+        if (streamView(fm.group(1)).isDefined) hitStream += fm.group(1)
+      }
       if (hit.nonEmpty) throw new IllegalArgumentException(
         s"statement references registered changelog view(s) " +
         s"${hit.mkString(", ")} but matches no supported streaming-SQL " +
@@ -337,6 +395,15 @@ object StreamSql {
         "Changelog Scala API (aggregateChangelog[Stats/MinMax/Distinct/" +
         "ListAgg] / joinChangelog[Outer] / joinChangelogSemi/Anti / " +
         s"topNChangelog / filterChangelog) for this query: $text")
+      if (hitStream.nonEmpty) throw new IllegalArgumentException(
+        s"statement references registered stream view(s) " +
+        s"${hitStream.mkString(", ")} but matches no supported " +
+        "time-domain streaming-SQL shape (AGG(v) OVER (PARTITION BY g " +
+        "ORDER BY ts [frame]) / A JOIN B ON a.k = b.k AND <ts bound> " +
+        "(interval join) / A JOIN B FOR SYSTEM_TIME AS OF a.ts ON a.k " +
+        "= b.k — see StreamSqlTime's object doc for the exact grammar); " +
+        "use the Scala API (OverWindow.overAgg / StreamOps.intervalJoin " +
+        s"/ TemporalJoin.streamAsOf) for this query: $text")
       None
     }
   }

@@ -1,0 +1,404 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+
+import graft.operators.SqlFrontend
+
+/**
+ * Streaming-SQL reachability for the TIME-DOMAIN operators — the repo's
+ * analogue of the reference planning row-time operators from SQL text:
+ *
+ *  - `AGG(v) OVER (PARTITION BY g ORDER BY ts [frame])` →
+ *    [[OverWindow.overAgg]] (the reference's StreamExecOverAggregate,
+ *    flink-table-planner-blink/.../plan/nodes/physical/stream/
+ *    StreamExecOverAggregate.scala, executing
+ *    RowTimeRows/RangeBounded/UnboundedPrecedingFunction);
+ *  - a join whose ON carries a key equality plus a time bound between
+ *    the two event-time columns (`b.ts BETWEEN a.ts - x AND a.ts + y`,
+ *    or explicit inequalities) → a watermarked stream-stream interval
+ *    join (the reference's RowTimeBoundedStreamJoin, planned from the
+ *    BETWEEN predicate by FlinkStreamRuleSets' window-join rules);
+ *  - `A JOIN V FOR SYSTEM_TIME AS OF a.ts ON a.k = v.k` where BOTH
+ *    sides are streams → [[TemporalJoin.streamAsOf]] (the reference's
+ *    LogicalCorrelateToJoinFromTemporalTableRule →
+ *    TemporalRowTimeJoinOperator).
+ *
+ * Inputs are APPEND-ONLY STREAM VIEWS registered via
+ * [[StreamSql.registerStream]] — an insert-only streaming DataFrame
+ * with a declared event-time column and watermark delay, the repo's
+ * analogue of the reference's `WATERMARK FOR ts AS ts - INTERVAL …`
+ * DDL on an insert-only table. Outputs are plain APPEND streams (no
+ * row_kind): every row is final once emitted, exactly the changelog
+ * mode the reference infers for row-time operators over insert-only
+ * inputs.
+ *
+ * OVER grammar: `SELECT <g> [AS ga], <ts> [AS ta], <rowId> [AS ia],
+ * SUM|COUNT|MIN|MAX|AVG(<v>) OVER (PARTITION BY <g> ORDER BY <ts>
+ * [, <rowId>] [frame]) AS aa FROM S [AS s]` — projection items may
+ * reference only the partition key, the event-time column, the
+ * registered rowId (the deterministic tiebreak) and the aggregate (the
+ * columns the over-window state carries). Frames: `ROWS BETWEEN n
+ * PRECEDING AND CURRENT ROW`, `RANGE BETWEEN INTERVAL 'x' <unit>
+ * PRECEDING AND CURRENT ROW`, `ROWS BETWEEN UNBOUNDED PRECEDING AND
+ * CURRENT ROW` (running, ties split by rowId), `RANGE BETWEEN UNBOUNDED
+ * PRECEDING AND CURRENT ROW` or frame omitted (SQL's default — running
+ * WITH peer rows included). The event-time projection emits at the
+ * operator's millisecond granularity (the watermark unit).
+ *
+ * Interval-join grammar: `SELECT <items> FROM A [AS a]
+ * [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN B [AS b] ON a.k = b.k AND
+ * <time bound> [AND <residual>…]` — both views registered streams with
+ * DISJOINT column names (qualifiers are stripped after the rewrite);
+ * the time bound must relate the two registered event-time columns so
+ * the state both sides buffer is watermark-evictable (Spark rejects an
+ * outer variant without one; the route rejects it for inner too —
+ * an unbounded-state stream join over append inputs is the changelog
+ * family's job, not an interval join).
+ *
+ * Temporal grammar: `SELECT <items> FROM P [AS p] [LEFT] JOIN V
+ * FOR SYSTEM_TIME AS OF p.<ts> ON p.k = v.k [AS v]` — V must declare
+ * its version order at registration (`rowId`, the tiebreak among
+ * equal-timestamp versions); the AS OF expression must be P's declared
+ * event-time column (row-time temporal join; an unregistered probe
+ * falls through to [[SqlFrontend]]'s batch snapshot route). Projection
+ * items are alias-qualified; the probe view's watermark delay governs
+ * the unioned watermark domain. Payloads cross the generic operator as
+ * canonical JSON of each view's schema (one serialize per record —
+ * StreamSql's documented transport; hot pipelines use the typed Scala
+ * API).
+ *
+ * The rewrites are metadata-only: everything downstream is the
+ * operators' normal one-exchange keyed-state path (interval joins are
+ * Spark's own StreamingSymmetricHashJoin with watermark-bounded state),
+ * so SQL entry adds no shuffle at any scale.
+ */
+object StreamSqlTime {
+
+  private type Ts = java.sql.Timestamp
+  /** Over-window event: (key, event time, tiebreak, value). */
+  private type Ev = (Long, java.sql.Timestamp, Long, Double)
+  /** Temporal probe / version transport: (key, ts, [ord,] payload JSON). */
+  private type P = (Long, java.sql.Timestamp, String)
+  private type V = (Long, java.sql.Timestamp, Long, String)
+
+  private[streaming] val overRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s*$")
+
+  private[streaming] val temporalRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)(?:\\s+(?:AS\\s+)?(\\w+))?" +
+    "\\s+(LEFT\\s+(?:OUTER\\s+)?)?JOIN\\s+(\\w+)\\s+FOR\\s+SYSTEM_TIME" +
+    "\\s+AS\\s+OF\\s+([\\w.]+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+ON\\s+(.+?)\\s*$")
+
+  /** `AGG(v) OVER (PARTITION BY g ORDER BY <order list + frame>) AS a` —
+    * the order-list/frame split happens in [[frameRe]] (regex greediness
+    * would otherwise make the boundary ambiguous). */
+  private val overItemRe = java.util.regex.Pattern.compile(
+    "(?is)^(SUM|COUNT|MIN|MAX|AVG)\\s*\\(\\s*(.+?)\\s*\\)\\s+OVER\\s*\\(\\s*" +
+    "PARTITION\\s+BY\\s+(.+?)\\s+ORDER\\s+BY\\s+(.+?)\\s*\\)\\s+(?:AS\\s+)?(\\w+)\\s*$")
+
+  private val frameRe = java.util.regex.Pattern.compile(
+    "(?is)^(.*?)\\s*(?:(ROWS|RANGE)\\s+BETWEEN\\s+(?:(UNBOUNDED)|(\\d+)|" +
+    "INTERVAL\\s+'(\\d+)'\\s+(\\w+))\\s+PRECEDING\\s+AND\\s+CURRENT\\s+ROW)?\\s*$")
+
+  private def unitMs(n: Long, unit: String): Long = unit.toUpperCase match {
+    case "SECOND" | "SECONDS" => n * 1000L
+    case "MINUTE" | "MINUTES" => n * 60000L
+    case "HOUR" | "HOURS" => n * 3600000L
+    case "DAY" | "DAYS" => n * 86400000L
+    case u => throw new IllegalArgumentException(
+      s"unsupported RANGE frame unit '$u' (SECOND/MINUTE/HOUR/DAY)")
+  }
+
+  // ---- AGG(v) OVER (PARTITION BY … ORDER BY ts) → OverWindow.overAgg ----
+
+  private[streaming] def over(spark: SparkSession,
+                              m: java.util.regex.Matcher,
+                              ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
+    val (sel, vName, vAlias0) = (m.group(1), m.group(2), m.group(3))
+    val v = StreamSql.streamView(vName).get
+    val quals = Seq(vAlias0, vName)
+    import StreamSql.{norm, strip, itemAlias}
+
+    val items = SqlFrontend.splitTop(sel).map(strip(_, quals))
+    var aggItem: Option[(String, String, String, String, String)] = None
+    // output projection in statement item order; None marks the
+    // aggregate's slot, filled once the operator output exists
+    val slots = scala.collection.mutable.ArrayBuffer.empty[Option[(String, String)]]
+    items.foreach { item =>
+      val ma = overItemRe.matcher(item)
+      if (ma.matches()) {
+        require(aggItem.isEmpty, "one OVER aggregate per statement " +
+          "(multiple over-aggregates: compose in the Scala API)")
+        aggItem = Some((ma.group(1).toUpperCase, ma.group(2).trim,
+                        ma.group(3).trim, ma.group(4).trim, ma.group(5)))
+        slots += None
+      } else slots += Some(itemAlias(item))
+    }
+    val (fn, vExpr, gExpr, orderAndFrame, aggAlias) =
+      aggItem.getOrElse(throw new IllegalArgumentException(
+        s"no supported OVER aggregate (SUM/COUNT/MIN/MAX/AVG) in: $sel"))
+
+    val rowIdCol = v.rowIdCol.getOrElse(throw new IllegalArgumentException(
+      s"streaming OVER aggregate over '$vName' needs its deterministic " +
+      "tiebreak: registerStream(..., rowId = Some(col)) — the reference's " +
+      "row-time over-windows similarly order equal-rowtime rows by a " +
+      "deterministic comparator"))
+
+    // split the ORDER BY list from the optional frame clause
+    val fm = frameRe.matcher(orderAndFrame)
+    require(fm.matches(), s"unparseable OVER order/frame: $orderAndFrame")
+    val ordParts = SqlFrontend.splitTop(fm.group(1))
+    require(norm(ordParts.head) == norm(v.tsCol),
+      s"streaming OVER must ORDER BY the registered event-time column " +
+      s"'${v.tsCol}' ascending: ${fm.group(1)}")
+    ordParts.tail.foreach { p =>
+      require(norm(p.replaceAll("(?i)\\s+ASC$", "")) == norm(rowIdCol),
+        s"OVER tiebreak must be the rowId '$rowIdCol' ascending: " +
+        fm.group(1))
+    }
+    val frame: OverWindow.Frame =
+      if (fm.group(2) == null) OverWindow.RangeUnboundedPreceding
+      else (fm.group(2).toUpperCase, fm.group(3), fm.group(4), fm.group(5)) match {
+        case ("ROWS", u, _, _) if u != null => OverWindow.UnboundedPreceding
+        case ("RANGE", u, _, _) if u != null => OverWindow.RangeUnboundedPreceding
+        case ("ROWS", _, n, _) if n != null => OverWindow.RowsPreceding(n.toInt)
+        case ("RANGE", _, _, x) if x != null =>
+          OverWindow.RangePreceding(unitMs(x.toLong, fm.group(6)))
+        case other => throw new IllegalArgumentException(
+          s"unsupported OVER frame: $orderAndFrame")
+      }
+    if (fn == "COUNT")
+      require(vExpr == "*" || norm(vExpr).nonEmpty,
+        s"COUNT argument: $vExpr")
+    else require(vExpr != "*", s"$fn(*) is not an aggregate: $sel")
+
+    // plain items may reference only the state's columns (like the
+    // rank route): partition key, event-time column, rowId
+    val (ng, nts, nid) = (norm(gExpr), norm(v.tsCol), norm(rowIdCol))
+    def plainCol(e: String, alias: String) = norm(e) match {
+      case `ng` => col("__k").as(alias)
+      // the operator's event-time unit is the watermark millisecond:
+      // the projection restores a TIMESTAMP at ms granularity
+      case `nts` => timestamp_millis(col("__t")).as(alias)
+      case `nid` => col("__i").as(alias)
+      case _ => throw new IllegalArgumentException(
+        s"OVER projection may reference only the partition key, the " +
+        s"event-time column and the rowId (the over-window state's " +
+        s"columns): $e")
+    }
+
+    implicit val evEnc: Encoder[Ev] = ExpressionEncoder()
+    implicit val keyEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    implicit val outEnc: Encoder[(Long, Long, Long, Double)] = ExpressionEncoder()
+    val base = v.df
+      .withColumn("__g", expr(gExpr).cast("long"))
+      .withColumn("__v",
+        (if (fn == "COUNT" && vExpr == "*") lit(0.0) else expr(vExpr))
+          .cast("double"))
+      .select(col("__g"), col(v.tsCol).as("__ts"),
+              col(rowIdCol).cast("long").as("__i"), col("__v"))
+      .withWatermark("__ts", v.delay)
+      .as[Ev]
+    val grouped = base.groupByKey(_._1)
+    val et = (e: Ev) => e._2.getTime
+    val tb = (e: Ev) => e._3
+    val sv = (e: Ev) => e._4
+    val out: DataFrame = fn match {
+      case "SUM" =>
+        implicit val se: Encoder[(Seq[Ev], Seq[Ev], Double, Long)] = ExpressionEncoder()
+        OverWindow.overAgg[Long, Ev, Double](grouped, et, tb, sv,
+          OverWindow.sumAgg[Ev](_._4), frame, ttl).toDF("__k", "__t", "__i", "__v")
+      case "MIN" =>
+        implicit val se: Encoder[(Seq[Ev], Seq[Ev], Double, Long)] = ExpressionEncoder()
+        OverWindow.overAgg[Long, Ev, Double](grouped, et, tb, sv,
+          OverWindow.minAgg[Ev](_._4), frame, ttl).toDF("__k", "__t", "__i", "__v")
+      case "MAX" =>
+        implicit val se: Encoder[(Seq[Ev], Seq[Ev], Double, Long)] = ExpressionEncoder()
+        OverWindow.overAgg[Long, Ev, Double](grouped, et, tb, sv,
+          OverWindow.maxAgg[Ev](_._4), frame, ttl).toDF("__k", "__t", "__i", "__v")
+      case "COUNT" =>
+        implicit val se: Encoder[(Seq[Ev], Seq[Ev], Long, Long)] = ExpressionEncoder()
+        OverWindow.overAgg[Long, Ev, Long](grouped, et, tb, sv,
+          OverWindow.countAgg[Ev], frame, ttl).toDF("__k", "__t", "__i", "__v")
+      case _ => // AVG
+        implicit val se: Encoder[(Seq[Ev], Seq[Ev], (Double, Long), Long)] = ExpressionEncoder()
+        OverWindow.overAgg[Long, Ev, (Double, Long)](grouped, et, tb, sv,
+          OverWindow.avgAgg[Ev](_._4), frame, ttl).toDF("__k", "__t", "__i", "__v")
+    }
+    val aggCol =
+      if (fn == "COUNT") col("__v").cast("long").as(aggAlias)
+      else col("__v").as(aggAlias)
+    out.select(slots.toSeq.map {
+      case Some((e, alias)) => plainCol(e, alias)
+      case None => aggCol
+    }: _*)
+  }
+
+  // ---- key equality + ts bound join → watermarked interval join --------
+
+  private[streaming] def interval(spark: SparkSession,
+                                  m: java.util.regex.Matcher): DataFrame = {
+    val (sel, lName, lAlias0, jt0, rName, rAlias0, onClause) =
+      (m.group(1), m.group(2), m.group(3), m.group(4),
+       m.group(5), m.group(6), m.group(7))
+    val lv = StreamSql.streamView(lName).get
+    val rv = StreamSql.streamView(rName).getOrElse(
+      throw new IllegalArgumentException(
+        s"interval JOIN over unregistered view '$rName' — both sides of " +
+        "a streaming interval join must be registered stream views " +
+        "(registerStream); an updating side is the changelog join's job"))
+    val lAlias = Option(lAlias0).getOrElse(lName)
+    val rAlias = Option(rAlias0).getOrElse(rName)
+    require(!lName.equalsIgnoreCase(rName),
+      s"streaming self-join on '$lName': register the view a second " +
+      "time under a different name")
+    val lQuals = Set(lAlias.toLowerCase, lName.toLowerCase)
+    val rQuals = Set(rAlias.toLowerCase, rName.toLowerCase)
+    require((lQuals & rQuals).isEmpty,
+      s"interval JOIN qualifiers must be disjoint between sides: " +
+      s"{$lAlias, $lName} vs {$rAlias, $rName}")
+    val shared = lv.df.columns.toSet & rv.df.columns.toSet
+    require(shared.isEmpty,
+      s"interval-join views must have DISJOINT column names (qualifiers " +
+      s"are stripped after the rewrite): shared ${shared.mkString(", ")}")
+    val jt = Option(jt0).map(_.toUpperCase).getOrElse("INNER") match {
+      case "INNER" => "inner"
+      case "LEFT" => "leftOuter"
+      case "RIGHT" => "rightOuter"
+      case _ => "fullOuter"
+    }
+
+    import StreamSql.{splitAnd, strip}
+    val conj = splitAnd(onClause)
+    val qual = "(\\w+)\\.(\\w+)"
+    val eqRe = s"(?s)^$qual\\s*=\\s*$qual$$".r
+    def isL(q: String) = lQuals.contains(q.toLowerCase)
+    def isR(q: String) = rQuals.contains(q.toLowerCase)
+    val hasKeyEq = conj.exists {
+      case eqRe(q1, _, q2, _) => (isL(q1) && isR(q2)) || (isR(q1) && isL(q2))
+      case _ => false
+    }
+    require(hasKeyEq,
+      s"interval JOIN needs a <left>.k = <right>.k equality: $onClause")
+    // a time bound relating the two event-time columns makes the
+    // buffered state watermark-evictable — without one this is an
+    // unbounded-state join, which this route refuses to plan
+    def word(s: String, w: String) =
+      s.matches("(?is).*\\b" + java.util.regex.Pattern.quote(w) + "\\b.*")
+    val hasBound = conj.exists { c =>
+      val stripped = strip(c, Seq(lAlias, lName, rAlias, rName))
+      word(stripped, lv.tsCol) && word(stripped, rv.tsCol)
+    }
+    require(hasBound,
+      s"interval JOIN needs a time bound between '${lv.tsCol}' and " +
+      s"'${rv.tsCol}' (e.g. BETWEEN … AND …) so state stays " +
+      s"watermark-evictable: $onClause")
+
+    val quals = Seq(lAlias, lName, rAlias, rName)
+    val l = lv.df.withWatermark(lv.tsCol, lv.delay)
+    val r = rv.df.withWatermark(rv.tsCol, rv.delay)
+    val joined = l.join(r, expr(strip(onClause, quals)), jt)
+    val items = SqlFrontend.splitTop(sel).map(strip(_, quals))
+    if (items == Seq("*")) joined else joined.selectExpr(items: _*)
+  }
+
+  // ---- FOR SYSTEM_TIME AS OF on streams → TemporalJoin.streamAsOf ------
+
+  private[streaming] def temporal(spark: SparkSession,
+                                  m: java.util.regex.Matcher): DataFrame = {
+    val (sel, pName, pAlias0, leftJoin, vName, ofExpr, vAlias0, onClause) =
+      (m.group(1), m.group(2), m.group(3), m.group(4) != null,
+       m.group(5), m.group(6), m.group(7), m.group(8))
+    val pv = StreamSql.streamView(pName).get
+    val vv = StreamSql.streamView(vName).getOrElse(
+      throw new IllegalArgumentException(
+        s"streaming FOR SYSTEM_TIME over unregistered view '$vName' — " +
+        "the version side of a row-time temporal join must be a " +
+        "registered stream view (a static version table is the batch " +
+        "snapshot route / LookupJoin)"))
+    val pAlias = Option(pAlias0).getOrElse(pName)
+    val vAlias = Option(vAlias0).getOrElse(vName)
+    require(!pName.equalsIgnoreCase(vName),
+      s"temporal self-join on '$pName': register the view a second time " +
+      "under a different name")
+    val pQuals = Set(pAlias.toLowerCase, pName.toLowerCase)
+    val vQuals = Set(vAlias.toLowerCase, vName.toLowerCase)
+    require((pQuals & vQuals).isEmpty,
+      s"temporal JOIN qualifiers must be disjoint between sides: " +
+      s"{$pAlias, $pName} vs {$vAlias, $vName}")
+    import StreamSql.{norm, strip}
+    // statement-shape validation first, registration gaps second: the
+    // AS OF expression defines the join's semantics
+    require(norm(strip(ofExpr, pQuals.toSeq)) == norm(pv.tsCol),
+      s"FOR SYSTEM_TIME AS OF must reference the probe's registered " +
+      s"event-time column '${pv.tsCol}': $ofExpr")
+    val vOrd = vv.rowIdCol.getOrElse(throw new IllegalArgumentException(
+      s"streaming temporal join over '$vName' needs its version order: " +
+      "registerStream(..., rowId = Some(col)) — the tiebreak among " +
+      "equal-timestamp versions, the reference's rowtime comparator"))
+
+    // ON: exactly one key equality between the two sides
+    val conj = StreamSql.splitAnd(onClause)
+    val qual = "(\\w+)\\.(\\w+)"
+    val eqRe = s"(?s)^$qual\\s*=\\s*$qual$$".r
+    def isP(q: String) = pQuals.contains(q.toLowerCase)
+    def isV(q: String) = vQuals.contains(q.toLowerCase)
+    var pKey: String = null
+    var vKey: String = null
+    conj.foreach {
+      case c @ eqRe(q1, c1, q2, c2)
+          if (isP(q1) && isV(q2)) || (isV(q1) && isP(q2)) =>
+        require(pKey == null, s"temporal JOIN supports ONE key equality " +
+          s"(derive a composite key column in the view): $onClause")
+        if (isP(q1)) { pKey = c1; vKey = c2 }
+        else { pKey = c2; vKey = c1 }
+        val _ = c
+      case resid => throw new IllegalArgumentException(
+        s"temporal JOIN residual '$resid' unsupported from SQL — the " +
+        "version lookup is by key + time only (filter the result, or " +
+        "use TemporalJoin.streamAsOf directly)")
+    }
+    require(pKey != null,
+      s"temporal JOIN needs a <probe>.k = <version>.k equality: $onClause")
+
+    implicit val pe: Encoder[P] = ExpressionEncoder()
+    implicit val ve: Encoder[V] = ExpressionEncoder()
+    implicit val tagE: Encoder[TemporalJoin.Tagged[P, V]] = ExpressionEncoder()
+    implicit val stE: Encoder[TemporalJoin.TJState[P, V]] = ExpressionEncoder()
+    implicit val outE: Encoder[(P, Option[V])] = ExpressionEncoder()
+    val pPayload = pv.df.columns.toSeq
+    val vPayload = vv.df.columns.toSeq
+    val probes = pv.df.select(col(pKey).cast("long"), col(pv.tsCol),
+        to_json(struct(pPayload.map(col): _*))).as[P]
+    val vers = vv.df.select(col(vKey).cast("long"), col(vv.tsCol),
+        col(vOrd).cast("long"),
+        to_json(struct(vPayload.map(col): _*))).as[V]
+    val j = TemporalJoin.streamAsOf[P, V](probes, vers,
+      _._1, _._1, _._2, _._2, _._3, pv.delay)
+
+    val pSchema = pv.df.schema
+    val vSchema = vv.df.schema
+    val j0 = j.toDF()
+    val filtered = if (leftJoin) j0 else j0.filter(col("_2").isNotNull)
+    val decoded = filtered.select(
+      from_json(col("_1._3"), pSchema).as("__l"),
+      from_json(col("_2._4"), vSchema).as("__r"))
+    def requal(e: String): String =
+      SqlFrontend.rewriteOutsideLiterals(e)(_
+        .replaceAll("(?i)\\b(" + java.util.regex.Pattern.quote(pAlias) + "|" +
+          java.util.regex.Pattern.quote(pName) + ")\\s*\\.", "__l.")
+        .replaceAll("(?i)\\b(" + java.util.regex.Pattern.quote(vAlias) + "|" +
+          java.util.regex.Pattern.quote(vName) + ")\\s*\\.", "__r."))
+    val items = SqlFrontend.splitTop(sel)
+    require(items != Seq("*"), "temporal JOIN needs explicit projection " +
+      "items qualified by view alias")
+    try decoded.selectExpr(items.map(requal): _*)
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new IllegalArgumentException(
+        s"temporal JOIN projection items must be qualified with a view " +
+        s"alias ('$pAlias.' / '$vAlias.'): $sel", e)
+    }
+  }
+}

@@ -1,0 +1,254 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SqlFrontend
+import graft.streaming.{StreamSql, TemporalJoin}
+
+/**
+ * Streaming-SQL reachability of the TIME-DOMAIN operators
+ * (StreamSqlTime): OVER aggregates, interval joins planned from a
+ * BETWEEN time bound, and streaming FOR SYSTEM_TIME AS OF — the repo's
+ * analogue of the reference's StreamExecOverAggregate /
+ * RowTimeBoundedStreamJoin / LogicalCorrelateToJoinFromTemporalTableRule
+ * planning these from SQL text. Each SQL entry is checked against the
+ * batch dual (the parity contract every streaming gate relies on).
+ */
+class StreamSqlTimeSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def fresh(name: String): String =
+    name + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  private val base = 1700000000000L
+
+  // two keys; equal-ts peers (t=3000 on key 1) exercise the default
+  // RANGE frame's peer semantics; time-ordered so chunked arrival never
+  // crosses the 1s watermark
+  private val evs = Seq(
+    (1L, 1L, 2.0, 1000L), (2L, 2L, 1.0, 2000L), (1L, 3L, 3.0, 3000L),
+    (1L, 4L, 5.0, 3000L), (2L, 5L, 4.0, 5000L), (1L, 6L, 7.0, 7000L),
+    (2L, 7L, 6.0, 9000L), (1L, 8L, 11.0, 12000L))
+
+  /** Register `evs` as a stream view, run `sql`, replay in chunks with
+    * two far-future sentinels, return the sink rows. */
+  private def runOverSql(sql: String => String): org.apache.spark.sql.DataFrame = {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double, Long)]
+    val df = mem.toDS()
+      .select($"_1".as("k"), $"_2".as("id"), $"_3".as("v"),
+              timestamp_millis($"_4" + base).as("ets"))
+    val vn = fresh("ovv")
+    StreamSql.registerStream(vn, df, tsCol = "ets", delay = "1 second",
+      rowId = Some("id"))
+    val out = SqlFrontend.sql(spark, sql(vn))
+    val sink = fresh("ov_sink")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      evs.grouped(4).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      mem.addData((9L, 90L, 0.0, 10000000L)); q.processAllAvailable()
+      mem.addData((9L, 91L, 0.0, 20000000L)); q.processAllAvailable()
+    } finally q.stop()
+    StreamSql.dropStream(vn)
+    spark.table(sink)
+  }
+
+  private def overDual(frame: Window.type => org.apache.spark.sql.expressions.WindowSpec,
+                       agg: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : Set[(Long, Long, Long, Double)] =
+    evs.toDF("k", "id", "v", "t0")
+      .withColumn("t", $"t0" + base)
+      .withColumn("agg", agg($"v").over(frame(Window)).cast("double"))
+      .select($"k", $"t", $"id", $"agg")
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+  test("SQL OVER ROWS UNBOUNDED routes to overAgg and equals the batch dual") {
+    val got = runOverSql(vn =>
+      s"""SELECT k AS uid, ets AS ts, id AS rid,
+                 SUM(v) OVER (PARTITION BY k ORDER BY ets, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+          FROM $vn""")
+      .filter($"uid" =!= 9L)
+      .select($"uid", unix_millis($"ts"), $"rid", $"s")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val exp = overDual(_.partitionBy("k").orderBy($"t", $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow), sum(_))
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("SQL OVER with no frame uses SQL's default RANGE (peer-inclusive) semantics") {
+    val got = runOverSql(vn =>
+      s"""SELECT k AS uid, ets AS ts, id AS rid,
+                 MIN(v) OVER (PARTITION BY k ORDER BY ets) AS m
+          FROM $vn""")
+      .filter($"uid" =!= 9L)
+      .select($"uid", unix_millis($"ts"), $"rid", $"m")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // batch default frame over the same ORDER BY: RANGE UNBOUNDED
+    // PRECEDING AND CURRENT ROW (peers at t=3000 share the value)
+    val exp = overDual(_.partitionBy("k").orderBy($"t")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow), min(_))
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("SQL OVER bounded frames: ROWS n PRECEDING and RANGE INTERVAL PRECEDING") {
+    val gotRows = runOverSql(vn =>
+      s"""SELECT k AS uid, ets AS ts, id AS rid,
+                 AVG(v) OVER (PARTITION BY k ORDER BY ets, id
+                   ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a
+          FROM $vn""")
+      .filter($"uid" =!= 9L)
+      .select($"uid", unix_millis($"ts"), $"rid", $"a")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val expRows = overDual(_.partitionBy("k").orderBy($"t", $"id")
+      .rowsBetween(-1, Window.currentRow), avg(_))
+    assert(gotRows == expRows && gotRows.nonEmpty)
+    val gotRange = runOverSql(vn =>
+      s"""SELECT k AS uid, ets AS ts, id AS rid,
+                 COUNT(*) OVER (PARTITION BY k ORDER BY ets
+                   RANGE BETWEEN INTERVAL '4' SECOND PRECEDING
+                     AND CURRENT ROW) AS c
+          FROM $vn""")
+      .filter($"uid" =!= 9L)
+      .select($"uid", unix_millis($"ts"), $"rid", $"c".cast("double"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val expRange = overDual(_.partitionBy("k").orderBy($"t")
+      .rangeBetween(-4000L, Window.currentRow), count(_))
+    assert(gotRange == expRange && gotRange.nonEmpty)
+  }
+
+  test("SQL interval join with a BETWEEN bound equals the batch dual") {
+    implicit val sc = spark.sqlContext
+    val pmem = MemoryStream[(Long, Long, Long)]
+    val cmem = MemoryStream[(Long, Long, Long)]
+    val pdf = pmem.toDS().select($"_1".as("pk"), $"_2".as("pid"),
+      timestamp_millis($"_3" + base).as("pts"))
+    val cdf = cmem.toDS().select($"_1".as("ck"), $"_2".as("cid"),
+      timestamp_millis($"_3" + base).as("cts"))
+    val pv = fresh("ivp"); val cv = fresh("ivc")
+    StreamSql.registerStream(pv, pdf, tsCol = "pts", delay = "1 second")
+    StreamSql.registerStream(cv, cdf, tsCol = "cts", delay = "1 second")
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT p.pid, c.cid FROM $pv p JOIN $cv c
+          ON p.pk = c.ck
+         AND c.cts BETWEEN p.pts - INTERVAL '5' SECOND AND p.pts""")
+    val sink = fresh("iv_sink")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    val ps = Seq((1L, 10L, 6000L), (1L, 11L, 20000L), (2L, 12L, 9000L))
+    val cs = Seq((1L, 20L, 1000L), (1L, 21L, 5000L), (1L, 22L, 18000L),
+                 (2L, 23L, 3000L), (2L, 24L, 9000L), (3L, 25L, 9000L))
+    try {
+      pmem.addData(ps: _*); cmem.addData(cs: _*)
+      q.processAllAvailable()
+      pmem.addData((9L, 0L, 10000000L)); cmem.addData((9L, 0L, 10000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).filter($"pid" =!= 0L)
+      .as[(Long, Long)].collect().toSet
+    val exp = ps.toDF("pk", "pid", "pt").join(cs.toDF("ck", "cid", "ct"),
+        $"pk" === $"ck" && $"ct" >= $"pt" - 5000L && $"ct" <= $"pt")
+      .select($"pid", $"cid").as[(Long, Long)].collect().toSet
+    assert(got == exp && got.nonEmpty)
+    StreamSql.dropStream(pv); StreamSql.dropStream(cv)
+  }
+
+  test("SQL FOR SYSTEM_TIME AS OF on streams is bit-identical to streamAsOf") {
+    implicit val sc = spark.sqlContext
+    val pmem = MemoryStream[(Long, Long, Long)]
+    val vmem = MemoryStream[(Long, Long, Double, Long)]
+    val pdf = pmem.toDS().select($"_1".as("pk"), $"_2".as("pid"),
+      timestamp_millis($"_3" + base).as("pts"))
+    val vdf = vmem.toDS().select($"_1".as("vk"), $"_2".as("vid"),
+      $"_3".as("vval"), timestamp_millis($"_4" + base).as("vts"))
+    val pv = fresh("tjp"); val vv = fresh("tjv")
+    StreamSql.registerStream(pv, pdf, tsCol = "pts", delay = "1 second")
+    StreamSql.registerStream(vv, vdf, tsCol = "vts", delay = "1 second",
+      rowId = Some("vid"))
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT p.pid AS pid, v.vid AS vid, v.vval AS vv
+          FROM $pv p LEFT JOIN $vv FOR SYSTEM_TIME AS OF p.pts AS v
+          ON p.pk = v.vk""")
+    val sink = fresh("tj_sink")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    // versions: key 1 at t=1000 (v=10), t=5000 (v=20); key 2 none
+    // probes: key 1 at 500 (no version), 3000 (→10), 5000 (→20, the
+    // equal-ts version is visible), 9000 (→20); key 2 at 4000 (padded)
+    try {
+      vmem.addData((1L, 100L, 10.0, 1000L), (1L, 101L, 20.0, 5000L))
+      pmem.addData((1L, 1L, 500L), (1L, 2L, 3000L), (1L, 3L, 5000L),
+                   (1L, 4L, 9000L), (2L, 5L, 4000L))
+      q.processAllAvailable()
+      pmem.addData((9L, 90L, 10000000L)); vmem.addData((9L, 900L, 0.0, 10000000L))
+      q.processAllAvailable()
+      pmem.addData((9L, 91L, 20000000L)); vmem.addData((9L, 901L, 0.0, 20000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).filter($"pid" < 90L)
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    val exp = Set(
+      (1L, None: Option[Long], None: Option[Double]),
+      (2L, Some(100L), Some(10.0)),
+      (3L, Some(101L), Some(20.0)),
+      (4L, Some(101L), Some(20.0)),
+      (5L, None: Option[Long], None: Option[Double]))
+    assert(got == exp)
+    StreamSql.dropStream(pv); StreamSql.dropStream(vv)
+  }
+
+  test("time-domain routes fail loudly on unsupported shapes") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double, Long)]
+    val df = mem.toDS().select($"_1".as("k"), $"_2".as("id"), $"_3".as("v"),
+      timestamp_millis($"_4").as("ets"))
+    val sv = fresh("fl")
+    StreamSql.registerStream(sv, df, tsCol = "ets", delay = "1 second",
+      rowId = Some("id"))
+    // a stream view in an unroutable statement must throw, not fall
+    // through to batch SQL
+    val e1 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark, s"SELECT k FROM $sv WHERE v > 5")
+    }
+    assert(e1.getMessage.contains("time-domain"))
+    // interval join without a ts bound: unbounded state — refused
+    val sv2 = fresh("fl2")
+    val df2 = mem.toDS().select($"_1".as("k2"), $"_2".as("id2"),
+      $"_3".as("v2"), timestamp_millis($"_4").as("ets2"))
+    StreamSql.registerStream(sv2, df2, tsCol = "ets2", delay = "1 second")
+    val e2 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"SELECT a.v, b.v2 FROM $sv a JOIN $sv2 b ON a.k = b.k2")
+    }
+    assert(e2.getMessage.contains("time bound"))
+    // OVER ordering by a non-event-time column
+    val e3 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"SELECT k, SUM(v) OVER (PARTITION BY k ORDER BY v) AS s FROM $sv")
+    }
+    assert(e3.getMessage.contains("event-time"))
+    // AS OF over something other than the probe's event-time column
+    val e4 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT p.v AS v, q.v2 AS w FROM $sv p
+            JOIN $sv2 FOR SYSTEM_TIME AS OF p.v AS q ON p.k = q.k2""")
+    }
+    assert(e4.getMessage.contains("event-time"))
+    // version side without a registered rowId (version order)
+    val e5 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT p.v AS v, q.v2 AS w FROM $sv p
+            JOIN $sv2 FOR SYSTEM_TIME AS OF p.ets AS q ON p.k = q.k2""")
+    }
+    assert(e5.getMessage.contains("rowId"))
+    StreamSql.dropStream(sv); StreamSql.dropStream(sv2)
+  }
+}
