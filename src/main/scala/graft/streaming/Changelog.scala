@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.reflect.runtime.universe.TypeTag
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -156,22 +158,26 @@ object Changelog {
                       pred: org.apache.spark.sql.Column,
                       ttl: Option[IdleStateTtl] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    implicit val ie: Encoder[(Long, String, Boolean, String)] = ExpressionEncoder()
-    implicit val oe: Encoder[(Long, String, String)] = ExpressionEncoder()
-    implicit val ke: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    implicit val ie: Encoder[(String, String, Boolean, String)] = ExpressionEncoder()
+    implicit val oe: Encoder[(String, String, String)] = ExpressionEncoder()
+    implicit val ke: Encoder[String] = org.apache.spark.sql.Encoders.STRING
     implicit val se: Encoder[(String, Long)] = ExpressionEncoder()
     val payloadCols = df.columns.filterNot(_ == kindCol).toSeq
     val schema = df.select(payloadCols.map(col): _*).schema
-    val enc = df.select(col(keyCol).cast("long"), col(kindCol).cast("string"),
+    // state keys on the key column's CANONICAL STRING form — any key
+    // type groups correctly (string/composite keys included), and the
+    // emitted payload carries the original typed key, so the cast is
+    // invisible downstream
+    val enc = df.select(col(keyCol).cast("string"), col(kindCol).cast("string"),
         coalesce(pred.cast("boolean"), lit(false)),
         to_json(struct(payloadCols.map(col): _*)))
-      .as[(Long, String, Boolean, String)]
+      .as[(String, String, Boolean, String)]
     val timeoutConf = if (ttl.exists(_.reclaimTimers))
       GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     val out = enc.groupByKey(_._1)
-      .flatMapGroupsWithState[(String, Long), (Long, String, String)](
+      .flatMapGroupsWithState[(String, Long), (String, String, String)](
           OutputMode.Append, timeoutConf) {
-        (key: Long, rows: Iterator[(Long, String, Boolean, String)],
+        (key: String, rows: Iterator[(String, String, Boolean, String)],
          state: GroupState[(String, Long)]) =>
          if (state.hasTimedOut) { state.remove(); Iterator.empty }
          else {
@@ -225,8 +231,12 @@ object Changelog {
               col("__kind").as(kindCol): _*)
   }
 
-  /** One changelog-aggregate output row (kind ∈ -U/+U per emission). */
-  final case class AggChange(key: Long, kind: String, sum: Double, count: Long)
+  /** One changelog-aggregate output row (kind ∈ -U/+U per emission).
+    * Keys are generic since round 13 — any encodable type (Long for the
+    * classic paths, String/composite for e.g. per-source document
+    * aggregation), the way the reference keys state on arbitrary
+    * BinaryRowData. */
+  final case class AggChange[K](key: K, kind: String, sum: Double, count: Long)
 
   /**
    * Streaming changelog-consuming SUM/COUNT per key: input rows are
@@ -236,9 +246,9 @@ object Changelog {
    * retire their state (the reference's RecordCounter behavior).
    */
   /** One retract-aware extremes output row (kind ∈ -U/+U/-D). */
-  final case class ExtremeChange(key: Long, kind: String,
-                                 min: Double, max: Double,
-                                 first: Double, last: Double, count: Long)
+  final case class ExtremeChange[K](key: K, kind: String,
+                                    min: Double, max: Double,
+                                    first: Double, last: Double, count: Long)
 
   /**
    * Retract-aware MIN/MAX/FIRST_VALUE/LAST_VALUE per key — the agg
@@ -258,14 +268,14 @@ object Changelog {
    * Emission protocol is GroupAggFunction's: any change emits
    * (-U previous, +U new); a count reaching 0 emits (-U previous, -D).
    */
-  def aggregateChangelogMinMax[V](
-      grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, V],
+  def aggregateChangelogMinMax[K: TypeTag, V](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V],
       kind: V => String, value: V => Double, ord: V => Long,
       ttl: Option[IdleStateTtl] = None)(
-      implicit ve: Encoder[V]): Dataset[ExtremeChange] = {
-    import org.apache.spark.sql.Encoders
-    implicit val oe: Encoder[ExtremeChange] = Encoders.product[ExtremeChange]
-    aggregateChangelogLive[V, ExtremeChange](grouped, kind, value, ord, ttl)(
+      implicit ve: Encoder[V]): Dataset[ExtremeChange[K]] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val oe: Encoder[ExtremeChange[K]] = ExpressionEncoder()
+    aggregateChangelogLive[K, V, ExtremeChange[K]](grouped, kind, value, ord, ttl)(
       snap = { (key, k, live) =>
         val vs = live.values
         ExtremeChange(key, k, vs.min, vs.max,
@@ -289,11 +299,11 @@ object Changelog {
    * GroupAggFunction's, with the aggregate snapshot/equality/delete
    * shape supplied by the caller.
    */
-  private def aggregateChangelogLive[V, A](
-      grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, V],
+  private def aggregateChangelogLive[K, V, A](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V],
       kind: V => String, value: V => Double, ord: V => Long,
       ttl: Option[IdleStateTtl])(
-      snap: (Long, String, Map[Long, Double]) => A,
+      snap: (K, String, Map[Long, Double]) => A,
       sameAgg: (A, A) => Boolean,
       asDelete: A => A)(
       implicit ve: Encoder[V], oe: Encoder[A]): Dataset[A] = {
@@ -303,7 +313,7 @@ object Changelog {
                       else GroupStateTimeout.NoTimeout
     grouped.flatMapGroupsWithState[(Map[Long, Double], Long), A](
         OutputMode.Append, timeoutConf) {
-      (key: Long, values: Iterator[V], state: GroupState[(Map[Long, Double], Long)]) =>
+      (key: K, values: Iterator[V], state: GroupState[(Map[Long, Double], Long)]) =>
        if (state.hasTimedOut) { state.remove(); Iterator.empty }
        else {
         val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
@@ -341,10 +351,10 @@ object Changelog {
     * ord, `listagg` the ord-ordered delimiter-join, `collect` the
     * value-sorted serialization of the live multiset (duplicates
     * retained — value → count recoverable by counting). */
-  final case class ListAggChange(key: Long, kind: String,
-                                 first: Double, last: Double,
-                                 listagg: String, collect: String,
-                                 count: Long)
+  final case class ListAggChange[K](key: K, kind: String,
+                                    first: Double, last: Double,
+                                    listagg: String, collect: String,
+                                    count: Long)
 
   /** Canonical element formatting for listagg/collect strings:
     * integral doubles print as integers (matching `CAST(x AS VARCHAR)`
@@ -383,15 +393,15 @@ object Changelog {
    * GroupAggFunction's: any change emits (-U previous, +U new); a key
    * whose live set empties emits (-U previous, -D).
    */
-  def aggregateChangelogListAgg[V](
-      grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, V],
+  def aggregateChangelogListAgg[K: TypeTag, V](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V],
       kind: V => String, value: V => Double, ord: V => Long,
       delimiter: String = ",",
       ttl: Option[IdleStateTtl] = None)(
-      implicit ve: Encoder[V]): Dataset[ListAggChange] = {
-    import org.apache.spark.sql.Encoders
-    implicit val oe: Encoder[ListAggChange] = Encoders.product[ListAggChange]
-    aggregateChangelogLive[V, ListAggChange](grouped, kind, value, ord, ttl)(
+      implicit ve: Encoder[V]): Dataset[ListAggChange[K]] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val oe: Encoder[ListAggChange[K]] = ExpressionEncoder()
+    aggregateChangelogLive[K, V, ListAggChange[K]](grouped, kind, value, ord, ttl)(
       snap = { (key, k, live) =>
         val vals = live.toSeq.sortBy(_._1).map(_._2)
         ListAggChange(key, k, live(live.keys.min), live(live.keys.max),
@@ -403,12 +413,57 @@ object Changelog {
       asDelete = _.copy(kind = Delete))
   }
 
+  /** One mixed-family retract aggregate output row: the moment
+    * accumulator (sum, sumsq, count) AND the live-set extremes
+    * (min, max) side by side (kind ∈ -U/+U/-D). */
+  final case class MultiChange[K](key: K, kind: String,
+                                  sum: Double, sumsq: Double, count: Long,
+                                  min: Double, max: Double)
+
+  /**
+   * Heterogeneous retract aggregates in ONE operator — SUM/COUNT/AVG/
+   * VAR/STDDEV alongside MIN/MAX in a single GROUP BY, the way the
+   * reference's GroupAggFunction hosts heterogeneous generated
+   * accumulators in one operator (RUNTIME/.../aggregate/
+   * GroupAggFunction.java:43 — one AggsHandleFunction covering all of
+   * a statement's aggregates, moment accumulators next to
+   * Min/MaxWithRetractAggFunction's sorted structures).
+   *
+   * State is the key's live row set `Map[ord → value]` — the MinMax
+   * layout, which is the minimal sufficient state once any extreme is
+   * present (under retraction ANY live row can become the new
+   * min/max). The moments are recomputed from the live set in ord
+   * order per emission — a deterministic fold, so replays are
+   * bit-identical whatever the micro-batch slicing (and exact under
+   * the repo-wide integral-double value discipline). Emission protocol
+   * is GroupAggFunction's: any change emits (-U previous, +U new); an
+   * emptied key emits (-U previous, -D).
+   */
+  def aggregateChangelogMulti[K: TypeTag, V](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V],
+      kind: V => String, value: V => Double, ord: V => Long,
+      ttl: Option[IdleStateTtl] = None)(
+      implicit ve: Encoder[V]): Dataset[MultiChange[K]] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val oe: Encoder[MultiChange[K]] = ExpressionEncoder()
+    aggregateChangelogLive[K, V, MultiChange[K]](grouped, kind, value, ord, ttl)(
+      snap = { (key, k, live) =>
+        val vs = live.toSeq.sortBy(_._1).map(_._2)
+        var s = 0.0; var sq = 0.0
+        vs.foreach { x => s += x; sq += x * x }
+        MultiChange(key, k, s, sq, vs.size.toLong, vs.min, vs.max)
+      },
+      sameAgg = (b, a) => (b.sum, b.sumsq, b.count, b.min, b.max) ==
+                          (a.sum, a.sumsq, a.count, a.min, a.max),
+      asDelete = _.copy(kind = Delete))
+  }
+
   /** One changelog-join output row: the joined pair plus the per-key
     * emission sequence (`ord`) that makes `materialize` applicable
     * downstream when the join output is upsert-shaped (≤1 live pair per
     * key, as in agg-view ▸ join compositions). */
-  final case class JoinChange[L, R](key: Long, kind: String,
-                                    left: L, right: R, ord: Long)
+  final case class JoinChange[K, L, R](key: K, kind: String,
+                                       left: L, right: R, ord: Long)
 
   /**
    * Streaming changelog-consuming INNER JOIN of two updating inputs —
@@ -471,20 +526,21 @@ object Changelog {
    * [[joinChangelogSharded]] divides the per-task state by the shard
    * count, which bounds the term the same way key-group spreading does.
    */
-  def joinChangelog[L, R](
-      left: Dataset[(Long, String, L)],
-      right: Dataset[(Long, String, R)],
+  def joinChangelog[K, L, R](
+      left: Dataset[(K, String, L)],
+      right: Dataset[(K, String, R)],
       cond: (L, R) => Boolean = (_: L, _: R) => true,
       ttl: Option[IdleStateTtl] = None)(
-      implicit lt: scala.reflect.runtime.universe.TypeTag[L],
-      rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[JoinChange[L, R]] = {
+      implicit kt: TypeTag[K],
+      lt: scala.reflect.runtime.universe.TypeTag[L],
+      rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[JoinChange[K, L, R]] = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    implicit val ue: Encoder[(Long, String, Option[L], Option[R])] =
+    implicit val ue: Encoder[(K, String, Option[L], Option[R])] =
       ExpressionEncoder()
-    implicit val ke: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    implicit val ke: Encoder[K] = ExpressionEncoder()
     implicit val se: Encoder[(Seq[(L, Long)], Seq[(R, Long)], Long, Long, Long)] =
       ExpressionEncoder()
-    implicit val oe: Encoder[JoinChange[L, R]] = ExpressionEncoder()
+    implicit val oe: Encoder[JoinChange[K, L, R]] = ExpressionEncoder()
 
     // deterministic emission order within a batch (Map order is not)
     def expand(m: Map[(L, R), Long]): Seq[(L, R)] =
@@ -499,9 +555,9 @@ object Changelog {
           (k, kind, Option.empty[L], Option(r)) })
     tagged.groupByKey(_._1)
       .flatMapGroupsWithState[(Seq[(L, Long)], Seq[(R, Long)], Long, Long, Long),
-                              JoinChange[L, R]](
+                              JoinChange[K, L, R]](
           OutputMode.Append, timeoutConf) {
-        (key: Long, values: Iterator[(Long, String, Option[L], Option[R])],
+        (key: K, values: Iterator[(K, String, Option[L], Option[R])],
          state: GroupState[(Seq[(L, Long)], Seq[(R, Long)], Long, Long, Long)]) =>
          if (state.hasTimedOut) { state.remove(); Iterator.empty }
          else {
@@ -554,7 +610,7 @@ object Changelog {
           // TTL mode: processing-time-based ord keeps the per-key log
           // ordered across retire/expire epochs (see IdleStateTtl doc)
           var n = if (ttl.isDefined) math.max(n0, now << 20) else n0
-          def rows(ps: Seq[(L, R)], kind: String): Seq[JoinChange[L, R]] =
+          def rows(ps: Seq[(L, R)], kind: String): Seq[JoinChange[K, L, R]] =
             ps.map { case (l, r) => n += 1; JoinChange(key, kind, l, r, n) }
           val out =
             rows(removed, if (total == 0L) Delete else UpdateBefore) ++
@@ -587,7 +643,9 @@ object Changelog {
    * ×shards for sharded keys, and `ord`/emptiness-kind bookkeeping is
    * per (key, shard) — the output is correct at the PAIR-MULTISET
    * level (fold it, aggregate it), not as a totally-ordered per-key
-   * log for `materialize`. Keys must satisfy |key| < Long.Max/shards.
+   * log for `materialize`. Shard routing composes the key with the
+   * shard index as a (key, shard) tuple, so any key type shards
+   * without range restrictions.
    *
    * With `ttl` set, every left record additionally fans a payload-free
    * [[Touch]] to the key's OTHER shards (right records already
@@ -597,31 +655,33 @@ object Changelog {
    * touch rows per left record, the same order as the right-side
    * replication the operator already pays.
    */
-  def joinChangelogSharded[L, R](
-      left: Dataset[(Long, String, L)],
-      right: Dataset[(Long, String, R)],
+  def joinChangelogSharded[K, L, R](
+      left: Dataset[(K, String, L)],
+      right: Dataset[(K, String, R)],
       shards: Int,
       cond: (L, R) => Boolean = (_: L, _: R) => true,
       ttl: Option[IdleStateTtl] = None)(
-      implicit lt: scala.reflect.runtime.universe.TypeTag[L],
-      rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[JoinChange[L, R]] = {
+      implicit kt: TypeTag[K],
+      lt: scala.reflect.runtime.universe.TypeTag[L],
+      rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[JoinChange[K, L, R]] = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    implicit val le: Encoder[(Long, String, L)] = ExpressionEncoder()
-    implicit val re: Encoder[(Long, String, R)] = ExpressionEncoder()
-    implicit val je: Encoder[JoinChange[L, R]] = ExpressionEncoder()
+    implicit val le: Encoder[((K, Long), String, L)] = ExpressionEncoder()
+    implicit val re: Encoder[((K, Long), String, R)] = ExpressionEncoder()
+    implicit val je: Encoder[JoinChange[K, L, R]] = ExpressionEncoder()
     val s = shards.toLong
     val lSharded =
       if (ttl.isEmpty) left.map { case (k, kind, l) =>
-        (k * s + math.floorMod(l.hashCode.toLong, s), kind, l) }
+        ((k, math.floorMod(l.hashCode.toLong, s)), kind, l) }
       else left.flatMap { case (k, kind, l) =>
         val home = math.floorMod(l.hashCode.toLong, s)
         (0L until s).map(i =>
-          (k * s + i, if (i == home) kind else Touch, l))
+          ((k, i), if (i == home) kind else Touch, l))
       }
     val rSharded = right.flatMap { case (k, kind, r) =>
-      (0L until s).map(i => (k * s + i, kind, r)) }
+      (0L until s).map(i => ((k, i), kind, r)) }
     joinChangelog(lSharded, rSharded, cond, ttl)
-      .map(jc => jc.copy(key = jc.key / s))
+      .map(jc => JoinChange[K, L, R](jc.key._1, jc.kind, jc.left, jc.right,
+                                     jc.ord))
   }
 
   /** Which side(s) of an outer changelog join emit null-padded rows
@@ -634,9 +694,9 @@ object Changelog {
 
   /** One OUTER changelog-join output row: `left`/`right` is None on the
     * null-padded side (the reference pads with NullRowData). */
-  final case class OuterJoinChange[L, R](key: Long, kind: String,
-                                         left: Option[L], right: Option[R],
-                                         ord: Long)
+  final case class OuterJoinChange[K, L, R](key: K, kind: String,
+                                            left: Option[L], right: Option[R],
+                                            ord: Long)
 
   /**
    * Streaming changelog-consuming OUTER join (LEFT / RIGHT / FULL) of
@@ -665,21 +725,22 @@ object Changelog {
    * (exactly the reference's state layout); per-batch work is
    * O(messages × other side's distinct payloads), never |L|×|R|.
    */
-  def joinChangelogOuter[L, R](
-      left: Dataset[(Long, String, L)],
-      right: Dataset[(Long, String, R)],
+  def joinChangelogOuter[K, L, R](
+      left: Dataset[(K, String, L)],
+      right: Dataset[(K, String, R)],
       side: OuterSide,
       cond: (L, R) => Boolean = (_: L, _: R) => true,
       ttl: Option[IdleStateTtl] = None)(
-      implicit lt: scala.reflect.runtime.universe.TypeTag[L],
-      rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[OuterJoinChange[L, R]] = {
+      implicit kt: TypeTag[K],
+      lt: scala.reflect.runtime.universe.TypeTag[L],
+      rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[OuterJoinChange[K, L, R]] = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    implicit val ue: Encoder[(Long, String, Option[L], Option[R])] =
+    implicit val ue: Encoder[(K, String, Option[L], Option[R])] =
       ExpressionEncoder()
-    implicit val ke: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    implicit val ke: Encoder[K] = ExpressionEncoder()
     implicit val se: Encoder[(Seq[(L, Long, Long)], Seq[(R, Long, Long)], Long, Long, Long)] =
       ExpressionEncoder()
-    implicit val oe: Encoder[OuterJoinChange[L, R]] = ExpressionEncoder()
+    implicit val oe: Encoder[OuterJoinChange[K, L, R]] = ExpressionEncoder()
 
     type Pair = (Option[L], Option[R])
     def expand(m: Map[Pair, Long]): Seq[Pair] =
@@ -694,9 +755,9 @@ object Changelog {
           (k, kind, Option.empty[L], Option(r)) })
     tagged.groupByKey(_._1)
       .flatMapGroupsWithState[(Seq[(L, Long, Long)], Seq[(R, Long, Long)], Long, Long, Long),
-                              OuterJoinChange[L, R]](
+                              OuterJoinChange[K, L, R]](
           OutputMode.Append, timeoutConf) {
-        (key: Long, values: Iterator[(Long, String, Option[L], Option[R])],
+        (key: K, values: Iterator[(K, String, Option[L], Option[R])],
          state: GroupState[(Seq[(L, Long, Long)], Seq[(R, Long, Long)], Long, Long, Long)]) =>
          if (state.hasTimedOut) { state.remove(); Iterator.empty }
          else {
@@ -796,7 +857,7 @@ object Changelog {
           // TTL mode: processing-time-based ord keeps the per-key log
           // ordered across retire/expire epochs (see IdleStateTtl doc)
           var n = if (ttl.isDefined) math.max(n0, now << 20) else n0
-          def rows(ps: Seq[Pair], kind: String): Seq[OuterJoinChange[L, R]] =
+          def rows(ps: Seq[Pair], kind: String): Seq[OuterJoinChange[K, L, R]] =
             ps.map { case (l, r) =>
               n += 1; OuterJoinChange(key, kind, l, r, n)
             }
@@ -824,8 +885,8 @@ object Changelog {
     * or changes score inside it, -D when it leaves — so a downstream
     * [[materialize]] on the composite (key, rowId) yields exactly the
     * final top-N set per key. */
-  final case class TopNChange(key: Long, kind: String, rowId: Long,
-                              score: Double, ord: Long)
+  final case class TopNChange[K](key: K, kind: String, rowId: Long,
+                                 score: Double, ord: Long)
 
   /**
    * Retract-CONSUMING streaming Top-N per key — the reference's
@@ -857,23 +918,23 @@ object Changelog {
    * updating aggregate, live = the key's distinct group count, not
    * raw-event history. Stale retractions (unknown rowId) are ignored.
    */
-  def topNChangelog[V](
-      grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, V],
+  def topNChangelog[K: TypeTag, V](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V],
       n: Int,
       kind: V => String, score: V => Double, rowId: V => Long,
       ttl: Option[IdleStateTtl] = None)(
-      implicit ve: Encoder[V]): Dataset[TopNChange] = {
-    import org.apache.spark.sql.Encoders
+      implicit ve: Encoder[V]): Dataset[TopNChange[K]] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     implicit val se: Encoder[(Map[Long, Double], Long, Long)] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-    implicit val oe: Encoder[TopNChange] = Encoders.product[TopNChange]
+      ExpressionEncoder()
+    implicit val oe: Encoder[TopNChange[K]] = ExpressionEncoder()
     def topOf(m: Map[Long, Double]): Seq[(Long, Double)] =
       m.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(n)
     val timeoutConf = if (ttl.exists(_.reclaimTimers)) GroupStateTimeout.ProcessingTimeTimeout
                       else GroupStateTimeout.NoTimeout
-    grouped.flatMapGroupsWithState[(Map[Long, Double], Long, Long), TopNChange](
+    grouped.flatMapGroupsWithState[(Map[Long, Double], Long, Long), TopNChange[K]](
         OutputMode.Append, timeoutConf) {
-      (key: Long, values: Iterator[V], state: GroupState[(Map[Long, Double], Long, Long)]) =>
+      (key: K, values: Iterator[V], state: GroupState[(Map[Long, Double], Long, Long)]) =>
        if (state.hasTimedOut) { state.remove(); Iterator.empty }
        else {
         val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
@@ -948,7 +1009,7 @@ object Changelog {
   /** One SEMI/ANTI changelog-join output row: only the probe (left)
     * payload is emitted — the right side exists solely as the
     * EXISTS/NOT-EXISTS predicate. */
-  final case class ExistChange[L](key: Long, kind: String, left: L, ord: Long)
+  final case class ExistChange[K, L](key: K, kind: String, left: L, ord: Long)
 
   /**
    * Streaming changelog-consuming SEMI join — `WHERE EXISTS (...)` over
@@ -976,13 +1037,14 @@ object Changelog {
    * strictly smaller than the inner join's (left rows, not pairs), and
    * right-side churn above one association is absorbed in state.
    */
-  def joinChangelogSemi[L, R](
-      left: Dataset[(Long, String, L)],
-      right: Dataset[(Long, String, R)],
+  def joinChangelogSemi[K, L, R](
+      left: Dataset[(K, String, L)],
+      right: Dataset[(K, String, R)],
       cond: (L, R) => Boolean = (_: L, _: R) => true,
       ttl: Option[IdleStateTtl] = None)(
-      implicit lt: scala.reflect.runtime.universe.TypeTag[L],
-      rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[ExistChange[L]] =
+      implicit kt: TypeTag[K],
+      lt: scala.reflect.runtime.universe.TypeTag[L],
+      rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[ExistChange[K, L]] =
     existenceJoin(left, right, anti = false, cond, ttl)
 
   /**
@@ -994,31 +1056,33 @@ object Changelog {
    * LAST passing right retraction re-admits it — the 1→0 / 0→1
    * transitions mirror [[joinChangelogSemi]] with the sign flipped.
    */
-  def joinChangelogAnti[L, R](
-      left: Dataset[(Long, String, L)],
-      right: Dataset[(Long, String, R)],
+  def joinChangelogAnti[K, L, R](
+      left: Dataset[(K, String, L)],
+      right: Dataset[(K, String, R)],
       cond: (L, R) => Boolean = (_: L, _: R) => true,
       ttl: Option[IdleStateTtl] = None)(
-      implicit lt: scala.reflect.runtime.universe.TypeTag[L],
-      rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[ExistChange[L]] =
+      implicit kt: TypeTag[K],
+      lt: scala.reflect.runtime.universe.TypeTag[L],
+      rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[ExistChange[K, L]] =
     existenceJoin(left, right, anti = true, cond, ttl)
 
-  private def existenceJoin[L, R](
-      left: Dataset[(Long, String, L)],
-      right: Dataset[(Long, String, R)],
+  private def existenceJoin[K, L, R](
+      left: Dataset[(K, String, L)],
+      right: Dataset[(K, String, R)],
       anti: Boolean,
       cond: (L, R) => Boolean,
       ttl: Option[IdleStateTtl])(
-      implicit lt: scala.reflect.runtime.universe.TypeTag[L],
-      rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[ExistChange[L]] = {
+      implicit kt: TypeTag[K],
+      lt: scala.reflect.runtime.universe.TypeTag[L],
+      rt: scala.reflect.runtime.universe.TypeTag[R]): Dataset[ExistChange[K, L]] = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    implicit val ue: Encoder[(Long, String, Option[L], Option[R])] =
+    implicit val ue: Encoder[(K, String, Option[L], Option[R])] =
       ExpressionEncoder()
-    implicit val ke: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    implicit val ke: Encoder[K] = ExpressionEncoder()
     // left state rows are (payload, live count, association count)
     implicit val se: Encoder[(Seq[(L, Long, Long)], Seq[(R, Long)], Long, Long, Long)] =
       ExpressionEncoder()
-    implicit val oe: Encoder[ExistChange[L]] = ExpressionEncoder()
+    implicit val oe: Encoder[ExistChange[K, L]] = ExpressionEncoder()
 
     def expand(m: Map[L, Long]): Seq[L] =
       m.toSeq.sortBy(_._1.toString)
@@ -1032,9 +1096,9 @@ object Changelog {
           (k, kind, Option.empty[L], Option(r)) })
     tagged.groupByKey(_._1)
       .flatMapGroupsWithState[(Seq[(L, Long, Long)], Seq[(R, Long)], Long, Long, Long),
-                              ExistChange[L]](
+                              ExistChange[K, L]](
           OutputMode.Append, timeoutConf) {
-        (key: Long, values: Iterator[(Long, String, Option[L], Option[R])],
+        (key: K, values: Iterator[(K, String, Option[L], Option[R])],
          state: GroupState[(Seq[(L, Long, Long)], Seq[(R, Long)], Long, Long, Long)]) =>
          if (state.hasTimedOut) { state.remove(); Iterator.empty }
          else {
@@ -1109,7 +1173,7 @@ object Changelog {
             case (p, c) if c < 0 => p -> -c }.toMap)
           val added = expand(delta.filter(_._2 > 0).toMap)
           var n = if (ttl.isDefined) math.max(n0, now << 20) else n0
-          def rows(ps: Seq[L], kind: String): Seq[ExistChange[L]] =
+          def rows(ps: Seq[L], kind: String): Seq[ExistChange[K, L]] =
             ps.map { l => n += 1; ExistChange(key, kind, l, n) }
           val out =
             rows(removed, if (total == 0L) Delete else UpdateBefore) ++
@@ -1133,8 +1197,8 @@ object Changelog {
   /** One distinct-aggregate output row (kind ∈ -U/+U/-D per emission):
     * `distinct` = number of DISTINCT live values, `count` = total live
     * value instances. */
-  final case class DistinctChange(key: Long, kind: String,
-                                  distinct: Long, count: Long)
+  final case class DistinctChange[K](key: K, kind: String,
+                                     distinct: Long, count: Long)
 
   /**
    * Retract-capable COUNT(DISTINCT) per key over a changelog input —
@@ -1155,20 +1219,20 @@ object Changelog {
    * empties emits (-U previous, -D). Stale retractions (value not
    * live) are ignored, like the join family's absent-payload guard.
    */
-  def aggregateChangelogDistinct[V](
-      grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, V],
+  def aggregateChangelogDistinct[K: TypeTag, V](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V],
       kind: V => String, value: V => Double,
       ttl: Option[IdleStateTtl] = None)(
-      implicit ve: Encoder[V]): Dataset[DistinctChange] = {
-    import org.apache.spark.sql.Encoders
+      implicit ve: Encoder[V]): Dataset[DistinctChange[K]] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     implicit val se: Encoder[(Map[Double, Long], Long)] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-    implicit val oe: Encoder[DistinctChange] = Encoders.product[DistinctChange]
+      ExpressionEncoder()
+    implicit val oe: Encoder[DistinctChange[K]] = ExpressionEncoder()
     val timeoutConf = if (ttl.exists(_.reclaimTimers)) GroupStateTimeout.ProcessingTimeTimeout
                       else GroupStateTimeout.NoTimeout
-    grouped.flatMapGroupsWithState[(Map[Double, Long], Long), DistinctChange](
+    grouped.flatMapGroupsWithState[(Map[Double, Long], Long), DistinctChange[K]](
         OutputMode.Append, timeoutConf) {
-      (key: Long, values: Iterator[V], state: GroupState[(Map[Double, Long], Long)]) =>
+      (key: K, values: Iterator[V], state: GroupState[(Map[Double, Long], Long)]) =>
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
         else {
           val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
@@ -1193,7 +1257,7 @@ object Changelog {
             state.update((m, now))
             ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
           }
-          def snap(mm: Map[Double, Long], k: String): DistinctChange =
+          def snap(mm: Map[Double, Long], k: String): DistinctChange[K] =
             DistinctChange(key, k, mm.size.toLong, mm.values.sum)
           val (d0, c0) = (m0.size.toLong, m0.values.sum)
           val (d1, c1) = (m.size.toLong, m.values.sum)
@@ -1210,21 +1274,22 @@ object Changelog {
     }
   }
 
-  def aggregateChangelog[V](
-      grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, V],
+  def aggregateChangelog[K: TypeTag, V](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V],
       kind: V => String, value: V => Double,
       ttl: Option[IdleStateTtl] = None)(
-      implicit ve: Encoder[V]): Dataset[AggChange] = {
+      implicit ve: Encoder[V]): Dataset[AggChange[K]] = {
     import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     // state = (sum, count, lastAccessMs); lastAccess is 0/unused without TTL
     implicit val se: Encoder[(Double, Long, Long)] =
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong, Encoders.scalaLong)
-    implicit val oe: Encoder[AggChange] = Encoders.product[AggChange]
+    implicit val oe: Encoder[AggChange[K]] = ExpressionEncoder()
     val timeoutConf = if (ttl.exists(_.reclaimTimers)) GroupStateTimeout.ProcessingTimeTimeout
                       else GroupStateTimeout.NoTimeout
-    grouped.flatMapGroupsWithState[(Double, Long, Long), AggChange](
+    grouped.flatMapGroupsWithState[(Double, Long, Long), AggChange[K]](
         OutputMode.Append, timeoutConf) {
-      (key: Long, values: Iterator[V], state: GroupState[(Double, Long, Long)]) =>
+      (key: K, values: Iterator[V], state: GroupState[(Double, Long, Long)]) =>
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
         else {
           val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
@@ -1270,8 +1335,8 @@ object Changelog {
     * declaratively downstream (`sum/count`,
     * `(sumsq − sum²/count)/count`, …), keeping emission minimal and the
     * derivation in codegen'd projections. */
-  final case class StatsChange(key: Long, kind: String,
-                               sum: Double, sumsq: Double, count: Long)
+  final case class StatsChange[K](key: K, kind: String,
+                                  sum: Double, sumsq: Double, count: Long)
 
   /**
    * Retract-capable AVG / VAR_POP / VAR_SAMP / STDDEV_POP / STDDEV_SAMP
@@ -1297,22 +1362,23 @@ object Changelog {
    * and retires the state (RecordCounter behavior). Stale retractions
    * (count already 0) are ignored, like aggregateChangelog's guard.
    */
-  def aggregateChangelogStats[V](
-      grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, V],
+  def aggregateChangelogStats[K: TypeTag, V](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V],
       kind: V => String, value: V => Double,
       ttl: Option[IdleStateTtl] = None)(
-      implicit ve: Encoder[V]): Dataset[StatsChange] = {
+      implicit ve: Encoder[V]): Dataset[StatsChange[K]] = {
     import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     // state = (sum, sumsq, count, lastAccessMs); lastAccess unused sans TTL
     implicit val se: Encoder[(Double, Double, Long, Long)] =
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble,
                      Encoders.scalaLong, Encoders.scalaLong)
-    implicit val oe: Encoder[StatsChange] = Encoders.product[StatsChange]
+    implicit val oe: Encoder[StatsChange[K]] = ExpressionEncoder()
     val timeoutConf = if (ttl.exists(_.reclaimTimers)) GroupStateTimeout.ProcessingTimeTimeout
                       else GroupStateTimeout.NoTimeout
-    grouped.flatMapGroupsWithState[(Double, Double, Long, Long), StatsChange](
+    grouped.flatMapGroupsWithState[(Double, Double, Long, Long), StatsChange[K]](
         OutputMode.Append, timeoutConf) {
-      (key: Long, values: Iterator[V], state: GroupState[(Double, Double, Long, Long)]) =>
+      (key: K, values: Iterator[V], state: GroupState[(Double, Double, Long, Long)]) =>
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
         else {
           val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L

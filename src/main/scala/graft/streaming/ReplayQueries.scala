@@ -464,9 +464,9 @@ object ReplayQueries {
         val src = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 2).parquet(in)
           .as[EvRow]
-        val agg = Changelog.aggregateChangelog[EvRow](
+        val agg = Changelog.aggregateChangelog[Long, EvRow](
           src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
-        val dis = Changelog.aggregateChangelogDistinct[Changelog.AggChange](
+        val dis = Changelog.aggregateChangelogDistinct[Long, Changelog.AggChange[Long]](
           agg.groupByKey(_.key % 4),
           _.kind, a => math.floor(a.sum / 10000.0))
         // the GroupAggFunction protocol emits ≤ one +U/-D per key per
@@ -474,7 +474,7 @@ object ReplayQueries {
         val q = dis.writeStream
           .option("checkpointLocation", ck)
           .outputMode("append")
-          .foreachBatch { (batch: Dataset[Changelog.DistinctChange], bid: Long) =>
+          .foreachBatch { (batch: Dataset[Changelog.DistinctChange[Long]], bid: Long) =>
             batch.withColumn("bid", lit(bid))
               .write.mode("append").parquet(out)
           }
@@ -507,9 +507,9 @@ object ReplayQueries {
         val src = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 2).parquet(in)
           .as[EvRow]
-        val agg = Changelog.aggregateChangelog[EvRow](
+        val agg = Changelog.aggregateChangelog[Long, EvRow](
           src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
-        val top = Changelog.topNChangelog[Changelog.AggChange](
+        val top = Changelog.topNChangelog[Long, Changelog.AggChange[Long]](
           agg.groupByKey(_.key % 8), n = 3,
           kind = _.kind, score = _.sum, rowId = _.key)
         val q = top.writeStream.format("parquet")
@@ -937,9 +937,9 @@ object ReplayQueries {
         val src = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 2).parquet(in)
           .as[EvRow]
-        val agg = Changelog.aggregateChangelog[EvRow](
+        val agg = Changelog.aggregateChangelog[Long, EvRow](
           src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
-        val la = Changelog.aggregateChangelogListAgg[Changelog.AggChange](
+        val la = Changelog.aggregateChangelogListAgg[Long, Changelog.AggChange[Long]](
           agg.groupByKey(_.key % 8),
           kind = _.kind, value = _.sum, ord = _.key)
         // GroupAggFunction protocol: ≤ one +U/-D per key per batch —
@@ -947,7 +947,7 @@ object ReplayQueries {
         val q = la.writeStream
           .option("checkpointLocation", ck)
           .outputMode("append")
-          .foreachBatch { (batch: Dataset[Changelog.ListAggChange], bid: Long) =>
+          .foreachBatch { (batch: Dataset[Changelog.ListAggChange[Long]], bid: Long) =>
             batch.withColumn("bid", lit(bid))
               .write.mode("append").parquet(out)
           }
@@ -1386,7 +1386,7 @@ object ReplayQueries {
         val src = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 2).parquet(in)
           .as[EvRow]
-        def side(kind: String) = Changelog.aggregateChangelog[EvRow](
+        def side(kind: String) = Changelog.aggregateChangelog[Long, EvRow](
             src.filter(_.event_type == kind).groupByKey(_.user_id),
             _ => Changelog.Insert, _.cents.toDouble)
           .map(a => (a.key, a.kind, SideAgg(a.sum, a.count)))
@@ -1544,13 +1544,13 @@ object ReplayQueries {
         val src = s.readStream.schema(p.schema)
           .option("maxFilesPerTrigger", 16).parquet(in)
           .as[(Long, Long, Long)]
-        val agg = Changelog.aggregateChangelog[(Long, Long, Long)](
+        val agg = Changelog.aggregateChangelog[Long, (Long, Long, Long)](
           src.groupByKey(_._1), _ => Changelog.Insert, _._2.toDouble,
           ttl = Some(Changelog.IdleStateTtl(ttlMs)))
         val q = agg.writeStream
           .option("checkpointLocation", ck)
           .outputMode("append")
-          .foreachBatch { (batch: Dataset[Changelog.AggChange], bid: Long) =>
+          .foreachBatch { (batch: Dataset[Changelog.AggChange[Long]], bid: Long) =>
             batch.withColumn("bid", lit(bid))
               .write.mode("append").parquet(out)
           }
@@ -1716,6 +1716,81 @@ object ReplayQueries {
         }
       }
       s.read.parquet(out).filter(col("p_user") >= 0)
+    }),
+
+    // STRING-keyed streaming group aggregate under the oracle gate —
+    // the changelog family's generic-key support (the reference keys
+    // state on arbitrary BinaryRowData): `GROUP BY source` over the
+    // documents stream, entered through SQL text, with NO user-side
+    // hashing. The router resolves the key expression's type (string →
+    // canonical-string state keys); output carries the string key.
+    "q332_stream_sql_string_key" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+                lit("+I").as("kind"))
+      val (in, out, ck) = stage(docs, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+        StreamSql.registerChangelog("q332_v", src, kindCol = "kind")
+        try {
+          val res = graft.operators.SqlFrontend.sql(s,
+            """SELECT source AS src, SUM(n_chars) AS s, COUNT(*) AS c
+               FROM q332_v GROUP BY source""")
+          // GroupAggFunction protocol: ≤ one accumulate per key per
+          // batch — the batch id is the per-key order (q294 pattern)
+          val q = res.writeStream
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .foreachBatch {
+              (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+                batch.withColumn("bid", lit(bid))
+                  .write.mode("append").parquet(out)
+            }
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropChangelog("q332_v")
+      }
+      Changelog.materialize(s.read.parquet(out), "src", "row_kind", "bid")
+        .select(col("src"), col("s").cast("long").as("n_chars"),
+                col("c").as("cnt"))
+    }),
+
+    // HETEROGENEOUS aggregate families in ONE streaming-SQL statement
+    // (the reference's GroupAggFunction hosting moment accumulators
+    // and Min/MaxWithRetract structures in one operator): SUM + MIN +
+    // MAX + AVG + COUNT over the per-user updating purchase view — the
+    // router lands on aggregateChangelogMulti, whose live-set state
+    // serves the extremes while the moments fold deterministically in
+    // ord order. Mid-replay -U/+U churn exercises both families'
+    // retraction in one state machine.
+    "q333_stream_sql_mixed_agg" -> ((s, dir) => {
+      val (view, out, ck) = purchaseCentsView(s, dir)
+      withStatePartitions(s, 8) {
+        StreamSql.registerChangelog("q333_p", view, "kind",
+          rowId = Some("key"))
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT key % 5 AS grp, SUM(amt_c) AS sum_c,
+                      MIN(amt_c) AS min_c, MAX(amt_c) AS max_c,
+                      AVG(amt_c) AS avg_c, COUNT(*) AS n_users
+               FROM q333_p GROUP BY key % 5""")
+          val q = j.writeStream
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .foreachBatch { (batch: DataFrame, bid: Long) =>
+              batch.withColumn("bid", lit(bid))
+                .write.mode("append").parquet(out)
+            }
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropChangelog("q333_p")
+      }
+      Changelog.materialize(s.read.parquet(out), "grp", "row_kind", "bid")
+        .select(col("grp"), col("sum_c").cast("long").as("sum_c"),
+                col("min_c").cast("long").as("min_c"),
+                col("max_c").cast("long").as("max_c"),
+                col("avg_c"), col("n_users"))
     })
   )
 
@@ -1910,7 +1985,7 @@ object ReplayQueries {
     val src = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 2).parquet(in)
       .as[EvRow]
-    val view = Changelog.aggregateChangelog[EvRow](
+    val view = Changelog.aggregateChangelog[Long, EvRow](
         src.groupByKey(_.user_id), _ => Changelog.Insert, _.cents.toDouble)
       .map(a => (a.key, a.kind, a.sum))
       .toDF("key", "kind", "amt_c")
@@ -1931,7 +2006,7 @@ object ReplayQueries {
     val src = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 2).parquet(in)
       .as[EvRow]
-    def side(kind: String): DataFrame = Changelog.aggregateChangelog[EvRow](
+    def side(kind: String): DataFrame = Changelog.aggregateChangelog[Long, EvRow](
         src.filter(_.event_type == kind).groupByKey(_.user_id),
         _ => Changelog.Insert, _.cents.toDouble)
       .map(a => (a.key, a.kind, a.sum, a.count))
@@ -1951,7 +2026,7 @@ object ReplayQueries {
       val src = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", filesPerTrigger).parquet(in)
         .as[EvRow]
-      def side(kind: String) = Changelog.aggregateChangelog[EvRow](
+      def side(kind: String) = Changelog.aggregateChangelog[Long, EvRow](
           src.filter(_.event_type == kind).groupByKey(_.user_id),
           _ => Changelog.Insert, _.cents.toDouble)
         .map(a => (a.key, a.kind, SideAgg(a.sum, a.count)))
@@ -1985,7 +2060,7 @@ object ReplayQueries {
       val src = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", filesPerTrigger).parquet(in)
         .as[EvRow]
-      def side(kind: String) = Changelog.aggregateChangelog[EvRow](
+      def side(kind: String) = Changelog.aggregateChangelog[Long, EvRow](
           src.filter(_.event_type == kind).groupByKey(_.user_id),
           _ => Changelog.Insert, _.cents.toDouble)
         .map(a => (a.key, a.kind, SideAgg(a.sum, a.count)))
@@ -2583,6 +2658,23 @@ object ReplayQueries {
         FROM p LEFT JOIN v
           ON v.user_id = p.user_id AND v.tms <= p.tms)
       SELECT user_id AS p_user, p_id, p_value, v_id, v_value
-      FROM j WHERE rn = 1"""
+      FROM j WHERE rn = 1""",
+
+    "q332_stream_sql_string_key" -> """
+      SELECT source AS src, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             count(*) AS cnt
+      FROM documents GROUP BY source""",
+
+    "q333_stream_sql_mixed_agg" -> """
+      WITH p AS (
+        SELECT user_id, CAST(sum(floor(value*100)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT user_id % 5 AS grp,
+             CAST(sum(cents) AS BIGINT) AS sum_c,
+             min(cents) AS min_c,
+             max(cents) AS max_c,
+             CAST(sum(cents) AS DOUBLE) / count(*) AS avg_c,
+             count(*) AS n_users
+      FROM p GROUP BY 1"""
   )
 }

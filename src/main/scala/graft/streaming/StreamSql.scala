@@ -106,9 +106,11 @@ import graft.operators.SqlFrontend
  *    → retract-aware extremes ([[Changelog.aggregateChangelogMinMax]]
  *    — a live row set, so retracting the current max re-admits the
  *    runner-up); V must declare its upsert key at registration (the
- *    live set's row identity). MIN/MAX cannot mix with the
- *    moment/ordered aggregates in one statement (different state
- *    families — compose in the Scala API).
+ *    live set's row identity). A statement MIXING MIN/MAX with the
+ *    moment family (`SUM(v), MIN(v), COUNT(*)` in one GROUP BY)
+ *    routes onto [[Changelog.aggregateChangelogMulti]] — one operator
+ *    hosting both accumulator families, the reference's
+ *    GroupAggFunction architecture; it needs the upsert key too.
  *
  * Every GROUP BY shape above also accepts `[WHERE <pred>]` before the
  * GROUP BY and `[HAVING <pred>]` after it. WHERE is a
@@ -120,10 +122,16 @@ import graft.operators.SqlFrontend
  * predicate leaves the filtered view with an explicit -D, so upsert
  * materialization stays correct).
  *
- * Keys: the changelog operators key on Long — the group/join key
- * expression must be Long-castable (composite keys: derive a single
- * key column in the view, the same normalization Flink's key selector
- * performs). Payloads cross the EXISTS operator as canonical JSON
+ * Keys: the changelog operators are generic in their key type (the
+ * reference keys state on arbitrary BinaryRowData). The router encodes
+ * the group/join key by its RESOLVED TYPE: integral expressions
+ * (byte/short/int/long) key state as Long, everything else —
+ * string/date/decimal/composite-derived keys — as the expression's
+ * canonical STRING form, so `GROUP BY source` over a documents view
+ * works without user-side hashing and without collision risk.
+ * Composite keys: derive a single key column in the view (e.g.
+ * concat_ws), as with Flink's key selector. Payloads cross the EXISTS
+ * operator as canonical JSON
  * (`to_json` over the view's non-kind columns, decoded back with the
  * view's schema after the join) — one serialize per record, the same
  * order of cost as the reference serializing payloads into keyed
@@ -412,15 +420,30 @@ object StreamSql {
     * kind, canonical-JSON payload) — one serialize per record, the same
     * order of cost as the reference serializing payloads into keyed
     * state (object doc). Decoded back with the view's schema after the
-    * operator. */
-  private def encodeView(df: DataFrame, kindCol: String,
-                         keyCol: String): Dataset[(Long, String, String)] = {
-    implicit val enc3: Encoder[(Long, String, String)] = ExpressionEncoder()
+    * operator. `K`/`keyCast` come from [[keyedBy]]: Long for integral
+    * key columns, canonical String otherwise. */
+  private def encodeView[K: scala.reflect.runtime.universe.TypeTag](
+      df: DataFrame, kindCol: String,
+      keyCol: String, keyCast: String): Dataset[(K, String, String)] = {
+    implicit val enc3: Encoder[(K, String, String)] = ExpressionEncoder()
     val payload = df.columns.filterNot(_ == kindCol).toSeq
-    df.select(col(keyCol).cast("long"), col(kindCol).cast("string"),
+    df.select(col(keyCol).cast(keyCast), col(kindCol).cast("string"),
               to_json(struct(payload.map(col): _*)))
-      .as[(Long, String, String)]
+      .as[(K, String, String)]
   }
+
+  /** Pick the state-key encoding for a key expression: integral types
+    * key as Long (the classic path, bit-identical to prior rounds);
+    * anything else keys as its canonical string form — collision-free
+    * for any one type, no user-side hashing (object doc "Keys"). */
+  private def isIntegralKey(df: DataFrame, keyExpr: String): Boolean =
+    df.select(expr(keyExpr)).schema.head.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
 
   // ---- WHERE [NOT] EXISTS → semi/anti changelog join --------------------
 
@@ -482,15 +505,20 @@ object StreamSql {
       }
     }
 
-    val lds = encodeView(lv.df, lv.kindCol, lKey)
-    val rds = encodeView(rFiltered, rv.kindCol, rKey)
+    def run[K: scala.reflect.runtime.universe.TypeTag](cast: String): DataFrame = {
+      val lds = encodeView[K](lv.df, lv.kindCol, lKey, cast)
+      val rds = encodeView[K](rFiltered, rv.kindCol, rKey, cast)
+      (if (anti) Changelog.joinChangelogAnti(lds, rds, ttl = ttl)
+       else Changelog.joinChangelogSemi(lds, rds, ttl = ttl)).toDF()
+    }
     val joined =
-      if (anti) Changelog.joinChangelogAnti(lds, rds, ttl = ttl)
-      else Changelog.joinChangelogSemi(lds, rds, ttl = ttl)
+      if (isIntegralKey(lv.df, lKey) && isIntegralKey(rFiltered, rKey))
+        run[Long]("long")
+      else run[String]("string")
 
     val lPayload = lv.df.columns.filterNot(_ == lv.kindCol).toSeq
     val schema = lv.df.select(lPayload.map(col): _*).schema
-    val decoded = joined.toDF()
+    val decoded = joined
       .select(from_json(col("left"), schema).as("__p"),
               col("kind").as("row_kind"), col("ord").as("row_ord"))
       .select(lPayload.map(c => col(s"__p.`$c`")) :+
@@ -587,17 +615,23 @@ object StreamSql {
       else rf = rf.filter(expr(strip(resid, Seq(rAlias, rName))))
     }
 
-    val lds = encodeView(lf, lv.kindCol, lKey)
-    val rds = encodeView(rf, rv.kindCol, rKey)
-    val joined: DataFrame = jt match {
-      case "INNER" => Changelog.joinChangelog(lds, rds, ttl = ttl).toDF()
-      case "LEFT" =>
-        Changelog.joinChangelogOuter(lds, rds, Changelog.LeftOuter, ttl = ttl).toDF()
-      case "RIGHT" =>
-        Changelog.joinChangelogOuter(lds, rds, Changelog.RightOuter, ttl = ttl).toDF()
-      case _ =>
-        Changelog.joinChangelogOuter(lds, rds, Changelog.FullOuter, ttl = ttl).toDF()
+    def run[K: scala.reflect.runtime.universe.TypeTag](cast: String): DataFrame = {
+      val lds = encodeView[K](lf, lv.kindCol, lKey, cast)
+      val rds = encodeView[K](rf, rv.kindCol, rKey, cast)
+      jt match {
+        case "INNER" => Changelog.joinChangelog(lds, rds, ttl = ttl).toDF()
+        case "LEFT" =>
+          Changelog.joinChangelogOuter(lds, rds, Changelog.LeftOuter, ttl = ttl).toDF()
+        case "RIGHT" =>
+          Changelog.joinChangelogOuter(lds, rds, Changelog.RightOuter, ttl = ttl).toDF()
+        case _ =>
+          Changelog.joinChangelogOuter(lds, rds, Changelog.FullOuter, ttl = ttl).toDF()
+      }
     }
+    val joined: DataFrame =
+      if (isIntegralKey(lf, lKey) && isIntegralKey(rf, rKey))
+        run[Long]("long")
+      else run[String]("string")
 
     // decode each side with its view schema; an outer side's padded row
     // decodes to a null struct, so its columns null-pad like batch SQL
@@ -659,21 +693,27 @@ object StreamSql {
         s"Top-N tiebreak must be the rowId '$rowIdCol' ascending: $orderBy")
     }
 
-    implicit val enc4: Encoder[(Long, String, Double, Long)] = ExpressionEncoder()
-    implicit val keyEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
-    val base = v.df
-      .withColumn("__g", expr(strip(gExpr, Seq(tAlias0, vName))).cast("long"))
-      .withColumn("__s", expr(strip(sExpr, Seq(tAlias0, vName))).cast("double"))
-      .select(col("__g"), col(v.kindCol).cast("string"), col("__s"),
-              col(rowIdCol).cast("long"))
-      .as[(Long, String, Double, Long)]
     // ASC ranks by negated score (topNChangelog ranks desc); the sign
     // is restored in the projection below, so emitted scores are the
     // user's values either way
-    val top = Changelog.topNChangelog[(Long, String, Double, Long)](
-      base.groupByKey(_._1), n,
-      kind = _._2, score = t => if (desc) t._3 else -t._3, rowId = _._4,
-      ttl = ttl)
+    def run[K: scala.reflect.runtime.universe.TypeTag](cast: String): DataFrame = {
+      implicit val enc4: Encoder[(K, String, Double, Long)] = ExpressionEncoder()
+      implicit val keyEnc: Encoder[K] = ExpressionEncoder()
+      val base = v.df
+        .withColumn("__g", expr(strip(gExpr, Seq(tAlias0, vName))).cast(cast))
+        .withColumn("__s", expr(strip(sExpr, Seq(tAlias0, vName))).cast("double"))
+        .select(col("__g"), col(v.kindCol).cast("string"), col("__s"),
+                col(rowIdCol).cast("long"))
+        .as[(K, String, Double, Long)]
+      Changelog.topNChangelog[K, (K, String, Double, Long)](
+        base.groupByKey(_._1), n,
+        kind = _._2, score = t => if (desc) t._3 else -t._3, rowId = _._4,
+        ttl = ttl).toDF()
+    }
+    val top =
+      if (isIntegralKey(v.df, strip(gExpr, Seq(tAlias0, vName))))
+        run[Long]("long")
+      else run[String]("string")
 
     // compare stripped-vs-stripped: the inner items are stripped of
     // their view/alias qualifiers below, so the partition/order sides
@@ -693,7 +733,7 @@ object StreamSql {
           s"the order expression and the rowId (the rank state's columns): $item")
       }
     }
-    val out = top.toDF().select(named :+
+    val out = top.select(named :+
       col("kind").as("row_kind") :+ col("ord").as("row_ord"): _*)
     val items = SqlFrontend.splitTop(outerSel)
       .map(strip(_, Seq(tAlias0)))
@@ -744,17 +784,21 @@ object StreamSql {
     require(norm(gb) == norm(gExpr) || gb == "1",
       s"GROUP BY must match the select's key expression '$gExpr': $groupBy")
 
-    implicit val enc3: Encoder[(Long, String, Double)] = ExpressionEncoder()
-    implicit val keyEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
-    val base = vdf
-      .withColumn("__g", expr(gExpr).cast("long"))
-      .withColumn("__v", expr(vExpr).cast("double"))
-      .select(col("__g"), col(v.kindCol).cast("string"), col("__v"))
-      .as[(Long, String, Double)]
-    val d = Changelog.aggregateChangelogDistinct[(Long, String, Double)](
-      base.groupByKey(_._1), kind = _._2, value = _._3, ttl = ttl)
+    def run[K: scala.reflect.runtime.universe.TypeTag](cast: String): DataFrame = {
+      implicit val enc3: Encoder[(K, String, Double)] = ExpressionEncoder()
+      implicit val keyEnc: Encoder[K] = ExpressionEncoder()
+      val base = vdf
+        .withColumn("__g", expr(gExpr).cast(cast))
+        .withColumn("__v", expr(vExpr).cast("double"))
+        .select(col("__g"), col(v.kindCol).cast("string"), col("__v"))
+        .as[(K, String, Double)]
+      Changelog.aggregateChangelogDistinct[K, (K, String, Double)](
+        base.groupByKey(_._1), kind = _._2, value = _._3, ttl = ttl).toDF()
+    }
+    val d = if (isIntegralKey(vdf, gExpr)) run[Long]("long")
+            else run[String]("string")
     val withCount = cItem.map(ca => Seq(col("count").as(ca))).getOrElse(Nil)
-    val res = d.toDF().select(
+    val res = d.select(
       Seq(col("key").as(gAlias), col("distinct").as(dAlias)) ++
       withCount :+ col("kind").as("row_kind"): _*)
     havingFilter(res, having, gAlias, quals, ttl)
@@ -823,18 +867,23 @@ object StreamSql {
     require(norm(gb) == norm(gExpr) || gb == "1",
       s"GROUP BY must match the select's key expression '$gExpr': $groupBy")
 
-    implicit val enc4: Encoder[(Long, String, Double, Long)] = ExpressionEncoder()
-    implicit val keyEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
-    val base = whereFilter(v.df, whereCl, quals)
-      .withColumn("__g", expr(gExpr).cast("long"))
-      .withColumn("__v", expr(ve).cast("double"))
-      .select(col("__g"), col(v.kindCol).cast("string"), col("__v"),
-              col(rowIdCol).cast("long"))
-      .as[(Long, String, Double, Long)]
-    val d = Changelog.aggregateChangelogListAgg[(Long, String, Double, Long)](
-      base.groupByKey(_._1), kind = _._2, value = _._3, ord = _._4,
-      delimiter = delim, ttl = ttl)
-    val res = d.toDF().select(
+    val vdf = whereFilter(v.df, whereCl, quals)
+    def run[K: scala.reflect.runtime.universe.TypeTag](cast: String): DataFrame = {
+      implicit val enc4: Encoder[(K, String, Double, Long)] = ExpressionEncoder()
+      implicit val keyEnc: Encoder[K] = ExpressionEncoder()
+      val base = vdf
+        .withColumn("__g", expr(gExpr).cast(cast))
+        .withColumn("__v", expr(ve).cast("double"))
+        .select(col("__g"), col(v.kindCol).cast("string"), col("__v"),
+                col(rowIdCol).cast("long"))
+        .as[(K, String, Double, Long)]
+      Changelog.aggregateChangelogListAgg[K, (K, String, Double, Long)](
+        base.groupByKey(_._1), kind = _._2, value = _._3, ord = _._4,
+        delimiter = delim, ttl = ttl).toDF()
+    }
+    val d = if (isIntegralKey(vdf, gExpr)) run[Long]("long")
+            else run[String]("string")
+    val res = d.select(
       outCols.toSeq.map { case (c, a) => col(c).as(a) } :+
       col("kind").as("row_kind"): _*)
     havingFilter(res, having, gItem.get._2, quals, ttl)
@@ -885,28 +934,73 @@ object StreamSql {
       s"GROUP BY must match the select's key expression '$gExpr': $groupBy")
     val fns = outCols.map(_._1).toSet
     val hasMinMax = fns.contains("MIN") || fns.contains("MAX")
-    require(!(hasMinMax && fns.exists(MomentAggs)),
-      "MIN/MAX keep a live row set while SUM/AVG/VAR/STDDEV keep a " +
-      "moment accumulator — one operator family per statement " +
-      "(compose in the Scala API)")
+    val hasMoment = fns.exists(MomentAggs)
 
-    implicit val keyEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
-    if (hasMinMax) {
+    val vdf = whereFilter(v.df, whereCl, quals)
+    val integral = isIntegralKey(vdf, gExpr)
+    // one shared operand ORDER for the variance family so the oracle
+    // dual `(ssq − s·s/n)/n` is reproducible bit-for-bit
+    def varPop = (col("sumsq") - col("sum") * col("sum") / col("count")) /
+      col("count")
+    def varSamp = when(col("count") > 1,
+      (col("sumsq") - col("sum") * col("sum") / col("count")) /
+        (col("count") - lit(1L)))
+    if (hasMinMax && hasMoment) {
+      // heterogeneous families in ONE statement → the single
+      // multi-accumulator operator (the reference's GroupAggFunction
+      // hosting moment and Min/MaxWithRetract accumulators together)
       val rowIdCol = v.rowIdCol.getOrElse(throw new IllegalArgumentException(
         s"streaming MIN/MAX over '$vName' needs its upsert key: " +
         "registerChangelog(..., rowId = Some(col)) — retracting the " +
         "current extreme re-admits the runner-up from the live row set"))
-      implicit val enc4: Encoder[(Long, String, Double, Long)] = ExpressionEncoder()
-      val base = whereFilter(v.df, whereCl, quals)
-        .withColumn("__g", expr(gExpr).cast("long"))
-        .withColumn("__v", expr(vExpr.get).cast("double"))
-        .select(col("__g"), col(v.kindCol).cast("string"), col("__v"),
-                col(rowIdCol).cast("long"))
-        .as[(Long, String, Double, Long)]
-      val d = Changelog.aggregateChangelogMinMax[(Long, String, Double, Long)](
-        base.groupByKey(_._1), kind = _._2, value = _._3, ord = _._4,
-        ttl = ttl)
-      val res = d.toDF().select(outCols.toSeq.map {
+      def run[K: scala.reflect.runtime.universe.TypeTag](cast: String): DataFrame = {
+        implicit val enc4: Encoder[(K, String, Double, Long)] = ExpressionEncoder()
+        implicit val keyEnc: Encoder[K] = ExpressionEncoder()
+        val base = vdf
+          .withColumn("__g", expr(gExpr).cast(cast))
+          .withColumn("__v", expr(vExpr.get).cast("double"))
+          .select(col("__g"), col(v.kindCol).cast("string"), col("__v"),
+                  col(rowIdCol).cast("long"))
+          .as[(K, String, Double, Long)]
+        Changelog.aggregateChangelogMulti[K, (K, String, Double, Long)](
+          base.groupByKey(_._1), kind = _._2, value = _._3, ord = _._4,
+          ttl = ttl).toDF()
+      }
+      val d = if (integral) run[Long]("long") else run[String]("string")
+      val res = d.select(outCols.toSeq.map {
+        case ("KEY", a) => col("key").as(a)
+        case ("SUM", a) => col("sum").as(a)
+        case ("COUNT", a) => col("count").as(a)
+        case ("AVG", a) => (col("sum") / col("count")).as(a)
+        case ("VAR_POP", a) => varPop.as(a)
+        case ("VAR_SAMP", a) => varSamp.as(a)
+        case ("STDDEV_POP", a) => sqrt(varPop).as(a)
+        case ("STDDEV_SAMP", a) => sqrt(varSamp).as(a)
+        case ("MIN", a) => col("min").as(a)
+        case ("MAX", a) => col("max").as(a)
+        case (f, _) => throw new IllegalStateException(f) // unreachable
+      } :+ col("kind").as("row_kind"): _*)
+      havingFilter(res, having, gItem.get._2, quals, ttl)
+    } else if (hasMinMax) {
+      val rowIdCol = v.rowIdCol.getOrElse(throw new IllegalArgumentException(
+        s"streaming MIN/MAX over '$vName' needs its upsert key: " +
+        "registerChangelog(..., rowId = Some(col)) — retracting the " +
+        "current extreme re-admits the runner-up from the live row set"))
+      def run[K: scala.reflect.runtime.universe.TypeTag](cast: String): DataFrame = {
+        implicit val enc4: Encoder[(K, String, Double, Long)] = ExpressionEncoder()
+        implicit val keyEnc: Encoder[K] = ExpressionEncoder()
+        val base = vdf
+          .withColumn("__g", expr(gExpr).cast(cast))
+          .withColumn("__v", expr(vExpr.get).cast("double"))
+          .select(col("__g"), col(v.kindCol).cast("string"), col("__v"),
+                  col(rowIdCol).cast("long"))
+          .as[(K, String, Double, Long)]
+        Changelog.aggregateChangelogMinMax[K, (K, String, Double, Long)](
+          base.groupByKey(_._1), kind = _._2, value = _._3, ord = _._4,
+          ttl = ttl).toDF()
+      }
+      val d = if (integral) run[Long]("long") else run[String]("string")
+      val res = d.select(outCols.toSeq.map {
         case ("KEY", a) => col("key").as(a)
         case ("MIN", a) => col("min").as(a)
         case ("MAX", a) => col("max").as(a)
@@ -915,23 +1009,20 @@ object StreamSql {
       } :+ col("kind").as("row_kind"): _*)
       havingFilter(res, having, gItem.get._2, quals, ttl)
     } else {
-      implicit val enc3: Encoder[(Long, String, Double)] = ExpressionEncoder()
-      val base = whereFilter(v.df, whereCl, quals)
-        .withColumn("__g", expr(gExpr).cast("long"))
-        // COUNT(*)-only statements have no value argument: fold zeros
-        .withColumn("__v", expr(vExpr.getOrElse("0")).cast("double"))
-        .select(col("__g"), col(v.kindCol).cast("string"), col("__v"))
-        .as[(Long, String, Double)]
-      val d = Changelog.aggregateChangelogStats[(Long, String, Double)](
-        base.groupByKey(_._1), kind = _._2, value = _._3, ttl = ttl)
-      // one shared operand ORDER for the variance family so the oracle
-      // dual `(ssq − s·s/n)/n` is reproducible bit-for-bit
-      val varPop = (col("sumsq") - col("sum") * col("sum") / col("count")) /
-        col("count")
-      val varSamp = when(col("count") > 1,
-        (col("sumsq") - col("sum") * col("sum") / col("count")) /
-          (col("count") - lit(1L)))
-      val res = d.toDF().select(outCols.toSeq.map {
+      def run[K: scala.reflect.runtime.universe.TypeTag](cast: String): DataFrame = {
+        implicit val enc3: Encoder[(K, String, Double)] = ExpressionEncoder()
+        implicit val keyEnc: Encoder[K] = ExpressionEncoder()
+        val base = vdf
+          .withColumn("__g", expr(gExpr).cast(cast))
+          // COUNT(*)-only statements have no value argument: fold zeros
+          .withColumn("__v", expr(vExpr.getOrElse("0")).cast("double"))
+          .select(col("__g"), col(v.kindCol).cast("string"), col("__v"))
+          .as[(K, String, Double)]
+        Changelog.aggregateChangelogStats[K, (K, String, Double)](
+          base.groupByKey(_._1), kind = _._2, value = _._3, ttl = ttl).toDF()
+      }
+      val d = if (integral) run[Long]("long") else run[String]("string")
+      val res = d.select(outCols.toSeq.map {
         case ("KEY", a) => col("key").as(a)
         case ("SUM", a) => col("sum").as(a)
         case ("COUNT", a) => col("count").as(a)

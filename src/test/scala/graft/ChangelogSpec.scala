@@ -8,6 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.Changelog
 
 case class CRow(key: Long, kind: String, value: Double, ord: Long)
+/** String-keyed sibling of [[CRow]] for the generic-key cases. */
+case class SRow(skey: String, kind: String, value: Double, ord: Long)
 
 class ChangelogSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
@@ -27,7 +29,7 @@ class ChangelogSpec extends AnyFunSuite {
   test("streaming changelog aggregate emits -U/+U retraction pairs") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]
-    val out = Changelog.aggregateChangelog[CRow](
+    val out = Changelog.aggregateChangelog[Long, CRow](
       mem.toDS().groupByKey(_.key), _.kind, _.value)
     val q = out.writeStream.format("memory").queryName("cl_agg")
       .outputMode(OutputMode.Append).start()
@@ -51,7 +53,7 @@ class ChangelogSpec extends AnyFunSuite {
   test("retract-aware max: deleting the current max re-emits the runner-up") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]
-    val out = Changelog.aggregateChangelogMinMax[CRow](
+    val out = Changelog.aggregateChangelogMinMax[Long, CRow](
       mem.toDS().groupByKey(_.key), _.kind, _.value, _.ord)
     val q = out.writeStream.format("memory").queryName("cl_minmax")
       .outputMode(OutputMode.Append).start()
@@ -78,7 +80,7 @@ class ChangelogSpec extends AnyFunSuite {
   test("changelog aggregate emits nothing for no-op batches") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]
-    val out = Changelog.aggregateChangelog[CRow](
+    val out = Changelog.aggregateChangelog[Long, CRow](
       mem.toDS().groupByKey(_.key), _.kind, _.value)
     val q = out.writeStream.format("memory").queryName("cl_noop")
       .outputMode(OutputMode.Append).start()
@@ -241,10 +243,10 @@ class ChangelogSpec extends AnyFunSuite {
     val lMem = MemoryStream[CRow]
     val rMem = MemoryStream[CRow]
     // updating upsert views on both sides (≤1 live row per key)
-    val lAgg = Changelog.aggregateChangelog[CRow](
+    val lAgg = Changelog.aggregateChangelog[Long, CRow](
         lMem.toDS().groupByKey(_.key), _.kind, _.value)
       .map(a => (a.key, a.kind, LAgg(a.sum, a.count)))
-    val rAgg = Changelog.aggregateChangelog[CRow](
+    val rAgg = Changelog.aggregateChangelog[Long, CRow](
         rMem.toDS().groupByKey(_.key), _.kind, _.value)
       .map(a => (a.key, a.kind, RAgg(a.sum, a.count)))
     val out = Changelog.joinChangelogOuter(lAgg, rAgg, Changelog.FullOuter)
@@ -299,10 +301,10 @@ class ChangelogSpec extends AnyFunSuite {
     val lMem = MemoryStream[CRow]
     val rMem = MemoryStream[CRow]
     // two updating views: per-key SUM/COUNT over each raw changelog
-    val lAgg = Changelog.aggregateChangelog[CRow](
+    val lAgg = Changelog.aggregateChangelog[Long, CRow](
         lMem.toDS().groupByKey(_.key), _.kind, _.value)
       .map(a => (a.key, a.kind, LAgg(a.sum, a.count)))
-    val rAgg = Changelog.aggregateChangelog[CRow](
+    val rAgg = Changelog.aggregateChangelog[Long, CRow](
         rMem.toDS().groupByKey(_.key), _.kind, _.value)
       .map(a => (a.key, a.kind, RAgg(a.sum, a.count)))
     val out = Changelog.joinChangelog(lAgg, rAgg)
@@ -631,7 +633,7 @@ class ChangelogSpec extends AnyFunSuite {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]
     // generous TTL — the two batches run back-to-back, far under 1h
-    val out = Changelog.aggregateChangelog[CRow](
+    val out = Changelog.aggregateChangelog[Long, CRow](
       mem.toDS().groupByKey(_.key), _.kind, _.value,
       ttl = Some(IdleStateTtl(3600L * 1000)))
     val q = out.writeStream.format("memory").queryName("cl_ttl_cont")
@@ -651,7 +653,7 @@ class ChangelogSpec extends AnyFunSuite {
   test("TTL aggregate: an expired key's re-arrival behaves as a fresh insert") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]
-    val out = Changelog.aggregateChangelog[CRow](
+    val out = Changelog.aggregateChangelog[Long, CRow](
       mem.toDS().groupByKey(_.key), _.kind, _.value,
       ttl = Some(IdleStateTtl(500L)))
     val q = out.writeStream.format("memory").queryName("cl_ttl_fresh")
@@ -672,7 +674,7 @@ class ChangelogSpec extends AnyFunSuite {
   test("TTL reclaim timers physically remove state of keys that never return") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]
-    val out = Changelog.aggregateChangelog[CRow](
+    val out = Changelog.aggregateChangelog[Long, CRow](
       mem.toDS().groupByKey(_.key), _.kind, _.value,
       ttl = Some(IdleStateTtl(500L, reclaimTimers = true)))
     // reclaimTimers mode: the engine self-schedules timeout batches, so
@@ -712,7 +714,7 @@ class ChangelogSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.state.ttl.reclaimTimers")
       // the conf-driven TTL behaves like the explicit one: expiry
       val mem = MemoryStream[CRow]
-      val out = Changelog.aggregateChangelog[CRow](
+      val out = Changelog.aggregateChangelog[Long, CRow](
         mem.toDS().groupByKey(_.key), _.kind, _.value,
         ttl = Changelog.ttlFromConf(spark))
       val q = out.writeStream.format("memory").queryName("cl_ttl_conf")
@@ -735,7 +737,7 @@ class ChangelogSpec extends AnyFunSuite {
   test("TTL aggregate: a late retraction of an expired row is stale — ignored") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]
-    val out = Changelog.aggregateChangelog[CRow](
+    val out = Changelog.aggregateChangelog[Long, CRow](
       mem.toDS().groupByKey(_.key), _.kind, _.value,
       ttl = Some(IdleStateTtl(500L)))
     val q = out.writeStream.format("memory").queryName("cl_ttl_stale")
@@ -758,7 +760,7 @@ class ChangelogSpec extends AnyFunSuite {
   test("TTL minmax: an expired key's extremes restart from the re-arrival") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]
-    val out = Changelog.aggregateChangelogMinMax[CRow](
+    val out = Changelog.aggregateChangelogMinMax[Long, CRow](
       mem.toDS().groupByKey(_.key), _.kind, _.value, _.ord,
       ttl = Some(IdleStateTtl(500L)))
     val q = out.writeStream.format("memory").queryName("cl_ttl_minmax")
@@ -865,7 +867,7 @@ class ChangelogSpec extends AnyFunSuite {
   test("distinct aggregate: distinct count moves only on 0↔1 value-instance transitions") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]
-    val out = Changelog.aggregateChangelogDistinct[CRow](
+    val out = Changelog.aggregateChangelogDistinct[Long, CRow](
       mem.toDS().groupByKey(_.key), _.kind, _.value)
     val q = out.writeStream.format("memory").queryName("cl_distinct")
       .outputMode(OutputMode.Append).start()
@@ -899,9 +901,9 @@ class ChangelogSpec extends AnyFunSuite {
     val mem = MemoryStream[CRow]
     // per-user sum view; DISTINCT over the users' current sum BUCKETS
     // (sum div 30) per constant group — bucket flips arrive as -U/+U
-    val agg = Changelog.aggregateChangelog[CRow](
+    val agg = Changelog.aggregateChangelog[Long, CRow](
       mem.toDS().groupByKey(_.key), _.kind, _.value)
-    val out = Changelog.aggregateChangelogDistinct[Changelog.AggChange](
+    val out = Changelog.aggregateChangelogDistinct[Long, Changelog.AggChange[Long]](
       agg.groupByKey(_ => 0L), _.kind, a => math.floor(a.sum / 30.0))
     val q = out.writeStream.format("memory").queryName("cl_distinct_agg")
       .outputMode(OutputMode.Append).start()
@@ -929,7 +931,7 @@ class ChangelogSpec extends AnyFunSuite {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]
     // rowId = the CRow's ord field; rank by (value desc, rowId asc); n = 2
-    val out = Changelog.topNChangelog[CRow](
+    val out = Changelog.topNChangelog[Long, CRow](
       mem.toDS().groupByKey(_.key), n = 2,
       kind = _.kind, score = _.value, rowId = _.ord)
     val q = out.writeStream.format("memory").queryName("cl_topn")
@@ -967,7 +969,7 @@ class ChangelogSpec extends AnyFunSuite {
   test("retract Top-N: drain-then-rearrive stays materialize-safe (ord never restarts)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]
-    val out = Changelog.topNChangelog[CRow](
+    val out = Changelog.topNChangelog[Long, CRow](
       mem.toDS().groupByKey(_.key), n = 2,
       kind = _.kind, score = _.value, rowId = _.ord)
     val q = out.writeStream.format("memory").queryName("cl_topn_drain")
@@ -1021,7 +1023,7 @@ class ChangelogSpec extends AnyFunSuite {
     // upsert-only protocol is the same operator with no -U traffic
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]
-    val out = Changelog.topNChangelog[CRow](
+    val out = Changelog.topNChangelog[Long, CRow](
       mem.toDS().groupByKey(_.key), n = 2,
       kind = _.kind, score = _.value, rowId = _.ord)
     val q = out.writeStream.format("memory").queryName("cl_topn_upd")
@@ -1048,9 +1050,9 @@ class ChangelogSpec extends AnyFunSuite {
     val mem = MemoryStream[CRow]
     // CRow(key=user, value=amount): aggregate per user, then global top-3
     // users by live sum — agg retraction pairs feed the rank operator
-    val agg = Changelog.aggregateChangelog[CRow](
+    val agg = Changelog.aggregateChangelog[Long, CRow](
       mem.toDS().groupByKey(_.key), _.kind, _.value)
-    val out = Changelog.topNChangelog[Changelog.AggChange](
+    val out = Changelog.topNChangelog[Long, Changelog.AggChange[Long]](
       agg.groupByKey(_ => 0L), n = 3,
       kind = _.kind, score = _.sum, rowId = _.key)
     val q = out.writeStream.format("memory").queryName("cl_topn_agg")
@@ -1145,7 +1147,7 @@ class ChangelogSpec extends AnyFunSuite {
     val rMem = MemoryStream[CRow]
     val left = lMem.toDS().map(c => (c.key, c.kind, LSide(c.value)))
     val right = rMem.toDS().map(c => (c.key, c.kind, RSide(c.value)))
-    val out = Changelog.joinChangelogSemi[LSide, RSide](left, right,
+    val out = Changelog.joinChangelogSemi[Long, LSide, RSide](left, right,
       cond = (_, r) => r.v >= 150.0)
     val q = out.writeStream.format("memory").queryName("cl_semi_cond")
       .outputMode(OutputMode.Append).start()
@@ -1192,7 +1194,7 @@ class ChangelogSpec extends AnyFunSuite {
     val rMem = MemoryStream[CRow]
     val left = lMem.toDS().map(c => (c.key, c.kind, LSide(c.value)))
     val right = rMem.toDS().map(c => (c.key, c.kind, RSide(c.value)))
-    val out = Changelog.joinChangelogSemi[LSide, RSide](left, right,
+    val out = Changelog.joinChangelogSemi[Long, LSide, RSide](left, right,
       ttl = Some(IdleStateTtl(2000L)))
     val q = out.writeStream.format("memory").queryName("cl_semi_ttl")
       .outputMode(OutputMode.Append).start()
@@ -1213,7 +1215,7 @@ class ChangelogSpec extends AnyFunSuite {
   test("retract FIRST_VALUE: retracting the current first re-admits the successor") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]
-    val out = Changelog.aggregateChangelogListAgg[CRow](
+    val out = Changelog.aggregateChangelogListAgg[Long, CRow](
       mem.toDS().groupByKey(_.key), _.kind, _.value, _.ord)
     val q = out.writeStream.format("memory").queryName("cl_first")
       .outputMode(OutputMode.Append).start()
@@ -1234,7 +1236,7 @@ class ChangelogSpec extends AnyFunSuite {
   test("retract COLLECT: deleting one of two equal values keeps the element") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]
-    val out = Changelog.aggregateChangelogListAgg[CRow](
+    val out = Changelog.aggregateChangelogListAgg[Long, CRow](
       mem.toDS().groupByKey(_.key), _.kind, _.value, _.ord)
     val q = out.writeStream.format("memory").queryName("cl_collect")
       .outputMode(OutputMode.Append).start()
@@ -1259,7 +1261,7 @@ class ChangelogSpec extends AnyFunSuite {
   test("retract LISTAGG: an upstream -U/+U pair updates the element in place") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]
-    val out = Changelog.aggregateChangelogListAgg[CRow](
+    val out = Changelog.aggregateChangelogListAgg[Long, CRow](
       mem.toDS().groupByKey(_.key), _.kind, _.value, _.ord)
     val q = out.writeStream.format("memory").queryName("cl_listagg")
       .outputMode(OutputMode.Append).start()
@@ -1281,7 +1283,7 @@ class ChangelogSpec extends AnyFunSuite {
   test("retract agg staleness guard: a -U whose value no longer matches its ord is ignored") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]
-    val out = Changelog.aggregateChangelogListAgg[CRow](
+    val out = Changelog.aggregateChangelogListAgg[Long, CRow](
       mem.toDS().groupByKey(_.key), _.kind, _.value, _.ord)
     val q = out.writeStream.format("memory").queryName("cl_stale")
       .outputMode(OutputMode.Append).start()
@@ -1308,7 +1310,7 @@ class ChangelogSpec extends AnyFunSuite {
   test("retract stats: both moments reverse exactly and the group retires at count 0") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[CRow]
-    val out = Changelog.aggregateChangelogStats[CRow](
+    val out = Changelog.aggregateChangelogStats[Long, CRow](
       mem.toDS().groupByKey(_.key), _.kind, _.value)
     val q = out.writeStream.format("memory").queryName("cl_stats")
       .outputMode(OutputMode.Append).start()
@@ -1359,9 +1361,11 @@ class ChangelogSpec extends AnyFunSuite {
     assert(got.head == ((1L, 10.0, "+U")))
     assert(got.tail.toSet == Set((1L, 10.0, "-D"), (3L, 8.0, "+U")))
     assert(got.size == 3)
+    // filterChangelog keys state on the key's canonical STRING form
+    // (generic-key support, round 13)
     val keys = spark.read.format("statestore").load(ck)
-      .selectExpr("key.value AS k").as[Long].collect().toSet
-    assert(keys == Set(3L), s"expected only the live key's cell: $keys")
+      .selectExpr("key.value AS k").as[String].collect().toSet
+    assert(keys == Set("3"), s"expected only the live key's cell: $keys")
   }
 
   test("filterChangelog TTL: an idle key's cell expires, so its next value re-enters fresh") {
@@ -1411,8 +1415,54 @@ class ChangelogSpec extends AnyFunSuite {
       .as[(Double, String)].collect().toList
     assert(got == List((10.0, "+U"))) // no -D, no re-entry
     val keys = spark.read.format("statestore").load(ck)
-      .selectExpr("key.value AS k").as[Long].collect().toSet
+      .selectExpr("key.value AS k").as[String].collect().toSet
     assert(keys.isEmpty, s"dead cell lingers after expiry+fail: $keys")
+  }
+
+  test("changelog aggregate keys on arbitrary types: string keys, no user hashing") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SRow]
+    val out = Changelog.aggregateChangelog[String, SRow](
+      mem.toDS().groupByKey(_.skey), _.kind, _.value)
+    val q = out.writeStream.format("memory").queryName("cl_agg_str")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(SRow("web/en", "+I", 5.0, 1), SRow("web/en", "+I", 7.0, 2),
+                  SRow("books", "+I", 2.0, 3))
+      q.processAllAvailable()
+      mem.addData(SRow("web/en", "-D", 5.0, 4)) // retraction on a string key
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_agg_str")
+      .select("key", "kind", "sum", "count")
+      .as[(String, String, Double, Long)].collect().toList
+    assert(got.filter(_._1 == "books") == List(("books", "+U", 2.0, 1L)))
+    assert(got.filter(_._1 == "web/en") == List(
+      ("web/en", "+U", 12.0, 2L),
+      ("web/en", "-U", 12.0, 2L), ("web/en", "+U", 7.0, 1L)))
+  }
+
+  test("changelog join keys on string keys end to end") {
+    implicit val sc = spark.sqlContext
+    val lmem = MemoryStream[SRow]; val rmem = MemoryStream[SRow]
+    val left = lmem.toDS().map(r => (r.skey, r.kind, r.value))
+    val right = rmem.toDS().map(r => (r.skey, r.kind, r.value))
+    val out = Changelog.joinChangelog[String, Double, Double](left, right)
+    val q = out.writeStream.format("memory").queryName("cl_join_str")
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData(SRow("src-a", "+I", 1.0, 1))
+      rmem.addData(SRow("src-a", "+I", 2.0, 1), SRow("src-b", "+I", 9.0, 2))
+      q.processAllAvailable()
+      rmem.addData(SRow("src-a", "-D", 2.0, 3)) // pair retracts
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cl_join_str")
+      .select("key", "kind", "left", "right")
+      .as[(String, String, Double, Double)].collect().toList
+    assert(got == List(
+      ("src-a", "+I", 1.0, 2.0),
+      ("src-a", "-D", 1.0, 2.0)))
   }
 }
 

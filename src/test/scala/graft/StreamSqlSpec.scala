@@ -93,7 +93,7 @@ class StreamSqlSpec extends AnyFunSuite {
                    ROW_NUMBER() OVER (PARTITION BY key % 2
                                       ORDER BY value DESC, key) AS rn
             FROM $tv) t WHERE rn <= 2""")
-    val direct = Changelog.topNChangelog[CRow](
+    val direct = Changelog.topNChangelog[Long, CRow](
       apiMem.toDS().groupByKey(_.key % 2), n = 2,
       kind = _.kind, score = _.value, rowId = _.key)
     val sinkS = fresh("sql_topn"); val sinkA = fresh("api_topn")
@@ -157,7 +157,7 @@ class StreamSqlSpec extends AnyFunSuite {
     val out = SqlFrontend.sql(spark,
       s"""SELECT key % 2 AS g, COUNT(DISTINCT value) AS d, COUNT(*) AS c
           FROM $dv GROUP BY key % 2""")
-    val direct = Changelog.aggregateChangelogDistinct[CRow](
+    val direct = Changelog.aggregateChangelogDistinct[Long, CRow](
       apiMem.toDS().groupByKey(_.key % 2), _.kind, _.value)
     val sinkS = fresh("sql_dist"); val sinkA = fresh("api_dist")
     val qs = out.writeStream.format("memory").queryName(sinkS)
@@ -198,7 +198,7 @@ class StreamSqlSpec extends AnyFunSuite {
                  LAST_VALUE(value) AS lv2, LISTAGG(value) AS vals,
                  COLLECT(value) AS ms, COUNT(*) AS c
           FROM $lv GROUP BY key % 2""")
-    val direct = Changelog.aggregateChangelogListAgg[CRow](
+    val direct = Changelog.aggregateChangelogListAgg[Long, CRow](
       apiMem.toDS().groupByKey(_.key % 2), _.kind, _.value, _.ord)
     val sinkS = fresh("sql_la"); val sinkA = fresh("api_la")
     val qs = out.writeStream.format("memory").queryName(sinkS)
@@ -477,7 +477,7 @@ class StreamSqlSpec extends AnyFunSuite {
                  AVG(value) AS a, VAR_POP(value) AS vp,
                  STDDEV_SAMP(value) AS sd
           FROM $gv GROUP BY key % 2""")
-    val direct = Changelog.aggregateChangelogStats[CRow](
+    val direct = Changelog.aggregateChangelogStats[Long, CRow](
       apiMem.toDS().groupByKey(_.key % 2), _.kind, _.value)
     val sinkS = fresh("sql_ga"); val sinkA = fresh("api_ga")
     val qs = out.writeStream.format("memory").queryName(sinkS)
@@ -551,7 +551,7 @@ class StreamSqlSpec extends AnyFunSuite {
     StreamSql.dropChangelog(hv)
   }
 
-  test("SQL MIN/MAX routes to the extremes aggregate; mixing families throws") {
+  test("SQL MIN/MAX routes to the extremes aggregate; mixed families route to the multi operator") {
     implicit val sc = spark.sqlContext
     val mv = fresh("mv")
     val mem = MemoryStream[CRow]
@@ -574,12 +574,34 @@ class StreamSqlSpec extends AnyFunSuite {
     assert(got == List(
       (0L, 5.0, 9.0, 2L, "+U"),
       (0L, 5.0, 9.0, 2L, "-U"), (0L, 5.0, 5.0, 1L, "+U")))
-    // min/max and the moment family keep different state: reject mixes
-    val e = intercept[IllegalArgumentException] {
-      SqlFrontend.sql(spark,
-        s"SELECT key AS g, MIN(value) AS mn, SUM(value) AS s FROM $mv GROUP BY key")
-    }
-    assert(e.getMessage.contains("one operator family"))
+    // heterogeneous families in ONE statement: SUM + MIN + COUNT route
+    // onto the multi-accumulator operator (GroupAggFunction hosting
+    // both families) — previously a documented fail-loud rejection
+    val mixMem = MemoryStream[CRow]
+    val mixV = fresh("mixv")
+    StreamSql.registerChangelog(mixV, mixMem.toDS().toDF(),
+      kindCol = "kind", rowId = Some("ord"))
+    val mixed = SqlFrontend.sql(spark,
+      s"""SELECT key % 2 AS g, SUM(value) AS s, MIN(value) AS mn,
+                 MAX(value) AS mx, AVG(value) AS a, COUNT(*) AS c
+          FROM $mixV GROUP BY key % 2""")
+    val mixSink = fresh("sql_mixed")
+    val qm = mixed.writeStream.format("memory").queryName(mixSink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mixMem.addData(CRow(2, "+I", 5.0, 1), CRow(4, "+I", 9.0, 2))
+      qm.processAllAvailable()
+      mixMem.addData(CRow(4, "-D", 9.0, 2)) // max retracts: both families react
+      qm.processAllAvailable()
+    } finally qm.stop()
+    val gotMix = spark.table(mixSink)
+      .select("g", "s", "mn", "mx", "a", "c", "row_kind")
+      .as[(Long, Double, Double, Double, Double, Long, String)]
+      .collect().toList
+    assert(gotMix == List(
+      (0L, 14.0, 5.0, 9.0, 7.0, 2L, "+U"),
+      (0L, 14.0, 5.0, 9.0, 7.0, 2L, "-U"), (0L, 5.0, 5.0, 5.0, 5.0, 1L, "+U")))
+    StreamSql.dropChangelog(mixV)
     // MIN/MAX without a declared rowId: pointer at registration
     val mv2 = fresh("mv2")
     StreamSql.registerChangelog(mv2, mem.toDS().toDF(), kindCol = "kind")
@@ -659,6 +681,39 @@ class StreamSqlSpec extends AnyFunSuite {
           FROM $dv GROUP BY key""")
     assert(out.columns.toSeq == Seq("distinct_key", "s", "row_kind"))
     StreamSql.dropChangelog(dv)
+  }
+
+  test("SQL GROUP BY on a STRING key routes without user hashing; HAVING keeps working") {
+    implicit val sc = spark.sqlContext
+    val sv = fresh("strv")
+    val mem = MemoryStream[SRow]
+    StreamSql.registerChangelog(sv, mem.toDS().toDF(), kindCol = "kind")
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT skey AS src, SUM(value) AS s, COUNT(*) AS c
+          FROM $sv GROUP BY skey HAVING s > 4""")
+    assert(out.schema("src").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val sink = fresh("sql_strkey")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(SRow("web/en", "+I", 5.0, 1), SRow("books", "+I", 2.0, 2))
+      q.processAllAvailable()
+      // books crosses the HAVING threshold; web/en updates in place
+      mem.addData(SRow("books", "+I", 3.0, 3), SRow("web/en", "+I", 1.0, 4))
+      q.processAllAvailable()
+      // retraction drops web/en below the threshold → explicit -D
+      mem.addData(SRow("web/en", "-D", 5.0, 5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).select("src", "s", "c", "row_kind")
+      .as[(String, Double, Long, String)].collect().toList
+    assert(got.filter(_._1 == "books") == List(("books", 5.0, 2L, "+U")))
+    assert(got.filter(_._1 == "web/en") == List(
+      ("web/en", 5.0, 1L, "+U"),
+      ("web/en", 5.0, 1L, "-U"), ("web/en", 6.0, 2L, "+U"),
+      ("web/en", 6.0, 2L, "-D")))
+    StreamSql.dropChangelog(sv)
   }
 
   test("AND immediately followed by '(' still splits conjuncts") {
