@@ -179,48 +179,11 @@ object AnnOps {
     // integer sub-dot (the inner-product PQ variant, consistent with
     // the suite's dot ranking); everything stays integer end-to-end →
     // bit-exact oracle.
-    "q326_pq_ann" -> ((s, dir) => {
-      val M = 8
-      val Sub = Dims / M
-      val ms = (0 until M).toList
-      val emb = sq8Corpus(s, dir) // feeds codebook pick, encoding AND queries
-      val cents = mdCentroids(emb, 16)
-      val centSub = cents
-        .select(col("cid"), col("cent"), explode(typedLit(ms)).as("m"))
-        .select(col("cid"), col("m"),
-                expr(s"slice(cent, m*$Sub + 1, $Sub)").as("cs"))
-      // encode: per (candidate, subspace), the argmax-dot codeword
-      val wEnc = Window.partitionBy("cand_id", "m")
-        .orderBy(col("d").desc, col("cid"))
-      val codes = emb.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("cand_id"), col("q8"),
-                explode(typedLit(ms)).as("m"))
-        .select(col("cand_id"), col("m"),
-                expr(s"slice(q8, m*$Sub + 1, $Sub)").as("xs"))
-        .join(broadcast(centSub), "m")
-        .withColumn("d", dotCodes(col("xs"), col("cs")))
-        .withColumn("ern", row_number().over(wEnc))
-        .filter(col("ern") === 1)
-        .select(col("cand_id"), col("m"), col("cid"))
-      // ADC table: every query's integer sub-dot against every codeword
-      val lut = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("q8"),
-                explode(typedLit(ms)).as("m"))
-        .select(col("q_id"), col("m"),
-                expr(s"slice(q8, m*$Sub + 1, $Sub)").as("qs"))
-        .join(broadcast(centSub), "m")
-        .withColumn("lv", dotCodes(col("qs"), col("cs")))
-        .select(col("q_id"), col("m"), col("cid"), col("lv"))
-      val wTop = Window.partitionBy("q_id")
-        .orderBy(col("adot").desc, col("cand_id"))
-      codes.join(broadcast(lut), Seq("m", "cid"))
-        .groupBy("q_id", "cand_id")
-        .agg(sum("lv").as("adot"))
-        .withColumn("rnk", row_number().over(wTop))
+    "q326_pq_ann" -> ((s, dir) =>
+      pqAdcRanked(s, dir)
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("cand_id"),
-                col("rnk").cast("int").as("rnk"), col("adot"))
-    }),
+                col("rnk").cast("int").as("rnk"), col("adot"))),
 
     // IVF-PQ — the production-default composed index (FAISS
     // "IVF<K>,PQ<M>"): q311's coarse quantizer (md5-seeded K=8 lists,
@@ -230,66 +193,67 @@ object AnnOps {
     // touches nprobe/K of the corpus and reads no embeddings at all —
     // the combination that holds both the memory AND the compute side
     // at 100 TB. All-integer end-to-end → bit-exact oracle.
-    "q328_ivf_pq" -> ((s, dir) => {
-      val M = 8
-      val Sub = Dims / M
-      val nprobe = 2
-      val ms = (0 until M).toList
-      val emb = sq8Corpus(s, dir)
-      val coarse = mdCentroids(emb, 8)
-        .select(col("cid").as("ccid"), col("cent").as("ccent"))
-      val centSub = mdCentroids(emb, 16)
-        .select(col("cid"), col("cent"), explode(typedLit(ms)).as("m"))
-        .select(col("cid"), col("m"),
-                expr(s"slice(cent, m*$Sub + 1, $Sub)").as("cs"))
-      // coarse assignment: every candidate to its best list (q311)
-      val wCoarse = Window.partitionBy("vec_id")
-        .orderBy(col("d").desc, col("ccid"))
-      val assigned = emb.filter(col("vec_id") >= 10)
-        .crossJoin(broadcast(coarse))
-        .withColumn("d", dotCodes(col("q8"), col("ccent")))
-        .withColumn("arn", row_number().over(wCoarse))
-        .filter(col("arn") === 1)
-        .select(col("vec_id").as("cand_id"), col("q8"), col("ccid"))
-      // PQ encoding of the assigned candidates (q326)
-      val wEnc = Window.partitionBy("cand_id", "m")
-        .orderBy(col("d").desc, col("cid"))
-      val codes = assigned
-        .select(col("cand_id"), col("ccid"), col("q8"),
-                explode(typedLit(ms)).as("m"))
-        .select(col("cand_id"), col("ccid"), col("m"),
-                expr(s"slice(q8, m*$Sub + 1, $Sub)").as("xs"))
-        .join(broadcast(centSub), "m")
-        .withColumn("d", dotCodes(col("xs"), col("cs")))
-        .withColumn("ern", row_number().over(wEnc))
-        .filter(col("ern") === 1)
-        .select(col("cand_id"), col("ccid"), col("m"), col("cid"))
-      // queries: probe the top-nprobe coarse lists + build the ADC LUT
-      val queriesQ8 = emb.filter(col("vec_id") < 10)
-      val probes = queriesQ8
-        .crossJoin(broadcast(coarse))
-        .withColumn("d", dotCodes(col("q8"), col("ccent")))
-        .withColumn("prn", row_number().over(wCoarse))
-        .filter(col("prn") <= nprobe)
-        .select(col("vec_id").as("q_id"), col("ccid"))
-      val lut = queriesQ8
-        .select(col("vec_id").as("q_id"), col("q8"),
-                explode(typedLit(ms)).as("m"))
-        .select(col("q_id"), col("m"),
-                expr(s"slice(q8, m*$Sub + 1, $Sub)").as("qs"))
-        .join(broadcast(centSub), "m")
-        .withColumn("lv", dotCodes(col("qs"), col("cs")))
-        .select(col("q_id"), col("m"), col("cid"), col("lv"))
-      val wTop = Window.partitionBy("q_id")
-        .orderBy(col("adot").desc, col("cand_id"))
-      codes.join(broadcast(probes), "ccid")
-        .join(broadcast(lut), Seq("q_id", "m", "cid"))
-        .groupBy("q_id", "cand_id")
-        .agg(sum("lv").as("adot"))
-        .withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("cand_id"),
-                col("rnk").cast("int").as("rnk"), col("adot"))
+    "q328_ivf_pq" -> ((s, dir) => ivfPq(s, dir)),
+
+    // Two-stage PQ serving with an EXACT re-rank (FAISS's
+    // IndexRefineFlat over IndexPQ — the standard production answer to
+    // PQ's recall cost): stage 1 is q326's ADC scan reading 8 codes
+    // per corpus vector, kept to its top-R candidates per query;
+    // stage 2 re-ranks ONLY those R with the full-precision float
+    // cosine and emits the refined top-5. The gate reports, per
+    // R ∈ {20, 50, 400}, the refined recall@5 against the exact float
+    // ground truth (q38). Two properties priced here:
+    //  - REFINE-EXACTNESS: any true-top-5 member inside the candidate
+    //    set outranks every non-member under the exact kernel, so the
+    //    refined recall EQUALS the candidate ceiling (recall@R of the
+    //    ADC scan) — the refine stage loses nothing (spec'd in
+    //    AnnRefineSpec);
+    //  - the CEILING ITSELF: on this near-random fixture PQ's
+    //    16-codeword snap scatters the true neighbors deep into the
+    //    ADC order (0.44 @ R=20, 0.60 @ R=50, 1.00 @ R=400 — the q327
+    //    0.26-recall story continued), so the sweep includes the R
+    //    where the two-stage path provably recovers exact recall. On
+    //    real clustered embeddings R = 2-10× k recovers ≥ 0.95+; the
+    //    fixture's R=400 point is the honest version of that claim.
+    // Scan-cost shape at 100 TB: stage 1 reads M=8 codes/vector (the
+    // PQ memory story, unchanged); the float column is touched only
+    // for the ≤ R×|queries| winner set — here via a join against the
+    // corpus (batch shape), in online serving via R point reads from
+    // the vector store.
+    "q334_pq_refine" -> ((s, dir) => {
+      val rs = Seq(20, 50, 400)
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val pq = pqAdcRanked(s, dir)
+      val cand = pq.crossJoin(
+          s.range(1).select(explode(typedLit(rs)).as("refine_r")))
+        .filter(col("rnk") <= col("refine_r"))
+        .select(col("refine_r"), col("q_id"), col("cand_id"))
+      val emb = Tables.table(s, dir, "embeddings")
+      val qe = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val ce = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+      val wRef = Window.partitionBy("refine_r", "q_id")
+        .orderBy(col("cos").desc, col("cand_id"))
+      val refined = cand
+        .join(broadcast(qe), "q_id")
+        .join(ce, "cand_id")
+        .withColumn("cos", cos(col("q_emb"), col("c_emb")))
+        .withColumn("rr", row_number().over(wRef))
+        .filter(col("rr") <= 5)
+        .select(col("refine_r"), col("q_id"), col("cand_id"))
+      val gt = graft.operators.VectorOps.queries("q38_cosine_topk")(s, dir)
+        .select(col("q_id"), col("cand_id"))
+      val tot = gt.groupBy().agg(count(lit(1)).as("n_rel"))
+      val hits = refined.join(gt, Seq("q_id", "cand_id"))
+        .groupBy("refine_r").agg(count(lit(1)).as("n_hit"))
+      s.range(1).select(explode(typedLit(rs)).as("refine_r"))
+        .join(hits, Seq("refine_r"), "left")
+        .crossJoin(tot)
+        .select(col("refine_r").cast("int").as("refine_r"),
+                coalesce(col("n_hit"), lit(0L)).cast("bigint").as("n_hit"),
+                round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+                      col("n_rel"), 6).as("recall_at_5"))
     }),
 
     // Bucket histogram: distribution diagnostics for the LSH table.
@@ -405,6 +369,116 @@ object AnnOps {
             lit(Planes.toDouble) * pow(p, Planes - 1) * (lit(1.0) - p), 6))
     })
   )
+
+  /** The q326 PQ/ADC pipeline, UNfiltered: every (query, candidate)
+    * pair with its ADC dot and per-query rank. q326 takes the top-5
+    * slice; q334's refine stage takes top-R candidate sets from the
+    * same single pipeline (one codebook pick, one encoding, one LUT —
+    * a sweep must not cost |R| index builds, the ivfSq8Sweep rule). */
+  private[graft] def pqAdcRanked(s: SparkSession, dir: String): DataFrame = {
+    val M = 8
+    val Sub = Dims / M
+    val ms = (0 until M).toList
+    val emb = sq8Corpus(s, dir) // feeds codebook pick, encoding AND queries
+    val cents = mdCentroids(emb, 16)
+    val centSub = cents
+      .select(col("cid"), col("cent"), explode(typedLit(ms)).as("m"))
+      .select(col("cid"), col("m"),
+              expr(s"slice(cent, m*$Sub + 1, $Sub)").as("cs"))
+    // encode: per (candidate, subspace), the argmax-dot codeword
+    val wEnc = Window.partitionBy("cand_id", "m")
+      .orderBy(col("d").desc, col("cid"))
+    val codes = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("q8"),
+              explode(typedLit(ms)).as("m"))
+      .select(col("cand_id"), col("m"),
+              expr(s"slice(q8, m*$Sub + 1, $Sub)").as("xs"))
+      .join(broadcast(centSub), "m")
+      .withColumn("d", dotCodes(col("xs"), col("cs")))
+      .withColumn("ern", row_number().over(wEnc))
+      .filter(col("ern") === 1)
+      .select(col("cand_id"), col("m"), col("cid"))
+    // ADC table: every query's integer sub-dot against every codeword
+    val lut = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("q8"),
+              explode(typedLit(ms)).as("m"))
+      .select(col("q_id"), col("m"),
+              expr(s"slice(q8, m*$Sub + 1, $Sub)").as("qs"))
+      .join(broadcast(centSub), "m")
+      .withColumn("lv", dotCodes(col("qs"), col("cs")))
+      .select(col("q_id"), col("m"), col("cid"), col("lv"))
+    val wTop = Window.partitionBy("q_id")
+      .orderBy(col("adot").desc, col("cand_id"))
+    codes.join(broadcast(lut), Seq("m", "cid"))
+      .groupBy("q_id", "cand_id")
+      .agg(sum("lv").as("adot"))
+      .withColumn("rnk", row_number().over(wTop))
+  }
+
+  /** The q328 IVF-PQ pipeline (coarse quantizer pruning + ADC serving
+    * inside the probed lists) — body factored out of the queries map
+    * when q326 gained its [[pqAdcRanked]] sibling. */
+  private def ivfPq(s: SparkSession, dir: String): DataFrame = {
+    val M = 8
+    val Sub = Dims / M
+    val nprobe = 2
+    val ms = (0 until M).toList
+    val emb = sq8Corpus(s, dir)
+    val coarse = mdCentroids(emb, 8)
+      .select(col("cid").as("ccid"), col("cent").as("ccent"))
+    val centSub = mdCentroids(emb, 16)
+      .select(col("cid"), col("cent"), explode(typedLit(ms)).as("m"))
+      .select(col("cid"), col("m"),
+              expr(s"slice(cent, m*$Sub + 1, $Sub)").as("cs"))
+    // coarse assignment: every candidate to its best list (q311)
+    val wCoarse = Window.partitionBy("vec_id")
+      .orderBy(col("d").desc, col("ccid"))
+    val assigned = emb.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(coarse))
+      .withColumn("d", dotCodes(col("q8"), col("ccent")))
+      .withColumn("arn", row_number().over(wCoarse))
+      .filter(col("arn") === 1)
+      .select(col("vec_id").as("cand_id"), col("q8"), col("ccid"))
+    // PQ encoding of the assigned candidates (q326)
+    val wEnc = Window.partitionBy("cand_id", "m")
+      .orderBy(col("d").desc, col("cid"))
+    val codes = assigned
+      .select(col("cand_id"), col("ccid"), col("q8"),
+              explode(typedLit(ms)).as("m"))
+      .select(col("cand_id"), col("ccid"), col("m"),
+              expr(s"slice(q8, m*$Sub + 1, $Sub)").as("xs"))
+      .join(broadcast(centSub), "m")
+      .withColumn("d", dotCodes(col("xs"), col("cs")))
+      .withColumn("ern", row_number().over(wEnc))
+      .filter(col("ern") === 1)
+      .select(col("cand_id"), col("ccid"), col("m"), col("cid"))
+    // queries: probe the top-nprobe coarse lists + build the ADC LUT
+    val queriesQ8 = emb.filter(col("vec_id") < 10)
+    val probes = queriesQ8
+      .crossJoin(broadcast(coarse))
+      .withColumn("d", dotCodes(col("q8"), col("ccent")))
+      .withColumn("prn", row_number().over(wCoarse))
+      .filter(col("prn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("ccid"))
+    val lut = queriesQ8
+      .select(col("vec_id").as("q_id"), col("q8"),
+              explode(typedLit(ms)).as("m"))
+      .select(col("q_id"), col("m"),
+              expr(s"slice(q8, m*$Sub + 1, $Sub)").as("qs"))
+      .join(broadcast(centSub), "m")
+      .withColumn("lv", dotCodes(col("qs"), col("cs")))
+      .select(col("q_id"), col("m"), col("cid"), col("lv"))
+    val wTop = Window.partitionBy("q_id")
+      .orderBy(col("adot").desc, col("cand_id"))
+    codes.join(broadcast(probes), "ccid")
+      .join(broadcast(lut), Seq("q_id", "m", "cid"))
+      .groupBy("q_id", "cand_id")
+      .agg(sum("lv").as("adot"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("cand_id"),
+              col("rnk").cast("int").as("rnk"), col("adot"))
+  }
 
   /** The q311 pipeline with the probe width exposed: nprobe of the `k`
     * inverted lists are scanned per query. nprobe = k probes every
@@ -544,6 +618,80 @@ object AnnOps {
         FROM scored)
       SELECT q_id, cand_id, CAST(rnk AS INT) AS rnk, dot
       FROM ranked WHERE rnk <= 5""",
+
+      // q326's ADC pipeline kept to top-R, float re-rank of the R only,
+      // recall@5 vs the exact float top-5 (q38's dual)
+      "q334_pq_refine" -> s"""
+      WITH $q8Cte,
+      cents AS (
+        SELECT vec_id AS cid, q8 AS cent FROM q8
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      ms AS (SELECT range AS m FROM range(8)),
+      centsub AS (
+        SELECT cid, m, list_slice(cent, m*8 + 1, m*8 + 8) AS cs
+        FROM cents, ms),
+      enc AS (
+        SELECT cand_id, m, cid,
+               row_number() OVER (PARTITION BY cand_id, m
+                                  ORDER BY d DESC, cid) AS ern
+        FROM (
+          SELECT x.vec_id AS cand_id, x.m, s.cid,
+                 CAST(${idotSqlN("x.xs", "s.cs", 8)} AS BIGINT) AS d
+          FROM (SELECT vec_id, m, list_slice(q8, m*8 + 1, m*8 + 8) AS xs
+                FROM q8, ms WHERE vec_id >= 10) x
+          JOIN centsub s ON x.m = s.m)),
+      codes AS (SELECT cand_id, m, cid FROM enc WHERE ern = 1),
+      lut AS (
+        SELECT qd.vec_id AS q_id, qd.m, s.cid,
+               CAST(${idotSqlN("qd.qs", "s.cs", 8)} AS BIGINT) AS lv
+        FROM (SELECT vec_id, m, list_slice(q8, m*8 + 1, m*8 + 8) AS qs
+              FROM q8, ms WHERE vec_id < 10) qd
+        JOIN centsub s ON qd.m = s.m),
+      adc AS (
+        SELECT l.q_id, c.cand_id, CAST(sum(l.lv) AS BIGINT) AS adot
+        FROM codes c JOIN lut l ON c.m = l.m AND c.cid = l.cid
+        GROUP BY 1, 2),
+      pq_ranked AS (
+        SELECT q_id, cand_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adot DESC, cand_id) AS rnk
+        FROM adc),
+      rs AS (SELECT UNNEST([20, 50, 400]) AS refine_r),
+      cand AS (
+        SELECT refine_r, q_id, cand_id
+        FROM pq_ranked, rs WHERE rnk <= refine_r),
+      ref AS (
+        SELECT refine_r, q_id, cand_id,
+               row_number() OVER (PARTITION BY refine_r, q_id
+                                  ORDER BY cos DESC, cand_id) AS rr
+        FROM (
+          SELECT cand.refine_r, cand.q_id, cand.cand_id,
+                 list_dot_product(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[])))
+                   AS cos
+          FROM cand JOIN embeddings qe ON qe.vec_id = cand.q_id
+                    JOIN embeddings ce ON ce.vec_id = cand.cand_id)),
+      gt AS (
+        SELECT q_id, cand_id FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) DESC,
+                   c.vec_id) AS rnk
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 10 AND c.vec_id >= 10) x WHERE rnk <= 5),
+      tot AS (SELECT count(*) AS n_rel FROM gt),
+      hits AS (
+        SELECT refine_r, count(*) AS n_hit
+        FROM ref JOIN gt ON ref.q_id = gt.q_id AND ref.cand_id = gt.cand_id
+        WHERE ref.rr <= 5 GROUP BY refine_r)
+      SELECT CAST(rs.refine_r AS INT) AS refine_r,
+             CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+             round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / tot.n_rel, 6)
+               AS recall_at_5
+      FROM rs LEFT JOIN hits h ON rs.refine_r = h.refine_r, tot""",
 
       "q326_pq_ann" -> s"""
       WITH $q8Cte,
