@@ -1791,6 +1791,44 @@ object ReplayQueries {
                 col("min_c").cast("long").as("min_c"),
                 col("max_c").cast("long").as("max_c"),
                 col("avg_c"), col("n_users"))
+    }),
+
+    // Changelog UNION ALL from SQL — the trivially changelog-preserving
+    // set op the reference plans day-one (a union of two changelogs IS
+    // the changelog of the union): the per-user purchase and click
+    // aggregate views unioned with a literal side tag, the click branch
+    // additionally WHERE-filtered (the retraction-commuting payload
+    // filter). Each branch follows the GroupAggFunction protocol on its
+    // own key and the side tag makes the composite keys disjoint, so
+    // the batch id materializes the union (q294 pattern).
+    "q335_stream_sql_union" -> ((s, dir) => {
+      val (side, out, ck) = purchaseClickViews(s, dir)
+      withStatePartitions(s, 8) {
+        StreamSql.registerChangelog("q335_p", side("purchase"), "kind")
+        StreamSql.registerChangelog("q335_c", side("click"), "kind")
+        try {
+          val u = graft.operators.SqlFrontend.sql(s,
+            """SELECT 'purchase' AS side, key, amt_c, cnt FROM q335_p
+               UNION ALL
+               SELECT 'click' AS side, key, amt_c, cnt FROM q335_c
+               WHERE cnt >= 10""")
+          val q = u.writeStream
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .foreachBatch { (batch: DataFrame, bid: Long) =>
+              batch.withColumn("bid", lit(bid))
+                .withColumn("mk", concat_ws("#", col("side"), col("key")))
+                .write.mode("append").parquet(out)
+            }
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally {
+          StreamSql.dropChangelog("q335_p"); StreamSql.dropChangelog("q335_c")
+        }
+      }
+      Changelog.materialize(s.read.parquet(out), "mk", "row_kind", "bid")
+        .select(col("side"), col("key").as("user_id"),
+                col("amt_c").cast("long").as("cents"), col("cnt"))
     })
   )
 
@@ -2675,6 +2713,19 @@ object ReplayQueries {
              max(cents) AS max_c,
              CAST(sum(cents) AS DOUBLE) / count(*) AS avg_c,
              count(*) AS n_users
-      FROM p GROUP BY 1"""
+      FROM p GROUP BY 1""",
+
+    "q335_stream_sql_union" -> """
+      WITH p AS (
+        SELECT user_id, CAST(sum(floor(value*100)) AS BIGINT) AS cents,
+               count(*) AS cnt
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      k AS (
+        SELECT user_id, CAST(sum(floor(value*100)) AS BIGINT) AS cents,
+               count(*) AS cnt
+        FROM events WHERE event_type = 'click' GROUP BY 1)
+      SELECT 'purchase' AS side, user_id, cents, cnt FROM p
+      UNION ALL
+      SELECT 'click' AS side, user_id, cents, cnt FROM k WHERE cnt >= 10"""
   )
 }

@@ -112,6 +112,15 @@ import graft.operators.SqlFrontend
  *    hosting both accumulator families, the reference's
  *    GroupAggFunction architecture; it needs the upsert key too.
  *
+ *  - `SELECT <items> FROM A [WHERE p] UNION ALL
+ *     SELECT <items> FROM B [WHERE p]`
+ *    → changelog-preserving union of two registered views (a union of
+ *    two changelogs IS the changelog of the union — the day-one set
+ *    op). Branches align positionally; output names come from the
+ *    first branch; each branch's row kind emits as `row_kind` (no
+ *    `row_ord` — two independent per-key logs carry no global order;
+ *    re-register and aggregate, the chaining pattern).
+ *
  * Every GROUP BY shape above also accepts `[WHERE <pred>]` before the
  * GROUP BY and `[HAVING <pred>]` after it. WHERE is a
  * changelog-preserving payload filter on the view (a deterministic
@@ -229,6 +238,14 @@ object StreamSql {
     "(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)" +
     "(?:\\s+HAVING\\s+(.+?))?\\s*$")
 
+  private val unionRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)" +
+    "(?:\\s+(?:AS\\s+)?(?!WHERE\\b|UNION\\b)(\\w+))?" +
+    "(?:\\s+WHERE\\s+(.+?))?\\s+UNION\\s+ALL\\s+" +
+    "SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)" +
+    "(?:\\s+(?:AS\\s+)?(?!WHERE\\b)(\\w+))?" +
+    "(?:\\s+WHERE\\s+(.+?))?\\s*$")
+
   /** Whitespace/case-insensitive expression identity — how inner rank
     * projection items are matched against the partition/order/rowId
     * expressions (textual, like the surface syntax itself). */
@@ -343,7 +360,10 @@ object StreamSql {
     val dm = distinctRe.matcher(text)
     val tjm = StreamSqlTime.temporalRe.matcher(text)
     val ovm = StreamSqlTime.overRe.matcher(text)
-    if (tm.matches() && view(tm.group(6)).isDefined)
+    val um = unionRe.matcher(text)
+    if (um.matches() && view(um.group(2)).isDefined)
+      Some(unionAll(spark, um))
+    else if (tm.matches() && view(tm.group(6)).isDefined)
       Some(topn(spark, tm, effTtl))
     else if (em.matches() && view(em.group(2)).isDefined)
       Some(exists(spark, em, effTtl))
@@ -394,7 +414,7 @@ object StreamSql {
         s"statement references registered changelog view(s) " +
         s"${hit.mkString(", ")} but matches no supported streaming-SQL " +
         "shape (A [INNER|LEFT|RIGHT|FULL] JOIN B ON / WHERE [NOT] " +
-        "EXISTS / ROW_NUMBER() <= k / COUNT(DISTINCT) / " +
+        "EXISTS / UNION ALL / ROW_NUMBER() <= k / COUNT(DISTINCT) / " +
         "FIRST_VALUE|LAST_VALUE|LISTAGG|COLLECT / " +
         "SUM|AVG|VAR_*|STDDEV_*|MIN|MAX|COUNT(*) group aggregates, each " +
         "GROUP BY shape with optional WHERE/HAVING — see StreamSql's " +
@@ -444,6 +464,45 @@ object StreamSql {
            org.apache.spark.sql.types.LongType => true
       case _ => false
     }
+
+  // ---- UNION ALL → changelog-preserving union ---------------------------
+
+  /** `SELECT <items> FROM A [WHERE p] UNION ALL SELECT <items> FROM B
+    * [WHERE p]` over two registered changelog views — the trivially
+    * changelog-preserving set op the reference plans day-one (a union
+    * of two changelogs is the changelog of the union; per-branch WHERE
+    * is the usual retraction-commuting payload filter). Branches align
+    * POSITIONALLY (standard UNION ALL), output column names come from
+    * the first branch, and each branch's row kind is emitted as
+    * `row_kind`. No `row_ord` — the interleaving of two independent
+    * per-key logs carries no global order; re-register the result and
+    * aggregate it (the q325 chaining pattern), or materialize via the
+    * foreachBatch batch id when each branch follows the
+    * GroupAggFunction protocol on disjoint keys. */
+  private def unionAll(spark: SparkSession,
+                       m: java.util.regex.Matcher): DataFrame = {
+    val (sel1, n1, a1, w1, sel2, n2, a2, w2) =
+      (m.group(1), m.group(2), m.group(3), m.group(4),
+       m.group(5), m.group(6), m.group(7), m.group(8))
+    val v1 = view(n1).get
+    val v2 = view(n2).getOrElse(throw new IllegalArgumentException(
+      s"UNION ALL over unregistered view '$n2' — both branches of a " +
+      "streaming union must be registered changelog views"))
+    def branch(v: ChangelogView, sel: String, whereCl: String,
+               quals: Seq[String]): DataFrame = {
+      val f = whereFilter(v.df, whereCl, quals)
+      val items = SqlFrontend.splitTop(sel).map(strip(_, quals))
+      require(items != Seq("*"), "streaming UNION ALL needs explicit " +
+        "projection items (branches align positionally)")
+      f.selectExpr(items :+ s"${v.kindCol} AS row_kind": _*)
+    }
+    val d1 = branch(v1, sel1, w1, Seq(a1, n1))
+    val d2 = branch(v2, sel2, w2, Seq(a2, n2))
+    require(d1.columns.length == d2.columns.length,
+      s"UNION ALL branches must have the same arity: " +
+      s"${d1.columns.length - 1} vs ${d2.columns.length - 1} items")
+    d1.union(d2)
+  }
 
   // ---- WHERE [NOT] EXISTS → semi/anti changelog join --------------------
 

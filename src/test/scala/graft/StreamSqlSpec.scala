@@ -716,6 +716,43 @@ class StreamSqlSpec extends AnyFunSuite {
     StreamSql.dropChangelog(sv)
   }
 
+  test("SQL UNION ALL is changelog-preserving and aligns branches positionally") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("unl"); val rv = fresh("unr")
+    val lmem = MemoryStream[CRow]; val rmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind")
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT 'a' AS side, key, value FROM $lv
+          UNION ALL
+          SELECT 'b' AS side, key, value FROM $rv WHERE value < 100""")
+    assert(out.columns.toSeq == Seq("side", "key", "value", "row_kind"))
+    val sink = fresh("sql_union")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData(CRow(1, "+I", 10.0, 1))
+      rmem.addData(CRow(1, "+I", 5.0, 1), CRow(2, "+I", 200.0, 2))
+      q.processAllAvailable()
+      // retraction flows through the union unchanged
+      lmem.addData(CRow(1, "-D", 10.0, 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).select("side", "key", "value", "row_kind")
+      .as[(String, Long, Double, String)].collect().toSet
+    assert(got == Set(
+      ("a", 1L, 10.0, "+I"),
+      ("b", 1L, 5.0, "+I"),   // 200.0 dropped by the branch WHERE
+      ("a", 1L, 10.0, "-D")))
+    // arity mismatch is rejected
+    val e = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"SELECT key, value FROM $lv UNION ALL SELECT key FROM $rv")
+    }
+    assert(e.getMessage.contains("arity"))
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+  }
+
   test("AND immediately followed by '(' still splits conjuncts") {
     implicit val sc = spark.sqlContext
     val lv = fresh("apl"); val rv = fresh("apr")
