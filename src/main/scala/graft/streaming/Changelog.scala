@@ -88,6 +88,14 @@ object Changelog {
    */
   final case class IdleStateTtl(ms: Long, reclaimTimers: Boolean = false)
 
+  /** JSON options for the generic routes' payload transport: the
+    * default generator truncates timestamps to MILLISECONDS
+    * (`…ss.SSSXXX`), silently losing µs precision on a projected
+    * event-time column — pinned by JsonTransportSpec, fixed here with
+    * a µs format shared by every to_json/from_json transport site. */
+  private[graft] val TransportJsonOpts: Map[String, String] =
+    Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
   /** The CONFIG surface of idle-state retention — the reference exposes
     * it as `table.exec.state.ttl` (a table config, not an API argument),
     * so pipelines flip it cluster-wide without touching operator code.
@@ -170,7 +178,7 @@ object Changelog {
     // invisible downstream
     val enc = df.select(col(keyCol).cast("string"), col(kindCol).cast("string"),
         coalesce(pred.cast("boolean"), lit(false)),
-        to_json(struct(payloadCols.map(col): _*)))
+        to_json(struct(payloadCols.map(col): _*), TransportJsonOpts))
       .as[(String, String, Boolean, String)]
     val timeoutConf = if (ttl.exists(_.reclaimTimers))
       GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
@@ -226,7 +234,8 @@ object Changelog {
          }
       }
     out.toDF("__k", "__kind", "__p")
-      .select(from_json(col("__p"), schema).as("__s"), col("__kind"))
+      .select(from_json(col("__p"), schema, TransportJsonOpts).as("__s"),
+              col("__kind"))
       .select(payloadCols.map(c => col(s"__s.`$c`")) :+
               col("__kind").as(kindCol): _*)
   }

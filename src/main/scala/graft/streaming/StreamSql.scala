@@ -448,7 +448,8 @@ object StreamSql {
     implicit val enc3: Encoder[(K, String, String)] = ExpressionEncoder()
     val payload = df.columns.filterNot(_ == kindCol).toSeq
     df.select(col(keyCol).cast(keyCast), col(kindCol).cast("string"),
-              to_json(struct(payload.map(col): _*)))
+              to_json(struct(payload.map(col): _*),
+                      Changelog.TransportJsonOpts))
       .as[(K, String, String)]
   }
 
@@ -578,7 +579,8 @@ object StreamSql {
     val lPayload = lv.df.columns.filterNot(_ == lv.kindCol).toSeq
     val schema = lv.df.select(lPayload.map(col): _*).schema
     val decoded = joined
-      .select(from_json(col("left"), schema).as("__p"),
+      .select(from_json(col("left"), schema,
+                        Changelog.TransportJsonOpts).as("__p"),
               col("kind").as("row_kind"), col("ord").as("row_ord"))
       .select(lPayload.map(c => col(s"__p.`$c`")) :+
               col("row_kind") :+ col("row_ord"): _*)
@@ -699,8 +701,8 @@ object StreamSql {
     val lSchema = lv.df.select(lPayload.map(col): _*).schema
     val rSchema = rv.df.select(rPayload.map(col): _*).schema
     val decoded = joined.select(
-      from_json(col("left"), lSchema).as("__l"),
-      from_json(col("right"), rSchema).as("__r"),
+      from_json(col("left"), lSchema, Changelog.TransportJsonOpts).as("__l"),
+      from_json(col("right"), rSchema, Changelog.TransportJsonOpts).as("__r"),
       col("kind").as("row_kind"), col("ord").as("row_ord"))
 
     def requal(e: String): String =

@@ -371,10 +371,12 @@ object StreamSqlTime {
     val pPayload = pv.df.columns.toSeq
     val vPayload = vv.df.columns.toSeq
     val probes = pv.df.select(col(pKey).cast("long"), col(pv.tsCol),
-        to_json(struct(pPayload.map(col): _*))).as[P]
+        to_json(struct(pPayload.map(col): _*),
+                Changelog.TransportJsonOpts)).as[P]
     val vers = vv.df.select(col(vKey).cast("long"), col(vv.tsCol),
         col(vOrd).cast("long"),
-        to_json(struct(vPayload.map(col): _*))).as[V]
+        to_json(struct(vPayload.map(col): _*),
+                Changelog.TransportJsonOpts)).as[V]
     val j = TemporalJoin.streamAsOf[P, V](probes, vers,
       _._1, _._1, _._2, _._2, _._3, pv.delay)
 
@@ -383,8 +385,10 @@ object StreamSqlTime {
     val j0 = j.toDF()
     val filtered = if (leftJoin) j0 else j0.filter(col("_2").isNotNull)
     val decoded = filtered.select(
-      from_json(col("_1._3"), pSchema).as("__l"),
-      from_json(col("_2._4"), vSchema).as("__r"))
+      from_json(col("_1._3"), pSchema,
+                Changelog.TransportJsonOpts).as("__l"),
+      from_json(col("_2._4"), vSchema,
+                Changelog.TransportJsonOpts).as("__r"))
     def requal(e: String): String =
       SqlFrontend.rewriteOutsideLiterals(e)(_
         .replaceAll("(?i)\\b(" + java.util.regex.Pattern.quote(pAlias) + "|" +
