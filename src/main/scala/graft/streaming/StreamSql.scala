@@ -402,13 +402,11 @@ object StreamSql {
       // scan FROM *and* JOIN targets: a join whose OTHER side is
       // unregistered must still fail loudly when a registered view sits
       // after the JOIN keyword
-      val fm = java.util.regex.Pattern
-        .compile("(?i)\\b(?:FROM|JOIN)\\s+(\\w+)").matcher(text)
       val hit = scala.collection.mutable.LinkedHashSet.empty[String]
       val hitStream = scala.collection.mutable.LinkedHashSet.empty[String]
-      while (fm.find()) {
-        if (view(fm.group(1)).isDefined) hit += fm.group(1)
-        if (streamView(fm.group(1)).isDefined) hitStream += fm.group(1)
+      referencedNames(text).foreach { n =>
+        if (view(n).isDefined) hit += n
+        if (streamView(n).isDefined) hitStream += n
       }
       if (hit.nonEmpty) throw new IllegalArgumentException(
         s"statement references registered changelog view(s) " +
@@ -434,6 +432,60 @@ object StreamSql {
         s"/ TemporalJoin.streamAsOf) for this query: $text")
       None
     }
+  }
+
+  /**
+   * The table names a statement references, resolved by SPARK'S OWN
+   * PARSER (`CatalystSqlParser.parsePlan` → UnresolvedRelations,
+   * including inside subquery expressions) — the fail-loud scan's
+   * classifier since round 13, so a registered-view-like token inside
+   * a string literal no longer trips a spurious rejection. Statements
+   * Spark's parser cannot express (the FOR SYSTEM_TIME JOIN dialect —
+   * Spark's time-travel clause does not compose with JOIN) fall back
+   * to the FROM/JOIN token scan.
+   *
+   * PARSER-CONSOLIDATION NOTE (the round-12 review's ask, evaluated):
+   * full plan-walk ROUTING — deriving each route's parameters from the
+   * parsed LogicalPlan instead of the anchored regexes — was probed
+   * this round: every routed shape except the temporal join parses
+   * under CatalystSqlParser, so the walk is feasible for 8 of 9
+   * routes. Declined for now on risk/benefit: the rewrites operate on
+   * the ORIGINAL text's qualifier conventions (strip/requal), each
+   * route's parameter extraction from unresolved plan nodes
+   * (UnresolvedAttribute nameParts, WindowSpecDefinitions, BETWEEN
+   * desugared into >=/<= conjunctions) re-implements exactly the
+   * validation the regexes already spec, the 28-spec + 18-oracle-gate
+   * corpus pins today's grammar byte-for-byte, and one route would
+   * still need a text path. The consolidation step taken instead is
+   * this classifier: shape DETECTION now rides Spark's parser, which
+   * is where the regex approach was actually wrong (literals), while
+   * the per-route grammar stays anchored and fail-loud.
+   */
+  private def referencedNames(text: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    try {
+      def walk(p: LogicalPlan): Unit = p.foreach { node =>
+        node match {
+          case u: UnresolvedRelation => out += u.multipartIdentifier.last
+          case _ => ()
+        }
+        node.expressions.foreach(_.foreach {
+          case sq: SubqueryExpression => walk(sq.plan)
+          case _ => ()
+        })
+      }
+      walk(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parsePlan(text))
+    } catch {
+      case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+        val fm = java.util.regex.Pattern
+          .compile("(?i)\\b(?:FROM|JOIN)\\s+(\\w+)").matcher(text)
+        while (fm.find()) out += fm.group(1)
+    }
+    out.toSeq
   }
 
   /** A view's payload serialized for the generic join operators: (key,

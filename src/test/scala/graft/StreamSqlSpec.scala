@@ -379,6 +379,26 @@ class StreamSqlSpec extends AnyFunSuite {
     StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
   }
 
+  test("fail-loud scan rides Spark's parser: view-like tokens in literals don't trip it") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("scanv")
+    val mem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, mem.toDS().toDF(), kindCol = "kind")
+    Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("scan_batch_t")
+    // the registered name appears ONLY inside a string literal — the
+    // old FROM/JOIN token scan would spuriously reject this batch
+    // statement; the parser-based scan sees only scan_batch_t
+    val got = SqlFrontend.sql(spark,
+      s"SELECT ' FROM $lv ' AS marker, id FROM scan_batch_t")
+    assert(got.count() == 1)
+    // ...while a REAL reference still fails loudly
+    val e = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark, s"SELECT percentile(value, 0.5) FROM $lv")
+    }
+    assert(e.getMessage.contains("no supported streaming-SQL shape"))
+    StreamSql.dropChangelog(lv)
+  }
+
   test("unregistered names fall through to the batch SQL path") {
     Seq((1L, "a"), (2L, "b")).toDF("id", "s")
       .createOrReplaceTempView("streamsql_batch_t")
