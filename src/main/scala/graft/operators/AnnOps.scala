@@ -224,8 +224,8 @@ object AnnOps {
       val rs = Seq(20, 50, 400)
       val cos = graft.functions.GraftFunctions.cosineSim _
       val pq = pqAdcRanked(s, dir)
-      val cand = pq.crossJoin(
-          s.range(1).select(explode(typedLit(rs)).as("refine_r")))
+      val cand = pq.crossJoin(broadcast(
+          s.range(1).select(explode(typedLit(rs)).as("refine_r"))))
         .filter(col("rnk") <= col("refine_r"))
         .select(col("refine_r"), col("q_id"), col("cand_id"))
       val emb = Tables.table(s, dir, "embeddings")
