@@ -496,27 +496,59 @@ object StreamSql {
     * key columns, canonical String otherwise. */
   private def encodeView[K: scala.reflect.runtime.universe.TypeTag](
       df: DataFrame, kindCol: String,
-      keyCol: String, keyCast: String): Dataset[(K, String, String)] = {
+      keyCol: String, keyCast: String,
+      preCast: Option[String] = None): Dataset[(K, String, String)] = {
     implicit val enc3: Encoder[(K, String, String)] = ExpressionEncoder()
     val payload = df.columns.filterNot(_ == kindCol).toSeq
-    df.select(col(keyCol).cast(keyCast), col(kindCol).cast("string"),
+    val key = preCast.foldLeft(col(keyCol))((c, t) => c.cast(t))
+    df.select(key.cast(keyCast), col(kindCol).cast("string"),
               to_json(struct(payload.map(col): _*),
                       Changelog.TransportJsonOpts))
       .as[(K, String, String)]
   }
 
-  /** Pick the state-key encoding for a key expression: integral types
-    * key as Long (the classic path, bit-identical to prior rounds);
-    * anything else keys as its canonical string form — collision-free
-    * for any one type, no user-side hashing (object doc "Keys"). */
-  private def isIntegralKey(df: DataFrame, keyExpr: String): Boolean =
-    df.select(expr(keyExpr)).schema.head.dataType match {
+  private def isIntegralType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.LongType => true
       case _ => false
     }
+
+  /** Pick the state-key encoding for a key expression: integral types
+    * key as Long (the classic path, bit-identical to prior rounds);
+    * anything else keys as its canonical string form — collision-free
+    * for any one type, no user-side hashing (object doc "Keys"). */
+  private def isIntegralKey(df: DataFrame, keyExpr: String): Boolean =
+    isIntegralType(df.select(expr(keyExpr)).schema.head.dataType)
+
+  /** Cross-side key plan for the TWO-SIDED routes (EXISTS / JOIN): the
+    * two key columns must share ONE canonical state-key form, or the
+    * equality silently matches nothing (an integral "42" never equals
+    * a double's "42.0" as strings). Both integral → the Long path;
+    * both numeric → normalize to double, then the canonical string;
+    * same type → the canonical string directly; anything else is an
+    * ambiguous-coercion statement we reject (derive a common-typed key
+    * column in the view, the Flink key-selector normalization). */
+  private sealed trait KeyEnc
+  private case object LongKey extends KeyEnc
+  private final case class StringKey(preCast: Option[String]) extends KeyEnc
+  private def joinKeyEnc(ldf: DataFrame, lKey: String,
+                         rdf: DataFrame, rKey: String): KeyEnc = {
+    val lt = ldf.select(col(lKey)).schema.head.dataType
+    val rt = rdf.select(col(rKey)).schema.head.dataType
+    import org.apache.spark.sql.types.NumericType
+    if (isIntegralType(lt) && isIntegralType(rt)) LongKey
+    else if (lt.isInstanceOf[NumericType] && rt.isInstanceOf[NumericType])
+      StringKey(Some("double"))
+    else if (lt == rt) StringKey(None)
+    else throw new IllegalArgumentException(
+      s"streaming join key types differ (${lt.simpleString} vs " +
+      s"${rt.simpleString}) and share no canonical key form — derive a " +
+      "common-typed key column in the views (the reference's key " +
+      "selector performs the same normalization)")
+  }
 
   // ---- UNION ALL → changelog-preserving union ---------------------------
 
@@ -617,16 +649,17 @@ object StreamSql {
       }
     }
 
-    def run[K: scala.reflect.runtime.universe.TypeTag](cast: String): DataFrame = {
-      val lds = encodeView[K](lv.df, lv.kindCol, lKey, cast)
-      val rds = encodeView[K](rFiltered, rv.kindCol, rKey, cast)
+    def run[K: scala.reflect.runtime.universe.TypeTag](
+        cast: String, pre: Option[String]): DataFrame = {
+      val lds = encodeView[K](lv.df, lv.kindCol, lKey, cast, pre)
+      val rds = encodeView[K](rFiltered, rv.kindCol, rKey, cast, pre)
       (if (anti) Changelog.joinChangelogAnti(lds, rds, ttl = ttl)
        else Changelog.joinChangelogSemi(lds, rds, ttl = ttl)).toDF()
     }
-    val joined =
-      if (isIntegralKey(lv.df, lKey) && isIntegralKey(rFiltered, rKey))
-        run[Long]("long")
-      else run[String]("string")
+    val joined = joinKeyEnc(lv.df, lKey, rFiltered, rKey) match {
+      case LongKey => run[Long]("long", None)
+      case StringKey(pre) => run[String]("string", pre)
+    }
 
     val lPayload = lv.df.columns.filterNot(_ == lv.kindCol).toSeq
     val schema = lv.df.select(lPayload.map(col): _*).schema
@@ -728,9 +761,10 @@ object StreamSql {
       else rf = rf.filter(expr(strip(resid, Seq(rAlias, rName))))
     }
 
-    def run[K: scala.reflect.runtime.universe.TypeTag](cast: String): DataFrame = {
-      val lds = encodeView[K](lf, lv.kindCol, lKey, cast)
-      val rds = encodeView[K](rf, rv.kindCol, rKey, cast)
+    def run[K: scala.reflect.runtime.universe.TypeTag](
+        cast: String, pre: Option[String]): DataFrame = {
+      val lds = encodeView[K](lf, lv.kindCol, lKey, cast, pre)
+      val rds = encodeView[K](rf, rv.kindCol, rKey, cast, pre)
       jt match {
         case "INNER" => Changelog.joinChangelog(lds, rds, ttl = ttl).toDF()
         case "LEFT" =>
@@ -741,10 +775,10 @@ object StreamSql {
           Changelog.joinChangelogOuter(lds, rds, Changelog.FullOuter, ttl = ttl).toDF()
       }
     }
-    val joined: DataFrame =
-      if (isIntegralKey(lf, lKey) && isIntegralKey(rf, rKey))
-        run[Long]("long")
-      else run[String]("string")
+    val joined: DataFrame = joinKeyEnc(lf, lKey, rf, rKey) match {
+      case LongKey => run[Long]("long", None)
+      case StringKey(pre) => run[String]("string", pre)
+    }
 
     // decode each side with its view schema; an outer side's padded row
     // decodes to a null struct, so its columns null-pad like batch SQL

@@ -170,8 +170,12 @@ object StreamSqlTime {
           s"unsupported OVER frame: $orderAndFrame")
       }
     if (fn == "COUNT")
-      require(vExpr == "*" || norm(vExpr).nonEmpty,
-        s"COUNT argument: $vExpr")
+      // COUNT(expr) skips nulls in SQL; the fold counts rows — only
+      // the row-count form is routed (null-skipping needs the Scala
+      // API's own FoldAgg)
+      require(vExpr == "*",
+        s"streaming OVER COUNT supports COUNT(*) only (COUNT(<expr>) " +
+        s"null-skipping: use OverWindow.overAgg with a custom FoldAgg): $sel")
     else require(vExpr != "*", s"$fn(*) is not an aggregate: $sel")
 
     // plain items may reference only the state's columns (like the

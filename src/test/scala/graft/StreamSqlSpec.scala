@@ -736,6 +736,41 @@ class StreamSqlSpec extends AnyFunSuite {
     StreamSql.dropChangelog(sv)
   }
 
+  test("mixed numeric join-key types normalize to one canonical form; disjoint types reject") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("mkl"); val rv = fresh("mkr")
+    val lmem = MemoryStream[CRow]   // key: Long
+    val rmem = MemoryStream[SRow]   // value used as a DOUBLE key below
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind")
+    StreamSql.registerChangelog(rv,
+      rmem.toDS().toDF().withColumnRenamed("value", "dkey"), kindCol = "kind")
+    // Long key vs Double key: both normalize to double, so 1 matches
+    // 1.0 (an unnormalized per-side stringification would compare
+    // "1" vs "1.0" and silently match NOTHING)
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT a.value AS v, b.skey AS s
+          FROM $lv a JOIN $rv b ON a.key = b.dkey""")
+    val sink = fresh("sql_mixedkey")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData(CRow(1, "+I", 42.0, 1))
+      rmem.addData(SRow("hello", "+I", 1.0, 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).select("v", "s", "row_kind")
+      .as[(Double, String, String)].collect().toList
+    assert(got == List((42.0, "hello", "+I")))
+    // numeric vs string key: no canonical common form — rejected with
+    // a pointer at deriving a common-typed key column
+    val e = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT a.value AS v FROM $lv a JOIN $rv b ON a.key = b.skey""")
+    }
+    assert(e.getMessage.contains("key types differ"))
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+  }
+
   test("SQL UNION ALL is changelog-preserving and aligns branches positionally") {
     implicit val sc = spark.sqlContext
     val lv = fresh("unl"); val rv = fresh("unr")
