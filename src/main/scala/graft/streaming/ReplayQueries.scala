@@ -1797,15 +1797,19 @@ object ReplayQueries {
     // set op the reference plans day-one (a union of two changelogs IS
     // the changelog of the union): the per-user purchase and click
     // aggregate views unioned with a literal side tag, the click branch
-    // additionally WHERE-filtered (the retraction-commuting payload
-    // filter). Each branch follows the GroupAggFunction protocol on its
-    // own key and the side tag makes the composite keys disjoint, so
-    // the batch id materializes the union (q294 pattern).
+    // additionally WHERE-filtered — a changelog-MODE filter
+    // (Changelog.filterChangelog keyed on the view's upsert key, so a
+    // user whose count fell below the threshold would surface as an
+    // explicit -D for the upsert sink). Each branch follows the
+    // GroupAggFunction protocol on its own key and the side tag makes
+    // the composite keys disjoint, so the batch id materializes the
+    // union (q294 pattern).
     "q335_stream_sql_union" -> ((s, dir) => {
       val (side, out, ck) = purchaseClickViews(s, dir)
       withStatePartitions(s, 8) {
         StreamSql.registerChangelog("q335_p", side("purchase"), "kind")
-        StreamSql.registerChangelog("q335_c", side("click"), "kind")
+        StreamSql.registerChangelog("q335_c", side("click"), "kind",
+          rowId = Some("key"))
         try {
           val u = graft.operators.SqlFrontend.sql(s,
             """SELECT 'purchase' AS side, key, amt_c, cnt FROM q335_p

@@ -362,7 +362,7 @@ object StreamSql {
     val ovm = StreamSqlTime.overRe.matcher(text)
     val um = unionRe.matcher(text)
     if (um.matches() && view(um.group(2)).isDefined)
-      Some(unionAll(spark, um))
+      Some(unionAll(spark, text, effTtl))
     else if (tm.matches() && view(tm.group(6)).isDefined)
       Some(topn(spark, tm, effTtl))
     else if (em.matches() && view(em.group(2)).isDefined)
@@ -520,17 +520,19 @@ object StreamSql {
     * key as Long (the classic path, bit-identical to prior rounds);
     * anything else keys as its canonical string form — collision-free
     * for any one type, no user-side hashing (object doc "Keys"). */
-  private def isIntegralKey(df: DataFrame, keyExpr: String): Boolean =
+  private[streaming] def isIntegralKey(df: DataFrame, keyExpr: String): Boolean =
     isIntegralType(df.select(expr(keyExpr)).schema.head.dataType)
 
   /** Cross-side key plan for the TWO-SIDED routes (EXISTS / JOIN): the
     * two key columns must share ONE canonical state-key form, or the
     * equality silently matches nothing (an integral "42" never equals
     * a double's "42.0" as strings). Both integral → the Long path;
-    * both numeric → normalize to double, then the canonical string;
-    * same type → the canonical string directly; anything else is an
-    * ambiguous-coercion statement we reject (derive a common-typed key
-    * column in the view, the Flink key-selector normalization). */
+    * SAME type → that type's canonical string directly (exact for any
+    * width, decimals included); MIXED numeric types → normalize to
+    * double first — SQL's own coercion, exact for |v| ≤ 2^53 (beyond
+    * that, derive a common exact-typed key column in the view);
+    * anything else is an ambiguous coercion we reject (the Flink
+    * key-selector normalization is the user-side fix). */
   private sealed trait KeyEnc
   private case object LongKey extends KeyEnc
   private final case class StringKey(preCast: Option[String]) extends KeyEnc
@@ -540,9 +542,9 @@ object StreamSql {
     val rt = rdf.select(col(rKey)).schema.head.dataType
     import org.apache.spark.sql.types.NumericType
     if (isIntegralType(lt) && isIntegralType(rt)) LongKey
+    else if (lt == rt) StringKey(None)
     else if (lt.isInstanceOf[NumericType] && rt.isInstanceOf[NumericType])
       StringKey(Some("double"))
-    else if (lt == rt) StringKey(None)
     else throw new IllegalArgumentException(
       s"streaming join key types differ (${lt.simpleString} vs " +
       s"${rt.simpleString}) and share no canonical key form — derive a " +
@@ -550,43 +552,123 @@ object StreamSql {
       "selector performs the same normalization)")
   }
 
+  /** SQL null-equality discipline for the two-sided routes: a NULL key
+    * never matches, so on a non-preserved side null-keyed rows are
+    * simply FILTERED (they cannot affect the result); on a PRESERVED
+    * or anti side they WOULD affect the result (null-padded / NOT
+    * EXISTS emission), which the keyed-state operators don't model —
+    * those raise a clear error instead of silently pairing null with
+    * null (what a bare string-cast key would do) or crashing in the
+    * encoder (what the old long cast did). */
+  private def nullKeyGuard(df: DataFrame, keyCol: String,
+                           affectsOutput: Boolean, what: String): DataFrame =
+    if (!affectsOutput) df.filter(col(keyCol).isNotNull)
+    else df.filter(expr(
+      s"`$keyCol` IS NOT NULL OR raise_error('streaming $what: a NULL " +
+      "join key on a preserved/anti side would change the output (SQL " +
+      "null-equality never matches) — filter or coalesce it in the view')"))
+
   // ---- UNION ALL → changelog-preserving union ---------------------------
 
+  /** Split a statement on TOP-LEVEL `UNION ALL` (parenthesis-depth
+    * aware, string-literal opaque — the splitAnd discipline), so 3+
+    * branch unions parse branch-by-branch instead of backtracking into
+    * one garbled select list. */
+  private def splitUnionAll(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    val re = java.util.regex.Pattern
+      .compile("(?is)^UNION\\s+ALL(?![\\w])")
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case '\'' =>
+          i += 1
+          while (i < s.length && s.charAt(i) != '\'') i += 1
+          i += 1
+        case c if depth == 0 && Character.isWhitespace(c) => {
+          val m = re.matcher(s.substring(i + 1,
+            math.min(s.length, i + 12)))
+          if (m.find()) {
+            out += s.substring(start, i)
+            i = i + 1 + m.end()
+            start = i
+          } else i += 1
+        }
+        case _ => i += 1
+      }
+    }
+    out += s.substring(start)
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private val unionBranchRe = java.util.regex.Pattern.compile(
+    "(?is)^SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)" +
+    "(?:\\s+(?:AS\\s+)?(?!WHERE\\b)(\\w+))?(?:\\s+WHERE\\s+(.+?))?\\s*$")
+
   /** `SELECT <items> FROM A [WHERE p] UNION ALL SELECT <items> FROM B
-    * [WHERE p]` over two registered changelog views — the trivially
-    * changelog-preserving set op the reference plans day-one (a union
-    * of two changelogs is the changelog of the union; per-branch WHERE
-    * is the usual retraction-commuting payload filter). Branches align
-    * POSITIONALLY (standard UNION ALL), output column names come from
-    * the first branch, and each branch's row kind is emitted as
-    * `row_kind`. No `row_ord` — the interleaving of two independent
-    * per-key logs carries no global order; re-register the result and
-    * aggregate it (the q325 chaining pattern), or materialize via the
-    * foreachBatch batch id when each branch follows the
-    * GroupAggFunction protocol on disjoint keys. */
-  private def unionAll(spark: SparkSession,
-                       m: java.util.regex.Matcher): DataFrame = {
-    val (sel1, n1, a1, w1, sel2, n2, a2, w2) =
-      (m.group(1), m.group(2), m.group(3), m.group(4),
-       m.group(5), m.group(6), m.group(7), m.group(8))
-    val v1 = view(n1).get
-    val v2 = view(n2).getOrElse(throw new IllegalArgumentException(
-      s"UNION ALL over unregistered view '$n2' — both branches of a " +
-      "streaming union must be registered changelog views"))
-    def branch(v: ChangelogView, sel: String, whereCl: String,
-               quals: Seq[String]): DataFrame = {
-      val f = whereFilter(v.df, whereCl, quals)
-      val items = SqlFrontend.splitTop(sel).map(strip(_, quals))
+    * [WHERE p] [UNION ALL …]` over registered changelog views — the
+    * trivially changelog-preserving set op the reference plans day-one
+    * (a union of changelogs is the changelog of the union). Branches
+    * align POSITIONALLY (standard UNION ALL), output column names come
+    * from the first branch, and each branch's row kind is emitted as
+    * `row_kind`.
+    *
+    * Branch `WHERE` runs as a CHANGELOG-MODE filter
+    * ([[Changelog.filterChangelog]], keyed on the view's declared
+    * rowId): the union's output feeds a sink of unknown mode, so a row
+    * whose new value fails the predicate must surface as an explicit
+    * -D — a stateless pre-filter would pass the bare -U and an upsert
+    * materialization would keep the stale row forever (the same
+    * reasoning as HAVING; the stateless version is only correct where
+    * the consumer is a retract-aware operator, as in the pre-aggregate
+    * WHERE of the GROUP BY shapes). A branch with WHERE therefore
+    * requires `registerChangelog(..., rowId = …)`.
+    *
+    * No `row_ord` — independent per-key logs carry no global order;
+    * re-register the result and aggregate it (the chaining pattern),
+    * or materialize via the foreachBatch batch id when each branch
+    * follows the GroupAggFunction protocol on disjoint keys. */
+  private def unionAll(spark: SparkSession, text: String,
+                       ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
+    val branches = splitUnionAll(text)
+    require(branches.length >= 2, s"not a UNION ALL statement: $text")
+    val parsed = branches.map { b =>
+      val m = unionBranchRe.matcher(b)
+      require(m.matches(), s"unparseable UNION ALL branch (expected " +
+        s"SELECT <items> FROM <view> [WHERE <pred>]): $b")
+      val name = m.group(2)
+      val v = view(name).getOrElse(throw new IllegalArgumentException(
+        s"UNION ALL over unregistered view '$name' — every branch of a " +
+        "streaming union must be a registered changelog view"))
+      (v, name, m.group(1), Option(m.group(3)), Option(m.group(4)))
+    }
+    val dfs = parsed.map { case (v, name, sel, alias, whereCl) =>
+      val qualifiers = Seq(alias.orNull, name)
+      val f = whereCl match {
+        case None => v.df
+        case Some(w) =>
+          val rid = v.rowIdCol.getOrElse(throw new IllegalArgumentException(
+            "UNION ALL branch WHERE needs the view's upsert key: " +
+            "registerChangelog(..., rowId = Some(col)) — the branch " +
+            "filter is changelog-MODE (explicit -D when a row's new " +
+            "value fails the predicate), keyed on the row identity"))
+          Changelog.filterChangelog(v.df, rid, v.kindCol,
+            expr(strip(w, qualifiers)), ttl = ttl)
+      }
+      val items = SqlFrontend.splitTop(sel).map(strip(_, qualifiers))
       require(items != Seq("*"), "streaming UNION ALL needs explicit " +
         "projection items (branches align positionally)")
       f.selectExpr(items :+ s"${v.kindCol} AS row_kind": _*)
     }
-    val d1 = branch(v1, sel1, w1, Seq(a1, n1))
-    val d2 = branch(v2, sel2, w2, Seq(a2, n2))
-    require(d1.columns.length == d2.columns.length,
+    val arity = dfs.head.columns.length
+    dfs.tail.foreach(d => require(d.columns.length == arity,
       s"UNION ALL branches must have the same arity: " +
-      s"${d1.columns.length - 1} vs ${d2.columns.length - 1} items")
-    d1.union(d2)
+      s"${arity - 1} vs ${d.columns.length - 1} items"))
+    dfs.reduce(_ union _)
   }
 
   // ---- WHERE [NOT] EXISTS → semi/anti changelog join --------------------
@@ -649,10 +731,16 @@ object StreamSql {
       }
     }
 
+    // null keys: the inner side never matches (filter); a null-keyed
+    // OUTER row flips the NOT EXISTS result, which the keyed operator
+    // doesn't model — semi filters it (EXISTS is false anyway), anti
+    // rejects it loudly
+    val lGuarded = nullKeyGuard(lv.df, lKey, affectsOutput = anti, "EXISTS")
+    val rGuarded = nullKeyGuard(rFiltered, rKey, affectsOutput = false, "EXISTS")
     def run[K: scala.reflect.runtime.universe.TypeTag](
         cast: String, pre: Option[String]): DataFrame = {
-      val lds = encodeView[K](lv.df, lv.kindCol, lKey, cast, pre)
-      val rds = encodeView[K](rFiltered, rv.kindCol, rKey, cast, pre)
+      val lds = encodeView[K](lGuarded, lv.kindCol, lKey, cast, pre)
+      val rds = encodeView[K](rGuarded, rv.kindCol, rKey, cast, pre)
       (if (anti) Changelog.joinChangelogAnti(lds, rds, ttl = ttl)
        else Changelog.joinChangelogSemi(lds, rds, ttl = ttl)).toDF()
     }
@@ -761,10 +849,15 @@ object StreamSql {
       else rf = rf.filter(expr(strip(resid, Seq(rAlias, rName))))
     }
 
+    // null keys never match: filtered on non-preserved sides, rejected
+    // loudly on preserved sides (a null-keyed preserved row should emit
+    // null-padded, which the keyed-state operator doesn't model)
+    val lg = nullKeyGuard(lf, lKey, affectsOutput = padsLeft, s"$jt JOIN")
+    val rg = nullKeyGuard(rf, rKey, affectsOutput = padsRight, s"$jt JOIN")
     def run[K: scala.reflect.runtime.universe.TypeTag](
         cast: String, pre: Option[String]): DataFrame = {
-      val lds = encodeView[K](lf, lv.kindCol, lKey, cast, pre)
-      val rds = encodeView[K](rf, rv.kindCol, rKey, cast, pre)
+      val lds = encodeView[K](lg, lv.kindCol, lKey, cast, pre)
+      val rds = encodeView[K](rg, rv.kindCol, rKey, cast, pre)
       jt match {
         case "INNER" => Changelog.joinChangelog(lds, rds, ttl = ttl).toDF()
         case "LEFT" =>

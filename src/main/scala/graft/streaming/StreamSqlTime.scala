@@ -150,7 +150,8 @@ object StreamSqlTime {
     val fm = frameRe.matcher(orderAndFrame)
     require(fm.matches(), s"unparseable OVER order/frame: $orderAndFrame")
     val ordParts = SqlFrontend.splitTop(fm.group(1))
-    require(norm(ordParts.head) == norm(v.tsCol),
+    require(norm(ordParts.head.replaceAll("(?i)\\s+ASC$", "")) ==
+              norm(v.tsCol),
       s"streaming OVER must ORDER BY the registered event-time column " +
       s"'${v.tsCol}' ascending: ${fm.group(1)}")
     ordParts.tail.foreach { p =>
@@ -177,6 +178,16 @@ object StreamSqlTime {
         s"streaming OVER COUNT supports COUNT(*) only (COUNT(<expr>) " +
         s"null-skipping: use OverWindow.overAgg with a custom FoldAgg): $sel")
     else require(vExpr != "*", s"$fn(*) is not an aggregate: $sel")
+
+    // the time-domain routes key on Long (their typed event tuples) —
+    // a non-integral partition key must fail at plan time, not as an
+    // opaque null-encoder error mid-query
+    require(StreamSql.isIntegralKey(v.df, gExpr),
+      s"streaming OVER currently keys on an INTEGRAL partition " +
+      s"expression (got '${gExpr}' of type " +
+      s"${v.df.select(expr(gExpr)).schema.head.dataType.simpleString}) — " +
+      "derive an integral key column in the view, or use " +
+      "OverWindow.overAgg directly (generic key types)")
 
     // plain items may reference only the state's columns (like the
     // rank route): partition key, event-time column, rowId
@@ -366,6 +377,13 @@ object StreamSqlTime {
     }
     require(pKey != null,
       s"temporal JOIN needs a <probe>.k = <version>.k equality: $onClause")
+    // the typed transport tuples key on Long — non-integral keys must
+    // fail at plan time, not as an opaque null-encoder error mid-query
+    require(StreamSql.isIntegralKey(pv.df, pKey) &&
+            StreamSql.isIntegralKey(vv.df, vKey),
+      s"streaming temporal join currently keys on INTEGRAL columns " +
+      s"('$pKey'/'$vKey') — derive integral key columns in the views, " +
+      "or use TemporalJoin.streamAsOf directly")
 
     implicit val pe: Encoder[P] = ExpressionEncoder()
     implicit val ve: Encoder[V] = ExpressionEncoder()

@@ -771,12 +771,13 @@ class StreamSqlSpec extends AnyFunSuite {
     StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
   }
 
-  test("SQL UNION ALL is changelog-preserving and aligns branches positionally") {
+  test("SQL UNION ALL is changelog-preserving; branch WHERE is a changelog-mode filter") {
     implicit val sc = spark.sqlContext
     val lv = fresh("unl"); val rv = fresh("unr")
     val lmem = MemoryStream[CRow]; val rmem = MemoryStream[CRow]
     StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind")
-    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind",
+      rowId = Some("ord"))
     val out = SqlFrontend.sql(spark,
       s"""SELECT 'a' AS side, key, value FROM $lv
           UNION ALL
@@ -789,22 +790,41 @@ class StreamSqlSpec extends AnyFunSuite {
       lmem.addData(CRow(1, "+I", 10.0, 1))
       rmem.addData(CRow(1, "+I", 5.0, 1), CRow(2, "+I", 200.0, 2))
       q.processAllAvailable()
-      // retraction flows through the union unchanged
+      // retraction flows through the unfiltered branch unchanged
       lmem.addData(CRow(1, "-D", 10.0, 1))
+      q.processAllAvailable()
+      // a filtered-branch row whose NEW value fails the predicate must
+      // surface as an explicit -D (an upsert sink would otherwise keep
+      // the stale 5.0 row forever) — the changelog-MODE filter
+      rmem.addData(CRow(1, "-U", 5.0, 1), CRow(1, "+U", 150.0, 1))
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.table(sink).select("side", "key", "value", "row_kind")
       .as[(String, Long, Double, String)].collect().toSet
     assert(got == Set(
       ("a", 1L, 10.0, "+I"),
-      ("b", 1L, 5.0, "+I"),   // 200.0 dropped by the branch WHERE
-      ("a", 1L, 10.0, "-D")))
+      ("b", 1L, 5.0, "+U"),   // 200.0 dropped by the branch WHERE
+      ("a", 1L, 10.0, "-D"),
+      ("b", 1L, 5.0, "-D")))  // left the filtered view: explicit -D
     // arity mismatch is rejected
     val e = intercept[IllegalArgumentException] {
       SqlFrontend.sql(spark,
         s"SELECT key, value FROM $lv UNION ALL SELECT key FROM $rv")
     }
     assert(e.getMessage.contains("arity"))
+    // branch WHERE without the view's rowId: pointer at registration
+    val e2 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT key FROM $rv UNION ALL
+            SELECT key FROM $lv WHERE value < 100""")
+    }
+    assert(e2.getMessage.contains("rowId"))
+    // three branches parse branch-by-branch, not by regex backtracking
+    val three = SqlFrontend.sql(spark,
+      s"""SELECT key, value FROM $lv UNION ALL
+          SELECT key, value FROM $rv UNION ALL
+          SELECT key + 1, value FROM $lv""")
+    assert(three.columns.toSeq == Seq("key", "value", "row_kind"))
     StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
   }
 
