@@ -161,6 +161,42 @@ class StreamSqlTimeSpec extends AnyFunSuite {
     StreamSql.dropStream(pv); StreamSql.dropStream(cv)
   }
 
+  test("SQL LEFT interval join null-pads unmatched probes once the watermark passes") {
+    implicit val sc = spark.sqlContext
+    val pmem = MemoryStream[(Long, Long, Long)]
+    val cmem = MemoryStream[(Long, Long, Long)]
+    val pdf = pmem.toDS().select($"_1".as("pk"), $"_2".as("pid"),
+      timestamp_millis($"_3" + base).as("pts"))
+    val cdf = cmem.toDS().select($"_1".as("ck"), $"_2".as("cid"),
+      timestamp_millis($"_3" + base).as("cts"))
+    val pv = fresh("ivlp"); val cv = fresh("ivlc")
+    StreamSql.registerStream(pv, pdf, tsCol = "pts", delay = "1 second")
+    StreamSql.registerStream(cv, cdf, tsCol = "cts", delay = "1 second")
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT p.pid, c.cid FROM $pv p LEFT JOIN $cv c
+          ON p.pk = c.ck
+         AND c.cts BETWEEN p.pts - INTERVAL '5' SECOND AND p.pts""")
+    val sink = fresh("ivl_sink")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    // pid 10 matches cid 20; pid 11 has no click in its window → padded
+    val ps = Seq((1L, 10L, 6000L), (1L, 11L, 30000L))
+    val cs = Seq((1L, 20L, 5000L))
+    try {
+      pmem.addData(ps: _*); cmem.addData(cs: _*)
+      q.processAllAvailable()
+      // watermark far past both windows so the padded row finalizes
+      pmem.addData((9L, 0L, 10000000L)); cmem.addData((9L, 0L, 10000000L))
+      q.processAllAvailable()
+      pmem.addData((9L, 1L, 20000000L)); cmem.addData((9L, 1L, 20000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).filter($"pid" >= 10L && $"pid" < 90L)
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got == Set((10L, Some(20L)), (11L, None)))
+    StreamSql.dropStream(pv); StreamSql.dropStream(cv)
+  }
+
   test("SQL FOR SYSTEM_TIME AS OF on streams is bit-identical to streamAsOf") {
     implicit val sc = spark.sqlContext
     val pmem = MemoryStream[(Long, Long, Long)]
