@@ -560,8 +560,9 @@ object StreamSql {
     * those raise a clear error instead of silently pairing null with
     * null (what a bare string-cast key would do) or crashing in the
     * encoder (what the old long cast did). */
-  private def nullKeyGuard(df: DataFrame, keyCol: String,
-                           affectsOutput: Boolean, what: String): DataFrame =
+  private[streaming] def nullKeyGuard(df: DataFrame, keyCol: String,
+                                      affectsOutput: Boolean,
+                                      what: String): DataFrame =
     if (!affectsOutput) df.filter(col(keyCol).isNotNull)
     else df.filter(expr(
       s"`$keyCol` IS NOT NULL OR raise_error('streaming $what: a NULL " +
@@ -579,8 +580,19 @@ object StreamSql {
     var depth = 0
     var start = 0
     var i = 0
-    val re = java.util.regex.Pattern
-      .compile("(?is)^UNION\\s+ALL(?![\\w])")
+    // keyword matching over the full string (the splitAnd discipline),
+    // not a fixed-width window: `UNION` and `ALL` may be separated by
+    // any run of whitespace, and the word-boundary check after ALL
+    // tests the real string, never a window edge ('UNION   ALLIES'
+    // must not split)
+    def keywordAt(j: Int, w: String): Boolean =
+      j + w.length <= s.length && s.regionMatches(true, j, w, 0, w.length) && {
+        val after = j + w.length
+        after >= s.length || {
+          val c = s.charAt(after)
+          !Character.isLetterOrDigit(c) && c != '_'
+        }
+      }
     while (i < s.length) {
       s.charAt(i) match {
         case '(' => depth += 1; i += 1
@@ -589,15 +601,15 @@ object StreamSql {
           i += 1
           while (i < s.length && s.charAt(i) != '\'') i += 1
           i += 1
-        case c if depth == 0 && Character.isWhitespace(c) => {
-          val m = re.matcher(s.substring(i + 1,
-            math.min(s.length, i + 12)))
-          if (m.find()) {
+        case c if depth == 0 && Character.isWhitespace(c) &&
+                  keywordAt(i + 1, "UNION") =>
+          var j = i + 1 + 5
+          while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
+          if (j > i + 6 && keywordAt(j, "ALL")) {
             out += s.substring(start, i)
-            i = i + 1 + m.end()
+            i = j + 3
             start = i
           } else i += 1
-        }
         case _ => i += 1
       }
     }

@@ -86,10 +86,16 @@ object StreamSqlTime {
   private[streaming] val overRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s*$")
 
+  // the optional probe alias must NOT swallow the join keywords: without
+  // the lookahead, `FROM P LEFT JOIN V FOR SYSTEM_TIME …` with no probe
+  // alias parses alias='LEFT' and the LEFT group stays null — a
+  // documented LEFT temporal join silently running as INNER (the same
+  // guard joinRe carries); the version alias gets the ON guard likewise
   private[streaming] val temporalRe = java.util.regex.Pattern.compile(
-    "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)(?:\\s+(?:AS\\s+)?(\\w+))?" +
+    "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)" +
+    "(?:\\s+(?:AS\\s+)?(?!LEFT\\b|JOIN\\b)(\\w+))?" +
     "\\s+(LEFT\\s+(?:OUTER\\s+)?)?JOIN\\s+(\\w+)\\s+FOR\\s+SYSTEM_TIME" +
-    "\\s+AS\\s+OF\\s+([\\w.]+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+ON\\s+(.+?)\\s*$")
+    "\\s+AS\\s+OF\\s+([\\w.]+)(?:\\s+(?:AS\\s+)?(?!ON\\b)(\\w+))?\\s+ON\\s+(.+?)\\s*$")
 
   /** `AGG(v) OVER (PARTITION BY g ORDER BY <order list + frame>) AS a` —
     * the order-list/frame split happens in [[frameRe]] (regex greediness
@@ -207,13 +213,28 @@ object StreamSqlTime {
     implicit val evEnc: Encoder[Ev] = ExpressionEncoder()
     implicit val keyEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
     implicit val outEnc: Encoder[(Long, Long, Long, Double)] = ExpressionEncoder()
-    val base = v.df
+    // null guards BEFORE the typed boundary: a null partition key forms
+    // its own group in SQL OVER (PARTITION BY groups nulls together) and
+    // a null rowId has no slot in the total order — neither is modeled
+    // by the typed transport, so both raise a clear plan-shaped error
+    // instead of an opaque null-in-non-nullable-field encoder failure
+    // (the changelog routes' nullKeyGuard discipline)
+    val projected = v.df
       .withColumn("__g", expr(gExpr).cast("long"))
       .withColumn("__v",
         (if (fn == "COUNT" && vExpr == "*") lit(0.0) else expr(vExpr))
           .cast("double"))
       .select(col("__g"), col(v.tsCol).as("__ts"),
               col(rowIdCol).cast("long").as("__i"), col("__v"))
+    val guarded = Seq(
+      ("__g", "partition key (a NULL key is its own OVER group, which " +
+        "the keyed operator does not model — coalesce it in the view)"),
+      ("__i", "rowId (the deterministic tiebreak must be total — " +
+        "filter or coalesce NULL ids in the view)")).foldLeft(projected) {
+      case (d, (c, why)) => d.filter(expr(
+        s"`$c` IS NOT NULL OR raise_error('streaming OVER: NULL $why')"))
+    }
+    val base = guarded
       .withWatermark("__ts", v.delay)
       .as[Ev]
     val grouped = base.groupByKey(_._1)
@@ -298,18 +319,53 @@ object StreamSqlTime {
     require(hasKeyEq,
       s"interval JOIN needs a <left>.k = <right>.k equality: $onClause")
     // a time bound relating the two event-time columns makes the
-    // buffered state watermark-evictable — without one this is an
-    // unbounded-state join, which this route refuses to plan
+    // buffered state watermark-evictable. SHAPE-validated, not word
+    // containment: Spark derives state eviction only from a range — a
+    // BETWEEN over the two event-time columns, or a conjunct pair
+    // bounding their difference in both directions. A one-sided bound
+    // (a.ts >= b.ts alone) or a non-range expression (abs(a.ts - b.ts)
+    // < x) mentions both columns but leaves state unbounded, so this
+    // route refuses to plan it.
     def word(s: String, w: String) =
       s.matches("(?is).*\\b" + java.util.regex.Pattern.quote(w) + "\\b.*")
-    val hasBound = conj.exists { c =>
-      val stripped = strip(c, Seq(lAlias, lName, rAlias, rName))
-      word(stripped, lv.tsCol) && word(stripped, rv.tsCol)
+    val betweenRe = "(?is)^(.+?)\\s+BETWEEN\\s+(.+?)\\s+AND\\s+(.+)$".r
+    val ineqRe = "(?s)^(.+?)\\s*(<=|>=|<|>)\\s*(.+)$".r
+    // mentions exactly one of the two event-time columns
+    def tsSide(e: String): Option[Boolean] =
+      (word(e, lv.tsCol), word(e, rv.tsCol)) match {
+        case (true, false) => Some(true)   // left ts
+        case (false, true) => Some(false)  // right ts
+        case _ => None
+      }
+    var hasLower = false // r.ts >= l.ts - δ (difference bounded below)
+    var hasUpper = false // r.ts <= l.ts + δ (difference bounded above)
+    conj.foreach { c =>
+      strip(c, Seq(lAlias, lName, rAlias, rName)) match {
+        case betweenRe(x, lo, hi) =>
+          (tsSide(x), tsSide(lo), tsSide(hi)) match {
+            case (Some(a), Some(b), Some(c2)) if b != a && c2 != a =>
+              hasLower = true; hasUpper = true
+            case _ => ()
+          }
+        case ineqRe(e1, op, e2) =>
+          (tsSide(e1), tsSide(e2)) match {
+            case (Some(s1), Some(s2)) if s1 != s2 =>
+              // normalize to a bound on (r.ts − l.ts): `right ≤ left…`
+              // is an upper bound, `right ≥ left…` a lower; flip when
+              // the left event-time column leads the comparison
+              val rightLeads = !s1
+              val le = op == "<=" || op == "<"
+              if (rightLeads == le) hasUpper = true else hasLower = true
+            case _ => ()
+          }
+        case _ => ()
+      }
     }
-    require(hasBound,
-      s"interval JOIN needs a time bound between '${lv.tsCol}' and " +
-      s"'${rv.tsCol}' (e.g. BETWEEN … AND …) so state stays " +
-      s"watermark-evictable: $onClause")
+    require(hasLower && hasUpper,
+      s"interval JOIN needs a two-sided time bound between '${lv.tsCol}' " +
+      s"and '${rv.tsCol}' (a BETWEEN, or a conjunct pair bounding the " +
+      "difference in both directions) so state stays watermark-evictable" +
+      s": $onClause")
 
     val quals = Seq(lAlias, lName, rAlias, rName)
     val l = lv.df.withWatermark(lv.tsCol, lv.delay)
@@ -392,10 +448,22 @@ object StreamSqlTime {
     implicit val outE: Encoder[(P, Option[V])] = ExpressionEncoder()
     val pPayload = pv.df.columns.toSeq
     val vPayload = vv.df.columns.toSeq
-    val probes = pv.df.select(col(pKey).cast("long"), col(pv.tsCol),
+    // SQL null-equality discipline (nullKeyGuard): a null-keyed VERSION
+    // row can never match — filtered; a null-keyed PROBE would change a
+    // LEFT join's output (null-padded emission the keyed operator does
+    // not model) — raised loudly there, filtered under INNER; a null
+    // version ORDER has no slot in the version total order — raised
+    val pGuarded = StreamSql.nullKeyGuard(pv.df, pKey,
+      affectsOutput = leftJoin, "temporal JOIN")
+    val vGuarded = StreamSql.nullKeyGuard(vv.df, vKey,
+      affectsOutput = false, "temporal JOIN").filter(expr(
+      s"`$vOrd` IS NOT NULL OR raise_error('streaming temporal JOIN: " +
+      "NULL version rowId (the version order must be total — filter or " +
+      "coalesce it in the view)')"))
+    val probes = pGuarded.select(col(pKey).cast("long"), col(pv.tsCol),
         to_json(struct(pPayload.map(col): _*),
                 Changelog.TransportJsonOpts)).as[P]
-    val vers = vv.df.select(col(vKey).cast("long"), col(vv.tsCol),
+    val vers = vGuarded.select(col(vKey).cast("long"), col(vv.tsCol),
         col(vOrd).cast("long"),
         to_json(struct(vPayload.map(col): _*),
                 Changelog.TransportJsonOpts)).as[V]

@@ -825,6 +825,20 @@ class StreamSqlSpec extends AnyFunSuite {
           SELECT key, value FROM $rv UNION ALL
           SELECT key + 1, value FROM $lv""")
     assert(three.columns.toSeq == Seq("key", "value", "row_kind"))
+    // UNION separated from ALL by a long whitespace run (newline +
+    // indent) still splits — keyword matching is over the full string,
+    // not a fixed-width window
+    val spaced = SqlFrontend.sql(spark,
+      s"SELECT key, value FROM $lv UNION    \n      ALL " +
+      s"SELECT key, value FROM $rv")
+    assert(spaced.columns.toSeq == Seq("key", "value", "row_kind"))
+    // 'ALLIES' is not 'ALL': no split, so the statement is rejected as
+    // not-a-union (fail-loud, never a silent wrong parse)
+    val e3 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"SELECT key, value FROM $lv UNION   ALLIES FROM $rv")
+    }
+    assert(e3.getMessage.contains("no supported streaming-SQL shape"))
     StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
   }
 

@@ -241,6 +241,81 @@ class StreamSqlTimeSpec extends AnyFunSuite {
     StreamSql.dropStream(pv); StreamSql.dropStream(vv)
   }
 
+  test("alias-less LEFT temporal join runs as LEFT (null-pads), not INNER") {
+    // regression: without the probe-alias keyword guard, `FROM P LEFT
+    // JOIN V FOR SYSTEM_TIME …` parsed alias='LEFT' and the LEFT group
+    // stayed null — unmatched probes were silently FILTERED (inner
+    // semantics) instead of null-padded
+    implicit val sc = spark.sqlContext
+    val pmem = MemoryStream[(Long, Long, Long)]
+    val vmem = MemoryStream[(Long, Long, Double, Long)]
+    val pdf = pmem.toDS().select($"_1".as("pk"), $"_2".as("pid"),
+      timestamp_millis($"_3" + base).as("pts"))
+    val vdf = vmem.toDS().select($"_1".as("vk"), $"_2".as("vid"),
+      $"_3".as("vval"), timestamp_millis($"_4" + base).as("vts"))
+    val pv = fresh("tjnp"); val vv = fresh("tjnv")
+    StreamSql.registerStream(pv, pdf, tsCol = "pts", delay = "1 second")
+    StreamSql.registerStream(vv, vdf, tsCol = "vts", delay = "1 second",
+      rowId = Some("vid"))
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT $pv.pid AS pid, v.vid AS vid
+          FROM $pv LEFT JOIN $vv FOR SYSTEM_TIME AS OF $pv.pts AS v
+          ON $pv.pk = v.vk""")
+    val sink = fresh("tjn_sink")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      vmem.addData((1L, 100L, 10.0, 1000L))
+      // pid 2 sees the version; pid 5 (key 2) has none → must null-pad
+      pmem.addData((1L, 2L, 3000L), (2L, 5L, 4000L))
+      q.processAllAvailable()
+      pmem.addData((9L, 90L, 10000000L)); vmem.addData((9L, 900L, 0.0, 10000000L))
+      q.processAllAvailable()
+      pmem.addData((9L, 91L, 20000000L)); vmem.addData((9L, 901L, 0.0, 20000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).filter($"pid" < 90L)
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got == Set((2L, Some(100L)), (5L, None: Option[Long])))
+    StreamSql.dropStream(pv); StreamSql.dropStream(vv)
+  }
+
+  test("interval-join time bound is shape-validated: two-sided ranges only") {
+    implicit val sc = spark.sqlContext
+    val pmem = MemoryStream[(Long, Long, Long)]
+    val cmem = MemoryStream[(Long, Long, Long)]
+    val pdf = pmem.toDS().select($"_1".as("pk"), $"_2".as("pid"),
+      timestamp_millis($"_3" + base).as("pts"))
+    val cdf = cmem.toDS().select($"_1".as("ck"), $"_2".as("cid"),
+      timestamp_millis($"_3" + base).as("cts"))
+    val pv = fresh("ivsp"); val cv = fresh("ivsc")
+    StreamSql.registerStream(pv, pdf, tsCol = "pts", delay = "1 second")
+    StreamSql.registerStream(cv, cdf, tsCol = "cts", delay = "1 second")
+    // one-sided bound: mentions both ts columns but leaves state
+    // unbounded — refused (was silently accepted by word containment)
+    val e1 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT p.pid, c.cid FROM $pv p JOIN $cv c
+            ON p.pk = c.ck AND c.cts <= p.pts""")
+    }
+    assert(e1.getMessage.contains("two-sided time bound"))
+    // non-range expression mentioning both columns — refused
+    val e2 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT p.pid, c.cid FROM $pv p JOIN $cv c
+            ON p.pk = c.ck AND abs(unix_millis(c.cts) - unix_millis(p.pts)) < 5000""")
+    }
+    assert(e2.getMessage.contains("two-sided time bound"))
+    // an explicit inequality PAIR (the desugared BETWEEN) is accepted
+    val ok = SqlFrontend.sql(spark,
+      s"""SELECT p.pid, c.cid FROM $pv p JOIN $cv c
+          ON p.pk = c.ck
+         AND c.cts >= p.pts - INTERVAL '5' SECOND
+         AND c.cts <= p.pts""")
+    assert(ok.columns.toSeq == Seq("pid", "cid"))
+    StreamSql.dropStream(pv); StreamSql.dropStream(cv)
+  }
+
   test("time-domain routes fail loudly on unsupported shapes") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double, Long)]
