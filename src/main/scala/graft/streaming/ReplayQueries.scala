@@ -1833,6 +1833,115 @@ object ReplayQueries {
       Changelog.materialize(s.read.parquet(out), "mk", "row_kind", "bid")
         .select(col("side"), col("key").as("user_id"),
                 col("amt_c").cast("long").as("cents"), col("cnt"))
+    }),
+
+    // Streaming-SQL GROUP BY TUMBLE — the most common streaming SQL
+    // statement a user types, planned from text day-one by the
+    // reference (FlinkSqlOperatorTable TUMBLE + TUMBLE_START →
+    // StreamExecGroupWindowAggregate): per-event-type daily windows
+    // with COUNT + exact-cents SUM over a registered stream view,
+    // routed onto StreamOps.tumbleAgg (Spark's native watermarked
+    // window aggregate, append mode). Oracle: date_trunc day dual.
+    "q336_stream_sql_tumble" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
+      val sentinel = s.range(1)
+        .select(lit("zz_sentinel").as("event_type"),
+                lit(sentTs).cast("timestamp").as("ts"), lit(0.0).as("value"))
+      val (in, out, ck) = stageOrdered(ev, "ts", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        StreamSql.registerStream("q336_v", src, tsCol = "ts",
+          delay = "1 second")
+        try {
+          val res = graft.operators.SqlFrontend.sql(s,
+            """SELECT event_type, TUMBLE_START(ts, INTERVAL '1' DAY) AS ws,
+                      COUNT(*) AS n, SUM(floor(value * 100)) AS cents
+               FROM q336_v GROUP BY TUMBLE(ts, INTERVAL '1' DAY), event_type""")
+          val q = res.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropStream("q336_v")
+      }
+      s.read.parquet(out).filter(col("event_type") =!= "zz_sentinel")
+        .select(col("event_type"), Tables.tsMicros(col("ws")).as("w_start"),
+                col("n"), col("cents").cast("long").as("cents"))
+    }),
+
+    // Streaming-SQL GROUP BY HOP — q257's sliding-window pipeline
+    // re-entered through SQL text, keeping Flink's (time, slide, size)
+    // argument order (the route flips to Spark's (size, slide)). Here
+    // the windows finalize behind the watermark (append mode, sentinel
+    // flushed) instead of q257's Complete-mode rewrite — same oracle.
+    "q337_stream_sql_hop" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events").select(col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
+      val sentinel = s.range(1)
+        .select(lit(sentTs).cast("timestamp").as("ts"))
+      val (in, out, ck) = stageOrdered(ev, "ts", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        StreamSql.registerStream("q337_v", src, tsCol = "ts",
+          delay = "1 second")
+        try {
+          val res = graft.operators.SqlFrontend.sql(s,
+            """SELECT HOP_START(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR) AS ws,
+                      COUNT(*) AS n
+               FROM q337_v
+               GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)""")
+          val q = res.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropStream("q337_v")
+      }
+      // the sentinel's two far-future windows start past the data max
+      s.read.parquet(out).filter(col("ws") <= lit(maxTs))
+        .select(Tables.tsMicros(col("ws")).as("w_start"), col("n"))
+    }),
+
+    // Streaming-SQL GROUP BY SESSION — q250's merging-session pipeline
+    // re-entered through SQL text (the reference's SESSION group window
+    // → the merging SessionWindowAssigner). Same readback rollup and
+    // oracle as q250.
+    "q338_stream_sql_session" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events").select(col("user_id"), col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("user_id"),
+                lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
+                  .cast("timestamp").as("ts"))
+      val (in, out, ck) = stageOrdered(ev, "ts", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        StreamSql.registerStream("q338_v", src, tsCol = "ts",
+          delay = "1 second")
+        try {
+          val res = graft.operators.SqlFrontend.sql(s,
+            """SELECT user_id, COUNT(*) AS n_events
+               FROM q338_v
+               GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id""")
+          val q = res.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropStream("q338_v")
+      }
+      s.read.parquet(out).filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+             sum(col("n_events")).as("n_events"),
+             max(col("n_events")).as("max_session"))
     })
   )
 
@@ -2730,6 +2839,47 @@ object ReplayQueries {
         FROM events WHERE event_type = 'click' GROUP BY 1)
       SELECT 'purchase' AS side, user_id, cents, cnt FROM p
       UNION ALL
-      SELECT 'click' AS side, user_id, cents, cnt FROM k WHERE cnt >= 10"""
+      SELECT 'click' AS side, user_id, cents, cnt FROM k WHERE cnt >= 10""",
+
+    // TUMBLE day windows are epoch-aligned — date_trunc day is exact
+    "q336_stream_sql_tumble" -> """
+      SELECT event_type,
+             epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS w_start,
+             count(*) AS n,
+             CAST(sum(floor(value * 100)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2""",
+
+    // q257's batch dual, verbatim (q26's time_bucket union)
+    "q337_stream_sql_hop" -> """
+      WITH b AS (SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS b30
+                 FROM events)
+      SELECT epoch_us(s) AS w_start, count(*) AS n FROM (
+        SELECT b30 AS s FROM b
+        UNION ALL
+        SELECT b30 - INTERVAL 30 MINUTE AS s FROM b) x
+      GROUP BY s""",
+
+    // q250's batch dual, verbatim: sessionization via lag/cumsum
+    "q338_stream_sql_session" -> """
+      WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - lag(CAST(ts AS TIMESTAMP))
+                             OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      sess AS (
+        SELECT user_id,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged),
+      per_sess AS (
+        SELECT user_id, sid, count(*) AS n_events
+        FROM sess GROUP BY user_id, sid)
+      SELECT user_id, count(*) AS n_sessions,
+             CAST(sum(n_events) AS BIGINT) AS n_events, max(n_events) AS max_session
+      FROM per_sess GROUP BY user_id"""
   )
 }

@@ -360,6 +360,7 @@ object StreamSql {
     val dm = distinctRe.matcher(text)
     val tjm = StreamSqlTime.temporalRe.matcher(text)
     val ovm = StreamSqlTime.overRe.matcher(text)
+    val gwm = StreamSqlTime.groupWinRe.matcher(text)
     val um = unionRe.matcher(text)
     if (um.matches() && view(um.group(2)).isDefined)
       Some(unionAll(spark, text, effTtl))
@@ -370,6 +371,9 @@ object StreamSql {
     // time-domain shapes over APPEND-ONLY stream views (registerStream)
     else if (tjm.matches() && streamView(tjm.group(2)).isDefined)
       Some(StreamSqlTime.temporal(spark, tjm))
+    else if (gwm.matches() && streamView(gwm.group(2)).isDefined &&
+             StreamSqlTime.hasGroupWindow(gwm.group(5)))
+      Some(StreamSqlTime.groupWindow(spark, gwm))
     else if (jm.matches() && streamView(jm.group(2)).isDefined)
       Some(StreamSqlTime.interval(spark, jm))
     else if (ovm.matches() && streamView(ovm.group(2)).isDefined &&
@@ -424,12 +428,14 @@ object StreamSql {
       if (hitStream.nonEmpty) throw new IllegalArgumentException(
         s"statement references registered stream view(s) " +
         s"${hitStream.mkString(", ")} but matches no supported " +
-        "time-domain streaming-SQL shape (AGG(v) OVER (PARTITION BY g " +
-        "ORDER BY ts [frame]) / A JOIN B ON a.k = b.k AND <ts bound> " +
-        "(interval join) / A JOIN B FOR SYSTEM_TIME AS OF a.ts ON a.k " +
-        "= b.k — see StreamSqlTime's object doc for the exact grammar); " +
-        "use the Scala API (OverWindow.overAgg / StreamOps.intervalJoin " +
-        s"/ TemporalJoin.streamAsOf) for this query: $text")
+        "time-domain streaming-SQL shape (GROUP BY TUMBLE/HOP/SESSION " +
+        "(ts, INTERVAL …) with *_START/_END accessors / AGG(v) OVER " +
+        "(PARTITION BY g ORDER BY ts [frame]) / A JOIN B ON a.k = b.k " +
+        "AND <ts bound> (interval join) / A JOIN B FOR SYSTEM_TIME AS " +
+        "OF a.ts ON a.k = b.k — see StreamSqlTime's object doc for the " +
+        "exact grammar); use the Scala API (StreamOps.tumbleAgg/hopAgg/" +
+        "sessionAgg / OverWindow.overAgg / StreamOps.intervalJoin / " +
+        s"TemporalJoin.streamAsOf) for this query: $text")
       None
     }
   }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 
@@ -115,6 +115,155 @@ object StreamSqlTime {
     case "DAY" | "DAYS" => n * 86400000L
     case u => throw new IllegalArgumentException(
       s"unsupported RANGE frame unit '$u' (SECOND/MINUTE/HOUR/DAY)")
+  }
+
+  // ---- GROUP BY TUMBLE/HOP/SESSION → StreamOps group-window aggs ------
+
+  // same SELECT/FROM/WHERE/GROUP BY/HAVING shape as the changelog
+  // aggregate routes; dispatched (maybeSql) only when the FROM target is
+  // a registered STREAM view and the GROUP BY list carries a window fn
+  private[streaming] val groupWinRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)" +
+    "(?:\\s+(?:AS\\s+)?(?!WHERE\\b|GROUP\\b)(\\w+))?" +
+    "(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)" +
+    "(?:\\s+HAVING\\s+(.+?))?\\s*$")
+
+  private[streaming] def hasGroupWindow(groupByList: String): Boolean =
+    java.util.regex.Pattern.compile("(?i)\\b(TUMBLE|HOP|SESSION)\\s*\\(")
+      .matcher(groupByList).find()
+
+  private val winPartRe = "(?is)^(TUMBLE|HOP|SESSION)\\s*\\((.+)\\)$".r
+  private val accessorRe =
+    "(?is)^(TUMBLE|HOP|SESSION)_(START|END)\\s*\\((.+)\\)\\s+(?:AS\\s+)?(\\w+)$".r
+  private val gwAggRe =
+    "(?is)^(SUM|COUNT|MIN|MAX|AVG)\\s*\\(\\s*(.+?)\\s*\\)\\s+(?:AS\\s+)?(\\w+)$".r
+  private val ivLitRe = "(?is)^INTERVAL\\s+'(\\d+)'\\s+(\\w+)$".r
+
+  private def ivStr(s: String): String = s.trim match {
+    case ivLitRe(n, u) => s"$n ${u.toLowerCase}"
+    case other => throw new IllegalArgumentException(
+      s"expected INTERVAL '<n>' <unit>: $other")
+  }
+
+  /**
+   * `SELECT <items> FROM S [WHERE p] GROUP BY TUMBLE(ts, INTERVAL …)
+   * [, <key expr>…] [HAVING q]` (and HOP/SESSION) over a registered
+   * APPEND stream view — the reference's streaming SQL group windows
+   * (FlinkSqlOperatorTable TUMBLE/HOP/SESSION + the *_START/_END
+   * auxiliary accessors, planned by LogicalWindowAggregateRuleBase into
+   * StreamExecGroupWindowAggregate, flink-table-planner-blink/.../
+   * physical/stream/StreamExecGroupWindowAggregate.scala). Routed onto
+   * [[StreamOps.tumbleAgg]]/[[StreamOps.hopAgg]]/[[StreamOps.sessionAgg]]
+   * — Spark's native watermarked window aggregation, so the output is a
+   * plain APPEND stream (windows finalize behind the watermark) and the
+   * rewrite is metadata-only: one exchange on (keys, window), partial
+   * aggregation map-side, any scalar group-key expressions and any mix
+   * of SUM/COUNT/MIN/MAX/AVG aggregates (all Catalyst-native — no typed
+   * transport, so keys are fully generic here). Flink argument order is
+   * preserved: HOP(ts, slide, size). `*_START/_END` accessors must match
+   * the window kind and project `window.start`/`window.end`; HAVING
+   * filters the finalized windows (an append-stream filter — stateless).
+   */
+  private[streaming] def groupWindow(spark: SparkSession,
+                                     m: java.util.regex.Matcher): DataFrame = {
+    val (sel, vName, vAlias0, whereCl, groupBy, having) =
+      (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))
+    val v = StreamSql.streamView(vName).get
+    val quals = Seq(vAlias0, vName)
+    import StreamSql.{norm, strip, itemAlias}
+
+    // GROUP BY list: exactly one window fn + any scalar key expressions
+    val gbParts = SqlFrontend.splitTop(strip(groupBy, quals))
+    val (winParts, keyExprs) = gbParts.partition {
+      case winPartRe(_, _) => true
+      case _ => false
+    }
+    require(winParts.length == 1,
+      s"group-window GROUP BY needs exactly one TUMBLE/HOP/SESSION " +
+      s"window: $groupBy")
+    val (kind, winArgs) = winParts.head match {
+      case winPartRe(k, a) => (k.toUpperCase, SqlFrontend.splitTop(a))
+    }
+    require(norm(winArgs.head) == norm(v.tsCol),
+      s"the group window must be over the registered event-time column " +
+      s"'${v.tsCol}': ${winParts.head}")
+
+    val vdf0 = Option(whereCl)
+      .map(w => v.df.filter(expr(strip(w, quals)))).getOrElse(v.df)
+    // derive key columns so the aggregate's grouping names are stable
+    val vdf = keyExprs.zipWithIndex.foldLeft(vdf0) { case (d, (e, i)) =>
+      d.withColumn(s"__gw$i", expr(e))
+    }
+    val keyCols = keyExprs.indices.map(i => col(s"__gw$i"))
+
+    // SELECT items → output slots (statement order)
+    val normKeys = keyExprs.map(norm)
+    sealed trait Slot
+    case class KeySlot(i: Int, alias: String) extends Slot
+    case class AccSlot(end: Boolean, alias: String) extends Slot
+    case class AggSlot(j: Int, alias: String) extends Slot
+    val aggCols = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val slots = SqlFrontend.splitTop(sel).map(strip(_, quals)).map {
+      case accessorRe(fam, se, args, alias) =>
+        require(fam.equalsIgnoreCase(kind),
+          s"${fam.toUpperCase}_${se.toUpperCase} does not match the " +
+          s"statement's $kind window")
+        require(norm(SqlFrontend.splitTop(args).head) == norm(v.tsCol),
+          s"window accessor must reference the event-time column " +
+          s"'${v.tsCol}': $args")
+        AccSlot(se.equalsIgnoreCase("END"), alias)
+      case item @ gwAggRe(fn, arg, alias) =>
+        require(!arg.matches("(?is)^DISTINCT\\b.*"),
+          s"streaming group windows do not support DISTINCT aggregates " +
+          s"(Spark's append-mode window aggregation restriction): $item")
+        val c = fn.toUpperCase match {
+          case "COUNT" if arg.trim == "*" => count(lit(1))
+          case "COUNT" => count(expr(arg))
+          case "SUM" => sum(expr(arg))
+          case "MIN" => min(expr(arg))
+          case "MAX" => max(expr(arg))
+          case _ => avg(expr(arg))
+        }
+        aggCols += c.as(s"__a${aggCols.length}")
+        AggSlot(aggCols.length - 1, alias)
+      case item =>
+        val (e, alias) = itemAlias(item)
+        val i = normKeys.indexOf(norm(e))
+        require(i >= 0,
+          s"group-window projection item '$item' is neither a GROUP BY " +
+          "key expression, a window *_START/_END accessor, nor a " +
+          "supported aggregate (SUM/COUNT/MIN/MAX/AVG)")
+        KeySlot(i, alias)
+    }
+    require(aggCols.nonEmpty,
+      s"group-window statement needs at least one aggregate: $sel")
+
+    val agged = kind match {
+      case "TUMBLE" =>
+        require(winArgs.length == 2,
+          s"TUMBLE(ts, INTERVAL '<n>' <unit>): ${winParts.head}")
+        StreamOps.tumbleAgg(vdf, v.tsCol, ivStr(winArgs(1)), v.delay,
+          keyCols, aggCols.toSeq)
+      case "HOP" =>
+        require(winArgs.length == 3,
+          s"HOP(ts, INTERVAL slide, INTERVAL size): ${winParts.head}")
+        // Flink order (time, slide, size); StreamOps/Spark take
+        // (size, slide)
+        StreamOps.hopAgg(vdf, v.tsCol, ivStr(winArgs(2)), ivStr(winArgs(1)),
+          v.delay, keyCols, aggCols.toSeq)
+      case _ =>
+        require(winArgs.length == 2,
+          s"SESSION(ts, INTERVAL '<n>' <unit>): ${winParts.head}")
+        StreamOps.sessionAgg(vdf, v.tsCol, ivStr(winArgs(1)), v.delay,
+          keyCols, aggCols.toSeq)
+    }
+    val out = agged.select(slots.map {
+      case KeySlot(i, alias) => col(s"__gw$i").as(alias)
+      case AccSlot(end, alias) =>
+        (if (end) col("w.end") else col("w.start")).as(alias)
+      case AggSlot(j, alias) => col(s"__a$j").as(alias)
+    }: _*)
+    Option(having).map(h => out.filter(expr(strip(h, quals)))).getOrElse(out)
   }
 
   // ---- AGG(v) OVER (PARTITION BY … ORDER BY ts) → OverWindow.overAgg ----

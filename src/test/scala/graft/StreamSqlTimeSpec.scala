@@ -241,6 +241,126 @@ class StreamSqlTimeSpec extends AnyFunSuite {
     StreamSql.dropStream(pv); StreamSql.dropStream(vv)
   }
 
+  // ---- GROUP BY TUMBLE/HOP/SESSION (streaming SQL group windows) ------
+
+  private val gwEvs = Seq(
+    ("a", 1.0, 1000L), ("b", 2.0, 2000L), ("a", 3.0, 6000L),
+    ("a", 4.0, 7000L), ("b", 5.0, 12000L), ("a", 6.0, 21000L))
+
+  /** Register gwEvs as a stream view, build the output via `build`
+    * (SQL text or the Scala API), replay with far-future sentinels,
+    * return the sink rows. */
+  private def runGwStream(build: (String, org.apache.spark.sql.DataFrame)
+      => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Double, Long)]
+    val df = mem.toDS().select($"_1".as("k"), $"_2".as("v"),
+      timestamp_millis($"_3" + base).as("ets"))
+    val vn = fresh("gwv")
+    StreamSql.registerStream(vn, df, tsCol = "ets", delay = "1 second")
+    val out = build(vn, df)
+    val sink = fresh("gw_sink")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      gwEvs.grouped(3).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      mem.addData(("zz", 0.0, 10000000L)); q.processAllAvailable()
+      mem.addData(("zz", 0.0, 20000000L)); q.processAllAvailable()
+    } finally q.stop()
+    StreamSql.dropStream(vn)
+    spark.table(sink)
+  }
+
+  test("SQL GROUP BY TUMBLE equals StreamOps.tumbleAgg (string keys, mixed aggs)") {
+    val gotSql = runGwStream((vn, _) => SqlFrontend.sql(spark,
+      s"""SELECT k AS kk, TUMBLE_START(ets, INTERVAL '5' SECOND) AS ws,
+                TUMBLE_END(ets, INTERVAL '5' SECOND) AS we,
+                COUNT(*) AS n, SUM(v) AS sv
+          FROM $vn GROUP BY TUMBLE(ets, INTERVAL '5' SECOND), k"""))
+      .filter($"kk" =!= "zz")
+      .select($"kk", unix_millis($"ws"), unix_millis($"we"), $"n", $"sv")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    val gotApi = runGwStream((_, df) => graft.streaming.StreamOps
+        .tumbleAgg(df, "ets", "5 seconds", "1 second",
+          Seq(col("k")), Seq(count(lit(1)).as("n"), sum($"v").as("sv")))
+        .select($"k", $"w.start".as("ws"), $"w.end".as("we"), $"n", $"sv"))
+      .filter($"k" =!= "zz")
+      .select($"k", unix_millis($"ws"), unix_millis($"we"), $"n", $"sv")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(gotSql == gotApi && gotSql.nonEmpty)
+  }
+
+  test("SQL GROUP BY HOP keeps Flink's (time, slide, size) argument order") {
+    val gotSql = runGwStream((vn, _) => SqlFrontend.sql(spark,
+      s"""SELECT HOP_START(ets, INTERVAL '5' SECOND, INTERVAL '10' SECOND) AS ws,
+                COUNT(*) AS n
+          FROM $vn WHERE k <> 'zz'
+          GROUP BY HOP(ets, INTERVAL '5' SECOND, INTERVAL '10' SECOND)"""))
+      .select(unix_millis($"ws"), $"n")
+      .as[(Long, Long)].collect().toSet
+    val gotApi = runGwStream((_, df) => graft.streaming.StreamOps
+        .hopAgg(df.filter($"k" =!= "zz"), "ets", "10 seconds", "5 seconds",
+          "1 second", Seq.empty, Seq(count(lit(1)).as("n")))
+        .select($"w.start".as("ws"), $"n"))
+      .select(unix_millis($"ws"), $"n")
+      .as[(Long, Long)].collect().toSet
+    assert(gotSql == gotApi && gotSql.nonEmpty)
+  }
+
+  test("SQL GROUP BY SESSION with HAVING equals StreamOps.sessionAgg + filter") {
+    val gotSql = runGwStream((vn, _) => SqlFrontend.sql(spark,
+      s"""SELECT k AS kk, SESSION_START(ets, INTERVAL '3' SECOND) AS ws,
+                COUNT(*) AS n
+          FROM $vn GROUP BY SESSION(ets, INTERVAL '3' SECOND), k
+          HAVING n >= 1"""))
+      .filter($"kk" =!= "zz")
+      .select($"kk", unix_millis($"ws"), $"n")
+      .as[(String, Long, Long)].collect().toSet
+    val gotApi = runGwStream((_, df) => graft.streaming.StreamOps
+        .sessionAgg(df, "ets", "3 seconds", "1 second",
+          Seq(col("k")), Seq(count(lit(1)).as("n")))
+        .select($"k", $"w.start".as("ws"), $"n").filter($"n" >= 1))
+      .filter($"k" =!= "zz")
+      .select($"k", unix_millis($"ws"), $"n")
+      .as[(String, Long, Long)].collect().toSet
+    assert(gotSql == gotApi && gotSql.nonEmpty)
+  }
+
+  test("group-window route fails loudly on malformed shapes") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Double, Long)]
+    val df = mem.toDS().select($"_1".as("k"), $"_2".as("v"),
+      timestamp_millis($"_3" + base).as("ets"))
+    val vn = fresh("gwf")
+    StreamSql.registerStream(vn, df, tsCol = "ets", delay = "1 second")
+    // window over a non-event-time column
+    val e1 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"SELECT k, COUNT(*) AS n FROM $vn GROUP BY TUMBLE(v, INTERVAL '5' SECOND), k")
+    }
+    assert(e1.getMessage.contains("event-time"))
+    // accessor family must match the window kind
+    val e2 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT SESSION_START(ets, INTERVAL '5' SECOND) AS ws, COUNT(*) AS n
+            FROM $vn GROUP BY TUMBLE(ets, INTERVAL '5' SECOND)""")
+    }
+    assert(e2.getMessage.contains("does not match"))
+    // projection item that is not a grouping expression
+    val e3 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"SELECT v, COUNT(*) AS n FROM $vn GROUP BY TUMBLE(ets, INTERVAL '5' SECOND), k")
+    }
+    assert(e3.getMessage.contains("neither a GROUP BY key"))
+    // DISTINCT aggregates are a streaming restriction
+    val e4 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"SELECT k, COUNT(DISTINCT v) AS n FROM $vn GROUP BY TUMBLE(ets, INTERVAL '5' SECOND), k")
+    }
+    assert(e4.getMessage.contains("DISTINCT"))
+    StreamSql.dropStream(vn)
+  }
+
   test("alias-less LEFT temporal join runs as LEFT (null-pads), not INNER") {
     // regression: without the probe-alias keyword guard, `FROM P LEFT
     // JOIN V FOR SYSTEM_TIME …` parsed alias='LEFT' and the LEFT group
