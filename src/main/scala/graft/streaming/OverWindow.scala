@@ -180,6 +180,213 @@ object OverWindow {
     }
   }
 
+  // ---- multi-aggregate over-window (one state buffer, N folds) ---------
+
+  /** The fold-expressible aggregate functions [[overAggMulti]] hosts —
+    * every one folds through a single (Double, Long) accumulator slot,
+    * so N aggregates share ONE state buffer and one pass per emission
+    * (the reference's GroupAggFunction architecture applied to
+    * over-windows: one generated AggsHandleFunction hosting the whole
+    * aggregate list, StreamExecOverAggregate's aggCalls). */
+  sealed trait AggFn extends Serializable
+  case object FnSum extends AggFn
+  case object FnCount extends AggFn
+  case object FnMin extends AggFn
+  case object FnMax extends AggFn
+  case object FnAvg extends AggFn
+  /** FIRST_VALUE over the frame (running frames: first row per key). */
+  case object FnFirst extends AggFn
+  /** LAST_VALUE over the frame (the last folded row — with RANGE peer
+    * grouping, the last peer in deterministic order). */
+  case object FnLast extends AggFn
+
+  private def zeroOf(f: AggFn): (Double, Long) = f match {
+    case FnMin => (Double.PositiveInfinity, 0L)
+    case FnMax => (Double.NegativeInfinity, 0L)
+    case _ => (0.0, 0L)
+  }
+  private def addOf(f: AggFn, a: (Double, Long), x: Double): (Double, Long) =
+    f match {
+      case FnSum | FnAvg => (a._1 + x, a._2 + 1)
+      case FnCount => (a._1, a._2 + 1)
+      case FnMin => (math.min(a._1, x), a._2 + 1)
+      case FnMax => (math.max(a._1, x), a._2 + 1)
+      case FnFirst => if (a._2 == 0L) (x, 1L) else (a._1, a._2 + 1)
+      case FnLast => (x, a._2 + 1)
+    }
+  private def finishOf(f: AggFn, a: (Double, Long)): Double = f match {
+    case FnCount => a._2.toDouble
+    case FnAvg => a._1 / a._2
+    case _ => a._1
+  }
+
+  /**
+   * N over-window aggregates sharing ONE window spec and ONE state
+   * buffer: `values(v)(j)` is aggregate j's operand (distinct operand
+   * expressions allowed). Emits (key, eventTime, tiebreak, results) —
+   * `results(j)` = aggregate j — with exactly [[overAgg]]'s ordering,
+   * lateness, frame and TTL semantics; each per-fn fold is the same
+   * arithmetic as the single-aggregate helpers (sumAgg et al.), so an
+   * N=1 run is value-identical to `overAgg`.
+   */
+  def overAggMulti[K, V](
+      grouped: KeyValueGroupedDataset[K, V],
+      eventTime: V => Long,
+      tiebreak: V => Long,
+      sortVal: V => Double,
+      fns: Seq[AggFn],
+      values: V => Seq[Double],
+      frame: Frame,
+      ttl: Option[Changelog.IdleStateTtl] = None)(
+      implicit ke: Encoder[K], ve: Encoder[V],
+      se: Encoder[(Seq[V], Seq[V], Seq[(Double, Long)], Long)],
+      oe: Encoder[(K, Long, Long, Seq[Double])])
+      : Dataset[(K, Long, Long, Seq[Double])] = {
+    require(fns.nonEmpty, "overAggMulti: empty aggregate list")
+    require(!ttl.exists(_.reclaimTimers),
+      "overAggMulti: reclaimTimers unsupported (event-time timeout in use)")
+    val zeros = fns.map(zeroOf)
+    def addAll(a: Seq[(Double, Long)], v: V): Seq[(Double, Long)] = {
+      val xs = values(v)
+      fns.indices.map(j => addOf(fns(j), a(j), xs(j)))
+    }
+    def finishAll(a: Seq[(Double, Long)]): Seq[Double] =
+      fns.indices.map(j => finishOf(fns(j), a(j)))
+    grouped.flatMapGroupsWithState[(Seq[V], Seq[V], Seq[(Double, Long)], Long),
+                                   (K, Long, Long, Seq[Double])](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: K, vals: Iterator[V],
+       state: GroupState[(Seq[V], Seq[V], Seq[(Double, Long)], Long)]) =>
+        val incoming = vals.toSeq
+        val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+        val st0 = state.getOption.filter { case (_, _, _, last) =>
+          incoming.isEmpty || ttl.forall(t => now - last <= t.ms) }
+        val (pending0, tail0, acc0, last0) =
+          st0.getOrElse((Seq.empty[V], Seq.empty[V], zeros, now))
+        val wm = state.getCurrentWatermarkMs()
+        val pending = (pending0 ++ incoming.filter(eventTime(_) > wm))
+          .sortBy(v => (eventTime(v), tiebreak(v), sortVal(v)))
+        val (ready, still) = pending.partition(eventTime(_) <= wm)
+        val out = mutable.ArrayBuffer.empty[(K, Long, Long, Seq[Double])]
+        var tail = tail0
+        var acc = acc0
+        frame match {
+          case UnboundedPreceding =>
+            ready.foreach { v =>
+              acc = addAll(acc, v)
+              out += ((key, eventTime(v), tiebreak(v), finishAll(acc)))
+            }
+          case RangeUnboundedPreceding =>
+            ready.groupBy(eventTime).toSeq.sortBy(_._1).foreach {
+              case (t, peers) =>
+                peers.foreach(v => acc = addAll(acc, v))
+                val sVal = finishAll(acc)
+                peers.foreach(v => out += ((key, t, tiebreak(v), sVal)))
+            }
+          case RowsPreceding(n) =>
+            ready.foreach { v =>
+              tail = (tail :+ v).takeRight(n + 1)
+              out += ((key, eventTime(v), tiebreak(v),
+                       finishAll(tail.foldLeft(zeros)(addAll))))
+            }
+          case RangePreceding(lookback) =>
+            ready.groupBy(eventTime).toSeq.sortBy(_._1).foreach {
+              case (t, peers) =>
+                tail = (tail ++ peers).filter(v => eventTime(v) >= t - lookback)
+                val s = finishAll(tail.foldLeft(zeros)(addAll))
+                peers.foreach(v => out += ((key, t, tiebreak(v), s)))
+            }
+            tail = tail.filter(v => eventTime(v) >= wm - lookback)
+        }
+        val last1 = if (incoming.nonEmpty) now else last0
+        state.update((still, tail, acc, last1))
+        if (still.nonEmpty)
+          state.setTimeoutTimestamp(math.max(eventTime(still.head), wm + 1))
+        out.iterator
+    }
+  }
+
+  // ---- LEAD/LAG offset over-windows -------------------------------------
+
+  /**
+   * Event-time LEAD/LAG per key (the reference's OffsetOverFrame
+   * family, flink-table-runtime-blink/.../over/frame/OffsetOverFrame
+   * .java, SQL-reachable as `LAG(v, n) OVER (PARTITION BY … ORDER BY
+   * rowtime)`): each row's value is the row `offset` positions before
+   * (`lead = false`) or after (`lead = true`) it in final per-key
+   * event-time order. None where the offset row does not exist (SQL's
+   * NULL default).
+   *
+   * Emission: LAG rows emit exactly like [[overAgg]] (final once the
+   * watermark passes — the preceding rows are already final). LEAD
+   * rows additionally WAIT until their offset row is itself final: on
+   * an unbounded stream "no next row yet" is undefined, not NULL, so a
+   * key's trailing `offset` rows are withheld until more rows for that
+   * key arrive — the streaming-native reading of the offset frame
+   * (results are final once emitted; nothing is ever retracted).
+   * State: pending rows + `offset` lookback/holdback rows — O(disorder
+   * × rate + offset) per key, the [[overAgg]] bound.
+   */
+  def overOffset[K, V](
+      grouped: KeyValueGroupedDataset[K, V],
+      eventTime: V => Long,
+      tiebreak: V => Long,
+      sortVal: V => Double,
+      value: V => Double,
+      offset: Int,
+      lead: Boolean,
+      ttl: Option[Changelog.IdleStateTtl] = None)(
+      implicit ke: Encoder[K], ve: Encoder[V],
+      se: Encoder[(Seq[V], Seq[V], Long)],
+      oe: Encoder[(K, Long, Long, Option[Double])])
+      : Dataset[(K, Long, Long, Option[Double])] = {
+    require(offset >= 1, s"overOffset: offset must be >= 1, got $offset")
+    require(!ttl.exists(_.reclaimTimers),
+      "overOffset: reclaimTimers unsupported (event-time timeout in use)")
+    grouped.flatMapGroupsWithState[(Seq[V], Seq[V], Long),
+                                   (K, Long, Long, Option[Double])](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: K, vals: Iterator[V], state: GroupState[(Seq[V], Seq[V], Long)]) =>
+        val incoming = vals.toSeq
+        val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+        val st0 = state.getOption.filter { case (_, _, last) =>
+          incoming.isEmpty || ttl.forall(t => now - last <= t.ms) }
+        // `buf` is the offset buffer: LAG → the last `offset` emitted
+        // rows (lookback); LEAD → final rows still awaiting their
+        // offset row (holdback)
+        val (pending0, buf0, last0) =
+          st0.getOrElse((Seq.empty[V], Seq.empty[V], now))
+        val wm = state.getCurrentWatermarkMs()
+        val pending = (pending0 ++ incoming.filter(eventTime(_) > wm))
+          .sortBy(v => (eventTime(v), tiebreak(v), sortVal(v)))
+        val (ready, still) = pending.partition(eventTime(_) <= wm)
+        val out = mutable.ArrayBuffer.empty[(K, Long, Long, Option[Double])]
+        var buf = buf0
+        if (lead) {
+          val all = buf ++ ready
+          val emitN = all.length - offset
+          (0 until emitN).foreach { i =>
+            val v = all(i)
+            out += ((key, eventTime(v), tiebreak(v), Some(value(all(i + offset)))))
+          }
+          buf = all.drop(math.max(emitN, 0))
+        } else {
+          ready.foreach { v =>
+            val lagged =
+              if (buf.length >= offset) Some(value(buf(buf.length - offset)))
+              else None
+            out += ((key, eventTime(v), tiebreak(v), lagged))
+            buf = (buf :+ v).takeRight(offset)
+          }
+        }
+        val last1 = if (incoming.nonEmpty) now else last0
+        state.update((still, buf, last1))
+        if (still.nonEmpty)
+          state.setTimeoutTimestamp(math.max(eventTime(still.head), wm + 1))
+        out.iterator
+    }
+  }
+
   /** Event-time over-window SUM of `value` per key (the original
     * surface; now a `sumAgg` instance of `overAgg`). */
   def overSum[K, V](

@@ -1942,6 +1942,137 @@ object ReplayQueries {
         .agg(count(lit(1)).as("n_sessions"),
              sum(col("n_events")).as("n_events"),
              max(col("n_events")).as("max_session"))
+    }),
+
+    // STRING-keyed streaming OVER aggregate from SQL text — the
+    // time-domain routes' generic-key support (the changelog family's
+    // round-13 move applied to StreamSqlTime): running SUM(n_chars) per
+    // SOURCE over the documents stream, no user-side hashing — the
+    // router resolves the key type (string → canonical-string state
+    // keys). Event time derives from doc_id (documents carry no
+    // timestamp), mirrored exactly in the oracle's ORDER BY doc_id.
+    "q339_stream_sql_string_over" -> ((s, dir) => {
+      // ets = epoch-2000 + doc_id seconds: the +base keeps doc_id 0 off
+      // the epoch-0 initial watermark (a ts-0 row would read as late)
+      val tsBase = 946684800000L
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+                timestamp_millis(col("doc_id") * 1000 + tsBase).as("ets"))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val sentinel = s.range(1)
+        .select(lit(maxId + 8640000L).as("doc_id"),
+                lit("zz_sentinel").as("source"),
+                lit(0L).cast(docs.schema("n_chars").dataType).as("n_chars"),
+                timestamp_millis(lit(maxId + 8640000L) * 1000 + tsBase)
+                  .as("ets"))
+      val (in, out, ck) = stageOrdered(docs, "ets", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        StreamSql.registerStream("q339_v", src, tsCol = "ets",
+          delay = "1 second", rowId = Some("doc_id"))
+        try {
+          val res = graft.operators.SqlFrontend.sql(s,
+            """SELECT source, doc_id,
+                      SUM(n_chars) OVER (PARTITION BY source
+                        ORDER BY ets, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS run_chars
+               FROM q339_v""")
+          val q = res.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropStream("q339_v")
+      }
+      s.read.parquet(out).filter(col("source") =!= "zz_sentinel")
+        .select(col("source"), col("doc_id"),
+                col("run_chars").cast("long").as("run_chars"))
+    }),
+
+    // MULTIPLE aggregates in ONE streaming OVER statement — one state
+    // buffer serving five folds (OverWindow.overAggMulti, the
+    // aggregateChangelogMulti architecture applied to over-windows; the
+    // reference's StreamExecOverAggregate similarly hosts the whole
+    // aggCall list in one generated AggsHandleFunction). Exact-cents
+    // operands; AVG is the same sum/count division on both sides.
+    "q340_stream_sql_multi_over" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+                col("ts").as("ets"))
+      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+                lit(0.0).as("value"), lit(sentTs).cast("timestamp").as("ets"))
+      val (in, out, ck) = stageOrdered(ev, "ets", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        StreamSql.registerStream("q340_v", src, tsCol = "ets",
+          delay = "1 second", rowId = Some("event_id"))
+        try {
+          val w = "PARTITION BY user_id ORDER BY ets, event_id " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+          val res = graft.operators.SqlFrontend.sql(s,
+            s"""SELECT user_id, event_id,
+                      SUM(floor(value * 100)) OVER ($w) AS s_c,
+                      COUNT(*) OVER ($w) AS n,
+                      MIN(floor(value * 100)) OVER ($w) AS mn_c,
+                      MAX(floor(value * 100)) OVER ($w) AS mx_c,
+                      AVG(floor(value * 100)) OVER ($w) AS avg_c
+               FROM q340_v""")
+          val q = res.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropStream("q340_v")
+      }
+      s.read.parquet(out).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("event_id"),
+                col("s_c").cast("long").as("s_c"), col("n"),
+                col("mn_c").cast("long").as("mn_c"),
+                col("mx_c").cast("long").as("mx_c"), col("avg_c"))
+    }),
+
+    // LAG from streaming SQL — the reference's OffsetOverFrame family
+    // planned from `LAG(v, n) OVER (PARTITION BY … ORDER BY rowtime)`;
+    // routed onto OverWindow.overOffset (every row emits exactly once
+    // behind the watermark, first-per-key rows with SQL's NULL
+    // default). Oracle: the batch lag() dual.
+    "q341_stream_sql_lag" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+                col("ts").as("ets"))
+      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+                lit(0.0).as("value"), lit(sentTs).cast("timestamp").as("ets"))
+      val (in, out, ck) = stageOrdered(ev, "ets", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        StreamSql.registerStream("q341_v", src, tsCol = "ets",
+          delay = "1 second", rowId = Some("event_id"))
+        try {
+          val res = graft.operators.SqlFrontend.sql(s,
+            """SELECT user_id, event_id,
+                      LAG(floor(value * 100), 1) OVER (PARTITION BY user_id
+                        ORDER BY ets, event_id) AS prev_c
+               FROM q341_v""")
+          val q = res.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropStream("q341_v")
+      }
+      s.read.parquet(out).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("event_id"),
+                col("prev_c").cast("long").as("prev_c"))
     })
   )
 
@@ -2880,6 +3011,42 @@ object ReplayQueries {
         FROM sess GROUP BY user_id, sid)
       SELECT user_id, count(*) AS n_sessions,
              CAST(sum(n_events) AS BIGINT) AS n_events, max(n_events) AS max_session
-      FROM per_sess GROUP BY user_id"""
+      FROM per_sess GROUP BY user_id""",
+
+    // string-keyed running sum; event time derives from doc_id, so the
+    // oracle's ORDER BY doc_id is the same total order
+    "q339_stream_sql_string_over" -> """
+      SELECT source, doc_id,
+             CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS run_chars
+      FROM documents""",
+
+    // five-fold multi-aggregate dual; AVG spelled as the identical
+    // sum/count double division
+    "q340_stream_sql_multi_over" -> """
+      WITH o AS (
+        SELECT user_id, event_id, floor(value * 100) AS c,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS tms
+        FROM events)
+      SELECT user_id, event_id,
+             CAST(sum(c) OVER w AS BIGINT) AS s_c,
+             count(*) OVER w AS n,
+             CAST(min(c) OVER w AS BIGINT) AS mn_c,
+             CAST(max(c) OVER w AS BIGINT) AS mx_c,
+             CAST(sum(c) OVER w AS DOUBLE) / count(*) OVER w AS avg_c
+      FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
+    "q341_stream_sql_lag" -> """
+      WITH o AS (
+        SELECT user_id, event_id, floor(value * 100) AS c,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS tms
+        FROM events)
+      SELECT user_id, event_id,
+             CAST(lag(c, 1) OVER (PARTITION BY user_id
+               ORDER BY tms, event_id) AS BIGINT) AS prev_c
+      FROM o"""
   )
 }

@@ -539,11 +539,12 @@ object StreamSql {
     * that, derive a common exact-typed key column in the view);
     * anything else is an ambiguous coercion we reject (the Flink
     * key-selector normalization is the user-side fix). */
-  private sealed trait KeyEnc
-  private case object LongKey extends KeyEnc
-  private final case class StringKey(preCast: Option[String]) extends KeyEnc
-  private def joinKeyEnc(ldf: DataFrame, lKey: String,
-                         rdf: DataFrame, rKey: String): KeyEnc = {
+  private[streaming] sealed trait KeyEnc
+  private[streaming] case object LongKey extends KeyEnc
+  private[streaming] final case class StringKey(preCast: Option[String])
+    extends KeyEnc
+  private[streaming] def joinKeyEnc(ldf: DataFrame, lKey: String,
+                                    rdf: DataFrame, rKey: String): KeyEnc = {
     val lt = ldf.select(col(lKey)).schema.head.dataType
     val rt = rdf.select(col(rKey)).schema.head.dataType
     import org.apache.spark.sql.types.NumericType

@@ -35,17 +35,33 @@ import graft.operators.SqlFrontend
  * inputs.
  *
  * OVER grammar: `SELECT <g> [AS ga], <ts> [AS ta], <rowId> [AS ia],
- * SUM|COUNT|MIN|MAX|AVG(<v>) OVER (PARTITION BY <g> ORDER BY <ts>
- * [, <rowId>] [frame]) AS aa FROM S [AS s]` — projection items may
- * reference only the partition key, the event-time column, the
- * registered rowId (the deterministic tiebreak) and the aggregate (the
- * columns the over-window state carries). Frames: `ROWS BETWEEN n
- * PRECEDING AND CURRENT ROW`, `RANGE BETWEEN INTERVAL 'x' <unit>
- * PRECEDING AND CURRENT ROW`, `ROWS BETWEEN UNBOUNDED PRECEDING AND
- * CURRENT ROW` (running, ties split by rowId), `RANGE BETWEEN UNBOUNDED
- * PRECEDING AND CURRENT ROW` or frame omitted (SQL's default — running
- * WITH peer rows included). The event-time projection emits at the
- * operator's millisecond granularity (the watermark unit).
+ * AGG1(<v1>) OVER (w) AS a1 [, AGG2(<v2>) OVER (w) AS a2 …] FROM S
+ * [AS s]` with `w = PARTITION BY <g> ORDER BY <ts> [, <rowId>]
+ * [frame]` — AGG ∈ SUM|COUNT(*)|MIN|MAX|AVG|FIRST_VALUE|LAST_VALUE
+ * (any number per statement, all sharing ONE window spec: one state
+ * buffer serves N folds, [[OverWindow.overAggMulti]]), or exactly one
+ * LAG|LEAD(<v>[, n]) navigation item ([[OverWindow.overOffset]], the
+ * reference's OffsetOverFrame family; LEAD withholds a key's trailing
+ * rows until their offset row is final — append streams never
+ * retract). Partition keys are GENERIC: integral expressions key state
+ * as Long, anything else as its canonical string form (the changelog
+ * family's discipline; the key column projects back in that form).
+ * Plain projection items may reference only the partition key, the
+ * event-time column and the registered rowId (the columns the
+ * over-window state carries). Frames: `ROWS BETWEEN n PRECEDING AND
+ * CURRENT ROW`, `RANGE BETWEEN INTERVAL 'x' <unit> PRECEDING AND
+ * CURRENT ROW`, `ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`
+ * (running, ties split by rowId), `RANGE BETWEEN UNBOUNDED PRECEDING
+ * AND CURRENT ROW` or frame omitted (SQL's default — running WITH peer
+ * rows included). The event-time projection emits at the operator's
+ * millisecond granularity (the watermark unit).
+ *
+ * Group-window grammar (the reference's streaming SQL group windows —
+ * see [[groupWindow]]): `SELECT <keys…, TUMBLE_START/END(ts, …),
+ * aggs…> FROM S [WHERE p] GROUP BY TUMBLE|HOP|SESSION(ts, INTERVAL …)
+ * [, key…] [HAVING q]`, routed onto [[StreamOps.tumbleAgg]]/
+ * [[StreamOps.hopAgg]]/[[StreamOps.sessionAgg]] (HOP keeps Flink's
+ * (time, slide, size) argument order).
  *
  * Interval-join grammar: `SELECT <items> FROM A [AS a]
  * [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN B [AS b] ON a.k = b.k AND
@@ -77,11 +93,6 @@ import graft.operators.SqlFrontend
 object StreamSqlTime {
 
   private type Ts = java.sql.Timestamp
-  /** Over-window event: (key, event time, tiebreak, value). */
-  private type Ev = (Long, java.sql.Timestamp, Long, Double)
-  /** Temporal probe / version transport: (key, ts, [ord,] payload JSON). */
-  private type P = (Long, java.sql.Timestamp, String)
-  private type V = (Long, java.sql.Timestamp, Long, String)
 
   private[streaming] val overRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s*$")
@@ -101,7 +112,8 @@ object StreamSqlTime {
     * the order-list/frame split happens in [[frameRe]] (regex greediness
     * would otherwise make the boundary ambiguous). */
   private val overItemRe = java.util.regex.Pattern.compile(
-    "(?is)^(SUM|COUNT|MIN|MAX|AVG)\\s*\\(\\s*(.+?)\\s*\\)\\s+OVER\\s*\\(\\s*" +
+    "(?is)^(SUM|COUNT|MIN|MAX|AVG|FIRST_VALUE|LAST_VALUE|LAG|LEAD)" +
+    "\\s*\\(\\s*(.+?)\\s*\\)\\s+OVER\\s*\\(\\s*" +
     "PARTITION\\s+BY\\s+(.+?)\\s+ORDER\\s+BY\\s+(.+?)\\s*\\)\\s+(?:AS\\s+)?(\\w+)\\s*$")
 
   private val frameRe = java.util.regex.Pattern.compile(
@@ -275,25 +287,42 @@ object StreamSqlTime {
     val v = StreamSql.streamView(vName).get
     val quals = Seq(vAlias0, vName)
     import StreamSql.{norm, strip, itemAlias}
+    import scala.reflect.runtime.universe.TypeTag
 
     val items = SqlFrontend.splitTop(sel).map(strip(_, quals))
-    var aggItem: Option[(String, String, String, String, String)] = None
-    // output projection in statement item order; None marks the
-    // aggregate's slot, filled once the operator output exists
-    val slots = scala.collection.mutable.ArrayBuffer.empty[Option[(String, String)]]
+    // every OVER aggregate in the statement: (fn, arg, partition expr,
+    // order+frame text, alias) — they must all share ONE window spec
+    // (one state buffer serving N folds, the aggregateChangelogMulti
+    // architecture applied to over-windows)
+    val aggItems = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String, String)]
+    // output projection in statement item order; Left(j) marks the j-th
+    // aggregate's slot, Right marks a plain (state-column) item
+    val slots = scala.collection.mutable.ArrayBuffer
+      .empty[Either[Int, (String, String)]]
     items.foreach { item =>
       val ma = overItemRe.matcher(item)
       if (ma.matches()) {
-        require(aggItem.isEmpty, "one OVER aggregate per statement " +
-          "(multiple over-aggregates: compose in the Scala API)")
-        aggItem = Some((ma.group(1).toUpperCase, ma.group(2).trim,
-                        ma.group(3).trim, ma.group(4).trim, ma.group(5)))
-        slots += None
-      } else slots += Some(itemAlias(item))
+        aggItems += ((ma.group(1).toUpperCase, ma.group(2).trim,
+                      ma.group(3).trim, ma.group(4).trim, ma.group(5)))
+        slots += Left(aggItems.length - 1)
+      } else slots += Right(itemAlias(item))
     }
-    val (fn, vExpr, gExpr, orderAndFrame, aggAlias) =
-      aggItem.getOrElse(throw new IllegalArgumentException(
-        s"no supported OVER aggregate (SUM/COUNT/MIN/MAX/AVG) in: $sel"))
+    require(aggItems.nonEmpty, s"no supported OVER aggregate " +
+      s"(SUM/COUNT/MIN/MAX/AVG/FIRST_VALUE/LAST_VALUE/LAG/LEAD) in: $sel")
+    val (gExpr, orderAndFrame) = (aggItems.head._3, aggItems.head._4)
+    aggItems.foreach { case (fn, _, g, of, _) =>
+      require(norm(g) == norm(gExpr) && norm(of) == norm(orderAndFrame),
+        s"all OVER aggregates in one statement must share one window " +
+        s"spec (PARTITION BY / ORDER BY / frame): " +
+        s"'$gExpr ... $orderAndFrame' vs '$g ... $of' ($fn)")
+    }
+    val offsetFns = Set("LAG", "LEAD")
+    val isOffset = aggItems.exists(i => offsetFns(i._1))
+    require(!isOffset || aggItems.length == 1,
+      "LAG/LEAD is an offset frame with its own state buffer — one per " +
+      "statement, not mixable with fold aggregates (compose in the " +
+      s"Scala API): $sel")
 
     val rowIdCol = v.rowIdCol.getOrElse(throw new IllegalArgumentException(
       s"streaming OVER aggregate over '$vName' needs its deterministic " +
@@ -325,27 +354,40 @@ object StreamSqlTime {
         case other => throw new IllegalArgumentException(
           s"unsupported OVER frame: $orderAndFrame")
       }
-    if (fn == "COUNT")
-      // COUNT(expr) skips nulls in SQL; the fold counts rows — only
-      // the row-count form is routed (null-skipping needs the Scala
-      // API's own FoldAgg)
-      require(vExpr == "*",
-        s"streaming OVER COUNT supports COUNT(*) only (COUNT(<expr>) " +
-        s"null-skipping: use OverWindow.overAgg with a custom FoldAgg): $sel")
-    else require(vExpr != "*", s"$fn(*) is not an aggregate: $sel")
+    require(!isOffset || fm.group(2) == null,
+      s"LAG/LEAD is a navigation function — it takes no frame clause: " +
+      s"$orderAndFrame")
 
-    // the time-domain routes key on Long (their typed event tuples) —
-    // a non-integral partition key must fail at plan time, not as an
-    // opaque null-encoder error mid-query
-    require(StreamSql.isIntegralKey(v.df, gExpr),
-      s"streaming OVER currently keys on an INTEGRAL partition " +
-      s"expression (got '${gExpr}' of type " +
-      s"${v.df.select(expr(gExpr)).schema.head.dataType.simpleString}) — " +
-      "derive an integral key column in the view, or use " +
-      "OverWindow.overAgg directly (generic key types)")
+    // per-aggregate operand + AggFn; COUNT routes the row-count form
+    // only (COUNT(expr) null-skipping needs the Scala API's own fold)
+    val fns: Seq[OverWindow.AggFn] = aggItems.toSeq.map { case (fn, arg, _, _, _) =>
+      if (fn == "COUNT")
+        require(arg == "*",
+          s"streaming OVER COUNT supports COUNT(*) only (COUNT(<expr>) " +
+          s"null-skipping: use OverWindow.overAgg with a custom FoldAgg): $sel")
+      else require(arg != "*" && !arg.matches("(?is)^DISTINCT\\b.*"),
+        s"$fn(*) / DISTINCT aggregates are not over-window folds: $sel")
+      fn match {
+        case "SUM" => OverWindow.FnSum
+        case "COUNT" => OverWindow.FnCount
+        case "MIN" => OverWindow.FnMin
+        case "MAX" => OverWindow.FnMax
+        case "AVG" => OverWindow.FnAvg
+        case "FIRST_VALUE" => OverWindow.FnFirst
+        case "LAST_VALUE" => OverWindow.FnLast
+        case other => OverWindow.FnSum // LAG/LEAD: unused (offset path)
+      }
+    }
 
-    // plain items may reference only the state's columns (like the
-    // rank route): partition key, event-time column, rowId
+    // keys are GENERIC (the changelog-family discipline): integral
+    // expressions key state as Long; everything else — string/date/
+    // decimal keys — as the expression's canonical STRING form, exact
+    // for any one type. The key column projects back in that canonical
+    // form (strings round-trip unchanged).
+    val integral = StreamSql.isIntegralKey(v.df, gExpr)
+
+    // plain items may reference only the state's columns: partition
+    // key, event-time column, rowId
     val (ng, nts, nid) = (norm(gExpr), norm(v.tsCol), norm(rowIdCol))
     def plainCol(e: String, alias: String) = norm(e) match {
       case `ng` => col("__k").as(alias)
@@ -359,65 +401,84 @@ object StreamSqlTime {
         s"columns): $e")
     }
 
-    implicit val evEnc: Encoder[Ev] = ExpressionEncoder()
-    implicit val keyEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
-    implicit val outEnc: Encoder[(Long, Long, Long, Double)] = ExpressionEncoder()
     // null guards BEFORE the typed boundary: a null partition key forms
     // its own group in SQL OVER (PARTITION BY groups nulls together) and
     // a null rowId has no slot in the total order — neither is modeled
     // by the typed transport, so both raise a clear plan-shaped error
     // instead of an opaque null-in-non-nullable-field encoder failure
     // (the changelog routes' nullKeyGuard discipline)
-    val projected = v.df
-      .withColumn("__g", expr(gExpr).cast("long"))
-      .withColumn("__v",
-        (if (fn == "COUNT" && vExpr == "*") lit(0.0) else expr(vExpr))
-          .cast("double"))
-      .select(col("__g"), col(v.tsCol).as("__ts"),
-              col(rowIdCol).cast("long").as("__i"), col("__v"))
-    val guarded = Seq(
+    def guard(df: DataFrame): DataFrame = Seq(
       ("__g", "partition key (a NULL key is its own OVER group, which " +
         "the keyed operator does not model — coalesce it in the view)"),
       ("__i", "rowId (the deterministic tiebreak must be total — " +
-        "filter or coalesce NULL ids in the view)")).foldLeft(projected) {
+        "filter or coalesce NULL ids in the view)")).foldLeft(df) {
       case (d, (c, why)) => d.filter(expr(
         s"`$c` IS NOT NULL OR raise_error('streaming OVER: NULL $why')"))
     }
-    val base = guarded
-      .withWatermark("__ts", v.delay)
-      .as[Ev]
-    val grouped = base.groupByKey(_._1)
-    val et = (e: Ev) => e._2.getTime
-    val tb = (e: Ev) => e._3
-    val sv = (e: Ev) => e._4
-    val out: DataFrame = fn match {
-      case "SUM" =>
-        implicit val se: Encoder[(Seq[Ev], Seq[Ev], Double, Long)] = ExpressionEncoder()
-        OverWindow.overAgg[Long, Ev, Double](grouped, et, tb, sv,
-          OverWindow.sumAgg[Ev](_._4), frame, ttl).toDF("__k", "__t", "__i", "__v")
-      case "MIN" =>
-        implicit val se: Encoder[(Seq[Ev], Seq[Ev], Double, Long)] = ExpressionEncoder()
-        OverWindow.overAgg[Long, Ev, Double](grouped, et, tb, sv,
-          OverWindow.minAgg[Ev](_._4), frame, ttl).toDF("__k", "__t", "__i", "__v")
-      case "MAX" =>
-        implicit val se: Encoder[(Seq[Ev], Seq[Ev], Double, Long)] = ExpressionEncoder()
-        OverWindow.overAgg[Long, Ev, Double](grouped, et, tb, sv,
-          OverWindow.maxAgg[Ev](_._4), frame, ttl).toDF("__k", "__t", "__i", "__v")
-      case "COUNT" =>
-        implicit val se: Encoder[(Seq[Ev], Seq[Ev], Long, Long)] = ExpressionEncoder()
-        OverWindow.overAgg[Long, Ev, Long](grouped, et, tb, sv,
-          OverWindow.countAgg[Ev], frame, ttl).toDF("__k", "__t", "__i", "__v")
-      case _ => // AVG
-        implicit val se: Encoder[(Seq[Ev], Seq[Ev], (Double, Long), Long)] = ExpressionEncoder()
-        OverWindow.overAgg[Long, Ev, (Double, Long)](grouped, et, tb, sv,
-          OverWindow.avgAgg[Ev](_._4), frame, ttl).toDF("__k", "__t", "__i", "__v")
+
+    val out: DataFrame = if (isOffset) {
+      val (fn, arg, _, _, _) = aggItems.head
+      val args = SqlFrontend.splitTop(arg)
+      require(args.length <= 2,
+        s"$fn(expr[, offset]) — the 3-argument default-value form is " +
+        s"unsupported (NULL default only): $arg")
+      val off = if (args.length == 2) args(1).trim.toInt else 1
+      def run[K: TypeTag](cast: String): DataFrame = {
+        implicit val evEnc: Encoder[(K, Ts, Long, Double)] = ExpressionEncoder()
+        implicit val keyEnc: Encoder[K] = ExpressionEncoder()
+        implicit val se: Encoder[(Seq[(K, Ts, Long, Double)],
+                                  Seq[(K, Ts, Long, Double)], Long)] =
+          ExpressionEncoder()
+        implicit val oe: Encoder[(K, Long, Long, Option[Double])] =
+          ExpressionEncoder()
+        val base = guard(v.df
+            .withColumn("__g", expr(gExpr).cast(cast))
+            .withColumn("__v", expr(args.head).cast("double"))
+            .select(col("__g"), col(v.tsCol).as("__ts"),
+                    col(rowIdCol).cast("long").as("__i"), col("__v")))
+          .withWatermark("__ts", v.delay)
+          .as[(K, Ts, Long, Double)]
+        OverWindow.overOffset[K, (K, Ts, Long, Double)](
+          base.groupByKey(_._1), _._2.getTime, _._3, _._4, _._4,
+          off, lead = fn == "LEAD", ttl = ttl)
+          .toDF("__k", "__t", "__i", "__v")
+      }
+      if (integral) run[Long]("long") else run[String]("string")
+    } else {
+      def run[K: TypeTag](cast: String): DataFrame = {
+        implicit val evEnc: Encoder[(K, Ts, Long, Seq[Double])] = ExpressionEncoder()
+        implicit val keyEnc: Encoder[K] = ExpressionEncoder()
+        implicit val se: Encoder[(Seq[(K, Ts, Long, Seq[Double])],
+                                  Seq[(K, Ts, Long, Seq[Double])],
+                                  Seq[(Double, Long)], Long)] =
+          ExpressionEncoder()
+        implicit val oe: Encoder[(K, Long, Long, Seq[Double])] =
+          ExpressionEncoder()
+        val operands = array(aggItems.toSeq.map { case (fn, arg, _, _, _) =>
+          (if (fn == "COUNT") lit(0.0) else expr(arg)).cast("double")
+        }: _*)
+        val base = guard(v.df
+            .withColumn("__g", expr(gExpr).cast(cast))
+            .withColumn("__vs", operands)
+            .select(col("__g"), col(v.tsCol).as("__ts"),
+                    col(rowIdCol).cast("long").as("__i"), col("__vs")))
+          .withWatermark("__ts", v.delay)
+          .as[(K, Ts, Long, Seq[Double])]
+        OverWindow.overAggMulti[K, (K, Ts, Long, Seq[Double])](
+          base.groupByKey(_._1), _._2.getTime, _._3,
+          sortVal = _._4.headOption.getOrElse(0.0), fns, _._4, frame, ttl)
+          .toDF("__k", "__t", "__i", "__vs")
+      }
+      if (integral) run[Long]("long") else run[String]("string")
     }
-    val aggCol =
-      if (fn == "COUNT") col("__v").cast("long").as(aggAlias)
-      else col("__v").as(aggAlias)
     out.select(slots.toSeq.map {
-      case Some((e, alias)) => plainCol(e, alias)
-      case None => aggCol
+      case Right((e, alias)) => plainCol(e, alias)
+      case Left(j) if isOffset =>
+        col("__v").as(aggItems(j)._5)
+      case Left(j) =>
+        val c = col("__vs").getItem(j)
+        (if (aggItems(j)._1 == "COUNT") c.cast("long") else c)
+          .as(aggItems(j)._5)
     }: _*)
   }
 
@@ -584,17 +645,6 @@ object StreamSqlTime {
       s"temporal JOIN needs a <probe>.k = <version>.k equality: $onClause")
     // the typed transport tuples key on Long — non-integral keys must
     // fail at plan time, not as an opaque null-encoder error mid-query
-    require(StreamSql.isIntegralKey(pv.df, pKey) &&
-            StreamSql.isIntegralKey(vv.df, vKey),
-      s"streaming temporal join currently keys on INTEGRAL columns " +
-      s"('$pKey'/'$vKey') — derive integral key columns in the views, " +
-      "or use TemporalJoin.streamAsOf directly")
-
-    implicit val pe: Encoder[P] = ExpressionEncoder()
-    implicit val ve: Encoder[V] = ExpressionEncoder()
-    implicit val tagE: Encoder[TemporalJoin.Tagged[P, V]] = ExpressionEncoder()
-    implicit val stE: Encoder[TemporalJoin.TJState[P, V]] = ExpressionEncoder()
-    implicit val outE: Encoder[(P, Option[V])] = ExpressionEncoder()
     val pPayload = pv.df.columns.toSeq
     val vPayload = vv.df.columns.toSeq
     // SQL null-equality discipline (nullKeyGuard): a null-keyed VERSION
@@ -609,19 +659,41 @@ object StreamSqlTime {
       s"`$vOrd` IS NOT NULL OR raise_error('streaming temporal JOIN: " +
       "NULL version rowId (the version order must be total — filter or " +
       "coalesce it in the view)')"))
-    val probes = pGuarded.select(col(pKey).cast("long"), col(pv.tsCol),
-        to_json(struct(pPayload.map(col): _*),
-                Changelog.TransportJsonOpts)).as[P]
-    val vers = vGuarded.select(col(vKey).cast("long"), col(vv.tsCol),
-        col(vOrd).cast("long"),
-        to_json(struct(vPayload.map(col): _*),
-                Changelog.TransportJsonOpts)).as[V]
-    val j = TemporalJoin.streamAsOf[P, V](probes, vers,
-      _._1, _._1, _._2, _._2, _._3, pv.delay)
+    // keys are GENERIC across both sides (the changelog joins'
+    // cross-side discipline, StreamSql.joinKeyEnc): both integral →
+    // Long state keys (bit-identical to the classic path); same type →
+    // that type's canonical string; mixed numerics → double-normalized
+    // string; anything else rejected with the derive-a-common-key hint
+    def run[K: scala.reflect.runtime.universe.TypeTag](
+        cast: String, pre: Option[String]): DataFrame = {
+      implicit val keyE: Encoder[K] = ExpressionEncoder()
+      implicit val pe: Encoder[(K, Ts, String)] = ExpressionEncoder()
+      implicit val ve: Encoder[(K, Ts, Long, String)] = ExpressionEncoder()
+      implicit val tagE: Encoder[TemporalJoin.TaggedK[
+        K, (K, Ts, String), (K, Ts, Long, String)]] = ExpressionEncoder()
+      implicit val stE: Encoder[TemporalJoin.TJState[
+        (K, Ts, String), (K, Ts, Long, String)]] = ExpressionEncoder()
+      implicit val outE: Encoder[((K, Ts, String),
+        Option[(K, Ts, Long, String)])] = ExpressionEncoder()
+      def keyCol(c: String) = pre.foldLeft(col(c))((k, t) => k.cast(t)).cast(cast)
+      val probes = pGuarded.select(keyCol(pKey), col(pv.tsCol),
+          to_json(struct(pPayload.map(col): _*),
+                  Changelog.TransportJsonOpts)).as[(K, Ts, String)]
+      val vers = vGuarded.select(keyCol(vKey), col(vv.tsCol),
+          col(vOrd).cast("long"),
+          to_json(struct(vPayload.map(col): _*),
+                  Changelog.TransportJsonOpts)).as[(K, Ts, Long, String)]
+      TemporalJoin.streamAsOfKeyed[K, (K, Ts, String), (K, Ts, Long, String)](
+        probes, vers,
+        _._1, _._1, _._2, _._2, _._3, pv.delay).toDF()
+    }
+    val j0 = StreamSql.joinKeyEnc(pGuarded, pKey, vGuarded, vKey) match {
+      case StreamSql.LongKey => run[Long]("long", None)
+      case StreamSql.StringKey(pre) => run[String]("string", pre)
+    }
 
     val pSchema = pv.df.schema
     val vSchema = vv.df.schema
-    val j0 = j.toDF()
     val filtered = if (leftJoin) j0 else j0.filter(col("_2").isNotNull)
     val decoded = filtered.select(
       from_json(col("_1._3"), pSchema,

@@ -45,9 +45,15 @@ object TemporalJoin {
 
   /** Tagged union element — exactly one of probe/version is defined.
     * The event-time column `ts` stays inside the element so the
-    * watermark survives the typed map (see repo env notes). */
-  case class Tagged[L, R](key: Long, ts: Timestamp,
-                          probe: Option[L], version: Option[R])
+    * watermark survives the typed map (see repo env notes). Keys are
+    * GENERIC since round 14 (the reference keys state on arbitrary
+    * BinaryRowData); the Long-keyed surface below is the classic
+    * signature, bit-identical to prior rounds. */
+  case class TaggedK[K, L, R](key: K, ts: Timestamp,
+                              probe: Option[L], version: Option[R])
+  /** The classic Long-keyed element shape (type alias for source
+    * compatibility with existing callers' encoder derivations). */
+  type Tagged[L, R] = TaggedK[Long, L, R]
 
   /** Per-key state: pending probes + versioned build side, both as
     * (epochMillis, ord, payload) sorted ascending. */
@@ -71,21 +77,39 @@ object TemporalJoin {
       implicit tagEnc: Encoder[Tagged[L, R]],
       stEnc: Encoder[TJState[L, R]],
       outEnc: Encoder[(L, Option[R])]): Dataset[(L, Option[R])] = {
+    implicit val keyEnc: Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    streamAsOfKeyed[Long, L, R](left, right, leftKey, rightKey,
+      leftTs, rightTs, rightOrd, delay)
+  }
+
+  /** [[streamAsOf]] with a GENERIC key type — the route StreamSqlTime
+    * uses for string/canonical-form keys (the changelog family's
+    * generic-key discipline applied to the temporal join). */
+  def streamAsOfKeyed[K, L, R](
+      left: Dataset[L], right: Dataset[R],
+      leftKey: L => K, rightKey: R => K,
+      leftTs: L => Timestamp, rightTs: R => Timestamp,
+      rightOrd: R => Long, delay: String)(
+      implicit keyEnc: Encoder[K],
+      tagEnc: Encoder[TaggedK[K, L, R]],
+      stEnc: Encoder[TJState[L, R]],
+      outEnc: Encoder[(L, Option[R])]): Dataset[(L, Option[R])] = {
 
     val spark = left.sparkSession
     import spark.implicits._
 
     val lTagged = left.map(l =>
-      Tagged[L, R](leftKey(l), leftTs(l), Some(l), None))
+      TaggedK[K, L, R](leftKey(l), leftTs(l), Some(l), None))
     val rTagged = right.map(r =>
-      Tagged[L, R](rightKey(r), rightTs(r), None, Some(r)))
+      TaggedK[K, L, R](rightKey(r), rightTs(r), None, Some(r)))
 
     lTagged.union(rTagged)
       .withWatermark("ts", delay)
       .groupByKey(_.key)
       .flatMapGroupsWithState[TJState[L, R], (L, Option[R])](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: Long, values: Iterator[Tagged[L, R]],
+        (_: K, values: Iterator[TaggedK[K, L, R]],
          state: GroupState[TJState[L, R]]) =>
           val st = state.getOption.getOrElse(
             TJState[L, R](Nil, Nil))

@@ -241,6 +241,197 @@ class StreamSqlTimeSpec extends AnyFunSuite {
     StreamSql.dropStream(pv); StreamSql.dropStream(vv)
   }
 
+  // ---- generic keys / multi-aggregate / offset OVER -------------------
+
+  private val evsStr = evs.map { case (k, id, v, t) =>
+    (if (k == 1L) "alpha" else "beta", id, v, t) }
+
+  private def runOverSqlStr(sql: String => String): org.apache.spark.sql.DataFrame = {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double, Long)]
+    val df = mem.toDS()
+      .select($"_1".as("k"), $"_2".as("id"), $"_3".as("v"),
+              timestamp_millis($"_4" + base).as("ets"))
+    val vn = fresh("ovs")
+    StreamSql.registerStream(vn, df, tsCol = "ets", delay = "1 second",
+      rowId = Some("id"))
+    val out = SqlFrontend.sql(spark, sql(vn))
+    val sink = fresh("ovs_sink")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      evsStr.grouped(4).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      mem.addData(("zz", 90L, 0.0, 10000000L)); q.processAllAvailable()
+      mem.addData(("zz", 91L, 0.0, 20000000L)); q.processAllAvailable()
+    } finally q.stop()
+    StreamSql.dropStream(vn)
+    spark.table(sink)
+  }
+
+  test("string-keyed multi-aggregate OVER: one statement, one state buffer, batch-exact") {
+    val wtxt = "PARTITION BY k ORDER BY ets, id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    val got = runOverSqlStr(vn =>
+      s"""SELECT k AS kk, id AS rid,
+                SUM(v) OVER ($wtxt) AS s,
+                COUNT(*) OVER ($wtxt) AS c,
+                MIN(v) OVER ($wtxt) AS mn,
+                AVG(v) OVER ($wtxt) AS av
+          FROM $vn""")
+      .filter($"kk" =!= "zz")
+      .select($"kk", $"rid", $"s", $"c", $"mn", $"av")
+      .as[(String, Long, Double, Long, Double, Double)].collect().toSet
+    val w = Window.partitionBy("k").orderBy($"t", $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = evsStr.toDF("k", "id", "v", "t0")
+      .withColumn("t", $"t0" + base)
+      .select($"k", $"id", sum($"v").over(w).as("s"),
+              count(lit(1)).over(w).as("c"), min($"v").over(w).as("mn"),
+              avg($"v").over(w).as("av"))
+      .as[(String, Long, Double, Long, Double, Double)].collect().toSet
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("FIRST_VALUE/LAST_VALUE route as over-window folds") {
+    val wtxt = "PARTITION BY k ORDER BY ets, id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    val got = runOverSql(vn =>
+      s"""SELECT k AS uid, id AS rid,
+                FIRST_VALUE(v) OVER ($wtxt) AS fv,
+                LAST_VALUE(v) OVER ($wtxt) AS lv
+          FROM $vn""")
+      .filter($"uid" =!= 9L)
+      .select($"uid", $"rid", $"fv", $"lv")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val w = Window.partitionBy("k").orderBy($"t", $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = evs.toDF("k", "id", "v", "t0")
+      .withColumn("t", $"t0" + base)
+      .select($"k", $"id", first($"v").over(w).as("fv"),
+              last($"v").over(w).as("lv"))
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("SQL LAG routes to the offset over-window and equals the batch dual") {
+    val got = runOverSql(vn =>
+      s"""SELECT k AS uid, id AS rid,
+                LAG(v, 1) OVER (PARTITION BY k ORDER BY ets, id) AS lg
+          FROM $vn""")
+      .filter($"uid" =!= 9L)
+      .select($"uid", $"rid", $"lg")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    val w = Window.partitionBy("k").orderBy($"t", $"id")
+    val exp = evs.toDF("k", "id", "v", "t0")
+      .withColumn("t", $"t0" + base)
+      .select($"k", $"id", lag($"v", 1).over(w).as("lg"))
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(got == exp && got.nonEmpty)
+    // LAG of the first row per key is NULL (SQL default)
+    assert(exp.exists(_._3.isEmpty))
+  }
+
+  test("SQL LEAD emits a row only when its offset row is final (holdback)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double, Long)]
+    val df = mem.toDS()
+      .select($"_1".as("k"), $"_2".as("id"), $"_3".as("v"),
+              timestamp_millis($"_4" + base).as("ets"))
+    val vn = fresh("ld")
+    StreamSql.registerStream(vn, df, tsCol = "ets", delay = "1 second",
+      rowId = Some("id"))
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT k AS uid, id AS rid,
+                LEAD(v, 1) OVER (PARTITION BY k ORDER BY ets, id) AS ld
+          FROM $vn""")
+    val sink = fresh("ld_sink")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    def gotNow(): Set[(Long, Long, Option[Double])] =
+      spark.table(sink).filter($"uid" =!= 9L)
+        .select($"uid", $"rid", $"ld")
+        .as[(Long, Long, Option[Double])].collect().toSet
+    try {
+      // two final rows for key 1 → only the first can emit (its lead is
+      // the second); the second's lead row does not exist yet
+      mem.addData((1L, 1L, 2.0, 1000L), (1L, 2L, 3.0, 3000L))
+      mem.addData((9L, 90L, 0.0, 100000L)); q.processAllAvailable()
+      assert(gotNow() == Set((1L, 1L, Some(3.0))))
+      // a third key-1 row (inside the new watermark horizon) finalizes
+      // → the withheld second row emits with it as its lead
+      mem.addData((1L, 3L, 7.0, 200000L))
+      mem.addData((9L, 91L, 0.0, 10000000L)); q.processAllAvailable()
+      assert(gotNow() == Set((1L, 1L, Some(3.0)), (1L, 2L, Some(7.0))))
+      // the trailing row stays withheld — on an unbounded stream "no
+      // next row yet" is undefined, not NULL
+    } finally q.stop()
+    StreamSql.dropStream(vn)
+  }
+
+  test("SQL FOR SYSTEM_TIME with STRING keys routes generically") {
+    implicit val sc = spark.sqlContext
+    val pmem = MemoryStream[(String, Long, Long)]
+    val vmem = MemoryStream[(String, Long, Double, Long)]
+    val pdf = pmem.toDS().select($"_1".as("pk"), $"_2".as("pid"),
+      timestamp_millis($"_3" + base).as("pts"))
+    val vdf = vmem.toDS().select($"_1".as("vk"), $"_2".as("vid"),
+      $"_3".as("vval"), timestamp_millis($"_4" + base).as("vts"))
+    val pv = fresh("tjsp"); val vv = fresh("tjsv")
+    StreamSql.registerStream(pv, pdf, tsCol = "pts", delay = "1 second")
+    StreamSql.registerStream(vv, vdf, tsCol = "vts", delay = "1 second",
+      rowId = Some("vid"))
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT p.pid AS pid, v.vid AS vid, v.vval AS vv
+          FROM $pv p LEFT JOIN $vv FOR SYSTEM_TIME AS OF p.pts AS v
+          ON p.pk = v.vk""")
+    val sink = fresh("tjs_sink")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      vmem.addData(("u1", 100L, 10.0, 1000L), ("u1", 101L, 20.0, 5000L))
+      pmem.addData(("u1", 1L, 500L), ("u1", 2L, 3000L), ("u1", 3L, 6000L),
+                   ("u2", 4L, 4000L))
+      q.processAllAvailable()
+      pmem.addData(("zz", 90L, 10000000L)); vmem.addData(("zz", 900L, 0.0, 10000000L))
+      q.processAllAvailable()
+      pmem.addData(("zz", 91L, 20000000L)); vmem.addData(("zz", 901L, 0.0, 20000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).filter($"pid" < 90L)
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(got == Set(
+      (1L, None: Option[Long], None: Option[Double]),
+      (2L, Some(100L), Some(10.0)),
+      (3L, Some(101L), Some(20.0)),
+      (4L, None: Option[Long], None: Option[Double])))
+    StreamSql.dropStream(pv); StreamSql.dropStream(vv)
+  }
+
+  test("OVER statements reject mixed offset/fold and divergent window specs") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double, Long)]
+    val df = mem.toDS().select($"_1".as("k"), $"_2".as("id"), $"_3".as("v"),
+      timestamp_millis($"_4").as("ets"))
+    val vn = fresh("ovf")
+    StreamSql.registerStream(vn, df, tsCol = "ets", delay = "1 second",
+      rowId = Some("id"))
+    val e1 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT LAG(v, 1) OVER (PARTITION BY k ORDER BY ets, id) AS lg,
+                  SUM(v) OVER (PARTITION BY k ORDER BY ets, id) AS s
+            FROM $vn""")
+    }
+    assert(e1.getMessage.contains("offset frame"))
+    val e2 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT SUM(v) OVER (PARTITION BY k ORDER BY ets, id) AS s,
+                  MIN(v) OVER (PARTITION BY id ORDER BY ets, id) AS mn
+            FROM $vn""")
+    }
+    assert(e2.getMessage.contains("share one window spec"))
+    StreamSql.dropStream(vn)
+  }
+
   // ---- GROUP BY TUMBLE/HOP/SESSION (streaming SQL group windows) ------
 
   private val gwEvs = Seq(
