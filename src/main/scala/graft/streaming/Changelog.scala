@@ -88,13 +88,55 @@ object Changelog {
    */
   final case class IdleStateTtl(ms: Long, reclaimTimers: Boolean = false)
 
-  /** JSON options for the generic routes' payload transport: the
-    * default generator truncates timestamps to MILLISECONDS
-    * (`…ss.SSSXXX`), silently losing µs precision on a projected
-    * event-time column — pinned by JsonTransportSpec, fixed here with
-    * a µs format shared by every to_json/from_json transport site. */
+  /** JSON options for STRING-form transport sites (canonical string
+    * keys, external JSON surfaces): the default generator truncates
+    * timestamps to MILLISECONDS (`…ss.SSSXXX`), silently losing µs
+    * precision on a projected event-time column — pinned by
+    * JsonTransportSpec, fixed here with a µs format. PAYLOAD transport
+    * no longer uses JSON at all: since round 15 the routes carry
+    * payloads as [[Bin]] (the struct's UnsafeRow image — see
+    * [[graft.plans.StructPack]]), which is bit-exact by construction
+    * and skips text generation/parsing on every routed record. */
   private[graft] val TransportJsonOpts: Map[String, String] =
     Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
+  /**
+   * Binary payload for the generic routes' typed tuples: the payload
+   * struct's canonical UnsafeRow image (see [[graft.plans.StructPack]]
+   * — the Spark-native analogue of the reference serializing rows into
+   * keyed state as BinaryRowData, not as text). Value semantics are
+   * BY CONTENT: the changelog operators key staleness guards and live
+   * multisets on payload equality, and `Map[L, _]` needs equals /
+   * hashCode over the bytes (an Array[Byte] payload would silently
+   * compare by reference). `toString` is the hex image — the operators'
+   * deterministic within-batch emission order (`sortBy(_.toString)`)
+   * must not depend on JVM identity hashes.
+   */
+  final case class Bin(bytes: Array[Byte]) {
+    override def equals(o: Any): Boolean = o match {
+      case Bin(b) => java.util.Arrays.equals(bytes, b)
+      case _ => false
+    }
+    override def hashCode: Int = java.util.Arrays.hashCode(bytes)
+    override def toString: String = {
+      val sb = new java.lang.StringBuilder(bytes.length * 2)
+      bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
+      sb.toString
+    }
+  }
+
+  /** `struct(payload) → binary` (UnsafeRow image), wrapped as the
+    * one-field struct the `Bin` encoder expects. */
+  private[graft] def packPayload(payload: Seq[String]): org.apache.spark.sql.Column =
+    struct(org.apache.spark.sql.graftbridge.Bridge.column(graft.plans.StructPack(
+      org.apache.spark.sql.graftbridge.Bridge.expression(
+        struct(payload.map(col): _*)))).as("bytes"))
+
+  /** `binary → struct(schema)` — zero-copy UnsafeRow wrap. */
+  private[graft] def unpackPayload(c: org.apache.spark.sql.Column,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(graft.plans.StructUnpack(
+      org.apache.spark.sql.graftbridge.Bridge.expression(c), schema))
 
   /** The CONFIG surface of idle-state retention — the reference exposes
     * it as `table.exec.state.ttl` (a table config, not an API argument),
@@ -166,10 +208,10 @@ object Changelog {
                       pred: org.apache.spark.sql.Column,
                       ttl: Option[IdleStateTtl] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    implicit val ie: Encoder[(String, String, Boolean, String)] = ExpressionEncoder()
-    implicit val oe: Encoder[(String, String, String)] = ExpressionEncoder()
+    implicit val ie: Encoder[(String, String, Boolean, Bin)] = ExpressionEncoder()
+    implicit val oe: Encoder[(String, String, Bin)] = ExpressionEncoder()
     implicit val ke: Encoder[String] = org.apache.spark.sql.Encoders.STRING
-    implicit val se: Encoder[(String, Long)] = ExpressionEncoder()
+    implicit val se: Encoder[(Bin, Long)] = ExpressionEncoder()
     val payloadCols = df.columns.filterNot(_ == kindCol).toSeq
     val schema = df.select(payloadCols.map(col): _*).schema
     // state keys on the key column's CANONICAL STRING form — any key
@@ -178,15 +220,15 @@ object Changelog {
     // invisible downstream
     val enc = df.select(col(keyCol).cast("string"), col(kindCol).cast("string"),
         coalesce(pred.cast("boolean"), lit(false)),
-        to_json(struct(payloadCols.map(col): _*), TransportJsonOpts))
-      .as[(String, String, Boolean, String)]
+        packPayload(payloadCols))
+      .as[(String, String, Boolean, Bin)]
     val timeoutConf = if (ttl.exists(_.reclaimTimers))
       GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     val out = enc.groupByKey(_._1)
-      .flatMapGroupsWithState[(String, Long), (String, String, String)](
+      .flatMapGroupsWithState[(Bin, Long), (String, String, Bin)](
           OutputMode.Append, timeoutConf) {
-        (key: String, rows: Iterator[(String, String, Boolean, String)],
-         state: GroupState[(String, Long)]) =>
+        (key: String, rows: Iterator[(String, String, Boolean, Bin)],
+         state: GroupState[(Bin, Long)]) =>
          if (state.hasTimedOut) { state.remove(); Iterator.empty }
          else {
           val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
@@ -196,17 +238,17 @@ object Changelog {
             .map(_._1)
           // fold the batch to the key's net transition (≤1 accumulate
           // and/or one -D under the upstream protocol)
-          var acc: (String, Boolean) = null
+          var acc: (Bin, Boolean) = null
           var retired = false
           rows.foreach { case (_, kind, pass, payload) =>
             if (kind == Insert || kind == UpdateAfter) acc = (payload, pass)
             else if (kind == Delete) retired = true
           }
-          val next: Option[String] =
+          val next: Option[Bin] =
             if (acc != null) Some(acc._1).filter(_ => acc._2)
             else if (retired) None
             else prev
-          def keep(p: String): Unit = {
+          def keep(p: Bin): Unit = {
             state.update((p, now))
             ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
           }
@@ -234,7 +276,7 @@ object Changelog {
          }
       }
     out.toDF("__k", "__kind", "__p")
-      .select(from_json(col("__p"), schema, TransportJsonOpts).as("__s"),
+      .select(unpackPayload(col("__p.bytes"), schema).as("__s"),
               col("__kind"))
       .select(payloadCols.map(c => col(s"__s.`$c`")) :+
               col("__kind").as(kindCol): _*)

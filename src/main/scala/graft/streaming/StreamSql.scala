@@ -495,22 +495,23 @@ object StreamSql {
   }
 
   /** A view's payload serialized for the generic join operators: (key,
-    * kind, canonical-JSON payload) — one serialize per record, the same
-    * order of cost as the reference serializing payloads into keyed
-    * state (object doc). Decoded back with the view's schema after the
-    * operator. `K`/`keyCast` come from [[keyedBy]]: Long for integral
-    * key columns, canonical String otherwise. */
+    * kind, binary payload) — the payload struct's UnsafeRow image
+    * ([[Changelog.Bin]] / [[graft.plans.StructPack]]), the same binary
+    * row serialization the reference pays writing payloads into keyed
+    * state (BinaryRowData), with no text codec on the path. Unwrapped
+    * back to the view's schema after the operator (zero-copy
+    * StructUnpack). `K`/`keyCast` come from [[joinKeyEnc]]: Long for
+    * integral key columns, canonical String otherwise. */
   private def encodeView[K: scala.reflect.runtime.universe.TypeTag](
       df: DataFrame, kindCol: String,
       keyCol: String, keyCast: String,
-      preCast: Option[String] = None): Dataset[(K, String, String)] = {
-    implicit val enc3: Encoder[(K, String, String)] = ExpressionEncoder()
+      preCast: Option[String] = None): Dataset[(K, String, Changelog.Bin)] = {
+    implicit val enc3: Encoder[(K, String, Changelog.Bin)] = ExpressionEncoder()
     val payload = df.columns.filterNot(_ == kindCol).toSeq
     val key = preCast.foldLeft(col(keyCol))((c, t) => c.cast(t))
     df.select(key.cast(keyCast), col(kindCol).cast("string"),
-              to_json(struct(payload.map(col): _*),
-                      Changelog.TransportJsonOpts))
-      .as[(K, String, String)]
+              Changelog.packPayload(payload))
+      .as[(K, String, Changelog.Bin)]
   }
 
   private def isIntegralType(dt: org.apache.spark.sql.types.DataType): Boolean =
@@ -771,8 +772,7 @@ object StreamSql {
     val lPayload = lv.df.columns.filterNot(_ == lv.kindCol).toSeq
     val schema = lv.df.select(lPayload.map(col): _*).schema
     val decoded = joined
-      .select(from_json(col("left"), schema,
-                        Changelog.TransportJsonOpts).as("__p"),
+      .select(Changelog.unpackPayload(col("left.bytes"), schema).as("__p"),
               col("kind").as("row_kind"), col("ord").as("row_ord"))
       .select(lPayload.map(c => col(s"__p.`$c`")) :+
               col("row_kind") :+ col("row_ord"): _*)
@@ -899,8 +899,8 @@ object StreamSql {
     val lSchema = lv.df.select(lPayload.map(col): _*).schema
     val rSchema = rv.df.select(rPayload.map(col): _*).schema
     val decoded = joined.select(
-      from_json(col("left"), lSchema, Changelog.TransportJsonOpts).as("__l"),
-      from_json(col("right"), rSchema, Changelog.TransportJsonOpts).as("__r"),
+      Changelog.unpackPayload(col("left.bytes"), lSchema).as("__l"),
+      Changelog.unpackPayload(col("right.bytes"), rSchema).as("__r"),
       col("kind").as("row_kind"), col("ord").as("row_ord"))
 
     def requal(e: String): String =

@@ -667,23 +667,21 @@ object StreamSqlTime {
     def run[K: scala.reflect.runtime.universe.TypeTag](
         cast: String, pre: Option[String]): DataFrame = {
       implicit val keyE: Encoder[K] = ExpressionEncoder()
-      implicit val pe: Encoder[(K, Ts, String)] = ExpressionEncoder()
-      implicit val ve: Encoder[(K, Ts, Long, String)] = ExpressionEncoder()
+      implicit val pe: Encoder[(K, Ts, Changelog.Bin)] = ExpressionEncoder()
+      implicit val ve: Encoder[(K, Ts, Long, Changelog.Bin)] = ExpressionEncoder()
       implicit val tagE: Encoder[TemporalJoin.TaggedK[
-        K, (K, Ts, String), (K, Ts, Long, String)]] = ExpressionEncoder()
+        K, (K, Ts, Changelog.Bin), (K, Ts, Long, Changelog.Bin)]] = ExpressionEncoder()
       implicit val stE: Encoder[TemporalJoin.TJState[
-        (K, Ts, String), (K, Ts, Long, String)]] = ExpressionEncoder()
-      implicit val outE: Encoder[((K, Ts, String),
-        Option[(K, Ts, Long, String)])] = ExpressionEncoder()
+        (K, Ts, Changelog.Bin), (K, Ts, Long, Changelog.Bin)]] = ExpressionEncoder()
+      implicit val outE: Encoder[((K, Ts, Changelog.Bin),
+        Option[(K, Ts, Long, Changelog.Bin)])] = ExpressionEncoder()
       def keyCol(c: String) = pre.foldLeft(col(c))((k, t) => k.cast(t)).cast(cast)
       val probes = pGuarded.select(keyCol(pKey), col(pv.tsCol),
-          to_json(struct(pPayload.map(col): _*),
-                  Changelog.TransportJsonOpts)).as[(K, Ts, String)]
+          Changelog.packPayload(pPayload)).as[(K, Ts, Changelog.Bin)]
       val vers = vGuarded.select(keyCol(vKey), col(vv.tsCol),
           col(vOrd).cast("long"),
-          to_json(struct(vPayload.map(col): _*),
-                  Changelog.TransportJsonOpts)).as[(K, Ts, Long, String)]
-      TemporalJoin.streamAsOfKeyed[K, (K, Ts, String), (K, Ts, Long, String)](
+          Changelog.packPayload(vPayload)).as[(K, Ts, Long, Changelog.Bin)]
+      TemporalJoin.streamAsOfKeyed[K, (K, Ts, Changelog.Bin), (K, Ts, Long, Changelog.Bin)](
         probes, vers,
         _._1, _._1, _._2, _._2, _._3, pv.delay).toDF()
     }
@@ -696,10 +694,8 @@ object StreamSqlTime {
     val vSchema = vv.df.schema
     val filtered = if (leftJoin) j0 else j0.filter(col("_2").isNotNull)
     val decoded = filtered.select(
-      from_json(col("_1._3"), pSchema,
-                Changelog.TransportJsonOpts).as("__l"),
-      from_json(col("_2._4"), vSchema,
-                Changelog.TransportJsonOpts).as("__r"))
+      Changelog.unpackPayload(col("_1._3.bytes"), pSchema).as("__l"),
+      Changelog.unpackPayload(col("_2._4.bytes"), vSchema).as("__r"))
     def requal(e: String): String =
       SqlFrontend.rewriteOutsideLiterals(e)(_
         .replaceAll("(?i)\\b(" + java.util.regex.Pattern.quote(pAlias) + "|" +

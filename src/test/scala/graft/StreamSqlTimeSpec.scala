@@ -141,13 +141,17 @@ class StreamSqlTimeSpec extends AnyFunSuite {
           ON p.pk = c.ck
          AND c.cts BETWEEN p.pts - INTERVAL '5' SECOND AND p.pts""")
     val sink = fresh("iv_sink")
-    val q = out.writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append).start()
     val ps = Seq((1L, 10L, 6000L), (1L, 11L, 20000L), (2L, 12L, 9000L))
     val cs = Seq((1L, 20L, 1000L), (1L, 21L, 5000L), (1L, 22L, 18000L),
                  (2L, 23L, 3000L), (2L, 24L, 9000L), (3L, 25L, 9000L))
+    // both sources' first rows are buffered BEFORE the query starts so
+    // batch 0 reads them together at watermark 0: with the query already
+    // running, a trigger firing between the two addData calls advances
+    // the watermark past the other source's rows and late-drops them
+    pmem.addData(ps: _*); cmem.addData(cs: _*)
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
     try {
-      pmem.addData(ps: _*); cmem.addData(cs: _*)
       q.processAllAvailable()
       pmem.addData((9L, 0L, 10000000L)); cmem.addData((9L, 0L, 10000000L))
       q.processAllAvailable()
@@ -177,13 +181,17 @@ class StreamSqlTimeSpec extends AnyFunSuite {
           ON p.pk = c.ck
          AND c.cts BETWEEN p.pts - INTERVAL '5' SECOND AND p.pts""")
     val sink = fresh("ivl_sink")
-    val q = out.writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append).start()
     // pid 10 matches cid 20; pid 11 has no click in its window → padded
     val ps = Seq((1L, 10L, 6000L), (1L, 11L, 30000L))
     val cs = Seq((1L, 20L, 5000L))
+    // both sources' first rows are buffered BEFORE the query starts so
+    // batch 0 reads them together at watermark 0: with the query already
+    // running, a trigger firing between the two addData calls advances
+    // the watermark past the other source's rows and late-drops them
+    pmem.addData(ps: _*); cmem.addData(cs: _*)
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
     try {
-      pmem.addData(ps: _*); cmem.addData(cs: _*)
       q.processAllAvailable()
       // watermark far past both windows so the padded row finalizes
       pmem.addData((9L, 0L, 10000000L)); cmem.addData((9L, 0L, 10000000L))
@@ -214,15 +222,19 @@ class StreamSqlTimeSpec extends AnyFunSuite {
           FROM $pv p LEFT JOIN $vv FOR SYSTEM_TIME AS OF p.pts AS v
           ON p.pk = v.vk""")
     val sink = fresh("tj_sink")
-    val q = out.writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append).start()
     // versions: key 1 at t=1000 (v=10), t=5000 (v=20); key 2 none
     // probes: key 1 at 500 (no version), 3000 (→10), 5000 (→20, the
     // equal-ts version is visible), 9000 (→20); key 2 at 4000 (padded)
+    // both sources' first rows are buffered BEFORE the query starts so
+    // batch 0 reads them together at watermark 0: with the query already
+    // running, a trigger firing between the two addData calls advances
+    // the watermark past the other source's rows and late-drops them
+    vmem.addData((1L, 100L, 10.0, 1000L), (1L, 101L, 20.0, 5000L))
+    pmem.addData((1L, 1L, 500L), (1L, 2L, 3000L), (1L, 3L, 5000L),
+                 (1L, 4L, 9000L), (2L, 5L, 4000L))
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
     try {
-      vmem.addData((1L, 100L, 10.0, 1000L), (1L, 101L, 20.0, 5000L))
-      pmem.addData((1L, 1L, 500L), (1L, 2L, 3000L), (1L, 3L, 5000L),
-                   (1L, 4L, 9000L), (2L, 5L, 4000L))
       q.processAllAvailable()
       pmem.addData((9L, 90L, 10000000L)); vmem.addData((9L, 900L, 0.0, 10000000L))
       q.processAllAvailable()
@@ -385,12 +397,16 @@ class StreamSqlTimeSpec extends AnyFunSuite {
           FROM $pv p LEFT JOIN $vv FOR SYSTEM_TIME AS OF p.pts AS v
           ON p.pk = v.vk""")
     val sink = fresh("tjs_sink")
+    // both sources' first rows are buffered BEFORE the query starts so
+    // batch 0 reads them together at watermark 0: with the query already
+    // running, a trigger firing between the two addData calls advances
+    // the watermark past the other source's rows and late-drops them
+    vmem.addData(("u1", 100L, 10.0, 1000L), ("u1", 101L, 20.0, 5000L))
+    pmem.addData(("u1", 1L, 500L), ("u1", 2L, 3000L), ("u1", 3L, 6000L),
+                 ("u2", 4L, 4000L))
     val q = out.writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Append).start()
     try {
-      vmem.addData(("u1", 100L, 10.0, 1000L), ("u1", 101L, 20.0, 5000L))
-      pmem.addData(("u1", 1L, 500L), ("u1", 2L, 3000L), ("u1", 3L, 6000L),
-                   ("u2", 4L, 4000L))
       q.processAllAvailable()
       pmem.addData(("zz", 90L, 10000000L)); vmem.addData(("zz", 900L, 0.0, 10000000L))
       q.processAllAvailable()
@@ -573,12 +589,16 @@ class StreamSqlTimeSpec extends AnyFunSuite {
           FROM $pv LEFT JOIN $vv FOR SYSTEM_TIME AS OF $pv.pts AS v
           ON $pv.pk = v.vk""")
     val sink = fresh("tjn_sink")
+    // both sources' first rows are buffered BEFORE the query starts so
+    // batch 0 reads them together at watermark 0: with the query already
+    // running, a trigger firing between the two addData calls advances
+    // the watermark past the other source's rows and late-drops them
+    vmem.addData((1L, 100L, 10.0, 1000L))
+    // pid 2 sees the version; pid 5 (key 2) has none → must null-pad
+    pmem.addData((1L, 2L, 3000L), (2L, 5L, 4000L))
     val q = out.writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Append).start()
     try {
-      vmem.addData((1L, 100L, 10.0, 1000L))
-      // pid 2 sees the version; pid 5 (key 2) has none → must null-pad
-      pmem.addData((1L, 2L, 3000L), (2L, 5L, 4000L))
       q.processAllAvailable()
       pmem.addData((9L, 90L, 10000000L)); vmem.addData((9L, 900L, 0.0, 10000000L))
       q.processAllAvailable()
