@@ -93,7 +93,18 @@ case class StructUnpack(child: Expression, schema: StructType)
       s"struct_unpack requires a binary argument, got ${other.catalogString}")
   }
 
+  /** Fixed-width prefix every UnsafeRow of this schema must carry:
+    * null bitset (one 64-bit word per 64 fields) + an 8-byte slot per
+    * field. Variable-width data follows, so this is a lower bound. */
+  @transient private lazy val minBytes: Int =
+    UnsafeRow.calculateBitSetWidthInBytes(schema.length) + 8 * schema.length
+
   def unpack(bytes: Array[Byte]): InternalRow = {
+    if (bytes.length < minBytes)
+      throw new IllegalArgumentException(
+        s"struct_unpack: ${bytes.length}-byte image is too short for a " +
+        s"${schema.length}-field row (needs >= $minBytes bytes) — the " +
+        "bytes were packed with a different schema")
     val row = new UnsafeRow(schema.length)
     row.pointTo(bytes, bytes.length)
     row

@@ -139,12 +139,12 @@ import graft.operators.SqlFrontend
  * canonical STRING form, so `GROUP BY source` over a documents view
  * works without user-side hashing and without collision risk.
  * Composite keys: derive a single key column in the view (e.g.
- * concat_ws), as with Flink's key selector. Payloads cross the EXISTS
- * operator as canonical JSON
- * (`to_json` over the view's non-kind columns, decoded back with the
- * view's schema after the join) — one serialize per record, the same
- * order of cost as the reference serializing payloads into keyed
- * state; hot pipelines that care use the typed Scala API directly.
+ * concat_ws), as with Flink's key selector. Payloads cross the routed
+ * operators as binary struct images ([[graft.plans.StructPack]] — the
+ * payload struct's canonical UnsafeRow bytes, wrapped back zero-copy
+ * by [[graft.plans.StructUnpack]] on exit), the Spark-native analogue
+ * of the reference serializing BinaryRowData into keyed state: no
+ * text codec anywhere on the routed path.
  * The rewrite is metadata-only: everything downstream is the
  * operators' normal one-exchange keyed-state path, so SQL entry adds
  * no shuffle at any scale.

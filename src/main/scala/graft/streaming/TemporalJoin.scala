@@ -118,7 +118,6 @@ object TemporalJoin {
           var probes = st.probes
           var versions = st.versions
           values.foreach { v =>
-            println(s"TJDBG recv $v wm=$wm")
             val ms = v.ts.getTime
             v.probe match {
               // defensive: SS already filters below-watermark input, but
@@ -136,7 +135,6 @@ object TemporalJoin {
             val m = sortedV.takeWhile(_._1 <= pms).lastOption
             (l, m.map(_._3))
           }.toList
-          if (out.nonEmpty) println(s"TJDBG emit ${out.map(_._1)}")
 
           // Prune versions strictly below the watermark, keeping the
           // latest of them — it is still the current version for any
@@ -144,7 +142,6 @@ object TemporalJoin {
           val (old, live) = sortedV.partition(_._1 < wm)
           val kept = (old.lastOption.toList ++ live)
 
-          println(s"TJDBG state pending=${pending.map(_._1)} kept=${kept.map(_._1)} wm=$wm")
           if (pending.isEmpty && kept.isEmpty) state.remove()
           else {
             state.update(TJState(pending, kept))

@@ -8,18 +8,22 @@ import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /**
- * Round-trip fidelity of the generic SQL routes' payload transport
- * (StreamSql object doc "Keys"/transport): payloads cross the generic
- * changelog/temporal operators as `to_json(struct(payload))` and are
- * decoded back with `from_json(col, viewSchema)`. This property pins
- * the full view-schema type lattice — doubles INCLUDING NaN/±Inf/-0.0/
- * denormals (Spark writes non-numeric doubles as quoted "NaN"/
- * "Infinity" tokens and its JSON parser reads them back), longs at the
- * 2^63 edges, strings with JSON-hostile characters (quotes,
- * backslashes, newlines, unicode), nulls (dropped by the generator,
- * restored as null by the parser), nested arrays, structs, and
- * µs-precision timestamps — one DataFrame per property (the
- * PropertySpec cost discipline).
+ * Round-trip fidelity of the JSON codec at its REMAINING transport
+ * sites. Since round 14 payloads cross the generic changelog/temporal
+ * operators as binary struct images (Changelog.Bin via StructPack —
+ * see StructTransportSpec, this spec's live-path dual); JSON survives
+ * only at STRING-form sites — canonical string keys for non-integral
+ * key types, MatchRecognize's composite `__mr_key`, and any external
+ * JSON surface using `Changelog.TransportJsonOpts`. Those sites still
+ * need the full-lattice guarantee this property pins: doubles
+ * INCLUDING NaN/±Inf/-0.0/denormals (Spark writes non-numeric doubles
+ * as quoted "NaN"/"Infinity" tokens and its JSON parser reads them
+ * back), longs at the 2^63 edges, strings with JSON-hostile characters
+ * (quotes, backslashes, newlines, unicode), nulls (dropped by the
+ * generator, restored as null by the parser), nested arrays, structs,
+ * and µs-precision timestamps (the ms-truncation hazard
+ * TransportJsonOpts exists to prevent) — one DataFrame per property
+ * (the PropertySpec cost discipline).
  */
 class JsonTransportSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark

@@ -5,10 +5,12 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.Encoder
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.AsOfJoin
-import graft.streaming.TemporalJoin
+import graft.streaming.{Changelog, TemporalJoin}
 
 case class Probe(p_id: Long, p_user: Long, p_ts: Timestamp)
 case class Ver(v_user: Long, v_ts: Timestamp, v_id: Long, v_val: Double)
@@ -100,6 +102,113 @@ class TemporalJoinSpec extends AnyFunSuite {
     // exactly one emission for the probe, matched to the LATEST version
     // at or before 5s — the later-arriving v2@4.95s, not v1@1s
     assert(got.toSeq == Seq((100L, 11L)))
+  }
+
+  test("probes below the watermark at arrival are dropped — reference isLate semantics") {
+    // The reference drops a probe whose rowtime is already below the
+    // watermark when it arrives (TemporalRowTimeJoinOperator's isLate
+    // path); this operator does the same via its ms >= wm guard.
+    // DETERMINISTIC staging: one MemoryStream, explicit batches — the
+    // versions batch advances the watermark to 4s BEFORE the probes
+    // batch is processed, so probes at 0.5s/3s are late by construction
+    // (no two-source batch race).
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SEv]
+    val ds = mem.toDS()
+    val probes = ds.filter(_.event_type == "p")
+      .map(e => Probe(e.event_id, e.user_id, e.ts))
+    val vers = ds.filter(_.event_type == "v")
+      .map(e => Ver(e.user_id, e.ts, e.event_id, e.value))
+    val joined = TemporalJoin.streamAsOf[Probe, Ver](
+      probes, vers, _.p_user, _.v_user, _.p_ts, _.v_ts, _.v_id, "1 second")
+      .select(col("_1.p_id").as("p_id"), col("_2.v_id").as("v_id"))
+    val q = joined.writeStream.format("memory").queryName("s_asof_isl")
+      .outputMode(OutputMode.Append).start()
+    def ev(id: Long, tsMs: Long, user: Long, tpe: String) =
+      SEv(id, new Timestamp(tsMs), user, tpe, 0.0)
+    try {
+      // batch 1: versions only → wm after the batch = 5s - 1s = 4s
+      mem.addData(ev(10, 1000, 1, "v"), ev(11, 5000, 1, "v"))
+      q.processAllAvailable()
+      // batch 2 (processed AT wm = 4s): probes at 0.5s and 3s are late
+      // → dropped; 5s and 9s are on time → buffered
+      mem.addData(ev(100, 500, 1, "p"), ev(101, 3000, 1, "p"),
+                  ev(102, 5000, 1, "p"), ev(103, 9000, 1, "p"))
+      q.processAllAvailable()
+      // flush: wm passes 9s, releasing the last pending probe
+      mem.addData(ev(12, 1000000, 1, "v"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s_asof_isl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ONLY the on-time probes emitted, both matched to v11@5s; the late
+    // probes are silently dropped, never matched to a stale version
+    assert(got == Set((102L, 11L), (103L, 11L)), s"got $got")
+  }
+
+  test("Bin payloads cross the join distinct per sweep — deterministic pre-start staging") {
+    // Folded from the round-14 BinRepro isolation spec: multiple ready
+    // probes in ONE emission sweep must each carry their OWN packed
+    // payload image (a reused UnsafeRow buffer would alias them).
+    // Staging is deterministic: all data enters BOTH MemoryStreams
+    // before start(), so batch 0 reads both sources atomically at
+    // wm = 0 and nothing is late.
+    implicit val sc = spark.sqlContext
+    implicit val pe: Encoder[(Long, Timestamp, Changelog.Bin)] = ExpressionEncoder()
+    implicit val ve: Encoder[(Long, Timestamp, Long, Changelog.Bin)] = ExpressionEncoder()
+    implicit val tagE: Encoder[TemporalJoin.TaggedK[
+      Long, (Long, Timestamp, Changelog.Bin), (Long, Timestamp, Long, Changelog.Bin)]] = ExpressionEncoder()
+    implicit val stE: Encoder[TemporalJoin.TJState[
+      (Long, Timestamp, Changelog.Bin), (Long, Timestamp, Long, Changelog.Bin)]] = ExpressionEncoder()
+    implicit val outE: Encoder[((Long, Timestamp, Changelog.Bin),
+      Option[(Long, Timestamp, Long, Changelog.Bin)])] = ExpressionEncoder()
+
+    val base = 1700000000000L
+    val pmem = MemoryStream[(Long, Long, Long)]
+    val vmem = MemoryStream[(Long, Long, Double, Long)]
+    val pdf = pmem.toDS().select(col("_1").as("pk"), col("_2").as("pid"),
+      timestamp_millis(col("_3") + base).as("pts"))
+    val vdf = vmem.toDS().select(col("_1").as("vk"), col("_2").as("vid"),
+      col("_3").as("vval"), timestamp_millis(col("_4") + base).as("vts"))
+
+    val probes = pdf.select(col("pk").cast("long"), col("pts"),
+      Changelog.packPayload(Seq("pk", "pid", "pts"))).as[(Long, Timestamp, Changelog.Bin)]
+    val vers = vdf.select(col("vk").cast("long"), col("vts"),
+      col("vid").cast("long"),
+      Changelog.packPayload(Seq("vk", "vid", "vval", "vts")))
+      .as[(Long, Timestamp, Long, Changelog.Bin)]
+
+    val j = TemporalJoin.streamAsOfKeyed[Long, (Long, Timestamp, Changelog.Bin),
+        (Long, Timestamp, Long, Changelog.Bin)](
+      probes, vers, _._1, _._1, _._2, _._2, _._3, "1 second").toDF()
+
+    val pSchema = pdf.schema
+    val decoded = j.select(
+      Changelog.unpackPayload(col("_1._3.bytes"), pSchema).as("__l"),
+      col("_1._3.bytes").as("raw"))
+      .select(col("__l.pid").as("pid"), hex(col("raw")).as("rawhex"))
+
+    // ALL data staged before start: batch 0 sees both sources at wm=0
+    vmem.addData((1L, 100L, 10.0, 1000L), (1L, 101L, 20.0, 5000L))
+    pmem.addData((1L, 1L, 500L), (1L, 2L, 3000L), (1L, 3L, 5000L),
+                 (1L, 4L, 9000L), (2L, 5L, 4000L))
+
+    val sink = "bin_tj_sink"
+    val q = decoded.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      pmem.addData((9L, 90L, 10000000L)) // flush: wm past every probe
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(sink).collect()
+      .filter(_.getLong(0) < 90L)
+    // every probe emitted exactly once...
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L),
+      s"got ${rows.map(_.getLong(0)).toSet}")
+    // ...and each carries its OWN payload image, no buffer aliasing
+    assert(rows.map(_.getString(1)).distinct.length == rows.length,
+      "aliased Bin payloads within a sweep")
   }
 
   test("version state is pruned below the watermark: retained rows measured, not assumed") {
