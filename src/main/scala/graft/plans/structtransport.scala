@@ -78,6 +78,27 @@ case class StructPack(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Driver-free [[StructPack]] for TYPED operators: packs external Rows
+  * to their canonical UnsafeRow images inside a closure (the streaming
+  * MATCH_RECOGNIZE one-row-per-match emission ships each match's rows
+  * this way). The encoder/projection machinery is non-serializable, so
+  * it rebuilds lazily once per executor after closure deserialization —
+  * the same pattern as StructPack's addReferenceObj. */
+class RowPacker(schema: StructType) extends Serializable {
+  @transient private lazy val toInternal =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
+      .createSerializer()
+  @transient private lazy val proj = UnsafeProjection.create(schema)
+
+  def pack(row: org.apache.spark.sql.Row): Array[Byte] = {
+    val ur = proj(toInternal(row))
+    val out = new Array[Byte](ur.getSizeInBytes)
+    ur.writeToMemory(out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+    out
+  }
+}
+
 /** Inverse of [[StructPack]]: wrap the byte image back as an UnsafeRow
   * of `schema` — zero-copy, no per-field decode. */
 case class StructUnpack(child: Expression, schema: StructType)

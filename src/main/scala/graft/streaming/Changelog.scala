@@ -1245,6 +1245,78 @@ object Changelog {
       }
   }
 
+  /**
+   * SELECT-DISTINCT over a changelog — live instance counting per row
+   * VALUE, emitting only the 0↔1 membership transitions: +I when a
+   * value's live count becomes positive, -D when it drains. This is
+   * the distinct Aggregate the reference's streaming set-op rules put
+   * on top of the semi/anti join
+   * (ReplaceIntersectWithSemiJoinRule / ReplaceMinusWithAntiJoinRule,
+   * PLANNER/plan/rules/logical — a distinct agg grouping on ALL
+   * columns), split out as its own operator so INTERSECT/EXCEPT route
+   * as `semi/anti(distinct(A), B)`.
+   *
+   * CONTRACT: `key` must functionally determine the payload — it is
+   * the row value's canonical form (the SQL route keys on the packed
+   * UnsafeRow image, which is canonical by construction — see
+   * [[graft.plans.StructPack]]). Per-key state is then ONE payload +
+   * a live count + the ord counter: O(1) per distinct live value,
+   * exactly the reference's distinct-agg MapView entry. Stale
+   * retractions (count already 0) are ignored; drained keys keep the
+   * O(1) ord tombstone (topNChangelog discipline) so a stale -D can
+   * never outrank a post-drain +I under [[materialize]].
+   */
+  def distinctChangelog[K, L](
+      input: Dataset[(K, String, L)],
+      ttl: Option[IdleStateTtl] = None)(
+      implicit kt: TypeTag[K],
+      lt: scala.reflect.runtime.universe.TypeTag[L]): Dataset[ExistChange[K, L]] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val ie: Encoder[(K, String, L)] = ExpressionEncoder()
+    implicit val ke: Encoder[K] = ExpressionEncoder()
+    implicit val se: Encoder[(Option[L], Long, Long, Long)] = ExpressionEncoder()
+    implicit val oe: Encoder[ExistChange[K, L]] = ExpressionEncoder()
+    val timeoutConf = if (ttl.exists(_.reclaimTimers)) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    input.groupByKey(_._1)
+      .flatMapGroupsWithState[(Option[L], Long, Long, Long), ExistChange[K, L]](
+          OutputMode.Append, timeoutConf) {
+        (key: K, values: Iterator[(K, String, L)],
+         state: GroupState[(Option[L], Long, Long, Long)]) =>
+         if (state.hasTimedOut) { state.remove(); Iterator.empty }
+         else {
+          val now = if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+          val (p0, c0, n0, _) = state.getOption
+            .filter { case (_, _, _, last) => ttl.forall(t => now - last <= t.ms) }
+            .getOrElse((Option.empty[L], 0L, state.getOption.map(_._3).getOrElse(0L), 0L))
+          var payload = p0
+          var count = c0
+          values.foreach { case (_, kind, l) =>
+            if (kind != Touch) {
+              if (kind == Insert || kind == UpdateAfter) {
+                count += 1L; payload = Some(l)
+              } else if (count > 0L) count -= 1L // absent ⇒ stale retract
+            }
+          }
+          var n = if (ttl.isDefined) math.max(n0, now << 20) else n0
+          val out =
+            if (c0 == 0L && count > 0L) { n += 1; Seq(ExistChange(key, Insert, payload.get, n)) }
+            else if (c0 > 0L && count == 0L) { n += 1; Seq(ExistChange(key, Delete, p0.get, n)) }
+            else Seq.empty
+          val updated =
+            if (count == 0L) {
+              // O(1) tombstone: ord counter survives the drain
+              val keep = state.getOption.isDefined || out.nonEmpty
+              if (keep) state.update((None, 0L, n, now))
+              keep
+            } else { state.update((payload, count, n, now)); true }
+          if (updated)
+            ttl.filter(_.reclaimTimers).foreach(t => state.setTimeoutDuration(t.ms))
+          out.iterator
+         }
+      }
+  }
+
   /** One distinct-aggregate output row (kind ∈ -U/+U/-D per emission):
     * `distinct` = number of DISTINCT live values, `count` = total live
     * value instances. */

@@ -415,9 +415,12 @@ object MatchRecognize {
    * false adjacency is created by pruning. Match ordinals continue
    * across batches (the reference's per-key match numbering).
    *
-   * Output: one row per (key, matchId, classifier, row) — the ALL ROWS
-   * PER MATCH form; ONE ROW PER MATCH is a downstream groupBy exactly as
-   * in the batch operator.
+   * Output: one row per (key, matchId, classifier, row, seq) — the ALL
+   * ROWS PER MATCH form with the row's 0-based ordinal WITHIN its match
+   * (`mr_seq`, emitted by the NFA itself — the scan knows each row's
+   * position, so no downstream row_number pass is needed); ONE ROW PER
+   * MATCH is [[matchRowsStream]] (the match's rows as one packed array,
+   * emit-and-forget) or a downstream groupBy as in the batch operator.
    */
   def annotateStream[K, V](
       grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V],
@@ -426,7 +429,51 @@ object MatchRecognize {
       withinMs: Long, skip: Skip = SkipPastLastRow,
       ttl: Option[Changelog.IdleStateTtl] = None)(
       implicit ve: Encoder[V], se: Encoder[Seq[V]],
-      oe: Encoder[(K, Long, String, V)]): Dataset[(K, Long, String, V)] = {
+      oe: Encoder[(K, Long, String, V, Long)]): Dataset[(K, Long, String, V, Long)] =
+    runNfa[K, V, (K, Long, String, V, Long)](
+      grouped, orderTs, tiebreak, pattern, define, withinMs, skip, ttl) {
+      (key, mid, rows) =>
+        rows.map { case (v, row, seq) => (key, mid, v, row, seq) }
+    }
+
+  /**
+   * ONE ROW PER MATCH streaming emission — each finalized match leaves
+   * the NFA as a SINGLE row carrying its constituent rows as an array
+   * of packed UnsafeRow images ([[graft.plans.RowPacker]]; `packRow`
+   * maps (row, seq, classifier) to the bytes). This is the
+   * emit-and-forget shape of the reference's StreamExecMatch: the
+   * MEASURES collapse then runs STATELESSLY over the array column
+   * (higher-order functions, no second stateful operator, no per-match
+   * retained state) — see MatchRecognizeSql's unified-entry route.
+   */
+  def matchRowsStream[K, V](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V],
+      orderTs: V => Long, tiebreak: V => Long,
+      pattern: String, define: Seq[(String, V => Boolean)],
+      withinMs: Long, skip: Skip,
+      packRow: (V, Long, String) => Array[Byte])(
+      implicit ve: Encoder[V], se: Encoder[Seq[V]],
+      oe: Encoder[(K, Long, Seq[Array[Byte]])]): Dataset[(K, Long, Seq[Array[Byte]])] =
+    runNfa[K, V, (K, Long, Seq[Array[Byte]])](
+      grouped, orderTs, tiebreak, pattern, define, withinMs, skip, None) {
+      (key, mid, rows) =>
+        Iterator.single((key, mid,
+          rows.map { case (v, row, seq) => packRow(row, seq, v) }.toSeq))
+    }
+
+  /** The shared keyed-NFA state machine under [[annotateStream]] /
+    * [[matchRowsStream]]: buffer, scan, finalize behind the watermark,
+    * prune the dead prefix — `emit` shapes each finalized match
+    * (classifier, row, 0-based seq) into output rows. */
+  private def runNfa[K, V, O](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V],
+      orderTs: V => Long, tiebreak: V => Long,
+      pattern: String, define: Seq[(String, V => Boolean)],
+      withinMs: Long, skip: Skip,
+      ttl: Option[Changelog.IdleStateTtl])(
+      emit: (K, Long, Iterator[(String, V, Long)]) => Iterator[O])(
+      implicit ve: Encoder[V], se: Encoder[Seq[V]],
+      oe: Encoder[O]): Dataset[O] = {
     import org.apache.spark.sql.{Encoders => E}
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     require(withinMs > 0, "streaming MATCH_RECOGNIZE requires a within horizon")
@@ -446,7 +493,7 @@ object MatchRecognize {
     val resume = resumeFn(skip, vars)
     implicit val stEnc: Encoder[(Seq[V], Long, Long)] =
       E.tuple(se, E.scalaLong, E.scalaLong)
-    grouped.flatMapGroupsWithState[(Seq[V], Long, Long), (K, Long, String, V)](
+    grouped.flatMapGroupsWithState[(Seq[V], Long, Long), O](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
       (key: K, values: Iterator[V],
        state: org.apache.spark.sql.streaming.GroupState[(Seq[V], Long, Long)]) =>
@@ -471,9 +518,9 @@ object MatchRecognize {
         var mid = mid0
         val out = ready.flatMap { case (s, m) =>
           mid += 1
-          m.toSeq.zipWithIndex.map { case (v, k) =>
-            (key, mid, varNames(v), buf(s + k))
-          }
+          emit(key, mid, m.toSeq.zipWithIndex.iterator.map { case (v, k) =>
+            (varNames(v), buf(s + k), k.toLong)
+          })
         }
         // prune the dead prefix: rows at/before the horizon, plus rows
         // the last emitted match's skip strategy scanned past (under
@@ -540,8 +587,9 @@ object MatchRecognize {
     val flagIdx = define.map { case (n, _) => sch.fieldIndex(s"__mr_$n") }
     implicit val ve: Encoder[Row] = Encoders.row(sch)
     implicit val se: Encoder[Seq[Row]] = Encoders.kryo[Seq[Row]]
-    implicit val oe: Encoder[(String, Long, String, Row)] =
-      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.STRING, ve)
+    implicit val oe: Encoder[(String, Long, String, Row, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.STRING,
+                     ve, Encoders.scalaLong)
     val defs: Seq[(String, Row => Boolean)] =
       define.zipWithIndex.map { case ((n, _), i) =>
         val j = flagIdx(i)
@@ -553,10 +601,66 @@ object MatchRecognize {
       pattern, defs, withinMs, skip)
     val outSchema = StructType(df.schema.fields :+
       StructField("mr_match", LongType, nullable = false) :+
-      StructField("mr_var", StringType, nullable = false))
-    ann.map { case (_, mid, v, r) =>
-      Row.fromSeq(r.toSeq.take(nOrig) :+ mid :+ v)
+      StructField("mr_var", StringType, nullable = false) :+
+      StructField("mr_seq", LongType, nullable = false))
+    ann.map { case (_, mid, v, r, seq) =>
+      Row.fromSeq(r.toSeq.take(nOrig) :+ mid :+ v :+ seq)
     }(Encoders.row(outSchema))
+  }
+
+  /**
+   * ONE ROW PER MATCH over an untyped DataFrame — the Row-level dual of
+   * [[matchRowsStream]], the engine under MatchRecognizeSql's unified
+   * streaming entry. Each finalized match emits ONE row
+   * `(__mr_key, mr_match, __mr_rows)` where `__mr_key` is the JSON of
+   * the partition columns and `__mr_rows` the match's rows (original
+   * columns + mr_seq + mr_var) as packed UnsafeRow images in match
+   * order ([[graft.plans.RowPacker]]). MEASURES then evaluate
+   * STATELESSLY over the array (higher-order functions) — the
+   * emit-and-forget shape of the reference's StreamExecMatch, no
+   * second stateful operator, no per-match retained state.
+   */
+  def matchRowsStreamDf(df: DataFrame, partitionBy: Seq[String],
+                        orderBy: Seq[String], pattern: String,
+                        define: Seq[(String, Column)], withinMs: Long,
+                        skip: Skip = SkipPastLastRow): DataFrame = {
+    require(partitionBy.nonEmpty && orderBy.nonEmpty && define.nonEmpty)
+    val nOrig = df.schema.length
+    val flagged0 = define.foldLeft(df) { case (d, (n, c)) =>
+      d.withColumn(s"__mr_$n", coalesce(c.cast("boolean"), lit(false)))
+    }
+    val tb = orderBy.drop(1).headOption
+      .map(c => coalesce(col(c).cast("long"), lit(0L))).getOrElse(lit(0L))
+    val flagged = flagged0
+      .withColumn("__mr_ts",
+        unix_millis(col(orderBy.head).cast("timestamp")))
+      .withColumn("__mr_tb", tb)
+      .withColumn("__mr_key", to_json(struct(partitionBy.map(col): _*)))
+    val sch = flagged.schema
+    val keyIdx = sch.fieldIndex("__mr_key")
+    val tsIdx = sch.fieldIndex("__mr_ts")
+    val tbIdx = sch.fieldIndex("__mr_tb")
+    val flagIdx = define.map { case (n, _) => sch.fieldIndex(s"__mr_$n") }
+    implicit val ve: Encoder[Row] = Encoders.row(sch)
+    implicit val se: Encoder[Seq[Row]] = Encoders.kryo[Seq[Row]]
+    implicit val oe: Encoder[(String, Long, Seq[Array[Byte]])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    val defs: Seq[(String, Row => Boolean)] =
+      define.zipWithIndex.map { case ((n, _), i) =>
+        val j = flagIdx(i)
+        n -> ((r: Row) => !r.isNullAt(j) && r.getBoolean(j))
+      }
+    val packedSchema = StructType(df.schema.fields :+
+      StructField("mr_seq", LongType, nullable = false) :+
+      StructField("mr_var", StringType, nullable = false))
+    val packer = new graft.plans.RowPacker(packedSchema)
+    matchRowsStream[String, Row](
+      flagged.groupByKey(_.getString(keyIdx))(Encoders.STRING),
+      orderTs = _.getLong(tsIdx), tiebreak = _.getLong(tbIdx),
+      pattern, defs, withinMs, skip,
+      packRow = (r, seq, v) =>
+        packer.pack(Row.fromSeq(r.toSeq.take(nOrig) :+ seq :+ v)))
+      .toDF("__mr_key", "mr_match", "__mr_rows")
   }
 
   /**

@@ -180,7 +180,8 @@ object MatchRecognizeSql {
       partitionBy: Seq[String], orderBy: Seq[String], allRows: Boolean,
       skip: MatchRecognize.Skip, pattern: String,
       within: Option[(Column, Long)], define: Seq[(String, Column)],
-      rawDefs: Seq[(String, String)], measures: Seq[(String, Column)])
+      rawDefs: Seq[(String, String)], measures: Seq[(String, Column)],
+      rawMeasures: Seq[(String, String)])
 
   private def run(df: DataFrame, body: String): DataFrame = {
     val p = parseBody(body)
@@ -272,18 +273,21 @@ object MatchRecognizeSql {
       n -> expr(nav(scopeVars(p, vars, perRow = true)))
     }
 
-    val measures = if (allRows) Seq.empty else {
+    val rawMeasures = if (allRows) Seq.empty[(String, String)] else {
       val measuresSec = section("MEASURES").getOrElse(
         throw new IllegalArgumentException("ONE ROW PER MATCH needs MEASURES"))
       val asRe = "(?is)^(.+?)\\s+AS\\s+(\\w+)$".r
       splitTop(measuresSec).map {
-        case asRe(e, name) => (name, measureCol(e, vars))
+        case asRe(e, name) => (name, e.trim)
         case other => throw new IllegalArgumentException(
           s"bad MEASURES item (need '<expr> AS name'): $other")
       }
     }
+    val measures = rawMeasures.map { case (name, e) =>
+      (name, measureCol(e, vars))
+    }
     Parsed(partitionBy, orderBy, allRows, skip, pattern, within, define,
-      rawDefs, measures)
+      rawDefs, measures, rawMeasures)
   }
 
   // ------------------------------------------------------- streaming entry
@@ -363,8 +367,12 @@ object MatchRecognizeSql {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions.{col, row_number}
       val w = Window.partitionBy(keys: _*).orderBy(order: _*)
-      val withSeq = batch.withColumn("mr_seq",
-        (row_number().over(w) - 1).cast("long"))
+      // the NFA emits mr_seq itself since round 15 — the row_number
+      // pass survives only for sinks replaying pre-round-15 output
+      val withSeq =
+        if (batch.columns.contains("mr_seq")) batch
+        else batch.withColumn("mr_seq",
+          (row_number().over(w) - 1).cast("long"))
       if (p.allRows) withSeq
       else {
         val aggs = p.measures.map { case (n, c) => c.as(n) }
@@ -372,5 +380,163 @@ object MatchRecognizeSql {
       }
     }
     StreamMatches(annotated, finish)
+  }
+
+  // --------------------------------------------- unified streaming entry
+
+  /** Matches `SELECT * FROM <name> MATCH_RECOGNIZE (` — the statement
+    * shape StreamSql's router probes against registered stream views. */
+  private[streaming] val streamEntryRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SELECT\\s+\\*\\s+FROM\\s+(\\w+)\\s+MATCH_RECOGNIZE\\s*\\(")
+
+  /**
+   * STREAMING MATCH_RECOGNIZE as ONE DataFrame from the ONE SQL entry —
+   * the route `StreamSql.maybeSql` takes when a MATCH_RECOGNIZE
+   * statement's FROM target is a `registerStream` view (the reference
+   * plans StreamExecMatch from the single `sqlQuery` entry,
+   * PLANNER/plan/nodes/physical/stream/StreamExecMatch.scala:68; before
+   * round 15 such statements hit the router's fail-loud arm).
+   *
+   *  - ALL ROWS PER MATCH → [[MatchRecognize.annotateStreamDf]]
+   *    directly (input columns + mr_match/mr_var/mr_seq, append mode).
+   *  - ONE ROW PER MATCH → [[MatchRecognize.matchRowsStreamDf]]: the
+   *    NFA emits each match as ONE row carrying its rows as packed
+   *    UnsafeRow images, and the MEASURES evaluate STATELESSLY over
+   *    that array with higher-order functions ([[measureArrayExpr]]) —
+   *    no second stateful operator, no foreachBatch completion, no
+   *    per-match retained state (emit-and-forget, exactly the
+   *    reference's operator shape). Output columns: the PARTITION BY
+   *    keys, `mr_match`, then the measures.
+   *
+   * Numeric note: SUM/AVG measures on this route accumulate in DOUBLE
+   * (`aggregate` higher-order fold); supply integer-valued operands
+   * (e.g. cents) where bit-exactness against a decimal oracle matters.
+   */
+  def streamSql(spark: SparkSession, viewDf: DataFrame, tsCol: String,
+                delay: String, sqlText: String): DataFrame = {
+    val m = streamEntryRe.matcher(sqlText)
+    require(m.find(),
+      "expected: SELECT * FROM <stream view> MATCH_RECOGNIZE ( ... )")
+    val body = balanced(sqlText, m.end() - 1)
+    val p = parseBody(body)
+    val withinMs = p.within.map(_._2).getOrElse(throw
+      new IllegalArgumentException(
+        "streaming MATCH_RECOGNIZE requires PATTERN (…) WITHIN INTERVAL"))
+    require(p.orderBy.headOption.contains(tsCol),
+      s"streaming MATCH_RECOGNIZE must ORDER BY the view's event-time " +
+      s"column '$tsCol' first (got: ${p.orderBy.mkString(", ")})")
+    val navRe = "(?i)\\b(PREV|NEXT)\\s*\\(".r
+    p.rawDefs.foreach { case (n, pred) =>
+      require(navRe.findFirstIn(pred).isEmpty,
+        s"streaming DEFINE cannot use PREV/NEXT (variable $n): " +
+          "lag/lead window functions are unsupported on streams")
+    }
+    val wdf = viewDf.withWatermark(tsCol, delay)
+    if (p.allRows)
+      MatchRecognize.annotateStreamDf(
+        wdf, p.partitionBy, p.orderBy, p.pattern, p.define, withinMs, p.skip)
+    else {
+      import org.apache.spark.sql.functions.{col, from_json, transform}
+      import org.apache.spark.sql.graftbridge.Bridge
+      val raw = MatchRecognize.matchRowsStreamDf(
+        wdf, p.partitionBy, p.orderBy, p.pattern, p.define, withinMs, p.skip)
+      val packedSchema = org.apache.spark.sql.types.StructType(
+        viewDf.schema.fields :+
+        org.apache.spark.sql.types.StructField("mr_seq",
+          org.apache.spark.sql.types.LongType, nullable = false) :+
+        org.apache.spark.sql.types.StructField("mr_var",
+          org.apache.spark.sql.types.StringType, nullable = false))
+      val partSchema = org.apache.spark.sql.types.StructType(
+        p.partitionBy.map(n => viewDf.schema(n)))
+      val vars = p.rawDefs.map(_._1)
+      val base = raw.select(
+        from_json(col("__mr_key"), partSchema).as("__pk"),
+        col("mr_match"),
+        transform(col("__mr_rows"), b => Bridge.column(
+          graft.plans.StructUnpack(Bridge.expression(b), packedSchema)))
+          .as("__mrr"))
+      val fields = packedSchema.map(_.name)
+      val aggCols = p.rawMeasures.map { case (name, e) =>
+        expr(measureArrayExpr(e, vars, fields)).as(name)
+      }
+      base.select(
+        p.partitionBy.map(n => col(s"__pk.`$n`").as(n)) ++
+        (col("mr_match") +: aggCols): _*)
+    }
+  }
+
+  /** Translate one MEASURES item to a STATELESS SQL expression over the
+    * packed-rows array `__mrr` (elements: view columns + mr_seq +
+    * mr_var, in match order). The navigation shapes map to
+    * filter/try_element_at; general aggregate calls map to higher-order
+    * folds — SUM/AVG accumulate in DOUBLE, MIN/MAX are type-preserving
+    * (array_min/array_max), COUNT is size-of-non-nulls. */
+  private[streaming] def measureArrayExpr(e: String, vars: Seq[String],
+                                          fields: Seq[String]): String = {
+    def filt(v: String): String =
+      s"filter(__mrr, r -> r.mr_var = '${canon(v, vars)}')"
+    e.trim match {
+      case firstRe(v, c) => s"try_element_at(${filt(v)}, 1).`$c`"
+      case lastRe(v, c) => s"try_element_at(${filt(v)}, -1).`$c`"
+      case firstOffRe(v, c, n) =>
+        s"try_element_at(${filt(v)}, ${n.toInt + 1}).`$c`"
+      case lastOffRe(v, c, n) =>
+        s"try_element_at(${filt(v)}, -${n.toInt + 1}).`$c`"
+      case countVarRe(v) => s"CAST(size(${filt(v)}) AS BIGINT)"
+      case countAllRe() => "CAST(size(__mrr) AS BIGINT)"
+      case classifierRe() => "try_element_at(__mrr, -1).mr_var"
+      case other => rewriteAggCalls(other, vars, fields)
+    }
+  }
+
+  /** Rewrite every SUM/MIN/MAX/AVG/COUNT(<expr>) call inside a general
+    * measure expression into its array fold over `__mrr`; the
+    * surrounding scalar text (CASTs, arithmetic) passes through. */
+  private def rewriteAggCalls(e: String, vars: Seq[String],
+                              fields: Seq[String]): String = {
+    val aggRe = java.util.regex.Pattern.compile(
+      "(?i)\\b(SUM|MIN|MAX|AVG|COUNT)\\s*\\(")
+    val m = aggRe.matcher(e)
+    if (!m.find()) throw new IllegalArgumentException(
+      s"unsupported streaming MEASURES item (expected FIRST/LAST/COUNT/" +
+      s"CLASSIFIER navigation or SUM/MIN/MAX/AVG/COUNT aggregates): $e")
+    val sb = new StringBuilder
+    var pos = 0
+    do {
+      sb ++= e.substring(pos, m.start())
+      val arg = balanced(e, m.end() - 1)
+      val fn = m.group(1).toUpperCase
+      sb ++= aggFold(fn, arg.trim, vars, fields)
+      pos = m.end() - 1 + arg.length + 2 // past "(" + arg + ")"
+    } while (m.find(pos))
+    sb ++= e.substring(pos)
+    sb.toString
+  }
+
+  private def aggFold(fn: String, arg: String, vars: Seq[String],
+                      fields: Seq[String]): String = {
+    if (fn == "COUNT" && arg == "*") return "CAST(size(__mrr) AS BIGINT)"
+    // scope pattern-variable references, then qualify bare column refs
+    // onto the lambda element `r` — literal-opaque, longest-name-first
+    val scoped = scopeVars(arg, vars, perRow = false)
+    val body = graft.operators.SqlFrontend.rewriteOutsideLiterals(scoped) { t =>
+      fields.sortBy(-_.length).foldLeft(t) { (acc, f) =>
+        acc.replaceAll(
+          s"(?i)(?<![\\w.`])${java.util.regex.Pattern.quote(f)}\\b(?!\\s*\\()",
+          java.util.regex.Matcher.quoteReplacement(s"r.`$f`"))
+      }
+    }
+    val vals = s"transform(__mrr, r -> ($body))"
+    val nn = s"filter($vals, x -> x IS NOT NULL)"
+    fn match {
+      case "SUM" => s"aggregate($nn, CAST(NULL AS DOUBLE), " +
+        "(a, x) -> coalesce(a, CAST(0 AS DOUBLE)) + CAST(x AS DOUBLE))"
+      case "COUNT" => s"CAST(size($nn) AS BIGINT)"
+      case "MIN" => s"array_min($vals)"
+      case "MAX" => s"array_max($vals)"
+      case "AVG" => s"aggregate($nn, CAST(NULL AS DOUBLE), " +
+        "(a, x) -> coalesce(a, CAST(0 AS DOUBLE)) + CAST(x AS DOUBLE)) / " +
+        s"CAST(size($nn) AS BIGINT)"
+    }
   }
 }

@@ -2073,6 +2073,126 @@ object ReplayQueries {
       s.read.parquet(out).filter(col("user_id") >= 0)
         .select(col("user_id"), col("event_id"),
                 col("prev_c").cast("long").as("prev_c"))
+    }),
+
+    // Streaming-SQL INTERSECT — the reference's stream set-op rewrite
+    // (ReplaceIntersectWithSemiJoinRule: distinct aggregate over ALL
+    // columns + SEMI join), routed onto distinctChangelog + the
+    // changelog semi join keyed on the projected row's canonical
+    // UnsafeRow image. The (user, count) pairs of the purchase and
+    // click aggregate views churn on every event, so mid-replay a pair
+    // repeatedly enters and leaves the intersection — the retraction
+    // path is load-bearing, not incidental.
+    "q342_stream_sql_intersect" -> ((s, dir) => {
+      val (side, out, ck) = purchaseClickViews(s, dir)
+      withStatePartitions(s, 8) {
+        StreamSql.registerChangelog("q342_p", side("purchase"), "kind")
+        StreamSql.registerChangelog("q342_c", side("click"), "kind")
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT key, cnt FROM q342_p
+               INTERSECT
+               SELECT key, cnt FROM q342_c""")
+          val q = j.writeStream
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .foreachBatch { (batch: DataFrame, bid: Long) =>
+              batch.withColumn("mk", concat_ws("#", col("key"), col("cnt")))
+                .write.mode("append").parquet(out)
+            }
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally {
+          StreamSql.dropChangelog("q342_p"); StreamSql.dropChangelog("q342_c")
+        }
+      }
+      Changelog.materialize(s.read.parquet(out), "mk", "row_kind", "row_ord")
+        .select(col("key").as("user_id"), col("cnt"))
+    }),
+
+    // Streaming-SQL EXCEPT (ReplaceMinusWithAntiJoinRule: distinct
+    // aggregate + ANTI join) with changelog-MODE branch WHERE filters:
+    // users with ≥ 2 purchases minus users with ≥ 8 clicks. A user
+    // crossing either threshold mid-replay flips membership — the
+    // anti join's 0↔1 association transitions and the filter's
+    // explicit -D both exercise live.
+    "q343_stream_sql_except" -> ((s, dir) => {
+      val (side, out, ck) = purchaseClickViews(s, dir)
+      withStatePartitions(s, 8) {
+        StreamSql.registerChangelog("q343_p", side("purchase"), "kind",
+          rowId = Some("key"))
+        StreamSql.registerChangelog("q343_c", side("click"), "kind",
+          rowId = Some("key"))
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT key FROM q343_p WHERE cnt >= 2
+               EXCEPT
+               SELECT key FROM q343_c WHERE cnt >= 8""")
+          val q = j.writeStream
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .foreachBatch { (batch: DataFrame, bid: Long) =>
+              batch.write.mode("append").parquet(out)
+            }
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally {
+          StreamSql.dropChangelog("q343_p"); StreamSql.dropChangelog("q343_c")
+        }
+      }
+      Changelog.materialize(s.read.parquet(out), "key", "row_kind", "row_ord")
+        .select(col("key").as("user_id"))
+    }),
+
+    // q258's MATCH_RECOGNIZE pipeline re-entered through the UNIFIED
+    // SQL entry: the statement text names a registerStream view and
+    // SqlFrontend.sql routes it to MatchRecognizeSql.streamSql — the
+    // reference plans StreamExecMatch from the one sqlQuery entry
+    // (StreamExecMatch.scala:68). ONE ROW PER MATCH emits straight from
+    // the NFA (each match as one row; MEASURES collapse statelessly
+    // over the packed-rows array — no foreachBatch completion), so the
+    // sink is a plain append parquet writeStream. Integer-cents sum
+    // keeps the double-accumulating SUM fold bit-exact vs the oracle.
+    "q344_stream_sql_match_recognize" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts").as("ets"),
+                col("event_type"), col("value"))
+      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+                lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
+                  .cast("timestamp").as("ets"),
+                lit("zz_sentinel").as("event_type"), lit(0.0).as("value"))
+      val (in, out, ck) = stageOrdered(ev, "ets", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        StreamSql.registerStream("q344_v", src, tsCol = "ets",
+          delay = "1 second")
+        try {
+          val res = graft.operators.SqlFrontend.sql(s, """
+            SELECT * FROM q344_v MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ets, event_id
+              MEASURES FIRST(A.event_id) AS a_id,
+                       LAST(B.event_id) AS last_b_id,
+                       COUNT(B.*) AS n_b,
+                       CAST(SUM(floor(value * 100)) AS BIGINT) AS cents_total
+              ONE ROW PER MATCH
+              AFTER MATCH SKIP PAST LAST ROW
+              PATTERN (A B+) WITHIN INTERVAL '1' DAY
+              DEFINE A AS event_type = 'purchase',
+                     B AS event_type = 'click')""")
+          val q = res.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropStream("q344_v")
+      }
+      s.read.parquet(out).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("mr_match"), col("a_id"),
+                col("last_b_id"), col("n_b"), col("cents_total"))
     })
   )
 
@@ -3047,6 +3167,64 @@ object ReplayQueries {
       SELECT user_id, event_id,
              CAST(lag(c, 1) OVER (PARTITION BY user_id
                ORDER BY tms, event_id) AS BIGINT) AS prev_c
-      FROM o"""
+      FROM o""",
+
+    "q342_stream_sql_intersect" -> """
+      WITH p AS (
+        SELECT user_id, count(*) AS cnt
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      k AS (
+        SELECT user_id, count(*) AS cnt
+        FROM events WHERE event_type = 'click' GROUP BY 1)
+      SELECT user_id, cnt FROM p
+      INTERSECT
+      SELECT user_id, cnt FROM k""",
+
+    "q343_stream_sql_except" -> """
+      WITH p AS (
+        SELECT user_id, count(*) AS cnt
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      k AS (
+        SELECT user_id, count(*) AS cnt
+        FROM events WHERE event_type = 'click' GROUP BY 1)
+      SELECT user_id FROM p WHERE cnt >= 2
+      EXCEPT
+      SELECT user_id FROM k WHERE cnt >= 8""",
+
+    // q258's strict-contiguity unroll with the integer-cents sum
+    "q344_stream_sql_match_recognize" -> """
+      WITH w AS (
+        SELECT user_id, event_id, event_type, value,
+               CAST(ts AS TIMESTAMP) AS t,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+      brk AS (
+        SELECT p.user_id, p.rn AS prn, p.t AS a_t,
+               (SELECT min(c.rn) FROM w c
+                WHERE c.user_id = p.user_id AND c.rn > p.rn
+                  AND (c.event_type <> 'click'
+                       OR c.t > p.t + INTERVAL 1 DAY)) AS lim
+        FROM w p WHERE p.event_type = 'purchase'),
+      brk2 AS (
+        SELECT b.user_id, b.prn, COALESCE(b.lim, m.mx + 1) AS limx
+        FROM brk b JOIN (SELECT user_id, max(rn) AS mx FROM w GROUP BY 1) m
+          USING (user_id)),
+      mrows AS (
+        SELECT b.user_id, b.prn, x.rn, x.event_id, x.value
+        FROM brk2 b JOIN w x ON x.user_id = b.user_id
+             AND x.rn >= b.prn AND x.rn < b.limx
+        WHERE b.limx > b.prn + 1),
+      matches AS (
+        SELECT user_id, prn,
+               min(CASE WHEN rn = prn THEN event_id END) AS a_id,
+               arg_max(event_id, rn) FILTER (rn > prn) AS last_b_id,
+               count(*) FILTER (rn > prn) AS n_b,
+               CAST(sum(floor(value * 100)) AS BIGINT) AS cents_total
+        FROM mrows GROUP BY user_id, prn)
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY prn) AS BIGINT)
+               AS mr_match,
+             a_id, last_b_id, CAST(n_b AS BIGINT) AS n_b, cents_total
+      FROM matches"""
   )
 }

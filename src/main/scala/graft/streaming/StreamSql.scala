@@ -120,6 +120,23 @@ import graft.operators.SqlFrontend
  *    first branch; each branch's row kind emits as `row_kind` (no
  *    `row_ord` — two independent per-key logs carry no global order;
  *    re-register and aggregate, the chaining pattern).
+ *  - `SELECT <items> FROM A [WHERE p] INTERSECT | EXCEPT
+ *     SELECT <items> FROM B [WHERE p]`
+ *    → the reference's streaming set-op rewrite
+ *    (ReplaceIntersectWithSemiJoinRule / ReplaceMinusWithAntiJoinRule,
+ *    PLANNER/plan/rules/logical, mirrored in FlinkStreamRuleSets):
+ *    a distinct aggregate over ALL projected columns composed with
+ *    the changelog SEMI (INTERSECT) or ANTI (EXCEPT) join —
+ *    [[Changelog.distinctChangelog]] on A keyed on the projected
+ *    row's canonical UnsafeRow image, then
+ *    [[Changelog.joinChangelogSemi]]/[[Changelog.joinChangelogAnti]]
+ *    against B on the same whole-row key (SQL set-op null semantics —
+ *    NULLs compare equal — fall out of the canonical image for free).
+ *    Branches align positionally and must agree on column TYPES;
+ *    output names come from the first branch; emits `row_kind` and
+ *    `row_ord`. The ALL forms are rejected (the reference's stream
+ *    rule set rewrites only the DISTINCT forms); two branches per
+ *    statement — register the intermediate view to chain.
  *
  * Every GROUP BY shape above also accepts `[WHERE <pred>]` before the
  * GROUP BY and `[HAVING <pred>]` after it. WHERE is a
@@ -362,13 +379,28 @@ object StreamSql {
     val ovm = StreamSqlTime.overRe.matcher(text)
     val gwm = StreamSqlTime.groupWinRe.matcher(text)
     val um = unionRe.matcher(text)
-    if (um.matches() && view(um.group(2)).isDefined)
+    val (soBranches, soOps) = splitSetOp(text)
+    if (soOps.nonEmpty && {
+          val bm = unionBranchRe.matcher(soBranches.head)
+          bm.matches() && view(bm.group(2)).isDefined
+        })
+      Some(setOp(spark, text, effTtl))
+    else if (um.matches() && view(um.group(2)).isDefined)
       Some(unionAll(spark, text, effTtl))
     else if (tm.matches() && view(tm.group(6)).isDefined)
       Some(topn(spark, tm, effTtl))
     else if (em.matches() && view(em.group(2)).isDefined)
       Some(exists(spark, em, effTtl))
     // time-domain shapes over APPEND-ONLY stream views (registerStream)
+    else if ({
+      val mrm = MatchRecognizeSql.streamEntryRe.matcher(text)
+      mrm.find() && streamView(mrm.group(1)).isDefined
+    }) {
+      val mrm = MatchRecognizeSql.streamEntryRe.matcher(text)
+      mrm.find()
+      val v = streamView(mrm.group(1)).get
+      Some(MatchRecognizeSql.streamSql(spark, v.df, v.tsCol, v.delay, text))
+    }
     else if (tjm.matches() && streamView(tjm.group(2)).isDefined)
       Some(StreamSqlTime.temporal(spark, tjm))
     else if (gwm.matches() && streamView(gwm.group(2)).isDefined &&
@@ -416,7 +448,8 @@ object StreamSql {
         s"statement references registered changelog view(s) " +
         s"${hit.mkString(", ")} but matches no supported streaming-SQL " +
         "shape (A [INNER|LEFT|RIGHT|FULL] JOIN B ON / WHERE [NOT] " +
-        "EXISTS / UNION ALL / ROW_NUMBER() <= k / COUNT(DISTINCT) / " +
+        "EXISTS / UNION ALL / INTERSECT / EXCEPT / ROW_NUMBER() <= k / " +
+        "COUNT(DISTINCT) / " +
         "FIRST_VALUE|LAST_VALUE|LISTAGG|COLLECT / " +
         "SUM|AVG|VAR_*|STDDEV_*|MIN|MAX|COUNT(*) group aggregates, each " +
         "GROUP BY shape with optional WHERE/HAVING — see StreamSql's " +
@@ -432,10 +465,12 @@ object StreamSql {
         "(ts, INTERVAL …) with *_START/_END accessors / AGG(v) OVER " +
         "(PARTITION BY g ORDER BY ts [frame]) / A JOIN B ON a.k = b.k " +
         "AND <ts bound> (interval join) / A JOIN B FOR SYSTEM_TIME AS " +
-        "OF a.ts ON a.k = b.k — see StreamSqlTime's object doc for the " +
+        "OF a.ts ON a.k = b.k / SELECT * FROM v MATCH_RECOGNIZE (…) — " +
+        "see StreamSqlTime's object doc for the " +
         "exact grammar); use the Scala API (StreamOps.tumbleAgg/hopAgg/" +
         "sessionAgg / OverWindow.overAgg / StreamOps.intervalJoin / " +
-        s"TemporalJoin.streamAsOf) for this query: $text")
+        "TemporalJoin.streamAsOf / MatchRecognizeSql.stream) for this " +
+        s"query: $text")
       None
     }
   }
@@ -689,6 +724,151 @@ object StreamSql {
       s"UNION ALL branches must have the same arity: " +
       s"${arity - 1} vs ${d.columns.length - 1} items"))
     dfs.reduce(_ union _)
+  }
+
+  // ---- INTERSECT / EXCEPT → distinct + semi/anti changelog join ---------
+
+  /** Split a statement on TOP-LEVEL `INTERSECT` / `EXCEPT` / `MINUS`
+    * (parenthesis-depth aware, string-literal opaque — the
+    * splitUnionAll discipline). Returns the branches plus, per split
+    * point, the operator keyword and its optional ALL/DISTINCT
+    * modifier (consumed out of the following branch text). */
+  private[streaming] def splitSetOp(s: String): (Seq[String], Seq[(String, Option[String])]) = {
+    val branches = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ops = scala.collection.mutable.ArrayBuffer.empty[(String, Option[String])]
+    var depth = 0
+    var start = 0
+    var i = 0
+    def keywordAt(j: Int, w: String): Boolean =
+      j + w.length <= s.length && s.regionMatches(true, j, w, 0, w.length) && {
+        val after = j + w.length
+        after >= s.length || {
+          val c = s.charAt(after)
+          !Character.isLetterOrDigit(c) && c != '_'
+        }
+      }
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case '\'' =>
+          i += 1
+          while (i < s.length && s.charAt(i) != '\'') i += 1
+          i += 1
+        case c if depth == 0 && Character.isWhitespace(c) &&
+                  (keywordAt(i + 1, "INTERSECT") || keywordAt(i + 1, "EXCEPT") ||
+                   keywordAt(i + 1, "MINUS")) =>
+          val kw = Seq("INTERSECT", "EXCEPT", "MINUS")
+            .find(k => keywordAt(i + 1, k)).get
+          branches += s.substring(start, i)
+          var j = i + 1 + kw.length
+          while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
+          val mod =
+            if (keywordAt(j, "ALL")) { val m = Some("ALL"); j += 3; m }
+            else if (keywordAt(j, "DISTINCT")) { val m = Some("DISTINCT"); j += 8; m }
+            else None
+          ops += ((kw, mod))
+          i = j
+          start = i
+        case _ => i += 1
+      }
+    }
+    branches += s.substring(start)
+    (branches.map(_.trim).filter(_.nonEmpty).toSeq, ops.toSeq)
+  }
+
+  /** `SELECT <items> FROM A [WHERE p] INTERSECT|EXCEPT SELECT <items>
+    * FROM B [WHERE p]` over registered changelog views — see the
+    * object doc bullet. Both branches project positionally-aligned,
+    * TYPE-identical items; the whole projected row (its canonical
+    * UnsafeRow image) is the state key; the result is the distinct
+    * membership changelog: +I when a row value enters the set
+    * (INTERSECT: live in A AND in B; EXCEPT: live in A and NOT in B),
+    * -D when it leaves. */
+  private def setOp(spark: SparkSession, text: String,
+                    ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
+    val (branches, ops) = splitSetOp(text)
+    require(branches.length == 2 && ops.length == 1,
+      s"streaming INTERSECT/EXCEPT supports exactly two branches — " +
+      s"register the intermediate result to chain set ops: $text")
+    val (kw, mod) = ops.head
+    require(!mod.contains("ALL"),
+      s"streaming $kw ALL is not supported: the reference's stream rule " +
+      "set rewrites only the DISTINCT forms (ReplaceIntersectWithSemiJoin" +
+      "Rule / ReplaceMinusWithAntiJoinRule); use the batch path, or " +
+      "GROUP BY with COUNT(*) to carry multiplicities explicitly")
+    val anti = !kw.equalsIgnoreCase("INTERSECT")
+
+    val parsed = branches.map { b =>
+      val m = unionBranchRe.matcher(b)
+      require(m.matches(), s"unparseable $kw branch (expected " +
+        s"SELECT <items> FROM <view> [WHERE <pred>]): $b")
+      val name = m.group(2)
+      val v = view(name).getOrElse(throw new IllegalArgumentException(
+        s"$kw over unregistered view '$name' — both branches of a " +
+        "streaming set op must be registered changelog views"))
+      (v, name, m.group(1), Option(m.group(3)), Option(m.group(4)))
+    }
+    val projected = parsed.map { case (v, name, sel, alias, whereCl) =>
+      val qualifiers = Seq(alias.orNull, name)
+      val f = whereCl match {
+        case None => v.df
+        case Some(w) =>
+          val rid = v.rowIdCol.getOrElse(throw new IllegalArgumentException(
+            s"$kw branch WHERE needs the view's upsert key: " +
+            "registerChangelog(..., rowId = Some(col)) — the branch " +
+            "filter is changelog-MODE (explicit -D when a row's new " +
+            "value fails the predicate), keyed on the row identity"))
+          Changelog.filterChangelog(v.df, rid, v.kindCol,
+            expr(strip(w, qualifiers)), ttl = ttl)
+      }
+      val items = SqlFrontend.splitTop(sel).map(strip(_, qualifiers))
+      require(items != Seq("*"), s"streaming $kw needs explicit " +
+        "projection items (branches align positionally)")
+      (f.selectExpr(items :+ s"${v.kindCol} AS __kind": _*), v)
+    }
+    val Seq((ldf, _), (rdf, _)) = projected
+    require(ldf.columns.length == rdf.columns.length,
+      s"$kw branches must have the same arity: " +
+      s"${ldf.columns.length - 1} vs ${rdf.columns.length - 1} items")
+    val lTypes = ldf.schema.dropRight(1).map(_.dataType)
+    val rTypes = rdf.schema.dropRight(1).map(_.dataType)
+    lTypes.zip(rTypes).zipWithIndex.foreach { case ((lt, rt), idx) =>
+      // catalogString ignores nullability at every nesting level —
+      // null bits live in the value image, not the schema layout
+      require(lt.catalogString == rt.catalogString,
+        s"$kw branch item ${idx + 1} types differ (${lt.simpleString} vs " +
+        s"${rt.simpleString}) — the whole-row state key needs identical " +
+        "canonical images; CAST the item in the view or the statement")
+    }
+
+    // encode each branch as (canonical row image hex, kind, packed row):
+    // the key IS the payload's canonical form, so the distinct operator's
+    // key-determines-payload contract holds by construction
+    implicit val enc3: Encoder[(String, String, Changelog.Bin)] =
+      ExpressionEncoder()
+    def encode(df: DataFrame): Dataset[(String, String, Changelog.Bin)] = {
+      val payload = df.columns.filterNot(_ == "__kind").toSeq
+      df.select(Changelog.packPayload(payload).as("__p"),
+                col("__kind").cast("string").as("__k"))
+        .select(hex(col("__p.bytes")).as("_1"), col("__k").as("_2"),
+                col("__p").as("_3"))
+        .as[(String, String, Changelog.Bin)]
+    }
+    val lDistinct = Changelog.distinctChangelog(encode(ldf), ttl)
+      .map(e => (e.key, e.kind, e.left))
+    val rEnc = encode(rdf)
+    val joined =
+      (if (anti) Changelog.joinChangelogAnti(lDistinct, rEnc, ttl = ttl)
+       else Changelog.joinChangelogSemi(lDistinct, rEnc, ttl = ttl)).toDF()
+
+    val outCols = ldf.columns.filterNot(_ == "__kind").toSeq
+    val schema = ldf.select(outCols.map(col): _*).schema
+    joined
+      .select(Changelog.unpackPayload(col("left.bytes"), schema).as("__p"),
+              col("kind").as("row_kind"), col("ord").as("row_ord"))
+      .select(outCols.map(c => col(s"__p.`$c`")) :+
+              col("row_kind") :+ col("row_ord"): _*)
   }
 
   // ---- WHERE [NOT] EXISTS → semi/anti changelog join --------------------

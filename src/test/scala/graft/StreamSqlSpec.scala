@@ -842,6 +842,103 @@ class StreamSqlSpec extends AnyFunSuite {
     StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
   }
 
+  test("SQL INTERSECT routes to distinct + semi join: membership lifecycle") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("lv"); val rv = fresh("rv")
+    val lmem = MemoryStream[CRow]; val rmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind")
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT key AS k, value AS v FROM $lv
+          INTERSECT
+          SELECT key AS k, value AS v FROM $rv""")
+    assert(out.columns.toSeq == Seq("k", "v", "row_kind", "row_ord"))
+    val sink = fresh("sql_isect")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData(CRow(1, "+I", 10.0, 1)) // only in A → not a member
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "+I", 10.0, 1)) // enters B → membership 0→1
+      q.processAllAvailable()
+      lmem.addData(CRow(1, "+I", 10.0, 2)) // DUPLICATE in A → distinct absorbs
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "-D", 10.0, 1)) // B drains → membership 1→0
+      q.processAllAvailable()
+      lmem.addData(CRow(2, "+I", 5.0, 3))  // A-only value → never a member
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).orderBy("row_ord")
+      .select("k", "v", "row_kind").as[(Long, Double, String)].collect().toList
+    assert(got == List((1L, 10.0, "+I"), (1L, 10.0, "-D")), s"got $got")
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+  }
+
+  test("SQL EXCEPT routes to distinct + anti join; duplicates in A stay distinct") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("lv"); val rv = fresh("rv")
+    val lmem = MemoryStream[CRow]; val rmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind")
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT key AS k, value AS v FROM $lv
+          EXCEPT
+          SELECT key AS k, value AS v FROM $rv""")
+    val sink = fresh("sql_except")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData(CRow(1, "+I", 10.0, 1), CRow(1, "+I", 10.0, 2))
+      q.processAllAvailable() // in A (twice), not in B → ONE +I
+      rmem.addData(CRow(1, "+I", 10.0, 1))
+      q.processAllAvailable() // appears in B → -D
+      rmem.addData(CRow(1, "-D", 10.0, 1))
+      q.processAllAvailable() // B drains → re-admitted +I
+      lmem.addData(CRow(1, "-D", 10.0, 1))
+      q.processAllAvailable() // one of two A copies retracts → still live
+      lmem.addData(CRow(1, "-D", 10.0, 2))
+      q.processAllAvailable() // last A copy retracts → -D
+    } finally q.stop()
+    val got = spark.table(sink).orderBy("row_ord")
+      .select("v", "row_kind").as[(Double, String)].collect().toList
+    assert(got == List((10.0, "+I"), (10.0, "-D"), (10.0, "+I"), (10.0, "-D")),
+      s"got $got")
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+  }
+
+  test("set-op guardrails: ALL rejected, 3+ branches rejected, type mismatch rejected") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("lv"); val rv = fresh("rv")
+    val lmem = MemoryStream[CRow]; val rmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind")
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    val eAll = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"SELECT key FROM $lv INTERSECT ALL SELECT key FROM $rv")
+    }
+    assert(eAll.getMessage.contains("DISTINCT forms"))
+    val eChain = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark, s"SELECT key FROM $lv INTERSECT " +
+        s"SELECT key FROM $rv EXCEPT SELECT key FROM $rv")
+    }
+    assert(eChain.getMessage.contains("two branches"))
+    val eType = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"SELECT key FROM $lv EXCEPT SELECT value FROM $rv")
+    }
+    assert(eType.getMessage.contains("types differ"))
+    // an identifier containing the keyword must NOT trip the split
+    val lv2 = fresh("except_like")
+    StreamSql.registerChangelog(lv2,
+      lmem.toDS().toDF().withColumnRenamed("value", "intersected"),
+      kindCol = "kind")
+    val ok = SqlFrontend.sql(spark,
+      s"SELECT key, SUM(intersected) AS s FROM $lv2 GROUP BY key")
+    assert(ok.columns.contains("s"))
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+    StreamSql.dropChangelog(lv2)
+  }
+
   test("AND immediately followed by '(' still splits conjuncts") {
     implicit val sc = spark.sqlContext
     val lv = fresh("apl"); val rv = fresh("apr")

@@ -693,4 +693,66 @@ class StreamSqlTimeSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("rowId"))
     StreamSql.dropStream(sv); StreamSql.dropStream(sv2)
   }
+
+  /** Stage pattern rows through a stream view and run one MR statement
+    * through the UNIFIED SQL entry (SqlFrontend.sql → StreamSql router
+    * → MatchRecognizeSql.streamSql). */
+  private def runMrSql(clause: String): org.apache.spark.sql.DataFrame = {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double, Long)]
+    val df = mem.toDS()
+      .select($"_1".as("k"), $"_2".as("id"), $"_3".as("tp"), $"_4".as("v"),
+              timestamp_millis($"_5" + base).as("ets"))
+    val vn = fresh("mrv")
+    StreamSql.registerStream(vn, df, tsCol = "ets", delay = "1 second")
+    val out = SqlFrontend.sql(spark,
+      s"SELECT * FROM $vn MATCH_RECOGNIZE ($clause)")
+    val sink = fresh("mr_sink")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    val rows = Seq(
+      (1L, 1L, "p", 10.0, 1000L), (1L, 2L, "c", 1.0, 2000L),
+      (1L, 3L, "c", 2.0, 3000L), (1L, 4L, "p", 20.0, 4000L),
+      (1L, 5L, "c", 3.0, 5000L), (2L, 6L, "p", 7.0, 2500L),
+      (1L, 7L, "x", 0.0, 6000L))
+    try {
+      rows.grouped(3).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      mem.addData((9L, 90L, "x", 0.0, 10000000L)); q.processAllAvailable()
+      mem.addData((9L, 91L, "x", 0.0, 20000000L)); q.processAllAvailable()
+    } finally q.stop()
+    StreamSql.dropStream(vn)
+    spark.table(sink).filter(col("k") < 9)
+  }
+
+  private val mrCommon = """
+      PARTITION BY k
+      ORDER BY ets, id
+      %s
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B+) WITHIN INTERVAL '1' MINUTE
+      DEFINE A AS tp = 'p', B AS tp = 'c'"""
+
+  test("MATCH_RECOGNIZE over a stream view routes through the unified SQL entry — ONE ROW PER MATCH") {
+    val got = runMrSql(mrCommon.format("""
+        MEASURES FIRST(A.id) AS a_id, LAST(B.id) AS b_id,
+                 COUNT(B.*) AS nb,
+                 CAST(SUM(v) AS DOUBLE) AS tot,
+                 CLASSIFIER() AS cls
+        ONE ROW PER MATCH"""))
+      .select("k", "mr_match", "a_id", "b_id", "nb", "tot", "cls")
+      .as[(Long, Long, Long, Long, Long, Double, String)].collect().toSet
+    // key 1: (p1 c2 c3) then (p4 c5); key 2's lone p never completes
+    assert(got == Set(
+      (1L, 1L, 1L, 3L, 2L, 13.0, "B"),
+      (1L, 2L, 4L, 5L, 1L, 23.0, "B")), s"got $got")
+  }
+
+  test("MATCH_RECOGNIZE over a stream view — ALL ROWS PER MATCH carries NFA-emitted mr_seq") {
+    val got = runMrSql(mrCommon.format("ALL ROWS PER MATCH"))
+      .select("k", "mr_match", "mr_var", "mr_seq", "id")
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, "A", 0L, 1L), (1L, 1L, "B", 1L, 2L), (1L, 1L, "B", 2L, 3L),
+      (1L, 2L, "A", 0L, 4L), (1L, 2L, "B", 1L, 5L)), s"got $got")
+  }
 }
