@@ -2193,6 +2193,46 @@ object ReplayQueries {
       s.read.parquet(out).filter(col("user_id") >= 0)
         .select(col("user_id"), col("mr_match"), col("a_id"),
                 col("last_b_id"), col("n_b"), col("cents_total"))
+    }),
+
+    // LEAD from streaming SQL — q341's sibling, the other direction of
+    // the reference's OffsetOverFrame. Emit-once-offset-row-final
+    // holdback semantics (OverWindow.overOffset lead=true): a row emits
+    // only when its offset row is itself final, so each key's trailing
+    // `offset` rows are WITHHELD (on an unbounded stream "no next row
+    // yet" is undefined, not NULL) — the oracle therefore excludes each
+    // key's last row rather than padding it with NULL.
+    "q345_stream_sql_lead" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+                col("ts").as("ets"))
+      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+                lit(0.0).as("value"), lit(sentTs).cast("timestamp").as("ets"))
+      val (in, out, ck) = stageOrdered(ev, "ets", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        StreamSql.registerStream("q345_v", src, tsCol = "ets",
+          delay = "1 second", rowId = Some("event_id"))
+        try {
+          val res = graft.operators.SqlFrontend.sql(s,
+            """SELECT user_id, event_id,
+                      LEAD(floor(value * 100), 1) OVER (PARTITION BY user_id
+                        ORDER BY ets, event_id) AS next_c
+               FROM q345_v""")
+          val q = res.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropStream("q345_v")
+      }
+      s.read.parquet(out).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("event_id"),
+                col("next_c").cast("long").as("next_c"))
     })
   )
 
@@ -3225,6 +3265,24 @@ object ReplayQueries {
              CAST(row_number() OVER (PARTITION BY user_id ORDER BY prn) AS BIGINT)
                AS mr_match,
              a_id, last_b_id, CAST(n_b AS BIGINT) AS n_b, cents_total
-      FROM matches"""
+      FROM matches""",
+
+    // LEAD's batch dual MINUS each key's final row (the stream's
+    // holdback: a trailing row's "next" is undefined until it exists,
+    // so it never emits on a finite replay)
+    "q345_stream_sql_lead" -> """
+      WITH o AS (
+        SELECT user_id, event_id, floor(value * 100) AS c,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS tms
+        FROM events),
+      l AS (
+        SELECT user_id, event_id,
+               lead(c, 1) OVER (PARTITION BY user_id
+                 ORDER BY tms, event_id) AS next_c,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY tms DESC, event_id DESC) AS rdesc
+        FROM o)
+      SELECT user_id, event_id, CAST(next_c AS BIGINT) AS next_c
+      FROM l WHERE rdesc > 1"""
   )
 }
