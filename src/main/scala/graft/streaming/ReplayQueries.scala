@@ -2233,6 +2233,70 @@ object ReplayQueries {
       s.read.parquet(out).filter(col("user_id") >= 0)
         .select(col("user_id"), col("event_id"),
                 col("next_c").cast("long").as("next_c"))
+    }),
+
+    // Chained streaming SQL ACROSS time domains — the group-window
+    // route's append output feeding the changelog family, the
+    // reference's StreamExecGroupWindowAggregate → StreamExecRank
+    // composition planned from nested SQL (its changelog-mode inference
+    // wires the window agg's insert-only output into the rank state).
+    // Statement 1: GROUP BY TUMBLE day windows per event_type (Spark's
+    // native watermarked window aggregate, append mode — windows
+    // finalize behind the watermark batch by batch). Its result
+    // registers as an insert-only changelog view (kind = +I, upsert key
+    // = the window start) for statement 2: a SQL Top-2 busiest windows
+    // per event_type by cents, whose retractable rank state churns as
+    // later-finalizing windows displace earlier leaders mid-replay.
+    "q346_stream_sql_window_chain" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
+      val sentinel = s.range(1)
+        .select(lit("zz_sentinel").as("event_type"),
+                lit(sentTs).cast("timestamp").as("ts"), lit(0.0).as("value"))
+      val (in, out, ck) = stageOrdered(ev, "ts", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        StreamSql.registerStream("q346_v", src, tsCol = "ts",
+          delay = "1 second")
+        try {
+          val g = graft.operators.SqlFrontend.sql(s,
+            """SELECT event_type, TUMBLE_START(ts, INTERVAL '1' DAY) AS ws,
+                      SUM(floor(value * 100)) AS cents
+               FROM q346_v GROUP BY TUMBLE(ts, INTERVAL '1' DAY), event_type""")
+          StreamSql.registerChangelog("q346_g",
+            g.withColumn("kind", lit("+I"))
+             .withColumn("w_us", unix_micros(col("ws"))),
+            "kind", rowId = Some("w_us"))
+          try {
+            val t = graft.operators.SqlFrontend.sql(s,
+              """SELECT event_type, w_us, cents FROM (
+                   SELECT event_type, w_us, cents,
+                          ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents DESC, w_us) AS rn
+                   FROM q346_g) t WHERE rn <= 2""")
+            val q = t.writeStream.format("parquet")
+              .option("path", out).option("checkpointLocation", ck)
+              .outputMode("append")
+              .start()
+            q.processAllAvailable(); q.stop()
+          } finally StreamSql.dropChangelog("q346_g")
+        } finally StreamSql.dropStream("q346_v")
+      }
+      val fin = Changelog.materialize(
+        s.read.parquet(out)
+          .withColumn("mk", concat_ws("#", col("event_type"), col("w_us"))),
+        "mk", "row_kind", "row_ord")
+      fin.filter(col("event_type") =!= "zz_sentinel")
+        .select(col("event_type"), col("w_us"),
+                col("cents").cast("long").as("cents"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("cents").desc, col("w_us"))).cast("int"))
+        .select(col("event_type"), col("rnk"), col("w_us"), col("cents"))
     })
   )
 
@@ -3283,6 +3347,23 @@ object ReplayQueries {
                  ORDER BY tms DESC, event_id DESC) AS rdesc
         FROM o)
       SELECT user_id, event_id, CAST(next_c AS BIGINT) AS next_c
-      FROM l WHERE rdesc > 1"""
+      FROM l WHERE rdesc > 1""",
+
+    // day-tumble sums per event_type, then top-2 windows per type by
+    // cents (tiebreak: earlier window) — q346's whole chained pipeline
+    // as one batch statement
+    "q346_stream_sql_window_chain" -> """
+      WITH a AS (
+        SELECT event_type,
+               epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS w_us,
+               CAST(sum(floor(value * 100)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT event_type, w_us, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents DESC, w_us) AS rn
+        FROM a)
+      SELECT event_type, CAST(rn AS INT) AS rnk, w_us, cents
+      FROM r WHERE rn <= 2"""
   )
 }

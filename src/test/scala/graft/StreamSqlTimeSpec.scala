@@ -533,6 +533,42 @@ class StreamSqlTimeSpec extends AnyFunSuite {
     assert(gotSql == gotApi && gotSql.nonEmpty)
   }
 
+  test("window-agg SQL output chains into the changelog Top-N (cross-domain)") {
+    // statement 1: native watermarked TUMBLE aggregate (append mode);
+    // its insert-only output registers as a changelog view feeding
+    // statement 2's retractable rank — the reference's
+    // StreamExecGroupWindowAggregate → StreamExecRank composition.
+    val cn = fresh("gwc")
+    val raw = try {
+      runGwStream { (vn, _) =>
+        val g = SqlFrontend.sql(spark,
+          s"""SELECT k AS kk, TUMBLE_START(ets, INTERVAL '5' SECOND) AS ws,
+                    SUM(v) AS sv
+              FROM $vn GROUP BY TUMBLE(ets, INTERVAL '5' SECOND), k""")
+        StreamSql.registerChangelog(cn,
+          g.withColumn("kind", lit("+I"))
+           .withColumn("w_ms", unix_millis($"ws")),
+          "kind", rowId = Some("w_ms"))
+        SqlFrontend.sql(spark,
+          s"""SELECT kk, w_ms, sv FROM (
+                SELECT kk, w_ms, sv,
+                       ROW_NUMBER() OVER (PARTITION BY kk
+                         ORDER BY sv DESC, w_ms) AS rn
+                FROM $cn) t WHERE rn <= 1""")
+      }
+    } finally StreamSql.dropChangelog(cn)
+    // the first batch's leader (window 0) is displaced by the second
+    // batch's bigger window — the rank state must emit real retractions
+    assert(raw.filter($"row_kind".isin("-U", "-D")).count() > 0)
+    val fin = graft.streaming.Changelog.materialize(
+        raw.filter($"kk" =!= "zz")
+          .withColumn("mk", concat_ws("#", $"kk", $"w_ms")),
+        "mk", "row_kind", "row_ord")
+      .select($"kk", $"w_ms" - base, $"sv")
+      .as[(String, Long, Double)].collect().toSet
+    assert(fin == Set(("a", 5000L, 7.0), ("b", 10000L, 5.0)))
+  }
+
   test("group-window route fails loudly on malformed shapes") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, Double, Long)]
