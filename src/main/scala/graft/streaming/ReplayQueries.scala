@@ -2297,6 +2297,61 @@ object ReplayQueries {
           Window.partitionBy(col("event_type"))
             .orderBy(col("cents").desc, col("w_us"))).cast("int"))
         .select(col("event_type"), col("rnk"), col("w_us"), col("cents"))
+    }),
+
+    // SELECT DISTINCT from streaming SQL — the reference plans distinct
+    // on an updating input as an Aggregate with no aggregate calls
+    // (grouped on all columns), sharing the set-op rewrite's distinct
+    // machinery. Here the per-user purchase sums churn on every event,
+    // so a residue class (sum mod 1000) repeatedly enters and leaves
+    // the distinct set mid-replay — the 1→0 -D transitions are
+    // load-bearing. Final materialized set = distinct residues of the
+    // FINAL per-user sums.
+    "q347_stream_sql_select_distinct" -> ((s, dir) => {
+      val (view, out, ck) = purchaseCentsView(s, dir)
+      withStatePartitions(s, 8) {
+        StreamSql.registerChangelog("q347_p", view, "kind")
+        try {
+          val d = graft.operators.SqlFrontend.sql(s,
+            "SELECT DISTINCT CAST(amt_c AS BIGINT) % 1000 AS r FROM q347_p")
+          val q = d.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropChangelog("q347_p")
+      }
+      Changelog.materialize(s.read.parquet(out), "r", "row_kind", "row_ord")
+        .select(col("r"))
+    }),
+
+    // ORDER BY … LIMIT from streaming SQL — the reference's
+    // StreamExecSortLimit, a GLOBAL updating Top-N (no PARTITION BY):
+    // the top-5 users by live purchase cents. Per-user sums churn on
+    // every replayed batch, so leaders are displaced and re-admitted
+    // mid-replay; the final live set equals the batch ORDER BY/LIMIT.
+    "q348_stream_sql_sort_limit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (view, out, ck) = purchaseCentsView(s, dir)
+      withStatePartitions(s, 8) {
+        StreamSql.registerChangelog("q348_p", view, "kind",
+          rowId = Some("key"))
+        try {
+          val t = graft.operators.SqlFrontend.sql(s,
+            "SELECT key, amt_c FROM q348_p ORDER BY amt_c DESC, key LIMIT 5")
+          val q = t.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropChangelog("q348_p")
+      }
+      Changelog.materialize(s.read.parquet(out), "key", "row_kind", "row_ord")
+        .select(col("key").as("user_id"),
+                col("amt_c").cast("long").as("cents"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cents").desc, col("user_id"))).cast("int"))
+        .select(col("user_id"), col("rnk"), col("cents"))
     })
   )
 
@@ -3364,6 +3419,24 @@ object ReplayQueries {
                                   ORDER BY cents DESC, w_us) AS rn
         FROM a)
       SELECT event_type, CAST(rn AS INT) AS rnk, w_us, cents
-      FROM r WHERE rn <= 2"""
+      FROM r WHERE rn <= 2""",
+
+    // distinct residues (mod 1000) of the final per-user purchase sums
+    "q347_stream_sql_select_distinct" -> """
+      WITH p AS (
+        SELECT user_id, CAST(sum(floor(value * 100)) AS BIGINT) AS amt
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT DISTINCT amt % 1000 AS r FROM p""",
+
+    // top-5 users by final purchase cents (tiebreak: user id)
+    "q348_stream_sql_sort_limit" -> """
+      WITH p AS (
+        SELECT user_id, CAST(sum(floor(value * 100)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT user_id,
+             CAST(row_number() OVER (ORDER BY cents DESC, user_id) AS INT)
+               AS rnk,
+             cents
+      FROM p ORDER BY cents DESC, user_id LIMIT 5"""
   )
 }

@@ -137,6 +137,23 @@ import graft.operators.SqlFrontend
  *    `row_ord`. The ALL forms are rejected (the reference's stream
  *    rule set rewrites only the DISTINCT forms); two branches per
  *    statement — register the intermediate view to chain.
+ *  - `SELECT DISTINCT <items> FROM V [AS a] [WHERE p]`
+ *    → distinct on an updating input — the reference plans it as an
+ *    Aggregate with no aggregate calls grouped on all columns, the
+ *    same distinct machinery the set-op rewrite shares.
+ *    [[Changelog.distinctChangelog]] keyed on the projected row's
+ *    canonical UnsafeRow image: +I on a value's 0→1 live-instance
+ *    transition, -D on 1→0 (deleting one of two equal rows emits
+ *    nothing). WHERE is the changelog-MODE filter (needs the view's
+ *    rowId); emits `row_kind` and `row_ord`.
+ *  - `SELECT <items> FROM V [AS a] [WHERE p]
+ *     ORDER BY <s> [ASC|DESC] [, <rowId>] LIMIT <n>`
+ *    → the reference's StreamExecSortLimit: a GLOBAL updating Top-N
+ *    (the rank operator under one constant key — retractions re-admit
+ *    runners-up). V must declare its rowId; the optional explicit
+ *    tiebreak must be that rowId ascending; items may reference only
+ *    <s> and the rowId. Ranks derive at read over the ≤ n
+ *    materialized rows, as with the partitioned route.
  *
  * Every GROUP BY shape above also accepts `[WHERE <pred>]` before the
  * GROUP BY and `[HAVING <pred>]` after it. WHERE is a
@@ -243,6 +260,22 @@ object StreamSql {
     "(?:\\s+(?:AS\\s+)?(?!INNER\\b|LEFT\\b|RIGHT\\b|FULL\\b|OUTER\\b|JOIN\\b)(\\w+))?" +
     "\\s+(?:(INNER|LEFT|RIGHT|FULL)(?:\\s+OUTER)?\\s+)?JOIN\\s+(\\w+)" +
     "(?:\\s+(?:AS\\s+)?(?!ON\\b)(\\w+))?\\s+ON\\s+(.+?)\\s*$")
+
+  // SELECT DISTINCT <items> FROM <view> [WHERE p] — the reference's
+  // distinct on an updating input (an Aggregate with no agg calls, the
+  // same distinct machinery the set-op rewrite shares)
+  private val selDistinctRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SELECT\\s+DISTINCT\\s+(.+?)\\s+FROM\\s+(\\w+)" +
+    "(?:\\s+(?:AS\\s+)?(?!WHERE\\b)(\\w+))?(?:\\s+WHERE\\s+(.+?))?\\s*$")
+
+  // SELECT <items> FROM <view> [WHERE p] ORDER BY <s> [ASC|DESC]
+  // [, <rowId>] LIMIT n — the reference's StreamExecSortLimit (a global
+  // updating Top-N: no PARTITION BY)
+  private val sortLimitRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)" +
+    "(?:\\s+(?:AS\\s+)?(?!WHERE\\b|ORDER\\b)(\\w+))?" +
+    "(?:\\s+WHERE\\s+(.+?))?" +
+    "\\s+ORDER\\s+BY\\s+(.+?)\\s+LIMIT\\s+(\\d+)\\s*$")
 
   private val topnRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s*\\(\\s*SELECT\\s+(.+?),\\s*" +
@@ -375,6 +408,7 @@ object StreamSql {
     val em = existsRe.matcher(text)
     val jm = joinRe.matcher(text)
     val dm = distinctRe.matcher(text)
+    val sdm = selDistinctRe.matcher(text)
     val tjm = StreamSqlTime.temporalRe.matcher(text)
     val ovm = StreamSqlTime.overRe.matcher(text)
     val gwm = StreamSqlTime.groupWinRe.matcher(text)
@@ -387,6 +421,13 @@ object StreamSql {
       Some(setOp(spark, text, effTtl))
     else if (um.matches() && view(um.group(2)).isDefined)
       Some(unionAll(spark, text, effTtl))
+    else if (sdm.matches() && view(sdm.group(2)).isDefined)
+      Some(selectDistinct(spark, sdm, effTtl))
+    else if ({ val slm = sortLimitRe.matcher(text)
+               slm.matches() && view(slm.group(2)).isDefined }) {
+      val slm = sortLimitRe.matcher(text); slm.matches()
+      Some(sortLimit(spark, slm, effTtl))
+    }
     else if (tm.matches() && view(tm.group(6)).isDefined)
       Some(topn(spark, tm, effTtl))
     else if (em.matches() && view(em.group(2)).isDefined)
@@ -448,7 +489,8 @@ object StreamSql {
         s"statement references registered changelog view(s) " +
         s"${hit.mkString(", ")} but matches no supported streaming-SQL " +
         "shape (A [INNER|LEFT|RIGHT|FULL] JOIN B ON / WHERE [NOT] " +
-        "EXISTS / UNION ALL / INTERSECT / EXCEPT / ROW_NUMBER() <= k / " +
+        "EXISTS / UNION ALL / INTERSECT / EXCEPT / SELECT DISTINCT / " +
+        "ROW_NUMBER() <= k / ORDER BY … LIMIT n / " +
         "COUNT(DISTINCT) / " +
         "FIRST_VALUE|LAST_VALUE|LISTAGG|COLLECT / " +
         "SUM|AVG|VAR_*|STDDEV_*|MIN|MAX|COUNT(*) group aggregates, each " +
@@ -869,6 +911,138 @@ object StreamSql {
               col("kind").as("row_kind"), col("ord").as("row_ord"))
       .select(outCols.map(c => col(s"__p.`$c`")) :+
               col("row_kind") :+ col("row_ord"): _*)
+  }
+
+  /**
+   * `SELECT DISTINCT <items> FROM <view> [WHERE p]` over a changelog
+   * view — the reference plans distinct on an updating input as an
+   * Aggregate with no aggregate calls (grouped on all columns), the
+   * same distinct machinery its set-op rewrite shares. Routed onto
+   * [[Changelog.distinctChangelog]] keyed on the projected row's
+   * canonical UnsafeRow image: a value's membership emits +I on its
+   * 0→1 live-instance transition and -D on 1→0, so deleting one of two
+   * equal rows changes nothing downstream. WHERE is the changelog-MODE
+   * filter (explicit -D when a row's new value fails the predicate),
+   * same contract as the set-op branches.
+   */
+  private def selectDistinct(spark: SparkSession,
+                             m: java.util.regex.Matcher,
+                             ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
+    val (sel, name, alias, whereCl) =
+      (m.group(1), m.group(2), Option(m.group(3)), Option(m.group(4)))
+    val v = view(name).get
+    val qualifiers = Seq(alias.orNull, name)
+    val f = whereCl match {
+      case None => v.df
+      case Some(w) =>
+        val rid = v.rowIdCol.getOrElse(throw new IllegalArgumentException(
+          "SELECT DISTINCT with WHERE needs the view's upsert key: " +
+          "registerChangelog(..., rowId = Some(col)) — the filter is " +
+          "changelog-MODE (explicit -D when a row's new value fails " +
+          "the predicate), keyed on the row identity"))
+        Changelog.filterChangelog(v.df, rid, v.kindCol,
+          expr(strip(w, qualifiers)), ttl = ttl)
+    }
+    val items = SqlFrontend.splitTop(sel).map(strip(_, qualifiers))
+    require(items != Seq("*"), "streaming SELECT DISTINCT needs explicit " +
+      "projection items (the distinct key is the projected row)")
+    val pdf = f.selectExpr(items :+ s"${v.kindCol} AS __kind": _*)
+    implicit val enc3: Encoder[(String, String, Changelog.Bin)] =
+      ExpressionEncoder()
+    val payloadCols = pdf.columns.filterNot(_ == "__kind").toSeq
+    val encoded = pdf
+      .select(Changelog.packPayload(payloadCols).as("__p"),
+              col("__kind").cast("string").as("__k"))
+      .select(hex(col("__p.bytes")).as("_1"), col("__k").as("_2"),
+              col("__p").as("_3"))
+      .as[(String, String, Changelog.Bin)]
+    val schema = pdf.select(payloadCols.map(col): _*).schema
+    Changelog.distinctChangelog(encoded, ttl).toDF()
+      .select(Changelog.unpackPayload(col("left.bytes"), schema).as("__p"),
+              col("kind").as("row_kind"), col("ord").as("row_ord"))
+      .select(payloadCols.map(c => col(s"__p.`$c`")) :+
+              col("row_kind") :+ col("row_ord"): _*)
+  }
+
+  /**
+   * `SELECT <items> FROM <view> [WHERE p] ORDER BY <s> [ASC|DESC]
+   * [, <rowId>] LIMIT n` over a changelog view — the reference's
+   * StreamExecSortLimit (`PLANNER/plan/nodes/physical/stream/
+   * StreamExecSortLimit.scala`): a GLOBAL updating Top-N, i.e. the rank
+   * operator with no PARTITION BY. Routed onto
+   * [[Changelog.topNChangelog]] under one constant key — state is the
+   * live (rowId → score) map capped at the top n, retractions re-admit
+   * runners-up, exactly the partitioned route's machinery. The same
+   * restrictions apply: the view declares its upsert key (rowId), the
+   * optional explicit tiebreak must BE that rowId ascending, and
+   * projection items may reference only the order expression and the
+   * rowId (the rank state's columns).
+   *
+   * Scale shape: a global order is inherently a singleton — every
+   * update converges on one key, as in the reference (SortLimit's
+   * RetractableTopNFunction runs at parallelism 1). State stays O(live
+   * rows) in the id→score map but only the top n produce emissions;
+   * for large n or hot update rates, pre-aggregate or Top-N per
+   * partition first (the partitioned ROW_NUMBER route), then LIMIT the
+   * union — the same two-level pattern the reference plans for global
+   * rank.
+   */
+  private def sortLimit(spark: SparkSession, m: java.util.regex.Matcher,
+                        ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
+    val (sel, vName, vAlias0, whereCl, orderBy, nStr) =
+      (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
+       m.group(6))
+    val n = nStr.toInt
+    val v = view(vName).get
+    val quals = Seq(vAlias0, vName)
+    val rowIdCol = v.rowIdCol.getOrElse(throw new IllegalArgumentException(
+      s"streaming ORDER BY … LIMIT over '$vName' needs its upsert key: " +
+      "registerChangelog(..., rowId = Some(col)) — the reference's " +
+      "SortLimit similarly requires the input's unique key"))
+    val f = whereCl match {
+      case null | "" => v.df
+      case w => Changelog.filterChangelog(v.df, rowIdCol, v.kindCol,
+        expr(strip(w, quals)), ttl = ttl)
+    }
+    val ordParts = SqlFrontend.splitTop(orderBy)
+    val dirRe = java.util.regex.Pattern
+      .compile("(?is)^(.+?)(?:\\s+(ASC|DESC))?\\s*$")
+    val m0 = dirRe.matcher(ordParts.head); require(m0.matches())
+    val sExpr = m0.group(1).trim
+    val desc = m0.group(2) != null && m0.group(2).equalsIgnoreCase("DESC")
+    ordParts.tail.foreach { p =>
+      val mi = dirRe.matcher(p); require(mi.matches())
+      require(norm(strip(mi.group(1), quals)) == norm(rowIdCol) &&
+              (mi.group(2) == null || mi.group(2).equalsIgnoreCase("ASC")),
+        s"SortLimit tiebreak must be the rowId '$rowIdCol' ascending: " +
+        orderBy)
+    }
+    implicit val enc4: Encoder[(Long, String, Double, Long)] =
+      ExpressionEncoder()
+    implicit val keyEnc: Encoder[Long] = ExpressionEncoder()
+    val base = f
+      .withColumn("__s", expr(strip(sExpr, quals)).cast("double"))
+      .select(lit(0L).as("__g"), col(v.kindCol).cast("string"), col("__s"),
+              col(rowIdCol).cast("long"))
+      .as[(Long, String, Double, Long)]
+    val top = Changelog.topNChangelog[Long, (Long, String, Double, Long)](
+      base.groupByKey(_._1), n,
+      kind = _._2, score = t => if (desc) t._3 else -t._3, rowId = _._4,
+      ttl = ttl).toDF()
+    val (ns, nid) = (norm(strip(sExpr, quals)), norm(rowIdCol))
+    val named = SqlFrontend.splitTop(sel).map { item =>
+      val (e, alias) = itemAlias(strip(item, quals))
+      norm(e) match {
+        case `nid` => col("rowId").as(alias)
+        case `ns` =>
+          (if (desc) col("score") else -col("score")).as(alias)
+        case _ => throw new IllegalArgumentException(
+          "SortLimit projection may reference only the order expression " +
+          s"and the rowId (the rank state's columns): $item")
+      }
+    }
+    top.select(named :+
+      col("kind").as("row_kind") :+ col("ord").as("row_ord"): _*)
   }
 
   // ---- WHERE [NOT] EXISTS → semi/anti changelog join --------------------

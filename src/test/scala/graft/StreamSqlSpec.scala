@@ -906,6 +906,71 @@ class StreamSqlSpec extends AnyFunSuite {
     StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
   }
 
+  test("SELECT DISTINCT routes to the distinct changelog: 0<->1 membership only") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("lv")
+    val lmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind",
+      rowId = Some("ord"))
+    val out = SqlFrontend.sql(spark,
+      s"SELECT DISTINCT value AS v FROM $lv WHERE key <= 2")
+    assert(out.columns.toSeq == Seq("v", "row_kind", "row_ord"))
+    val sink = fresh("sql_seldist")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData(CRow(1, "+I", 10.0, 1)) // value enters → +I
+      q.processAllAvailable()
+      lmem.addData(CRow(2, "+I", 10.0, 2)) // duplicate instance → silent
+      q.processAllAvailable()
+      lmem.addData(CRow(9, "+I", 10.0, 3)) // filtered out (key > 2) → silent
+      q.processAllAvailable()
+      lmem.addData(CRow(1, "-D", 10.0, 1)) // one of two live → silent
+      q.processAllAvailable()
+      lmem.addData(CRow(2, "-D", 10.0, 2)) // last instance leaves → -D
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).orderBy("row_ord")
+      .select("v", "row_kind").as[(Double, String)].collect().toList
+    assert(got == List((10.0, "+I"), (10.0, "-D")), s"got $got")
+    StreamSql.dropChangelog(lv)
+  }
+
+  test("ORDER BY LIMIT routes to a global updating Top-N; retraction re-admits") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("lv")
+    val lmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind",
+      rowId = Some("key"))
+    val out = SqlFrontend.sql(spark,
+      s"SELECT key AS k, value AS v FROM $lv ORDER BY value DESC, key LIMIT 2")
+    assert(out.columns.toSeq == Seq("k", "v", "row_kind", "row_ord"))
+    val sink = fresh("sql_sortlim")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData(CRow(1, "+I", 10.0, 1), CRow(2, "+I", 20.0, 2),
+                   CRow(3, "+I", 5.0, 3)) // top-2 = {2:20, 1:10}
+      q.processAllAvailable()
+      lmem.addData(CRow(2, "-D", 20.0, 2)) // leader retracts → 3 re-admitted
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = graft.streaming.Changelog.materialize(
+        spark.table(sink), "k", "row_kind", "row_ord")
+      .select("k", "v").as[(Long, Double)].collect().toSet
+    assert(fin == Set((1L, 10.0), (3L, 5.0)), s"got $fin")
+    // the leader's exit must be an explicit retraction, not silence
+    assert(spark.table(sink)
+      .filter($"k" === 2 && $"row_kind".isin("-U", "-D")).count() == 1)
+    // projection outside the rank state's columns fails loudly
+    val e = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"SELECT kind FROM $lv ORDER BY value DESC, key LIMIT 2")
+    }
+    assert(e.getMessage.contains("rank state"))
+    StreamSql.dropChangelog(lv)
+  }
+
   test("set-op guardrails: ALL rejected, 3+ branches rejected, type mismatch rejected") {
     implicit val sc = spark.sqlContext
     val lv = fresh("lv"); val rv = fresh("rv")
