@@ -135,4 +135,62 @@ class StreamParityPropertySpec extends AnyFunSuite {
       assert(got == expect, s"case $ci: stream=$got ref=$expect")
     }
   }
+
+  test("SQL SELECT DISTINCT + ORDER BY LIMIT == final live set on random changelogs") {
+    // Random VALID changelogs (inserts of unique ids, deletes of live
+    // ids — the per-key ordered-delivery contract every changelog
+    // operator assumes), random micro-batch boundaries. The reference
+    // semantic is the final live map: distinct = its value set,
+    // sort-limit = its top-3 rows by (value desc, id asc).
+    implicit val sc = spark.sqlContext
+    (1 to 4).foreach { ci =>
+      val rnd = new scala.util.Random(9400L + ci)
+      var live = Map.empty[Long, Double]
+      var nextId = 1L
+      val values = Vector(1.0, 2.0, 3.0, 4.0, 5.0)
+      val ops = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+      (1 to (30 + rnd.nextInt(40))).foreach { _ =>
+        if (live.isEmpty || rnd.nextDouble() < 0.6) {
+          val v = values(rnd.nextInt(values.size))
+          ops += ((nextId, "+I", v)); live += nextId -> v; nextId += 1
+        } else {
+          val id = live.keys.toSeq(rnd.nextInt(live.size))
+          ops += ((id, "-D", live(id))); live -= id
+        }
+      }
+      val vn = s"pp_sd_$ci"
+      val mem = MemoryStream[(Long, String, Double)]
+      StreamSql.registerChangelog(vn, mem.toDS().toDF("id", "kind", "value"),
+        kindCol = "kind", rowId = Some("id"))
+      val d = graft.operators.SqlFrontend.sql(spark,
+        s"SELECT DISTINCT value AS v FROM $vn")
+      val t = graft.operators.SqlFrontend.sql(spark,
+        s"SELECT id AS i, value AS v FROM $vn ORDER BY value DESC, id LIMIT 3")
+      val (s1, s2) = (s"pp_sd_sink_$ci", s"pp_sl_sink_$ci")
+      val q1 = d.writeStream.format("memory").queryName(s1)
+        .outputMode(OutputMode.Append).start()
+      val q2 = t.writeStream.format("memory").queryName(s2)
+        .outputMode(OutputMode.Append).start()
+      try {
+        var rest = ops.toList
+        while (rest.nonEmpty) {
+          val (c, r) = rest.splitAt(1 + rnd.nextInt(7))
+          mem.addData(c: _*)
+          q1.processAllAvailable(); q2.processAllAvailable()
+          rest = r
+        }
+      } finally { q1.stop(); q2.stop() }
+      val gotD = Changelog.materialize(spark.table(s1),
+          "v", "row_kind", "row_ord")
+        .select($"v").as[Double].collect().toSet
+      assert(gotD == live.values.toSet, s"case $ci distinct: " +
+        s"stream=$gotD ref=${live.values.toSet}")
+      val gotT = Changelog.materialize(spark.table(s2),
+          "i", "row_kind", "row_ord")
+        .select($"i", $"v").as[(Long, Double)].collect().toSet
+      val expT = live.toSeq.sortBy { case (id, v) => (-v, id) }.take(3).toSet
+      assert(gotT == expT, s"case $ci sortlimit: stream=$gotT ref=$expT")
+      StreamSql.dropChangelog(vn)
+    }
+  }
 }
