@@ -120,23 +120,37 @@ object SqlFrontend {
     while (i < s.length) {
       if (s.charAt(i) == '\'') {
         out ++= f(s.substring(start, i))
-        val litStart = i
-        i += 1
-        // scan to the closing quote; '' inside a literal is an escaped
-        // quote, not a terminator
-        var done = false
-        while (!done && i < s.length) {
-          if (s.charAt(i) == '\'') {
-            if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
-            else { i += 1; done = true }
-          } else i += 1
-        }
-        out ++= s.substring(litStart, i)
+        val end = skipLiteral(s, i)
+        out ++= s.substring(i, end)
+        i = end
         start = i
       } else i += 1
     }
     out ++= f(s.substring(start))
     out.toString
+  }
+
+  /** Index just past the string literal opening at `open`
+    * (`s(open) == '\''`). Honors BOTH escape conventions Spark's
+    * parser accepts: SQL-standard `''` doubling and backslash escapes
+    * (`\'`, live under the default
+    * `spark.sql.parser.escapedStringLiterals=false`) — a literal like
+    * `'don\'t EXCEPT'` must not leak its tail into code scanning.
+    * Shared by every literal-opaque text scanner (this rewriter,
+    * [[graft.streaming.StreamSql]]'s splitters, MatchRecognizeSql's
+    * section parser). */
+  private[graft] def skipLiteral(s: String, open: Int): Int = {
+    var i = open + 1
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => i += 2
+        case '\'' =>
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+          else return i + 1
+        case _ => i += 1
+      }
+    }
+    i
   }
 
   /** Strip `alias.` qualifiers so expressions run on the operators'

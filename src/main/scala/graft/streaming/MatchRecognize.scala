@@ -3,8 +3,8 @@ package graft.streaming
 import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row}
-import org.apache.spark.sql.functions.{coalesce, col, lit, struct, to_json, unix_millis}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.functions.{coalesce, col, lit, struct, to_json, unix_micros, unix_millis}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
 
 /**
  * SQL-standard MATCH_RECOGNIZE (SURVEY §2.10) as a DataFrame operator —
@@ -564,37 +564,71 @@ object MatchRecognize {
    * state bytes, as in the reference's CEP state) and bounded by the
    * `withinMs` horizon — identical pruning to [[annotateStream]].
    */
-  def annotateStreamDf(df: DataFrame, partitionBy: Seq[String],
-                       orderBy: Seq[String], pattern: String,
-                       define: Seq[(String, Column)], withinMs: Long,
-                       skip: Skip = SkipPastLastRow): DataFrame = {
+  /**
+   * Shared prep for the untyped stream entries: flag columns per DEFINE,
+   * the NFA's primitive order/tiebreak/partition-key columns, and the
+   * per-variable predicate accessors. Validates the ORDER BY shape —
+   * (rowtime [, one tiebreak]) with an integral or timestamp tiebreak:
+   * a lossy `cast("long")` on anything else (the old behavior) turned
+   * every tiebreak into 0 and made tie order nondeterministic, and a
+   * silently-dropped third order column is the same bug in disguise.
+   * The partition key serializes with [[Changelog.TransportJsonOpts]]
+   * (µs timestamp format) — two partitions differing only in
+   * microseconds must NOT collapse into one NFA key.
+   */
+  private def flagForNfa(df: DataFrame, partitionBy: Seq[String],
+                         orderBy: Seq[String],
+                         define: Seq[(String, Column)])
+      : (DataFrame, Int, Int, Int, Seq[(String, Row => Boolean)]) = {
     require(partitionBy.nonEmpty && orderBy.nonEmpty && define.nonEmpty)
-    val nOrig = df.schema.length
+    require(orderBy.size <= 2,
+      "streaming MATCH_RECOGNIZE orders on (rowtime [, one tiebreak " +
+      s"column]); got ORDER BY ${orderBy.mkString(", ")}")
+    val tb = orderBy.drop(1).headOption.map { c =>
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          coalesce(col(c).cast("long"), lit(0L))
+        case TimestampType => coalesce(unix_micros(col(c)), lit(0L))
+        case other => throw new IllegalArgumentException(
+          s"streaming MATCH_RECOGNIZE tiebreak column '$c' must be an " +
+          s"integral or timestamp column (got ${other.simpleString}) — " +
+          "a lossy cast would make tie order nondeterministic")
+      }
+    }.getOrElse(lit(0L))
     val flagged0 = define.foldLeft(df) { case (d, (n, c)) =>
       d.withColumn(s"__mr_$n", coalesce(c.cast("boolean"), lit(false)))
     }
-    val tb = orderBy.drop(1).headOption
-      .map(c => coalesce(col(c).cast("long"), lit(0L))).getOrElse(lit(0L))
     val flagged = flagged0
       .withColumn("__mr_ts",
         unix_millis(col(orderBy.head).cast("timestamp")))
       .withColumn("__mr_tb", tb)
-      .withColumn("__mr_key", to_json(struct(partitionBy.map(col): _*)))
+      .withColumn("__mr_key",
+        to_json(struct(partitionBy.map(col): _*),
+                Changelog.TransportJsonOpts))
     val sch = flagged.schema
-    val keyIdx = sch.fieldIndex("__mr_key")
-    val tsIdx = sch.fieldIndex("__mr_ts")
-    val tbIdx = sch.fieldIndex("__mr_tb")
     val flagIdx = define.map { case (n, _) => sch.fieldIndex(s"__mr_$n") }
-    implicit val ve: Encoder[Row] = Encoders.row(sch)
-    implicit val se: Encoder[Seq[Row]] = Encoders.kryo[Seq[Row]]
-    implicit val oe: Encoder[(String, Long, String, Row, Long)] =
-      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.STRING,
-                     ve, Encoders.scalaLong)
     val defs: Seq[(String, Row => Boolean)] =
       define.zipWithIndex.map { case ((n, _), i) =>
         val j = flagIdx(i)
         n -> ((r: Row) => !r.isNullAt(j) && r.getBoolean(j))
       }
+    (flagged, sch.fieldIndex("__mr_key"), sch.fieldIndex("__mr_ts"),
+     sch.fieldIndex("__mr_tb"), defs)
+  }
+
+  def annotateStreamDf(df: DataFrame, partitionBy: Seq[String],
+                       orderBy: Seq[String], pattern: String,
+                       define: Seq[(String, Column)], withinMs: Long,
+                       skip: Skip = SkipPastLastRow): DataFrame = {
+    val nOrig = df.schema.length
+    val (flagged, keyIdx, tsIdx, tbIdx, defs) =
+      flagForNfa(df, partitionBy, orderBy, define)
+    val sch = flagged.schema
+    implicit val ve: Encoder[Row] = Encoders.row(sch)
+    implicit val se: Encoder[Seq[Row]] = Encoders.kryo[Seq[Row]]
+    implicit val oe: Encoder[(String, Long, String, Row, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.STRING,
+                     ve, Encoders.scalaLong)
     val ann = annotateStream[String, Row](
       flagged.groupByKey(_.getString(keyIdx))(Encoders.STRING),
       orderTs = _.getLong(tsIdx), tiebreak = _.getLong(tbIdx),
@@ -624,32 +658,14 @@ object MatchRecognize {
                         orderBy: Seq[String], pattern: String,
                         define: Seq[(String, Column)], withinMs: Long,
                         skip: Skip = SkipPastLastRow): DataFrame = {
-    require(partitionBy.nonEmpty && orderBy.nonEmpty && define.nonEmpty)
     val nOrig = df.schema.length
-    val flagged0 = define.foldLeft(df) { case (d, (n, c)) =>
-      d.withColumn(s"__mr_$n", coalesce(c.cast("boolean"), lit(false)))
-    }
-    val tb = orderBy.drop(1).headOption
-      .map(c => coalesce(col(c).cast("long"), lit(0L))).getOrElse(lit(0L))
-    val flagged = flagged0
-      .withColumn("__mr_ts",
-        unix_millis(col(orderBy.head).cast("timestamp")))
-      .withColumn("__mr_tb", tb)
-      .withColumn("__mr_key", to_json(struct(partitionBy.map(col): _*)))
+    val (flagged, keyIdx, tsIdx, tbIdx, defs) =
+      flagForNfa(df, partitionBy, orderBy, define)
     val sch = flagged.schema
-    val keyIdx = sch.fieldIndex("__mr_key")
-    val tsIdx = sch.fieldIndex("__mr_ts")
-    val tbIdx = sch.fieldIndex("__mr_tb")
-    val flagIdx = define.map { case (n, _) => sch.fieldIndex(s"__mr_$n") }
     implicit val ve: Encoder[Row] = Encoders.row(sch)
     implicit val se: Encoder[Seq[Row]] = Encoders.kryo[Seq[Row]]
     implicit val oe: Encoder[(String, Long, Seq[Array[Byte]])] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-    val defs: Seq[(String, Row => Boolean)] =
-      define.zipWithIndex.map { case ((n, _), i) =>
-        val j = flagIdx(i)
-        n -> ((r: Row) => !r.isNullAt(j) && r.getBoolean(j))
-      }
     val packedSchema = StructType(df.schema.fields :+
       StructField("mr_seq", LongType, nullable = false) :+
       StructField("mr_var", StringType, nullable = false))

@@ -69,13 +69,34 @@ object MatchRecognizeSql {
 
   // ------------------------------------------------------------- internals
 
+  /** Positions inside single-quoted SQL string literals (quotes
+    * included; `''` is an escaped quote, the same convention as
+    * [[graft.operators.SqlFrontend.rewriteOutsideLiterals]]). Every
+    * character-level scan below consults this mask so a literal like
+    * `')'` or `'...SUM(...'` never derails paren counting, section
+    * splitting or aggregate-call extraction. */
+  private def literalMask(s: String): Array[Boolean] = {
+    val mask = new Array[Boolean](s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        val end = math.min(
+          graft.operators.SqlFrontend.skipLiteral(s, i), s.length)
+        java.util.Arrays.fill(mask, i, end, true)
+        i = end
+      } else i += 1
+    }
+    mask
+  }
+
   /** Content of the parenthesized group opening at `open`. */
   private def balanced(s: String, open: Int): String = {
     require(open >= 0 && s.charAt(open) == '(', "expected (")
+    val mask = literalMask(s)
     var depth = 0
     var i = open
     while (i < s.length) {
-      s.charAt(i) match {
+      if (!mask(i)) s.charAt(i) match {
         case '(' => depth += 1
         case ')' =>
           depth -= 1
@@ -91,21 +112,35 @@ object MatchRecognizeSql {
     "PARTITION BY", "ORDER BY", "MEASURES", "ONE ROW PER MATCH",
     "ALL ROWS PER MATCH", "AFTER MATCH", "PATTERN", "DEFINE")
 
-  /** Locate top-level (paren-depth-0) section keywords in the body. */
+  /** Locate top-level (paren-depth-0, outside literals) section
+    * keywords in the body. */
   private def sectionSpans(body: String): Seq[(String, Int, Int)] = {
     val upper = body.toUpperCase
+    val mask = literalMask(body)
+    // paren depth at each position, literal-opaque
+    val depthAt = new Array[Int](body.length + 1)
+    var d = 0
+    var j = 0
+    while (j < body.length) {
+      depthAt(j) = d
+      if (!mask(j)) {
+        if (body.charAt(j) == '(') d += 1
+        else if (body.charAt(j) == ')') d -= 1
+      }
+      j += 1
+    }
+    depthAt(body.length) = d
     val found = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
     for (kw <- sections) {
       var from = 0
       var idx = upper.indexOf(kw, from)
       while (idx >= 0) {
-        val depth = body.substring(0, idx).count(_ == '(') -
-                    body.substring(0, idx).count(_ == ')')
         val beforeOk = idx == 0 || !upper.charAt(idx - 1).isLetterOrDigit
         val after = idx + kw.length
         val afterOk = after >= upper.length ||
           !(upper.charAt(after).isLetterOrDigit || upper.charAt(after) == '_')
-        if (depth == 0 && beforeOk && afterOk) found += ((idx, kw))
+        if (depthAt(idx) == 0 && !mask(idx) && beforeOk && afterOk)
+          found += ((idx, kw))
         from = idx + 1
         idx = upper.indexOf(kw, from)
       }
@@ -117,14 +152,15 @@ object MatchRecognizeSql {
     }
   }
 
-  /** Split on top-level commas. */
+  /** Split on top-level (outside-literal) commas. */
   private def splitTop(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mask = literalMask(s)
     var depth = 0
     var start = 0
     var i = 0
     while (i < s.length) {
-      s.charAt(i) match {
+      if (!mask(i)) s.charAt(i) match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
@@ -140,10 +176,12 @@ object MatchRecognizeSql {
     * fragment; other qualifiers (table aliases) are left alone. */
   private def scopeVars(sqlExpr: String, vars: Seq[String],
                         perRow: Boolean): String =
-    vars.foldLeft(sqlExpr) { (e, v) =>
-      val p = s"(?i)\\b$v\\.(\\w+)"
-      if (perRow) e.replaceAll(p, "$1") // DEFINE: current row's column
-      else e.replaceAll(p, s"(CASE WHEN mr_var = '$v' THEN $$1 END)")
+    graft.operators.SqlFrontend.rewriteOutsideLiterals(sqlExpr) { t =>
+      vars.foldLeft(t) { (e, v) =>
+        val p = s"(?i)\\b$v\\.(\\w+)"
+        if (perRow) e.replaceAll(p, "$1") // DEFINE: current row's column
+        else e.replaceAll(p, s"(CASE WHEN mr_var = '$v' THEN $$1 END)")
+      }
     }
 
   private val firstRe = "(?is)^FIRST\\s*\\(\\s*(\\w+)\\s*\\.\\s*(\\w+)\\s*\\)$".r
@@ -450,7 +488,12 @@ object MatchRecognizeSql {
         p.partitionBy.map(n => viewDf.schema(n)))
       val vars = p.rawDefs.map(_._1)
       val base = raw.select(
-        from_json(col("__mr_key"), partSchema).as("__pk"),
+        // TransportJsonOpts on BOTH codec sides: the packed key was
+        // written with the µs timestamp format (flagForNfa) — the
+        // default read format would ms-truncate timestamp partition
+        // columns in the OUTPUT even though the keys stayed distinct
+        from_json(col("__mr_key"), partSchema,
+          Changelog.TransportJsonOpts).as("__pk"),
         col("mr_match"),
         transform(col("__mr_rows"), b => Bridge.column(
           graft.plans.StructUnpack(Bridge.expression(b), packedSchema)))
@@ -496,19 +539,29 @@ object MatchRecognizeSql {
                               fields: Seq[String]): String = {
     val aggRe = java.util.regex.Pattern.compile(
       "(?i)\\b(SUM|MIN|MAX|AVG|COUNT)\\s*\\(")
+    val mask = literalMask(e)
     val m = aggRe.matcher(e)
-    if (!m.find()) throw new IllegalArgumentException(
+    // skip agg-keyword hits that start inside a string literal
+    def findOutsideLiteral(from: Int): Boolean = {
+      var at = from
+      while (m.find(at)) {
+        if (!mask(m.start())) return true
+        at = m.start() + 1
+      }
+      false
+    }
+    if (!findOutsideLiteral(0)) throw new IllegalArgumentException(
       s"unsupported streaming MEASURES item (expected FIRST/LAST/COUNT/" +
       s"CLASSIFIER navigation or SUM/MIN/MAX/AVG/COUNT aggregates): $e")
     val sb = new StringBuilder
     var pos = 0
     do {
       sb ++= e.substring(pos, m.start())
-      val arg = balanced(e, m.end() - 1)
+      val arg = balanced(e.substring(m.end() - 1), 0)
       val fn = m.group(1).toUpperCase
       sb ++= aggFold(fn, arg.trim, vars, fields)
       pos = m.end() - 1 + arg.length + 2 // past "(" + arg + ")"
-    } while (m.find(pos))
+    } while (findOutsideLiteral(pos))
     sb ++= e.substring(pos)
     sb.toString
   }
@@ -534,9 +587,13 @@ object MatchRecognizeSql {
       case "COUNT" => s"CAST(size($nn) AS BIGINT)"
       case "MIN" => s"array_min($vals)"
       case "MAX" => s"array_max($vals)"
-      case "AVG" => s"aggregate($nn, CAST(NULL AS DOUBLE), " +
-        "(a, x) -> coalesce(a, CAST(0 AS DOUBLE)) + CAST(x AS DOUBLE)) / " +
-        s"CAST(size($nn) AS BIGINT)"
+      // one (sum, count) fold — inlining $nn twice (sum / size) would
+      // evaluate the whole transform+filter pipeline per match twice
+      case "AVG" => s"aggregate($nn, " +
+        "named_struct('s', CAST(0 AS DOUBLE), 'c', CAST(0 AS BIGINT)), " +
+        "(a, x) -> named_struct('s', a.s + CAST(x AS DOUBLE), " +
+        "'c', a.c + CAST(1 AS BIGINT)), " +
+        "a -> IF(a.c = 0, CAST(NULL AS DOUBLE), a.s / a.c))"
     }
   }
 }

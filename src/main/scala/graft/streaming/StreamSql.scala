@@ -328,10 +328,7 @@ object StreamSql {
       s.charAt(i) match {
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
-        case '\'' =>
-          i += 1
-          while (i < s.length && s.charAt(i) != '\'') i += 1
-          i += 1
+        case '\'' => i = SqlFrontend.skipLiteral(s, i)
         case c if depth == 0 && Character.isWhitespace(c) &&
                   keywordAt(i + 1, "BETWEEN") =>
           pendingBetween += 1
@@ -409,6 +406,8 @@ object StreamSql {
     val jm = joinRe.matcher(text)
     val dm = distinctRe.matcher(text)
     val sdm = selDistinctRe.matcher(text)
+    val slm = sortLimitRe.matcher(text)
+    val mrm = MatchRecognizeSql.streamEntryRe.matcher(text)
     val tjm = StreamSqlTime.temporalRe.matcher(text)
     val ovm = StreamSqlTime.overRe.matcher(text)
     val gwm = StreamSqlTime.groupWinRe.matcher(text)
@@ -423,22 +422,14 @@ object StreamSql {
       Some(unionAll(spark, text, effTtl))
     else if (sdm.matches() && view(sdm.group(2)).isDefined)
       Some(selectDistinct(spark, sdm, effTtl))
-    else if ({ val slm = sortLimitRe.matcher(text)
-               slm.matches() && view(slm.group(2)).isDefined }) {
-      val slm = sortLimitRe.matcher(text); slm.matches()
+    else if (slm.matches() && view(slm.group(2)).isDefined)
       Some(sortLimit(spark, slm, effTtl))
-    }
     else if (tm.matches() && view(tm.group(6)).isDefined)
       Some(topn(spark, tm, effTtl))
     else if (em.matches() && view(em.group(2)).isDefined)
       Some(exists(spark, em, effTtl))
     // time-domain shapes over APPEND-ONLY stream views (registerStream)
-    else if ({
-      val mrm = MatchRecognizeSql.streamEntryRe.matcher(text)
-      mrm.find() && streamView(mrm.group(1)).isDefined
-    }) {
-      val mrm = MatchRecognizeSql.streamEntryRe.matcher(text)
-      mrm.find()
+    else if (mrm.find() && streamView(mrm.group(1)).isDefined) {
       val v = streamView(mrm.group(1)).get
       Some(MatchRecognizeSql.streamSql(spark, v.df, v.tsCol, v.delay, text))
     }
@@ -607,6 +598,18 @@ object StreamSql {
   private[streaming] def isIntegralKey(df: DataFrame, keyExpr: String): Boolean =
     isIntegralType(df.select(expr(keyExpr)).schema.head.dataType)
 
+  /** The rank family keys row identity as Long — a lossy rowId cast
+    * (double → truncation merges distinct rows, string → null dies deep
+    * in the state encoder) must fail loudly at routing time instead. */
+  private def requireIntegralRowId(df: DataFrame, rowIdCol: String,
+                                   route: String): Unit = {
+    val dt = df.schema(rowIdCol).dataType
+    require(isIntegralType(dt),
+      s"streaming $route rowId '$rowIdCol' must be an integral column " +
+      s"(got ${dt.simpleString}) — the rank state keys row identity as " +
+      "Long; derive an integral id column in the view")
+  }
+
   /** Cross-side key plan for the TWO-SIDED routes (EXISTS / JOIN): the
     * two key columns must share ONE canonical state-key form, or the
     * equality silently matches nothing (an integral "42" never equals
@@ -682,10 +685,7 @@ object StreamSql {
       s.charAt(i) match {
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
-        case '\'' =>
-          i += 1
-          while (i < s.length && s.charAt(i) != '\'') i += 1
-          i += 1
+        case '\'' => i = SqlFrontend.skipLiteral(s, i)
         case c if depth == 0 && Character.isWhitespace(c) &&
                   keywordAt(i + 1, "UNION") =>
           var j = i + 1 + 5
@@ -793,10 +793,7 @@ object StreamSql {
       s.charAt(i) match {
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
-        case '\'' =>
-          i += 1
-          while (i < s.length && s.charAt(i) != '\'') i += 1
-          i += 1
+        case '\'' => i = SqlFrontend.skipLiteral(s, i)
         case c if depth == 0 && Character.isWhitespace(c) &&
                   (keywordAt(i + 1, "INTERSECT") || keywordAt(i + 1, "EXCEPT") ||
                    keywordAt(i + 1, "MINUS")) =>
@@ -884,29 +881,41 @@ object StreamSql {
         "canonical images; CAST the item in the view or the statement")
     }
 
-    // encode each branch as (canonical row image hex, kind, packed row):
-    // the key IS the payload's canonical form, so the distinct operator's
-    // key-determines-payload contract holds by construction
     implicit val enc3: Encoder[(String, String, Changelog.Bin)] =
       ExpressionEncoder()
-    def encode(df: DataFrame): Dataset[(String, String, Changelog.Bin)] = {
-      val payload = df.columns.filterNot(_ == "__kind").toSeq
-      df.select(Changelog.packPayload(payload).as("__p"),
-                col("__kind").cast("string").as("__k"))
-        .select(hex(col("__p.bytes")).as("_1"), col("__k").as("_2"),
-                col("__p").as("_3"))
-        .as[(String, String, Changelog.Bin)]
-    }
-    val lDistinct = Changelog.distinctChangelog(encode(ldf), ttl)
+    val lDistinct = Changelog.distinctChangelog(encodeRowKeyed(ldf), ttl)
       .map(e => (e.key, e.kind, e.left))
-    val rEnc = encode(rdf)
+    val rEnc = encodeRowKeyed(rdf)
     val joined =
       (if (anti) Changelog.joinChangelogAnti(lDistinct, rEnc, ttl = ttl)
        else Changelog.joinChangelogSemi(lDistinct, rEnc, ttl = ttl)).toDF()
+    decodeRowKeyed(joined, ldf)
+  }
 
-    val outCols = ldf.columns.filterNot(_ == "__kind").toSeq
-    val schema = ldf.select(outCols.map(col): _*).schema
-    joined
+  /** Encode a projected changelog branch (payload columns + `__kind`)
+    * as (canonical row-image hex, kind, packed payload) — the key IS
+    * the payload's canonical form, so the whole-row-keyed operators'
+    * key-determines-payload contract holds by construction. Shared by
+    * the set-op and SELECT DISTINCT routes. */
+  private def encodeRowKeyed(df: DataFrame)(
+      implicit e: Encoder[(String, String, Changelog.Bin)])
+      : Dataset[(String, String, Changelog.Bin)] = {
+    val payload = df.columns.filterNot(_ == "__kind").toSeq
+    df.select(Changelog.packPayload(payload).as("__p"),
+              col("__kind").cast("string").as("__k"))
+      .select(hex(col("__p.bytes")).as("_1"), col("__k").as("_2"),
+              col("__p").as("_3"))
+      .as[(String, String, Changelog.Bin)]
+  }
+
+  /** Inverse of [[encodeRowKeyed]] for an operator output carrying
+    * (`left` packed payload, `kind`, `ord`): unpack back to the
+    * projected columns + row_kind/row_ord, named from the branch
+    * DataFrame the payload was packed from. */
+  private def decodeRowKeyed(opOut: DataFrame, branch: DataFrame): DataFrame = {
+    val outCols = branch.columns.filterNot(_ == "__kind").toSeq
+    val schema = branch.select(outCols.map(col): _*).schema
+    opOut
       .select(Changelog.unpackPayload(col("left.bytes"), schema).as("__p"),
               col("kind").as("row_kind"), col("ord").as("row_ord"))
       .select(outCols.map(c => col(s"__p.`$c`")) :+
@@ -949,19 +958,8 @@ object StreamSql {
     val pdf = f.selectExpr(items :+ s"${v.kindCol} AS __kind": _*)
     implicit val enc3: Encoder[(String, String, Changelog.Bin)] =
       ExpressionEncoder()
-    val payloadCols = pdf.columns.filterNot(_ == "__kind").toSeq
-    val encoded = pdf
-      .select(Changelog.packPayload(payloadCols).as("__p"),
-              col("__kind").cast("string").as("__k"))
-      .select(hex(col("__p.bytes")).as("_1"), col("__k").as("_2"),
-              col("__p").as("_3"))
-      .as[(String, String, Changelog.Bin)]
-    val schema = pdf.select(payloadCols.map(col): _*).schema
-    Changelog.distinctChangelog(encoded, ttl).toDF()
-      .select(Changelog.unpackPayload(col("left.bytes"), schema).as("__p"),
-              col("kind").as("row_kind"), col("ord").as("row_ord"))
-      .select(payloadCols.map(c => col(s"__p.`$c`")) :+
-              col("row_kind") :+ col("row_ord"): _*)
+    decodeRowKeyed(
+      Changelog.distinctChangelog(encodeRowKeyed(pdf), ttl).toDF(), pdf)
   }
 
   /**
@@ -999,6 +997,7 @@ object StreamSql {
       s"streaming ORDER BY … LIMIT over '$vName' needs its upsert key: " +
       "registerChangelog(..., rowId = Some(col)) — the reference's " +
       "SortLimit similarly requires the input's unique key"))
+    requireIntegralRowId(v.df, rowIdCol, "ORDER BY … LIMIT")
     val f = whereCl match {
       case null | "" => v.df
       case w => Changelog.filterChangelog(v.df, rowIdCol, v.kindCol,
@@ -1289,6 +1288,7 @@ object StreamSql {
       s"streaming Top-N over '$vName' needs its upsert key: " +
       "registerChangelog(..., rowId = Some(col)) — the reference's rank " +
       "operator similarly requires the input's unique key"))
+    requireIntegralRowId(v.df, rowIdCol, "Top-N")
 
     // ORDER BY <s> [ASC|DESC] [, <rowId> [ASC]] — the optional explicit
     // tiebreak must BE the rowId ascending (the operator's fixed

@@ -971,6 +971,46 @@ class StreamSqlSpec extends AnyFunSuite {
     StreamSql.dropChangelog(lv)
   }
 
+  test("rank-family rowId must be integral — lossy casts reject loudly") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("lv")
+    val lmem = MemoryStream[CRow]
+    // a DOUBLE rowId would truncate (1.2 and 1.7 merge to one row), a
+    // STRING rowId would die as null deep in the state encoder
+    StreamSql.registerChangelog(lv,
+      lmem.toDS().toDF().withColumn("did", $"value" + 0.2),
+      kindCol = "kind", rowId = Some("did"))
+    val e1 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"SELECT did, value FROM $lv ORDER BY value DESC, did LIMIT 2")
+    }
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT key, value FROM (
+              SELECT key, value, ROW_NUMBER() OVER (PARTITION BY key
+                ORDER BY value DESC, did) AS rn
+              FROM $lv) t WHERE rn <= 2""")
+    }
+    assert(e2.getMessage.contains("integral"))
+    StreamSql.dropChangelog(lv)
+  }
+
+  test("set-op keyword inside a backslash-escaped literal does not split the statement") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("lv")
+    val lmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind")
+    // Spark's parser accepts \' escapes inside literals; the set-op
+    // splitter must not resume code scanning mid-literal and split at
+    // the EXCEPT, which would throw 'unparseable EXCEPT branch'
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT key AS g, SUM(value) AS sv FROM $lv
+          WHERE kind <> 'don\\'t EXCEPT me' GROUP BY key""")
+    assert(out.columns.contains("sv"))
+    StreamSql.dropChangelog(lv)
+  }
+
   test("set-op guardrails: ALL rejected, 3+ branches rejected, type mismatch rejected") {
     implicit val sc = spark.sqlContext
     val lv = fresh("lv"); val rv = fresh("rv")

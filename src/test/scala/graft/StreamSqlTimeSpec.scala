@@ -791,4 +791,80 @@ class StreamSqlTimeSpec extends AnyFunSuite {
       (1L, 1L, "A", 0L, 1L), (1L, 1L, "B", 1L, 2L), (1L, 1L, "B", 2L, 3L),
       (1L, 2L, "A", 0L, 4L), (1L, 2L, "B", 1L, 5L)), s"got $got")
   }
+
+  test("stream MR MEASURES are string-literal-opaque; AVG folds once") {
+    // the CASE literal ')' must not derail the aggregate-argument scan,
+    // and AVG(B.v) uses the single (sum, count) fold
+    val got = runMrSql(mrCommon.format("""
+        MEASURES CAST(SUM(CASE WHEN tp = ')' THEN 0.0 ELSE v END) AS DOUBLE) AS tot,
+                 CAST(AVG(B.v) AS DOUBLE) AS avg_b
+        ONE ROW PER MATCH"""))
+      .select("k", "mr_match", "tot", "avg_b")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got == Set((1L, 1L, 13.0, 1.5), (1L, 2L, 23.0, 3.0)), s"got $got")
+  }
+
+  test("stream MR rejects lossy tiebreaks and 3+ ORDER BY columns loudly") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double, Long)]
+    val df = mem.toDS()
+      .select($"_1".as("k"), $"_2".as("id"), $"_3".as("tp"), $"_4".as("v"),
+              timestamp_millis($"_5" + base).as("ets"))
+    val vn = fresh("mrrej")
+    StreamSql.registerStream(vn, df, tsCol = "ets", delay = "1 second")
+    def mr(order: String) = s"""SELECT * FROM $vn MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY $order ONE ROW PER MATCH
+        MEASURES COUNT(B.*) AS nb
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B+) WITHIN INTERVAL '1' MINUTE
+        DEFINE A AS tp = 'p', B AS tp = 'c')"""
+    // a STRING tiebreak silently cast to 0 was the old behavior — reject
+    val e1 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark, mr("ets, tp"))
+    }
+    assert(e1.getMessage.contains("tiebreak"))
+    // a silently-dropped third order column is the same bug in disguise
+    val e2 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark, mr("ets, id, v"))
+    }
+    assert(e2.getMessage.contains("one tiebreak"))
+    StreamSql.dropStream(vn)
+  }
+
+  test("stream MR timestamp partition keys keep µs precision end-to-end") {
+    // two partitions whose timestamp keys differ only in MICROSECONDS:
+    // the ms-truncating default JSON format would collapse them into
+    // one NFA key (wrong matches) and truncate the output value
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double, Long)]
+    val df = mem.toDS()
+      .select(timestamp_micros($"_1").as("pk"), $"_2".as("id"),
+              $"_3".as("tp"), $"_4".as("v"),
+              timestamp_millis($"_5" + base).as("ets"))
+    val vn = fresh("mrus")
+    StreamSql.registerStream(vn, df, tsCol = "ets", delay = "1 second")
+    val out = SqlFrontend.sql(spark, s"""SELECT * FROM $vn MATCH_RECOGNIZE (
+        PARTITION BY pk ORDER BY ets, id
+        MEASURES FIRST(A.id) AS a_id, COUNT(B.*) AS nb
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B) WITHIN INTERVAL '1' MINUTE
+        DEFINE A AS tp = 'p', B AS tp = 'c')""")
+    val sink = fresh("mrus_sink")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    val us1 = 1700000000000001L; val us2 = 1700000000000002L
+    try {
+      mem.addData((us1, 1L, "p", 1.0, 1000L), (us2, 2L, "p", 1.0, 1500L),
+                  (us1, 3L, "c", 1.0, 2000L), (us2, 4L, "c", 1.0, 2500L))
+      q.processAllAvailable()
+      mem.addData((us1, 90L, "x", 0.0, 10000000L)); q.processAllAvailable()
+      mem.addData((us1, 91L, "x", 0.0, 20000000L)); q.processAllAvailable()
+    } finally q.stop()
+    StreamSql.dropStream(vn)
+    val got = spark.table(sink)
+      .select(unix_micros($"pk"), $"a_id", $"nb")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((us1, 1L, 1L), (us2, 2L, 1L)), s"got $got")
+  }
 }
