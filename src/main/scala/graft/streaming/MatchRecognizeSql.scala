@@ -311,7 +311,16 @@ object MatchRecognizeSql {
       n -> expr(nav(scopeVars(p, vars, perRow = true)))
     }
 
-    val rawMeasures = if (allRows) Seq.empty[(String, String)] else {
+    val rawMeasures = if (allRows) {
+      // fail-loud: silently returning the annotated rows WITHOUT the
+      // requested measure columns would be a wrong answer, not a mode
+      require(section("MEASURES").isEmpty,
+        "ALL ROWS PER MATCH does not evaluate MEASURES here — the " +
+        "annotated output carries the original columns + " +
+        "mr_match/mr_var/mr_seq (derive per-row measures from those " +
+        "downstream, or use ONE ROW PER MATCH)")
+      Seq.empty[(String, String)]
+    } else {
       val measuresSec = section("MEASURES").getOrElse(
         throw new IllegalArgumentException("ONE ROW PER MATCH needs MEASURES"))
       val asRe = "(?is)^(.+?)\\s+AS\\s+(\\w+)$".r

@@ -20,6 +20,23 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     o
   }
 
+  test("ALL ROWS PER MATCH with MEASURES rejects loudly (silently dropped before)") {
+    orders
+    val e = intercept[IllegalArgumentException] {
+      MatchRecognizeSql.sql(spark, """
+        SELECT * FROM orders_v MATCH_RECOGNIZE (
+          PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey
+          MEASURES COUNT(B.*) AS nb
+          ALL ROWS PER MATCH
+          PATTERN (A B+)
+          DEFINE A AS A.o_totalprice > 100000,
+                 B AS B.o_totalprice <= 100000
+        )""")
+    }
+    assert(e.getMessage.contains("MEASURES"))
+  }
+
   test("SQL ALL ROWS PER MATCH equals annotate API (q84 shape)") {
     orders
     val got = MatchRecognizeSql.sql(spark, """
