@@ -2352,6 +2352,36 @@ object ReplayQueries {
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("cents").desc, col("user_id"))).cast("int"))
         .select(col("user_id"), col("rnk"), col("cents"))
+    }),
+
+    // SELECT DISTINCT over an APPEND stream view — running distinct on
+    // an insert-only input (the reference's group aggregate without
+    // aggregate calls over an append table; result insert-only). Each
+    // distinct (event_type, value-bucket) pair emits exactly once, on
+    // its first occurrence mid-replay; WHERE is a stateless pre-filter.
+    "q349_stream_sql_append_distinct" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_type"), col("value"), col("ts"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+        StreamSql.registerStream("q349_v", src, tsCol = "ts",
+          delay = "1 second")
+        try {
+          val d = graft.operators.SqlFrontend.sql(s,
+            """SELECT DISTINCT event_type,
+                      CAST(floor(value * 10) AS BIGINT) % 7 AS b
+               FROM q349_v WHERE value >= 0""")
+          val q = d.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropStream("q349_v")
+      }
+      // insert-only by construction: every row is a first occurrence
+      s.read.parquet(out).select(col("event_type"), col("b"))
     })
   )
 
@@ -3437,6 +3467,12 @@ object ReplayQueries {
              CAST(row_number() OVER (ORDER BY cents DESC, user_id) AS INT)
                AS rnk,
              cents
-      FROM p ORDER BY cents DESC, user_id LIMIT 5"""
+      FROM p ORDER BY cents DESC, user_id LIMIT 5""",
+
+    // the append stream's running-distinct set equals plain DISTINCT
+    "q349_stream_sql_append_distinct" -> """
+      SELECT DISTINCT event_type,
+             CAST(floor(value * 10) AS BIGINT) % 7 AS b
+      FROM events WHERE value >= 0"""
   )
 }

@@ -145,7 +145,10 @@ import graft.operators.SqlFrontend
  *    canonical UnsafeRow image: +I on a value's 0→1 live-instance
  *    transition, -D on 1→0 (deleting one of two equal rows emits
  *    nothing). WHERE is the changelog-MODE filter (needs the view's
- *    rowId); emits `row_kind` and `row_ord`.
+ *    rowId); emits `row_kind` and `row_ord`. The same statement over a
+ *    [[registerStream]] APPEND view is running distinct on an
+ *    insert-only input (first occurrence emits +I, duplicates silent,
+ *    nothing retracts; WHERE is a plain stateless pre-filter).
  *  - `SELECT <items> FROM V [AS a] [WHERE p]
  *     ORDER BY <s> [ASC|DESC] [, <rowId>] LIMIT <n>`
  *    → the reference's StreamExecSortLimit: a GLOBAL updating Top-N
@@ -422,6 +425,8 @@ object StreamSql {
       Some(unionAll(spark, text, effTtl))
     else if (sdm.matches() && view(sdm.group(2)).isDefined)
       Some(selectDistinct(spark, sdm, effTtl))
+    else if (sdm.matches() && streamView(sdm.group(2)).isDefined)
+      Some(selectDistinctAppend(spark, sdm, effTtl))
     else if (slm.matches() && view(slm.group(2)).isDefined)
       Some(sortLimit(spark, slm, effTtl))
     else if (tm.matches() && view(tm.group(6)).isDefined)
@@ -494,7 +499,7 @@ object StreamSql {
       if (hitStream.nonEmpty) throw new IllegalArgumentException(
         s"statement references registered stream view(s) " +
         s"${hitStream.mkString(", ")} but matches no supported " +
-        "time-domain streaming-SQL shape (GROUP BY TUMBLE/HOP/SESSION " +
+        "streaming-SQL shape (SELECT DISTINCT / GROUP BY TUMBLE/HOP/SESSION " +
         "(ts, INTERVAL …) with *_START/_END accessors / AGG(v) OVER " +
         "(PARTITION BY g ORDER BY ts [frame]) / A JOIN B ON a.k = b.k " +
         "AND <ts bound> (interval join) / A JOIN B FOR SYSTEM_TIME AS " +
@@ -956,6 +961,43 @@ object StreamSql {
     require(items != Seq("*"), "streaming SELECT DISTINCT needs explicit " +
       "projection items (the distinct key is the projected row)")
     val pdf = f.selectExpr(items :+ s"${v.kindCol} AS __kind": _*)
+    implicit val enc3: Encoder[(String, String, Changelog.Bin)] =
+      ExpressionEncoder()
+    decodeRowKeyed(
+      Changelog.distinctChangelog(encodeRowKeyed(pdf), ttl).toDF(), pdf)
+  }
+
+  /**
+   * `SELECT DISTINCT <items> FROM <stream view> [WHERE p]` over an
+   * APPEND-ONLY [[registerStream]] view — running distinct on an
+   * insert-only input, the reference's group aggregate without
+   * aggregate calls over an append table (its changelog-mode inference
+   * marks the result insert-only: values only ever ENTER the distinct
+   * set). Same machinery as the changelog route with every row an
+   * insert — the first occurrence of a projected row value emits +I,
+   * duplicates are silent, and nothing ever retracts (`row_kind` is
+   * constant +I, kept for sink-shape uniformity). WHERE is a plain
+   * stateless pre-filter (no row identity needed on an append input).
+   * State per key is O(1) (a count) keyed by the value's canonical
+   * image — bounded by DISTINCT live values, not stream length; `ttl`
+   * (or `spark.graft.state.ttl.ms`) bounds idle values, the
+   * reference's state-retention knob for exactly this operator.
+   */
+  private def selectDistinctAppend(spark: SparkSession,
+                                   m: java.util.regex.Matcher,
+                                   ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
+    val (sel, name, alias, whereCl) =
+      (m.group(1), m.group(2), Option(m.group(3)), Option(m.group(4)))
+    val v = streamView(name).get
+    val qualifiers = Seq(alias.orNull, name)
+    val f = whereCl match {
+      case None => v.df
+      case Some(w) => v.df.filter(expr(strip(w, qualifiers)))
+    }
+    val items = SqlFrontend.splitTop(sel).map(strip(_, qualifiers))
+    require(items != Seq("*"), "streaming SELECT DISTINCT needs explicit " +
+      "projection items (the distinct key is the projected row)")
+    val pdf = f.selectExpr(items: _*).withColumn("__kind", lit(Changelog.Insert))
     implicit val enc3: Encoder[(String, String, Changelog.Bin)] =
       ExpressionEncoder()
     decodeRowKeyed(

@@ -569,6 +569,35 @@ class StreamSqlTimeSpec extends AnyFunSuite {
     assert(fin == Set(("a", 5000L, 7.0), ("b", 10000L, 5.0)))
   }
 
+  test("SELECT DISTINCT over an append stream view: first occurrence only, insert-only") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Double, Long)]
+    val df = mem.toDS().select($"_1".as("k"), $"_2".as("v"),
+      timestamp_millis($"_3" + base).as("ets"))
+    val vn = fresh("adv")
+    StreamSql.registerStream(vn, df, tsCol = "ets", delay = "1 second")
+    val out = SqlFrontend.sql(spark,
+      s"SELECT DISTINCT k, v FROM $vn WHERE v > 0")
+    assert(out.columns.toSeq == Seq("k", "v", "row_kind", "row_ord"))
+    val sink = fresh("ad_sink")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(("a", 1.0, 1000L), ("a", 1.0, 2000L), ("b", -5.0, 2500L))
+      q.processAllAvailable()
+      mem.addData(("a", 1.0, 3000L), ("a", 2.0, 4000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink)
+      .select($"k", $"v", $"row_kind")
+      .as[(String, Double, String)].collect().toList
+    // duplicates silent (same batch AND across batches), filter drops
+    // b, nothing ever retracts
+    assert(got.toSet == Set(("a", 1.0, "+I"), ("a", 2.0, "+I")) &&
+           got.size == 2, s"got $got")
+    StreamSql.dropStream(vn)
+  }
+
   test("group-window route fails loudly on malformed shapes") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, Double, Long)]
@@ -696,7 +725,7 @@ class StreamSqlTimeSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException] {
       SqlFrontend.sql(spark, s"SELECT k FROM $sv WHERE v > 5")
     }
-    assert(e1.getMessage.contains("time-domain"))
+    assert(e1.getMessage.contains("no supported streaming-SQL shape"))
     // interval join without a ts bound: unbounded state — refused
     val sv2 = fresh("fl2")
     val df2 = mem.toDS().select($"_1".as("k2"), $"_2".as("id2"),
