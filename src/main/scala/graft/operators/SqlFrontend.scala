@@ -131,26 +131,34 @@ object SqlFrontend {
   }
 
   /** Index just past the string literal opening at `open`
-    * (`s(open) == '\''`). Honors BOTH escape conventions Spark's
-    * parser accepts: SQL-standard `''` doubling and backslash escapes
-    * (`\'`, live under the default
-    * `spark.sql.parser.escapedStringLiterals=false`) — a literal like
-    * `'don\'t EXCEPT'` must not leak its tail into code scanning.
-    * Shared by every literal-opaque text scanner (this rewriter,
-    * [[graft.streaming.StreamSql]]'s splitters, MatchRecognizeSql's
-    * section parser). */
+    * (`s(open) == '\''`). Honors the SESSION's escape convention, the
+    * same way Spark's own lexer does: under the default
+    * `spark.sql.parser.escapedStringLiterals=false` both SQL-standard
+    * `''` doubling and backslash escapes (`\'`) terminate nothing — a
+    * literal like `'don\'t EXCEPT'` must not leak its tail into code
+    * scanning; with the conf set true, backslash is an ordinary
+    * character (`'C:\'` ends at the quote) and only `''` doubling
+    * escapes. The return value is clamped to `s.length` so an
+    * unterminated literal ending in `\` can never send a caller past
+    * the string (substring would throw instead of reporting a clean
+    * parse error). Shared by every literal-opaque text scanner (this
+    * rewriter, [[graft.streaming.StreamSql]]'s splitters,
+    * MatchRecognizeSql's section parser). */
   private[graft] def skipLiteral(s: String, open: Int): Int = {
+    val backslashEscapes =
+      try !org.apache.spark.sql.internal.SQLConf.get.escapedStringLiterals
+      catch { case _: Throwable => true } // no active conf: Spark default
     var i = open + 1
     while (i < s.length) {
       s.charAt(i) match {
-        case '\\' => i += 2
+        case '\\' if backslashEscapes => i += 2
         case '\'' =>
           if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
           else return i + 1
         case _ => i += 1
       }
     }
-    i
+    math.min(i, s.length)
   }
 
   /** Strip `alias.` qualifiers so expressions run on the operators'

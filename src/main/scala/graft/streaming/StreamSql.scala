@@ -371,6 +371,33 @@ object StreamSql {
     else (item.trim, item.trim)
   }
 
+  /** Reject a WHERE clause carrying a subquery / EXISTS before it
+    * reaches `expr` — selDistinctRe's WHERE group swallows arbitrary
+    * trailing predicates, so `SELECT DISTINCT … WHERE EXISTS (SELECT …)`
+    * would otherwise die deep in filterChangelog with a confusing
+    * analysis (or rowId-required) error instead of the standard
+    * unsupported-shape message. Literal-opaque: 'EXISTS' inside a
+    * string constant does not trip the guard. */
+  private def requireNoSubquery(w: String, route: String): Unit = {
+    // blank out literal regions, then scan the remaining code text
+    val masked = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < w.length) {
+        if (w.charAt(i) == '\'') {
+          val end = math.min(SqlFrontend.skipLiteral(w, i), w.length)
+          sb ++= " " * (end - i); i = end
+        } else { sb += w.charAt(i); i += 1 }
+      }
+      sb.toString
+    }
+    require(!masked.matches("(?is).*\\b(EXISTS\\s*\\(|SELECT)\\b.*"),
+      s"streaming $route WHERE cannot carry a subquery/EXISTS — the " +
+      "filter is a scalar predicate over the view's columns; route the " +
+      "existence test through the WHERE [NOT] EXISTS statement shape " +
+      s"(or the Changelog joinChangelogSemi/Anti Scala API): $w")
+  }
+
   /** `WHERE <pred>` on an updating view, applied BEFORE the aggregate:
     * a deterministic predicate over the payload is changelog-preserving
     * on a retract stream (-U carries the OLD row, so a value crossing
@@ -378,7 +405,10 @@ object StreamSql {
     * reference's Calc on updating input). */
   private def whereFilter(df: DataFrame, whereCl: String,
                           quals: Seq[String]): DataFrame =
-    Option(whereCl).map(w => df.filter(expr(strip(w, quals)))).getOrElse(df)
+    Option(whereCl).map { w =>
+      requireNoSubquery(w, "aggregate")
+      df.filter(expr(strip(w, quals)))
+    }.getOrElse(df)
 
   /** `HAVING <pred>` over the aggregate's OUTPUT aliases — a changelog
     * filter on the updating result ([[Changelog.filterChangelog]]):
@@ -946,6 +976,7 @@ object StreamSql {
       (m.group(1), m.group(2), Option(m.group(3)), Option(m.group(4)))
     val v = view(name).get
     val qualifiers = Seq(alias.orNull, name)
+    whereCl.foreach(requireNoSubquery(_, "SELECT DISTINCT"))
     val f = whereCl match {
       case None => v.df
       case Some(w) =>
@@ -990,6 +1021,7 @@ object StreamSql {
       (m.group(1), m.group(2), Option(m.group(3)), Option(m.group(4)))
     val v = streamView(name).get
     val qualifiers = Seq(alias.orNull, name)
+    whereCl.foreach(requireNoSubquery(_, "SELECT DISTINCT"))
     val f = whereCl match {
       case None => v.df
       case Some(w) => v.df.filter(expr(strip(w, qualifiers)))
@@ -1026,6 +1058,14 @@ object StreamSql {
    * partition first (the partitioned ROW_NUMBER route), then LIMIT the
    * union — the same two-level pattern the reference plans for global
    * rank.
+   *
+   * Numeric note (shared with the partitioned Top-N route): the ORDER
+   * BY expression is coerced to DOUBLE for the rank state, so the
+   * emitted order column is DOUBLE and integral order values beyond
+   * 2^53 lose precision (distinct BIGINTs could merge in the state) —
+   * pre-scale or hash such values into ≤ 2^53 in the view. The ASC
+   * path negates scores into state and restores them as `0.0 − s` on
+   * exit, so a zero order value emits as +0.0, never -0.0.
    */
   private def sortLimit(spark: SparkSession, m: java.util.regex.Matcher,
                         ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
@@ -1042,8 +1082,10 @@ object StreamSql {
     requireIntegralRowId(v.df, rowIdCol, "ORDER BY … LIMIT")
     val f = whereCl match {
       case null | "" => v.df
-      case w => Changelog.filterChangelog(v.df, rowIdCol, v.kindCol,
-        expr(strip(w, quals)), ttl = ttl)
+      case w =>
+        requireNoSubquery(w, "ORDER BY … LIMIT")
+        Changelog.filterChangelog(v.df, rowIdCol, v.kindCol,
+          expr(strip(w, quals)), ttl = ttl)
     }
     val ordParts = SqlFrontend.splitTop(orderBy)
     val dirRe = java.util.regex.Pattern
@@ -1076,7 +1118,9 @@ object StreamSql {
       norm(e) match {
         case `nid` => col("rowId").as(alias)
         case `ns` =>
-          (if (desc) col("score") else -col("score")).as(alias)
+          // 0.0 - s, not -s: IEEE negation of +0.0 is -0.0, which would
+          // surface a spurious negative zero on ASC zero-valued orders
+          (if (desc) col("score") else lit(0.0) - col("score")).as(alias)
         case _ => throw new IllegalArgumentException(
           "SortLimit projection may reference only the order expression " +
           s"and the rowId (the rank state's columns): $item")
@@ -1382,7 +1426,8 @@ object StreamSql {
         case `ng` => col("key").as(alias)
         case `nid` => col("rowId").as(alias)
         case `ns` =>
-          (if (desc) col("score") else -col("score")).as(alias)
+          // 0.0 - s, not -s (see sortLimit: avoids -0.0 on ASC zeros)
+          (if (desc) col("score") else lit(0.0) - col("score")).as(alias)
         case _ => throw new IllegalArgumentException(
           s"Top-N inner projection may reference only the partition key, " +
           s"the order expression and the rowId (the rank state's columns): $item")

@@ -151,4 +151,26 @@ class SqlFrontendSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == exp && got.nonEmpty)
   }
+
+  test("skipLiteral clamps an unterminated literal ending in backslash") {
+    // 'ab\  — the backslash "escapes" past the end; the scanner must
+    // return s.length, not length+1 (substring would throw otherwise)
+    val s = "'ab\\"
+    assert(SqlFrontend.skipLiteral(s, 0) == s.length)
+    // the shared rewriter stays total on the same malformed input
+    assert(SqlFrontend.strip(s"x = $s", Seq("q")) == s"x = $s")
+  }
+
+  test("skipLiteral honors spark.sql.parser.escapedStringLiterals") {
+    val key = "spark.sql.parser.escapedStringLiterals"
+    val prev = spark.conf.get(key)
+    val s = "'C:\\' AND x = 1"
+    try {
+      spark.conf.set(key, "false") // default: \' is an escaped quote
+      // the literal never terminates → scanner consumes to end (clamped)
+      assert(SqlFrontend.skipLiteral(s, 0) == s.length)
+      spark.conf.set(key, "true") // backslash is an ordinary character
+      assert(SqlFrontend.skipLiteral(s, 0) == 5) // past 'C:\'
+    } finally spark.conf.set(key, prev)
+  }
 }

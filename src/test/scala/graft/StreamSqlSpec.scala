@@ -1056,4 +1056,41 @@ class StreamSqlSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("k", "row_kind", "row_ord"))
     StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
   }
+
+  test("subqueries in a route's WHERE reject with the standard message") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("sqw"); val rv = fresh("sqx")
+    val lmem = MemoryStream[CRow]; val rmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind",
+      rowId = Some("ord"))
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    // SELECT DISTINCT … WHERE EXISTS(subquery) would otherwise route
+    // into filterChangelog and die with a confusing analysis error
+    val e1 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT DISTINCT key FROM $lv
+            WHERE EXISTS (SELECT 1 FROM $rv WHERE $rv.key = $lv.key)""")
+    }
+    assert(e1.getMessage.contains("subquery"))
+    // same guard on the GROUP BY aggregates' WHERE
+    val e2 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT key, SUM(value) AS s FROM $lv
+            WHERE key IN (SELECT key FROM $rv) GROUP BY key""")
+    }
+    assert(e2.getMessage.contains("subquery"))
+    // …and on ORDER BY … LIMIT
+    val e3 = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT ord, value FROM $lv
+            WHERE EXISTS (SELECT 1 FROM $rv)
+            ORDER BY value DESC LIMIT 3""")
+    }
+    assert(e3.getMessage.contains("subquery"))
+    // literal-opaque: the keyword inside a string constant is data
+    val ok = SqlFrontend.sql(spark,
+      s"SELECT DISTINCT key FROM $lv WHERE value > 0 AND 'EXISTS (' = 'EXISTS ('")
+    assert(ok.columns.contains("row_kind"))
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+  }
 }
