@@ -2382,6 +2382,54 @@ object ReplayQueries {
       }
       // insert-only by construction: every row is a first occurrence
       s.read.parquet(out).select(col("event_type"), col("b"))
+    }),
+
+    // The SQL DDL front door END-TO-END (the reference's executeSql
+    // surface — SqlToOperationConverter statement dispatch +
+    // parserImpls.ftl WATERMARK grammar): the ENTIRE pipeline enters as
+    // SQL text. CREATE TABLE over the staged replay directory with a
+    // WATERMARK clause (→ the monitoring file source registered as a
+    // stream view under the covers), CREATE TABLE for the filesystem
+    // sink, INSERT INTO with a streaming group-window statement whose
+    // result lands in the sink exactly-once per micro-batch. Day-tumble
+    // cents per event_type; sentinel staging finalizes the trailing
+    // windows (the q346 harness).
+    "q350_sql_ddl_pipeline" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
+      val sentinel = s.range(1)
+        .select(lit("zz_sentinel").as("event_type"),
+                lit(sentTs).cast("timestamp").as("ts"), lit(0.0).as("value"))
+      val (in, out, ck) = stageOrdered(ev, "ts", 2, sentinel)
+      withStatePartitions(s, 8) {
+        import graft.operators.SqlDdl
+        try {
+          SqlDdl.executeAll(s, s"""
+            CREATE TABLE q350_src (event_type STRING, ts TIMESTAMP,
+              value DOUBLE,
+              WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)
+            WITH ('connector' = 'filesystem', 'path' = '$in',
+                  'format' = 'parquet', 'source.max-files-per-trigger' = '1');
+            CREATE TABLE q350_sink (event_type STRING, ws TIMESTAMP,
+                                    cents BIGINT, n BIGINT)
+            WITH ('connector' = 'filesystem', 'path' = '$out',
+                  'format' = 'parquet', 'sink.checkpoint' = '$ck')""")
+          SqlDdl.executeSql(s, """
+            INSERT INTO q350_sink
+            SELECT event_type, TUMBLE_START(ts, INTERVAL '1' DAY) AS ws,
+                   SUM(floor(value * 100)) AS cents, COUNT(*) AS n
+            FROM q350_src GROUP BY TUMBLE(ts, INTERVAL '1' DAY), event_type""")
+            .await()
+        } finally {
+          SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q350_src")
+          SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q350_sink")
+        }
+      }
+      s.read.parquet(out).filter(col("event_type") =!= "zz_sentinel")
+        .select(col("event_type"), unix_micros(col("ws")).as("w_us"),
+                col("cents"), col("n"))
     })
   )
 
@@ -3473,6 +3521,14 @@ object ReplayQueries {
     "q349_stream_sql_append_distinct" -> """
       SELECT DISTINCT event_type,
              CAST(floor(value * 10) AS BIGINT) % 7 AS b
-      FROM events WHERE value >= 0"""
+      FROM events WHERE value >= 0""",
+
+    // the all-text DDL pipeline equals the batch day-window aggregate
+    "q350_sql_ddl_pipeline" -> """
+      SELECT event_type,
+             epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS w_us,
+             CAST(sum(floor(value * 100)) AS BIGINT) AS cents,
+             count(*) AS n
+      FROM events GROUP BY 1, 2"""
   )
 }

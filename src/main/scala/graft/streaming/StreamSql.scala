@@ -305,6 +305,28 @@ object StreamSql {
   private[streaming] def norm(e: String): String =
     e.replaceAll("\\s+", "").toLowerCase
 
+  /** The OUTPUT alias of a single-key GROUP BY statement's key item, if
+    * the text is one of the GROUP BY-family shapes — the key is the
+    * aggregate's upsert key (one row per key value), the narrow slice
+    * of the reference's unique-key inference (FlinkRelMdUniqueKeys)
+    * [[graft.operators.SqlDdl]] uses to register CREATE VIEW results
+    * with a usable rowId. None for GROUP BY 1 / multi-key / non-GROUP
+    * shapes (register the view by hand for those). */
+  private[graft] def groupKeyAlias(text: String): Option[String] = {
+    val m = distinctRe.matcher(text)
+    if (!m.matches()) None
+    else {
+      val quals = Seq(m.group(3), m.group(2))
+      val gb = strip(m.group(5), quals).trim
+      if (gb == "1" || SqlFrontend.splitTop(gb).length != 1) None
+      else SqlFrontend.splitTop(m.group(1)).map(strip(_, quals))
+        .flatMap { item =>
+          val (e, a) = itemAlias(item)
+          if (norm(e) == norm(gb)) Some(a) else None
+        }.headOption
+    }
+  }
+
   /** Split a predicate on top-level ANDs (parenthesis-depth aware,
     * string-literal opaque, any whitespace around AND — newline/tab
     * delimited conjuncts split too; case matched in place with

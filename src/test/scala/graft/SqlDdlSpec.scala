@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{SqlDdl, SqlFrontend}
+import graft.streaming.StreamSql
+
+/**
+ * The SQL DDL front door (SqlDdl): CREATE TABLE (bounded + WATERMARK
+ * streaming), computed columns, CREATE VIEW over routed streaming SQL,
+ * INSERT INTO (batch append + streaming writeStream), DROP/SHOW/
+ * DESCRIBE, and the fail-loud arms — the reference's executeSql
+ * statement dispatch (SqlToOperationConverter) re-expressed over
+ * registerStream/registerChangelog/temp views.
+ */
+class SqlDdlSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_ddl_spec").toString
+
+  test("batch CREATE TABLE + INSERT INTO + SELECT round-trips") {
+    val srcDir = tmp() + "/src"
+    val sinkDir = tmp() + "/sink"
+    spark.range(10).selectExpr("id", "id * 2 AS v")
+      .write.parquet(srcDir)
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_src (id BIGINT, v BIGINT,
+                            v3 AS v * 3)
+      WITH ('connector' = 'filesystem', 'path' = '$srcDir',
+            'format' = 'parquet')""")
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_sink (id BIGINT, v3 BIGINT)
+      WITH ('connector' = 'filesystem', 'path' = '$sinkDir',
+            'format' = 'parquet')""")
+    // computed column visible through the registered view
+    val got0 = SqlDdl.executeSql(spark,
+      "SELECT id, v3 FROM ddl_src WHERE id < 3").df.get
+      .as[(Long, Long)].collect().toSet
+    assert(got0 == Set((0L, 0L), (1L, 6L), (2L, 12L)))
+    // INSERT INTO appends and refreshes the target view
+    SqlDdl.executeSql(spark,
+      "INSERT INTO ddl_sink SELECT id, v3 FROM ddl_src WHERE id >= 8")
+    val got = SqlDdl.executeSql(spark, "SELECT id, v3 FROM ddl_sink").df.get
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((8L, 48L), (9L, 54L)))
+    // second INSERT appends (mode append, not overwrite)
+    SqlDdl.executeSql(spark,
+      "INSERT INTO ddl_sink SELECT id, v3 FROM ddl_src WHERE id = 0")
+    assert(spark.table("ddl_sink").count() == 3)
+    SqlDdl.executeSql(spark, "DROP TABLE ddl_src")
+    SqlDdl.executeSql(spark, "DROP TABLE ddl_sink")
+  }
+
+  test("WATERMARK DDL registers a stream table; all-text pipeline to a sink") {
+    val srcDir = tmp() + "/src"
+    val sinkDir = tmp() + "/sink"
+    // two files so the replay crosses micro-batches
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val rows = (0 until 40).map { i =>
+      (i.toLong, i % 4, new java.sql.Timestamp(base.getTime + i * 1000L))
+    }
+    rows.toDF("id", "bucket", "ts").repartition(2).write.parquet(srcDir)
+    SqlDdl.executeAll(spark, s"""
+      CREATE TABLE ddl_ev (id BIGINT, bucket INT, ts TIMESTAMP,
+                           WATERMARK FOR ts AS ts - INTERVAL '1' SECOND,
+                           PRIMARY KEY (id) NOT ENFORCED)
+      WITH ('connector' = 'filesystem', 'path' = '$srcDir',
+            'format' = 'parquet', 'source.max-files-per-trigger' = '1');
+      CREATE TABLE ddl_out (bucket INT, row_kind STRING, row_ord BIGINT)
+      WITH ('connector' = 'filesystem', 'path' = '$sinkDir',
+            'format' = 'parquet')""")
+    // DESCRIBE carries watermark + pk annotations
+    val desc = SqlDdl.executeSql(spark, "DESCRIBE ddl_ev").df.get
+      .as[(String, String, String)].collect()
+      .map { case (n, t, e) => (n, (t, e)) }.toMap
+    assert(desc("ts")._2.contains("WATERMARK - 1 second"))
+    assert(desc("id")._2.contains("PRIMARY KEY"))
+    // the whole pipeline as text: streaming SELECT DISTINCT → sink
+    val r = SqlDdl.executeSql(spark,
+      "INSERT INTO ddl_out SELECT DISTINCT bucket FROM ddl_ev")
+    r.await()
+    val got = spark.read.parquet(sinkDir).select("bucket")
+      .as[Int].collect().toSet
+    assert(got == Set(0, 1, 2, 3))
+    SqlDdl.executeSql(spark, "DROP TABLE ddl_ev")
+    SqlDdl.executeSql(spark, "DROP TABLE ddl_out")
+  }
+
+  test("CREATE VIEW over a routed changelog statement registers for chaining") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CRow]
+    StreamSql.registerChangelog("ddl_cl", mem.toDS().toDF(), kindCol = "kind")
+    try {
+      SqlDdl.executeSql(spark, """
+        CREATE VIEW ddl_agg AS
+        SELECT key AS k, SUM(value) AS s FROM ddl_cl GROUP BY key""")
+      // the registered view is consumable by a later streaming statement
+      val out = SqlFrontend.sql(spark,
+        "SELECT k, s FROM ddl_agg WHERE s >= 5 ORDER BY s DESC, k LIMIT 2")
+      assert(out.isStreaming && out.columns.contains("row_kind"))
+    } finally {
+      SqlDdl.executeSql(spark, "DROP VIEW IF EXISTS ddl_agg")
+      StreamSql.dropChangelog("ddl_cl")
+    }
+  }
+
+  test("CREATE VIEW over a batch query is a temp view") {
+    spark.range(5).toDF("id").createOrReplaceTempView("ddl_b")
+    SqlDdl.executeSql(spark,
+      "CREATE VIEW ddl_bv AS SELECT id * 2 AS d FROM ddl_b")
+    assert(spark.table("ddl_bv").as[Long].collect().toSet ==
+      Set(0L, 2L, 4L, 6L, 8L))
+    SqlDdl.executeSql(spark, "DROP VIEW ddl_bv")
+  }
+
+  test("SHOW TABLES lists catalog entries with kinds") {
+    val d = tmp()
+    spark.range(1).write.parquet(d + "/p")
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_show (id BIGINT)
+      WITH ('connector' = 'filesystem', 'path' = '$d/p')""")
+    val rows = SqlDdl.executeSql(spark, "SHOW TABLES").df.get
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows.contains(("ddl_show", "table")))
+    SqlDdl.executeSql(spark, "DROP TABLE ddl_show")
+  }
+
+  test("fail-loud arms: connector, statement kind, missing column, types") {
+    val d = tmp()
+    val e1 = intercept[IllegalArgumentException] {
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE t1 (id BIGINT)
+        WITH ('connector' = 'kafka', 'path' = '$d')""")
+    }
+    assert(e1.getMessage.contains("connector"))
+    val e2 = intercept[IllegalArgumentException] {
+      SqlDdl.executeSql(spark, "ALTER TABLE x RENAME TO y")
+    }
+    assert(e2.getMessage.contains("unsupported statement kind"))
+    val e3 = intercept[IllegalArgumentException] {
+      SqlDdl.executeSql(spark, "INSERT INTO nope SELECT 1 AS x")
+    }
+    assert(e3.getMessage.contains("unknown table"))
+    spark.range(1).write.parquet(d + "/p4")
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_t4 (id BIGINT, missing STRING)
+      WITH ('connector' = 'filesystem', 'path' = '$d/p4')""")
+    val e4 = intercept[IllegalArgumentException] {
+      SqlDdl.executeSql(spark, "INSERT INTO ddl_t4 SELECT 1 AS id")
+    }
+    assert(e4.getMessage.contains("lacks declared column"))
+    SqlDdl.executeSql(spark, "DROP TABLE ddl_t4")
+    val e5 = intercept[IllegalArgumentException] {
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE t5 (g GEOMETRY)
+        WITH ('connector' = 'filesystem', 'path' = '$d')""")
+    }
+    assert(e5.getMessage.contains("unsupported column type"))
+  }
+
+  test("type mapping covers the Flink scalar surface") {
+    import org.apache.spark.sql.types._
+    assert(SqlDdl.sqlType("STRING") == StringType)
+    assert(SqlDdl.sqlType("VARCHAR(20)") == StringType)
+    assert(SqlDdl.sqlType("DECIMAL(18, 2)") == DecimalType(18, 2))
+    assert(SqlDdl.sqlType("TIMESTAMP(3)") == TimestampType)
+    assert(SqlDdl.sqlType("TIMESTAMP_LTZ(3)") == TimestampType)
+    assert(SqlDdl.sqlType("ARRAY<DOUBLE>") == ArrayType(DoubleType))
+    assert(SqlDdl.sqlType("BYTES") == BinaryType)
+    assert(SqlDdl.sqlType("DOUBLE PRECISION") == DoubleType)
+  }
+
+  test("statement splitting and WITH parsing are literal-opaque") {
+    val stmts = SqlDdl.splitStatements(
+      "SELECT 'a;b' AS x; SELECT 2 AS y;")
+    assert(stmts == Seq("SELECT 'a;b' AS x", "SELECT 2 AS y"))
+    val opts = SqlDdl.parseOptions("'path' = '/x;y', 'csv.sep' = ';'")
+    assert(opts == Map("path" -> "/x;y", "csv.sep" -> ";"))
+  }
+}
