@@ -90,6 +90,36 @@ object CepOps {
           )""")
     }),
 
+    // MATCH_RECOGNIZE ALL ROWS PER MATCH **with MEASURES** — the
+    // reference evaluates measures for every visited row (RUNNING by
+    // default, FINAL on request — MatchCodeGenerator.scala RUNNING/FINAL
+    // split, StreamExecMatch). q84's pattern with per-row running
+    // count/sum, the current-row CLASSIFIER, and a FINAL whole-match
+    // count; evaluated as one codegen'd window pass over the annotated
+    // rows (no extra exchange — same keys as the match shuffle).
+    "q351_mr_all_rows_measures" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+                col("o_totalprice"))
+      graft.streaming.MatchRecognizeSql(o, """
+          MATCH_RECOGNIZE (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            MEASURES COUNT(*) AS k,
+                     RUNNING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS run_total,
+                     FINAL COUNT(B.*) AS n_b,
+                     CLASSIFIER() AS cls
+            ALL ROWS PER MATCH
+            PATTERN (A B+)
+            DEFINE A AS A.o_totalprice > 100000,
+                   B AS B.o_totalprice <= 100000
+          )""")
+        .select(col("o_custkey"), col("o_orderkey"), col("mr_match"),
+                col("mr_seq"), col("k"), col("run_total"), col("n_b"),
+                col("cls"))
+    }),
+
     // CEP unbounded oneOrMore (Quantifier.java looping state): purchase
     // followed (relaxed) by a greedy-maximal consecutive run of clicks.
     // Enumerate-all (noSkip) semantics: every click after the purchase
@@ -186,6 +216,44 @@ object CepOps {
                AS match_total
       FROM annotated
       GROUP BY o_custkey, mr_match""",
+
+    "q351_mr_all_rows_measures" -> """
+      WITH base AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               (o_totalprice > 100000) AS hi,
+               row_number() OVER w AS rn,
+               lead(o_totalprice > 100000) OVER w AS next_hi,
+               max(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS any_prev_hi
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      marked AS (
+        SELECT *,
+               CASE WHEN hi AND next_hi = false THEN 'A'
+                    WHEN NOT hi AND any_prev_hi = 1 THEN 'B'
+                    ELSE NULL END AS mr_var
+        FROM base),
+      annotated AS (
+        SELECT o_custkey, o_orderkey, o_totalprice, mr_var, rn,
+               CAST(sum(CASE WHEN mr_var = 'A' THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY o_custkey ORDER BY rn) AS BIGINT) AS mr_match
+        FROM marked
+        WHERE mr_var IS NOT NULL)
+      SELECT o_custkey, o_orderkey, mr_match,
+             CAST(row_number() OVER wm - 1 AS BIGINT) AS mr_seq,
+             CAST(count(*) OVER wr AS BIGINT) AS k,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wr
+               AS DOUBLE) AS run_total,
+             CAST(count(CASE WHEN mr_var = 'B' THEN 1 END) OVER wf
+               AS BIGINT) AS n_b,
+             mr_var AS cls
+      FROM annotated
+      WINDOW wm AS (PARTITION BY o_custkey, mr_match ORDER BY rn),
+             wr AS (PARTITION BY o_custkey, mr_match ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY o_custkey, mr_match)""",
 
     "q88_cep_oneormore" -> """
       WITH ev AS (

@@ -219,16 +219,124 @@ object MatchRecognizeSql {
       skip: MatchRecognize.Skip, pattern: String,
       within: Option[(Column, Long)], define: Seq[(String, Column)],
       rawDefs: Seq[(String, String)], measures: Seq[(String, Column)],
-      rawMeasures: Seq[(String, String)])
+      rawMeasures: Seq[(String, String, Boolean)])
 
   private def run(df: DataFrame, body: String): DataFrame = {
     val p = parseBody(body)
-    if (p.allRows)
-      MatchRecognize.annotate(df, p.partitionBy, p.orderBy, p.pattern,
-        p.define, p.skip, p.within)
-    else
+    if (p.allRows) {
+      val ann = MatchRecognize.annotate(df, p.partitionBy, p.orderBy,
+        p.pattern, p.define, p.skip, p.within)
+      withAllRowsMeasures(ann, p)
+    } else
       MatchRecognize.oneRowPerMatch(df, p.partitionBy, p.orderBy, p.pattern,
         p.define, p.measures, p.skip, p.within)
+  }
+
+  // --------------------------------------- ALL ROWS PER MATCH measures
+
+  /**
+   * Per-row MEASURES over an annotated (ALL ROWS PER MATCH) result —
+   * the reference evaluates measures for every visited row with RUNNING
+   * semantics by default and FINAL on request
+   * (flink-table-planner-blink/.../codegen/MatchCodeGenerator.scala,
+   * executed by StreamExecMatch). Here each measure is a window
+   * aggregate over (partition keys, mr_match) ordered by mr_seq — the
+   * RUNNING frame is rows UNBOUNDED PRECEDING..CURRENT ROW, FINAL the
+   * whole-match frame — so the evaluation is one codegen'd window pass
+   * over the already-shuffled annotated rows: no extra exchange (the
+   * annotate operator partitioned by the same keys).
+   */
+  private def withAllRowsMeasures(ann: DataFrame, p: Parsed): DataFrame = {
+    if (p.rawMeasures.isEmpty) return ann
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.col
+    val vars = p.rawDefs.map(_._1)
+    val keys = p.partitionBy :+ "mr_match"
+    def w(fin: Boolean) = {
+      val base = Window.partitionBy(keys.map(col): _*).orderBy(col("mr_seq"))
+      if (fin) base.rowsBetween(Window.unboundedPreceding,
+                                Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    def overText(fin: Boolean) =
+      s"OVER (PARTITION BY ${keys.mkString(", ")} ORDER BY mr_seq ROWS " +
+      "BETWEEN UNBOUNDED PRECEDING AND " +
+      (if (fin) "UNBOUNDED FOLLOWING)" else "CURRENT ROW)")
+    p.rawMeasures.foldLeft(ann) { case (df, (name, e, fin)) =>
+      require(!ann.columns.contains(name),
+        s"ALL ROWS measure name '$name' collides with an input column")
+      df.withColumn(name,
+        allRowsMeasureCol(e, vars, w(fin), overText(fin), fin))
+    }
+  }
+
+  /** One ALL ROWS measure as a window Column: the navigation shapes map
+    * to the Measures aggregates `.over` the match window; CLASSIFIER()
+    * under RUNNING is the CURRENT row's variable; general expressions
+    * get their SUM/MIN/MAX/AVG/COUNT calls windowized textually. */
+  private def allRowsMeasureCol(e: String, vars: Seq[String],
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      overText: String, fin: Boolean): Column = e.trim match {
+    case firstRe(v, c) =>
+      MatchRecognize.Measures.firstOf(canon(v, vars), expr(c)).over(w)
+    case lastRe(v, c) =>
+      MatchRecognize.Measures.lastOf(canon(v, vars), expr(c)).over(w)
+    case firstOffRe(v, c, n) => offsetElem(v, c, vars, w, n.toInt, fromEnd = false)
+    case lastOffRe(v, c, n) => offsetElem(v, c, vars, w, n.toInt, fromEnd = true)
+    case countVarRe(v) =>
+      MatchRecognize.Measures.countOf(canon(v, vars)).over(w)
+    case countAllRe() => count(lit(1)).over(w)
+    case classifierRe() =>
+      if (fin) MatchRecognize.Measures.classifier.over(w)
+      else org.apache.spark.sql.functions.col("mr_var")
+    case other =>
+      expr(windowizeAggs(scopeVars(other, vars, perRow = false), overText))
+  }
+
+  /** FIRST/LAST(V.c, offset) under a window frame: V's rows visible in
+    * the frame as (mr_seq, value) structs, logical navigation via
+    * try_element_at (null when V matched fewer rows — no throw). */
+  private def offsetElem(v: String, c: String, vars: Seq[String],
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      off: Int, fromEnd: Boolean): Column = {
+    import org.apache.spark.sql.functions._
+    val cv = canon(v, vars)
+    val arr = array_sort(collect_list(when(col("mr_var") === cv,
+      struct(col("mr_seq").as("s"), expr(c).as("v")))).over(w))
+    try_element_at(if (fromEnd) reverse(arr) else arr, lit(off + 1))("v")
+  }
+
+  /** Append `overText` to every SUM/MIN/MAX/AVG/COUNT(<…>) call in a
+    * general measure expression (literal-opaque, balanced-paren), so
+    * `CAST(SUM(x) AS BIGINT)` becomes `CAST(SUM(x) OVER (…) AS BIGINT)`
+    * — the surrounding scalar text passes through untouched. */
+  private def windowizeAggs(e: String, overText: String): String = {
+    val aggRe = java.util.regex.Pattern.compile(
+      "(?i)\\b(SUM|MIN|MAX|AVG|COUNT)\\s*\\(")
+    val mask = literalMask(e)
+    val m = aggRe.matcher(e)
+    def findOutsideLiteral(from: Int): Boolean = {
+      var at = from
+      while (m.find(at)) {
+        if (!mask(m.start())) return true
+        at = m.start() + 1
+      }
+      false
+    }
+    if (!findOutsideLiteral(0)) throw new IllegalArgumentException(
+      s"unsupported ALL ROWS MEASURES item (expected FIRST/LAST/COUNT/" +
+      s"CLASSIFIER navigation or SUM/MIN/MAX/AVG/COUNT aggregates): $e")
+    val sb = new StringBuilder
+    var pos = 0
+    do {
+      val arg = balanced(e.substring(m.end() - 1), 0)
+      val end = m.end() - 1 + arg.length + 2 // past "(" + arg + ")"
+      sb ++= e.substring(pos, end)
+      sb ++= " " + overText
+      pos = end
+    } while (findOutsideLiteral(pos))
+    sb ++= e.substring(pos)
+    sb.toString
   }
 
   private def parseBody(body: String): Parsed = {
@@ -311,26 +419,31 @@ object MatchRecognizeSql {
       n -> expr(nav(scopeVars(p, vars, perRow = true)))
     }
 
-    val rawMeasures = if (allRows) {
-      // fail-loud: silently returning the annotated rows WITHOUT the
-      // requested measure columns would be a wrong answer, not a mode
-      require(section("MEASURES").isEmpty,
-        "ALL ROWS PER MATCH does not evaluate MEASURES here — the " +
-        "annotated output carries the original columns + " +
-        "mr_match/mr_var/mr_seq (derive per-row measures from those " +
-        "downstream, or use ONE ROW PER MATCH)")
-      Seq.empty[(String, String)]
-    } else {
-      val measuresSec = section("MEASURES").getOrElse(
-        throw new IllegalArgumentException("ONE ROW PER MATCH needs MEASURES"))
-      val asRe = "(?is)^(.+?)\\s+AS\\s+(\\w+)$".r
-      splitTop(measuresSec).map {
-        case asRe(e, name) => (name, e.trim)
-        case other => throw new IllegalArgumentException(
-          s"bad MEASURES item (need '<expr> AS name'): $other")
+    // MEASURES parse — shared by both output modes. Each item may carry
+    // an explicit RUNNING|FINAL prefix (SQL:2016 / the reference's
+    // MatchCodeGenerator semantics split): in ALL ROWS PER MATCH the
+    // default is RUNNING (per-row aggregate over the match PREFIX up to
+    // the current row) and FINAL evaluates over the whole match; in
+    // ONE ROW PER MATCH the two coincide (the only emitted row IS the
+    // final row), so the prefix is accepted and stripped.
+    val asRe = "(?is)^(.+?)\\s+AS\\s+(\\w+)$".r
+    val prefRe = "(?is)^(RUNNING|FINAL)\\s+(.+)$".r
+    val rawMeasures: Seq[(String, String, Boolean)] =
+      section("MEASURES") match {
+        case None if allRows => Seq.empty
+        case None => throw new IllegalArgumentException(
+          "ONE ROW PER MATCH needs MEASURES")
+        case Some(sec) => splitTop(sec).map {
+          case asRe(e, name) => e.trim match {
+            case prefRe(p, rest) =>
+              (name, rest.trim, p.equalsIgnoreCase("FINAL"))
+            case t => (name, t, !allRows) // default: RUNNING in ALL ROWS
+          }
+          case other => throw new IllegalArgumentException(
+            s"bad MEASURES item (need '[RUNNING|FINAL] <expr> AS name'): $other")
+        }
       }
-    }
-    val measures = rawMeasures.map { case (name, e) =>
+    val measures = rawMeasures.map { case (name, e, _) =>
       (name, measureCol(e, vars))
     }
     Parsed(partitionBy, orderBy, allRows, skip, pattern, within, define,
@@ -420,7 +533,7 @@ object MatchRecognizeSql {
         if (batch.columns.contains("mr_seq")) batch
         else batch.withColumn("mr_seq",
           (row_number().over(w) - 1).cast("long"))
-      if (p.allRows) withSeq
+      if (p.allRows) withAllRowsMeasures(withSeq, p)
       else {
         val aggs = p.measures.map { case (n, c) => c.as(n) }
         withSeq.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
@@ -479,54 +592,94 @@ object MatchRecognizeSql {
           "lag/lead window functions are unsupported on streams")
     }
     val wdf = viewDf.withWatermark(tsCol, delay)
-    if (p.allRows)
+    if (p.allRows && p.rawMeasures.isEmpty)
       MatchRecognize.annotateStreamDf(
         wdf, p.partitionBy, p.orderBy, p.pattern, p.define, withinMs, p.skip)
     else {
-      import org.apache.spark.sql.functions.{col, from_json, transform}
-      import org.apache.spark.sql.graftbridge.Bridge
-      val raw = MatchRecognize.matchRowsStreamDf(
-        wdf, p.partitionBy, p.orderBy, p.pattern, p.define, withinMs, p.skip)
-      val packedSchema = org.apache.spark.sql.types.StructType(
-        viewDf.schema.fields :+
-        org.apache.spark.sql.types.StructField("mr_seq",
-          org.apache.spark.sql.types.LongType, nullable = false) :+
-        org.apache.spark.sql.types.StructField("mr_var",
-          org.apache.spark.sql.types.StringType, nullable = false))
-      val partSchema = org.apache.spark.sql.types.StructType(
-        p.partitionBy.map(n => viewDf.schema(n)))
+      import org.apache.spark.sql.functions.{col, posexplode}
+      val (base, fields) = packedMatches(viewDf, wdf, p, withinMs)
       val vars = p.rawDefs.map(_._1)
-      val base = raw.select(
-        // TransportJsonOpts on BOTH codec sides: the packed key was
-        // written with the µs timestamp format (flagForNfa) — the
-        // default read format would ms-truncate timestamp partition
-        // columns in the OUTPUT even though the keys stayed distinct
-        from_json(col("__mr_key"), partSchema,
-          Changelog.TransportJsonOpts).as("__pk"),
-        col("mr_match"),
-        transform(col("__mr_rows"), b => Bridge.column(
-          graft.plans.StructUnpack(Bridge.expression(b), packedSchema)))
-          .as("__mrr"))
-      val fields = packedSchema.map(_.name)
-      val aggCols = p.rawMeasures.map { case (name, e) =>
-        expr(measureArrayExpr(e, vars, fields)).as(name)
+      if (!p.allRows) {
+        val aggCols = p.rawMeasures.map { case (name, e, _) =>
+          expr(measureArrayExpr(e, vars, fields)).as(name)
+        }
+        base.select(
+          p.partitionBy.map(n => col(s"__pk.`$n`").as(n)) ++
+          (col("mr_match") +: aggCols): _*)
+      } else {
+        // ALL ROWS PER MATCH + MEASURES, streaming: matches emit from
+        // the NFA as packed-rows arrays (batch-atomic), so per-row
+        // RUNNING measures evaluate STATELESSLY over the match PREFIX
+        // (slice up to the row's ordinal) and FINAL over the whole
+        // array — higher-order functions, no second stateful operator
+        // and no window-over-stream restriction. Output mirrors the
+        // batch ALL ROWS shape: view columns + mr_match/mr_var/mr_seq
+        // + the measure columns. Cost is O(match²) per match in the
+        // RUNNING folds — matches are WITHIN-bounded, so the quadratic
+        // term is capped by the pattern horizon, not the stream.
+        val rows = base.select(col("__pk"), col("mr_match"), col("__mrr"),
+          posexplode(col("__mrr")).as(Seq("__pos", "__r")))
+        val prefix = "slice(__mrr, 1, __pos + 1)"
+        val mCols = p.rawMeasures.map { case (name, e, fin) =>
+          require(!fields.contains(name),
+            s"ALL ROWS measure name '$name' collides with an input column")
+          expr(measureArrayExpr(e, vars, fields,
+            if (fin) "__mrr" else prefix)).as(name)
+        }
+        val viewCols = viewDf.schema.fieldNames.toSeq
+        rows.select(
+          viewCols.map(n => col(s"__r.`$n`").as(n)) ++
+          Seq(col("mr_match"), col("__r.mr_var").as("mr_var"),
+              col("__r.mr_seq").as("mr_seq")) ++ mCols: _*)
       }
-      base.select(
-        p.partitionBy.map(n => col(s"__pk.`$n`").as(n)) ++
-        (col("mr_match") +: aggCols): _*)
     }
   }
 
-  /** Translate one MEASURES item to a STATELESS SQL expression over the
-    * packed-rows array `__mrr` (elements: view columns + mr_seq +
-    * mr_var, in match order). The navigation shapes map to
+  /** Shared decode of [[MatchRecognize.matchRowsStreamDf]]'s output:
+    * (`__pk` partition-key struct, `mr_match`, `__mrr` array of match
+    * rows as structs of the view columns + mr_seq + mr_var, in match
+    * order). Returns the decoded frame and the struct field names. */
+  private def packedMatches(viewDf: DataFrame, wdf: DataFrame, p: Parsed,
+      withinMs: Long): (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, from_json, transform}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val raw = MatchRecognize.matchRowsStreamDf(
+      wdf, p.partitionBy, p.orderBy, p.pattern, p.define, withinMs, p.skip)
+    val packedSchema = org.apache.spark.sql.types.StructType(
+      viewDf.schema.fields :+
+      org.apache.spark.sql.types.StructField("mr_seq",
+        org.apache.spark.sql.types.LongType, nullable = false) :+
+      org.apache.spark.sql.types.StructField("mr_var",
+        org.apache.spark.sql.types.StringType, nullable = false))
+    val partSchema = org.apache.spark.sql.types.StructType(
+      p.partitionBy.map(n => viewDf.schema(n)))
+    val base = raw.select(
+      // TransportJsonOpts on BOTH codec sides: the packed key was
+      // written with the µs timestamp format (flagForNfa) — the
+      // default read format would ms-truncate timestamp partition
+      // columns in the OUTPUT even though the keys stayed distinct
+      from_json(col("__mr_key"), partSchema,
+        Changelog.TransportJsonOpts).as("__pk"),
+      col("mr_match"),
+      transform(col("__mr_rows"), b => Bridge.column(
+        graft.plans.StructUnpack(Bridge.expression(b), packedSchema)))
+        .as("__mrr"))
+    (base, packedSchema.map(_.name))
+  }
+
+  /** Translate one MEASURES item to a STATELESS SQL expression over a
+    * packed-rows array (elements: view columns + mr_seq + mr_var, in
+    * match order) — `arr` is the array expression, the full match
+    * `__mrr` for FINAL / ONE ROW semantics or the per-row prefix slice
+    * for RUNNING under ALL ROWS. The navigation shapes map to
     * filter/try_element_at; general aggregate calls map to higher-order
     * folds — SUM/AVG accumulate in DOUBLE, MIN/MAX are type-preserving
     * (array_min/array_max), COUNT is size-of-non-nulls. */
   private[streaming] def measureArrayExpr(e: String, vars: Seq[String],
-                                          fields: Seq[String]): String = {
+                                          fields: Seq[String],
+                                          arr: String = "__mrr"): String = {
     def filt(v: String): String =
-      s"filter(__mrr, r -> r.mr_var = '${canon(v, vars)}')"
+      s"filter($arr, r -> r.mr_var = '${canon(v, vars)}')"
     e.trim match {
       case firstRe(v, c) => s"try_element_at(${filt(v)}, 1).`$c`"
       case lastRe(v, c) => s"try_element_at(${filt(v)}, -1).`$c`"
@@ -535,17 +688,17 @@ object MatchRecognizeSql {
       case lastOffRe(v, c, n) =>
         s"try_element_at(${filt(v)}, -${n.toInt + 1}).`$c`"
       case countVarRe(v) => s"CAST(size(${filt(v)}) AS BIGINT)"
-      case countAllRe() => "CAST(size(__mrr) AS BIGINT)"
-      case classifierRe() => "try_element_at(__mrr, -1).mr_var"
-      case other => rewriteAggCalls(other, vars, fields)
+      case countAllRe() => s"CAST(size($arr) AS BIGINT)"
+      case classifierRe() => s"try_element_at($arr, -1).mr_var"
+      case other => rewriteAggCalls(other, vars, fields, arr)
     }
   }
 
   /** Rewrite every SUM/MIN/MAX/AVG/COUNT(<expr>) call inside a general
-    * measure expression into its array fold over `__mrr`; the
+    * measure expression into its array fold over `arr`; the
     * surrounding scalar text (CASTs, arithmetic) passes through. */
   private def rewriteAggCalls(e: String, vars: Seq[String],
-                              fields: Seq[String]): String = {
+                              fields: Seq[String], arr: String): String = {
     val aggRe = java.util.regex.Pattern.compile(
       "(?i)\\b(SUM|MIN|MAX|AVG|COUNT)\\s*\\(")
     val mask = literalMask(e)
@@ -568,7 +721,7 @@ object MatchRecognizeSql {
       sb ++= e.substring(pos, m.start())
       val arg = balanced(e.substring(m.end() - 1), 0)
       val fn = m.group(1).toUpperCase
-      sb ++= aggFold(fn, arg.trim, vars, fields)
+      sb ++= aggFold(fn, arg.trim, vars, fields, arr)
       pos = m.end() - 1 + arg.length + 2 // past "(" + arg + ")"
     } while (findOutsideLiteral(pos))
     sb ++= e.substring(pos)
@@ -576,8 +729,8 @@ object MatchRecognizeSql {
   }
 
   private def aggFold(fn: String, arg: String, vars: Seq[String],
-                      fields: Seq[String]): String = {
-    if (fn == "COUNT" && arg == "*") return "CAST(size(__mrr) AS BIGINT)"
+                      fields: Seq[String], arr: String): String = {
+    if (fn == "COUNT" && arg == "*") return s"CAST(size($arr) AS BIGINT)"
     // scope pattern-variable references, then qualify bare column refs
     // onto the lambda element `r` — literal-opaque, longest-name-first
     val scoped = scopeVars(arg, vars, perRow = false)
@@ -588,7 +741,7 @@ object MatchRecognizeSql {
           java.util.regex.Matcher.quoteReplacement(s"r.`$f`"))
       }
     }
-    val vals = s"transform(__mrr, r -> ($body))"
+    val vals = s"transform($arr, r -> ($body))"
     val nn = s"filter($vals, x -> x IS NOT NULL)"
     fn match {
       case "SUM" => s"aggregate($nn, CAST(NULL AS DOUBLE), " +

@@ -2430,6 +2430,56 @@ object ReplayQueries {
       s.read.parquet(out).filter(col("event_type") =!= "zz_sentinel")
         .select(col("event_type"), unix_micros(col("ws")).as("w_us"),
                 col("cents"), col("n"))
+    }),
+
+    // Streaming MATCH_RECOGNIZE — ALL ROWS PER MATCH **with MEASURES**
+    // (the reference's per-row RUNNING/FINAL measure evaluation,
+    // MatchCodeGenerator RUNNING semantics per visited row). q344's
+    // harness; matches emit from the NFA as packed-rows arrays, the
+    // RUNNING folds evaluate statelessly over each row's match PREFIX
+    // and FINAL over the whole array — no second stateful operator.
+    "q352_stream_mr_all_rows_measures" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts").as("ets"),
+                col("event_type"), col("value"))
+      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+                lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
+                  .cast("timestamp").as("ets"),
+                lit("zz_sentinel").as("event_type"), lit(0.0).as("value"))
+      val (in, out, ck) = stageOrdered(ev, "ets", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        StreamSql.registerStream("q352_v", src, tsCol = "ets",
+          delay = "1 second")
+        try {
+          val res = graft.operators.SqlFrontend.sql(s, """
+            SELECT * FROM q352_v MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ets, event_id
+              MEASURES COUNT(*) AS k,
+                       RUNNING CAST(SUM(floor(value * 100)) AS BIGINT)
+                         AS run_cents,
+                       FINAL COUNT(B.*) AS n_b,
+                       CLASSIFIER() AS cls
+              ALL ROWS PER MATCH
+              AFTER MATCH SKIP PAST LAST ROW
+              PATTERN (A B+) WITHIN INTERVAL '1' DAY
+              DEFINE A AS event_type = 'purchase',
+                     B AS event_type = 'click')""")
+          val q = res.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropStream("q352_v")
+      }
+      s.read.parquet(out).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("event_id"), col("mr_match"),
+                col("mr_seq"), col("k"), col("run_cents"), col("n_b"),
+                col("cls"))
     })
   )
 
@@ -3529,6 +3579,43 @@ object ReplayQueries {
              epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS w_us,
              CAST(sum(floor(value * 100)) AS BIGINT) AS cents,
              count(*) AS n
-      FROM events GROUP BY 1, 2"""
+      FROM events GROUP BY 1, 2""",
+
+    // q344's match decomposition + per-row running/final measures over
+    // each match's rows (window frames over the match ordinal)
+    "q352_stream_mr_all_rows_measures" -> """
+      WITH w AS (
+        SELECT user_id, event_id, event_type, value,
+               CAST(ts AS TIMESTAMP) AS t,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+      brk AS (
+        SELECT p.user_id, p.rn AS prn, p.t AS a_t,
+               (SELECT min(c.rn) FROM w c
+                WHERE c.user_id = p.user_id AND c.rn > p.rn
+                  AND (c.event_type <> 'click'
+                       OR c.t > p.t + INTERVAL 1 DAY)) AS lim
+        FROM w p WHERE p.event_type = 'purchase'),
+      brk2 AS (
+        SELECT b.user_id, b.prn, COALESCE(b.lim, m.mx + 1) AS limx
+        FROM brk b JOIN (SELECT user_id, max(rn) AS mx FROM w GROUP BY 1) m
+          USING (user_id)),
+      mrows AS (
+        SELECT b.user_id, b.prn, x.rn, x.event_id, x.value
+        FROM brk2 b JOIN w x ON x.user_id = b.user_id
+             AND x.rn >= b.prn AND x.rn < b.limx
+        WHERE b.limx > b.prn + 1)
+      SELECT user_id, event_id,
+             CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY prn)
+               AS BIGINT) AS mr_match,
+             CAST(rn - prn AS BIGINT) AS mr_seq,
+             CAST(count(*) OVER wr AS BIGINT) AS k,
+             CAST(sum(floor(value * 100)) OVER wr AS BIGINT) AS run_cents,
+             CAST(count(*) FILTER (rn > prn) OVER wf AS BIGINT) AS n_b,
+             CASE WHEN rn = prn THEN 'A' ELSE 'B' END AS cls
+      FROM mrows
+      WINDOW wr AS (PARTITION BY user_id, prn ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id, prn)"""
   )
 }

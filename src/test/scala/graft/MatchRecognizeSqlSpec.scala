@@ -20,21 +20,53 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     o
   }
 
-  test("ALL ROWS PER MATCH with MEASURES rejects loudly (silently dropped before)") {
+  test("ALL ROWS PER MATCH evaluates MEASURES per row: RUNNING default, FINAL on request") {
     orders
-    val e = intercept[IllegalArgumentException] {
-      MatchRecognizeSql.sql(spark, """
-        SELECT * FROM orders_v MATCH_RECOGNIZE (
-          PARTITION BY o_custkey
-          ORDER BY o_orderdate, o_orderkey
-          MEASURES COUNT(B.*) AS nb
-          ALL ROWS PER MATCH
-          PATTERN (A B+)
-          DEFINE A AS A.o_totalprice > 100000,
-                 B AS B.o_totalprice <= 100000
-        )""")
-    }
-    assert(e.getMessage.contains("MEASURES"))
+    val got = MatchRecognizeSql.sql(spark, """
+      SELECT * FROM orders_v MATCH_RECOGNIZE (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        MEASURES COUNT(*) AS k,
+                 RUNNING SUM(o_totalprice) AS run_total,
+                 FINAL COUNT(B.*) AS n_b,
+                 CLASSIFIER() AS cls,
+                 LAST(B.o_orderkey) AS last_b_so_far
+        ALL ROWS PER MATCH
+        PATTERN (A B+)
+        DEFINE A AS A.o_totalprice > 100000,
+               B AS B.o_totalprice <= 100000
+      )""")
+    // expectation: the annotate API + explicit running/final windows
+    import org.apache.spark.sql.expressions.Window
+    val ann = MatchRecognize.annotate(
+      orders, Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"), "A B+",
+      Seq("A" -> (col("o_totalprice") > 100000),
+          "B" -> (col("o_totalprice") <= 100000)))
+    val wr = Window.partitionBy(col("o_custkey"), col("mr_match"))
+      .orderBy(col("mr_seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("o_custkey"), col("mr_match"))
+      .orderBy(col("mr_seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val exp = ann
+      .withColumn("k", count(lit(1)).over(wr))
+      .withColumn("run_total", sum(col("o_totalprice")).over(wr))
+      .withColumn("n_b",
+        count(when(col("mr_var") === "B", lit(1))).over(wf))
+      .withColumn("cls", col("mr_var"))
+      .withColumn("last_b_so_far",
+        max_by(when(col("mr_var") === "B", col("o_orderkey")),
+               when(col("mr_var") === "B", col("mr_seq"))).over(wr))
+    val cols = Seq("o_custkey", "o_orderkey", "mr_match", "mr_seq",
+                   "k", "run_total", "n_b", "cls", "last_b_so_far")
+    val g = got.select(cols.map(col): _*)
+    val e = exp.select(cols.map(col): _*)
+    assert(g.count() > 0 && g.count() == e.count())
+    assert(g.except(e).isEmpty && e.except(g).isEmpty)
+    // RUNNING k at the first row of every match is 1; FINAL n_b constant
+    // per match and ≥ 1
+    assert(got.filter(col("mr_seq") === 0 && col("k") =!= 1).isEmpty)
+    assert(got.filter(col("n_b") < 1).isEmpty)
   }
 
   test("SQL ALL ROWS PER MATCH equals annotate API (q84 shape)") {

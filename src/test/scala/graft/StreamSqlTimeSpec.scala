@@ -821,6 +821,28 @@ class StreamSqlTimeSpec extends AnyFunSuite {
       (1L, 2L, "A", 0L, 4L), (1L, 2L, "B", 1L, 5L)), s"got $got")
   }
 
+  test("stream MR ALL ROWS + MEASURES: per-row RUNNING prefix folds, FINAL whole-match") {
+    val got = runMrSql(mrCommon.format("""
+        MEASURES COUNT(*) AS k_run,
+                 RUNNING CAST(SUM(v) AS DOUBLE) AS run_tot,
+                 FINAL COUNT(B.*) AS n_b,
+                 CLASSIFIER() AS cls,
+                 LAST(B.id) AS last_b_so_far
+        ALL ROWS PER MATCH"""))
+      .na.fill(-1L, Seq("last_b_so_far")) // null = no B row yet
+      .select("k", "mr_match", "mr_seq", "id", "k_run", "run_tot",
+              "n_b", "cls", "last_b_so_far")
+      .as[(Long, Long, Long, Long, Long, Double, Long, String, Long)]
+      .collect().toSet
+    // key 1 match 1: p1(10) c2(1) c3(2); match 2: p4(20) c5(3)
+    assert(got == Set(
+      (1L, 1L, 0L, 1L, 1L, 10.0, 2L, "A", -1L),
+      (1L, 1L, 1L, 2L, 2L, 11.0, 2L, "B", 2L),
+      (1L, 1L, 2L, 3L, 3L, 13.0, 2L, "B", 3L),
+      (1L, 2L, 0L, 4L, 1L, 20.0, 1L, "A", -1L),
+      (1L, 2L, 1L, 5L, 2L, 23.0, 1L, "B", 5L)), s"got $got")
+  }
+
   test("stream MR MEASURES are string-literal-opaque; AVG folds once") {
     // the CASE literal ')' must not derail the aggregate-argument scan,
     // and AVG(B.v) uses the single (sum, count) fold
