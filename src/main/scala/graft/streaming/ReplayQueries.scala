@@ -2480,6 +2480,56 @@ object ReplayQueries {
         .select(col("user_id"), col("event_id"), col("mr_match"),
                 col("mr_seq"), col("k"), col("run_cents"), col("n_b"),
                 col("cls"))
+    }),
+
+    // MIXED-DOMAIN streaming-SQL join: the raw purchase APPEND view
+    // (registerStream) joined to the churning per-user click aggregate
+    // CHANGELOG view through one SQL statement — the reference joins an
+    // insert-only table with an updating table via changelog-mode
+    // inference (an append input is a changelog that never retracts,
+    // FlinkChangelogModeInferenceProgram.scala). The click sums churn
+    // on every replayed batch, so earlier-paired purchases retract and
+    // re-emit; the final materialized state pairs EVERY purchase event
+    // with the user's FINAL click aggregate — the batch inner dual.
+    "q353_stream_sql_mixed_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"), col("ts"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+        val purchases = src.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("cents"), col("ts"))
+        StreamSql.registerStream("q353_p", purchases, tsCol = "ts",
+          delay = "1 second")
+        val clicks = Changelog.aggregateChangelog[Long, EvRow](
+            src.filter(col("event_type") === "click")
+              .select(col("user_id"), col("event_type"), col("cents"))
+              .as[EvRow].groupByKey(_.user_id),
+            _ => Changelog.Insert, _.cents.toDouble)
+          .map(a => (a.key, a.kind, a.sum))
+          .toDF("key", "kind", "click_c")
+        StreamSql.registerChangelog("q353_c", clicks, "kind")
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT q353_p.event_id AS eid, q353_p.cents AS pcents,
+                      q353_c.click_c AS click_c
+               FROM q353_p JOIN q353_c ON q353_p.user_id = q353_c.key""")
+          val q = j.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally {
+          StreamSql.dropStream("q353_p"); StreamSql.dropChangelog("q353_c")
+        }
+      }
+      Changelog.materialize(s.read.parquet(out), "eid", "row_kind", "row_ord")
+        .select(col("eid"), col("pcents").cast("long").as("pcents"),
+                col("click_c").cast("long").as("click_c"))
     })
   )
 
@@ -3616,6 +3666,17 @@ object ReplayQueries {
       FROM mrows
       WINDOW wr AS (PARTITION BY user_id, prn ORDER BY rn
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             wf AS (PARTITION BY user_id, prn)"""
+             wf AS (PARTITION BY user_id, prn)""",
+
+    // every purchase event × the user's FINAL click aggregate (inner)
+    "q353_stream_sql_mixed_join" -> """
+      WITH k AS (
+        SELECT user_id, CAST(sum(floor(value * 100)) AS BIGINT) AS s
+        FROM events WHERE event_type = 'click' GROUP BY 1)
+      SELECT e.event_id AS eid,
+             CAST(floor(e.value * 100) AS BIGINT) AS pcents,
+             k.s AS click_c
+      FROM events e JOIN k ON e.user_id = k.user_id
+      WHERE e.event_type = 'purchase'"""
   )
 }

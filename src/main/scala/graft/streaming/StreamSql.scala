@@ -84,7 +84,11 @@ import graft.operators.SqlFrontend
  *    → two-sided changelog join ([[Changelog.joinChangelog]] /
  *    [[Changelog.joinChangelogOuter]] — the reference's
  *    StreamingJoinOperator, the day-one `A JOIN B` statement over two
- *    updating tables). One key equality (composite keys: derive a
+ *    updating tables). Either side may instead be a [[registerStream]]
+ *    APPEND view — it lifts to a constant-+I changelog (an insert-only
+ *    input is a changelog that never retracts, the reference's
+ *    changelog-mode inference for mixed-domain joins). One key
+ *    equality (composite keys: derive a
  *    single key column in the view); each residual conjunct must
  *    reference exactly ONE side (qualified by its alias) and is applied
  *    as a changelog-preserving filter on that view — both-side
@@ -495,6 +499,15 @@ object StreamSql {
     else if (gwm.matches() && streamView(gwm.group(2)).isDefined &&
              StreamSqlTime.hasGroupWindow(gwm.group(5)))
       Some(StreamSqlTime.groupWindow(spark, gwm))
+    // MIXED-DOMAIN join (append stream view × changelog view, either
+    // order): the reference joins an insert-only table with an updating
+    // table through changelog-mode inference — an append input is just
+    // a changelog that never retracts
+    // (FlinkChangelogModeInferenceProgram.scala). Routed to joinStmt,
+    // which lifts the stream side to a constant-+I changelog.
+    else if (jm.matches() && streamView(jm.group(2)).isDefined &&
+             view(jm.group(5)).isDefined)
+      Some(joinStmt(spark, jm, effTtl))
     else if (jm.matches() && streamView(jm.group(2)).isDefined)
       Some(StreamSqlTime.interval(spark, jm))
     else if (ovm.matches() && streamView(ovm.group(2)).isDefined &&
@@ -1244,17 +1257,31 @@ object StreamSql {
 
   // ---- A JOIN B ON → two-sided changelog join ---------------------------
 
+  /** Resolve a JOIN side: a registered changelog view directly, or a
+    * registered APPEND stream view LIFTED to a constant-+I changelog —
+    * an insert-only input is a changelog that never retracts, exactly
+    * the reference's changelog-mode inference for mixed joins
+    * (FlinkChangelogModeInferenceProgram.scala). The lifted side's
+    * state accumulates all rows per key (the stream-stream join's
+    * normal bound); its event-time column rides along as payload. */
+  private def resolveJoinSide(name: String): ChangelogView =
+    view(name).orElse(streamView(name).map { sv =>
+      ChangelogView(sv.df.withColumn("__lift_kind", lit(Changelog.Insert)),
+        "__lift_kind", sv.rowIdCol)
+    }).getOrElse(throw new IllegalArgumentException(
+      s"JOIN over unregistered view '$name' — each side of a streaming " +
+      "join must be a registered changelog view (registerChangelog) or " +
+      "an append stream view (registerStream, lifted to an insert-only " +
+      "changelog); an updating view against a static/versioned table " +
+      "is a lookup/temporal join — see LookupJoin / TemporalJoin"))
+
   private def joinStmt(spark: SparkSession, m: java.util.regex.Matcher,
                        ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
     val (sel, lName, lAlias0, jt0, rName, rAlias0, onClause) =
       (m.group(1), m.group(2), m.group(3), m.group(4),
        m.group(5), m.group(6), m.group(7))
-    val lv = view(lName).get
-    val rv = view(rName).getOrElse(throw new IllegalArgumentException(
-      s"JOIN over unregistered view '$rName' — both sides of a streaming " +
-      "join must be registered changelog views (an updating view against " +
-      "a static/versioned table is a lookup/temporal join — see " +
-      "LookupJoin / TemporalJoin)"))
+    val lv = resolveJoinSide(lName)
+    val rv = resolveJoinSide(rName)
     val lAlias = Option(lAlias0).getOrElse(lName)
     val rAlias = Option(rAlias0).getOrElse(rName)
     // the two sides' qualifier sets must be disjoint, or column

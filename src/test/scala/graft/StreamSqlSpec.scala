@@ -1057,6 +1057,50 @@ class StreamSqlSpec extends AnyFunSuite {
     StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
   }
 
+  test("mixed-domain JOIN: an append stream view lifts to a +I changelog") {
+    implicit val sc = spark.sqlContext
+    val sv = fresh("mixs"); val cv = fresh("mixc")
+    val smem = MemoryStream[(Long, Long, Double, Long)]
+    val cmem = MemoryStream[CRow]
+    val sdf = smem.toDS()
+      .select($"_1".as("id"), $"_2".as("skey"), $"_3".as("sv"),
+              timestamp_millis($"_4").as("ets"))
+    StreamSql.registerStream(sv, sdf, tsCol = "ets", delay = "1 second")
+    StreamSql.registerChangelog(cv, cmem.toDS().toDF(), kindCol = "kind")
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT $sv.id AS sid, $sv.sv AS sval, $cv.value AS cval
+          FROM $sv JOIN $cv ON $sv.skey = $cv.key""")
+    val sink = fresh("mix_sink")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // append row arrives first; no changelog partner yet → nothing
+      smem.addData((1L, 7L, 5.0, 1000L))
+      q.processAllAvailable()
+      assert(spark.table(sink).isEmpty)
+      // partner appears → +I pair
+      cmem.addData(CRow(7, "+I", 3.0, 1))
+      q.processAllAvailable()
+      // partner churns → retract + re-emit with the new value
+      cmem.addData(CRow(7, "-U", 3.0, 1), CRow(7, "+U", 4.0, 1))
+      q.processAllAvailable()
+      // a second append row pairs with the CURRENT partner value
+      smem.addData((2L, 7L, 6.0, 2000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = Changelog.materialize(spark.table(sink),
+        "sid", "row_kind", "row_ord")
+      .select("sid", "sval", "cval").as[(Long, Double, Double)]
+      .collect().toSet
+    assert(fin == Set((1L, 5.0, 4.0), (2L, 6.0, 4.0)))
+    // the mixed route is the changelog join, not the interval join: the
+    // append side's rows never retract, the changelog side's do
+    val kinds = spark.table(sink).select("row_kind").as[String]
+      .collect().toSet
+    assert(kinds.contains("-U") || kinds.contains("-D"))
+    StreamSql.dropStream(sv); StreamSql.dropChangelog(cv)
+  }
+
   test("subqueries in a route's WHERE reject with the standard message") {
     implicit val sc = spark.sqlContext
     val lv = fresh("sqw"); val rv = fresh("sqx")
