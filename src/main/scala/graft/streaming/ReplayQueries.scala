@@ -2530,6 +2530,105 @@ object ReplayQueries {
       Changelog.materialize(s.read.parquet(out), "eid", "row_kind", "row_ord")
         .select(col("eid"), col("pcents").cast("long").as("pcents"),
                 col("click_c").cast("long").as("click_c"))
+    }),
+
+    // DYNAMIC-gap SESSION from SQL TEXT — q259's pipeline (the
+    // reference's DynamicEventTimeSessionWindows +
+    // SessionWindowTimeGapExtractor) re-entered as a SQL statement: the
+    // SESSION gap is a per-row CASE expression (purchases hold sessions
+    // open 60 min, everything else 30 min), routed by
+    // StreamSqlTime.groupWindow onto StreamOps.dynamicSessionAgg.
+    // Oracle: the same relational session reconstruction as q259.
+    "q354_stream_sql_dynamic_session" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("user_id"),
+                lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
+                  .cast("timestamp").as("ts"),
+                lit("zz_sentinel").as("event_type"))
+      val (in, out, ck) = stageOrdered(ev, "ts", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        StreamSql.registerStream("q354_v", src, tsCol = "ts",
+          delay = "1 second")
+        try {
+          val res = graft.operators.SqlFrontend.sql(s,
+            """SELECT user_id, COUNT(*) AS n_events
+               FROM q354_v
+               GROUP BY SESSION(ts, CASE WHEN event_type = 'purchase'
+                                         THEN INTERVAL '60' MINUTE
+                                         ELSE INTERVAL '30' MINUTE END),
+                        user_id""")
+          val q = res.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropStream("q354_v")
+      }
+      s.read.parquet(out).filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+             sum(col("n_events")).as("n_events"),
+             max(col("n_events")).as("max_session"))
+    }),
+
+    // COMPOSITE-key + CROSS-SIDE-residual streaming-SQL join: two
+    // churning per-(user_id, event_type) aggregate changelogs joined on
+    // BOTH key columns (one packed-struct state key — the reference's
+    // multi-field BinaryRowData key selector) with a residual comparing
+    // columns ACROSS the sides (l.sum_c > r.cnt * 10 — compiled into
+    // the operator's condition, the reference's generated
+    // JoinCondition). Aggregates churn per replayed batch, so pairs
+    // retract and re-emit; the final materialized state equals the
+    // batch dual joining the FINAL aggregates under the residual.
+    "q355_stream_sql_composite_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+        def agg(side: org.apache.spark.sql.DataFrame, v: EvRow => Double) =
+          Changelog.aggregateChangelog[(Long, String), EvRow](
+              side.select(col("user_id"), col("event_type"), col("cents"))
+                .as[EvRow].groupByKey(r => (r.user_id, r.event_type)),
+              _ => Changelog.Insert, v)
+            .map(a => (a.key._1, a.key._2, a.kind, a.sum))
+        StreamSql.registerChangelog("q355_l",
+          agg(src.filter(col("event_id") % 2 === 0), _.cents.toDouble)
+            .toDF("uid", "etype", "kind", "sum_c"), "kind")
+        StreamSql.registerChangelog("q355_r",
+          agg(src.filter(col("event_id") % 2 === 1), _ => 1.0)
+            .toDF("uid", "etype", "kind", "cnt"), "kind")
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT l.uid AS uid, l.etype AS etype,
+                      l.sum_c AS sum_c, r.cnt AS cnt
+               FROM q355_l l JOIN q355_r r
+               ON l.uid = r.uid AND l.etype = r.etype
+                  AND l.sum_c > r.cnt * 10""")
+          val q = j.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally {
+          StreamSql.dropChangelog("q355_l"); StreamSql.dropChangelog("q355_r")
+        }
+      }
+      Changelog.materialize(
+          s.read.parquet(out)
+            .withColumn("mid", concat_ws("|", col("uid"), col("etype"))),
+          "mid", "row_kind", "row_ord")
+        .select(col("uid"), col("etype"),
+                col("sum_c").cast("long").as("sum_c"),
+                col("cnt").cast("long").as("cnt"))
     })
   )
 
@@ -3677,6 +3776,61 @@ object ReplayQueries {
              CAST(floor(e.value * 100) AS BIGINT) AS pcents,
              k.s AS click_c
       FROM events e JOIN k ON e.user_id = k.user_id
-      WHERE e.event_type = 'purchase'"""
+      WHERE e.event_type = 'purchase'""",
+
+    // q259's session reconstruction verbatim — the SQL-text route must
+    // land on the identical dynamic-gap session windows
+    "q354_stream_sql_dynamic_session" -> """
+      WITH o AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 + CASE WHEN event_type = 'purchase'
+                        THEN 3600000000 ELSE 1800000000 END AS endu,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        FROM events),
+      m AS (
+        SELECT user_id, tu, rn,
+               max(endu) OVER (PARTITION BY user_id ORDER BY rn
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_end
+        FROM o),
+      f AS (
+        SELECT user_id,
+               CASE WHEN prev_end IS NULL OR tu > prev_end THEN 1 ELSE 0 END
+                 AS new_s, rn
+        FROM m),
+      sess AS (
+        SELECT user_id,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY rn
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS sid
+        FROM f),
+      per_sess AS (
+        SELECT user_id, sid, count(*) AS n_events
+        FROM sess GROUP BY user_id, sid)
+      SELECT user_id, count(*) AS n_sessions,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             CAST(max(n_events) AS BIGINT) AS max_session
+      FROM per_sess GROUP BY user_id""",
+
+    // final per-(user, type) aggregates joined on BOTH key columns
+    // under the cross-side residual
+    "q355_stream_sql_composite_join" -> """
+      WITH src AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events),
+      l AS (
+        SELECT user_id, event_type, sum(cents) AS sum_c
+        FROM src WHERE event_id % 2 = 0 GROUP BY 1, 2),
+      r AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM src WHERE event_id % 2 = 1 GROUP BY 1, 2)
+      SELECT l.user_id AS uid, l.event_type AS etype,
+             CAST(l.sum_c AS BIGINT) AS sum_c, CAST(r.cnt AS BIGINT) AS cnt
+      FROM l JOIN r ON l.user_id = r.user_id
+                   AND l.event_type = r.event_type
+                   AND l.sum_c > r.cnt * 10"""
   )
 }

@@ -87,12 +87,18 @@ import graft.operators.SqlFrontend
  *    updating tables). Either side may instead be a [[registerStream]]
  *    APPEND view — it lifts to a constant-+I changelog (an insert-only
  *    input is a changelog that never retracts, the reference's
- *    changelog-mode inference for mixed-domain joins). One key
- *    equality (composite keys: derive a
- *    single key column in the view); each residual conjunct must
- *    reference exactly ONE side (qualified by its alias) and is applied
- *    as a changelog-preserving filter on that view — both-side
- *    residuals need the Scala API's `cond` lambda. Projection items
+ *    changelog-mode inference for mixed-domain joins). The ON clause
+ *    takes ONE OR MORE cross-side key equalities — multiple
+ *    equalities form a COMPOSITE state key (per-pair type
+ *    normalization, packed as one canonical struct image — the
+ *    reference's multi-field BinaryRowData key selector) — plus any
+ *    residual conjuncts: a single-side residual on a non-preserved
+ *    side applies as a changelog-preserving pre-join filter on that
+ *    view (shrinks join state); both-side residuals, and residuals on
+ *    a PRESERVED outer side, compile into the join operator's
+ *    condition over the packed payloads (the reference's generated
+ *    JoinCondition — a failing preserved-side row still emits
+ *    null-padded, exact SQL ON semantics). Projection items
  *    must be alias-qualified (`a.col`, `b.col` — both sides may share
  *    column names) and `*` is rejected; outer-side columns null-pad
  *    exactly like the batch join.
@@ -643,13 +649,128 @@ object StreamSql {
   private def encodeView[K: scala.reflect.runtime.universe.TypeTag](
       df: DataFrame, kindCol: String,
       keyCol: String, keyCast: String,
-      preCast: Option[String] = None): Dataset[(K, String, Changelog.Bin)] = {
+      preCast: Option[String] = None): Dataset[(K, String, Changelog.Bin)] =
+    encodeViewKeyed[K](df, kindCol,
+      preCast.foldLeft(col(keyCol))((c, t) => c.cast(t)).cast(keyCast))
+
+  /** [[encodeView]]'s primitive: the state key as an arbitrary Column
+    * expression over the view (single keys cast their column; COMPOSITE
+    * keys pack the normalized key struct — [[compositeKey]]). */
+  private def encodeViewKeyed[K: scala.reflect.runtime.universe.TypeTag](
+      df: DataFrame, kindCol: String,
+      key: Column): Dataset[(K, String, Changelog.Bin)] = {
     implicit val enc3: Encoder[(K, String, Changelog.Bin)] = ExpressionEncoder()
     val payload = df.columns.filterNot(_ == kindCol).toSeq
-    val key = preCast.foldLeft(col(keyCol))((c, t) => c.cast(t))
-    df.select(key.cast(keyCast), col(kindCol).cast("string"),
+    df.select(key, col(kindCol).cast("string"),
               Changelog.packPayload(payload))
       .as[(K, String, Changelog.Bin)]
+  }
+
+  /** Canonical COMPOSITE state key: the per-pair-normalized key columns
+    * packed as ONE struct's canonical UnsafeRow image
+    * ([[graft.plans.StructPack]] — equal values ⇒ equal bytes, the
+    * StructTransportSpec canonicity property), base64'd into the String
+    * key domain. The reference keys multi-column joins the same way —
+    * one BinaryRowData key selector over the key fields
+    * (flink-table/flink-table-planner-blink KeySelectorUtil /
+    * BinaryRowDataKeySelector) — not by concatenating text (separator
+    * collisions) or hashing (silent collisions). Null fields never
+    * reach here: [[nullKeyGuard]] runs per key column first. */
+  private def compositeKey(cols: Seq[Column]): Column =
+    base64(org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.plans.StructPack(org.apache.spark.sql.graftbridge.Bridge
+        .expression(struct(cols: _*)))))
+
+  /** [[joinKeyEnc]]'s coercion table applied to ONE `l.k = r.k` pair of
+    * a composite key: both integral → long; same type → as-is; mixed
+    * numeric → double (exact to 2^53); anything else rejects loudly. */
+  private def pairCastType(lt: org.apache.spark.sql.types.DataType,
+                           rt: org.apache.spark.sql.types.DataType,
+                           pair: String): Option[String] = {
+    import org.apache.spark.sql.types.NumericType
+    if (isIntegralType(lt) && isIntegralType(rt)) Some("long")
+    else if (lt == rt) None
+    else if (lt.isInstanceOf[NumericType] && rt.isInstanceOf[NumericType])
+      Some("double")
+    else throw new IllegalArgumentException(
+      s"streaming join key pair '$pair' types differ (${lt.simpleString} " +
+      s"vs ${rt.simpleString}) and share no canonical key form — derive " +
+      "a common-typed key column in the views")
+  }
+
+  /** A compiled residual condition over BOTH sides' packed payloads —
+    * the SQL surface of the join operators' `cond` lambda (the
+    * reference's generated JoinCondition,
+    * flink-table/flink-table-planner-blink/src/main/scala/org/apache/
+    * flink/table/planner/codegen/JoinCondType — consumed by
+    * StreamingJoinOperator). The Catalyst predicate compiles lazily
+    * once per task (codegen'd objects are not serializable — the
+    * StructPack/RowPacker discipline) and evaluates on a JoinedRow over
+    * the two UnsafeRow payload images, zero-copy `pointTo`.
+    * Three-valued logic: a NULL result is NOT a match — SQL ON
+    * semantics, and BasePredicate.eval already folds null → false. */
+  private final class BinJoinCond(
+      lFields: Int, rFields: Int,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+    extends ((Changelog.Bin, Changelog.Bin) => Boolean) with Serializable {
+    @transient private lazy val pred = {
+      val p = org.apache.spark.sql.catalyst.expressions.Predicate
+        .create(cond, out.toList)
+      p.initialize(0)
+      p
+    }
+    @transient private lazy val jr =
+      new org.apache.spark.sql.catalyst.expressions.JoinedRow
+    override def apply(l: Changelog.Bin, r: Changelog.Bin): Boolean = {
+      val lr = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(lFields)
+      lr.pointTo(l.bytes, l.bytes.length)
+      val rr = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(rFields)
+      rr.pointTo(r.bytes, r.bytes.length)
+      pred.eval(jr(lr, rr))
+    }
+  }
+
+  /** Compile CROSS-SIDE residual conjuncts into the operators' `cond`
+    * lambda: side qualifiers rewrite to side-tagged column names
+    * (literal-opaque), the predicate resolves through the REAL analyzer
+    * over an empty relation of the two payload schemas (full
+    * function/coercion surface, not a hand-rolled resolver), and the
+    * resolved condition ships with the relation's output attributes so
+    * [[BinJoinCond]] binds it to the concatenated (left ++ right)
+    * payload layout its JoinedRow presents. */
+  private def compileResidualCond(
+      spark: SparkSession,
+      lSchema: org.apache.spark.sql.types.StructType,
+      rSchema: org.apache.spark.sql.types.StructType,
+      lQuals: Seq[String], rQuals: Seq[String],
+      residuals: Seq[String]): (Changelog.Bin, Changelog.Bin) => Boolean = {
+    def tag(e: String): String = SqlFrontend.rewriteOutsideLiterals(e) { t =>
+      val lp = lQuals.map(java.util.regex.Pattern.quote).mkString("|")
+      val rp = rQuals.map(java.util.regex.Pattern.quote).mkString("|")
+      t.replaceAll(s"(?i)\\b($lp)\\s*\\.\\s*", "__l_")
+       .replaceAll(s"(?i)\\b($rp)\\s*\\.\\s*", "__r_")
+    }
+    val text = residuals.map(r => s"(${tag(r)})").mkString(" AND ")
+    val schema = org.apache.spark.sql.types.StructType(
+      lSchema.fields.map(f => f.copy(name = "__l_" + f.name)) ++
+      rSchema.fields.map(f => f.copy(name = "__r_" + f.name)))
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val analyzed =
+      try empty.filter(expr(text)).queryExecution.analyzed
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"JOIN residual does not resolve against the two views' " +
+          s"payload columns (every column reference must be qualified " +
+          s"with its side's alias): ${residuals.mkString(" AND ")}", e)
+      }
+    val (condE, out) = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        (f.condition, f.child.output)
+    }.getOrElse(throw new IllegalStateException(
+      s"residual analysis produced no Filter node: $text"))
+    new BinJoinCond(lSchema.length, rSchema.length, condE, out)
   }
 
   private def isIntegralType(dt: org.apache.spark.sql.types.DataType): Boolean =
@@ -1304,32 +1425,40 @@ object StreamSql {
     val eqRe = s"(?s)^$qual\\s*=\\s*$qual$$".r
     def isL(q: String) = q.equalsIgnoreCase(lAlias) || q.equalsIgnoreCase(lName)
     def isR(q: String) = q.equalsIgnoreCase(rAlias) || q.equalsIgnoreCase(rName)
-    var lKey: String = null
-    var rKey: String = null
+    // cross-side column equalities form the (possibly COMPOSITE) state
+    // key — the reference's JoinInfo pair extraction; everything else
+    // is a residual
+    val keyPairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val residuals = scala.collection.mutable.ArrayBuffer.empty[String]
     conj.foreach {
       case c @ eqRe(q1, c1, q2, c2)
           if (isL(q1) && isR(q2)) || (isR(q1) && isL(q2)) =>
-        require(lKey == null, s"streaming JOIN supports ONE key equality " +
-          s"(derive a composite key column in the view): $onClause")
-        if (isL(q1)) { lKey = c1; rKey = c2 }
-        else { lKey = c2; rKey = c1 }
+        if (isL(q1)) keyPairs += ((c1, c2)) else keyPairs += ((c2, c1))
         val _ = c
       case resid => residuals += resid
     }
-    require(lKey != null,
-      s"streaming JOIN needs an <left>.k = <right>.k equality: $onClause")
+    require(keyPairs.nonEmpty,
+      s"streaming JOIN needs at least one <left>.k = <right>.k " +
+      s"equality: $onClause")
 
-    // each residual references exactly one side → changelog-preserving
-    // filter on that view (a stateless deterministic predicate over the
-    // payload commutes with retraction — object doc); both-side
-    // residuals need the Scala API's cond lambda. On an OUTER join the
-    // residual's side must NOT be a preserved side: an ON predicate on
-    // the preserved side only disqualifies the MATCH (the row still
-    // emits null-padded), whereas a pre-join filter would drop the row
-    // entirely — so LEFT accepts only right-side residuals, RIGHT only
-    // left-side, FULL none (standard SQL ON semantics; put the
-    // predicate in the downstream consumer or the Scala API's cond).
+    val lPayload = lv.df.columns.filterNot(_ == lv.kindCol).toSeq
+    val rPayload = rv.df.columns.filterNot(_ == rv.kindCol).toSeq
+    val lSchema = lv.df.select(lPayload.map(col): _*).schema
+    val rSchema = rv.df.select(rPayload.map(col): _*).schema
+
+    // Residual routing (the reference evaluates ALL residuals in the
+    // generated JoinCondition inside the operator; this router keeps
+    // the cheaper plan where semantics allow it):
+    //  - a single-side residual on a NON-preserved side → a
+    //    changelog-preserving pre-join filter on that view (a stateless
+    //    deterministic predicate over the payload commutes with
+    //    retraction — object doc), which also shrinks join state;
+    //  - everything else — both-side residuals, and single-side
+    //    residuals on a PRESERVED outer side (an ON predicate there
+    //    disqualifies the MATCH while the row still emits null-padded,
+    //    which no pre-join filter can express) — compiles into the join
+    //    operators' `cond` lambda over the packed payloads
+    //    ([[compileResidualCond]]), exactly the reference's semantics.
     def refs(e: String, a: String, n: String): Boolean =
       e.matches("(?is).*\\b(" + java.util.regex.Pattern.quote(a) + "|" +
         java.util.regex.Pattern.quote(n) + ")\\s*\\..*")
@@ -1341,51 +1470,76 @@ object StreamSql {
     }
     var lf = lv.df
     var rf = rv.df
+    val condResiduals = scala.collection.mutable.ArrayBuffer.empty[String]
     residuals.foreach { resid =>
       val onL = refs(resid, lAlias, lName)
       val onR = refs(resid, rAlias, rName)
-      require(onL ^ onR, s"JOIN residual '$resid' must reference exactly " +
-        "one side, qualified with its alias (both-side residuals need " +
-        "the Scala API's cond lambda)")
-      require(!(onL && padsLeft) && !(onR && padsRight),
-        s"ON residual '$resid' sits on a PRESERVED side of this $jt " +
-        "OUTER join: it would have to disqualify matches while keeping " +
-        "the row null-padded, which a pre-join filter cannot express — " +
-        "use the Scala API's cond lambda (or filter the join result)")
-      if (onL) lf = lf.filter(expr(strip(resid, Seq(lAlias, lName))))
-      else rf = rf.filter(expr(strip(resid, Seq(rAlias, rName))))
+      require(onL || onR, s"JOIN residual '$resid' references neither " +
+        "side — qualify every column with its view alias")
+      if (onL && !onR && !padsLeft)
+        lf = lf.filter(expr(strip(resid, Seq(lAlias, lName))))
+      else if (onR && !onL && !padsRight)
+        rf = rf.filter(expr(strip(resid, Seq(rAlias, rName))))
+      else condResiduals += resid
     }
+    val cond: (Changelog.Bin, Changelog.Bin) => Boolean =
+      if (condResiduals.isEmpty) (_, _) => true
+      else compileResidualCond(spark, lSchema, rSchema,
+        Seq(lAlias, lName), Seq(rAlias, rName), condResiduals.toSeq)
 
     // null keys never match: filtered on non-preserved sides, rejected
     // loudly on preserved sides (a null-keyed preserved row should emit
-    // null-padded, which the keyed-state operator doesn't model)
-    val lg = nullKeyGuard(lf, lKey, affectsOutput = padsLeft, s"$jt JOIN")
-    val rg = nullKeyGuard(rf, rKey, affectsOutput = padsRight, s"$jt JOIN")
+    // null-padded, which the keyed-state operator doesn't model);
+    // composite keys guard EVERY key column (SQL: one null field fails
+    // the whole conjunction)
+    val lg = keyPairs.foldLeft(lf)((d, p) =>
+      nullKeyGuard(d, p._1, affectsOutput = padsLeft, s"$jt JOIN"))
+    val rg = keyPairs.foldLeft(rf)((d, p) =>
+      nullKeyGuard(d, p._2, affectsOutput = padsRight, s"$jt JOIN"))
     def run[K: scala.reflect.runtime.universe.TypeTag](
-        cast: String, pre: Option[String]): DataFrame = {
-      val lds = encodeView[K](lg, lv.kindCol, lKey, cast, pre)
-      val rds = encodeView[K](rg, rv.kindCol, rKey, cast, pre)
+        lKeyC: Column, rKeyC: Column): DataFrame = {
+      val lds = encodeViewKeyed[K](lg, lv.kindCol, lKeyC)
+      val rds = encodeViewKeyed[K](rg, rv.kindCol, rKeyC)
       jt match {
-        case "INNER" => Changelog.joinChangelog(lds, rds, ttl = ttl).toDF()
+        case "INNER" => Changelog.joinChangelog(lds, rds, cond, ttl).toDF()
         case "LEFT" =>
-          Changelog.joinChangelogOuter(lds, rds, Changelog.LeftOuter, ttl = ttl).toDF()
+          Changelog.joinChangelogOuter(lds, rds, Changelog.LeftOuter,
+            cond, ttl).toDF()
         case "RIGHT" =>
-          Changelog.joinChangelogOuter(lds, rds, Changelog.RightOuter, ttl = ttl).toDF()
+          Changelog.joinChangelogOuter(lds, rds, Changelog.RightOuter,
+            cond, ttl).toDF()
         case _ =>
-          Changelog.joinChangelogOuter(lds, rds, Changelog.FullOuter, ttl = ttl).toDF()
+          Changelog.joinChangelogOuter(lds, rds, Changelog.FullOuter,
+            cond, ttl).toDF()
       }
     }
-    val joined: DataFrame = joinKeyEnc(lf, lKey, rf, rKey) match {
-      case LongKey => run[Long]("long", None)
-      case StringKey(pre) => run[String]("string", pre)
-    }
+    val joined: DataFrame =
+      if (keyPairs.length == 1) {
+        // single key: the classic typed path, bit-identical to prior
+        // rounds (Long state keys for integral columns)
+        val (lKey, rKey) = keyPairs.head
+        joinKeyEnc(lf, lKey, rf, rKey) match {
+          case LongKey =>
+            run[Long](col(lKey).cast("long"), col(rKey).cast("long"))
+          case StringKey(pre) =>
+            def k(c: String) =
+              pre.foldLeft(col(c))(_.cast(_)).cast("string")
+            run[String](k(lKey), k(rKey))
+        }
+      } else {
+        // composite key: per-pair normalization, one packed struct key
+        val casts = keyPairs.map { case (lc, rc) =>
+          pairCastType(lf.select(col(lc)).schema.head.dataType,
+                       rf.select(col(rc)).schema.head.dataType,
+                       s"$lc = $rc")
+        }
+        def k(names: Seq[String]) = compositeKey(
+          names.zip(casts).map { case (n, c) => c.foldLeft(col(n))(_.cast(_)) })
+        run[String](k(keyPairs.map(_._1).toSeq), k(keyPairs.map(_._2).toSeq))
+      }
 
     // decode each side with its view schema; an outer side's padded row
     // decodes to a null struct, so its columns null-pad like batch SQL
-    val lPayload = lv.df.columns.filterNot(_ == lv.kindCol).toSeq
-    val rPayload = rv.df.columns.filterNot(_ == rv.kindCol).toSeq
-    val lSchema = lv.df.select(lPayload.map(col): _*).schema
-    val rSchema = rv.df.select(rPayload.map(col): _*).schema
     val decoded = joined.select(
       Changelog.unpackPayload(col("left.bytes"), lSchema).as("__l"),
       Changelog.unpackPayload(col("right.bytes"), rSchema).as("__r"),

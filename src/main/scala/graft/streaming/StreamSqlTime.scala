@@ -157,6 +157,43 @@ object StreamSqlTime {
       s"expected INTERVAL '<n>' <unit>: $other")
   }
 
+  /** A dynamic SESSION gap expression as the Column
+    * [[StreamOps.dynamicSessionAgg]] needs. Spark's SessionWindowing
+    * rule accepts a per-row gap only as a duration STRING or a
+    * CalendarInterval — an INTERVAL literal inside the expression
+    * (e.g. `CASE … THEN INTERVAL '60' MINUTE`) is DayTimeIntervalType,
+    * which the rule rejects — so that case is normalized here: the
+    * interval lands on the epoch (`TIMESTAMP '1970-01-01' + gap` →
+    * `unix_micros`, exact integer micros for ANY day-time unit) and
+    * feeds `make_interval` as decimal seconds. Anything
+    * non-duration-shaped fails loudly with the supported forms. */
+  private def sessionGapCol(df: DataFrame, gapText: String): Column = {
+    val c = try expr(gapText) catch { case e: Exception =>
+      throw new IllegalArgumentException(
+        s"SESSION gap is neither an INTERVAL literal nor a parsable " +
+        s"expression: $gapText", e)
+    }
+    val dt = try df.select(c).schema.head.dataType
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new IllegalArgumentException(
+        s"SESSION gap expression does not resolve against the stream " +
+        s"view's columns: $gapText", e)
+    }
+    import org.apache.spark.sql.types.{StringType, DayTimeIntervalType,
+      CalendarIntervalType}
+    dt match {
+      case StringType | CalendarIntervalType => c
+      case _: DayTimeIntervalType =>
+        expr(s"make_interval(0, 0, 0, 0, 0, 0, CAST(" +
+             s"unix_micros(TIMESTAMP '1970-01-01 00:00:00' + ($gapText))" +
+             s" / 1000000.0 AS DECIMAL(18, 6)))")
+      case other => throw new IllegalArgumentException(
+        s"SESSION gap expression must produce a duration string, an " +
+        s"INTERVAL, or a CalendarInterval per row (got " +
+        s"${other.simpleString}): $gapText")
+    }
+  }
+
   /**
    * `SELECT <items> FROM S [WHERE p] GROUP BY TUMBLE(ts, INTERVAL …)
    * [, <key expr>…] [HAVING q]` (and HOP/SESSION) over a registered
@@ -175,6 +212,12 @@ object StreamSqlTime {
    * preserved: HOP(ts, slide, size). `*_START/_END` accessors must match
    * the window kind and project `window.start`/`window.end`; HAVING
    * filters the finalized windows (an append-stream filter — stateless).
+   * SESSION additionally accepts a per-row gap EXPRESSION in place of
+   * the INTERVAL literal (`SESSION(ts, CASE WHEN … THEN INTERVAL '60'
+   * MINUTE ELSE … END)`) — the reference's dynamic-gap session assigner
+   * (DynamicEventTimeSessionWindows + SessionWindowTimeGapExtractor),
+   * routed to [[StreamOps.dynamicSessionAgg]]; rows whose gap is ≤ 0 or
+   * null are dropped (both engines' documented extractor contract).
    */
   private[streaming] def groupWindow(spark: SparkSession,
                                      m: java.util.regex.Matcher): DataFrame = {
@@ -264,10 +307,24 @@ object StreamSqlTime {
         StreamOps.hopAgg(vdf, v.tsCol, ivStr(winArgs(2)), ivStr(winArgs(1)),
           v.delay, keyCols, aggCols.toSeq)
       case _ =>
-        require(winArgs.length == 2,
-          s"SESSION(ts, INTERVAL '<n>' <unit>): ${winParts.head}")
-        StreamOps.sessionAgg(vdf, v.tsCol, ivStr(winArgs(1)), v.delay,
-          keyCols, aggCols.toSeq)
+        require(winArgs.length >= 2,
+          s"SESSION(ts, <gap>): ${winParts.head}")
+        // SESSION's gap may be an INTERVAL literal (the static assigner)
+        // or any per-row EXPRESSION — the reference's dynamic-gap session
+        // assigner (STREAM/api/windowing/assigners/
+        // DynamicEventTimeSessionWindows.java takes a
+        // SessionWindowTimeGapExtractor); re-joined on ',' so gap
+        // expressions carrying top-level function commas parse
+        val gapText = winArgs.tail.mkString(", ").trim
+        gapText match {
+          case ivLitRe(_, _) =>
+            StreamOps.sessionAgg(vdf, v.tsCol, ivStr(gapText), v.delay,
+              keyCols, aggCols.toSeq)
+          case _ =>
+            StreamOps.dynamicSessionAgg(vdf, v.tsCol,
+              sessionGapCol(vdf, strip(gapText, quals)), v.delay,
+              keyCols, aggCols.toSeq)
+        }
     }
     val out = agged.select(slots.map {
       case KeySlot(i, alias) => col(s"__gw$i").as(alias)

@@ -319,18 +319,102 @@ class StreamSqlSpec extends AnyFunSuite {
     StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
   }
 
-  test("SQL JOIN rejects both-side residuals, bare *, and unregistered sides") {
+  test("SQL JOIN composite key: two equalities form one packed state key") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("jcl"); val rv = fresh("jcr")
+    val lmem = MemoryStream[CRow]; val rmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind")
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT a.value AS lv2, b.value AS rv2 FROM $lv a JOIN $rv b
+          ON a.key = b.key AND a.ord = b.ord""")
+    val sink = fresh("sql_cjoin")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData(CRow(1, "+I", 10.0, 5))
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "+I", 7.0, 6))  // key matches, ord differs → ∅
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "+I", 8.0, 5))  // both columns match → +I
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "-D", 8.0, 5))  // pair retracts
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).orderBy("row_ord")
+      .select("lv2", "rv2", "row_kind")
+      .as[(Double, Double, String)].collect().toList
+    assert(got == List((10.0, 8.0, "+I"), (10.0, 8.0, "-D")))
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+  }
+
+  test("SQL JOIN cross-side residual compiles into the operator condition") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("jxl"); val rv = fresh("jxr")
+    val lmem = MemoryStream[CRow]; val rmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind")
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT a.value AS lv2, b.value AS rv2 FROM $lv a JOIN $rv b
+          ON a.key = b.key AND a.value > b.value""")
+    val sink = fresh("sql_xjoin")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData(CRow(1, "+I", 10.0, 1))
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "+I", 12.0, 1)) // 10 > 12 fails → ∅
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "+I", 7.0, 2))  // 10 > 7 → +I
+      q.processAllAvailable()
+      lmem.addData(CRow(1, "-D", 10.0, 1)) // pair retracts (12-row never paired)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).orderBy("row_ord")
+      .select("lv2", "rv2", "row_kind")
+      .as[(Double, Double, String)].collect().toList
+    assert(got == List((10.0, 7.0, "+I"), (10.0, 7.0, "-D")))
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+  }
+
+  test("SQL LEFT JOIN preserved-side residual keeps failing rows null-padded") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("jpl"); val rv = fresh("jpr")
+    val lmem = MemoryStream[CRow]; val rmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind")
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    // a.value > 5 sits on the PRESERVED side: it may only disqualify
+    // matches — failing left rows must still emit null-padded (exact
+    // SQL ON semantics; a pre-join filter would drop them entirely)
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT a.value AS lv2, b.value AS rv2 FROM $lv a LEFT JOIN $rv b
+          ON a.key = b.key AND a.value > 5""")
+    val sink = fresh("sql_pjoin")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData(CRow(1, "+I", 3.0, 1))  // fails residual → padded +I
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "+I", 7.0, 1))  // still fails → padded row stays
+      q.processAllAvailable()
+      lmem.addData(CRow(1, "+I", 10.0, 2)) // passes → immediate pair
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).orderBy("row_ord")
+      .select("lv2", "rv2", "row_kind")
+      .as[(Double, Option[Double], String)].collect().toList
+    // the pair arrives as +U: the key's join result was already live
+    // (the padded 3.0 row), so it is an update, not a 0→1 insert
+    assert(got == List((3.0, None, "+I"), (10.0, Some(7.0), "+U")))
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+  }
+
+  test("SQL JOIN rejects bare *, unregistered sides, and bad residual/key shapes") {
     implicit val sc = spark.sqlContext
     val lv = fresh("jel"); val rv = fresh("jer")
     val mem = MemoryStream[CRow]
     StreamSql.registerChangelog(lv, mem.toDS().toDF(), kindCol = "kind")
     StreamSql.registerChangelog(rv, mem.toDS().toDF(), kindCol = "kind")
-    val e1 = intercept[IllegalArgumentException] {
-      SqlFrontend.sql(spark,
-        s"""SELECT a.value AS v FROM $lv a JOIN $rv b
-            ON a.key = b.key AND a.value > b.value""")
-    }
-    assert(e1.getMessage.contains("exactly one side"))
     val e2 = intercept[IllegalArgumentException] {
       SqlFrontend.sql(spark, s"SELECT * FROM $lv a JOIN $rv b ON a.key = b.key")
     }
@@ -340,16 +424,21 @@ class StreamSqlSpec extends AnyFunSuite {
         s"SELECT a.value AS v FROM $lv a JOIN not_registered b ON a.key = b.key")
     }
     assert(e3.getMessage.contains("unregistered"))
-    // preserved-side ON residual on an outer join: a pre-join filter
-    // would drop rows batch SQL null-pads — must be rejected
+    // a residual referencing NEITHER side (unqualified) is ambiguous
     val e4 = intercept[IllegalArgumentException] {
       SqlFrontend.sql(spark,
-        s"""SELECT a.value AS v, b.value AS w FROM $lv a LEFT JOIN $rv b
-            ON a.key = b.key AND a.value > 5""")
+        s"""SELECT a.value AS v FROM $lv a JOIN $rv b
+            ON a.key = b.key AND value > 5""")
     }
-    assert(e4.getMessage.contains("PRESERVED side"))
-    // ...but the same residual is fine on the non-preserved side, and
-    // on an INNER join on either side
+    assert(e4.getMessage.contains("neither side"))
+    // a composite key pair with no canonical common type rejects
+    val e4b = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark,
+        s"""SELECT a.value AS v FROM $lv a JOIN $rv b
+            ON a.key = b.key AND a.value = b.kind""")
+    }
+    assert(e4b.getMessage.contains("no canonical key form"))
+    // single-side residuals still pre-filter on non-preserved sides
     assert(SqlFrontend.sql(spark,
       s"""SELECT a.value AS v FROM $lv a LEFT JOIN $rv b
           ON a.key = b.key AND b.value > 5""").columns.contains("row_kind"))

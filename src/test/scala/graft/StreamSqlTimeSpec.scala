@@ -533,6 +533,50 @@ class StreamSqlTimeSpec extends AnyFunSuite {
     assert(gotSql == gotApi && gotSql.nonEmpty)
   }
 
+  test("SQL SESSION with an expression gap routes to dynamicSessionAgg") {
+    // per-row gap: 'a' rows hold sessions open 5 s, others 2 s. The
+    // INTERVAL CASE form is DayTimeIntervalType — the router normalizes
+    // it to a CalendarInterval (gap / INTERVAL '1' SECOND →
+    // make_interval); the string-duration form routes directly.
+    val gotApi = runGwStream((_, df) => graft.streaming.StreamOps
+        .dynamicSessionAgg(df, "ets",
+          when($"k" === "a", "5 seconds").otherwise("2 seconds"),
+          "1 second", Seq(col("k")), Seq(count(lit(1)).as("n")))
+        .select($"k".as("kk"), $"n"))
+      .filter($"kk" =!= "zz")
+      .select($"kk", $"n").as[(String, Long)].collect().toList.sorted
+    val gotSql = runGwStream((vn, _) => SqlFrontend.sql(spark,
+      s"""SELECT k AS kk, COUNT(*) AS n
+          FROM $vn GROUP BY SESSION(ets, CASE WHEN k = 'a'
+                                              THEN INTERVAL '5' SECOND
+                                              ELSE INTERVAL '2' SECOND END), k"""))
+      .filter($"kk" =!= "zz")
+      .select($"kk", $"n").as[(String, Long)].collect().toList.sorted
+    assert(gotSql == gotApi && gotSql.nonEmpty)
+    val gotStr = runGwStream((vn, _) => SqlFrontend.sql(spark,
+      s"""SELECT k AS kk, COUNT(*) AS n
+          FROM $vn GROUP BY SESSION(ets, CASE WHEN k = 'a'
+                                              THEN '5 seconds'
+                                              ELSE '2 seconds' END), k"""))
+      .filter($"kk" =!= "zz")
+      .select($"kk", $"n").as[(String, Long)].collect().toList.sorted
+    assert(gotStr == gotApi)
+    // a non-duration gap expression rejects loudly at routing time
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Double, Long)]
+    val df = mem.toDS().select($"_1".as("k"), $"_2".as("v"),
+      timestamp_millis($"_3" + base).as("ets"))
+    val vn = fresh("gwdyn")
+    StreamSql.registerStream(vn, df, tsCol = "ets", delay = "1 second")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SqlFrontend.sql(spark,
+          s"SELECT k AS kk, COUNT(*) AS n FROM $vn GROUP BY SESSION(ets, v), k")
+      }
+      assert(e.getMessage.contains("duration"))
+    } finally StreamSql.dropStream(vn)
+  }
+
   test("window-agg SQL output chains into the changelog Top-N (cross-domain)") {
     // statement 1: native watermarked TUMBLE aggregate (append mode);
     // its insert-only output registers as a changelog view feeding
