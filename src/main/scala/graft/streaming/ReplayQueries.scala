@@ -2629,6 +2629,57 @@ object ReplayQueries {
         .select(col("uid"), col("etype"),
                 col("sum_c").cast("long").as("sum_c"),
                 col("cnt").cast("long").as("cnt"))
+    }),
+
+    // NOT EXISTS with a COMPOSITE key and a CROSS-SIDE residual: q355's
+    // two churning aggregates through the anti route — the residual
+    // references the OUTER row, so it evaluates in the operator's
+    // condition (a failing outer row must still EMIT under NOT EXISTS;
+    // no pre-filter can express that). Final state = final outer
+    // aggregates with NO inner partner satisfying the residual.
+    "q356_stream_sql_exists_residual" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+        def agg(side: org.apache.spark.sql.DataFrame, v: EvRow => Double) =
+          Changelog.aggregateChangelog[(Long, String), EvRow](
+              side.select(col("user_id"), col("event_type"), col("cents"))
+                .as[EvRow].groupByKey(r => (r.user_id, r.event_type)),
+              _ => Changelog.Insert, v)
+            .map(a => (a.key._1, a.key._2, a.kind, a.sum))
+        StreamSql.registerChangelog("q356_l",
+          agg(src.filter(col("event_id") % 2 === 0), _.cents.toDouble)
+            .toDF("uid", "etype", "kind", "sum_c"), "kind")
+        StreamSql.registerChangelog("q356_r",
+          agg(src.filter(col("event_id") % 2 === 1), _ => 1.0)
+            .toDF("uid", "etype", "kind", "cnt"), "kind")
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT l.uid AS uid, l.etype AS etype, l.sum_c AS sum_c
+               FROM q356_l l
+               WHERE NOT EXISTS (SELECT 1 FROM q356_r r
+                                 WHERE r.uid = l.uid AND r.etype = l.etype
+                                   AND l.sum_c > r.cnt * 3000)""")
+          val q = j.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally {
+          StreamSql.dropChangelog("q356_l"); StreamSql.dropChangelog("q356_r")
+        }
+      }
+      Changelog.materialize(
+          s.read.parquet(out)
+            .withColumn("mid", concat_ws("|", col("uid"), col("etype"))),
+          "mid", "row_kind", "row_ord")
+        .select(col("uid"), col("etype"),
+                col("sum_c").cast("long").as("sum_c"))
     })
   )
 
@@ -3831,6 +3882,25 @@ object ReplayQueries {
              CAST(l.sum_c AS BIGINT) AS sum_c, CAST(r.cnt AS BIGINT) AS cnt
       FROM l JOIN r ON l.user_id = r.user_id
                    AND l.event_type = r.event_type
-                   AND l.sum_c > r.cnt * 10"""
+                   AND l.sum_c > r.cnt * 10""",
+
+    // final outer aggregates with NO inner partner under the residual
+    "q356_stream_sql_exists_residual" -> """
+      WITH src AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events),
+      l AS (
+        SELECT user_id, event_type, sum(cents) AS sum_c
+        FROM src WHERE event_id % 2 = 0 GROUP BY 1, 2),
+      r AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM src WHERE event_id % 2 = 1 GROUP BY 1, 2)
+      SELECT l.user_id AS uid, l.event_type AS etype,
+             CAST(l.sum_c AS BIGINT) AS sum_c
+      FROM l WHERE NOT EXISTS (
+        SELECT 1 FROM r
+        WHERE r.user_id = l.user_id AND r.event_type = l.event_type
+          AND l.sum_c > r.cnt * 3000)"""
   )
 }

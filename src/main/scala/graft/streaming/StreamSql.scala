@@ -46,14 +46,19 @@ import graft.operators.SqlFrontend
  *
  *  - `SELECT <items> FROM V [AS a]
  *     WHERE [NOT] EXISTS (SELECT … FROM W [AS b]
- *                         WHERE b.k = a.k [AND <W-side residual>…])`
- *    → semi/anti changelog join on the single key equality; residual
- *    conjuncts must reference ONLY the inner view and are applied as a
- *    changelog-preserving filter on it (a stateless predicate commutes
- *    with retraction: dropping a payload's -U/+U pair on both sides of
- *    a threshold crossing is exactly the filtered view's changelog —
- *    how the reference plans WHERE on updating tables). Residuals over
- *    BOTH sides need the Scala API's `cond` lambda.
+ *                         WHERE b.k = a.k [AND b.k2 = a.k2…]
+ *                         [AND <residual>…])`
+ *    → semi/anti changelog join; multiple key equalities form a
+ *    COMPOSITE state key (one packed struct image — the joinStmt
+ *    discipline). A residual referencing only the INNER view applies
+ *    as a changelog-preserving filter on it (a stateless predicate
+ *    commutes with retraction: dropping a payload's -U/+U pair on both
+ *    sides of a threshold crossing is exactly the filtered view's
+ *    changelog — how the reference plans WHERE on updating tables);
+ *    residuals over the OUTER row (alone or with inner columns)
+ *    compile into the operator's condition over the packed payloads —
+ *    on NOT EXISTS a failing outer row must still emit, which no
+ *    pre-filter can express.
  *  - `SELECT <items> FROM (
  *       SELECT <expr AS name>…, ROW_NUMBER() OVER (
  *         PARTITION BY <g> ORDER BY <s> [ASC|DESC] [, <rowId>]) AS rn
@@ -1317,52 +1322,91 @@ object StreamSql {
     val conj = splitAnd(innerWhere)
     val qual = "(\\w+)\\.(\\w+)"
     val eqRe = s"(?s)^$qual\\s*=\\s*$qual$$".r
-    var lKey: String = null
-    var rKey: String = null
+    // cross-side equalities form the (possibly COMPOSITE) state key —
+    // the joinStmt discipline applied to the semi/anti route
+    val keyPairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val residuals = scala.collection.mutable.ArrayBuffer.empty[String]
     conj.foreach {
       case c @ eqRe(q1, c1, q2, c2)
           if (q1.equalsIgnoreCase(lAlias) && q2.equalsIgnoreCase(rAlias)) ||
              (q1.equalsIgnoreCase(rAlias) && q2.equalsIgnoreCase(lAlias)) =>
-        require(lKey == null, s"streaming EXISTS supports ONE key equality " +
-          s"(derive a composite key column in the view): $innerWhere")
-        if (q1.equalsIgnoreCase(lAlias)) { lKey = c1; rKey = c2 }
-        else { lKey = c2; rKey = c1 }
+        if (q1.equalsIgnoreCase(lAlias)) keyPairs += ((c1, c2))
+        else keyPairs += ((c2, c1))
         val _ = c
       case resid => residuals += resid
     }
-    require(lKey != null,
-      s"streaming EXISTS needs a <outer>.k = <inner>.k equality: $innerWhere")
+    require(keyPairs.nonEmpty,
+      s"streaming EXISTS needs at least one <outer>.k = <inner>.k " +
+      s"equality: $innerWhere")
 
-    // residuals: inner-side-only predicates, applied as a
-    // changelog-preserving filter on the right view (see object doc)
-    val rFiltered = residuals.foldLeft(rv.df) { (df, resid) =>
-      val stripped = strip(resid, Seq(rAlias, rName))
-      try df.filter(expr(stripped))
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalArgumentException(
-          s"EXISTS residual '$resid' must reference only the inner view " +
-          s"'$rName' (both-side residuals need the Scala API cond lambda)", e)
-      }
+    val lPayloadCols = lv.df.columns.filterNot(_ == lv.kindCol).toSeq
+    val rPayloadCols = rv.df.columns.filterNot(_ == rv.kindCol).toSeq
+    val lPaySchema = lv.df.select(lPayloadCols.map(col): _*).schema
+    val rPaySchema = rv.df.select(rPayloadCols.map(col): _*).schema
+
+    // Residual routing: an INNER-side-only predicate pre-filters the
+    // right view (changelog-preserving, shrinks state — see object
+    // doc); a residual referencing the OUTER row (alone or with inner
+    // columns) CANNOT pre-filter either side — on NOT EXISTS a failing
+    // outer row must still EMIT (the subquery is empty for it), and a
+    // pre-filter would drop it — so it compiles into the semi/anti
+    // operators' condition over the packed payloads (the reference's
+    // generated JoinCondition in StreamingSemiAntiJoinOperator).
+    def refsSide(e: String, a: String, n: String): Boolean =
+      e.matches("(?is).*\\b(" + java.util.regex.Pattern.quote(a) + "|" +
+        java.util.regex.Pattern.quote(n) + ")\\s*\\..*")
+    var rFiltered = rv.df
+    val condResiduals = scala.collection.mutable.ArrayBuffer.empty[String]
+    residuals.foreach { resid =>
+      val onL = refsSide(resid, lAlias, lName)
+      val onR = refsSide(resid, rAlias, rName)
+      require(onL || onR, s"EXISTS residual '$resid' references neither " +
+        "side — qualify every column with its view alias")
+      if (onR && !onL) rFiltered = rFiltered.filter(
+        expr(strip(resid, Seq(rAlias, rName))))
+      else condResiduals += resid
     }
+    val cond: (Changelog.Bin, Changelog.Bin) => Boolean =
+      if (condResiduals.isEmpty) (_, _) => true
+      else compileResidualCond(spark, lPaySchema, rPaySchema,
+        Seq(lAlias, lName), Seq(rAlias, rName), condResiduals.toSeq)
 
     // null keys: the inner side never matches (filter); a null-keyed
     // OUTER row flips the NOT EXISTS result, which the keyed operator
     // doesn't model — semi filters it (EXISTS is false anyway), anti
-    // rejects it loudly
-    val lGuarded = nullKeyGuard(lv.df, lKey, affectsOutput = anti, "EXISTS")
-    val rGuarded = nullKeyGuard(rFiltered, rKey, affectsOutput = false, "EXISTS")
+    // rejects it loudly. Composite keys guard EVERY key column.
+    val lGuarded = keyPairs.foldLeft(lv.df)((d, p) =>
+      nullKeyGuard(d, p._1, affectsOutput = anti, "EXISTS"))
+    val rGuarded = keyPairs.foldLeft(rFiltered)((d, p) =>
+      nullKeyGuard(d, p._2, affectsOutput = false, "EXISTS"))
     def run[K: scala.reflect.runtime.universe.TypeTag](
-        cast: String, pre: Option[String]): DataFrame = {
-      val lds = encodeView[K](lGuarded, lv.kindCol, lKey, cast, pre)
-      val rds = encodeView[K](rGuarded, rv.kindCol, rKey, cast, pre)
-      (if (anti) Changelog.joinChangelogAnti(lds, rds, ttl = ttl)
-       else Changelog.joinChangelogSemi(lds, rds, ttl = ttl)).toDF()
+        lKeyC: Column, rKeyC: Column): DataFrame = {
+      val lds = encodeViewKeyed[K](lGuarded, lv.kindCol, lKeyC)
+      val rds = encodeViewKeyed[K](rGuarded, rv.kindCol, rKeyC)
+      (if (anti) Changelog.joinChangelogAnti(lds, rds, cond, ttl)
+       else Changelog.joinChangelogSemi(lds, rds, cond, ttl)).toDF()
     }
-    val joined = joinKeyEnc(lv.df, lKey, rFiltered, rKey) match {
-      case LongKey => run[Long]("long", None)
-      case StringKey(pre) => run[String]("string", pre)
-    }
+    val joined: DataFrame =
+      if (keyPairs.length == 1) {
+        val (lKey, rKey) = keyPairs.head
+        joinKeyEnc(lv.df, lKey, rFiltered, rKey) match {
+          case LongKey =>
+            run[Long](col(lKey).cast("long"), col(rKey).cast("long"))
+          case StringKey(pre) =>
+            def k(c: String) =
+              pre.foldLeft(col(c))(_.cast(_)).cast("string")
+            run[String](k(lKey), k(rKey))
+        }
+      } else {
+        val casts = keyPairs.map { case (lc, rc) =>
+          pairCastType(lv.df.select(col(lc)).schema.head.dataType,
+                       rFiltered.select(col(rc)).schema.head.dataType,
+                       s"$lc = $rc")
+        }
+        def k(names: Seq[String]) = compositeKey(
+          names.zip(casts).map { case (n, c) => c.foldLeft(col(n))(_.cast(_)) })
+        run[String](k(keyPairs.map(_._1).toSeq), k(keyPairs.map(_._2).toSeq))
+      }
 
     val lPayload = lv.df.columns.filterNot(_ == lv.kindCol).toSeq
     val schema = lv.df.select(lPayload.map(col): _*).schema

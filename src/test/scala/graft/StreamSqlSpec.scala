@@ -81,6 +81,66 @@ class StreamSqlSpec extends AnyFunSuite {
     StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
   }
 
+  test("SQL EXISTS composite key + cross-side residual evaluate in the operator") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("cel"); val rv = fresh("cer")
+    val lmem = MemoryStream[CRow]; val rmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind")
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    // two equalities → one packed composite key; the residual compares
+    // the OUTER row against the inner one → operator condition
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT key AS k, value AS v FROM $lv
+          WHERE EXISTS (SELECT 1 FROM $rv
+                        WHERE $rv.key = $lv.key AND $rv.ord = $lv.ord
+                          AND $lv.value > $rv.value)""")
+    val sink = fresh("sql_csemi")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData(CRow(1, "+I", 10.0, 5))
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "+I", 12.0, 5)) // 10 > 12 fails → ∅
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "+I", 7.0, 6))  // ord differs → ∅
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "+I", 7.0, 5))  // both keys + residual → +I
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).orderBy("row_ord")
+      .select("k", "v", "row_kind").as[(Long, Double, String)].collect().toList
+    assert(got == List((1L, 10.0, "+I")))
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+  }
+
+  test("SQL NOT EXISTS cross-side residual keeps failing outer rows emitting") {
+    implicit val sc = spark.sqlContext
+    val lv = fresh("cal"); val rv = fresh("car")
+    val lmem = MemoryStream[CRow]; val rmem = MemoryStream[CRow]
+    StreamSql.registerChangelog(lv, lmem.toDS().toDF(), kindCol = "kind")
+    StreamSql.registerChangelog(rv, rmem.toDS().toDF(), kindCol = "kind")
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT value AS v FROM $lv
+          WHERE NOT EXISTS (SELECT 1 FROM $rv
+                            WHERE $rv.key = $lv.key
+                              AND $lv.value > $rv.value)""")
+    val sink = fresh("sql_canti")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData(CRow(1, "+I", 10.0, 1)) // no inner rows → member
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "+I", 12.0, 1)) // condition fails → still member
+      q.processAllAvailable()
+      rmem.addData(CRow(1, "+I", 7.0, 2))  // first real association → retract
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).orderBy("row_ord")
+      .select("v", "row_kind").as[(Double, String)].collect().toList
+    assert(got == List((10.0, "+I"), (10.0, "-D")))
+    StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
+  }
+
   test("SQL Top-N is bit-identical to the direct topNChangelog API") {
     implicit val sc = spark.sqlContext
     val tv = fresh("tv")
