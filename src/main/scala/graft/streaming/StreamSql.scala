@@ -681,7 +681,7 @@ object StreamSql {
     * BinaryRowDataKeySelector) — not by concatenating text (separator
     * collisions) or hashing (silent collisions). Null fields never
     * reach here: [[nullKeyGuard]] runs per key column first. */
-  private def compositeKey(cols: Seq[Column]): Column =
+  private[streaming] def compositeKey(cols: Seq[Column]): Column =
     base64(org.apache.spark.sql.graftbridge.Bridge.column(
       graft.plans.StructPack(org.apache.spark.sql.graftbridge.Bridge
         .expression(struct(cols: _*)))))
@@ -689,7 +689,7 @@ object StreamSql {
   /** [[joinKeyEnc]]'s coercion table applied to ONE `l.k = r.k` pair of
     * a composite key: both integral → long; same type → as-is; mixed
     * numeric → double (exact to 2^53); anything else rejects loudly. */
-  private def pairCastType(lt: org.apache.spark.sql.types.DataType,
+  private[streaming] def pairCastType(lt: org.apache.spark.sql.types.DataType,
                            rt: org.apache.spark.sql.types.DataType,
                            pair: String): Option[String] = {
     import org.apache.spark.sql.types.NumericType

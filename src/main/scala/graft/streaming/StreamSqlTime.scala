@@ -74,7 +74,10 @@ import graft.operators.SqlFrontend
  * family's job, not an interval join).
  *
  * Temporal grammar: `SELECT <items> FROM P [AS p] [LEFT] JOIN V
- * FOR SYSTEM_TIME AS OF p.<ts> ON p.k = v.k [AS v]` — V must declare
+ * FOR SYSTEM_TIME AS OF p.<ts> ON p.k = v.k [AND p.k2 = v.k2…] [AS v]`
+ * — multiple key equalities form a COMPOSITE key (the changelog joins'
+ * packed-struct discipline; the reference's temporal join keys on the
+ * versioned table's possibly-composite primary key). V must declare
  * its version order at registration (`rowId`, the tiebreak among
  * equal-timestamp versions); the AS OF expression must be P's declared
  * event-time column (row-time temporal join; an unregistered probe
@@ -677,28 +680,27 @@ object StreamSqlTime {
       "registerStream(..., rowId = Some(col)) — the tiebreak among " +
       "equal-timestamp versions, the reference's rowtime comparator"))
 
-    // ON: exactly one key equality between the two sides
+    // ON: one or more cross-side key equalities (multiple form a
+    // COMPOSITE key — the changelog joins' packed-struct discipline;
+    // the reference's temporal join similarly keys on the versioned
+    // table's possibly-composite primary key)
     val conj = StreamSql.splitAnd(onClause)
     val qual = "(\\w+)\\.(\\w+)"
     val eqRe = s"(?s)^$qual\\s*=\\s*$qual$$".r
     def isP(q: String) = pQuals.contains(q.toLowerCase)
     def isV(q: String) = vQuals.contains(q.toLowerCase)
-    var pKey: String = null
-    var vKey: String = null
+    val keyPairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     conj.foreach {
       case c @ eqRe(q1, c1, q2, c2)
           if (isP(q1) && isV(q2)) || (isV(q1) && isP(q2)) =>
-        require(pKey == null, s"temporal JOIN supports ONE key equality " +
-          s"(derive a composite key column in the view): $onClause")
-        if (isP(q1)) { pKey = c1; vKey = c2 }
-        else { pKey = c2; vKey = c1 }
+        if (isP(q1)) keyPairs += ((c1, c2)) else keyPairs += ((c2, c1))
         val _ = c
       case resid => throw new IllegalArgumentException(
         s"temporal JOIN residual '$resid' unsupported from SQL — the " +
         "version lookup is by key + time only (filter the result, or " +
         "use TemporalJoin.streamAsOf directly)")
     }
-    require(pKey != null,
+    require(keyPairs.nonEmpty,
       s"temporal JOIN needs a <probe>.k = <version>.k equality: $onClause")
     // the typed transport tuples key on Long — non-integral keys must
     // fail at plan time, not as an opaque null-encoder error mid-query
@@ -709,10 +711,12 @@ object StreamSqlTime {
     // LEFT join's output (null-padded emission the keyed operator does
     // not model) — raised loudly there, filtered under INNER; a null
     // version ORDER has no slot in the version total order — raised
-    val pGuarded = StreamSql.nullKeyGuard(pv.df, pKey,
-      affectsOutput = leftJoin, "temporal JOIN")
-    val vGuarded = StreamSql.nullKeyGuard(vv.df, vKey,
-      affectsOutput = false, "temporal JOIN").filter(expr(
+    val pGuarded = keyPairs.foldLeft(pv.df)((d, p) =>
+      StreamSql.nullKeyGuard(d, p._1, affectsOutput = leftJoin,
+        "temporal JOIN"))
+    val vGuarded = keyPairs.foldLeft(vv.df)((d, p) =>
+      StreamSql.nullKeyGuard(d, p._2, affectsOutput = false,
+        "temporal JOIN")).filter(expr(
       s"`$vOrd` IS NOT NULL OR raise_error('streaming temporal JOIN: " +
       "NULL version rowId (the version order must be total — filter or " +
       "coalesce it in the view)')"))
@@ -722,7 +726,7 @@ object StreamSqlTime {
     // that type's canonical string; mixed numerics → double-normalized
     // string; anything else rejected with the derive-a-common-key hint
     def run[K: scala.reflect.runtime.universe.TypeTag](
-        cast: String, pre: Option[String]): DataFrame = {
+        pKeyC: Column, vKeyC: Column): DataFrame = {
       implicit val keyE: Encoder[K] = ExpressionEncoder()
       implicit val pe: Encoder[(K, Ts, Changelog.Bin)] = ExpressionEncoder()
       implicit val ve: Encoder[(K, Ts, Long, Changelog.Bin)] = ExpressionEncoder()
@@ -732,20 +736,36 @@ object StreamSqlTime {
         (K, Ts, Changelog.Bin), (K, Ts, Long, Changelog.Bin)]] = ExpressionEncoder()
       implicit val outE: Encoder[((K, Ts, Changelog.Bin),
         Option[(K, Ts, Long, Changelog.Bin)])] = ExpressionEncoder()
-      def keyCol(c: String) = pre.foldLeft(col(c))((k, t) => k.cast(t)).cast(cast)
-      val probes = pGuarded.select(keyCol(pKey), col(pv.tsCol),
+      val probes = pGuarded.select(pKeyC, col(pv.tsCol),
           Changelog.packPayload(pPayload)).as[(K, Ts, Changelog.Bin)]
-      val vers = vGuarded.select(keyCol(vKey), col(vv.tsCol),
+      val vers = vGuarded.select(vKeyC, col(vv.tsCol),
           col(vOrd).cast("long"),
           Changelog.packPayload(vPayload)).as[(K, Ts, Long, Changelog.Bin)]
       TemporalJoin.streamAsOfKeyed[K, (K, Ts, Changelog.Bin), (K, Ts, Long, Changelog.Bin)](
         probes, vers,
         _._1, _._1, _._2, _._2, _._3, pv.delay).toDF()
     }
-    val j0 = StreamSql.joinKeyEnc(pGuarded, pKey, vGuarded, vKey) match {
-      case StreamSql.LongKey => run[Long]("long", None)
-      case StreamSql.StringKey(pre) => run[String]("string", pre)
-    }
+    val j0 =
+      if (keyPairs.length == 1) {
+        val (pKey, vKey) = keyPairs.head
+        StreamSql.joinKeyEnc(pGuarded, pKey, vGuarded, vKey) match {
+          case StreamSql.LongKey =>
+            run[Long](col(pKey).cast("long"), col(vKey).cast("long"))
+          case StreamSql.StringKey(pre) =>
+            def k(c: String) =
+              pre.foldLeft(col(c))(_.cast(_)).cast("string")
+            run[String](k(pKey), k(vKey))
+        }
+      } else {
+        val casts = keyPairs.map { case (pc, vc) =>
+          StreamSql.pairCastType(
+            pGuarded.select(col(pc)).schema.head.dataType,
+            vGuarded.select(col(vc)).schema.head.dataType, s"$pc = $vc")
+        }
+        def k(names: Seq[String]) = StreamSql.compositeKey(
+          names.zip(casts).map { case (n, c) => c.foldLeft(col(n))(_.cast(_)) })
+        run[String](k(keyPairs.map(_._1).toSeq), k(keyPairs.map(_._2).toSeq))
+      }
 
     val pSchema = pv.df.schema
     val vSchema = vv.df.schema

@@ -253,6 +253,45 @@ class StreamSqlTimeSpec extends AnyFunSuite {
     StreamSql.dropStream(pv); StreamSql.dropStream(vv)
   }
 
+  test("SQL temporal join with a composite key routes via the packed-struct key") {
+    implicit val sc = spark.sqlContext
+    val pmem = MemoryStream[(Long, String, Long, Long)]
+    val vmem = MemoryStream[(Long, String, Long, Double, Long)]
+    val pdf = pmem.toDS().select($"_1".as("pk"), $"_2".as("pg"),
+      $"_3".as("pid"), timestamp_millis($"_4" + base).as("pts"))
+    val vdf = vmem.toDS().select($"_1".as("vk"), $"_2".as("vg"),
+      $"_3".as("vid"), $"_4".as("vval"),
+      timestamp_millis($"_5" + base).as("vts"))
+    val pv = fresh("ctjp"); val vv = fresh("ctjv")
+    StreamSql.registerStream(pv, pdf, tsCol = "pts", delay = "1 second")
+    StreamSql.registerStream(vv, vdf, tsCol = "vts", delay = "1 second",
+      rowId = Some("vid"))
+    // two key equalities: the same long key 1 carries DIFFERENT versions
+    // under group x vs y — a single-column key would conflate them
+    val out = SqlFrontend.sql(spark,
+      s"""SELECT p.pid AS pid, v.vval AS vv
+          FROM $pv p JOIN $vv FOR SYSTEM_TIME AS OF p.pts AS v
+          ON p.pk = v.vk AND p.pg = v.vg""")
+    vmem.addData((1L, "x", 100L, 10.0, 1000L), (1L, "y", 101L, 99.0, 1000L))
+    pmem.addData((1L, "x", 1L, 3000L), (1L, "y", 2L, 3000L))
+    val sink = fresh("ctj_sink")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      pmem.addData((9L, "z", 90L, 10000000L))
+      vmem.addData((9L, "z", 900L, 0.0, 10000000L))
+      q.processAllAvailable()
+      pmem.addData((9L, "z", 91L, 20000000L))
+      vmem.addData((9L, "z", 901L, 0.0, 20000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).filter($"pid" < 90L)
+      .as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 10.0), (2L, 99.0)))
+    StreamSql.dropStream(pv); StreamSql.dropStream(vv)
+  }
+
   // ---- generic keys / multi-aggregate / offset OVER -------------------
 
   private val evsStr = evs.map { case (k, id, v, t) =>
