@@ -60,6 +60,16 @@ import graft.streaming.StreamSql
  *  - `DROP TABLE/VIEW [IF EXISTS] name`, `SHOW TABLES`,
  *    `DESCRIBE/DESC name`, and plain `SELECT …` (returned as a
  *    DataFrame, the `sqlQuery` path).
+ *  - `EXPLAIN [PLAN FOR] <query>` → the routed statement's plan as a
+ *    one-column DataFrame (the reference's `explainSql`); query
+ *    statements only — explain an INSERT's SELECT body.
+ *  - `SET 'key' = 'value'` / `RESET 'key'` → session conf; the
+ *    reference's principal table configs map onto this engine's:
+ *    `table.exec.state.ttl` (duration forms: `3600000`, `1 h`,
+ *    `10 min`) → `spark.graft.state.ttl.ms` (read by every stateful
+ *    operator via `ttlFromConf`), `table.exec.resource.
+ *    default-parallelism` → `spark.sql.shuffle.partitions`; unknown
+ *    keys pass through to spark.conf verbatim.
  *
  * Multi-statement scripts run via [[executeAll]] (split on top-level
  * `;`, string-literal-opaque).
@@ -117,12 +127,18 @@ object SqlDdl {
     "(?is)^\\s*SHOW\\s+TABLES\\s*$")
   private val descRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*DESC(?:RIBE)?\\s+([\\w.]+)\\s*$")
+  private val explainRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*EXPLAIN\\s+(?:PLAN\\s+FOR\\s+)?(.+)$")
+  private val setRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SET\\s+'?([\\w.\\-]+)'?\\s*=\\s*(?:'([^']*)'|(\\S+))\\s*$")
+  private val resetRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*RESET\\s+'?([\\w.\\-]+)'?\\s*$")
   // statement kinds the reference dispatches that this front door does
   // not implement — named in the error so a user knows it was
   // recognized and rejected, not mis-parsed
   private val unsupportedRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*(CREATE\\s+(?:DATABASE|CATALOG|FUNCTION)|ALTER|USE|" +
-    "EXPLAIN|SET|RESET|LOAD|UNLOAD|TRUNCATE|ANALYZE)\\b.*")
+    "LOAD|UNLOAD|TRUNCATE|ANALYZE)\\b.*")
 
   /** Execute ONE statement (the `executeSql` contract). */
   def executeSql(spark: SparkSession, text: String): SqlResult = {
@@ -131,6 +147,9 @@ object SqlDdl {
     val ins = insertRe.matcher(text)
     val drp = dropRe.matcher(text)
     val dsc = descRe.matcher(text)
+    val exp = explainRe.matcher(text)
+    val set = setRe.matcher(text)
+    val rst = resetRe.matcher(text)
     if (ct.find()) createTable(spark, text, ct)
     else if (cv.matches()) createView(spark, cv.group(1), cv.group(2))
     else if (ins.matches()) insertInto(spark, ins.group(1), ins.group(2))
@@ -138,18 +157,88 @@ object SqlDdl {
       ifExists = drp.group(2) != null)
     else if (showRe.matcher(text).matches()) showTables(spark)
     else if (dsc.matches()) describe(spark, dsc.group(1))
+    else if (exp.matches()) explain(spark, exp.group(1))
+    else if (set.matches()) setConf(spark, set.group(1),
+      Option(set.group(2)).getOrElse(set.group(3)))
+    else if (rst.matches()) { spark.conf.unset(mapConfKey(rst.group(1))); done }
     else if (text.trim.toUpperCase.startsWith("SELECT") ||
              text.trim.startsWith("("))
       SqlResult(Some(SqlFrontend.sql(spark, text)), None)
     else if (unsupportedRe.matcher(text).matches())
       throw new IllegalArgumentException(
         "unsupported statement kind (this front door implements " +
-        "CREATE TABLE/VIEW, INSERT INTO, DROP, SHOW TABLES, DESCRIBE " +
-        "and queries — the reference's remaining statement kinds are " +
-        s"session/catalog management Spark exposes natively): $text")
+        "CREATE TABLE/VIEW, INSERT INTO, DROP, SHOW TABLES, DESCRIBE, " +
+        "EXPLAIN, SET/RESET and queries — the reference's remaining " +
+        "statement kinds are session/catalog management Spark exposes " +
+        s"natively): $text")
     else throw new IllegalArgumentException(
       s"unparseable statement (expected CREATE TABLE/VIEW, INSERT INTO, " +
-      s"DROP, SHOW TABLES, DESCRIBE or a query): $text")
+      s"DROP, SHOW TABLES, DESCRIBE, EXPLAIN, SET/RESET or a query): $text")
+  }
+
+  /** `EXPLAIN [PLAN FOR] <query>` — the reference's explain statement
+    * (`TableEnvironment.explainSql`, dispatched by
+    * SqlToOperationConverter). Routes the inner text through the same
+    * front door and returns the plan as a one-column DataFrame; only
+    * QUERY statements are explainable here (EXPLAIN of an INSERT would
+    * have to plan the sink without starting it — use the query form).
+    * Streaming plans fall back from the formatted physical mode to the
+    * logical tree (a streaming DataFrame has no executed plan until a
+    * sink starts). */
+  private def explain(spark: SparkSession, inner: String): SqlResult = {
+    require(!insertRe.matcher(inner).matches(),
+      s"EXPLAIN of an INSERT INTO is unsupported — explain its SELECT " +
+      s"body instead: $inner")
+    val df = executeSql(spark, inner).df.getOrElse(
+      throw new IllegalArgumentException(
+        s"EXPLAIN needs a statement that produces rows: $inner"))
+    val plan =
+      try df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      catch { case _: Throwable => df.queryExecution.logical.treeString }
+    SqlResult(Some(spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(plan)),
+      StructType(Seq(StructField("plan", StringType, nullable = false))))),
+      None)
+  }
+
+  /** The reference's config keys a migrating user will SET first, mapped
+    * onto this engine's confs; unknown keys pass through to spark.conf
+    * verbatim (Spark rejects unknown static/reserved keys itself). */
+  private def mapConfKey(k: String): String = k.toLowerCase match {
+    case "table.exec.state.ttl" => "spark.graft.state.ttl.ms"
+    case "table.exec.resource.default-parallelism" =>
+      "spark.sql.shuffle.partitions"
+    case _ => k
+  }
+
+  /** `SET 'key' = 'value'` — `table.exec.state.ttl` accepts the
+    * reference's duration forms (`3600000`, `1 h`, `10 min`, `30 s`)
+    * and lands in ms on this engine's TTL conf
+    * ([[graft.streaming.StreamSql.ttlFromConf]] reads it). */
+  private def setConf(spark: SparkSession, k: String, v: String): SqlResult = {
+    val key = mapConfKey(k)
+    val value =
+      if (key == "spark.graft.state.ttl.ms") durationMs(v).toString else v
+    spark.conf.set(key, value)
+    done
+  }
+
+  private val durRe =
+    "(?i)^\\s*(\\d+)\\s*(ms|s|sec|second|seconds|min|minute|minutes|h|hour|hours|d|day|days)?\\s*$".r
+  private def durationMs(v: String): Long = v match {
+    case durRe(n, unit) =>
+      val mult = Option(unit).map(_.toLowerCase) match {
+        case None | Some("ms") => 1L
+        case Some("s" | "sec" | "second" | "seconds") => 1000L
+        case Some("min" | "minute" | "minutes") => 60L * 1000
+        case Some("h" | "hour" | "hours") => 3600L * 1000
+        case _ => 86400L * 1000
+      }
+      n.toLong * mult
+    case other => throw new IllegalArgumentException(
+      s"table.exec.state.ttl expects a duration ('3600000', '1 h', " +
+      s"'10 min', '30 s'): $other")
   }
 
   /** Execute a `;`-separated script; returns one result per statement. */

@@ -164,6 +164,32 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("unsupported column type"))
   }
 
+  test("EXPLAIN, SET and RESET complete the statement dispatch") {
+    val plan = SqlDdl.executeSql(spark, "EXPLAIN SELECT 1 AS x").df.get
+      .as[String].head()
+    assert(plan.contains("Project") || plan.contains("Scan"))
+    assert(SqlDdl.executeSql(spark,
+      "EXPLAIN PLAN FOR SELECT 1 AS x").df.nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      SqlDdl.executeSql(spark, "EXPLAIN INSERT INTO t SELECT 1 AS x")
+    }
+    assert(e.getMessage.contains("INSERT"))
+    // the reference's TTL config lands in ms on the engine's conf, in
+    // every duration form
+    SqlDdl.executeSql(spark, "SET 'table.exec.state.ttl' = '10 min'")
+    assert(spark.conf.get("spark.graft.state.ttl.ms") == "600000")
+    SqlDdl.executeSql(spark, "SET 'table.exec.state.ttl' = '3600000'")
+    assert(spark.conf.get("spark.graft.state.ttl.ms") == "3600000")
+    SqlDdl.executeSql(spark, "RESET 'table.exec.state.ttl'")
+    assert(spark.conf.getOption("spark.graft.state.ttl.ms").isEmpty)
+    SqlDdl.executeSql(spark, "SET 'spark.graft.test.key' = 'v1'")
+    assert(spark.conf.get("spark.graft.test.key") == "v1")
+    val e2 = intercept[IllegalArgumentException] {
+      SqlDdl.executeSql(spark, "SET 'table.exec.state.ttl' = 'soon'")
+    }
+    assert(e2.getMessage.contains("duration"))
+  }
+
   test("type mapping covers the Flink scalar surface") {
     import org.apache.spark.sql.types._
     assert(SqlDdl.sqlType("STRING") == StringType)
