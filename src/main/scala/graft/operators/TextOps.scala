@@ -49,7 +49,54 @@ object TextOps {
   /** q149's fingerprint document-frequency cap — see the q149 comment. */
   private val winnowDfCap = 100
 
+  /** PII masking patterns — email / IPv4 / phone-shaped digit runs, the
+    * redaction pass large-scale training-data pipelines run before
+    * tokenization. Deliberately RE2-compatible (no backreferences, no
+    * lookaround) so the DuckDB oracle evaluates the identical regex
+    * language; Java and RE2 agree on these patterns' leftmost-greedy
+    * matches. */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIp = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val piiPhone = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII redaction over a text column: per-kind match COUNTS (measured
+    * on the original text) plus the text with each kind replaced by a
+    * typed placeholder (`<EMAIL>`/`<IP>`/`<PHONE>`, applied in that
+    * order). Pure codegen'd expression work (`regexp_count`/
+    * `regexp_replace`) — one embarrassingly parallel scan, no UDF, no
+    * shuffle: at 100 TB the cost is the read itself, and the pass
+    * composes with any downstream pipeline stage column-wise. */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(piiEmail)))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(piiIp)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(piiPhone)))
+      .withColumn(textCol,
+        regexp_replace(regexp_replace(regexp_replace(col(textCol),
+          piiEmail, "<EMAIL>"), piiIp, "<IP>"), piiPhone, "<PHONE>"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII redaction: the corpus carries no PII, so the gate INJECTS a
+    // deterministic email/IP/phone per document (derived from doc_id,
+    // identically in the oracle) and verifies counts and the scrubbed
+    // text's total length per source — replacement positions, overlap
+    // behavior and placeholder widths all land in the length sum.
+    "q357_pii_scrub" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val injected = docs.select(col("doc_id"), col("source"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      piiScrub(injected, "text")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_emails")).cast("long").as("emails"),
+             sum(col("n_ips")).cast("long").as("ips"),
+             sum(col("n_phones")).cast("long").as("phones"),
+             sum(length(col("text"))).cast("long").as("scrubbed_len"))
+    }),
+
     // Quality-scoring statistics per document.
     "q34_text_stats" -> ((s, dir) => {
       Tables.table(s, dir, "documents")
@@ -269,6 +316,33 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q357_pii_scrub" -> """
+      WITH inj AS (
+        SELECT source,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com via 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.7 or 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents),
+      scr AS (
+        SELECT source,
+          len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+          len(regexp_extract_all(text,
+            '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS n_ips,
+          len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS n_phones,
+          length(regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+            '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS slen
+        FROM inj)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_emails) AS BIGINT) AS emails,
+             CAST(sum(n_ips) AS BIGINT) AS ips,
+             CAST(sum(n_phones) AS BIGINT) AS phones,
+             CAST(sum(slen) AS BIGINT) AS scrubbed_len
+      FROM scr GROUP BY source""",
+
     "q34_text_stats" -> s"""
       WITH t AS (SELECT doc_id, text,
                         regexp_split_to_array(trim(text), '\\s+') AS toks
