@@ -140,8 +140,11 @@ object SqlDdl {
     "(?is)^\\s*(CREATE\\s+(?:DATABASE|CATALOG|FUNCTION)|ALTER|USE|" +
     "LOAD|UNLOAD|TRUNCATE|ANALYZE)\\b.*")
 
-  /** Execute ONE statement (the `executeSql` contract). */
-  def executeSql(spark: SparkSession, text: String): SqlResult = {
+  /** Execute ONE statement (the `executeSql` contract). Line comments
+    * are stripped up front (literal-opaque) so a commented statement
+    * dispatches on its real first keyword. */
+  def executeSql(spark: SparkSession, text0: String): SqlResult = {
+    val text = stripLineComments(text0).trim
     val ct = createTableRe.matcher(text)
     val cv = createViewRe.matcher(text)
     val ins = insertRe.matcher(text)
@@ -161,8 +164,7 @@ object SqlDdl {
     else if (set.matches()) setConf(spark, set.group(1),
       Option(set.group(2)).getOrElse(set.group(3)))
     else if (rst.matches()) { spark.conf.unset(mapConfKey(rst.group(1))); done }
-    else if (text.trim.toUpperCase.startsWith("SELECT") ||
-             text.trim.startsWith("("))
+    else if (isQueryText(text))
       SqlResult(Some(SqlFrontend.sql(spark, text)), None)
     else if (unsupportedRe.matcher(text).matches())
       throw new IllegalArgumentException(
@@ -173,25 +175,36 @@ object SqlDdl {
         s"natively): $text")
     else throw new IllegalArgumentException(
       s"unparseable statement (expected CREATE TABLE/VIEW, INSERT INTO, " +
-      s"DROP, SHOW TABLES, DESCRIBE, EXPLAIN, SET/RESET or a query): $text")
+      s"DROP, SHOW TABLES, DESCRIBE, EXPLAIN, SET/RESET or a " +
+      s"SELECT/WITH/VALUES query): $text")
+  }
+
+  /** QUERY-shaped text: the statements that produce rows with no side
+    * effect (SELECT / WITH-CTE / VALUES / parenthesized). */
+  private def isQueryText(t: String): Boolean = {
+    val u = t.trim.toUpperCase
+    u.startsWith("SELECT") || u.startsWith("WITH") ||
+      u.startsWith("VALUES") || u.startsWith("(")
   }
 
   /** `EXPLAIN [PLAN FOR] <query>` — the reference's explain statement
     * (`TableEnvironment.explainSql`, dispatched by
-    * SqlToOperationConverter). Routes the inner text through the same
-    * front door and returns the plan as a one-column DataFrame; only
-    * QUERY statements are explainable here (EXPLAIN of an INSERT would
-    * have to plan the sink without starting it — use the query form).
-    * Streaming plans fall back from the formatted physical mode to the
-    * logical tree (a streaming DataFrame has no executed plan until a
-    * sink starts). */
+    * SqlToOperationConverter). QUERY statements only, validated BEFORE
+    * anything runs — routing arbitrary inner text back through
+    * executeSql would EXECUTE a side-effecting statement (DROP/CREATE/
+    * SET mutate state and only then fail the rows check); an INSERT
+    * would have to plan its sink without starting it — explain its
+    * SELECT body instead. Streaming plans fall back from the formatted
+    * physical mode to the logical tree (a streaming DataFrame has no
+    * executed plan until a sink starts). */
   private def explain(spark: SparkSession, inner: String): SqlResult = {
     require(!insertRe.matcher(inner).matches(),
       s"EXPLAIN of an INSERT INTO is unsupported — explain its SELECT " +
       s"body instead: $inner")
-    val df = executeSql(spark, inner).df.getOrElse(
-      throw new IllegalArgumentException(
-        s"EXPLAIN needs a statement that produces rows: $inner"))
+    require(isQueryText(inner),
+      s"EXPLAIN takes a query statement (SELECT/WITH/VALUES) — " +
+      s"side-effecting statements are not explainable: $inner")
+    val df = SqlFrontend.sql(spark, inner)
     val plan =
       try df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -247,7 +260,27 @@ object SqlDdl {
 
   /** Split on top-level `;` — string-literal-opaque, so a `';'` inside
     * a WITH option value never splits. */
-  private[graft] def splitStatements(s: String): Seq[String] = {
+  /** Remove `-- …` line comments, literal-opaque (a `--` inside a
+    * quoted option value survives) — scripts carry comments; a `;` or
+    * statement keyword inside one must not reach the splitter/dispatch. */
+  private[graft] def stripLineComments(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          val end = math.min(SqlFrontend.skipLiteral(s, i), s.length)
+          out.append(s.substring(i, end)); i = end
+        case '-' if i + 1 < s.length && s.charAt(i + 1) == '-' =>
+          while (i < s.length && s.charAt(i) != '\n') i += 1
+        case c => out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+
+  private[graft] def splitStatements(s0: String): Seq[String] = {
+    val s = stripLineComments(s0)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var start = 0
     var i = 0
@@ -370,16 +403,25 @@ object SqlDdl {
         .format(d.format).load(d.path), d)
       .createOrReplaceTempView(d.name)
 
-  /** Does the table directory exist with at least one data file? Probed
+  /** Does the table directory hold at least one data file? Probed
     * through the Hadoop FileSystem API so hdfs://s3a:// paths resolve on
-    * a real cluster exactly like local ones here. */
+    * a real cluster exactly like local ones here. Descends into visible
+    * subdirectories (Hive-partitioned layouts keep data under
+    * `k=v/` directories) to a small fixed depth, skipping hidden/_
+    * entries at every level (`_spark_metadata`, `_SUCCESS`, dotfiles) —
+    * and SHORT-CIRCUITS on the first data file, so the probe reads one
+    * directory listing per level, not the table. */
   private def pathHasData(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists { st =>
-      st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith(".")
-    }
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    def probe(dir: org.apache.hadoop.fs.Path, depth: Int): Boolean =
+      fs.listStatus(dir).exists { st =>
+        visible(st.getPath.getName) &&
+          (st.isFile ||
+           (depth > 0 && st.isDirectory && probe(st.getPath, depth - 1)))
+      }
+    fs.exists(p) && probe(p, 4)
   }
 
   // ---- CREATE VIEW -------------------------------------------------------
@@ -446,18 +488,33 @@ object SqlDdl {
 
   // ---- DROP / SHOW / DESCRIBE --------------------------------------------
 
+  /** Kind-respecting DROP: `DROP TABLE` removes only a registered
+    * filesystem table (and its temp/stream registrations); `DROP VIEW`
+    * removes only a view (changelog or temp). A kind mismatch is a loud
+    * error — a typo'd kind must never destroy the other object. */
   private def drop(spark: SparkSession, kind: String, name: String,
                    ifExists: Boolean): SqlResult = {
     val key = name.toLowerCase
-    val known = tables.contains(key) || changelogViews.contains(key) ||
-      spark.catalog.tableExists(name)
+    val isTable = tables.contains(key)
+    val isView = changelogViews.contains(key) ||
+      (!isTable && spark.catalog.tableExists(name))
+    val wantTable = kind.equalsIgnoreCase("TABLE")
+    if (wantTable && !isTable && isView) throw new IllegalArgumentException(
+      s"DROP TABLE: '$name' is a VIEW (use DROP VIEW)")
+    if (!wantTable && !isView && isTable) throw new IllegalArgumentException(
+      s"DROP VIEW: '$name' is a TABLE (use DROP TABLE)")
+    val known = isTable || isView
     if (!known && !ifExists) throw new IllegalArgumentException(
       s"DROP $kind: unknown name '$name'")
-    tables.remove(key)
-    changelogViews.remove(key)
-    StreamSql.dropStream(name)
-    StreamSql.dropChangelog(name)
-    spark.catalog.dropTempView(name)
+    if (wantTable && isTable) {
+      tables.remove(key)
+      StreamSql.dropStream(name)
+      spark.catalog.dropTempView(name)
+    } else if (!wantTable && isView) {
+      changelogViews.remove(key)
+      StreamSql.dropChangelog(name)
+      spark.catalog.dropTempView(name)
+    }
     done
   }
 
@@ -502,23 +559,8 @@ object SqlDdl {
   // ---- helpers -------------------------------------------------------------
 
   /** Balanced-paren group content opening at `open` (literal-opaque). */
-  private def balanced(s: String, open: Int): String = {
-    require(open >= 0 && s.charAt(open) == '(', "expected (")
-    var depth = 0
-    var i = open
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '\'' => i = math.min(SqlFrontend.skipLiteral(s, i), s.length) - 1
-        case '(' => depth += 1
-        case ')' =>
-          depth -= 1
-          if (depth == 0) return s.substring(open + 1, i)
-        case _ => ()
-      }
-      i += 1
-    }
-    throw new IllegalArgumentException(s"unbalanced parentheses: $s")
-  }
+  private def balanced(s: String, open: Int): String =
+    SqlFrontend.balanced(s, open)
 
   /** Parse `'k' = 'v', …` WITH options ('' doubling unescaped). */
   private[graft] def parseOptions(body: String): Map[String, String] = {

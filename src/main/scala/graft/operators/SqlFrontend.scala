@@ -161,6 +161,30 @@ object SqlFrontend {
     math.min(i, s.length)
   }
 
+  /** Contents of the balanced `(…)` opening at `open` — paren-depth
+    * aware, string-literal-opaque. THE shared scanner (SqlDdl's column
+    * list / WITH options and MatchRecognizeSql's clause bodies both
+    * delegate here), so an escape-convention change in [[skipLiteral]]
+    * reaches every balanced-extraction site at once. */
+  private[graft] def balanced(s: String, open: Int): String = {
+    require(open >= 0 && open < s.length && s.charAt(open) == '(',
+      "expected (")
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => i = math.min(skipLiteral(s, i), s.length) - 1
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return s.substring(open + 1, i)
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parentheses: $s")
+  }
+
   /** Strip `alias.` qualifiers so expressions run on the operators'
     * unqualified output. Shared with [[graft.streaming.StreamSql]]
     * (same surface-syntax convention); aliases are regex-quoted and

@@ -90,23 +90,8 @@ object MatchRecognizeSql {
   }
 
   /** Content of the parenthesized group opening at `open`. */
-  private def balanced(s: String, open: Int): String = {
-    require(open >= 0 && s.charAt(open) == '(', "expected (")
-    val mask = literalMask(s)
-    var depth = 0
-    var i = open
-    while (i < s.length) {
-      if (!mask(i)) s.charAt(i) match {
-        case '(' => depth += 1
-        case ')' =>
-          depth -= 1
-          if (depth == 0) return s.substring(open + 1, i)
-        case _ => ()
-      }
-      i += 1
-    }
-    throw new IllegalArgumentException("unbalanced parentheses")
-  }
+  private def balanced(s: String, open: Int): String =
+    graft.operators.SqlFrontend.balanced(s, open)
 
   private val sections = Seq(
     "PARTITION BY", "ORDER BY", "MEASURES", "ONE ROW PER MATCH",
@@ -262,9 +247,14 @@ object MatchRecognizeSql {
       s"OVER (PARTITION BY ${keys.mkString(", ")} ORDER BY mr_seq ROWS " +
       "BETWEEN UNBOUNDED PRECEDING AND " +
       (if (fin) "UNBOUNDED FOLLOWING)" else "CURRENT ROW)")
+    // collision checks against the running name set, not the original
+    // frame: two measures sharing an alias would otherwise silently
+    // overwrite (withColumn replaces by name) instead of erroring
+    val taken = scala.collection.mutable.Set(ann.columns.map(_.toLowerCase): _*)
     p.rawMeasures.foldLeft(ann) { case (df, (name, e, fin)) =>
-      require(!ann.columns.contains(name),
-        s"ALL ROWS measure name '$name' collides with an input column")
+      require(taken.add(name.toLowerCase),
+        s"ALL ROWS measure name '$name' collides with an input column " +
+        "or another measure")
       df.withColumn(name,
         allRowsMeasureCol(e, vars, w(fin), overText(fin), fin))
     }
@@ -620,9 +610,16 @@ object MatchRecognizeSql {
         val rows = base.select(col("__pk"), col("mr_match"), col("__mrr"),
           posexplode(col("__mrr")).as(Seq("__pos", "__r")))
         val prefix = "slice(__mrr, 1, __pos + 1)"
+        // running name set: duplicates among the measures themselves
+        // (and the emitted mr_match/mr_var/mr_seq columns) must error,
+        // not silently shadow in the final select
+        val mTaken = scala.collection.mutable.Set(
+          (fields ++ Seq("mr_match", "mr_var", "mr_seq"))
+            .map(_.toLowerCase): _*)
         val mCols = p.rawMeasures.map { case (name, e, fin) =>
-          require(!fields.contains(name),
-            s"ALL ROWS measure name '$name' collides with an input column")
+          require(mTaken.add(name.toLowerCase),
+            s"ALL ROWS measure name '$name' collides with an input " +
+            "column or another measure")
           expr(measureArrayExpr(e, vars, fields,
             if (fin) "__mrr" else prefix)).as(name)
         }

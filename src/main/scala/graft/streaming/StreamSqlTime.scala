@@ -166,10 +166,13 @@ object StreamSqlTime {
     * CalendarInterval — an INTERVAL literal inside the expression
     * (e.g. `CASE … THEN INTERVAL '60' MINUTE`) is DayTimeIntervalType,
     * which the rule rejects — so that case is normalized here: the
-    * interval lands on the epoch (`TIMESTAMP '1970-01-01' + gap` →
-    * `unix_micros`, exact integer micros for ANY day-time unit) and
-    * feeds `make_interval` as decimal seconds. Anything
-    * non-duration-shaped fails loudly with the supported forms. */
+    * interval lands on the epoch and the epoch's own unix_micros is
+    * subtracted back out (`unix_micros(epoch + gap) −
+    * unix_micros(epoch)` — exact integer micros for ANY day-time unit,
+    * and SESSION-TIMEZONE-PROOF: the zone offset on the epoch literal
+    * appears in both terms and cancels), feeding `make_interval` as
+    * decimal seconds. Anything non-duration-shaped fails loudly with
+    * the supported forms. */
   private def sessionGapCol(df: DataFrame, gapText: String): Column = {
     val c = try expr(gapText) catch { case e: Exception =>
       throw new IllegalArgumentException(
@@ -187,8 +190,13 @@ object StreamSqlTime {
     dt match {
       case StringType | CalendarIntervalType => c
       case _: DayTimeIntervalType =>
-        expr(s"make_interval(0, 0, 0, 0, 0, 0, CAST(" +
-             s"unix_micros(TIMESTAMP '1970-01-01 00:00:00' + ($gapText))" +
+        // a DIFFERENCE of two unix_micros, so the session timezone's
+        // offset on the epoch literal cancels — a bare
+        // unix_micros(epoch + gap) would shift the gap by the zone
+        // offset (negative gaps silently drop every row)
+        expr(s"make_interval(0, 0, 0, 0, 0, 0, CAST((" +
+             s"unix_micros(TIMESTAMP '1970-01-01 00:00:00' + ($gapText)) - " +
+             s"unix_micros(TIMESTAMP '1970-01-01 00:00:00'))" +
              s" / 1000000.0 AS DECIMAL(18, 6)))")
       case other => throw new IllegalArgumentException(
         s"SESSION gap expression must produce a duration string, an " +

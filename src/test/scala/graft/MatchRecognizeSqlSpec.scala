@@ -69,6 +69,23 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(got.filter(col("n_b") < 1).isEmpty)
   }
 
+  test("duplicate ALL ROWS measure aliases reject instead of silently overwriting") {
+    orders
+    val e = intercept[IllegalArgumentException] {
+      MatchRecognizeSql.sql(spark, """
+        SELECT * FROM orders_v MATCH_RECOGNIZE (
+          PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey
+          MEASURES COUNT(*) AS k, FINAL SUM(o_totalprice) AS k
+          ALL ROWS PER MATCH
+          PATTERN (A B+)
+          DEFINE A AS A.o_totalprice > 100000,
+                 B AS B.o_totalprice <= 100000
+        )""")
+    }
+    assert(e.getMessage.contains("collides"))
+  }
+
   test("SQL ALL ROWS PER MATCH equals annotate API (q84 shape)") {
     orders
     val got = MatchRecognizeSql.sql(spark, """

@@ -190,6 +190,50 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("duration"))
   }
 
+  test("review hardening: explain guard, CTE, comments, partitions, kind-aware DROP") {
+    val d = tmp()
+    // CTE / VALUES queries are accepted at the front door
+    assert(SqlDdl.executeSql(spark,
+      "WITH x AS (SELECT 7 AS a) SELECT a FROM x").df.get
+      .collect()(0).getInt(0) == 7)
+    // line comments (with ';' and keywords inside) neither split nor
+    // block dispatch
+    spark.range(3).toDF("id").write.parquet(d + "/pc")
+    val rs = SqlDdl.executeAll(spark, s"""
+      -- create the source; then query it
+      CREATE TABLE ddl_cmt (id BIGINT)
+      WITH ('connector' = 'filesystem', 'path' = '$d/pc');
+      SELECT count(*) AS n FROM ddl_cmt -- trailing note
+      """)
+    assert(rs.last.df.get.collect()(0).getLong(0) == 3)
+    // EXPLAIN of a side-effecting statement rejects BEFORE running it
+    val e = intercept[IllegalArgumentException] {
+      SqlDdl.executeSql(spark, "EXPLAIN DROP TABLE ddl_cmt")
+    }
+    assert(e.getMessage.contains("query statement"))
+    assert(SqlDdl.executeSql(spark,
+      "SELECT count(*) AS n FROM ddl_cmt").df.get
+      .collect()(0).getLong(0) == 3) // the table survived
+    assert(SqlDdl.executeSql(spark,
+      "EXPLAIN WITH x AS (SELECT 1 AS a) SELECT a FROM x").df.nonEmpty)
+    // kind-aware DROP: a typo'd kind errors instead of destroying
+    val e2 = intercept[IllegalArgumentException] {
+      SqlDdl.executeSql(spark, "DROP VIEW ddl_cmt")
+    }
+    assert(e2.getMessage.contains("is a TABLE"))
+    SqlDdl.executeSql(spark, "DROP TABLE ddl_cmt")
+    // Hive-partitioned layout: data under k=v/ registers the view
+    spark.range(4).toDF("id").withColumn("k", lit(1))
+      .write.partitionBy("k").parquet(d + "/pp")
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_pp (id BIGINT, k INT)
+      WITH ('connector' = 'filesystem', 'path' = '$d/pp')""")
+    assert(SqlDdl.executeSql(spark,
+      "SELECT count(*) AS n FROM ddl_pp").df.get
+      .collect()(0).getLong(0) == 4)
+    SqlDdl.executeSql(spark, "DROP TABLE ddl_pp")
+  }
+
   test("type mapping covers the Flink scalar surface") {
     import org.apache.spark.sql.types._
     assert(SqlDdl.sqlType("STRING") == StringType)

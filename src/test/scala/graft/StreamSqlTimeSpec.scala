@@ -600,6 +600,22 @@ class StreamSqlTimeSpec extends AnyFunSuite {
       .filter($"kk" =!= "zz")
       .select($"kk", $"n").as[(String, Long)].collect().toList.sorted
     assert(gotStr == gotApi)
+    // session-timezone-proof: the DayTimeInterval normalization is a
+    // DIFFERENCE of unix_micros, so a non-UTC session timezone must not
+    // shift the gap by the zone offset (a bare unix_micros(epoch + gap)
+    // under UTC+9 turns a 5 s gap negative and silently drops all rows)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try {
+      val gotTz = runGwStream((vn, _) => SqlFrontend.sql(spark,
+        s"""SELECT k AS kk, COUNT(*) AS n
+            FROM $vn GROUP BY SESSION(ets, CASE WHEN k = 'a'
+                                                THEN INTERVAL '5' SECOND
+                                                ELSE INTERVAL '2' SECOND END), k"""))
+        .filter($"kk" =!= "zz")
+        .select($"kk", $"n").as[(String, Long)].collect().toList.sorted
+      assert(gotTz == gotApi)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
     // a non-duration gap expression rejects loudly at routing time
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, Double, Long)]
