@@ -55,8 +55,14 @@ import graft.streaming.StreamSql
  *    the bounded-replay analogue of the reference's
  *    `TableResult.await()`. Result columns are matched BY NAME to the
  *    target's declared columns (cast to the declared types, loud error
- *    on a missing column); a changelog query's row_kind/row_ord land
- *    only if the sink declares them (explicit > magic).
+ *    on a missing column). A CHANGELOG query result into a sink with a
+ *    PRIMARY KEY is an UPSERT SINK (the reference's primary-keyed
+ *    dynamic table sink): each micro-batch merges by key keeping the
+ *    highest row_ord (deterministic, idempotent bucket merge), and the
+ *    readable view shows the materialized LIVE rows — keys whose latest
+ *    op is a retraction disappear. Without a PRIMARY KEY, a changelog
+ *    query's row_kind/row_ord land only if the sink declares them
+ *    (explicit > magic).
  *  - `DROP TABLE/VIEW [IF EXISTS] name`, `SHOW TABLES`,
  *    `DESCRIBE/DESC name`, and plain `SELECT …` (returned as a
  *    DataFrame, the `sqlQuery` path).
@@ -95,11 +101,14 @@ object SqlDdl {
                             checkpoint: Option[String])
 
   /** The result of one statement: `df` for queries/SHOW/DESCRIBE,
-    * `query` for a streaming INSERT INTO (await() = drain + stop). */
+    * `query` for a streaming INSERT INTO (await() = drain + stop, then
+    * refreshes the target's readable view — the bounded-replay analogue
+    * of the reference's `TableResult.await()`). */
   final case class SqlResult(df: Option[DataFrame],
-                             query: Option[StreamingQuery]) {
+                             query: Option[StreamingQuery],
+                             refresh: () => Unit = () => ()) {
     def await(): Unit = query.foreach { q =>
-      q.processAllAvailable(); q.stop()
+      q.processAllAvailable(); q.stop(); refresh()
     }
   }
   private val done = SqlResult(None, None)
@@ -475,6 +484,45 @@ object SqlDdl {
         .format(d.format).save(d.path)
       registerBatchView(spark, d) // refresh the readable view
       done
+    } else if (d.primaryKey.isDefined && res.columns.contains("row_kind")) {
+      // UPSERT SINK — the reference's primary-keyed dynamic table sink
+      // (a changelog INSERT INTO a PRIMARY KEY table materializes by
+      // key; UpsertStreamTableSink semantics): per micro-batch the
+      // HIGHEST row_ord per key wins (StreamSinks.applyBatch — the
+      // deterministic idempotent bucket merge), and the readable view
+      // hides keys whose latest op is a retraction. The declared
+      // columns are the payload; row_kind/row_ord ride along as
+      // internal columns. One exchange per batch on the bucket hash;
+      // per-batch cost follows the batch's key spread, not table size.
+      val pk = d.primaryKey.get
+      require(d.physical.fieldNames.exists(_.equalsIgnoreCase(pk)),
+        s"PRIMARY KEY '$pk' is not a declared column of $target")
+      // per-key change order: the result's row_ord when the route
+      // emits one (rank family), else synthesized as (batch id,
+      // within-batch position) — a key's changes in one micro-batch
+      // leave the keyed operator consecutively from one task, so the
+      // partition-local monotonic id preserves their order and the
+      // batch id orders across batches (all the merge needs is per-KEY
+      // monotonicity)
+      val hasOrd = res.columns.contains("row_ord")
+      val upDf = res.select(d.physical.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toSeq ++ Seq(
+        col("row_kind").cast("string").as("__kind")) ++
+        (if (hasOrd) Seq(col("row_ord").cast("long").as("__ord")) else Nil): _*)
+      val ck = d.checkpoint.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_ddl_ck").toString)
+      val q = upDf.writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          val ordered =
+            if (hasOrd) b
+            else b.withColumn("__ord",
+              lit(batchId) * lit(1L << 40) + monotonically_increasing_id())
+          graft.streaming.StreamSinks.applyBatch(
+            ordered, d.path, Seq(pk), "__ord", buckets = 64)
+        }
+        .start()
+      SqlResult(None, Some(q), () => registerUpsertView(spark, d))
     } else {
       val ck = d.checkpoint.getOrElse(
         java.nio.file.Files.createTempDirectory("graft_ddl_ck").toString)
@@ -482,9 +530,26 @@ object SqlDdl {
         .option("path", d.path).option("checkpointLocation", ck)
         .outputMode("append")
         .start()
-      SqlResult(None, Some(q))
+      SqlResult(None, Some(q), () => registerBatchView(spark, d))
     }
   }
+
+  /** Readable view of an upsert table: the materialized live rows —
+    * keys whose latest op is +I/+U, projected to the declared columns
+    * (`__kind`/`__ord`/`__bucket` stay internal). A drained sink that
+    * never received a batch registers an empty view of the declared
+    * schema (the read-or-empty pattern applyBatch itself uses —
+    * pathHasData would skip the underscore-prefixed `__bucket=`
+    * partition directories). */
+  private def registerUpsertView(spark: SparkSession, d: TableDef): Unit =
+    (try graft.streaming.StreamSinks.readUpsertTable(spark, d.path)
+       .filter(col("__kind").isin(graft.streaming.Changelog.Insert,
+                                  graft.streaming.Changelog.UpdateAfter))
+       .select(d.physical.fieldNames.map(col).toSeq: _*)
+     catch { case _: org.apache.spark.sql.AnalysisException =>
+       spark.createDataFrame(
+         new java.util.ArrayList[org.apache.spark.sql.Row](), d.physical)
+     }).createOrReplaceTempView(d.name)
 
   // ---- DROP / SHOW / DESCRIBE --------------------------------------------
 

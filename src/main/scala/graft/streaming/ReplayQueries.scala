@@ -2680,6 +2680,47 @@ object ReplayQueries {
           "mid", "row_kind", "row_ord")
         .select(col("uid"), col("etype"),
                 col("sum_c").cast("long").as("sum_c"))
+    }),
+
+    // The reference's HELLO-WORLD pipeline, entirely as SQL TEXT:
+    // watermarked source DDL → UNWINDOWED GROUP BY over the insert-only
+    // table (the day-one updating aggregate — the append view lifts to
+    // a constant-+I changelog via changelog-mode inference) → INSERT
+    // INTO a PRIMARY KEY sink (the reference's upsert table sink: each
+    // micro-batch merges by key keeping the highest row_ord, retracted
+    // keys disappear from the readable view) → SELECT the live rows.
+    // Aggregates churn per replayed batch, so every key is upserted
+    // repeatedly before settling on its final value — the batch dual.
+    "q358_sql_upsert_sink_pipeline" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+                floor(col("value") * 100).cast("long").as("cents"), col("ts"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        import graft.operators.SqlDdl
+        try {
+          SqlDdl.executeAll(s, s"""
+            CREATE TABLE q358_src (event_id BIGINT, user_id BIGINT,
+              cents BIGINT, ts TIMESTAMP,
+              WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)
+            WITH ('connector' = 'filesystem', 'path' = '$in',
+                  'format' = 'parquet', 'source.max-files-per-trigger' = '2');
+            CREATE TABLE q358_sink (user_id BIGINT, amt BIGINT, n BIGINT,
+              PRIMARY KEY (user_id) NOT ENFORCED)
+            WITH ('connector' = 'filesystem', 'path' = '$out',
+                  'format' = 'parquet', 'sink.checkpoint' = '$ck')""")
+          SqlDdl.executeSql(s, """
+            INSERT INTO q358_sink
+            SELECT user_id, SUM(cents) AS amt, COUNT(*) AS n
+            FROM q358_src GROUP BY user_id""").await()
+          SqlDdl.executeSql(s,
+            "SELECT user_id, amt, n FROM q358_sink").df.get
+        } finally {
+          SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q358_src")
+          SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q358_sink")
+        }
+      }
     })
   )
 
@@ -3901,6 +3942,13 @@ object ReplayQueries {
       FROM l WHERE NOT EXISTS (
         SELECT 1 FROM r
         WHERE r.user_id = l.user_id AND r.event_type = l.event_type
-          AND l.sum_c > r.cnt * 3000)"""
+          AND l.sum_c > r.cnt * 3000)""",
+
+    // the all-text upsert pipeline's live rows = the batch aggregate
+    "q358_sql_upsert_sink_pipeline" -> """
+      SELECT user_id,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS amt,
+             count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id"""
   )
 }

@@ -525,6 +525,24 @@ object StreamSql {
              java.util.regex.Pattern.compile("(?i)\\bOVER\\s*\\(")
                .matcher(ovm.group(1)).find())
       Some(StreamSqlTime.over(spark, ovm, effTtl))
+    // UNWINDOWED GROUP BY over an APPEND stream view: the reference's
+    // day-one updating aggregate over an insert-only table — the view
+    // lifts to a constant-+I changelog (changelog-mode inference) and
+    // runs the same retract-capable operators, which then simply never
+    // see a retraction. Group-window statements took the gwm arm above.
+    else if (dm.matches() && streamView(dm.group(2)).isDefined &&
+             java.util.regex.Pattern
+               .compile("(?i)\\bCOUNT\\s*\\(\\s*DISTINCT\\b")
+               .matcher(dm.group(1)).find())
+      Some(distinct(spark, dm, effTtl))
+    else if (dm.matches() && streamView(dm.group(2)).isDefined &&
+             dm.group(1).toUpperCase.matches(
+               "(?s).*\\b(FIRST_VALUE|LAST_VALUE|LISTAGG|COLLECT)\\b.*"))
+      Some(listagg(spark, dm, effTtl))
+    else if (dm.matches() && streamView(dm.group(2)).isDefined &&
+             dm.group(1).toUpperCase.matches(
+               "(?s).*\\b(SUM|AVG|VAR_POP|VAR_SAMP|STDDEV_POP|STDDEV_SAMP|MIN|MAX|COUNT)\\s*\\(.*"))
+      Some(groupAgg(spark, dm, effTtl))
     else if (jm.matches() && view(jm.group(2)).isDefined)
       Some(joinStmt(spark, jm, effTtl))
     else if (dm.matches() && view(dm.group(2)).isDefined &&
@@ -1429,11 +1447,20 @@ object StreamSql {
     * (FlinkChangelogModeInferenceProgram.scala). The lifted side's
     * state accumulates all rows per key (the stream-stream join's
     * normal bound); its event-time column rides along as payload. */
-  private def resolveJoinSide(name: String): ChangelogView =
+  /** A changelog view, or an APPEND stream view LIFTED to a constant-+I
+    * changelog — an insert-only input is a changelog that never
+    * retracts, the reference's changelog-mode inference
+    * (FlinkChangelogModeInferenceProgram.scala). Shared by the join and
+    * the unwindowed-aggregate routes; the stream view's rowId (if
+    * declared) rides along as the lifted view's upsert key. */
+  private def liftedView(name: String): Option[ChangelogView] =
     view(name).orElse(streamView(name).map { sv =>
       ChangelogView(sv.df.withColumn("__lift_kind", lit(Changelog.Insert)),
         "__lift_kind", sv.rowIdCol)
-    }).getOrElse(throw new IllegalArgumentException(
+    })
+
+  private def resolveJoinSide(name: String): ChangelogView =
+    liftedView(name).getOrElse(throw new IllegalArgumentException(
       s"JOIN over unregistered view '$name' — each side of a streaming " +
       "join must be a registered changelog view (registerChangelog) or " +
       "an append stream view (registerStream, lifted to an insert-only " +
@@ -1698,7 +1725,7 @@ object StreamSql {
                        ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
     val (sel, vName, vAlias0, whereCl, groupBy, having) =
       (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))
-    val v = view(vName).get
+    val v = liftedView(vName).get
     val quals = Seq(vAlias0, vName)
     val vdf = whereFilter(v.df, whereCl, quals)
     val items = SqlFrontend.splitTop(sel).map(strip(_, quals))
@@ -1757,7 +1784,7 @@ object StreamSql {
                       ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
     val (sel, vName, vAlias0, whereCl, groupBy, having) =
       (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))
-    val v = view(vName).get
+    val v = liftedView(vName).get
     val rowIdCol = v.rowIdCol.getOrElse(throw new IllegalArgumentException(
       s"streaming FIRST_VALUE/LAST_VALUE/LISTAGG/COLLECT over '$vName' " +
       "needs its upsert key: registerChangelog(..., rowId = Some(col)) — " +
@@ -1845,7 +1872,7 @@ object StreamSql {
                        ttl: Option[Changelog.IdleStateTtl]): DataFrame = {
     val (sel, vName, vAlias0, whereCl, groupBy, having) =
       (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))
-    val v = view(vName).get
+    val v = liftedView(vName).get
     val quals = Seq(vAlias0, vName)
     val items = SqlFrontend.splitTop(sel).map(strip(_, quals))
     val aggRe = java.util.regex.Pattern.compile(

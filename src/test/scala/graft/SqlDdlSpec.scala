@@ -190,6 +190,38 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("duration"))
   }
 
+  test("INSERT INTO a PRIMARY KEY sink upserts by key; retracted keys disappear") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val d = tmp()
+    val cv = "ddl_upsert_cv"
+    val mem = MemoryStream[CRow]
+    StreamSql.registerChangelog(cv, mem.toDS().toDF(), kindCol = "kind")
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_upsert_sink (k2 BIGINT, sv DOUBLE,
+        PRIMARY KEY (k2) NOT ENFORCED)
+      WITH ('connector' = 'filesystem', 'path' = '$d/up')""")
+    try {
+      val r = SqlDdl.executeSql(spark, s"""
+        INSERT INTO ddl_upsert_sink
+        SELECT key AS k2, SUM(value) AS sv FROM $cv GROUP BY key""")
+      val q = r.query.get
+      mem.addData(CRow(1, "+I", 2.0, 1), CRow(2, "+I", 9.0, 2))
+      q.processAllAvailable()
+      mem.addData(CRow(1, "+I", 3.0, 3))     // key 1 churns: 2.0 → 5.0
+      q.processAllAvailable()
+      mem.addData(CRow(2, "-D", 9.0, 2))     // key 2's sum retracts to ∅
+      r.await()
+      val live = SqlDdl.executeSql(spark,
+        "SELECT k2, sv FROM ddl_upsert_sink").df.get
+        .as[(Long, Double)].collect().toSet
+      assert(live == Set((1L, 5.0))) // key 1 at its FINAL value; key 2 gone
+    } finally {
+      SqlDdl.executeSql(spark, "DROP TABLE ddl_upsert_sink")
+      StreamSql.dropChangelog(cv)
+    }
+  }
+
   test("review hardening: explain guard, CTE, comments, partitions, kind-aware DROP") {
     val d = tmp()
     // CTE / VALUES queries are accepted at the front door

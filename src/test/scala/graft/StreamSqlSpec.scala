@@ -141,6 +141,38 @@ class StreamSqlSpec extends AnyFunSuite {
     StreamSql.dropChangelog(lv); StreamSql.dropChangelog(rv)
   }
 
+  test("unwindowed GROUP BY over an APPEND stream view lifts to the changelog aggregate") {
+    implicit val sc = spark.sqlContext
+    val vn = fresh("agv")
+    val mem = MemoryStream[(Long, Double, Long)]
+    val df = mem.toDS().select($"_1".as("k"), $"_2".as("v"),
+      timestamp_millis($"_3" + 1700000000000L).as("ets"))
+    StreamSql.registerStream(vn, df, tsCol = "ets", delay = "1 second")
+    // the reference's day-one updating aggregate over an insert-only
+    // table: the append view lifts to a constant-+I changelog and runs
+    // the retract-capable operator (which never sees a retraction)
+    val out = SqlFrontend.sql(spark,
+      s"SELECT k AS kk, SUM(v) AS sv, COUNT(*) AS n FROM $vn GROUP BY k")
+    assert(out.columns.contains("row_kind"))
+    val sink = fresh("ag_sink")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, 2.0, 1000L)); q.processAllAvailable()
+      mem.addData((1L, 3.0, 2000L)); q.processAllAvailable()
+    } finally q.stop()
+    // the agg routes emit row_kind (no ord) — compare as a sorted bag
+    val got = spark.table(sink)
+      .select("kk", "sv", "n", "row_kind")
+      .as[(Long, Double, Long, String)].collect().toList.sorted
+    // the moment-family operator emits +U on every refresh including
+    // the first (the materialization treats a first +U as the insert —
+    // the same contract every groupAgg gate pins)
+    assert(got == List((1L, 2.0, 1L, "+U"),
+                       (1L, 2.0, 1L, "-U"), (1L, 5.0, 2L, "+U")).sorted)
+    StreamSql.dropStream(vn)
+  }
+
   test("SQL Top-N is bit-identical to the direct topNChangelog API") {
     implicit val sc = spark.sqlContext
     val tv = fresh("tv")
