@@ -479,7 +479,21 @@ object SqlDdl {
       s"${res.columns.mkString(", ")})")
     val aligned = res.select(d.physical.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-    if (!aligned.isStreaming) {
+    if (!aligned.isStreaming && d.primaryKey.isDefined) {
+      // BATCH upsert — `MERGE INTO … WHEN MATCHED UPDATE` (SCD1) from
+      // plain SQL text: the batch result merges by PRIMARY KEY over the
+      // existing table (latest statement wins per key), exactly the
+      // reference's batch INSERT INTO an upsert table sink.
+      val pk = d.primaryKey.get
+      require(d.physical.fieldNames.exists(_.equalsIgnoreCase(pk)),
+        s"PRIMARY KEY '$pk' is not a declared column of $target")
+      graft.streaming.StreamSinks.applyBatch(
+        withUpsertOrd(spark, d,
+          aligned.withColumn("__kind", lit(graft.streaming.Changelog.Insert))),
+        d.path, Seq(pk), "__ord", buckets = 64)
+      registerUpsertView(spark, d)
+      done
+    } else if (!aligned.isStreaming) {
       aligned.write.mode("append").options(d.readerOptions)
         .format(d.format).save(d.path)
       registerBatchView(spark, d) // refresh the readable view
@@ -497,29 +511,28 @@ object SqlDdl {
       val pk = d.primaryKey.get
       require(d.physical.fieldNames.exists(_.equalsIgnoreCase(pk)),
         s"PRIMARY KEY '$pk' is not a declared column of $target")
-      // per-key change order: the result's row_ord when the route
-      // emits one (rank family), else synthesized as (batch id,
-      // within-batch position) — a key's changes in one micro-batch
-      // leave the keyed operator consecutively from one task, so the
-      // partition-local monotonic id preserves their order and the
-      // batch id orders across batches (all the merge needs is per-KEY
-      // monotonicity)
+      // per-key change order: a fresh table-scoped EPOCH per
+      // micro-batch (monotone across batches AND across successive
+      // INSERT statements — a second statement's batch ids restart at
+      // 0, so batch id alone would lose to prior data) combined with
+      // the partition-local monotonic id — a key's changes in one
+      // micro-batch leave the keyed operator consecutively from one
+      // task, so within-batch order is preserved; all the merge needs
+      // is per-KEY monotonicity. A route-emitted row_ord refines the
+      // within-epoch order when present.
       val hasOrd = res.columns.contains("row_ord")
       val upDf = res.select(d.physical.fields.map(f =>
         col(f.name).cast(f.dataType).as(f.name)).toSeq ++ Seq(
         col("row_kind").cast("string").as("__kind")) ++
-        (if (hasOrd) Seq(col("row_ord").cast("long").as("__ord")) else Nil): _*)
+        (if (hasOrd) Seq(col("row_ord").cast("long").as("__ord0")) else Nil): _*)
       val ck = d.checkpoint.getOrElse(
         java.nio.file.Files.createTempDirectory("graft_ddl_ck").toString)
       val q = upDf.writeStream
         .option("checkpointLocation", ck)
-        .foreachBatch { (b: DataFrame, batchId: Long) =>
-          val ordered =
-            if (hasOrd) b
-            else b.withColumn("__ord",
-              lit(batchId) * lit(1L << 40) + monotonically_increasing_id())
+        .foreachBatch { (b: DataFrame, _: Long) =>
           graft.streaming.StreamSinks.applyBatch(
-            ordered, d.path, Seq(pk), "__ord", buckets = 64)
+            withUpsertOrd(spark, d, b), d.path, Seq(pk), "__ord",
+            buckets = 64)
         }
         .start()
       SqlResult(None, Some(q), () => registerUpsertView(spark, d))
@@ -532,6 +545,39 @@ object SqlDdl {
         .start()
       SqlResult(None, Some(q), () => registerBatchView(spark, d))
     }
+  }
+
+  // table-scoped upsert epochs: monotone within the process; seeded
+  // past the table's highest stored epoch on first use, so ords from a
+  // previous process (or a previous INSERT statement) never outrank new
+  // data. Process-wide like the catalog itself.
+  private val upsertEpochs =
+    TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
+
+  private def nextUpsertEpoch(spark: SparkSession, d: TableDef): Long =
+    upsertEpochs.getOrElseUpdate(d.name.toLowerCase, {
+      val seed =
+        try {
+          val m = spark.read.parquet(d.path).agg(max(col("__ord"))).head()
+          if (m.isNullAt(0)) 0L else (m.getLong(0) >> 44) + 1L
+        } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      new java.util.concurrent.atomic.AtomicLong(seed)
+    }).incrementAndGet()
+
+  /** Attach the `__ord` merge key: (fresh epoch << 44) + the
+    * partition-local monotonic id (within-partition row order — a key's
+    * changes leave the keyed operator consecutively from one task), or
+    * + the route-emitted row_ord when the batch carries `__ord0`.
+    * Assumes < 2^11 sink partitions so the monotonic id stays inside
+    * its 44 bits — the local profile by construction; at cluster scale
+    * a table format's MERGE INTO replaces this sink mechanically (see
+    * StreamSinks' object doc). */
+  private def withUpsertOrd(spark: SparkSession, d: TableDef,
+                            b: DataFrame): DataFrame = {
+    val epoch = lit(nextUpsertEpoch(spark, d)) * lit(1L << 44)
+    if (b.columns.contains("__ord0"))
+      b.withColumn("__ord", epoch + col("__ord0")).drop("__ord0")
+    else b.withColumn("__ord", epoch + monotonically_increasing_id())
   }
 
   /** Readable view of an upsert table: the materialized live rows —

@@ -2721,6 +2721,51 @@ object ReplayQueries {
           SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q358_sink")
         }
       }
+    }),
+
+    // APPEND-ONLY Top-N from SQL TEXT — the reference's
+    // AppendOnlyTopNFunction (the rank rule planned over an insert-only
+    // input): per event_type, the 3 highest cents seen; the stream view
+    // lifts to a constant-+I changelog, and although the INPUT never
+    // retracts, the rank's own state churns as later leaders displace
+    // earlier ones mid-replay. Final state = the batch row_number dual.
+    "q359_stream_sql_append_topn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+                floor(col("value") * 100).cast("long").as("cents"),
+                col("ts"))
+      val (in, out, ck) = stage(ev, 4)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+        StreamSql.registerStream("q359_v", src, tsCol = "ts",
+          delay = "1 second", rowId = Some("event_id"))
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT etype, event_id, cents FROM (
+                 SELECT event_type AS etype, event_id, cents,
+                        ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY cents DESC, event_id)
+                          AS rn
+                 FROM q359_v) t WHERE rn <= 3""")
+          val q = j.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally StreamSql.dropStream("q359_v")
+      }
+      val fin = Changelog.materialize(
+        s.read.parquet(out)
+          .withColumn("mk", concat_ws("#", col("etype"), col("event_id"))),
+        "mk", "row_kind", "row_ord")
+      fin.select(col("etype"), col("event_id"),
+                 col("cents").cast("long").as("cents"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("etype"))
+            .orderBy(col("cents").desc, col("event_id"))).cast("int"))
+        .select(col("etype"), col("rnk"), col("event_id"), col("cents"))
     })
   )
 
@@ -3949,6 +3994,20 @@ object ReplayQueries {
       SELECT user_id,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS amt,
              count(*) AS n
-      FROM events WHERE event_type = 'purchase' GROUP BY user_id"""
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id""",
+
+    // top-3 cents per event type (tiebreak: event id)
+    "q359_stream_sql_append_topn" -> """
+      WITH src AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events),
+      r AS (
+        SELECT event_type AS etype, event_id, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents DESC, event_id) AS rn
+        FROM src)
+      SELECT etype, CAST(rn AS INT) AS rnk, event_id, cents
+      FROM r WHERE rn <= 3"""
   )
 }

@@ -500,6 +500,17 @@ object StreamSql {
       Some(topn(spark, tm, effTtl))
     else if (em.matches() && view(em.group(2)).isDefined)
       Some(exists(spark, em, effTtl))
+    // rank / existence shapes over APPEND stream views: the view lifts
+    // to a constant-+I changelog (the reference runs the cheaper
+    // AppendOnlyTopNFunction there — same results, no retractions ever
+    // arrive; EXISTS against a churning inner side is the mixed-domain
+    // move the join route already makes)
+    else if (slm.matches() && streamView(slm.group(2)).isDefined)
+      Some(sortLimit(spark, slm, effTtl))
+    else if (tm.matches() && streamView(tm.group(6)).isDefined)
+      Some(topn(spark, tm, effTtl))
+    else if (em.matches() && streamView(em.group(2)).isDefined)
+      Some(exists(spark, em, effTtl))
     // time-domain shapes over APPEND-ONLY stream views (registerStream)
     else if (mrm.find() && streamView(mrm.group(1)).isDefined) {
       val v = streamView(mrm.group(1)).get
@@ -1252,7 +1263,7 @@ object StreamSql {
       (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
        m.group(6))
     val n = nStr.toInt
-    val v = view(vName).get
+    val v = liftedView(vName).get
     val quals = Seq(vAlias0, vName)
     val rowIdCol = v.rowIdCol.getOrElse(throw new IllegalArgumentException(
       s"streaming ORDER BY … LIMIT over '$vName' needs its upsert key: " +
@@ -1316,10 +1327,11 @@ object StreamSql {
     val (sel, lName, lAlias0, anti, rName, rAlias0, innerWhere) =
       (m.group(1), m.group(2), m.group(3), m.group(4) != null,
        m.group(5), m.group(6), m.group(7))
-    val lv = view(lName).get
-    val rv = view(rName).getOrElse(throw new IllegalArgumentException(
+    val lv = liftedView(lName).get
+    val rv = liftedView(rName).getOrElse(throw new IllegalArgumentException(
       s"EXISTS subquery over unregistered view '$rName' — both sides of a " +
-      "streaming EXISTS must be registered changelog views"))
+      "streaming EXISTS must be registered views (changelog, or an " +
+      "append stream view lifted to an insert-only changelog)"))
     val lAlias = Option(lAlias0).getOrElse(lName)
     val rAlias = Option(rAlias0).getOrElse(rName)
     // same disjointness contract as joinStmt: key-equality attribution
@@ -1643,7 +1655,7 @@ object StreamSql {
     require(whereRn.equalsIgnoreCase(rnAlias),
       s"Top-N WHERE must bound the ROW_NUMBER alias '$rnAlias', got '$whereRn'")
     val n = nStr.toInt
-    val v = view(vName).get
+    val v = liftedView(vName).get
     val rowIdCol = v.rowIdCol.getOrElse(throw new IllegalArgumentException(
       s"streaming Top-N over '$vName' needs its upsert key: " +
       "registerChangelog(..., rowId = Some(col)) — the reference's rank " +

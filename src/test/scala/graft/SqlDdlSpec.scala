@@ -222,6 +222,22 @@ class SqlDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("batch INSERT INTO a PRIMARY KEY sink merges by key across statements") {
+    val d = tmp()
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_scd (k BIGINT, v DOUBLE, PRIMARY KEY (k) NOT ENFORCED)
+      WITH ('connector' = 'filesystem', 'path' = '$d/scd')""")
+    try {
+      SqlDdl.executeSql(spark, "INSERT INTO ddl_scd SELECT 1 AS k, 10.0 AS v")
+      SqlDdl.executeSql(spark, "INSERT INTO ddl_scd SELECT 2 AS k, 20.0 AS v")
+      // SCD1: the later statement overwrites key 1
+      SqlDdl.executeSql(spark, "INSERT INTO ddl_scd SELECT 1 AS k, 11.0 AS v")
+      val live = SqlDdl.executeSql(spark, "SELECT k, v FROM ddl_scd").df.get
+        .as[(Long, Double)].collect().toSet
+      assert(live == Set((1L, 11.0), (2L, 20.0)))
+    } finally SqlDdl.executeSql(spark, "DROP TABLE ddl_scd")
+  }
+
   test("review hardening: explain guard, CTE, comments, partitions, kind-aware DROP") {
     val d = tmp()
     // CTE / VALUES queries are accepted at the front door
