@@ -172,6 +172,12 @@ import graft.operators.SqlFrontend
  *    tiebreak must be that rowId ascending; items may reference only
  *    <s> and the rowId. Ranks derive at read over the ≤ n
  *    materialized rows, as with the partitioned route.
+ *  - `SELECT <items> FROM S [AS a] [WHERE p]` over a [[registerStream]]
+ *    APPEND view → plain Calc (the reference's StreamExecCalc on an
+ *    insert-only table): project/filter/rename with NO state, the
+ *    day-one `INSERT INTO sink SELECT … FROM src` pipeline shape.
+ *    Tried after every stateful route; any stateful token in the text
+ *    falls to its own route or the fail-loud scan instead.
  *
  * Every GROUP BY shape above also accepts `[WHERE <pred>]` before the
  * GROUP BY and `[HAVING <pred>]` after it. WHERE is a
@@ -305,6 +311,21 @@ object StreamSql {
     "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)(?:\\s+(?:AS\\s+)?(\\w+))?" +
     "(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)" +
     "(?:\\s+HAVING\\s+(.+?))?\\s*$")
+
+  // SELECT <items> FROM <stream view> [AS a] [WHERE p] — the
+  // reference's plain Calc over an insert-only dynamic table
+  // (StreamExecCalc: project/filter/rename, NO state), the day-one
+  // `INSERT INTO sink SELECT … FROM src [WHERE …]` pipeline shape.
+  // Guarded by [[statefulTokenRe]] so any stateful construct falls to
+  // its own route (or the fail-loud scan), never silently through here.
+  private val calcRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)" +
+    "(?:\\s+(?:AS\\s+)?(?!WHERE\\b)(\\w+))?(?:\\s+WHERE\\s+(.+?))?\\s*$")
+  private val statefulTokenRe = java.util.regex.Pattern.compile(
+    "(?i)\\b(GROUP\\s+BY|JOIN|DISTINCT|EXISTS|UNION|INTERSECT|EXCEPT|" +
+    "ORDER\\s+BY|LIMIT|MATCH_RECOGNIZE|OVER|SUM|AVG|COUNT|MIN|MAX|" +
+    "VAR_POP|VAR_SAMP|STDDEV_POP|STDDEV_SAMP|FIRST_VALUE|LAST_VALUE|" +
+    "LISTAGG|COLLECT)\\b")
 
   private val unionRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)" +
@@ -447,6 +468,22 @@ object StreamSql {
       df.filter(expr(strip(w, quals)))
     }.getOrElse(df)
 
+  /** Plain Calc over an APPEND stream view — project/filter/rename with
+    * NO state (the reference's StreamExecCalc on an insert-only table).
+    * Metadata-only: the result is the same append stream (whole-stage
+    * codegen'd expressions, zero exchanges), and the view's event-time
+    * column stays usable downstream when projected. */
+  private def calc(spark: SparkSession,
+                   m: java.util.regex.Matcher): DataFrame = {
+    val (sel, vName, vAlias0, whereCl) =
+      (m.group(1), m.group(2), m.group(3), m.group(4))
+    val v = streamView(vName).get
+    val quals = Seq(Option(vAlias0).getOrElse(vName), vName)
+    val base = whereFilter(v.df, whereCl, quals)
+    val items = SqlFrontend.splitTop(sel).map(strip(_, quals))
+    if (items == Seq("*")) base else base.selectExpr(items: _*)
+  }
+
   /** `HAVING <pred>` over the aggregate's OUTPUT aliases — a changelog
     * filter on the updating result ([[Changelog.filterChangelog]]):
     * emits +U when a group enters the filtered view, -U/+U while it
@@ -482,6 +519,7 @@ object StreamSql {
     val ovm = StreamSqlTime.overRe.matcher(text)
     val gwm = StreamSqlTime.groupWinRe.matcher(text)
     val um = unionRe.matcher(text)
+    val cm = calcRe.matcher(text)
     val (soBranches, soOps) = splitSetOp(text)
     if (soOps.nonEmpty && {
           val bm = unionBranchRe.matcher(soBranches.head)
@@ -571,6 +609,13 @@ object StreamSql {
              dm.group(1).toUpperCase.matches(
                "(?s).*\\b(SUM|AVG|VAR_POP|VAR_SAMP|STDDEV_POP|STDDEV_SAMP|MIN|MAX|COUNT)\\s*\\(.*"))
       Some(groupAgg(spark, dm, effTtl))
+    // plain Calc over an APPEND stream view — tried LAST so every
+    // stateful shape above keeps its own route; the token guard makes
+    // an unrecognized stateful construct fall to the loud scan below
+    // rather than silently projecting
+    else if (cm.matches() && streamView(cm.group(2)).isDefined &&
+             !statefulTokenRe.matcher(text).find())
+      Some(calc(spark, cm))
     else {
       // fail-loud contract (object doc): a statement that references a
       // REGISTERED changelog view but matches no supported shape must
@@ -604,7 +649,8 @@ object StreamSql {
       if (hitStream.nonEmpty) throw new IllegalArgumentException(
         s"statement references registered stream view(s) " +
         s"${hitStream.mkString(", ")} but matches no supported " +
-        "streaming-SQL shape (SELECT DISTINCT / GROUP BY TUMBLE/HOP/SESSION " +
+        "streaming-SQL shape (plain SELECT items FROM v [WHERE p] / " +
+        "SELECT DISTINCT / GROUP BY TUMBLE/HOP/SESSION " +
         "(ts, INTERVAL …) with *_START/_END accessors / AGG(v) OVER " +
         "(PARTITION BY g ORDER BY ts [frame]) / A JOIN B ON a.k = b.k " +
         "AND <ts bound> (interval join) / A JOIN B FOR SYSTEM_TIME AS " +

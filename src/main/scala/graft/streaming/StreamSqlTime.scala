@@ -74,10 +74,15 @@ import graft.operators.SqlFrontend
  * family's job, not an interval join).
  *
  * Temporal grammar: `SELECT <items> FROM P [AS p] [LEFT] JOIN V
- * FOR SYSTEM_TIME AS OF p.<ts> ON p.k = v.k [AND p.k2 = v.k2…] [AS v]`
- * — multiple key equalities form a COMPOSITE key (the changelog joins'
- * packed-struct discipline; the reference's temporal join keys on the
- * versioned table's possibly-composite primary key). V must declare
+ * FOR SYSTEM_TIME AS OF p.<ts> ON p.k = v.k [AND p.k2 = v.k2…]
+ * [AND <residual>…] [AS v]` — multiple key equalities form a COMPOSITE
+ * key (the changelog joins' packed-struct discipline; the reference's
+ * temporal join keys on the versioned table's possibly-composite
+ * primary key), and any other conjunct is a RESIDUAL evaluated on the
+ * matched pair AFTER the version lookup, exactly the reference's
+ * generated joinCondition in TemporalRowTimeJoinOperator: a failing
+ * residual does not fall back to an earlier version — INNER drops the
+ * probe, LEFT null-pads the version side. V must declare
  * its version order at registration (`rowId`, the tiebreak among
  * equal-timestamp versions); the AS OF expression must be P's declared
  * event-time column (row-time temporal join; an unregistered probe
@@ -691,22 +696,21 @@ object StreamSqlTime {
     // ON: one or more cross-side key equalities (multiple form a
     // COMPOSITE key — the changelog joins' packed-struct discipline;
     // the reference's temporal join similarly keys on the versioned
-    // table's possibly-composite primary key)
+    // table's possibly-composite primary key). Any OTHER conjunct is a
+    // RESIDUAL, applied to the matched pair after the version lookup.
     val conj = StreamSql.splitAnd(onClause)
     val qual = "(\\w+)\\.(\\w+)"
     val eqRe = s"(?s)^$qual\\s*=\\s*$qual$$".r
     def isP(q: String) = pQuals.contains(q.toLowerCase)
     def isV(q: String) = vQuals.contains(q.toLowerCase)
     val keyPairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val residuals = scala.collection.mutable.ArrayBuffer.empty[String]
     conj.foreach {
       case c @ eqRe(q1, c1, q2, c2)
           if (isP(q1) && isV(q2)) || (isV(q1) && isP(q2)) =>
         if (isP(q1)) keyPairs += ((c1, c2)) else keyPairs += ((c2, c1))
         val _ = c
-      case resid => throw new IllegalArgumentException(
-        s"temporal JOIN residual '$resid' unsupported from SQL — the " +
-        "version lookup is by key + time only (filter the result, or " +
-        "use TemporalJoin.streamAsOf directly)")
+      case resid => residuals += resid
     }
     require(keyPairs.nonEmpty,
       s"temporal JOIN needs a <probe>.k = <version>.k equality: $onClause")
@@ -787,10 +791,31 @@ object StreamSqlTime {
           java.util.regex.Pattern.quote(pName) + ")\\s*\\.", "__l.")
         .replaceAll("(?i)\\b(" + java.util.regex.Pattern.quote(vAlias) + "|" +
           java.util.regex.Pattern.quote(vName) + ")\\s*\\.", "__r."))
+    // Residual conjuncts evaluate on the MATCHED pair — the reference's
+    // TemporalRowTimeJoinOperator applies its generated joinCondition
+    // to the as-of version it already picked (the latest ≤ probe time),
+    // with NO fallback to an earlier version on failure: INNER drops
+    // the probe, LEFT null-pads the version side. SQL three-valued ON:
+    // a NULL residual is NOT a match.
+    val withResid = if (residuals.isEmpty) decoded else {
+      val c = residuals.map(r => s"(${requal(r)})").mkString(" AND ")
+      try {
+        val pass = coalesce(expr(c), lit(false))
+        if (leftJoin)
+          decoded.withColumn("__r", when(pass, col("__r"))
+            .otherwise(lit(null).cast(decoded.schema("__r").dataType)))
+        else decoded.filter(pass)
+      } catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"temporal JOIN residual must reference the two views' " +
+          s"columns qualified by alias ('$pAlias.' / '$vAlias.'): " +
+          s"${residuals.mkString(" AND ")}", e)
+      }
+    }
     val items = SqlFrontend.splitTop(sel)
     require(items != Seq("*"), "temporal JOIN needs explicit projection " +
       "items qualified by view alias")
-    try decoded.selectExpr(items.map(requal): _*)
+    try withResid.selectExpr(items.map(requal): _*)
     catch { case e: org.apache.spark.sql.AnalysisException =>
       throw new IllegalArgumentException(
         s"temporal JOIN projection items must be qualified with a view " +

@@ -301,4 +301,311 @@ class SqlDdlSpec extends AnyFunSuite {
     val opts = SqlDdl.parseOptions("'path' = '/x;y', 'csv.sep' = ';'")
     assert(opts == Map("path" -> "/x;y", "csv.sep" -> ";"))
   }
+
+  test("changelog INSERT INTO a non-PK sink without row_kind rejects loudly") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val d = tmp()
+    val mem = MemoryStream[CRow]
+    StreamSql.registerChangelog("ddl_guard_cv", mem.toDS().toDF(),
+      kindCol = "kind")
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_guard_sink (k2 BIGINT, sv DOUBLE)
+      WITH ('connector' = 'filesystem', 'path' = '$d/g')""")
+    try {
+      // the reference's StreamExecSink validation: an updating result
+      // into a plain append sink must fail BEFORE start(), not write
+      // every intermediate +I/-U/+U/-D as a fact
+      val e = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, """
+          INSERT INTO ddl_guard_sink
+          SELECT key AS k2, SUM(value) AS sv FROM ddl_guard_cv GROUP BY key""")
+      }
+      assert(e.getMessage.contains("consuming update changes"))
+      assert(e.getMessage.contains("PRIMARY KEY"))
+    } finally {
+      SqlDdl.executeSql(spark, "DROP TABLE ddl_guard_sink")
+      StreamSql.dropChangelog("ddl_guard_cv")
+    }
+  }
+
+  test("composite PRIMARY KEY merges on the full column list") {
+    val d = tmp()
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_cpk (k BIGINT, g STRING, v DOUBLE,
+        PRIMARY KEY (k, g) NOT ENFORCED)
+      WITH ('connector' = 'filesystem', 'path' = '$d/cpk')""")
+    try {
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_cpk SELECT 1 AS k, 'x' AS g, 10.0 AS v")
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_cpk SELECT 1 AS k, 'y' AS g, 20.0 AS v")
+      // a single-column key would conflate (1,x) and (1,y)
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_cpk SELECT 1 AS k, 'x' AS g, 11.0 AS v")
+      val live = SqlDdl.executeSql(spark, "SELECT k, g, v FROM ddl_cpk")
+        .df.get.as[(Long, String, Double)].collect().toSet
+      assert(live == Set((1L, "x", 11.0), (1L, "y", 20.0)))
+      val desc = SqlDdl.executeSql(spark, "DESCRIBE ddl_cpk").df.get
+        .collect().map(r => (r.getString(0), r.getString(2))).toMap
+      assert(desc("k").contains("PRIMARY KEY"))
+      assert(desc("g").contains("PRIMARY KEY"))
+    } finally SqlDdl.executeSql(spark, "DROP TABLE ddl_cpk")
+  }
+
+  test("re-CREATE of a PRIMARY KEY table re-attaches to the upsert layout") {
+    val d = tmp()
+    def create() = SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_reattach (k BIGINT, v DOUBLE,
+        PRIMARY KEY (k) NOT ENFORCED)
+      WITH ('connector' = 'filesystem', 'path' = '$d/ra')""")
+    create()
+    try {
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_reattach SELECT 1 AS k, 10.0 AS v")
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_reattach SELECT 2 AS k, 20.0 AS v")
+      SqlDdl.executeSql(spark, "DROP TABLE ddl_reattach")
+      // re-attach: the readable live view must come back immediately
+      create()
+      val got = SqlDdl.executeSql(spark, "SELECT k, v FROM ddl_reattach")
+        .df.get.as[(Long, Double)].collect().toSet
+      assert(got == Set((1L, 10.0), (2L, 20.0)))
+      // and the re-seeded epoch counter must outrank the stored ords
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_reattach SELECT 1 AS k, 11.0 AS v")
+      val live = SqlDdl.executeSql(spark, "SELECT k, v FROM ddl_reattach")
+        .df.get.as[(Long, Double)].collect().toSet
+      assert(live == Set((1L, 11.0), (2L, 20.0)))
+    } finally SqlDdl.executeSql(spark, "DROP TABLE IF EXISTS ddl_reattach")
+  }
+
+  test("insert-only streaming INSERT INTO a PK table upserts (no layout mixing)") {
+    val srcDir = tmp() + "/src"
+    val sinkDir = tmp() + "/pk"
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    (0 until 20).map { i =>
+      (i.toLong, i * 1.0, new java.sql.Timestamp(base.getTime + i * 1000L))
+    }.toDF("id", "v", "ts").repartition(2).write.parquet(srcDir)
+    SqlDdl.executeAll(spark, s"""
+      CREATE TABLE ddl_io_src (id BIGINT, v DOUBLE, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)
+      WITH ('connector' = 'filesystem', 'path' = '$srcDir',
+            'format' = 'parquet', 'source.max-files-per-trigger' = '1');
+      CREATE TABLE ddl_io_pk (id BIGINT, v DOUBLE,
+        PRIMARY KEY (id) NOT ENFORCED)
+      WITH ('connector' = 'filesystem', 'path' = '$sinkDir')""")
+    try {
+      // an APPEND streaming result into a PK sink is still an UPSERT
+      // (each row +I) — it must NOT fall into the plain-file arm, which
+      // would interleave non-bucketed files with the bucketed layout
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_io_pk SELECT id, v FROM ddl_io_src").await()
+      val live = SqlDdl.executeSql(spark, "SELECT id, v FROM ddl_io_pk")
+        .df.get.as[(Long, Double)].collect().toSet
+      assert(live == (0 until 20).map(i => (i.toLong, i * 1.0)).toSet)
+      // layout purity: everything under __bucket= partitions
+      val top = new java.io.File(sinkDir).listFiles().map(_.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      assert(top.isEmpty, s"plain files leaked into the upsert layout: " +
+        top.mkString(", "))
+      // a later batch merge composes with the streamed rows
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_io_pk SELECT 3 AS id, 99.0 AS v")
+      val after = SqlDdl.executeSql(spark, "SELECT v FROM ddl_io_pk WHERE id = 3")
+        .df.get.as[Double].collect().toSeq
+      assert(after == Seq(99.0))
+    } finally {
+      SqlDdl.executeSql(spark, "DROP TABLE ddl_io_src")
+      SqlDdl.executeSql(spark, "DROP TABLE ddl_io_pk")
+    }
+  }
+
+  test("ord rescale: a later batch merge beats a TTL-era stream ord") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val d = tmp()
+    val mem = MemoryStream[CRow]
+    StreamSql.registerChangelog("ddl_ord_cv", mem.toDS().toDF(),
+      kindCol = "kind", rowId = Some("ord"))
+    // TTL makes the Top-N route seed its ord from the wall clock
+    // (~2^60) — before the rescale, that dwarfed every later epoch and
+    // silently lost subsequent merges to stale rows
+    SqlDdl.executeSql(spark, "SET 'table.exec.state.ttl' = '10 min'")
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_ord_sink (k2 BIGINT, sv DOUBLE,
+        PRIMARY KEY (k2) NOT ENFORCED)
+      WITH ('connector' = 'filesystem', 'path' = '$d/ord')""")
+    try {
+      val r = SqlDdl.executeSql(spark, """
+        INSERT INTO ddl_ord_sink
+        SELECT k2, sv FROM (
+          SELECT key AS k2, value AS sv,
+                 ROW_NUMBER() OVER (PARTITION BY key ORDER BY value DESC)
+                   AS rn
+          FROM ddl_ord_cv) t WHERE rn <= 1""")
+      mem.addData(CRow(1, "+I", 5.0, 1))
+      r.await()
+      assert(SqlDdl.executeSql(spark, "SELECT sv FROM ddl_ord_sink")
+        .df.get.as[Double].collect().toSeq == Seq(5.0))
+      SqlDdl.executeSql(spark, "RESET 'table.exec.state.ttl'")
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_ord_sink SELECT 1 AS k2, 99.0 AS sv")
+      val live = SqlDdl.executeSql(spark, "SELECT k2, sv FROM ddl_ord_sink")
+        .df.get.as[(Long, Double)].collect().toSet
+      assert(live == Set((1L, 99.0)))
+    } finally {
+      SqlDdl.executeSql(spark, "DROP TABLE ddl_ord_sink")
+      StreamSql.dropChangelog("ddl_ord_cv")
+      SqlDdl.executeSql(spark, "RESET 'table.exec.state.ttl'")
+    }
+  }
+
+  test("INSERT OVERWRITE: full, partitioned dynamic, static spec — idempotent") {
+    val d = tmp()
+    Seq((0L, "a"), (1L, "a"), (2L, "b"), (3L, "b"), (4L, "b"))
+      .toDF("id", "g").createOrReplaceTempView("ddl_ow_src")
+    // unpartitioned: replaced whole
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_ow (id BIGINT, g STRING)
+      WITH ('connector' = 'filesystem', 'path' = '$d/ow')""")
+    SqlDdl.executeSql(spark,
+      "INSERT INTO ddl_ow SELECT 99 AS id, 'z' AS g")
+    SqlDdl.executeSql(spark,
+      "INSERT OVERWRITE ddl_ow SELECT id, g FROM ddl_ow_src")
+    SqlDdl.executeSql(spark,
+      "INSERT OVERWRITE ddl_ow SELECT id, g FROM ddl_ow_src") // idempotent
+    val ow = SqlDdl.executeSql(spark, "SELECT id, g FROM ddl_ow").df.get
+      .as[(Long, String)].collect().toSet
+    assert(ow == Set((0L, "a"), (1L, "a"), (2L, "b"), (3L, "b"), (4L, "b")))
+    // partitioned: dynamic overwrite replaces ONLY the touched partition
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_owp (id BIGINT, g STRING) PARTITIONED BY (g)
+      WITH ('connector' = 'filesystem', 'path' = '$d/owp')""")
+    SqlDdl.executeSql(spark,
+      "INSERT OVERWRITE ddl_owp SELECT id, g FROM ddl_ow_src")
+    SqlDdl.executeSql(spark,
+      "INSERT OVERWRITE ddl_owp SELECT id, g FROM ddl_ow_src WHERE g = 'a' AND id < 1")
+    val owp = SqlDdl.executeSql(spark, "SELECT id, g FROM ddl_owp").df.get
+      .as[(Long, String)].collect().toSet
+    assert(owp == Set((0L, "a"), (2L, "b"), (3L, "b"), (4L, "b")))
+    // static PARTITION spec pins the value; the query must not carry it
+    SqlDdl.executeSql(spark, """
+      INSERT OVERWRITE ddl_owp PARTITION (g='a')
+      SELECT id FROM ddl_ow_src WHERE g = 'a'""")
+    val owps = SqlDdl.executeSql(spark,
+      "SELECT id FROM ddl_owp WHERE g = 'a'").df.get
+      .as[Long].collect().toSet
+    assert(owps == Set(0L, 1L))
+    val e1 = intercept[IllegalArgumentException] {
+      SqlDdl.executeSql(spark, """
+        INSERT OVERWRITE ddl_owp PARTITION (g='a')
+        SELECT id, g FROM ddl_ow_src""")
+    }
+    assert(e1.getMessage.contains("must not also"))
+    val e2 = intercept[IllegalArgumentException] {
+      SqlDdl.executeSql(spark, """
+        INSERT OVERWRITE ddl_ow PARTITION (g='a')
+        SELECT id FROM ddl_ow_src""")
+    }
+    assert(e2.getMessage.contains("PARTITIONED BY"))
+    SqlDdl.executeSql(spark, "DROP TABLE ddl_ow")
+    SqlDdl.executeSql(spark, "DROP TABLE ddl_owp")
+  }
+
+  test("INSERT OVERWRITE rejects streaming results and PK targets") {
+    val d = tmp()
+    val srcDir = d + "/src"
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    Seq((1L, base)).toDF("id", "ts").write.parquet(srcDir)
+    SqlDdl.executeAll(spark, s"""
+      CREATE TABLE ddl_owr_src (id BIGINT, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)
+      WITH ('connector' = 'filesystem', 'path' = '$srcDir');
+      CREATE TABLE ddl_owr_t (id BIGINT)
+      WITH ('connector' = 'filesystem', 'path' = '$d/t');
+      CREATE TABLE ddl_owr_pk (id BIGINT, PRIMARY KEY (id) NOT ENFORCED)
+      WITH ('connector' = 'filesystem', 'path' = '$d/pk')""")
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark,
+          "INSERT OVERWRITE ddl_owr_t SELECT id FROM ddl_owr_src")
+      }
+      assert(e1.getMessage.contains("bounded"))
+      val e2 = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark,
+          "INSERT OVERWRITE ddl_owr_pk SELECT 1 AS id")
+      }
+      assert(e2.getMessage.contains("PRIMARY KEY"))
+    } finally SqlDdl.executeAll(spark,
+      "DROP TABLE ddl_owr_src; DROP TABLE ddl_owr_t; DROP TABLE ddl_owr_pk")
+  }
+
+  test("BEGIN STATEMENT SET runs its INSERTs as one combined result") {
+    val d = tmp()
+    spark.range(6).selectExpr("id", "id % 2 AS m")
+      .createOrReplaceTempView("ddl_set_src")
+    val rs = SqlDdl.executeAll(spark, s"""
+      CREATE TABLE ddl_set_a (id BIGINT)
+      WITH ('connector' = 'filesystem', 'path' = '$d/a');
+      CREATE TABLE ddl_set_b (n BIGINT)
+      WITH ('connector' = 'filesystem', 'path' = '$d/b');
+      BEGIN STATEMENT SET;
+      INSERT INTO ddl_set_a SELECT id FROM ddl_set_src WHERE m = 0;
+      INSERT INTO ddl_set_b SELECT count(*) AS n FROM ddl_set_src;
+      END""")
+    // 2 CREATEs + ONE combined set result
+    assert(rs.length == 3)
+    rs.last.await()
+    assert(SqlDdl.executeSql(spark, "SELECT id FROM ddl_set_a").df.get
+      .as[Long].collect().toSet == Set(0L, 2L, 4L))
+    assert(SqlDdl.executeSql(spark, "SELECT n FROM ddl_set_b").df.get
+      .as[Long].head() == 6L)
+    // non-INSERT members reject; a lone BEGIN points at the script form
+    val e = intercept[IllegalArgumentException] {
+      SqlDdl.executeAll(spark,
+        "BEGIN STATEMENT SET; SELECT 1 AS x; END")
+    }
+    assert(e.getMessage.contains("INSERT statements only"))
+    val e2 = intercept[IllegalArgumentException] {
+      SqlDdl.executeSql(spark, "BEGIN STATEMENT SET")
+    }
+    assert(e2.getMessage.contains("executeAll"))
+    SqlDdl.executeSql(spark, "DROP TABLE ddl_set_a")
+    SqlDdl.executeSql(spark, "DROP TABLE ddl_set_b")
+  }
+
+  test("SHOW TABLES lists plain (batch) views too") {
+    SqlDdl.executeSql(spark,
+      "CREATE VIEW ddl_plain_view AS SELECT 1 AS x")
+    try {
+      val rows = SqlDdl.executeSql(spark, "SHOW TABLES").df.get
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows.contains(("ddl_plain_view", "view")))
+    } finally SqlDdl.executeSql(spark, "DROP VIEW ddl_plain_view")
+  }
+
+  test("CREATE TABLE guards mixed layouts (PK over plain data, plain over upsert)") {
+    val d = tmp()
+    spark.range(3).toDF("id").write.parquet(d + "/plain")
+    val e1 = intercept[IllegalArgumentException] {
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_mix1 (id BIGINT, PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('connector' = 'filesystem', 'path' = '$d/plain')""")
+    }
+    assert(e1.getMessage.contains("non-upsert data"))
+    // build an upsert layout, then try to read it as a plain table
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_mix2 (id BIGINT, v DOUBLE,
+        PRIMARY KEY (id) NOT ENFORCED)
+      WITH ('connector' = 'filesystem', 'path' = '$d/up')""")
+    SqlDdl.executeSql(spark, "INSERT INTO ddl_mix2 SELECT 1 AS id, 1.0 AS v")
+    SqlDdl.executeSql(spark, "DROP TABLE ddl_mix2")
+    val e2 = intercept[IllegalArgumentException] {
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_mix3 (id BIGINT, v DOUBLE)
+        WITH ('connector' = 'filesystem', 'path' = '$d/up')""")
+    }
+    assert(e2.getMessage.contains("upsert-table layout"))
+  }
 }

@@ -253,6 +253,53 @@ class StreamSqlTimeSpec extends AnyFunSuite {
     StreamSql.dropStream(pv); StreamSql.dropStream(vv)
   }
 
+  test("temporal join residual applies to the matched pair, no version fallback") {
+    implicit val sc = spark.sqlContext
+    // versions key 1: vid 100 (vval 10.0) at t=1000, vid 101 (vval 50.0)
+    // at t=5000. probes key 1: pid 1 (pval 20.0) at t=3000 → as-of vid
+    // 100, residual 10<20 passes; pid 2 (pval 20.0) at t=6000 → as-of
+    // vid 101, residual 50<20 FAILS — the reference's
+    // TemporalRowTimeJoinOperator does NOT fall back to vid 100 (which
+    // would pass): INNER drops the probe, LEFT null-pads.
+    def run(joinKind: String): Set[(Long, Option[Long])] = {
+      val pmem = MemoryStream[(Long, Long, Double, Long)]
+      val vmem = MemoryStream[(Long, Long, Double, Long)]
+      val pdf = pmem.toDS().select($"_1".as("pk"), $"_2".as("pid"),
+        $"_3".as("pval"), timestamp_millis($"_4" + base).as("pts"))
+      val vdf = vmem.toDS().select($"_1".as("vk"), $"_2".as("vid"),
+        $"_3".as("vval"), timestamp_millis($"_4" + base).as("vts"))
+      val pv = fresh("trp"); val vv = fresh("trv")
+      StreamSql.registerStream(pv, pdf, tsCol = "pts", delay = "1 second")
+      StreamSql.registerStream(vv, vdf, tsCol = "vts", delay = "1 second",
+        rowId = Some("vid"))
+      val out = SqlFrontend.sql(spark,
+        s"""SELECT p.pid AS pid, v.vid AS vid
+            FROM $pv p $joinKind JOIN $vv FOR SYSTEM_TIME AS OF p.pts AS v
+            ON p.pk = v.vk AND v.vval < p.pval""")
+      vmem.addData((1L, 100L, 10.0, 1000L), (1L, 101L, 50.0, 5000L))
+      pmem.addData((1L, 1L, 20.0, 3000L), (1L, 2L, 20.0, 6000L))
+      val sink = fresh("tr_sink")
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        q.processAllAvailable()
+        pmem.addData((9L, 90L, 0.0, 10000000L))
+        vmem.addData((9L, 900L, 0.0, 10000000L))
+        q.processAllAvailable()
+        pmem.addData((9L, 91L, 0.0, 20000000L))
+        vmem.addData((9L, 901L, 0.0, 20000000L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(sink).filter($"pid" < 90L)
+        .as[(Long, Option[Long])].collect().toSet
+      StreamSql.dropStream(pv); StreamSql.dropStream(vv)
+      got
+    }
+    assert(run("") == Set((1L, Some(100L))))
+    assert(run("LEFT") ==
+      Set((1L, Some(100L)), (2L, None: Option[Long])))
+  }
+
   test("SQL temporal join with a composite key routes via the packed-struct key") {
     implicit val sc = spark.sqlContext
     val pmem = MemoryStream[(Long, String, Long, Long)]
@@ -819,10 +866,15 @@ class StreamSqlTimeSpec extends AnyFunSuite {
     val sv = fresh("fl")
     StreamSql.registerStream(sv, df, tsCol = "ets", delay = "1 second",
       rowId = Some("id"))
-    // a stream view in an unroutable statement must throw, not fall
-    // through to batch SQL
+    // plain project/filter IS routable since round 17 (the Calc route —
+    // the reference's StreamExecCalc on an insert-only table) …
+    val calc = SqlFrontend.sql(spark, s"SELECT k FROM $sv WHERE v > 5")
+    assert(calc.isStreaming && calc.columns.toSeq == Seq("k"))
+    // … but a stream view in a genuinely unroutable statement must
+    // still throw, not fall through to batch SQL (a GLOBAL aggregate
+    // has no append-mode plan without a window)
     val e1 = intercept[IllegalArgumentException] {
-      SqlFrontend.sql(spark, s"SELECT k FROM $sv WHERE v > 5")
+      SqlFrontend.sql(spark, s"SELECT SUM(v) AS s FROM $sv")
     }
     assert(e1.getMessage.contains("no supported streaming-SQL shape"))
     // interval join without a ts bound: unbounded state — refused
