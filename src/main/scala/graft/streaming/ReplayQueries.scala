@@ -2766,6 +2766,243 @@ object ReplayQueries {
           Window.partitionBy(col("etype"))
             .orderBy(col("cents").desc, col("event_id"))).cast("int"))
         .select(col("etype"), col("rnk"), col("event_id"), col("cents"))
+    }),
+
+    // STATEMENT SET — the reference's TableEnvironment.createStatementSet
+    // (StatementSet.java, the endorsed multi-sink path): ONE watermarked
+    // source DDL feeds TWO INSERT INTO sinks submitted as one unit
+    // (`BEGIN STATEMENT SET; …; END`): a day-tumble aggregate into an
+    // append sink AND an unwindowed per-user aggregate into a PRIMARY
+    // KEY upsert sink. Both members START before the combined await, so
+    // their micro-batches interleave; the result unions both sinks
+    // under a tag so one oracle covers the whole set.
+    "q360_sql_statement_set" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                col("ts"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+                lit("zz_sentinel").as("event_type"),
+                lit(sentTs).cast("timestamp").as("ts"), lit(0.0).as("value"))
+      val (in, outA, _) = stageOrdered(ev, "ts", 2, sentinel)
+      val outB = java.nio.file.Files.createTempDirectory("q360b").toString
+      withStatePartitions(s, 8) {
+        import graft.operators.SqlDdl
+        try {
+          SqlDdl.executeAll(s, s"""
+            CREATE TABLE q360_src (event_id BIGINT, user_id BIGINT,
+              event_type STRING, ts TIMESTAMP, value DOUBLE,
+              WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)
+            WITH ('connector' = 'filesystem', 'path' = '$in',
+                  'format' = 'parquet', 'source.max-files-per-trigger' = '1');
+            CREATE TABLE q360_a (event_type STRING, ws TIMESTAMP,
+                                 cents BIGINT, n BIGINT)
+            WITH ('connector' = 'filesystem', 'path' = '$outA');
+            CREATE TABLE q360_b (user_id BIGINT, amt BIGINT, n BIGINT,
+              PRIMARY KEY (user_id) NOT ENFORCED)
+            WITH ('connector' = 'filesystem', 'path' = '$outB/t')""")
+          SqlDdl.executeAll(s, """
+            BEGIN STATEMENT SET;
+            INSERT INTO q360_a
+            SELECT event_type, TUMBLE_START(ts, INTERVAL '1' DAY) AS ws,
+                   SUM(floor(value * 100)) AS cents, COUNT(*) AS n
+            FROM q360_src GROUP BY TUMBLE(ts, INTERVAL '1' DAY), event_type;
+            INSERT INTO q360_b
+            SELECT user_id, SUM(floor(value * 100)) AS amt, COUNT(*) AS n
+            FROM q360_src WHERE event_type = 'purchase' GROUP BY user_id;
+            END""").last.await()
+          val a = s.read.parquet(outA)
+            .filter(col("event_type") =!= "zz_sentinel")
+            .select(concat_ws("|", lit("t"), col("event_type"),
+                              unix_micros(col("ws"))).as("k"),
+                    col("cents").as("a"), col("n").as("b"))
+          val b = SqlDdl.executeSql(s,
+              "SELECT user_id, amt, n FROM q360_b").df.get
+            .select(concat_ws("|", lit("u"), col("user_id")).as("k"),
+                    col("amt").as("a"), col("n").as("b"))
+          a.unionByName(b)
+        } finally {
+          SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q360_src")
+          SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q360_a")
+          SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q360_b")
+        }
+      }
+    }),
+
+    // COMPOSITE PRIMARY KEY upsert sink from SQL text — q355's two
+    // churning per-(user_id, event_type) aggregate changelogs joined on
+    // both key columns, landed via `INSERT INTO` a `PRIMARY KEY
+    // (uid, etype) NOT ENFORCED` table (the reference's
+    // SqlTableConstraint column list, parserImpls.ftl:615): the keyed
+    // merge buckets on BOTH columns, and the readable live view equals
+    // q355's materialization — the batch dual joining the final
+    // aggregates under the residual.
+    "q361_sql_composite_pk_sink" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                floor(col("value") * 100).as("cents"))
+      val (in, _, ck) = stage(ev, 4)
+      val out = java.nio.file.Files.createTempDirectory("q361").toString
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+        def agg(side: org.apache.spark.sql.DataFrame, v: EvRow => Double) =
+          Changelog.aggregateChangelog[(Long, String), EvRow](
+              side.select(col("user_id"), col("event_type"), col("cents"))
+                .as[EvRow].groupByKey(r => (r.user_id, r.event_type)),
+              _ => Changelog.Insert, v)
+            .map(a => (a.key._1, a.key._2, a.kind, a.sum))
+        StreamSql.registerChangelog("q361_l",
+          agg(src.filter(col("event_id") % 2 === 0), _.cents.toDouble)
+            .toDF("uid", "etype", "kind", "sum_c"), "kind")
+        StreamSql.registerChangelog("q361_r",
+          agg(src.filter(col("event_id") % 2 === 1), _ => 1.0)
+            .toDF("uid", "etype", "kind", "cnt"), "kind")
+        import graft.operators.SqlDdl
+        try {
+          SqlDdl.executeSql(s, s"""
+            CREATE TABLE q361_sink (uid BIGINT, etype STRING,
+              sum_c BIGINT, cnt BIGINT,
+              PRIMARY KEY (uid, etype) NOT ENFORCED)
+            WITH ('connector' = 'filesystem', 'path' = '$out/t',
+                  'sink.checkpoint' = '$ck')""")
+          SqlDdl.executeSql(s, """
+            INSERT INTO q361_sink
+            SELECT l.uid AS uid, l.etype AS etype,
+                   l.sum_c AS sum_c, r.cnt AS cnt
+            FROM q361_l l JOIN q361_r r
+            ON l.uid = r.uid AND l.etype = r.etype
+               AND l.sum_c > r.cnt * 10""").await()
+          SqlDdl.executeSql(s,
+            "SELECT uid, etype, sum_c, cnt FROM q361_sink").df.get
+        } finally {
+          SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q361_sink")
+          StreamSql.dropChangelog("q361_l"); StreamSql.dropChangelog("q361_r")
+        }
+      }
+    }),
+
+    // Temporal-join RESIDUAL from SQL text — q331's row-time FOR
+    // SYSTEM_TIME AS OF with a CROSS-SIDE residual conjunct
+    // (v.v_value < p.p_value): the reference evaluates it in the
+    // generated joinCondition AFTER the version lookup
+    // (TemporalRowTimeJoinOperator — a failing residual does NOT fall
+    // back to an earlier version; INNER drops the probe). The batch
+    // dual picks the same as-of version (rn = 1) then applies the same
+    // predicate.
+    "q362_stream_sql_temporal_residual" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("event_type"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+                lit(sentTs).cast("timestamp").as("ts"),
+                lit("purchase").as("event_type"), lit(0.0).as("value"))
+      val (in, out, ck) = stageOrdered(ev, "ts", 2, sentinel)
+      withStatePartitions(s, 8) {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val probes = src.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                  col("value").as("p_value"), col("ts").as("p_ts"))
+        val vers = src.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+                  col("event_id").as("v_id"), col("value").as("v_value"))
+        StreamSql.registerStream("q362_p", probes, tsCol = "p_ts",
+          delay = "1 second")
+        StreamSql.registerStream("q362_v", vers, tsCol = "v_ts",
+          delay = "1 second", rowId = Some("v_id"))
+        try {
+          val j = graft.operators.SqlFrontend.sql(s,
+            """SELECT p.p_user AS p_user, p.p_id AS p_id,
+                      p.p_value AS p_value, v.v_id AS v_id,
+                      v.v_value AS v_value
+               FROM q362_p p JOIN q362_v
+                 FOR SYSTEM_TIME AS OF p.p_ts AS v
+               ON p.p_user = v.v_user AND v.v_value < p.p_value""")
+          val q = j.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+          q.processAllAvailable(); q.stop()
+        } finally {
+          StreamSql.dropStream("q362_p"); StreamSql.dropStream("q362_v")
+        }
+      }
+      s.read.parquet(out).filter(col("p_user") >= 0)
+    }),
+
+    // INSERT OVERWRITE backfill from SQL text (the reference's
+    // RichSqlInsert OVERWRITE + partitioned insert,
+    // parserImpls.ftl:832-859): a PARTITIONED BY table backfilled
+    // TWICE with the same statement (dynamic partition overwrite —
+    // idempotence is the gate), then one partition re-backfilled via a
+    // static PARTITION spec. Final contents = the plain batch
+    // aggregate.
+    "q363_sql_insert_overwrite" -> ((s, dir) => {
+      import graft.operators.SqlDdl
+      Tables.table(s, dir, "events").createOrReplaceTempView("q363_ev")
+      val out = java.nio.file.Files.createTempDirectory("q363").toString
+      try {
+        SqlDdl.executeSql(s, s"""
+          CREATE TABLE q363_t (user_id BIGINT, amt BIGINT, etype STRING)
+          PARTITIONED BY (etype)
+          WITH ('connector' = 'filesystem', 'path' = '$out/t')""")
+        val backfill = """
+          INSERT OVERWRITE q363_t
+          SELECT user_id, CAST(sum(floor(value * 100)) AS BIGINT) AS amt,
+                 event_type AS etype
+          FROM q363_ev GROUP BY user_id, event_type"""
+        SqlDdl.executeSql(s, backfill)
+        SqlDdl.executeSql(s, backfill) // re-run: identical results
+        SqlDdl.executeSql(s, """
+          INSERT OVERWRITE q363_t PARTITION (etype='purchase')
+          SELECT user_id, CAST(sum(floor(value * 100)) AS BIGINT) AS amt
+          FROM q363_ev WHERE event_type = 'purchase' GROUP BY user_id""")
+        SqlDdl.executeSql(s,
+          "SELECT user_id, amt, etype FROM q363_t").df.get
+      } finally {
+        SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q363_t")
+        s.catalog.dropTempView("q363_ev")
+      }
+    }),
+
+    // Plain Calc over an UPDATING view from SQL text (the reference's
+    // StreamExecCalc on updating input — projection/filter commute
+    // with retraction), composed with the PRIMARY KEY upsert sink: the
+    // churning per-user purchase aggregate is projected/filtered by
+    // text and upserted per key. A key whose aggregate crosses the
+    // filter mid-replay leaves the sink via the bare retraction the
+    // Calc emits (its -U passes the filter on the OLD value, its +U is
+    // filtered out). Final live rows = the batch dual's WHERE.
+    "q364_stream_sql_calc_changelog" -> ((s, dir) => {
+      val (view, out, ck) = purchaseCentsView(s, dir)
+      withStatePartitions(s, 8) {
+        StreamSql.registerChangelog("q364_p", view, "kind")
+        import graft.operators.SqlDdl
+        try {
+          SqlDdl.executeSql(s, s"""
+            CREATE TABLE q364_sink (uid BIGINT, r BIGINT, cents BIGINT,
+              PRIMARY KEY (uid) NOT ENFORCED)
+            WITH ('connector' = 'filesystem', 'path' = '$out',
+                  'sink.checkpoint' = '$ck')""")
+          SqlDdl.executeSql(s, """
+            INSERT INTO q364_sink
+            SELECT key AS uid, amt_c % 1000 AS r, amt_c AS cents
+            FROM q364_p WHERE amt_c > 5000""").await()
+          SqlDdl.executeSql(s,
+            "SELECT uid, r, cents FROM q364_sink").df.get
+        } finally {
+          SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q364_sink")
+          StreamSql.dropChangelog("q364_p")
+        }
+      }
     })
   )
 
@@ -4008,6 +4245,77 @@ object ReplayQueries {
                                   ORDER BY cents DESC, event_id) AS rn
         FROM src)
       SELECT etype, CAST(rn AS INT) AS rnk, event_id, cents
-      FROM r WHERE rn <= 3"""
+      FROM r WHERE rn <= 3""",
+
+    // both statement-set members' batch duals under one tag
+    "q360_sql_statement_set" -> """
+      WITH a AS (
+        SELECT 't|' || event_type || '|' ||
+               CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                    AS VARCHAR) AS k,
+               CAST(sum(floor(value * 100)) AS BIGINT) AS a,
+               count(*) AS b
+        FROM events GROUP BY event_type, date_trunc('day', CAST(ts AS TIMESTAMP))),
+      b AS (
+        SELECT 'u|' || CAST(user_id AS VARCHAR) AS k,
+               CAST(sum(floor(value * 100)) AS BIGINT) AS a,
+               count(*) AS b
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+      SELECT k, a, b FROM a UNION ALL SELECT k, a, b FROM b""",
+
+    // q355's dual: the upsert table's live rows = the final aggregates
+    // joined on the composite key under the residual
+    "q361_sql_composite_pk_sink" -> """
+      WITH src AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events),
+      l AS (
+        SELECT user_id, event_type, sum(cents) AS sum_c
+        FROM src WHERE event_id % 2 = 0 GROUP BY 1, 2),
+      r AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM src WHERE event_id % 2 = 1 GROUP BY 1, 2)
+      SELECT l.user_id AS uid, l.event_type AS etype,
+             CAST(l.sum_c AS BIGINT) AS sum_c, CAST(r.cnt AS BIGINT) AS cnt
+      FROM l JOIN r ON l.user_id = r.user_id
+                   AND l.event_type = r.event_type
+                   AND l.sum_c > r.cnt * 10""",
+
+    // as-of version first (rn = 1), residual applied to THAT pair —
+    // no fallback to an earlier version
+    "q362_stream_sql_temporal_residual" -> """
+      WITH v AS (
+        SELECT user_id, event_id, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS tms
+        FROM events WHERE event_type = 'view'),
+      p AS (
+        SELECT user_id, event_id, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS tms
+        FROM events WHERE event_type = 'purchase'),
+      j AS (
+        SELECT p.user_id, p.event_id AS p_id, p.value AS p_value,
+               v.event_id AS v_id, v.value AS v_value,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY v.tms DESC, v.event_id DESC)
+                 AS rn
+        FROM p JOIN v
+          ON v.user_id = p.user_id AND v.tms <= p.tms)
+      SELECT user_id AS p_user, p_id, p_value, v_id, v_value
+      FROM j WHERE rn = 1 AND v_value < p_value""",
+
+    // the twice-run backfill lands exactly the batch aggregate
+    "q363_sql_insert_overwrite" -> """
+      SELECT user_id, CAST(sum(floor(value * 100)) AS BIGINT) AS amt,
+             event_type AS etype
+      FROM events GROUP BY user_id, event_type""",
+
+    // Calc over the updating aggregate = WHERE over the final values
+    "q364_stream_sql_calc_changelog" -> """
+      WITH p AS (
+        SELECT user_id, CAST(sum(floor(value * 100)) AS BIGINT) AS amt
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT user_id AS uid, amt % 1000 AS r, amt AS cents
+      FROM p WHERE amt > 5000"""
   )
 }

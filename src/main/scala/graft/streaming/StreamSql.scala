@@ -172,12 +172,17 @@ import graft.operators.SqlFrontend
  *    tiebreak must be that rowId ascending; items may reference only
  *    <s> and the rowId. Ranks derive at read over the ≤ n
  *    materialized rows, as with the partitioned route.
- *  - `SELECT <items> FROM S [AS a] [WHERE p]` over a [[registerStream]]
- *    APPEND view → plain Calc (the reference's StreamExecCalc on an
- *    insert-only table): project/filter/rename with NO state, the
- *    day-one `INSERT INTO sink SELECT … FROM src` pipeline shape.
- *    Tried after every stateful route; any stateful token in the text
- *    falls to its own route or the fail-loud scan instead.
+ *  - `SELECT <items> FROM S [AS a] [WHERE p]` — plain Calc (the
+ *    reference's StreamExecCalc), NO state, zero exchanges. Over a
+ *    [[registerStream]] APPEND view: project/filter/rename of the
+ *    insert-only stream — the day-one `INSERT INTO sink SELECT … FROM
+ *    src` pipeline shape. Over a CHANGELOG view: the same map with the
+ *    row kind riding along as `row_kind` (a deterministic projection/
+ *    filter commutes with retraction — the -U/-D row's OLD payload
+ *    maps exactly as it did when inserted; a value leaving the
+ *    filtered view surfaces as a bare retraction). Tried after every
+ *    stateful route; any stateful token in the text falls to its own
+ *    route or the fail-loud scan instead.
  *
  * Every GROUP BY shape above also accepts `[WHERE <pred>]` before the
  * GROUP BY and `[HAVING <pred>]` after it. WHERE is a
@@ -481,7 +486,70 @@ object StreamSql {
     val quals = Seq(Option(vAlias0).getOrElse(vName), vName)
     val base = whereFilter(v.df, whereCl, quals)
     val items = SqlFrontend.splitTop(sel).map(strip(_, quals))
-    if (items == Seq("*")) base else base.selectExpr(items: _*)
+    calcProject(base,
+      if (items == Seq("*")) Nil else items, extra = Nil)
+  }
+
+  /** The Calc routes' projection + fail-loud backstop: `selectExpr`
+    * silently plans a GLOBAL Aggregate for items like
+    * `percentile(v, 0.5)` (or fails analysis outright when such an item
+    * mixes with a plain column) — the token guard lists the routed
+    * aggregate names, but the function surface is open-ended, so the
+    * ANALYZED plan is the authority. Without this, such a statement
+    * dies later in Spark's unsupported-operation checker with a
+    * confusing error (or, worse, folds an updating input as plain
+    * rows). `items` empty = `*` (pass-through plus `extra`). */
+  private def calcProject(base: DataFrame, items: Seq[String],
+                          extra: Seq[String]): DataFrame = {
+    val out =
+      try {
+        if (items.isEmpty && extra.isEmpty) base
+        else if (items.isEmpty) base.selectExpr("*" +: extra: _*)
+        else base.selectExpr(items ++ extra: _*)
+      } catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          "plain-Calc projection failed to analyze — an aggregate item " +
+          "matches no supported streaming-SQL shape here (use a GROUP " +
+          "BY statement from the routed aggregate families or the " +
+          s"Changelog Scala API); underlying: ${e.getMessage}", e)
+      }
+    require(out.queryExecution.analyzed.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isEmpty,
+      "the statement's items contain an aggregate function, so it " +
+      "matches no supported streaming-SQL shape for a plain Calc — " +
+      "use a GROUP BY statement from the routed aggregate families " +
+      "(see StreamSql's object doc) or the Changelog Scala API")
+    out
+  }
+
+  /** Plain Calc over a CHANGELOG view — the reference's StreamExecCalc
+    * on an UPDATING input: a deterministic projection/filter commutes
+    * with retraction (a -U/-D row carries the OLD payload, which
+    * projects and filters exactly as it did when inserted), so the
+    * result is the same changelog with the payload mapped — the row
+    * kind rides along as `row_kind`, and a row whose new value leaves
+    * the filtered view surfaces as a bare retraction (the whereFilter
+    * contract the aggregate routes already rely on). Stateless, zero
+    * exchanges. */
+  private def calcChangelog(spark: SparkSession,
+                            m: java.util.regex.Matcher): DataFrame = {
+    val (sel, vName, vAlias0, whereCl) =
+      (m.group(1), m.group(2), m.group(3), m.group(4))
+    val v = view(vName).get
+    val quals = Seq(Option(vAlias0).getOrElse(vName), vName)
+    val base = whereFilter(v.df, whereCl, quals)
+    val items0 = SqlFrontend.splitTop(sel).map(strip(_, quals))
+    val items =
+      if (items0 == Seq("*"))
+        v.df.columns.filterNot(_ == v.kindCol).toSeq.map(c => s"`$c`")
+      else items0
+    items.map(itemAlias).foreach { case (_, a) =>
+      require(!a.equalsIgnoreCase("row_kind"),
+        "changelog Calc: 'row_kind' is reserved — the view's row kind " +
+        "rides along automatically")
+    }
+    calcProject(base, items, extra = Seq(s"`${v.kindCol}` AS row_kind"))
   }
 
   /** `HAVING <pred>` over the aggregate's OUTPUT aliases — a changelog
@@ -609,10 +677,14 @@ object StreamSql {
              dm.group(1).toUpperCase.matches(
                "(?s).*\\b(SUM|AVG|VAR_POP|VAR_SAMP|STDDEV_POP|STDDEV_SAMP|MIN|MAX|COUNT)\\s*\\(.*"))
       Some(groupAgg(spark, dm, effTtl))
-    // plain Calc over an APPEND stream view — tried LAST so every
-    // stateful shape above keeps its own route; the token guard makes
-    // an unrecognized stateful construct fall to the loud scan below
-    // rather than silently projecting
+    // plain Calc — tried LAST so every stateful shape above keeps its
+    // own route; the token guard makes an unrecognized stateful
+    // construct fall to the loud scan below rather than silently
+    // projecting. Changelog views keep their row kind (`row_kind`
+    // rides along); append stream views project statelessly.
+    else if (cm.matches() && view(cm.group(2)).isDefined &&
+             !statefulTokenRe.matcher(text).find())
+      Some(calcChangelog(spark, cm))
     else if (cm.matches() && streamView(cm.group(2)).isDefined &&
              !statefulTokenRe.matcher(text).find())
       Some(calc(spark, cm))
@@ -634,7 +706,8 @@ object StreamSql {
       if (hit.nonEmpty) throw new IllegalArgumentException(
         s"statement references registered changelog view(s) " +
         s"${hit.mkString(", ")} but matches no supported streaming-SQL " +
-        "shape (A [INNER|LEFT|RIGHT|FULL] JOIN B ON / WHERE [NOT] " +
+        "shape (plain SELECT items FROM v [WHERE p] / " +
+        "A [INNER|LEFT|RIGHT|FULL] JOIN B ON / WHERE [NOT] " +
         "EXISTS / UNION ALL / INTERSECT / EXCEPT / SELECT DISTINCT / " +
         "ROW_NUMBER() <= k / ORDER BY … LIMIT n / " +
         "COUNT(DISTINCT) / " +

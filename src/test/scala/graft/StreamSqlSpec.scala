@@ -24,6 +24,38 @@ class StreamSqlSpec extends AnyFunSuite {
   private def fresh(name: String): String =
     name + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
 
+  test("plain Calc over a changelog view maps the payload, row kind rides along") {
+    implicit val sc = spark.sqlContext
+    val cv = fresh("calc_cv")
+    val mem = MemoryStream[CRow]
+    StreamSql.registerChangelog(cv, mem.toDS().toDF(), kindCol = "kind")
+    val out = SqlFrontend.sql(spark,
+      s"SELECT key AS k, value * 2 AS v2 FROM $cv WHERE value > 3")
+    assert(out.isStreaming && out.columns.toSeq == Seq("k", "v2", "row_kind"))
+    val sink = fresh("sql_calc")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // +I passes the filter; the later update's -U carries the OLD
+      // payload (passes) while its +U (new value 2.0) is filtered out —
+      // the bare retraction the reference's Calc on updating input emits
+      mem.addData(CRow(1, "+I", 10.0, 1))
+      q.processAllAvailable()
+      mem.addData(CRow(1, "-U", 10.0, 2), CRow(1, "+U", 2.0, 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink)
+      .select("k", "v2", "row_kind").as[(Long, Double, String)]
+      .collect().toList.sortBy(_._3)
+    assert(got == List((1L, 20.0, "+I"), (1L, 20.0, "-U")))
+    // 'row_kind' is a reserved output alias
+    val e = intercept[IllegalArgumentException] {
+      SqlFrontend.sql(spark, s"SELECT key AS row_kind FROM $cv")
+    }
+    assert(e.getMessage.contains("reserved"))
+    StreamSql.dropChangelog(cv)
+  }
+
   test("SQL EXISTS routes to the semi changelog join: 0↔1 association transitions") {
     implicit val sc = spark.sqlContext
     val lv = fresh("lv"); val rv = fresh("rv")
@@ -612,18 +644,23 @@ class StreamSqlSpec extends AnyFunSuite {
             WHERE rn <= 1""")
     }
     assert(e2.getMessage.contains("no-rank-number"))
-    // a shape NO route supports (an agg outside every family, and a
-    // bare filtered scan) over a registered view must throw — falling
-    // through to the batch path would fold -U/-D retraction rows as
-    // ordinary inserts and return silently wrong results (the
-    // documented fail-loud contract)
+    // a shape NO route supports (an agg outside every family) over a
+    // registered view must throw — falling through to the batch path
+    // would fold -U/-D retraction rows as ordinary inserts and return
+    // silently wrong results (the documented fail-loud contract)
     val e3 = intercept[IllegalArgumentException] {
       SqlFrontend.sql(spark,
         s"SELECT key, MEDIAN(value) AS s FROM $tv GROUP BY key")
     }
     assert(e3.getMessage.contains("no supported streaming-SQL shape"))
+    // a bare filtered scan routes via the changelog Calc since round 17
+    // (row_kind rides along) — the fail-loud arm for this shape retired
+    val calc = SqlFrontend.sql(spark, s"SELECT * FROM $tv WHERE value > 5")
+    assert(calc.isStreaming && calc.columns.contains("row_kind"))
+    // an aggregate OUTSIDE the token guard sneaking into the Calc shape
+    // (selectExpr would silently plan a global Aggregate) still throws
     val e5 = intercept[IllegalArgumentException] {
-      SqlFrontend.sql(spark, s"SELECT * FROM $tv WHERE value > 5")
+      SqlFrontend.sql(spark, s"SELECT percentile(value, 0.5) FROM $tv")
     }
     assert(e5.getMessage.contains("no supported streaming-SQL shape"))
     // and a registered view buried in an otherwise-unmatched statement
