@@ -36,7 +36,14 @@ import graft.streaming.StreamSql
  *    is a bounded scan registered as a temp view (and a valid INSERT
  *    INTO target even before any data exists). Computed columns
  *    evaluate per-row at read (`withColumn(expr)`), exactly the
- *    reference's generated-column semantics.
+ *    reference's generated-column semantics. `'format' =
+ *    'debezium-json' | 'canal-json'` makes the table a CDC CHANGELOG
+ *    SOURCE: the file stream of CDC envelopes decodes expression-only
+ *    into a changelog view ([[graft.sources.CdcFormats]] — the
+ *    reference's flink-json changelog formats) consumable by every
+ *    changelog SQL route and the PRIMARY KEY upsert sink; read-only
+ *    (INSERT INTO rejects), no WATERMARK clause (op kinds, not event
+ *    time).
  *  - `CREATE [OR REPLACE] [TEMPORARY] VIEW name AS <query>` → the query
  *    runs through [[SqlFrontend.sql]] (so every routed streaming shape
  *    works as a view body). A batch result registers as a temp view; a
@@ -47,8 +54,14 @@ import graft.streaming.StreamSql
  *    downstream operators). An append-only streaming result without
  *    row_kind needs event-time metadata a view body cannot carry —
  *    loud error pointing at registerStream.
- *  - `INSERT INTO name <query>` → the query's result lands in the
- *    target table's directory in its declared format. A batch result
+ *  - `INSERT INTO name [(col, …)] <query>` → the query's result lands
+ *    in the target table's directory in its declared format. An
+ *    explicit column list maps the result POSITIONALLY onto the listed
+ *    declared columns (unlisted nullable columns fill with NULL — the
+ *    reference's partial insert; NOT NULL absentees reject); a bare
+ *    `VALUES (…)` query maps positionally onto the declared columns
+ *    (it carries no usable names); otherwise matching is BY NAME. A
+ *    batch result
  *    appends and refreshes the temp view; a streaming result starts a
  *    `writeStream` (exactly-once per micro-batch via the sink's
  *    _spark_metadata log) and returns the handle in
@@ -84,15 +97,18 @@ import graft.streaming.StreamSql
  *    endorsed multi-sink path): all member INSERTs START before any
  *    await, so their micro-batches interleave concurrently, and the
  *    combined [[SqlResult.await]] drains every member then refreshes
- *    every target view. Scale note, stated honestly: the reference
- *    plans N INSERTs as ONE job sharing the source scan; Spark's
- *    Structured Streaming gives each sink its own query with its own
- *    offset log, so N members read the source N times (amortized by
- *    the page cache locally, by the cluster's parallel readers at
- *    scale). True single-scan fusion in Spark is a foreachBatch that
- *    multiplexes one query over N stateless sinks — not expressible
- *    for arbitrary stateful member queries, so this engine keeps the
- *    per-member-query model and the reference's API shape.
+ *    every target view. Scan sharing: the reference plans N INSERTs as
+ *    ONE job sharing the source scan; this engine delivers exactly
+ *    that for the day-two fan-out shape — N STATELESS Calc members
+ *    (project/filter) over ONE stream table into plain append sinks
+ *    run as ONE query whose foreachBatch persists the shared batch
+ *    once and applies each member's Calc to it (one source scan per
+ *    micro-batch regardless of member count, idempotent batch-id
+ *    partitions). Stateful/keyed/overwriting/multi-source members fall
+ *    back to one query per sink (each with its own offset log — N
+ *    scans, amortized by the page cache locally and by parallel
+ *    readers on a cluster): Spark's source model cannot share a scan
+ *    across independent stateful queries, stated honestly.
  *  - `DROP TABLE/VIEW [IF EXISTS] name`, `SHOW TABLES`,
  *    `DESCRIBE/DESC name`, and plain `SELECT …` (returned as a
  *    DataFrame, the `sqlQuery` path).
@@ -171,9 +187,14 @@ object SqlDdl {
   private val createViewRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMPORARY\\s+)?VIEW\\s+" +
     "([\\w.]+)\\s+AS\\s+(.+)$")
+  // `INSERT INTO|OVERWRITE t [PARTITION (k='v', …)] [(col, …)] <query>`
+  // — the reference's RichSqlInsert shape (partition spec + explicit
+  // column list, parserImpls.ftl:832-859)
   private val insertRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+([\\w.]+)" +
-    "(?:\\s+PARTITION\\s*\\(([^)]*)\\))?\\s+(.+)$")
+    "(?:\\s+PARTITION\\s*\\(([^)]*)\\))?" +
+    "(?:\\s*\\(\\s*(\\w+(?:\\s*,\\s*\\w+)+|\\w+)\\s*\\)(?=\\s*(?:SELECT|VALUES|WITH|\\()))?" +
+    "\\s*(.+)$")
   private val beginSetRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*BEGIN\\s+STATEMENT\\s+SET\\s*$")
   private val endSetRe = java.util.regex.Pattern.compile(
@@ -212,9 +233,11 @@ object SqlDdl {
     val rst = resetRe.matcher(text)
     if (ct.find()) createTable(spark, text, ct)
     else if (cv.matches()) createView(spark, cv.group(1), cv.group(2))
-    else if (ins.matches()) insertInto(spark, ins.group(2), ins.group(4),
+    else if (ins.matches()) insertInto(spark, ins.group(2), ins.group(5),
       overwrite = ins.group(1).equalsIgnoreCase("OVERWRITE"),
-      partitionSpec = Option(ins.group(3)))
+      partitionSpec = Option(ins.group(3)),
+      columnList = Option(ins.group(4))
+        .map(_.split(",").map(_.trim).toSeq))
     else if (beginSetRe.matcher(text).matches())
       throw new IllegalArgumentException(
         "BEGIN STATEMENT SET is a SCRIPT construct — run the whole " +
@@ -353,13 +376,90 @@ object SqlDdl {
         s"StatementSet.addInsertSql): $st")
       m
     }
-    val results = parsed.map(m => insertInto(spark, m.group(2), m.group(4),
-      overwrite = m.group(1).equalsIgnoreCase("OVERWRITE"),
-      partitionSpec = Option(m.group(3))))
-    val handles = results.flatMap(r => r.query.toSeq ++ r.queries)
-    val refreshes = results.map(_.refresh)
-    SqlResult(None, None, () => refreshes.foreach(_.apply()), handles)
+    tryMultiplex(spark, parsed).getOrElse {
+      val results = parsed.map(m => insertInto(spark, m.group(2),
+        m.group(5),
+        overwrite = m.group(1).equalsIgnoreCase("OVERWRITE"),
+        partitionSpec = Option(m.group(3)),
+        columnList = Option(m.group(4))
+          .map(_.split(",").map(_.trim).toSeq)))
+      val handles = results.flatMap(r => r.query.toSeq ++ r.queries)
+      val refreshes = results.map(_.refresh)
+      SqlResult(None, None, () => refreshes.foreach(_.apply()), handles)
+    }
   }
+
+  /** The reference's StatementSet plans N INSERTs as ONE job with a
+    * SHARED source scan. Spark's general answer is one query per sink
+    * (each with its own offset log) — but for the day-two fan-out shape
+    * (N STATELESS Calc members over ONE stream table, plain append
+    * sinks) the single-job plan IS expressible: one readStream, one
+    * foreachBatch that persists the shared batch ONCE and applies each
+    * member's projection/filter to it — the source is scanned once per
+    * micro-batch regardless of member count. Idempotent across retries:
+    * each member lands its slice under a `__sb=<batchId>` partition via
+    * dynamic partition overwrite (a replayed batch rewrites the same
+    * partition identically — the upsert sink's discipline). Falls back
+    * to per-member queries (None) for anything stateful, keyed,
+    * overwriting, partitioned or multi-source. */
+  private def tryMultiplex(spark: SparkSession,
+      parsed: Seq[java.util.regex.Matcher]): Option[SqlResult] = {
+    if (parsed.exists(m => !m.group(1).equalsIgnoreCase("INTO") ||
+        m.group(3) != null || m.group(4) != null)) return None
+    val members = parsed.map { m =>
+      val d = tables.get(m.group(2).toLowerCase)
+      (d, StreamSql.calcBatchPlan(m.group(5)))
+    }
+    if (members.exists { case (d, p) => d.isEmpty || p.isEmpty ||
+        d.get.primaryKey.nonEmpty || d.get.partitionedBy.nonEmpty ||
+        d.get.watermark.isDefined }) return None
+    val srcNames = members.map(_._2.get._1.toLowerCase).distinct
+    if (srcNames.size != 1) return None
+    val src = StreamSql.streamViewDf(srcNames.head).getOrElse(return None)
+    val plans = members.map { case (d, p) => (d.get, p.get._2) }
+    // align each member's Calc output to its sink's declared columns
+    // ONCE against the source schema (loud plan-time errors), then per
+    // batch apply the same transformation
+    val aligned: Seq[(TableDef, DataFrame => DataFrame)] = plans.map {
+      case (d, f) =>
+        val probe = f(src) // schema probe on the streaming frame
+        val missing = d.physical.fieldNames.filterNot(c =>
+          probe.columns.exists(_.equalsIgnoreCase(c)))
+        require(missing.isEmpty,
+          s"statement set member into ${d.name}: query result lacks " +
+          s"declared column(s) ${missing.mkString(", ")}")
+        (d, (b: DataFrame) => f(b).select(d.physical.fields.map(fd =>
+          col(fd.name).cast(fd.dataType).as(fd.name)).toSeq: _*))
+    }
+    val ck = aligned.head._1.checkpoint.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ddl_set_ck").toString)
+    val q = src.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        val shared = b.persist()
+        try aligned.foreach { case (d, f) =>
+          f(shared).withColumn("__sb", lit(bid))
+            .write.partitionBy("__sb")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").format(d.format).save(d.path)
+        } finally { shared.unpersist(); () }
+      }
+      .start()
+    val refresh = () => aligned.foreach { case (d, _) =>
+      registerMultiplexView(spark, d) }
+    Some(SqlResult(None, Some(q), refresh))
+  }
+
+  /** Readable view of a multiplexed-set sink: the batch-partitioned
+    * layout read back to the declared columns (`__sb` stays internal —
+    * same pattern as the upsert sink's `__bucket`). */
+  private def registerMultiplexView(spark: SparkSession, d: TableDef): Unit =
+    (try spark.read.options(d.readerOptions).format(d.format).load(d.path)
+       .select(d.physical.fieldNames.map(col).toSeq: _*)
+     catch { case _: org.apache.spark.sql.AnalysisException =>
+       spark.createDataFrame(
+         new java.util.ArrayList[org.apache.spark.sql.Row](), d.physical)
+     }).createOrReplaceTempView(d.name)
 
   /** Split on top-level `;` — string-literal-opaque, so a `';'` inside
     * a WITH option value never splits. */
@@ -445,8 +545,10 @@ object SqlDdl {
     val path = opts.getOrElse("path", throw
       new IllegalArgumentException("filesystem connector needs 'path'"))
     val format = opts.getOrElse("format", "parquet").toLowerCase
-    require(Set("parquet", "csv", "json", "orc")(format),
-      s"unsupported format '$format' (parquet/csv/json/orc)")
+    require(Set("parquet", "csv", "json", "orc",
+                "debezium-json", "canal-json")(format),
+      s"unsupported format '$format' " +
+      "(parquet/csv/json/orc/debezium-json/canal-json)")
     val known = Set("connector", "path", "format",
       "source.max-files-per-trigger", "sink.checkpoint")
     val readerOptions = opts.filterNot { case (k, _) => known(k) }
@@ -501,7 +603,18 @@ object SqlDdl {
       opts.get("source.max-files-per-trigger"), opts.get("sink.checkpoint"))
     // register FIRST, catalog on success — a rejected CREATE (layout
     // guard, unreadable path) must not leave a phantom catalog entry
-    if (watermark.isDefined) registerStreamTable(spark, d)
+    if (isCdcFormat(format)) {
+      require(watermark.isEmpty,
+        s"CDC format '$format' tables are CHANGELOG sources — they " +
+        "carry op kinds, not event time; a WATERMARK clause does not " +
+        "apply (window their downstream aggregates on a payload " +
+        "timestamp via the changelog routes instead)")
+      require(partitionedBy.isEmpty,
+        s"CDC format '$format' tables are read-only changelog sources " +
+        "— PARTITIONED BY applies to sinks")
+      registerCdcTable(spark, d)
+    }
+    else if (watermark.isDefined) registerStreamTable(spark, d)
     else if (d.primaryKey.nonEmpty) {
       // upsert table: re-attach to an existing bucketed layout (or
       // register the empty live view) — a restart / re-CREATE must see
@@ -541,6 +654,32 @@ object SqlDdl {
     // the routes that need one say so loudly at their own front door
     val rowId = if (d.primaryKey.size == 1) d.primaryKey.headOption else None
     StreamSql.registerStream(d.name, df, tsCol, delay, rowId)
+  }
+
+  private def isCdcFormat(format: String): Boolean =
+    format == "debezium-json" || format == "canal-json"
+
+  /** A CDC-format table: the monitoring file source over the CDC
+    * tool's JSON-lines envelopes, decoded expression-only into a
+    * CHANGELOG view ([[graft.sources.CdcFormats]]) — the reference's
+    * debezium-json / canal-json changelog formats. A single-column
+    * PRIMARY KEY doubles as the changelog's rowId (upsert identity for
+    * the rank/order-sensitive routes). */
+  private def registerCdcTable(spark: SparkSession, d: TableDef): Unit = {
+    import graft.sources.CdcFormats
+    val env = if (d.format == "debezium-json")
+      CdcFormats.debeziumEnvelope(d.physical)
+    else CdcFormats.canalEnvelope(d.physical)
+    val reader = spark.readStream.schema(env).options(d.readerOptions)
+    val withTrigger = d.maxFilesPerTrigger
+      .map(k => reader.option("maxFilesPerTrigger", k)).getOrElse(reader)
+    val raw = withTrigger.json(d.path)
+    val changelog = if (d.format == "debezium-json")
+      CdcFormats.debeziumChangelog(raw, d.physical)
+    else CdcFormats.canalChangelog(raw, d.physical)
+    val rowId = if (d.primaryKey.size == 1) d.primaryKey.headOption else None
+    StreamSql.registerChangelog(d.name, changelog, kindCol = "row_kind",
+      rowId = rowId)
   }
 
   private def registerBatchView(spark: SparkSession, d: TableDef): Unit =
@@ -622,16 +761,48 @@ object SqlDdl {
 
   private def insertInto(spark: SparkSession, target: String,
                          query: String, overwrite: Boolean,
-                         partitionSpec: Option[String]): SqlResult = {
+                         partitionSpec: Option[String],
+                         columnList: Option[Seq[String]] = None): SqlResult = {
     val verb = if (overwrite) "INSERT OVERWRITE" else "INSERT INTO"
     val d = tables.getOrElse(target.toLowerCase, throw
       new IllegalArgumentException(
         s"$verb unknown table '$target' — CREATE TABLE it first " +
         "(filesystem connector)"))
-    val res0 = SqlFrontend.sql(spark, query)
+    require(!isCdcFormat(d.format),
+      s"$verb $target: a '${d.format}' table is a read-only CHANGELOG " +
+      "SOURCE (the CDC tool writes its envelope log) — insert into a " +
+      "parquet/csv/json/orc table instead")
+    val resQ = SqlFrontend.sql(spark, query)
     // static partition values: pinned literals the query must NOT also
     // produce (the reference's RichSqlInsert static partition check)
     val statics = partitionSpec.map(parsePartitionSpec).getOrElse(Nil)
+    // result-column naming, the reference's RichSqlInsert rules:
+    //  - explicit column list → POSITIONAL rename onto the listed
+    //    declared columns (unlisted nullable columns fill with NULL);
+    //  - a bare VALUES query → positional onto the declared columns
+    //    (minus any static partition columns) — VALUES carries no
+    //    usable names of its own;
+    //  - otherwise BY NAME.
+    val res0 = columnList match {
+      case Some(cols) =>
+        cols.foreach(c => require(
+          d.physical.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"$verb $target: column list names undeclared column '$c'"))
+        require(resQ.columns.length == cols.length,
+          s"$verb $target (${cols.mkString(", ")}): query result has " +
+          s"${resQ.columns.length} column(s) for a ${cols.length}-column " +
+          "list")
+        resQ.toDF(cols: _*)
+      case None if query.trim.toUpperCase.startsWith("VALUES") =>
+        val declared = d.physical.fieldNames.filterNot(f =>
+          statics.exists(_._1.equalsIgnoreCase(f)))
+        require(resQ.columns.length == declared.length,
+          s"$verb $target: VALUES has ${resQ.columns.length} column(s) " +
+          s"for ${declared.length} declared column(s) " +
+          s"(${declared.mkString(", ")})")
+        resQ.toDF(declared.toIndexedSeq: _*)
+      case None => resQ
+    }
     statics.foreach { case (k, _) =>
       require(d.partitionedBy.exists(_.equalsIgnoreCase(k)),
         s"$verb $target: PARTITION ($k=…) is not a PARTITIONED BY " +
@@ -640,10 +811,21 @@ object SqlDdl {
         s"$verb $target: static partition column '$k' must not also " +
         "appear in the query result")
     }
-    val res = statics.foldLeft(res0) { case (acc, (k, v)) =>
+    val res1 = statics.foldLeft(res0) { case (acc, (k, v)) =>
       val f = d.physical.fields.find(_.name.equalsIgnoreCase(k)).get
       acc.withColumn(f.name, lit(v).cast(f.dataType))
     }
+    // with an explicit column list, unlisted NULLABLE columns fill with
+    // NULL (the reference's partial insert); NOT NULL columns reject
+    val res = if (columnList.isEmpty) res1 else
+      d.physical.fields.filterNot(f =>
+        res1.columns.exists(_.equalsIgnoreCase(f.name)))
+        .foldLeft(res1) { (acc, f) =>
+          require(f.nullable,
+            s"$verb $target: column '${f.name}' is NOT NULL and absent " +
+            "from the insert's column list")
+          acc.withColumn(f.name, lit(null).cast(f.dataType))
+        }
     // match BY NAME to the declared columns, cast to declared types
     val missing = d.physical.fieldNames.filterNot(f =>
       res.columns.exists(_.equalsIgnoreCase(f)))
@@ -841,6 +1023,7 @@ object SqlDdl {
     if (wantTable && isTable) {
       tables.remove(key).foreach(t => upsertEpochs.remove(t.path))
       StreamSql.dropStream(name)
+      StreamSql.dropChangelog(name) // CDC-format tables register here
       spark.catalog.dropTempView(name)
     } else if (!wantTable && isView) {
       changelogViews.remove(key)
@@ -861,7 +1044,9 @@ object SqlDdl {
       .filter(t => t.isTemporary && !own.contains(t.name.toLowerCase))
       .map(t => org.apache.spark.sql.Row(t.name, "view", null))
     val rows = tables.values.map { d =>
-      val kind = if (d.watermark.isDefined) "stream table" else "table"
+      val kind =
+        if (isCdcFormat(d.format)) "cdc table"
+        else if (d.watermark.isDefined) "stream table" else "table"
       org.apache.spark.sql.Row(d.name, kind, d.path)
     } ++ changelogViews.keys.map(n =>
       org.apache.spark.sql.Row(n, "changelog view", null)) ++ tempViews

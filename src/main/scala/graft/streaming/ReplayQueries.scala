@@ -2973,6 +2973,174 @@ object ReplayQueries {
       }
     }),
 
+    // MULTIPLEXED statement set — the reference's single-job scan
+    // sharing (StatementSet plans N INSERTs as ONE job): two STATELESS
+    // Calc members over ONE watermarked source run as ONE streaming
+    // query whose foreachBatch persists each shared batch once and
+    // applies both members' projections to it — the source is scanned
+    // once per micro-batch regardless of member count (the day-two
+    // fan-out shape the per-member model would scan N times).
+    // Idempotent batch-id partitions land each member's slice.
+    "q365_sql_statement_set_multiplex" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                col("ts"), col("value"))
+      val (in, outA, _) = stage(ev, 4)
+      val outB = java.nio.file.Files.createTempDirectory("q365b").toString
+      withStatePartitions(s, 8) {
+        import graft.operators.SqlDdl
+        try {
+          SqlDdl.executeAll(s, s"""
+            CREATE TABLE q365_src (event_id BIGINT, user_id BIGINT,
+              event_type STRING, ts TIMESTAMP, value DOUBLE,
+              WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)
+            WITH ('connector' = 'filesystem', 'path' = '$in',
+                  'format' = 'parquet', 'source.max-files-per-trigger' = '1');
+            CREATE TABLE q365_a (event_id BIGINT, cents BIGINT)
+            WITH ('connector' = 'filesystem', 'path' = '$outA');
+            CREATE TABLE q365_b (event_id BIGINT, user_id BIGINT)
+            WITH ('connector' = 'filesystem', 'path' = '$outB/t')""")
+          val set = SqlDdl.executeAll(s, """
+            BEGIN STATEMENT SET;
+            INSERT INTO q365_a
+            SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM q365_src WHERE event_type = 'purchase';
+            INSERT INTO q365_b
+            SELECT event_id, user_id
+            FROM q365_src WHERE event_type = 'click' AND user_id % 2 = 0;
+            END""").last
+          // the multiplexed plan is ONE query for the whole set
+          require(set.query.nonEmpty && set.queries.isEmpty,
+            "statement set did not multiplex")
+          set.await()
+          val a = SqlDdl.executeSql(s,
+              "SELECT event_id, cents FROM q365_a").df.get
+            .select(concat_ws("|", lit("p"), col("event_id")).as("k"),
+                    col("cents").as("v"))
+          val b = SqlDdl.executeSql(s,
+              "SELECT event_id, user_id FROM q365_b").df.get
+            .select(concat_ws("|", lit("c"), col("event_id")).as("k"),
+                    col("user_id").as("v"))
+          a.unionByName(b)
+        } finally {
+          SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q365_src")
+          SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q365_a")
+          SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q365_b")
+        }
+      }
+    }),
+
+    // CDC ingestion: debezium-json (the reference's flink-json
+    // changelog format — DebeziumJsonDeserializationSchema's c/r/u/d
+    // op mapping). A synthetic CDC log derived from events (insert
+    // every entity, double the %5==0 ones via u with full before/after
+    // images, delete the %7==0 ones via d) decodes expression-only
+    // into a changelog view; a per-group SUM/COUNT aggregate
+    // materializes into a PRIMARY KEY sink. SUM/COUNT are commutative
+    // in +/- deltas, so the result is independent of envelope file
+    // order — the final live rows equal the batch dual over the
+    // surviving entities.
+    "q366_cdc_debezium" -> ((s, dir) => {
+      import graft.operators.SqlDdl
+      val pt = "struct<id:bigint,grp:bigint,cents:bigint>"
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id").as("id"), (col("user_id") % 10).as("grp"),
+                floor(col("value") * 100).cast("long").as("cents"))
+      val payload = struct(col("id"), col("grp"), col("cents"))
+      val cRows = ev.select(lit(null).cast(pt).as("before"),
+        payload.as("after"), lit("c").as("op"))
+      val uRows = ev.filter(col("id") % 5 === 0)
+        .select(payload.as("before"),
+          struct(col("id"), col("grp"),
+                 (col("cents") * 2).as("cents")).as("after"),
+          lit("u").as("op"))
+      val dRows = ev.filter(col("id") % 7 === 0)
+        .select(struct(col("id"), col("grp"),
+            when(col("id") % 5 === 0, col("cents") * 2)
+              .otherwise(col("cents")).as("cents")).as("before"),
+          lit(null).cast(pt).as("after"), lit("d").as("op"))
+      val in = java.nio.file.Files.createTempDirectory("q366in").toString
+      val out = java.nio.file.Files.createTempDirectory("q366out").toString
+      cRows.unionByName(uRows).unionByName(dRows)
+        .repartition(4).write.mode("overwrite").json(in)
+      withStatePartitions(s, 8) {
+        try {
+          SqlDdl.executeAll(s, s"""
+            CREATE TABLE q366_cdc (id BIGINT, grp BIGINT, cents BIGINT,
+              PRIMARY KEY (id) NOT ENFORCED)
+            WITH ('connector' = 'filesystem', 'path' = '$in',
+                  'format' = 'debezium-json',
+                  'source.max-files-per-trigger' = '1');
+            CREATE TABLE q366_sink (grp BIGINT, s BIGINT, n BIGINT,
+              PRIMARY KEY (grp) NOT ENFORCED)
+            WITH ('connector' = 'filesystem', 'path' = '$out/t')""")
+          SqlDdl.executeSql(s, """
+            INSERT INTO q366_sink
+            SELECT grp, SUM(cents) AS s, COUNT(*) AS n
+            FROM q366_cdc GROUP BY grp""").await()
+          SqlDdl.executeSql(s, "SELECT grp, s, n FROM q366_sink").df.get
+        } finally {
+          SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q366_cdc")
+          SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q366_sink")
+        }
+      }
+    }),
+
+    // CDC ingestion: canal-json (CanalJsonDeserializationSchema) — the
+    // UPDATE envelopes carry PARTIAL `old` rows (only the changed
+    // column), so the -U before-image is the field-wise merge of old
+    // over data; a wrong merge shifts entities across groups or
+    // subtracts the wrong value. Same commutative-aggregate design as
+    // q366 with different op populations.
+    "q367_cdc_canal" -> ((s, dir) => {
+      import graft.operators.SqlDdl
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id").as("id"), (col("user_id") % 8).as("grp"),
+                floor(col("value") * 100).cast("long").as("cents"))
+      val payload = struct(col("id"), col("grp"), col("cents"))
+      val pArr = "array<struct<id:bigint,grp:bigint,cents:bigint>>"
+      val iRows = ev.select(array(payload).as("data"),
+        lit(null).cast(pArr).as("old"), lit("INSERT").as("type"))
+      val uRows = ev.filter(col("id") % 4 === 0)
+        .select(array(struct(col("id"), col("grp"),
+            (col("cents") + 1000).as("cents"))).as("data"),
+          // partial old: ONLY the changed column — id/grp come from data
+          array(struct(lit(null).cast("bigint").as("id"),
+                       lit(null).cast("bigint").as("grp"),
+                       col("cents").as("cents"))).as("old"),
+          lit("UPDATE").as("type"))
+      val dRows = ev.filter(col("id") % 6 === 0)
+        .select(array(struct(col("id"), col("grp"),
+            when(col("id") % 4 === 0, col("cents") + 1000)
+              .otherwise(col("cents")).as("cents"))).as("data"),
+          lit(null).cast(pArr).as("old"), lit("DELETE").as("type"))
+      val in = java.nio.file.Files.createTempDirectory("q367in").toString
+      val out = java.nio.file.Files.createTempDirectory("q367out").toString
+      iRows.unionByName(uRows).unionByName(dRows)
+        .repartition(4).write.mode("overwrite").json(in)
+      withStatePartitions(s, 8) {
+        try {
+          SqlDdl.executeAll(s, s"""
+            CREATE TABLE q367_cdc (id BIGINT, grp BIGINT, cents BIGINT,
+              PRIMARY KEY (id) NOT ENFORCED)
+            WITH ('connector' = 'filesystem', 'path' = '$in',
+                  'format' = 'canal-json',
+                  'source.max-files-per-trigger' = '1');
+            CREATE TABLE q367_sink (grp BIGINT, s BIGINT, n BIGINT,
+              PRIMARY KEY (grp) NOT ENFORCED)
+            WITH ('connector' = 'filesystem', 'path' = '$out/t')""")
+          SqlDdl.executeSql(s, """
+            INSERT INTO q367_sink
+            SELECT grp, SUM(cents) AS s, COUNT(*) AS n
+            FROM q367_cdc GROUP BY grp""").await()
+          SqlDdl.executeSql(s, "SELECT grp, s, n FROM q367_sink").df.get
+        } finally {
+          SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q367_cdc")
+          SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q367_sink")
+        }
+      }
+    }),
+
     // Plain Calc over an UPDATING view from SQL text (the reference's
     // StreamExecCalc on updating input — projection/filter commute
     // with retraction), composed with the PRIMARY KEY upsert sink: the
@@ -4309,6 +4477,37 @@ object ReplayQueries {
       SELECT user_id, CAST(sum(floor(value * 100)) AS BIGINT) AS amt,
              event_type AS etype
       FROM events GROUP BY user_id, event_type""",
+
+    // both multiplexed members' batch duals under one tag
+    "q365_sql_statement_set_multiplex" -> """
+      WITH a AS (
+        SELECT 'p|' || CAST(event_id AS VARCHAR) AS k,
+               CAST(floor(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'),
+      b AS (
+        SELECT 'c|' || CAST(event_id AS VARCHAR) AS k, user_id AS v
+        FROM events WHERE event_type = 'click' AND user_id % 2 = 0)
+      SELECT k, v FROM a UNION ALL SELECT k, v FROM b""",
+
+    // surviving entities after the CDC log: %7==0 deleted, %5==0 doubled
+    "q366_cdc_debezium" -> """
+      WITH fin AS (
+        SELECT user_id % 10 AS grp,
+               CAST(floor(value * 100) AS BIGINT)
+                 * (CASE WHEN event_id % 5 = 0 THEN 2 ELSE 1 END) AS cents
+        FROM events WHERE event_id % 7 <> 0)
+      SELECT grp, CAST(sum(cents) AS BIGINT) AS s, count(*) AS n
+      FROM fin GROUP BY grp""",
+
+    // surviving entities: %6==0 deleted, %4==0 incremented by 1000
+    "q367_cdc_canal" -> """
+      WITH fin AS (
+        SELECT user_id % 8 AS grp,
+               CAST(floor(value * 100) AS BIGINT)
+                 + (CASE WHEN event_id % 4 = 0 THEN 1000 ELSE 0 END) AS cents
+        FROM events WHERE event_id % 6 <> 0)
+      SELECT grp, CAST(sum(cents) AS BIGINT) AS s, count(*) AS n
+      FROM fin GROUP BY grp""",
 
     // Calc over the updating aggregate = WHERE over the final values
     "q364_stream_sql_calc_changelog" -> """

@@ -523,6 +523,34 @@ object StreamSql {
     out
   }
 
+  /** Parse `text` as a plain-Calc statement over a registered APPEND
+    * stream view and return the view's name plus a REUSABLE batch
+    * transformation (the same projection/filter applied to any
+    * DataFrame of the view's schema) — the statement-set multiplexer's
+    * hook ([[graft.operators.SqlDdl.executeStatementSet]]): N stateless
+    * members over ONE source run as one query, one scan per
+    * micro-batch, each member's Calc applied to the shared batch.
+    * None when the text is not a pure Calc over a stream view. */
+  private[graft] def calcBatchPlan(
+      text: String): Option[(String, DataFrame => DataFrame)] = {
+    val m = calcRe.matcher(text)
+    if (!m.matches() || statefulTokenRe.matcher(text).find()) None
+    else streamView(m.group(2)).map { _ =>
+      val (sel, vName, vAlias0, whereCl) =
+        (m.group(1), m.group(2), m.group(3), m.group(4))
+      val quals = Seq(Option(vAlias0).getOrElse(vName), vName)
+      val items = SqlFrontend.splitTop(sel).map(strip(_, quals))
+      (vName, (df: DataFrame) => calcProject(
+        whereFilter(df, whereCl, quals),
+        if (items == Seq("*")) Nil else items, extra = Nil))
+    }
+  }
+
+  /** The registered APPEND stream view's DataFrame, for the DDL layer's
+    * statement-set multiplexer (it re-sinks the one shared stream). */
+  private[graft] def streamViewDf(name: String): Option[DataFrame] =
+    streamView(name).map(_.df)
+
   /** Plain Calc over a CHANGELOG view — the reference's StreamExecCalc
     * on an UPDATING input: a deterministic projection/filter commutes
     * with retraction (a -U/-D row carries the OLD payload, which

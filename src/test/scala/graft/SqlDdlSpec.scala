@@ -575,6 +575,99 @@ class SqlDdlSpec extends AnyFunSuite {
     SqlDdl.executeSql(spark, "DROP TABLE ddl_set_b")
   }
 
+  test("INSERT column list and VALUES map positionally") {
+    val d = tmp()
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_vals (a BIGINT, b STRING, c DOUBLE)
+      WITH ('connector' = 'filesystem', 'path' = '$d/v')""")
+    try {
+      // VALUES carries no usable names — positional onto (a, b, c)
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_vals VALUES (1, 'x', 1.5), (2, 'y', 2.5)")
+      val got = SqlDdl.executeSql(spark, "SELECT a, b, c FROM ddl_vals")
+        .df.get.as[(Long, String, Double)].collect().toSet
+      assert(got == Set((1L, "x", 1.5), (2L, "y", 2.5)))
+      // explicit column list: positional rename + NULL fill of the
+      // unlisted nullable column (the reference's partial insert)
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_vals (b, a) SELECT 'z' AS q1, 3 AS q2")
+      val part = SqlDdl.executeSql(spark,
+        "SELECT a, b, c FROM ddl_vals WHERE a = 3").df.get
+        .as[(Long, String, Option[Double])].collect().toSet
+      assert(part == Set((3L, "z", None: Option[Double])))
+      val e1 = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "INSERT INTO ddl_vals VALUES (1, 'x')")
+      }
+      assert(e1.getMessage.contains("declared column"))
+      val e2 = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark,
+          "INSERT INTO ddl_vals (nope) SELECT 1 AS x")
+      }
+      assert(e2.getMessage.contains("undeclared"))
+    } finally SqlDdl.executeSql(spark, "DROP TABLE ddl_vals")
+    // a NOT NULL column absent from the list rejects
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_vals2 (a BIGINT NOT NULL, b STRING)
+      WITH ('connector' = 'filesystem', 'path' = '$d/v2')""")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark,
+          "INSERT INTO ddl_vals2 (b) SELECT 'x' AS q")
+      }
+      assert(e.getMessage.contains("NOT NULL"))
+    } finally SqlDdl.executeSql(spark, "DROP TABLE ddl_vals2")
+  }
+
+  test("statement set multiplexes stateless members over ONE source scan") {
+    val srcDir = tmp() + "/src"
+    val d = tmp()
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    (0 until 20).map { i =>
+      (i.toLong, i * 1.0, new java.sql.Timestamp(base.getTime + i * 1000L))
+    }.toDF("id", "v", "ts").repartition(2).write.parquet(srcDir)
+    SqlDdl.executeAll(spark, s"""
+      CREATE TABLE ddl_mx_src (id BIGINT, v DOUBLE, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)
+      WITH ('connector' = 'filesystem', 'path' = '$srcDir',
+            'format' = 'parquet', 'source.max-files-per-trigger' = '1');
+      CREATE TABLE ddl_mx_a (id BIGINT, v DOUBLE)
+      WITH ('connector' = 'filesystem', 'path' = '$d/a');
+      CREATE TABLE ddl_mx_b (dbl BIGINT)
+      WITH ('connector' = 'filesystem', 'path' = '$d/b')""")
+    try {
+      val rs = SqlDdl.executeAll(spark, """
+        BEGIN STATEMENT SET;
+        INSERT INTO ddl_mx_a SELECT id, v FROM ddl_mx_src WHERE id < 10;
+        INSERT INTO ddl_mx_b SELECT id * 2 AS dbl FROM ddl_mx_src WHERE v > 14;
+        END""")
+      // structural proof of the multiplex: ONE query handle for the
+      // whole set (the fallback path would carry one per member)
+      assert(rs.last.query.nonEmpty && rs.last.queries.isEmpty)
+      rs.last.await()
+      assert(SqlDdl.executeSql(spark, "SELECT id FROM ddl_mx_a").df.get
+        .as[Long].collect().toSet == (0L until 10L).toSet)
+      assert(SqlDdl.executeSql(spark, "SELECT dbl FROM ddl_mx_b").df.get
+        .as[Long].collect().toSet == (15 until 20).map(_ * 2L).toSet)
+      // the idempotent batch-id partition layout
+      val top = new java.io.File(d + "/a").listFiles().map(_.getName)
+        .filter(_.startsWith("__sb="))
+      assert(top.nonEmpty)
+      // a member outside the multiplexable shape (explicit column
+      // list here) falls back to one query per member
+      val rs2 = SqlDdl.executeAll(spark, """
+        BEGIN STATEMENT SET;
+        INSERT INTO ddl_mx_a (id, v) SELECT id, v FROM ddl_mx_src WHERE id < 0;
+        INSERT INTO ddl_mx_b SELECT id * 2 AS dbl FROM ddl_mx_src WHERE v < 0;
+        END""")
+      assert(rs2.last.queries.length == 2)
+      rs2.last.await()
+    } finally {
+      SqlDdl.executeSql(spark, "DROP TABLE ddl_mx_src")
+      SqlDdl.executeSql(spark, "DROP TABLE ddl_mx_a")
+      SqlDdl.executeSql(spark, "DROP TABLE ddl_mx_b")
+    }
+  }
+
   test("SHOW TABLES lists plain (batch) views too") {
     SqlDdl.executeSql(spark,
       "CREATE VIEW ddl_plain_view AS SELECT 1 AS x")
