@@ -112,6 +112,24 @@ import graft.streaming.StreamSql
  *  - `DROP TABLE/VIEW [IF EXISTS] name`, `SHOW TABLES`,
  *    `DESCRIBE/DESC name`, and plain `SELECT …` (returned as a
  *    DataFrame, the `sqlQuery` path).
+ *  - `CREATE TABLE t (…) [WITH (…)] LIKE base [(INCLUDING ALL |
+ *    EXCLUDING ALL | {INCLUDING|EXCLUDING|OVERWRITING}
+ *    {CONSTRAINTS|GENERATED|OPTIONS|PARTITIONS|WATERMARKS} …)]` — the
+ *    reference's SqlTableLike (parserImpls.ftl:749-806) with
+ *    MergeTableLikeUtil's merge semantics: physical columns always
+ *    inherit (redefinition errors), computed columns / watermark
+ *    follow GENERATED / WATERMARKS (OVERWRITING lets the derived
+ *    definition win), PRIMARY KEY follows CONSTRAINTS and partitions
+ *    follow PARTITIONS (both-defined errors point at EXCLUDING),
+ *    options merge per-key (INCLUDING + redefinition errors;
+ *    OVERWRITING wins — the standard `LIKE base (OVERWRITING OPTIONS)`
+ *    + new 'path' idiom clones a table shape onto a new directory).
+ *  - `ALTER TABLE t RENAME TO t2` / `ALTER TABLE t SET ('k'='v', …)`
+ *    (the reference's SqlAlterTableRename / SqlAlterTableProperties,
+ *    parserImpls.ftl:396-436): RENAME moves the catalog entry and all
+ *    registered surfaces, files untouched; SET merges properties
+ *    (path/format/reader options/trigger knobs) and re-registers —
+ *    schema is not a property.
  *  - `EXPLAIN [PLAN FOR] <query>` → the routed statement's plan as a
  *    one-column DataFrame (the reference's `explainSql`); query
  *    statements only — explain an INSERT's SELECT body.
@@ -174,16 +192,41 @@ object SqlDdl {
   // catalog; names case-insensitive like SQL identifiers
   private val tables = TrieMap.empty[String, TableDef]
   private val changelogViews = TrieMap.empty[String, Boolean]
+  // databases: catalog NAMESPACING (CREATE/DROP/USE/SHOW DATABASES —
+  // the reference's SqlCreateDatabase family). The readable-view
+  // namespace underneath is FLAT (Spark temp views are unqualified),
+  // so table names are unique catalog-wide: creating the same name in
+  // two databases rejects loudly — stated honestly, not silently
+  // shadowed. `tableDb` records each table's owning database.
+  private val databases =
+    TrieMap[String, Map[String, String]]("default_database" -> Map.empty)
+  @volatile private var currentDb = "default_database"
+  private val tableDb = TrieMap.empty[String, String]
+  // CREATE FUNCTION registrations (name → class) for DROP bookkeeping
+  private val createdFunctions = TrieMap.empty[String, String]
+  // view name → body text: ALTER VIEW RENAME/AS re-derives the
+  // registration from the recorded body (only DDL-created views are
+  // ALTER-able — a temp view registered by library code has no body)
+  private val viewBodies = TrieMap.empty[String, String]
+  // table name → declared PRIMARY KEY constraint name (CONSTRAINT nm
+  // PRIMARY KEY …) — ALTER TABLE DROP CONSTRAINT resolves against it
+  private val pkNames = TrieMap.empty[String, String]
 
   def dropAll(): Unit = {
     tables.clear(); changelogViews.clear(); upsertEpochs.clear()
+    tableDb.clear(); createdFunctions.clear()
+    viewBodies.clear(); pkNames.clear()
+    databases.clear(); databases("default_database") = Map.empty
+    currentDb = "default_database"
   }
 
   // ---- statement dispatch ------------------------------------------------
 
+  // column list optional (a LIKE clause can carry the whole schema —
+  // the reference's SqlCreateTable grammar, parserImpls.ftl:687-746)
   private val createTableRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*CREATE\\s+(?:TEMPORARY\\s+)?TABLE\\s+" +
-    "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*\\(")
+    "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*(?=\\(|WITH\\b|LIKE\\b|PARTITIONED\\b)")
   private val createViewRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMPORARY\\s+)?VIEW\\s+" +
     "([\\w.]+)\\s+AS\\s+(.+)$")
@@ -201,6 +244,64 @@ object SqlDdl {
     "(?is)^\\s*END\\s*$")
   private val dropRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*DROP\\s+(TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?([\\w.]+)\\s*$")
+  private val alterRenameRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+RENAME\\s+TO\\s+([\\w.]+)\\s*$")
+  private val alterSetRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+SET\\s*\\(")
+  // ALTER TABLE ADD [CONSTRAINT nm] PRIMARY KEY (…) NOT ENFORCED /
+  // DROP CONSTRAINT nm (SqlAlterTableAddConstraint /
+  // SqlAlterTableDropConstraint, parserImpls.ftl:437-470)
+  private val addConstraintRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+ADD\\s+" +
+    "(?:CONSTRAINT\\s+(\\w+)\\s+)?PRIMARY\\s+KEY\\s*" +
+    "\\(\\s*(\\w+(?:\\s*,\\s*\\w+)*)\\s*\\)\\s+NOT\\s+ENFORCED\\s*$")
+  private val dropConstraintRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+DROP\\s+CONSTRAINT\\s+" +
+    "(\\w+)\\s*$")
+  // ALTER VIEW v RENAME TO v2 / ALTER VIEW v AS query (SqlAlterViewRename
+  // / SqlAlterViewAs, parserImpls.ftl:471-519)
+  private val alterViewRenameRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*ALTER\\s+VIEW\\s+([\\w.]+)\\s+RENAME\\s+TO\\s+([\\w.]+)\\s*$")
+  private val alterViewAsRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*ALTER\\s+VIEW\\s+([\\w.]+)\\s+AS\\s+(.+)$")
+  // ALTER DATABASE db SET (…) (SqlAlterDatabase, parserImpls.ftl:162-186)
+  private val alterDbRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*ALTER\\s+DATABASE\\s+([\\w.]+)\\s+SET\\s*\\(")
+  // ALTER FUNCTION f AS 'class' (SqlAlterFunction, parserImpls.ftl:269-311)
+  private val alterFnRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*ALTER\\s+(?:TEMPORARY\\s+)?(?:SYSTEM\\s+)?FUNCTION\\s+" +
+    "(IF\\s+EXISTS\\s+)?([\\w.]+)\\s+AS\\s+'([^']+)'" +
+    "(?:\\s+LANGUAGE\\s+(\\w+))?\\s*$")
+  private val descCatalogRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*DESC(?:RIBE)?\\s+CATALOG\\s+([\\w.]+)\\s*$")
+  // databases / catalogs / functions (parserImpls.ftl:21-346)
+  private val createDbRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*CREATE\\s+DATABASE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)" +
+    "(?:\\s+COMMENT\\s+'(?:[^']|'')*')?(?:\\s+WITH\\s*\\((.*)\\))?\\s*$")
+  private val dropDbRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*DROP\\s+DATABASE\\s+(IF\\s+EXISTS\\s+)?([\\w.]+)" +
+    "(\\s+CASCADE|\\s+RESTRICT)?\\s*$")
+  private val useCatalogRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*USE\\s+CATALOG\\s+([\\w.]+)\\s*$")
+  private val useDbRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*USE\\s+([\\w.]+)\\s*$")
+  private val showDbRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SHOW\\s+DATABASES\\s*$")
+  private val showCatalogsRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SHOW\\s+CATALOGS\\s*$")
+  private val showViewsRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SHOW\\s+VIEWS\\s*$")
+  private val showFunctionsRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SHOW\\s+(?:USER\\s+)?FUNCTIONS\\s*$")
+  private val descDbRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*DESC(?:RIBE)?\\s+DATABASE\\s+(?:EXTENDED\\s+)?([\\w.]+)\\s*$")
+  private val createFnRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*CREATE\\s+(?:TEMPORARY\\s+)?(?:SYSTEM\\s+)?FUNCTION\\s+" +
+    "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s+AS\\s+'([^']+)'" +
+    "(?:\\s+LANGUAGE\\s+(\\w+))?\\s*$")
+  private val dropFnRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*DROP\\s+(?:TEMPORARY\\s+)?(?:SYSTEM\\s+)?FUNCTION\\s+" +
+    "(IF\\s+EXISTS\\s+)?([\\w.]+)\\s*$")
   private val showRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*SHOW\\s+TABLES\\s*$")
   private val descRe = java.util.regex.Pattern.compile(
@@ -217,6 +318,8 @@ object SqlDdl {
   private val unsupportedRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*(CREATE\\s+(?:DATABASE|CATALOG|FUNCTION)|ALTER|USE|" +
     "LOAD|UNLOAD|TRUNCATE|ANALYZE)\\b.*")
+  // (ALTER TABLE RENAME TO / SET dispatch above; remaining ALTER forms
+  // fall through here and reject loudly by kind)
 
   /** Execute ONE statement (the `executeSql` contract). Line comments
     * are stripped up front (literal-opaque) so a commented statement
@@ -227,10 +330,8 @@ object SqlDdl {
     val cv = createViewRe.matcher(text)
     val ins = insertRe.matcher(text)
     val drp = dropRe.matcher(text)
-    val dsc = descRe.matcher(text)
-    val exp = explainRe.matcher(text)
-    val set = setRe.matcher(text)
-    val rst = resetRe.matcher(text)
+    val ren = alterRenameRe.matcher(text)
+    val ast = alterSetRe.matcher(text)
     if (ct.find()) createTable(spark, text, ct)
     else if (cv.matches()) createView(spark, cv.group(1), cv.group(2))
     else if (ins.matches()) insertInto(spark, ins.group(2), ins.group(5),
@@ -245,6 +346,67 @@ object SqlDdl {
         "or call executeStatementSet(inserts) directly")
     else if (drp.matches()) drop(spark, drp.group(1), drp.group(3),
       ifExists = drp.group(2) != null)
+    else if (ren.matches()) alterRename(spark, ren.group(1), ren.group(2))
+    else if (ast.find()) alterSet(spark, ast.group(1),
+      balanced(text, ast.end() - 1))
+    else {
+      val addc = addConstraintRe.matcher(text)
+      val dropc = dropConstraintRe.matcher(text)
+      val vren = alterViewRenameRe.matcher(text)
+      val vas = alterViewAsRe.matcher(text)
+      val adb = alterDbRe.matcher(text)
+      val afn = alterFnRe.matcher(text)
+      val dcat = descCatalogRe.matcher(text)
+      if (addc.matches())
+        return addConstraint(spark, addc.group(1), Option(addc.group(2)),
+          addc.group(3).split(",").map(_.trim).toSeq)
+      if (dropc.matches())
+        return dropConstraint(spark, dropc.group(1), dropc.group(2))
+      if (vren.matches())
+        return alterViewRename(spark, vren.group(1), vren.group(2))
+      if (vas.matches())
+        return alterViewAs(spark, vas.group(1), vas.group(2))
+      if (adb.find())
+        return alterDatabase(adb.group(1), balanced(text, adb.end() - 1))
+      if (afn.matches())
+        return alterFunction(spark, afn.group(2), afn.group(3),
+          ifExists = afn.group(1) != null, language = Option(afn.group(4)))
+      if (dcat.matches()) return describeCatalog(spark, dcat.group(1))
+      executeTail(spark, text)
+    }
+  }
+
+  /** Statement arms after the ALTER/catalog family (split keeps each
+    * dispatch method under the JVM's comfortable size and the matcher
+    * lists readable). `text` arrives already comment-stripped. */
+  private def executeTail(spark: SparkSession, text: String): SqlResult = {
+    val cdb = createDbRe.matcher(text)
+    val ddb = dropDbRe.matcher(text)
+    val ucat = useCatalogRe.matcher(text)
+    val udb = useDbRe.matcher(text)
+    val ddbDesc = descDbRe.matcher(text)
+    val cfn = createFnRe.matcher(text)
+    val dfn = dropFnRe.matcher(text)
+    val dsc = descRe.matcher(text)
+    val exp = explainRe.matcher(text)
+    val set = setRe.matcher(text)
+    val rst = resetRe.matcher(text)
+    if (cdb.matches()) createDatabase(cdb.group(2),
+      ifNotExists = cdb.group(1) != null, Option(cdb.group(3)))
+    else if (ddb.matches()) dropDatabase(spark, ddb.group(2),
+      ifExists = ddb.group(1) != null,
+      cascade = Option(ddb.group(3)).exists(_.trim.equalsIgnoreCase("CASCADE")))
+    else if (ucat.matches()) useCatalog(ucat.group(1))
+    else if (udb.matches()) useDatabase(udb.group(1))
+    else if (showDbRe.matcher(text).matches()) showDatabases(spark)
+    else if (showCatalogsRe.matcher(text).matches()) showCatalogs(spark)
+    else if (showViewsRe.matcher(text).matches()) showViews(spark)
+    else if (showFunctionsRe.matcher(text).matches()) showFunctions(spark)
+    else if (ddbDesc.matches()) describeDatabase(spark, ddbDesc.group(1))
+    else if (cfn.matches()) createFunction(spark, cfn.group(2), cfn.group(3),
+      ifNotExists = cfn.group(1) != null, language = Option(cfn.group(4)))
+    else if (dfn.matches()) dropFunction(spark, dfn.group(2),
+      ifExists = dfn.group(1) != null)
     else if (showRe.matcher(text).matches()) showTables(spark)
     else if (dsc.matches()) describe(spark, dsc.group(1))
     else if (exp.matches()) explain(spark, exp.group(1))
@@ -256,14 +418,14 @@ object SqlDdl {
     else if (unsupportedRe.matcher(text).matches())
       throw new IllegalArgumentException(
         "unsupported statement kind (this front door implements " +
-        "CREATE TABLE/VIEW, INSERT INTO, DROP, SHOW TABLES, DESCRIBE, " +
-        "EXPLAIN, SET/RESET and queries — the reference's remaining " +
-        "statement kinds are session/catalog management Spark exposes " +
-        s"natively): $text")
+        "CREATE TABLE/VIEW/DATABASE/FUNCTION, INSERT INTO/OVERWRITE, " +
+        "DROP, ALTER TABLE/VIEW/DATABASE/FUNCTION, USE [CATALOG], " +
+        "SHOW/DESCRIBE, EXPLAIN, SET/RESET and queries — the remaining " +
+        s"kinds are connector/module management out of scope here): $text")
     else throw new IllegalArgumentException(
-      s"unparseable statement (expected CREATE TABLE/VIEW, INSERT INTO, " +
-      s"DROP, SHOW TABLES, DESCRIBE, EXPLAIN, SET/RESET or a " +
-      s"SELECT/WITH/VALUES query): $text")
+      s"unparseable statement (expected CREATE TABLE/VIEW/DATABASE/" +
+      s"FUNCTION, INSERT, DROP, ALTER, USE, SHOW, DESCRIBE, EXPLAIN, " +
+      s"SET/RESET or a SELECT/WITH/VALUES query): $text")
   }
 
   /** QUERY-shaped text: the statements that produce rows with no side
@@ -507,7 +669,8 @@ object SqlDdl {
   // (flink-sql-parser .../ddl/constraint/SqlTableConstraint.java:60,
   // grammar parserImpls.ftl:615) takes a list, not a single column
   private val pkRe = java.util.regex.Pattern.compile(
-    "(?is)^PRIMARY\\s+KEY\\s*\\(\\s*(\\w+(?:\\s*,\\s*\\w+)*)\\s*\\)" +
+    "(?is)^(?:CONSTRAINT\\s+(\\w+)\\s+)?" +
+    "PRIMARY\\s+KEY\\s*\\(\\s*(\\w+(?:\\s*,\\s*\\w+)*)\\s*\\)" +
     "\\s+NOT\\s+ENFORCED$")
   private val partitionedByRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*PARTITIONED\\s+BY\\s*\\(\\s*(\\w+(?:\\s*,\\s*\\w+)*)\\s*\\)")
@@ -516,26 +679,57 @@ object SqlDdl {
   private val physColRe = java.util.regex.Pattern.compile(
     "(?is)^(\\w+)\\s+(.+?)(\\s+NOT\\s+NULL)?(\\s+COMMENT\\s+'(?:[^']|'')*')?$")
 
+  private val likeRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*LIKE\\s+([\\w.]+)\\s*(?:\\(([^)]*)\\))?\\s*$")
+
   private def createTable(spark: SparkSession, text: String,
                           m: java.util.regex.Matcher): SqlResult = {
     val ifNotExists = m.group(1) != null
     val name = m.group(2)
     if (ifNotExists && tables.contains(name.toLowerCase)) return done
-    // the column list is the balanced group opening at the matcher's
-    // end; [PARTITIONED BY ( … )] WITH ( … ) follows it
-    val colsBody = balanced(text, m.end() - 1)
-    val afterCols = text.substring(m.end() - 1 + colsBody.length + 2)
-    val pbm = partitionedByRe.matcher(afterCols)
-    val (partitionedBy, after) =
-      if (pbm.lookingAt())
-        (pbm.group(1).split(",").map(_.trim).toSeq,
-         afterCols.substring(pbm.end()))
-      else (Seq.empty[String], afterCols)
+    // clause order (the reference's SqlCreateTable grammar): optional
+    // (column list), optional PARTITIONED BY, optional WITH, optional
+    // LIKE base [(merging options)]
+    var rest = text.substring(m.end())
+    val colsBody =
+      if (rest.trim.startsWith("(")) {
+        val open = rest.indexOf('(')
+        val b = balanced(rest, open)
+        rest = rest.substring(open + b.length + 2)
+        b
+      } else ""
+    val pbm = partitionedByRe.matcher(rest)
+    val declaredPartitions =
+      if (pbm.lookingAt()) {
+        val p = pbm.group(1).split(",").map(_.trim).toSeq
+        rest = rest.substring(pbm.end()); p
+      } else Seq.empty[String]
     val wm = java.util.regex.Pattern
-      .compile("(?is)^\\s*WITH\\s*\\(").matcher(after)
-    require(wm.find(),
-      s"CREATE TABLE needs a WITH ('connector'=…) clause: $text")
-    val opts = parseOptions(balanced(after, wm.end() - 1))
+      .compile("(?is)^\\s*WITH\\s*\\(").matcher(rest)
+    val declaredOpts =
+      if (wm.lookingAt()) {
+        val b = balanced(rest, wm.end() - 1)
+        rest = rest.substring(wm.end() - 1 + b.length + 2)
+        parseOptions(b)
+      } else Map.empty[String, String]
+    val lk = likeRe.matcher(rest)
+    val likeBase: Option[(TableDef, Map[String, String])] =
+      if (lk.matches())
+        Some((resolveLikeBase(spark, lk.group(1)),
+              likeStrategies(Option(lk.group(2)).getOrElse(""))))
+      else {
+        require(rest.trim.isEmpty,
+          s"CREATE TABLE: unparseable trailing clause '${rest.trim}' " +
+          s"(expected PARTITIONED BY / WITH / LIKE): $text")
+        require(declaredOpts.nonEmpty,
+          s"CREATE TABLE needs a WITH ('connector'=…) clause: $text")
+        None
+      }
+    val opts = likeBase match {
+      case Some((base, strat)) =>
+        mergeLikeOptions(base, strat("OPTIONS"), declaredOpts)
+      case None => declaredOpts
+    }
     val connector = opts.getOrElse("connector", throw
       new IllegalArgumentException("WITH must declare 'connector'"))
     require(connector.equalsIgnoreCase("filesystem"),
@@ -545,10 +739,7 @@ object SqlDdl {
     val path = opts.getOrElse("path", throw
       new IllegalArgumentException("filesystem connector needs 'path'"))
     val format = opts.getOrElse("format", "parquet").toLowerCase
-    require(Set("parquet", "csv", "json", "orc",
-                "debezium-json", "canal-json")(format),
-      s"unsupported format '$format' " +
-      "(parquet/csv/json/orc/debezium-json/canal-json)")
+    validateFormat(format)
     val known = Set("connector", "path", "format",
       "source.max-files-per-trigger", "sink.checkpoint")
     val readerOptions = opts.filterNot { case (k, _) => known(k) }
@@ -558,6 +749,7 @@ object SqlDdl {
     val computed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var watermark: Option[(String, String)] = None
     var primaryKey: Seq[String] = Nil
+    var pkName: Option[String] = None
     SqlFrontend.splitTop(colsBody).foreach { item =>
       val w = watermarkRe.matcher(item)
       val pk = pkRe.matcher(item)
@@ -573,7 +765,8 @@ object SqlDdl {
         watermark = Some((w.group(1), delay))
       } else if (pk.matches()) {
         require(primaryKey.isEmpty, "one PRIMARY KEY per table")
-        primaryKey = pk.group(1).split(",").map(_.trim).toSeq
+        primaryKey = pk.group(2).split(",").map(_.trim).toSeq
+        Option(pk.group(1)).foreach(n => pkName = Some(n))
       } else if (cc.matches() && !isTypeKeyword(cc.group(2))) {
         computed += ((cc.group(1), cc.group(2).trim))
       } else {
@@ -583,59 +776,226 @@ object SqlDdl {
           nullable = pc.group(3) == null)
       }
     }
-    require(fields.nonEmpty, s"CREATE TABLE needs physical columns: $text")
-    val physical = StructType(fields.toSeq)
-    (watermark.map(_._1).toSeq ++ primaryKey).foreach { c =>
+    // LIKE merge: schema/watermark/key/partitions per the reference's
+    // MergeTableLikeUtil (flink-table-planner-blink .../operations/
+    // MergeTableLikeUtil.java); options merged above
+    val (physical, mergedComputed, mergedWatermark, mergedPk, mergedParts) =
+      likeBase match {
+        case Some((base, strat)) =>
+          mergeLikeSchema(base, strat, fields.toSeq, computed.toSeq,
+            watermark, primaryKey, declaredPartitions)
+        case None =>
+          require(fields.nonEmpty,
+            s"CREATE TABLE needs physical columns: $text")
+          (StructType(fields.toSeq), computed.toSeq, watermark, primaryKey,
+           declaredPartitions)
+      }
+    (mergedWatermark.map(_._1).toSeq ++ mergedPk).foreach { c =>
       require(physical.fieldNames.exists(_.equalsIgnoreCase(c)) ||
-              computed.exists(_._1.equalsIgnoreCase(c)),
+              mergedComputed.exists(_._1.equalsIgnoreCase(c)),
         s"WATERMARK/PRIMARY KEY references undeclared column '$c'")
     }
-    partitionedBy.foreach { c =>
+    mergedParts.foreach { c =>
       require(physical.fieldNames.exists(_.equalsIgnoreCase(c)),
         s"PARTITIONED BY references undeclared physical column '$c'")
     }
-    require(partitionedBy.isEmpty || primaryKey.isEmpty,
+    require(mergedParts.isEmpty || mergedPk.isEmpty,
       "PARTITIONED BY and PRIMARY KEY are mutually exclusive here — the " +
       "upsert sink manages its own bucketed layout")
 
-    val d = TableDef(name, physical, computed.toSeq, path, format,
-      readerOptions, watermark, primaryKey, partitionedBy,
+    val d = TableDef(name, physical, mergedComputed, path, format,
+      readerOptions, mergedWatermark, mergedPk, mergedParts,
       opts.get("source.max-files-per-trigger"), opts.get("sink.checkpoint"))
     // register FIRST, catalog on success — a rejected CREATE (layout
     // guard, unreadable path) must not leave a phantom catalog entry
-    if (isCdcFormat(format)) {
-      require(watermark.isEmpty,
-        s"CDC format '$format' tables are CHANGELOG sources — they " +
+    registerTable(spark, d)
+    tables(name.toLowerCase) = d
+    tableDb(name.toLowerCase) = currentDb
+    pkName.foreach(n => pkNames(name.toLowerCase) = n)
+    done
+  }
+
+  // ---- CREATE TABLE … LIKE (SqlTableLike, parserImpls.ftl:749-806;
+  // merge semantics: MergeTableLikeUtil.java) --------------------------
+
+  private def resolveLikeBase(spark: SparkSession, name: String): TableDef =
+    tables.getOrElse(name.toLowerCase, throw new IllegalArgumentException(
+      s"CREATE TABLE … LIKE: unknown base table '$name'" + (
+        if (changelogViews.contains(name.toLowerCase) ||
+            spark.catalog.tableExists(name))
+          " (it is a VIEW — LIKE takes a table)" else "")))
+
+  private val likeFeatures =
+    Seq("CONSTRAINTS", "GENERATED", "OPTIONS", "PARTITIONS", "WATERMARKS")
+
+  /** Parse `INCLUDING ALL EXCLUDING OPTIONS …` (the reference accepts
+    * whitespace-separated pairs; commas tolerated) into a per-feature
+    * strategy map. Default INCLUDING ALL; OVERWRITING is valid only for
+    * GENERATED / OPTIONS / WATERMARKS (SqlTableLike.validate). */
+  private def likeStrategies(body: String): Map[String, String] = {
+    val tokens = body.trim.toUpperCase.split("[\\s,]+").filter(_.nonEmpty)
+    require(tokens.length % 2 == 0,
+      s"LIKE options come in <strategy> <feature> pairs " +
+      s"(INCLUDING|EXCLUDING|OVERWRITING × ALL|${likeFeatures.mkString("|")}): " +
+      s"'$body'")
+    val pairs = tokens.grouped(2).map { case Array(s, f) =>
+      require(Set("INCLUDING", "EXCLUDING", "OVERWRITING")(s),
+        s"LIKE: unknown merging strategy '$s'")
+      require(f == "ALL" || likeFeatures.contains(f),
+        s"LIKE: unknown feature '$f'")
+      require(s != "OVERWRITING" ||
+              Set("GENERATED", "OPTIONS", "WATERMARKS")(f),
+        s"LIKE: OVERWRITING is not applicable to $f (only GENERATED, " +
+        "OPTIONS, WATERMARKS)")
+      (s, f)
+    }.toSeq
+    val default = pairs.collectFirst { case (s, "ALL") => s }
+      .getOrElse("INCLUDING")
+    likeFeatures.map { f =>
+      f -> pairs.collectFirst { case (s, `f`) => s }.getOrElse(default)
+    }.toMap
+  }
+
+  /** A base TableDef's full WITH-option map, reconstructed (the parsed
+    * structural keys + the pass-through reader options). */
+  private def fullOptions(d: TableDef): Map[String, String] =
+    Map("connector" -> "filesystem", "path" -> d.path,
+        "format" -> d.format) ++
+      d.maxFilesPerTrigger.map("source.max-files-per-trigger" -> _) ++
+      d.checkpoint.map("sink.checkpoint" -> _) ++ d.readerOptions
+
+  /** MergeTableLikeUtil.mergeOptions: INCLUDING inherits all and a
+    * redefined key errors; EXCLUDING starts empty; OVERWRITING lets the
+    * derived table's WITH win per key. */
+  private def mergeLikeOptions(base: TableDef, strategy: String,
+                               derived: Map[String, String])
+      : Map[String, String] = {
+    val start =
+      if (strategy == "EXCLUDING") Map.empty[String, String]
+      else fullOptions(base)
+    derived.foldLeft(start) { case (acc, (k, v)) =>
+      if (strategy != "OVERWRITING" && acc.contains(k))
+        throw new IllegalArgumentException(
+          s"LIKE: there already exists an option '$k' -> '${acc(k)}' in " +
+          "the base table — you might want to specify EXCLUDING OPTIONS " +
+          "or OVERWRITING OPTIONS")
+      acc + (k -> v)
+    }
+  }
+
+  /** MergeTableLikeUtil's schema merge: physical columns always
+    * inherit (a redefinition errors); computed columns and the
+    * watermark follow GENERATED / WATERMARKS strategies (OVERWRITING
+    * lets the derived definition win); PRIMARY KEY follows CONSTRAINTS
+    * (INCLUDING/EXCLUDING only, both-defined errors); PARTITIONED BY
+    * follows PARTITIONS (both-defined errors unless EXCLUDING). */
+  private def mergeLikeSchema(base: TableDef, strat: Map[String, String],
+      declaredFields: Seq[StructField], declaredComputed: Seq[(String, String)],
+      declaredWatermark: Option[(String, String)], declaredPk: Seq[String],
+      declaredPartitions: Seq[String])
+      : (StructType, Seq[(String, String)], Option[(String, String)],
+         Seq[String], Seq[String]) = {
+    val inheritedComputed =
+      if (strat("GENERATED") == "EXCLUDING") Seq.empty else base.computed
+    val basePhys = base.physical.fieldNames.map(_.toLowerCase).toSet
+    val inheritedCompNames = inheritedComputed.map(_._1.toLowerCase).toSet
+    declaredFields.foreach { f =>
+      require(!basePhys(f.name.toLowerCase) &&
+              !inheritedCompNames(f.name.toLowerCase),
+        s"LIKE: a column named '${f.name}' already exists in the base table")
+    }
+    declaredComputed.foreach { case (n, _) =>
+      require(!basePhys(n.toLowerCase),
+        s"LIKE: computed column '$n' cannot overwrite a physical column " +
+        "of the base table")
+      require(!inheritedCompNames(n.toLowerCase) ||
+              strat("GENERATED") == "OVERWRITING",
+        s"LIKE: a generated column named '$n' already exists in the base " +
+        "table — you might want to specify EXCLUDING GENERATED or " +
+        "OVERWRITING GENERATED")
+    }
+    // an OVERWRITING redefinition keeps its base position (later
+    // inherited computed columns may reference it in the eval fold)
+    val mergedComputed =
+      inheritedComputed.map { case (n, e) =>
+        declaredComputed.find(_._1.equalsIgnoreCase(n)).getOrElse((n, e))
+      } ++ declaredComputed.filterNot(c =>
+        inheritedCompNames(c._1.toLowerCase))
+    val physical = StructType(base.physical.fields.toSeq ++ declaredFields)
+
+    val inheritedW =
+      if (strat("WATERMARKS") == "EXCLUDING") None else base.watermark
+    val watermark = (declaredWatermark, inheritedW) match {
+      case (Some(w), Some(_)) =>
+        require(strat("WATERMARKS") == "OVERWRITING",
+          "LIKE: there already exists a watermark spec in the base table " +
+          "— you might want to specify EXCLUDING WATERMARKS or " +
+          "OVERWRITING WATERMARKS")
+        Some(w)
+      case (Some(w), None) => Some(w)
+      case (None, i) => i
+    }
+
+    val inheritedPk =
+      if (strat("CONSTRAINTS") == "INCLUDING") base.primaryKey
+      else Seq.empty
+    require(declaredPk.isEmpty || inheritedPk.isEmpty,
+      "LIKE: the base table already has a primary key — you might want " +
+      "to specify EXCLUDING CONSTRAINTS")
+    val pk = if (declaredPk.nonEmpty) declaredPk else inheritedPk
+
+    require(declaredPartitions.isEmpty || base.partitionedBy.isEmpty ||
+            strat("PARTITIONS") == "EXCLUDING",
+      "LIKE: the base table already has partitions defined — you might " +
+      "want to specify EXCLUDING PARTITIONS")
+    val parts =
+      if (declaredPartitions.nonEmpty) declaredPartitions
+      else if (strat("PARTITIONS") == "EXCLUDING") Seq.empty
+      else base.partitionedBy
+
+    (physical, mergedComputed, watermark, pk, parts)
+  }
+
+  /** Validate + register a TableDef's readable/streamable surface (the
+    * CREATE TABLE registration switch; also the re-registration path
+    * for ALTER TABLE RENAME/SET). */
+  private def registerTable(spark: SparkSession, d: TableDef): Unit = {
+    if (isCdcFormat(d.format)) {
+      require(d.watermark.isEmpty,
+        s"CDC format '${d.format}' tables are CHANGELOG sources — they " +
         "carry op kinds, not event time; a WATERMARK clause does not " +
         "apply (window their downstream aggregates on a payload " +
         "timestamp via the changelog routes instead)")
-      require(partitionedBy.isEmpty,
-        s"CDC format '$format' tables are read-only changelog sources " +
+      require(d.partitionedBy.isEmpty,
+        s"CDC format '${d.format}' tables are read-only changelog sources " +
         "— PARTITIONED BY applies to sinks")
       registerCdcTable(spark, d)
     }
-    else if (watermark.isDefined) registerStreamTable(spark, d)
+    else if (d.readerOptions.keySet.exists(cdcOptionKeys)) {
+      val bad = d.readerOptions.keySet.filter(cdcOptionKeys).mkString(", ")
+      throw new IllegalArgumentException(
+        s"option(s) $bad apply only to CDC formats, not '${d.format}'")
+    }
+    else if (d.watermark.isDefined) registerStreamTable(spark, d)
     else if (d.primaryKey.nonEmpty) {
       // upsert table: re-attach to an existing bucketed layout (or
       // register the empty live view) — a restart / re-CREATE must see
       // the merged table again. Pre-existing PLAIN files would mix
       // layouts and corrupt the merge — reject loudly.
-      require(!pathHasData(spark, path),
-        s"CREATE TABLE $name: path '$path' already holds non-upsert " +
+      require(!pathHasData(spark, d.path),
+        s"CREATE TABLE ${d.name}: path '${d.path}' already holds non-upsert " +
         "data files but the table declares a PRIMARY KEY — the upsert " +
         "sink's bucketed layout cannot mix with plain files (point the " +
         "table at its own directory, or drop the PRIMARY KEY)")
       registerUpsertView(spark, d)
     }
-    else if (hasUpsertLayout(spark, path))
+    else if (hasUpsertLayout(spark, d.path))
       throw new IllegalArgumentException(
-        s"CREATE TABLE $name: path '$path' holds an upsert-table layout " +
-        "(__bucket= partitions) — declare its PRIMARY KEY (…) NOT " +
+        s"CREATE TABLE ${d.name}: path '${d.path}' holds an upsert-table " +
+        "layout (__bucket= partitions) — declare its PRIMARY KEY (…) NOT " +
         "ENFORCED to re-attach (a raw read would expose retracted rows " +
         "and internal columns)")
-    else if (pathHasData(spark, path)) registerBatchView(spark, d)
-    tables(name.toLowerCase) = d
-    done
+    else if (pathHasData(spark, d.path)) registerBatchView(spark, d)
   }
 
   /** Apply computed columns in declaration-independent order (each may
@@ -656,8 +1016,30 @@ object SqlDdl {
     StreamSql.registerStream(d.name, df, tsCol, delay, rowId)
   }
 
+  private def validateFormat(format: String): Unit =
+    require(Set("parquet", "csv", "json", "orc",
+                "debezium-json", "canal-json")(format),
+      s"unsupported format '$format' " +
+      "(parquet/csv/json/orc/debezium-json/canal-json)")
+
   private def isCdcFormat(format: String): Boolean =
     format == "debezium-json" || format == "canal-json"
+
+  /** Format-scoped CDC factory options (the reference's
+    * DebeziumJsonFormatFactory / CanalJsonFormatFactory ConfigOptions,
+    * keyed `<format>.<option>` as in `'debezium-json.schema-include' =
+    * 'true'`). Consumed here — never forwarded to the file reader. */
+  private val cdcOptionKeys = Set(
+    "debezium-json.schema-include",
+    "debezium-json.ignore-parse-errors",
+    "canal-json.ignore-parse-errors")
+
+  private def cdcFlag(d: TableDef, key: String): Boolean =
+    d.readerOptions.get(key).exists { v =>
+      require(v == "true" || v == "false",
+        s"option '$key' takes 'true'|'false', got '$v'")
+      v.toBoolean
+    }
 
   /** A CDC-format table: the monitoring file source over the CDC
     * tool's JSON-lines envelopes, decoded expression-only into a
@@ -667,16 +1049,24 @@ object SqlDdl {
     * the rank/order-sensitive routes). */
   private def registerCdcTable(spark: SparkSession, d: TableDef): Unit = {
     import graft.sources.CdcFormats
+    d.readerOptions.keys.filter(_.contains(".")).foreach { k =>
+      require(!cdcOptionKeys(k) || k.startsWith(d.format + "."),
+        s"option '$k' does not apply to format '${d.format}'")
+    }
+    val schemaInclude = cdcFlag(d, "debezium-json.schema-include")
+    val ignoreErrors = cdcFlag(d, s"${d.format}.ignore-parse-errors")
+    val readerOpts = d.readerOptions -- cdcOptionKeys
     val env = if (d.format == "debezium-json")
-      CdcFormats.debeziumEnvelope(d.physical)
+      CdcFormats.debeziumEnvelope(d.physical, schemaInclude)
     else CdcFormats.canalEnvelope(d.physical)
-    val reader = spark.readStream.schema(env).options(d.readerOptions)
+    val reader = spark.readStream.schema(env).options(readerOpts)
     val withTrigger = d.maxFilesPerTrigger
       .map(k => reader.option("maxFilesPerTrigger", k)).getOrElse(reader)
     val raw = withTrigger.json(d.path)
     val changelog = if (d.format == "debezium-json")
-      CdcFormats.debeziumChangelog(raw, d.physical)
-    else CdcFormats.canalChangelog(raw, d.physical)
+      CdcFormats.debeziumChangelog(raw, d.physical, schemaInclude,
+        ignoreErrors)
+    else CdcFormats.canalChangelog(raw, d.physical, ignoreErrors)
     val rowId = if (d.primaryKey.size == 1) d.primaryKey.headOption else None
     StreamSql.registerChangelog(d.name, changelog, kindCol = "row_kind",
       rowId = rowId)
@@ -744,6 +1134,7 @@ object SqlDdl {
       "view body cannot declare — register it via " +
       "StreamSql.registerStream(name, df, tsCol, delay[, rowId]), or " +
       "make the source a CREATE TABLE … WATERMARK FOR … table")
+    viewBodies(name.toLowerCase) = query // ALTER VIEW re-derives from it
     done
   }
 
@@ -1022,14 +1413,554 @@ object SqlDdl {
       s"DROP $kind: unknown name '$name'")
     if (wantTable && isTable) {
       tables.remove(key).foreach(t => upsertEpochs.remove(t.path))
-      StreamSql.dropStream(name)
-      StreamSql.dropChangelog(name) // CDC-format tables register here
-      spark.catalog.dropTempView(name)
+      tableDb.remove(key)
+      unregisterSurfaces(spark, name)
     } else if (!wantTable && isView) {
       changelogViews.remove(key)
+      viewBodies.remove(key)
       StreamSql.dropChangelog(name)
       spark.catalog.dropTempView(name)
     }
+    done
+  }
+
+  /** Drop every registered query surface for a catalog name (temp view
+    * / stream registration / changelog registration) — the table's
+    * FILES are untouched. */
+  private def unregisterSurfaces(spark: SparkSession, name: String): Unit = {
+    StreamSql.dropStream(name)
+    StreamSql.dropChangelog(name) // CDC-format tables register here
+    spark.catalog.dropTempView(name)
+  }
+
+  /** `ALTER TABLE t RENAME TO t2` — the reference's SqlAlterTableRename
+    * (parserImpls.ftl:396-412): the catalog entry and every registered
+    * surface move to the new name; the table's files stay where they
+    * are (same path — an upsert table keeps its epoch ordering, which
+    * is keyed by path). */
+  private def alterRename(spark: SparkSession, name: String,
+                          to: String): SqlResult = {
+    val key = name.toLowerCase
+    val d = tables.getOrElse(key, throw new IllegalArgumentException(
+      s"ALTER TABLE: unknown table '$name'" + (
+        if (changelogViews.contains(key) || spark.catalog.tableExists(name))
+          " (it is a VIEW — ALTER TABLE applies to tables)" else "")))
+    val toKey = to.toLowerCase
+    require(toKey != key, s"ALTER TABLE RENAME: '$name' → '$to' is a no-op")
+    require(!tables.contains(toKey) && !changelogViews.contains(toKey) &&
+            !spark.catalog.tableExists(to),
+      s"ALTER TABLE RENAME: target name '$to' already exists")
+    unregisterSurfaces(spark, name)
+    val d2 = d.copy(name = to)
+    try {
+      registerTable(spark, d2)
+      tables.remove(key)
+      tables(toKey) = d2
+      tableDb.remove(key).foreach(db => tableDb(toKey) = db)
+    } catch { case t: Throwable =>
+      registerTable(spark, d) // restore the old surface, then fail loudly
+      throw t
+    }
+    done
+  }
+
+  /** `ALTER TABLE t SET ('k'='v', …)` — the reference's
+    * SqlAlterTableProperties (parserImpls.ftl:413-421): the listed
+    * properties merge over the declaration (path, format, reader
+    * options, trigger/checkpoint knobs) and the table re-registers;
+    * the schema (columns/watermark/key/partitioning) is not a
+    * property and cannot change here. 'connector' stays filesystem. */
+  private def alterSet(spark: SparkSession, name: String,
+                       optsBody: String): SqlResult = {
+    val key = name.toLowerCase
+    val d = tables.getOrElse(key, throw new IllegalArgumentException(
+      s"ALTER TABLE: unknown table '$name'"))
+    val opts = parseOptions(optsBody)
+    require(opts.nonEmpty, "ALTER TABLE SET: empty property list")
+    opts.get("connector").foreach(c => require(
+      c.equalsIgnoreCase("filesystem"),
+      s"ALTER TABLE SET: 'connector' is immutable (filesystem), got '$c'"))
+    val format2 = opts.getOrElse("format", d.format).toLowerCase
+    validateFormat(format2)
+    val structural = Set("connector", "path", "format",
+      "source.max-files-per-trigger", "sink.checkpoint")
+    val d2 = d.copy(
+      path = opts.getOrElse("path", d.path),
+      format = format2,
+      readerOptions = d.readerOptions ++ (opts -- structural),
+      maxFilesPerTrigger = opts.get("source.max-files-per-trigger")
+        .orElse(d.maxFilesPerTrigger),
+      checkpoint = opts.get("sink.checkpoint").orElse(d.checkpoint))
+    unregisterSurfaces(spark, name)
+    try {
+      registerTable(spark, d2)
+      tables(key) = d2
+    } catch { case t: Throwable =>
+      registerTable(spark, d) // restore the old surface, then fail loudly
+      throw t
+    }
+    done
+  }
+
+  // ---- databases / catalogs / functions ------------------------------------
+
+  private def oneColumn(spark: SparkSession, colName: String,
+                        values: Seq[String]): SqlResult = {
+    import scala.jdk.CollectionConverters._
+    SqlResult(Some(spark.createDataFrame(
+      values.map(org.apache.spark.sql.Row(_)).asJava,
+      StructType(Seq(StructField(colName, StringType, nullable = false)))
+    )), None)
+  }
+
+  /** `CREATE DATABASE [IF NOT EXISTS] db [COMMENT '…'] [WITH (…)]` —
+    * the reference's SqlCreateDatabase (parserImpls.ftl:135-161).
+    * Databases here are catalog NAMESPACING over a flat readable-view
+    * namespace (see the catalog fields' note). */
+  private def createDatabase(name: String, ifNotExists: Boolean,
+                             withBody: Option[String]): SqlResult = {
+    val key = name.toLowerCase
+    if (databases.contains(key)) {
+      if (ifNotExists) return done
+      throw new IllegalArgumentException(
+        s"CREATE DATABASE: database '$name' already exists")
+    }
+    databases(key) = withBody.map(parseOptions).getOrElse(Map.empty)
+    done
+  }
+
+  /** `DROP DATABASE [IF EXISTS] db [RESTRICT|CASCADE]` — RESTRICT (the
+    * default) rejects a non-empty database; CASCADE drops its tables
+    * (SqlDropDatabase, parserImpls.ftl:187-210). */
+  private def dropDatabase(spark: SparkSession, name: String,
+                           ifExists: Boolean, cascade: Boolean): SqlResult = {
+    val key = name.toLowerCase
+    require(key != "default_database",
+      "DROP DATABASE: the default database cannot be dropped")
+    if (!databases.contains(key)) {
+      if (ifExists) return done
+      throw new IllegalArgumentException(
+        s"DROP DATABASE: unknown database '$name'")
+    }
+    val owned = tableDb.collect { case (t, db) if db == key => t }.toSeq
+    if (owned.nonEmpty && !cascade) throw new IllegalArgumentException(
+      s"DROP DATABASE: database '$name' is not empty " +
+      s"(${owned.sorted.mkString(", ")}) — use CASCADE to drop its tables")
+    owned.foreach { t =>
+      tables.remove(t).foreach { d =>
+        upsertEpochs.remove(d.path)
+        unregisterSurfaces(spark, d.name)
+      }
+      tableDb.remove(t)
+    }
+    databases.remove(key)
+    if (currentDb == key) currentDb = "default_database"
+    done
+  }
+
+  private def useCatalog(name: String): SqlResult = {
+    require(name.equalsIgnoreCase("default_catalog"),
+      s"USE CATALOG: unknown catalog '$name' (this engine hosts one " +
+      "catalog, default_catalog — external catalogs are a connector " +
+      "surface)")
+    done
+  }
+
+  private def useDatabase(name: String): SqlResult = {
+    val key = stripCatalog(name).toLowerCase
+    require(databases.contains(key),
+      s"USE: unknown database '$name' (CREATE DATABASE first; " +
+      s"SHOW DATABASES lists ${databases.keys.toSeq.sorted.mkString(", ")})")
+    currentDb = key
+    done
+  }
+
+  private def showDatabases(spark: SparkSession): SqlResult =
+    oneColumn(spark, "database name", databases.keys.toSeq.sorted)
+
+  private def showCatalogs(spark: SparkSession): SqlResult =
+    oneColumn(spark, "catalog name", Seq("default_catalog"))
+
+  private def describeDatabase(spark: SparkSession,
+                               name: String): SqlResult = {
+    val key = stripCatalog(name).toLowerCase
+    val props = databases.getOrElse(key, throw new IllegalArgumentException(
+      s"DESCRIBE DATABASE: unknown database '$name'"))
+    import scala.jdk.CollectionConverters._
+    val rows = (Seq(("database name", key)) ++ props.toSeq.sortBy(_._1))
+      .map { case (k, v) => org.apache.spark.sql.Row(k, v) }
+    SqlResult(Some(spark.createDataFrame(rows.asJava,
+      StructType(Seq(StructField("info name", StringType),
+                     StructField("info value", StringType))))), None)
+  }
+
+  /** `SHOW VIEWS` (SqlShowViews, parserImpls.ftl:353-360): changelog
+    * views + the session's plain temp views, minus the readable views
+    * this catalog registers FOR its tables. */
+  private def showViews(spark: SparkSession): SqlResult = {
+    val own = tables.keySet
+    val temp = spark.catalog.listTables().collect()
+      .filter(t => t.isTemporary && !own.contains(t.name.toLowerCase))
+      .map(_.name)
+    oneColumn(spark, "view name",
+      (changelogViews.keys.toSeq ++ temp).distinct.sorted)
+  }
+
+  /** `SHOW [USER] FUNCTIONS` (SqlShowFunctions, parserImpls.ftl:337-346):
+    * every SQL-invokable function name — the session registry holds the
+    * engine's registered function surface (GraftFunctions + CREATE
+    * FUNCTION registrations) alongside Spark's builtins. */
+  private def showFunctions(spark: SparkSession): SqlResult =
+    oneColumn(spark, "function name",
+      spark.catalog.listFunctions().collect().map(_.name).toSeq.sorted)
+
+  private def stripCatalog(name: String): String =
+    name.split("\\.").toSeq match {
+      case Seq(db) => db
+      case Seq(cat, db) =>
+        require(cat.equalsIgnoreCase("default_catalog"),
+          s"unknown catalog '$cat' (one catalog: default_catalog)")
+        db
+      case _ => throw new IllegalArgumentException(
+        s"unparseable database name '$name'")
+    }
+
+  /** `CREATE [TEMPORARY] [SYSTEM] FUNCTION name AS 'class'
+    * [LANGUAGE JAVA|SCALA]` — the reference's SqlCreateFunction
+    * (parserImpls.ftl:230-268) with UserDefinedFunctionHelper's
+    * contract: the class is instantiated reflectively and its public
+    * `eval` method becomes the SQL function body (the reference's
+    * ScalarFunction discovers eval by reflection too). The return type
+    * maps from the method's Java return type; arity 0-5. */
+  private def createFunction(spark: SparkSession, name: String,
+                             className: String, ifNotExists: Boolean,
+                             language: Option[String]): SqlResult = {
+    language.foreach(l => require(
+      l.equalsIgnoreCase("JAVA") || l.equalsIgnoreCase("SCALA"),
+      s"CREATE FUNCTION: LANGUAGE $l is unsupported (JAVA|SCALA — this " +
+      "is a JVM engine; Python UDFs are out of scope)"))
+    val key = name.toLowerCase
+    if (createdFunctions.contains(key)) {
+      if (ifNotExists) return done
+      throw new IllegalArgumentException(
+        s"CREATE FUNCTION: function '$name' already exists " +
+        "(DROP FUNCTION first, or ALTER FUNCTION to repoint it)")
+    }
+    registerEvalFunction(spark, name, className)
+    createdFunctions(key) = className
+    done
+  }
+
+  /** The registration core shared by CREATE FUNCTION and ALTER
+    * FUNCTION: resolve the class, discover eval, register the UDF. */
+  private def registerEvalFunction(spark: SparkSession, name: String,
+                                   className: String): Unit = {
+    val cls =
+      try Class.forName(className)
+      catch { case _: ClassNotFoundException =>
+        throw new IllegalArgumentException(
+          s"CREATE FUNCTION: class '$className' not found on the " +
+          "classpath (the reference's CatalogFunction resolution)") }
+    val inst =
+      try cls.getDeclaredConstructor().newInstance()
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"CREATE FUNCTION: '$className' needs a public no-arg " +
+          s"constructor (${e.getMessage})") }
+    val evals = cls.getMethods.filter(_.getName == "eval")
+    require(evals.nonEmpty,
+      s"CREATE FUNCTION: '$className' declares no public eval method — " +
+      "the ScalarFunction contract (UserDefinedFunctionHelper) is a " +
+      "public eval the planner discovers by reflection")
+    require(evals.length == 1,
+      s"CREATE FUNCTION: '$className' overloads eval " +
+      s"(${evals.length} signatures) — one eval per function here")
+    val m = evals.head
+    val ret = javaTypeToSpark(m.getReturnType, className)
+    // Method/instance are NOT Serializable — the UDF ships the class
+    // NAME and re-discovers eval lazily per executor (the reference
+    // instantiates the ScalarFunction per task the same way)
+    val invokeEval = new ReflectiveEval(className)
+    import org.apache.spark.sql.api.java._
+    m.getParameterCount match {
+      case 0 => spark.udf.register(name, new UDF0[Any] {
+        def call(): Any = invokeEval(Nil) }, ret)
+      case 1 => spark.udf.register(name, new UDF1[AnyRef, Any] {
+        def call(a: AnyRef): Any = invokeEval(Seq(a)) }, ret)
+      case 2 => spark.udf.register(name, new UDF2[AnyRef, AnyRef, Any] {
+        def call(a: AnyRef, b: AnyRef): Any = invokeEval(Seq(a, b)) }, ret)
+      case 3 => spark.udf.register(name,
+        new UDF3[AnyRef, AnyRef, AnyRef, Any] {
+          def call(a: AnyRef, b: AnyRef, c: AnyRef): Any =
+            invokeEval(Seq(a, b, c)) }, ret)
+      case 4 => spark.udf.register(name,
+        new UDF4[AnyRef, AnyRef, AnyRef, AnyRef, Any] {
+          def call(a: AnyRef, b: AnyRef, c: AnyRef, d: AnyRef): Any =
+            invokeEval(Seq(a, b, c, d)) }, ret)
+      case 5 => spark.udf.register(name,
+        new UDF5[AnyRef, AnyRef, AnyRef, AnyRef, AnyRef, Any] {
+          def call(a: AnyRef, b: AnyRef, c: AnyRef, d: AnyRef,
+                   e: AnyRef): Any = invokeEval(Seq(a, b, c, d, e)) }, ret)
+      case n => throw new IllegalArgumentException(
+        s"CREATE FUNCTION: eval takes $n parameters — up to 5 supported")
+    }
+  }
+
+  /** Serializable eval invoker: carries only the class NAME; the
+    * instance and its eval Method re-resolve lazily on each executor
+    * (java.lang.reflect.Method is not Serializable). */
+  private class ReflectiveEval(className: String)
+      extends (Seq[AnyRef] => Any) with Serializable {
+    @transient private lazy val inst =
+      Class.forName(className).getDeclaredConstructor().newInstance()
+    @transient private lazy val method =
+      Class.forName(className).getMethods.find(_.getName == "eval").get
+    // SQL literals arrive at the type the parser inferred (10 → Integer)
+    // while eval declares its own parameter classes — widen numerics to
+    // the declared class the way the reference's data-type inference
+    // adapts call arguments to the eval signature. Nulls pass through.
+    private def coerce(v: AnyRef, target: Class[_]): AnyRef = v match {
+      case null => null
+      case n: java.lang.Number => target match {
+        case java.lang.Long.TYPE => java.lang.Long.valueOf(n.longValue())
+        case java.lang.Integer.TYPE => java.lang.Integer.valueOf(n.intValue())
+        case java.lang.Double.TYPE => java.lang.Double.valueOf(n.doubleValue())
+        case java.lang.Float.TYPE => java.lang.Float.valueOf(n.floatValue())
+        case java.lang.Short.TYPE => java.lang.Short.valueOf(n.shortValue())
+        case java.lang.Byte.TYPE => java.lang.Byte.valueOf(n.byteValue())
+        case t if t == classOf[java.lang.Long] =>
+          java.lang.Long.valueOf(n.longValue())
+        case t if t == classOf[java.lang.Integer] =>
+          java.lang.Integer.valueOf(n.intValue())
+        case t if t == classOf[java.lang.Double] =>
+          java.lang.Double.valueOf(n.doubleValue())
+        case t if t == classOf[java.lang.Float] =>
+          java.lang.Float.valueOf(n.floatValue())
+        case t if t == classOf[java.lang.Short] =>
+          java.lang.Short.valueOf(n.shortValue())
+        case t if t == classOf[java.lang.Byte] =>
+          java.lang.Byte.valueOf(n.byteValue())
+        case t if t == classOf[java.math.BigDecimal] => n match {
+          case bd: java.math.BigDecimal => bd
+          case _ => new java.math.BigDecimal(n.toString)
+        }
+        case _ => v
+      }
+      case s if target == classOf[String] => s.toString
+      case _ => v
+    }
+    def apply(args: Seq[AnyRef]): Any = {
+      val params = method.getParameterTypes
+      val coerced = args.zip(params.toSeq).map { case (a, t) => coerce(a, t) }
+      method.invoke(inst, coerced: _*)
+    }
+  }
+
+  /** The eval method's Java return type → Spark DataType. */
+  private def javaTypeToSpark(c: Class[_], where: String): DataType = c match {
+    case java.lang.Integer.TYPE => IntegerType
+    case java.lang.Long.TYPE => LongType
+    case java.lang.Double.TYPE => DoubleType
+    case java.lang.Float.TYPE => FloatType
+    case java.lang.Boolean.TYPE => BooleanType
+    case java.lang.Short.TYPE => ShortType
+    case java.lang.Byte.TYPE => ByteType
+    case _ if c == classOf[String] => StringType
+    case _ if c == classOf[java.lang.Integer] => IntegerType
+    case _ if c == classOf[java.lang.Long] => LongType
+    case _ if c == classOf[java.lang.Double] => DoubleType
+    case _ if c == classOf[java.lang.Float] => FloatType
+    case _ if c == classOf[java.lang.Boolean] => BooleanType
+    case _ if c == classOf[Array[Byte]] => BinaryType
+    case _ if c == classOf[java.math.BigDecimal] => DecimalType(38, 18)
+    case _ if c == classOf[java.sql.Timestamp] => TimestampType
+    case _ if c == classOf[java.sql.Date] => DateType
+    case _ => throw new IllegalArgumentException(
+      s"CREATE FUNCTION: unsupported eval return type ${c.getName} in " +
+      s"$where (int/long/double/float/boolean/short/byte and their " +
+      "boxes, String, byte[], BigDecimal, Timestamp, Date)")
+  }
+
+  private def dropFunction(spark: SparkSession, name: String,
+                           ifExists: Boolean): SqlResult = {
+    val key = name.toLowerCase
+    if (!createdFunctions.contains(key)) {
+      if (ifExists) return done
+      throw new IllegalArgumentException(
+        s"DROP FUNCTION: unknown function '$name' (only CREATE FUNCTION " +
+        "registrations can be dropped — the builtin surface is fixed)")
+    }
+    spark.sessionState.catalog.dropTempFunction(name, ignoreIfNotExists = true)
+    createdFunctions.remove(key)
+    done
+  }
+
+  /** `ALTER FUNCTION [IF EXISTS] f AS 'class'` (SqlAlterFunction,
+    * parserImpls.ftl:269-311): repoint an existing CREATE FUNCTION
+    * registration at a new implementation class. */
+  private def alterFunction(spark: SparkSession, name: String,
+                            className: String, ifExists: Boolean,
+                            language: Option[String]): SqlResult = {
+    language.foreach(l => require(
+      l.equalsIgnoreCase("JAVA") || l.equalsIgnoreCase("SCALA"),
+      s"ALTER FUNCTION: LANGUAGE $l is unsupported (JAVA|SCALA — this " +
+      "is a JVM engine; Python UDFs are out of scope)"))
+    val key = name.toLowerCase
+    if (!createdFunctions.contains(key)) {
+      if (ifExists) return done
+      throw new IllegalArgumentException(
+        s"ALTER FUNCTION: unknown function '$name' (only CREATE FUNCTION " +
+        "registrations can be altered)")
+    }
+    registerEvalFunction(spark, name, className) // replaces the UDF slot
+    createdFunctions(key) = className
+    done
+  }
+
+  /** `ALTER DATABASE db SET ('k'='v', …)` (SqlAlterDatabase,
+    * parserImpls.ftl:162-186): merge the listed properties over the
+    * database's existing ones. */
+  private def alterDatabase(name: String, optsBody: String): SqlResult = {
+    val key = stripCatalog(name).toLowerCase
+    val cur = databases.getOrElse(key, throw new IllegalArgumentException(
+      s"ALTER DATABASE: unknown database '$name'"))
+    databases(key) = cur ++ parseOptions(optsBody)
+    done
+  }
+
+  private def describeCatalog(spark: SparkSession,
+                              name: String): SqlResult = {
+    require(name.equalsIgnoreCase("default_catalog"),
+      s"DESCRIBE CATALOG: unknown catalog '$name' (one catalog: " +
+      "default_catalog)")
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(("catalog name", "default_catalog"),
+                   ("default database", currentDb),
+                   ("type", "in-memory"))
+      .map { case (k, v) => org.apache.spark.sql.Row(k, v) }
+    SqlResult(Some(spark.createDataFrame(rows.asJava,
+      StructType(Seq(StructField("info name", StringType),
+                     StructField("info value", StringType))))), None)
+  }
+
+  /** `ALTER VIEW v RENAME TO v2` (SqlAlterViewRename): re-derive the
+    * registration under the new name from the recorded body, then drop
+    * the old surfaces. Only DDL-created views carry a body — a temp
+    * view registered by library code is not ALTER-able here. */
+  private def alterViewRename(spark: SparkSession, name: String,
+                              to: String): SqlResult = {
+    val key = name.toLowerCase
+    if (tables.contains(key)) throw new IllegalArgumentException(
+      s"ALTER VIEW: '$name' is a TABLE (use ALTER TABLE RENAME TO)")
+    val body = viewBodies.getOrElse(key, throw new IllegalArgumentException(
+      s"ALTER VIEW: unknown view '$name' (only views created through " +
+      "CREATE VIEW here are renameable — their body is recorded)"))
+    val toKey = to.toLowerCase
+    require(toKey != key, s"ALTER VIEW RENAME: '$name' → '$to' is a no-op")
+    require(!tables.contains(toKey) && !changelogViews.contains(toKey) &&
+            !spark.catalog.tableExists(to),
+      s"ALTER VIEW RENAME: target name '$to' already exists")
+    createView(spark, to, body) // registers the new surface (+ body)
+    dropViewSurfaces(spark, name)
+    viewBodies.remove(key)
+    done
+  }
+
+  /** `ALTER VIEW v AS <query>` (SqlAlterViewAs): replace the body. The
+    * new body is ANALYZED before the old registration is touched, so a
+    * bad body leaves the old view intact. */
+  private def alterViewAs(spark: SparkSession, name: String,
+                          query: String): SqlResult = {
+    val key = name.toLowerCase
+    if (tables.contains(key)) throw new IllegalArgumentException(
+      s"ALTER VIEW: '$name' is a TABLE (ALTER TABLE has no AS form)")
+    require(viewBodies.contains(key),
+      s"ALTER VIEW: unknown view '$name' (only views created through " +
+      "CREATE VIEW here are alterable)")
+    SqlFrontend.sql(spark, query) // analysis gate — throws before mutation
+    dropViewSurfaces(spark, name)
+    try {
+      createView(spark, name, query)
+      viewBodies(key) = query
+    } catch { case t: Throwable =>
+      // restore the old view (its body re-analyzes — it did at CREATE)
+      createView(spark, name, viewBodies(key))
+      throw t
+    }
+    done
+  }
+
+  /** Drop every registration surface for a VIEW name (changelog
+    * registration + temp view); the recorded body stays with the
+    * caller to move or replace. */
+  private def dropViewSurfaces(spark: SparkSession, name: String): Unit = {
+    changelogViews.remove(name.toLowerCase)
+    StreamSql.dropChangelog(name)
+    spark.catalog.dropTempView(name)
+  }
+
+  /** `ALTER TABLE t ADD [CONSTRAINT nm] PRIMARY KEY (cols) NOT
+    * ENFORCED` (SqlAlterTableAddConstraint): attach a key to an
+    * existing keyless table — it becomes an upsert table, so the same
+    * layout guard as CREATE applies (pre-existing plain files would
+    * mix with the bucketed merge layout). */
+  private def addConstraint(spark: SparkSession, name: String,
+                            cname: Option[String],
+                            cols: Seq[String]): SqlResult = {
+    val key = name.toLowerCase
+    val d = tables.getOrElse(key, throw new IllegalArgumentException(
+      s"ALTER TABLE: unknown table '$name'"))
+    require(d.primaryKey.isEmpty,
+      s"ALTER TABLE ADD CONSTRAINT: table '$name' already has a PRIMARY " +
+      s"KEY (${d.primaryKey.mkString(", ")}) — DROP CONSTRAINT first")
+    val declared = d.physical.fieldNames.map(_.toLowerCase).toSet ++
+      d.computed.map(_._1.toLowerCase)
+    val missing = cols.filterNot(c => declared(c.toLowerCase))
+    require(missing.isEmpty,
+      s"ALTER TABLE ADD CONSTRAINT: key column(s) " +
+      s"${missing.mkString(", ")} not declared on '$name'")
+    require(!pathHasData(spark, d.path),
+      s"ALTER TABLE ADD CONSTRAINT: path '${d.path}' already holds " +
+      "plain data files — the upsert sink's bucketed layout cannot mix " +
+      "with them (re-CREATE onto a fresh directory instead)")
+    require(d.partitionedBy.isEmpty,
+      "ALTER TABLE ADD CONSTRAINT: PARTITIONED BY and PRIMARY KEY are " +
+      "mutually exclusive here — the upsert sink manages its own layout")
+    val d2 = d.copy(primaryKey = cols)
+    unregisterSurfaces(spark, name)
+    try { registerTable(spark, d2); tables(key) = d2 }
+    catch { case t: Throwable => registerTable(spark, d); throw t }
+    cname.foreach(n => pkNames(key) = n)
+    done
+  }
+
+  /** `ALTER TABLE t DROP CONSTRAINT nm` (SqlAlterTableDropConstraint):
+    * detach the named key. A table whose files already carry the
+    * bucketed upsert layout rejects — a keyless read of `__bucket=`
+    * data would expose retracted rows. */
+  private def dropConstraint(spark: SparkSession, name: String,
+                             cname: String): SqlResult = {
+    val key = name.toLowerCase
+    val d = tables.getOrElse(key, throw new IllegalArgumentException(
+      s"ALTER TABLE: unknown table '$name'"))
+    require(d.primaryKey.nonEmpty,
+      s"ALTER TABLE DROP CONSTRAINT: table '$name' has no PRIMARY KEY")
+    val declared = pkNames.get(key)
+    require(declared.exists(_.equalsIgnoreCase(cname)),
+      s"ALTER TABLE DROP CONSTRAINT: no constraint named '$cname' on " +
+      s"'$name'" + declared.fold(" (its PRIMARY KEY was declared " +
+        "without a CONSTRAINT name)")(n => s" (the declared name is '$n')"))
+    require(!hasUpsertLayout(spark, d.path),
+      s"ALTER TABLE DROP CONSTRAINT: path '${d.path}' already holds the " +
+      "upsert table's bucketed layout — a keyless read would expose " +
+      "retracted rows and internal columns (INSERT OVERWRITE a fresh " +
+      "plain table from the live view instead)")
+    val d2 = d.copy(primaryKey = Nil)
+    unregisterSurfaces(spark, name)
+    try { registerTable(spark, d2); tables(key) = d2 }
+    catch { case t: Throwable => registerTable(spark, d); throw t }
+    pkNames.remove(key)
+    upsertEpochs.remove(d.path)
     done
   }
 

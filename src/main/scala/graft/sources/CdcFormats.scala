@@ -27,6 +27,20 @@ import org.apache.spark.sql.types._
  * decode is scan-speed. Unknown op/type values raise loudly per row
  * (a silent drop would desynchronize the downstream materialization).
  *
+ * Factory options (the reference's DebeziumJsonFormatFactory /
+ * CanalJsonFormatFactory ConfigOptions):
+ *  - `schema-include` (debezium only): Debezium with Kafka Connect's
+ *    `value.converter.schemas.enable` wraps each envelope as
+ *    `{"schema": …, "payload": {before, after, op}}`; the reference
+ *    ignores `schema` and extracts `payload` — here the schema'd scan
+ *    never even materializes the `schema` subtree (column pruning at
+ *    the JSON parser).
+ *  - `ignore-parse-errors` (both): skip undecodable envelopes (corrupt
+ *    JSON lines, unknown ops, null images) instead of raising — the
+ *    reference's catch-and-skip in `deserialize`. The skip is
+ *    expression-only too: the op dispatch falls to a NULL array and
+ *    `explode` drops it, so the lenient path costs nothing extra.
+ *
  * The result carries the payload columns plus `row_kind` — the
  * changelog-view contract ([[graft.streaming.StreamSql.registerChangelog]]),
  * so every changelog SQL route (GROUP BY aggregates, joins, EXISTS,
@@ -36,26 +50,63 @@ import org.apache.spark.sql.types._
  */
 object CdcFormats {
 
-  /** The debezium envelope schema over a payload row schema. */
-  def debeziumEnvelope(payload: StructType): StructType =
-    StructType(Seq(
+  /** The tagged (payload, kind) pair array type — the op dispatch's
+    * value domain, needed to type the lenient path's NULL branch. */
+  private def pairArray(payload: StructType): ArrayType =
+    ArrayType(StructType(Seq(
+      StructField("p", payload),
+      StructField("k", StringType, nullable = false))))
+
+  /** The debezium envelope schema over a payload row schema. With
+    * `schemaInclude` the envelope is `{"schema":…, "payload":{…}}` —
+    * only `payload` is declared, so the JSON parser prunes the
+    * `schema` subtree at the scan (the reference ignores it too). */
+  def debeziumEnvelope(payload: StructType,
+                       schemaInclude: Boolean = false): StructType = {
+    val core = StructType(Seq(
       StructField("before", payload),
       StructField("after", payload),
       StructField("op", StringType)))
+    if (schemaInclude) StructType(Seq(StructField("payload", core)))
+    else core
+  }
 
   /** Envelope rows (schema = [[debeziumEnvelope]]) → changelog rows
-    * (payload columns + `row_kind`). */
-  def debeziumChangelog(env: DataFrame, payload: StructType): DataFrame = {
+    * (payload columns + `row_kind`). `ignoreParseErrors` skips
+    * undecodable envelopes (unknown/null op, null required image)
+    * instead of raising — the reference's catch-and-skip. */
+  def debeziumChangelog(env: DataFrame, payload: StructType,
+                        schemaInclude: Boolean = false,
+                        ignoreParseErrors: Boolean = false): DataFrame = {
+    val flat = if (schemaInclude) env.select(col("payload.*")) else env
     def tagged(side: String, kind: String) =
       struct(col(side).as("p"), lit(kind).as("k"))
-    val pairs = when(col("op").isin("c", "r"), array(tagged("after", "+I")))
+    val dispatch = when(col("op").isin("c", "r"), array(tagged("after", "+I")))
       .when(col("op") === "u",
         array(tagged("before", "-U"), tagged("after", "+U")))
       .when(col("op") === "d", array(tagged("before", "-D")))
-      .otherwise(raise_error(concat(
-        lit("debezium-json: unknown op '"), col("op"),
-        lit("' (expected c/r/u/d)"))))
-    env.select(explode(pairs).as("e"))
+    val pairs =
+      if (ignoreParseErrors) {
+        // NULL for unknown ops, and NULL for a known op with a missing
+        // required image (corrupt line) — the reference's
+        // ignore-parse-errors skips the WHOLE message, not elements;
+        // explode then drops the null array for free
+        val lenient = dispatch.otherwise(lit(null).cast(pairArray(payload)))
+        when(forall(lenient, x => x.getField("p").isNotNull), lenient)
+      }
+      else {
+        // strict: unknown op raises; so does a known op with a missing
+        // required image (the reference NPEs out of deserialize)
+        val checked = dispatch.otherwise(raise_error(concat(
+          lit("debezium-json: unknown op '"),
+          coalesce(col("op"), lit("<null>")),
+          lit("' (expected c/r/u/d)")))).cast(pairArray(payload))
+        when(forall(checked, x => x.getField("p").isNotNull), checked)
+          .otherwise(raise_error(concat(
+            lit("debezium-json: op '"), col("op"),
+            lit("' with a missing before/after image"))))
+      }
+    flat.select(explode(pairs).as("e"))
       .select(col("e.p.*") +: Seq(col("e.k").as("row_kind")): _*)
   }
 
@@ -74,14 +125,15 @@ object CdcFormats {
     * UPDATE before-image merges `old` over `data` field-wise (canal's
     * partial old rows), positionally zipped — the reference's
     * CanalJsonDeserializationSchema semantics. */
-  def canalChangelog(env: DataFrame, payload: StructType): DataFrame = {
+  def canalChangelog(env: DataFrame, payload: StructType,
+                     ignoreParseErrors: Boolean = false): DataFrame = {
     val fields = payload.fieldNames.toSeq
     def mergedOld(z: org.apache.spark.sql.Column) = struct(fields.map(f =>
       coalesce(z.getField("old").getField(f),
                z.getField("data").getField(f)).as(f)): _*)
     val zipped = arrays_zip(col("data").as("data"),
       coalesce(col("old"), col("data")).as("old"))
-    val pairs = when(col("type") === "INSERT",
+    val dispatch = when(col("type") === "INSERT",
         flatten(transform(col("data"), d =>
           array(struct(d.as("p"), lit("+I").as("k"))))))
       .when(col("type") === "DELETE",
@@ -91,9 +143,27 @@ object CdcFormats {
         flatten(transform(zipped, z =>
           array(struct(mergedOld(z).as("p"), lit("-U").as("k")),
                 struct(z.getField("data").as("p"), lit("+U").as("k"))))))
-      .otherwise(raise_error(concat(
-        lit("canal-json: unknown type '"), col("type"),
-        lit("' (expected INSERT/UPDATE/DELETE)"))))
+    val pairs =
+      if (ignoreParseErrors) {
+        // skip the WHOLE undecodable message (unknown type, missing
+        // `data`, null rows inside it) — the reference's
+        // ignore-parse-errors catch around the full envelope
+        val lenient = dispatch.otherwise(lit(null).cast(pairArray(payload)))
+        when(forall(lenient, x => x.getField("p").isNotNull), lenient)
+      }
+      else {
+        // strict: unknown type raises; a known type whose `data` is
+        // missing/undecodable raises too (pre-tightening, a corrupt
+        // INSERT line's null dispatch was silently dropped by explode)
+        val checked = dispatch.otherwise(raise_error(concat(
+          lit("canal-json: unknown type '"),
+          coalesce(col("type"), lit("<null>")),
+          lit("' (expected INSERT/UPDATE/DELETE)")))).cast(pairArray(payload))
+        when(forall(checked, x => x.getField("p").isNotNull), checked)
+          .otherwise(raise_error(concat(
+            lit("canal-json: type '"), col("type"),
+            lit("' envelope with missing/undecodable data rows"))))
+      }
     env.select(explode(pairs).as("e"))
       .select(col("e.p.*") +: Seq(col("e.k").as("row_kind")): _*)
   }

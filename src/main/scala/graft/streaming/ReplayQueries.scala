@@ -3141,6 +3141,77 @@ object ReplayQueries {
       }
     }),
 
+    // CDC ingestion under the reference's factory options
+    // (DebeziumJsonFormatFactory SCHEMA_INCLUDE + IGNORE_PARSE_ERRORS):
+    // every envelope arrives wrapped in Kafka Connect's
+    // {"schema":…, "payload":{…}} form, and the log is NOISY — raw
+    // non-JSON lines, unknown-op envelopes and an image-less `u`
+    // envelope are interleaved with the real changes. The lenient
+    // decode must skip each undecodable message WHOLE (keeping the +U
+    // of a before-less update would corrupt the downstream sums) while
+    // decoding everything else; the final live rows equal the batch
+    // dual over the surviving entities.
+    "q368_cdc_debezium_noisy" -> ((s, dir) => {
+      import graft.operators.SqlDdl
+      val pt = "struct<id:bigint,grp:bigint,cents:bigint>"
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id").as("id"), (col("user_id") % 9).as("grp"),
+                floor(col("value") * 100).cast("long").as("cents"))
+      val payload = struct(col("id"), col("grp"), col("cents"))
+      def wrap(before: org.apache.spark.sql.Column,
+               after: org.apache.spark.sql.Column, op: String) = Seq(
+        struct(lit("struct").as("type")).as("schema"),
+        struct(before.as("before"), after.as("after"),
+               lit(op).as("op")).as("payload"))
+      val cRows = ev.select(wrap(lit(null).cast(pt), payload, "c"): _*)
+      val uRows = ev.filter(col("id") % 3 === 0)
+        .select(wrap(payload,
+          struct(col("id"), col("grp"),
+                 (col("cents") * 3).as("cents")), "u"): _*)
+      val dRows = ev.filter(col("id") % 11 === 0)
+        .select(wrap(struct(col("id"), col("grp"),
+            when(col("id") % 3 === 0, col("cents") * 3)
+              .otherwise(col("cents")).as("cents")),
+          lit(null).cast(pt), "d"): _*)
+      // noise: unknown ops and an image-less u — must be skipped whole
+      val junkOps = ev.filter(col("id") % 13 === 0)
+        .select(wrap(lit(null).cast(pt), lit(null).cast(pt), "zz"): _*)
+      val junkU = ev.filter(col("id") % 17 === 0)
+        .select(wrap(lit(null).cast(pt), payload, "u"): _*)
+      val in = java.nio.file.Files.createTempDirectory("q368in").toString
+      val out = java.nio.file.Files.createTempDirectory("q368out").toString
+      cRows.unionByName(uRows).unionByName(dRows)
+        .unionByName(junkOps).unionByName(junkU)
+        .repartition(4).write.mode("overwrite").json(in)
+      // raw non-JSON garbage lines in their own file of the log dir
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(in, "part-junk.json"),
+        java.util.Arrays.asList("this is not json {{{", "", "[42,"))
+      withStatePartitions(s, 8) {
+        try {
+          SqlDdl.executeAll(s, s"""
+            CREATE TABLE q368_cdc (id BIGINT, grp BIGINT, cents BIGINT,
+              PRIMARY KEY (id) NOT ENFORCED)
+            WITH ('connector' = 'filesystem', 'path' = '$in',
+                  'format' = 'debezium-json',
+                  'debezium-json.schema-include' = 'true',
+                  'debezium-json.ignore-parse-errors' = 'true',
+                  'source.max-files-per-trigger' = '1');
+            CREATE TABLE q368_sink (grp BIGINT, s BIGINT, n BIGINT,
+              PRIMARY KEY (grp) NOT ENFORCED)
+            WITH ('connector' = 'filesystem', 'path' = '$out/t')""")
+          SqlDdl.executeSql(s, """
+            INSERT INTO q368_sink
+            SELECT grp, SUM(cents) AS s, COUNT(*) AS n
+            FROM q368_cdc GROUP BY grp""").await()
+          SqlDdl.executeSql(s, "SELECT grp, s, n FROM q368_sink").df.get
+        } finally {
+          SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q368_cdc")
+          SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q368_sink")
+        }
+      }
+    }),
+
     // Plain Calc over an UPDATING view from SQL text (the reference's
     // StreamExecCalc on updating input — projection/filter commute
     // with retraction), composed with the PRIMARY KEY upsert sink: the
@@ -4506,6 +4577,17 @@ object ReplayQueries {
                CAST(floor(value * 100) AS BIGINT)
                  + (CASE WHEN event_id % 4 = 0 THEN 1000 ELSE 0 END) AS cents
         FROM events WHERE event_id % 6 <> 0)
+      SELECT grp, CAST(sum(cents) AS BIGINT) AS s, count(*) AS n
+      FROM fin GROUP BY grp""",
+
+    // surviving entities after the noisy schema-wrapped CDC log:
+    // %11==0 deleted, %3==0 tripled; every noise message skipped whole
+    "q368_cdc_debezium_noisy" -> """
+      WITH fin AS (
+        SELECT user_id % 9 AS grp,
+               CAST(floor(value * 100) AS BIGINT)
+                 * (CASE WHEN event_id % 3 = 0 THEN 3 ELSE 1 END) AS cents
+        FROM events WHERE event_id % 11 <> 0)
       SELECT grp, CAST(sum(cents) AS BIGINT) AS s, count(*) AS n
       FROM fin GROUP BY grp""",
 

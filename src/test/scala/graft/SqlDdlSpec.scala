@@ -139,10 +139,17 @@ class SqlDdlSpec extends AnyFunSuite {
         WITH ('connector' = 'kafka', 'path' = '$d')""")
     }
     assert(e1.getMessage.contains("connector"))
+    // ALTER TABLE RENAME/SET are implemented now; an ALTER form this
+    // front door does not take (ADD COLUMN) still rejects by kind, and
+    // a rename of an unknown table rejects by name
     val e2 = intercept[IllegalArgumentException] {
-      SqlDdl.executeSql(spark, "ALTER TABLE x RENAME TO y")
+      SqlDdl.executeSql(spark, "ALTER TABLE x ADD COLUMN y BIGINT")
     }
     assert(e2.getMessage.contains("unsupported statement kind"))
+    val e2b = intercept[IllegalArgumentException] {
+      SqlDdl.executeSql(spark, "ALTER TABLE x RENAME TO y")
+    }
+    assert(e2b.getMessage.contains("unknown table"))
     val e3 = intercept[IllegalArgumentException] {
       SqlDdl.executeSql(spark, "INSERT INTO nope SELECT 1 AS x")
     }
@@ -701,4 +708,517 @@ class SqlDdlSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("upsert-table layout"))
   }
+
+  test("CREATE TABLE LIKE inherits schema/options and merges per strategy") {
+    val d = tmp()
+    spark.range(4).selectExpr("id", "CAST(id * 1.5 AS DOUBLE) AS v")
+      .write.parquet(d + "/base")
+    spark.range(6).selectExpr("id", "CAST(id * 2.0 AS DOUBLE) AS v")
+      .write.parquet(d + "/clone")
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_like_base (id BIGINT, v DOUBLE, v2 AS v * 2)
+      WITH ('connector' = 'filesystem', 'path' = '$d/base',
+            'format' = 'parquet')""")
+    try {
+      // the standard clone idiom: same shape, new directory
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_like_c1
+        WITH ('path' = '$d/clone')
+        LIKE ddl_like_base (OVERWRITING OPTIONS)""")
+      val got = SqlDdl.executeSql(spark,
+        "SELECT CAST(sum(v2) AS BIGINT) AS s, count(*) AS n FROM ddl_like_c1")
+        .df.get.as[(Long, Long)].head()
+      assert(got == (60L, 6L)) // 2*sum(2.0*id, id<6)=60 — inherited v2
+      // extra columns append; redefining an inherited physical errors
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_like_c2 (v4 AS v2 * 2)
+        WITH ('path' = '$d/clone') LIKE ddl_like_base (OVERWRITING OPTIONS)""")
+      val c2 = SqlDdl.executeSql(spark,
+        "SELECT CAST(sum(v4) AS BIGINT) AS s FROM ddl_like_c2")
+        .df.get.as[Long].head()
+      assert(c2 == 120L)
+      val e1 = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, s"""
+          CREATE TABLE ddl_like_bad (id BIGINT)
+          WITH ('path' = '$d/clone') LIKE ddl_like_base (OVERWRITING OPTIONS)""")
+      }
+      assert(e1.getMessage.contains("already exists in the base table"))
+      // INCLUDING OPTIONS (the default) + a redefined option errors
+      val e2 = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, s"""
+          CREATE TABLE ddl_like_bad2
+          WITH ('path' = '$d/clone') LIKE ddl_like_base""")
+      }
+      assert(e2.getMessage.contains("EXCLUDING OPTIONS or OVERWRITING"))
+      // OVERWRITING GENERATED replaces the computed definition
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_like_c3 (v2 AS v * 10)
+        WITH ('path' = '$d/clone')
+        LIKE ddl_like_base (OVERWRITING GENERATED OVERWRITING OPTIONS)""")
+      val c3 = SqlDdl.executeSql(spark,
+        "SELECT CAST(sum(v2) AS BIGINT) AS s FROM ddl_like_c3")
+        .df.get.as[Long].head()
+      assert(c3 == 300L)
+      // without OVERWRITING GENERATED the redefinition errors
+      val e3 = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, s"""
+          CREATE TABLE ddl_like_bad3 (v2 AS v * 10)
+          WITH ('path' = '$d/clone') LIKE ddl_like_base (OVERWRITING OPTIONS)""")
+      }
+      assert(e3.getMessage.contains("OVERWRITING GENERATED"))
+      // EXCLUDING ALL drops options too — connector/path must be declared
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_like_c4 (w DOUBLE)
+        WITH ('connector' = 'filesystem', 'path' = '$d/never')
+        LIKE ddl_like_base (EXCLUDING ALL)""")
+      val cols = SqlDdl.executeSql(spark, "DESCRIBE ddl_like_c4").df.get
+        .collect().map(_.getString(0)).toSet
+      // physical columns still inherit (LIKE always carries them);
+      // the computed column is excluded
+      assert(cols == Set("id", "v", "w"))
+      // OVERWRITING ALL / OVERWRITING CONSTRAINTS are invalid forms
+      val e4 = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, s"""
+          CREATE TABLE ddl_like_bad4
+          WITH ('path' = '$d/clone') LIKE ddl_like_base (OVERWRITING ALL)""")
+      }
+      assert(e4.getMessage.contains("not applicable"))
+    } finally Seq("ddl_like_base", "ddl_like_c1", "ddl_like_c2",
+                  "ddl_like_c3", "ddl_like_c4").foreach(t =>
+      SqlDdl.executeSql(spark, s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("CREATE TABLE LIKE carries watermark and PRIMARY KEY per strategy") {
+    val d = tmp()
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_like_pk (id BIGINT, v BIGINT,
+        PRIMARY KEY (id) NOT ENFORCED)
+      WITH ('connector' = 'filesystem', 'path' = '$d/pk')""")
+    try {
+      // CONSTRAINTS inherit by default: the clone is an upsert table
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_like_pk2
+        WITH ('path' = '$d/pk2') LIKE ddl_like_pk (OVERWRITING OPTIONS)""")
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_like_pk2 SELECT 1 AS id, 10 AS v")
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_like_pk2 SELECT 1 AS id, 20 AS v")
+      val live = SqlDdl.executeSql(spark,
+        "SELECT id, v FROM ddl_like_pk2").df.get
+        .as[(Long, Long)].collect().toSet
+      assert(live == Set((1L, 20L)))
+      // both-defined PK errors; EXCLUDING CONSTRAINTS allows a new one
+      val e = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, s"""
+          CREATE TABLE ddl_like_pk3 (PRIMARY KEY (v) NOT ENFORCED)
+          WITH ('path' = '$d/pk3') LIKE ddl_like_pk (OVERWRITING OPTIONS)""")
+      }
+      assert(e.getMessage.contains("EXCLUDING CONSTRAINTS"))
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_like_pk4 (PRIMARY KEY (v) NOT ENFORCED)
+        WITH ('path' = '$d/pk4')
+        LIKE ddl_like_pk (EXCLUDING CONSTRAINTS OVERWRITING OPTIONS)""")
+      val desc = SqlDdl.executeSql(spark, "DESCRIBE ddl_like_pk4").df.get
+        .collect().map(r => (r.getString(0), r.getString(2))).toMap
+      assert(desc("v").contains("PRIMARY KEY") &&
+             !desc("id").contains("PRIMARY KEY"))
+    } finally Seq("ddl_like_pk", "ddl_like_pk2", "ddl_like_pk4").foreach(t =>
+      SqlDdl.executeSql(spark, s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("ALTER TABLE RENAME TO moves the catalog entry and surfaces") {
+    val d = tmp()
+    spark.range(4).selectExpr("id", "id * 10 AS v").write.parquet(d + "/t")
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_ren_a (id BIGINT, v BIGINT)
+      WITH ('connector' = 'filesystem', 'path' = '$d/t')""")
+    try {
+      SqlDdl.executeSql(spark, "ALTER TABLE ddl_ren_a RENAME TO ddl_ren_b")
+      // old name gone, new name reads
+      val got = SqlDdl.executeSql(spark,
+        "SELECT CAST(sum(v) AS BIGINT) AS s FROM ddl_ren_b").df.get
+        .as[Long].head()
+      assert(got == 60L)
+      assert(!spark.catalog.tableExists("ddl_ren_a"))
+      val names = SqlDdl.executeSql(spark, "SHOW TABLES").df.get
+        .collect().map(_.getString(0)).toSet
+      assert(names.contains("ddl_ren_b") && !names.contains("ddl_ren_a"))
+      // unknown source / existing target reject
+      val e1 = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "ALTER TABLE ddl_ren_a RENAME TO ddl_ren_c")
+      }
+      assert(e1.getMessage.contains("unknown table"))
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_ren_c (id BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '$d/c')""")
+      val e2 = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "ALTER TABLE ddl_ren_b RENAME TO ddl_ren_c")
+      }
+      assert(e2.getMessage.contains("already exists"))
+    } finally {
+      SqlDdl.executeSql(spark, "DROP TABLE IF EXISTS ddl_ren_b")
+      SqlDdl.executeSql(spark, "DROP TABLE IF EXISTS ddl_ren_c")
+    }
+  }
+
+  test("ALTER TABLE RENAME keeps a PRIMARY KEY table's merged state") {
+    val d = tmp()
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_ren_pk (id BIGINT, v BIGINT,
+        PRIMARY KEY (id) NOT ENFORCED)
+      WITH ('connector' = 'filesystem', 'path' = '$d/pk')""")
+    try {
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_ren_pk SELECT 1 AS id, 10 AS v")
+      SqlDdl.executeSql(spark,
+        "ALTER TABLE ddl_ren_pk RENAME TO ddl_ren_pk2")
+      // the upsert layout re-attaches under the new name, and a merge
+      // under the new name still wins (epoch ordering keyed by path)
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_ren_pk2 SELECT 1 AS id, 99 AS v")
+      val got = SqlDdl.executeSql(spark,
+        "SELECT id, v FROM ddl_ren_pk2").df.get
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 99L)))
+    } finally
+      SqlDdl.executeSql(spark, "DROP TABLE IF EXISTS ddl_ren_pk2")
+  }
+
+  test("ALTER TABLE SET merges properties and re-registers") {
+    val d = tmp()
+    spark.range(3).selectExpr("id").write.parquet(d + "/p1")
+    spark.range(5).selectExpr("id").write.parquet(d + "/p2")
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_set_t (id BIGINT)
+      WITH ('connector' = 'filesystem', 'path' = '$d/p1')""")
+    try {
+      assert(SqlDdl.executeSql(spark,
+        "SELECT count(*) AS n FROM ddl_set_t").df.get.as[Long].head() == 3L)
+      // repoint the path — the reference's alter-properties semantics
+      SqlDdl.executeSql(spark,
+        s"ALTER TABLE ddl_set_t SET ('path' = '$d/p2')")
+      assert(SqlDdl.executeSql(spark,
+        "SELECT count(*) AS n FROM ddl_set_t").df.get.as[Long].head() == 5L)
+      // connector is immutable; empty list rejects; bad format rejects
+      val e1 = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark,
+          "ALTER TABLE ddl_set_t SET ('connector' = 'kafka')")
+      }
+      assert(e1.getMessage.contains("immutable"))
+      val e2 = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark,
+          "ALTER TABLE ddl_set_t SET ('format' = 'xml')")
+      }
+      assert(e2.getMessage.contains("unsupported format"))
+      // schema is intact after the re-registrations
+      val cols = SqlDdl.executeSql(spark, "DESCRIBE ddl_set_t").df.get
+        .collect().map(_.getString(0)).toSet
+      assert(cols == Set("id"))
+    } finally SqlDdl.executeSql(spark, "DROP TABLE IF EXISTS ddl_set_t")
+  }
+
+  test("databases: CREATE/USE/SHOW/DESCRIBE/DROP with RESTRICT and CASCADE") {
+    val d = tmp()
+    try {
+      SqlDdl.executeSql(spark,
+        "CREATE DATABASE ddl_db1 COMMENT 'staging' WITH ('owner' = 'etl')")
+      // IF NOT EXISTS is idempotent; a bare re-create rejects
+      SqlDdl.executeSql(spark, "CREATE DATABASE IF NOT EXISTS ddl_db1")
+      val dup = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "CREATE DATABASE ddl_db1")
+      }
+      assert(dup.getMessage.contains("already exists"))
+      val dbs = SqlDdl.executeSql(spark, "SHOW DATABASES").df.get
+        .as[String].collect().toSet
+      assert(dbs.contains("default_database") && dbs.contains("ddl_db1"))
+      val info = SqlDdl.executeSql(spark, "DESCRIBE DATABASE ddl_db1").df.get
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(info("owner") == "etl")
+      // a table created under USE ddl_db1 belongs to it
+      SqlDdl.executeSql(spark, "USE ddl_db1")
+      spark.range(3).write.parquet(d + "/owned")
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_db_owned (id BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '$d/owned')""")
+      SqlDdl.executeSql(spark, "USE default_database")
+      // RESTRICT (default) refuses a non-empty database
+      val full = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "DROP DATABASE ddl_db1")
+      }
+      assert(full.getMessage.contains("CASCADE"))
+      assert(full.getMessage.contains("ddl_db_owned"))
+      // CASCADE drops the owned table and its query surface
+      SqlDdl.executeSql(spark, "DROP DATABASE ddl_db1 CASCADE")
+      val gone = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "INSERT INTO ddl_db_owned SELECT 1 AS id")
+      }
+      assert(gone.getMessage.contains("unknown table"))
+      // unknown database: USE and bare DROP reject; IF EXISTS is silent
+      intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "USE ddl_db1")
+      }
+      intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "DROP DATABASE ddl_db1")
+      }
+      SqlDdl.executeSql(spark, "DROP DATABASE IF EXISTS ddl_db1")
+      // default_database cannot be dropped
+      val dflt = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "DROP DATABASE default_database")
+      }
+      assert(dflt.getMessage.contains("default"))
+    } finally {
+      SqlDdl.executeSql(spark, "USE default_database")
+      SqlDdl.executeSql(spark, "DROP TABLE IF EXISTS ddl_db_owned")
+      SqlDdl.executeSql(spark, "DROP DATABASE IF EXISTS ddl_db1")
+    }
+  }
+
+  test("catalogs: USE CATALOG / SHOW CATALOGS over the single catalog") {
+    val cats = SqlDdl.executeSql(spark, "SHOW CATALOGS").df.get
+      .as[String].collect().toSeq
+    assert(cats == Seq("default_catalog"))
+    SqlDdl.executeSql(spark, "USE CATALOG default_catalog")
+    val e = intercept[IllegalArgumentException] {
+      SqlDdl.executeSql(spark, "USE CATALOG hive")
+    }
+    assert(e.getMessage.contains("unknown catalog"))
+  }
+
+  test("SHOW VIEWS lists changelog and plain views, not tables") {
+    val d = tmp()
+    try {
+      spark.range(2).write.parquet(d + "/t")
+      SqlDdl.executeAll(spark, s"""
+        CREATE TABLE ddl_sv_t (id BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '$d/t');
+        CREATE VIEW ddl_sv_v AS SELECT id * 2 AS dbl FROM ddl_sv_t""")
+      val views = SqlDdl.executeSql(spark, "SHOW VIEWS").df.get
+        .as[String].collect().toSet
+      assert(views.contains("ddl_sv_v"))
+      assert(!views.contains("ddl_sv_t"))
+    } finally {
+      SqlDdl.executeSql(spark, "DROP VIEW IF EXISTS ddl_sv_v")
+      SqlDdl.executeSql(spark, "DROP TABLE IF EXISTS ddl_sv_t")
+    }
+  }
+
+  test("CREATE FUNCTION registers a reflective eval; SHOW/DROP bookkeep") {
+    try {
+      SqlDdl.executeSql(spark,
+        "CREATE FUNCTION ddl_scale_fn AS 'graft.SqlDdlSpecScaleFn'")
+      // SQL-invokable immediately, distributed (runs in tasks)
+      val got = SqlDdl.executeSql(spark,
+        "SELECT ddl_scale_fn(id, 10) AS v FROM range(4) ORDER BY v").df.get
+        .as[Long].collect().toSeq
+      assert(got == Seq(0L, 10L, 20L, 30L))
+      val fns = SqlDdl.executeSql(spark, "SHOW FUNCTIONS").df.get
+        .as[String].collect().toSet
+      assert(fns.contains("ddl_scale_fn"))
+      // duplicate rejects; IF NOT EXISTS is silent
+      val dup = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark,
+          "CREATE FUNCTION ddl_scale_fn AS 'graft.SqlDdlSpecScaleFn'")
+      }
+      assert(dup.getMessage.contains("already exists"))
+      SqlDdl.executeSql(spark,
+        "CREATE FUNCTION IF NOT EXISTS ddl_scale_fn AS 'graft.SqlDdlSpecScaleFn'")
+      // LANGUAGE JAVA/SCALA accepted, PYTHON rejected
+      val py = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark,
+          "CREATE FUNCTION ddl_py AS 'x.Y' LANGUAGE PYTHON")
+      }
+      assert(py.getMessage.contains("LANGUAGE"))
+      // missing class and missing eval reject loudly
+      val nc = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark,
+          "CREATE FUNCTION ddl_none AS 'graft.DoesNotExist'")
+      }
+      assert(nc.getMessage.contains("not found"))
+      val ne = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark,
+          "CREATE FUNCTION ddl_noeval AS 'graft.SqlDdlSpecNoEval'")
+      }
+      assert(ne.getMessage.contains("eval"))
+    } finally {
+      SqlDdl.executeSql(spark, "DROP FUNCTION IF EXISTS ddl_scale_fn")
+    }
+    // after DROP the registration is gone from the bookkeeping
+    val e = intercept[IllegalArgumentException] {
+      SqlDdl.executeSql(spark, "DROP FUNCTION ddl_scale_fn")
+    }
+    assert(e.getMessage.contains("unknown function"))
+  }
+
+  test("ALTER VIEW RENAME/AS re-derive the registration; tables reject") {
+    val d = tmp()
+    try {
+      spark.range(4).withColumn("v", col("id") * 10)
+        .write.parquet(d + "/t")
+      SqlDdl.executeAll(spark, s"""
+        CREATE TABLE ddl_av_t (id BIGINT, v BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '$d/t');
+        CREATE VIEW ddl_av_v AS SELECT id, v FROM ddl_av_t WHERE id >= 2""")
+      SqlDdl.executeSql(spark, "ALTER VIEW ddl_av_v RENAME TO ddl_av_v2")
+      // new name answers, old name is gone everywhere
+      assert(SqlDdl.executeSql(spark,
+        "SELECT count(*) AS n FROM ddl_av_v2").df.get.as[Long].head() == 2L)
+      assert(!spark.catalog.tableExists("ddl_av_v"))
+      intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "ALTER VIEW ddl_av_v RENAME TO ddl_av_v3")
+      }
+      // AS replaces the body; a bad body leaves the old view intact
+      SqlDdl.executeSql(spark,
+        "ALTER VIEW ddl_av_v2 AS SELECT id FROM ddl_av_t WHERE id = 0")
+      assert(SqlDdl.executeSql(spark,
+        "SELECT count(*) AS n FROM ddl_av_v2").df.get.as[Long].head() == 1L)
+      intercept[Exception] {
+        SqlDdl.executeSql(spark,
+          "ALTER VIEW ddl_av_v2 AS SELECT nope FROM ddl_av_t")
+      }
+      assert(SqlDdl.executeSql(spark,
+        "SELECT count(*) AS n FROM ddl_av_v2").df.get.as[Long].head() == 1L)
+      // a TABLE name rejects with the ALTER TABLE pointer
+      val et = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "ALTER VIEW ddl_av_t RENAME TO x")
+      }
+      assert(et.getMessage.contains("TABLE"))
+    } finally {
+      SqlDdl.executeSql(spark, "DROP VIEW IF EXISTS ddl_av_v")
+      SqlDdl.executeSql(spark, "DROP VIEW IF EXISTS ddl_av_v2")
+      SqlDdl.executeSql(spark, "DROP TABLE IF EXISTS ddl_av_t")
+    }
+  }
+
+  test("ALTER DATABASE merges properties; ALTER FUNCTION repoints") {
+    try {
+      SqlDdl.executeSql(spark,
+        "CREATE DATABASE ddl_adb WITH ('owner' = 'a', 'tier' = 'bronze')")
+      SqlDdl.executeSql(spark,
+        "ALTER DATABASE ddl_adb SET ('tier' = 'gold', 'extra' = 'x')")
+      val info = SqlDdl.executeSql(spark, "DESCRIBE DATABASE ddl_adb").df.get
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(info("tier") == "gold" && info("owner") == "a" &&
+             info("extra") == "x")
+      intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "ALTER DATABASE ddl_nope SET ('a' = 'b')")
+      }
+      // ALTER FUNCTION repoints an existing registration
+      SqlDdl.executeSql(spark,
+        "CREATE FUNCTION ddl_af AS 'graft.SqlDdlSpecScaleFn'")
+      assert(SqlDdl.executeSql(spark, "SELECT ddl_af(3, 7) AS v").df.get
+        .as[Long].head() == 21L)
+      SqlDdl.executeSql(spark,
+        "ALTER FUNCTION ddl_af AS 'graft.SqlDdlSpecAddFn'")
+      assert(SqlDdl.executeSql(spark, "SELECT ddl_af(3, 7) AS v").df.get
+        .as[Long].head() == 10L)
+      intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark,
+          "ALTER FUNCTION ddl_missing AS 'graft.SqlDdlSpecAddFn'")
+      }
+      SqlDdl.executeSql(spark,
+        "ALTER FUNCTION IF EXISTS ddl_missing AS 'graft.SqlDdlSpecAddFn'")
+    } finally {
+      SqlDdl.executeSql(spark, "DROP FUNCTION IF EXISTS ddl_af")
+      SqlDdl.executeSql(spark, "DROP DATABASE IF EXISTS ddl_adb")
+    }
+  }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT flips upsert semantics with guards") {
+    val d = tmp()
+    try {
+      // keyless empty table → ADD CONSTRAINT → upsert merges by key
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_ac (id BIGINT, v BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '$d/ac')""")
+      SqlDdl.executeSql(spark,
+        "ALTER TABLE ddl_ac ADD CONSTRAINT pk_ac PRIMARY KEY (id) NOT ENFORCED")
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_ac VALUES (1, 10), (2, 20)").await()
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_ac VALUES (1, 11)").await()
+      val rows = SqlDdl.executeSql(spark,
+        "SELECT id, v FROM ddl_ac ORDER BY id").df.get
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((1L, 11L), (2L, 20L)))
+      // a second key rejects; DROP CONSTRAINT by wrong name rejects;
+      // with upsert files on disk the drop itself rejects
+      val dup = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark,
+          "ALTER TABLE ddl_ac ADD PRIMARY KEY (v) NOT ENFORCED")
+      }
+      assert(dup.getMessage.contains("already has a PRIMARY KEY"))
+      val wrong = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "ALTER TABLE ddl_ac DROP CONSTRAINT nope")
+      }
+      assert(wrong.getMessage.contains("pk_ac"))
+      val layout = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "ALTER TABLE ddl_ac DROP CONSTRAINT pk_ac")
+      }
+      assert(layout.getMessage.contains("bucketed layout"))
+      // ADD over pre-existing plain files rejects; DROP on a still-empty
+      // keyed table succeeds and appends stop merging
+      spark.range(3).select(col("id"), col("id").as("v"))
+        .write.parquet(d + "/plain")
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_ac2 (id BIGINT, v BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '$d/plain')""")
+      val mix = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark,
+          "ALTER TABLE ddl_ac2 ADD CONSTRAINT p2 PRIMARY KEY (id) NOT ENFORCED")
+      }
+      assert(mix.getMessage.contains("plain data files"))
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_ac3 (id BIGINT, v BIGINT,
+          CONSTRAINT pk3 PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('connector' = 'filesystem', 'path' = '$d/ac3')""")
+      SqlDdl.executeSql(spark, "ALTER TABLE ddl_ac3 DROP CONSTRAINT pk3")
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_ac3 VALUES (5, 1)").await()
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_ac3 VALUES (5, 2)").await()
+      assert(SqlDdl.executeSql(spark,
+        "SELECT count(*) AS n FROM ddl_ac3").df.get.as[Long].head() == 2L)
+      // an unnamed key: DROP CONSTRAINT explains there is no name
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_ac4 (id BIGINT, v BIGINT,
+          PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('connector' = 'filesystem', 'path' = '$d/ac4')""")
+      val unnamed = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "ALTER TABLE ddl_ac4 DROP CONSTRAINT x")
+      }
+      assert(unnamed.getMessage.contains("without a CONSTRAINT name"))
+    } finally {
+      Seq("ddl_ac", "ddl_ac2", "ddl_ac3", "ddl_ac4").foreach(t =>
+        SqlDdl.executeSql(spark, s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("DESCRIBE CATALOG and named PRIMARY KEY round out the dispatch") {
+    val info = SqlDdl.executeSql(spark,
+      "DESCRIBE CATALOG default_catalog").df.get
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(info("catalog name") == "default_catalog")
+    intercept[IllegalArgumentException] {
+      SqlDdl.executeSql(spark, "DESCRIBE CATALOG hive")
+    }
+  }
+}
+
+/** ScalarFunction-contract test class: public no-arg constructor +
+  * public eval, discovered reflectively by CREATE FUNCTION. */
+class SqlDdlSpecAddFn {
+  def eval(x: java.lang.Long, y: java.lang.Long): java.lang.Long =
+    if (x == null || y == null) null else x + y
+}
+
+/** ScalarFunction-contract test class: public no-arg constructor +
+  * public eval, discovered reflectively by CREATE FUNCTION. */
+class SqlDdlSpecScaleFn {
+  def eval(x: java.lang.Long, factor: java.lang.Long): java.lang.Long =
+    if (x == null || factor == null) null else x * factor
+}
+
+/** Negative case: no eval method. */
+class SqlDdlSpecNoEval {
+  def evaluate(x: java.lang.Long): java.lang.Long = x
 }
