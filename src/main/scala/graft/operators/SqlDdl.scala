@@ -215,7 +215,7 @@ object SqlDdl {
   def dropAll(): Unit = {
     tables.clear(); changelogViews.clear(); upsertEpochs.clear()
     tableDb.clear(); createdFunctions.clear()
-    viewBodies.clear(); pkNames.clear()
+    viewBodies.clear(); pkNames.clear(); hintRegs.clear()
     databases.clear(); databases("default_database") = Map.empty
     currentDb = "default_database"
   }
@@ -325,7 +325,7 @@ object SqlDdl {
     * are stripped up front (literal-opaque) so a commented statement
     * dispatches on its real first keyword. */
   def executeSql(spark: SparkSession, text0: String): SqlResult = {
-    val text = stripLineComments(text0).trim
+    val text = applyOptionsHints(spark, stripLineComments(text0).trim)
     val ct = createTableRe.matcher(text)
     val cv = createViewRe.matcher(text)
     val ins = insertRe.matcher(text)
@@ -472,6 +472,8 @@ object SqlDdl {
     case "table.exec.state.ttl" => "spark.graft.state.ttl.ms"
     case "table.exec.resource.default-parallelism" =>
       "spark.sql.shuffle.partitions"
+    case "table.dynamic-table-options.enabled" =>
+      "spark.graft.dynamic.table.options.enabled"
     case _ => k
   }
 
@@ -1431,6 +1433,15 @@ object SqlDdl {
     StreamSql.dropStream(name)
     StreamSql.dropChangelog(name) // CDC-format tables register here
     spark.catalog.dropTempView(name)
+    // OPTIONS-hint aliases derived from this table are now stale
+    // (DROP/ALTER changed the base definition) — drop them too; the
+    // next hinted query re-registers against the current definition
+    val prefix = name.toLowerCase + "__opt"
+    hintRegs.keys.filter(_.startsWith(prefix)).foreach { a =>
+      hintRegs.remove(a)
+      StreamSql.dropStream(a); StreamSql.dropChangelog(a)
+      spark.catalog.dropTempView(a)
+    }
   }
 
   /** `ALTER TABLE t RENAME TO t2` — the reference's SqlAlterTableRename
@@ -1477,20 +1488,7 @@ object SqlDdl {
       s"ALTER TABLE: unknown table '$name'"))
     val opts = parseOptions(optsBody)
     require(opts.nonEmpty, "ALTER TABLE SET: empty property list")
-    opts.get("connector").foreach(c => require(
-      c.equalsIgnoreCase("filesystem"),
-      s"ALTER TABLE SET: 'connector' is immutable (filesystem), got '$c'"))
-    val format2 = opts.getOrElse("format", d.format).toLowerCase
-    validateFormat(format2)
-    val structural = Set("connector", "path", "format",
-      "source.max-files-per-trigger", "sink.checkpoint")
-    val d2 = d.copy(
-      path = opts.getOrElse("path", d.path),
-      format = format2,
-      readerOptions = d.readerOptions ++ (opts -- structural),
-      maxFilesPerTrigger = opts.get("source.max-files-per-trigger")
-        .orElse(d.maxFilesPerTrigger),
-      checkpoint = opts.get("sink.checkpoint").orElse(d.checkpoint))
+    val d2 = mergedDef(d, opts, "ALTER TABLE SET")
     unregisterSurfaces(spark, name)
     try {
       registerTable(spark, d2)
@@ -1500,6 +1498,123 @@ object SqlDdl {
       throw t
     }
     done
+  }
+
+  /** A TableDef with `opts` merged over its declaration (per-key
+    * override — FlinkHints.mergeTableOptions / ALTER TABLE SET share
+    * this): structural keys re-derive path/format/trigger knobs,
+    * everything else lands in the reader options; the connector is
+    * immutable; the schema is not a property. */
+  private def mergedDef(d: TableDef, opts: Map[String, String],
+                        verb: String): TableDef = {
+    opts.get("connector").foreach(c => require(
+      c.equalsIgnoreCase("filesystem"),
+      s"$verb: 'connector' is immutable (filesystem), got '$c'"))
+    val format2 = opts.getOrElse("format", d.format).toLowerCase
+    validateFormat(format2)
+    val structural = Set("connector", "path", "format",
+      "source.max-files-per-trigger", "sink.checkpoint")
+    d.copy(
+      path = opts.getOrElse("path", d.path),
+      format = format2,
+      readerOptions = d.readerOptions ++ (opts -- structural),
+      maxFilesPerTrigger = opts.get("source.max-files-per-trigger")
+        .orElse(d.maxFilesPerTrigger),
+      checkpoint = opts.get("sink.checkpoint").orElse(d.checkpoint))
+  }
+
+  // ---- dynamic table options: the OPTIONS hint (FLIP-113) ------------------
+
+  // alias names already registered for a (table × hinted-options) pair
+  private val hintRegs = TrieMap.empty[String, Boolean]
+
+  private val optionsHintBodyRe = java.util.regex.Pattern.compile(
+    "(?is)^OPTIONS\\s*\\((.*)\\)$", java.util.regex.Pattern.DOTALL)
+
+  /** Rewrite hinted scans — a table name followed by a slash-star-plus
+    * `OPTIONS('k'='v', …)` hint comment — (outside string literals) to
+    * internal alias registrations of the table with the
+    * hinted options merged over its WITH clause — the reference's
+    * dynamic table options (FlinkHints.mergeTableOptions; enforcement
+    * in CatalogSourceTable.toRel). Guarded by the reference's flag:
+    * `SET 'table.dynamic-table-options.enabled' = 'true'` first, else
+    * the hint rejects with the reference's exact error shape. Sink-side
+    * hints (after INSERT INTO/OVERWRITE) reject loudly — dynamic
+    * options here are a SOURCE surface. Non-OPTIONS hint comments pass
+    * through untouched (Spark sees them as its own join hints). */
+  private[graft] def applyOptionsHints(spark: SparkSession,
+                                       text: String): String = {
+    if (!text.contains("/*+")) return text
+    val out = new StringBuilder
+    var i = 0
+    var last = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '\'') i = math.min(SqlFrontend.skipLiteral(text, i), text.length)
+      else if (c == '/' && i + 2 < text.length &&
+               text.charAt(i + 1) == '*' && text.charAt(i + 2) == '+') {
+        val close = text.indexOf("*/", i + 3)
+        require(close > 0, s"unterminated hint comment at offset $i: $text")
+        val body = text.substring(i + 3, close).trim
+        val m = optionsHintBodyRe.matcher(body)
+        if (m.matches()) {
+          // the hinted table is the identifier immediately before the hint
+          var e = i - 1
+          while (e >= 0 && Character.isWhitespace(text.charAt(e))) e -= 1
+          var s0 = e
+          while (s0 >= 0 && (text.charAt(s0).isLetterOrDigit ||
+                 text.charAt(s0) == '_' || text.charAt(s0) == '.')) s0 -= 1
+          val tbl = text.substring(s0 + 1, e + 1)
+          require(tbl.nonEmpty && !tbl.head.isDigit,
+            s"OPTIONS hint must follow a table name: …${text.substring(
+              math.max(0, i - 20), math.min(text.length, close + 2))}")
+          // reject sink-side hints (INSERT INTO t /*+ … */ SELECT …)
+          var w = s0
+          while (w >= 0 && Character.isWhitespace(text.charAt(w))) w -= 1
+          var w0 = w
+          while (w0 >= 0 && text.charAt(w0).isLetter) w0 -= 1
+          val prev = text.substring(w0 + 1, w + 1)
+          require(!prev.equalsIgnoreCase("INTO") &&
+                  !prev.equalsIgnoreCase("OVERWRITE"),
+            s"OPTIONS hint on the INSERT target '$tbl' is unsupported — " +
+            "dynamic table options apply to SOURCE scans here (set " +
+            "sink-side options on the table with ALTER TABLE SET)")
+          val alias = hintAlias(spark, tbl, m.group(1))
+          out ++= text.substring(last, s0 + 1)
+          out ++= alias
+          last = close + 2
+          i = close + 2
+        } else i = close + 2
+      } else i += 1
+    }
+    out ++= text.substring(last)
+    out.toString
+  }
+
+  /** Register (once) and return the internal alias for `tbl` with
+    * `optsBody` merged over its declared options. */
+  private def hintAlias(spark: SparkSession, tbl: String,
+                        optsBody: String): String = {
+    require(spark.conf.getOption(
+        "spark.graft.dynamic.table.options.enabled").exists(_.toBoolean),
+      "OPTIONS hint is allowed only when " +
+      "table.dynamic-table-options.enabled is set to true")
+    val d = tables.getOrElse(tbl.toLowerCase, throw
+      new IllegalArgumentException(
+        s"OPTIONS hint on '$tbl': not a table created through CREATE " +
+        "TABLE — dynamic options merge over a table's WITH clause"))
+    val opts = parseOptions(optsBody)
+    require(opts.nonEmpty, s"OPTIONS hint on '$tbl': empty option list")
+    val alias = s"${d.name}__opt${math.abs(
+      opts.toSeq.sorted.hashCode().toLong)}"
+    if (hintRegs.putIfAbsent(alias.toLowerCase, true).isEmpty) {
+      val d2 = mergedDef(d, opts, s"OPTIONS hint on '$tbl'")
+        .copy(name = alias)
+      try registerTable(spark, d2)
+      catch { case t: Throwable =>
+        hintRegs.remove(alias.toLowerCase); throw t }
+    }
+    alias
   }
 
   // ---- databases / catalogs / functions ------------------------------------
@@ -1598,7 +1713,7 @@ object SqlDdl {
     * views + the session's plain temp views, minus the readable views
     * this catalog registers FOR its tables. */
   private def showViews(spark: SparkSession): SqlResult = {
-    val own = tables.keySet
+    val own = tables.keySet ++ hintRegs.keySet
     val temp = spark.catalog.listTables().collect()
       .filter(t => t.isTemporary && !own.contains(t.name.toLowerCase))
       .map(_.name)
@@ -1970,7 +2085,9 @@ object SqlDdl {
     // temp-view catalog — the reference's SHOW TABLES lists views too,
     // so union them in (minus names this catalog already owns: the
     // readable views registered FOR tables must not double-list)
-    val own = tables.keySet ++ changelogViews.keySet
+    // internal OPTIONS-hint aliases are registration plumbing, not
+    // catalog entries — hidden from listings
+    val own = tables.keySet ++ changelogViews.keySet ++ hintRegs.keySet
     val tempViews = spark.catalog.listTables().collect()
       .filter(t => t.isTemporary && !own.contains(t.name.toLowerCase))
       .map(t => org.apache.spark.sql.Row(t.name, "view", null))

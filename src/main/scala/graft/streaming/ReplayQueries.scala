@@ -3151,6 +3151,81 @@ object ReplayQueries {
     // of a before-less update would corrupt the downstream sums) while
     // decoding everything else; the final live rows equal the batch
     // dual over the surviving entities.
+    // The round's full DDL statement surface as ONE batch pipeline in
+    // SQL text: CREATE TABLE LIKE clones the source table's shape onto
+    // a fresh directory (OVERWRITING OPTIONS + new 'path' — the
+    // reference's standard SqlTableLike idiom), CREATE FUNCTION
+    // registers a reflective ScalarFunction (`graft.functions
+    // .FloorScale`, the reference's UserDefinedFunctionHelper eval
+    // contract) used in both the INSERT's predicate and the view's
+    // aggregate, ALTER TABLE RENAME and ALTER VIEW RENAME move the
+    // surfaces mid-pipeline, and the final read goes through the
+    // renamed view. The DuckDB dual re-expresses the function as plain
+    // floor arithmetic.
+    "q369_sql_ddl_lifecycle" -> ((s, dir) => {
+      import graft.operators.SqlDdl
+      val in = java.nio.file.Files.createTempDirectory("q369in").toString
+      val out = java.nio.file.Files.createTempDirectory("q369out").toString
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+                col("event_type"))
+        .repartition(4).write.mode("overwrite").parquet(in + "/src")
+      try {
+        SqlDdl.executeAll(s, s"""
+          CREATE TABLE q369_src (event_id BIGINT, user_id BIGINT,
+            value DOUBLE, event_type STRING)
+          WITH ('connector' = 'filesystem', 'path' = '$in/src');
+          CREATE TABLE q369_stage
+          WITH ('connector' = 'filesystem', 'path' = '$out/stage')
+          LIKE q369_src (OVERWRITING OPTIONS);
+          CREATE FUNCTION q369_cents AS 'graft.functions.FloorScale';
+          INSERT INTO q369_stage
+          SELECT event_id, user_id, value, event_type FROM q369_src
+          WHERE q369_cents(value, 100) % 3 <> 0;
+          ALTER TABLE q369_stage RENAME TO q369_final;
+          CREATE VIEW q369_v AS
+          SELECT user_id, count(*) AS n,
+                 CAST(sum(q369_cents(value, 100)) AS BIGINT) AS cents
+          FROM q369_final GROUP BY user_id;
+          ALTER VIEW q369_v RENAME TO q369_res""")
+        SqlDdl.executeSql(s,
+          "SELECT user_id, n, cents FROM q369_res").df.get
+      } finally {
+        SqlDdl.executeSql(s, "DROP VIEW IF EXISTS q369_res")
+        SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q369_final")
+        SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q369_stage")
+        SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q369_src")
+        SqlDdl.executeSql(s, "DROP FUNCTION IF EXISTS q369_cents")
+      }
+    }),
+
+    // ALTER TABLE ADD CONSTRAINT flips a keyless table to upsert
+    // semantics mid-script: two batch INSERTs with overlapping keys
+    // merge per key (the second statement's rows win where present —
+    // SCD1), so the live view is a MIX of both statements' values.
+    "q370_sql_add_constraint" -> ((s, dir) => {
+      import graft.operators.SqlDdl
+      Tables.table(s, dir, "events").createOrReplaceTempView("q370_ev")
+      val out = java.nio.file.Files.createTempDirectory("q370").toString
+      try {
+        SqlDdl.executeAll(s, s"""
+          CREATE TABLE q370_t (user_id BIGINT, n BIGINT)
+          WITH ('connector' = 'filesystem', 'path' = '$out/t');
+          ALTER TABLE q370_t ADD CONSTRAINT q370_pk
+            PRIMARY KEY (user_id) NOT ENFORCED;
+          INSERT INTO q370_t
+          SELECT user_id, count(*) AS n FROM q370_ev
+          WHERE event_id % 2 = 0 GROUP BY user_id;
+          INSERT INTO q370_t
+          SELECT user_id, count(*) AS n FROM q370_ev
+          WHERE user_id % 3 = 0 GROUP BY user_id""")
+        SqlDdl.executeSql(s, "SELECT user_id, n FROM q370_t").df.get
+      } finally {
+        SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q370_t")
+        s.catalog.dropTempView("q370_ev")
+      }
+    }),
+
     "q368_cdc_debezium_noisy" -> ((s, dir) => {
       import graft.operators.SqlDdl
       val pt = "struct<id:bigint,grp:bigint,cents:bigint>"
@@ -4582,6 +4657,26 @@ object ReplayQueries {
 
     // surviving entities after the noisy schema-wrapped CDC log:
     // %11==0 deleted, %3==0 tripled; every noise message skipped whole
+    // the reflective q369_cents(v, 100) is floor(v*100) by definition
+    "q369_sql_ddl_lifecycle" -> """
+      SELECT user_id, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      WHERE CAST(floor(value * 100) AS BIGINT) % 3 <> 0
+      GROUP BY user_id""",
+
+    // keyed merge: the second INSERT's keys (user_id % 3 = 0, counts
+    // over ALL events) overwrite the first's (counts over even
+    // event_ids); keys only in either statement survive as written
+    "q370_sql_add_constraint" -> """
+      WITH h AS (SELECT user_id, count(*) AS n FROM events
+                 WHERE event_id % 2 = 0 GROUP BY user_id),
+           f AS (SELECT user_id, count(*) AS n FROM events
+                 WHERE user_id % 3 = 0 GROUP BY user_id)
+      SELECT COALESCE(f.user_id, h.user_id) AS user_id,
+             COALESCE(f.n, h.n) AS n
+      FROM h FULL OUTER JOIN f ON h.user_id = f.user_id""",
+
     "q368_cdc_debezium_noisy" -> """
       WITH fin AS (
         SELECT user_id % 9 AS grp,

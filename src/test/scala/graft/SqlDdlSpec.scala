@@ -1193,6 +1193,65 @@ class SqlDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIONS hint merges dynamic table options under the enable flag") {
+    val d = tmp()
+    try {
+      spark.range(5).select(col("id"), (col("id") * 2).as("v"))
+        .write.parquet(d + "/a")
+      spark.range(9).select(col("id"), (col("id") * 3).as("v"))
+        .write.parquet(d + "/b")
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_hint_t (id BIGINT, v BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '$d/a')""")
+      // flag off (the default): the reference's exact error shape
+      val off = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark,
+          "SELECT count(*) AS n FROM ddl_hint_t /*+ OPTIONS('path' = '" +
+          d + "/b') */")
+      }
+      assert(off.getMessage.contains(
+        "table.dynamic-table-options.enabled"))
+      SqlDdl.executeSql(spark,
+        "SET 'table.dynamic-table-options.enabled' = 'true'")
+      // hinted scan reads the overridden path; the base is untouched
+      assert(SqlDdl.executeSql(spark,
+        "SELECT count(*) AS n FROM ddl_hint_t /*+ OPTIONS('path' = '" +
+        d + "/b') */").df.get.as[Long].head() == 9L)
+      assert(SqlDdl.executeSql(spark,
+        "SELECT count(*) AS n FROM ddl_hint_t").df.get
+        .as[Long].head() == 5L)
+      // a second hinted read reuses the registration (same options)
+      assert(SqlDdl.executeSql(spark,
+        "SELECT sum(v) AS s FROM ddl_hint_t /*+ OPTIONS('path' = '" +
+        d + "/b') */").df.get.as[Long].head() == 108L)
+      // hint aliases stay out of SHOW TABLES
+      val listed = SqlDdl.executeSql(spark, "SHOW TABLES").df.get
+        .collect().map(_.getString(0))
+      assert(!listed.exists(_.contains("__opt")))
+      // non-DDL views and sink-side hints reject loudly
+      spark.range(1).toDF("id").createOrReplaceTempView("ddl_hint_tv")
+      val nt = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark,
+          "SELECT 1 AS x FROM ddl_hint_tv /*+ OPTIONS('a' = 'b') */")
+      }
+      assert(nt.getMessage.contains("CREATE TABLE"))
+      val sink = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark,
+          "INSERT INTO ddl_hint_t /*+ OPTIONS('a' = 'b') */ " +
+          "SELECT 1 AS id, 2 AS v")
+      }
+      assert(sink.getMessage.contains("INSERT target"))
+      // a literal containing the hint shape is untouched
+      assert(SqlDdl.executeSql(spark,
+        "SELECT '/*+ OPTIONS(''a''=''b'') */' AS s").df.get
+        .as[String].head().contains("OPTIONS"))
+    } finally {
+      SqlDdl.executeSql(spark, "RESET 'table.dynamic-table-options.enabled'")
+      SqlDdl.executeSql(spark, "DROP TABLE IF EXISTS ddl_hint_t")
+      spark.catalog.dropTempView("ddl_hint_tv")
+    }
+  }
+
   test("DESCRIBE CATALOG and named PRIMARY KEY round out the dispatch") {
     val info = SqlDdl.executeSql(spark,
       "DESCRIBE CATALOG default_catalog").df.get
