@@ -1088,6 +1088,13 @@ object SqlDdl {
     * entries at every level (`_spark_metadata`, `_SUCCESS`, dotfiles) —
     * and SHORT-CIRCUITS on the first data file, so the probe reads one
     * directory listing per level, not the table. */
+  /** Does the path hold any visible data file? Short-circuits on the
+    * first file found, so the walk cost is bounded by the directories
+    * BEFORE the first data file (one listing for any populated
+    * layout). The depth bound exists only as a cycle/runaway guard —
+    * hitting it RAISES instead of silently reporting the tree empty
+    * (a quietly-skipped deep Hive layout would register the table with
+    * no readable view). */
   private def pathHasData(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1095,10 +1102,15 @@ object SqlDdl {
     def probe(dir: org.apache.hadoop.fs.Path, depth: Int): Boolean =
       fs.listStatus(dir).exists { st =>
         visible(st.getPath.getName) &&
-          (st.isFile ||
-           (depth > 0 && st.isDirectory && probe(st.getPath, depth - 1)))
+          (st.isFile || (st.isDirectory && {
+            if (depth <= 0) throw new IllegalArgumentException(
+              s"path '$path' nests directories deeper than 64 levels " +
+              s"(at ${st.getPath}) — refusing to probe further; point " +
+              "the table at the partition root of an actual table layout")
+            probe(st.getPath, depth - 1)
+          }))
       }
-    fs.exists(p) && probe(p, 4)
+    fs.exists(p) && probe(p, 64)
   }
 
   /** Does the path hold this engine's upsert-sink layout (`__bucket=`
@@ -1416,6 +1428,7 @@ object SqlDdl {
     if (wantTable && isTable) {
       tables.remove(key).foreach(t => upsertEpochs.remove(t.path))
       tableDb.remove(key)
+      pkNames.remove(key) // a re-CREATE must not inherit the old name
       unregisterSurfaces(spark, name)
     } else if (!wantTable && isView) {
       changelogViews.remove(key)
@@ -1468,6 +1481,7 @@ object SqlDdl {
       tables.remove(key)
       tables(toKey) = d2
       tableDb.remove(key).foreach(db => tableDb(toKey) = db)
+      pkNames.remove(key).foreach(n => pkNames(toKey) = n)
     } catch { case t: Throwable =>
       registerTable(spark, d) // restore the old surface, then fail loudly
       throw t
@@ -1667,6 +1681,7 @@ object SqlDdl {
         unregisterSurfaces(spark, d.name)
       }
       tableDb.remove(t)
+      pkNames.remove(t)
     }
     databases.remove(key)
     if (currentDb == key) currentDb = "default_database"

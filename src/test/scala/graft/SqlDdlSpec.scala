@@ -1252,6 +1252,50 @@ class SqlDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("constraint names follow the table: dropped on DROP, moved on RENAME") {
+    val d = tmp()
+    try {
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_pkn (id BIGINT,
+          CONSTRAINT pk_old PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('connector' = 'filesystem', 'path' = '$d/a')""")
+      // DROP + re-CREATE with an unnamed key: the old name must be gone
+      SqlDdl.executeSql(spark, "DROP TABLE ddl_pkn")
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_pkn (id BIGINT, PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('connector' = 'filesystem', 'path' = '$d/b')""")
+      val stale = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "ALTER TABLE ddl_pkn DROP CONSTRAINT pk_old")
+      }
+      assert(stale.getMessage.contains("without a CONSTRAINT name"))
+      SqlDdl.executeSql(spark, "DROP TABLE ddl_pkn")
+      // RENAME carries the name along
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_pkn (id BIGINT,
+          CONSTRAINT pk_n PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('connector' = 'filesystem', 'path' = '$d/c')""")
+      SqlDdl.executeSql(spark, "ALTER TABLE ddl_pkn RENAME TO ddl_pkn2")
+      SqlDdl.executeSql(spark, "ALTER TABLE ddl_pkn2 DROP CONSTRAINT pk_n")
+    } finally {
+      SqlDdl.executeSql(spark, "DROP TABLE IF EXISTS ddl_pkn")
+      SqlDdl.executeSql(spark, "DROP TABLE IF EXISTS ddl_pkn2")
+    }
+  }
+
+  test("deep partition layouts register (no silent fixed-depth cutoff)") {
+    val d = tmp()
+    // data six directory levels down — past the old probe depth of 4
+    spark.range(3).toDF("id").write
+      .parquet(d + "/a/b/c/d/e/f")
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_deep (id BIGINT)
+      WITH ('connector' = 'filesystem', 'path' = '$d',
+            'recursiveFileLookup' = 'true')""")
+    try assert(SqlDdl.executeSql(spark,
+      "SELECT count(*) AS n FROM ddl_deep").df.get.as[Long].head() == 3L)
+    finally SqlDdl.executeSql(spark, "DROP TABLE IF EXISTS ddl_deep")
+  }
+
   test("DESCRIBE CATALOG and named PRIMARY KEY round out the dispatch") {
     val info = SqlDdl.executeSql(spark,
       "DESCRIBE CATALOG default_catalog").df.get
