@@ -3151,6 +3151,38 @@ object ReplayQueries {
     // of a before-less update would corrupt the downstream sums) while
     // decoding everything else; the final live rows equal the batch
     // dual over the surviving entities.
+    // Dynamic table options from SQL text (FLIP-113): the SAME table
+    // scanned twice in one statement — once as declared, once with an
+    // OPTIONS('path'=…) hint pointing the scan at a different
+    // directory — under the reference's enable flag. The join of the
+    // two aggregates proves the hint rebound ONLY its own scan.
+    "q371_sql_options_hint" -> ((s, dir) => {
+      import graft.operators.SqlDdl
+      val in = java.nio.file.Files.createTempDirectory("q371").toString
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"))
+      ev.filter(col("event_id") % 2 === 0)
+        .write.mode("overwrite").parquet(in + "/a")
+      ev.write.mode("overwrite").parquet(in + "/b")
+      try {
+        SqlDdl.executeAll(s, s"""
+          CREATE TABLE q371_t (event_id BIGINT, user_id BIGINT)
+          WITH ('connector' = 'filesystem', 'path' = '$in/a');
+          SET 'table.dynamic-table-options.enabled' = 'true'""")
+        SqlDdl.executeSql(s, s"""
+          SELECT b.grp, b.n AS n_base, h.n AS n_hint
+          FROM (SELECT user_id % 7 AS grp, count(*) AS n
+                FROM q371_t GROUP BY user_id % 7) b
+          JOIN (SELECT user_id % 7 AS grp, count(*) AS n
+                FROM q371_t /*+ OPTIONS('path' = '$in/b') */
+                GROUP BY user_id % 7) h
+          ON b.grp = h.grp""").df.get
+      } finally {
+        SqlDdl.executeSql(s, "RESET 'table.dynamic-table-options.enabled'")
+        SqlDdl.executeSql(s, "DROP TABLE IF EXISTS q371_t")
+      }
+    }),
+
     // The round's full DDL statement surface as ONE batch pipeline in
     // SQL text: CREATE TABLE LIKE clones the source table's shape onto
     // a fresh directory (OVERWRITING OPTIONS + new 'path' — the
@@ -4657,6 +4689,15 @@ object ReplayQueries {
 
     // surviving entities after the noisy schema-wrapped CDC log:
     // %11==0 deleted, %3==0 tripled; every noise message skipped whole
+    // base scan = even event_ids; hinted scan = all events
+    "q371_sql_options_hint" -> """
+      WITH b AS (SELECT user_id % 7 AS grp, count(*) AS n FROM events
+                 WHERE event_id % 2 = 0 GROUP BY user_id % 7),
+           h AS (SELECT user_id % 7 AS grp, count(*) AS n FROM events
+                 GROUP BY user_id % 7)
+      SELECT b.grp, b.n AS n_base, h.n AS n_hint
+      FROM b JOIN h ON b.grp = h.grp""",
+
     // the reflective q369_cents(v, 100) is floor(v*100) by definition
     "q369_sql_ddl_lifecycle" -> """
       SELECT user_id, count(*) AS n,
