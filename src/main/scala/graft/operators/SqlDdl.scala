@@ -447,12 +447,35 @@ object SqlDdl {
     * physical mode to the logical tree (a streaming DataFrame has no
     * executed plan until a sink starts). */
   private def explain(spark: SparkSession, inner: String): SqlResult = {
-    require(!insertRe.matcher(inner).matches(),
-      s"EXPLAIN of an INSERT INTO is unsupported — explain its SELECT " +
-      s"body instead: $inner")
+    val ins = insertRe.matcher(inner)
+    if (ins.matches()) {
+      // the reference explains DML too (explainSql over RichSqlInsert):
+      // plan the body, header the sink — NOTHING starts or writes
+      val d = tables.getOrElse(ins.group(2).toLowerCase, throw
+        new IllegalArgumentException(
+          s"EXPLAIN INSERT: unknown table '${ins.group(2)}'"))
+      val sinkKind =
+        if (ins.group(1).equalsIgnoreCase("OVERWRITE")) "overwrite"
+        else if (d.primaryKey.nonEmpty)
+          s"upsert on (${d.primaryKey.mkString(", ")})"
+        else "append"
+      val body = SqlFrontend.sql(spark, ins.group(5))
+      val plan =
+        try body.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        catch { case scala.util.control.NonFatal(_) =>
+          body.queryExecution.logical.treeString }
+      val header = s"== Sink: ${d.name} ($sinkKind, " +
+        s"format=${d.format}, path=${d.path}) ==\n"
+      val schema =
+        StructType(Seq(StructField("plan", StringType, nullable = false)))
+      return SqlResult(Some(spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(header + plan)),
+        schema)), None)
+    }
     require(isQueryText(inner),
-      s"EXPLAIN takes a query statement (SELECT/WITH/VALUES) — " +
-      s"side-effecting statements are not explainable: $inner")
+      s"EXPLAIN takes a query or INSERT statement — other side-effecting " +
+      s"statements are not explainable: $inner")
     val df = SqlFrontend.sql(spark, inner)
     val plan =
       try df.queryExecution.explainString(

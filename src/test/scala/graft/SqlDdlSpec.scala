@@ -180,7 +180,21 @@ class SqlDdlSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       SqlDdl.executeSql(spark, "EXPLAIN INSERT INTO t SELECT 1 AS x")
     }
-    assert(e.getMessage.contains("INSERT"))
+    assert(e.getMessage.contains("unknown table"))
+    // EXPLAIN of an INSERT into a known table plans the body, headers
+    // the sink, and writes NOTHING
+    val dx = tmp()
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE ddl_exp_t (x INT, PRIMARY KEY (x) NOT ENFORCED)
+      WITH ('connector' = 'filesystem', 'path' = '$dx/t')""")
+    try {
+      val ip = SqlDdl.executeSql(spark,
+        "EXPLAIN INSERT INTO ddl_exp_t SELECT 1 AS x").df.get
+        .as[String].head()
+      assert(ip.contains("Sink: ddl_exp_t") && ip.contains("upsert on (x)"))
+      assert(SqlDdl.executeSql(spark,
+        "SELECT count(*) AS n FROM ddl_exp_t").df.get.as[Long].head() == 0L)
+    } finally SqlDdl.executeSql(spark, "DROP TABLE IF EXISTS ddl_exp_t")
     // the reference's TTL config lands in ms on the engine's conf, in
     // every duration form
     SqlDdl.executeSql(spark, "SET 'table.exec.state.ttl' = '10 min'")
@@ -265,7 +279,7 @@ class SqlDdlSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       SqlDdl.executeSql(spark, "EXPLAIN DROP TABLE ddl_cmt")
     }
-    assert(e.getMessage.contains("query statement"))
+    assert(e.getMessage.contains("not explainable"))
     assert(SqlDdl.executeSql(spark,
       "SELECT count(*) AS n FROM ddl_cmt").df.get
       .collect()(0).getLong(0) == 3) // the table survived
