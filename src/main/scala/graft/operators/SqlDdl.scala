@@ -228,7 +228,7 @@ object SqlDdl {
     "(?is)^\\s*CREATE\\s+(?:TEMPORARY\\s+)?TABLE\\s+" +
     "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*(?=\\(|WITH\\b|LIKE\\b|PARTITIONED\\b)")
   private val createViewRe = java.util.regex.Pattern.compile(
-    "(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMPORARY\\s+)?VIEW\\s+" +
+    "(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMPORARY\\s+)?VIEW\\s+" +
     "([\\w.]+)\\s+AS\\s+(.+)$")
   // `INSERT INTO|OVERWRITE t [PARTITION (k='v', …)] [(col, …)] <query>`
   // — the reference's RichSqlInsert shape (partition spec + explicit
@@ -333,7 +333,8 @@ object SqlDdl {
     val ren = alterRenameRe.matcher(text)
     val ast = alterSetRe.matcher(text)
     if (ct.find()) createTable(spark, text, ct)
-    else if (cv.matches()) createView(spark, cv.group(1), cv.group(2))
+    else if (cv.matches()) createView(spark, cv.group(2), cv.group(3),
+      orReplace = cv.group(1) != null)
     else if (ins.matches()) insertInto(spark, ins.group(2), ins.group(5),
       overwrite = ins.group(1).equalsIgnoreCase("OVERWRITE"),
       partitionSpec = Option(ins.group(3)),
@@ -557,19 +558,35 @@ object SqlDdl {
                           inserts: Seq[String]): SqlResult = {
     require(inserts.nonEmpty, "empty statement set")
     val parsed = inserts.map { st =>
-      val m = insertRe.matcher(stripLineComments(st).trim)
+      // OPTIONS hints apply to set members exactly as to single
+      // statements (the same text through executeSql rebinds the scan)
+      val m = insertRe.matcher(
+        applyOptionsHints(spark, stripLineComments(st).trim))
       require(m.matches(),
         s"statement sets take INSERT statements only (the reference's " +
         s"StatementSet.addInsertSql): $st")
       m
     }
-    tryMultiplex(spark, parsed).getOrElse {
-      val results = parsed.map(m => insertInto(spark, m.group(2),
-        m.group(5),
+    def runMember(m: java.util.regex.Matcher): SqlResult =
+      insertInto(spark, m.group(2), m.group(5),
         overwrite = m.group(1).equalsIgnoreCase("OVERWRITE"),
         partitionSpec = Option(m.group(3)),
         columnList = Option(m.group(4))
-          .map(_.split(",").map(_.trim).toSeq)))
+          .map(_.split(",").map(_.trim).toSeq))
+    val targets = parsed.map(_.group(2).toLowerCase)
+    if (targets.distinct.size != targets.size) {
+      // two members into the SAME sink: Spark's file sink keeps a
+      // single-writer metadata log per path, so concurrent streaming
+      // appends to one table race on _spark_metadata — run the members
+      // SEQUENTIALLY (start → drain each in statement order). The
+      // reference's effect (every member's slice lands) holds; only the
+      // scheduling differs, stated here honestly.
+      val refreshes = parsed.map { m => val r = runMember(m); r.await(); r }
+        .map(_.refresh)
+      return SqlResult(None, None, () => refreshes.foreach(_.apply()))
+    }
+    tryMultiplex(spark, parsed).getOrElse {
+      val results = parsed.map(runMember)
       val handles = results.flatMap(r => r.query.toSeq ++ r.queries)
       val refreshes = results.map(_.refresh)
       SqlResult(None, None, () => refreshes.foreach(_.apply()), handles)
@@ -599,7 +616,14 @@ object SqlDdl {
     }
     if (members.exists { case (d, p) => d.isEmpty || p.isEmpty ||
         d.get.primaryKey.nonEmpty || d.get.partitionedBy.nonEmpty ||
-        d.get.watermark.isDefined }) return None
+        d.get.watermark.isDefined || isCdcFormat(d.get.format) ||
+        d.get.checkpoint.isDefined }) return None
+    // CDC-format sinks fall back (insertInto raises the read-only
+    // error at plan time), as does a declared sink.checkpoint (the
+    // combined query would resume that table's standalone offset log
+    // and silently skip history for the OTHER members). Same-sink
+    // member pairs never reach here — executeStatementSet serializes
+    // them before trying the multiplex.
     val srcNames = members.map(_._2.get._1.toLowerCase).distinct
     if (srcNames.size != 1) return None
     val src = StreamSql.streamViewDf(srcNames.head).getOrElse(return None)
@@ -618,16 +642,23 @@ object SqlDdl {
         (d, (b: DataFrame) => f(b).select(d.physical.fields.map(fd =>
           col(fd.name).cast(fd.dataType).as(fd.name)).toSeq: _*))
     }
-    val ck = aligned.head._1.checkpoint.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_ddl_set_ck").toString)
+    val ck =
+      java.nio.file.Files.createTempDirectory("graft_ddl_set_ck").toString
+    // per-SET token: batch ids restart at 0 for every set, so a later
+    // set into the same sink would dynamic-overwrite an earlier set's
+    // __sb=<bid> partition — the token keeps partitions unique across
+    // sets while a RETRIED batch of THIS set still rewrites its own
+    // partition identically (same token, same bid → idempotent)
+    val setToken = java.util.UUID.randomUUID().toString.take(8)
     val q = src.writeStream
       .option("checkpointLocation", ck)
       .foreachBatch { (b: DataFrame, bid: Long) =>
         val shared = b.persist()
         try aligned.foreach { case (d, f) =>
-          f(shared).withColumn("__sb", lit(bid))
+          f(shared).withColumn("__sb", lit(s"${setToken}_$bid"))
             .write.partitionBy("__sb")
             .option("partitionOverwriteMode", "dynamic")
+            .options(d.readerOptions)
             .mode("overwrite").format(d.format).save(d.path)
         } finally { shared.unpersist(); () }
       }
@@ -641,12 +672,26 @@ object SqlDdl {
     * layout read back to the declared columns (`__sb` stays internal —
     * same pattern as the upsert sink's `__bucket`). */
   private def registerMultiplexView(spark: SparkSession, d: TableDef): Unit =
-    (try spark.read.options(d.readerOptions).format(d.format).load(d.path)
-       .select(d.physical.fieldNames.map(col).toSeq: _*)
-     catch { case _: org.apache.spark.sql.AnalysisException =>
-       spark.createDataFrame(
-         new java.util.ArrayList[org.apache.spark.sql.Row](), d.physical)
-     }).createOrReplaceTempView(d.name)
+    (if (pathHasData(spark, d.path) || hasMultiplexLayout(spark, d.path))
+       // declared schema, not inference — a csv/json sink would
+       // otherwise infer _c0/string columns and fail the select (the
+       // __sb partition column rides along from the directory names
+       // and is dropped by the select)
+       spark.read.schema(d.physical).options(d.readerOptions)
+         .format(d.format).load(d.path)
+         .select(d.physical.fieldNames.map(col).toSeq: _*)
+     else spark.createDataFrame(
+       new java.util.ArrayList[org.apache.spark.sql.Row](), d.physical)
+    ).createOrReplaceTempView(d.name)
+
+  /** `__sb=` batch partitions (underscore-prefixed, invisible to
+    * [[pathHasData]]) — the multiplexed set's sink layout. */
+  private def hasMultiplexLayout(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("__sb="))
+  }
 
   /** Split on top-level `;` — string-literal-opaque, so a `';'` inside
     * a WITH option value never splits. */
@@ -712,6 +757,16 @@ object SqlDdl {
     val ifNotExists = m.group(1) != null
     val name = m.group(2)
     if (ifNotExists && tables.contains(name.toLowerCase)) return done
+    // duplicate names reject loudly (the reference's TableAlreadyExist /
+    // the flat-namespace contract in the catalog fields' note) — only
+    // names THIS catalog owns; a plain Spark temp view is session
+    // scope, not a catalog entry
+    require(!tables.contains(name.toLowerCase),
+      s"CREATE TABLE: table '$name' already exists (DROP TABLE first, " +
+      "or CREATE TABLE IF NOT EXISTS to keep it)")
+    require(!changelogViews.contains(name.toLowerCase) &&
+            !viewBodies.contains(name.toLowerCase),
+      s"CREATE TABLE: '$name' already exists as a VIEW")
     // clause order (the reference's SqlCreateTable grammar): optional
     // (column list), optional PARTITIONED BY, optional WITH, optional
     // LIKE base [(merging options)]
@@ -815,10 +870,19 @@ object SqlDdl {
           (StructType(fields.toSeq), computed.toSeq, watermark, primaryKey,
            declaredPartitions)
       }
-    (mergedWatermark.map(_._1).toSeq ++ mergedPk).foreach { c =>
+    mergedWatermark.map(_._1).foreach { c =>
       require(physical.fieldNames.exists(_.equalsIgnoreCase(c)) ||
               mergedComputed.exists(_._1.equalsIgnoreCase(c)),
-        s"WATERMARK/PRIMARY KEY references undeclared column '$c'")
+        s"WATERMARK references undeclared column '$c'")
+    }
+    mergedPk.foreach { c =>
+      // the reference requires PHYSICAL key columns (TableSchema's
+      // primaryKey validation) — a computed-column key would reach the
+      // upsert sink's bucket hash unresolved
+      require(physical.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"PRIMARY KEY column '$c' is not a declared physical column" + (
+          if (mergedComputed.exists(_._1.equalsIgnoreCase(c)))
+            " (computed columns cannot key an upsert table)" else ""))
     }
     mergedParts.foreach { c =>
       require(physical.fieldNames.exists(_.equalsIgnoreCase(c)),
@@ -1104,20 +1168,15 @@ object SqlDdl {
       .createOrReplaceTempView(d.name)
 
   /** Does the table directory hold at least one data file? Probed
-    * through the Hadoop FileSystem API so hdfs://s3a:// paths resolve on
-    * a real cluster exactly like local ones here. Descends into visible
-    * subdirectories (Hive-partitioned layouts keep data under
-    * `k=v/` directories) to a small fixed depth, skipping hidden/_
-    * entries at every level (`_spark_metadata`, `_SUCCESS`, dotfiles) —
-    * and SHORT-CIRCUITS on the first data file, so the probe reads one
-    * directory listing per level, not the table. */
-  /** Does the path hold any visible data file? Short-circuits on the
-    * first file found, so the walk cost is bounded by the directories
-    * BEFORE the first data file (one listing for any populated
-    * layout). The depth bound exists only as a cycle/runaway guard —
-    * hitting it RAISES instead of silently reporting the tree empty
-    * (a quietly-skipped deep Hive layout would register the table with
-    * no readable view). */
+    * through the Hadoop FileSystem API so hdfs://s3a:// paths resolve
+    * on a real cluster exactly like local ones here, skipping hidden/_
+    * entries at every level (`_spark_metadata`, `_SUCCESS`, dotfiles).
+    * Short-circuits on the first file found, so the walk cost is
+    * bounded by the directories BEFORE the first data file (one
+    * listing for any populated layout). The depth bound exists only as
+    * a cycle/runaway guard — hitting it RAISES instead of silently
+    * reporting the tree empty (a quietly-skipped deep Hive layout
+    * would register the table with no readable view). */
   private def pathHasData(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1149,8 +1208,23 @@ object SqlDdl {
   // ---- CREATE VIEW -------------------------------------------------------
 
   private def createView(spark: SparkSession, name: String,
-                         query: String): SqlResult = {
-    val res = SqlFrontend.sql(spark, query)
+                         query: String,
+                         orReplace: Boolean = true): SqlResult = {
+    // duplicate semantics (the reference's catalog): plain CREATE VIEW
+    // of an existing DDL view rejects; OR REPLACE replaces. Internal
+    // callers (ALTER VIEW re-derivation) replace by construction.
+    require(!tables.contains(name.toLowerCase),
+      s"CREATE VIEW: '$name' already exists as a TABLE")
+    require(orReplace || !(changelogViews.contains(name.toLowerCase) ||
+                           viewBodies.contains(name.toLowerCase)),
+      s"CREATE VIEW: view '$name' already exists (use CREATE OR " +
+      "REPLACE VIEW, or DROP VIEW first)")
+    val res = SqlFrontend.sql(spark, query) // analyzed BEFORE any mutation
+    // replacing: clear the old registration kind first, so a
+    // changelog→batch (or reverse) replacement leaves no stale surface
+    if (changelogViews.contains(name.toLowerCase) ||
+        viewBodies.contains(name.toLowerCase))
+      dropViewSurfaces(spark, name)
     if (!res.isStreaming) res.createOrReplaceTempView(name)
     else if (res.columns.contains("row_kind")) {
       // a routed changelog result: register for downstream statements;
@@ -1357,12 +1431,26 @@ object SqlDdl {
         "row_kind/row_ord columns to land the raw changelog")
       val ck = d.checkpoint.getOrElse(
         java.nio.file.Files.createTempDirectory("graft_ddl_ck").toString)
-      val w0 = aligned.writeStream.format(d.format)
-        .option("path", d.path).option("checkpointLocation", ck)
-        .outputMode("append")
-      val w = if (d.partitionedBy.nonEmpty)
-        w0.partitionBy(d.partitionedBy: _*) else w0
-      val q = w.start()
+      // foreachBatch batch-append, NOT the native file sink: the file
+      // sink's per-PATH _spark_metadata log marks batch ids committed,
+      // so a SECOND streaming INSERT into the same table (fresh
+      // checkpoint, batch ids restarting at 0) would silently SKIP its
+      // writes — and batch reads of a metadata-bearing directory ignore
+      // files the log doesn't list, hiding batch-INSERT appends too.
+      // The plain flat layout stays identical to the batch append arm.
+      // Trade-off, stated honestly: a micro-batch retried after a
+      // mid-write crash could append twice (the bounded-replay await
+      // drains each batch once; the reference's filesystem sink rolls
+      // in-progress files via its own checkpoint protocol instead).
+      val q = aligned.writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val w0 = b.write.options(d.readerOptions).format(d.format)
+          val w = if (d.partitionedBy.nonEmpty)
+            w0.partitionBy(d.partitionedBy: _*) else w0
+          w.mode("append").save(d.path)
+        }
+        .start()
       SqlResult(None, Some(q), () => registerBatchView(spark, d))
     }
   }
@@ -1642,8 +1730,15 @@ object SqlDdl {
         "TABLE — dynamic options merge over a table's WITH clause"))
     val opts = parseOptions(optsBody)
     require(opts.nonEmpty, s"OPTIONS hint on '$tbl': empty option list")
-    val alias = s"${d.name}__opt${math.abs(
-      opts.toSeq.sorted.hashCode().toLong)}"
+    // collision-free alias per (table × options): a strong digest of
+    // the canonical option list (hashCode's 32 bits could map two
+    // different option sets to one registration)
+    val canon = opts.toSeq.sorted
+      .map { case (k, v) => s"$k\u0000$v" }.mkString("\u0001")
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
+    val alias = s"${d.name}__opt$digest"
     if (hintRegs.putIfAbsent(alias.toLowerCase, true).isEmpty) {
       val d2 = mergedDef(d, opts, s"OPTIONS hint on '$tbl'")
         .copy(name = alias)
@@ -2066,12 +2161,14 @@ object SqlDdl {
     require(d.primaryKey.isEmpty,
       s"ALTER TABLE ADD CONSTRAINT: table '$name' already has a PRIMARY " +
       s"KEY (${d.primaryKey.mkString(", ")}) — DROP CONSTRAINT first")
-    val declared = d.physical.fieldNames.map(_.toLowerCase).toSet ++
-      d.computed.map(_._1.toLowerCase)
+    // physical columns only — same rule as CREATE TABLE (the upsert
+    // sink's bucket hash resolves against the physical row)
+    val declared = d.physical.fieldNames.map(_.toLowerCase).toSet
     val missing = cols.filterNot(c => declared(c.toLowerCase))
     require(missing.isEmpty,
       s"ALTER TABLE ADD CONSTRAINT: key column(s) " +
-      s"${missing.mkString(", ")} not declared on '$name'")
+      s"${missing.mkString(", ")} not declared as physical columns " +
+      s"on '$name'")
     require(!pathHasData(spark, d.path),
       s"ALTER TABLE ADD CONSTRAINT: path '${d.path}' already holds " +
       "plain data files — the upsert sink's bucketed layout cannot mix " +

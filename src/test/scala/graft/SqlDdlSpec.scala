@@ -682,10 +682,65 @@ class SqlDdlSpec extends AnyFunSuite {
         END""")
       assert(rs2.last.queries.length == 2)
       rs2.last.await()
+      // two members into the SAME sink must NOT multiplex (each would
+      // dynamic-overwrite the other's __sb partition) and cannot run
+      // concurrently either (the file sink's metadata log is
+      // single-writer per path): they run SEQUENTIALLY, drained by
+      // statement order, and BOTH slices land
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_mx_c (id BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '$d/c')""")
+      val rs3 = SqlDdl.executeAll(spark, """
+        BEGIN STATEMENT SET;
+        INSERT INTO ddl_mx_c SELECT id FROM ddl_mx_src WHERE id < 3;
+        INSERT INTO ddl_mx_c SELECT id FROM ddl_mx_src WHERE id >= 17;
+        END""")
+      // structural: neither the multiplexed single handle nor live
+      // concurrent handles — the members were drained sequentially
+      assert(rs3.last.query.isEmpty && rs3.last.queries.isEmpty)
+      rs3.last.await()
+      assert(SqlDdl.executeSql(spark, "SELECT id FROM ddl_mx_c").df.get
+        .as[Long].collect().toSet == Set(0L, 1L, 2L, 17L, 18L, 19L))
     } finally {
       SqlDdl.executeSql(spark, "DROP TABLE ddl_mx_src")
       SqlDdl.executeSql(spark, "DROP TABLE ddl_mx_a")
       SqlDdl.executeSql(spark, "DROP TABLE ddl_mx_b")
+      SqlDdl.executeSql(spark, "DROP TABLE IF EXISTS ddl_mx_c")
+    }
+  }
+
+  test("successive streaming INSERTs into one append table both land") {
+    // regression: the native file sink's per-path _spark_metadata log
+    // marked batch 0 committed, so a SECOND streaming INSERT (fresh
+    // checkpoint, batch ids from 0) silently skipped its writes
+    val srcDir = tmp() + "/src"
+    val d = tmp()
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    (0 until 8).map { i =>
+      (i.toLong, new java.sql.Timestamp(base.getTime + i * 1000L))
+    }.toDF("id", "ts").write.parquet(srcDir)
+    SqlDdl.executeAll(spark, s"""
+      CREATE TABLE ddl_sa_src (id BIGINT, ts TIMESTAMP,
+        WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)
+      WITH ('connector' = 'filesystem', 'path' = '$srcDir');
+      CREATE TABLE ddl_sa_t (id BIGINT)
+      WITH ('connector' = 'filesystem', 'path' = '$d/t')""")
+    try {
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_sa_t SELECT id FROM ddl_sa_src WHERE id < 3")
+        .await()
+      SqlDdl.executeSql(spark,
+        "INSERT INTO ddl_sa_t SELECT id FROM ddl_sa_src WHERE id >= 6")
+        .await()
+      assert(SqlDdl.executeSql(spark, "SELECT id FROM ddl_sa_t").df.get
+        .as[Long].collect().toSet == Set(0L, 1L, 2L, 6L, 7L))
+      // and a batch INSERT into the same table remains readable too
+      SqlDdl.executeSql(spark, "INSERT INTO ddl_sa_t VALUES (100)")
+      assert(SqlDdl.executeSql(spark,
+        "SELECT count(*) AS n FROM ddl_sa_t").df.get.as[Long].head() == 6L)
+    } finally {
+      SqlDdl.executeSql(spark, "DROP TABLE ddl_sa_src")
+      SqlDdl.executeSql(spark, "DROP TABLE ddl_sa_t")
     }
   }
 
@@ -1263,6 +1318,56 @@ class SqlDdlSpec extends AnyFunSuite {
       SqlDdl.executeSql(spark, "RESET 'table.dynamic-table-options.enabled'")
       SqlDdl.executeSql(spark, "DROP TABLE IF EXISTS ddl_hint_t")
       spark.catalog.dropTempView("ddl_hint_tv")
+    }
+  }
+
+  test("duplicate names reject: re-CREATE, view/table clashes, computed PK") {
+    val d = tmp()
+    try {
+      spark.range(2).toDF("id").write.parquet(d + "/t")
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_dup (id BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '$d/t')""")
+      val re = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, s"""
+          CREATE TABLE ddl_dup (id BIGINT)
+          WITH ('connector' = 'filesystem', 'path' = '$d/t2')""")
+      }
+      assert(re.getMessage.contains("already exists"))
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE IF NOT EXISTS ddl_dup (id BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '$d/t3')""") // silent
+      // view/table name clashes reject both ways
+      val vt = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "CREATE VIEW ddl_dup AS SELECT 1 AS x")
+      }
+      assert(vt.getMessage.contains("TABLE"))
+      SqlDdl.executeSql(spark, "CREATE VIEW ddl_dup_v AS SELECT 1 AS x")
+      val vv = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "CREATE VIEW ddl_dup_v AS SELECT 2 AS x")
+      }
+      assert(vv.getMessage.contains("OR REPLACE"))
+      SqlDdl.executeSql(spark,
+        "CREATE OR REPLACE VIEW ddl_dup_v AS SELECT 2 AS x")
+      assert(SqlDdl.executeSql(spark, "SELECT x FROM ddl_dup_v").df.get
+        .as[Int].head() == 2)
+      val tv = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, s"""
+          CREATE TABLE ddl_dup_v (id BIGINT)
+          WITH ('connector' = 'filesystem', 'path' = '$d/t4')""")
+      }
+      assert(tv.getMessage.contains("VIEW"))
+      // a computed-column PRIMARY KEY rejects at CREATE (physical only)
+      val cpk = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, s"""
+          CREATE TABLE ddl_cpk (a BIGINT, k AS a + 1,
+            PRIMARY KEY (k) NOT ENFORCED)
+          WITH ('connector' = 'filesystem', 'path' = '$d/cpk')""")
+      }
+      assert(cpk.getMessage.contains("physical"))
+    } finally {
+      SqlDdl.executeSql(spark, "DROP VIEW IF EXISTS ddl_dup_v")
+      SqlDdl.executeSql(spark, "DROP TABLE IF EXISTS ddl_dup")
     }
   }
 
