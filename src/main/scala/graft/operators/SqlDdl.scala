@@ -192,16 +192,44 @@ object SqlDdl {
   // catalog; names case-insensitive like SQL identifiers
   private val tables = TrieMap.empty[String, TableDef]
   private val changelogViews = TrieMap.empty[String, Boolean]
-  // databases: catalog NAMESPACING (CREATE/DROP/USE/SHOW DATABASES —
-  // the reference's SqlCreateDatabase family). The readable-view
-  // namespace underneath is FLAT (Spark temp views are unqualified),
-  // so table names are unique catalog-wide: creating the same name in
-  // two databases rejects loudly — stated honestly, not silently
-  // shadowed. `tableDb` records each table's owning database.
-  private val databases =
-    TrieMap[String, Map[String, String]]("default_database" -> Map.empty)
+  // catalogs + databases: NAMESPACING (the reference's
+  // SqlCreateCatalog/SqlCreateDatabase families; created catalogs are
+  // the GenericInMemoryCatalog shape — 'type'='generic_in_memory').
+  // The readable-view namespace underneath is FLAT (Spark temp views
+  // are unqualified), so table names are unique across ALL catalogs
+  // and databases: creating the same name twice rejects loudly —
+  // stated honestly, not silently shadowed. `databases` keys are
+  // "catalog/db"; `tableDb` records each table's owning "catalog/db".
+  private val catalogs =
+    TrieMap[String, Map[String, String]]("default_catalog" -> Map.empty)
+  @volatile private var currentCatalog = "default_catalog"
+  private val databases = TrieMap[String, Map[String, String]](
+    "default_catalog/default_database" -> Map.empty)
   @volatile private var currentDb = "default_database"
   private val tableDb = TrieMap.empty[String, String]
+
+  /** The default database NAME of a catalog (the reference:
+    * default_database for the built-in catalog; a created in-memory
+    * catalog's 'default-database' property, default "default"). */
+  private def defaultDbOf(cat: String): String =
+    if (cat == "default_catalog") "default_database"
+    else catalogs.get(cat).flatMap(_.get("default-database"))
+      .getOrElse("default")
+
+  /** Resolve `db` or `cat.db` to the internal "catalog/db" key. */
+  private def resolveDb(name: String): String = {
+    val (cat, db) = name.split("\\.").toSeq match {
+      case Seq(d) => (currentCatalog, d)
+      case Seq(c, d) =>
+        require(catalogs.contains(c.toLowerCase),
+          s"unknown catalog '$c' (SHOW CATALOGS lists " +
+          s"${catalogs.keys.toSeq.sorted.mkString(", ")})")
+        (c.toLowerCase, d)
+      case _ => throw new IllegalArgumentException(
+        s"unparseable database name '$name'")
+    }
+    s"$cat/${db.toLowerCase}"
+  }
   // CREATE FUNCTION registrations (name → class) for DROP bookkeeping
   private val createdFunctions = TrieMap.empty[String, String]
   // view name → body text: ALTER VIEW RENAME/AS re-derives the
@@ -216,7 +244,10 @@ object SqlDdl {
     tables.clear(); changelogViews.clear(); upsertEpochs.clear()
     tableDb.clear(); createdFunctions.clear()
     viewBodies.clear(); pkNames.clear(); hintRegs.clear()
-    databases.clear(); databases("default_database") = Map.empty
+    catalogs.clear(); catalogs("default_catalog") = Map.empty
+    currentCatalog = "default_catalog"
+    databases.clear()
+    databases("default_catalog/default_database") = Map.empty
     currentDb = "default_database"
   }
 
@@ -274,6 +305,11 @@ object SqlDdl {
     "(?:\\s+LANGUAGE\\s+(\\w+))?\\s*$")
   private val descCatalogRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*DESC(?:RIBE)?\\s+CATALOG\\s+([\\w.]+)\\s*$")
+  private val createCatalogRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*CREATE\\s+CATALOG\\s+([\\w]+)" +
+    "(?:\\s+WITH\\s*\\((.*)\\))?\\s*$")
+  private val dropCatalogRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*DROP\\s+CATALOG\\s+(IF\\s+EXISTS\\s+)?([\\w]+)\\s*$")
   // databases / catalogs / functions (parserImpls.ftl:21-346)
   private val createDbRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*CREATE\\s+DATABASE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)" +
@@ -373,6 +409,12 @@ object SqlDdl {
         return alterFunction(spark, afn.group(2), afn.group(3),
           ifExists = afn.group(1) != null, language = Option(afn.group(4)))
       if (dcat.matches()) return describeCatalog(spark, dcat.group(1))
+      val ccat = createCatalogRe.matcher(text)
+      val dpcat = dropCatalogRe.matcher(text)
+      if (ccat.matches())
+        return createCatalog(ccat.group(1), Option(ccat.group(2)))
+      if (dpcat.matches())
+        return dropCatalog(dpcat.group(2), ifExists = dpcat.group(1) != null)
       executeTail(spark, text)
     }
   }
@@ -899,7 +941,7 @@ object SqlDdl {
     // guard, unreadable path) must not leave a phantom catalog entry
     registerTable(spark, d)
     tables(name.toLowerCase) = d
-    tableDb(name.toLowerCase) = currentDb
+    tableDb(name.toLowerCase) = s"$currentCatalog/$currentDb"
     pkName.foreach(n => pkNames(name.toLowerCase) = n)
     done
   }
@@ -1766,7 +1808,7 @@ object SqlDdl {
     * namespace (see the catalog fields' note). */
   private def createDatabase(name: String, ifNotExists: Boolean,
                              withBody: Option[String]): SqlResult = {
-    val key = name.toLowerCase
+    val key = resolveDb(name)
     if (databases.contains(key)) {
       if (ifNotExists) return done
       throw new IllegalArgumentException(
@@ -1781,9 +1823,10 @@ object SqlDdl {
     * (SqlDropDatabase, parserImpls.ftl:187-210). */
   private def dropDatabase(spark: SparkSession, name: String,
                            ifExists: Boolean, cascade: Boolean): SqlResult = {
-    val key = name.toLowerCase
-    require(key != "default_database",
-      "DROP DATABASE: the default database cannot be dropped")
+    val key = resolveDb(name)
+    require(key != s"$currentCatalog/${defaultDbOf(currentCatalog)}" &&
+            key != "default_catalog/default_database",
+      "DROP DATABASE: a catalog's default database cannot be dropped")
     if (!databases.contains(key)) {
       if (ifExists) return done
       throw new IllegalArgumentException(
@@ -1802,40 +1845,101 @@ object SqlDdl {
       pkNames.remove(t)
     }
     databases.remove(key)
-    if (currentDb == key) currentDb = "default_database"
+    if (s"$currentCatalog/$currentDb" == key)
+      currentDb = defaultDbOf(currentCatalog)
     done
   }
 
   private def useCatalog(name: String): SqlResult = {
-    require(name.equalsIgnoreCase("default_catalog"),
-      s"USE CATALOG: unknown catalog '$name' (this engine hosts one " +
-      "catalog, default_catalog — external catalogs are a connector " +
-      "surface)")
+    val key = name.toLowerCase
+    require(catalogs.contains(key),
+      s"USE CATALOG: unknown catalog '$name' (SHOW CATALOGS lists " +
+      s"${catalogs.keys.toSeq.sorted.mkString(", ")}; external " +
+      "catalog TYPES — hive/jdbc — are a connector surface)")
+    currentCatalog = key
+    currentDb = defaultDbOf(key)
+    done
+  }
+
+  /** `CREATE CATALOG c WITH ('type'='generic_in_memory'[,
+    * 'default-database'='db'])` — the reference's SqlCreateCatalog +
+    * GenericInMemoryCatalogFactory. Other catalog types need their
+    * client jars and reject loudly. The catalog's default database is
+    * created implicitly (GenericInMemoryCatalog's constructor does the
+    * same). */
+  private def createCatalog(name: String, withBody: Option[String]): SqlResult = {
+    val key = name.toLowerCase
+    require(!catalogs.contains(key),
+      s"CREATE CATALOG: catalog '$name' already exists")
+    val opts = withBody.map(parseOptions).getOrElse(Map.empty)
+    val tpe = opts.getOrElse("type", throw new IllegalArgumentException(
+      "CREATE CATALOG needs WITH ('type'=…) — the reference resolves a " +
+      "CatalogFactory by it"))
+    require(tpe.equalsIgnoreCase("generic_in_memory"),
+      s"CREATE CATALOG: type '$tpe' is unsupported here " +
+      "(generic_in_memory only — hive/jdbc catalogs need their client " +
+      "jars, env-blocked)")
+    catalogs(key) = opts
+    databases(s"$key/${defaultDbOf(key)}") = Map.empty
+    done
+  }
+
+  /** `DROP CATALOG [IF EXISTS] c` (SqlDropCatalog). The current
+    * catalog and default_catalog are undroppable (the reference
+    * rejects dropping the current catalog); a catalog whose databases
+    * still own tables rejects — drop those first. */
+  private def dropCatalog(name: String, ifExists: Boolean): SqlResult = {
+    val key = name.toLowerCase
+    require(key != "default_catalog",
+      "DROP CATALOG: the built-in default_catalog cannot be dropped")
+    if (!catalogs.contains(key)) {
+      if (ifExists) return done
+      throw new IllegalArgumentException(
+        s"DROP CATALOG: unknown catalog '$name'")
+    }
+    require(key != currentCatalog,
+      s"DROP CATALOG: '$name' is the current catalog — USE another first")
+    val prefix = s"$key/"
+    val owned = tableDb.collect {
+      case (t, db) if db.startsWith(prefix) => t }.toSeq
+    require(owned.isEmpty,
+      s"DROP CATALOG: catalog '$name' still owns table(s) " +
+      s"${owned.sorted.mkString(", ")} — DROP them (or their databases " +
+      "CASCADE) first")
+    databases.keys.filter(_.startsWith(prefix)).foreach(databases.remove)
+    catalogs.remove(key)
     done
   }
 
   private def useDatabase(name: String): SqlResult = {
-    val key = stripCatalog(name).toLowerCase
+    val key = resolveDb(name)
     require(databases.contains(key),
       s"USE: unknown database '$name' (CREATE DATABASE first; " +
-      s"SHOW DATABASES lists ${databases.keys.toSeq.sorted.mkString(", ")})")
-    currentDb = key
+      "SHOW DATABASES lists the current catalog's: " +
+      s"${databases.keys.filter(_.startsWith(s"$currentCatalog/"))
+        .map(_.split('/')(1)).toSeq.sorted.mkString(", ")})")
+    currentCatalog = key.split('/')(0)
+    currentDb = key.split('/')(1)
     done
   }
 
   private def showDatabases(spark: SparkSession): SqlResult =
-    oneColumn(spark, "database name", databases.keys.toSeq.sorted)
+    oneColumn(spark, "database name", databases.keys
+      .filter(_.startsWith(s"$currentCatalog/"))
+      .map(_.split('/')(1)).toSeq.sorted)
 
   private def showCatalogs(spark: SparkSession): SqlResult =
-    oneColumn(spark, "catalog name", Seq("default_catalog"))
+    oneColumn(spark, "catalog name", catalogs.keys.toSeq.sorted)
 
   private def describeDatabase(spark: SparkSession,
                                name: String): SqlResult = {
-    val key = stripCatalog(name).toLowerCase
+    val key = resolveDb(name)
     val props = databases.getOrElse(key, throw new IllegalArgumentException(
       s"DESCRIBE DATABASE: unknown database '$name'"))
     import scala.jdk.CollectionConverters._
-    val rows = (Seq(("database name", key)) ++ props.toSeq.sortBy(_._1))
+    val rows = (Seq(("database name", key.split('/')(1)),
+                    ("catalog", key.split('/')(0))) ++
+                props.toSeq.sortBy(_._1))
       .map { case (k, v) => org.apache.spark.sql.Row(k, v) }
     SqlResult(Some(spark.createDataFrame(rows.asJava,
       StructType(Seq(StructField("info name", StringType),
@@ -1861,17 +1965,6 @@ object SqlDdl {
   private def showFunctions(spark: SparkSession): SqlResult =
     oneColumn(spark, "function name",
       spark.catalog.listFunctions().collect().map(_.name).toSeq.sorted)
-
-  private def stripCatalog(name: String): String =
-    name.split("\\.").toSeq match {
-      case Seq(db) => db
-      case Seq(cat, db) =>
-        require(cat.equalsIgnoreCase("default_catalog"),
-          s"unknown catalog '$cat' (one catalog: default_catalog)")
-        db
-      case _ => throw new IllegalArgumentException(
-        s"unparseable database name '$name'")
-    }
 
   /** `CREATE [TEMPORARY] [SYSTEM] FUNCTION name AS 'class'
     * [LANGUAGE JAVA|SCALA]` — the reference's SqlCreateFunction
@@ -2069,7 +2162,7 @@ object SqlDdl {
     * parserImpls.ftl:162-186): merge the listed properties over the
     * database's existing ones. */
   private def alterDatabase(name: String, optsBody: String): SqlResult = {
-    val key = stripCatalog(name).toLowerCase
+    val key = resolveDb(name)
     val cur = databases.getOrElse(key, throw new IllegalArgumentException(
       s"ALTER DATABASE: unknown database '$name'"))
     databases(key) = cur ++ parseOptions(optsBody)
@@ -2078,13 +2171,15 @@ object SqlDdl {
 
   private def describeCatalog(spark: SparkSession,
                               name: String): SqlResult = {
-    require(name.equalsIgnoreCase("default_catalog"),
-      s"DESCRIBE CATALOG: unknown catalog '$name' (one catalog: " +
-      "default_catalog)")
+    val key = name.toLowerCase
+    val props = catalogs.getOrElse(key, throw new IllegalArgumentException(
+      s"DESCRIBE CATALOG: unknown catalog '$name' (SHOW CATALOGS lists " +
+      s"${catalogs.keys.toSeq.sorted.mkString(", ")})"))
     import scala.jdk.CollectionConverters._
-    val rows = Seq(("catalog name", "default_catalog"),
-                   ("default database", currentDb),
-                   ("type", "in-memory"))
+    val rows = (Seq(("catalog name", key),
+                    ("default database", defaultDbOf(key)),
+                    ("type", props.getOrElse("type", "in-memory"))) ++
+                (props - "type").toSeq.sortBy(_._1))
       .map { case (k, v) => org.apache.spark.sql.Row(k, v) }
     SqlResult(Some(spark.createDataFrame(rows.asJava,
       StructType(Seq(StructField("info name", StringType),

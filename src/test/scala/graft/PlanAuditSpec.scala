@@ -203,4 +203,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       "top-20 must be a distributed partial top-k")
   }
+
+  test("OPTIONS-hinted scans keep filter pushdown and column pruning") {
+    // the hint re-registers the table under an internal alias — that
+    // alias must still be a plain parquet relation the optimizer can
+    // push into, or every hinted query pays a full-scan penalty at
+    // 100 TB. Checked on the physical plan: PushedFilters carries the
+    // predicate, ReadSchema prunes to the selected columns.
+    import graft.operators.SqlDdl
+    val d = java.nio.file.Files.createTempDirectory("plan_hint").toString
+    spark.range(100)
+      .selectExpr("id", "id * 2 AS v", "CAST(id AS STRING) AS s")
+      .write.parquet(d + "/a")
+    SqlDdl.executeSql(spark, s"""
+      CREATE TABLE plan_hint_t (id BIGINT, v BIGINT, s STRING)
+      WITH ('connector' = 'filesystem', 'path' = '$d/a')""")
+    SqlDdl.executeSql(spark,
+      "SET 'table.dynamic-table-options.enabled' = 'true'")
+    try {
+      val df = SqlDdl.executeSql(spark,
+        s"SELECT v FROM plan_hint_t /*+ OPTIONS('path' = '$d/a') */ " +
+        "WHERE id > 50").df.get
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedFilters") && p.contains("GreaterThan(id,50)"),
+        s"hinted scan lost predicate pushdown:\n$p")
+      val rs = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
+      assert(rs.contains("id:") && rs.contains("v:") && !rs.contains("s:"),
+        s"hinted scan reads undemanded columns: $rs")
+    } finally {
+      SqlDdl.executeSql(spark, "RESET 'table.dynamic-table-options.enabled'")
+      SqlDdl.executeSql(spark, "DROP TABLE IF EXISTS plan_hint_t")
+    }
+  }
 }

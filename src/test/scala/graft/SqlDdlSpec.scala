@@ -1042,15 +1042,67 @@ class SqlDdlSpec extends AnyFunSuite {
     }
   }
 
-  test("catalogs: USE CATALOG / SHOW CATALOGS over the single catalog") {
-    val cats = SqlDdl.executeSql(spark, "SHOW CATALOGS").df.get
-      .as[String].collect().toSeq
-    assert(cats == Seq("default_catalog"))
-    SqlDdl.executeSql(spark, "USE CATALOG default_catalog")
-    val e = intercept[IllegalArgumentException] {
-      SqlDdl.executeSql(spark, "USE CATALOG hive")
+  test("catalogs: CREATE/USE/SHOW/DESCRIBE/DROP generic_in_memory") {
+    val d = tmp()
+    try {
+      assert(SqlDdl.executeSql(spark, "SHOW CATALOGS").df.get
+        .as[String].collect().toSeq.contains("default_catalog"))
+      SqlDdl.executeSql(spark, "USE CATALOG default_catalog")
+      val e = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "USE CATALOG hive")
+      }
+      assert(e.getMessage.contains("unknown catalog"))
+      // only generic_in_memory; type required
+      val badType = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "CREATE CATALOG ddl_hc WITH ('type'='hive')")
+      }
+      assert(badType.getMessage.contains("generic_in_memory"))
+      intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "CREATE CATALOG ddl_nt")
+      }
+      // lifecycle: create → use → its own database space
+      SqlDdl.executeSql(spark, """CREATE CATALOG ddl_cat WITH
+        ('type' = 'generic_in_memory', 'default-database' = 'base')""")
+      val info = SqlDdl.executeSql(spark, "DESCRIBE CATALOG ddl_cat").df.get
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(info("default database") == "base")
+      SqlDdl.executeSql(spark, "USE CATALOG ddl_cat")
+      val dbs = SqlDdl.executeSql(spark, "SHOW DATABASES").df.get
+        .as[String].collect().toSeq
+      assert(dbs == Seq("base")) // NOT default_catalog's databases
+      SqlDdl.executeSql(spark, "CREATE DATABASE staging")
+      spark.range(2).toDF("id").write.parquet(d + "/t")
+      SqlDdl.executeSql(spark, "USE staging")
+      SqlDdl.executeSql(spark, s"""
+        CREATE TABLE ddl_cat_t (id BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '$d/t')""")
+      // the current catalog and a table-owning catalog are undroppable
+      val cur = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "DROP CATALOG ddl_cat")
+      }
+      assert(cur.getMessage.contains("current"))
+      SqlDdl.executeSql(spark, "USE CATALOG default_catalog")
+      assert(SqlDdl.executeSql(spark, "SHOW DATABASES").df.get
+        .as[String].collect().toSeq.contains("default_database"))
+      val owns = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "DROP CATALOG ddl_cat")
+      }
+      assert(owns.getMessage.contains("ddl_cat_t"))
+      SqlDdl.executeSql(spark, "DROP TABLE ddl_cat_t")
+      SqlDdl.executeSql(spark, "DROP CATALOG ddl_cat")
+      intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "USE CATALOG ddl_cat")
+      }
+      SqlDdl.executeSql(spark, "DROP CATALOG IF EXISTS ddl_cat")
+      val dflt = intercept[IllegalArgumentException] {
+        SqlDdl.executeSql(spark, "DROP CATALOG default_catalog")
+      }
+      assert(dflt.getMessage.contains("default_catalog"))
+    } finally {
+      SqlDdl.executeSql(spark, "USE CATALOG default_catalog")
+      SqlDdl.executeSql(spark, "DROP TABLE IF EXISTS ddl_cat_t")
+      SqlDdl.executeSql(spark, "DROP CATALOG IF EXISTS ddl_cat")
     }
-    assert(e.getMessage.contains("unknown catalog"))
   }
 
   test("SHOW VIEWS lists changelog and plain views, not tables") {
