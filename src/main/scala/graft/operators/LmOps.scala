@@ -59,12 +59,16 @@ object LmOps {
       val toks = Tables.table(s, dir, "documents")
         .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
         .filter(size(col("toks")) >= 2)
+      // materialized once: the unigram aggregate, the bigram aggregate
+      // and the scoring join all read this frame (3 tokenize+explode
+      // passes otherwise)
       val pairs = toks.select(col("doc_id"), col("lang"), posexplode(expr(
           "transform(sequence(1, size(toks) - 1), " +
           "i -> struct(toks[i-1] AS w1, toks[i] AS w2))"))
           .as(Seq("i", "p")))
         .select(col("doc_id"), col("lang"),
                 col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .localCheckpoint()
       val train = pairs.filter(col("lang") === "en")
       // Unigram counts over train token POSITIONS (w1 of every pair plus
       // the final w2 per doc would double-count; the standard conditional
@@ -89,9 +93,12 @@ object LmOps {
         .withColumn("tok_mlb",
           round(-log(lit(Lam) * col("p_bi") + lit(1 - Lam) * col("p_uni"))
             * lit(1000)).cast("long"))
+      // one row per doc; read by the count action AND the global rank —
+      // without this the scoring join re-executes for each
       val perDoc = scored.groupBy("doc_id")
         .agg(count(lit(1)).as("n_pairs"), sum(col("tok_mlb")).as("total_mlb"))
         .withColumn("avg_mlb", expr("total_mlb div n_pairs"))
+        .localCheckpoint()
       val n = perDoc.count()
       GlobalRank.withRowNumber(perDoc,
           Seq(col("avg_mlb"), col("doc_id")), "rn")

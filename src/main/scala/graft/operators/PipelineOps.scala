@@ -48,15 +48,19 @@ object PipelineOps {
     val toks = docs
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .filter(size(col("toks")) >= 3)
+    // Materialized once (same reuse pattern as q37): the DF-cap
+    // aggregate, the cap join, the per-doc counts and both self-join
+    // legs otherwise re-run the tokenize+explode subtree four times.
     val rawShingles = toks.select(col("doc_id"),
       explode(array_distinct(expr(
         "transform(sequence(0, size(toks) - 3), i -> " +
         "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("sh"))
+      .localCheckpoint()
     val keepSh = rawShingles.groupBy("sh")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= shingleDfCap)
       .select("sh")
-    val shingles = rawShingles.join(keepSh, "sh")
+    val shingles = rawShingles.join(keepSh, "sh").localCheckpoint()
     val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     shingles.as("a")
       .join(shingles.as("b"),
@@ -222,10 +226,17 @@ object PipelineOps {
       val n = 13
       val docs = Tables.table(s, dir, "documents")
         .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      // grams travel as md5 DIGESTS from the moment they exist (the
+      // q167 transport discipline, guide §2.3): the broadcast set and
+      // the distinct-count carry 32-hex keys, never 13-word strings —
+      // identical hit counts, a fraction of the broadcast bytes. The
+      // frame is materialized once for its two consumers (eval set +
+      // probe side) instead of re-running the explode per leg.
       val grams = docs.filter(size(col("toks")) >= n)
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(1, size(toks) - ${n - 1}), " +
-          s"i -> array_join(slice(toks, i, $n), ' '))")).as("gram"))
+          s"i -> md5(array_join(slice(toks, i, $n), ' ')))")).as("gram"))
+        .localCheckpoint()
       val bench = broadcast(grams.filter(col("doc_id") % 20 === 7)
         .select(col("gram")).distinct())
       val hits = grams.filter(col("doc_id") % 20 =!= 7)

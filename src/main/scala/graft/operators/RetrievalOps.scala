@@ -79,6 +79,9 @@ object RetrievalOps {
           .as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      // term-hit rows only (bounded by query-term matches): read by the
+      // df aggregate and the scoring join — one corpus pass, not two
+      .localCheckpoint()
     val dfreq = hits.groupBy("term")
       .agg(countDistinct(col("doc_id")).as("df"))
     hits.join(broadcast(dfreq), "term")
@@ -109,10 +112,14 @@ object RetrievalOps {
       val docs = Tables.table(s, dir, "documents")
         .withColumn("toks", split(trim(col("text")), "\\s+"))
         .filter(size(col("toks")) >= k)
+      // (doc, pos, digest) materialized once: the duplicate-digest
+      // aggregate and the coverage join both reuse it — unchecked, the
+      // tokenize + per-position md5 explode would run twice.
       val pos = docs.select(col("doc_id"), posexplode(expr(
           s"transform(sequence(0, size(toks) - $k), " +
           s"i -> md5(concat_ws(' ', slice(toks, i + 1, $k))))"))
           .as(Seq("pos", "dig")))
+        .localCheckpoint()
       val dup = pos.groupBy("dig").agg(count(lit(1)).as("c"))
         .filter(col("c") > 1).select("dig")
       val dupPos = pos.join(dup, "dig").select("doc_id", "pos")
@@ -201,6 +208,10 @@ object RetrievalOps {
           "transform(sequence(1, size(toks) - 1), " +
           "i -> concat_ws(' ', toks[i-1], toks[i]))")).as("bg"))
         .withColumn("bkt", pmod(h60("dsir", col("bg")), lit(DsirB)))
+        // four consumers (bucket counts, target counts, totals, the
+        // scoring join) — one materialization instead of four
+        // tokenize+explode passes
+        .localCheckpoint()
       val cc = bg.groupBy("bkt").agg(count(lit(1)).as("cc"))
       val ct = bg.filter(col("lang") === "en")
         .groupBy("bkt").agg(count(lit(1)).as("ct"))

@@ -152,15 +152,22 @@ object TextOps {
       val docs = Tables.table(s, dir, "documents")
         .withColumn("toks", split(trim(col("text")), "\\s+"))
         .filter(size(col("toks")) >= 3)
+      // (doc, shingle) pairs materialized ONCE: the DF-cap aggregate,
+      // the cap join, the per-doc counts and BOTH legs of the self-join
+      // all reuse this frame — without the checkpoint the tokenize +
+      // explode subtree executes four times (once per reference).
+      // localCheckpoint, not cache: blocks are freed when the plan is
+      // GC'd, so bench reps don't accumulate session-lifetime storage.
       val rawShingles = docs.select(col("doc_id"),
           explode(array_distinct(expr(
             "transform(sequence(0, size(toks) - 3), i -> " +
             "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("sh"))
+        .localCheckpoint()
       val keepSh = rawShingles.groupBy("sh")
         .agg(count(lit(1)).as("df"))
         .filter(col("df") <= shingleCap(s))
         .select("sh")
-      val shingles = rawShingles.join(keepSh, "sh")
+      val shingles = rawShingles.join(keepSh, "sh").localCheckpoint()
       val counts = shingles.groupBy("doc_id")
         .agg(count(lit(1)).as("n_sh"))
       val pairs = shingles.as("a")
@@ -254,7 +261,10 @@ object TextOps {
         .cache()
       val keep = post.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= winnowDfCap).select("fp")
-      val capped = post.join(keep, "fp")
+      // the capped (doc, fp) frame feeds the per-doc counts and BOTH
+      // self-join legs — materialize once instead of re-running the
+      // DF-cap join three times over the cached fingerprints
+      val capped = post.join(keep, "fp").localCheckpoint()
       val cnt = capped.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
       capped.as("a")
         .join(capped.as("b"),

