@@ -244,9 +244,6 @@ object AnnOps {
         .select(col("refine_r"), col("q_id"), col("cand_id"))
       val gt = graft.operators.VectorOps.queries("q38_cosine_topk")(s, dir)
         .select(col("q_id"), col("cand_id"))
-        // tiny exact-top-k ground truth, reused by several legs —
-        // materialize once instead of re-running the exact scorer
-        .localCheckpoint()
       val tot = gt.groupBy().agg(count(lit(1)).as("n_rel"))
       val hits = refined.join(gt, Seq("q_id", "cand_id"))
         .groupBy("refine_r").agg(count(lit(1)).as("n_hit"))

@@ -183,11 +183,8 @@ object DedupOps {
     "q137_dup_clusters_lsh" -> ((s, dir) => {
       val sig = minhashSignatures(s, dir).cache()
       val cand = bandCandidates(sig)
-      // both verify-join legs read the per-doc shingle sets — without
-      // the checkpoint the shingle explode + collect_set runs twice
       val docSh = shingles(s, dir).groupBy("doc_id")
         .agg(collect_set(col("sh")).as("shs"))
-        .localCheckpoint()
       val verified = cand
         .join(docSh.as("a"), col("da") === col("a.doc_id"))
         .join(docSh.as("b"), col("db") === col("b.doc_id"))
@@ -214,10 +211,8 @@ object DedupOps {
     "q170_band_precision" -> ((s, dir) => {
       val sig = minhashSignatures(s, dir)
       val cand = bandCandidates(sig)
-      // same reuse as q137: two verify-join legs, one materialization
       val docSh = shingles(s, dir).groupBy("doc_id")
         .agg(collect_set(col("sh")).as("shs"))
-        .localCheckpoint()
       val j = cand
         .join(docSh.as("a"), col("da") === col("a.doc_id"))
         .join(docSh.as("b"), col("db") === col("b.doc_id"))

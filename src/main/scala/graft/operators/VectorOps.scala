@@ -165,9 +165,6 @@ object VectorOps {
     "q312_sq8_recall" -> ((s, dir) => {
       val gt = queries("q38_cosine_topk")(s, dir)
         .select(col("q_id"), col("cand_id"))
-        // tiny exact-top-k ground truth, reused by several legs —
-        // materialize once instead of re-running the exact scorer
-        .localCheckpoint()
       def hits(df: DataFrame, n: String) = gt.join(
           df.select(col("q_id").as("iq"), col("cand_id").as("ic")),
           col("q_id") === col("iq") && col("cand_id") === col("ic"))
@@ -195,9 +192,6 @@ object VectorOps {
     "q327_pq_recall" -> ((s, dir) => {
       val gt = queries("q38_cosine_topk")(s, dir)
         .select(col("q_id"), col("cand_id"))
-        // tiny exact-top-k ground truth, reused by several legs —
-        // materialize once instead of re-running the exact scorer
-        .localCheckpoint()
       def hits(df: DataFrame, n: String) = gt.join(
           df.select(col("q_id").as("iq"), col("cand_id").as("ic")),
           col("q_id") === col("iq") && col("cand_id") === col("ic"))
@@ -230,9 +224,6 @@ object VectorOps {
       val nps = Seq(1, 2, 4, 8)
       val gt = queries("q38_cosine_topk")(s, dir)
         .select(col("q_id"), col("cand_id"))
-        // tiny exact-top-k ground truth, reused by several legs —
-        // materialize once instead of re-running the exact scorer
-        .localCheckpoint()
       val tot = gt.groupBy().agg(count(lit(1)).as("n_rel"))
       // ONE shared index pipeline serves all four points (ivfSq8Sweep:
       // one scan/checkpoint, one centroid pick, one assignment — not
@@ -254,9 +245,6 @@ object VectorOps {
     "q168_ivf_recall" -> ((s, dir) => {
       val gt = queries("q38_cosine_topk")(s, dir)
         .select(col("q_id"), col("cand_id"))
-        // tiny exact-top-k ground truth, reused by several legs —
-        // materialize once instead of re-running the exact scorer
-        .localCheckpoint()
       val iv = queries("q85_ann_ivf")(s, dir)
         .select(col("q_id").as("iq"), col("cand_id").as("ic"))
       val hit = gt.join(iv,
