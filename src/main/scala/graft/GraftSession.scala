@@ -44,6 +44,26 @@ object GraftSession {
     // filesystem.FsCheckpointStreamFactory — plain FSDataOutputStream).
     // Kill switch: set it back to true.
     .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // Checkpoint file manager: the default FileContext-based manager's
+    // rename path (AbstractFileSystem.renameInternal) calls
+    // getFileLinkStatus, which without libhadoop native FORKS a
+    // `readlink` subprocess per checkpoint file (Shell.execCommand via
+    // FileUtil.readLink) — measured 20–40 ms per WAL/state-delta/sink-
+    // metadata write, the dominant share of the streaming micro-batch
+    // floor (jstack histogram, FloorProbe r18: stateful floor 2.04 s →
+    // 1.21 s with the FileSystem-based manager). The FileSystem-based
+    // manager renames through java.io.File.renameTo — atomic on POSIX
+    // filesystems, no subprocess. On HDFS both managers are atomic; on
+    // object stores neither is (their committers apply either way).
+    // Kill switch: unset or set back to the FileContext manager.
+    .config("spark.sql.streaming.checkpointFileManagerClass",
+      "org.apache.spark.sql.execution.streaming.checkpointing." +
+        "FileSystemBasedCheckpointFileManager")
+    // (fs.file.impl=RawLocalFileSystem was measured here too — ~8% more
+    // off the floor by skipping .crc siblings — but REVERTED: Hadoop's
+    // FileSystem.getLocal hard-casts the "file" scheme to
+    // LocalFileSystem, which the RocksDB state backend's
+    // copyFromLocalFile path exercises; the cast fails. Kept out.)
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests/benchmarks. Warehouse (for saveAsTable /

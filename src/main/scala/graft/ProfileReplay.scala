@@ -23,8 +23,14 @@ object ProfileReplay {
     // A/B knobs under test (guide §1: measure before adopting)
     sys.env.get("SPARK_GRAFT_PROFILE_CONFS").foreach { cs =>
       cs.split(';').filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split('=')
-        spark.conf.set(k, v); println(s"PROFILE CONF $k=$v")
+        // split("=", 2): a conf VALUE may itself contain '=' (URLs,
+        // base64) — destructuring on split('=') aborted the run (r17
+        // ADVICE item)
+        val parts = kv.split("=", 2)
+        require(parts.length == 2 && parts(0).nonEmpty,
+          s"bad A/B conf '$kv' (want key=value)")
+        spark.conf.set(parts(0), parts(1))
+        println(s"PROFILE CONF ${parts(0)}=${parts(1)}")
       }
     }
     spark.read.parquet(s"$sfDir/region.parquet").count()

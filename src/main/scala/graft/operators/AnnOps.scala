@@ -49,7 +49,7 @@ object AnnOps {
   private def sq8Corpus(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), expr(Sq8Expr).as("q8"))
-      .localCheckpoint()
+      .transform(Materialize.frame)
 
   /** The deterministic "training" convention every index here uses:
     * the first `k` corpus vectors in md5(vec_id) order become the

@@ -79,13 +79,13 @@ object CurationOps {
         .select(col("doc_id"),
           explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
+        .transform(Materialize.frame)
       val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val w = tf.join(df, "tok")
         .select(col("doc_id"), col("tok"), col("df"),
           (col("tf") * round(log(lit(nDocs.toDouble) / col("df")) * 1000)
             .cast("long")).as("w"))
-        .localCheckpoint()
+        .transform(Materialize.frame)
       val norms = w.groupBy("doc_id")
         .agg(sum(col("w") * col("w")).as("norm2"))
       val joinable = w.filter(col("df").between(2, termCap(s)))
@@ -169,7 +169,7 @@ object CurationOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_toks"))
         .withColumn("w_milli",
           round(sqrt(col("n_toks").cast("double")) * 1000).cast("long"))
-        .localCheckpoint()
+        .transform(Materialize.frame)
       val totalW = bySource.agg(sum(col("w_milli"))).head().getLong(0)
       bySource
         .withColumn("alloc_toks",
@@ -210,7 +210,7 @@ object CurationOps {
         .select(col("doc_id"),
           posexplode(split(col("text"), "\n")).as(Seq("idx", "para")))
         .withColumn("d", md5(col("para")))
-        .localCheckpoint()
+        .transform(Materialize.frame)
       val firsts = paras.groupBy("d")
         .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
       val kept = paras.join(firsts, "d")
@@ -245,7 +245,7 @@ object CurationOps {
           "md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")))
           .as("d"))
         .distinct()
-        .localCheckpoint()
+        .transform(Materialize.frame)
       val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a").join(sh.as("b"),
           col("a.d") === col("b.d") && col("a.source") < col("b.source"))
@@ -299,7 +299,7 @@ object CurationOps {
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
       val cum = GlobalRank.withCumSum(vocab,
           Seq(col("cnt").desc, col("tok")), col("cnt"), "cum")
-        .localCheckpoint() // one action below + the threshold pass
+        .transform(Materialize.frame) // one action below + the threshold pass
       val total = cum.agg(max(col("cum"))).head().getLong(0)
       val th = s.createDataFrame(
           Seq(500L, 800L, 900L, 950L, 990L).map(Tuple1(_)))
@@ -383,7 +383,7 @@ object CurationOps {
         .select(col("source"),
           explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
       val st = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
-        .localCheckpoint() // feeds corpus model, totals AND the join
+        .transform(Materialize.frame) // feeds corpus model, totals AND the join
       val ct = st.groupBy("tok").agg(sum(col("c_st")).as("c_t"))
       val totals = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
       val v = ct.count()
@@ -427,12 +427,12 @@ object CurationOps {
                 md5(concat_ws(" ",
                   slice(split(trim(lower(col("text"))), "\\s+"), 1, 10)))
                   .as("dig"))
-        .localCheckpoint()
+        .transform(Materialize.frame)
       val baseDigs = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
         .select("dig").distinct().withColumn("in_base", lit(1))
       val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
       val marked = delta.join(baseDigs, Seq("dig"), "left")
-        .localCheckpoint() // read by keepers AND the final accounting
+        .transform(Materialize.frame) // read by keepers AND the final accounting
       val keepers = marked.filter(col("in_base").isNull)
         .groupBy("dig").agg(min(col("doc_id")).as("keep_id"))
       marked.join(keepers, Seq("dig"), "left")
@@ -459,7 +459,7 @@ object CurationOps {
       val vocab = Tables.table(s, dir, "documents")
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // total action + top-k read the same agg
+        .transform(Materialize.frame) // total action + top-k read the same agg
       val total = vocab.agg(sum(col("cnt"))).head().getLong(0)
       val top = vocab.orderBy(col("cnt").desc, col("tok")).limit(20)
       val w = Window.orderBy(col("cnt").desc, col("tok"))

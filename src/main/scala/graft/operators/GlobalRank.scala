@@ -33,7 +33,7 @@ object GlobalRank {
     val ranged = df.repartitionByRange(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
     // cache: the size scan and the ranked output read the same exchange
-    val mat = ranged.localCheckpoint()
+    val mat = ranged.transform(Materialize.frame)
     val sizes = mat.groupBy("__pid").count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -66,7 +66,7 @@ object GlobalRank {
                  outCol: String = "cum_sum"): DataFrame = {
     val ranged = df.repartitionByRange(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-    val mat = ranged.localCheckpoint()
+    val mat = ranged.transform(Materialize.frame)
     val totals = mat.groupBy("__pid")
       .agg(sum(valueCol.cast("long")).as("__t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

@@ -68,7 +68,7 @@ object LmOps {
           .as(Seq("i", "p")))
         .select(col("doc_id"), col("lang"),
                 col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .localCheckpoint()
+        .transform(Materialize.frame)
       val train = pairs.filter(col("lang") === "en")
       // Unigram counts over train token POSITIONS (w1 of every pair plus
       // the final w2 per doc would double-count; the standard conditional
@@ -98,7 +98,7 @@ object LmOps {
       val perDoc = scored.groupBy("doc_id")
         .agg(count(lit(1)).as("n_pairs"), sum(col("tok_mlb")).as("total_mlb"))
         .withColumn("avg_mlb", expr("total_mlb div n_pairs"))
-        .localCheckpoint()
+        .transform(Materialize.frame)
       val n = perDoc.count()
       GlobalRank.withRowNumber(perDoc,
           Seq(col("avg_mlb"), col("doc_id")), "rn")

@@ -55,12 +55,12 @@ object PipelineOps {
       explode(array_distinct(expr(
         "transform(sequence(0, size(toks) - 3), i -> " +
         "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("sh"))
-      .localCheckpoint()
+      .transform(Materialize.frame)
     val keepSh = rawShingles.groupBy("sh")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= shingleDfCap)
       .select("sh")
-    val shingles = rawShingles.join(keepSh, "sh").localCheckpoint()
+    val shingles = rawShingles.join(keepSh, "sh").transform(Materialize.frame)
     val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     shingles.as("a")
       .join(shingles.as("b"),
@@ -236,7 +236,7 @@ object PipelineOps {
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(1, size(toks) - ${n - 1}), " +
           s"i -> md5(array_join(slice(toks, i, $n), ' ')))")).as("gram"))
-        .localCheckpoint()
+        .transform(Materialize.frame)
       val bench = broadcast(grams.filter(col("doc_id") % 20 === 7)
         .select(col("gram")).distinct())
       val hits = grams.filter(col("doc_id") % 20 =!= 7)
@@ -300,7 +300,7 @@ object PipelineOps {
       // plan is garbage-collected, so repeated invocations (bench reps,
       // spec + oracle dump) don't accumulate session-lifetime cached
       // partitions the way an un-unpersisted cache() would.
-      val allD = grams.distinct().localCheckpoint()
+      val allD = grams.distinct().transform(Materialize.frame)
       val evalD = allD.filter(col("doc_id") % 20 === 7)
         .select(col("gh")).distinct()
       val slotSet = broadcast(

@@ -81,7 +81,7 @@ object RetrievalOps {
       .agg(count(lit(1)).as("tf"))
       // term-hit rows only (bounded by query-term matches): read by the
       // df aggregate and the scoring join — one corpus pass, not two
-      .localCheckpoint()
+      .transform(Materialize.frame)
     val dfreq = hits.groupBy("term")
       .agg(countDistinct(col("doc_id")).as("df"))
     hits.join(broadcast(dfreq), "term")
@@ -119,7 +119,7 @@ object RetrievalOps {
           s"transform(sequence(0, size(toks) - $k), " +
           s"i -> md5(concat_ws(' ', slice(toks, i + 1, $k))))"))
           .as(Seq("pos", "dig")))
-        .localCheckpoint()
+        .transform(Materialize.frame)
       val dup = pos.groupBy("dig").agg(count(lit(1)).as("c"))
         .filter(col("c") > 1).select("dig")
       val dupPos = pos.join(dup, "dig").select("doc_id", "pos")
@@ -211,7 +211,7 @@ object RetrievalOps {
         // four consumers (bucket counts, target counts, totals, the
         // scoring join) — one materialization instead of four
         // tokenize+explode passes
-        .localCheckpoint()
+        .transform(Materialize.frame)
       val cc = bg.groupBy("bkt").agg(count(lit(1)).as("cc"))
       val ct = bg.filter(col("lang") === "en")
         .groupBy("bkt").agg(count(lit(1)).as("ct"))

@@ -162,12 +162,12 @@ object TextOps {
           explode(array_distinct(expr(
             "transform(sequence(0, size(toks) - 3), i -> " +
             "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("sh"))
-        .localCheckpoint()
+        .transform(Materialize.frame)
       val keepSh = rawShingles.groupBy("sh")
         .agg(count(lit(1)).as("df"))
         .filter(col("df") <= shingleCap(s))
         .select("sh")
-      val shingles = rawShingles.join(keepSh, "sh").localCheckpoint()
+      val shingles = rawShingles.join(keepSh, "sh").transform(Materialize.frame)
       val counts = shingles.groupBy("doc_id")
         .agg(count(lit(1)).as("n_sh"))
       val pairs = shingles.as("a")
@@ -264,7 +264,7 @@ object TextOps {
       // the capped (doc, fp) frame feeds the per-doc counts and BOTH
       // self-join legs — materialize once instead of re-running the
       // DF-cap join three times over the cached fingerprints
-      val capped = post.join(keep, "fp").localCheckpoint()
+      val capped = post.join(keep, "fp").transform(Materialize.frame)
       val cnt = capped.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
       capped.as("a")
         .join(capped.as("b"),

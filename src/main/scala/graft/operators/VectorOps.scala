@@ -350,7 +350,7 @@ object VectorOps {
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
             .as("q"))
-        .localCheckpoint()
+        .transform(Materialize.frame)
       val n = q.count()
       val gram = q.select(expr(
           "explode(flatten(transform(sequence(0, 63), i -> " +
@@ -365,7 +365,7 @@ object VectorOps {
           "explode(transform(sequence(0, 63), i -> " +
           "struct(i AS i, q[i] AS v)))").as("c"))
         .groupBy(col("c.i").as("i0")).agg(sum(col("c.v")).as("s"))
-        .localCheckpoint()
+        .transform(Materialize.frame)
       gram
         .join(broadcast(sums.select(col("i0"), col("s").as("si"))), "i0")
         .join(broadcast(sums.select(col("i0").as("j0"), col("s").as("sj"))),
@@ -468,7 +468,7 @@ object VectorOps {
       val k = 8
       // ONE corpus scan: the checkpointed quantized frame feeds the
       // moment sums inside pcaModel AND the projection pass below
-      val q = quantizedEmbeddings(s, dir).localCheckpoint()
+      val q = quantizedEmbeddings(s, dir).transform(Materialize.frame)
       val (means, _, comps) = pcaModel(q, k)
       val consts = comps.map(v => v.zip(means).map { case (a, b) => a * b }.sum)
       val projCols = (0 until k).map { j =>
@@ -496,7 +496,7 @@ object VectorOps {
     // n·|q|·|b|·d up to ~6e17, i.e. corpora to ~1e9 vectors at these
     // quantizations (documented key-range bound).
     "q309_basis_project" -> ((s, dir) => {
-      val q = quantizedEmbeddings(s, dir).localCheckpoint()
+      val q = quantizedEmbeddings(s, dir).transform(Materialize.frame)
       val b = fixedBasis
       val srow = q.select(
         (0 until 64).map(i => sum(expr(s"q[$i]")).as(s"s$i")) :+

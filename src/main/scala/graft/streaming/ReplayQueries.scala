@@ -131,6 +131,17 @@ object ReplayQueries {
       case dsv2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
         Seq(dsv2.table.name())
     }.flatten.sorted.mkString(",")
+  /** Cache-key rendering of one frame's canonicalized plan. The plain
+    * `toString` elides fields beyond `spark.sql.debug.maxToStringFields`
+    * (default 25), so two distinct WIDE plans over the same sources
+    * could render identically; appending the canonicalized plan's
+    * `semanticHash` (computed over the full tree, no elision) makes a
+    * collision require both an identical elided rendering AND an Int
+    * hash collision (r17 ADVICE item). */
+  private def planKey(df: DataFrame): String = {
+    val c = df.queryExecution.logical.canonicalized
+    c.toString + "#" + c.semanticHash()
+  }
   /** Process-wide cache of the tiny scalar max() aggregates the gates
     * run only to place their far-future sentinel rows — keyed exactly
     * like [[stageCache]] (canonicalized plan + scan roots), and the
@@ -144,14 +155,14 @@ object ReplayQueries {
   private def maxTsOf(df: DataFrame, c: String): java.sql.Timestamp =
     scalarCache.getOrElseUpdate(
       s"maxts|$c|" + sourceRoots(df) + "|" +
-        df.queryExecution.logical.canonicalized.toString,
+        planKey(df),
       df.agg(org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.col(c))).head().getTimestamp(0))
       .asInstanceOf[java.sql.Timestamp]
   private def maxLongOf(df: DataFrame, c: String): Long =
     scalarCache.getOrElseUpdate(
       s"maxlong|$c|" + sourceRoots(df) + "|" +
-        df.queryExecution.logical.canonicalized.toString,
+        planKey(df),
       df.agg(org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.col(c))).head().getLong(0))
       .asInstanceOf[Long]
@@ -171,7 +182,7 @@ object ReplayQueries {
   private def stageJsonIn(df: DataFrame, n: Int, extraKey: String = "")
                          (extra: String => Unit = _ => ()): String = {
     val key = s"jsonin|$n|$extraKey|" + sourceRoots(df) + "|" +
-      df.queryExecution.logical.canonicalized.toString
+      planKey(df)
     cachedIn(key) { in =>
       df.repartition(n).write.mode("overwrite").json(in)
       extra(in)
@@ -180,7 +191,7 @@ object ReplayQueries {
 
   private def stage(df: DataFrame, n: Int): (String, String, String) = {
     val key = s"plain|$n|" + sourceRoots(df) + "|" +
-      df.queryExecution.logical.canonicalized.toString
+      planKey(df)
     val in = cachedIn(key) { in =>
       df.repartition(n).write.mode("overwrite").parquet(in)
     }
@@ -208,8 +219,8 @@ object ReplayQueries {
                            sentinel: DataFrame): (String, String, String) = {
     val key = s"ordered|$tsCol|$n|" + sourceRoots(df) + "||" +
       sourceRoots(sentinel) + "|" +
-      df.queryExecution.logical.canonicalized.toString +
-      sentinel.queryExecution.logical.canonicalized.toString
+      planKey(df) +
+      planKey(sentinel)
     val in = cachedIn(key) { in =>
       // slice on (ts, every other column): equal-ts rows would otherwise
       // land in nondeterministic slices, and maxFilesPerTrigger=1 makes
@@ -272,9 +283,9 @@ object ReplayQueries {
                             late: DataFrame): (String, String, String) = {
     val key = s"late|$tsCol|$n|" + sourceRoots(main) + "||" +
       sourceRoots(sentinel) + "||" + sourceRoots(late) + "|" +
-      main.queryExecution.logical.canonicalized.toString +
-      sentinel.queryExecution.logical.canonicalized.toString +
-      late.queryExecution.logical.canonicalized.toString
+      planKey(main) +
+      planKey(sentinel) +
+      planKey(late)
     val in = cachedIn(key) { in =>
       val tieCols = main.columns.filterNot(_ == tsCol).sorted.map(col)
       val sliced = main.withColumn("__slice",
@@ -317,9 +328,14 @@ object ReplayQueries {
   private[graft] def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key  = "spark.sql.shuffle.partitions"
     val nd   = "spark.sql.streaming.noDataMicroBatches.enabled"
+    // Override hook for measurement (ProfileReplay A/B) and for sizing
+    // the replay state exchange to the deployment: unset ⇒ the per-gate
+    // default `n` stands.
+    val eff = s.conf.getOption("spark.graft.replay.statePartitions")
+      .map(_.toInt).getOrElse(n)
     val prev = s.conf.get(key)
     val prevNd = s.conf.get(nd)
-    s.conf.set(key, n.toString)
+    s.conf.set(key, eff.toString)
     s.conf.set(nd, "false")
     try body finally { s.conf.set(key, prev); s.conf.set(nd, prevNd) }
   }

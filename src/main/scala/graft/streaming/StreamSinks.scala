@@ -50,34 +50,46 @@ object StreamSinks {
                  keyCols: Seq[String], seqCol: String,
                  buckets: Int): Unit = {
     val s = batch.sparkSession
-    val withB = batch.withColumn("__bucket",
+    // Cache the bucketed batch for the duration of the merge: inside
+    // foreachBatch every action on the batch frame RE-EXECUTES the
+    // micro-batch plan (source re-read, stateful-operator re-run) — the
+    // affected-buckets collect and the merge union would each pay it.
+    // With the cache the plan runs once (populated by the collect, read
+    // back by the merge), which both halves the per-batch cost and
+    // removes a re-execution of state-bearing operators.
+    val cache = s.conf.getOption("spark.graft.upsert.cacheBatch")
+      .forall(_.toBoolean) // kill switch; default on
+    val withB0 = batch.withColumn("__bucket",
       pmod(hash(keyCols.map(col): _*), lit(buckets)))
-    // One action doubles as the empty-batch check (empty ⇒ no affected
-    // buckets) — a separate batch.isEmpty would run the batch plan a
-    // second time on every non-empty micro-batch.
-    val affected = withB.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded by `buckets`
-    if (affected.isEmpty) return
-    val existing =
-      try s.read.parquet(path).filter(col("__bucket").isin(affected: _*))
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          withB.schema) }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*)
-      .orderBy(col(seqCol).desc)
-    val merged = existing.unionByName(withB)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-      // break the read-path/write-path cycle before overwriting
-      .localCheckpoint()
-    // writer-scoped dynamic overwrite: only the touched __bucket
-    // partitions are replaced, without mutating the session-wide
-    // partitionOverwriteMode (which would silently change the semantics
-    // of unrelated overwrite writes in the same session)
-    merged.write.partitionBy("__bucket")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(path)
+    val withB = if (cache) withB0.persist() else withB0
+    try {
+      // One action doubles as the empty-batch check (empty ⇒ no affected
+      // buckets) — a separate batch.isEmpty would run the batch plan a
+      // second time on every non-empty micro-batch.
+      val affected = withB.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq // bounded by `buckets`
+      if (affected.isEmpty) return
+      val existing =
+        try s.read.parquet(path).filter(col("__bucket").isin(affected: _*))
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            withB.schema) }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(col(seqCol).desc)
+      val merged = existing.unionByName(withB)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        // break the read-path/write-path cycle before overwriting
+        .localCheckpoint()
+      // writer-scoped dynamic overwrite: only the touched __bucket
+      // partitions are replaced, without mutating the session-wide
+      // partitionOverwriteMode (which would silently change the semantics
+      // of unrelated overwrite writes in the same session)
+      merged.write.partitionBy("__bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(path)
+    } finally { if (cache) withB.unpersist(blocking = false) }
   }
 
   /** Read the upsert table back (drops the bucketing column). */
